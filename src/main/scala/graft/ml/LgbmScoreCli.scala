@@ -1,0 +1,21 @@
+package graft.ml
+
+/** Tiny CLI around the scorer: `runMain graft.ml.LgbmScoreCli <model.lgbm>
+  * <f1,f2,...>` prints the transformed prediction — the standalone-library
+  * equivalent of the reference's `SELECT f0([...])` smoke path
+  * (`src/lib.rs:133-148`). Handy for eyeballing a model without a
+  * SparkSession. */
+object LgbmScoreCli {
+  def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: LgbmScoreCli <model.lgbm> <f1,f2,...>")
+      sys.exit(2)
+    }
+    val model = LgbmModel.parseFile(args(0))
+    val fs = args(1).split(",").map(s => if (s.isEmpty || s == "nan") Double.NaN else s.toDouble)
+    val out = model.predict(fs)
+    println(s"model: objective=${model.objective} num_class=${model.numClass} " +
+      s"trees=${model.trees.length} num_features=${model.numFeatures}")
+    println(out.mkString("[", ", ", "]"))
+  }
+}

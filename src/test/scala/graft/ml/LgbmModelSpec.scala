@@ -1,0 +1,149 @@
+package graft.ml
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit + property tests for the pure-Scala LightGBM scorer (SURVEY.md §5
+  * rebuild test plan). Goldens are hand-computed from the fixture model
+  * files in src/test/resources/models. */
+class LgbmModelSpec extends AnyFunSuite {
+
+  private def load(name: String) = LgbmModel.parseResource(s"/models/$name")
+
+  // --- regression_1tree: tree is
+  //   f0 <= 0 ? (f1 <= 0.5 ? 2.5 : -0.5) : 1.5, missing-type None (NaN -> 0)
+  test("regression single tree: hand-computed paths") {
+    val m = load("regression_1tree.lgbm")
+    assert(m.numClass == 1 && m.numFeatures == 2 && m.objective == "regression")
+    assert(m.predict(Array(-1.0, 0.0)).toSeq == Seq(2.5))
+    assert(m.predict(Array(1.0, 9.0)).toSeq == Seq(1.5))
+    assert(m.predict(Array(-1.0, 1.0)).toSeq == Seq(-0.5))
+    assert(m.predict(Array(0.0, 0.5)).toSeq == Seq(2.5)) // boundary: <= goes left
+    // NaN with missing-type None is treated as 0.0 (LightGBM NumericalDecision)
+    assert(m.predict(Array(Double.NaN, 0.7)).toSeq == Seq(-0.5))
+    assert(m.predict(Array(Double.NaN, Double.NaN)).toSeq == Seq(2.5))
+  }
+
+  test("feature arity is validated like the reference's fixed tensor width") {
+    val m = load("regression_1tree.lgbm")
+    val e = intercept[IllegalArgumentException](m.predict(Array(1.0)))
+    assert(e.getMessage.contains("num_features"))
+  }
+
+  // --- multiclass_5c: 5 classes x 2 iterations of stumps on features 0..4.
+  // Hand-computed raw scores for x = [0.1, -0.2, 0.3, 0.0, -0.5]:
+  //   c0: 0.1>0 -> -0.25;  0.1<=0.25 ->  0.0625  => -0.1875
+  //   c1: -0.2<=0 -> 0.625; -0.2<=0.25 -> 0.125  =>  0.75
+  //   c2: 0.3>0 -> -0.5;   0.3>0.25  -> -0.1875  => -0.6875
+  //   c3: 0<=0 -> 0.875;   0<=0.25   ->  0.25    =>  1.125
+  //   c4: -0.5<=0 -> 1.0;  <=0.25    ->  0.3125  =>  1.3125
+  test("multiclass 5-class: interleaved trees + softmax") {
+    val m = load("multiclass_5c.lgbm")
+    assert(m.numClass == 5 && m.numTreePerIteration == 5 && m.trees.length == 10)
+    val x = Array(0.1, -0.2, 0.3, 0.0, -0.5)
+    val raw = m.predictRaw(x)
+    val expectedRaw = Array(-0.1875, 0.75, -0.6875, 1.125, 1.3125)
+    assert(raw.toSeq == expectedRaw.toSeq)
+    val p = m.predict(x)
+    // independent softmax formula (no max-subtraction)
+    val z = expectedRaw.map(math.exp)
+    val expectedP = z.map(_ / z.sum)
+    p.zip(expectedP).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    assert(math.abs(p.sum - 1.0) < 1e-12)
+    assert(p.indexOf(p.max) == 4)
+  }
+
+  // --- binary_sigmoid: raw([0,0,0]) = -0.6 + -0.25 = -0.85, sigmoid:1.2
+  test("binary objective applies scaled sigmoid") {
+    val m = load("binary_sigmoid.lgbm")
+    assert(m.sigmoid == 1.2)
+    val p = m.predict(Array(0.0, 0.0, 0.0))
+    assert(p.length == 1)
+    assert(math.abs(p(0) - 1.0 / (1.0 + math.exp(1.2 * 0.85))) < 1e-15)
+  }
+
+  // --- cat_missing: node0 categorical f0 in {1,3,66} -> node1 else leaf 7;
+  // node1 numerical f1 <= 1 -> 8 else 9, missing NaN -> right (no default-left)
+  test("categorical split with multi-word bitset + NaN missing") {
+    val m = load("cat_missing.lgbm")
+    def p(f0: Double, f1: Double) = m.predict(Array(f0, f1))(0)
+    assert(p(3.0, 0.5) == 8.0)
+    assert(p(1.0, 2.0) == 9.0)
+    assert(p(66.0, 0.5) == 8.0) // bit in second+ bitset word
+    assert(p(2.0, 0.5) == 7.0) // not in set -> right
+    assert(p(-1.0, 0.5) == 7.0) // negative category -> right
+    assert(p(Double.NaN, 0.5) == 7.0) // NaN category -> right
+    assert(p(3.0, Double.NaN) == 9.0) // NaN numeric, missing=NaN, no default-left -> right
+    assert(p(130.0, 0.5) == 7.0) // beyond bitset words -> right
+  }
+
+  test("argmax of softmax equals argmax of raw scores (monotone transform)") {
+    val m = load("multiclass_5c.lgbm")
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 200) {
+      val x = Array.fill(5)(rnd.nextDouble() * 2 - 1)
+      val raw = m.predictRaw(x)
+      val p = m.predict(x)
+      assert(p.indexOf(p.max) == raw.indexOf(raw.max))
+      assert(math.abs(p.sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("predictBatch is invariant under batch size (src/udf.rs:164-198 parity)") {
+    val m = load("multiclass_5c.lgbm")
+    val rows = (0 until 37).map(i => Array.tabulate(5)(j => math.sin(i * 5 + j))).toVector
+    val base = m.predictBatch(rows.iterator, 1).map(_.toSeq).toVector
+    for (bs <- Seq(4, 16, 100)) {
+      assert(m.predictBatch(rows.iterator, bs).map(_.toSeq).toVector == base)
+    }
+    val e = intercept[IllegalArgumentException](m.predictBatch(rows.iterator, 0).toVector)
+    assert(e.getMessage.contains("batch_size"))
+  }
+
+  test("single-leaf tree and missing header errors") {
+    val single =
+      """tree
+        |num_class=1
+        |max_feature_idx=0
+        |objective=regression
+        |
+        |Tree=0
+        |num_leaves=1
+        |leaf_value=0.75
+        |
+        |end of trees
+        |""".stripMargin
+    val m = LgbmModel.parse(single)
+    assert(m.predict(Array(123.0)).toSeq == Seq(0.75))
+    intercept[IllegalArgumentException](
+      LgbmModel.parse("tree\nobjective=regression\n\nTree=0\nnum_leaves=1\nleaf_value=1\n\nend of trees\n"))
+  }
+
+  test("linear trees are rejected with a clear message") {
+    val linear =
+      """tree
+        |num_class=1
+        |max_feature_idx=0
+        |objective=regression
+        |
+        |Tree=0
+        |num_leaves=1
+        |leaf_value=0.75
+        |is_linear=1
+        |
+        |end of trees
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](LgbmModel.parse(linear))
+    assert(e.getMessage.contains("is_linear"))
+  }
+
+  test("main-resource models parse (used by SparkEntry queries)") {
+    val r = load2("/models/emb_reg.lgbm")
+    assert(r.numFeatures == 64 && r.trees.length == 3)
+    val m5 = load2("/models/emb_multi5.lgbm")
+    assert(m5.numClass == 5 && m5.trees.length == 5)
+    val m28 = load2("/models/multiclass_28f.lgbm")
+    assert(m28.numClass == 5 && m28.numFeatures == 28 && m28.trees.length == 10)
+  }
+
+  private def load2(res: String) = LgbmModel.parseResource(res)
+}
