@@ -1,0 +1,307 @@
+package graft
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SparkShims
+import org.apache.spark.sql.types._
+
+import graft.functions.ArgMax
+import graft.ml.LgbmModel
+
+/** The lightfusion layer rebuilt Spark-first.
+  *
+  * The reference (`milenkovicm/lightfusion`) wires three things into an
+  * embedded DataFusion engine: a `FunctionFactory` that turns
+  * `CREATE FUNCTION … LANGUAGE LIGHTGBM` DDL into a registered scalar
+  * inference UDF (`/root/reference/src/lib.rs:23-79`), an `argmax` UDF
+  * (`src/argmax.rs`), and a `lightfusion.batch_size` config extension
+  * (`src/config.rs`). Spark already is the engine (Catalyst plays
+  * DataFusion's role), so this object contributes exactly that layer:
+  *
+  *  - [[session]] ≡ `configure_context()` (`src/lib.rs:97-115`): builds a
+  *    SparkSession with `argmax` registered and config defaults seeded;
+  *  - [[sql]] ≡ the DDL front door: routes `CREATE FUNCTION … LANGUAGE
+  *    LIGHTGBM` to [[createFunction]], validates
+  *    `SET lightfusion.batch_size`, rewrites
+  *    `information_schema.df_settings` to a live settings view, and
+  *    delegates everything else to `spark.sql`;
+  *  - [[createFunction]] ≡ `LightfusionFunctionFactory::create`
+  *    (`src/lib.rs:23-79`): parses the DDL, loads + parses the LightGBM
+  *    text model once at DDL time (never at query time, mirroring
+  *    `Booster::from_file` placement at `src/udf.rs:92-97`), broadcasts
+  *    the immutable forest to executors (the Spark analogue of sharing
+  *    one `Booster` across partition threads via `unsafe impl Send+Sync`,
+  *    `src/udf.rs:100-112`), and registers a deterministic scalar UDF;
+  *  - [[readTsv]] ≡ the `CREATE EXTERNAL TABLE … STORED AS CSV DELIMITER`
+  *    example (`examples/lightfusion_tsv.rs:21`), renaming Spark's
+  *    `_c0.._cN` to DataFusion's inferred `column_1..column_{N+1}`.
+  *
+  * Scale design: the forest is broadcast once per registered function and
+  * evaluated allocation-free per row inside the UDF; no shuffle, no state,
+  * no driver round-trips — inference is a pure map that rides whatever
+  * partitioning the scan produced, so it scales linearly with executors.
+  */
+object LightFusion {
+
+  val BatchSizeKey = "lightfusion.batch_size"
+  val BatchSizeDefault = 1
+  val BatchSizeDescription =
+    "Batch size to be used. Valid value positive non-zero integers. Default: 1"
+
+  /** Build a session the way the reference builds its context
+    * (`src/lib.rs:97-115`): settings extension seeded, `argmax`
+    * registered, sane scale defaults (AQE on, 32 shuffle partitions for
+    * local[32]; a real cluster would raise spark.sql.shuffle.partitions
+    * to ~2-3x total cores).
+    */
+  def session(master: String = "local[32]"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("lightfusion-spark")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    ensureRegistered(spark)
+    spark
+  }
+
+  /** Idempotently register graft's native functions on any session —
+    * including driver-built vanilla sessions (Verify/Bench). */
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    SparkShims.registerFunction(
+      spark, "argmax",
+      "argmax(array<numeric>) - 0-based index of the maximum element; NaN/null elements ignored; first max wins ties.",
+      { exprs =>
+        require(exprs.length == 1, "argmax takes exactly one argument")
+        ArgMax(exprs.head)
+      })
+    if (!spark.conf.getOption(BatchSizeKey).isDefined)
+      spark.conf.set(BatchSizeKey, BatchSizeDefault.toString)
+  }
+
+  /** Column-API form of `argmax` for DataFrame users. */
+  def argmax(c: Column): Column = SparkShims.column(ArgMax(SparkShims.expression(c)))
+
+  // --- SQL front door -----------------------------------------------------
+
+  private val CreateFunctionRe =
+    ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+([A-Za-z_][A-Za-z_0-9]*)\s*""" +
+      """\(\s*([^)]*?)\s*\)\s*""" +
+      """(?:RETURNS\s+([A-Za-z_0-9]+\s*\[\s*\]|[A-Za-z_0-9]+)\s*)?""" +
+      """LANGUAGE\s+LIGHTGBM\s*""" +
+      """(?:AS\s+(.+?)\s*)?;?\s*$""").r
+
+  private val SetBatchSizeRe =
+    """(?is)^\s*SET\s+lightfusion\.batch_size\s*(?:=\s*(.+?))?\s*;?\s*$""".r
+
+  /** The engine entry point: DDL pre-router over `spark.sql`.
+    * Mirrors what the reference gets from DataFusion's `FunctionFactory`
+    * hook + config extension; everything else falls through to Catalyst.
+    */
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    ensureRegistered(spark)
+    text match {
+      case CreateFunctionRe(name, args, ret, body) =>
+        createFunction(spark, name, Option(args).getOrElse(""), Option(ret), Option(body))
+        spark.emptyDataFrame
+      case SetBatchSizeRe(value) =>
+        if (value == null) {
+          // bare `SET lightfusion.batch_size` echoes the current value
+          settings(spark).select("key", "value").where(col("key") === BatchSizeKey)
+        } else {
+          val v = value.trim.stripPrefix("'").stripSuffix("'")
+          // parity with the reference's SET-time validation
+          // (`src/config.rs:30-43`): non-integer / non-positive rejected.
+          val parsed = try v.toInt catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException("batch size not correct")
+          }
+          if (parsed <= 0) throw new IllegalArgumentException("batch size not correct")
+          spark.conf.set(BatchSizeKey, parsed.toString)
+          spark.emptyDataFrame
+        }
+      case other =>
+        // `information_schema.df_settings` parity (`examples/lightfusion.rs:47-50`):
+        // rewrite to a live temp view over the current session conf.
+        if (other.toLowerCase.contains("information_schema.df_settings")) {
+          settings(spark).createOrReplaceTempView("graft_df_settings")
+          spark.sql(other.replaceAll("(?i)information_schema\\.df_settings", "graft_df_settings"))
+        } else spark.sql(other)
+    }
+  }
+
+  /** The `df_settings` equivalent: lightfusion-namespaced session settings
+    * with descriptions (`src/config.rs:45-52`). */
+  def settings(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val batch = spark.conf.getOption(BatchSizeKey).getOrElse(BatchSizeDefault.toString)
+    Seq((BatchSizeKey, batch, BatchSizeDescription))
+      .toDF("key", "value", "description")
+  }
+
+  /** Validated read of `lightfusion.batch_size` (read-time validation; the
+    * reference validates at SET time, `src/config.rs:33-35` — ours guards
+    * both paths so `spark.conf.set` can't smuggle a bad value). */
+  def batchSize(spark: SparkSession): Int = {
+    val raw = spark.conf.getOption(BatchSizeKey).getOrElse(BatchSizeDefault.toString)
+    val v = try raw.trim.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException("batch size not correct")
+    }
+    if (v <= 0) throw new IllegalArgumentException("batch size not correct")
+    v
+  }
+
+  // --- CREATE FUNCTION … LANGUAGE LIGHTGBM --------------------------------
+
+  /** Registered-model bookkeeping so tests/tools can introspect. */
+  final case class RegisteredModel(
+      name: String,
+      modelFile: String,
+      inputItemType: DataType,
+      batchSize: Int,
+      broadcast: Broadcast[LgbmModel])
+
+  private val registered = scala.collection.concurrent.TrieMap.empty[String, RegisteredModel]
+
+  def registeredModel(name: String): Option[RegisteredModel] = registered.get(name)
+
+  /** ≡ `LightfusionFunctionFactory::create` (`src/lib.rs:23-79`).
+    *
+    * Type handling mirrors the reference's "very optimistic" unwrap
+    * (`src/lib.rs:81-95`): the first argument's array item type is taken
+    * (FLOAT or DOUBLE, default DOUBLE when absent); the return item type
+    * must be DOUBLE (`src/udf.rs:35-39` rejects anything else). The body
+    * must be a string literal (`src/lib.rs:54`), defaulting to
+    * `model/{name}.lgbm` (`src/lib.rs:51-56`).
+    */
+  def createFunction(
+      spark: SparkSession,
+      name: String,
+      argList: String,
+      returns: Option[String],
+      bodyOpt: Option[String]): RegisteredModel = {
+
+    def itemType(decl: String): DataType = {
+      // accept `DOUBLE[]`, `DOUBLE []`, `name DOUBLE[]`, `ARRAY<DOUBLE>`, bare `DOUBLE`
+      val upper = decl.trim.toUpperCase
+      // optional parameter name: strip the first word only if a second
+      // word (the type) follows it
+      val named = "^([A-Z_][A-Z_0-9]*)\\s+([A-Z_].*)$".r
+      val t = (upper match {
+        case named(_, rest) => rest
+        case s => s
+      }).replaceAll("\\s", "")
+      t match {
+        case "" => DoubleType
+        case s if s.startsWith("ARRAY<") =>
+          itemType(s.stripPrefix("ARRAY<").stripSuffix(">"))
+        case s =>
+          s.stripSuffix("[]") match {
+            case "DOUBLE" | "FLOAT64" | "REAL" => DoubleType
+            case "FLOAT" | "FLOAT32"           => FloatType
+            case other =>
+              throw new IllegalArgumentException(
+                s"Unsupported data type $other for lightfusion function input")
+          }
+      }
+    }
+
+    val firstArg = argList.split(",").headOption.getOrElse("")
+    val inputItem = itemType(firstArg)
+    val returnItem = returns.map(itemType).getOrElse(inputItem)
+    // reference rejects non-Float64 return items (`src/udf.rs:35-39`)
+    if (returnItem != DoubleType)
+      throw new IllegalArgumentException(
+        s"Unsupported return type of a function $returnItem")
+
+    val modelFile = bodyOpt match {
+      case Some(b) =>
+        val t = b.trim
+        if (!(t.startsWith("'") && t.endsWith("'") && t.length >= 2))
+          throw new IllegalArgumentException(s"Unsupported expression $t")
+        t.substring(1, t.length - 1)
+      case None => s"model/$name.lgbm"
+    }
+
+    // batch size frozen at function-creation time, like the reference
+    // (`src/lib.rs:57-66`)
+    val bs = batchSize(spark)
+
+    val model =
+      if (modelFile.startsWith("res:")) LgbmModel.parseResource(modelFile.stripPrefix("res:"))
+      else LgbmModel.parseFile(modelFile)
+    val bc = spark.sparkContext.broadcast(model)
+
+    // Null-safety deviation from the reference (SURVEY.md §1): null feature
+    // vector (or null element) → null output, instead of scoring garbage.
+    val fn: Seq[Double] => Seq[Double] = { xs =>
+      if (xs == null) null
+      else bc.value.predict(xs.toArray).toSeq
+    }
+    inputItem match {
+      case FloatType =>
+        spark.udf.register(name, (xs: Seq[Float]) =>
+          if (xs == null) null
+          else bc.value.predict(xs.map(_.toDouble).toArray).toSeq)
+      case _ =>
+        spark.udf.register(name, fn)
+    }
+
+    val rm = RegisteredModel(name, modelFile, inputItem, bs, bc)
+    registered(name) = rm
+    rm
+  }
+
+  /** Batched inference over a typed column of feature vectors — the
+    * `mapPartitions` path that honors `lightfusion.batch_size` the way the
+    * reference re-chunks engine batches into `batch_size`-row tensors
+    * (`src/udf.rs:164-198`). A pure-JVM scorer has no FFI boundary to
+    * amortize, so this is about API parity + giving callers a hook for
+    * batch-friendly post-processing; per-row UDF and this path give
+    * identical results (property-tested).
+    */
+  def predictBatched(
+      df: DataFrame,
+      model: Broadcast[LgbmModel],
+      inputCol: String,
+      outputCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0, "batch size not correct")
+    val spark = df.sparkSession
+    val inIdx = df.schema.fieldIndex(inputCol)
+    val outSchema = df.schema.add(outputCol, ArrayType(DoubleType), nullable = true)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val xs = row.getSeq[Double](inIdx)
+          val out =
+            if (xs == null) null
+            else model.value.predict(xs.toArray).toSeq
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ out)
+        }
+      }
+    }(enc)
+  }
+
+  // --- TSV scan parity ----------------------------------------------------
+
+  /** ≡ `CREATE EXTERNAL TABLE m STORED AS CSV DELIMITER '\t' LOCATION …`
+    * (`examples/lightfusion_tsv.rs:20-22`): header-less TSV with schema
+    * inference, columns renamed from Spark's 0-based `_c0..` to
+    * DataFusion's 1-based `column_1..` so reference queries run verbatim.
+    */
+  def readTsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .option("sep", "\t")
+      .option("header", "false")
+      .option("inferSchema", "true")
+      .csv(path)
+    raw.toDF(raw.columns.indices.map(i => s"column_${i + 1}"): _*)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `argmax(array<numeric>) -> int`: 0-based index of the maximum element.
+  *
+  * Native Catalyst expression with whole-stage codegen — the Spark-first
+  * rebuild of the reference's `ArgMax` scalar UDF
+  * (`/root/reference/src/argmax.rs:14-120`), which slices each row's list
+  * and runs a SIMD argmax kernel (`src/argmax.rs:101-120`). Semantics
+  * mirrored exactly:
+  *
+  *  - first maximal element wins on ties (strict `>` comparison);
+  *  - NaN elements are ignored (the argminmax float path skips NaNs);
+  *  - accepted element types: float, double, int, bigint
+  *    (`src/argmax.rs:28-41`; the reference's extra f16 leg has no Spark
+  *    SQL type and is dropped — documented deviation);
+  *  - returns IntegerType (the reference returns UInt32,
+  *    `src/argmax.rs:58-60`; list lengths are far below 2^31).
+  *
+  * Deviations (documented in SURVEY.md §1): null input array → null (the
+  * reference never consults validity masks, which is UB-adjacent); null
+  * elements are skipped like NaN; an empty / all-NaN array → null (the
+  * reference's kernel would panic on an empty slice).
+  *
+  * Unlike a Scala UDF this expression participates in whole-stage codegen
+  * (no serialization boundary, no row-object allocation), which at 100 TB
+  * keeps inference projections inside one generated loop.
+  */
+case class ArgMax(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"argmax requires array<float|double|int|bigint>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = true
+
+  private def elementType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def eval(input: InternalRow): Any = {
+    val arr = child.eval(input)
+    if (arr == null) return null
+    val data = arr.asInstanceOf[ArrayData]
+    val n = data.numElements()
+    val et = elementType
+    var bestIdx = -1
+    var best = 0.0
+    var bestL = 0L
+    var i = 0
+    et match {
+      case DoubleType =>
+        while (i < n) {
+          if (!data.isNullAt(i)) {
+            val v = data.getDouble(i)
+            if (!java.lang.Double.isNaN(v) && (bestIdx < 0 || v > best)) {
+              best = v; bestIdx = i
+            }
+          }
+          i += 1
+        }
+      case FloatType =>
+        while (i < n) {
+          if (!data.isNullAt(i)) {
+            val v = data.getFloat(i)
+            if (!java.lang.Float.isNaN(v) && (bestIdx < 0 || v.toDouble > best)) {
+              best = v.toDouble; bestIdx = i
+            }
+          }
+          i += 1
+        }
+      case IntegerType =>
+        while (i < n) {
+          if (!data.isNullAt(i)) {
+            val v = data.getInt(i).toLong
+            if (bestIdx < 0 || v > bestL) { bestL = v; bestIdx = i }
+          }
+          i += 1
+        }
+      case LongType =>
+        while (i < n) {
+          if (!data.isNullAt(i)) {
+            val v = data.getLong(i)
+            if (bestIdx < 0 || v > bestL) { bestL = v; bestIdx = i }
+          }
+          i += 1
+        }
+    }
+    if (bestIdx < 0) null else bestIdx
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val et = elementType
+    val jt = CodeGenerator.javaType(et)
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val best = ctx.freshName("best")
+    val v = ctx.freshName("v")
+    val getter = CodeGenerator.getValue(childGen.value, et, i)
+    val nanSkip = et match {
+      case DoubleType => s"if (Double.isNaN($v)) continue;"
+      case FloatType  => s"if (Float.isNaN($v)) continue;"
+      case _          => ""
+    }
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        int ${ev.value} = -1;
+        if (!${childGen.isNull}) {
+          int $n = ${childGen.value}.numElements();
+          $jt $best = ${CodeGenerator.defaultValue(et)};
+          for (int $i = 0; $i < $n; $i++) {
+            if (${childGen.value}.isNullAt($i)) continue;
+            $jt $v = $getter;
+            $nanSkip
+            if (${ev.isNull} || $v > $best) {
+              $best = $v;
+              ${ev.value} = $i;
+              ${ev.isNull} = false;
+            }
+          }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override def prettyName: String = "argmax"
+
+  override protected def withNewChildInternal(newChild: Expression): ArgMax =
+    copy(child = newChild)
+}

@@ -1,0 +1,45 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` Spark internals (hence the package).
+  *
+  * Lets graft register native Catalyst expressions by name on an
+  * already-built session — the Spark analogue of the reference registering
+  * its `argmax` UDF at context-build time
+  * (`/root/reference/src/lib.rs:112`) — and wrap an `Expression` into a
+  * public [[Column]] for the DataFrame API. Everything else in graft goes
+  * through public Spark APIs.
+  */
+object SparkShims {
+
+  /** Wrap a raw Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Unwrap a Column back to its Catalyst expression. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register (or replace) a named expression builder in the session's
+    * function registry so `spark.sql("SELECT argmax(...)")` resolves it.
+    * Idempotent: replaces any previous registration of the same name.
+    */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      usage: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val info = new ExpressionInfo("graft", null, name, usage, "")
+    classic.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name), info, builder)
+  }
+
+  /** Whether `name` resolves in the session's function registry. */
+  def functionExists(spark: SparkSession, name: String): Boolean = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.functionExists(FunctionIdentifier(name))
+  }
+}

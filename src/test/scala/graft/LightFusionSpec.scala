@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.LgbmModel
+
+/** E2E mirror of the reference's single `e2e` test (`src/lib.rs:116-168`)
+  * plus the tsv example (`examples/lightfusion_tsv.rs`), with our own
+  * fixture models and recomputed goldens (the reference's model binary is
+  * missing from its snapshot). */
+class LightFusionSpec extends AnyFunSuite with SparkTestBase {
+
+  private def modelPath(name: String): String =
+    getClass.getResource(s"/models/$name").getPath
+
+  // --- argmax (reference src/argmax.rs semantics) -------------------------
+
+  test("argmax: SQL over double arrays, ties -> first, NaN ignored") {
+    val rows = LightFusion.sql(spark,
+      """SELECT argmax(a) AS i FROM VALUES
+        | (array(1.0D, 3.0D, 2.0D)),
+        | (array(5.0D, 5.0D, 1.0D)),
+        | (array(cast('NaN' as double), 1.0D, 1.0D)),
+        | (array(-3.0D, -1.0D, -2.0D)),
+        | (array(7.0D)),
+        | (cast(null as array<double>)),
+        | (array(cast('NaN' as double)))
+        | AS t(a)""".stripMargin).collect().map(r => if (r.isNullAt(0)) null else r.getInt(0))
+    assert(rows.toSeq == Seq(1, 0, 1, 1, 0, null, null))
+  }
+
+  test("argmax: int/bigint/float arrays and Column API") {
+    assert(LightFusion.sql(spark, "SELECT argmax(array(10, 20, 20)) i").head.getInt(0) == 1)
+    assert(LightFusion.sql(spark, "SELECT argmax(array(10L, 30L, 20L)) i").head.getInt(0) == 1)
+    assert(LightFusion.sql(spark,
+      "SELECT argmax(array(cast(1.5 as float), cast(2.5 as float))) i").head.getInt(0) == 1)
+    import spark.implicits._
+    val df = Seq(Seq(0.1, 0.9, 0.3)).toDF("a")
+      .select(LightFusion.argmax(col("a")).as("i"))
+    assert(df.head.getInt(0) == 1)
+  }
+
+  test("argmax survives codegen and interpreted paths identically") {
+    import spark.implicits._
+    val data = Seq(
+      Seq(1.0, 2.0, 2.0, 0.5), Seq(Double.NaN, -1.0), Seq(0.0), Seq.empty[Double])
+    val df = data.toDF("a").select(LightFusion.argmax(col("a")).as("i"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSeq
+    assert(got == Seq(1, 1, 0, null))
+  }
+
+  // --- CREATE FUNCTION … LANGUAGE LIGHTGBM (reference src/lib.rs e2e) -----
+
+  test("e2e: CREATE FUNCTION DDL registers a scoring UDF; literal-array inference") {
+    LightFusion.sql(spark,
+      s"CREATE FUNCTION f0 (DOUBLE []) RETURNS DOUBLE [] LANGUAGE LIGHTGBM AS '${modelPath("multiclass_28f.lgbm")}'")
+    val model = LgbmModel.parseResource("/models/multiclass_28f.lgbm")
+    val xs = Array.tabulate(28)(i => (i % 7 - 3) * 0.37)
+    val lits = xs.map(v => s"${v}D").mkString(", ")
+    val got = LightFusion.sql(spark, s"SELECT f0(array($lits)) AS inferred")
+      .head.getSeq[Double](0)
+    val want = model.predict(xs).toSeq
+    assert(got == want)
+    assert(math.abs(got.sum - 1.0) < 1e-9, "softmax probabilities sum to 1")
+    // nested composition, reference src/lib.rs:151-153
+    val cls = LightFusion.sql(spark, s"SELECT argmax(f0(array($lits))) AS inferred")
+      .head.getInt(0)
+    assert(cls == want.indexOf(want.max))
+  }
+
+  test("default model path is model/{name}.lgbm and missing file errors") {
+    val e = intercept[Exception](
+      LightFusion.sql(spark, "CREATE FUNCTION nosuch(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM"))
+    assert(e.getMessage == null || e.toString.toLowerCase.contains("model")
+      || e.isInstanceOf[java.nio.file.NoSuchFileException])
+    assert(LightFusion.registeredModel("nosuch").isEmpty)
+  }
+
+  test("non-DOUBLE return item type is rejected like the reference") {
+    val e = intercept[IllegalArgumentException](
+      LightFusion.sql(spark,
+        s"CREATE FUNCTION fbad(DOUBLE[]) RETURNS FLOAT[] LANGUAGE LIGHTGBM AS '${modelPath("multiclass_28f.lgbm")}'"))
+    assert(e.getMessage.contains("Unsupported return type"))
+  }
+
+  test("FLOAT[] input leg registers and scores") {
+    LightFusion.sql(spark,
+      s"CREATE FUNCTION ff32(FLOAT[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '${modelPath("multiclass_28f.lgbm")}'")
+    import spark.implicits._
+    val xs = Array.tabulate(28)(i => i * 0.1f)
+    val got = Seq(xs.toSeq).toDF("v").selectExpr("ff32(v) AS p").head.getSeq[Double](0)
+    val model = LgbmModel.parseResource("/models/multiclass_28f.lgbm")
+    assert(got == model.predict(xs.map(_.toDouble)).toSeq)
+  }
+
+  // --- tsv example (reference examples/lightfusion_tsv.rs) ----------------
+
+  test("tsv pipeline: scan, array(28 cols), f0, argmax — 500 rows") {
+    LightFusion.sql(spark,
+      s"CREATE FUNCTION ftsv(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '${modelPath("multiclass_28f.lgbm")}'")
+    val tsv = LightFusion.readTsv(spark, getClass.getResource("/multiclass.test").getPath)
+    assert(tsv.columns.head == "column_1" && tsv.columns.length == 29)
+    tsv.createOrReplaceTempView("m")
+    val cols = (2 to 29).map(i => s"column_$i").mkString(", ")
+    val out = LightFusion.sql(spark,
+      s"SELECT column_1 AS label, argmax(ftsv(array($cols))) AS inferred FROM m")
+    val rows = out.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 4))
+    // spot-check row 0 against the direct scorer
+    val model = LgbmModel.parseResource("/models/multiclass_28f.lgbm")
+    val first = tsv.head
+    val feats = (1 until 29).map(i => first.getDouble(i)).toArray
+    val want = model.predict(feats)
+    assert(rows.head.getInt(1) == want.indexOf(want.max))
+  }
+
+  // --- config surface (reference src/config.rs) ---------------------------
+
+  test("SET lightfusion.batch_size: set, echo, validation parity") {
+    LightFusion.sql(spark, "SET lightfusion.batch_size = 16")
+    assert(LightFusion.batchSize(spark) == 16)
+    val echo = LightFusion.sql(spark, "SET lightfusion.batch_size").collect()
+    assert(echo.length == 1 && echo.head.getString(1) == "16")
+    val e1 = intercept[IllegalArgumentException](
+      LightFusion.sql(spark, "SET lightfusion.batch_size = wat"))
+    assert(e1.getMessage == "batch size not correct")
+    val e2 = intercept[IllegalArgumentException](
+      LightFusion.sql(spark, "SET lightfusion.batch_size = 0"))
+    assert(e2.getMessage == "batch size not correct")
+    LightFusion.sql(spark, "SET lightfusion.batch_size = 1")
+  }
+
+  test("information_schema.df_settings introspection with LIKE") {
+    val rows = LightFusion.sql(spark,
+      "SELECT * FROM information_schema.df_settings WHERE key LIKE 'lightfusion%'").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "lightfusion.batch_size")
+    assert(rows.head.getString(2).contains("Batch size"))
+  }
+
+  // --- batched inference API ----------------------------------------------
+
+  test("predictBatched matches per-row prediction for batch sizes 1/4/100") {
+    import spark.implicits._
+    val model = LgbmModel.parseResource("/models/multiclass_28f.lgbm")
+    val bc = spark.sparkContext.broadcast(model)
+    val rng = new scala.util.Random(7)
+    val data = Seq.fill(37)(Seq.fill(28)(rng.nextGaussian()))
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "features")
+    val want = data.map(v => model.predict(v.toArray).toSeq)
+    for (bs <- Seq(1, 4, 100)) {
+      val got = LightFusion.predictBatched(df, bc, "features", "pred", bs)
+        .orderBy("id").collect().map(_.getSeq[Double](2)).toSeq
+      assert(got == want, s"batch size $bs")
+    }
+  }
+
+  test("scalar literal argument broadcast (reference B10): literal array scored once per row") {
+    LightFusion.sql(spark,
+      s"CREATE FUNCTION flit(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '${modelPath("multiclass_28f.lgbm")}'")
+    val lits = Array.tabulate(28)(_ => "0.5D").mkString(", ")
+    val out = LightFusion.sql(spark,
+      s"SELECT argmax(flit(array($lits))) AS c FROM range(5)").collect()
+    assert(out.length == 5 && out.map(_.getInt(0)).distinct.length == 1)
+  }
+}

@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for all Spark-backed suites (JVM-wide, so sbt's
+  * forked test JVM pays SparkContext startup once). */
+object SparkTestSessions {
+  lazy val spark: SparkSession = LightFusion.session("local[4]")
+}
+
+trait SparkTestBase {
+  lazy val spark: SparkSession = SparkTestSessions.spark
+  /** sf0.001 testdata dir (t1 smoke scale) for operator specs. */
+  val sfDir = "/root/testdata/sf0.001"
+}
