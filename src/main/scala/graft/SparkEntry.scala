@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator/capability from SURVEY.md §2
+  * or a north-star extension (dedup / similarity / text analysis);
+  * [[oracleSql]] carries the DuckDB-equivalent SQL the driver hash-compares
+  * against at sf0.01.
+  */
 object SparkEntry {
+
+  private def suites: Seq[(String, (SparkSession, String) => DataFrame, String)] =
+    RelationalQueries.all ++ InferenceQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    LightFusion.ensureRegistered(spark)
+    RelationalQueries.q03TopOrders(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    suites.map { case (name, fn, _) =>
+      name -> { (s: SparkSession, dir: String) =>
+        LightFusion.ensureRegistered(s)
+        fn(s, dir)
+      }
+    }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    suites.collect { case (name, _, sql) if sql != null && sql.nonEmpty =>
+      name -> sql
+    }.toMap
 }

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.LightFusion
+
+/** The reference's whole point — LightGBM inference inside SQL
+  * (`/root/reference/src/udf.rs`, `src/argmax.rs`) — run over the driver's
+  * `embeddings` table and oracle-checked against DuckDB.
+  *
+  * The fixture models (`src/main/resources/models/emb_*.lgbm`) use stump
+  * trees with dyadic-rational leaf values, so every score is an exact
+  * binary double: the DuckDB oracle can re-express the forest as CASE
+  * expressions and hash-match bit-for-bit. Feature k (0-based) is
+  * `embedding[k+1]` in DuckDB's 1-based list indexing.
+  */
+object InferenceQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def ensure(s: SparkSession, fn: String, res: String): Unit =
+    if (LightFusion.registeredModel(fn).isEmpty ||
+        !org.apache.spark.sql.graft.SparkShims.functionExists(s, fn))
+      LightFusion.createFunction(s, fn, "DOUBLE[]", Some("DOUBLE[]"), Some(s"'res:$res'"))
+
+  /** Regression forest scored through the CREATE FUNCTION-registered UDF. */
+  def q20LgbmScore(s: SparkSession, dir: String): DataFrame = {
+    ensure(s, "graft_emb_reg", "/models/emb_reg.lgbm")
+    emb(s, dir)
+      .select(col("vec_id"),
+        element_at(call_udf("graft_emb_reg", col("embedding").cast("array<double>")), 1)
+          .as("score"))
+      .orderBy("vec_id")
+  }
+
+  /** emb_reg.lgbm re-expressed: tree0(f0,f1) + tree1(f2) + tree2(f3,f4). */
+  def q20Sql: String =
+    """SELECT vec_id,
+      |  (CASE WHEN embedding[1] <= 0 THEN (CASE WHEN embedding[2] <= 0.05 THEN 0.25 ELSE -0.125 END) ELSE 0.5 END)
+      |  + (CASE WHEN embedding[3] <= -0.02 THEN 0.0625 ELSE -0.0625 END)
+      |  + (CASE WHEN embedding[4] <= 0.1 THEN 0.03125 ELSE (CASE WHEN embedding[5] <= 0 THEN 0.09375 ELSE -0.046875 END) END)
+      |  AS score
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
+  /** Multiclass stumps + argmax — the reference's flagship composition
+    * `argmax(f0(array(...)))` (`src/lib.rs:151-153`). */
+  def q21LgbmClass(s: SparkSession, dir: String): DataFrame = {
+    ensure(s, "graft_emb_multi5", "/models/emb_multi5.lgbm")
+    emb(s, dir)
+      .select(col("vec_id"),
+        LightFusion.argmax(
+          call_udf("graft_emb_multi5", col("embedding").cast("array<double>")))
+          .as("cls"))
+      .orderBy("vec_id")
+  }
+
+  /** Class-k stump reads feature 10+k; softmax is monotone so argmax of the
+    * raw scores equals argmax of the probabilities. First-max-wins tie
+    * order matches our ArgMax (strict > scan). */
+  def q21Sql: String =
+    """SELECT vec_id,
+      |  CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 AND s0 >= s4 THEN 0
+      |       WHEN s1 >= s2 AND s1 >= s3 AND s1 >= s4 THEN 1
+      |       WHEN s2 >= s3 AND s2 >= s4 THEN 2
+      |       WHEN s3 >= s4 THEN 3
+      |       ELSE 4 END AS cls
+      |FROM (SELECT vec_id,
+      |  CASE WHEN embedding[11] <= 0 THEN 0.9 ELSE -0.8 END AS s0,
+      |  CASE WHEN embedding[12] <= 0 THEN 0.77 ELSE -0.69 END AS s1,
+      |  CASE WHEN embedding[13] <= 0 THEN 0.64 ELSE -0.58 END AS s2,
+      |  CASE WHEN embedding[14] <= 0 THEN 0.51 ELSE -0.47 END AS s3,
+      |  CASE WHEN embedding[15] <= 0 THEN 0.38 ELSE -0.36 END AS s4
+      |  FROM embeddings) x
+      |ORDER BY vec_id""".stripMargin
+
+  /** Native-codegen argmax straight over the stored float vectors. */
+  def q22ArgmaxEmbedding(s: SparkSession, dir: String): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    emb(s, dir)
+      .select(col("vec_id"), LightFusion.argmax(col("embedding")).as("idx"))
+      .orderBy("vec_id")
+  }
+
+  def q22Sql: String =
+    """SELECT vec_id, CAST(list_position(embedding, list_max(embedding)) - 1 AS INTEGER) AS idx
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
+  /** Same forest as q20 through the batched mapPartitions path (honors
+    * lightfusion.batch_size like the reference's tensor re-batching,
+    * `src/udf.rs:164-198`) — must hash-match the same oracle as q20. */
+  def q23LgbmBatched(s: SparkSession, dir: String): DataFrame = {
+    ensure(s, "graft_emb_reg", "/models/emb_reg.lgbm")
+    val model = LightFusion.registeredModel("graft_emb_reg").get.broadcast
+    val in = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("features"))
+    LightFusion.predictBatched(in, model, "features", "pred", batchSize = 16)
+      .select(col("vec_id"), element_at(col("pred"), 1).as("score"))
+      .orderBy("vec_id")
+  }
+
+  def q23Sql: String = q20Sql
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q20_lgbm_score", q20LgbmScore _, q20Sql),
+    ("q21_lgbm_class", q21LgbmClass _, q21Sql),
+    ("q22_argmax_embedding", q22ArgmaxEmbedding _, q22Sql),
+    ("q23_lgbm_batched", q23LgbmBatched _, q23Sql))
+}

@@ -1,0 +1,373 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational capability suite over the driver testdata (TPC-H-ish).
+  *
+  * The reference crate exercises only projection/scan/SET from its embedded
+  * DataFusion engine (SURVEY.md §2.B); everything here is the engine
+  * capability bar re-expressed Spark-first, declared with the DataFrame API
+  * so Catalyst owns pushdown, pruning, join selection and AQE.
+  *
+  * Oracle-hash determinism rules (driver compares against DuckDB):
+  *  - every money aggregate goes through DECIMAL(18,2) casts (the data is
+  *    2-dp clean), summed exactly, then cast to DOUBLE — bit-identical
+  *    across engines regardless of accumulation order;
+  *  - no raw SUM/AVG over DOUBLE anywhere;
+  *  - every query ends in a total ORDER BY including a unique key.
+  *
+  * Scale notes (100 TB): dimension joins (region/nation/customer) are
+  * explicitly `broadcast`; fact-fact joins shuffle on their natural keys;
+  * aggregations are partial-agg friendly (no distinct-heavy patterns in hot
+  * paths); filters sit directly on scan columns so parquet pushdown and
+  * column pruning apply (verified via .explain in BenchSpec).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * only reads via the nanos-as-long legacy switch; `tsNanos` keeps the
+    * raw long available for time logic (micros = ts div 1000). */
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  /** DECIMAL(18,2)-exact money column. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def one: Column = lit(1).cast(DecimalType(4, 2))
+  private def discPrice: Column =
+    dec(col("l_extendedprice")) * (one - dec(col("l_discount")).cast(DecimalType(4, 2)))
+  private def charge: Column =
+    discPrice * (one + dec(col("l_tax")).cast(DecimalType(4, 2)))
+
+  /** TPC-H Q1-style pricing summary: scan-heavy partial aggregation. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Star join: revenue per nation via customer path; dims broadcast. */
+  def q02RevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(discPrice).cast("double").as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy("r_name", "n_name")
+  }
+
+  def q02Sql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS line_count
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Top-10 revenue orders: shuffle agg then global top-k (TakeOrderedAndProject). */
+  def q03TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  def q03Sql: String =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Window function: top-3 orders per customer by price. */
+  def q04WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  def q04Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) x
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Anti join: customers with no URGENT order, counted per nation. */
+  def q05CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+    val n = t(s, dir, "nation")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("cust_cnt"), min("c_custkey").as("min_custkey"))
+      .orderBy("n_name")
+  }
+
+  def q05Sql: String =
+    """SELECT n_name, COUNT(*) AS cust_cnt, MIN(c_custkey) AS min_custkey
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** TPC-H Q6-style selective scan: pushdown-friendly single-pass agg. */
+  def q06SelectiveRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(col("l_discount")).cast(DecimalType(4, 2)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
+  def q06Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** ROLLUP hierarchy totals (group keys COALESCEd for engine-neutral output). */
+  def q07Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).cast("double").as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("cnt"), col("qty"))
+      .orderBy("rf", "ls")
+
+  def q07Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  /** Set operations: high-balance ∩ urgent-order customers, minus 5-LOW. */
+  def q08SetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val highBal = c.where(col("c_acctbal") > 9000).select(col("c_custkey").as("custkey"))
+    val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    val lowPri = o.where(col("o_orderpriority") === "5-LOW")
+      .select(col("o_custkey").as("custkey"))
+    highBal.intersect(urgent).except(lowPri).orderBy("custkey")
+  }
+
+  def q08Sql: String =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+      |ORDER BY custkey""".stripMargin
+
+  /** Semi-structured: JSON props extraction + per-type aggregates. */
+  def q09EventsJson(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum("k").as("sum_k"),
+        sum(dec(col("value"))).cast("double").as("sum_value"),
+        countDistinct("user_id").as("users"))
+      .orderBy("event_type")
+
+  def q09Sql: String =
+    """SELECT event_type, COUNT(*) AS cnt,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  COUNT(DISTINCT user_id) AS users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Time-series bucketing: orders per calendar month. */
+  def q10MonthlyOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy("month")
+
+  def q10Sql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  COUNT(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** String predicates + grouping on part attributes. */
+  def q11PartBrands(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .where(col("p_type").startsWith("PROMO") || col("p_type").like("%LARGE%"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("cnt"),
+        min("p_name").as("first_name"),
+        max("p_size").as("max_size"),
+        sum(dec(col("p_retailprice"))).cast("double").as("total_price"))
+      .orderBy("p_brand")
+
+  def q11Sql: String =
+    """SELECT p_brand, COUNT(*) AS cnt, MIN(p_name) AS first_name, MAX(p_size) AS max_size,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM part
+      |WHERE p_type LIKE 'PROMO%' OR p_type LIKE '%LARGE%'
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** Conditional aggregation (CASE WHEN inside agg). */
+  def q12CaseAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_cnt"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_cnt"))
+      .orderBy("o_orderstatus")
+
+  def q12Sql: String =
+    """SELECT o_orderstatus,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_cnt,
+      |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_cnt
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** EXISTS-style semi join: orders having a heavy line, per priority. */
+  def q13ExistsSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val heavy = t(s, dir, "lineitem").where(col("l_quantity") >= 48)
+    o.join(heavy, o("o_orderkey") === heavy("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+  }
+
+  def q13Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS cnt
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Distinct aggregation: distinct parts/suppliers per return flag. */
+  def q14DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_partkey").as("parts"),
+        countDistinct("l_suppkey").as("supps"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  def q14Sql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS parts,
+      |  COUNT(DISTINCT l_suppkey) AS supps, COUNT(*) AS cnt
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Decorrelated scalar subquery: customers above their nation's mean
+    * balance. The per-nation mean is computed as exact-decimal sum / count
+    * (deterministic double), then broadcast back — the idiomatic Spark
+    * decorrelation of a correlated scalar subquery. */
+  def q15AboveNationAvg(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val navg = c.groupBy("c_nationkey")
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("nation_avg"))
+    c.join(broadcast(navg.withColumnRenamed("c_nationkey", "nk")),
+        col("c_nationkey") === col("nk"))
+      .where(col("c_acctbal") > col("nation_avg"))
+      .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("rich_cnt"))
+      .orderBy("n_name")
+  }
+
+  def q15Sql: String =
+    """SELECT n_name, COUNT(*) AS rich_cnt
+      |FROM customer
+      |JOIN (SELECT c_nationkey AS nk,
+      |        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS nation_avg
+      |      FROM customer GROUP BY c_nationkey) a ON c_nationkey = nk
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > nation_avg
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q01_pricing_summary", q01PricingSummary _, q01Sql),
+    ("q02_revenue_by_nation", q02RevenueByNation _, q02Sql),
+    ("q03_top_orders", q03TopOrders _, q03Sql),
+    ("q04_window_rank", q04WindowRank _, q04Sql),
+    ("q05_customers_without_orders", q05CustomersWithoutOrders _, q05Sql),
+    ("q06_selective_revenue", q06SelectiveRevenue _, q06Sql),
+    ("q07_rollup", q07Rollup _, q07Sql),
+    ("q08_setops", q08SetOps _, q08Sql),
+    ("q09_events_json", q09EventsJson _, q09Sql),
+    ("q10_monthly_orders", q10MonthlyOrders _, q10Sql),
+    ("q11_part_brands", q11PartBrands _, q11Sql),
+    ("q12_case_agg", q12CaseAgg _, q12Sql),
+    ("q13_exists_semi_join", q13ExistsSemiJoin _, q13Sql),
+    ("q14_distinct_agg", q14DistinctAgg _, q14Sql),
+    ("q15_above_nation_avg", q15AboveNationAvg _, q15Sql))
+}

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Runs graft.Verify over a testdata dir, then replays every oracleSql in
+DuckDB against views of the same parquet tables and compares results
+exactly (columns sorted by name, rows sorted, cell-exact equality).
+Stricter than the driver's hash compare — if this passes, the hash should.
+
+Usage: python3 tools/check_oracle.py [sfdir] [--skip-verify] [query ...]
+"""
+import json, math, subprocess, sys
+from decimal import Decimal
+from pathlib import Path
+
+import duckdb
+
+SFDIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") \
+    else "/root/testdata/sf0.01"
+OUT = "/tmp/graft_verify"
+SKIP_VERIFY = "--skip-verify" in sys.argv
+ONLY = [a for a in sys.argv[2:] if not a.startswith("-")]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("n", float(v)) if abs(v) < 2**52 else ("i", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return ("n", v)
+    if isinstance(v, Decimal):
+        return ("n", float(v))
+    if isinstance(v, (list, tuple)):
+        return ("l",) + tuple(norm(x) for x in v)
+    return ("s", str(v))
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c.lower() for c in sorted(cols)], out
+
+
+def main():
+    if not SKIP_VERIFY:
+        r = subprocess.run(
+            ["sbt", "-batch", f"runMain graft.Verify {SFDIR} {OUT}"],
+            capture_output=True, text=True, cwd="/root/repo")
+        if r.returncode != 0:
+            print(r.stdout[-4000:], r.stderr[-2000:])
+            sys.exit(1)
+        for line in r.stdout.splitlines():
+            if "[verify]" in line:
+                print(line)
+
+    oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SFDIR}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    n_pass = n_fail = 0
+    names = [n for n in sorted(oracle) if not ONLY or n in ONLY]
+    for name in names:
+        try:
+            res_dir = f"{OUT}/{name}"
+            spark_rel = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+            s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
+            duck_rel = con.sql(oracle[name])
+            d_cols, d_rows = canon(duck_rel.fetchall(), duck_rel.columns)
+        except Exception as e:
+            print(f"FAIL  {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if s_cols != d_cols:
+            print(f"FAIL  {name}: columns spark={s_cols} duck={d_cols}")
+            n_fail += 1
+        elif s_rows != d_rows:
+            msg = f"rows spark={len(s_rows)} duck={len(d_rows)}"
+            for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+                if a != b:
+                    msg += f"; first diff at sorted row {i}:\n  spark={a}\n  duck ={b}"
+                    break
+            print(f"FAIL  {name}: {msg}")
+            n_fail += 1
+        else:
+            print(f"MATCH {name} ({len(s_rows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} match, {n_fail} fail, {len(names)} total")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
