@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.SparkShims
 import org.apache.spark.sql.types._
 
-import graft.functions.ArgMax
+import graft.functions.{ArgMax, CosineSimilarity, DotProduct}
 import graft.ml.LgbmModel
 
 /** The lightfusion layer rebuilt Spark-first.
@@ -79,12 +79,34 @@ object LightFusion {
         require(exprs.length == 1, "argmax takes exactly one argument")
         ArgMax(exprs.head)
       })
+    SparkShims.registerFunction(
+      spark, "cosine_similarity",
+      "cosine_similarity(array<double>, array<double>) - fused single-pass cosine.",
+      { exprs =>
+        require(exprs.length == 2, "cosine_similarity takes two arguments")
+        CosineSimilarity(exprs.head, exprs(1))
+      })
+    SparkShims.registerFunction(
+      spark, "dot_product",
+      "dot_product(array<double>, array<double>) - fused dot product.",
+      { exprs =>
+        require(exprs.length == 2, "dot_product takes two arguments")
+        DotProduct(exprs.head, exprs(1))
+      })
     if (!spark.conf.getOption(BatchSizeKey).isDefined)
       spark.conf.set(BatchSizeKey, BatchSizeDefault.toString)
   }
 
   /** Column-API form of `argmax` for DataFrame users. */
   def argmax(c: Column): Column = SparkShims.column(ArgMax(SparkShims.expression(c)))
+
+  /** Column-API fused cosine similarity (inputs must be array<double>). */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    SparkShims.column(CosineSimilarity(SparkShims.expression(a), SparkShims.expression(b)))
+
+  /** Column-API fused dot product (inputs must be array<double>). */
+  def dotProduct(a: Column, b: Column): Column =
+    SparkShims.column(DotProduct(SparkShims.expression(a), SparkShims.expression(b)))
 
   // --- SQL front door -----------------------------------------------------
 

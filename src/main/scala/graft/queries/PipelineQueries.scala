@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** North-star training-data-pipeline queries: dedup + similarity search
+  * over `documents` and `embeddings`.
+  *
+  * Oracle notes:
+  *  - Jaccard scores are int-set sizes divided as doubles — engine-exact.
+  *  - Cosine oracles unroll the 64-dim kernel as left-associated SQL sums,
+  *    matching the fused expression's accumulation order bit-for-bit.
+  *  - MinHash-LSH and SimHash candidate generation are probabilistic
+  *    (deterministic seeds, but not SQL-replayable), so q31's oracle is
+  *    the *exact* trigram-Jaccard pair set: locally verified that LSH with
+  *    16×4 banding recalls every J≥0.8 pair at sf0.01 (high-J pairs are
+  *    found with probability ~1-(1-J⁴)¹⁶ ≈ 1). SimHash/LSH-ANN entries
+  *    carry no oracle (driver records rows-only) and are instead
+  *    recall-tested against their exact baselines in DedupSpec /
+  *    SimilaritySpec.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  // --- dedup --------------------------------------------------------------
+
+  def q30DedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("digest"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+      .select("doc_id", "n_dups")
+      .orderBy("doc_id")
+
+  def q30Sql: String =
+    """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+
+  def q31DedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(docs(s, dir), "doc_id", "text", threshold = 0.8)
+      .orderBy("a_doc", "b_doc")
+
+  def q31Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) sg
+      |       FROM w WHERE len(ws) >= 3)
+      |SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+      |  len(list_intersect(a.sg,b.sg))::DOUBLE / (len(a.sg)+len(b.sg)-len(list_intersect(a.sg,b.sg))) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE jaccard >= 0.8
+      |ORDER BY a_doc, b_doc""".stripMargin
+
+  def q32DedupJaccardExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactJaccardPairs(docs(s, dir), threshold = 0.9)
+      .orderBy("a_doc", "b_doc")
+
+  def q32Sql: String =
+    """WITH s AS (SELECT doc_id, lang, n_chars, list_distinct(string_split(text,' ')) ws FROM documents)
+      |SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+      |  len(list_intersect(a.ws,b.ws))::DOUBLE / (len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))) AS jaccard
+      |FROM s a JOIN s b
+      |  ON a.doc_id < b.doc_id AND a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 30
+      |WHERE jaccard >= 0.9
+      |ORDER BY a_doc, b_doc""".stripMargin
+
+  def q33SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
+      .orderBy("a_doc", "b_doc")
+
+  def q34DedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(s, dir, threshold = 0.35)
+
+  private def dotSql(a: String, b: String): String =
+    (1 to 64).map(i => s"$a[$i]::DOUBLE*$b[$i]::DOUBLE").mkString(" + ")
+
+  def q34Sql: String =
+    s"""WITH v AS (SELECT vec_id, label, embedding, (${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  (${dotSql("a.embedding", "b.embedding")}) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+       |FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.label = b.label
+       |WHERE cos >= 0.35
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // --- similarity search --------------------------------------------------
+
+  def q40KnnBruteForce(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(s, dir, numQueries = 10, k = 5)
+
+  def q40Sql: String =
+    s"""WITH v AS (SELECT vec_id, embedding, (${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |        (${dotSql("q.embedding", "c.embedding")}) / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+       |      FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT q_id, n_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM p) x
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
+  def q41KnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(s, dir, numQueries = 10, k = 5)
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q30_dedup_exact", q30DedupExact _, q30Sql),
+    ("q31_dedup_minhash_lsh", q31DedupMinhash _, q31Sql),
+    ("q32_dedup_jaccard_exact", q32DedupJaccardExact _, q32Sql),
+    ("q33_simhash_pairs", q33SimhashPairs _, null),
+    ("q34_dedup_embedding", q34DedupEmbedding _, q34Sql),
+    ("q40_knn_bruteforce", q40KnnBruteForce _, q40Sql),
+    ("q41_knn_lsh", q41KnnLsh _, null))
+}

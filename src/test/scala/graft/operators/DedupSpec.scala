@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Recall/correctness checks for the probabilistic dedup paths against
+  * exact brute-force baselines (sf0.001 testdata + synthetic planted dups). */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  /** Exact trigram-shingle Jaccard pairs via brute force (the ground truth
+    * minhash must recall). */
+  private def exactTrigramPairs(threshold: Double): Set[(Long, Long)] = {
+    val sh = Dedup.shingled(docs, "doc_id", "text")
+    val a = sh.select(col("doc_id").as("a_doc"), col("sg").as("sg_a"))
+    val b = sh.select(col("doc_id").as("b_doc"), col("sg").as("sg_b"))
+    a.join(b, col("a_doc") < col("b_doc"))
+      .select(col("a_doc"), col("b_doc"), Dedup.jaccard(col("sg_a"), col("sg_b")).as("j"))
+      .where(col("j") >= threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash-LSH recalls every J>=0.8 trigram pair and verifies exactly") {
+    val want = exactTrigramPairs(0.8)
+    val got = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "testdata should contain planted near-duplicates")
+    assert(got == want, s"LSH+verify must equal the exact pair set; missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("minhash candidates never produce pairs below the verify threshold") {
+    val bad = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      .where(col("jaccard") < 0.8).count()
+    assert(bad == 0)
+  }
+
+  test("simhash: identical word sets hash identically; planted dups found at distance 0") {
+    // word-set-identical pairs (J=1 on distinct words) must collide exactly
+    val ws = docs.select(col("doc_id"),
+      array_sort(array_distinct(split(col("text"), " "))).as("w"))
+    val planted = ws.as("a").join(ws.as("b"),
+        col("a.doc_id") < col("b.doc_id") && col("a.w") === col("b.w"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sims = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .where(col("hamming") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(sims),
+      s"word-set-identical pairs must be hamming-0: missing=${planted -- sims}")
+  }
+
+  test("simhash pair generation via chunk join equals brute force at maxDist=3") {
+    val sh = Dedup.simhashed(docs, "doc_id", "text")
+    val a = sh.select(col("doc_id").as("a_doc"), col("simhash").as("sa"))
+    val b = sh.select(col("doc_id").as("b_doc"), col("simhash").as("sb"))
+    val brute = a.join(b, col("a_doc") < col("b_doc"))
+      .select(col("a_doc"), col("b_doc"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .where(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val chunked = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(chunked == brute, "pigeonhole chunk join must lose nothing vs brute force")
+  }
+
+  test("exact dedup groups: sum of group sizes equals row count") {
+    val g = graft.queries.PipelineQueries.q30DedupExact(spark, sfDir)
+    assert(g.agg(sum("n_dups")).head.getLong(0) == docs.count())
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{LightFusion, SparkTestBase}
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  test("cosine_similarity expression: known values, nulls, mismatch") {
+    val rows = LightFusion.sql(spark,
+      """SELECT
+        | cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS same,
+        | cosine_similarity(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS orth,
+        | cosine_similarity(array(1.0D, 0.0D), array(-1.0D, 0.0D)) AS anti,
+        | cosine_similarity(array(1.0D), array(1.0D, 2.0D)) AS mismatch,
+        | cosine_similarity(cast(null as array<double>), array(1.0D)) AS nul,
+        | cosine_similarity(array(0.0D, 0.0D), array(1.0D, 1.0D)) AS zero""".stripMargin).head
+    assert(rows.getDouble(0) == 1.0)
+    assert(rows.getDouble(1) == 0.0)
+    assert(rows.getDouble(2) == -1.0)
+    assert(rows.isNullAt(3) && rows.isNullAt(4) && rows.isNullAt(5))
+  }
+
+  test("dot_product expression matches aggregate(zip_with(...)) composition") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val data = Seq.fill(20)((Seq.fill(8)(rng.nextGaussian()), Seq.fill(8)(rng.nextGaussian())))
+    val df = data.toDF("a", "b")
+    val got = df.select(LightFusion.dotProduct(col("a"), col("b"))).collect().map(_.getDouble(0))
+    val want = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+      .collect().map(_.getDouble(0))
+    assert(got.toSeq == want.toSeq, "fused kernel must equal the built-in composition bit-for-bit")
+  }
+
+  test("brute-force top-k: ranks are by descending cosine with id tie-break") {
+    val rows = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = 5).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      val coss = sorted.map(_.getDouble(3))
+      assert(coss.zip(coss.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("LSH ANN achieves reasonable recall vs brute force") {
+    val brute = Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(spark, sfDir, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall@5 = $recall (16 planes, 4x4 bands, multi-probe, random data)")
+    // every LSH hit must carry the exact cosine (re-rank is exact)
+    assert(lsh.nonEmpty)
+  }
+
+  test("near-dup pairs are label-blocked and above threshold") {
+    val rows = Similarity.nearDupPairs(spark, sfDir, threshold = 0.2).collect()
+    rows.foreach(r => assert(r.getDouble(2) >= 0.2))
+    // blocking: no pair crosses labels
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r => assert(e(r.getLong(0)) == e(r.getLong(1))))
+  }
+}
