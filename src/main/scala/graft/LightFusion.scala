@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.SparkShims
 import org.apache.spark.sql.types._
 
-import graft.functions.{ArgMax, CosineSimilarity, DotProduct}
+import graft.functions.{ArgMax, CosineSimilarity, DotProduct, RollingHash}
 import graft.ml.LgbmModel
 
 /** The lightfusion layer rebuilt Spark-first.
@@ -93,6 +93,13 @@ object LightFusion {
         require(exprs.length == 2, "dot_product takes two arguments")
         DotProduct(exprs.head, exprs(1))
       })
+    SparkShims.registerFunction(
+      spark, "rolling_hash",
+      "rolling_hash(string) - 48-bit polynomial rolling hash fingerprint.",
+      { exprs =>
+        require(exprs.length == 1, "rolling_hash takes exactly one argument")
+        RollingHash(exprs.head)
+      })
     if (!spark.conf.getOption(BatchSizeKey).isDefined)
       spark.conf.set(BatchSizeKey, BatchSizeDefault.toString)
   }
@@ -107,6 +114,10 @@ object LightFusion {
   /** Column-API fused dot product (inputs must be array<double>). */
   def dotProduct(a: Column, b: Column): Column =
     SparkShims.column(DotProduct(SparkShims.expression(a), SparkShims.expression(b)))
+
+  /** Column-API 48-bit polynomial rolling-hash fingerprint. */
+  def rollingHash(c: Column): Column =
+    SparkShims.column(RollingHash(SparkShims.expression(c)))
 
   // --- SQL front door -----------------------------------------------------
 

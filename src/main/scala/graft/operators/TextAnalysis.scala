@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: language ID, quality
+  * scoring, token counting, fingerprinting — all composed from native
+  * (codegen'd) Spark functions so a 100 TB corpus scan stays in one
+  * whole-stage-codegen pass with no shuffles and no UDF boundary.
+  *
+  * Every score is derived from integer counts divided as doubles (or
+  * fixed-weight sums written in a fixed association order), so the DuckDB
+  * oracle reproduces results bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Stopword lists per candidate language (tiny n-gram-free heuristic:
+    * score = occurrences of the language's stopwords; see [[langScores]]).
+    * Deterministic tie-break order is the Seq order: en first (all-zero
+    * rows fall through to en). */
+  val langs: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "es" -> Seq("el", "los", "y", "es", "un", "una", "en", "para", "que", "como"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "ce", "pas", "sur"),
+    "zh" -> Seq("de0", "shi", "le0", "zai", "wo", "you", "he", "jiu", "bu", "ren"))
+
+  def words(c: Column): Column = split(c, " ")
+
+  /** Occurrence count of `stop` words in the word array (not distinct). */
+  def stopCount(ws: Column, stop: Seq[String]): Column = {
+    val stopArr = array(stop.map(lit): _*)
+    size(filter(ws, w => array_contains(stopArr, w)))
+  }
+
+  /** One integer score column per language. */
+  def langScores(ws: Column): Seq[(String, Column)] =
+    langs.map { case (l, stop) => l -> stopCount(ws, stop) }
+
+  /** First-max-wins language pick over the score columns (names must match
+    * `s_<lang>` in the input). */
+  def pickLang(scores: Seq[(String, Column)]): Column = {
+    val cols = scores.map(_._2)
+    scores.zipWithIndex.foldRight(lit(scores.last._1): Column) {
+      case (((l, c), i), rest) =>
+        val laterAllLe = cols.drop(i + 1).foldLeft(lit(true))((acc, o) => acc && c >= o)
+        when(laterAllLe, lit(l)).otherwise(rest)
+    }
+  }
+
+  /** Per-document text statistics + composite quality score.
+    *
+    * quality = 0.4·distinct_ratio + 0.3·min(n_words/100, 1) +
+    *           0.2·stop_ratio + 0.1·(1 − punct_ratio), all ratios exact
+    * int/int doubles, weights applied in fixed order.
+    */
+  def textStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val nWords = size(ws)
+    val nDistinct = size(array_distinct(ws))
+    val punct = regexp_count(col(textCol), lit("[^A-Za-z0-9 ]"))
+    val digits = regexp_count(col(textCol), lit("[0-9]"))
+    val stops = stopCount(ws, langs.head._2)
+    val wordLenSum = aggregate(transform(ws, w => length(w)), lit(0), (acc, x) => acc + x)
+    val distinctRatio = nDistinct.cast("double") / nWords
+    val stopRatio = stops.cast("double") / nWords
+    val punctRatio = punct.cast("double") / length(col(textCol))
+    docs.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars_actual"),
+      nWords.as("n_words"),
+      nDistinct.as("n_distinct_words"),
+      punct.as("punct_cnt"),
+      digits.as("digit_cnt"),
+      stops.as("stop_cnt"),
+      (wordLenSum.cast("double") / nWords).as("avg_word_len"),
+      (lit(0.4) * distinctRatio
+        + lit(0.3) * least(nWords.cast("double") / 100, lit(1.0))
+        + lit(0.2) * stopRatio
+        + lit(0.1) * (lit(1.0) - punctRatio)).as("quality"))
+  }
+
+  /** Language identification: per-language stopword scores + first-max pick. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val scores = langScores(ws)
+    docs.select(
+      col(idCol) +: pickLang(scores).as("pred_lang") +:
+        scores.map { case (l, c) => c.as(s"s_$l") }: _*)
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens, chars. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(words(col(textCol))).as("ws_tokens"),
+      regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("re_tokens"),
+      length(col(textCol)).as("chars"))
+}

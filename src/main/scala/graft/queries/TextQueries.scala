@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.LightFusion
+import graft.operators.TextAnalysis
+
+/** Text-analysis queries over `documents`, each with a DuckDB oracle that
+  * replays the identical integer-count arithmetic. */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  def q50TextStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textStats(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  private val stopsEn = TextAnalysis.langs.head._2.map(w => s"'$w'").mkString(", ")
+
+  def q50Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+       |SELECT doc_id,
+       |  len(text) AS n_chars_actual,
+       |  len(ws) AS n_words,
+       |  len(list_distinct(ws)) AS n_distinct_words,
+       |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS punct_cnt,
+       |  len(regexp_extract_all(text, '[0-9]')) AS digit_cnt,
+       |  len(list_filter(ws, w -> list_contains([$stopsEn], w))) AS stop_cnt,
+       |  CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) AS avg_word_len,
+       |  0.4 * (len(list_distinct(ws))::DOUBLE / len(ws))
+       |    + 0.3 * least(len(ws)::DOUBLE / 100, 1.0)
+       |    + 0.2 * (len(list_filter(ws, w -> list_contains([$stopsEn], w)))::DOUBLE / len(ws))
+       |    + 0.1 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE / len(text))
+       |    AS quality
+       |FROM base
+       |ORDER BY doc_id""".stripMargin
+
+  def q51LangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  def q51Sql: String = {
+    val scoreDefs = TextAnalysis.langs.map { case (l, stop) =>
+      val arr = stop.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(ws, w -> list_contains([$arr], w))) AS s_$l"
+    }.mkString(",\n  ")
+    val names = TextAnalysis.langs.map(_._1)
+    val cases = names.zipWithIndex.dropRight(1).map { case (l, i) =>
+      val conds = names.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |  $scoreDefs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) b)
+       |SELECT doc_id,
+       |  CASE $cases
+       |    ELSE '${names.last}' END AS pred_lang,
+       |  ${names.map(l => s"s_$l").mkString(", ")}
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def q52Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    docs(s, dir)
+      .select(col("doc_id"), LightFusion.rollingHash(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replays the identical fold: (acc·31 + ascii(c)) mod 2⁴⁸. */
+  def q52Sql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split(text, '')]),
+      |    (acc, c) -> (acc * 31 + c) % 281474976710656) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  def q53TokenCounts(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  def q53Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens,
+      |  len(text) AS chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus curation rollup: per-source counts and integer-exact ratios. */
+  def q54SourceStats(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    docs(s, dir)
+      .select(col("source"), col("lang"), size(ws).as("nw"),
+        TextAnalysis.stopCount(ws, TextAnalysis.langs.head._2).as("stops"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        sum("nw").as("total_words"),
+        sum("stops").as("total_stops"),
+        (sum("stops").cast("double") / sum("nw")).as("stop_ratio"))
+      .orderBy("source")
+  }
+
+  def q54Sql: String =
+    s"""SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+       |  SUM(len(string_split(text,' '))) AS total_words,
+       |  SUM(len(list_filter(string_split(text,' '), w -> list_contains([$stopsEn], w)))) AS total_stops,
+       |  SUM(len(list_filter(string_split(text,' '), w -> list_contains([$stopsEn], w))))::DOUBLE
+       |    / SUM(len(string_split(text,' '))) AS stop_ratio
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q50_text_stats", q50TextStats _, q50Sql),
+    ("q51_lang_id", q51LangId _, q51Sql),
+    ("q52_fingerprint", q52Fingerprint _, q52Sql),
+    ("q53_token_counts", q53TokenCounts _, q53Sql),
+    ("q54_source_stats", q54SourceStats _, q54Sql))
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{LightFusion, SparkTestBase}
+
+class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
+
+  import scala.jdk.CollectionConverters._
+
+  private def oneDoc(text: String) = {
+    val rows = Seq(org.apache.spark.sql.Row(1L, text)).asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(rows, schema)
+  }
+
+  test("rolling_hash: known fold values, codegen == interpreted") {
+    // h("hi") = (0*31+104)*31+105 = 3329
+    val r = LightFusion.sql(spark, "SELECT rolling_hash('hi') AS h, rolling_hash('') AS e").head
+    assert(r.getLong(0) == 3329L && r.getLong(1) == 0L)
+    // stays within 48 bits on long input
+    val big = LightFusion.sql(spark,
+      s"SELECT rolling_hash('${"abcdefghij" * 50}') AS h").head.getLong(0)
+    assert(big >= 0L && big <= graft.functions.RollingHash.Mask)
+    // reference fold in plain Scala
+    def ref(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c) & graft.functions.RollingHash.Mask)
+    val s = "the quick brown fox 123!"
+    assert(LightFusion.sql(spark, s"SELECT rolling_hash('$s') AS h").head.getLong(0) == ref(s))
+  }
+
+  test("langId: stopword-rich text classified; all-zero ties fall to en") {
+    val de = TextAnalysis.langId(oneDoc("der hund und die katze ist nicht da"), "doc_id", "text")
+      .head.getString(1)
+    assert(de == "de")
+    val none = TextAnalysis.langId(oneDoc("xyzzy plugh"), "doc_id", "text").head.getString(1)
+    assert(none == "en")
+    val en = TextAnalysis.langId(oneDoc("the cat sat on the mat for a while"), "doc_id", "text")
+      .head.getString(1)
+    assert(en == "en")
+  }
+
+  test("textStats: hand-computed counts and quality in [0,1]") {
+    val df = TextAnalysis.textStats(oneDoc("the cat the dog 42!"), "doc_id", "text")
+    val r = df.head
+    assert(r.getAs[Int]("n_words") == 5)
+    assert(r.getAs[Int]("n_distinct_words") == 4)
+    assert(r.getAs[Int]("punct_cnt") == 1)
+    assert(r.getAs[Int]("digit_cnt") == 2)
+    assert(r.getAs[Int]("stop_cnt") == 2)
+    val q = r.getAs[Double]("quality")
+    assert(q >= 0.0 && q <= 1.0)
+  }
+
+  test("tokenCounts: regex tokens split words, numbers, punctuation") {
+    val r = TextAnalysis.tokenCounts(oneDoc("ab 12 cd!"), "doc_id", "text").head
+    assert(r.getAs[Int]("ws_tokens") == 3)
+    assert(r.getAs[Int]("re_tokens") == 4) // ab, 12, cd, !
+    assert(r.getAs[Int]("chars") == 9)
+  }
+
+  test("corpus scan stays shuffle-free (no exchange in the plan)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = TextAnalysis.textStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"text stats must be a pure map scan:\n$plan")
+  }
+}
