@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for a training-data
+  * pipeline: media rides as an opaque `binary` column next to a typed
+  * metadata struct, and per-batch decode/feature-extract runs in
+  * `mapPartitions` with explicit batch grouping (the Scala analogue of a
+  * vectorized pandas-UDF stage: one buffer of rows per call, not one call
+  * per row).
+  *
+  * The container ships no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic fake (`fakeDecode`): it derives pixel
+  * stats from a rolling hash of the payload bytes. Everything around it —
+  * schema, binary handling, batch shape, partitioning, metadata typing —
+  * is real and tested; swapping `fakeDecode` for a JNI/codec call is a
+  * one-function change.
+  *
+  * Scale notes: media payloads make rows wide, so the module never
+  * shuffles payload bytes — metadata-only projections go first
+  * (`mediaMeta`), feature extraction is a pure map stage, and anything
+  * aggregating drops the payload column before the exchange.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside the payload. */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true)))
+
+  /** Wrap a text corpus as a media table: payload = utf-8 bytes, metadata
+    * derived deterministically from doc fields. Stands in for a real
+    * image/audio ingest (driver testdata has no binary table). */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        (col("n_chars") % 640 + 16).cast("int").as("width"),
+        (col("n_chars") % 480 + 16).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (col("n_chars") % 300 + 1).cast("int").as("n_frames")).as("meta"))
+
+  /** Metadata/magic-byte projection — payload touched only for its prefix
+    * and length, no decode, no shuffle. */
+  def mediaMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("meta.media_type").as("media_type"),
+      octet_length(col("payload")).as("n_bytes"),
+      hex(substring(col("payload"), 1, 4)).as("magic"),
+      md5(col("payload")).as("digest"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"))
+
+  /** DETERMINISTIC FAKE of the codec step (no image/audio libs in this
+    * container): derives a stable pseudo pixel-mean / entropy proxy from a
+    * polynomial hash of the payload. Replace with a real decoder at the
+    * marked line to productionize. */
+  private[operators] def fakeDecode(payload: Array[Byte]): (Double, Double) = {
+    var h = 0L
+    var i = 0
+    while (i < payload.length) {
+      h = (h * 31 + (payload(i) & 0xff)) & ((1L << 48) - 1)
+      i += 1
+    }
+    // ??? real codec call goes here (e.g. ImageIO / ffmpeg JNI) ???
+    val mean = (h % 256).toDouble
+    val entropy = ((h >>> 8) % 1000).toDouble / 1000.0
+    (mean, entropy)
+  }
+
+  val FeatureDim = 16
+
+  /** Batched decode + feature extraction: groups each partition's rows
+    * into `batchSize` buffers (the real plumbing a vectorized decoder
+    * needs — codecs amortize setup per buffer), emits a fixed-dim float
+    * feature vector plus decode stats per row. */
+  def decodeFeatures(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    require(batchSize > 0, "batch size not correct")
+    val inSchema = media.schema
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val idIdx = inSchema.fieldIndex("media_id")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("pixel_mean", DoubleType),
+      StructField("entropy", DoubleType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "decoder invocation" per buffer of rows
+        batch.map { row =>
+          val payload = row.getAs[Array[Byte]](payloadIdx)
+          val (mean, entropy) = fakeDecode(payload)
+          val feats = new Array[Float](FeatureDim)
+          var h = java.lang.Double.doubleToLongBits(mean) ^ payload.length.toLong
+          var j = 0
+          while (j < FeatureDim) {
+            h = h * 6364136223846793005L + 1442695040888963407L
+            feats(j) = ((h >>> 40).toInt % 1000) / 1000.0f
+            j += 1
+          }
+          Row(row.getLong(idIdx), mean, entropy, feats.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for "video" rows: every `stride`-th frame index from
+    * the metadata frame count — pure arithmetic on metadata, the payload
+    * column is never touched (and so never shuffled). */
+  def sampleFrames(media: DataFrame, stride: Int = 10): DataFrame =
+    media
+      .where(col("meta.media_type") === "video")
+      .select(
+        col("media_id"),
+        col("meta.n_frames").as("n_frames"),
+        sequence(lit(0), col("meta.n_frames") - 1, lit(stride)).as("frame_ids"))
+      .withColumn("n_sampled", size(col("frame_ids")))
+}

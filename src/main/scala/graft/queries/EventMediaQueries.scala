@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.streaming.EventStreams
+
+/** Batch entries for the streaming transforms (same code path as
+  * `readStream`, per EventStreams) and the multimodal column plumbing. */
+object EventMediaQueries {
+
+  /** events with `ts` as a proper timestamp (micros, truncated from the
+    * table's nanos — DuckDB CAST(ts AS TIMESTAMP) truncates identically). */
+  private def eventsTs(s: SparkSession, dir: String): DataFrame =
+    RelationalQueries.events(s, dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  def q60EventWindows(s: SparkSession, dir: String): DataFrame =
+    EventStreams.windowedAgg(eventsTs(s, dir))
+      .orderBy("window_start", "event_type")
+
+  def q60Sql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  def q61Sessionize(s: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionize(eventsTs(s, dir))
+      .orderBy("user_id", "session_start")
+
+  /** Gaps-and-islands replay of native session_window semantics: a new
+    * session starts when the inactivity gap is >= 30 minutes. */
+  def q61Sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |x AS (SELECT user_id, ts,
+      |        CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |             WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+      |             ELSE 0 END AS brk
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |y AS (SELECT user_id, ts,
+      |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM x)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM y GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.asMediaTable(s.read.parquet(s"$dir/documents.parquet"))
+
+  def q62MediaMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaMeta(media(s, dir))
+      .withColumn("magic", upper(col("magic")))
+      .orderBy("media_id")
+
+  def q62Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  upper(hex(encode(left(text, 4)))) AS magic,
+      |  md5(text) AS digest,
+      |  n_chars % 640 + 16 AS width,
+      |  n_chars % 480 + 16 AS height
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  def q63MediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(media(s, dir), batchSize = 32)
+      .orderBy("media_id")
+
+  def q64FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(media(s, dir), stride = 10)
+      .orderBy("media_id")
+
+  def q64Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(n_chars % 300 + 1 AS INTEGER) AS n_frames,
+      |  range(0, CAST(n_chars % 300 + 1 AS INTEGER), 10) AS frame_ids,
+      |  len(range(0, CAST(n_chars % 300 + 1 AS INTEGER), 10)) AS n_sampled
+      |FROM documents
+      |WHERE doc_id % 3 = 2
+      |ORDER BY media_id""".stripMargin
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q60_event_windows", q60EventWindows _, q60Sql),
+    ("q61_sessionize", q61Sessionize _, q61Sql),
+    ("q62_media_meta", q62MediaMeta _, q62Sql),
+    ("q63_media_features", q63MediaFeatures _, null),
+    ("q64_frame_sample", q64FrameSample _, q64Sql))
+}

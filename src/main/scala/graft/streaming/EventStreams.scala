@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming event processing, written so the same transforms
+  * serve batch DataFrames (driver testdata `events` table) and streaming
+  * DataFrames (`readStream`) — the Spark-idiomatic way to keep one code
+  * path for backfill and live data.
+  *
+  * The reference has no streaming surface (SURVEY.md §2.C); this module is
+  * part of the north-star extension set. Scale notes: both aggregations
+  * are keyed (event_type / user_id), so state is partitioned across
+  * executors by the shuffle; watermarks bound state size; session windows
+  * use the native `session_window` operator (merged in the state store,
+  * no per-group driver logic).
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windows per event type. For streams pass a watermark
+    * delay (bounds state); batch callers pass None. Sums are
+    * DECIMAL(18,2)-exact, cast to double (oracle-stable). */
+  def windowedAgg(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(d => events.withWatermark("ts", d))
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("cnt"),
+        col("sum_value"))
+  }
+
+  /** Session windows (30-minute inactivity gap) per user via the native
+    * `session_window` operator. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(d => events.withWatermark("ts", d))
+    src.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("first_ts").as("session_start"),
+        col("last_ts").as("session_end"), col("n_events"))
+  }
+
+  // --- custom state: running per-user counters via mapGroupsWithState ----
+
+  case class UserEvent(user_id: Long, ts_ms: Long, value: Double)
+  case class UserTotals(user_id: Long, n_events: Long, total: Double, last_ts_ms: Long)
+
+  /** Arbitrary-stateful path (`mapGroupsWithState`): running per-user
+    * totals with processing-time semantics — the pattern for state the
+    * built-in windows can't express. Update-mode output. */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0, 0L))
+          var n = prev.n_events
+          var total = prev.total
+          var last = prev.last_ts_ms
+          evs.foreach { e =>
+            n += 1
+            total += e.value
+            if (e.ts_ms > last) last = e.ts_ms
+          }
+          val next = UserTotals(user, n, total, last)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val media =
+    Multimodal.asMediaTable(spark.read.parquet(s"$sfDir/documents.parquet")).cache()
+
+  test("media table: payload bytes round-trip the source text") {
+    val row = media.select(col("media_id"), col("payload")).orderBy("media_id").head
+    val text = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") === row.getLong(0)).head.getAs[String]("text")
+    assert(new String(row.getAs[Array[Byte]](1), "UTF-8") == text)
+  }
+
+  test("decodeFeatures: deterministic, fixed-dim, batch-size invariant") {
+    val a = Multimodal.decodeFeatures(media, batchSize = 1)
+      .orderBy("media_id").collect()
+    val b = Multimodal.decodeFeatures(media, batchSize = 100)
+      .orderBy("media_id").collect()
+    assert(a.length == media.count())
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "decode must not depend on batch grouping")
+    a.foreach { r =>
+      assert(r.getSeq[Float](3).length == Multimodal.FeatureDim)
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) < 256.0)
+    }
+  }
+
+  test("sampleFrames touches only video rows and strides frame ids") {
+    val rows = Multimodal.sampleFrames(media, stride = 10).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ids = r.getSeq[Int](2)
+      assert(ids.head == 0)
+      assert(ids.zip(ids.tail).forall { case (a, b) => b - a == 10 })
+      assert(r.getInt(3) == ids.length)
+    }
+  }
+
+  test("metadata projection never decodes: plan reads payload only for prefix/length") {
+    val plan = Multimodal.mediaMeta(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("mapPartitions"), "mediaMeta must be pure projection")
+  }
+}

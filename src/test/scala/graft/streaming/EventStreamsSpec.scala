@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Drives the EventStreams transforms through actual Structured Streaming
+  * (MemoryStream source → memory sink) and checks stream results equal
+  * batch semantics on the same data. */
+class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(minutes: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(1700000000000L + minutes * 60000L)
+
+  test("windowed agg over a stream with watermark matches batch on same data") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(20), "view", 3.0),
+      (ts(70), "click", 4.0), (ts(80), "view", 5.0))
+
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedAgg(sdf, watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .select("window_start", "event_type", "cnt", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStreams.windowedAgg(rows.toDF("ts", "event_type", "value"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.size == 4) // 2 windows x 2 types minus missing combos
+    } finally q.stop()
+  }
+
+  test("session windows over a stream: 30-min gap splits sessions") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (ts(0), 1L), (ts(10), 1L), (ts(25), 1L),   // session 1 (gaps < 30m)
+      (ts(60), 1L),                              // session 2 (35m gap)
+      (ts(0), 2L))                               // user 2, one session
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val sdf = input.toDF().toDF("ts", "user_id")
+    val q = EventStreams.sessionize(sdf, watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out")
+        .orderBy("user_id", "session_start").collect()
+      assert(sessions.length == 3)
+      val u1 = sessions.filter(_.getLong(0) == 1L)
+      assert(u1.map(_.getLong(3)).toSeq == Seq(3L, 1L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals accumulate across batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.runningTotals(input.toDS())
+      .writeStream.format("memory").queryName("totals_out")
+      .outputMode("update").start()
+    try {
+      input.addData(EventStreams.UserEvent(1L, 1000L, 2.5),
+        EventStreams.UserEvent(1L, 2000L, 1.5))
+      q.processAllAvailable()
+      input.addData(EventStreams.UserEvent(1L, 3000L, 1.0))
+      q.processAllAvailable()
+      val last = spark.table("totals_out")
+        .orderBy(desc("n_events")).head
+      assert(last.getLong(1) == 3L)
+      assert(last.getDouble(2) == 5.0)
+      assert(last.getLong(3) == 3000L)
+    } finally q.stop()
+  }
+}
