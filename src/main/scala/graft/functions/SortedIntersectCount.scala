@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `sorted_intersect_count(array<string>, array<string>) -> int`:
+  * cardinality of the intersection of two ASC-SORTED, DISTINCT string
+  * arrays, via a linear merge — O(n+m) with zero allocation.
+  *
+  * This is the hot kernel of exact-Jaccard dedup verification: the
+  * built-in `size(array_intersect(a, b))` builds a hash set and
+  * materializes the intersection array per pair; over an O(candidates)
+  * pair stream at 100 TB that allocation dominates. Callers pre-sort each
+  * document's word/shingle set ONCE (`array_sort(array_distinct(...))`),
+  * then every pairwise probe is a pure merge scan. Sortedness is the
+  * caller's contract (not re-checked — checking would cost the merge
+  * itself); results equal `size(array_intersect(...))` on distinct
+  * inputs, which DedupSpec asserts.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_count requires (array<string>, array<string>), got $other")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val m = ys.numElements()
+    var i = 0; var j = 0; var cnt = 0
+    while (i < n && j < m) {
+      val c = xs.getUTF8String(i).compareTo(ys.getUTF8String(j))
+      if (c == 0) { cnt += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val c = ctx.freshName("c")
+      s"""
+        int $n = $a.numElements();
+        int $m = $b.numElements();
+        int $i = 0, $j = 0, $cnt = 0;
+        while ($i < $n && $j < $m) {
+          int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+          if ($c == 0) { $cnt++; $i++; $j++; }
+          else if ($c < 0) { $i++; } else { $j++; }
+        }
+        ${ev.value} = $cnt;
+      """
+    })
+
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}

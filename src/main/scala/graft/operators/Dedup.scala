@@ -62,6 +62,17 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
+  /** Jaccard over ASC-sorted distinct arrays via the O(n+m) merge kernel
+    * ([[graft.functions.SortedIntersectCount]]) — same value as [[jaccard]],
+    * no per-pair hash set / array allocation. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.graft.SparkShims.expression(a),
+        org.apache.spark.sql.graft.SparkShims.expression(b)))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
   /** MinHash the 64-bit element hashes, then fold each 4-row band into one
     * long band key. Input: array of xxhash64 values; output: 16 band keys.
     * Pure arithmetic over primitives — the one place a UDF is warranted. */
@@ -100,12 +111,13 @@ object Dedup {
     }
   }
 
-  /** doc_id + distinct trigram shingles for every doc with ≥3 words. */
+  /** doc_id + distinct trigram shingles (ASC-sorted for the merge kernel)
+    * for every doc with ≥3 words. */
   def shingled(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = words(col(textCol))
     docs.select(col(idCol), w.as("ws"))
       .where(size(col("ws")) >= 3)
-      .select(col(idCol), shingles(col("ws")).as("sg"))
+      .select(col(idCol), array_sort(shingles(col("ws"))).as("sg"))
   }
 
   /** Candidate pairs via MinHash-LSH banding, then exact-Jaccard verified.
@@ -139,27 +151,58 @@ object Dedup {
     val sb = sh.select(col(idCol).as("b"), col("sg").as("sg_b"))
     pairs.join(sa, "a").join(sb, "b")
       .select(col("a").as("a_doc"), col("b").as("b_doc"),
-        jaccard(col("sg_a"), col("sg_b")).as("jaccard"))
+        jaccardSorted(col("sg_a"), col("sg_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
   /** Exact word-set Jaccard pairs inside blocking predicates — the
-    * brute-force baseline the DuckDB oracle replays verbatim. */
+    * brute-force baseline the DuckDB oracle replays verbatim.
+    *
+    * Two result-preserving accelerations over the naive plan (the oracle
+    * stays the simple form):
+    *  - size-ratio prefilter: J ≥ t requires min(|A|,|B|) ≥ t·max(|A|,|B|)
+    *    (since |A∩B| ≤ min and |A∪B| ≥ max), checked on two cached ints
+    *    before any intersection work;
+    *  - the O(n+m) sorted-merge intersection kernel instead of
+    *    `array_intersect`'s per-pair hash set.
+    */
   def exactJaccardPairs(
       docs: DataFrame,
       threshold: Double,
       charBand: Int = 30): DataFrame = {
     val base = docs
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        array_distinct(words(col("text"))).as("ws"))
-    val a = base.select(col("doc_id").as("a_doc"), col("lang").as("a_lang"),
-      col("n_chars").as("a_chars"), col("ws").as("a_ws"))
-    val b = base.select(col("doc_id").as("b_doc"), col("lang").as("b_lang"),
-      col("n_chars").as("b_chars"), col("ws").as("b_ws"))
-    a.join(b, col("a_doc") < col("b_doc") &&
-        col("a_lang") === col("b_lang") &&
-        abs(col("a_chars") - col("b_chars")) <= charBand)
-      .select(col("a_doc"), col("b_doc"), jaccard(col("a_ws"), col("b_ws")).as("jaccard"))
+        array_sort(array_distinct(words(col("text")))).as("ws"))
+      .withColumn("nw", size(col("ws")))
+      .cache()
+    // Pair generation runs on a SLIM relation (ids + ints only): the wide
+    // word arrays never enter the join buffers. The |Δchars| ≤ band
+    // predicate is turned into an equi-join key by char bucketing: a pair
+    // within the band differs by ≤1 bucket, so probing {b-1, b, b+1} on
+    // one side covers the band exactly (each pair matches exactly one
+    // probe — no dedup needed). (lang × bucket) join keys also spread the
+    // shuffle far better than the 5-value lang key alone.
+    val slim = base.select(col("doc_id"), col("lang"), col("n_chars"), col("nw"),
+      floor(col("n_chars") / charBand).as("bucket"))
+    val a = slim.select(col("doc_id").as("a_doc"), col("lang"),
+      col("n_chars").as("a_chars"), col("nw").as("a_nw"), col("bucket"))
+    val b = slim.select(col("doc_id").as("b_doc"), col("lang"),
+      col("n_chars").as("b_chars"), col("nw").as("b_nw"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    val pairs = a.join(b, Seq("lang", "bucket"))
+      .where(col("a_doc") < col("b_doc") &&
+        abs(col("a_chars") - col("b_chars")) <= charBand &&
+        // J ≥ t needs min(|A|,|B|) ≥ t·max(|A|,|B|): free prefilter
+        least(col("a_nw"), col("b_nw")).cast("double") >=
+          lit(threshold) * greatest(col("a_nw"), col("b_nw")))
+      .select("a_doc", "b_doc")
+    // join the sorted word sets back only for surviving candidates, then
+    // verify with the O(n+m) merge kernel
+    val sa = base.select(col("doc_id").as("a_doc"), col("ws").as("a_ws"))
+    val sb = base.select(col("doc_id").as("b_doc"), col("ws").as("b_ws"))
+    pairs.join(sa, "a_doc").join(sb, "b_doc")
+      .select(col("a_doc"), col("b_doc"),
+        jaccardSorted(col("a_ws"), col("b_ws")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries._
+
+/** Physical-plan audits: the plans we'd want on a 1000-executor cluster,
+  * asserted at test scale. A query that silently loses pushdown, a
+  * broadcast, or partial aggregation would regress 100 TB behavior long
+  * before it regresses local runtime — these tests pin the plan shape.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q06 selective scan: filters reach the parquet reader, columns pruned") {
+    val s = formatted(RelationalQueries.q06SelectiveRevenue(spark, sfDir))
+    assert(s.contains("PushedFilters:") &&
+      (s.contains("GreaterThanOrEqual(l_shipdate") || s.contains("IsNotNull(l_shipdate)")),
+      s"expected shipdate pushdown:\n$s")
+    val readSchema = s.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_returnflag"),
+      s"column pruning must drop unused columns: $readSchema")
+  }
+
+  test("q02 star join: all three dimensions broadcast, no shuffle join for dims") {
+    val s = planOf(RelationalQueries.q02RevenueByNation(spark, sfDir))
+    assert(s.split("BroadcastHashJoin").length - 1 >= 3,
+      s"customer/nation/region should broadcast:\n$s")
+  }
+
+  test("q01 aggregation is partial (map-side combine before the exchange)") {
+    val s = planOf(RelationalQueries.q01PricingSummary(spark, sfDir))
+    val firstAgg = s.indexOf("HashAggregate")
+    val exchange = s.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0,
+      s"expected HashAggregate + Exchange:\n$s")
+    assert(s.split("HashAggregate").length - 1 >= 2,
+      s"expected partial+final HashAggregate pair:\n$s")
+  }
+
+  test("q03 top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val s = planOf(RelationalQueries.q03TopOrders(spark, sfDir))
+    assert(s.contains("TakeOrderedAndProject"), s"top-k should avoid a full sort:\n$s")
+  }
+
+  test("argmax/cosine/rolling_hash expressions run inside WholeStageCodegen") {
+    val df = InferenceQueries.q22ArgmaxEmbedding(spark, sfDir)
+    df.collect() // finalize the adaptive plan so codegen spans materialize
+    val s = planOf(df)
+    // the `*(n)` prefix marks a WholeStageCodegen stage in simple-string
+    // plans: the Project evaluating argmax must carry it (no fallback to
+    // interpreted projection)
+    val argmaxLine = s.linesIterator.find(l => l.contains("argmax") && l.contains("Project"))
+    assert(argmaxLine.exists(_.contains("*(")),
+      s"argmax projection must be inside a codegen stage:\n$s")
+  }
+
+  test("inference UDF plan: single map stage, no shuffle before scoring") {
+    val df = InferenceQueries.q20LgbmScore(spark, sfDir)
+    val s = planOf(df)
+    // one Exchange allowed for the final orderBy only
+    val beforeSort = s.substring(s.indexOf("Scan"))
+    assert(s.split("Exchange").length - 1 <= 2,
+      s"scoring should not introduce extra shuffles:\n$s")
+  }
+
+  test("entry smoke query returns rows (driver t1 contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key exists in queries (driver contract)") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracleSql without queries entry: $orphans")
+  }
+}

@@ -66,6 +66,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(chunked == brute, "pigeonhole chunk join must lose nothing vs brute force")
   }
 
+  test("sorted-merge intersect kernel equals array_intersect on distinct inputs") {
+    val base = docs.select(
+      array_sort(array_distinct(split(col("text"), " "))).as("ws"),
+      array_sort(array_distinct(split(reverse(col("text")), " "))).as("vs"))
+    val cmp = base.select(
+      Dedup.jaccardSorted(col("ws"), col("vs")).as("fast"),
+      Dedup.jaccard(col("ws"), col("vs")).as("ref"))
+    assert(cmp.where(!(col("fast") <=> col("ref"))).count() == 0)
+  }
+
   test("exact dedup groups: sum of group sizes equals row count") {
     val g = graft.queries.PipelineQueries.q30DedupExact(spark, sfDir)
     assert(g.agg(sum("n_dups")).head.getLong(0) == docs.count())
