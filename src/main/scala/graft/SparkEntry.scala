@@ -14,8 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private def suites: Seq[(String, (SparkSession, String) => DataFrame, String)] =
-    RelationalQueries.all ++ InferenceQueries.all ++ PipelineQueries.all ++
-      TextQueries.all ++ EventMediaQueries.all
+    RelationalQueries.all ++ AdvancedQueries.all ++ InferenceQueries.all ++
+      PipelineQueries.all ++ TextQueries.all ++ EventMediaQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.LightFusion
+
+/** Additional engine-capability coverage: the pure-SQL text path (through
+  * LightFusion.sql, proving the full parser surface), frame-based window
+  * aggregates, and an as-of join expressed as a carry-forward window (the
+  * scalable single-pass form — no range join explosion). */
+object AdvancedQueries {
+
+  /** TPC-H Q4-style: EXISTS subquery + grouped counts, submitted as SQL
+    * TEXT so the whole parse→analyze→optimize path is exercised (the
+    * DuckDB oracle runs the identical statement). */
+  def q16SqlText(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach { t =>
+      s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+    LightFusion.sql(s, q16Sql)
+  }
+
+  def q16Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Moving window frame: trailing-3-orders average spend per customer
+    * (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), decimal-exact. */
+  def q17MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        (sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w)
+          .cast("double") / count(lit(1)).over(w)).as("trailing_avg"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  def q17Sql: String =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS trailing_avg
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** As-of join: for every `error` event, the most recent `click`
+    * timestamp by the same user at-or-before it. Implemented as a single
+    * carry-forward window pass (last_value IGNORE NULLS over the
+    * user-ordered stream) — the 100 TB-safe form of an as-of join: one
+    * shuffle on user_id, no range-join pair explosion. */
+  def q18AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = RelationalQueries.events(s, dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "error")
+      .select("event_id", "user_id", "ts", "last_click_ts")
+      .orderBy("event_id")
+  }
+
+  def q18Sql: String =
+    """SELECT event_id, user_id, ts, last_click_ts FROM (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+      |  FROM events) x
+      |WHERE event_type = 'error'
+      |ORDER BY event_id""".stripMargin
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q16_sql_text_exists", q16SqlText _, q16Sql),
+    ("q17_moving_avg", q17MovingAvg _, q17Sql),
+    ("q18_asof_join", q18AsofJoin _, q18Sql))
+}
