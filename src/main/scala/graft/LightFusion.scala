@@ -121,6 +121,16 @@ object LightFusion {
 
   // --- SQL front door -----------------------------------------------------
 
+  /** Match `CREATE FUNCTION … LANGUAGE LIGHTGBM`, returning
+    * (name, argList, returns, body) — shared by the [[sql]] pre-router and
+    * the injected parser ([[graft.plans.GraftExtensions]]). */
+  def parseCreateLightGbm(text: String)
+      : Option[(String, String, Option[String], Option[String])] = text match {
+    case CreateFunctionRe(name, args, ret, body) =>
+      Some((name, Option(args).getOrElse(""), Option(ret), Option(body)))
+    case _ => None
+  }
+
   private val CreateFunctionRe =
     ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+([A-Za-z_][A-Za-z_0-9]*)\s*""" +
       """\(\s*([^)]*?)\s*\)\s*""" +
@@ -137,10 +147,13 @@ object LightFusion {
     */
   def sql(spark: SparkSession, text: String): DataFrame = {
     ensureRegistered(spark)
+    parseCreateLightGbm(text) match {
+      case Some((name, args, ret, body)) =>
+        createFunction(spark, name, args, ret, body)
+        return spark.emptyDataFrame
+      case None => ()
+    }
     text match {
-      case CreateFunctionRe(name, args, ret, body) =>
-        createFunction(spark, name, Option(args).getOrElse(""), Option(ret), Option(body))
-        spark.emptyDataFrame
       case SetBatchSizeRe(value) =>
         if (value == null) {
           // bare `SET lightfusion.batch_size` echoes the current value

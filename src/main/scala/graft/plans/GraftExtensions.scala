@@ -1,0 +1,103 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParameterContext}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.LightFusion
+import graft.functions.{ArgMax, CosineSimilarity, DotProduct, RollingHash, SortedIntersectCount}
+
+/** The idiomatic-plugin packaging of the lightfusion layer: a
+  * `SparkSessionExtensions` installer, so a stock deployment enables
+  * everything with
+  *
+  * {{{
+  * spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)`) and then plain
+  * `spark.sql("CREATE FUNCTION f(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE
+  * LIGHTGBM AS 'model.lgbm'")` works with no wrapper entry point — the
+  * injected parser intercepts the DDL exactly where the reference's
+  * `FunctionFactory` hook sits in DataFusion
+  * (`/root/reference/src/lib.rs:107`, create at `src/lib.rs:23-79`).
+  * All graft expressions are injected as native functions too.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, usage: String)(
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft", null, name, usage, ""),
+      builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectFunction(fn("argmax",
+      "argmax(array<numeric>) - 0-based index of the maximum element.") { es =>
+      require(es.length == 1, "argmax takes exactly one argument"); ArgMax(es.head)
+    })
+    ext.injectFunction(fn("cosine_similarity",
+      "cosine_similarity(array<double>, array<double>) - fused cosine.") { es =>
+      require(es.length == 2); CosineSimilarity(es.head, es(1))
+    })
+    ext.injectFunction(fn("dot_product",
+      "dot_product(array<double>, array<double>) - fused dot product.") { es =>
+      require(es.length == 2); DotProduct(es.head, es(1))
+    })
+    ext.injectFunction(fn("rolling_hash",
+      "rolling_hash(string) - 48-bit polynomial fingerprint.") { es =>
+      require(es.length == 1); RollingHash(es.head)
+    })
+    ext.injectFunction(fn("sorted_intersect_count",
+      "sorted_intersect_count(array<string>, array<string>) - merge-count of sorted distinct arrays.") { es =>
+      require(es.length == 2); SortedIntersectCount(es.head, es(1))
+    })
+  }
+}
+
+/** Runs the DDL at execution time — the Spark analogue of DataFusion
+  * returning `RegisterFunction::Scalar` from the factory. */
+case class CreateLightGbmFunctionCommand(
+    name: String,
+    argList: String,
+    returns: Option[String],
+    body: Option[String]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    LightFusion.createFunction(spark, name, argList, returns, body)
+    Seq.empty
+  }
+}
+
+/** Delegating parser that intercepts `CREATE FUNCTION … LANGUAGE
+  * LIGHTGBM` and hands every other statement to the stock parser. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    LightFusion.parseCreateLightGbm(sqlText) match {
+      case Some((name, args, ret, body)) =>
+        CreateLightGbmFunctionCommand(name, args, ret, body)
+      case None => delegate.parsePlan(sqlText)
+    }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}

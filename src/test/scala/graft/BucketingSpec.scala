@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Evidence for the SCALE.md claim that bucketing removes the fact-fact
+  * shuffle: write lineitem/orders bucketed by the join key, join them,
+  * and assert the plan has no Exchange above the scans. This is the
+  * co-location strategy a 100 TB deployment applies at ingest. */
+class BucketingSpec extends AnyFunSuite with SparkTestBase {
+
+  test("bucketed-by-orderkey join plans without a shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_b").saveAsTable("li_b")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/ord_b").saveAsTable("ord_b")
+    try {
+      // disable broadcast so the join would otherwise shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected SMJ:\n$plan")
+      val belowJoin = plan.substring(joinIdx)
+      assert(!belowJoin.contains("Exchange hashpartitioning"),
+        s"bucketed join must not re-shuffle either side:\n$plan")
+      assert(joined.collect().nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.LgbmModel
+
+/** Property-based invariants (SURVEY.md §5 rebuild test plan). Raw
+  * ScalaCheck generators driven deterministically (the scalatestplus
+  * bridge isn't in the offline cache). */
+class PropertySpec extends AnyFunSuite with SparkTestBase {
+
+  private def forAllN[A](gen: Gen[A], n: Int = 100)(f: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(params, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private val model = LgbmModel.parseResource("/models/multiclass_28f.lgbm")
+  private val vecGen: Gen[Array[Double]] =
+    Gen.containerOfN[Array, Double](28, Gen.chooseNum(-5.0, 5.0))
+
+  test("softmax probabilities: sum to 1, all in (0,1), argmax equals raw argmax") {
+    forAllN(vecGen) { xs =>
+      val p = model.predict(xs)
+      val raw = model.predictRaw(xs)
+      assert(math.abs(p.sum - 1.0) < 1e-9)
+      assert(p.forall(v => v > 0.0 && v < 1.0))
+      assert(p.indexOf(p.max) == raw.indexOf(raw.max))
+    }
+  }
+
+  test("predictBatch invariant under any batch size") {
+    forAllN(Gen.zip(Gen.listOfN(9, vecGen), Gen.chooseNum(1, 20)), n = 30) {
+      case (rows, bs) =>
+        val a = model.predictBatch(rows.iterator, 1).toSeq.map(_.toSeq)
+        val b = model.predictBatch(rows.iterator, bs).toSeq.map(_.toSeq)
+        assert(a == b)
+    }
+  }
+
+  test("argmax eval: returns an index of a maximal non-NaN element, first on ties") {
+    val xsGen = Gen.nonEmptyListOf(Gen.frequency(
+      9 -> Gen.chooseNum(-100.0, 100.0), 1 -> Gen.const(Double.NaN)))
+    forAllN(xsGen) { xs =>
+      val expr = graft.functions.ArgMax(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          xs.toArray,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+      val got = expr.eval(null)
+      val valid = xs.zipWithIndex.filterNot(_._1.isNaN)
+      if (valid.isEmpty) assert(got == null)
+      else {
+        val max = valid.map(_._1).max
+        assert(got == valid.find(_._1 == max).get._2)
+      }
+    }
+  }
+
+  test("rolling hash: stays in 48 bits, appending a char changes the hash") {
+    def rh(t: String): Long =
+      t.foldLeft(0L)((h, c) => (h * 31 + c) & graft.functions.RollingHash.Mask)
+    forAllN(Gen.alphaNumStr) { s =>
+      val h = rh(s)
+      assert(h >= 0 && h <= graft.functions.RollingHash.Mask)
+      assert(rh(s + "x") != h)
+    }
+  }
+
+  test("jaccard bounds/symmetry on random word sets (merge kernel)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val g = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+    val cases = {
+      val buf = scala.collection.mutable.ListBuffer.empty[(Seq[String], Seq[String])]
+      forAllN(Gen.zip(g, g), n = 40) { case (x, y) =>
+        buf += ((x.distinct.sorted, y.distinct.sorted))
+      }
+      buf.toSeq
+    }
+    val df = cases.toDF("a", "b").select(
+      graft.operators.Dedup.jaccardSorted(col("a"), col("b")).as("j1"),
+      graft.operators.Dedup.jaccardSorted(col("b"), col("a")).as("j2"),
+      (col("a") === col("b")).as("same"))
+    df.collect().foreach { r =>
+      val (j1, j2) = (r.getDouble(0), r.getDouble(1))
+      assert(j1 == j2 && j1 >= 0.0 && j1 <= 1.0)
+      if (r.getBoolean(2)) assert(j1 == 1.0)
+    }
+  }
+}

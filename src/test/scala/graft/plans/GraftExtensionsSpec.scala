@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.ml.LgbmModel
+
+/** Proves the plugin packaging: a session built with
+  * `.withExtensions(new GraftExtensions)` runs the LIGHTGBM DDL and all
+  * graft functions through PLAIN `spark.sql` — no LightFusion.sql wrapper. */
+class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def withExtSession[A](f: SparkSession => A): A = {
+    val orig = spark // force-init the shared session/context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try f(s2)
+    finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
+  test("injected parser: CREATE FUNCTION ... LANGUAGE LIGHTGBM via plain spark.sql") {
+    withExtSession { s2 =>
+      val path = getClass.getResource("/models/multiclass_5c.lgbm").getPath
+      s2.sql(s"CREATE FUNCTION extf(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '$path'")
+      val model = LgbmModel.parseResource("/models/multiclass_5c.lgbm")
+      val xs = Array(0.1, -0.2, 0.3, 0.0, -0.5)
+      val lits = xs.map(v => s"${v}D").mkString(", ")
+      val probs = s2.sql(s"SELECT extf(array($lits)) AS p").head.getSeq[Double](0)
+      assert(probs == model.predict(xs).toSeq)
+      val cls = s2.sql(s"SELECT argmax(extf(array($lits))) AS c").head.getInt(0)
+      assert(cls == probs.indexOf(probs.max))
+    }
+  }
+
+  test("injected functions resolve in plain SQL; other statements delegate") {
+    withExtSession { s2 =>
+      assert(s2.sql("SELECT argmax(array(1.0D, 9.0D, 2.0D))").head.getInt(0) == 1)
+      assert(s2.sql(
+        "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D))").head.getDouble(0) == 1.0)
+      assert(s2.sql("SELECT rolling_hash('hi')").head.getLong(0) == 3329L)
+      assert(s2.sql(
+        "SELECT sorted_intersect_count(array('a','b','c'), array('b','c','d'))").head.getInt(0) == 2)
+      // delegation: ordinary SQL still parses and runs
+      assert(s2.sql("SELECT 1 + 1 AS two").head.getInt(0) == 2)
+      assert(s2.range(3).count() == 3)
+    }
+  }
+
+  test("GraftSqlParser routes only the LIGHTGBM DDL; parse errors still surface") {
+    withExtSession { s2 =>
+      val e = intercept[Exception](s2.sql("SELEC broken"))
+      assert(e.getMessage.toLowerCase.contains("syntax") ||
+        e.getClass.getName.contains("Parse"))
+    }
+  }
+}
