@@ -100,6 +100,13 @@ object LightFusion {
         require(exprs.length == 1, "rolling_hash takes exactly one argument")
         RollingHash(exprs.head)
       })
+    SparkShims.registerFunction(
+      spark, "sorted_intersect_count",
+      "sorted_intersect_count(array<string>, array<string>) - merge-count of sorted distinct arrays.",
+      { exprs =>
+        require(exprs.length == 2, "sorted_intersect_count takes two arguments")
+        graft.functions.SortedIntersectCount(exprs.head, exprs(1))
+      })
     if (!spark.conf.getOption(BatchSizeKey).isDefined)
       spark.conf.set(BatchSizeKey, BatchSizeDefault.toString)
   }

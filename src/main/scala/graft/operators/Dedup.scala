@@ -36,14 +36,7 @@ object Dedup {
   val RowsPerBand = 4
   require(Bands * RowsPerBand == NumPerm)
 
-  private val MersennePrime = 2147483647L // 2^31 - 1
-
-  /** Deterministic permutation parameters (a_i, b_i), fixed seed. */
-  private val perms: Array[(Long, Long)] = {
-    val rng = new scala.util.Random(0x5eed)
-    Array.fill(NumPerm)((rng.nextInt(Int.MaxValue - 1).toLong + 1L,
-      rng.nextInt(Int.MaxValue).toLong))
-  }
+  val PermSeed = 0x5eedL
 
   /** words(text): split on single spaces (matches DuckDB string_split). */
   def words(c: Column): Column = split(c, " ")
@@ -74,42 +67,13 @@ object Dedup {
   }
 
   /** MinHash the 64-bit element hashes, then fold each 4-row band into one
-    * long band key. Input: array of xxhash64 values; output: 16 band keys.
-    * Pure arithmetic over primitives — the one place a UDF is warranted. */
-  val bandKeysUdf: UserDefinedFunction = udf { (hashes: Seq[Long]) =>
-    if (hashes == null || hashes.isEmpty) null
-    else {
-      val sig = new Array[Long](NumPerm)
-      var p = 0
-      while (p < NumPerm) {
-        val (a, b) = perms(p)
-        var min = Long.MaxValue
-        var i = 0
-        while (i < hashes.length) {
-          val h = hashes(i)
-          val h31 = ((h ^ (h >>> 32)) & 0x7fffffffL)
-          val v = (a * h31 + b) % MersennePrime
-          if (v < min) min = v
-          i += 1
-        }
-        sig(p) = min
-        p += 1
-      }
-      val bands = new Array[Long](Bands)
-      var bnd = 0
-      while (bnd < Bands) {
-        var acc = 1125899906842597L + bnd
-        var r = 0
-        while (r < RowsPerBand) {
-          acc = acc * 31L + sig(bnd * RowsPerBand + r)
-          r += 1
-        }
-        bands(bnd) = acc
-        bnd += 1
-      }
-      bands.toSeq
-    }
-  }
+    * long band key — as a codegen expression over ArrayData (a Scala UDF
+    * here paid ~50× the kernel cost in catalyst↔Seq conversion). */
+  def bandKeys(hashes: Column): Column =
+    org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.MinHashBandKeys(
+        org.apache.spark.sql.graft.SparkShims.expression(hashes),
+        NumPerm, Bands, PermSeed))
 
   /** doc_id + distinct trigram shingles (ASC-sorted for the merge kernel)
     * for every doc with ≥3 words. */
@@ -134,7 +98,7 @@ object Dedup {
     val sh = shingled(docs, idCol, textCol).cache()
     val banded = sh
       .select(col(idCol),
-        posexplode(bandKeysUdf(transform(col("sg"), s => xxhash64(s)))).as(Seq("band", "key")))
+        posexplode(bandKeys(transform(col("sg"), s => xxhash64(s)))).as(Seq("band", "key")))
     val buckets = banded
       .groupBy("band", "key")
       .agg(collect_list(col(idCol)).as("ids"))
@@ -206,32 +170,17 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash from the distinct-word hash array (bit-vote kernel). */
-  val simhashUdf: UserDefinedFunction = udf { (hashes: Seq[Long]) =>
-    if (hashes == null || hashes.isEmpty) None
-    else Some {
-      val votes = new Array[Int](64)
-      var i = 0
-      while (i < hashes.length) {
-        val h = hashes(i)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) != 0L) votes(j) += 1 else votes(j) -= 1
-          j += 1
-        }
-        i += 1
-      }
-      var sim = 0L
-      var j = 0
-      while (j < 64) { if (votes(j) > 0) sim |= (1L << j); j += 1 }
-      sim
-    }
-  }
+  /** 64-bit bit-vote SimHash as a codegen expression (same UDF-conversion
+    * rationale as [[bandKeys]]). */
+  def simhash(hashes: Column): Column =
+    org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.SimHash64(
+        org.apache.spark.sql.graft.SparkShims.expression(hashes)))
 
   /** doc_id → simhash over distinct words. */
   def simhashed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
-      simhashUdf(transform(array_distinct(words(col(textCol))), w => xxhash64(w)))
+      simhash(transform(array_distinct(words(col(textCol))), w => xxhash64(w)))
         .as("simhash"))
 
   /** Hamming-≤ maxDist pairs via the pigeonhole chunk join: distance ≤ 3

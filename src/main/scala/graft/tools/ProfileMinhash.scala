@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dev tool: stage-by-stage timing of the MinHash-LSH pipeline. */
+object ProfileMinhash {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[$label] ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    time("read+count")(docs.count())
+    val sh = Dedup.shingled(docs, "doc_id", "text")
+    time("shingled")(sh.count())
+    val shc = sh.cache()
+    shc.count()
+    val hashed = shc.select(col("doc_id"),
+      transform(col("sg"), s => xxhash64(s)).as("hs"))
+    time("hashed_only")(hashed.agg(sum(size(col("hs")))).collect())
+    val udfed = hashed.select(col("doc_id"), Dedup.bandKeys(col("hs")).as("bands"))
+    time("udf_only")(udfed.agg(sum(size(col("bands")))).collect())
+    val banded = shc.select(col("doc_id"),
+      posexplode(Dedup.bandKeys(transform(col("sg"), s => xxhash64(s))))
+        .as(Seq("band", "key")))
+    time("banded")(banded.count())
+    val buckets = banded.groupBy("band", "key")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+    time("buckets")(buckets.count())
+    time("full_q31")(Dedup.minhashPairs(docs, "doc_id", "text", 0.8).count())
+    time("full_q31_again")(Dedup.minhashPairs(docs, "doc_id", "text", 0.8).count())
+    spark.stop()
+  }
+}
