@@ -122,6 +122,62 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into `nlist` cells; each query probes only its `nprobe`
+    * nearest centroids and exact cosine re-ranks the candidates. This is
+    * the 100 TB path promised in SCALE.md: candidate generation reads
+    * `nprobe/nlist` of the corpus per query, the centroid table is a
+    * broadcast constant, and cell assignment is write-once (in a real
+    * deployment, partition the parquet by `cell` at ingest so probes are
+    * partition-pruned scans).
+    *
+    * Approximate and (like any distributed k-means) not bit-stable across
+    * re-trainings — exposed rows-only, recall-tested vs brute force.
+    */
+  def ivfTopK(
+      s: SparkSession,
+      dir: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
+      .withColumn("features", array_to_vector(col("v")))
+      .cache()
+    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(e)
+    val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
+    // centroid table is tiny: build (cell, centroid) rows and let the
+    // query side pick its nprobe nearest cells by exact cosine
+    import s.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    val q = assigned.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("qv"), col("cell"),
+        LightFusion.cosineSimilarity(col("qv"), col("centroid").cast("array<double>"))
+          .as("ccos"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("ccos"), col("cell"))))
+      .where(col("r") <= nprobe)
+      .select("q_id", "qv", "cell")
+    val cands = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+    val scored = cands.select(col("q_id"), col("vec_id").as("n_id"),
+      LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs with label blocking. */
   def nearDupPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     LightFusion.ensureRegistered(s)

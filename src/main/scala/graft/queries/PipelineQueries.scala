@@ -105,6 +105,9 @@ object PipelineQueries {
   def q41KnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(s, dir, numQueries = 10, k = 5)
 
+  def q42KnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(s, dir, numQueries = 10, k = 5)
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q30_dedup_exact", q30DedupExact _, q30Sql),
     ("q31_dedup_minhash_lsh", q31DedupMinhash _, q31Sql),
@@ -112,5 +115,6 @@ object PipelineQueries {
     ("q33_simhash_pairs", q33SimhashPairs _, null),
     ("q34_dedup_embedding", q34DedupEmbedding _, q34Sql),
     ("q40_knn_bruteforce", q40KnnBruteForce _, q40Sql),
-    ("q41_knn_lsh", q41KnnLsh _, null))
+    ("q41_knn_lsh", q41KnnLsh _, null),
+    ("q42_knn_ivf", q42KnnIvf _, null))
 }

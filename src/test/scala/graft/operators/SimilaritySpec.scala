@@ -56,6 +56,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF ANN (k-means cells, nprobe=4/16) achieves reasonable recall") {
+    val brute = Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(spark, sfDir, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall@5 = $recall (random near-orthogonal data)")
+  }
+
   test("near-dup pairs are label-blocked and above threshold") {
     val rows = Similarity.nearDupPairs(spark, sfDir, threshold = 0.2).collect()
     rows.foreach(r => assert(r.getDouble(2) >= 0.2))
