@@ -1,0 +1,31 @@
+package graft.examples
+
+import graft.LightFusion
+
+/** Runnable mirror of the reference's `examples/lightfusion.rs`: build the
+  * engine, register a model through the DDL, run literal-array inference,
+  * compose with argmax, and introspect settings. */
+object LightfusionExample {
+  def main(args: Array[String]): Unit = {
+    val spark = LightFusion.session("local[4]")
+    spark.sparkContext.setLogLevel("WARN")
+
+    LightFusion.sql(spark,
+      "CREATE FUNCTION f0 (DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM " +
+        "AS 'res:/models/multiclass_28f.lgbm'")
+
+    val lits = Array.tabulate(28)(i => ((i % 7) - 3) * 0.37)
+      .map(v => s"${v}D").mkString(", ")
+    println("-- SELECT f0(array(<28 literals>)) AS inferred")
+    LightFusion.sql(spark, s"SELECT f0(array($lits)) AS inferred").show(false)
+
+    println("-- SELECT argmax(f0(array(<28 literals>))) AS inferred")
+    LightFusion.sql(spark, s"SELECT argmax(f0(array($lits))) AS inferred").show(false)
+
+    println("-- settings introspection")
+    LightFusion.sql(spark,
+      "SELECT * FROM information_schema.df_settings WHERE key LIKE 'lightfusion%'")
+      .show(false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,29 @@
+package graft.examples
+
+import graft.LightFusion
+
+/** Runnable mirror of the reference's `examples/lightfusion_tsv.rs`: SET
+  * the batch size, register the model, scan a header-less TSV with
+  * DataFusion-style column names, and run scan → array(28 cols) → model →
+  * argmax. Pass the TSV path as arg 0 (defaults to the repo fixture). */
+object LightfusionTsvExample {
+  def main(args: Array[String]): Unit = {
+    val tsvPath = args.headOption
+      .getOrElse("src/test/resources/multiclass.test")
+    val spark = LightFusion.session("local[4]")
+    spark.sparkContext.setLogLevel("WARN")
+
+    LightFusion.sql(spark, "SET lightfusion.batch_size = 16")
+    LightFusion.sql(spark,
+      "CREATE FUNCTION f0 (DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM " +
+        "AS 'res:/models/multiclass_28f.lgbm'")
+
+    LightFusion.readTsv(spark, tsvPath).createOrReplaceTempView("m")
+    val cols = (2 to 29).map(i => s"column_$i").mkString(", ")
+    val out = LightFusion.sql(spark,
+      s"SELECT column_1 AS label, argmax(f0(array($cols))) AS inferred FROM m")
+    out.show(20, truncate = false)
+    println(s"rows: ${out.count()}")
+    spark.stop()
+  }
+}

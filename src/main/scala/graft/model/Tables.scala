@@ -1,0 +1,39 @@
+package graft.model
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+
+/** Typed `Dataset[T]` bindings for the testdata star schema — the
+  * case-class-Encoder layer the build brief calls for where type safety
+  * helps (compile-checked column access, typed transforms); `DataFrame`
+  * remains the norm where schema is dynamic. Encoders are Tungsten
+  * product encoders: fields map to columns positionally by name, no
+  * reflection at run time after plan compile. */
+case class Lineitem(
+    l_orderkey: Long, l_partkey: Long, l_suppkey: Long, l_linenumber: Int,
+    l_quantity: Double, l_extendedprice: Double, l_discount: Double,
+    l_tax: Double, l_returnflag: String, l_linestatus: String,
+    l_shipdate: Timestamp)
+
+case class Order(
+    o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+    o_totalprice: Double, o_orderdate: Timestamp, o_orderpriority: String)
+
+case class Customer(
+    c_custkey: Long, c_name: String, c_nationkey: Int, c_acctbal: Double,
+    c_mktsegment: String)
+
+case class Document(
+    doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+
+object Tables {
+  def lineitem(s: SparkSession, dir: String): Dataset[Lineitem] =
+    s.read.parquet(s"$dir/lineitem.parquet").as(Encoders.product[Lineitem])
+  def orders(s: SparkSession, dir: String): Dataset[Order] =
+    s.read.parquet(s"$dir/orders.parquet").as(Encoders.product[Order])
+  def customer(s: SparkSession, dir: String): Dataset[Customer] =
+    s.read.parquet(s"$dir/customer.parquet").as(Encoders.product[Customer])
+  def documents(s: SparkSession, dir: String): Dataset[Document] =
+    s.read.parquet(s"$dir/documents.parquet").as(Encoders.product[Document])
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities for joins whose key distribution is too hot
+  * for AQE's runtime skew splitting (a handful of keys carrying most of
+  * the rows — the shape of `user_id` in clickstreams or near-empty-text
+  * digests in dedup).
+  *
+  * [[saltedJoin]] implements the classic salt-and-replicate pattern:
+  * the skewed (big) side gets a random salt in [0, salts); the small side
+  * is replicated once per salt value; the join key becomes
+  * (key, salt) so each hot key spreads over `salts` reducers. Result
+  * equality with the plain join is pinned in SkewSpec.
+  *
+  * At 100 TB you'd salt only the keys above a frequency threshold
+  * (two-pass: count, then salt the hot set) — this helper salts
+  * uniformly, which is the right default when the hot set is unknown and
+  * the small side is cheap to replicate.
+  */
+object Skew {
+
+  /** Inner equi-join of `big` (skewed) with `small`, salted `salts` ways.
+    * The salt is deterministic (hash of the big side's whole row id
+    * expression) so results are reproducible.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      salts: Int,
+      saltBy: Column): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedBig = big.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
+    val saltedSmall = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(saltedSmall,
+        saltedBig(bigKey) === saltedSmall(smallKey) &&
+          saltedBig("__salt") === saltedSmall("__salt"))
+      .drop("__salt")
+  }
+}

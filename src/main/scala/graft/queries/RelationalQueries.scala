@@ -33,7 +33,7 @@ object RelationalQueries {
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
     * only reads via the nanos-as-long legacy switch; `tsNanos` keeps the
     * raw long available for time logic (micros = ts div 1000). */
-  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+  def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, dir, "events")
   }

@@ -1,0 +1,41 @@
+package graft.model
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Typed Dataset[T] surface: compile-checked transforms agree with the
+  * untyped DataFrame equivalents. */
+class TypedDatasetSpec extends AnyFunSuite with SparkTestBase {
+
+  test("typed lineitem filter/map agrees with DataFrame path") {
+    val ds = Tables.lineitem(spark, sfDir)
+    val typedCnt = ds.filter(li => li.l_quantity > 30 && li.l_returnflag == "R").count()
+    val dfCnt = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .where(col("l_quantity") > 30 && col("l_returnflag") === "R").count()
+    assert(typedCnt == dfCnt && typedCnt > 0)
+  }
+
+  test("typed groupByKey aggregation matches groupBy") {
+    import spark.implicits._
+    val ds = Tables.orders(spark, sfDir)
+    val typed = ds.groupByKey(_.o_orderpriority)
+      .mapGroups((k, it) => (k, it.size.toLong))
+      .collect().toMap
+    val untyped = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(typed == untyped)
+  }
+
+  test("typed documents flow into dedup words without schema drift") {
+    val ds = Tables.documents(spark, sfDir)
+    val total = ds.map(d => d.text.split(' ').length)(Encoders.scalaInt)
+      .reduce(_ + _)
+    val viaSql = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(total.toLong == viaSql)
+  }
+}

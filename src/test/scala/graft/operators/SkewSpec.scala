@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class SkewSpec extends AnyFunSuite with SparkTestBase {
+
+  test("salted join equals plain join on skewed events⋈users") {
+    val events = graft.queries.RelationalQueries
+      .events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    // synthetic hot key: fold most users onto one id
+    val skewed = events.withColumn("user_id",
+      when(col("user_id") % 10 =!= 0, lit(7L)).otherwise(col("user_id")))
+    val users = skewed.select(col("user_id").as("u_id")).distinct()
+      .withColumn("tier", col("u_id") % 3)
+
+    val plain = skewed.join(users, skewed("user_id") === users("u_id"))
+      .groupBy("tier").agg(count(lit(1)).as("cnt"), sum("event_id").as("s"))
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(skewed, users, "user_id", "u_id",
+        salts = 8, saltBy = col("event_id"))
+      .groupBy("tier").agg(count(lit(1)).as("cnt"), sum("event_id").as("s"))
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("salted small side replicates exactly salts times") {
+    import spark.implicits._
+    val small = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val big = Seq((1L, 10.0), (1L, 20.0), (2L, 30.0)).toDF("k2", "x")
+    val joined = Skew.saltedJoin(big, small, "k2", "k", salts = 4, saltBy = col("x"))
+    assert(joined.count() == 3) // same as plain join despite 4x replication
+  }
+}
