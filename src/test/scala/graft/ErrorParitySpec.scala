@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Error-handling parity with the reference (SURVEY.md §4): specific,
+  * recoverable errors — never a panic-analogue. */
+class ErrorParitySpec extends AnyFunSuite with SparkTestBase {
+
+  private val model = getClass.getResource("/models/multiclass_5c.lgbm").getPath
+
+  test("unsupported input item type errors like src/udf.rs:40-45") {
+    val e = intercept[IllegalArgumentException](LightFusion.sql(spark,
+      s"CREATE FUNCTION badin(INT[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '$model'"))
+    assert(e.getMessage.contains("Unsupported data type"))
+  }
+
+  test("non-literal function body errors like src/lib.rs:54") {
+    val e = intercept[IllegalArgumentException](LightFusion.sql(spark,
+      "CREATE FUNCTION badbody(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS concat('a','b')"))
+    assert(e.getMessage.contains("Unsupported expression"))
+  }
+
+  test("batch size is frozen at CREATE time like src/lib.rs:57-66") {
+    LightFusion.sql(spark, "SET lightfusion.batch_size = 7")
+    LightFusion.sql(spark,
+      s"CREATE FUNCTION frozen(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '$model'")
+    LightFusion.sql(spark, "SET lightfusion.batch_size = 3")
+    assert(LightFusion.registeredModel("frozen").get.batchSize == 7)
+    assert(LightFusion.batchSize(spark) == 3)
+    LightFusion.sql(spark, "SET lightfusion.batch_size = 1")
+  }
+
+  test("scorer arity mismatch carries the tensor-width message") {
+    LightFusion.sql(spark,
+      s"CREATE FUNCTION arity5(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '$model'")
+    val e = intercept[Exception](
+      LightFusion.sql(spark, "SELECT arity5(array(1.0D, 2.0D)) AS p").collect())
+    assert(e.getMessage != null && e.getMessage.contains("num_features") ||
+      e.getCause != null && e.getCause.getMessage.contains("num_features"))
+  }
+
+  test("invalid conf value read path errors, not panics (src/lib.rs:62 contrast)") {
+    spark.conf.set("lightfusion.batch_size", "banana")
+    val e = intercept[IllegalArgumentException](LightFusion.batchSize(spark))
+    assert(e.getMessage == "batch size not correct")
+    spark.conf.set("lightfusion.batch_size", "1")
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hive-style partitioned writes + partition pruning: the layout a 100 TB
+  * events corpus would use (partition by coarse key, prune at plan time). */
+class PartitionPruningSpec extends AnyFunSuite with SparkTestBase {
+
+  test("partitionBy write then filtered read prunes partitions at the scan") {
+    val out = Files.createTempDirectory("graft_part").toString
+    graft.queries.RelationalQueries.events(spark, sfDir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    // layout check: one subdirectory per event_type
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("event_type=")) == 5)
+
+    val df = spark.read.parquet(out).where(col("event_type") === "error")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition pruning:\n$formatted")
+    val full = spark.read.parquet(out).count()
+    val pruned = df.count()
+    assert(pruned > 0 && pruned < full)
+  }
+}

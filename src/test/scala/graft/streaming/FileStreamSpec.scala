@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Real file-source streaming: readStream over a parquet directory with
+  * new files arriving between micro-batches, through the shared
+  * EventStreams transforms, into a foreachBatch sink. */
+class FileStreamSpec extends AnyFunSuite with SparkTestBase {
+
+  test("parquet file stream: windowed agg accumulates as files arrive") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_in").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ck").toString
+
+    def writeBatch(idx: Int, rows: Seq[(java.sql.Timestamp, String, Double)]): Unit =
+      rows.toDF("ts", "event_type", "value")
+        .repartition(1).write.mode("append").parquet(dir)
+
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    writeBatch(0, Seq((ts(0), "click", 1.0), (ts(5), "view", 2.0)))
+
+    val schema = "ts timestamp, event_type string, value double"
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val agg = EventStreams.windowedAgg(stream, watermark = Some("2 hours"))
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[Array[org.apache.spark.sql.Row]]
+    val q = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        results.synchronized { results += batch.collect() }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      writeBatch(1, Seq((ts(10), "click", 3.0), (ts(70), "click", 4.0)))
+      q.processAllAvailable()
+      val last = results.synchronized(results.last)
+      val clicks = last.filter(_.getString(1) == "click")
+      assert(clicks.map(_.getLong(2)).sum == 3L) // 2 in window0 + 1 in window1
+      val total = last.map(r => BigDecimal(r.getDouble(3))).sum
+      assert(total == BigDecimal(10.0))
+    } finally q.stop()
+  }
+}
