@@ -1,0 +1,73 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Distributive top-k per key.
+  *
+  * Spark's idiomatic `row_number().over(Window.partitionBy(key))` + filter
+  * shuffles EVERY row to the key's reducer before ranking. Top-k is
+  * distributive, so [[perKey]] first reduces each partition to its local
+  * top-k per key (bounded heaps, one pass), then runs the exact window on
+  * the survivors — the shuffle carries at most k·partitions rows per key
+  * instead of all of them. This is `TakeOrderedAndProject`'s trick,
+  * generalized per key (the operator Spark lacks; composed per the
+  * preference ladder: built-ins around a single `mapPartitions` kernel).
+  *
+  * Ordering is (score DESC, tie ASC) — the tie column makes the local and
+  * global orders total, so the result is IDENTICAL to the window-only
+  * plan (oracle-safe; pinned in TopKSpec).
+  *
+  * At 100 TB: the window-only plan shuffles the full candidate set (e.g.
+  * every query-candidate cosine pair); this plan shuffles ≤ k·P rows per
+  * key. Skewed keys stop mattering because the heap caps per-partition
+  * output.
+  */
+object TopK {
+
+  /** @param scoreCol DoubleType column ranked descending
+    * @param tieCol   LongType column breaking ties ascending */
+  def perKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      scoreCol: String,
+      tieCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val schema = df.schema
+    require(schema(scoreCol).dataType == DoubleType, s"$scoreCol must be double")
+    require(schema(tieCol).dataType == LongType, s"$tieCol must be bigint")
+    val keyIdx = keyCols.map(schema.fieldIndex).toArray
+    val scoreIdx = schema.fieldIndex(scoreCol)
+    val tieIdx = schema.fieldIndex(tieCol)
+
+    // "better" = smaller under keepOrdering; scala PriorityQueue is a
+    // max-heap, so ordering the heap BY keepOrdering puts the worst kept
+    // row at the head — exactly what eviction needs
+    val keepOrdering: Ordering[Row] = Ordering.by { r: Row =>
+      (-r.getDouble(scoreIdx), r.getLong(tieIdx))
+    }
+    val heapOrdering = keepOrdering
+
+    val pre = df.mapPartitions { it =>
+      val heaps = mutable.HashMap.empty[Seq[Any], mutable.PriorityQueue[Row]]
+      it.foreach { row =>
+        val key = keyIdx.map(row.get).toSeq
+        val heap = heaps.getOrElseUpdate(key,
+          mutable.PriorityQueue.empty[Row](heapOrdering))
+        if (heap.size < k) heap.enqueue(row)
+        else if (keepOrdering.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(Encoders.row(schema))
+
+    // exact global rank over the reduced set
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(desc(scoreCol), col(tieCol))
+    pre.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

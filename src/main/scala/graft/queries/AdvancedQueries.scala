@@ -85,8 +85,31 @@ object AdvancedQueries {
       |WHERE event_type = 'error'
       |ORDER BY event_id""".stripMargin
 
+  /** Exact interpolated percentiles. Restricted to the integer-valued
+    * quantity column so every interpolation lands on a dyadic rational —
+    * bit-identical across engines regardless of their interpolation
+    * formula's rounding. */
+  def q19Percentiles(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("lineitem")
+    LightFusion.sql(s, """SELECT l_returnflag,
+      | percentile(l_quantity, 0.25) AS p25,
+      | percentile(l_quantity, 0.5) AS p50,
+      | percentile(l_quantity, 0.9) AS p90,
+      | COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  def q19Sql: String =
+    """SELECT l_returnflag,
+      | quantile_cont(l_quantity, 0.25) AS p25,
+      | quantile_cont(l_quantity, 0.5) AS p50,
+      | quantile_cont(l_quantity, 0.9) AS p90,
+      | COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_sql_text_exists", q16SqlText _, q16Sql),
     ("q17_moving_avg", q17MovingAvg _, q17Sql),
-    ("q18_asof_join", q18AsofJoin _, q18Sql))
+    ("q18_asof_join", q18AsofJoin _, q18Sql),
+    ("q19_percentiles", q19Percentiles _, q19Sql))
 }

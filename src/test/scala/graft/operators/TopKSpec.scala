@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class TopKSpec extends AnyFunSuite with SparkTestBase {
+
+  test("perKey equals the window-only plan exactly (incl. tie handling)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // deliberate ties: scores drawn from a tiny set
+    val data = Seq.tabulate(5000) { i =>
+      (i % 17L, rng.nextInt(8).toDouble, i.toLong)
+    }
+    val df = data.toDF("key", "score", "id").repartition(8)
+
+    val fast = TopK.perKey(df, Seq("key"), "score", "id", k = 3)
+      .select("key", "score", "id", "rank")
+      .collect().map(_.toSeq).toSet
+
+    val w = Window.partitionBy("key").orderBy(desc("score"), col("id"))
+    val ref = df.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select("key", "score", "id", "rank")
+      .collect().map(_.toSeq).toSet
+
+    assert(fast == ref)
+  }
+
+  test("perKey over real scored pairs matches brute-force ranking") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        graft.LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
+    val fast = TopK.perKey(scored, Seq("q_id"), "cos", "n_id", k = 5)
+      .select("q_id", "rank", "n_id").collect().map(_.toSeq).toSet
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
+    val ref = scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select("q_id", "rank", "n_id").collect().map(_.toSeq).toSet
+    assert(fast == ref)
+  }
+}
