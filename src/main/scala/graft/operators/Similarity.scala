@@ -73,9 +73,10 @@ object Similarity {
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    // distributive top-k: local per-partition heaps reduce the shuffle to
+    // <= k rows per (query, partition) before the exact rank — identical
+    // output to a window-only plan (TopKSpec), scan-bound at 100 TB
+    TopK.perKey(scored, Seq("q_id"), "cos", "n_id", k)
       .select("q_id", "rank", "n_id", "cos")
       .orderBy("q_id", "rank")
   }
