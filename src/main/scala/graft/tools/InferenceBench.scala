@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.LightFusion
+
+/** Dev tool: single-node LightGBM inference throughput (rows/sec) through
+  * the registered UDF over synthetic 28-feature vectors. The reference's
+  * only published scale is its 500-row example TSV
+  * (`examples/lightfusion_tsv.rs:21`); this measures the same pipeline
+  * shape at arbitrary N. */
+object InferenceBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    LightFusion.ensureRegistered(spark)
+    LightFusion.sql(spark,
+      "CREATE FUNCTION bench_f(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM " +
+        "AS 'res:/models/multiclass_28f.lgbm'")
+    // deterministic synthetic features from the row id, all codegen
+    val df = spark.range(n).select(col("id"),
+      transform(sequence(lit(0), lit(27)),
+        i => (pmod(col("id") * (i + 7), lit(1000)) - 500).cast("double") / 100.0)
+        .as("features"))
+    // warmup
+    df.limit(10000).selectExpr("argmax(bench_f(features)) c").agg(sum("c")).collect()
+    val t0 = System.nanoTime()
+    val res = df.selectExpr("argmax(bench_f(features)) AS c")
+      .agg(count(lit(1)), sum("c")).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[inference] $n rows in $sec%.2fs = ${n / sec}%.0f rows/sec (local[8]); checksum=${res.head.getLong(1)}")
+    spark.stop()
+  }
+}
