@@ -354,6 +354,42 @@ object RelationalQueries {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q5-style local-supplier volume: six-table join where customer
+    * and supplier share a nation; the two fact joins shuffle, all four
+    * dimension joins broadcast. */
+  def q25LocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+        c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .where(col("r_name").isin("ASIA", "EUROPE"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(discPrice).cast("double").as("revenue"), count(lit(1)).as("cnt"))
+      .orderBy("r_name", "n_name")
+  }
+
+  def q25Sql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS cnt
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name IN ('ASIA', 'EUROPE')
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_revenue_by_nation", q02RevenueByNation _, q02Sql),
@@ -369,5 +405,6 @@ object RelationalQueries {
     ("q12_case_agg", q12CaseAgg _, q12Sql),
     ("q13_exists_semi_join", q13ExistsSemiJoin _, q13Sql),
     ("q14_distinct_agg", q14DistinctAgg _, q14Sql),
-    ("q15_above_nation_avg", q15AboveNationAvg _, q15Sql))
+    ("q15_above_nation_avg", q15AboveNationAvg _, q15Sql),
+    ("q25_local_supplier_volume", q25LocalSupplierVolume _, q25Sql))
 }
