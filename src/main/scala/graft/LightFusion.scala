@@ -69,44 +69,38 @@ object LightFusion {
     spark
   }
 
+  /** (name, usage, builder) for every graft native function — the single
+    * source consumed by both [[ensureRegistered]] and
+    * [[graft.plans.GraftExtensions]] so the two entry points can't drift. */
+  val functionDescriptors: Seq[(String, String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    ("argmax",
+      "argmax(array<numeric>) - 0-based index of the maximum element; NaN/null elements ignored; first max wins ties.",
+      es => { require(es.length == 1, "argmax takes exactly one argument"); ArgMax(es.head) }),
+    ("cosine_similarity",
+      "cosine_similarity(array<double>, array<double>) - fused single-pass cosine.",
+      es => { require(es.length == 2, "cosine_similarity takes two arguments")
+        CosineSimilarity(es.head, es(1)) }),
+    ("dot_product",
+      "dot_product(array<double>, array<double>) - fused dot product.",
+      es => { require(es.length == 2, "dot_product takes two arguments")
+        DotProduct(es.head, es(1)) }),
+    ("rolling_hash",
+      "rolling_hash(string) - 48-bit polynomial rolling hash fingerprint.",
+      es => { require(es.length == 1, "rolling_hash takes exactly one argument")
+        RollingHash(es.head) }),
+    ("sorted_intersect_count",
+      "sorted_intersect_count(array<string>, array<string>) - merge-count of sorted distinct arrays.",
+      es => { require(es.length == 2, "sorted_intersect_count takes two arguments")
+        graft.functions.SortedIntersectCount(es.head, es(1)) }))
+
   /** Idempotently register graft's native functions on any session —
     * including driver-built vanilla sessions (Verify/Bench). */
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
-    SparkShims.registerFunction(
-      spark, "argmax",
-      "argmax(array<numeric>) - 0-based index of the maximum element; NaN/null elements ignored; first max wins ties.",
-      { exprs =>
-        require(exprs.length == 1, "argmax takes exactly one argument")
-        ArgMax(exprs.head)
-      })
-    SparkShims.registerFunction(
-      spark, "cosine_similarity",
-      "cosine_similarity(array<double>, array<double>) - fused single-pass cosine.",
-      { exprs =>
-        require(exprs.length == 2, "cosine_similarity takes two arguments")
-        CosineSimilarity(exprs.head, exprs(1))
-      })
-    SparkShims.registerFunction(
-      spark, "dot_product",
-      "dot_product(array<double>, array<double>) - fused dot product.",
-      { exprs =>
-        require(exprs.length == 2, "dot_product takes two arguments")
-        DotProduct(exprs.head, exprs(1))
-      })
-    SparkShims.registerFunction(
-      spark, "rolling_hash",
-      "rolling_hash(string) - 48-bit polynomial rolling hash fingerprint.",
-      { exprs =>
-        require(exprs.length == 1, "rolling_hash takes exactly one argument")
-        RollingHash(exprs.head)
-      })
-    SparkShims.registerFunction(
-      spark, "sorted_intersect_count",
-      "sorted_intersect_count(array<string>, array<string>) - merge-count of sorted distinct arrays.",
-      { exprs =>
-        require(exprs.length == 2, "sorted_intersect_count takes two arguments")
-        graft.functions.SortedIntersectCount(exprs.head, exprs(1))
-      })
+    functionDescriptors.foreach { case (name, usage, builder) =>
+      SparkShims.registerFunction(spark, name, usage, builder)
+    }
     if (!spark.conf.getOption(BatchSizeKey).isDefined)
       spark.conf.set(BatchSizeKey, BatchSizeDefault.toString)
   }
@@ -148,6 +142,26 @@ object LightFusion {
   private val SetBatchSizeRe =
     """(?is)^\s*SET\s+lightfusion\.batch_size\s*(?:=\s*(.+?))?\s*;?\s*$""".r
 
+  /** Match `SET lightfusion.batch_size [= v]`: None = no match,
+    * Some(None) = bare echo form, Some(Some(v)) = assignment. Shared with
+    * the injected parser. */
+  def parseSetBatchSize(text: String): Option[Option[String]] = text match {
+    case SetBatchSizeRe(value) => Some(Option(value).map(_.trim))
+    case _ => None
+  }
+
+  /** Validate + apply a `SET lightfusion.batch_size = v` (parity with the
+    * reference's SET-time validation, `src/config.rs:30-43`). */
+  def setBatchSize(spark: SparkSession, raw: String): Unit = {
+    val v = raw.stripPrefix("'").stripSuffix("'")
+    val parsed = try v.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException("batch size not correct")
+    }
+    if (parsed <= 0) throw new IllegalArgumentException("batch size not correct")
+    spark.conf.set(BatchSizeKey, parsed.toString)
+  }
+
   /** The engine entry point: DDL pre-router over `spark.sql`.
     * Mirrors what the reference gets from DataFusion's `FunctionFactory`
     * hook + config extension; everything else falls through to Catalyst.
@@ -166,15 +180,7 @@ object LightFusion {
           // bare `SET lightfusion.batch_size` echoes the current value
           settings(spark).select("key", "value").where(col("key") === BatchSizeKey)
         } else {
-          val v = value.trim.stripPrefix("'").stripSuffix("'")
-          // parity with the reference's SET-time validation
-          // (`src/config.rs:30-43`): non-integer / non-positive rejected.
-          val parsed = try v.toInt catch {
-            case _: NumberFormatException =>
-              throw new IllegalArgumentException("batch size not correct")
-          }
-          if (parsed <= 0) throw new IllegalArgumentException("batch size not correct")
-          spark.conf.set(BatchSizeKey, parsed.toString)
+          setBatchSize(spark, value.trim)
           spark.emptyDataFrame
         }
       case other =>

@@ -19,7 +19,7 @@ final class MinHashKernel(numPerm: Int, bands: Int, rowsPerBand: Int, seed: Long
   private val MersennePrime = 2147483647L
   private val perms: Array[Long] = {
     val rng = new scala.util.Random(seed)
-    Array.fill(numPerm * 2)(0L).zipWithIndex.map { case (_, i) =>
+    Array.tabulate(numPerm * 2) { i =>
       if (i % 2 == 0) rng.nextInt(Int.MaxValue - 1).toLong + 1L
       else rng.nextInt(Int.MaxValue).toLong
     }

@@ -204,7 +204,10 @@ object Dedup {
       .where(col("a_doc") < col("b_doc"))
       .select(col("a_doc"), col("b_doc"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct shuffle: hamming is deterministic per
+      // pair, so this is result-identical and the dedup exchange only
+      // carries surviving pairs (the dominant saving on low-sim corpora)
       .where(col("hamming") <= maxDist)
+      .distinct()
   }
 }

@@ -45,11 +45,25 @@ object TopK {
     val scoreIdx = schema.fieldIndex(scoreCol)
     val tieIdx = schema.fieldIndex(tieCol)
 
-    // "better" = smaller under keepOrdering; scala PriorityQueue is a
-    // max-heap, so ordering the heap BY keepOrdering puts the worst kept
-    // row at the head — exactly what eviction needs
-    val keepOrdering: Ordering[Row] = Ordering.by { r: Row =>
-      (-r.getDouble(scoreIdx), r.getLong(tieIdx))
+    // "better" = smaller under keepOrdering. Must match the window plan's
+    // `desc(score), asc(tie)` TOTAL order exactly: NULLS LAST on desc,
+    // and NaN greater than any double (java.lang.Double.compare — Spark's
+    // double ordering), so heap and window agree on every input.
+    // Scala PriorityQueue is a max-heap, so ordering the heap BY
+    // keepOrdering puts the worst kept row at the head for eviction.
+    val keepOrdering: Ordering[Row] = new Ordering[Row] {
+      override def compare(a: Row, b: Row): Int = {
+        val an = a.isNullAt(scoreIdx)
+        val bn = b.isNullAt(scoreIdx)
+        if (an != bn) { if (an) 1 else -1 }
+        else {
+          val c =
+            if (an) 0
+            else java.lang.Double.compare(b.getDouble(scoreIdx), a.getDouble(scoreIdx))
+          if (c != 0) c
+          else java.lang.Long.compare(a.getLong(tieIdx), b.getLong(tieIdx))
+        }
+      }
     }
     val heapOrdering = keepOrdering
 

@@ -9,7 +9,6 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.LightFusion
-import graft.functions.{ArgMax, CosineSimilarity, DotProduct, RollingHash, SortedIntersectCount}
 
 /** The idiomatic-plugin packaging of the lightfusion layer: a
   * `SparkSessionExtensions` installer, so a stock deployment enables
@@ -29,33 +28,38 @@ import graft.functions.{ArgMax, CosineSimilarity, DotProduct, RollingHash, Sorte
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def fn(name: String, usage: String)(
-      builder: Seq[Expression] => Expression) =
-    (FunctionIdentifier(name), new ExpressionInfo("graft", null, name, usage, ""),
-      builder)
-
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
-    ext.injectFunction(fn("argmax",
-      "argmax(array<numeric>) - 0-based index of the maximum element.") { es =>
-      require(es.length == 1, "argmax takes exactly one argument"); ArgMax(es.head)
-    })
-    ext.injectFunction(fn("cosine_similarity",
-      "cosine_similarity(array<double>, array<double>) - fused cosine.") { es =>
-      require(es.length == 2); CosineSimilarity(es.head, es(1))
-    })
-    ext.injectFunction(fn("dot_product",
-      "dot_product(array<double>, array<double>) - fused dot product.") { es =>
-      require(es.length == 2); DotProduct(es.head, es(1))
-    })
-    ext.injectFunction(fn("rolling_hash",
-      "rolling_hash(string) - 48-bit polynomial fingerprint.") { es =>
-      require(es.length == 1); RollingHash(es.head)
-    })
-    ext.injectFunction(fn("sorted_intersect_count",
-      "sorted_intersect_count(array<string>, array<string>) - merge-count of sorted distinct arrays.") { es =>
-      require(es.length == 2); SortedIntersectCount(es.head, es(1))
-    })
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    // same descriptor list as LightFusion.ensureRegistered — one source,
+    // two installation paths
+    LightFusion.functionDescriptors.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""), builder))
+    }
+  }
+}
+
+/** Runs `SET lightfusion.batch_size [= v]` with reference-parity
+  * validation; the bare form echoes (key, value) like
+  * `df_settings`-backed SET echo. */
+case class SetLightFusionBatchSizeCommand(value: Option[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "key", org.apache.spark.sql.types.StringType, nullable = false)(),
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "value", org.apache.spark.sql.types.StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = value match {
+    case Some(v) =>
+      LightFusion.setBatchSize(spark, v)
+      Seq.empty
+    case None =>
+      Seq(Row(LightFusion.BatchSizeKey,
+        spark.conf.getOption(LightFusion.BatchSizeKey)
+          .getOrElse(LightFusion.BatchSizeDefault.toString)))
   }
 }
 
@@ -73,15 +77,29 @@ case class CreateLightGbmFunctionCommand(
   }
 }
 
-/** Delegating parser that intercepts `CREATE FUNCTION … LANGUAGE
-  * LIGHTGBM` and hands every other statement to the stock parser. */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+/** Delegating parser that intercepts the lightfusion statement surface —
+  * the LIGHTGBM DDL, `SET lightfusion.batch_size` (reference-parity
+  * validation the stock SetCommand would skip), and
+  * `information_schema.df_settings` introspection — and hands every other
+  * statement to the stock parser. */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
     LightFusion.parseCreateLightGbm(sqlText) match {
       case Some((name, args, ret, body)) =>
         CreateLightGbmFunctionCommand(name, args, ret, body)
-      case None => delegate.parsePlan(sqlText)
+      case None =>
+        LightFusion.parseSetBatchSize(sqlText) match {
+          case Some(valueOpt) => SetLightFusionBatchSizeCommand(valueOpt)
+          case None =>
+            if (sqlText.toLowerCase.contains("information_schema.df_settings")) {
+              LightFusion.settings(session)
+                .createOrReplaceTempView("graft_df_settings")
+              delegate.parsePlan(sqlText.replaceAll(
+                "(?i)information_schema\\.df_settings", "graft_df_settings"))
+            } else delegate.parsePlan(sqlText)
+        }
     }
 
   override def parseExpression(sqlText: String): Expression =

@@ -29,6 +29,24 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(fast == ref)
   }
 
+  test("perKey matches window plan on NaN and null scores (desc NULLS LAST, NaN first)") {
+    import spark.implicits._
+    val data: Seq[(Long, Option[Double], Long)] = Seq(
+      (1L, Some(1.0), 1L), (1L, Some(Double.NaN), 2L), (1L, None, 3L),
+      (1L, Some(5.0), 4L), (1L, Some(Double.NaN), 5L),
+      (2L, None, 6L), (2L, None, 7L), (2L, Some(0.0), 8L))
+    val df = data.toDF("key", "score", "id").repartition(4)
+    // NaN != NaN under ==, so normalize cells to strings for the compare
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.map(String.valueOf)).toSet
+    val fast = norm(TopK.perKey(df, Seq("key"), "score", "id", k = 3)
+      .select("key", "score", "id", "rank").collect())
+    val w = Window.partitionBy("key").orderBy(desc("score"), col("id"))
+    val ref = norm(df.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select("key", "score", "id", "rank").collect())
+    assert(fast == ref)
+  }
+
   test("perKey over real scored pairs matches brute-force ranking") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -54,6 +54,30 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("injected parser: SET lightfusion.batch_size validates and echoes via plain spark.sql") {
+    withExtSession { s2 =>
+      s2.sql("SET lightfusion.batch_size = 16")
+      val echo = s2.sql("SET lightfusion.batch_size").collect()
+      assert(echo.length == 1 && echo.head.getString(1) == "16")
+      val e = intercept[IllegalArgumentException](
+        s2.sql("SET lightfusion.batch_size = 0"))
+      assert(e.getMessage == "batch size not correct")
+      // ordinary SET statements still delegate to the stock command
+      s2.sql("SET spark.sql.shuffle.partitions = 7")
+      assert(s2.conf.get("spark.sql.shuffle.partitions") == "7")
+      s2.sql("SET lightfusion.batch_size = 1")
+    }
+  }
+
+  test("injected parser: information_schema.df_settings resolves via plain spark.sql") {
+    withExtSession { s2 =>
+      val rows = s2.sql(
+        "SELECT * FROM information_schema.df_settings WHERE key LIKE 'lightfusion%'")
+        .collect()
+      assert(rows.length == 1 && rows.head.getString(0) == "lightfusion.batch_size")
+    }
+  }
+
   test("GraftSqlParser routes only the LIGHTGBM DDL; parse errors still surface") {
     withExtSession { s2 =>
       val e = intercept[Exception](s2.sql("SELEC broken"))

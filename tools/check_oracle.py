@@ -14,11 +14,13 @@ from pathlib import Path
 
 import duckdb
 
-SFDIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") \
-    else "/root/testdata/sf0.01"
+_args = [a for a in sys.argv[1:] if not a.startswith("-")]
+if _args and Path(_args[0]).is_dir():
+    SFDIR, ONLY = _args[0], _args[1:]
+else:
+    SFDIR, ONLY = "/root/testdata/sf0.01", _args
 OUT = "/tmp/graft_verify"
 SKIP_VERIFY = "--skip-verify" in sys.argv
-ONLY = [a for a in sys.argv[2:] if not a.startswith("-")]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
