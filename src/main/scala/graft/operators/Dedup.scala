@@ -182,6 +182,41 @@ object Dedup {
       simhash(transform(array_distinct(words(col(textCol))), w => xxhash64(w)))
         .as("simhash"))
 
+  /** Connected components over an undirected near-dup pair list
+    * ((a_doc, b_doc) edges): every vertex gets `canonical_id` = the
+    * minimum doc_id in its component — the survivor its duplicates merge
+    * into. Min-label propagation: each round every vertex takes the min
+    * of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds (near-dup components are clique-ish,
+    * so 2-4 rounds in practice; `maxIter` bounds pathological chains).
+    *
+    * Scale shape: each round is one shuffle join edges⋈labels + one
+    * aggregation — the standard large-graph CC pattern (no driver-side
+    * adjacency, no recursion in the plan). Deterministic.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_doc").as("u"), col("b_doc").as("v"))
+      .union(pairs.select(col("b_doc").as("u"), col("a_doc").as("v")))
+      .distinct().cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("v") === labels("id"))
+        .groupBy("u").agg(min("label").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
+        .select(labels("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** Hamming-≤ maxDist pairs via the pigeonhole chunk join: distance ≤ 3
     * guarantees at least one of the 4 16-bit chunks is equal, so the pair
     * search is an equi-join on (chunk_idx, chunk_value) — no cross join. */

@@ -67,6 +67,28 @@ object PipelineQueries {
       |WHERE jaccard >= 0.9
       |ORDER BY a_doc, b_doc""".stripMargin
 
+  /** The end of the dedup pipeline: collapse near-dup pairs (J≥0.8
+    * trigram, via LSH) into components and emit each doc's canonical
+    * survivor. Oracle replays reachability with a recursive CTE. */
+  def q35DedupSurvivors(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text", threshold = 0.8))
+      .orderBy("doc_id")
+
+  def q35Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a_doc, b_doc FROM (
+       |    ${q31Sql.linesIterator.filterNot(_.startsWith("ORDER BY")).mkString("\n    ")}
+       |  ) z),
+       |edges AS (SELECT a_doc AS u, b_doc AS v FROM pairs
+       |          UNION SELECT b_doc, a_doc FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+       |SELECT u AS doc_id, MIN(v) AS canonical_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
   def q33SimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
       .orderBy("a_doc", "b_doc")
@@ -112,6 +134,7 @@ object PipelineQueries {
     ("q30_dedup_exact", q30DedupExact _, q30Sql),
     ("q31_dedup_minhash_lsh", q31DedupMinhash _, q31Sql),
     ("q32_dedup_jaccard_exact", q32DedupJaccardExact _, q32Sql),
+    ("q35_dedup_survivors", q35DedupSurvivors _, q35Sql),
     ("q33_simhash_pairs", q33SimhashPairs _, null),
     ("q34_dedup_embedding", q34DedupEmbedding _, q34Sql),
     ("q40_knn_bruteforce", q40KnnBruteForce _, q40Sql),

@@ -115,10 +115,35 @@ object TextQueries {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Corpus curation: the filter a training-data pipeline applies —
+    * keep docs above a quality bar with enough words; emits the kept ids
+    * plus the score so downstream stages can re-threshold. */
+  def q55QualityFilter(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.textStats(docs(s, dir), "doc_id", "text")
+      .where(col("quality") >= 0.48 && col("n_words") >= 20)
+      .select("doc_id", "n_words", "quality")
+      .orderBy("doc_id")
+
+  def q55Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+       |scored AS (
+       |  SELECT doc_id, len(ws) AS n_words,
+       |    0.4 * (len(list_distinct(ws))::DOUBLE / len(ws))
+       |      + 0.3 * least(len(ws)::DOUBLE / 100, 1.0)
+       |      + 0.2 * (len(list_filter(ws, w -> list_contains([$stopsEn], w)))::DOUBLE / len(ws))
+       |      + 0.1 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE / len(text))
+       |      AS quality
+       |  FROM base)
+       |SELECT doc_id, n_words, quality FROM scored
+       |WHERE quality >= 0.48 AND n_words >= 20
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q50_text_stats", q50TextStats _, q50Sql),
     ("q51_lang_id", q51LangId _, q51Sql),
     ("q52_fingerprint", q52Fingerprint _, q52Sql),
     ("q53_token_counts", q53TokenCounts _, q53Sql),
-    ("q54_source_stats", q54SourceStats _, q54Sql))
+    ("q54_source_stats", q54SourceStats _, q54Sql),
+    ("q55_quality_filter", q55QualityFilter _, q55Sql))
 }
