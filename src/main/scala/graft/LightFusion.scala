@@ -142,6 +142,9 @@ object LightFusion {
   private val SetBatchSizeRe =
     """(?is)^\s*SET\s+lightfusion\.batch_size\s*(?:=\s*(.+?))?\s*;?\s*$""".r
 
+  private val DropFunctionRe =
+    """(?is)^\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*$""".r
+
   /** Match `SET lightfusion.batch_size [= v]`: None = no match,
     * Some(None) = bare echo form, Some(Some(v)) = assignment. Shared with
     * the injected parser. */
@@ -183,6 +186,12 @@ object LightFusion {
           setBatchSize(spark, value.trim)
           spark.emptyDataFrame
         }
+      case DropFunctionRe(name) if registered.contains(name) =>
+        // the reference holds the model "untill function is dropped"
+        // (`src/lib.rs:64`): release the broadcast forest with the UDF
+        val rm = registered.remove(name)
+        rm.foreach(_.broadcast.unpersist(blocking = false))
+        spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $name")
       case other =>
         // `information_schema.df_settings` parity (`examples/lightfusion.rs:47-50`):
         // rewrite to a live temp view over the current session conf.

@@ -158,6 +158,41 @@ class LightFusionSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("DROP FUNCTION releases the model and the SQL name (src/lib.rs:64 parity)") {
+    LightFusion.sql(spark,
+      s"CREATE FUNCTION fdrop(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '${modelPath("multiclass_5c.lgbm")}'")
+    assert(LightFusion.registeredModel("fdrop").isDefined)
+    assert(LightFusion.sql(spark, "SELECT fdrop(array(0.1D,0.2D,0.3D,0.4D,0.5D)) p")
+      .head.getSeq[Double](0).length == 5)
+    LightFusion.sql(spark, "DROP FUNCTION fdrop")
+    assert(LightFusion.registeredModel("fdrop").isEmpty)
+    val e = intercept[Exception](
+      LightFusion.sql(spark, "SELECT fdrop(array(0.1D,0.2D,0.3D,0.4D,0.5D)) p").collect())
+    assert(e.getMessage.toLowerCase.contains("fdrop") ||
+      e.toString.toLowerCase.contains("unresolved"))
+  }
+
+  test("streaming inference: the registered UDF scores a readStream source") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    LightFusion.sql(spark,
+      s"CREATE FUNCTION fstream(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '${modelPath("multiclass_5c.lgbm")}'")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val scored = input.toDF().toDF("id", "features")
+      .selectExpr("id", "argmax(fstream(features)) AS cls")
+    val q = scored.writeStream.format("memory").queryName("stream_inf")
+      .outputMode("append").start()
+    try {
+      val rng = new scala.util.Random(5)
+      input.addData(Seq.tabulate(20)(i => (i.toLong, Seq.fill(5)(rng.nextGaussian()))): _*)
+      q.processAllAvailable()
+      val rows = spark.table("stream_inf").collect()
+      assert(rows.length == 20)
+      assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 5))
+    } finally q.stop()
+  }
+
   test("scalar literal argument broadcast (reference B10): literal array scored once per row") {
     LightFusion.sql(spark,
       s"CREATE FUNCTION flit(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '${modelPath("multiclass_28f.lgbm")}'")
