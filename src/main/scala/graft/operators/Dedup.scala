@@ -199,7 +199,7 @@ object Dedup {
       .union(pairs.select(col("b_doc").as("u"), col("a_doc").as("v")))
       .distinct().cache()
     var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
+      .withColumn("label", col("id")).cache()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -211,10 +211,16 @@ object Dedup {
         .cache()
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .where(col("label") =!= col("old")).count()
+      // `changed` materialized `next`; the previous round's cache can go
+      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+    val out = labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+      .localCheckpoint(eager = true)
+    labels.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
   }
 
   /** Hamming-≤ maxDist pairs via the pigeonhole chunk join: distance ≤ 3
