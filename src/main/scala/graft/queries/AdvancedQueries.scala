@@ -107,9 +107,95 @@ object AdvancedQueries {
       | COUNT(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** GROUP BY + HAVING (post-aggregation filter). */
+  def q26Having(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/part.parquet")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("p_retailprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .where(col("cnt") >= 30)
+      .orderBy("p_brand")
+
+  def q26Sql: String =
+    """SELECT p_brand, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM part
+      |GROUP BY p_brand
+      |HAVING COUNT(*) >= 30
+      |ORDER BY p_brand""".stripMargin
+
+  /** PIVOT: event counts per user decile, one column per event type. */
+  def q27Pivot(s: SparkSession, dir: String): DataFrame =
+    RelationalQueries.events(s, dir)
+      .withColumn("decile", (col("user_id") % 10).cast("int"))
+      .groupBy("decile")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .orderBy("decile")
+
+  def q27Sql: String =
+    """SELECT CAST(user_id % 10 AS INTEGER) AS decile,
+      |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+      |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+      |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** Uncorrelated scalar subquery in WHERE (global mean as the bar),
+    * submitted as SQL text; the decimal-exact mean keeps both engines on
+    * the same double. */
+  def q28ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("lineitem")
+    LightFusion.sql(s, q28Sql)
+  }
+
+  def q28Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_quantity > (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |                    FROM lineitem)
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q18-style large-volume orders: grouped-HAVING subquery feeding
+    * a join (IN on an aggregated set). */
+  def q29BigOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val o = s.read.parquet(s"$dir/orders.parquet")
+    val big = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("sum_qty"))
+      .where(col("sum_qty") > 200)
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"), col("o_totalprice"),
+        col("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  def q29Sql: String =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+      |  o_totalprice, sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey,
+      |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 200) b
+      |  ON o_orderkey = b.l_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_sql_text_exists", q16SqlText _, q16Sql),
     ("q17_moving_avg", q17MovingAvg _, q17Sql),
     ("q18_asof_join", q18AsofJoin _, q18Sql),
-    ("q19_percentiles", q19Percentiles _, q19Sql))
+    ("q19_percentiles", q19Percentiles _, q19Sql),
+    ("q26_having", q26Having _, q26Sql),
+    ("q27_pivot", q27Pivot _, q27Sql),
+    ("q28_scalar_subquery", q28ScalarSubquery _, q28Sql),
+    ("q29_big_orders", q29BigOrders _, q29Sql))
 }
