@@ -79,4 +79,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val orphans = SparkEntry.oracleSql.keySet -- qs
     assert(orphans.isEmpty, s"oracleSql without queries entry: $orphans")
   }
+
+  test("query names are unique across suites (toMap would silently drop dups)") {
+    val names = Seq(
+      queries.RelationalQueries.all, queries.AdvancedQueries.all,
+      queries.InferenceQueries.all, queries.PipelineQueries.all,
+      queries.TextQueries.all, queries.EventMediaQueries.all)
+      .flatten.map(_._1)
+    val dups = names.groupBy(identity).filter(_._2.length > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+    assert(names.length == SparkEntry.queries.size)
+  }
 }
