@@ -211,6 +211,21 @@ object LightFusion {
       .toDF("key", "value", "description")
   }
 
+  /** Registered-model introspection (the model-side sibling of
+    * [[settings]]): one row per live `CREATE FUNCTION … LIGHTGBM`
+    * registration with its frozen batch size and parsed-forest shape. */
+  def models(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    registered.values.toSeq.sortBy(_.name)
+      .map { rm =>
+        val m = rm.broadcast.value
+        (rm.name, rm.modelFile, rm.inputItemType.simpleString, rm.batchSize,
+          m.numClass, m.numFeatures, m.objective, m.trees.length)
+      }
+      .toDF("name", "model_file", "input_type", "batch_size",
+        "num_class", "num_features", "objective", "num_trees")
+  }
+
   /** Validated read of `lightfusion.batch_size` (read-time validation; the
     * reference validates at SET time, `src/config.rs:33-35` — ours guards
     * both paths so `spark.conf.set` can't smuggle a bad value). */

@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    ext.injectOptimizerRule(SortedIntersectRule)
     // same descriptor list as LightFusion.ensureRegistered — one source,
     // two installation paths
     LightFusion.functionDescriptors.foreach { case (name, usage, builder) =>

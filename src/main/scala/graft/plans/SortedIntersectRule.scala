@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, ArraySort, Size}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions.SortedIntersectCount
+
+/** Optimizer rule: `size(array_intersect(a, b))` where BOTH sides are
+  * provably ASC-sorted distinct arrays (an `array_sort(array_distinct(…))`
+  * subtree) rewrites to the O(n+m) allocation-free
+  * [[SortedIntersectCount]] merge kernel.
+  *
+  * The built-in pair builds a per-row hash set and materializes the
+  * intersection array just to count it — the dominant cost of
+  * exact-Jaccard verification over candidate-pair streams. Dedup calls
+  * the kernel explicitly; this rule gives the same win to anyone writing
+  * the naive form in SQL against pre-sorted columns, and completes the
+  * extension-point set (injectFunction + injectParser +
+  * injectOptimizerRule) installed by [[GraftExtensions]].
+  *
+  * Conservative by construction: it fires only when sortedness is
+  * visible in the expression tree (both inputs are `array_sort` calls
+  * with default ordering and non-null string elements), so it can never
+  * change results.
+  */
+case class SortedIntersectRule(spark: org.apache.spark.sql.SparkSession)
+    extends Rule[LogicalPlan] {
+
+  /** Sorted AND distinct AND null-free string array, visible in the tree:
+    * an `array_sort(array_distinct(x))` whose elements can't be null
+    * (array_intersect dedups its output, so distinctness is required for
+    * count equality; the merge kernel reads raw UTF8Strings, so null
+    * elements must be impossible). */
+  private def isSortedDistinctStringArray(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e match {
+      case ArraySort(inner: org.apache.spark.sql.catalyst.expressions.ArrayDistinct, _, _) =>
+        inner.dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, containsNull) => !containsNull
+          case _ => false
+        }
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Size(ArrayIntersect(a, b), legacy)
+          if !legacy && isSortedDistinctStringArray(a) && isSortedDistinctStringArray(b) =>
+        SortedIntersectCount(a, b)
+    }
+}

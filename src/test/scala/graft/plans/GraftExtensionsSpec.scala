@@ -78,6 +78,39 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("injected optimizer rule rewrites naive sorted intersect counts to the merge kernel") {
+    withExtSession { s2 =>
+      s2.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("d")
+      val sql =
+        """SELECT a.doc_id,
+          |  size(array_intersect(
+          |    array_sort(array_distinct(split(a.text, ' '))),
+          |    array_sort(array_distinct(split(b.text, ' '))))) AS c
+          |FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id""".stripMargin
+      val q = s2.sql(sql)
+      assert(q.queryExecution.optimizedPlan.toString.contains("sorted_intersect_count"),
+        s"rule must fire:\n${q.queryExecution.optimizedPlan}")
+      // results must equal the built-in path (shared session has no rule)
+      spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("d2")
+      val wantRows = spark.sql(sql.replace(" d a", " d2 a").replace(" d b", " d2 b"))
+        .collect().map(_.toSeq).toSet
+      assert(q.collect().map(_.toSeq).toSet == wantRows)
+    }
+  }
+
+  test("model introspection lists live registrations with forest shape") {
+    withExtSession { s2 =>
+      val path = getClass.getResource("/models/multiclass_5c.lgbm").getPath
+      s2.sql(s"CREATE FUNCTION introf(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '$path'")
+      val row = graft.LightFusion.models(s2)
+        .where(org.apache.spark.sql.functions.col("name") === "introf").head
+      assert(row.getAs[Int]("num_class") == 5)
+      assert(row.getAs[Int]("num_features") == 5)
+      assert(row.getAs[String]("objective") == "multiclass")
+      assert(row.getAs[Int]("num_trees") == 10)
+    }
+  }
+
   test("GraftSqlParser routes only the LIGHTGBM DDL; parse errors still surface") {
     withExtSession { s2 =>
       val e = intercept[Exception](s2.sql("SELEC broken"))
