@@ -114,6 +114,27 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize planning for image rows: aspect-preserving fit into a
+    * `maxW`×`maxH` box with pure integer arithmetic (no floating point,
+    * engine-exact): the binding dimension is chosen by comparing
+    * `w·maxH` vs `h·maxW`, the other side scales by the same integer
+    * ratio with floor. Metadata-only — the payload (and the actual pixel
+    * work, which lives in the batched decode stage) is untouched, so
+    * this plans a 100 TB resize pass without moving a byte. */
+  def resizeMeta(media: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame = {
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val widthBound = w * maxH >= h * maxW
+    val nw = when(w <= maxW && h <= maxH, w)
+      .otherwise(when(widthBound, lit(maxW)).otherwise(floor(w * maxH / h).cast("int")))
+    val nh = when(w <= maxW && h <= maxH, h)
+      .otherwise(when(widthBound, floor(h * maxW / w).cast("int")).otherwise(lit(maxH)))
+    media
+      .where(col("meta.media_type") === "image")
+      .select(col("media_id"), w.as("width"), h.as("height"),
+        nw.as("new_width"), nh.as("new_height"))
+  }
+
   /** Frame sampling for "video" rows: every `stride`-th frame index from
     * the metadata frame count — pure arithmetic on metadata, the payload
     * column is never touched (and so never shuffled). */

@@ -85,10 +85,33 @@ object EventMediaQueries {
       |WHERE doc_id % 3 = 2
       |ORDER BY media_id""".stripMargin
 
+  def q65Resize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeMeta(media(s, dir), maxW = 224, maxH = 224)
+      .orderBy("media_id")
+
+  def q65Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(n_chars % 640 + 16 AS INTEGER) AS width,
+      |  CAST(n_chars % 480 + 16 AS INTEGER) AS height,
+      |  CAST(CASE WHEN (n_chars % 640 + 16) <= 224 AND (n_chars % 480 + 16) <= 224
+      |            THEN n_chars % 640 + 16
+      |            WHEN (n_chars % 640 + 16) * 224 >= (n_chars % 480 + 16) * 224
+      |            THEN 224
+      |            ELSE ((n_chars % 640 + 16) * 224) // (n_chars % 480 + 16) END AS INTEGER) AS new_width,
+      |  CAST(CASE WHEN (n_chars % 640 + 16) <= 224 AND (n_chars % 480 + 16) <= 224
+      |            THEN n_chars % 480 + 16
+      |            WHEN (n_chars % 640 + 16) * 224 >= (n_chars % 480 + 16) * 224
+      |            THEN ((n_chars % 480 + 16) * 224) // (n_chars % 640 + 16)
+      |            ELSE 224 END AS INTEGER) AS new_height
+      |FROM documents
+      |WHERE doc_id % 3 = 0
+      |ORDER BY media_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q60_event_windows", q60EventWindows _, q60Sql),
     ("q61_sessionize", q61Sessionize _, q61Sql),
     ("q62_media_meta", q62MediaMeta _, q62Sql),
     ("q63_media_features", q63MediaFeatures _, null),
-    ("q64_frame_sample", q64FrameSample _, q64Sql))
+    ("q64_frame_sample", q64FrameSample _, q64Sql),
+    ("q65_resize", q65Resize _, q65Sql))
 }
