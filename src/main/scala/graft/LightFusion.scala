@@ -145,6 +145,13 @@ object LightFusion {
   private val DropFunctionRe =
     """(?is)^\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*$""".r
 
+  /** Match `DROP FUNCTION name` for a name currently LIGHTGBM-registered
+    * (shared with the injected parser). */
+  def parseDropLightGbm(text: String): Option[String] = text match {
+    case DropFunctionRe(name) if registered.contains(name.toLowerCase) => Some(name)
+    case _ => None
+  }
+
   /** Match `SET lightfusion.batch_size [= v]`: None = no match,
     * Some(None) = bare echo form, Some(Some(v)) = assignment. Shared with
     * the injected parser. */
@@ -186,12 +193,9 @@ object LightFusion {
           setBatchSize(spark, value.trim)
           spark.emptyDataFrame
         }
-      case DropFunctionRe(name) if registered.contains(name) =>
-        // the reference holds the model "untill function is dropped"
-        // (`src/lib.rs:64`): release the broadcast forest with the UDF
-        val rm = registered.remove(name)
-        rm.foreach(_.broadcast.unpersist(blocking = false))
-        spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $name")
+      case DropFunctionRe(name) if parseDropLightGbm(text).isDefined =>
+        dropFunction(spark, name)
+        spark.emptyDataFrame
       case other =>
         // `information_schema.df_settings` parity (`examples/lightfusion.rs:47-50`):
         // rewrite to a live temp view over the current session conf.
@@ -216,7 +220,11 @@ object LightFusion {
     * registration with its frozen batch size and parsed-forest shape. */
   def models(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    registered.values.toSeq.sortBy(_.name)
+    // the registry is process-global; show only names resolvable in THIS
+    // session so dropped / other-session functions don't appear callable
+    registered.values.toSeq
+      .filter(rm => SparkShims.functionExists(spark, rm.name))
+      .sortBy(_.name)
       .map { rm =>
         val m = rm.broadcast.value
         (rm.name, rm.modelFile, rm.inputItemType.simpleString, rm.batchSize,
@@ -249,9 +257,20 @@ object LightFusion {
       batchSize: Int,
       broadcast: Broadcast[LgbmModel])
 
+  /** Keyed by lower-cased name: SQL function names are case-insensitive. */
   private val registered = scala.collection.concurrent.TrieMap.empty[String, RegisteredModel]
 
-  def registeredModel(name: String): Option[RegisteredModel] = registered.get(name)
+  def registeredModel(name: String): Option[RegisteredModel] =
+    registered.get(name.toLowerCase)
+
+  /** Release a LIGHTGBM registration: unpersist the broadcast forest and
+    * drop the temp UDF (the reference holds the model "untill function is
+    * dropped", `src/lib.rs:64`). No-op on the registry if absent. */
+  def dropFunction(spark: SparkSession, name: String): Unit = {
+    registered.remove(name.toLowerCase)
+      .foreach(_.broadcast.unpersist(blocking = false))
+    spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $name")
+  }
 
   /** ≡ `LightfusionFunctionFactory::create` (`src/lib.rs:23-79`).
     *
@@ -336,7 +355,7 @@ object LightFusion {
     }
 
     val rm = RegisteredModel(name, modelFile, inputItem, bs, bc)
-    registered(name) = rm
+    registered(name.toLowerCase) = rm
     rm
   }
 

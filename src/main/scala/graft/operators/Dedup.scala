@@ -216,6 +216,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // silent non-convergence would hand out wrong canonical ids (a chain
+    // component longer than maxIter rounds) — fail loudly instead
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter for long-chain components")
     val out = labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
       .localCheckpoint(eager = true)
     labels.unpersist(blocking = false)

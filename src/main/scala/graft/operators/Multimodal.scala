@@ -122,8 +122,10 @@ object Multimodal {
     * work, which lives in the batched decode stage) is untouched, so
     * this plans a 100 TB resize pass without moving a byte. */
   def resizeMeta(media: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame = {
-    val w = col("meta.width")
-    val h = col("meta.height")
+    // long arithmetic: an unvalidated int width near Int.MaxValue would
+    // overflow `w * maxH` (ANSI mode would fail the whole job on one row)
+    val w = col("meta.width").cast("long")
+    val h = col("meta.height").cast("long")
     val widthBound = w * maxH >= h * maxW
     val nw = when(w <= maxW && h <= maxH, w)
       .otherwise(when(widthBound, lit(maxW)).otherwise(floor(w * maxH / h).cast("int")))
@@ -131,8 +133,8 @@ object Multimodal {
       .otherwise(when(widthBound, floor(h * maxW / w).cast("int")).otherwise(lit(maxH)))
     media
       .where(col("meta.media_type") === "image")
-      .select(col("media_id"), w.as("width"), h.as("height"),
-        nw.as("new_width"), nh.as("new_height"))
+      .select(col("media_id"), w.cast("int").as("width"), h.cast("int").as("height"),
+        nw.cast("int").as("new_width"), nh.cast("int").as("new_height"))
   }
 
   /** Frame sampling for "video" rows: every `stride`-th frame index from

@@ -64,6 +64,15 @@ case class SetLightFusionBatchSizeCommand(value: Option[String])
   }
 }
 
+/** Releases a LIGHTGBM registration (broadcast forest + temp UDF) on the
+  * plugin path, mirroring LightFusion.sql's DROP handling. */
+case class DropLightGbmFunctionCommand(name: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LightFusion.dropFunction(spark, name)
+    Seq.empty
+  }
+}
+
 /** Runs the DDL at execution time — the Spark analogue of DataFusion
   * returning `RegisterFunction::Scalar` from the factory. */
 case class CreateLightGbmFunctionCommand(
@@ -91,8 +100,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some((name, args, ret, body)) =>
         CreateLightGbmFunctionCommand(name, args, ret, body)
       case None =>
-        LightFusion.parseSetBatchSize(sqlText) match {
-          case Some(valueOpt) => SetLightFusionBatchSizeCommand(valueOpt)
+        LightFusion.parseSetBatchSize(sqlText)
+          .map[LogicalPlan](SetLightFusionBatchSizeCommand)
+          .orElse(LightFusion.parseDropLightGbm(sqlText)
+            .map[LogicalPlan](DropLightGbmFunctionCommand)) match {
+          case Some(cmd) => cmd
           case None =>
             if (sqlText.toLowerCase.contains("information_schema.df_settings")) {
               LightFusion.settings(session)

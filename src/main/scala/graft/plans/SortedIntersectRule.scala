@@ -32,10 +32,35 @@ case class SortedIntersectRule(spark: org.apache.spark.sql.SparkSession)
     * (array_intersect dedups its output, so distinctness is required for
     * count equality; the merge kernel reads raw UTF8Strings, so null
     * elements must be impossible). */
+  /** The analyzed comparator carries resolved lambda-variable ids
+    * (`left#12`) while `ArraySort.defaultComparator` holds unresolved ones
+    * (`'left`), so neither == nor semanticEquals matches; normalizing
+    * away ids and quotes compares the structure itself. */
+  private def normalized(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+    e.toString.replaceAll("#\\d+", "").replace("'", "")
+
+  private lazy val defaultComparatorShape = normalized(ArraySort.defaultComparator)
+
+  /** What the default comparator optimizes to when the optimizer has
+    * proven the elements non-null (the isnull branches fold away). */
+  private val simplifiedAscShape =
+    "lambdafunction(if ((lambda left < lambda right)) -1 else " +
+      "if ((lambda left > lambda right)) 1 else 0, lambda left, lambda right, false)"
+
+  private def isDefaultAscComparator(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    val n = normalized(c)
+    n == defaultComparatorShape || n == simplifiedAscShape
+  }
+
   private def isSortedDistinctStringArray(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
     e match {
-      case ArraySort(inner: org.apache.spark.sql.catalyst.expressions.ArrayDistinct, _, _) =>
+      case ArraySort(inner: org.apache.spark.sql.catalyst.expressions.ArrayDistinct,
+          comparator, _)
+          // a custom comparator (e.g. descending) would break the ASC
+          // merge: fire only on array_sort's default ordering
+          if isDefaultAscComparator(comparator) =>
         inner.dataType match {
           case org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.StringType, containsNull) => !containsNull

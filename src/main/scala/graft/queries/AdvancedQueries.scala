@@ -126,13 +126,18 @@ object AdvancedQueries {
       |ORDER BY p_brand""".stripMargin
 
   /** PIVOT: event counts per user decile, one column per event type. */
-  def q27Pivot(s: SparkSession, dir: String): DataFrame =
-    RelationalQueries.events(s, dir)
+  def q27Pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = RelationalQueries.events(s, dir)
       .withColumn("decile", (col("user_id") % 10).cast("int"))
       .groupBy("decile")
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .pivot("event_type", types)
       .agg(count(lit(1)))
+    // empty pivot cells are NULL in Spark but 0 in the oracle's
+    // SUM(CASE ...) — normalize
+    pivoted.select(col("decile") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
       .orderBy("decile")
+  }
 
   def q27Sql: String =
     """SELECT CAST(user_id % 10 AS INTEGER) AS decile,

@@ -98,6 +98,34 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("optimizer rule does NOT fire on a custom (descending) comparator") {
+    withExtSession { s2 =>
+      s2.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("dneg")
+      val q = s2.sql(
+        """SELECT size(array_intersect(
+          |  array_sort(array_distinct(split(a.text, ' ')),
+          |    (l, r) -> CASE WHEN l < r THEN 1 WHEN l > r THEN -1 ELSE 0 END),
+          |  array_sort(array_distinct(split(b.text, ' ')),
+          |    (l, r) -> CASE WHEN l < r THEN 1 WHEN l > r THEN -1 ELSE 0 END))) AS c
+          |FROM dneg a JOIN dneg b ON a.doc_id + 1 = b.doc_id""".stripMargin)
+      assert(!q.queryExecution.optimizedPlan.toString.contains("sorted_intersect_count"),
+        "rule must not rewrite non-ASC-sorted inputs")
+      assert(q.collect().nonEmpty)
+    }
+  }
+
+  test("injected parser: DROP FUNCTION releases the registration on the plugin path") {
+    withExtSession { s2 =>
+      val path = getClass.getResource("/models/multiclass_5c.lgbm").getPath
+      s2.sql(s"CREATE FUNCTION ExtDrop(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '$path'")
+      assert(graft.LightFusion.registeredModel("extdrop").isDefined)
+      s2.sql("DROP FUNCTION extdrop") // case-insensitive like Spark itself
+      assert(graft.LightFusion.registeredModel("ExtDrop").isEmpty)
+      assert(graft.LightFusion.models(s2)
+        .where(org.apache.spark.sql.functions.col("name") === "ExtDrop").count() == 0)
+    }
+  }
+
   test("model introspection lists live registrations with forest shape") {
     withExtSession { s2 =>
       val path = getClass.getResource("/models/multiclass_5c.lgbm").getPath
