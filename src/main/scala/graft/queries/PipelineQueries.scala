@@ -109,6 +109,32 @@ object PipelineQueries {
 
   // --- similarity search --------------------------------------------------
 
+  /** Deterministic train/val/test split by content hash — the stable-split
+    * primitive a training pipeline needs (adding or removing OTHER rows
+    * never reassigns a document, unlike seeded random sampling which
+    * depends on partitioning). Bucket = first 8 hex digits of
+    * md5(doc_id) mod 100: 80/10/10. */
+  def q36StableSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("bucket",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
+  def q36Sql: String =
+    """SELECT doc_id,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS INTEGER) AS bucket,
+      |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 80 THEN 'train'
+      |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   def q40KnnBruteForce(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(s, dir, numQueries = 10, k = 5)
 
@@ -135,6 +161,7 @@ object PipelineQueries {
     ("q31_dedup_minhash_lsh", q31DedupMinhash _, q31Sql),
     ("q32_dedup_jaccard_exact", q32DedupJaccardExact _, q32Sql),
     ("q35_dedup_survivors", q35DedupSurvivors _, q35Sql),
+    ("q36_stable_split", q36StableSplit _, q36Sql),
     ("q33_simhash_pairs", q33SimhashPairs _, null),
     ("q34_dedup_embedding", q34DedupEmbedding _, q34Sql),
     ("q40_knn_bruteforce", q40KnnBruteForce _, q40Sql),
