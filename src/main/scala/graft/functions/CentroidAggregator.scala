@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF: running mean of fixed-dimension vectors (per-label
+  * embedding centroids — the building block for IVF coarse quantizers and
+  * label prototypes).
+  *
+  * Implemented on the `Aggregator` API (the typed UDAF surface the
+  * reference never needs — `RegisterFunction` is always `Scalar`,
+  * `src/lib.rs:77` — but a complete Spark engine exposes): the buffer is
+  * (sum[dim], count), merge is element-wise — associative and commutative,
+  * so Spark's partial aggregation applies and the shuffle carries one
+  * buffer per group per partition, not the vectors themselves.
+  */
+class CentroidAggregator(dim: Int)
+    extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
+
+  override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+
+  override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+    if (v == null || v.length != dim) b
+    else {
+      var i = 0
+      while (i < dim) { b._1(i) += v(i); i += 1 }
+      (b._1, b._2 + 1)
+    }
+  }
+
+  override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+    var i = 0
+    while (i < dim) { a._1(i) += b._1(i); i += 1 }
+    (a._1, a._2 + b._2)
+  }
+
+  override def finish(r: (Array[Double], Long)): Seq[Double] =
+    if (r._2 == 0) null
+    else r._1.map(_ / r._2).toSeq
+
+  override def bufferEncoder: Encoder[(Array[Double], Long)] =
+    Encoders.tuple(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]](),
+      Encoders.scalaLong)
+
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class CentroidAggregatorSpec extends AnyFunSuite with SparkTestBase {
+
+  test("per-label centroids via typed Aggregator match posexplode groupBy path") {
+    val agg = udaf(new CentroidAggregator(64))
+    spark.udf.register("centroid64", agg)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+    val typed = e.groupBy("label").agg(agg(col("v")).as("centroid"))
+      .orderBy("label").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+
+    val ref = e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(avg("x").as("m"))
+      .groupBy("label").agg(
+        array_sort(collect_list(struct(col("dim"), col("m")))).as("ms"))
+      .select(col("label"), expr("transform(ms, s -> s.m)").as("centroid"))
+      .orderBy("label").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+
+    assert(typed.map(_._1).toSeq == ref.map(_._1).toSeq)
+    typed.zip(ref).foreach { case ((_, a), (_, b)) =>
+      assert(a.length == 64 && b.length == 64)
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+
+  test("empty group yields null, wrong-dim vectors are skipped") {
+    import spark.implicits._
+    val agg = udaf(new CentroidAggregator(3))
+    val df = Seq(
+      (1, Seq(1.0, 2.0, 3.0)), (1, Seq(3.0, 4.0, 5.0)),
+      (2, Seq(1.0)), // wrong dim: skipped -> group empty
+      (3, null.asInstanceOf[Seq[Double]]))
+      .toDF("k", "v")
+    val out = df.groupBy("k").agg(agg(col("v")).as("c")).orderBy("k").collect()
+    assert(out(0).getSeq[Double](1) == Seq(2.0, 3.0, 4.0))
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+  }
+}
