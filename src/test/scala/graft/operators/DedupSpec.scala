@@ -76,6 +76,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(cmp.where(!(col("fast") <=> col("ref"))).count() == 0)
   }
 
+  test("connectedComponents: driver union-find equals distributed propagation") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaCluster = Dedup.connectedComponents(pairs, driverThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDriver.nonEmpty && viaDriver == viaCluster)
+    // canonical id is the component minimum: canonical <= member, and the
+    // canonical maps to itself
+    viaDriver.foreach { case (id, c) => assert(c <= id) }
+    val canon = viaDriver.map(_._2)
+    canon.foreach(c => assert(viaDriver.contains((c, c))))
+  }
+
   test("exact dedup groups: sum of group sizes equals row count") {
     val g = graft.queries.PipelineQueries.q30DedupExact(spark, sfDir)
     assert(g.agg(sum("n_dups")).head.getLong(0) == docs.count())
