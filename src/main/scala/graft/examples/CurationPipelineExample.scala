@@ -1,0 +1,78 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.LightFusion
+import graft.operators.{Dedup, TextAnalysis}
+
+/** The whole training-data curation story, end to end, from the building
+  * blocks in graft.operators — runnable at any scale factor:
+  *
+  *   documents
+  *     → quality + length filter            (TextAnalysis.textStats)
+  *     → language filter                    (TextAnalysis.langId)
+  *     → exact dedup                        (digest groupBy, min survivor)
+  *     → near-dup collapse                  (MinHash-LSH pairs →
+  *                                           connectedComponents survivors)
+  *     → stable train/val/test assignment   (content-hash buckets)
+  *     → partitioned parquet, one dir per split
+  *
+  * Every stage is a DataFrame transform — the pipeline is one lazy plan
+  * until the final write, so Catalyst fuses the scans and the corpus is
+  * read once. At 100 TB nothing here changes but the cluster size.
+  */
+object CurationPipelineExample {
+
+  def run(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // 1. quality + length gate
+    val quality = TextAnalysis.textStats(docs, "doc_id", "text")
+      .where(col("quality") >= 0.45 && col("n_words") >= 10)
+      .select("doc_id")
+
+    // 2. language gate (keep docs whose predicted language is en/de/fr/es)
+    val lang = TextAnalysis.langId(docs, "doc_id", "text")
+      .where(col("pred_lang").isin("en", "de", "fr", "es"))
+      .select("doc_id")
+
+    // 3. exact dedup: canonical survivor per digest
+    val exactKept = docs
+      .groupBy(md5(col("text").cast("binary")).as("digest"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+
+    // 4. near-dup collapse: survivors of J>=0.8 components
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+    val merged = Dedup.connectedComponents(pairs)
+      .where(col("doc_id") =!= col("canonical_id"))
+      .select("doc_id") // non-canonical members get dropped
+
+    val kept = docs
+      .join(quality, "doc_id").join(lang, "doc_id").join(exactKept, "doc_id")
+      .join(merged, Seq("doc_id"), "left_anti")
+
+    // 5. stable split + partitioned write
+    val split = kept.withColumn("split",
+      when((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100) < 80, "train")
+        .when((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100) < 90, "val")
+        .otherwise("test"))
+    split.write.mode("overwrite").partitionBy("split").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_curated").toString)
+    val spark = LightFusion.session("local[8]")
+    spark.sparkContext.setLogLevel("WARN")
+    val result = run(spark, dir, out)
+    result.groupBy("split").agg(count(lit(1)).as("docs")).orderBy("split").show()
+    println(s"curated corpus written to $out")
+    spark.stop()
+  }
+}

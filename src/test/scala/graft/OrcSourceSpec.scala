@@ -1,0 +1,27 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ORC source/sink round-trip with predicate pushdown — the remaining
+  * columnar format next to parquet. */
+class OrcSourceSpec extends AnyFunSuite with SparkTestBase {
+
+  test("orc write/read round-trips lineitem and pushes filters") {
+    val out = Files.createTempDirectory("graft_orc").toString + "/li"
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    li.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() == li.count())
+    val filtered = back.where(col("l_quantity") > 45)
+    val plan = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      s"expected ORC pushdown:\n$plan")
+    assert(filtered.count() ==
+      li.where(col("l_quantity") > 45).count())
+  }
+}

@@ -1,0 +1,37 @@
+package graft.examples
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.Dedup
+
+class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  test("curation pipeline: filters compose, survivors unique, splits partitioned") {
+    val out = Files.createTempDirectory("graft_curated_test").toString
+    val result = CurationPipelineExample.run(spark, sfDir, out).cache()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    val n = result.count()
+    assert(n > 0 && n < docs.count(), "pipeline must keep a strict subset")
+
+    // hive layout: one dir per split
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("split=")))
+
+    // no two kept docs may be near-duplicates of each other
+    val keptPairs = Dedup.minhashPairs(
+      result.select("doc_id", "text"), "doc_id", "text", threshold = 0.8).count()
+    assert(keptPairs == 0, "near-dup survivors must not contain residual pairs")
+
+    // split assignment is a pure function of doc_id (stable)
+    val again = CurationPipelineExample.run(spark, sfDir,
+      Files.createTempDirectory("graft_curated_test2").toString)
+    val a = result.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = again.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+}
