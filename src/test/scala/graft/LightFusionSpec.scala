@@ -158,6 +158,21 @@ class LightFusionSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("categorical-split model scores through the full SQL stack") {
+    LightFusion.sql(spark,
+      s"CREATE FUNCTION fcat(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '${modelPath("cat_missing.lgbm")}'")
+    val model = LgbmModel.parseResource("/models/cat_missing.lgbm")
+    // categorical feature values hit the bitset membership path; NaN hits
+    // the missing branch — compare SQL results against the direct scorer
+    for (xs <- Seq(Array(2.0, 1.0), Array(37.0, -1.0), Array(Double.NaN, 0.5))) {
+      val lits = xs.map(v =>
+        if (v.isNaN) "cast('NaN' as double)" else s"${v}D").mkString(", ")
+      val got = LightFusion.sql(spark, s"SELECT fcat(array($lits)) AS p")
+        .head.getSeq[Double](0)
+      assert(got == model.predict(xs).toSeq, s"input ${xs.toSeq}")
+    }
+  }
+
   test("DROP FUNCTION releases the model and the SQL name (src/lib.rs:64 parity)") {
     LightFusion.sql(spark,
       s"CREATE FUNCTION fdrop(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM AS '${modelPath("multiclass_5c.lgbm")}'")
