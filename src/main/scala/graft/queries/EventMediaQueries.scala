@@ -68,18 +68,25 @@ object EventMediaQueries {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
+  /** Array outputs are flattened to CSV strings for the driver's row
+    * sorter/hasher (pandas can't order ndarray cells); the operator API
+    * (`Multimodal.decodeFeatures`) still returns real arrays. */
   def q63MediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(media(s, dir), batchSize = 32)
+      .withColumn("features", concat_ws(",", col("features").cast("array<string>")))
       .orderBy("media_id")
 
   def q64FrameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(media(s, dir), stride = 10)
+      .withColumn("frame_ids", concat_ws(",", col("frame_ids").cast("array<string>")))
       .orderBy("media_id")
 
+  /** DuckDB `range(a,b,step)` (end-exclusive) == Spark
+    * `sequence(a,b-1,step)` (end-inclusive); both stringify ints bare. */
   def q64Sql: String =
     """SELECT doc_id AS media_id,
       |  CAST(n_chars % 300 + 1 AS INTEGER) AS n_frames,
-      |  range(0, CAST(n_chars % 300 + 1 AS INTEGER), 10) AS frame_ids,
+      |  array_to_string(range(0, CAST(n_chars % 300 + 1 AS INTEGER), 10), ',') AS frame_ids,
       |  len(range(0, CAST(n_chars % 300 + 1 AS INTEGER), 10)) AS n_sampled
       |FROM documents
       |WHERE doc_id % 3 = 2

@@ -107,8 +107,8 @@ object TextQueries {
 
   def q54Sql: String =
     s"""SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
-       |  SUM(len(string_split(text,' '))) AS total_words,
-       |  SUM(len(list_filter(string_split(text,' '), w -> list_contains([$stopsEn], w)))) AS total_stops,
+       |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_words,
+       |  CAST(SUM(len(list_filter(string_split(text,' '), w -> list_contains([$stopsEn], w)))) AS BIGINT) AS total_stops,
        |  SUM(len(list_filter(string_split(text,' '), w -> list_contains([$stopsEn], w))))::DOUBLE
        |    / SUM(len(string_split(text,' '))) AS stop_ratio
        |FROM documents

@@ -73,4 +73,42 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .select("vec_id", "label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     rows.foreach(r => assert(e(r.getLong(0)) == e(r.getLong(1))))
   }
+
+  test("exact chunk-grid pairs (C>1) equal the plain label-blocked join") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+    // chunkTarget=40 forces C>1 on 50-row labels; result must be identical
+    val grid = Similarity.nearDupPairsExact(emb, 0.35, chunkTarget = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = Similarity.nearDupPairsExact(emb, 0.35, chunkTarget = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grid == plain, "grid partitioning must not change the exact pair set")
+    assert(grid.nonEmpty)
+  }
+
+  test("banded near-dup path equals exact at a genuine near-dup threshold") {
+    import spark.implicits._
+    // plant near-duplicates: each original + a slightly perturbed copy
+    // (deterministic noise, cos ≈ 0.999) — the regime the banded path is for
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    val rng = new scala.util.Random(7)
+    val dups = base.map { case (id, lab, v) =>
+      (id + 100000L, lab, v.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val emb = spark.createDataFrame((base ++ dups).toSeq)
+      .toDF("vec_id", "label", "embedding")
+    val banded = Similarity.nearDupPairsBanded(emb, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.nearDupPairsExact(emb, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= base.length, "every planted dup pair must qualify")
+    assert(banded == exact,
+      s"banded recall ${((banded & exact).size.toDouble / exact.size)} at cos>=0.9")
+    // default dispatch: high threshold routes to the banded path
+    val dispatched = Similarity.nearDupPairsOn(emb, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dispatched == banded)
+  }
 }

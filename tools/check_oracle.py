@@ -51,6 +51,28 @@ def canon(rows, cols):
     return [c.lower() for c in sorted(cols)], out
 
 
+def type_class(t):
+    """Pandas-compatibility class of a DuckDB type: types in the same
+    class coerce to the same pandas dtype in the driver's hasher; types in
+    different classes (e.g. HUGEINT vs BIGINT — the round-1 q09/q12/q27/
+    q54 failure) hash differently even when values are equal."""
+    t = str(t).upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+        return "float"  # duckdb .df() coerces DECIMAL to float64 (q20/q23 pass)
+    if t in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+        return "bigwidth"  # pandas object/float128 — never matches int64
+    return t
+
+
+def types_of(rel, cols):
+    by_name = dict(zip([c.lower() for c in rel.columns],
+                       [type_class(t) for t in rel.types]))
+    return [by_name[c] for c in cols]
+
+
 def main():
     if not SKIP_VERIFY:
         r = subprocess.run(
@@ -83,8 +105,14 @@ def main():
             print(f"FAIL  {name}: {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        s_types = types_of(spark_rel, s_cols)
+        d_types = types_of(duck_rel, d_cols)
         if s_cols != d_cols:
             print(f"FAIL  {name}: columns spark={s_cols} duck={d_cols}")
+            n_fail += 1
+        elif s_types != d_types:
+            diff = [(c, a, b) for c, a, b in zip(s_cols, s_types, d_types) if a != b]
+            print(f"FAIL  {name}: type drift (driver hash would differ): {diff}")
             n_fail += 1
         elif s_rows != d_rows:
             msg = f"rows spark={len(s_rows)} duck={len(d_rows)}"
