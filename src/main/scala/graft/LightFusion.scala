@@ -355,7 +355,11 @@ object LightFusion {
     }
 
     val rm = RegisteredModel(name, modelFile, inputItem, bs, bc)
-    registered(name.toLowerCase) = rm
+    // CREATE OR REPLACE: release the forest the previous registration
+    // broadcast (mirrors dropFunction) so repeated model replacement
+    // doesn't accumulate executor/driver copies
+    registered.put(name.toLowerCase, rm)
+      .foreach(_.broadcast.unpersist(blocking = false))
     rm
   }
 

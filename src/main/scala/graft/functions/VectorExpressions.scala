@@ -14,8 +14,8 @@ import org.apache.spark.sql.types._
   * returns `dot / (sqrt(na) * sqrt(nb))` — the accumulation order is
   * sequential left-to-right so the result is bit-reproducible (and the
   * DuckDB oracle re-expresses the same left-associated sum). Null when
-  * either side is null, lengths differ, either vector is empty, or a norm
-  * is zero.
+  * either side is null, lengths differ, either vector is empty, any
+  * element is null, or a norm is zero.
   *
   * A native codegen expression rather than a UDF so embedding similarity
   * stays inside whole-stage codegen: at 100 TB the similarity kernel is
@@ -52,6 +52,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // null element → null output (same posture as ArgMax and the
+      // documented UDF deviation), not a silent 0.0
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       val x = xs.getDouble(i); val y = ys.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -70,6 +73,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val nb = ctx.freshName("nb")
     val x = ctx.freshName("x")
     val y = ctx.freshName("y")
+    val nullElem = ctx.freshName("nullElem")
     val code =
       code"""
         ${leftGen.code}
@@ -80,12 +84,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
           int $n = ${leftGen.value}.numElements();
           if ($n > 0 && $n == ${rightGen.value}.numElements()) {
             double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+            boolean $nullElem = false;
             for (int $i = 0; $i < $n; $i++) {
+              if (${leftGen.value}.isNullAt($i) || ${rightGen.value}.isNullAt($i)) {
+                $nullElem = true; break;
+              }
               double $x = ${leftGen.value}.getDouble($i);
               double $y = ${rightGen.value}.getDouble($i);
               $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
             }
-            if ($na != 0.0 && $nb != 0.0) {
+            if (!$nullElem && $na != 0.0 && $nb != 0.0) {
               ${ev.isNull} = false;
               ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
             }
@@ -131,7 +139,12 @@ case class DotProduct(left: Expression, right: Expression)
     if (n != ys.numElements()) return null
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += xs.getDouble(i) * ys.getDouble(i); i += 1 }
+    while (i < n) {
+      // null element → null output (matches CosineSimilarity/ArgMax)
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      dot += xs.getDouble(i) * ys.getDouble(i)
+      i += 1
+    }
     dot
   }
 
@@ -141,6 +154,7 @@ case class DotProduct(left: Expression, right: Expression)
     val n = ctx.freshName("n")
     val i = ctx.freshName("i")
     val dot = ctx.freshName("dot")
+    val nullElem = ctx.freshName("nullElem")
     val code =
       code"""
         ${leftGen.code}
@@ -151,11 +165,17 @@ case class DotProduct(left: Expression, right: Expression)
           int $n = ${leftGen.value}.numElements();
           if ($n == ${rightGen.value}.numElements()) {
             double $dot = 0.0;
+            boolean $nullElem = false;
             for (int $i = 0; $i < $n; $i++) {
+              if (${leftGen.value}.isNullAt($i) || ${rightGen.value}.isNullAt($i)) {
+                $nullElem = true; break;
+              }
               $dot += ${leftGen.value}.getDouble($i) * ${rightGen.value}.getDouble($i);
             }
-            ${ev.isNull} = false;
-            ${ev.value} = $dot;
+            if (!$nullElem) {
+              ${ev.isNull} = false;
+              ${ev.value} = $dot;
+            }
           }
         }
       """

@@ -61,7 +61,14 @@ object TopK {
             if (an) 0
             else java.lang.Double.compare(b.getDouble(scoreIdx), a.getDouble(scoreIdx))
           if (c != 0) c
-          else java.lang.Long.compare(a.getLong(tieIdx), b.getLong(tieIdx))
+          else {
+            // asc nulls-first, matching the window plan's `col(tie)` order
+            val atn = a.isNullAt(tieIdx)
+            val btn = b.isNullAt(tieIdx)
+            if (atn != btn) { if (atn) -1 else 1 }
+            else if (atn) 0
+            else java.lang.Long.compare(a.getLong(tieIdx), b.getLong(tieIdx))
+          }
         }
       }
     }

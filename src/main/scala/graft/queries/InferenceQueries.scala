@@ -104,9 +104,73 @@ object InferenceQueries {
 
   def q23Sql: String = q20Sql
 
+  /** Absolute path so the driver's DuckDB replay resolves it regardless of
+    * cwd; tests resolve the same fixture from the classpath. */
+  private def tsvPath: String = {
+    val res = getClass.getResource("/multiclass.test")
+    if (res != null) res.getPath else "/root/repo/src/test/resources/multiclass.test"
+  }
+
+  /** The reference's flagship pipeline, end-to-end and verbatim
+    * (`/root/reference/examples/lightfusion_tsv.rs:20-65`): SET batch
+    * size, CREATE FUNCTION over the 28-feature 5-class forest, external
+    * header-less TSV table `m` with DataFusion column names, then
+    * `SELECT column_1 AS label, argmax(f0([column_2..column_29])) AS
+    * inferred FROM m` — all through the SQL entry path. */
+  def q24TsvPipeline(s: SparkSession, dir: String): DataFrame = {
+    LightFusion.sql(s, "SET lightfusion.batch_size = 1")
+    if (LightFusion.registeredModel("f0").isEmpty ||
+        !org.apache.spark.sql.graft.SparkShims.functionExists(s, "f0"))
+      LightFusion.sql(s,
+        "CREATE FUNCTION f0(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM" +
+          " AS 'res:/models/multiclass_28f.lgbm'")
+    LightFusion.readTsv(s, tsvPath).createOrReplaceTempView("m")
+    val features = (2 to 29).map(i => s"column_$i").mkString(",\n      ")
+    LightFusion.sql(s,
+      s"""SELECT column_1 AS label,
+         |argmax(
+         |    f0(
+         |        array(
+         |      $features
+         |        )
+         |    )
+         |) AS inferred
+         | FROM m ORDER BY label, inferred""".stripMargin)
+  }
+
+  /** CASE-replay of multiclass_28f.lgbm: class k = tree k + tree k+5
+    * (num_tree_per_iteration=5); softmax is monotone (equal raw scores →
+    * equal probabilities), so the first-max-wins >=-chain equals
+    * argmax(softmax(s)). Feature j (0-based) is TSV column_{j+2}; all
+    * leaf values are dyadic rationals, so sums are exact doubles. */
+  def q24Sql: String = {
+    val names = (1 to 29).map(i => s"'column_$i'").mkString(",")
+    s"""SELECT column_1 AS label,
+       |  CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 AND s0 >= s4 THEN 0
+       |       WHEN s1 >= s2 AND s1 >= s3 AND s1 >= s4 THEN 1
+       |       WHEN s2 >= s3 AND s2 >= s4 THEN 2
+       |       WHEN s3 >= s4 THEN 3
+       |       ELSE 4 END AS inferred
+       |FROM (SELECT column_1,
+       |  (CASE WHEN column_2 <= 0 THEN (CASE WHEN column_7 <= 0.5 THEN 1.25 ELSE -0.25 END) ELSE 0.5 END)
+       |    + (CASE WHEN column_16 <= 0.0625 THEN 0.21875 ELSE -0.15625 END) AS s0,
+       |  (CASE WHEN column_3 <= -0.25 THEN 1.125 ELSE -0.375 END)
+       |    + (CASE WHEN column_17 <= -0.0625 THEN 0.171875 ELSE -0.203125 END) AS s1,
+       |  (CASE WHEN column_4 <= 0.125 THEN 0.875 ELSE -0.4375 END)
+       |    + (CASE WHEN column_18 <= 0.1875 THEN 0.140625 ELSE -0.234375 END) AS s2,
+       |  (CASE WHEN column_5 <= 0.375 THEN 0.6875 ELSE -0.5625 END)
+       |    + (CASE WHEN column_19 <= -0.1875 THEN 0.109375 ELSE -0.265625 END) AS s3,
+       |  (CASE WHEN column_6 <= -0.5 THEN 0.59375 ELSE -0.65625 END)
+       |    + (CASE WHEN column_20 <= 0.3125 THEN 0.078125 ELSE -0.296875 END) AS s4
+       |FROM read_csv('/root/repo/src/test/resources/multiclass.test',
+       |  delim='\t', header=false, names=[$names])) x
+       |ORDER BY label, inferred""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q20_lgbm_score", q20LgbmScore _, q20Sql),
     ("q21_lgbm_class", q21LgbmClass _, q21Sql),
     ("q22_argmax_embedding", q22ArgmaxEmbedding _, q22Sql),
-    ("q23_lgbm_batched", q23LgbmBatched _, q23Sql))
+    ("q23_lgbm_batched", q23LgbmBatched _, q23Sql),
+    ("q24_tsv_pipeline", q24TsvPipeline _, q24Sql))
 }

@@ -22,6 +22,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows.isNullAt(3) && rows.isNullAt(4) && rows.isNullAt(5))
   }
 
+  test("null array element nulls the result (cosine and dot)") {
+    val r = LightFusion.sql(spark,
+      """SELECT
+        | cosine_similarity(array(1.0D, cast(null as double)), array(1.0D, 2.0D)) AS c,
+        | dot_product(array(1.0D, cast(null as double)), array(1.0D, 2.0D)) AS d""".stripMargin)
+      .head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("dot_product expression matches aggregate(zip_with(...)) composition") {
     import spark.implicits._
     val rng = new scala.util.Random(3)

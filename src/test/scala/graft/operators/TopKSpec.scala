@@ -47,6 +47,22 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(fast == ref)
   }
 
+  test("perKey matches window plan on null tie values (asc nulls first)") {
+    import spark.implicits._
+    val data: Seq[(Long, Double, Option[Long])] = Seq(
+      (1L, 2.0, Some(1L)), (1L, 2.0, None), (1L, 2.0, Some(0L)),
+      (1L, 3.0, None), (2L, 1.0, None), (2L, 1.0, None), (2L, 1.0, Some(9L)))
+    val df = data.toDF("key", "score", "id").repartition(4)
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.map(String.valueOf)).toSet
+    val fast = norm(TopK.perKey(df, Seq("key"), "score", "id", k = 2)
+      .select("key", "score", "id", "rank").collect())
+    val w = Window.partitionBy("key").orderBy(desc("score"), col("id"))
+    val ref = norm(df.withColumn("rank", row_number().over(w)).where(col("rank") <= 2)
+      .select("key", "score", "id", "rank").collect())
+    assert(fast == ref)
+  }
+
   test("perKey over real scored pairs matches brute-force ranking") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
