@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -108,6 +108,75 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
+}
+
+/** Squared-Euclidean nearest-centroid kernel: the centroid matrix rides
+  * into codegen via `ctx.addReferenceObj` (one broadcast-constant copy
+  * per executor), so cell assignment is a pure fused map over `ArrayData`
+  * — no join, no shuffle, no ML transform machinery. */
+final class CentroidKernel(val centroids: Array[Array[Double]]) extends Serializable {
+  /** Index of the nearest centroid (first wins on ties); -1 when no
+    * centroid matches the input dimension (mapped to null). */
+  def nearest(v: ArrayData): Int = {
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cc = centroids(c)
+      if (v.numElements() == cc.length) {
+        var d = 0.0
+        var i = 0
+        while (i < cc.length) { val t = v.getDouble(i) - cc(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      c += 1
+    }
+    best
+  }
+}
+
+/** `nearest_centroid(array<double>) -> int` over a fixed centroid matrix
+  * (IVF cell assignment). Null for null input or dimension mismatch. */
+case class NearestCentroid(child: Expression, kernel: CentroidKernel)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroid requires array<double>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val cell = kernel.nearest(input.asInstanceOf[ArrayData])
+    if (cell < 0) null else cell
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernelRef = ctx.addReferenceObj("centroidKernel", kernel,
+      classOf[CentroidKernel].getName)
+    val childGen = child.genCode(ctx)
+    val cell = ctx.freshName("cell")
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        int ${ev.value} = 0;
+        if (!${childGen.isNull}) {
+          int $cell = $kernelRef.nearest(${childGen.value});
+          if ($cell >= 0) { ${ev.isNull} = false; ${ev.value} = $cell; }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
 }
 
 /** `dot_product(array<double>, array<double>) -> double` — same fused

@@ -121,24 +121,70 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** Fitted coarse quantizers, keyed by (corpus dir, nlist): k-means on a
-    * 16-cell quantizer needs thousands of rows, not the corpus, so the
-    * model is trained once per corpus on a bounded sample and reused for
-    * every subsequent call in the JVM (a bench/serving loop re-probes, it
-    * doesn't re-train; at 100 TB the centroids would be persisted and the
-    * cell id written at ingest so probes become partition-pruned scans). */
-  private val ivfModels =
-    new ConcurrentHashMap[(String, Int), org.apache.spark.ml.clustering.KMeansModel]
+  /** Trained coarse quantizers (centroid matrices), keyed by (corpus dir,
+    * nlist): k-means on a 16-cell quantizer needs thousands of rows, not
+    * the corpus, so centroids are fit once per corpus on a bounded sample
+    * and reused for every subsequent call in the JVM (a bench/serving
+    * loop re-probes, it doesn't re-train; at 100 TB the centroids would
+    * be persisted and the cell id written at ingest so probes become
+    * partition-pruned scans). */
+  private val ivfCentroids =
+    new ConcurrentHashMap[(String, Int), Array[Array[Double]]]
+
+  /** Deterministic Lloyd's k-means over an in-memory sample (bounded —
+    * `trainSample` rows max, the same justified-driver-step pattern as
+    * Dedup's union-find): distinct-first-k init, `iters` assignment/mean
+    * rounds, squared-Euclidean metric. A 16×64 quantizer fit is
+    * microseconds of arithmetic; routing it through a distributed ML fit
+    * cost ~2.5 s/call of scheduling overhead in round 1. */
+  private[operators] def lloydFit(
+      sample: Array[Array[Double]],
+      kCells: Int,
+      iters: Int): Array[Array[Double]] = {
+    val init = sample.distinct.take(kCells)
+    val cent = init.map(_.clone)
+    val kk = cent.length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](cent(0).length))
+      val counts = new Array[Int](kk)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - cent(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val sum = sums(best)
+        var i = 0
+        while (i < v.length) { sum(i) += v(i); i += 1 }
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < cent(c).length) { cent(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cent
+  }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nlist` cells; each query probes only its `nprobe`
     * nearest centroids and exact cosine re-ranks the candidates.
     * Candidate generation reads `nprobe/nlist` of the corpus per query and
     * the centroid table is a broadcast constant. The quantizer trains on a
-    * `trainSample`-row bounded sample — never the full corpus.
+    * `trainSample`-row bounded sample — never the full corpus — and cell
+    * assignment is one broadcast-centroid codegen map over the scan.
     *
-    * Approximate and (like any distributed k-means) not bit-stable across
-    * re-trainings — exposed rows-only, recall-tested vs brute force.
+    * Approximate (quantization error) though deterministic for a fixed
+    * corpus — exposed rows-only, recall-tested vs brute force.
     */
   def ivfTopK(
       s: SparkSession,
@@ -149,23 +195,22 @@ object Similarity {
       nprobe: Int = 4,
       trainSample: Int = 4096): DataFrame = {
     LightFusion.ensureRegistered(s)
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
-      .withColumn("features", array_to_vector(col("v")))
-    val model = ivfModels.computeIfAbsent((dir, nlist), _ => {
-      val sample = e.select("features").limit(trainSample)
-      new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-        .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(sample)
+    val cent = ivfCentroids.computeIfAbsent((dir, nlist), _ => {
+      val sample = e.select("v").limit(trainSample)
+        .collect().map(_.getSeq[Double](0).toArray)
+      lloydFit(sample, nlist, iters = 5)
     })
-    val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
-    // centroid table is tiny: build (cell, centroid) rows and let the
-    // query side pick its nprobe nearest cells by exact cosine
     import s.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+    val centroids = cent.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
+    // assignment: one shuffle-free codegen map over the scan — the
+    // centroid matrix is a reference object in the generated code
+    val kernel = new graft.functions.CentroidKernel(cent)
+    val assigned = e.select(col("vec_id"), col("v"),
+      SparkShims.column(graft.functions.NearestCentroid(
+        SparkShims.expression(col("v")), kernel)).as("cell"))
     val q = e.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val probes = q.crossJoin(broadcast(centroids))

@@ -96,4 +96,67 @@ object TextAnalysis {
       size(words(col(textCol))).as("ws_tokens"),
       regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("re_tokens"),
       length(col(textCol)).as("chars"))
+
+  /** Gopher-style repetition/format quality signals (Rae et al. 2021,
+    * "Scaling Language Models", §A1.1 heuristics re-expressed for a flat
+    * token stream): max single-token frequency ratio, duplicate-bigram
+    * ratio, alphabetic-character ratio, mean word length, and the
+    * composite keep flag a curation pipeline filters on.
+    *
+    * All higher-order-function work is per-row and bounded by document
+    * length (the token-frequency scan is O(w²) on w ≈ doc words — for
+    * book-length docs swap in an explode+groupBy; for web-scale short
+    * docs this keeps the whole pass shuffle-free inside one codegen
+    * stage). Ratios are int/int double divisions — oracle-exact. */
+  def qualitySignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val nWords = size(ws)
+    // bigrams: zip words with their tail; zip_with pads the shorter side
+    // with null, so the trailing null pair is filtered out
+    val bigrams = filter(
+      zip_with(ws, slice(ws, lit(2), greatest(nWords - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    val nBigrams = size(bigrams)
+    val maxWordCnt = array_max(transform(ws, w => size(filter(ws, x => x === w))))
+    val alphaCnt = regexp_count(col(textCol), lit("[A-Za-z]"))
+    val meanWordLen =
+      aggregate(transform(ws, w => length(w)), lit(0), (acc, x) => acc + x)
+        .cast("double") / nWords
+    val maxWordRatio = maxWordCnt.cast("double") / nWords
+    val dupBigramRatio = when(nBigrams === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(bigrams)).cast("double") / nBigrams)
+    val alphaRatio = alphaCnt.cast("double") / length(col(textCol))
+    docs.select(
+      col(idCol),
+      nWords.as("n_words"),
+      maxWordRatio.as("max_word_ratio"),
+      dupBigramRatio.as("dup_bigram_ratio"),
+      alphaRatio.as("alpha_ratio"),
+      meanWordLen.as("mean_word_len"),
+      (maxWordRatio <= 0.2 && dupBigramRatio <= 0.75 &&
+        meanWordLen >= 3.0 && meanWordLen <= 10.0).as("gopher_keep"))
+  }
+
+  /** Per-source top-k tokens by occurrence (tie-break token asc): the
+    * corpus-vocabulary rollup a curation pipeline uses for contamination
+    * and boilerplate checks. One explode+groupBy shuffle builds the
+    * (source, token) count table; the rank windows over that counted
+    * table — vocabulary-sized, orders of magnitude smaller than the
+    * corpus — never over raw tokens. */
+  def topTokensPerSource(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val counted = docs
+      .select(col(sourceCol), explode(words(col(textCol))).as("token"))
+      .groupBy(sourceCol, "token")
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(desc("cnt"), col("token"))
+    counted.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(sourceCol), col("rank"), col("token"), col("cnt"))
+  }
 }

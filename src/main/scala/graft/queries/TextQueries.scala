@@ -139,11 +139,59 @@ object TextQueries {
        |WHERE quality >= 0.48 AND n_words >= 20
        |ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition/format signals + composite keep flag. */
+  def q56QualitySignals(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.qualitySignals(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Bigram list is a comprehension over 1-based positions; all ratios
+    * int/int double divisions replayed in the same association order. */
+  def q56Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |bi AS (
+      |  SELECT doc_id, text, ws,
+      |    [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] AS bg
+      |  FROM base),
+      |sig AS (
+      |  SELECT doc_id,
+      |    len(ws) AS n_words,
+      |    list_max([len(list_filter(ws, x -> x = w)) FOR w IN ws])::DOUBLE
+      |      / len(ws) AS max_word_ratio,
+      |    CASE WHEN len(bg) = 0 THEN 0.0
+      |         ELSE 1.0 - len(list_distinct(bg))::DOUBLE / len(bg) END
+      |      AS dup_bigram_ratio,
+      |    len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / len(text) AS alpha_ratio,
+      |    list_sum([len(w)::BIGINT FOR w IN ws])::DOUBLE / len(ws) AS mean_word_len
+      |  FROM bi)
+      |SELECT doc_id, n_words, max_word_ratio, dup_bigram_ratio, alpha_ratio,
+      |  mean_word_len,
+      |  (max_word_ratio <= 0.2 AND dup_bigram_ratio <= 0.75
+      |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS gopher_keep
+      |FROM sig
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-source top-5 tokens (vocabulary/boilerplate rollup). */
+  def q57TopTokens(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.topTokensPerSource(docs(s, dir), "source", "text", 5)
+      .orderBy("source", "rank")
+
+  def q57Sql: String =
+    """SELECT source, rank, token, cnt FROM (
+      |  SELECT source, token, count(*) AS cnt,
+      |    row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, token) AS rank
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents) t
+      |  GROUP BY source, token) x
+      |WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q50_text_stats", q50TextStats _, q50Sql),
     ("q51_lang_id", q51LangId _, q51Sql),
     ("q52_fingerprint", q52Fingerprint _, q52Sql),
     ("q53_token_counts", q53TokenCounts _, q53Sql),
     ("q54_source_stats", q54SourceStats _, q54Sql),
-    ("q55_quality_filter", q55QualityFilter _, q55Sql))
+    ("q55_quality_filter", q55QualityFilter _, q55Sql),
+    ("q56_quality_signals", q56QualitySignals _, q56Sql),
+    ("q57_top_tokens", q57TopTokens _, q57Sql))
 }

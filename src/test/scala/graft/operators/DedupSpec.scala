@@ -94,4 +94,33 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val g = graft.queries.PipelineQueries.q30DedupExact(spark, sfDir)
     assert(g.agg(sum("n_dups")).head.getLong(0) == docs.count())
   }
+
+  test("streaming exact dedup: first-seen survivors across micro-batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("doc_id", "text")
+    val q = Dedup.exactDedupStream(sdf, "doc_id", "text")
+      .select("doc_id", "text")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "aa"), (2L, "bb"), (3L, "aa"))
+      q.processAllAvailable()
+      // cross-batch duplicate: "bb" and "aa" reappear in batch 2
+      input.addData((4L, "bb"), (5L, "cc"), (6L, "aa"))
+      q.processAllAvailable()
+      val survivors = spark.table("dedup_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // first-seen id per distinct text, state held across batches
+      assert(survivors == Set((1L, "aa"), (2L, "bb"), (5L, "cc")))
+      // batch path over the same rows keeps the same (min-id) survivors
+      val batch = Dedup.exactDedupStream(
+        Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "bb"), (5L, "cc"), (6L, "aa"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id", "text").collect().map(r => r.getString(1)).toSet
+      assert(batch == Set("aa", "bb", "cc"))
+    } finally q.stop()
+  }
 }
