@@ -49,6 +49,22 @@ object EventMediaQueries {
       |FROM y GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Attribution interval join, batch form (same operator serves streams
+    * with a watermark — EventStreamsSpec pins stream == batch). */
+  def q58Attribution(s: SparkSession, dir: String): DataFrame =
+    EventStreams.attributionJoin(eventsTs(s, dir))
+      .orderBy("click_id", "purchase_id")
+
+  def q58Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events)
+      |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |       c.ts AS click_ts, p.ts AS purchase_ts
+      |FROM e c JOIN e p ON c.user_id = p.user_id
+      |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   private def media(s: SparkSession, dir: String): DataFrame =
     Multimodal.asMediaTable(s.read.parquet(s"$dir/documents.parquet"))
 
@@ -115,6 +131,7 @@ object EventMediaQueries {
       |ORDER BY media_id""".stripMargin
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q58_attribution", q58Attribution _, q58Sql),
     ("q60_event_windows", q60EventWindows _, q60Sql),
     ("q61_sessionize", q61Sessionize _, q61Sql),
     ("q62_media_meta", q62MediaMeta _, q62Sql),

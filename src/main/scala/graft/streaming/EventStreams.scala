@@ -46,6 +46,31 @@ object EventStreams {
         col("last_ts").as("session_end"), col("n_events"))
   }
 
+  /** Attribution (stream-stream interval) join: each purchase is matched
+    * to every click by the same user in the preceding `attrWindow`. One
+    * code path for batch and streams — on a stream, pass a watermark and
+    * Spark's native stream-stream join keeps per-user state bounded by
+    * the watermark plus the interval (the time-range predicate on both
+    * sides is what makes state eviction possible); the join shuffles
+    * both sides by user_id, so state partitions across executors. */
+  def attributionJoin(
+      events: DataFrame,
+      attrWindow: String = "1 hour",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(d => events.withWatermark("ts", d))
+    val clicks = src.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $attrWindow"))
+      .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+  }
+
   // --- custom state: running per-user counters via mapGroupsWithState ----
 
   case class UserEvent(user_id: Long, ts_ms: Long, value: Double)

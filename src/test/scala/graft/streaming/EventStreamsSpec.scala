@@ -82,4 +82,34 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       assert(last.getLong(3) == 3000L)
     } finally q.stop()
   }
+
+  test("stream-stream attribution join matches batch on the same events") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // (ts, event_id, user_id, event_type): purchases inside/outside the
+    // 1h window, a foreign user, and a purchase BEFORE its click
+    val rows = Seq(
+      (ts(0), 1L, 1L, "click"), (ts(30), 2L, 1L, "purchase"), // in window
+      (ts(0), 3L, 2L, "click"), (ts(90), 4L, 2L, "purchase"), // too late
+      (ts(50), 5L, 3L, "purchase"), (ts(55), 6L, 3L, "click"), // wrong order
+      (ts(40), 7L, 1L, "purchase"))                            // 2nd match, user 1
+    val input = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val sdf = input.toDF().toDF("ts", "event_id", "user_id", "event_type")
+    val q = EventStreams.attributionJoin(sdf, watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = EventStreams.attributionJoin(
+        rows.toDF("ts", "event_id", "user_id", "event_type"))
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(batch == Set((1L, 2L), (1L, 7L)))
+    } finally q.stop()
+  }
 }
