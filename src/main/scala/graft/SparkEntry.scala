@@ -17,10 +17,12 @@ object SparkEntry {
     RelationalQueries.all ++ AdvancedQueries.all ++ InferenceQueries.all ++
       PipelineQueries.all ++ TextQueries.all ++ EventMediaQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the reference's own shipped pipeline (TSV scan →
+    * array(column_2..29) → f0 → argmax, examples/lightfusion_tsv.rs),
+    * end-to-end through the SQL path. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     LightFusion.ensureRegistered(spark)
-    RelationalQueries.q03TopOrders(spark, "/root/testdata/sf0.001")
+    InferenceQueries.q24TsvPipeline(spark, "/root/testdata/sf0.001")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -73,21 +73,27 @@ object RelationalQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** Star join: revenue per nation via customer path; dims broadcast. */
+  /** Star join: revenue per nation via customer path; dims broadcast.
+    * Lineitem pre-aggregates per orderkey BEFORE the fact-fact join —
+    * decimal partial sums re-sum exactly — so the orderkey shuffle
+    * carries one row per order, not one per line (~4× less at any SF;
+    * the dominant exchange at 100 TB). */
   def q02RevenueByNation(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
     val n = t(s, dir, "nation")
     val r = t(s, dir, "region")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    val liAgg = li.groupBy("l_orderkey")
+      .agg(sum(discPrice).as("rev_dec"), count(lit(1)).as("lc"))
+    liAgg.join(o, liAgg("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum(discPrice).cast("double").as("revenue"),
-        count(lit(1)).as("line_count"))
+        sum(col("rev_dec")).cast("double").as("revenue"),
+        sum(col("lc")).as("line_count"))
       .orderBy("r_name", "n_name")
   }
 
@@ -103,13 +109,19 @@ object RelationalQueries {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
 
-  /** Top-10 revenue orders: shuffle agg then global top-k (TakeOrderedAndProject). */
+  /** Top-10 revenue orders: pre-aggregate lineitem per orderkey (one
+    * shuffle over order-grained rows instead of line-grained), join the
+    * order attributes, then global top-k (TakeOrderedAndProject — never
+    * a full sort). The join is FK-tight so the pre-agg form is
+    * result-identical to aggregating after the join. */
   def q03TopOrders(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+    val liAgg = li.groupBy("l_orderkey")
       .agg(sum(discPrice).cast("double").as("revenue"))
+    liAgg.join(o, liAgg("l_orderkey") === o("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"),
+        col("revenue"))
       .orderBy(desc("revenue"), col("o_orderkey"))
       .limit(10)
   }
