@@ -137,7 +137,7 @@ object Similarity {
     * rounds, squared-Euclidean metric. A 16×64 quantizer fit is
     * microseconds of arithmetic; routing it through a distributed ML fit
     * cost ~2.5 s/call of scheduling overhead in round 1. */
-  private[operators] def lloydFit(
+  private[graft] def lloydFit(
       sample: Array[Array[Double]],
       kCells: Int,
       iters: Int): Array[Array[Double]] = {

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SparkShims
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.Similarity
+
+/** Codegen/interpreted parity and kernel correctness for the signature
+  * and centroid expressions added for the ANN paths. */
+class SignatureExpressionsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dim = 8
+  private val rng = new scala.util.Random(5)
+  private val vecs = Seq.fill(50)(Seq.fill(dim)(rng.nextGaussian()))
+
+  test("SignBitSignature equals a direct plane-dot evaluation") {
+    import spark.implicits._
+    val df = vecs.toDF("v")
+      .select(col("v"), Similarity.signature(col("v"), dim).as("sig"))
+    val planes = Similarity.planes(dim)
+    df.collect().foreach { r =>
+      val v = r.getSeq[Double](0)
+      var want = 0
+      planes.indices.foreach { p =>
+        val dot = planes(p).indices.map(i => planes(p)(i) * v(i)).sum
+        if (dot > 0) want |= (1 << p)
+      }
+      assert(r.getInt(1) == want)
+    }
+  }
+
+  test("SignBitSignature: null input and wrong dimension -> null") {
+    import spark.implicits._
+    val df = Seq(Some(Seq(1.0, 2.0)), None).toDF("v")
+      .select(Similarity.signature(col("v"), dim).as("sig"))
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+
+  test("SignBitSignature codegen output equals the interpreted kernel") {
+    import spark.implicits._
+    val df = vecs.toDF("v")
+    val viaCodegen = df
+      .select(Similarity.signature(col("v"), dim).as("s"))
+      .collect().map(_.getInt(0)).toSeq
+    val kernel = new SignBitKernel(Similarity.NumPlanes, dim, Similarity.PlaneSeed)
+    val interpreted = vecs.map(v => kernel.compute(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray)))
+    assert(viaCodegen == interpreted)
+  }
+
+  test("NearestCentroid picks the argmin centroid, first wins ties") {
+    import spark.implicits._
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0), Array(0.0, 10.0))
+    val kernel = new CentroidKernel(cents)
+    val data = Seq(Seq(1.0, 1.0), Seq(9.0, 1.0), Seq(1.0, 9.0), Seq(5.0, 0.0))
+    val df = data.toDF("v").select(
+      SparkShims.column(NearestCentroid(SparkShims.expression(col("v")), kernel)).as("c"))
+    // (5,0) is equidistant from centroids 0 and 1 -> first wins
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 1, 2, 0))
+  }
+
+  test("NearestCentroid: dimension mismatch -> null") {
+    import spark.implicits._
+    val kernel = new CentroidKernel(Array(Array(0.0, 0.0)))
+    val df = Seq(Seq(1.0, 2.0, 3.0)).toDF("v").select(
+      SparkShims.column(NearestCentroid(SparkShims.expression(col("v")), kernel)).as("c"))
+    assert(df.head.isNullAt(0))
+  }
+
+  test("lloydFit is deterministic and separates planted clusters") {
+    val a = Array.fill(30)(Array(0.0 + rng.nextGaussian() * 0.01, 0.0))
+    val b = Array.fill(30)(Array(10.0 + rng.nextGaussian() * 0.01, 0.0))
+    val sample = (a ++ b)
+    val c1 = Similarity.lloydFit(sample, 2, 5)
+    val c2 = Similarity.lloydFit(sample, 2, 5)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq, "deterministic")
+    val xs = c1.map(_(0)).sorted
+    assert(math.abs(xs(0) - 0.0) < 0.1 && math.abs(xs(1) - 10.0) < 0.1)
+  }
+}
