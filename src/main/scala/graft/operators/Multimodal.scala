@@ -61,10 +61,14 @@ object Multimodal {
       col("meta.height").as("height"))
 
   /** DETERMINISTIC FAKE of the codec step (no image/audio libs in this
-    * container): derives a stable pseudo pixel-mean / entropy proxy from a
-    * polynomial hash of the payload. Replace with a real decoder at the
-    * marked line to productionize. */
-  private[operators] def fakeDecode(payload: Array[Byte]): (Double, Double) = {
+    * container): derives a stable pseudo pixel-mean / entropy proxy from
+    * the same 48-bit polynomial hash the fingerprint operator uses
+    * ((acc·31 + byte) mod 2⁴⁸ — ≡ RollingHash for ASCII payloads), kept
+    * inside overflow-safe BIGINT arithmetic so the DuckDB oracle can
+    * replay every derived value exactly (q63 is hash-gated, not
+    * rows-only). Replace with a real decoder at the marked line to
+    * productionize. */
+  private[operators] def fakeDecode(payload: Array[Byte]): (Long, Double, Double) = {
     var h = 0L
     var i = 0
     while (i < payload.length) {
@@ -74,7 +78,7 @@ object Multimodal {
     // ??? real codec call goes here (e.g. ImageIO / ffmpeg JNI) ???
     val mean = (h % 256).toDouble
     val entropy = ((h >>> 8) % 1000).toDouble / 1000.0
-    (mean, entropy)
+    (h, mean, entropy)
   }
 
   val FeatureDim = 16
@@ -99,13 +103,14 @@ object Multimodal {
         // one "decoder invocation" per buffer of rows
         batch.map { row =>
           val payload = row.getAs[Array[Byte]](payloadIdx)
-          val (mean, entropy) = fakeDecode(payload)
+          val (h, mean, entropy) = fakeDecode(payload)
+          // feature j from the low 24 hash bits: products stay < 2^40,
+          // so the oracle replays this in plain BIGINT arithmetic
+          val h24 = h % (1L << 24)
           val feats = new Array[Float](FeatureDim)
-          var h = java.lang.Double.doubleToLongBits(mean) ^ payload.length.toLong
           var j = 0
           while (j < FeatureDim) {
-            h = h * 6364136223846793005L + 1442695040888963407L
-            feats(j) = ((h >>> 40).toInt % 1000) / 1000.0f
+            feats(j) = (((h24 * (j * j + 3 * j + 7) + 11 * j) % 1000) / 1000.0).toFloat
             j += 1
           }
           Row(row.getLong(idIdx), mean, entropy, feats.toSeq)

@@ -92,6 +92,27 @@ object EventMediaQueries {
       .withColumn("features", concat_ws(",", col("features").cast("array<string>")))
       .orderBy("media_id")
 
+  /** Replays the fake codec exactly: the 48-bit payload fold (≡ q52's
+    * fingerprint for ASCII text), mean/entropy from its residues, and
+    * the 16 features from the low 24 bits — every value k/1000 prints
+    * the same shortest decimal from float32 (Spark) and float64
+    * (DuckDB), so the CSV strings match byte-for-byte. */
+  def q63Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split(text, '')]),
+      |      (acc, c) -> (acc * 31 + c) % 281474976710656) AS h
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(h % 256 AS DOUBLE) AS pixel_mean,
+      |  ((h // 256) % 1000) / 1000.0 AS entropy,
+      |  array_to_string(
+      |    [(((h % 16777216) * (j*j + 3*j + 7) + 11*j) % 1000) / 1000.0
+      |     FOR j IN range(0, 16)], ',') AS features
+      |FROM f
+      |ORDER BY media_id""".stripMargin
+
   def q64FrameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(media(s, dir), stride = 10)
       .withColumn("frame_ids", concat_ws(",", col("frame_ids").cast("array<string>")))
@@ -135,7 +156,7 @@ object EventMediaQueries {
     ("q60_event_windows", q60EventWindows _, q60Sql),
     ("q61_sessionize", q61Sessionize _, q61Sql),
     ("q62_media_meta", q62MediaMeta _, q62Sql),
-    ("q63_media_features", q63MediaFeatures _, null),
+    ("q63_media_features", q63MediaFeatures _, q63Sql),
     ("q64_frame_sample", q64FrameSample _, q64Sql),
     ("q65_resize", q65Resize _, q65Sql))
 }
