@@ -138,6 +138,24 @@ object TextAnalysis {
         meanWordLen >= 3.0 && meanWordLen <= 10.0).as("gopher_keep"))
   }
 
+  /** Hashing-trick term-frequency embedding: bucket = 48-bit rolling
+    * word hash mod `dim`, value = bucket count — the classic feature
+    * hashing (Weinberger et al. 2009) that turns raw text into a fixed
+    * fixed-dim vector the similarity stack (cosine near-dup / ANN) can
+    * consume, with no vocabulary state to ship. Deterministic and
+    * oracle-replayable (same fold as the fingerprint operator).
+    *
+    * Shuffle-free: per-row higher-order functions, O(dim·words) a row —
+    * right for small demo dims; at large dim explode+groupBy+pivot the
+    * counts instead. */
+  def tfEmbed(docs: DataFrame, idCol: String, textCol: String, dim: Int = 16): DataFrame = {
+    val ws = words(col(textCol))
+    val tf = transform(sequence(lit(0), lit(dim - 1)),
+      j => size(filter(ws, w =>
+        pmod(graft.LightFusion.rollingHash(w), lit(dim.toLong)) === j)))
+    docs.select(col(idCol), size(ws).as("n_words"), tf.as("tf"))
+  }
+
   /** Per-source top-k tokens by occurrence (tie-break token asc): the
     * corpus-vocabulary rollup a curation pipeline uses for contamination
     * and boilerplate checks. One explode+groupBy shuffle builds the

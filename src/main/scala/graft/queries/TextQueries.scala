@@ -185,6 +185,26 @@ object TextQueries {
       |WHERE rank <= 5
       |ORDER BY source, rank""".stripMargin
 
+  /** Feature-hashing TF embedding (flattened for the driver hasher). */
+  def q59TfEmbed(s: SparkSession, dir: String): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    graft.operators.TextAnalysis.tfEmbed(docs(s, dir), "doc_id", "text")
+      .withColumn("tf", concat_ws(",", col("tf").cast("array<string>")))
+      .orderBy("doc_id")
+  }
+
+  def q59Sql: String =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |SELECT doc_id, len(ws) AS n_words,
+      |  array_to_string(
+      |    [len(list_filter(ws, w ->
+      |       (list_reduce(
+      |          list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split(w, '')]),
+      |          (acc, c) -> (acc * 31 + c) % 281474976710656)) % 16 = j))
+      |     FOR j IN range(0, 16)], ',') AS tf
+      |FROM base
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q50_text_stats", q50TextStats _, q50Sql),
     ("q51_lang_id", q51LangId _, q51Sql),
@@ -193,5 +213,6 @@ object TextQueries {
     ("q54_source_stats", q54SourceStats _, q54Sql),
     ("q55_quality_filter", q55QualityFilter _, q55Sql),
     ("q56_quality_signals", q56QualitySignals _, q56Sql),
-    ("q57_top_tokens", q57TopTokens _, q57Sql))
+    ("q57_top_tokens", q57TopTokens _, q57Sql),
+    ("q59_tf_embed", q59TfEmbed _, q59Sql))
 }

@@ -68,4 +68,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"text stats must be a pure map scan:\n$plan")
   }
+
+  test("tfEmbed: per-row bucket counts equal the explode+groupBy computation") {
+    LightFusion.ensureRegistered(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val viaHof = TextAnalysis.tfEmbed(docs, "doc_id", "text", dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    val viaGroup = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        pmod(LightFusion.rollingHash(col("w")), lit(16L)).cast("int").as("b"))
+      .groupBy("doc_id", "b").count()
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        val arr = new Array[Int](16)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2).toInt)
+        id -> arr.toSeq
+      }
+    viaHof.foreach { case (id, tf) =>
+      assert(tf == viaGroup(id), s"doc $id bucket counts differ")
+    }
+    // total counts preserve word counts
+    val nWords = docs.select(size(split(col("text"), " "))).collect().map(_.getInt(0)).sum
+    assert(viaHof.values.map(_.sum).sum == nWords)
+  }
 }
