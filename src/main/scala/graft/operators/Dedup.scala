@@ -290,17 +290,18 @@ object Dedup {
   }
 
   /** Streaming exact dedup: the incremental form of the digest-groupBy —
-    * `dropDuplicates` on the content digest keeps first-seen survivors
-    * (batch keeps min-id; identical when fed in id order) and works on
-    * both batch and `readStream` DataFrames, so one code path serves
-    * backfill and live ingest. State per distinct document is one
-    * 128-bit digest (never the text), partitioned across executors by
-    * the digest shuffle; pass `watermarkCol`/`delay` to bound state by
-    * event time (`dropDuplicatesWithinWatermark`) when the stream has a
-    * time column and exact global history isn't required. */
+    * `dropDuplicates` on the content digest keeps one survivor per
+    * distinct document (the first row encountered per digest; arbitrary
+    * within a batch — for the deterministic min-id survivor policy use
+    * the batch groupBy path, q30) and works on both batch and
+    * `readStream` DataFrames, so one code path serves backfill and live
+    * ingest. State per distinct document is one 128-bit digest (never
+    * the text), partitioned across executors by the digest shuffle;
+    * pass `watermark = (tsCol, delay)` to bound state by event time
+    * (`dropDuplicatesWithinWatermark`) when the stream has a time column
+    * and exact global history isn't required. */
   def exactDedupStream(
       docs: DataFrame,
-      idCol: String,
       textCol: String,
       watermark: Option[(String, String)] = None): DataFrame = {
     val digested = docs

@@ -129,7 +129,7 @@ object Similarity {
     * be persisted and the cell id written at ingest so probes become
     * partition-pruned scans). */
   private val ivfCentroids =
-    new ConcurrentHashMap[(String, Int), Array[Array[Double]]]
+    new ConcurrentHashMap[(String, Int, Int), Array[Array[Double]]]
 
   /** Deterministic Lloyd's k-means over an in-memory sample (bounded —
     * `trainSample` rows max, the same justified-driver-step pattern as
@@ -141,7 +141,8 @@ object Similarity {
       sample: Array[Array[Double]],
       kCells: Int,
       iters: Int): Array[Array[Double]] = {
-    val init = sample.distinct.take(kCells)
+    // dedup by value (Array equality is reference equality)
+    val init = sample.map(_.toSeq).distinct.take(kCells).map(_.toArray)
     val cent = init.map(_.clone)
     val kk = cent.length
     var it = 0
@@ -196,7 +197,7 @@ object Similarity {
       trainSample: Int = 4096): DataFrame = {
     LightFusion.ensureRegistered(s)
     val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
-    val cent = ivfCentroids.computeIfAbsent((dir, nlist), _ => {
+    val cent = ivfCentroids.computeIfAbsent((dir, nlist, trainSample), _ => {
       val sample = e.select("v").limit(trainSample)
         .collect().map(_.getSeq[Double](0).toArray)
       lloydFit(sample, nlist, iters = 5)
@@ -237,6 +238,24 @@ object Similarity {
     * chunk-grid path runs. */
   val BandedNearDupThreshold = 0.7
 
+  /** Tables cap: if hitting the recall target at a threshold needs more
+    * independent tables than this, banding is a bad trade and the exact
+    * grid runs instead. */
+  val MaxNearDupTables = 64
+
+  /** Tables needed for ≥`targetRecall` per-pair recall AT the threshold
+    * (the worst-qualifying pair; stronger pairs recall higher):
+    * recall = 1-(1-p^b)^L with p = 1-acos(t)/π. */
+  private[graft] def tablesForRecall(
+      threshold: Double,
+      bitsPerTable: Int,
+      targetRecall: Double = 0.99): Int = {
+    val p = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
+    val pb = math.pow(p, bitsPerTable)
+    if (pb >= 1.0) 1
+    else math.ceil(math.log1p(-targetRecall) / math.log1p(-pb)).toInt.max(1)
+  }
+
   /** Embedding-cosine near-duplicate pairs with label blocking —
     * threshold-adaptive, see [[nearDupPairsOn]]. */
   def nearDupPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
@@ -248,15 +267,20 @@ object Similarity {
   }
 
   /** Near-dup pairs over (vec_id, label, embedding): banded-LSH with
-    * exact verification for `threshold >= BandedNearDupThreshold`, exact
-    * chunk-grid otherwise. Both emit (a_id, b_id, cos), a_id < b_id,
-    * same-label only. */
+    * exact verification for `threshold >= BandedNearDupThreshold` (table
+    * count auto-sized for ≥99% per-pair recall at the threshold; falls
+    * back to the exact grid if that would need > MaxNearDupTables),
+    * exact chunk-grid otherwise. Both emit (a_id, b_id, cos),
+    * a_id < b_id, same-label only. */
   def nearDupPairsOn(
       emb: DataFrame,
       threshold: Double,
-      chunkTarget: Int = 100000): DataFrame =
-    if (threshold >= BandedNearDupThreshold) nearDupPairsBanded(emb, threshold)
+      chunkTarget: Int = 100000): DataFrame = {
+    val tables = tablesForRecall(threshold, bitsPerTable = 8)
+    if (threshold >= BandedNearDupThreshold && tables <= MaxNearDupTables)
+      nearDupPairsBanded(emb, threshold, tables = tables)
     else nearDupPairsExact(emb, threshold, chunkTarget)
+  }
 
   /** Exact within-label pairs above `threshold`, as a label×chunk-grid
     * equi-join: rows are hashed into `C = ceil(maxLabelSize/chunkTarget)`
@@ -273,10 +297,16 @@ object Similarity {
     val e = emb.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
     // one tiny agg to size the grid (same bounded-driver-step pattern as
-    // Dedup's size-adaptive connected components)
-    val maxLabel = e.groupBy("label").count().agg(max("count")).head.getLong(0)
+    // Dedup's size-adaptive connected components); null max == empty input
+    val maxLabel = e.groupBy("label").count().agg(max("count")).head match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
     val c = math.max(1, math.ceil(maxLabel.toDouble / chunkTarget).toInt)
-    val chunked = e.withColumn("chunk", pmod(col("vec_id"), lit(c)).cast("int"))
+    // chunk by id HASH, not id modulo: structured id sets (stride-allocated
+    // or upstream-filtered) would collapse pmod(id, c) into one chunk and
+    // re-create the mega-bucket this grid exists to prevent
+    val chunked = e.withColumn("chunk", pmod(hash(col("vec_id")), lit(c)).cast("int"))
     val a = chunked.select(col("vec_id").as("a_id"), col("label"),
       col("v").as("va"))
       .withColumn("cb", explode(array((0 until c).map(lit): _*)))
@@ -306,7 +336,13 @@ object Similarity {
       maxBucket: Int = 10000): DataFrame = {
     val e = emb.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
-    val dim = e.select(size(col("v"))).head.getInt(0)
+    val dimRow = e.select(size(col("v"))).take(1)
+    if (dimRow.isEmpty) {
+      // empty corpus: empty pair set, same schema as the populated path
+      import emb.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("a_id", "b_id", "cos")
+    }
+    val dim = dimRow.head.getInt(0)
     val sigCols = (0 until tables).map { t =>
       SparkShims.column(SignBitSignature(
         SparkShims.expression(col("v")), bitsPerTable, dim, PlaneSeed + 0x9e37L * (t + 1)))

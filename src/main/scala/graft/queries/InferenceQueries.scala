@@ -118,12 +118,17 @@ object InferenceQueries {
     * `SELECT column_1 AS label, argmax(f0([column_2..column_29])) AS
     * inferred FROM m` — all through the SQL entry path. */
   def q24TsvPipeline(s: SparkSession, dir: String): DataFrame = {
+    // replay the reference script's SET scoped to this registration: the
+    // batch size is frozen into f0 at CREATE, so restoring the session
+    // value afterwards keeps a query entry from mutating global state
+    val prevBatch = LightFusion.batchSize(s)
     LightFusion.sql(s, "SET lightfusion.batch_size = 1")
     if (LightFusion.registeredModel("f0").isEmpty ||
         !org.apache.spark.sql.graft.SparkShims.functionExists(s, "f0"))
       LightFusion.sql(s,
         "CREATE FUNCTION f0(DOUBLE[]) RETURNS DOUBLE[] LANGUAGE LIGHTGBM" +
           " AS 'res:/models/multiclass_28f.lgbm'")
+    LightFusion.sql(s, s"SET lightfusion.batch_size = $prevBatch")
     LightFusion.readTsv(s, tsvPath).createOrReplaceTempView("m")
     val features = (2 to 29).map(i => s"column_$i").mkString(",\n      ")
     LightFusion.sql(s,

@@ -28,7 +28,7 @@ object PlanAudit {
         val note = if (udfs > 0) "UDF-IN-PLAN" else ""
         println(f"$name%-26s $udfs%3d  $exch%4d  $wscg%4d  $note")
       } catch {
-        case e: Throwable => println(f"$name%-26s ERR ${e.getMessage.take(60)}")
+        case e: Throwable => println(f"$name%-26s ERR ${String.valueOf(e.getMessage).take(60)}")
       }
     }
     spark.stop()

@@ -101,7 +101,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val input =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val sdf = input.toDF().toDF("doc_id", "text")
-    val q = Dedup.exactDedupStream(sdf, "doc_id", "text")
+    val q = Dedup.exactDedupStream(sdf, "text")
       .select("doc_id", "text")
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").start()
@@ -115,10 +115,10 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet
       // first-seen id per distinct text, state held across batches
       assert(survivors == Set((1L, "aa"), (2L, "bb"), (5L, "cc")))
-      // batch path over the same rows keeps the same (min-id) survivors
+      // batch path over the same rows keeps one survivor per distinct text
       val batch = Dedup.exactDedupStream(
         Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "bb"), (5L, "cc"), (6L, "aa"))
-          .toDF("doc_id", "text"), "doc_id", "text")
+          .toDF("doc_id", "text"), "text")
         .select("doc_id", "text").collect().map(r => r.getString(1)).toSet
       assert(batch == Set("aa", "bb", "cc"))
     } finally q.stop()
