@@ -30,11 +30,15 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
     // a failed query reports -1, not its (short) elapsed time — a broken
-    // query must never silently improve the total
+    // query must never silently improve the total.
+    // Force FULL materialization via the physical plan's row iterator:
+    // df.count() lets the optimizer prune deterministic projections and
+    // eliminate sorts under the count aggregate, silently reducing
+    // compute-heavy queries to bare scans in the measurement.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true } catch {
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false

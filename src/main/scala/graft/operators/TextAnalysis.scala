@@ -118,7 +118,17 @@ object TextAnalysis {
         (a, b) => concat(a, lit(" "), b)),
       x => x.isNotNull)
     val nBigrams = size(bigrams)
-    val maxWordCnt = array_max(transform(ws, w => size(filter(ws, x => x === w))))
+    // max token frequency == longest equal-run in the sorted word array:
+    // O(w log w) instead of the O(w²) count-per-word scan (same value)
+    val maxWordCnt = aggregate(
+      array_sort(ws),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, w) => {
+        val run = when(acc("prev").isNotNull && acc("prev") === w, acc("run") + 1)
+          .otherwise(lit(1))
+        struct(w.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
     val alphaCnt = regexp_count(col(textCol), lit("[A-Za-z]"))
     val meanWordLen =
       aggregate(transform(ws, w => length(w)), lit(0), (acc, x) => acc + x)
