@@ -109,35 +109,21 @@ object TextAnalysis {
     * docs this keeps the whole pass shuffle-free inside one codegen
     * stage). Ratios are int/int double divisions — oracle-exact. */
   def qualitySignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = words(col(textCol))
-    val nWords = size(ws)
-    // bigrams: zip words with their tail; zip_with pads the shorter side
-    // with null, so the trailing null pair is filtered out
-    val bigrams = filter(
-      zip_with(ws, slice(ws, lit(2), greatest(nWords - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b)),
-      x => x.isNotNull)
-    val nBigrams = size(bigrams)
-    // max token frequency == longest equal-run in the sorted word array:
-    // O(w log w) instead of the O(w²) count-per-word scan (same value)
-    val maxWordCnt = aggregate(
-      array_sort(ws),
-      struct(lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, w) => {
-        val run = when(acc("prev").isNotNull && acc("prev") === w, acc("run") + 1)
-          .otherwise(lit(1))
-        struct(w.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
-      },
-      acc => acc("best"))
-    val alphaCnt = regexp_count(col(textCol), lit("[A-Za-z]"))
-    val meanWordLen =
-      aggregate(transform(ws, w => length(w)), lit(0), (acc, x) => acc + x)
-        .cast("double") / nWords
-    val maxWordRatio = maxWordCnt.cast("double") / nWords
-    val dupBigramRatio = when(nBigrams === 0, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(bigrams)).cast("double") / nBigrams)
-    val alphaRatio = alphaCnt.cast("double") / length(col(textCol))
-    docs.select(
+    // one codegen pass computes every count (QualityKernel): the
+    // composed-HOF formulation (sort + aggregate + zip_with + distinct)
+    // gave the same values but paid ~4× in interpreted lambdas
+    val counts = org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.QualityCounts(
+        org.apache.spark.sql.graft.SparkShims.expression(col(textCol))))
+    val q = docs.select(col(idCol), counts.as("qc"))
+    val nWords = col("qc.n_words")
+    val maxWordRatio = col("qc.max_word_cnt").cast("double") / nWords
+    val dupBigramRatio = when(col("qc.n_bigrams") === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        col("qc.n_distinct_bigrams").cast("double") / col("qc.n_bigrams"))
+    val alphaRatio = col("qc.alpha_cnt").cast("double") / col("qc.n_chars")
+    val meanWordLen = col("qc.word_len_sum").cast("double") / nWords
+    q.select(
       col(idCol),
       nWords.as("n_words"),
       maxWordRatio.as("max_word_ratio"),

@@ -69,6 +69,46 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), s"text stats must be a pure map scan:\n$plan")
   }
 
+  test("qualitySignals kernel equals the composed-builtins formulation on edge cases") {
+    import spark.implicits._
+    val texts = Seq(
+      "a a a b",                  // repeats
+      "one two three",            // all distinct
+      "x",                        // single word, no bigrams
+      "a  b",                     // double space -> empty token
+      "trailing ",                // trailing space -> empty last token
+      "AAAA bb123 Zz !!",         // mixed alpha
+      "w w w w w w w w w w")      // dup bigrams
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.qualitySignals(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // reference: compute the same signals with plain Spark built-ins
+    val ws = split(col("text"), " ")
+    val bigrams = filter(
+      zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)), x => x.isNotNull)
+    val want = df.select(
+      col("doc_id"),
+      size(ws).as("n_words"),
+      (array_max(transform(ws, w => size(filter(ws, x => x === w))))
+        .cast("double") / size(ws)).as("max_word_ratio"),
+      when(size(bigrams) === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams))
+        .as("dup_bigram_ratio"),
+      (regexp_count(col("text"), lit("[A-Za-z]")).cast("double") / length(col("text")))
+        .as("alpha_ratio"),
+      (aggregate(transform(ws, w => length(w)), lit(0), (acc, x) => acc + x)
+        .cast("double") / size(ws)).as("mean_word_len"))
+      .orderBy("doc_id").collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getInt(1) == w.getInt(1), s"n_words for doc ${g.getLong(0)}")
+      assert(g.getDouble(2) == w.getDouble(2), s"max_word_ratio for doc ${g.getLong(0)}")
+      assert(g.getDouble(3) == w.getDouble(3), s"dup_bigram_ratio for doc ${g.getLong(0)}")
+      assert(g.getDouble(4) == w.getDouble(4), s"alpha_ratio for doc ${g.getLong(0)}")
+      assert(g.getDouble(5) == w.getDouble(5), s"mean_word_len for doc ${g.getLong(0)}")
+    }
+  }
+
   test("tfEmbed: per-row bucket counts equal the explode+groupBy computation") {
     LightFusion.ensureRegistered(spark)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
