@@ -146,9 +146,13 @@ object TextAnalysis {
     * counts instead. */
   def tfEmbed(docs: DataFrame, idCol: String, textCol: String, dim: Int = 16): DataFrame = {
     val ws = words(col(textCol))
+    // hash each word ONCE into its bucket id, then count per bucket over
+    // the int array (the bucket-side filter re-hashed every word dim
+    // times — string hashing was the dominant per-row cost)
+    val buckets = transform(ws, w =>
+      pmod(graft.LightFusion.rollingHash(w), lit(dim.toLong)).cast("int"))
     val tf = transform(sequence(lit(0), lit(dim - 1)),
-      j => size(filter(ws, w =>
-        pmod(graft.LightFusion.rollingHash(w), lit(dim.toLong)) === j)))
+      j => size(filter(buckets, b => b === j)))
     docs.select(col(idCol), size(ws).as("n_words"), tf.as("tf"))
   }
 
