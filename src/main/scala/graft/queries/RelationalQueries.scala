@@ -38,13 +38,20 @@ object RelationalQueries {
     t(s, dir, "events")
   }
 
-  /** DECIMAL(18,2)-exact money column. */
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Decimal-exact money column, sized so every product below stays
+    * within precision 18: Spark decimals at precision ≤ 18 ride the
+    * compact long-backed fast path, while wider intermediates fall back
+    * to per-row BigDecimal (measured ~2× on the q01 scan-agg). Money
+    * values here are < 10^10, so (12,2) is exact. */
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
   private def one: Column = lit(1).cast(DecimalType(4, 2))
+  // (12,2) × (4,2) → (17,4): exact, still compact
   private def discPrice: Column =
     dec(col("l_extendedprice")) * (one - dec(col("l_discount")).cast(DecimalType(4, 2)))
+  // rescale the scale-4 product to (12,4) — values < 10^8, no rounding —
+  // so the tax product lands at (17,6) instead of the slow (22,6)
   private def charge: Column =
-    discPrice * (one + dec(col("l_tax")).cast(DecimalType(4, 2)))
+    discPrice.cast(DecimalType(12, 4)) * (one + dec(col("l_tax")).cast(DecimalType(4, 2)))
 
   /** TPC-H Q1-style pricing summary: scan-heavy partial aggregation. */
   def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
