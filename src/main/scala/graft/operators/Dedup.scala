@@ -176,10 +176,17 @@ object Dedup {
       graft.functions.SimHash64(
         org.apache.spark.sql.graft.SparkShims.expression(hashes)))
 
+  /** `dual_rolling_hash` word hash (oracle-replayable, unlike xxhash64 —
+    * this is what lets the driver hash-gate the whole SimHash pipeline). */
+  def wordHash(w: Column): Column =
+    org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.DualRollingHash(
+        org.apache.spark.sql.graft.SparkShims.expression(w)))
+
   /** doc_id → simhash over distinct words. */
   def simhashed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
-      simhash(transform(array_distinct(words(col(textCol))), w => xxhash64(w)))
+      simhash(transform(array_distinct(words(col(textCol))), w => wordHash(w)))
         .as("simhash"))
 
   /** Connected components over an undirected near-dup pair list

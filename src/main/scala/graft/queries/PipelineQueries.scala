@@ -93,6 +93,44 @@ object PipelineQueries {
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
       .orderBy("a_doc", "b_doc")
 
+  /** Full SimHash replay: per distinct word the dual 31/37 fold, each
+    * half scrambled by the same quadratic→linear→quadratic chain as
+    * DualRollingHash, packed as hi·2³² + lo; per-doc bit-vote signature
+    * (bit j set iff ones outnumber zeros: 2·ones > n), pairs by
+    * bit_count(xor) ≤ 3. Bit 63 is structurally zero so range(0,63)
+    * covers every settable bit. */
+  def q33Sql: String = {
+    val P = "2147483647"
+    def fold(k: Int) =
+      s"""list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split(word, '')]),
+         |             (acc, c) -> (acc * $k + c) % $P)""".stripMargin
+    // quadratic -> linear -> quadratic scramble, mirroring DualRollingHash
+    def q(x: String, c: Long) = s"(($x) * ($x) + $c) % $P"
+    def l(x: String, k: Long, c: Long) = s"(($x) * $k + $c) % $P"
+    val lo = q(l(q(fold(31), 1013904223L), 1103515245L, 12345L), 1664525L)
+    val hi = q(l(q(fold(37), 1664525L), 69069L, 362437L), 1013904223L)
+    s"""WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+      |           FROM documents),
+      |h AS (SELECT doc_id,
+      |        [ ($hi) * 4294967296
+      |          + ($lo)
+      |          FOR word IN ws ] AS hs
+      |      FROM w),""".stripMargin + q33SqlTail
+  }
+
+  private def q33SqlTail: String =
+    """
+      |s AS (SELECT doc_id,
+      |        CAST(list_sum([ CASE WHEN 2 * len(list_filter(hs, x -> (x // (1::BIGINT << j)) % 2 = 1)) > len(hs)
+      |                        THEN (1::BIGINT << j) ELSE 0 END
+      |                   FOR j IN range(0, 63) ]) AS BIGINT) AS sim
+      |      FROM h)
+      |SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+      |       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+      |ORDER BY a_doc, b_doc""".stripMargin
+
   def q34DedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(s, dir, threshold = 0.35)
 
@@ -162,7 +200,7 @@ object PipelineQueries {
     ("q32_dedup_jaccard_exact", q32DedupJaccardExact _, q32Sql),
     ("q35_dedup_survivors", q35DedupSurvivors _, q35Sql),
     ("q36_stable_split", q36StableSplit _, q36Sql),
-    ("q33_simhash_pairs", q33SimhashPairs _, null),
+    ("q33_simhash_pairs", q33SimhashPairs _, q33Sql),
     ("q34_dedup_embedding", q34DedupEmbedding _, q34Sql),
     ("q40_knn_bruteforce", q40KnnBruteForce _, q40Sql),
     ("q41_knn_lsh", q41KnnLsh _, null),
