@@ -77,9 +77,11 @@ object RollingHash {
   * collapses SimHash bit votes; see [[DualRollingHash.mixLo]]), packed
   * as `hi << 32 | lo`. Every step stays within signed-64 (squares of
   * 31-bit values < 2⁶²), so a DuckDB oracle replays the exact value.
-  * Bits 31 and 63 are structurally zero (documented — hamming distances
-  * and pigeonhole chunks are unaffected, equal bits contribute
-  * nothing). */
+  * Characters are UTF-16 units on the JVM and codepoints in DuckDB —
+  * identical over ASCII corpora (the testdata), same documented
+  * beyond-BMP deviation as [[RollingHash]]. Bits 31 and 63 are
+  * structurally zero (documented — hamming distances and pigeonhole
+  * chunks are unaffected, equal bits contribute nothing). */
 case class DualRollingHash(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -114,6 +116,10 @@ case class DualRollingHash(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val ch = ctx.freshName("ch")
       val M = s"${DualRollingHash.Mod}L"
+      // mix chain via the companion forwarders — ONE source of truth for
+      // the constants (a tuned constant missed in a duplicated codegen
+      // string would silently diverge interpreted vs compiled)
+      val obj = "graft.functions.DualRollingHash$.MODULE$"
       s"""
         String $s = $c.toString();
         long $lo = 0L; long $hi = 0L;
@@ -122,13 +128,7 @@ case class DualRollingHash(child: Expression) extends UnaryExpression {
           $lo = ($lo * 31L + $ch) % $M;
           $hi = ($hi * 37L + $ch) % $M;
         }
-        $lo = ($lo * $lo + 1013904223L) % $M;
-        $lo = ($lo * 1103515245L + 12345L) % $M;
-        $lo = ($lo * $lo + 1664525L) % $M;
-        $hi = ($hi * $hi + 1664525L) % $M;
-        $hi = ($hi * 69069L + 362437L) % $M;
-        $hi = ($hi * $hi + 1013904223L) % $M;
-        ${ev.value} = ($hi << 32) | $lo;
+        ${ev.value} = ($obj.mixHi($hi) << 32) | $obj.mixLo($lo);
       """
     })
 

@@ -110,7 +110,7 @@ object PipelineQueries {
     val lo = q(l(q(fold(31), 1013904223L), 1103515245L, 12345L), 1664525L)
     val hi = q(l(q(fold(37), 1664525L), 69069L, 362437L), 1013904223L)
     s"""WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
-      |           FROM documents),
+      |           FROM documents WHERE text IS NOT NULL),
       |h AS (SELECT doc_id,
       |        [ ($hi) * 4294967296
       |          + ($lo)

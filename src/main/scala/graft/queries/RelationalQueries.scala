@@ -41,17 +41,24 @@ object RelationalQueries {
   /** Decimal-exact money column, sized so every product below stays
     * within precision 18: Spark decimals at precision ≤ 18 ride the
     * compact long-backed fast path, while wider intermediates fall back
-    * to per-row BigDecimal (measured ~2× on the q01 scan-agg). Money
-    * values here are < 10^10, so (12,2) is exact. */
+    * to per-row BigDecimal (measured ~2× on the q01 scan-agg).
+    *
+    * Bounds (enforced by the casts — exceeding them NULLs the row under
+    * non-ANSI, so they are deliberately generous vs the data): a single
+    * money value < 10^10; a single line's discounted price < 10^9
+    * (TPC-H-shaped data tops out near 10^7). The products sit EXACTLY at
+    * the precision-18 limit — (12,2)×(5,2)→(18,4) and
+    * (13,4)×(5,2)→(18,6) — so widening any input precision drops every
+    * money aggregation off the compact path. */
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
   private def one: Column = lit(1).cast(DecimalType(4, 2))
-  // (12,2) × (4,2) → (17,4): exact, still compact
+  // (12,2) × (5,2) → (18,4): exact, compact (at the limit)
   private def discPrice: Column =
     dec(col("l_extendedprice")) * (one - dec(col("l_discount")).cast(DecimalType(4, 2)))
-  // rescale the scale-4 product to (12,4) — values < 10^8, no rounding —
-  // so the tax product lands at (17,6) instead of the slow (22,6)
+  // rescale the scale-4 product to (13,4) — exact for values < 10^9 —
+  // so the tax product lands at (18,6) instead of the slow (23,6)
   private def charge: Column =
-    discPrice.cast(DecimalType(12, 4)) * (one + dec(col("l_tax")).cast(DecimalType(4, 2)))
+    discPrice.cast(DecimalType(13, 4)) * (one + dec(col("l_tax")).cast(DecimalType(4, 2)))
 
   /** TPC-H Q1-style pricing summary: scan-heavy partial aggregation. */
   def q01PricingSummary(s: SparkSession, dir: String): DataFrame =

@@ -95,6 +95,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(g.agg(sum("n_dups")).head.getLong(0) == docs.count())
   }
 
+  test("dual_rolling_hash: codegen equals interpreted; null text drops from simhash") {
+    import spark.implicits._
+    val words = Seq("a", "table", "xy", "the", "zzzzzz", "")
+    val viaPlan = words.toDF("w")
+      .select(Dedup.wordHash(col("w")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val expr = graft.functions.DualRollingHash(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"))
+    val interpreted = words.map { w =>
+      expr.copy(child = org.apache.spark.sql.catalyst.expressions.Literal(w))
+        .eval(null).asInstanceOf[Long]
+    }
+    assert(viaPlan == interpreted)
+    // null text -> null simhash -> no pairs (oracle filters the same rows)
+    val withNull = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(withNull, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L)))
+  }
+
   test("streaming exact dedup: first-seen survivors across micro-batches") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -78,6 +78,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       "a  b",                     // double space -> empty token
       "trailing ",                // trailing space -> empty last token
       "AAAA bb123 Zz !!",         // mixed alpha
+      "héllo wörld état döner",   // multi-byte chars: code-point counts
       "w w w w w w w w w w")      // dup bigrams
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val got = TextAnalysis.qualitySignals(df, "doc_id", "text")
