@@ -232,6 +232,64 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF with a deterministic *seeded* coarse quantizer: the cells are the
+    * embeddings of the `nlist` highest-id corpus rows (sample-as-centroids
+    * — the same init every k-means starts from, minus the Lloyd rounds),
+    * with the seed's `vec_id` as the cell label. Quality is close to the
+    * trained quantizer on isotropic data, and the whole pipeline —
+    * assignment (squared-Euclidean argmin, first-min tie to the lowest
+    * cell id), probe selection (centroid cosine), exact re-rank — is
+    * replayable as pure SQL over the same table, so this variant is the
+    * driver-oracled entry (q42) while [[ivfTopK]] keeps the trained
+    * quantizer as the operator API.
+    *
+    * Scale shape is identical to [[ivfTopK]]: the seed fetch is a bounded
+    * `TakeOrderedAndProject` (nlist rows) driver step, assignment is a
+    * shuffle-free broadcast-kernel map, probes read `nprobe/nlist` of the
+    * corpus per query. */
+  def ivfTopKSeeded(
+      s: SparkSession,
+      dir: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
+    // bounded driver fetch (nlist rows), sorted ascending so the kernel's
+    // first-min tie-break lands on the lowest cell id
+    val seeds = e.orderBy(desc("vec_id")).limit(nlist).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val kernel = new graft.functions.CentroidKernel(seeds.map(_._2))
+    val cellIds = seeds.map(_._1)
+    import s.implicits._
+    val centroids = seeds.toSeq.map { case (id, c) => (id, c.toSeq) }
+      .toDF("cell", "centroid")
+    val cellIdx = SparkShims.column(graft.functions.NearestCentroid(
+      SparkShims.expression(col("v")), kernel))
+    val assigned = e.select(col("vec_id"), col("v"),
+      element_at(array(cellIds.map(lit): _*), cellIdx + 1).as("cell"))
+    val q = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("qv"), col("cell"),
+        LightFusion.cosineSimilarity(col("qv"), col("centroid").cast("array<double>"))
+          .as("ccos"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("ccos"), col("cell"))))
+      .where(col("r") <= nprobe)
+      .select("q_id", "qv", "cell")
+    val cands = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+    val scored = cands.select(col("q_id"), col("vec_id").as("n_id"),
+      LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
+    TopK.perKey(scored, Seq("q_id"), "cos", "n_id", k)
+      .select("q_id", "rank", "n_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** Thresholds at or above this take the banded-LSH near-dup path;
     * below it (a loose similarity join — LSH recall collapses as the
     * angle widens, and no sub-quadratic exact method exists) the exact

@@ -12,14 +12,16 @@ import graft.operators.{Dedup, Similarity}
   *  - Jaccard scores are int-set sizes divided as doubles — engine-exact.
   *  - Cosine oracles unroll the 64-dim kernel as left-associated SQL sums,
   *    matching the fused expression's accumulation order bit-for-bit.
-  *  - MinHash-LSH and SimHash candidate generation are probabilistic
-  *    (deterministic seeds, but not SQL-replayable), so q31's oracle is
-  *    the *exact* trigram-Jaccard pair set: locally verified that LSH with
-  *    16×4 banding recalls every J≥0.8 pair at sf0.01 (high-J pairs are
-  *    found with probability ~1-(1-J⁴)¹⁶ ≈ 1). SimHash/LSH-ANN entries
-  *    carry no oracle (driver records rows-only) and are instead
-  *    recall-tested against their exact baselines in DedupSpec /
-  *    SimilaritySpec.
+  *  - MinHash-LSH candidate generation is probabilistic (deterministic
+  *    seed, but not SQL-replayable), so q31's oracle is the *exact*
+  *    trigram-Jaccard pair set: locally verified that LSH with 16×4
+  *    banding recalls every J≥0.8 pair at sf0.01 (high-J pairs are found
+  *    with probability ~1-(1-J⁴)¹⁶ ≈ 1).
+  *  - The ANN entries ARE hash-gated: q41's oracle embeds the fixed-seed
+  *    hyperplane matrix as round-trip double literals and replays
+  *    signature → bands → multi-probe → re-rank; q42 uses the seeded
+  *    quantizer whose whole pipeline is data-derived SQL. The trained
+  *    (Lloyd) IVF quantizer stays recall-tested in SimilaritySpec.
   */
 object PipelineQueries {
 
@@ -191,8 +193,100 @@ object PipelineQueries {
   def q41KnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(s, dir, numQueries = 10, k = 5)
 
+  /** Full SQL replay of the LSH ANN pipeline. The 16×64 hyperplane matrix
+    * is a fixed-seed constant of the operator (Similarity.PlaneSeed), so
+    * the generator embeds each weight as a round-trip double literal
+    * (`%.16e` — 17 significant digits uniquely identify the double, and
+    * DuckDB's parse is correctly rounded, so plane·v accumulates the
+    * identical IEEE sums left-to-right). Everything downstream — band
+    * extraction, 1-bit-flip multi-probe, candidate distinct, exact cosine
+    * re-rank — is plain relational SQL over the same table. */
+  def q41Sql: String = {
+    val planes = Similarity.planes(64)
+    def dlit(d: Double): String =
+      String.format(java.util.Locale.ROOT, "(%.16e)", Double.box(d))
+    val sigExpr = planes.zipWithIndex.map { case (p, b) =>
+      val dot = p.zipWithIndex
+        .map { case (w, i) => s"${dlit(w)}*embedding[${i + 1}]::DOUBLE" }
+        .mkString(" + ")
+      s"(CASE WHEN ($dot) > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH s AS (
+       |  SELECT vec_id,
+       |    $sigExpr AS sig
+       |  FROM embeddings),
+       |bands AS (
+       |  SELECT vec_id, band, CAST((sig // (1::BIGINT << (4*band))) % 16 AS INTEGER) AS bk
+       |  FROM s CROSS JOIN range(0, 4) AS t(band)),
+       |qprobes AS (
+       |  SELECT vec_id AS q_id, band,
+       |    unnest([bk, xor(bk, 1), xor(bk, 2), xor(bk, 4), xor(bk, 8)]) AS pbk
+       |  FROM bands WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT q.q_id, c.vec_id AS n_id
+       |  FROM bands c JOIN qprobes q ON c.band = q.band AND c.bk = q.pbk
+       |  WHERE c.vec_id <> q.q_id),
+       |v AS (SELECT vec_id, embedding, (${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |sc AS (
+       |  SELECT cand.q_id, cand.n_id,
+       |    (${dotSql("q.embedding", "c.embedding")}) / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+       |  FROM cand JOIN v q ON q.vec_id = cand.q_id JOIN v c ON c.vec_id = cand.n_id)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT q_id, n_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM sc) x
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   def q42KnnIvf(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(s, dir, numQueries = 10, k = 5)
+    Similarity.ivfTopKSeeded(s, dir, numQueries = 10, k = 5)
+
+  /** Full SQL replay of the seeded-quantizer IVF: seeds (the 16 highest-id
+    * rows) come straight from the data, assignment is the identical
+    * squared-Euclidean argmin (first-min tie → lowest cell id), probes the
+    * identical centroid-cosine top-4, re-rank the identical exact cosine —
+    * every float op replayed in the kernel's left-to-right order. */
+  def q42Sql: String = {
+    def eudist(a: String, b: String): String =
+      (1 to 64).map(i =>
+        s"($a[$i]::DOUBLE - $b[$i]::DOUBLE) * ($a[$i]::DOUBLE - $b[$i]::DOUBLE)")
+        .mkString(" + ")
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS cell, embedding AS ce FROM embeddings ORDER BY vec_id DESC LIMIT 16),
+       |sd AS (SELECT cell, ce, (${dotSql("ce", "ce")}) AS cnrm FROM seeds),
+       |d AS (
+       |  SELECT e.vec_id, s.cell, (${eudist("e.embedding", "s.ce")}) AS dist
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+       |    FROM d) z WHERE rn = 1),
+       |v AS (SELECT vec_id, embedding, (${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |pc AS (
+       |  SELECT q.vec_id AS q_id, s.cell,
+       |    (${dotSql("q.embedding", "s.ce")}) / (sqrt(q.nrm) * sqrt(s.cnrm)) AS ccos
+       |  FROM v q CROSS JOIN sd s WHERE q.vec_id < 10),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ccos DESC, cell ASC) AS rn
+       |    FROM pc) z WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id AS n_id FROM assign a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.q_id),
+       |sc AS (
+       |  SELECT cand.q_id, cand.n_id,
+       |    (${dotSql("q.embedding", "c.embedding")}) / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+       |  FROM cand JOIN v q ON q.vec_id = cand.q_id JOIN v c ON c.vec_id = cand.n_id)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT q_id, n_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM sc) x
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q30_dedup_exact", q30DedupExact _, q30Sql),
@@ -203,6 +297,6 @@ object PipelineQueries {
     ("q33_simhash_pairs", q33SimhashPairs _, q33Sql),
     ("q34_dedup_embedding", q34DedupEmbedding _, q34Sql),
     ("q40_knn_bruteforce", q40KnnBruteForce _, q40Sql),
-    ("q41_knn_lsh", q41KnnLsh _, null),
-    ("q42_knn_ivf", q42KnnIvf _, null))
+    ("q41_knn_lsh", q41KnnLsh _, q41Sql),
+    ("q42_knn_ivf", q42KnnIvf _, q42Sql))
 }

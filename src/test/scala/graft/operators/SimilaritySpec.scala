@@ -74,6 +74,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.3, s"IVF recall@5 = $recall (random near-orthogonal data)")
   }
 
+  test("seeded-quantizer IVF matches the trained variant's contract") {
+    val brute = Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopKSeeded(spark, sfDir, numQueries = 10, k = 5)
+      .collect()
+    val hits = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & hits).size.toDouble / brute.size
+    assert(recall >= 0.3, s"seeded IVF recall@5 = $recall")
+    // deterministic: a second run returns the identical rows
+    val again = Similarity.ivfTopKSeeded(spark, sfDir, numQueries = 10, k = 5)
+      .collect()
+    assert(ivf.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("near-dup pairs are label-blocked and above threshold") {
     val rows = Similarity.nearDupPairs(spark, sfDir, threshold = 0.2).collect()
     rows.foreach(r => assert(r.getDouble(2) >= 0.2))
