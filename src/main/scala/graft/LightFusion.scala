@@ -99,7 +99,11 @@ object LightFusion {
     * including driver-built vanilla sessions (Verify/Bench). */
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     functionDescriptors.foreach { case (name, usage, builder) =>
-      SparkShims.registerFunction(spark, name, usage, builder)
+      // register only when absent: re-registering is harmless but logs a
+      // "replaced a previously registered function" WARN per call, which
+      // spammed every driver log line 5× per query
+      if (!SparkShims.functionExists(spark, name))
+        SparkShims.registerFunction(spark, name, usage, builder)
     }
     if (!spark.conf.getOption(BatchSizeKey).isDefined)
       spark.conf.set(BatchSizeKey, BatchSizeDefault.toString)
