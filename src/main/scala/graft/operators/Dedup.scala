@@ -296,6 +296,73 @@ object Dedup {
       .distinct()
   }
 
+  /** (doc_id, span-hash) pairs: every distinct k-token contiguous span of
+    * the document, hashed to 48 bits by the oracle-replayable rolling
+    * hash ([[graft.LightFusion.rollingHash]] — only the 8-byte hash ever
+    * enters a shuffle, never the span text). Docs shorter than k tokens
+    * emit nothing. */
+  def spanGrams(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol), words(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= k)
+      .select(col(idCol), explode(array_distinct(transform(
+        sequence(lit(1), size(col("ws")) - (k - 1)),
+        i => graft.LightFusion.rollingHash(
+          concat_ws(" ", slice(col("ws"), i, lit(k))))))).as("g"))
+
+  /** Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"-style): document pairs sharing at least
+    * one contiguous k-token span, with the count of distinct shared spans.
+    * The per-pair span count is what a curation pipeline thresholds on
+    * (one boilerplate sentence vs a wholesale copied passage).
+    *
+    * Scale shape mirrors [[minhashPairs]]: one shuffle groups span hashes,
+    * buckets larger than `maxDocsPerGram` are dropped (a span shared by
+    * thousands of docs is boilerplate, not plagiarism — and costs b²
+    * pairs), and the pair exchange carries (id, id) only. Never all-pairs.
+    */
+  def spanPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 13,
+      maxDocsPerGram: Int = 1000): DataFrame = {
+    val buckets = spanGrams(docs, idCol, textCol, k)
+      .groupBy("g")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxDocsPerGram)
+    buckets
+      .select(explode(col("ids")).as("a_doc"), col("ids"))
+      .select(col("a_doc"), explode(col("ids")).as("b_doc"))
+      .where(col("a_doc") < col("b_doc"))
+      // (doc, span) rows are distinct, so count(*) == distinct shared spans
+      .groupBy("a_doc", "b_doc")
+      .agg(count(lit(1)).as("shared_spans"))
+  }
+
+  /** Benchmark-contamination check: for every corpus document NOT in the
+    * probe set, the number of distinct k-token spans it shares with any
+    * probe document (an eval benchmark, here a deterministic corpus
+    * slice so the oracle replays it). Docs with zero hits are omitted —
+    * the output is the contamination blocklist.
+    *
+    * The probe side is tiny by construction (an eval set, not a corpus),
+    * so its distinct span hashes broadcast and the corpus side is ONE
+    * shuffle-free scan + broadcast hash join + per-doc partial count —
+    * the corpus never shuffles. */
+  def contaminationHits(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isProbe: Column,
+      k: Int = 13): DataFrame = {
+    val grams = spanGrams(docs, idCol, textCol, k)
+    val probeGrams = grams.where(isProbe).select("g").distinct()
+    grams.where(!isProbe)
+      .join(broadcast(probeGrams), "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Streaming exact dedup: the incremental form of the digest-groupBy —
     * `dropDuplicates` on the content digest keeps one survivor per
     * distinct document (the first row encountered per digest; arbitrary

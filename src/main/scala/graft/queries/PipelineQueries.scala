@@ -147,6 +147,54 @@ object PipelineQueries {
        |WHERE cos >= 0.35
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** DuckDB replay of the k-token span hash: per 1-based start position i,
+    * the 48-bit rolling fold over the joined span text — identical to
+    * [[graft.functions.RollingHash]] byte-for-byte on the ASCII corpus. */
+  private def spanGramsSql(k: Int): String =
+    s"""w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+       |g AS (SELECT doc_id, list_distinct([
+       |        list_reduce(list_prepend(0::BIGINT,
+       |          [ascii(c)::BIGINT for c in string_split(array_to_string(ws[i:i+${k - 1}], ' '), '')]),
+       |          (acc, c) -> (acc * 31 + c) % 281474976710656)
+       |        FOR i IN range(1, len(ws) - ${k - 2})]) gs
+       |      FROM w WHERE len(ws) >= $k),
+       |e AS (SELECT doc_id, unnest(gs) AS g FROM g)""".stripMargin
+
+  /** Exact substring dedup: pairs sharing a ≥13-token contiguous span. */
+  def q37SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.LightFusion.ensureRegistered(s)
+    Dedup.spanPairs(docs(s, dir), "doc_id", "text")
+      .orderBy("a_doc", "b_doc")
+  }
+
+  def q37Sql: String =
+    s"""WITH ${spanGramsSql(13)},
+       |keep AS (SELECT g FROM e GROUP BY g HAVING count(*) BETWEEN 2 AND 1000),
+       |ee AS (SELECT doc_id, g FROM e WHERE g IN (SELECT g FROM keep))
+       |SELECT x.doc_id AS a_doc, y.doc_id AS b_doc, count(*) AS shared_spans
+       |FROM ee x JOIN ee y ON x.g = y.g AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY a_doc, b_doc""".stripMargin
+
+  /** Benchmark-contamination filter: 13-token span collisions against a
+    * deterministic probe slice (doc_id ≡ 0 mod 7 stands in for the eval
+    * set, so the oracle can rebuild the identical probe). */
+  def q38Contamination(s: SparkSession, dir: String): DataFrame = {
+    graft.LightFusion.ensureRegistered(s)
+    Dedup.contaminationHits(docs(s, dir), "doc_id", "text",
+        isProbe = col("doc_id") % 7 === 0)
+      .orderBy("doc_id")
+  }
+
+  def q38Sql: String =
+    s"""WITH ${spanGramsSql(13)},
+       |probe AS (SELECT DISTINCT g FROM e WHERE doc_id % 7 = 0)
+       |SELECT doc_id, count(*) AS n_hits
+       |FROM e
+       |WHERE doc_id % 7 <> 0 AND g IN (SELECT g FROM probe)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // --- similarity search --------------------------------------------------
 
   /** Deterministic train/val/test split by content hash — the stable-split
@@ -294,6 +342,8 @@ object PipelineQueries {
     ("q32_dedup_jaccard_exact", q32DedupJaccardExact _, q32Sql),
     ("q35_dedup_survivors", q35DedupSurvivors _, q35Sql),
     ("q36_stable_split", q36StableSplit _, q36Sql),
+    ("q37_span_dedup", q37SpanDedup _, q37Sql),
+    ("q38_contamination", q38Contamination _, q38Sql),
     ("q33_simhash_pairs", q33SimhashPairs _, q33Sql),
     ("q34_dedup_embedding", q34DedupEmbedding _, q34Sql),
     ("q40_knn_bruteforce", q40KnnBruteForce _, q40Sql),

@@ -116,6 +116,56 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs == Set((1L, 3L)))
   }
 
+  /** (doc_id, span STRING) rows — the hash-free ground truth spanPairs'
+    * rolling-hash bucketing must reproduce. */
+  private def spanStrings(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= k)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("ws")) - (k - 1)),
+        i => concat_ws(" ", slice(col("ws"), i, lit(k)))))).as("span"))
+
+  test("spanPairs equals brute-force span-string matching") {
+    val k = 13
+    val ws = spanStrings(docs, k)
+    val a = ws.select(col("doc_id").as("a_doc"), col("span"))
+    val b = ws.select(col("doc_id").as("b_doc"), col("span"))
+    val brute = a.join(b, "span").where(col("a_doc") < col("b_doc"))
+      .groupBy("a_doc", "b_doc").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val got = Dedup.spanPairs(docs, "doc_id", "text", k)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.nonEmpty, "testdata should contain shared >=13-token spans")
+    assert(got == brute)
+  }
+
+  test("spanPairs: identical docs share n-k+1 spans; boilerplate cap drops hot spans") {
+    import spark.implicits._
+    val twenty = (1 to 20).map(i => s"w$i").mkString(" ")
+    val other = (21 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, twenty), (2L, twenty), (3L, other)).toDF("doc_id", "text")
+    val rows = Dedup.spanPairs(df, "doc_id", "text", k = 13).collect()
+    assert(rows.length == 1)
+    assert((rows.head.getLong(0), rows.head.getLong(1), rows.head.getLong(2)) == (1L, 2L, 8L))
+    // a span present in more docs than the cap is boilerplate: dropped
+    val hot = Seq((1L, twenty), (2L, twenty), (3L, twenty)).toDF("doc_id", "text")
+    assert(Dedup.spanPairs(hot, "doc_id", "text", k = 13, maxDocsPerGram = 2).count() == 0)
+  }
+
+  test("contaminationHits equals brute force and never flags probe docs") {
+    val isProbe = col("doc_id") % 7 === 0
+    val ws = spanStrings(docs, 13)
+    val probeSpans = ws.where(isProbe).select("span").distinct()
+    val brute = ws.where(!isProbe).join(probeSpans, "span")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = Dedup.contaminationHits(docs, "doc_id", "text", isProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.nonEmpty, "testdata should contain probe-colliding docs")
+    assert(got == brute)
+    assert(got.keys.forall(_ % 7 != 0))
+  }
+
   test("streaming exact dedup: first-seen survivors across micro-batches") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
