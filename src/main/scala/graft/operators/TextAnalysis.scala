@@ -144,7 +144,12 @@ object TextAnalysis {
     * Shuffle-free: per-row higher-order functions, O(dim·words) a row —
     * right for small demo dims; at large dim explode+groupBy+pivot the
     * counts instead. */
-  def tfEmbed(docs: DataFrame, idCol: String, textCol: String, dim: Int = 16): DataFrame = {
+  def tfEmbed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 16,
+      keep: Seq[String] = Nil): DataFrame = {
     val ws = words(col(textCol))
     // hash each word ONCE into its bucket id, then count per bucket over
     // the int array (the bucket-side filter re-hashed every word dim
@@ -153,7 +158,9 @@ object TextAnalysis {
       pmod(graft.LightFusion.rollingHash(w), lit(dim.toLong)).cast("int"))
     val tf = transform(sequence(lit(0), lit(dim - 1)),
       j => size(filter(buckets, b => b === j)))
-    docs.select(col(idCol), size(ws).as("n_words"), tf.as("tf"))
+    // `keep`: pass-through columns (e.g. a blocking label for a downstream
+    // near-dup join) — carried in the same projection, no re-join needed
+    docs.select(col(idCol) +: keep.map(col) :+ size(ws).as("n_words") :+ tf.as("tf"): _*)
   }
 
   /** Per-source top-k tokens by occurrence (tie-break token asc): the

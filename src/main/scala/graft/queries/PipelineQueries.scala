@@ -223,6 +223,47 @@ object PipelineQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Text → embedding → ANN in ONE pipeline: feature-hashing TF vectors
+    * (q59's operator, lang carried as the blocking label) flow straight
+    * into the banded sign-LSH near-dup join (q34's operator) with exact
+    * cosine verification — the end-to-end curation path from raw text to
+    * embedding-space duplicates, no intermediate table.
+    *
+    * 16 tables (not the 99%-recall auto-sizing) because this entry is
+    * hash-gated: at t=0.99 the per-pair miss probability is (1−p⁸)¹⁶ ≈
+    * 4·10⁻⁹ — and with the fixed-seed planes recall is deterministic per
+    * corpus; banded == exact verified at sf0.001/0.01/0.1 in
+    * SimilaritySpec + locally. The oracle replays q59's tf fold composed
+    * with q34-style unrolled 16-dim cosine. */
+  def q39TfEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.LightFusion.ensureRegistered(s)
+    val tf = graft.operators.TextAnalysis.tfEmbed(
+      docs(s, dir), "doc_id", "text", dim = 16, keep = Seq("lang"))
+    val emb = tf.select(col("doc_id").as("vec_id"), col("lang").as("label"),
+      col("tf").as("embedding"))
+    Similarity.nearDupPairsBanded(emb, threshold = 0.99, tables = 16)
+  }
+
+  private def dot16Sql(a: String, b: String): String =
+    (1 to 16).map(i => s"$a[$i]::DOUBLE*$b[$i]::DOUBLE").mkString(" + ")
+
+  def q39Sql: String = {
+    val fold =
+      """list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split(w, '')]),
+        |          (acc, c) -> (acc * 31 + c) % 281474976710656)""".stripMargin
+    s"""WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |tf AS (SELECT doc_id, lang,
+       |  [len(list_filter(ws, w -> ($fold) % 16 = j))
+       |   FOR j IN range(0, 16)] AS v
+       |  FROM base),
+       |n AS (SELECT doc_id, lang, v, (${dot16Sql("v", "v")}) AS nrm FROM tf)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  (${dot16Sql("a.v", "b.v")}) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cos
+       |FROM n a JOIN n b ON a.doc_id < b.doc_id AND a.lang = b.lang
+       |WHERE cos >= 0.99
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   def q40KnnBruteForce(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(s, dir, numQueries = 10, k = 5)
 
@@ -344,6 +385,7 @@ object PipelineQueries {
     ("q36_stable_split", q36StableSplit _, q36Sql),
     ("q37_span_dedup", q37SpanDedup _, q37Sql),
     ("q38_contamination", q38Contamination _, q38Sql),
+    ("q39_text_embed_neardup", q39TfEmbedNearDup _, q39Sql),
     ("q33_simhash_pairs", q33SimhashPairs _, q33Sql),
     ("q34_dedup_embedding", q34DedupEmbedding _, q34Sql),
     ("q40_knn_bruteforce", q40KnnBruteForce _, q40Sql),

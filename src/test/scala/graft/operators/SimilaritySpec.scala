@@ -54,38 +54,88 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("LSH ANN achieves reasonable recall vs brute force") {
-    val brute = Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, k = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val lsh = Similarity.lshTopK(spark, sfDir, numQueries = 10, k = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val recall = (brute & lsh).size.toDouble / brute.size
-    assert(recall >= 0.6, s"recall@5 = $recall (16 planes, 4x4 bands, multi-probe, random data)")
-    // every LSH hit must carry the exact cosine (re-rank is exact)
-    assert(lsh.nonEmpty)
+  /** Planted-cluster corpus: 16 well-separated clusters (random 64-dim
+    * unit centers are near-orthogonal), 20 members each at cos ≈ 0.99
+    * from their center. Every query's true top-5 is within-cluster, so a
+    * correct ANN index must score ≥ 0.9 recall and a broken quantizer
+    * structurally cannot — unlike the old ≥ 0.3 bar on isotropic noise,
+    * which a degenerate quantizer passed vacuously.
+    *
+    * @param interleavedIds id i → cluster i mod 16, so the 16 highest-id
+    *   rows (the seeded quantizer's seeds) and the first-16-distinct
+    *   Lloyd init each cover all 16 clusters. `false` lays ids out in
+    *   cluster blocks — all 16 seeds land in ONE cluster, the quantizer
+    *   degenerates, and recall must collapse (the negative control). */
+  private def plantedClusterDir(interleavedIds: Boolean): String = {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(16) {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val n = 320
+    val rows = (0 until n).map { i =>
+      val cluster = if (interleavedIds) i % 16 else i / 20
+      val v = centers(cluster).map(x => x + 0.08f * rng.nextGaussian().toFloat)
+      (i.toLong, cluster, v)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"planted_${if (interleavedIds) "good" else "blocked"}_")
+      .toString
+    rows.toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
   }
 
-  test("IVF ANN (k-means cells, nprobe=4/16) achieves reasonable recall") {
-    val brute = Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, k = 5)
+  private def recallVsBrute(dir: String, ann: String => org.apache.spark.sql.DataFrame): Double = {
+    val brute = Similarity.bruteForceTopK(spark, dir, numQueries = 10, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ivf = Similarity.ivfTopK(spark, sfDir, numQueries = 10, k = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val recall = (brute & ivf).size.toDouble / brute.size
-    assert(recall >= 0.3, s"IVF recall@5 = $recall (random near-orthogonal data)")
+    val hits = ann(dir).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    (brute & hits).size.toDouble / brute.size
   }
 
-  test("seeded-quantizer IVF matches the trained variant's contract") {
-    val brute = Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, k = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ivf = Similarity.ivfTopKSeeded(spark, sfDir, numQueries = 10, k = 5)
-      .collect()
-    val hits = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
-    val recall = (brute & hits).size.toDouble / brute.size
-    assert(recall >= 0.3, s"seeded IVF recall@5 = $recall")
-    // deterministic: a second run returns the identical rows
-    val again = Similarity.ivfTopKSeeded(spark, sfDir, numQueries = 10, k = 5)
-      .collect()
+  test("planted clusters: LSH and both IVF quantizers reach recall >= 0.9") {
+    val dir = plantedClusterDir(interleavedIds = true)
+    val lsh = recallVsBrute(dir, d => Similarity.lshTopK(spark, d, numQueries = 10, k = 5))
+    assert(lsh >= 0.9, s"LSH recall@5 = $lsh on well-separated clusters")
+    val ivf = recallVsBrute(dir, d => Similarity.ivfTopK(spark, d, numQueries = 10, k = 5))
+    assert(ivf >= 0.9, s"trained-IVF recall@5 = $ivf on well-separated clusters")
+    val seeded = recallVsBrute(dir, d => Similarity.ivfTopKSeeded(spark, d, numQueries = 10, k = 5))
+    assert(seeded >= 0.9, s"seeded-IVF recall@5 = $seeded on well-separated clusters")
+  }
+
+  test("planted clusters, degenerate seeds: one-cluster quantizer seeds collapse recall") {
+    // block id layout -> the nlist highest-id seeds are all in cluster 15:
+    // every centroid is the same point + noise, cell assignment is noise,
+    // probes read a ~nprobe/nlist random slice. The >=0.9 bar MUST catch it.
+    val dir = plantedClusterDir(interleavedIds = false)
+    val seeded = recallVsBrute(dir, d => Similarity.ivfTopKSeeded(spark, d, numQueries = 10, k = 5))
+    assert(seeded < 0.9, s"degenerate seeds scored $seeded — the recall bar lost its teeth")
+  }
+
+  test("seeded-quantizer IVF is deterministic across runs") {
+    val ivf = Similarity.ivfTopKSeeded(spark, sfDir, numQueries = 10, k = 5).collect()
+    assert(ivf.nonEmpty)
+    val again = Similarity.ivfTopKSeeded(spark, sfDir, numQueries = 10, k = 5).collect()
     assert(ivf.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("q39 pipeline: banded near-dup over tf embeddings equals exact (hash-gate pin)") {
+    // the driver-oracled q39 entry relies on banded==exact at t=0.99 with
+    // 16 tables; pin it on the same corpus family the driver uses
+    val tf = graft.operators.TextAnalysis.tfEmbed(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+      dim = 16, keep = Seq("lang"))
+    val emb = tf.select(col("doc_id").as("vec_id"), col("lang").as("label"),
+      col("tf").as("embedding"))
+    val banded = Similarity.nearDupPairsBanded(emb, 0.99, tables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.nearDupPairsExact(emb, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(banded == exact, s"missing=${exact -- banded} extra=${banded -- exact}")
   }
 
   test("near-dup pairs are label-blocked and above threshold") {
