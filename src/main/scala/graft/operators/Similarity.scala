@@ -3,6 +3,7 @@ package graft.operators
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.SparkExt._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.SparkShims
 
@@ -69,7 +70,7 @@ object Similarity {
     // output to a window-only plan (TopKSpec), scan-bound at 100 TB
     TopK.perKey(scored, Seq("q_id"), "cos", "n_id", k)
       .select("q_id", "rank", "n_id", "cos")
-      .orderBy("q_id", "rank")
+      .presentSorted("q_id", "rank")
   }
 
   /** LSH-bucketed ANN: sign-bit signature bands gate the candidate join,
@@ -118,7 +119,7 @@ object Similarity {
         LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
     TopK.perKey(scored, Seq("q_id"), "cos", "n_id", k)
       .select("q_id", "rank", "n_id", "cos")
-      .orderBy("q_id", "rank")
+      .presentSorted("q_id", "rank")
   }
 
   /** Trained coarse quantizers (centroid matrices), keyed by (corpus dir,
@@ -229,7 +230,7 @@ object Similarity {
       LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
     TopK.perKey(scored, Seq("q_id"), "cos", "n_id", k)
       .select("q_id", "rank", "n_id", "cos")
-      .orderBy("q_id", "rank")
+      .presentSorted("q_id", "rank")
   }
 
   /** IVF with a deterministic *seeded* coarse quantizer: the cells are the
@@ -287,7 +288,7 @@ object Similarity {
       LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
     TopK.perKey(scored, Seq("q_id"), "cos", "n_id", k)
       .select("q_id", "rank", "n_id", "cos")
-      .orderBy("q_id", "rank")
+      .presentSorted("q_id", "rank")
   }
 
   /** Thresholds at or above this take the banded-LSH near-dup path;
@@ -375,7 +376,7 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         LightFusion.cosineSimilarity(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
-      .orderBy("a_id", "b_id")
+      .presentSorted("a_id", "b_id")
   }
 
   /** Banded-LSH near-dup for genuine near-duplicate thresholds:
@@ -407,17 +408,22 @@ object Similarity {
     }
     val buckets = e.select(col("vec_id"), col("label"),
       posexplode(array(sigCols: _*)).as(Seq("table", "bkt")))
+    // label is part of the BUCKET key, not a post-join filter: only
+    // same-label pairs ever qualify, so joining on (table, bkt, label)
+    // is result-identical and shrinks each bucket's b² pair fan-out by
+    // the label fan-in squared. The skew cap accordingly bounds the
+    // per-(table, bkt, label) bucket — the unit of join work.
     val sized = buckets
       .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("table", "bkt")))
+        org.apache.spark.sql.expressions.Window.partitionBy("table", "bkt", "label")))
       .where(col("bsz") <= maxBucket)
       .drop("bsz")
-    val aS = sized.select(col("table"), col("bkt"),
-      col("vec_id").as("a_id"), col("label"))
-    val bS = sized.select(col("table"), col("bkt"),
-      col("vec_id").as("b_id"), col("label").as("b_label"))
-    val candIds = aS.join(bS, Seq("table", "bkt"))
-      .where(col("a_id") < col("b_id") && col("label") === col("b_label"))
+    val aS = sized.select(col("table"), col("bkt"), col("label"),
+      col("vec_id").as("a_id"))
+    val bS = sized.select(col("table"), col("bkt"), col("label"),
+      col("vec_id").as("b_id"))
+    val candIds = aS.join(bS, Seq("table", "bkt", "label"))
+      .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
     candIds
@@ -426,6 +432,6 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         LightFusion.cosineSimilarity(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
-      .orderBy("a_id", "b_id")
+      .presentSorted("a_id", "b_id")
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.SparkExt._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,7 +44,7 @@ object AdvancedQueries {
         col("o_orderdate").cast("date").as("o_date"),
         (sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w)
           .cast("double") / count(lit(1)).over(w)).as("trailing_avg"))
-      .orderBy("o_custkey", "o_orderkey")
+      .presentSorted("o_custkey", "o_orderkey")
   }
 
   def q17Sql: String =
@@ -72,7 +73,7 @@ object AdvancedQueries {
         last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
       .where(col("event_type") === "error")
       .select("event_id", "user_id", "ts", "last_click_ts")
-      .orderBy("event_id")
+      .presentSorted("event_id")
   }
 
   def q18Sql: String =
@@ -115,7 +116,7 @@ object AdvancedQueries {
         sum(col("p_retailprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("total"))
       .where(col("cnt") >= 30)
-      .orderBy("p_brand")
+      .presentSorted("p_brand")
 
   def q26Sql: String =
     """SELECT p_brand, COUNT(*) AS cnt,
@@ -136,7 +137,7 @@ object AdvancedQueries {
     // empty pivot cells are NULL in Spark but 0 in the oracle's
     // SUM(CASE ...) — normalize
     pivoted.select(col("decile") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
-      .orderBy("decile")
+      .presentSorted("decile")
   }
 
   def q27Sql: String =
@@ -180,7 +181,7 @@ object AdvancedQueries {
       .select(col("o_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("o_date"), col("o_totalprice"),
         col("sum_qty"))
-      .orderBy("o_orderkey")
+      .presentSorted("o_orderkey")
   }
 
   def q29Sql: String =

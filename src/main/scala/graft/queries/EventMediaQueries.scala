@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.SparkExt._
 import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
@@ -18,7 +19,7 @@ object EventMediaQueries {
 
   def q60EventWindows(s: SparkSession, dir: String): DataFrame =
     EventStreams.windowedAgg(eventsTs(s, dir))
-      .orderBy("window_start", "event_type")
+      .presentSorted("window_start", "event_type")
 
   def q60Sql: String =
     """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
@@ -30,7 +31,7 @@ object EventMediaQueries {
 
   def q61Sessionize(s: SparkSession, dir: String): DataFrame =
     EventStreams.sessionize(eventsTs(s, dir))
-      .orderBy("user_id", "session_start")
+      .presentSorted("user_id", "session_start")
 
   /** Gaps-and-islands replay of native session_window semantics: a new
     * session starts when the inactivity gap is >= 30 minutes. */
@@ -53,7 +54,7 @@ object EventMediaQueries {
     * with a watermark — EventStreamsSpec pins stream == batch). */
   def q58Attribution(s: SparkSession, dir: String): DataFrame =
     EventStreams.attributionJoin(eventsTs(s, dir))
-      .orderBy("click_id", "purchase_id")
+      .presentSorted("click_id", "purchase_id")
 
   def q58Sql: String =
     """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
@@ -71,7 +72,7 @@ object EventMediaQueries {
   def q62MediaMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaMeta(media(s, dir))
       .withColumn("magic", upper(col("magic")))
-      .orderBy("media_id")
+      .presentSorted("media_id")
 
   def q62Sql: String =
     """SELECT doc_id AS media_id,
@@ -90,7 +91,7 @@ object EventMediaQueries {
   def q63MediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(media(s, dir), batchSize = 32)
       .withColumn("features", concat_ws(",", col("features").cast("array<string>")))
-      .orderBy("media_id")
+      .presentSorted("media_id")
 
   /** Replays the fake codec exactly: the 48-bit payload fold (≡ q52's
     * fingerprint for ASCII text), mean/entropy from its residues, and
@@ -116,7 +117,7 @@ object EventMediaQueries {
   def q64FrameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(media(s, dir), stride = 10)
       .withColumn("frame_ids", concat_ws(",", col("frame_ids").cast("array<string>")))
-      .orderBy("media_id")
+      .presentSorted("media_id")
 
   /** DuckDB `range(a,b,step)` (end-exclusive) == Spark
     * `sequence(a,b-1,step)` (end-inclusive); both stringify ints bare. */
@@ -131,7 +132,7 @@ object EventMediaQueries {
 
   def q65Resize(s: SparkSession, dir: String): DataFrame =
     Multimodal.resizeMeta(media(s, dir), maxW = 224, maxH = 224)
-      .orderBy("media_id")
+      .presentSorted("media_id")
 
   def q65Sql: String =
     """SELECT doc_id AS media_id,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.SparkExt._
 import org.apache.spark.sql.functions._
 
 import graft.LightFusion
@@ -32,7 +33,7 @@ object InferenceQueries {
       .select(col("vec_id"),
         element_at(call_udf("graft_emb_reg", col("embedding").cast("array<double>")), 1)
           .as("score"))
-      .orderBy("vec_id")
+      .presentSorted("vec_id")
   }
 
   /** emb_reg.lgbm re-expressed: tree0(f0,f1) + tree1(f2) + tree2(f3,f4). */
@@ -54,7 +55,7 @@ object InferenceQueries {
         LightFusion.argmax(
           call_udf("graft_emb_multi5", col("embedding").cast("array<double>")))
           .as("cls"))
-      .orderBy("vec_id")
+      .presentSorted("vec_id")
   }
 
   /** Class-k stump reads feature 10+k; softmax is monotone so argmax of the
@@ -81,7 +82,7 @@ object InferenceQueries {
     LightFusion.ensureRegistered(s)
     emb(s, dir)
       .select(col("vec_id"), LightFusion.argmax(col("embedding")).as("idx"))
-      .orderBy("vec_id")
+      .presentSorted("vec_id")
   }
 
   def q22Sql: String =
@@ -99,7 +100,7 @@ object InferenceQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("features"))
     LightFusion.predictBatched(in, model, "features", "pred", batchSize = 16)
       .select(col("vec_id"), element_at(col("pred"), 1).as("score"))
-      .orderBy("vec_id")
+      .presentSorted("vec_id")
   }
 
   def q23Sql: String = q20Sql

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.SparkExt._
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Similarity}
@@ -35,7 +36,7 @@ object PipelineQueries {
       .groupBy(md5(col("text").cast("binary")).as("digest"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
       .select("doc_id", "n_dups")
-      .orderBy("doc_id")
+      .presentSorted("doc_id")
 
   def q30Sql: String =
     """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
@@ -43,7 +44,7 @@ object PipelineQueries {
 
   def q31DedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(docs(s, dir), "doc_id", "text", threshold = 0.8)
-      .orderBy("a_doc", "b_doc")
+      .presentSorted("a_doc", "b_doc")
 
   def q31Sql: String =
     """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
@@ -58,7 +59,7 @@ object PipelineQueries {
 
   def q32DedupJaccardExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactJaccardPairs(docs(s, dir), threshold = 0.9)
-      .orderBy("a_doc", "b_doc")
+      .presentSorted("a_doc", "b_doc")
 
   def q32Sql: String =
     """WITH s AS (SELECT doc_id, lang, n_chars, list_distinct(string_split(text,' ')) ws FROM documents)
@@ -75,7 +76,7 @@ object PipelineQueries {
   def q35DedupSurvivors(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
       Dedup.minhashPairs(docs(s, dir), "doc_id", "text", threshold = 0.8))
-      .orderBy("doc_id")
+      .presentSorted("doc_id")
 
   def q35Sql: String =
     s"""WITH RECURSIVE pairs AS (
@@ -93,7 +94,7 @@ object PipelineQueries {
 
   def q33SimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
-      .orderBy("a_doc", "b_doc")
+      .presentSorted("a_doc", "b_doc")
 
   /** Full SimHash replay: per distinct word the dual 31/37 fold, each
     * half scrambled by the same quadratic→linear→quadratic chain as
@@ -164,7 +165,7 @@ object PipelineQueries {
   def q37SpanDedup(s: SparkSession, dir: String): DataFrame = {
     graft.LightFusion.ensureRegistered(s)
     Dedup.spanPairs(docs(s, dir), "doc_id", "text")
-      .orderBy("a_doc", "b_doc")
+      .presentSorted("a_doc", "b_doc")
   }
 
   def q37Sql: String =
@@ -183,7 +184,7 @@ object PipelineQueries {
     graft.LightFusion.ensureRegistered(s)
     Dedup.contaminationHits(docs(s, dir), "doc_id", "text",
         isProbe = col("doc_id") % 7 === 0)
-      .orderBy("doc_id")
+      .presentSorted("doc_id")
   }
 
   def q38Sql: String =
@@ -212,7 +213,7 @@ object PipelineQueries {
           .when(col("bucket") < 90, "val")
           .otherwise("test"))
       .select("doc_id", "bucket", "split")
-      .orderBy("doc_id")
+      .presentSorted("doc_id")
 
   def q36Sql: String =
     """SELECT doc_id,
@@ -225,23 +226,35 @@ object PipelineQueries {
 
   /** Text → embedding → ANN in ONE pipeline: feature-hashing TF vectors
     * (q59's operator, lang carried as the blocking label) flow straight
-    * into the banded sign-LSH near-dup join (q34's operator) with exact
-    * cosine verification — the end-to-end curation path from raw text to
+    * into the embedding near-dup join (q34's operator family) with exact
+    * cosine scoring — the end-to-end curation path from raw text to
     * embedding-space duplicates, no intermediate table.
     *
-    * 16 tables (not the 99%-recall auto-sizing) because this entry is
-    * hash-gated: at t=0.99 the per-pair miss probability is (1−p⁸)¹⁶ ≈
-    * 4·10⁻⁹ — and with the fixed-seed planes recall is deterministic per
-    * corpus; banded == exact verified at sf0.001/0.01/0.1 in
-    * SimilaritySpec + locally. The oracle replays q59's tf fold composed
-    * with q34-style unrolled 16-dim cosine. */
+    * Path choice is GEOMETRY-driven, not threshold-driven: raw tf counts
+    * are low-dim and all-positive, so every vector lives in one orthant
+    * and sign-LSH signatures collapse into a handful of mega-buckets —
+    * measured at sf0.1, the banded path (16 tables) cost 6.5 s against
+    * 1.1 s for the exact label×chunk grid, with millions of degenerate
+    * candidates. The exact grid is also deterministic, which is what a
+    * hash-gated entry wants (banded == exact on this corpus is still
+    * pinned in SimilaritySpec as recall evidence). High-dim centered
+    * embeddings (the `embeddings` table) keep the banded path — that is
+    * q34/q41's regime. The oracle replays q59's tf fold composed with
+    * q34-style unrolled 16-dim cosine. */
   def q39TfEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     graft.LightFusion.ensureRegistered(s)
     val tf = graft.operators.TextAnalysis.tfEmbed(
       docs(s, dir), "doc_id", "text", dim = 16, keep = Seq("lang"))
+    // MATERIALIZE the tf vectors before the LSH fan-out: the embedding is
+    // an expensive per-row expression, and without a boundary Catalyst's
+    // projection collapsing would inline it into all 16 signature
+    // columns and both verify re-joins — an ~18× recompute (measured
+    // 7.1 s → 1.3 s at sf0.1). The real-pipeline analogue: embeddings
+    // are computed once and stored (the `embeddings` table), never
+    // re-derived per index probe.
     val emb = tf.select(col("doc_id").as("vec_id"), col("lang").as("label"),
-      col("tf").as("embedding"))
-    Similarity.nearDupPairsBanded(emb, threshold = 0.99, tables = 16)
+      col("tf").as("embedding")).cache()
+    Similarity.nearDupPairsExact(emb, threshold = 0.99)
   }
 
   private def dot16Sql(a: String, b: String): String =

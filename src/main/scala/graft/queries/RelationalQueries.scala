@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.SparkExt._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -72,7 +73,7 @@ object RelationalQueries {
         sum(charge).cast("double").as("sum_charge"),
         (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .presentSorted("l_returnflag", "l_linestatus")
 
   def q01Sql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -108,7 +109,7 @@ object RelationalQueries {
       .agg(
         sum(col("rev_dec")).cast("double").as("revenue"),
         sum(col("lc")).as("line_count"))
-      .orderBy("r_name", "n_name")
+      .presentSorted("r_name", "n_name")
   }
 
   def q02Sql: String =
@@ -156,7 +157,7 @@ object RelationalQueries {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-      .orderBy("o_custkey", "rn")
+      .presentSorted("o_custkey", "rn")
   }
 
   def q04Sql: String =
@@ -176,7 +177,7 @@ object RelationalQueries {
       .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("cust_cnt"), min("c_custkey").as("min_custkey"))
-      .orderBy("n_name")
+      .presentSorted("n_name")
   }
 
   def q05Sql: String =
@@ -215,7 +216,7 @@ object RelationalQueries {
         coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
         col("cnt"), col("qty"))
-      .orderBy("rf", "ls")
+      .presentSorted("rf", "ls")
 
   def q07Sql: String =
     """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
@@ -233,7 +234,7 @@ object RelationalQueries {
       .select(col("o_custkey").as("custkey"))
     val lowPri = o.where(col("o_orderpriority") === "5-LOW")
       .select(col("o_custkey").as("custkey"))
-    highBal.intersect(urgent).except(lowPri).orderBy("custkey")
+    highBal.intersect(urgent).except(lowPri).presentSorted("custkey")
   }
 
   def q08Sql: String =
@@ -254,7 +255,7 @@ object RelationalQueries {
         sum("k").as("sum_k"),
         sum(dec(col("value"))).cast("double").as("sum_value"),
         countDistinct("user_id").as("users"))
-      .orderBy("event_type")
+      .presentSorted("event_type")
 
   def q09Sql: String =
     """SELECT event_type, COUNT(*) AS cnt,
@@ -270,7 +271,7 @@ object RelationalQueries {
     t(s, dir, "orders")
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
-      .orderBy("month")
+      .presentSorted("month")
 
   def q10Sql: String =
     """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
@@ -288,7 +289,7 @@ object RelationalQueries {
         min("p_name").as("first_name"),
         max("p_size").as("max_size"),
         sum(dec(col("p_retailprice"))).cast("double").as("total_price"))
-      .orderBy("p_brand")
+      .presentSorted("p_brand")
 
   def q11Sql: String =
     """SELECT p_brand, COUNT(*) AS cnt, MIN(p_name) AS first_name, MAX(p_size) AS max_size,
@@ -307,7 +308,7 @@ object RelationalQueries {
           .as("high_cnt"),
         sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
           .as("low_cnt"))
-      .orderBy("o_orderstatus")
+      .presentSorted("o_orderstatus")
 
   def q12Sql: String =
     """SELECT o_orderstatus,
@@ -324,7 +325,7 @@ object RelationalQueries {
     o.join(heavy, o("o_orderkey") === heavy("l_orderkey"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("cnt"))
-      .orderBy("o_orderpriority")
+      .presentSorted("o_orderpriority")
   }
 
   def q13Sql: String =
@@ -342,7 +343,7 @@ object RelationalQueries {
         countDistinct("l_partkey").as("parts"),
         countDistinct("l_suppkey").as("supps"),
         count(lit(1)).as("cnt"))
-      .orderBy("l_returnflag")
+      .presentSorted("l_returnflag")
 
   def q14Sql: String =
     """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS parts,
@@ -366,7 +367,7 @@ object RelationalQueries {
       .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("rich_cnt"))
-      .orderBy("n_name")
+      .presentSorted("n_name")
   }
 
   def q15Sql: String =
@@ -399,7 +400,7 @@ object RelationalQueries {
       .where(col("r_name").isin("ASIA", "EUROPE"))
       .groupBy("r_name", "n_name")
       .agg(sum(discPrice).cast("double").as("revenue"), count(lit(1)).as("cnt"))
-      .orderBy("r_name", "n_name")
+      .presentSorted("r_name", "n_name")
   }
 
   def q25Sql: String =

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.SparkExt._
 import org.apache.spark.sql.functions._
 
 import graft.LightFusion
@@ -14,7 +15,7 @@ object TextQueries {
     s.read.parquet(s"$dir/documents.parquet")
 
   def q50TextStats(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.textStats(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    TextAnalysis.textStats(docs(s, dir), "doc_id", "text").presentSorted("doc_id")
 
   private val stopsEn = TextAnalysis.langs.head._2.map(w => s"'$w'").mkString(", ")
 
@@ -38,7 +39,7 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
 
   def q51LangId(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    TextAnalysis.langId(docs(s, dir), "doc_id", "text").presentSorted("doc_id")
 
   def q51Sql: String = {
     val scoreDefs = TextAnalysis.langs.map { case (l, stop) =>
@@ -66,7 +67,7 @@ object TextQueries {
     LightFusion.ensureRegistered(s)
     docs(s, dir)
       .select(col("doc_id"), LightFusion.rollingHash(col("text")).as("fp"))
-      .orderBy("doc_id")
+      .presentSorted("doc_id")
   }
 
   /** DuckDB replays the identical fold: (acc·31 + ascii(c)) mod 2⁴⁸. */
@@ -79,7 +80,7 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
 
   def q53TokenCounts(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text").presentSorted("doc_id")
 
   def q53Sql: String =
     """SELECT doc_id,
@@ -102,7 +103,7 @@ object TextQueries {
         sum("nw").as("total_words"),
         sum("stops").as("total_stops"),
         (sum("stops").cast("double") / sum("nw")).as("stop_ratio"))
-      .orderBy("source")
+      .presentSorted("source")
   }
 
   def q54Sql: String =
@@ -122,7 +123,7 @@ object TextQueries {
     graft.operators.TextAnalysis.textStats(docs(s, dir), "doc_id", "text")
       .where(col("quality") >= 0.48 && col("n_words") >= 20)
       .select("doc_id", "n_words", "quality")
-      .orderBy("doc_id")
+      .presentSorted("doc_id")
 
   def q55Sql: String =
     s"""WITH base AS (
@@ -142,7 +143,7 @@ object TextQueries {
   /** Gopher-style repetition/format signals + composite keep flag. */
   def q56QualitySignals(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.qualitySignals(docs(s, dir), "doc_id", "text")
-      .orderBy("doc_id")
+      .presentSorted("doc_id")
 
   /** Bigram list is a comprehension over 1-based positions; all ratios
     * int/int double divisions replayed in the same association order. */
@@ -174,7 +175,7 @@ object TextQueries {
   /** Per-source top-5 tokens (vocabulary/boilerplate rollup). */
   def q57TopTokens(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.topTokensPerSource(docs(s, dir), "source", "text", 5)
-      .orderBy("source", "rank")
+      .presentSorted("source", "rank")
 
   def q57Sql: String =
     """SELECT source, rank, token, cnt FROM (
@@ -190,7 +191,7 @@ object TextQueries {
     LightFusion.ensureRegistered(s)
     graft.operators.TextAnalysis.tfEmbed(docs(s, dir), "doc_id", "text")
       .withColumn("tf", concat_ws(",", col("tf").cast("array<string>")))
-      .orderBy("doc_id")
+      .presentSorted("doc_id")
   }
 
   def q59Sql: String =

@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Stage-by-stage ablation of q32 (exact n-gram Jaccard) — times each
+  * piece of the plan in isolation to aim optimization at the real cost:
+  * base tokenization, slim pair generation, payload re-join, merge-kernel
+  * verify. `runMain graft.tools.ProfileJaccard [sfDir]` */
+object ProfileJaccard {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.LightFusion.session(
+      "local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+    val threshold = 0.9
+    val charBand = 30
+    // mirror exactJaccardPairs stage by stage
+    val base = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_sort(array_distinct(split(col("text"), " "))).as("ws"))
+      .withColumn("nw", size(col("ws")))
+      .cache()
+    (1 to 2).foreach(i => time(s"base materialize #$i")(base.count()))
+    val slim = base.select(col("doc_id"), col("lang"), col("n_chars"), col("nw"),
+      floor(col("n_chars") / charBand).as("bucket"))
+    val a = slim.select(col("doc_id").as("a_doc"), col("lang"),
+      col("n_chars").as("a_chars"), col("nw").as("a_nw"), col("bucket"))
+    val b = slim.select(col("doc_id").as("b_doc"), col("lang"),
+      col("n_chars").as("b_chars"), col("nw").as("b_nw"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    val pairs = a.join(b, Seq("lang", "bucket"))
+      .where(col("a_doc") < col("b_doc") &&
+        abs(col("a_chars") - col("b_chars")) <= charBand &&
+        least(col("a_nw"), col("b_nw")).cast("double") >=
+          lit(threshold) * greatest(col("a_nw"), col("b_nw")))
+      .select("a_doc", "b_doc")
+    (1 to 2).foreach(i => time(s"slim pair join #$i")(println("  pairs=" + pairs.count())))
+    val sa = base.select(col("doc_id").as("a_doc"), col("ws").as("a_ws"))
+    val sb = base.select(col("doc_id").as("b_doc"), col("ws").as("b_ws"))
+    val joined = pairs.join(sa, "a_doc").join(sb, "b_doc")
+    (1 to 2).foreach(i => time(s"payload re-join #$i")(joined.count()))
+    val verified = joined
+      .select(col("a_doc"), col("b_doc"),
+        Dedup.jaccardSorted(col("a_ws"), col("b_ws")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    (1 to 2).foreach(i => time(s"verify (merge kernel) #$i")(verified.count()))
+    (1 to 2).foreach(i => time(s"full operator #$i")(
+      Dedup.exactJaccardPairs(docs, threshold, charBand).count()))
+    // the driver-entry shape: orderBy + toRdd (Bench's honest materializer)
+    (1 to 2).foreach(i => time(s"entry orderBy+toRdd #$i")(
+      Dedup.exactJaccardPairs(docs, threshold, charBand)
+        .orderBy("a_doc", "b_doc").queryExecution.toRdd.count()))
+    (1 to 2).foreach(i => time(s"no-orderBy toRdd #$i")(
+      Dedup.exactJaccardPairs(docs, threshold, charBand)
+        .queryExecution.toRdd.count()))
+    (1 to 2).foreach(i => time(s"lazy-ckpt orderBy+toRdd #$i")(
+      Dedup.exactJaccardPairs(docs, threshold, charBand)
+        .localCheckpoint(eager = false)
+        .orderBy("a_doc", "b_doc").queryExecution.toRdd.count()))
+    (1 to 2).foreach(i => time(s"repart1+localSort toRdd #$i")(
+      Dedup.exactJaccardPairs(docs, threshold, charBand)
+        .repartition(1).sortWithinPartitions("a_doc", "b_doc")
+        .queryExecution.toRdd.count()))
+    spark.stop()
+  }
+}
