@@ -8,30 +8,40 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** `sorted_intersect_count(array<string>, array<string>) -> int`:
-  * cardinality of the intersection of two ASC-SORTED, DISTINCT string
-  * arrays, via a linear merge — O(n+m) with zero allocation.
+/** `sorted_intersect_count(array<T>, array<T>) -> int` for T in
+  * {string, bigint}: cardinality of the intersection of two ASC-SORTED,
+  * DISTINCT arrays, via a linear merge — O(n+m) with zero allocation.
   *
   * This is the hot kernel of exact-Jaccard dedup verification: the
   * built-in `size(array_intersect(a, b))` builds a hash set and
   * materializes the intersection array per pair; over an O(candidates)
   * pair stream at 100 TB that allocation dominates. Callers pre-sort each
   * document's word/shingle set ONCE (`array_sort(array_distinct(...))`),
-  * then every pairwise probe is a pure merge scan. Sortedness is the
-  * caller's contract (not re-checked — checking would cost the merge
-  * itself); results equal `size(array_intersect(...))` on distinct
-  * inputs, which DedupSpec asserts.
+  * then every pairwise probe is a pure merge scan. The bigint leg exists
+  * so callers can hash tokens once (`xxhash64`) and merge 8-byte
+  * primitives instead of re-comparing UTF8 bytes per pair — same count
+  * unless two distinct tokens collide in 64 bits (~|vocab|²/2⁶⁵; the
+  * dedup gate verifies equality against the string form per corpus).
+  * Sortedness is the caller's contract (not re-checked — checking would
+  * cost the merge itself); results equal `size(array_intersect(...))` on
+  * distinct inputs, which DedupSpec asserts.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  private def isLong: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case other =>
         TypeCheckResult.TypeCheckFailure(
-          s"sorted_intersect_count requires (array<string>, array<string>), got $other")
+          "sorted_intersect_count requires (array<string>, array<string>) " +
+            s"or (array<bigint>, array<bigint>), got $other")
     }
 
   override def dataType: DataType = IntegerType
@@ -43,11 +53,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val n = xs.numElements()
     val m = ys.numElements()
     var i = 0; var j = 0; var cnt = 0
-    while (i < n && j < m) {
-      val c = xs.getUTF8String(i).compareTo(ys.getUTF8String(j))
-      if (c == 0) { cnt += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+    if (isLong) {
+      while (i < n && j < m) {
+        val c = java.lang.Long.compare(xs.getLong(i), ys.getLong(j))
+        if (c == 0) { cnt += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < n && j < m) {
+        val c = xs.getUTF8String(i).compareTo(ys.getUTF8String(j))
+        if (c == 0) { cnt += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     cnt
   }
@@ -60,12 +79,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val j = ctx.freshName("j")
       val cnt = ctx.freshName("cnt")
       val c = ctx.freshName("c")
+      val cmp =
+        if (isLong) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       s"""
         int $n = $a.numElements();
         int $m = $b.numElements();
         int $i = 0, $j = 0, $cnt = 0;
         while ($i < $n && $j < $m) {
-          int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+          int $c = $cmp;
           if ($c == 0) { $cnt++; $i++; $j++; }
           else if ($c < 0) { $i++; } else { $j++; }
         }

@@ -94,10 +94,17 @@ object Dedup {
       textCol: String,
       threshold: Double,
       maxBucket: Int = 1000): DataFrame = {
-    val sh = shingled(docs, idCol, textCol).cache()
+    // hash shingles ONCE to sorted 64-bit sets: banding min-hashes the
+    // values (order-free), and the verify merge compares 8-byte longs
+    // instead of ~25-char UTF8 trigrams per probe. Same Jaccard unless
+    // two distinct shingles collide in 64 bits (~|shingles|²/2⁶⁵ —
+    // the driver gate pins equality with the string-form oracle).
+    val sh = shingled(docs, idCol, textCol)
+      .select(col(idCol), array_sort(transform(col("sg"), s => xxhash64(s))).as("sg"))
+      .cache()
     val banded = sh
       .select(col(idCol),
-        posexplode(bandKeys(transform(col("sg"), s => xxhash64(s)))).as(Seq("band", "key")))
+        posexplode(bandKeys(col("sg"))).as(Seq("band", "key")))
     val buckets = banded
       .groupBy("band", "key")
       .agg(collect_list(col(idCol)).as("ids"))
@@ -133,9 +140,14 @@ object Dedup {
       docs: DataFrame,
       threshold: Double,
       charBand: Int = 30): DataFrame = {
+    // word sets are hashed to sorted 64-bit arrays up front: the verify
+    // merge then compares primitives (same-count caveat as minhashPairs'
+    // shingle hashing — gate-pinned per corpus), and the payload joins
+    // ship 8-byte elements instead of UTF8 words
     val base = docs
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        array_sort(array_distinct(words(col("text")))).as("ws"))
+        array_sort(array_distinct(transform(words(col("text")), w => xxhash64(w))))
+          .as("ws"))
       .withColumn("nw", size(col("ws")))
       .cache()
     // Pair generation runs on a SLIM relation (ids + ints only): the wide
