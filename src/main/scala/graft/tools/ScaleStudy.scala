@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Empirical scaling study for the dedup/text operator families: measures
+  * each operator at the sf0.1 corpus (5k docs) and at a 10× derived
+  * corpus (50k docs), and reports the scaling exponent
+  * `log10(t_50k / t_5k)` — ≈1 means linear, ≈2 means quadratic.
+  *
+  * The 10× corpus repeats each document 10 times with every word of copy
+  * c > 0 suffixed `~c` (ids offset per copy, n_chars recomputed): token
+  * sets of different copies are disjoint, so TRUE duplicate structure
+  * scales linearly (each copy reproduces the original pair set) and any
+  * super-linear runtime growth is the operator's candidate machinery, not
+  * an artifact of planted cross-copy duplicates. Blocking keys that
+  * ignore token content (lang, length bands, 16-bit simhash chunks) DO
+  * densify 10× — exactly what a real 10× corpus does to them.
+  *
+  * `runMain graft.tools.ScaleStudy [baseDir] [scaledDir]` — writes the
+  * derived corpus on first use; results land in SCALE.md by hand.
+  */
+object ScaleStudy {
+
+  def buildScaled(spark: SparkSession, baseDir: String, out: String): Unit = {
+    if (new java.io.File(out, "documents.parquet").exists()) return
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    val copies = (0 until 10).map { c =>
+      if (c == 0) base
+      else {
+        val suffixed = concat_ws(" ",
+          transform(split(col("text"), " "), w => concat(w, lit(s"~$c"))))
+        base
+          .withColumn("doc_id", col("doc_id") + lit(c * 10000000L))
+          .withColumn("text", suffixed)
+          .withColumn("n_chars", length(suffixed))
+      }
+    }
+    copies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scaledDir = args.lift(1).getOrElse("/tmp/graft_scale50k")
+    val spark = graft.LightFusion.session(
+      "local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+    spark.sparkContext.setLogLevel("WARN")
+    buildScaled(spark, baseDir, scaledDir)
+
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      ("q50 textStats (scan)", d => TextAnalysis.textStats(d, "doc_id", "text")),
+      ("q30 exactDedup (digest)", d => d.groupBy(md5(col("text").cast("binary")).as("dg"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"))),
+      ("q31 minhashPairs (LSH)", d => Dedup.minhashPairs(d, "doc_id", "text", 0.8)),
+      ("q32 exactJaccard (blocked)", d => Dedup.exactJaccardPairs(d, 0.9)),
+      ("q33 simhashPairs (chunks)", d => Dedup.simhashPairs(d, "doc_id", "text", 3)),
+      ("q37 spanPairs (grams)", d => Dedup.spanPairs(d, "doc_id", "text")),
+      ("q38 contamination", d => Dedup.contaminationHits(
+        d, "doc_id", "text", col("doc_id") % 7 === 0)))
+
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
+    def time(df: => DataFrame): (Double, Long) = {
+      var rows = 0L
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        rows = df.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (median(ts), rows)
+    }
+
+    println(f"${"operator"}%-28s ${"t_5k"}%8s ${"t_50k"}%8s  exp ${"rows_5k"}%9s ${"rows_50k"}%9s")
+    ops.foreach { case (name, op) =>
+      val (t1, r1) = time(op(spark.read.parquet(s"$baseDir/documents.parquet")))
+      val (t2, r2) = time(op(spark.read.parquet(s"$scaledDir/documents.parquet")))
+      val exp = math.log10(t2 / t1)
+      println(f"$name%-28s $t1%8.3f $t2%8.3f $exp%5.2f $r1%9d $r2%9d")
+    }
+    spark.stop()
+  }
+}
