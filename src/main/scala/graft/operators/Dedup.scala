@@ -308,6 +308,49 @@ object Dedup {
       .distinct()
   }
 
+  /** 128-bit SimHash variant: two independent 64-bit bit-vote signatures
+    * (DualRollingHash and xxhash64 word hashes), Hamming distance summed
+    * across halves, pairs via 8×16-bit pigeonhole chunks (d ≤ 7 ⇒ one of
+    * 8 chunks equal).
+    *
+    * This is the documented escape hatch for 64-bit signature
+    * saturation: on templated/near-dup-dense corpora the 64-bit
+    * Hamming-≤3 ball starts admitting distinct-but-similar documents as
+    * the corpus grows (measured: 500 docs → 1.2k pairs but 5k docs →
+    * 128k pairs, ~quadratic), while doubling the signature squares the
+    * per-pair collision resolution. `simhashPairsWide(d) ⊆
+    * simhashPairs(d)` structurally (d₁+d₂ ≤ d implies d₁ ≤ d), which
+    * DedupSpec asserts along with brute-force equality. Same scale
+    * shape as [[simhashPairs]]: equi-join on (chunk, value), never a
+    * cross join. */
+  def simhashPairsWide(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 7, "chunk trick with 8 chunks covers Hamming distance <= 7")
+    val ws = array_distinct(words(col(textCol)))
+    val sh = docs.select(col(idCol),
+      simhash(transform(ws, w => wordHash(w))).as("sim1"),
+      simhash(transform(ws, w => xxhash64(w))).as("sim2"))
+    val chunkCols =
+      (0 until 4).map(c => shiftrightunsigned(col("sim1"), c * 16).bitwiseAND(lit(0xffffL))) ++
+        (0 until 4).map(c => shiftrightunsigned(col("sim2"), c * 16).bitwiseAND(lit(0xffffL)))
+    val chunked = sh.select(col(idCol), col("sim1"), col("sim2"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "ck")))
+    val a = chunked.select(col(idCol).as("a_doc"), col("sim1").as("a1"),
+      col("sim2").as("a2"), col("chunk"), col("ck"))
+    val b = chunked.select(col(idCol).as("b_doc"), col("sim1").as("b1"),
+      col("sim2").as("b2"), col("chunk"), col("ck"))
+    a.join(b, Seq("chunk", "ck"))
+      .where(col("a_doc") < col("b_doc"))
+      .select(col("a_doc"), col("b_doc"),
+        (bit_count(col("a1").bitwiseXOR(col("b1")))
+          + bit_count(col("a2").bitwiseXOR(col("b2")))).as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** (doc_id, span-hash) pairs: every distinct k-token contiguous span of
     * the document, hashed to 48 bits by the oracle-replayable rolling
     * hash ([[graft.LightFusion.rollingHash]] — only the 8-byte hash ever

@@ -57,6 +57,7 @@ object ScaleStudy {
       ("q31 minhashPairs (LSH)", d => Dedup.minhashPairs(d, "doc_id", "text", 0.8)),
       ("q32 exactJaccard (blocked)", d => Dedup.exactJaccardPairs(d, 0.9)),
       ("q33 simhashPairs (chunks)", d => Dedup.simhashPairs(d, "doc_id", "text", 3)),
+      ("simhashPairsWide (128-bit)", d => Dedup.simhashPairsWide(d, "doc_id", "text", 3)),
       ("q37 spanPairs (grams)", d => Dedup.spanPairs(d, "doc_id", "text")),
       ("q38 contamination", d => Dedup.contaminationHits(
         d, "doc_id", "text", col("doc_id") % 7 === 0)))

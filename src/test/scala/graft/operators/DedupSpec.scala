@@ -116,6 +116,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs == Set((1L, 3L)))
   }
 
+  test("128-bit simhash: chunk join equals brute force and refines the 64-bit pairs") {
+    val ws = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("w"))
+    val sh = ws.select(col("doc_id"),
+      Dedup.simhash(transform(col("w"), x => Dedup.wordHash(x))).as("s1"),
+      Dedup.simhash(transform(col("w"), x => xxhash64(x))).as("s2"))
+    val a = sh.select(col("doc_id").as("a_doc"), col("s1").as("a1"), col("s2").as("a2"))
+    val b = sh.select(col("doc_id").as("b_doc"), col("s1").as("b1"), col("s2").as("b2"))
+    val brute = a.join(b, col("a_doc") < col("b_doc"))
+      .select(col("a_doc"), col("b_doc"),
+        (bit_count(col("a1").bitwiseXOR(col("b1")))
+          + bit_count(col("a2").bitwiseXOR(col("b2")))).as("h"))
+      .where(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = Dedup.simhashPairsWide(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == brute)
+    // d1+d2 <= 3 implies d1 <= 3: the wide pair set refines the narrow one
+    val narrow = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.subsetOf(narrow))
+    assert(wide.size < narrow.size,
+      s"128-bit should reject some 64-bit near-collisions (wide=${wide.size} narrow=${narrow.size})")
+  }
+
   /** (doc_id, span STRING) rows — the hash-free ground truth spanPairs'
     * rolling-hash bucketing must reproduce. */
   private def spanStrings(df: org.apache.spark.sql.DataFrame, k: Int) =
