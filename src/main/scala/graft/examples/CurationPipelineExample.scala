@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.LightFusion
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /** The whole training-data curation story, end to end, from the building
   * blocks in graft.operators — runnable at any scale factor:
@@ -12,15 +12,23 @@ import graft.operators.{Dedup, TextAnalysis}
   *   documents
   *     → quality + length filter            (TextAnalysis.textStats)
   *     → language filter                    (TextAnalysis.langId)
+  *     → contamination blocklist            (Dedup.contaminationHits vs
+  *                                           a broadcast probe set)
   *     → exact dedup                        (digest groupBy, min survivor)
+  *     → span dedup                         (Dedup.spanPairs ≥k-token
+  *                                           copied-passage pairs)
   *     → near-dup collapse                  (MinHash-LSH pairs →
   *                                           connectedComponents survivors)
+  *     → embedding near-dup                 (TextAnalysis.tfEmbed →
+  *                                           Similarity near-dup pairs)
   *     → stable train/val/test assignment   (content-hash buckets)
   *     → partitioned parquet, one dir per split
   *
   * Every stage is a DataFrame transform — the pipeline is one lazy plan
   * until the final write, so Catalyst fuses the scans and the corpus is
-  * read once. At 100 TB nothing here changes but the cluster size.
+  * read once (the tf-embedding leg materializes its vectors once, as a
+  * stored embedding table would). At 100 TB nothing here changes but
+  * the cluster size.
   */
 object CurationPipelineExample {
 
@@ -37,23 +45,47 @@ object CurationPipelineExample {
       .where(col("pred_lang").isin("en", "de", "fr", "es"))
       .select("doc_id")
 
-    // 3. exact dedup: canonical survivor per digest
+    // 3. benchmark-contamination blocklist: any doc sharing a 13-token
+    // span with the (tiny, broadcast) eval probe set is dropped
+    val contaminated = Dedup.contaminationHits(
+        docs, "doc_id", "text", isProbe = col("doc_id") % 7 === 0)
+      .select("doc_id")
+
+    // 4. exact dedup: canonical survivor per digest
     val exactKept = docs
       .groupBy(md5(col("text").cast("binary")).as("digest"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 
-    // 4. near-dup collapse: survivors of J>=0.8 components
+    // 5. span dedup: drop the higher-id side of any pair sharing a
+    // >=13-token contiguous passage (copied-boilerplate control)
+    val spanDropped = Dedup.spanPairs(docs, "doc_id", "text")
+      .select(col("b_doc").as("doc_id")).distinct()
+
+    // 6. near-dup collapse: survivors of J>=0.8 components
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
     val merged = Dedup.connectedComponents(pairs)
       .where(col("doc_id") =!= col("canonical_id"))
       .select("doc_id") // non-canonical members get dropped
 
+    // 7. embedding-space near-dup: hash text into tf vectors ONCE
+    // (materialized, as a stored embedding table would be), then drop
+    // the higher-id side of any same-language pair at cosine >= 0.995
+    val emb = TextAnalysis.tfEmbed(docs, "doc_id", "text", dim = 16, keep = Seq("lang"))
+      .select(col("doc_id").as("vec_id"), col("lang").as("label"),
+        col("tf").as("embedding"))
+      .cache()
+    val embDropped = Similarity.nearDupPairsExact(emb, threshold = 0.995)
+      .select(col("b_id").as("doc_id")).distinct()
+
     val kept = docs
       .join(quality, "doc_id").join(lang, "doc_id").join(exactKept, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(spanDropped, Seq("doc_id"), "left_anti")
       .join(merged, Seq("doc_id"), "left_anti")
+      .join(embDropped, Seq("doc_id"), "left_anti")
 
-    // 5. stable split + partitioned write
+    // 8. stable split + partitioned write
     val split = kept.withColumn("split",
       when((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100) < 80, "train")

@@ -27,6 +27,12 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
       result.select("doc_id", "text"), "doc_id", "text", threshold = 0.8).count()
     assert(keptPairs == 0, "near-dup survivors must not contain residual pairs")
 
+    // no kept doc shares a >=13-token span with another kept doc, and
+    // none collides with the probe slice (contamination gate held)
+    assert(Dedup.spanPairs(result.select("doc_id", "text"), "doc_id", "text").count() == 0)
+    assert(Dedup.contaminationHits(docs, "doc_id", "text", col("doc_id") % 7 === 0)
+      .join(result, "doc_id").count() == 0)
+
     // split assignment is a pure function of doc_id (stable)
     val again = CurationPipelineExample.run(spark, sfDir,
       Files.createTempDirectory("graft_curated_test2").toString)
