@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** One-pass k-token span fingerprints.
+  *
+  * For a document's word array, emits the 48-bit rolling hash of every
+  * contiguous k-word span joined by single spaces — bit-identical to
+  * `transform(sequence(...), i -> rolling_hash(concat_ws(' ',
+  * slice(ws, i, k))))` (SpanGramSpec asserts it), but via fold
+  * composition instead of materializing ~n span strings per document:
+  *
+  *   fold(A ⊕ B) = (fold(A) · 31^|B| + fold(B)) mod 2⁴⁸
+  *
+  * so each word is char-scanned ONCE (computing fold(w) and 31^|w|
+  * together), and every span then combines k cached per-word folds with
+  * k multiply-adds. Work per document drops from O(|text|·k) chars
+  * hashed (plus k-word string churn per span) to O(|text| + spans·k)
+  * longs — ~10× at k=13 — which matters because span dedup scans the
+  * full corpus at 100 TB. Products wrap mod 2⁶⁴ before masking; since
+  * 2⁴⁸ divides 2⁶⁴ the truncated product is exact mod 2⁴⁸.
+  */
+final class SpanGramKernel(k: Int) extends Serializable {
+  private val Mask = RollingHash.Mask
+
+  def compute(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val f = new Array[Long](n) // fold(word j)
+    val p = new Array[Long](n) // 31^len(word j) mod 2^48
+    var j = 0
+    while (j < n) {
+      val s = words.getUTF8String(j).toString
+      var h = 0L
+      var pw = 1L
+      var i = 0
+      while (i < s.length) {
+        h = (h * 31L + s.charAt(i)) & Mask
+        pw = (pw * 31L) & Mask
+        i += 1
+      }
+      f(j) = h
+      p(j) = pw
+      j += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    var i0 = 0
+    while (i0 <= n - k) {
+      var h = 0L
+      var j2 = i0
+      val last = i0 + k - 1
+      while (j2 <= last) {
+        h = (h * p(j2) + f(j2)) & Mask
+        if (j2 < last) h = (h * 31L + ' ') & Mask
+        j2 += 1
+      }
+      out(i0) = h
+      i0 += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `span_gram_hashes(array<string>, k) -> array<bigint>` — see
+  * [[SpanGramKernel]]. Fewer than k words → empty array; null input →
+  * null. */
+case class SpanGramHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, "k must be positive")
+
+  @transient private lazy val kernel = new SpanGramKernel(k)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"span_gram_hashes requires array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  protected override def nullSafeEval(input: Any): Any =
+    kernel.compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val kernelRef = ctx.addReferenceObj("spanGramKernel", kernel,
+      classOf[SpanGramKernel].getName)
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $kernelRef.compute(${childGen.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override def prettyName: String = "span_gram_hashes"
+
+  override protected def withNewChildInternal(newChild: Expression): SpanGramHashes =
+    copy(child = newChild)
+}

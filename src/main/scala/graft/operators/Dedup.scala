@@ -353,16 +353,19 @@ object Dedup {
 
   /** (doc_id, span-hash) pairs: every distinct k-token contiguous span of
     * the document, hashed to 48 bits by the oracle-replayable rolling
-    * hash ([[graft.LightFusion.rollingHash]] — only the 8-byte hash ever
-    * enters a shuffle, never the span text). Docs shorter than k tokens
-    * emit nothing. */
+    * hash (only the 8-byte hash ever enters a shuffle, never the span
+    * text). Hashing is the one-pass [[graft.functions.SpanGramHashes]]
+    * fold-composition kernel — bit-identical to
+    * `rolling_hash(concat_ws(" ", slice(ws, i, k)))` per span without
+    * materializing the span strings. Docs shorter than k tokens emit
+    * nothing. */
   def spanGrams(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs.select(col(idCol), words(col(textCol)).as("ws"))
       .where(size(col("ws")) >= k)
-      .select(col(idCol), explode(array_distinct(transform(
-        sequence(lit(1), size(col("ws")) - (k - 1)),
-        i => graft.LightFusion.rollingHash(
-          concat_ws(" ", slice(col("ws"), i, lit(k))))))).as("g"))
+      .select(col(idCol), explode(array_distinct(
+        org.apache.spark.sql.graft.SparkShims.column(
+          graft.functions.SpanGramHashes(
+            org.apache.spark.sql.graft.SparkShims.expression(col("ws")), k)))).as("g"))
 
   /** Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better"-style): document pairs sharing at least

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SparkShims
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{LightFusion, SparkTestBase}
+
+/** The fold-composition span kernel must be bit-identical to hashing the
+  * materialized span strings — that equivalence is what lets q37/q38's
+  * DuckDB oracles keep replaying the per-character fold. */
+class SpanGramSpec extends AnyFunSuite with SparkTestBase {
+
+  private def viaKernel(k: Int) = (ws: org.apache.spark.sql.Column) =>
+    SparkShims.column(SpanGramHashes(SparkShims.expression(ws), k))
+
+  private def viaStrings(k: Int) = (ws: org.apache.spark.sql.Column) =>
+    transform(sequence(lit(1), size(ws) - (k - 1)),
+      i => LightFusion.rollingHash(concat_ws(" ", slice(ws, i, lit(k)))))
+
+  test("span kernel equals rolling_hash over materialized span strings (corpus)") {
+    val k = 13
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= k)
+    val diff = docs
+      .select(viaKernel(k)(col("ws")).as("a"), viaStrings(k)(col("ws")).as("b"))
+      .where(not(col("a") === col("b")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("span kernel edge cases: short docs, empty words, single span") {
+    import spark.implicits._
+    val k = 5
+    val longEnough = Seq(
+      "a b c d e",                   // exactly k -> one span
+      "x  y z w q",                  // double space -> empty word element
+      "lone word here now extra more")
+      .toDF("text").select(split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= k)
+    val got = longEnough.select(viaKernel(k)(col("ws")).as("a")).collect()
+      .map(_.getSeq[Long](0))
+    val want = longEnough.select(viaStrings(k)(col("ws")).as("b")).collect()
+      .map(_.getSeq[Long](0))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+    // shorter than k -> empty array (the string form can't even build
+    // its sequence there — the operator guards, the kernel is total)
+    val short = Seq("a b c").toDF("text").select(split(col("text"), " ").as("ws"))
+      .select(viaKernel(k)(col("ws")).as("a")).collect()
+    assert(short.head.getSeq[Long](0).isEmpty)
+    // null input -> null out
+    val nul = Seq((1, null.asInstanceOf[Seq[String]])).toDF("id", "ws")
+      .select(viaKernel(k)(col("ws")).as("a")).collect()
+    assert(nul.head.isNullAt(0))
+  }
+}
