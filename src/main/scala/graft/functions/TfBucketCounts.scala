@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** One-pass feature-hashing term-frequency counts.
+  *
+  * `tf_bucket_counts(array<string>, dim) -> array<int>`: bucket =
+  * 48-bit rolling word hash mod dim, value = occurrences — bit-identical
+  * to the higher-order-function form
+  * `transform(sequence(0, dim-1), j -> size(filter(buckets, b -> b = j)))`
+  * (TextAnalysisSpec asserts it), but each word is hashed and binned
+  * exactly once instead of the dim× filter scans, so a corpus-wide
+  * embedding pass is O(|text|) per row regardless of dim.
+  */
+final class TfBucketKernel(dim: Int) extends Serializable {
+  private val Mask = RollingHash.Mask
+
+  def compute(words: ArrayData): ArrayData = {
+    val counts = new Array[Int](dim)
+    val n = words.numElements()
+    var j = 0
+    while (j < n) {
+      val s = words.getUTF8String(j).toString
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        h = (h * 31L + s.charAt(i)) & Mask
+        i += 1
+      }
+      counts((h % dim).toInt) += 1
+      j += 1
+    }
+    new GenericArrayData(counts)
+  }
+}
+
+case class TfBucketCounts(child: Expression, dim: Int) extends UnaryExpression {
+
+  require(dim >= 1, "dim must be positive")
+
+  @transient private lazy val kernel = new TfBucketKernel(dim)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"tf_bucket_counts requires array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  protected override def nullSafeEval(input: Any): Any =
+    kernel.compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val kernelRef = ctx.addReferenceObj("tfBucketKernel", kernel,
+      classOf[TfBucketKernel].getName)
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $kernelRef.compute(${childGen.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override def prettyName: String = "tf_bucket_counts"
+
+  override protected def withNewChildInternal(newChild: Expression): TfBucketCounts =
+    copy(child = newChild)
+}

@@ -151,13 +151,12 @@ object TextAnalysis {
       dim: Int = 16,
       keep: Seq[String] = Nil): DataFrame = {
     val ws = words(col(textCol))
-    // hash each word ONCE into its bucket id, then count per bucket over
-    // the int array (the bucket-side filter re-hashed every word dim
-    // times — string hashing was the dominant per-row cost)
-    val buckets = transform(ws, w =>
-      pmod(graft.LightFusion.rollingHash(w), lit(dim.toLong)).cast("int"))
-    val tf = transform(sequence(lit(0), lit(dim - 1)),
-      j => size(filter(buckets, b => b === j)))
+    // one-pass kernel: each word hashed and binned exactly once (the HOF
+    // form paid dim× filter scans over the bucket array; the kernel is
+    // bit-identical — TextAnalysisSpec pins it against explode+groupBy)
+    val tf = org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.TfBucketCounts(
+        org.apache.spark.sql.graft.SparkShims.expression(ws), dim))
     // `keep`: pass-through columns (e.g. a blocking label for a downstream
     // near-dup join) — carried in the same projection, no re-join needed
     docs.select(col(idCol) +: keep.map(col) :+ size(ws).as("n_words") :+ tf.as("tf"): _*)
