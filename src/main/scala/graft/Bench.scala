@@ -23,6 +23,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // median-of-N reps re-cache the same plans by design (warm convention)
+    // — CacheManager's per-rep "already cached" WARN would otherwise spam
+    // every driver log tail; errors still surface
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.CacheManager",
+      org.apache.logging.log4j.Level.ERROR)
     LightFusion.ensureRegistered(spark)
 
     // JIT/codegen warmup on the smallest scale so measured times reflect
@@ -51,6 +57,12 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val ts = (1 to reps).map(_ => timeOnce(name, fn))
+      // Reps share a query's internal .cache() entries (the documented
+      // "warm" convention) but those entries must not leak into LATER
+      // queries: cross-query cache interference both flatters queries
+      // that reuse a cached relation and adds LRU-eviction noise to the
+      // ones that don't. Drop everything between queries.
+      spark.catalog.clearCache()
       // any failed rep fails the query (a flaky query is a broken query)
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2))
     }

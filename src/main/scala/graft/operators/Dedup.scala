@@ -96,11 +96,15 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     // hash shingles ONCE to sorted 64-bit sets: banding min-hashes the
     // values (order-free), and the verify merge compares 8-byte longs
-    // instead of ~25-char UTF8 trigrams per probe. Same Jaccard unless
-    // two distinct shingles collide in 64 bits (~|shingles|²/2⁶⁵ —
-    // the driver gate pins equality with the string-form oracle).
+    // instead of ~25-char UTF8 trigrams per probe. array_distinct AFTER
+    // hashing keeps the merge kernel's set precondition even if two
+    // distinct shingles collide in 64 bits (~|shingles|²/2⁶⁵): a
+    // collision then degrades Jaccard by one element instead of
+    // double-counting — near-free on the already-built array, and the
+    // driver gate pins equality with the string-form oracle regardless.
     val sh = shingled(docs, idCol, textCol)
-      .select(col(idCol), array_sort(transform(col("sg"), s => xxhash64(s))).as("sg"))
+      .select(col(idCol),
+        array_sort(array_distinct(transform(col("sg"), s => xxhash64(s)))).as("sg"))
       .cache()
     val banded = sh
       .select(col(idCol),
@@ -406,16 +410,20 @@ object Dedup {
     * The probe side is tiny by construction (an eval set, not a corpus),
     * so its distinct span hashes broadcast and the corpus side is ONE
     * shuffle-free scan + broadcast hash join + per-doc partial count —
-    * the corpus never shuffles. */
+    * the corpus never shuffles. `isProbe` is applied to `docs` BEFORE
+    * span hashing, so even when the probe set is a slice of the corpus
+    * table the two scans read disjoint row sets (the predicate pushes to
+    * the source): total scan work stays one corpus pass, and only probe
+    * rows pay the probe-side gram hashing. */
   def contaminationHits(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       isProbe: Column,
       k: Int = 13): DataFrame = {
-    val grams = spanGrams(docs, idCol, textCol, k)
-    val probeGrams = grams.where(isProbe).select("g").distinct()
-    grams.where(!isProbe)
+    val probeGrams = spanGrams(docs.where(isProbe), idCol, textCol, k)
+      .select("g").distinct()
+    spanGrams(docs.where(!isProbe), idCol, textCol, k)
       .join(broadcast(probeGrams), "g")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))

@@ -386,7 +386,16 @@ object Similarity {
     * L=8, b=8), then the exact cosine verifies. The bucket join carries
     * ids only; vectors re-attach per id after the distinct. `maxBucket`
     * caps degenerate buckets (all-identical corpora) the same way
-    * Dedup.minhashPairs does. */
+    * Dedup.minhashPairs does.
+    *
+    * `maxBucket`'s unit is the per-(table, bucket, label) group — the
+    * actual unit of join fan-out now that `label` is part of the bucket
+    * key. Note this is a recall-affecting definition: a mixed-label
+    * bucket over the cap in total but under it per label SURVIVES (its
+    * per-label join work is bounded), where a per-(table, bucket) cap
+    * would have dropped it entirely. More recall for the same bound on
+    * join work — but a behavior change to the cap's meaning on
+    * label-skewed corpora vs earlier revisions. */
   def nearDupPairsBanded(
       emb: DataFrame,
       threshold: Double,
