@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def suites: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     RelationalQueries.all ++ AdvancedQueries.all ++ InferenceQueries.all ++
-      PipelineQueries.all ++ TextQueries.all ++ EventMediaQueries.all
+      PipelineQueries.all ++ TextQueries.all ++ CorpusQueries.all ++
+      EventMediaQueries.all
 
   /** Flagship: the reference's own shipped pipeline (TSV scan →
     * array(column_2..29) → f0 → argmax, examples/lightfusion_tsv.rs),

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level vocabulary statistics for training-data curation: the
+  * global-aggregate operators that complement the per-document passes in
+  * [[TextAnalysis]] (a curation pipeline needs both — per-doc signals
+  * filter rows, corpus stats weight features and audit sources).
+  *
+  * All scores are exact integer counts and int/int double divisions in a
+  * fixed association order, so the DuckDB oracle reproduces every value
+  * bit-for-bit.
+  */
+object Corpus {
+
+  /** Vocabulary document-frequency table: for every token, the number of
+    * documents containing it, the corpus size, and the exact-rational
+    * inverse-document-frequency weight `n_docs / df` (the log-free IDF
+    * variant — monotone in the classic `log(n/df)`, and unlike it
+    * reproducible bit-for-bit across engines; apply `log` downstream if
+    * the classic scale is needed).
+    *
+    * Scale shape: one explode+groupBy shuffle whose reduce side is
+    * vocabulary-sized (tokens, not token OCCURRENCES — the per-doc
+    * `array_distinct` dedups before the explode, and partial aggregation
+    * combines map-side), plus a one-row broadcast for the corpus count.
+    * The corpus itself never reshuffles.
+    */
+  def docFrequency(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(explode(array_distinct(TextAnalysis.words(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("token"), col("df"), col("n_docs"),
+        (col("n_docs").cast("double") / col("df")).as("idf_weight"))
+  }
+
+  /** Sparse long-form IDF-weighted hashed-TF embedding: one row per
+    * (document, non-zero bucket) with the raw term frequency, the
+    * bucket's document frequency, and the weighted value
+    * `tf · n_docs / df` (same log-free IDF as [[docFrequency]], here at
+    * the feature-hash-bucket granularity so no vocabulary state ships
+    * anywhere).
+    *
+    * Long/sparse form IS the 100 TB representation: a dense
+    * `array<double>` column at large `dim` carries mostly zeros through
+    * every downstream shuffle, while the sparse form carries exactly the
+    * non-zero mass and converts back with a `groupBy(id).pivot`/
+    * `map_from_entries` when a consumer needs density.
+    *
+    * Two corpus passes by necessity (IDF is a global statistic: one pass
+    * measures, one applies); the TF base is cached between them and the
+    * df/n_docs statistics cross the cluster as ONE broadcast row of
+    * `dim` longs.
+    */
+  def idfWeightedTf(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 16): DataFrame = {
+    val base = TextAnalysis.tfEmbed(docs, idCol, textCol, dim)
+      .select(col(idCol), col("tf"))
+      .cache()
+    val dfCols = (0 until dim).map(j =>
+      sum(when(element_at(col("tf"), j + 1) > 0, 1L).otherwise(0L)).as(s"df_$j"))
+    val stats = base
+      .agg(count(lit(1)).as("n_docs"), dfCols: _*)
+      .select(col("n_docs"),
+        array((0 until dim).map(j => col(s"df_$j")): _*).as("dfs"))
+    base
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("n_docs"), col("dfs"),
+        posexplode(col("tf")).as(Seq("j", "tf")))
+      .where(col("tf") > 0)
+      .withColumn("df", element_at(col("dfs"), col("j") + 1))
+      .select(col(idCol), col("j"), col("tf"), col("df"),
+        when(col("df") === 0, lit(0.0))
+          .otherwise(col("tf").cast("double") * col("n_docs") / col("df"))
+          .as("w"))
+  }
+
+  /** Pairwise source-vocabulary Jaccard overlap — the cross-source
+    * boilerplate/contamination audit (two "independent" crawls sharing
+    * most of their vocabulary are the same crawl).
+    *
+    * Only co-occurring pairs appear (a pair of sources sharing zero
+    * tokens is absent, as in the SQL inner-join formulation). Pair
+    * generation aggregates each token's source set first (`collect_set`,
+    * bounded by the source count) and fans out pairs AFTER the
+    * aggregation — so the shuffle carries (token, source) once per
+    * distinct pair, hot tokens cannot skew a self-join, and per-task
+    * memory is bounded by sources², never by token frequency.
+    */
+  def sourceVocabOverlap(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val st = docs
+      .select(col(sourceCol).as("src"),
+        explode(array_distinct(TextAnalysis.words(col(textCol)))).as("token"))
+      .distinct()
+    val sizes = st.groupBy("src").agg(count(lit(1)).as("vocab"))
+    val byTok = st.groupBy("token")
+      .agg(sort_array(collect_set(col("src"))).as("ss"))
+      .where(size(col("ss")) > 1)
+    val inter = byTok
+      .select(explode(col("ss")).as("a_source"), col("ss"))
+      .select(col("a_source"), explode(col("ss")).as("b_source"))
+      .where(col("a_source") < col("b_source"))
+      .groupBy("a_source", "b_source")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("src").as("a_source"), col("vocab").as("a_vocab"))),
+        Seq("a_source"))
+      .join(broadcast(sizes.select(col("src").as("b_source"), col("vocab").as("b_vocab"))),
+        Seq("b_source"))
+      .select(col("a_source"), col("b_source"), col("inter"),
+        col("a_vocab"), col("b_vocab"),
+        (col("inter").cast("double") / (col("a_vocab") + col("b_vocab") - col("inter")))
+          .as("jaccard"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.LightFusion
+
+/** Deterministic sampling for training-data curation.
+  *
+  * Both modes key on the 48-bit rolling hash of `stratum|id` — a pure
+  * function of the ROW, not of partitioning, task order, or RNG state —
+  * so a sample is reproducible run-to-run, survives repartitioning and
+  * cluster resizes, and (unlike `df.sample`) is referentially stable:
+  * the same document keeps or drops regardless of which executor sees
+  * it. That is the property a 100 TB pipeline needs for auditable
+  * train/eval subsets, and it is what makes the result oracle-checkable.
+  */
+object Sampling {
+
+  /** Per-row sampling key: rolling hash of `stratum|id` — salting with
+    * the stratum decorrelates strata (the same id draws an independent
+    * position in each stratum's order). */
+  def sampleKey(stratum: Column, id: Column): Column =
+    LightFusion.rollingHash(concat_ws("|", stratum, id.cast("string")))
+
+  /** Exact-quota stratified sample: the `k` rows with the smallest
+    * sampling keys per stratum (hash-ranked "deterministic reservoir").
+    * Output keeps all input columns plus `rk` (1-based rank within the
+    * stratum).
+    *
+    * Scale shape: one hash-partitioned window per stratum. Rank-k
+    * selection needs the stratum's rows on one partition — fine for
+    * strata ≈ sources/languages (each stratum's rows stream through a
+    * bounded sort); for HOT strata at extreme scale, pre-filter with
+    * [[stratifiedRate]] at a few× the quota's expected rate, then rank
+    * the survivors — same result, the window sees only the pre-filtered
+    * slice. */
+  def stratifiedQuota(
+      docs: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(sampleKey(col(stratumCol), col(idCol)), col(idCol))
+    docs.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Bernoulli-by-hash stratified sample: keep a row iff
+    * `sampleKey % 10000 < rateBp` — `rateBp` is the keep rate in basis
+    * points (an INTEGER column, possibly per-row/per-stratum; integer
+    * basis points avoid any float-threshold ambiguity between engines).
+    *
+    * Pure map over the corpus: no shuffle, no state, no RNG — the filter
+    * pushes into the scan stage, and nested samples compose (rateBp 500
+    * ⊂ rateBp 2500 structurally, since the keep set is a hash-prefix
+    * interval). */
+  def stratifiedRate(
+      docs: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      rateBp: Column): DataFrame =
+    docs.where(sampleKey(col(stratumCol), col(idCol)) % 10000 < rateBp)
+}

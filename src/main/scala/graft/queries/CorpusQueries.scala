@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkExt._
+import graft.operators.{Corpus, Sampling}
+
+/** Corpus-statistics and deterministic-sampling queries over `documents`,
+  * each with a DuckDB oracle replaying the identical integer arithmetic.
+  */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** DuckDB replay of the 48-bit rolling fold over `expr` (same fold as
+    * q52's fingerprint oracle). */
+  private def foldSql(expr: String): String =
+    s"""list_reduce(
+       |    list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split($expr, '')]),
+       |    (acc, c) -> (acc * 31 + c) % 281474976710656)""".stripMargin
+
+  def q43DocFrequency(s: SparkSession, dir: String): DataFrame =
+    Corpus.docFrequency(docs(s, dir), "doc_id", "text").presentSorted("token")
+
+  def q43Sql: String =
+    """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      |tok AS (SELECT unnest(list_distinct(string_split(text, ' '))) AS token
+      |        FROM documents)
+      |SELECT token, count(*) AS df, n.n_docs AS n_docs,
+      |  n.n_docs::DOUBLE / count(*) AS idf_weight
+      |FROM tok, n
+      |GROUP BY token, n.n_docs
+      |ORDER BY token""".stripMargin
+
+  def q44IdfTf(s: SparkSession, dir: String): DataFrame =
+    Corpus.idfWeightedTf(docs(s, dir), "doc_id", "text", dim = 16)
+      .presentSorted("doc_id", "j")
+
+  def q44Sql: String =
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |long AS (
+       |  SELECT doc_id, j,
+       |    len(list_filter(ws, w -> (${foldSql("w")}) % 16 = j)) AS tf
+       |  FROM base, range(0, 16) r(j)),
+       |dfs AS (
+       |  SELECT j, count(*) FILTER (WHERE tf > 0) AS df FROM long GROUP BY j),
+       |n AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT l.doc_id, l.j, l.tf, d.df,
+       |  CASE WHEN d.df = 0 THEN 0.0
+       |       ELSE l.tf::DOUBLE * n.n_docs / d.df END AS w
+       |FROM long l, dfs d, n
+       |WHERE l.j = d.j AND l.tf > 0
+       |ORDER BY l.doc_id, l.j""".stripMargin
+
+  def q45StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedQuota(docs(s, dir), "source", "doc_id", k = 10)
+      .select("source", "doc_id", "rk")
+      .presentSorted("source", "doc_id")
+
+  def q45Sql: String =
+    s"""WITH h AS (
+       |  SELECT source, doc_id,
+       |    ${foldSql("source || '|' || CAST(doc_id AS VARCHAR)")} AS hk
+       |  FROM documents)
+       |SELECT source, doc_id, rk FROM (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+       |  FROM h) x
+       |WHERE rk <= 10
+       |ORDER BY source, doc_id""".stripMargin
+
+  def q46SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Corpus.sourceVocabOverlap(docs(s, dir), "source", "text")
+      .presentSorted("a_source", "b_source")
+
+  def q46Sql: String =
+    """WITH st AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_distinct(string_split(text, ' '))) AS token
+      |  FROM documents),
+      |sizes AS (SELECT source, count(*) AS vocab FROM st GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS a_source, b.source AS b_source, count(*) AS inter
+      |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT i.a_source, i.b_source, i.inter,
+      |  sa.vocab AS a_vocab, sb.vocab AS b_vocab,
+      |  i.inter::DOUBLE / (sa.vocab + sb.vocab - i.inter) AS jaccard
+      |FROM inter i
+      |JOIN sizes sa ON sa.source = i.a_source
+      |JOIN sizes sb ON sb.source = i.b_source
+      |ORDER BY i.a_source, i.b_source""".stripMargin
+
+  /** Per-stratum Bernoulli-by-hash keep: even-numbered sources at 50%
+    * (5000 bp), odd at 10% (1000 bp) — exercises a per-row rate column. */
+  def q47RateSample(s: SparkSession, dir: String): DataFrame = {
+    val rateBp = when(
+      substring(col("source"), 4, 10).cast("int") % 2 === 0, lit(5000))
+      .otherwise(lit(1000))
+    Sampling.stratifiedRate(docs(s, dir), "source", "doc_id", rateBp)
+      .select(col("source"), col("doc_id"),
+        (Sampling.sampleKey(col("source"), col("doc_id")) % 10000).as("hbp"))
+      .presentSorted("source", "doc_id")
+  }
+
+  def q47Sql: String =
+    s"""WITH h AS (
+       |  SELECT source, doc_id,
+       |    (${foldSql("source || '|' || CAST(doc_id AS VARCHAR)")}) % 10000 AS hbp,
+       |    CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+       |         THEN 5000 ELSE 1000 END AS rate_bp
+       |  FROM documents)
+       |SELECT source, doc_id, hbp FROM h
+       |WHERE hbp < rate_bp
+       |ORDER BY source, doc_id""".stripMargin
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q43_doc_frequency", q43DocFrequency _, q43Sql),
+    ("q44_idf_tf", q44IdfTf _, q44Sql),
+    ("q45_stratified_sample", q45StratifiedSample _, q45Sql),
+    ("q46_source_overlap", q46SourceOverlap _, q46Sql),
+    ("q47_rate_sample", q47RateSample _, q47Sql))
+}

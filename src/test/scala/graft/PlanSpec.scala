@@ -112,7 +112,8 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val names = Seq(
       queries.RelationalQueries.all, queries.AdvancedQueries.all,
       queries.InferenceQueries.all, queries.PipelineQueries.all,
-      queries.TextQueries.all, queries.EventMediaQueries.all)
+      queries.TextQueries.all, queries.CorpusQueries.all,
+      queries.EventMediaQueries.all)
       .flatten.map(_._1)
     val dups = names.groupBy(identity).filter(_._2.length > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class CorpusSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("docFrequency: df equals brute-force distinct-word count, weight exact") {
+    val got = Corpus.docFrequency(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val nDocs = docs.count()
+    val brute = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .groupBy("t").agg(countDistinct("doc_id").as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.keySet == brute.keySet)
+    got.foreach { case (tok, (df, n, w)) =>
+      assert(df == brute(tok) && n == nDocs)
+      assert(w == n.toDouble / df)
+    }
+    // every doc contains at least one token, so some token has df == nDocs
+    // iff a universal token exists; either way 1 <= df <= nDocs
+    assert(got.values.forall { case (df, n, _) => df >= 1 && df <= n })
+  }
+
+  test("idfWeightedTf: sparse long form covers exactly the non-zero tf entries") {
+    val dim = 16
+    val dense = TextAnalysis.tfEmbed(docs, "doc_id", "text", dim)
+      .select(col("doc_id"), col("tf"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    val nDocs = dense.size.toLong
+    val dfs = (0 until dim).map(j => dense.values.count(_(j) > 0).toLong)
+    val got = Corpus.idfWeightedTf(docs, "doc_id", "text", dim)
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getInt(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val expectedKeys = dense.iterator.flatMap { case (id, tf) =>
+      tf.zipWithIndex.collect { case (t, j) if t > 0 => (id, j) }
+    }.toSet
+    assert(got.keySet == expectedKeys)
+    got.foreach { case ((id, j), (tf, df, w)) =>
+      assert(tf == dense(id)(j) && df == dfs(j))
+      assert(w == tf.toDouble * nDocs / df)
+    }
+  }
+
+  test("sourceVocabOverlap: set-aggregated pair generation equals self-join") {
+    val st = docs
+      .select(col("source").as("src"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .distinct()
+    val brute = st.select(col("src").as("a"), col("token"))
+      .join(st.select(col("src").as("b"), col("token")), "token")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val got = Corpus.sourceVocabOverlap(docs, "source", "text")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got.keySet == brute.keySet)
+    val sizes = st.groupBy("src").agg(count(lit(1)).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    got.foreach { case ((a, b), (inter, va, vb, j)) =>
+      assert(inter == brute((a, b)))
+      assert(va == sizes(a) && vb == sizes(b))
+      assert(j == inter.toDouble / (va + vb - inter))
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class SamplingSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("stratifiedQuota: exactly min(k, stratum size) rows per stratum, deterministic") {
+    val k = 7
+    val got = Sampling.stratifiedQuota(docs, "source", "doc_id", k)
+    val perStratum = got.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val full = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(perStratum.keySet == full.keySet)
+    perStratum.foreach { case (src, n) => assert(n == math.min(k.toLong, full(src))) }
+    // run-to-run determinism: same ids both times (the property df.sample lacks)
+    val ids1 = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedQuota(docs, "source", "doc_id", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // ranks are the hash order: rank 1..n contiguous per stratum
+    val ranks = got.select("source", "rk").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getInt(1)).sorted.toSeq)
+    ranks.foreach { case (_, rs) => assert(rs == (1 to rs.size)) }
+  }
+
+  test("quota sample is the k smallest sampling keys per stratum") {
+    val k = 5
+    val keyed = docs.select(col("source"), col("doc_id"),
+      Sampling.sampleKey(col("source"), col("doc_id")).as("hk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = keyed.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(k).map(_._2)
+    }.toSet
+    val got = Sampling.stratifiedQuota(docs, "source", "doc_id", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+  }
+
+  test("stratifiedRate: hash-threshold filter matches brute force and nests monotonically") {
+    val lo = Sampling.stratifiedRate(docs, "source", "doc_id", lit(500))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hi = Sampling.stratifiedRate(docs, "source", "doc_id", lit(2500))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val brute = docs.select(col("doc_id"),
+      (Sampling.sampleKey(col("source"), col("doc_id")) % 10000).as("b"))
+      .collect().filter(_.getLong(1) < 2500).map(_.getLong(0)).toSet
+    assert(hi == brute)
+    // hash-prefix intervals nest: raising the rate only adds rows
+    assert(lo.subsetOf(hi))
+    // rate 2500 bp keeps roughly a quarter (loose band; deterministic data)
+    val n = docs.count()
+    assert(hi.size > n / 8 && hi.size < n / 2, s"kept ${hi.size} of $n")
+    // per-row rate column: rate 0 keeps nothing, rate 10000 keeps everything
+    assert(Sampling.stratifiedRate(docs, "source", "doc_id", lit(0)).count() == 0L)
+    assert(Sampling.stratifiedRate(docs, "source", "doc_id", lit(10000)).count() == n)
+  }
+}
