@@ -162,6 +162,67 @@ object TextAnalysis {
     docs.select(col(idCol) +: keep.map(col) :+ size(ws).as("n_words") :+ tf.as("tf"): _*)
   }
 
+  /** Fixed-size token-window chunking with overlap — the standard prep
+    * step that turns variable-length documents into training-window-sized
+    * pieces (RAG indexing, context-length-bounded pretraining shards).
+    *
+    * Chunk starts are `1, 1+stride, 1+2·stride, …` (stride =
+    * `chunkTokens − overlap`) up to `n − overlap`, so consecutive chunks
+    * share `overlap` tokens and the final chunk is never a redundant
+    * suffix of the previous one; a document with ≤ `chunkTokens` tokens
+    * yields exactly one chunk of itself. Emits (id, chunk_idx, start,
+    * n_tokens, chunk) rows.
+    *
+    * Pure per-row map (explode of a per-doc start list): shuffle-free,
+    * scales with corpus size, and the chunk fan-out is bounded by
+    * doc_len/stride per row. */
+  def chunk(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens for a positive stride")
+    val stride = chunkTokens - overlap
+    val ws = words(col(textCol))
+    docs
+      .select(col(idCol), ws.as("ws"))
+      .select(col(idCol), col("ws"),
+        posexplode(sequence(lit(1), greatest(size(col("ws")) - overlap, lit(1)),
+          lit(stride))).as(Seq("chunk_idx", "start")))
+      .select(col(idCol), col("chunk_idx"), col("start"),
+        size(slice(col("ws"), col("start"), lit(chunkTokens))).as("n_tokens"),
+        concat_ws(" ", slice(col("ws"), col("start"), lit(chunkTokens))).as("chunk"))
+  }
+
+  /** Token-offset sequence packing: documents are conceptually
+    * concatenated per `groupCol` in `idCol` order, and each document is
+    * assigned to the fixed-`budget` training bin its first token lands
+    * in (start_offset / budget). The deterministic, order-stable packing
+    * a sharded pretraining loader needs — same doc, same bin, on any
+    * cluster size.
+    *
+    * One window shuffle per group (the running token sum is inherently
+    * sequential WITHIN a group; groups pack independently, so at 100 TB
+    * the parallelism unit is the group — source, shard, or any
+    * hash-derived split like [[graft.queries.PipelineQueries]]' stable
+    * split — never the whole corpus on one partition). */
+  def packOffsets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .select(col(groupCol), col(idCol), size(words(col(textCol))).as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", floor(col("start_offset") / budget))
+  }
+
   /** Per-source top-k tokens by occurrence (tie-break token asc): the
     * corpus-vocabulary rollup a curation pipeline uses for contamination
     * and boilerplate checks. One explode+groupBy shuffle builds the

@@ -116,10 +116,48 @@ object CorpusQueries {
        |WHERE hbp < rate_bp
        |ORDER BY source, doc_id""".stripMargin
 
+  def q48Chunking(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
+      chunkTokens = 40, overlap = 8)
+      .presentSorted("doc_id", "chunk_idx")
+
+  def q48Sql: String =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |st AS (
+      |  SELECT doc_id, ws, CAST(s AS BIGINT) AS start,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_idx
+      |  FROM base, unnest(range(1, greatest(len(ws) - 8, 1) + 1, 32)) r(s))
+      |SELECT doc_id, chunk_idx, start,
+      |  len(list_slice(ws, start, start + 39)) AS n_tokens,
+      |  array_to_string(list_slice(ws, start, start + 39), ' ') AS chunk
+      |FROM st
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  def q49Packing(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.packOffsets(docs(s, dir), "doc_id", "text",
+      groupCol = "source", budget = 128)
+      .presentSorted("source", "doc_id")
+
+  def q49Sql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+      |  FROM t)
+      |SELECT source, doc_id, n_tokens, start_offset,
+      |  start_offset // 128 AS bin
+      |FROM o
+      |ORDER BY source, doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
     ("q45_stratified_sample", q45StratifiedSample _, q45Sql),
     ("q46_source_overlap", q46SourceOverlap _, q46Sql),
-    ("q47_rate_sample", q47RateSample _, q47Sql))
+    ("q47_rate_sample", q47RateSample _, q47Sql),
+    ("q48_chunking", q48Chunking _, q48Sql),
+    ("q49_packing", q49Packing _, q49Sql))
 }

@@ -133,4 +133,60 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     val nWords = docs.select(size(split(col("text"), " "))).collect().map(_.getInt(0)).sum
     assert(viaHof.values.map(_.sum).sum == nWords)
   }
+
+  test("chunk: stride/overlap geometry, full coverage, no redundant suffix chunk") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (ct, ov) = (40, 8)
+    val byDoc = TextAnalysis.chunk(docs, "doc_id", "text", ct, ov)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .groupBy(_._1)
+    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(byDoc.keySet == lens.keySet, "every doc chunks (short docs yield one chunk)")
+    byDoc.foreach { case (id, rows) =>
+      val n = lens(id)
+      val sorted = rows.sortBy(_._2)
+      // starts are 1, 1+stride, ... and chunk_idx is their 0-based position
+      sorted.zipWithIndex.foreach { case ((_, idx, start, nt, text), i) =>
+        assert(idx == i && start == 1 + i * (ct - ov))
+        assert(nt == math.min(ct, n - start + 1))
+        assert(text.split(" ", -1).length == nt)
+      }
+      // full coverage: last chunk reaches the last token
+      val (_, _, lastStart, lastNt, _) = sorted.last
+      assert(lastStart + lastNt - 1 == n)
+      // no redundant suffix: every chunk after the first starts past the
+      // previous start and contributes tokens beyond the previous end
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, nt1, _), (_, _, s2, nt2, _)) =>
+          assert(s2 + nt2 - 1 > s1 + nt1 - 1)
+        case _ => ()
+      }
+      if (n <= ct) assert(sorted.length == 1)
+    }
+  }
+
+  test("packOffsets: per-group contiguous offsets, stable bins") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = TextAnalysis.packOffsets(docs, "doc_id", "text", "source", budget = 128)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    got.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var offset = 0L
+      sorted.foreach { case (_, _, nt, start, bin) =>
+        assert(start == offset, "offsets are the running token sum")
+        assert(bin == start / 128)
+        offset += nt
+      }
+    }
+    // determinism: a repartitioned input packs identically
+    val again = TextAnalysis.packOffsets(docs.repartition(7), "doc_id", "text",
+      "source", budget = 128)
+      .collect().map(r => (r.getLong(1), r.getLong(4))).toMap
+    val first = got.values.flatten.map(r => (r._2, r._5)).toMap
+    assert(again == first)
+  }
 }
