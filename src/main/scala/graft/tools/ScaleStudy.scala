@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Sampling, TextAnalysis}
 
 /** Empirical scaling study for the dedup/text operator families: measures
   * each operator at the sf0.1 corpus (5k docs) and at a 10× derived
@@ -60,7 +60,13 @@ object ScaleStudy {
       ("simhashPairsWide (128-bit)", d => Dedup.simhashPairsWide(d, "doc_id", "text", 3)),
       ("q37 spanPairs (grams)", d => Dedup.spanPairs(d, "doc_id", "text")),
       ("q38 contamination", d => Dedup.contaminationHits(
-        d, "doc_id", "text", col("doc_id") % 7 === 0)))
+        d, "doc_id", "text", col("doc_id") % 7 === 0)),
+      ("q43 docFrequency", d => Corpus.docFrequency(d, "doc_id", "text")),
+      ("q44 idfWeightedTf", d => Corpus.idfWeightedTf(d, "doc_id", "text")),
+      ("q45 stratifiedQuota", d => Sampling.stratifiedQuota(d, "source", "doc_id", 10)),
+      ("q46 sourceOverlap", d => Corpus.sourceVocabOverlap(d, "source", "text")),
+      ("q48 chunk", d => TextAnalysis.chunk(d, "doc_id", "text", 40, 8)),
+      ("q49 packOffsets", d => TextAnalysis.packOffsets(d, "doc_id", "text", "source", 128)))
 
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
     def time(df: => DataFrame): (Double, Long) = {
