@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.LightFusion
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** The whole training-data curation story, end to end, from the building
   * blocks in graft.operators — runnable at any scale factor:
@@ -21,7 +21,11 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   *                                           connectedComponents survivors)
   *     → embedding near-dup                 (TextAnalysis.tfEmbed →
   *                                           Similarity near-dup pairs)
+  *     → per-source balance sampling        (Sampling.stratifiedQuota —
+  *                                           deterministic, RNG-free)
   *     → stable train/val/test assignment   (content-hash buckets)
+  *     → training-window chunking + packing (TextAnalysis.chunk +
+  *                                           packOffsets per split)
   *     → partitioned parquet, one dir per split
   *
   * Every stage is a DataFrame transform — the pipeline is one lazy plan
@@ -85,14 +89,33 @@ object CurationPipelineExample {
       .join(merged, Seq("doc_id"), "left_anti")
       .join(embDropped, Seq("doc_id"), "left_anti")
 
-    // 8. stable split + partitioned write
-    val split = kept.withColumn("split",
+    // 8. per-source balance: cap any one source's contribution with the
+    // deterministic hash-quota sample (reproducible across runs and
+    // cluster sizes — re-running curation cannot silently reshuffle the
+    // corpus the way df.sample would)
+    val balanced = Sampling.stratifiedQuota(kept, "source", "doc_id", k = 400)
+      .drop("rk")
+
+    // 9. stable split + 10. chunk into training windows and assign each
+    // doc its fixed-budget sequence bin within (split, source)
+    val split = balanced.withColumn("split",
       when((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100) < 80, "train")
         .when((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % 100) < 90, "val")
         .otherwise("test"))
-    split.write.mode("overwrite").partitionBy("split").parquet(outDir)
+    val chunked = TextAnalysis.chunk(split, "doc_id", "text",
+        chunkTokens = 64, overlap = 8, keep = Seq("split", "source"))
+      .withColumn("chunk_key",
+        concat_ws("#", col("doc_id"), format_string("%06d", col("chunk_idx"))))
+      .withColumn("grp", concat_ws("/", col("split"), col("source")))
+    val packed = TextAnalysis.packOffsets(
+      chunked.withColumnRenamed("chunk", "text"), "chunk_key", "text",
+      groupCol = "grp", budget = 512)
+    packed
+      .select(col("doc_id"), col("chunk_idx"), col("split"), col("source"),
+        col("bin"), col("start_offset"), col("n_tokens"), col("text").as("chunk"))
+      .write.mode("overwrite").partitionBy("split").parquet(outDir)
     spark.read.parquet(outDir)
   }
 

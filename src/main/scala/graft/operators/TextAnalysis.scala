@@ -181,19 +181,25 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       chunkTokens: Int,
-      overlap: Int): DataFrame = {
+      overlap: Int,
+      keep: Seq[String] = Nil): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,
       "need 0 <= overlap < chunkTokens for a positive stride")
     val stride = chunkTokens - overlap
     val ws = words(col(textCol))
+    // null text yields NO chunks (not one empty chunk): size(null) is
+    // null, and greatest() would silently promote it to a 1-start list.
+    // `keep`: pass-through columns (split/source labels for a downstream
+    // partitioned write) — carried through the explode, no re-join.
     docs
-      .select(col(idCol), ws.as("ws"))
-      .select(col(idCol), col("ws"),
+      .where(col(textCol).isNotNull)
+      .select(col(idCol) +: keep.map(col) :+ ws.as("ws"): _*)
+      .select(col(idCol) +: keep.map(col) :+ col("ws") :+
         posexplode(sequence(lit(1), greatest(size(col("ws")) - overlap, lit(1)),
-          lit(stride))).as(Seq("chunk_idx", "start")))
-      .select(col(idCol), col("chunk_idx"), col("start"),
-        size(slice(col("ws"), col("start"), lit(chunkTokens))).as("n_tokens"),
-        concat_ws(" ", slice(col("ws"), col("start"), lit(chunkTokens))).as("chunk"))
+          lit(stride))).as(Seq("chunk_idx", "start")): _*)
+      .select(col(idCol) +: keep.map(col) :+ col("chunk_idx") :+ col("start") :+
+        size(slice(col("ws"), col("start"), lit(chunkTokens))).as("n_tokens") :+
+        concat_ws(" ", slice(col("ws"), col("start"), lit(chunkTokens))).as("chunk"): _*)
   }
 
   /** Token-offset sequence packing: documents are conceptually
@@ -217,8 +223,13 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(idCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // null text carries no tokens: excluded up front so the running sum
+    // stays non-null and bins stay dense (a null n_tokens would skip the
+    // row in the window sum but still emit a null-binned row). Input
+    // columns are preserved — callers project what they need.
     docs
-      .select(col(groupCol), col(idCol), size(words(col(textCol))).as("n_tokens"))
+      .where(col(textCol).isNotNull)
+      .withColumn("n_tokens", size(words(col(textCol))))
       .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("bin", floor(col("start_offset") / budget))
   }

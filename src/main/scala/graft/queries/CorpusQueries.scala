@@ -136,6 +136,7 @@ object CorpusQueries {
   def q49Packing(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.packOffsets(docs(s, dir), "doc_id", "text",
       groupCol = "source", budget = 128)
+      .select("source", "doc_id", "n_tokens", "start_offset", "bin")
       .presentSorted("source", "doc_id")
 
   def q49Sql: String =

@@ -15,29 +15,60 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
     val result = CurationPipelineExample.run(spark, sfDir, out).cache()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
-    val n = result.count()
-    assert(n > 0 && n < docs.count(), "pipeline must keep a strict subset")
+    // output is chunk-grained; the curated DOC set is a strict subset
+    val keptDocs = result.select("doc_id").distinct().cache()
+    val nDocs = keptDocs.count()
+    assert(nDocs > 0 && nDocs < docs.count(), "pipeline must keep a strict subset")
 
     // hive layout: one dir per split
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.forall(_.startsWith("split=")))
 
+    // reassemble each kept doc from its chunks (stride overlap removed)
+    // and verify against the original text — chunking must lose nothing
+    val reassembled = result
+      .withColumn("tail",
+        when(col("chunk_idx") === 0, col("chunk"))
+          .otherwise(concat_ws(" ", slice(split(col("chunk"), " "), 9, 10000))))
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(
+        struct(col("chunk_idx"), col("tail")))).getField("tail")).as("rebuilt"))
+    val mismatches = reassembled.join(docs, "doc_id")
+      .where(col("rebuilt") =!= col("text")).count()
+    assert(mismatches == 0, "chunks must reassemble to the original documents")
+
     // no two kept docs may be near-duplicates of each other
-    val keptPairs = Dedup.minhashPairs(
-      result.select("doc_id", "text"), "doc_id", "text", threshold = 0.8).count()
+    val keptText = docs.join(keptDocs, "doc_id").select("doc_id", "text")
+    val keptPairs = Dedup.minhashPairs(keptText, "doc_id", "text", threshold = 0.8).count()
     assert(keptPairs == 0, "near-dup survivors must not contain residual pairs")
 
     // no kept doc shares a >=13-token span with another kept doc, and
     // none collides with the probe slice (contamination gate held)
-    assert(Dedup.spanPairs(result.select("doc_id", "text"), "doc_id", "text").count() == 0)
+    assert(Dedup.spanPairs(keptText, "doc_id", "text").count() == 0)
     assert(Dedup.contaminationHits(docs, "doc_id", "text", col("doc_id") % 7 === 0)
-      .join(result, "doc_id").count() == 0)
+      .join(keptDocs, "doc_id").count() == 0)
+
+    // per-source quota: no source exceeds its cap in kept DOCS
+    val maxPerSource = docs.join(keptDocs, "doc_id")
+      .groupBy("source").agg(countDistinct("doc_id").as("n"))
+      .agg(max("n")).head.getLong(0)
+    assert(maxPerSource <= 400)
+
+    // packing: bins are the running-offset division within (split, source)
+    val binCheck = result
+      .groupBy("split", "source", "bin")
+      .agg(min("start_offset").as("lo"), max(col("start_offset") + col("n_tokens")).as("hi"))
+      .where(col("lo") < col("bin") * 512 || col("lo") >= (col("bin") + 1) * 512)
+      .count()
+    assert(binCheck == 0, "every chunk's start offset lands inside its bin")
 
     // split assignment is a pure function of doc_id (stable)
     val again = CurationPipelineExample.run(spark, sfDir,
       Files.createTempDirectory("graft_curated_test2").toString)
-    val a = result.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val b = again.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = result.select("doc_id", "split").distinct().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = again.select("doc_id", "split").distinct().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(a == b)
   }
 }

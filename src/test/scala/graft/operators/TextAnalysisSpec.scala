@@ -167,11 +167,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("chunk/packOffsets: null text yields no rows, others unaffected") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      Row(1L, "a b c d e", "s"), Row(2L, null, "s"), Row(3L, "f g", "s")).asJava
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    val df = spark.createDataFrame(rows, schema)
+    val chunks = TextAnalysis.chunk(df, "doc_id", "text", 4, 1).collect()
+    assert(chunks.map(_.getLong(0)).toSet == Set(1L, 3L))
+    val packed = TextAnalysis.packOffsets(df, "doc_id", "text", "source", 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_offset"))).toMap
+    // doc 2 absent; doc 3's offset follows doc 1's 5 tokens directly
+    assert(packed == Map(1L -> 0L, 3L -> 5L))
+  }
+
   test("packOffsets: per-group contiguous offsets, stable bins") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val got = TextAnalysis.packOffsets(docs, "doc_id", "text", "source", budget = 128)
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_tokens"), r.getAs[Long]("start_offset"), r.getAs[Long]("bin")))
       .groupBy(_._1)
     got.foreach { case (_, rows) =>
       val sorted = rows.sortBy(_._2)
@@ -185,7 +204,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     // determinism: a repartitioned input packs identically
     val again = TextAnalysis.packOffsets(docs.repartition(7), "doc_id", "text",
       "source", budget = 128)
-      .collect().map(r => (r.getLong(1), r.getLong(4))).toMap
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bin"))).toMap
     val first = got.values.flatten.map(r => (r._2, r._5)).toMap
     assert(again == first)
   }

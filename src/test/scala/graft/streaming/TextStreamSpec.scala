@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.{Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** The per-document curation operators are stateless projections, so the
+  * SAME operator code runs unchanged on a `readStream` DataFrame — one
+  * code path serves backfill (batch) and live ingest (stream). This spec
+  * pins that property by driving textStats / quality signals / chunking /
+  * rate sampling through actual Structured Streaming micro-batches and
+  * comparing against batch semantics on identical data. (Stateful dedup
+  * has its own streaming form — Dedup.exactDedupStream, DedupSpec.)
+  */
+class TextStreamSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docRows = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+  }
+
+  private def streamed(
+      name: String,
+      op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = op(input.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // two micro-batches: results must not depend on batch boundaries
+      val (b1, b2) = docRows.splitAt(docRows.length / 2)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      spark.table(name).collect().map(_.toSeq).toSet
+    } finally q.stop()
+  }
+
+  test("textStats and quality signals: stream == batch, batch-boundary-free") {
+    val batchDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "source")
+    val s1 = streamed("ts_out", d => TextAnalysis.textStats(d, "doc_id", "text"))
+    assert(s1 == TextAnalysis.textStats(batchDf, "doc_id", "text")
+      .collect().map(_.toSeq).toSet)
+    val s2 = streamed("qs_out", d => TextAnalysis.qualitySignals(d, "doc_id", "text"))
+    assert(s2 == TextAnalysis.qualitySignals(batchDf, "doc_id", "text")
+      .collect().map(_.toSeq).toSet)
+  }
+
+  test("chunking and rate sampling: stream == batch (pure maps ride micro-batches)") {
+    val batchDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "source")
+    val s1 = streamed("ch_out",
+      d => TextAnalysis.chunk(d, "doc_id", "text", 40, 8, keep = Seq("source")))
+    assert(s1 == TextAnalysis.chunk(batchDf, "doc_id", "text", 40, 8,
+      keep = Seq("source")).collect().map(_.toSeq).toSet)
+    // deterministic hash sampling keeps the SAME documents on the stream
+    // as on the backfill — the reproducibility property RNG-based
+    // sampling cannot give across the batch/stream boundary
+    val s2 = streamed("rs_out",
+      d => Sampling.stratifiedRate(d, "source", "doc_id", lit(2500)))
+    assert(s2 == Sampling.stratifiedRate(batchDf, "source", "doc_id", lit(2500))
+      .collect().map(_.toSeq).toSet)
+  }
+}
