@@ -108,6 +108,36 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!s.contains("ScalaUDF"), s"must stay in native expressions:\n$s")
   }
 
+  test("rate sampling and chunking stay shuffle-free scan-stage maps") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val rate = graft.operators.Sampling.stratifiedRate(
+      docs, "source", "doc_id", org.apache.spark.sql.functions.lit(2500))
+    val sRate = planOf(rate)
+    assert(!sRate.contains("Exchange"),
+      s"hash-threshold sampling must ride the scan, no shuffle:\n$sRate")
+    val chunked = graft.operators.TextAnalysis.chunk(docs, "doc_id", "text", 40, 8)
+    val sChunk = planOf(chunked)
+    assert(!sChunk.contains("Exchange"),
+      s"chunking is a per-row explode, no shuffle:\n$sChunk")
+  }
+
+  test("docFrequency shuffles once, vocabulary-sized, with map-side partial agg") {
+    val df = graft.operators.Corpus.docFrequency(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    df.collect() // finalize adaptive plan
+    // AQE's string repeats the tree under "== Initial Plan ==" — audit the
+    // final plan only
+    val s = planOf(df).split("== Initial Plan ==").head
+    // exactly one data shuffle (the token groupBy); the corpus count joins
+    // as a broadcast, the corpus itself never reshuffles
+    assert(s.split("Exchange hashpartitioning").length - 1 <= 1,
+      s"unexpected extra shuffles:\n$s")
+    assert(s.split("HashAggregate").length - 1 >= 2,
+      s"expected partial+final aggregation on tokens:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s"corpus count must broadcast, not shuffle-join:\n$s")
+  }
+
   test("query names are unique across suites (toMap would silently drop dups)") {
     val names = Seq(
       queries.RelationalQueries.all, queries.AdvancedQueries.all,
