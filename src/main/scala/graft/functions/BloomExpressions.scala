@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** `bloom_might_contain_long(bigint) -> boolean` against a pre-built
+  * [[BloomFilter]] carried into codegen via `ctx.addReferenceObj` — the
+  * per-row probe is two xxhash-derived bit tests with zero boxing, inside
+  * whole-stage codegen (the same kernel-reference pattern as
+  * [[MinHashBandKeys]]).
+  *
+  * This is the scan-side half of a semi-join that cannot broadcast its
+  * build side: the filter's BITS broadcast (a few MB for 10⁸ items at 1%
+  * fpp) even when the build rows themselves are far beyond
+  * `autoBroadcastJoinThreshold`. May return false positives by
+  * construction — callers must re-verify survivors exactly (see
+  * [[graft.operators.Dedup.contaminationHitsScalable]]); never false
+  * negatives.
+  */
+case class BloomMightContainLong(child: Expression, bloom: BloomFilter)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain_long requires bigint, got ${other.sql}")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  protected override def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bloomRef = ctx.addReferenceObj("bloomFilter", bloom,
+      classOf[BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$bloomRef.mightContainLong($c)")
+  }
+
+  override def prettyName: String = "bloom_might_contain_long"
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
+    copy(child = newChild)
+}

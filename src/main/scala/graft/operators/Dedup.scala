@@ -429,6 +429,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[contaminationHits]] for the regime where the probe set is too
+    * large to broadcast-JOIN (a mega-benchmark suite, a blocklist of
+    * prior training corpora): a Bloom filter over the probe span hashes
+    * broadcasts instead — its BITS are a few MB at 1% fpp even for 10⁸
+    * grams — and prefilters the corpus scan in whole-stage codegen
+    * ([[graft.functions.BloomMightContainLong]]). Survivors (the true
+    * hits plus the fpp sliver) then verify EXACTLY against the probe
+    * grams in a shuffle join whose corpus side is the tiny prefiltered
+    * slice, so the result is bit-identical to [[contaminationHits]]
+    * (DedupSpec pins the equality; q66 oracle-gates it): the bloom can
+    * only pass extra candidates to the exact join, never drop a true
+    * hit.
+    *
+    * Cost shape: one full corpus scan (shuffle-free, codegen probe per
+    * gram), one probe-side scan + bits-only driver aggregate for the
+    * filter, one slim shuffle join of survivors × probe grams. The
+    * corpus never shuffles in bulk, and nothing broadcasts but bits. */
+  def contaminationHitsScalable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isProbe: Column,
+      k: Int = 13,
+      expectedProbeGrams: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val probeGrams = spanGrams(docs.where(isProbe), idCol, textCol, k)
+      .select("g").distinct()
+    val bloom = probeGrams.stat.bloomFilter("g", expectedProbeGrams, fpp)
+    val mightContain = org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.BloomMightContainLong(
+        org.apache.spark.sql.graft.SparkShims.expression(col("g")), bloom))
+    spanGrams(docs.where(!isProbe), idCol, textCol, k)
+      .where(mightContain)
+      .join(probeGrams, "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Streaming exact dedup: the incremental form of the digest-groupBy —
     * `dropDuplicates` on the content digest keeps one survivor per
     * distinct document (the first row encountered per digest; arbitrary

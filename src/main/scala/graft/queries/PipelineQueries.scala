@@ -196,6 +196,18 @@ object PipelineQueries {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** The no-broadcast-regime contamination path: Bloom-bits prefilter +
+    * exact verify. Result is bit-identical to q38 by construction (false
+    * positives die in the exact join), so the oracle is the same
+    * relational replay — what the entry gates is that the scalable
+    * execution path loses nothing. */
+  def q66ContaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    graft.LightFusion.ensureRegistered(s)
+    Dedup.contaminationHitsScalable(docs(s, dir), "doc_id", "text",
+        isProbe = col("doc_id") % 7 === 0, expectedProbeGrams = 100000L)
+      .presentSorted("doc_id")
+  }
+
   // --- similarity search --------------------------------------------------
 
   /** Deterministic train/val/test split by content hash — the stable-split
@@ -398,6 +410,7 @@ object PipelineQueries {
     ("q36_stable_split", q36StableSplit _, q36Sql),
     ("q37_span_dedup", q37SpanDedup _, q37Sql),
     ("q38_contamination", q38Contamination _, q38Sql),
+    ("q66_contamination_bloom", q66ContaminationBloom _, q38Sql),
     ("q39_text_embed_neardup", q39TfEmbedNearDup _, q39Sql),
     ("q33_simhash_pairs", q33SimhashPairs _, q33Sql),
     ("q34_dedup_embedding", q34DedupEmbedding _, q34Sql),

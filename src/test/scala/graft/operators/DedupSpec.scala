@@ -156,6 +156,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "disjoint-vocabulary docs must not pair under the 128-bit signature")
   }
 
+  test("bloom-prefiltered contamination equals the broadcast-join path exactly") {
+    val isProbe = col("doc_id") % 7 === 0
+    val exact = Dedup.contaminationHits(docs, "doc_id", "text", isProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // tight filter (few expected items => higher real fpp) still yields
+    // identical results: false positives must die in the exact verify
+    val viaBloomTight = Dedup.contaminationHitsScalable(
+        docs, "doc_id", "text", isProbe, expectedProbeGrams = 64, fpp = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaBloomWide = Dedup.contaminationHitsScalable(
+        docs, "doc_id", "text", isProbe, expectedProbeGrams = 100000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exact.nonEmpty)
+    assert(viaBloomTight == exact && viaBloomWide == exact)
+  }
+
   /** (doc_id, span STRING) rows — the hash-free ground truth spanPairs'
     * rolling-hash bucketing must reproduce. */
   private def spanStrings(df: org.apache.spark.sql.DataFrame, k: Int) =
