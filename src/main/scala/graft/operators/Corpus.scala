@@ -26,6 +26,9 @@ object Corpus {
     * `array_distinct` dedups before the explode, and partial aggregation
     * combines map-side), plus a one-row broadcast for the corpus count.
     * The corpus itself never reshuffles.
+    *
+    * `n_docs` counts every input row (a null-text document is still a
+    * document for IDF's N); null texts contribute no tokens.
     */
   def docFrequency(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n_docs"))

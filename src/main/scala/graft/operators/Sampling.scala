@@ -20,7 +20,10 @@ object Sampling {
 
   /** Per-row sampling key: rolling hash of `stratum|id` — salting with
     * the stratum decorrelates strata (the same id draws an independent
-    * position in each stratum's order). */
+    * position in each stratum's order). A null stratum degrades to the
+    * bare id hash (`concat_ws` skips nulls) — still deterministic, and
+    * null-stratum rows still sample as their own group because the
+    * quota window partitions on the stratum column itself. */
   def sampleKey(stratum: Column, id: Column): Column =
     LightFusion.rollingHash(concat_ws("|", stratum, id.cast("string")))
 
@@ -35,7 +38,7 @@ object Sampling {
     * bounded sort); for HOT strata at extreme scale, pre-filter with
     * [[stratifiedRate]] at a few× the quota's expected rate, then rank
     * the survivors — same result, the window sees only the pre-filtered
-    * slice. */
+    * slice. An existing `rk` column is overwritten. */
   def stratifiedQuota(
       docs: DataFrame,
       stratumCol: String,

@@ -190,7 +190,8 @@ object TextAnalysis {
     // null text yields NO chunks (not one empty chunk): size(null) is
     // null, and greatest() would silently promote it to a 1-start list.
     // `keep`: pass-through columns (split/source labels for a downstream
-    // partitioned write) — carried through the explode, no re-join.
+    // partitioned write) — carried through the explode, no re-join; must
+    // not collide with the ws/chunk_idx/start/n_tokens/chunk outputs.
     docs
       .where(col(textCol).isNotNull)
       .select(col(idCol) +: keep.map(col) :+ ws.as("ws"): _*)

@@ -152,8 +152,35 @@ object EventMediaQueries {
       |WHERE doc_id % 3 = 0
       |ORDER BY media_id""".stripMargin
 
+  /** Skewed fact-dim join through the salt-and-replicate path: events'
+    * 150-user key set is exactly the hot-key shape AQE's runtime skew
+    * split can miss (hash joins only split SORT-side skew). The oracle
+    * is the PLAIN join — what the entry gates is that salting is
+    * result-invisible. Money math stays exact: value casts to
+    * DECIMAL(18,2) before the sum, so the aggregate is order-free. */
+  def q67SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = RelationalQueries.events(s, dir)
+    val customer = s.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_nationkey")
+    graft.operators.Skew.saltedJoin(events, customer,
+        bigKey = "user_id", smallKey = "c_custkey", salts = 8,
+        saltBy = col("event_id"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .presentSorted("c_nationkey")
+  }
+
+  def q67Sql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q58_attribution", q58Attribution _, q58Sql),
+    ("q67_salted_join", q67SaltedJoin _, q67Sql),
     ("q60_event_windows", q60EventWindows _, q60Sql),
     ("q61_sessionize", q61Sessionize _, q61Sql),
     ("q62_media_meta", q62MediaMeta _, q62Sql),
