@@ -429,6 +429,54 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Span SUPPRESSION — the production form of exact substring dedup
+    * (Lee et al. 2022 remove the duplicated passage, they don't just
+    * count pairs): every token covered by a k-token span that appears in
+    * ≥ `minDocs` distinct documents is cut, and the document is emitted
+    * rewritten. [[spanPairs]] reports who shares what; this operator
+    * performs the surgery.
+    *
+    * Plan shape: the corpus scans once into a SLIM (id, pos, hash)
+    * stream (positions ride the one-pass [[graft.functions.SpanGramHashes]]
+    * kernel — no span strings materialize), the duplicated-gram set is
+    * one hash-keyed aggregation, covered start positions re-aggregate
+    * per doc, and the rewrite is a per-row higher-order filter against
+    * the (bounded, per-doc) start list. Token payloads never enter the
+    * gram shuffles. Docs with no duplicated span pass through verbatim.
+    */
+  def suppressSharedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 13,
+      minDocs: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol), words(col(textCol)).as("ws"))
+    // ALL span positions (no distinct — a span repeated inside one doc
+    // must cover every occurrence), 0-based: element p = span [p, p+k)
+    val grams = base
+      .where(size(col("ws")) >= k)
+      .select(col(idCol), posexplode(
+        org.apache.spark.sql.graft.SparkShims.column(
+          graft.functions.SpanGramHashes(
+            org.apache.spark.sql.graft.SparkShims.expression(col("ws")), k)))
+        .as(Seq("pos", "g")))
+    val dup = grams.groupBy("g")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("g")
+    val starts = grams.join(dup, "g")
+      .groupBy(idCol)
+      .agg(collect_set(col("pos")).as("starts"))
+    val st = coalesce(col("starts"), array().cast("array<int>"))
+    val kept = filter(col("ws"),
+      (w, i) => !exists(st, s => s <= i && i < s + k))
+    base.join(starts, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("ws")).as("n_tokens"),
+        size(kept).as("n_kept"),
+        concat_ws(" ", kept).as("clean"))
+  }
+
   /** [[contaminationHits]] for the regime where the probe set is too
     * large to broadcast-JOIN (a mega-benchmark suite, a blocklist of
     * prior training corpora): a Bloom filter over the probe span hashes

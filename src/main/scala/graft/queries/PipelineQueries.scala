@@ -208,6 +208,37 @@ object PipelineQueries {
       .presentSorted("doc_id")
   }
 
+  /** Span suppression: rewrite every document with tokens cut wherever a
+    * 13-token span is shared across ≥2 docs (the surgical form of q37). */
+  def q68SpanScrub(s: SparkSession, dir: String): DataFrame = {
+    graft.LightFusion.ensureRegistered(s)
+    Dedup.suppressSharedSpans(docs(s, dir), "doc_id", "text")
+      .presentSorted("doc_id")
+  }
+
+  def q68Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       |gr AS (
+       |  SELECT doc_id, i AS pos,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      [ascii(c)::BIGINT for c in string_split(array_to_string(ws[i:i+12], ' '), '')]),
+       |      (acc, c) -> (acc * 31 + c) % 281474976710656) AS g
+       |  FROM w, unnest(range(1, len(ws) - 11)) r(i)
+       |  WHERE len(ws) >= 13),
+       |dup AS (SELECT g FROM gr GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+       |st AS (SELECT doc_id, list(pos) AS starts
+       |       FROM gr JOIN dup USING (g) GROUP BY doc_id),
+       |cut AS (
+       |  SELECT w.doc_id, ws,
+       |    [ws[i] FOR i IN range(1, len(ws) + 1)
+       |     IF len(list_filter(coalesce(st.starts, []),
+       |          s -> s <= i AND i < s + 13)) = 0] AS kept
+       |  FROM w LEFT JOIN st ON w.doc_id = st.doc_id)
+       |SELECT doc_id, len(ws) AS n_tokens, len(kept) AS n_kept,
+       |  COALESCE(array_to_string(kept, ' '), '') AS clean
+       |FROM cut
+       |ORDER BY doc_id""".stripMargin
+
   // --- similarity search --------------------------------------------------
 
   /** Deterministic train/val/test split by content hash — the stable-split
@@ -411,6 +442,7 @@ object PipelineQueries {
     ("q37_span_dedup", q37SpanDedup _, q37Sql),
     ("q38_contamination", q38Contamination _, q38Sql),
     ("q66_contamination_bloom", q66ContaminationBloom _, q38Sql),
+    ("q68_span_scrub", q68SpanScrub _, q68Sql),
     ("q39_text_embed_neardup", q39TfEmbedNearDup _, q39Sql),
     ("q33_simhash_pairs", q33SimhashPairs _, q33Sql),
     ("q34_dedup_embedding", q34DedupEmbedding _, q34Sql),

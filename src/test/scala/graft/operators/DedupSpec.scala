@@ -156,6 +156,60 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       "disjoint-vocabulary docs must not pair under the 128-bit signature")
   }
 
+  test("suppressSharedSpans: planted shared passage cut from both docs, others verbatim") {
+    import spark.implicits._
+    val passage = (1 to 13).map(i => s"dup$i").mkString(" ")
+    val planted = Seq(
+      (1L, s"alpha beta $passage gamma delta"),
+      (2L, s"one two three $passage"),
+      (3L, "totally unrelated words that never repeat anywhere at all " +
+        "and then some more filler to pass the length bar"))
+      .toDF("doc_id", "text")
+    val got = Dedup.suppressSharedSpans(planted, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((17, 4, "alpha beta gamma delta")))
+    assert(got(2L) == ((16, 3, "one two three")))
+    val (n3, k3, c3) = got(3L)
+    assert(n3 == k3 && c3.split(" ").length == n3, "untouched doc passes verbatim")
+    // exactly the docs reported by spanPairs lose tokens
+    val paired = Dedup.spanPairs(planted, "doc_id", "text")
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(paired == Set(1L, 2L))
+    assert(got.forall { case (id, (n, k2, _)) => (k2 < n) == paired.contains(id) })
+  }
+
+  test("suppressSharedSpans equals brute-force span-string coverage on the corpus") {
+    val k = 13
+    // ground truth from span STRINGS: dup spans = exact text matches
+    val withPos = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("ws")) - (k - 1)),
+        i => concat_ws(" ", slice(col("ws"), i, lit(k))))).as(Seq("pos", "span")))
+    val dupSpans = withPos.groupBy("span")
+      .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2).select("span")
+    val coveredBrute = withPos.join(dupSpans, "span")
+      .select("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet // 0-based pos
+    val kept = scala.collection.mutable.Map[Long, Set[Int]]()
+    coveredBrute.foreach { case (id, s) =>
+      kept(id) = kept.getOrElse(id, Set.empty) ++ (s until s + k)
+    }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expected = texts.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val cut = kept.getOrElse(id, Set.empty)
+      id -> ws.zipWithIndex.collect { case (w, i) if !cut(i) => w }.mkString(" ")
+    }
+    val got = Dedup.suppressSharedSpans(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(got == expected)
+    assert(coveredBrute.nonEmpty, "testdata should contain shared spans")
+  }
+
   test("bloom-prefiltered contamination equals the broadcast-join path exactly") {
     val isProbe = col("doc_id") % 7 === 0
     val exact = Dedup.contaminationHits(docs, "doc_id", "text", isProbe)
