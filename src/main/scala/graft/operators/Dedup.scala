@@ -436,13 +436,22 @@ object Dedup {
     * rewritten. [[spanPairs]] reports who shares what; this operator
     * performs the surgery.
     *
-    * Plan shape: the corpus scans once into a SLIM (id, pos, hash)
-    * stream (positions ride the one-pass [[graft.functions.SpanGramHashes]]
-    * kernel — no span strings materialize), the duplicated-gram set is
-    * one hash-keyed aggregation, covered start positions re-aggregate
-    * per doc, and the rewrite is a per-row higher-order filter against
-    * the (bounded, per-doc) start list. Token payloads never enter the
-    * gram shuffles. Docs with no duplicated span pass through verbatim.
+    * EXACT, not hash-trusting: a destructive rewrite must never cut an
+    * innocent passage on a 48-bit collision, so the hash stage only
+    * nominates CANDIDATES (hashes appearing in ≥ `minDocs` docs — a
+    * superset of the truth, since equal strings always share a hash) and
+    * candidate positions then verify on their actual span STRINGS before
+    * any token is cut. Span text materializes only for candidates, so
+    * the corpus-wide scan still ships (id, pos, hash) longs; the string
+    * exchange is proportional to the near-dup mass, not the corpus.
+    *
+    * Plan shape: one corpus scan into the slim gram stream (positions
+    * ride the one-pass [[graft.functions.SpanGramHashes]] kernel), a
+    * hash-keyed candidate aggregation, a string-keyed verify aggregation
+    * over candidates only, covered start positions re-aggregate per doc,
+    * and the rewrite is a per-row higher-order filter against the
+    * (bounded, per-doc) start list. Docs with no duplicated span pass
+    * through verbatim.
     */
   def suppressSharedSpans(
       docs: DataFrame,
@@ -450,7 +459,10 @@ object Dedup {
       textCol: String,
       k: Int = 13,
       minDocs: Int = 2): DataFrame = {
-    val base = docs.select(col(idCol), words(col(textCol)).as("ws"))
+    // null text emits no row (same convention as TextAnalysis.chunk:
+    // there is nothing to rewrite)
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), words(col(textCol)).as("ws"))
     // ALL span positions (no distinct — a span repeated inside one doc
     // must cover every occurrence), 0-based: element p = span [p, p+k)
     val grams = base
@@ -460,11 +472,24 @@ object Dedup {
           graft.functions.SpanGramHashes(
             org.apache.spark.sql.graft.SparkShims.expression(col("ws")), k)))
         .as(Seq("pos", "g")))
-    val dup = grams.groupBy("g")
+      .cache()
+    val candHashes = grams.groupBy("g")
       .agg(countDistinct(col(idCol)).as("nd"))
       .where(col("nd") >= minDocs)
       .select("g")
-    val starts = grams.join(dup, "g")
+    // candidates re-attach their word arrays (only docs holding a
+    // candidate position pay this join) and materialize the span string
+    val candRows = grams.join(candHashes, "g")
+      .join(base, Seq(idCol))
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", slice(col("ws"), col("pos") + 1, lit(k))).as("span"))
+    // exact verify: the span STRING itself must appear in >= minDocs
+    // docs (kills hash collisions; true duplicates always survive)
+    val dupSpans = candRows.groupBy("span")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("span")
+    val starts = candRows.join(dupSpans, "span")
       .groupBy(idCol)
       .agg(collect_set(col("pos")).as("starts"))
     val st = coalesce(col("starts"), array().cast("array<int>"))
@@ -502,8 +527,12 @@ object Dedup {
       k: Int = 13,
       expectedProbeGrams: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
+    // cached: the probe pipeline (scan → gram hash → distinct) runs as
+    // BOTH the bloom-build action and the exact-verify join's build side
+    // — without the cache the probe side would scan and shuffle twice
     val probeGrams = spanGrams(docs.where(isProbe), idCol, textCol, k)
       .select("g").distinct()
+      .cache()
     val bloom = probeGrams.stat.bloomFilter("g", expectedProbeGrams, fpp)
     val mightContain = org.apache.spark.sql.graft.SparkShims.column(
       graft.functions.BloomMightContainLong(

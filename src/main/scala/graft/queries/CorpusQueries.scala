@@ -122,7 +122,8 @@ object CorpusQueries {
       .presentSorted("doc_id", "chunk_idx")
 
   def q48Sql: String =
-    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |              WHERE text IS NOT NULL),
       |st AS (
       |  SELECT doc_id, ws, CAST(s AS BIGINT) AS start,
       |    row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_idx
@@ -142,7 +143,7 @@ object CorpusQueries {
   def q49Sql: String =
     """WITH t AS (
       |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
-      |  FROM documents),
+      |  FROM documents WHERE text IS NOT NULL),
       |o AS (
       |  SELECT source, doc_id, n_tokens,
       |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id

@@ -216,13 +216,15 @@ object PipelineQueries {
       .presentSorted("doc_id")
   }
 
+  /** Pure STRING-level replay (no hashes): since the operator verifies
+    * every candidate span on its text before cutting, the hash stage is
+    * invisible in the result and the oracle is the plain relational
+    * definition of "token covered by a cross-doc duplicated span". */
   def q68Sql: String =
-    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+       |           WHERE text IS NOT NULL),
        |gr AS (
-       |  SELECT doc_id, i AS pos,
-       |    list_reduce(list_prepend(0::BIGINT,
-       |      [ascii(c)::BIGINT for c in string_split(array_to_string(ws[i:i+12], ' '), '')]),
-       |      (acc, c) -> (acc * 31 + c) % 281474976710656) AS g
+       |  SELECT doc_id, i AS pos, array_to_string(ws[i:i+12], ' ') AS g
        |  FROM w, unnest(range(1, len(ws) - 11)) r(i)
        |  WHERE len(ws) >= 13),
        |dup AS (SELECT g FROM gr GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),

@@ -83,6 +83,10 @@ object ScaleStudy {
     ops.foreach { case (name, op) =>
       val (t1, r1) = time(op(spark.read.parquet(s"$baseDir/documents.parquet")))
       val (t2, r2) = time(op(spark.read.parquet(s"$scaledDir/documents.parquet")))
+      // same isolation as Bench: operators that cache internally
+      // (minhashPairs, idfWeightedTf) must not leak those relations into
+      // the next operator's measurement
+      spark.catalog.clearCache()
       val exp = math.log10(t2 / t1)
       println(f"$name%-28s $t1%8.3f $t2%8.3f $exp%5.2f $r1%9d $r2%9d")
     }

@@ -180,6 +180,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall { case (id, (n, k2, _)) => (k2 < n) == paired.contains(id) })
   }
 
+  test("suppressSharedSpans: 48-bit hash collision must NOT cut innocent text") {
+    import spark.implicits._
+    // "Aa" and "BB" collide under the base-31 fold (65*31+97 == 66*31+66),
+    // so the two 13-token spans below share a gram hash while being
+    // different strings: the hash stage nominates them as a candidate
+    // pair, and only the string verify stands between them and a wrongful
+    // cut. True duplicates (docs 1/2) must still be cut.
+    val truePassage = (1 to 13).map(i => s"dup$i").mkString(" ")
+    val spanA = "w1 w2 w3 w4 w5 w6 Aa w8 w9 w10 w11 w12 w13"
+    val spanB = "w1 w2 w3 w4 w5 w6 BB w8 w9 w10 w11 w12 w13"
+    val planted = Seq(
+      (1L, s"intro $truePassage outro"),
+      (2L, s"other lead $truePassage"),
+      (3L, s"pre $spanA post"),
+      (4L, s"pre2 $spanB post2"))
+      .toDF("doc_id", "text")
+    // sanity: the collision is real — both spans hash equal
+    val h = planted.sparkSession.range(1)
+      .select(graft.LightFusion.rollingHash(lit(spanA)).as("a"),
+        graft.LightFusion.rollingHash(lit(spanB)).as("b")).head
+    assert(h.getLong(0) == h.getLong(1), "fixture must be a genuine collision")
+    val got = Dedup.suppressSharedSpans(planted, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got(1L)._3 == "intro outro" && got(2L)._3 == "other lead")
+    assert(got(3L) == ((15, 15, s"pre $spanA post")),
+      "colliding-but-different span must survive untouched")
+    assert(got(4L) == ((15, 15, s"pre2 $spanB post2")))
+  }
+
   test("suppressSharedSpans equals brute-force span-string coverage on the corpus") {
     val k = 13
     // ground truth from span STRINGS: dup spans = exact text matches
