@@ -49,6 +49,18 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("empty corpus: every round-5 operator yields an empty, well-typed result") {
+    val empty = docs.where(lit(false))
+    assert(Corpus.docFrequency(empty, "doc_id", "text").count() == 0L)
+    assert(Corpus.idfWeightedTf(empty, "doc_id", "text").count() == 0L)
+    assert(Corpus.sourceVocabOverlap(empty, "source", "text").count() == 0L)
+    assert(Sampling.stratifiedQuota(empty, "source", "doc_id", 5).count() == 0L)
+    assert(Sampling.stratifiedRate(empty, "source", "doc_id", lit(5000)).count() == 0L)
+    assert(TextAnalysis.chunk(empty, "doc_id", "text", 40, 8).count() == 0L)
+    assert(TextAnalysis.packOffsets(empty, "doc_id", "text", "source", 128).count() == 0L)
+    assert(Dedup.suppressSharedSpans(empty, "doc_id", "text").count() == 0L)
+  }
+
   test("sourceVocabOverlap: set-aggregated pair generation equals self-join") {
     val st = docs
       .select(col("source").as("src"),
