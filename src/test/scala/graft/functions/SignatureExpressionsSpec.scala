@@ -69,6 +69,26 @@ class SignatureExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(df.head.isNullAt(0))
   }
 
+  test("BloomMightContainLong: codegen equals direct probes, nulls pass through") {
+    import spark.implicits._
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.03)
+    val present = (1L to 50L).map(_ * 7919L)
+    present.foreach(bloom.putLong)
+    val values = (present ++ (1L to 50L).map(_ * 104729L + 3L)).map(Option(_)) :+
+      Option.empty[Long]
+    val df = values.toDF("x")
+      .select(col("x"), SparkShims.column(BloomMightContainLong(
+        SparkShims.expression(col("x")), bloom)).as("hit"))
+    df.collect().foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1), "null input must stay null")
+      else assert(r.getBoolean(1) == bloom.mightContainLong(r.getLong(0)),
+        s"codegen probe must equal the direct call for ${r.getLong(0)}")
+    }
+    // no false negatives, ever
+    val hits = df.where(col("hit")).collect().map(_.getLong(0)).toSet
+    assert(present.toSet.subsetOf(hits))
+  }
+
   test("lloydFit is deterministic and separates planted clusters") {
     val a = Array.fill(30)(Array(0.0 + rng.nextGaussian() * 0.01, 0.0))
     val b = Array.fill(30)(Array(10.0 + rng.nextGaussian() * 0.01, 0.0))
