@@ -138,6 +138,67 @@ case class DualRollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Second independent 64-bit word hash for the 128-bit SimHash variant
+  * ([[graft.operators.Dedup.simhashPairsWide]]): same shape as
+  * [[DualRollingHash]] but with fold multipliers 41/43 and the two mix
+  * chains swapped (lo gets the hi-chain constants and vice versa), so the
+  * two signatures vote on unrelated bit patterns. Exists because the
+  * wide variant's driver entry (q71) must be oracle-replayable — Spark's
+  * `xxhash64` has no DuckDB equivalent, this fold does (same
+  * `list_reduce` replay as [[DualRollingHash]] in q33's SQL). */
+case class DualRollingHash2(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"dual_rolling_hash2 requires string, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var lo = 0L
+    var hi = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i).toLong
+      lo = (lo * 41L + c) % DualRollingHash.Mod
+      hi = (hi * 43L + c) % DualRollingHash.Mod
+      i += 1
+    }
+    lo = DualRollingHash.mixHi(lo)
+    hi = DualRollingHash.mixLo(hi)
+    (hi << 32) | lo
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val i = ctx.freshName("i")
+      val ch = ctx.freshName("ch")
+      val M = s"${DualRollingHash.Mod}L"
+      val obj = "graft.functions.DualRollingHash$.MODULE$"
+      s"""
+        String $s = $c.toString();
+        long $lo = 0L; long $hi = 0L;
+        for (int $i = 0; $i < $s.length(); $i++) {
+          long $ch = (long) $s.charAt($i);
+          $lo = ($lo * 41L + $ch) % $M;
+          $hi = ($hi * 43L + $ch) % $M;
+        }
+        ${ev.value} = ($obj.mixLo($hi) << 32) | $obj.mixHi($lo);
+      """
+    })
+
+  override def prettyName: String = "dual_rolling_hash2"
+
+  override protected def withNewChildInternal(newChild: Expression): DualRollingHash2 =
+    copy(child = newChild)
+}
+
 object DualRollingHash {
   /** 2³¹ − 1: fold stays within 2³¹, `acc·37 + c` and `x²` within 2⁶³. */
   val Mod: Long = 2147483647L

@@ -199,6 +199,13 @@ object Dedup {
       graft.functions.DualRollingHash(
         org.apache.spark.sql.graft.SparkShims.expression(w)))
 
+  /** Second independent replayable word hash (41/43 folds, swapped mix
+    * chains) — the other half of the 128-bit SimHash signature. */
+  def wordHash2(w: Column): Column =
+    org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.DualRollingHash2(
+        org.apache.spark.sql.graft.SparkShims.expression(w)))
+
   /** doc_id → simhash over distinct words. */
   def simhashed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
@@ -313,9 +320,10 @@ object Dedup {
   }
 
   /** 128-bit SimHash variant: two independent 64-bit bit-vote signatures
-    * (DualRollingHash and xxhash64 word hashes), Hamming distance summed
-    * across halves, pairs via 8×16-bit pigeonhole chunks (d ≤ 7 ⇒ one of
-    * 8 chunks equal).
+    * ([[wordHash]] and [[wordHash2]] word hashes — both oracle-replayable
+    * folds, so the driver hash-gates the whole wide pipeline in q71),
+    * Hamming distance summed across halves, pairs via 8×16-bit pigeonhole
+    * chunks (d ≤ 7 ⇒ one of 8 chunks equal).
     *
     * This is the documented escape hatch for 64-bit signature
     * saturation: on templated/near-dup-dense corpora the 64-bit
@@ -336,7 +344,7 @@ object Dedup {
     val ws = array_distinct(words(col(textCol)))
     val sh = docs.select(col(idCol),
       simhash(transform(ws, w => wordHash(w))).as("sim1"),
-      simhash(transform(ws, w => xxhash64(w))).as("sim2"))
+      simhash(transform(ws, w => wordHash2(w))).as("sim2"))
     val chunkCols =
       (0 until 4).map(c => shiftrightunsigned(col("sim1"), c * 16).bitwiseAND(lit(0xffffL))) ++
         (0 until 4).map(c => shiftrightunsigned(col("sim2"), c * 16).bitwiseAND(lit(0xffffL)))

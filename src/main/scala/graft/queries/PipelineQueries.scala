@@ -96,43 +96,88 @@ object PipelineQueries {
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
       .presentSorted("a_doc", "b_doc")
 
+  // --- SimHash SQL replay helpers (shared by q33 and q71) ----------------
+  // quadratic -> linear -> quadratic scramble, mirroring DualRollingHash's
+  // mixLo/mixHi chains; all arithmetic mod 2³¹−1 stays within BIGINT.
+  private val HashP = "2147483647"
+  private def foldSql(k: Int) =
+    s"""list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split(word, '')]),
+       |             (acc, c) -> (acc * $k + c) % $HashP)""".stripMargin
+  private def quadSql(x: String, c: Long) = s"(($x) * ($x) + $c) % $HashP"
+  private def linSql(x: String, k: Long, c: Long) = s"(($x) * $k + $c) % $HashP"
+  private def mixLoSql(x: String) =
+    quadSql(linSql(quadSql(x, 1013904223L), 1103515245L, 12345L), 1664525L)
+  private def mixHiSql(x: String) =
+    quadSql(linSql(quadSql(x, 1664525L), 69069L, 362437L), 1013904223L)
+  /** Per-word packed 64-bit hash list comprehension (`hi·2³² + lo`). */
+  private def packedHashListSql(lo: String, hi: String): String =
+    s"""[ ($hi) * 4294967296
+       |          + ($lo)
+       |          FOR word IN ws ]""".stripMargin
+  /** Bit-vote SimHash of a packed-hash list column (bit j set iff ones
+    * outnumber zeros: 2·ones > n). Bits 31/63 are structurally zero so
+    * range(0,63) covers every settable bit. */
+  private def bitVoteSql(hs: String): String =
+    s"""CAST(list_sum([ CASE WHEN 2 * len(list_filter($hs, x -> (x // (1::BIGINT << j)) % 2 = 1)) > len($hs)
+       |                        THEN (1::BIGINT << j) ELSE 0 END
+       |                   FOR j IN range(0, 63) ]) AS BIGINT)""".stripMargin
+
   /** Full SimHash replay: per distinct word the dual 31/37 fold, each
     * half scrambled by the same quadratic→linear→quadratic chain as
-    * DualRollingHash, packed as hi·2³² + lo; per-doc bit-vote signature
-    * (bit j set iff ones outnumber zeros: 2·ones > n), pairs by
-    * bit_count(xor) ≤ 3. Bit 63 is structurally zero so range(0,63)
-    * covers every settable bit. */
+    * DualRollingHash, packed as hi·2³² + lo; per-doc bit-vote signature,
+    * pairs by bit_count(xor) ≤ 3. */
   def q33Sql: String = {
-    val P = "2147483647"
-    def fold(k: Int) =
-      s"""list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split(word, '')]),
-         |             (acc, c) -> (acc * $k + c) % $P)""".stripMargin
-    // quadratic -> linear -> quadratic scramble, mirroring DualRollingHash
-    def q(x: String, c: Long) = s"(($x) * ($x) + $c) % $P"
-    def l(x: String, k: Long, c: Long) = s"(($x) * $k + $c) % $P"
-    val lo = q(l(q(fold(31), 1013904223L), 1103515245L, 12345L), 1664525L)
-    val hi = q(l(q(fold(37), 1664525L), 69069L, 362437L), 1013904223L)
+    val lo = mixLoSql(foldSql(31))
+    val hi = mixHiSql(foldSql(37))
     s"""WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
       |           FROM documents WHERE text IS NOT NULL),
       |h AS (SELECT doc_id,
-      |        [ ($hi) * 4294967296
-      |          + ($lo)
-      |          FOR word IN ws ] AS hs
-      |      FROM w),""".stripMargin + q33SqlTail
-  }
-
-  private def q33SqlTail: String =
-    """
+      |        ${packedHashListSql(lo, hi)} AS hs
+      |      FROM w),
       |s AS (SELECT doc_id,
-      |        CAST(list_sum([ CASE WHEN 2 * len(list_filter(hs, x -> (x // (1::BIGINT << j)) % 2 = 1)) > len(hs)
-      |                        THEN (1::BIGINT << j) ELSE 0 END
-      |                   FOR j IN range(0, 63) ]) AS BIGINT) AS sim
+      |        ${bitVoteSql("hs")} AS sim
       |      FROM h)
       |SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
       |       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
       |FROM s a JOIN s b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.sim, b.sim)) <= 3
       |ORDER BY a_doc, b_doc""".stripMargin
+  }
+
+  /** The 128-bit SimHash variant promoted to a driver entry: the measured
+    * answer to 64-bit signature saturation on templated corpora
+    * (SCALE.md). Same pairs shape as q33 with the summed two-half
+    * distance. */
+  def q71SimhashWide(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairsWide(docs(s, dir), "doc_id", "text", maxDist = 3)
+      .presentSorted("a_doc", "b_doc")
+
+  /** Both halves replay: half 1 is q33's 31/37 fold + mixLo/mixHi; half 2
+    * is DualRollingHash2's 41/43 fold with the chains swapped (lo gets
+    * the hi chain and vice versa). The pigeonhole chunk join is invisible
+    * in the result (complete for summed distance ≤ 7), so the oracle is
+    * the plain all-pairs distance predicate. */
+  def q71Sql: String = {
+    val lo1 = mixLoSql(foldSql(31))
+    val hi1 = mixHiSql(foldSql(37))
+    val lo2 = mixHiSql(foldSql(41))
+    val hi2 = mixLoSql(foldSql(43))
+    s"""WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+      |           FROM documents WHERE text IS NOT NULL),
+      |h AS (SELECT doc_id,
+      |        ${packedHashListSql(lo1, hi1)} AS hs1,
+      |        ${packedHashListSql(lo2, hi2)} AS hs2
+      |      FROM w),
+      |s AS (SELECT doc_id,
+      |        ${bitVoteSql("hs1")} AS sim1,
+      |        ${bitVoteSql("hs2")} AS sim2
+      |      FROM h)
+      |SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+      |       CAST(bit_count(xor(a.sim1, b.sim1)) + bit_count(xor(a.sim2, b.sim2)) AS INTEGER) AS hamming
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sim1, b.sim1)) + bit_count(xor(a.sim2, b.sim2)) <= 3
+      |ORDER BY a_doc, b_doc""".stripMargin
+  }
 
   def q34DedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(s, dir, threshold = 0.35)
@@ -447,6 +492,7 @@ object PipelineQueries {
     ("q68_span_scrub", q68SpanScrub _, q68Sql),
     ("q39_text_embed_neardup", q39TfEmbedNearDup _, q39Sql),
     ("q33_simhash_pairs", q33SimhashPairs _, q33Sql),
+    ("q71_simhash_wide", q71SimhashWide _, q71Sql),
     ("q34_dedup_embedding", q34DedupEmbedding _, q34Sql),
     ("q40_knn_bruteforce", q40KnnBruteForce _, q40Sql),
     ("q41_knn_lsh", q41KnnLsh _, q41Sql),
