@@ -108,6 +108,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         .eval(null).asInstanceOf[Long]
     }
     assert(viaPlan == interpreted)
+    // second signature: doGenCode intentionally swaps the mix chains vs
+    // DualRollingHash, so pin its codegen against interpreted eval too
+    val viaPlan2 = words.toDF("w")
+      .select(Dedup.wordHash2(col("w")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val expr2 = graft.functions.DualRollingHash2(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"))
+    val interpreted2 = words.map { w =>
+      expr2.copy(child = org.apache.spark.sql.catalyst.expressions.Literal(w))
+        .eval(null).asInstanceOf[Long]
+    }
+    assert(viaPlan2 == interpreted2)
+    assert(viaPlan2 != viaPlan) // the two signatures must vote differently
     // null text -> null simhash -> no pairs (oracle filters the same rows)
     val withNull = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]), (3L, "a b c"))
       .toDF("doc_id", "text")
@@ -121,7 +134,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       array_distinct(split(col("text"), " ")).as("w"))
     val sh = ws.select(col("doc_id"),
       Dedup.simhash(transform(col("w"), x => Dedup.wordHash(x))).as("s1"),
-      Dedup.simhash(transform(col("w"), x => xxhash64(x))).as("s2"))
+      Dedup.simhash(transform(col("w"), x => Dedup.wordHash2(x))).as("s2"))
     val a = sh.select(col("doc_id").as("a_doc"), col("s1").as("a1"), col("s2").as("a2"))
     val b = sh.select(col("doc_id").as("b_doc"), col("s1").as("b1"), col("s2").as("b2"))
     val brute = a.join(b, col("a_doc") < col("b_doc"))
