@@ -11,12 +11,15 @@ import org.apache.spark.sql.types._
   * vectorized pandas-UDF stage: one buffer of rows per call, not one call
   * per row).
   *
-  * The container ships no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic fake (`fakeDecode`): it derives pixel
-  * stats from a rolling hash of the payload bytes. Everything around it —
-  * schema, binary handling, batch shape, partitioning, metadata typing —
-  * is real and tested; swapping `fakeDecode` for a JNI/codec call is a
-  * one-function change.
+  * IMAGE decode is REAL: `javax.imageio` (in the JDK) encodes and decodes
+  * actual PNG bytes ([[encodePng]]/[[decodeImage]]), and q72 hash-gates a
+  * full encode→decode round trip against a SQL oracle that recomputes the
+  * pixel pattern arithmetically. The container ships no audio/video
+  * codecs, so only THAT decode step remains a clearly-marked
+  * deterministic fake (`fakeDecode`, derives stats from a rolling hash of
+  * the payload bytes); everything around it — schema, binary handling,
+  * batch shape, partitioning, metadata typing — is real and tested, and
+  * swapping `fakeDecode` for an ffmpeg-JNI call is a one-function change.
   *
   * Scale notes: media payloads make rows wide, so the module never
   * shuffles payload bytes — metadata-only projections go first
@@ -153,4 +156,123 @@ object Multimodal {
         col("meta.n_frames").as("n_frames"),
         sequence(lit(0), col("meta.n_frames") - 1, lit(stride)).as("frame_ids"))
       .withColumn("n_sampled", size(col("frame_ids")))
+
+  // ------------------------------------------------------------------
+  // REAL image codec (javax.imageio — in the JDK, no external dep). The
+  // fake above remains only for audio/video, whose codecs genuinely are
+  // not in this container.
+  // ------------------------------------------------------------------
+
+  /** Deterministic grayscale test pattern: pixel (x, y) of image `id` is
+    * `(id·31 + x·7 + y·13) mod 256` — pure integer arithmetic a SQL
+    * oracle can replay pixel-for-pixel, which is what lets q72 hash-gate
+    * a real PNG encode→decode round trip (any codec pixel loss or
+    * transposition changes the decoded sums and fails the gate). */
+  private[operators] def patternPixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7L + y * 13L) % 256).toInt
+
+  /** Real PNG encode: renders the pattern into a `TYPE_BYTE_GRAY`
+    * `BufferedImage` and writes actual PNG bytes through
+    * `javax.imageio.ImageIO`. PNG is lossless, so decode must return the
+    * identical samples. */
+  private[operators] def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, patternPixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real image decode via `javax.imageio.ImageIO.read`: returns
+    * (width, height, pixelSum, pixelMin, pixelMax) over band 0 of the
+    * decoded raster, or None when the payload is not a decodable image
+    * (ImageIO returns null — the fallback a mixed-media corpus needs). */
+  private[operators] def decodeImage(
+      payload: Array[Byte]): Option[(Int, Int, Long, Int, Int)] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      var sum = 0L
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0)
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, sum, mn, mx))
+    }
+  }
+
+  /** Synthesize a real-PNG media table from a document table: one
+    * `(doc_id % 24 + 8)`×`(doc_id % 16 + 8)` pattern image per doc,
+    * encoded executor-side (generation is a pure map — no driver loop, no
+    * shuffle; at 100 TB the payloads would already sit in parquet binary
+    * columns and this stage disappears). */
+  def imageTable(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", MetaSchema, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val w = (id % 24 + 8).toInt
+        val h = (id % 16 + 8).toInt
+        Row(id, encodePng(id, w, h), Row("image", w, h, null, null))
+      }
+    }(enc)
+  }
+
+  /** Batched REAL decode + pixel statistics: `ImageIO.read` per payload,
+    * grouped into `batchSize` buffers per partition (same vectorized
+    * plumbing as [[decodeFeatures]]). Undecodable payloads yield a null
+    * stats row rather than failing the stage. Payload bytes enter and die
+    * inside the map — nothing binary ever shuffles. */
+  def decodeImageStats(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    require(batchSize > 0, "batch size not correct")
+    val inSchema = media.schema
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val idIdx = inSchema.fieldIndex("media_id")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("px_sum", LongType, nullable = true),
+      StructField("px_min", IntegerType, nullable = true),
+      StructField("px_max", IntegerType, nullable = true),
+      StructField("px_mean", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(idIdx)
+          decodeImage(row.getAs[Array[Byte]](payloadIdx)) match {
+            case Some((w, h, sum, mn, mx)) =>
+              Row(id, w, h, sum, mn, mx, sum.toDouble / (w.toLong * h))
+            case None => Row(id, null, null, null, null, null, null)
+          }
+        }
+      }
+    }(enc)
+  }
 }

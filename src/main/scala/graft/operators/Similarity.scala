@@ -291,6 +291,95 @@ object Similarity {
       .presentSorted("q_id", "rank")
   }
 
+  /** Built persisted-IVF index base paths, keyed by (corpus dir, nlist):
+    * the build is an ingest-time job, probes reuse it for the JVM's
+    * lifetime. */
+  private val ivfIndexes = new ConcurrentHashMap[(String, Int), String]
+
+  /** Build (once per JVM) the on-disk IVF index for `dir`: the corpus
+    * written as parquet PARTITIONED BY cell id, plus the centroid table
+    * beside it. This is the design the in-memory variants document as the
+    * 100 TB path — "persist the centroids and write the cell id at
+    * ingest": the directory layout IS the inverted file, so a probe is a
+    * partition-pruned scan instead of a full assignment pass.
+    *
+    * The quantizer is [[ivfTopKSeeded]]'s (the `nlist` highest-id rows,
+    * squared-Euclidean argmin, first-min tie → lowest cell), relabeled to
+    * the seed's rank 0..nlist-1 so the partition column round-trips
+    * parquet directory inference as a plain int; seeds are sorted
+    * ascending by vec_id, so rank order ≡ label order and every
+    * tie-break matches the seeded variant (and its SQL oracle) exactly.
+    * Cell never appears in query output, so the relabeling is invisible.
+    *
+    * One shuffle-free map (broadcast-kernel assignment) + one partitioned
+    * write; the only driver step is the bounded nlist-row seed fetch. */
+  def buildIvfIndex(s: SparkSession, dir: String, nlist: Int = 16): String =
+    ivfIndexes.computeIfAbsent((dir, nlist), _ => {
+      val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
+      val seeds = e.orderBy(desc("vec_id")).limit(nlist).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      val kernel = new graft.functions.CentroidKernel(seeds.map(_._2))
+      val assigned = e.select(col("vec_id"), col("v"),
+        SparkShims.column(graft.functions.NearestCentroid(
+          SparkShims.expression(col("v")), kernel)).as("cell"))
+      import s.implicits._
+      val centroids = seeds.toSeq.zipWithIndex
+        .map { case ((_, c), i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+        f"${(dir, nlist).hashCode & 0x7fffffff}%08x"
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$base/vectors")
+      centroids.coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+      base
+    })
+
+  /** ANN over the PERSISTED index: probe selection against the stored
+    * centroid table, then candidate generation as a partition-pruned read
+    * of only the probed cells' files — the `.explain` shows the literal
+    * `PartitionFilters: [cell IN (…)]`, i.e. nprobe/nlist of the corpus
+    * bytes are all that is ever opened. Results are bit-identical to
+    * [[ivfTopKSeeded]] (same quantizer, probes, re-rank), so q70 shares
+    * q42's SQL oracle.
+    *
+    * The probed-cell fetch is a bounded driver step (≤ numQueries·nprobe
+    * ints) — that is what turns the probe set into a plan-time literal
+    * partition filter rather than a runtime join. */
+  def ivfTopKPersisted(
+      s: SparkSession,
+      dir: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val idx = buildIvfIndex(s, dir, nlist)
+    val centroids = s.read.parquet(s"$idx/centroids")
+    val q = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
+      .where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("qv"), col("cell"),
+        LightFusion.cosineSimilarity(col("qv"), col("centroid").cast("array<double>"))
+          .as("ccos"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("ccos"), col("cell"))))
+      .where(col("r") <= nprobe)
+      .select("q_id", "qv", "cell")
+    val cellSet = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cands = s.read.parquet(s"$idx/vectors")
+      .where(col("cell").isin(cellSet.map(Int.box): _*))
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+    val scored = cands.select(col("q_id"), col("vec_id").as("n_id"),
+      LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
+    TopK.perKey(scored, Seq("q_id"), "cos", "n_id", k)
+      .select("q_id", "rank", "n_id", "cos")
+      .presentSorted("q_id", "rank")
+  }
+
   /** Thresholds at or above this take the banded-LSH near-dup path;
     * below it (a loose similarity join — LSH recall collapses as the
     * angle widens, and no sub-quadratic exact method exists) the exact

@@ -178,6 +178,39 @@ object EventMediaQueries {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  /** REAL PNG encode→decode round trip through `javax.imageio`: one
+    * deterministic grayscale pattern image per document, encoded to
+    * actual PNG bytes and decoded back executor-side
+    * ([[Multimodal.imageTable]] → [[Multimodal.decodeImageStats]]). The
+    * oracle recomputes every pixel arithmetically — a codec that lost,
+    * clipped, or transposed a single sample would fail the hash gate. */
+  def q72ImageRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImageStats(
+        Multimodal.imageTable(s.read.parquet(s"$dir/documents.parquet")),
+        batchSize = 32)
+      .presentSorted("media_id")
+
+  /** Pixel (x,y) of image doc_id is (doc_id·31 + x·7 + y·13) mod 256 over
+    * a (doc_id%24+8)×(doc_id%16+8) canvas; list_sum returns HUGEINT, cast
+    * down so the driver's hasher sees int64 like Spark's LongType. */
+  def q72Sql: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h,
+      |    flatten(list_transform(range(doc_id % 16 + 8), y ->
+      |      list_transform(range(doc_id % 24 + 8), x ->
+      |        (doc_id * 31 + x * 7 + y * 13) % 256))) AS ps
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(w AS INTEGER) AS width,
+      |  CAST(h AS INTEGER) AS height,
+      |  CAST(list_sum(ps) AS BIGINT) AS px_sum,
+      |  CAST(list_min(ps) AS INTEGER) AS px_min,
+      |  CAST(list_max(ps) AS INTEGER) AS px_max,
+      |  CAST(list_sum(ps) AS DOUBLE) / (w * h) AS px_mean
+      |FROM px
+      |ORDER BY media_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q58_attribution", q58Attribution _, q58Sql),
     ("q67_salted_join", q67SaltedJoin _, q67Sql),
@@ -186,5 +219,6 @@ object EventMediaQueries {
     ("q62_media_meta", q62MediaMeta _, q62Sql),
     ("q63_media_features", q63MediaFeatures _, q63Sql),
     ("q64_frame_sample", q64FrameSample _, q64Sql),
-    ("q65_resize", q65Resize _, q65Sql))
+    ("q65_resize", q65Resize _, q65Sql),
+    ("q72_image_roundtrip", q72ImageRoundtrip _, q72Sql))
 }

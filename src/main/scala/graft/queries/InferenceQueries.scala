@@ -173,10 +173,62 @@ object InferenceQueries {
        |ORDER BY label, inferred""".stripMargin
   }
 
+  /** Model-based quality filtering — the one composition the reference's
+    * scorer surface exists for (`src/udf.rs:49-241`, batch scoring):
+    * [[graft.operators.TextAnalysis.textStats]] features feed a
+    * `CREATE FUNCTION … LANGUAGE LIGHTGBM` forest whose score gates the
+    * corpus. The fixture `quality_gbdt.lgbm` reads `(n_words,
+    * distinct_ratio, stop_ratio, avg_word_len)`; every threshold and leaf
+    * is an exact binary double, so the DuckDB oracle replays the forest
+    * as CASE SQL bit-for-bit. At 100 TB this is one scan-stage map (the
+    * broadcast forest scores inside the same projection that computes the
+    * features) followed by a filter — no shuffle at all. */
+  def q69QualityFilter(s: SparkSession, dir: String): DataFrame = {
+    ensure(s, "graft_quality", "/models/quality_gbdt.lgbm")
+    val stats = graft.operators.TextAnalysis.textStats(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    val feats = array(
+      col("n_words").cast("double"),
+      col("n_distinct_words").cast("double") / col("n_words"),
+      col("stop_cnt").cast("double") / col("n_words"),
+      col("avg_word_len"))
+    stats
+      .select(col("doc_id"),
+        element_at(call_udf("graft_quality", feats), 1).as("model_quality"))
+      .where(col("model_quality") > lit(0.0))
+      .presentSorted("doc_id")
+  }
+
+  /** quality_gbdt.lgbm re-expressed: f0=n_words, f1=distinct_ratio,
+    * f2=stop_ratio, f3=avg_word_len; tree3 is the one 3-leaf tree
+    * (avg_word_len <= 4.5 descends into an n_words <= 24 split). */
+  private val stopsEn =
+    graft.operators.TextAnalysis.langs.head._2.map(w => s"'$w'").mkString(", ")
+
+  def q69Sql: String =
+    s"""WITH feats AS (
+       |  SELECT doc_id,
+       |    len(ws)::DOUBLE AS f0,
+       |    len(list_distinct(ws))::DOUBLE / len(ws) AS f1,
+       |    len(list_filter(ws, w -> list_contains([$stopsEn], w)))::DOUBLE / len(ws) AS f2,
+       |    CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) AS f3
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) b)
+       |SELECT doc_id, model_quality FROM (
+       |  SELECT doc_id,
+       |    (CASE WHEN f0 <= 48 THEN -0.25 ELSE 0.5 END)
+       |    + (CASE WHEN f1 <= 0.5 THEN 0.125 ELSE -0.25 END)
+       |    + (CASE WHEN f2 <= 0.0625 THEN -0.1875 ELSE 0.25 END)
+       |    + (CASE WHEN f3 <= 4.5 THEN (CASE WHEN f0 <= 24 THEN -0.3125 ELSE 0.1875 END) ELSE 0.0625 END)
+       |    AS model_quality
+       |  FROM feats) s
+       |WHERE model_quality > 0
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q20_lgbm_score", q20LgbmScore _, q20Sql),
     ("q21_lgbm_class", q21LgbmClass _, q21Sql),
     ("q22_argmax_embedding", q22ArgmaxEmbedding _, q22Sql),
     ("q23_lgbm_batched", q23LgbmBatched _, q23Sql),
-    ("q24_tsv_pipeline", q24TsvPipeline _, q24Sql))
+    ("q24_tsv_pipeline", q24TsvPipeline _, q24Sql),
+    ("q69_quality_filter", q69QualityFilter _, q69Sql))
 }

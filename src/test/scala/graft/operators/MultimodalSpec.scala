@@ -46,4 +46,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val plan = Multimodal.mediaMeta(media).queryExecution.executedPlan.toString
     assert(!plan.contains("mapPartitions"), "mediaMeta must be pure projection")
   }
+
+  test("real PNG codec: encode→decode round trip recovers the exact pattern") {
+    // local (no Spark) sanity first: javax.imageio must preserve samples
+    val bytes = Multimodal.encodePng(id = 5L, w = 13, h = 9)
+    assert(bytes.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt),
+      "payload must be actual PNG bytes")
+    val Some((w, h, sum, mn, mx)) = Multimodal.decodeImage(bytes)
+    val expected = for { y <- 0 until 9; x <- 0 until 13 }
+      yield Multimodal.patternPixel(5L, x, y)
+    assert((w, h) == (13, 9))
+    assert(sum == expected.map(_.toLong).sum)
+    assert(mn == expected.min && mx == expected.max)
+    // non-image payload takes the None fallback, not an exception
+    assert(Multimodal.decodeImage("not a png".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageTable→decodeImageStats: distributed round trip matches arithmetic") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val stats = Multimodal.decodeImageStats(Multimodal.imageTable(docs), batchSize = 7)
+      .orderBy("media_id").collect()
+    assert(stats.length == docs.count())
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((id % 24 + 8).toInt, (id % 16 + 8).toInt)
+      val px = for { y <- 0 until h; x <- 0 until w }
+        yield Multimodal.patternPixel(id, x, y)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      assert(r.getLong(3) == px.map(_.toLong).sum)
+      assert(r.getInt(4) == px.min && r.getInt(5) == px.max)
+      assert(r.getDouble(6) == px.map(_.toLong).sum.toDouble / (w.toLong * h))
+    }
+  }
 }
