@@ -480,6 +480,14 @@ object PipelineQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** ANN over the PERSISTED IVF index (partition-pruned probe scans —
+    * the on-disk inverted file the in-memory variants document as the
+    * 100 TB design). Same quantizer, probes, and re-rank as q42, so it
+    * must hash-match q42's oracle while reading only nprobe/nlist of the
+    * index files. */
+  def q70KnnIvfPersisted(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopKPersisted(s, dir, numQueries = 10, k = 5)
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q30_dedup_exact", q30DedupExact _, q30Sql),
     ("q31_dedup_minhash_lsh", q31DedupMinhash _, q31Sql),
@@ -496,5 +504,6 @@ object PipelineQueries {
     ("q34_dedup_embedding", q34DedupEmbedding _, q34Sql),
     ("q40_knn_bruteforce", q40KnnBruteForce _, q40Sql),
     ("q41_knn_lsh", q41KnnLsh _, q41Sql),
-    ("q42_knn_ivf", q42KnnIvf _, q42Sql))
+    ("q42_knn_ivf", q42KnnIvf _, q42Sql),
+    ("q70_knn_ivf_persisted", q70KnnIvfPersisted _, q42Sql))
 }

@@ -184,4 +184,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dispatched == banded)
   }
+
+  test("persisted IVF equals the seeded in-memory variant and prunes partitions") {
+    val seeded = Similarity.ivfTopKSeeded(spark, sfDir).collect().map(_.toSeq).toSeq
+    val persisted = Similarity.ivfTopKPersisted(spark, sfDir)
+    assert(persisted.collect().map(_.toSeq).toSeq == seeded,
+      "persisted index must reproduce the seeded quantizer's results exactly")
+    // the candidate scan must carry a literal partition filter on cell —
+    // i.e. only probed cell directories are ever opened
+    val plan = persisted.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters: [")).toSeq
+    assert(pf.exists(l => l.contains("cell") && !l.contains("PartitionFilters: []")),
+      s"expected a non-empty PartitionFilters on cell, plan scans:\n${pf.mkString("\n")}")
+    // and the pruned read touches fewer files than the full index
+    val idx = Similarity.buildIvfIndex(spark, sfDir)
+    val all = spark.read.parquet(s"$idx/vectors")
+    val pruned = all.where(col("cell").isin(0, 1))
+    val allParts = all.select(input_file_name()).distinct().count()
+    val prunedParts = pruned.select(input_file_name()).distinct().count()
+    assert(prunedParts < allParts,
+      s"pruned scan read $prunedParts of $allParts files")
+    pruned.select(input_file_name().as("f")).distinct().collect().foreach { r =>
+      assert(r.getString(0).contains("cell=0") || r.getString(0).contains("cell=1"))
+    }
+  }
 }
