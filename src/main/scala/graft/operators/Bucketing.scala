@@ -1,0 +1,67 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Exchange-free fact-fact joins via ingest-time bucketing — the SCALE.md
+  * answer to the one shuffle the relational suite cannot otherwise avoid
+  * (lineitem ⋈ orders on orderkey).
+  *
+  * `bucketBy(n, key)` at write time co-locates equal keys in equal bucket
+  * files; Spark's scan then reports `HashPartitioning(key, n)` as its
+  * output partitioning, so the sort-merge join above it plans WITHOUT an
+  * `Exchange hashpartitioning` on either side (BucketingSpec pins this on
+  * the executed plan with broadcast disabled). At 100 TB both fact tables
+  * are written bucketed once at ingest and every subsequent
+  * orderkey-grained join — on a 1000-executor cluster, the dominant
+  * recurring shuffle — becomes a local merge of pre-sorted bucket files.
+  *
+  * The bucketed copies are built once per JVM per corpus dir (an ingest
+  * job, not a query step) into a temp-dir external table; the q73 driver
+  * entry then proves the optimization INVISIBLE: its oracle is the plain
+  * join SQL, so bucketing must change the plan and not one output bit —
+  * the same "prove it invisible" pattern as q67's salting.
+  */
+object Bucketing {
+
+  private val built = new ConcurrentHashMap[(String, Int), (String, String)]
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def one: Column = lit(1).cast(DecimalType(4, 2))
+  private def discPrice: Column =
+    dec(col("l_extendedprice")) * (one - dec(col("l_discount")).cast(DecimalType(4, 2)))
+
+  /** Write lineitem/orders bucketed + sorted by orderkey (once per JVM per
+    * dir); returns the two table names. External tables under a fresh temp
+    * dir, names keyed by the dir hash so scale factors never collide. */
+  def ensureBucketed(s: SparkSession, dir: String, buckets: Int = 8): (String, String) =
+    built.computeIfAbsent((dir, buckets), _ => {
+      val tag = f"${(dir, buckets).hashCode & 0x7fffffff}%08x"
+      val (liT, ordT) = (s"li_bkt_$tag", s"ord_bkt_$tag")
+      val wh = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/$liT").saveAsTable(liT)
+      s.read.parquet(s"$dir/orders.parquet")
+        .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/$ordT").saveAsTable(ordT)
+      (liT, ordT)
+    })
+
+  /** Revenue by order priority over the bucketed copies: the fact-fact
+    * join runs on the scans' own bucket partitioning (no exchange below
+    * the join), partial aggregation handles the groupBy. Output is
+    * bucketing-invisible — the oracle joins the raw parquet. */
+  def revenueByPriority(s: SparkSession, dir: String): DataFrame = {
+    val (liT, ordT) = ensureBucketed(s, dir)
+    s.table(liT)
+      .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(discPrice).cast("double").as("revenue"),
+        count(lit(1)).as("line_count"))
+  }
+}

@@ -417,6 +417,23 @@ object RelationalQueries {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
 
+  /** Exchange-free bucketed fact-fact join ([[graft.operators.Bucketing]]):
+    * lineitem ⋈ orders on the buckets' own partitioning, written once at
+    * "ingest" (per JVM). Oracle is the plain join — bucketing must be
+    * invisible in the output, q67's salting pattern applied to the
+    * co-location strategy. */
+  def q73BucketedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bucketing.revenueByPriority(s, dir)
+      .presentSorted("o_orderpriority")
+
+  def q73Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_revenue_by_nation", q02RevenueByNation _, q02Sql),
@@ -433,5 +450,6 @@ object RelationalQueries {
     ("q13_exists_semi_join", q13ExistsSemiJoin _, q13Sql),
     ("q14_distinct_agg", q14DistinctAgg _, q14Sql),
     ("q15_above_nation_avg", q15AboveNationAvg _, q15Sql),
-    ("q25_local_supplier_volume", q25LocalSupplierVolume _, q25Sql))
+    ("q25_local_supplier_volume", q25LocalSupplierVolume _, q25Sql),
+    ("q73_bucketed_join", q73BucketedJoin _, q73Sql))
 }

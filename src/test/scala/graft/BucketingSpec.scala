@@ -40,4 +40,31 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("q73 operator: bucketed revenue join plans exchange-free and matches plain join") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.operators.Bucketing.revenueByPriority(spark, sfDir)
+      val plan = q.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected SMJ:\n$plan")
+      assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+        s"bucketed join must not re-shuffle either side:\n$plan")
+      // bucketing must be invisible in the output
+      val plain = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .join(spark.read.parquet(s"$sfDir/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("line_count"))
+        .orderBy("o_orderpriority")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val viaBuckets = q.orderBy("o_orderpriority")
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+      assert(viaBuckets == plain)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
