@@ -266,19 +266,33 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("v") === labels("id"))
         .groupBy("u").agg(min("label").as("nbr_min"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
         .select(labels("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .cache()
+      // pointer jumping: label := label(label). A label is always itself a
+      // vertex id in the same component (and ≤ its holder), so the
+      // self-join is total where it matters and chains halve in depth
+      // every round — convergence drops from O(component diameter) to
+      // O(log diameter), the same bound as large-star/small-star, with
+      // one extra equi-join per round (Kiveris et al. 2014 motivates the
+      // log bound; a maxIter of 20 now covers diameters past 2^20).
+      val lbl2 = stepped.select(col("id").as("jid"), col("label").as("jlabel"))
+      // localCheckpoint, not cache: the self-join references `stepped`
+      // twice, so an uncut lineage would DOUBLE in size every round
+      // (exponential plan growth — the plan, not the data, OOMs) — the
+      // checkpoint truncates the plan to the round's materialized result
+      val next = stepped.join(lbl2, stepped("label") === lbl2("jid"), "left")
+        .select(stepped("id"),
+          least(stepped("label"), coalesce(col("jlabel"), stepped("label"))).as("label"))
+        .localCheckpoint(eager = true)
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .where(col("label") =!= col("old")).count()
-      // `changed` materialized `next`; the previous round's cache can go
       labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
-    // silent non-convergence would hand out wrong canonical ids (a chain
-    // component longer than maxIter rounds) — fail loudly instead
+    // silent non-convergence would hand out wrong canonical ids — with
+    // pointer jumping that needs diameter > 2^maxIter; fail loudly anyway
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +

@@ -90,6 +90,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     canon.foreach(c => assert(viaDriver.contains((c, c))))
   }
 
+  test("connectedComponents: 300-node chain converges in O(log d) distributed rounds") {
+    import spark.implicits._
+    // a path graph is the worst case for plain min-label propagation
+    // (O(diameter) rounds — 300 would blow maxIter=20); pointer jumping
+    // must close it within the default budget
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("a_doc", "b_doc")
+    val cc = Dedup.connectedComponents(chain, driverThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length == 300)
+    assert(cc.forall(_._2 == 0L), "every chain vertex joins component 0")
+  }
+
   test("exact dedup groups: sum of group sizes equals row count") {
     val g = graft.queries.PipelineQueries.q30DedupExact(spark, sfDir)
     assert(g.agg(sum("n_dups")).head.getLong(0) == docs.count())
