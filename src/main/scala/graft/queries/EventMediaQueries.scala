@@ -211,6 +211,43 @@ object EventMediaQueries {
       |FROM px
       |ORDER BY media_id""".stripMargin
 
+  private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Streaming exact dedup, demonstrated END-TO-END as a real Structured
+    * Streaming run: `readStream` over the documents parquet →
+    * [[graft.operators.Dedup.exactDedupStream]] (stateful
+    * `dropDuplicates` on the content digest) → memory sink, processed to
+    * completion with `Trigger.AvailableNow`. The projection keys the
+    * output by digest — which survivor row wins per digest is
+    * batch-order-dependent, but the digest set is exactly the distinct
+    * texts — so the entry is hash-gated like every batch query. State per
+    * distinct doc is one digest; the sink receives digest+length only
+    * (the text never leaves the executors). Cross-micro-batch state is
+    * pinned separately in DedupSpec's two-batch MemoryStream test. */
+  def q74StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    // the trailing * makes the path a glob: for a non-glob path
+    // FileStreamSource force-overrides basePath with the path itself,
+    // which for a bare parquet FILE fails ("basePath must be a
+    // directory"); with a glob our explicit directory basePath survives
+    val stream = s.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/documents.parquet*")
+    val name = s"q74_stream_dedup_${streamSeq.incrementAndGet()}"
+    val q = graft.operators.Dedup.exactDedupStream(stream, "text")
+      .select(col("digest"), length(col("text")).as("n_chars"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).presentSorted("digest")
+  }
+
+  def q74Sql: String =
+    """SELECT DISTINCT md5(text) AS digest, len(text) AS n_chars
+      |FROM documents
+      |ORDER BY digest""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q58_attribution", q58Attribution _, q58Sql),
     ("q67_salted_join", q67SaltedJoin _, q67Sql),
@@ -220,5 +257,6 @@ object EventMediaQueries {
     ("q63_media_features", q63MediaFeatures _, q63Sql),
     ("q64_frame_sample", q64FrameSample _, q64Sql),
     ("q65_resize", q65Resize _, q65Sql),
-    ("q72_image_roundtrip", q72ImageRoundtrip _, q72Sql))
+    ("q72_image_roundtrip", q72ImageRoundtrip _, q72Sql),
+    ("q74_stream_dedup", q74StreamDedup _, q74Sql))
 }
