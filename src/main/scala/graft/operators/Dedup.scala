@@ -566,6 +566,51 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** The probe side of a contamination check as a bounded driver value:
+    * sorted distinct span-gram hashes of the probe slice. The probe set
+    * is the eval benchmark — thousands of grams by construction, never
+    * the corpus — so collecting it is the same justified bounded step as
+    * the IVF seed fetch, and is what lets the streaming form below run
+    * with zero join and zero state. */
+  def probeGramSet(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isProbe: Column,
+      k: Int = 13): Array[Long] =
+    spanGrams(docs.where(isProbe), idCol, textCol, k)
+      .select("g").distinct()
+      .collect().map(_.getLong(0)).sorted
+
+  /** Per-row contamination check — the streaming form of
+    * [[contaminationHits]], append-mode-safe because it is STATELESS:
+    * the sorted probe gram array rides in the plan as a constant, each
+    * document's distinct gram array is computed and sorted in the same
+    * projection, and `sorted_intersect_count` merges the two in O(n+m)
+    * per row. No explode, no join, no aggregation — so the identical
+    * code path serves `readStream` micro-batches and batch backfill, and
+    * the result provably equals the join-based batch operator (the q75
+    * oracle is q38's relational replay). */
+  def contaminationHitsPerRow(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      probeGramsSorted: Array[Long],
+      k: Int = 13): DataFrame = {
+    val ws = words(col(textCol))
+    val grams = array_sort(array_distinct(
+      org.apache.spark.sql.graft.SparkShims.column(
+        graft.functions.SpanGramHashes(
+          org.apache.spark.sql.graft.SparkShims.expression(ws), k))))
+    val probe = typedlit(probeGramsSorted.toSeq)
+    val nHits = org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.graft.SparkShims.expression(grams),
+        org.apache.spark.sql.graft.SparkShims.expression(probe)))
+    docs.select(col(idCol), nHits.cast("long").as("n_hits"))
+      .where(col("n_hits") >= 1)
+  }
+
   /** Streaming exact dedup: the incremental form of the digest-groupBy —
     * `dropDuplicates` on the content digest keeps one survivor per
     * distinct document (the first row encountered per digest; arbitrary

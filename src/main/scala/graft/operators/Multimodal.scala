@@ -227,7 +227,13 @@ object Multimodal {
     * shuffle; at 100 TB the payloads would already sit in parquet binary
     * columns and this stage disappears). */
   def imageTable(docs: DataFrame): DataFrame = {
+    // repartition BEFORE encoding (ids only, a cheap shuffle of longs):
+    // a small source parquet arrives as one input split, which would
+    // serialize all codec work onto one core — at 100 TB the input
+    // splits provide this parallelism for free and the repartition is
+    // unnecessary, here it spreads the encode across every local core
     val ids = docs.select(col("doc_id"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false),

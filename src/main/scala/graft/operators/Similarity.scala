@@ -367,11 +367,16 @@ object Similarity {
           .partitionBy("q_id").orderBy(desc("ccos"), col("cell"))))
       .where(col("r") <= nprobe)
       .select("q_id", "qv", "cell")
-    val cellSet = probes.select("cell").distinct()
-      .collect().map(_.getInt(0)).sorted
+    // ONE bounded collect (≤ numQueries·nprobe rows) serves both uses:
+    // the literal partition filter AND the broadcast probe relation —
+    // re-deriving them lazily would execute the probe subplan twice
+    val probeRows = probes.collect()
+    val cellSet = probeRows.map(_.getInt(2)).distinct.sorted
+    val probesDf = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes.schema)
     val cands = s.read.parquet(s"$idx/vectors")
       .where(col("cell").isin(cellSet.map(Int.box): _*))
-      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(probesDf), Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
     val scored = cands.select(col("q_id"), col("vec_id").as("n_id"),
       LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))

@@ -248,6 +248,30 @@ object EventMediaQueries {
       |FROM documents
       |ORDER BY digest""".stripMargin
 
+  /** Streaming contamination: the stateless per-row form of q38's check
+    * run as a real Structured Streaming query — probe grams collected
+    * once from the static table (the eval set, bounded by construction),
+    * then each streamed document merges its sorted gram array against
+    * the plan-constant probe array. No join, no state, append mode —
+    * and the result must hash-match q38's relational replay exactly. */
+  def q75StreamContamination(s: SparkSession, dir: String): DataFrame = {
+    val static = s.read.parquet(s"$dir/documents.parquet")
+    val probe = graft.operators.Dedup.probeGramSet(
+      static, "doc_id", "text", col("doc_id") % 7 === 0)
+    val schema = static.schema
+    val stream = s.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/documents.parquet*")
+    val name = s"q75_stream_contam_${streamSeq.incrementAndGet()}"
+    val q = graft.operators.Dedup.contaminationHitsPerRow(
+        stream.where(col("doc_id") % 7 =!= 0), "doc_id", "text", probe)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).presentSorted("doc_id")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q58_attribution", q58Attribution _, q58Sql),
     ("q67_salted_join", q67SaltedJoin _, q67Sql),
@@ -258,5 +282,7 @@ object EventMediaQueries {
     ("q64_frame_sample", q64FrameSample _, q64Sql),
     ("q65_resize", q65Resize _, q65Sql),
     ("q72_image_roundtrip", q72ImageRoundtrip _, q72Sql),
-    ("q74_stream_dedup", q74StreamDedup _, q74Sql))
+    ("q74_stream_dedup", q74StreamDedup _, q74Sql),
+    ("q75_stream_contamination", q75StreamContamination _,
+      PipelineQueries.q38Sql))
 }

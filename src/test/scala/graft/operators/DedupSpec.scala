@@ -332,6 +332,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.keys.forall(_ % 7 != 0))
   }
 
+  test("per-row contamination (streaming form) equals the join-based batch operator") {
+    val isProbe = col("doc_id") % 7 === 0
+    val probe = Dedup.probeGramSet(docs, "doc_id", "text", isProbe)
+    assert(probe.nonEmpty && (probe, probe.tail).zipped.forall(_ < _),
+      "probe grams must be sorted distinct")
+    val perRow = Dedup.contaminationHitsPerRow(
+        docs.where(col("doc_id") % 7 =!= 0), "doc_id", "text", probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = Dedup.contaminationHits(docs, "doc_id", "text", isProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(perRow.nonEmpty && perRow == batch)
+  }
+
   test("streaming exact dedup: first-seen survivors across micro-batches") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
