@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.SparkExt._
 import org.apache.spark.sql.functions._
 
@@ -206,6 +206,55 @@ object TextQueries {
       |FROM base
       |ORDER BY doc_id""".stripMargin
 
+  /** PII redaction over a deterministically "dirtied" corpus: the synthetic
+    * documents carry no PII, so the query plants one email, one IPv4 and
+    * one dashed phone (plus a second phone on a 1-in-5 stripe, and none at
+    * all on the doc_id%3==0 stripe) from doc_id/source arithmetic both
+    * engines replay exactly, then runs [[TextAnalysis.redactPii]]. */
+  def q76RedactPii(s: SparkSession, dir: String): DataFrame = {
+    val str = (c: Column) => c.cast("string")
+    val dirty = docs(s, dir).withColumn("t",
+      when(expr("doc_id % 3 = 0"), col("text"))
+        .otherwise(concat(
+          col("text"), lit(" contact user"), str(col("doc_id")),
+          lit("@mail-"), col("source"), lit(".com from 10."),
+          str(expr("doc_id % 256")), lit("."),
+          str(expr("(doc_id div 7) % 256")), lit("."),
+          str(expr("(doc_id div 11) % 256")),
+          lit(" call 555-"), lpad(str(expr("doc_id % 1000")), 3, "0"),
+          lit("-"), lpad(str(expr("doc_id % 10000")), 4, "0"),
+          when(expr("doc_id % 5 = 1"), lit(" alt 555-000-0001")).otherwise(lit("")))))
+    TextAnalysis.redactPii(dirty, "doc_id", "t").presentSorted("doc_id")
+  }
+
+  def q76Sql: String = {
+    // DuckDB single-quoted strings keep backslashes literal, so the Scala
+    // pattern strings interpolate verbatim.
+    val Seq(em, ip, ph) = TextAnalysis.piiPatterns.map(_._2)
+    s"""WITH dirty AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN text
+       |         ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |           || '@mail-' || source || '.com from 10.'
+       |           || CAST(doc_id % 256 AS VARCHAR) || '.'
+       |           || CAST((doc_id // 7) % 256 AS VARCHAR) || '.'
+       |           || CAST((doc_id // 11) % 256 AS VARCHAR)
+       |           || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |           || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |           || CASE WHEN doc_id % 5 = 1 THEN ' alt 555-000-0001' ELSE '' END
+       |    END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$em', '<EMAIL>', 'g'),
+       |    '$ip', '<IP>', 'g'),
+       |    '$ph', '<PHONE>', 'g') AS clean_text,
+       |  len(regexp_extract_all(t, '$em')) AS n_email,
+       |  len(regexp_extract_all(t, '$ip')) AS n_ipv4,
+       |  len(regexp_extract_all(t, '$ph')) AS n_phone
+       |FROM dirty ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q50_text_stats", q50TextStats _, q50Sql),
     ("q51_lang_id", q51LangId _, q51Sql),
@@ -215,5 +264,6 @@ object TextQueries {
     ("q55_quality_filter", q55QualityFilter _, q55Sql),
     ("q56_quality_signals", q56QualitySignals _, q56Sql),
     ("q57_top_tokens", q57TopTokens _, q57Sql),
-    ("q59_tf_embed", q59TfEmbed _, q59Sql))
+    ("q59_tf_embed", q59TfEmbed _, q59Sql),
+    ("q76_redact_pii", q76RedactPii _, q76Sql))
 }

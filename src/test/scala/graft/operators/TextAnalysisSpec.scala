@@ -208,4 +208,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     val first = got.values.flatten.map(r => (r._2, r._5)).toMap
     assert(again == first)
   }
+
+  test("redactPii: emails/IPs/phones replaced and counted; clean text untouched") {
+    val dirty = oneDoc(
+      "mail a.b+c@sub.example.org or x@y.io from 10.0.255.3 call 555-123-4567 " +
+        "and 555-000-0001; not-an-ip 1.2.3 not-a-phone 55-123-4567 v1.2.3.4beta")
+    val r = TextAnalysis.redactPii(dirty, "doc_id", "text").head
+    assert(r.getAs[Int]("n_email") == 2)
+    assert(r.getAs[Int]("n_ipv4") == 1) // 1.2.3 too short; 1.2.3.4beta fails \b
+    assert(r.getAs[Int]("n_phone") == 2) // 55-123-4567 fails the 3-digit \b
+    val clean = r.getAs[String]("clean_text")
+    assert(clean ==
+      "mail <EMAIL> or <EMAIL> from <IP> call <PHONE> " +
+        "and <PHONE>; not-an-ip 1.2.3 not-a-phone 55-123-4567 v1.2.3.4beta")
+
+    // no PII → identity text, zero counts
+    val ok = TextAnalysis.redactPii(oneDoc("plain words only"), "doc_id", "text").head
+    assert(ok.getAs[String]("clean_text") == "plain words only")
+    assert(ok.getAs[Int]("n_email") == 0 && ok.getAs[Int]("n_ipv4") == 0 &&
+      ok.getAs[Int]("n_phone") == 0)
+
+    // stays a shuffle-free single scan
+    val plan = TextAnalysis.redactPii(dirty, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }
