@@ -122,4 +122,44 @@ object Corpus {
         (col("inter").cast("double") / (col("a_vocab") + col("b_vocab") - col("inter")))
           .as("jaccard"))
   }
+
+  /** Unigram corpus-likelihood score — the language-model quality proxy
+    * (KenLM-style perplexity filtering à la CCNet/RefinedWeb) expressed
+    * with exact integer arithmetic: per document,
+    * `score = Σ_w cnt(w) / (n_words · total_tokens)` — the average
+    * relative corpus frequency of the document's tokens. Rare/garbled
+    * text scores low, common fluent text scores high, exactly the signal
+    * a log-perplexity filter ranks by — but with no transcendental ops,
+    * so the long sum and single double division replay bit-for-bit in
+    * any engine (ln() is NOT cross-engine reproducible at the last ulp).
+    *
+    * Scale: pass 1 builds the vocabulary count table (token-sized shuffle
+    * with map-side partial agg — occurrences never cross the wire); the
+    * counts then travel as ONE broadcast row holding a token→count map,
+    * and scoring is a shuffle-free per-row array fold over the corpus
+    * scan. A 100 TB corpus with an unbounded vocabulary would cap the map
+    * to the top-K tokens (OOV contributes 0 via the coalesce below) to
+    * bound the broadcast — at which point score semantics degrade
+    * gracefully to "mass in the top-K". */
+  def unigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = TextAnalysis.words(col(textCol))
+    val vocab = docs
+      .select(explode(ws).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+    val stats = vocab.agg(
+      map_from_entries(collect_list(struct(col("token"), col("cnt")))).as("vocab_map"),
+      sum(col("cnt")).as("total"))
+    docs
+      .crossJoin(broadcast(stats))
+      .select(
+        col(idCol),
+        size(ws).as("n_words"),
+        aggregate(ws, lit(0L), (acc, w) =>
+          acc + coalesce(element_at(col("vocab_map"), w), lit(0L))).as("hits"),
+        col("total"))
+      .select(col(idCol), col("n_words"), col("hits"),
+        (col("hits").cast("double") / (col("n_words").cast("long") * col("total")))
+          .as("score"))
+  }
 }

@@ -154,6 +154,25 @@ object CorpusQueries {
       |FROM o
       |ORDER BY source, doc_id""".stripMargin
 
+  /** Unigram corpus-likelihood quality score ([[Corpus.unigramScore]]):
+    * exact-integer LM proxy, one vocab-sized shuffle + broadcast map. */
+  def q77UnigramScore(s: SparkSession, dir: String): DataFrame =
+    Corpus.unigramScore(docs(s, dir), "doc_id", "text").presentSorted("doc_id")
+
+  def q77Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |vocab AS (SELECT w, count(*)::BIGINT AS cnt FROM tok GROUP BY w),
+      |tot AS (SELECT sum(cnt)::BIGINT AS total FROM vocab),
+      |scored AS (
+      |  SELECT t.doc_id, count(*) AS n_words, sum(v.cnt)::BIGINT AS hits
+      |  FROM tok t JOIN vocab v ON t.w = v.w
+      |  GROUP BY t.doc_id)
+      |SELECT s.doc_id, s.n_words, s.hits,
+      |  s.hits::DOUBLE / (s.n_words * t.total) AS score
+      |FROM scored s, tot t
+      |ORDER BY s.doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
@@ -161,5 +180,6 @@ object CorpusQueries {
     ("q46_source_overlap", q46SourceOverlap _, q46Sql),
     ("q47_rate_sample", q47RateSample _, q47Sql),
     ("q48_chunking", q48Chunking _, q48Sql),
-    ("q49_packing", q49Packing _, q49Sql))
+    ("q49_packing", q49Packing _, q49Sql),
+    ("q77_unigram_score", q77UnigramScore _, q77Sql))
 }

@@ -86,4 +86,22 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       assert(j > 0.0 && j <= 1.0)
     }
   }
+
+  test("unigramScore: hand-computed tiny corpus; corpus-scan check on real docs") {
+    import spark.implicits._
+    // vocab: a→3 b→1 c→1, total 5
+    val tiny = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = Corpus.unigramScore(tiny, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((3, 7L, 7.0 / 15)))  // hits = 3+3+1
+    assert(got(2L) == ((2, 4L, 4.0 / 10)))  // hits = 3+1
+    // every score is a probability-like value in (0, 1]; partition-invariant
+    val real = Corpus.unigramScore(docs, "doc_id", "text")
+    val vals = real.collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(vals.forall { case (_, sc) => sc > 0.0 && sc <= 1.0 })
+    val again = Corpus.unigramScore(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(vals.toMap == again)
+  }
 }
