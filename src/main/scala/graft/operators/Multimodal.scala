@@ -14,12 +14,15 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: `javax.imageio` (in the JDK) encodes and decodes
   * actual PNG bytes ([[encodePng]]/[[decodeImage]]), and q72 hash-gates a
   * full encode→decode round trip against a SQL oracle that recomputes the
-  * pixel pattern arithmetically. The container ships no audio/video
-  * codecs, so only THAT decode step remains a clearly-marked
-  * deterministic fake (`fakeDecode`, derives stats from a rolling hash of
-  * the payload bytes); everything around it — schema, binary handling,
-  * batch shape, partitioning, metadata typing — is real and tested, and
-  * swapping `fakeDecode` for an ffmpeg-JNI call is a one-function change.
+  * pixel pattern arithmetically. AUDIO decode is REAL too:
+  * `javax.sound.sampled` (also in the JDK) encodes and decodes actual
+  * RIFF/WAVE 16-bit PCM bytes ([[encodeWav]]/[[decodeWav]]), hash-gated
+  * the same way by q78. The container ships no video codecs, so only THAT
+  * decode step remains a clearly-marked deterministic fake (`fakeDecode`,
+  * derives stats from a rolling hash of the payload bytes); everything
+  * around it — schema, binary handling, batch shape, partitioning,
+  * metadata typing — is real and tested, and swapping `fakeDecode` for an
+  * ffmpeg-JNI call is a one-function change.
   *
   * Scale notes: media payloads make rows wide, so the module never
   * shuffles payload bytes — metadata-only projections go first
@@ -276,6 +279,131 @@ object Multimodal {
             case Some((w, h, sum, mn, mx)) =>
               Row(id, w, h, sum, mn, mx, sum.toDouble / (w.toLong * h))
             case None => Row(id, null, null, null, null, null, null)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // REAL audio codec (javax.sound.sampled — in the JDK, no external
+  // dep): RIFF/WAVE, 16-bit signed little-endian mono PCM.
+  // ------------------------------------------------------------------
+
+  /** Deterministic test signal: sample `i` of audio `id` is
+    * `(id·31 + i·7) mod 2¹⁶ − 2¹⁵` — full-range signed 16-bit integer
+    * arithmetic a SQL oracle replays sample-for-sample, so q78 hash-gates
+    * a real WAV encode→decode round trip (PCM is lossless; any byte-order
+    * or framing slip changes the decoded sums and fails the gate). */
+  private[operators] def sampleVal(id: Long, i: Int): Int =
+    (((id * 31 + i * 7L) % 65536) - 32768).toInt
+
+  private val WavFormat = new javax.sound.sampled.AudioFormat(
+    8000f, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+
+  /** Real WAV encode: packs the pattern into little-endian PCM frames and
+    * writes an actual RIFF/WAVE container through
+    * `javax.sound.sampled.AudioSystem`. */
+  private[operators] def encodeWav(id: Long, nSamples: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = sampleVal(id, i)
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), WavFormat, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV decode via `AudioSystem.getAudioInputStream`: parses the
+    * RIFF container, verifies 16-bit mono PCM, and returns
+    * (nSamples, sum, min, max) over the signed samples — or None for
+    * payloads that are not decodable WAV (the mixed-corpus fallback,
+    * matching [[decodeImage]]'s contract). */
+  private[operators] def decodeWav(
+      payload: Array[Byte]): Option[(Int, Long, Int, Int)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        None
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var sum = 0L
+        var mn = Int.MaxValue
+        var mx = Int.MinValue
+        var i = 0
+        while (i < n) {
+          val lo = bytes(i * 2) & 0xff
+          val hi = bytes(i * 2 + 1).toInt
+          val v =
+            if (fmt.isBigEndian) ((bytes(i * 2).toInt << 8) | (bytes(i * 2 + 1) & 0xff))
+            else ((hi << 8) | lo)
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        Some((n, sum, mn, mx))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+    }
+
+  /** Synthesize a real-WAV media table from a document table: one
+    * `(doc_id % 400 + 100)`-sample clip per doc, encoded executor-side
+    * (pure map — same scale notes as [[imageTable]]). */
+  def audioTable(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", MetaSchema, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val n = (id % 400 + 100).toInt
+        Row(id, encodeWav(id, n), Row("audio", null, null, 8000, n))
+      }
+    }(enc)
+  }
+
+  /** Batched REAL audio decode + amplitude statistics (the audio analogue
+    * of [[decodeImageStats]]): WAV parse per payload, `batchSize` buffers
+    * per partition, undecodable payloads yield a null stats row. Payload
+    * bytes enter and die inside the map — nothing binary ever shuffles. */
+  def decodeAudioStats(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    require(batchSize > 0, "batch size not correct")
+    val inSchema = media.schema
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val idIdx = inSchema.fieldIndex("media_id")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = true),
+      StructField("amp_sum", LongType, nullable = true),
+      StructField("amp_min", IntegerType, nullable = true),
+      StructField("amp_max", IntegerType, nullable = true),
+      StructField("amp_mean", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(idIdx)
+          decodeWav(row.getAs[Array[Byte]](payloadIdx)) match {
+            case Some((n, sum, mn, mx)) =>
+              Row(id, n, sum, mn, mx, sum.toDouble / n)
+            case None => Row(id, null, null, null, null, null)
           }
         }
       }

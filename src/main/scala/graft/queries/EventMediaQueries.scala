@@ -211,6 +211,33 @@ object EventMediaQueries {
       |FROM px
       |ORDER BY media_id""".stripMargin
 
+  /** Real RIFF/WAVE PCM encode→decode round trip through
+    * `javax.sound.sampled` ([[Multimodal.audioTable]] →
+    * [[Multimodal.decodeAudioStats]]), the audio sibling of q72. */
+  def q78AudioRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudioStats(
+        Multimodal.audioTable(s.read.parquet(s"$dir/documents.parquet")),
+        batchSize = 32)
+      .presentSorted("media_id")
+
+  /** Sample i of clip doc_id is (doc_id·31 + i·7) mod 2¹⁶ − 2¹⁵ over
+    * doc_id%400+100 samples; PCM is lossless so the decoded stats equal
+    * the arithmetic replay. */
+  def q78Sql: String =
+    """WITH smp AS (
+      |  SELECT doc_id, doc_id % 400 + 100 AS n,
+      |    list_transform(range(doc_id % 400 + 100), i ->
+      |      (doc_id * 31 + i * 7) % 65536 - 32768) AS ss
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(n AS INTEGER) AS n_samples,
+      |  CAST(list_sum(ss) AS BIGINT) AS amp_sum,
+      |  CAST(list_min(ss) AS INTEGER) AS amp_min,
+      |  CAST(list_max(ss) AS INTEGER) AS amp_max,
+      |  CAST(list_sum(ss) AS DOUBLE) / n AS amp_mean
+      |FROM smp
+      |ORDER BY media_id""".stripMargin
+
   private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Streaming exact dedup, demonstrated END-TO-END as a real Structured
@@ -282,6 +309,7 @@ object EventMediaQueries {
     ("q64_frame_sample", q64FrameSample _, q64Sql),
     ("q65_resize", q65Resize _, q65Sql),
     ("q72_image_roundtrip", q72ImageRoundtrip _, q72Sql),
+    ("q78_audio_roundtrip", q78AudioRoundtrip _, q78Sql),
     ("q74_stream_dedup", q74StreamDedup _, q74Sql),
     ("q75_stream_contamination", q75StreamContamination _,
       PipelineQueries.q38Sql))

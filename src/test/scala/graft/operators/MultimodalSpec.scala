@@ -78,4 +78,34 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getDouble(6) == px.map(_.toLong).sum.toDouble / (w.toLong * h))
     }
   }
+
+  test("real WAV codec: encode→decode round trip recovers the exact samples") {
+    val bytes = Multimodal.encodeWav(id = 5L, nSamples = 137)
+    assert(bytes.take(4).map(_.toChar).mkString == "RIFF",
+      "payload must be an actual RIFF/WAVE container")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val Some((n, sum, mn, mx)) = Multimodal.decodeWav(bytes)
+    val expected = (0 until 137).map(i => Multimodal.sampleVal(5L, i))
+    assert(n == 137)
+    assert(sum == expected.map(_.toLong).sum)
+    assert(mn == expected.min && mx == expected.max)
+    // non-WAV payload takes the None fallback, not an exception
+    assert(Multimodal.decodeWav("not a wav".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("audioTable→decodeAudioStats: distributed round trip matches arithmetic") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val stats = Multimodal.decodeAudioStats(Multimodal.audioTable(docs), batchSize = 7)
+      .orderBy("media_id").collect()
+    assert(stats.length == docs.count())
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      val n = (id % 400 + 100).toInt
+      val ss = (0 until n).map(i => Multimodal.sampleVal(id, i))
+      assert(r.getInt(1) == n)
+      assert(r.getLong(2) == ss.map(_.toLong).sum)
+      assert(r.getInt(3) == ss.min && r.getInt(4) == ss.max)
+      assert(r.getDouble(5) == ss.map(_.toLong).sum.toDouble / n)
+    }
+  }
 }
