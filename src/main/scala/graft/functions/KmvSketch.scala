@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** KMV (k-minimum-values) distinct-count sketch as a typed UDAF: the
+  * bounded-state cardinality estimator a 100 TB pipeline uses where
+  * `COUNT(DISTINCT …)` would shuffle every occurrence (Bar-Yossef et al.
+  * 2002; the estimator behind Theta sketches).
+  *
+  * State is the `k` smallest DISTINCT 48-bit hashes seen (sorted long
+  * array, ≤ k elements — a few hundred bytes per group regardless of
+  * group size). `reduce` is an insertion into a capped sorted set,
+  * `merge` a sorted-merge-dedup-truncate; both are associative,
+  * commutative and idempotent-on-duplicates, so Spark's partial
+  * aggregation applies, the shuffle carries ≤ k longs per group per
+  * partition, and — unlike HLL++ — the result is a pure function of the
+  * input SET: repartition-invariant and exactly replayable by a SQL
+  * oracle ranking the same hashes (`q79`).
+  *
+  * Estimate: with fewer than k distinct hashes the sketch is exhaustive
+  * and returns the exact count; otherwise `(k−1) · 2⁴⁸ / h_k` where
+  * `h_k` is the k-th smallest hash — every operand below 2⁵³, so the one
+  * double division is bit-exact across engines. Standard error is
+  * ≈ 1/√(k−2).
+  *
+  * Inputs are hashes, not raw values: callers feed the codegen'd
+  * `rolling_hash` expression (48-bit space, [[RollingHash.Mask]]), which
+  * keeps the aggregation input a primitive long and lets the oracle
+  * replay hashing and ranking identically. Null hashes are skipped.
+  */
+class KmvSketch(k: Int)
+    extends Aggregator[java.lang.Long, Array[Long], (Long, Int, Double)] {
+  require(k >= 2, "kmv sketch needs k >= 2")
+
+  override def zero: Array[Long] = Array.empty[Long]
+
+  override def reduce(b: Array[Long], v: java.lang.Long): Array[Long] =
+    if (v == null) b else insert(b, v.longValue)
+
+  private def insert(b: Array[Long], v: Long): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(b, v)
+    if (pos >= 0) b // already in the sketch
+    else {
+      val ins = -pos - 1
+      if (b.length >= k && ins >= k) b // larger than the current k-th min
+      else {
+        val n = math.min(b.length + 1, k)
+        val out = new Array[Long](n)
+        System.arraycopy(b, 0, out, 0, ins)
+        out(ins) = v
+        System.arraycopy(b, ins, out, ins + 1, n - ins - 1)
+        out
+      }
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var n = 0
+    var last = Long.MinValue
+    while (n < out.length && (i < a.length || j < b.length)) {
+      val v =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+        else { val x = b(j); j += 1; x }
+      if (n == 0 || v != last) { out(n) = v; n = n + 1; last = v }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** (k-th min hash [max kept when exhaustive], state size, estimate). */
+  override def finish(s: Array[Long]): (Long, Int, Double) =
+    if (s.isEmpty) (0L, 0, 0.0)
+    else {
+      val kth = s(s.length - 1)
+      if (s.length < k || kth == 0L) (kth, s.length, s.length.toDouble)
+      else (kth, s.length,
+        ((k - 1).toLong * (RollingHash.Mask + 1)).toDouble / kth.toDouble)
+    }
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  override def outputEncoder: Encoder[(Long, Int, Double)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaDouble)
+}

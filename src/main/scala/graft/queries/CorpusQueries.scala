@@ -173,6 +173,47 @@ object CorpusQueries {
       |FROM scored s, tot t
       |ORDER BY s.doc_id""".stripMargin
 
+  /** Per-source distinct-token cardinality via the KMV sketch
+    * ([[graft.functions.KmvSketch]], k=16): bounded mergeable state where
+    * COUNT(DISTINCT) would shuffle every occurrence; deterministic, so the
+    * oracle replays hash+rank exactly — including the estimate. */
+  def q79KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    graft.LightFusion.ensureRegistered(s)
+    val kmv = udaf(new graft.functions.KmvSketch(16),
+      org.apache.spark.sql.Encoders.LONG)
+    docs(s, dir)
+      .select(col("source"),
+        explode(graft.operators.TextAnalysis.words(col("text"))).as("token"))
+      .select(col("source"), expr("rolling_hash(token)").as("h"))
+      .groupBy("source")
+      .agg(kmv(col("h")).as("sk"))
+      .select(col("source"), col("sk._1").as("kth_min"),
+        col("sk._2").as("n_state"), col("sk._3").as("n_distinct_est"))
+      .presentSorted("source")
+  }
+
+  def q79Sql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |h AS (SELECT DISTINCT source,
+      |  list_reduce(list_prepend(0::BIGINT,
+      |      [ascii(c)::BIGINT for c in string_split(w, '')]),
+      |    (acc, c) -> (acc * 31 + c) % 281474976710656) AS hash
+      |  FROM tok),
+      |r AS (SELECT source, hash,
+      |  row_number() OVER (PARTITION BY source ORDER BY hash) AS rn,
+      |  count(*) OVER (PARTITION BY source) AS cnt FROM h),
+      |agg AS (SELECT source,
+      |  max(CASE WHEN rn <= 16 THEN hash END) AS kth_min,
+      |  CAST(least(min(cnt), 16) AS INTEGER) AS n_state,
+      |  min(cnt) AS cnt
+      |  FROM r GROUP BY source)
+      |SELECT source, kth_min, n_state,
+      |  CASE WHEN cnt < 16 OR kth_min = 0 THEN CAST(n_state AS DOUBLE)
+      |       ELSE CAST(15 * 281474976710656 AS DOUBLE) / CAST(kth_min AS DOUBLE)
+      |  END AS n_distinct_est
+      |FROM agg ORDER BY source""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
@@ -181,5 +222,6 @@ object CorpusQueries {
     ("q47_rate_sample", q47RateSample _, q47Sql),
     ("q48_chunking", q48Chunking _, q48Sql),
     ("q49_packing", q49Packing _, q49Sql),
-    ("q77_unigram_score", q77UnigramScore _, q77Sql))
+    ("q77_unigram_score", q77UnigramScore _, q77Sql),
+    ("q79_kmv_distinct", q79KmvDistinct _, q79Sql))
 }

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class KmvSketchSpec extends AnyFunSuite with SparkTestBase {
+
+  private val k = 16
+
+  test("exhaustive branch: below k distinct values the count is exact") {
+    val sk = new KmvSketch(k)
+    val state = Seq(5L, 3L, 5L, 9L, 3L).foldLeft(sk.zero)((b, v) => sk.reduce(b, v))
+    assert(state.toSeq == Seq(3L, 5L, 9L)) // sorted, distinct
+    val (kth, n, est) = sk.finish(state)
+    assert(kth == 9L && n == 3 && est == 3.0)
+  }
+
+  test("estimation branch: bounded state, kth-min formula, merge = set semantics") {
+    val sk = new KmvSketch(k)
+    // golden-ratio multiply + shift: uniform over the 48-bit space (the
+    // estimator's assumption; a low-entropy set would estimate the hash
+    // CLUSTER's density, not the set's cardinality)
+    val hashes = (1 to 500).map(i => (i.toLong * 0x9E3779B97F4A7C15L) >>> 16)
+    val state = hashes.foldLeft(sk.zero)((b, v) => sk.reduce(b, v))
+    assert(state.length == k, "state must cap at k")
+    assert(state.toSeq == hashes.distinct.sorted.take(k))
+    val (kth, n, est) = sk.finish(state)
+    assert(kth == hashes.distinct.sorted.apply(k - 1) && n == k)
+    assert(est == ((k - 1).toLong * (RollingHash.Mask + 1)).toDouble / kth.toDouble)
+    // KMV std error ~ 1/sqrt(k-2) ≈ 27% at k=16; allow 3 sigma
+    assert(est > 500 * 0.2 && est < 500 * 1.9, s"estimate $est far from 500")
+
+    // merge of any split equals the sequential state (pure set function)
+    val (l, r) = hashes.splitAt(137)
+    val merged = sk.merge(
+      l.foldLeft(sk.zero)((b, v) => sk.reduce(b, v)),
+      r.foldLeft(sk.zero)((b, v) => sk.reduce(b, v)))
+    assert(merged.toSeq == state.toSeq)
+    // duplicates across partitions collapse; empty side is identity
+    assert(sk.merge(state, state).toSeq == state.toSeq)
+    assert(sk.merge(sk.zero, state).toSeq == state.toSeq)
+  }
+
+  test("as udaf: repartition-invariant and equal to the rank-query replay") {
+    val agg = udaf(new KmvSketch(k), Encoders.LONG)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.LightFusion.ensureRegistered(spark)
+    val tok = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .select(col("source"), expr("rolling_hash(token)").as("h"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("source").agg(agg(col("h")).as("sk"))
+        .select(col("source"), col("sk._1"), col("sk._2"), col("sk._3"))
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getInt(2), r.getDouble(3)))).toMap
+    val a = run(tok)
+    val b = run(tok.repartition(13))
+    assert(a == b, "sketch must be partition-invariant")
+
+    // rank-based replay: k smallest distinct hashes per source
+    val brute = tok.distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        val hs = rows.map(_.getLong(1)).sorted.take(k)
+        src -> hs
+      }
+    a.foreach { case (src, (kth, n, est)) =>
+      val hs = brute(src)
+      assert(kth == hs.last && n == hs.length)
+      val expected =
+        if (n < k) n.toDouble
+        else ((k - 1).toLong * (RollingHash.Mask + 1)).toDouble / kth.toDouble
+      assert(est == expected)
+    }
+  }
+}
