@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding quantization for vector corpora at scale: a 100 TB float32
+  * embedding store shrinks 4× as int8 (and its ANN probes move 4× less
+  * data through every shuffle and broadcast), at a recall cost the
+  * reconstruction-error column makes measurable instead of guessed.
+  *
+  * Symmetric per-vector int8: `scale = max|v_i|`,
+  * `q_i = floor(v_i / scale · 127 + 0.5)` ∈ [−127, 127]. All arithmetic
+  * is float→double widening (exact) followed by double ops in a fixed
+  * textual order, with round-half-up spelled as `floor(x + 0.5)` — the
+  * one rounding both engines define identically — so the DuckDB oracle
+  * replays quantized codes AND error stats bit-for-bit.
+  *
+  * Shape: pure per-row map over native codegen'd array expressions — no
+  * shuffle, no UDF; composes with the scan it reads from.
+  */
+object Quantize {
+
+  private def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
+
+  /** Per-vector symmetric int8 codes + scale + max reconstruction error. */
+  def int8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb
+      .select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q", transform(col("v"), x =>
+        when(col("scale") === 0d, lit(0))
+          .otherwise(floor(x / col("scale") * lit(127) + lit(0.5)).cast("int"))))
+      .withColumn("max_abs_err", array_max(zip_with(col("q"), col("v"),
+        (q, x) => abs(q.cast("double") * col("scale") / lit(127) - x))))
+      .select(col(idCol), col("scale"), col("q"), col("max_abs_err"))
+
+  /** Dequantize int8 codes back to doubles: `q_i · scale / 127`. */
+  def dequantInt8(codes: Column, scale: Column): Column =
+    transform(codes, q => q.cast("double") * scale / lit(127))
+}

@@ -488,6 +488,36 @@ object PipelineQueries {
   def q70KnnIvfPersisted(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopKPersisted(s, dir, numQueries = 10, k = 5)
 
+  /** Symmetric int8 embedding quantization ([[graft.operators.Quantize]]):
+    * codes, per-vector scale, and max reconstruction error — the 4×
+    * shrink a 100 TB vector store takes before ANN. */
+  def q80Int8Quantize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantize
+      .int8(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+      .withColumn("q", concat_ws(",", col("q").cast("array<string>")))
+      .presentSorted("vec_id")
+
+  /** Replays float→double widening, `floor(x/scale*127 + 0.5)` and the
+    * dequant error in the kernel's exact textual op order (1-indexed
+    * lists; `range()` is 0-based hence the i+1). */
+  def q80Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |  list_max(list_transform(v, x -> abs(x))) AS scale FROM v),
+      |q AS (SELECT vec_id, v, scale,
+      |  list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+      |    ELSE CAST(floor(x / scale * 127 + 0.5) AS INTEGER) END) AS qs
+      |  FROM s)
+      |SELECT vec_id, scale,
+      |  array_to_string(qs, ',') AS q,
+      |  list_max(list_transform(range(len(v)), i ->
+      |    abs(CAST(qs[i + 1] AS DOUBLE) * scale / 127 - v[i + 1]))) AS max_abs_err
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q30_dedup_exact", q30DedupExact _, q30Sql),
     ("q31_dedup_minhash_lsh", q31DedupMinhash _, q31Sql),
@@ -505,5 +535,6 @@ object PipelineQueries {
     ("q40_knn_bruteforce", q40KnnBruteForce _, q40Sql),
     ("q41_knn_lsh", q41KnnLsh _, q41Sql),
     ("q42_knn_ivf", q42KnnIvf _, q42Sql),
-    ("q70_knn_ivf_persisted", q70KnnIvfPersisted _, q42Sql))
+    ("q70_knn_ivf_persisted", q70KnnIvfPersisted _, q42Sql),
+    ("q80_int8_quantize", q80Int8Quantize _, q80Sql))
 }

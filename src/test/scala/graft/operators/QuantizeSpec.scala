@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class QuantizeSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("int8: codes bounded, extreme element hits ±127, error within half a step") {
+    val rows = Quantize.int8(emb, "vec_id", "embedding").collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val q = r.getSeq[Int](r.fieldIndex("q"))
+      val err = r.getAs[Double]("max_abs_err")
+      assert(q.forall(c => c >= -127 && c <= 127))
+      // the max-|v| element quantizes to exactly ±127
+      assert(q.exists(c => math.abs(c) == 127))
+      // symmetric round-half-up keeps error within half a quantization step
+      assert(err <= scale / 254 * (1 + 1e-12), s"err $err vs half-step ${scale / 254}")
+    }
+  }
+
+  test("int8: zero vector takes the guard; dequant inverts within a step") {
+    import spark.implicits._
+    val z = Seq((1L, Array.fill(4)(0f)), (2L, Array(1f, -2f, 0.5f, 2f)))
+      .toDF("vec_id", "embedding")
+    val out = Quantize.int8(z, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("scale") == 0.0)
+    assert(out(1L).getSeq[Int](2).forall(_ == 0))
+    assert(out(2L).getAs[Double]("scale") == 2.0)
+    assert(out(2L).getSeq[Int](2) == Seq(64, -127, 32, 127)) // floor(x/2*127+0.5)
+
+    // dequantization reproduces each value within one step
+    val deq = z.where($"vec_id" === 2L)
+      .select(Quantize.dequantInt8(
+        typedLit(Seq(64, -127, 32, 127)), lit(2.0)).as("d"))
+      .head.getSeq[Double](0)
+    Seq(1.0, -2.0, 0.5, 2.0).zip(deq).foreach { case (v, d) =>
+      assert(math.abs(v - d) <= 2.0 / 127)
+    }
+
+    // pure map: no exchange in the plan
+    val plan = Quantize.int8(emb, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
