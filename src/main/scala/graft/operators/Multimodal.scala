@@ -11,18 +11,19 @@ import org.apache.spark.sql.types._
   * vectorized pandas-UDF stage: one buffer of rows per call, not one call
   * per row).
   *
-  * IMAGE decode is REAL: `javax.imageio` (in the JDK) encodes and decodes
-  * actual PNG bytes ([[encodePng]]/[[decodeImage]]), and q72 hash-gates a
-  * full encode→decode round trip against a SQL oracle that recomputes the
-  * pixel pattern arithmetically. AUDIO decode is REAL too:
-  * `javax.sound.sampled` (also in the JDK) encodes and decodes actual
-  * RIFF/WAVE 16-bit PCM bytes ([[encodeWav]]/[[decodeWav]]), hash-gated
-  * the same way by q78. The container ships no video codecs, so only THAT
-  * decode step remains a clearly-marked deterministic fake (`fakeDecode`,
-  * derives stats from a rolling hash of the payload bytes); everything
-  * around it — schema, binary handling, batch shape, partitioning,
-  * metadata typing — is real and tested, and swapping `fakeDecode` for an
-  * ffmpeg-JNI call is a one-function change.
+  * All three modalities now round-trip through REAL JDK codecs, each
+  * hash-gated by an oracle that recomputes the planted pattern
+  * arithmetically (codec loss, transposition, framing or endianness
+  * slips all fail the gate):
+  *  - IMAGE: PNG via `javax.imageio` ([[encodePng]]/[[decodeImage]], q72)
+  *  - AUDIO: RIFF/WAVE 16-bit PCM via `javax.sound.sampled`
+  *    ([[encodeWav]]/[[decodeWav]], q78)
+  *  - VIDEO: multi-frame animated GIF (LZW, indexed-gray palette) via
+  *    `ImageIO`'s sequence API ([[encodeGif]]/[[decodeGifFrames]], q81)
+  * `fakeDecode` is NOT a codec: it is the deterministic payload
+  * fingerprint behind the generic feature stage (q63) — the stand-in
+  * feature extractor for formats the JVM genuinely lacks (and the
+  * one-function seam where an ffmpeg-JNI extractor would plug in).
   *
   * Scale notes: media payloads make rows wide, so the module never
   * shuffles payload bytes — metadata-only projections go first
@@ -66,14 +67,15 @@ object Multimodal {
       col("meta.width").as("width"),
       col("meta.height").as("height"))
 
-  /** DETERMINISTIC FAKE of the codec step (no image/audio libs in this
-    * container): derives a stable pseudo pixel-mean / entropy proxy from
-    * the same 48-bit polynomial hash the fingerprint operator uses
-    * ((acc·31 + byte) mod 2⁴⁸ — ≡ RollingHash for ASCII payloads), kept
-    * inside overflow-safe BIGINT arithmetic so the DuckDB oracle can
-    * replay every derived value exactly (q63 is hash-gated, not
-    * rows-only). Replace with a real decoder at the marked line to
-    * productionize. */
+  /** Deterministic payload FINGERPRINT for the generic feature stage —
+    * explicitly NOT a codec (the real codecs are
+    * [[decodeImage]]/[[decodeWav]]/[[decodeGifFrames]]): derives a
+    * stable pseudo pixel-mean / entropy proxy from the same 48-bit
+    * polynomial hash the fingerprint operator uses ((acc·31 + byte) mod
+    * 2⁴⁸ — ≡ RollingHash for ASCII payloads), kept inside overflow-safe
+    * BIGINT arithmetic so the DuckDB oracle can replay every derived
+    * value exactly (q63 is hash-gated, not rows-only). For a format the
+    * JVM lacks, swap in the external decoder at the marked line. */
   private[operators] def fakeDecode(payload: Array[Byte]): (Long, Double, Double) = {
     var h = 0L
     var i = 0
@@ -375,6 +377,169 @@ object Multimodal {
         val id = row.getLong(0)
         val n = (id % 400 + 100).toInt
         Row(id, encodeWav(id, n), Row("audio", null, null, 8000, n))
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // REAL video codec (multi-frame animated GIF through javax.imageio —
+  // in the JDK, no external dep). GIF is palette-indexed and LOSSLESS
+  // for ≤256 distinct grays, so the 256-gray test pattern must survive
+  // encode→demux→decode pixel-for-pixel.
+  // ------------------------------------------------------------------
+
+  /** Pixel (x, y) of frame `f` in video `id`:
+    * `(id·31 + x·7 + y·13 + f·17) mod 256` — [[patternPixel]] plus a
+    * frame term, replayable arithmetically by the q81 oracle. */
+  private[operators] def patternPixelFrame(id: Long, x: Int, y: Int, f: Int): Int =
+    ((id * 31 + x * 7L + y * 13L + f * 17L) % 256).toInt
+
+  /** 256-entry identity gray palette (r=g=b=index): sample value IS the
+    * palette index IS the RGB gray, so encode/decode involve no colorspace
+    * conversion (TYPE_BYTE_GRAY would silently gamma-map gray→sRGB). */
+  private lazy val GrayPalette: java.awt.image.IndexColorModel = {
+    val cmap = Array.tabulate(256)(i => (0xff << 24) | (i << 16) | (i << 8) | i)
+    new java.awt.image.IndexColorModel(
+      8, 256, cmap, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+  }
+
+  /** Real multi-frame encode: renders each frame into an indexed-gray
+    * `BufferedImage` and writes an actual animated GIF through
+    * `ImageIO`'s sequence writer (LZW-compressed, 256-gray palette). */
+  private[operators] def encodeGif(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, GrayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, patternPixelFrame(id, x, y, f)); x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      out.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Real multi-frame decode: `ImageIO`'s GIF reader demuxes every frame;
+    * stats are taken from `getRGB & 0xff` (decoded GIFs come back
+    * palette-INDEXED — the raster sample is a palette index, the RGB
+    * lookup is the actual gray value). Returns
+    * (nFrames, width, height, pixelSum over all frames, min, max), or
+    * None when the payload is not a decodable multi-frame image. */
+  private[operators] def decodeGifFrames(
+      payload: Array[Byte]): Option[(Int, Int, Int, Long, Int, Int)] =
+    try {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else {
+            var sum = 0L
+            var mn = Int.MaxValue
+            var mx = Int.MinValue
+            var w = 0
+            var h = 0
+            var f = 0
+            while (f < n) {
+              val img = reader.read(f)
+              w = img.getWidth
+              h = img.getHeight
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val v = img.getRGB(x, y) & 0xff
+                  sum += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  x += 1
+                }
+                y += 1
+              }
+              f += 1
+            }
+            Some((n, w, h, sum, mn, mx))
+          }
+        } finally reader.dispose()
+      }
+    } catch {
+      case _: java.io.IOException => None
+    }
+
+  /** Synthesize a real animated-GIF media table: one
+    * `(doc_id % 12 + 6)`×`(doc_id % 8 + 6)` clip of `doc_id % 3 + 2`
+    * frames per doc, encoded executor-side (pure map — same scale notes
+    * as [[imageTable]]). */
+  def videoTable(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", MetaSchema, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ids.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val w = (id % 12 + 6).toInt
+        val h = (id % 8 + 6).toInt
+        val n = (id % 3 + 2).toInt
+        Row(id, encodeGif(id, w, h, n), Row("video", w, h, null, n))
+      }
+    }(enc)
+  }
+
+  /** Batched REAL video decode + per-clip pixel statistics over every
+    * demuxed frame (the video analogue of [[decodeImageStats]]). */
+  def decodeVideoStats(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    require(batchSize > 0, "batch size not correct")
+    val inSchema = media.schema
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val idIdx = inSchema.fieldIndex("media_id")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("px_sum", LongType, nullable = true),
+      StructField("px_min", IntegerType, nullable = true),
+      StructField("px_max", IntegerType, nullable = true),
+      StructField("px_mean", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(idIdx)
+          decodeGifFrames(row.getAs[Array[Byte]](payloadIdx)) match {
+            case Some((n, w, h, sum, mn, mx)) =>
+              Row(id, n, w, h, sum, mn, mx,
+                sum.toDouble / (n.toLong * w * h))
+            case None => Row(id, null, null, null, null, null, null, null)
+          }
+        }
       }
     }(enc)
   }

@@ -238,6 +238,41 @@ object EventMediaQueries {
       |FROM smp
       |ORDER BY media_id""".stripMargin
 
+  /** Real multi-frame video (animated GIF) encode→demux→decode round
+    * trip through `ImageIO`'s sequence API ([[Multimodal.videoTable]] →
+    * [[Multimodal.decodeVideoStats]]) — the video sibling of q72/q78,
+    * closing the last non-real codec leg. */
+  def q81VideoRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideoStats(
+        Multimodal.videoTable(s.read.parquet(s"$dir/documents.parquet")),
+        batchSize = 32)
+      .presentSorted("media_id")
+
+  /** Pixel (x,y) of frame f in clip doc_id is
+    * (doc_id·31 + x·7 + y·13 + f·17) mod 256 over a
+    * (doc_id%12+6)×(doc_id%8+6) canvas, doc_id%3+2 frames; GIF over an
+    * identity gray palette is lossless so the decoded stats equal the
+    * arithmetic replay. */
+  def q81Sql: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    doc_id % 12 + 6 AS w, doc_id % 8 + 6 AS h, doc_id % 3 + 2 AS n,
+      |    flatten(flatten(list_transform(range(doc_id % 3 + 2), f ->
+      |      list_transform(range(doc_id % 8 + 6), y ->
+      |        list_transform(range(doc_id % 12 + 6), x ->
+      |          (doc_id * 31 + x * 7 + y * 13 + f * 17) % 256))))) AS ps
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(n AS INTEGER) AS n_frames,
+      |  CAST(w AS INTEGER) AS width,
+      |  CAST(h AS INTEGER) AS height,
+      |  CAST(list_sum(ps) AS BIGINT) AS px_sum,
+      |  CAST(list_min(ps) AS INTEGER) AS px_min,
+      |  CAST(list_max(ps) AS INTEGER) AS px_max,
+      |  CAST(list_sum(ps) AS DOUBLE) / (n * w * h) AS px_mean
+      |FROM px
+      |ORDER BY media_id""".stripMargin
+
   private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Streaming exact dedup, demonstrated END-TO-END as a real Structured
@@ -310,6 +345,7 @@ object EventMediaQueries {
     ("q65_resize", q65Resize _, q65Sql),
     ("q72_image_roundtrip", q72ImageRoundtrip _, q72Sql),
     ("q78_audio_roundtrip", q78AudioRoundtrip _, q78Sql),
+    ("q81_video_roundtrip", q81VideoRoundtrip _, q81Sql),
     ("q74_stream_dedup", q74StreamDedup _, q74Sql),
     ("q75_stream_contamination", q75StreamContamination _,
       PipelineQueries.q38Sql))

@@ -93,6 +93,37 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeWav("not a wav".getBytes("UTF-8")).isEmpty)
   }
 
+  test("real GIF video codec: encode→demux→decode recovers every frame exactly") {
+    val bytes = Multimodal.encodeGif(id = 5L, w = 13, h = 9, nFrames = 4)
+    assert(new String(bytes.take(3), "US-ASCII") == "GIF",
+      "payload must be an actual GIF container")
+    val Some((n, w, h, sum, mn, mx)) = Multimodal.decodeGifFrames(bytes)
+    val expected = for { f <- 0 until 4; y <- 0 until 9; x <- 0 until 13 }
+      yield Multimodal.patternPixelFrame(5L, x, y, f)
+    assert((n, w, h) == (4, 13, 9))
+    assert(sum == expected.map(_.toLong).sum, "GIF must be lossless on the gray palette")
+    assert(mn == expected.min && mx == expected.max)
+    // non-video payload takes the None fallback, not an exception
+    assert(Multimodal.decodeGifFrames("not a gif".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("videoTable→decodeVideoStats: distributed round trip matches arithmetic") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(30)
+    val stats = Multimodal.decodeVideoStats(Multimodal.videoTable(docs), batchSize = 7)
+      .orderBy("media_id").collect()
+    assert(stats.length == docs.count())
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, n) = ((id % 12 + 6).toInt, (id % 8 + 6).toInt, (id % 3 + 2).toInt)
+      val px = for { f <- 0 until n; y <- 0 until h; x <- 0 until w }
+        yield Multimodal.patternPixelFrame(id, x, y, f)
+      assert(r.getInt(1) == n && r.getInt(2) == w && r.getInt(3) == h)
+      assert(r.getLong(4) == px.map(_.toLong).sum)
+      assert(r.getInt(5) == px.min && r.getInt(6) == px.max)
+      assert(r.getDouble(7) == px.map(_.toLong).sum.toDouble / (n.toLong * w * h))
+    }
+  }
+
   test("audioTable→decodeAudioStats: distributed round trip matches arithmetic") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
     val stats = Multimodal.decodeAudioStats(Multimodal.audioTable(docs), batchSize = 7)
