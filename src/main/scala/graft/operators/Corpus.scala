@@ -123,6 +123,38 @@ object Corpus {
           .as("jaccard"))
   }
 
+  /** Per-document n-gram novelty: the share of a doc's DISTINCT word
+    * trigrams that occur in no other document — high novelty flags
+    * original text, low novelty flags boilerplate/template/memorized
+    * content (the complement of the contamination/span-dedup signals).
+    *
+    * Join-free plan: because each doc's shingles are pre-distinct, a
+    * gram's occurrence count IS its document frequency, and a df==1 gram
+    * has exactly one owner — `min(id)` in the SAME aggregation. So the
+    * gram stream shuffles ONCE (groupBy gram, partial agg map-side), the
+    * unique-gram stream collapses to doc-sized counts, and the final
+    * left join is doc×doc — no gram-keyed join back to the corpus, which
+    * at 100 TB would double the largest shuffle in the pipeline. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = TextAnalysis.words(col(textCol))
+    val grams = docs
+      .where(size(ws) >= 3)
+      .select(col(idCol), explode(Dedup.shingles(ws)).as("g"))
+    val perDoc = grams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val novel = grams
+      .groupBy("g")
+      .agg(count(lit(1)).as("df"), min(col(idCol)).as(idCol))
+      .where(col("df") === 1)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc
+      .join(novel, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams"))
+          .as("novelty"))
+  }
+
   /** Unigram corpus-likelihood score — the language-model quality proxy
     * (KenLM-style perplexity filtering à la CCNet/RefinedWeb) expressed
     * with exact integer arithmetic: per document,

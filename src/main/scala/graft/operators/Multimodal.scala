@@ -490,7 +490,7 @@ object Multimodal {
     }
 
   /** Synthesize a real animated-GIF media table: one
-    * `(doc_id % 12 + 6)`×`(doc_id % 8 + 6)` clip of `doc_id % 3 + 2`
+    * `(doc_id % 8 + 5)`×`(doc_id % 6 + 5)` clip of `doc_id % 3 + 2`
     * frames per doc, encoded executor-side (pure map — same scale notes
     * as [[imageTable]]). */
   def videoTable(docs: DataFrame): DataFrame = {
@@ -504,8 +504,8 @@ object Multimodal {
     ids.mapPartitions { it =>
       it.map { row =>
         val id = row.getLong(0)
-        val w = (id % 12 + 6).toInt
-        val h = (id % 8 + 6).toInt
+        val w = (id % 8 + 5).toInt
+        val h = (id % 6 + 5).toInt
         val n = (id % 3 + 2).toInt
         Row(id, encodeGif(id, w, h, n), Row("video", w, h, null, n))
       }

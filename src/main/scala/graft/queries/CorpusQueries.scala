@@ -214,6 +214,30 @@ object CorpusQueries {
       |  END AS n_distinct_est
       |FROM agg ORDER BY source""".stripMargin
 
+  /** Per-doc trigram novelty ([[Corpus.ngramNovelty]]): share of the
+    * doc's distinct trigrams unique to it corpus-wide. */
+  def q82NgramNovelty(s: SparkSession, dir: String): DataFrame =
+    Corpus.ngramNovelty(docs(s, dir), "doc_id", "text").presentSorted("doc_id")
+
+  def q82Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |    unnest(list_distinct(
+      |      [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |       for i in range(1, len(ws) - 1)])) AS g
+      |  FROM w WHERE len(ws) >= 3),
+      |per_doc AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+      |novel AS (
+      |  SELECT doc_id, count(*) AS n_novel FROM (
+      |    SELECT g, min(doc_id) AS doc_id
+      |    FROM sh GROUP BY g HAVING count(*) = 1) u
+      |  GROUP BY doc_id)
+      |SELECT p.doc_id, p.n_grams,
+      |  COALESCE(n.n_novel, 0) AS n_novel,
+      |  COALESCE(n.n_novel, 0)::DOUBLE / p.n_grams AS novelty
+      |FROM per_doc p LEFT JOIN novel n USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
@@ -223,5 +247,6 @@ object CorpusQueries {
     ("q48_chunking", q48Chunking _, q48Sql),
     ("q49_packing", q49Packing _, q49Sql),
     ("q77_unigram_score", q77UnigramScore _, q77Sql),
-    ("q79_kmv_distinct", q79KmvDistinct _, q79Sql))
+    ("q79_kmv_distinct", q79KmvDistinct _, q79Sql),
+    ("q82_ngram_novelty", q82NgramNovelty _, q82Sql))
 }

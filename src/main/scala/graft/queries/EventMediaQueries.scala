@@ -250,16 +250,16 @@ object EventMediaQueries {
 
   /** Pixel (x,y) of frame f in clip doc_id is
     * (doc_id·31 + x·7 + y·13 + f·17) mod 256 over a
-    * (doc_id%12+6)×(doc_id%8+6) canvas, doc_id%3+2 frames; GIF over an
+    * (doc_id%8+5)×(doc_id%6+5) canvas, doc_id%3+2 frames; GIF over an
     * identity gray palette is lossless so the decoded stats equal the
     * arithmetic replay. */
   def q81Sql: String =
     """WITH px AS (
       |  SELECT doc_id,
-      |    doc_id % 12 + 6 AS w, doc_id % 8 + 6 AS h, doc_id % 3 + 2 AS n,
+      |    doc_id % 8 + 5 AS w, doc_id % 6 + 5 AS h, doc_id % 3 + 2 AS n,
       |    flatten(flatten(list_transform(range(doc_id % 3 + 2), f ->
-      |      list_transform(range(doc_id % 8 + 6), y ->
-      |        list_transform(range(doc_id % 12 + 6), x ->
+      |      list_transform(range(doc_id % 6 + 5), y ->
+      |        list_transform(range(doc_id % 8 + 5), x ->
       |          (doc_id * 31 + x * 7 + y * 13 + f * 17) % 256))))) AS ps
       |  FROM documents)
       |SELECT doc_id AS media_id,

@@ -87,6 +87,34 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ngramNovelty: hand-computed tiny corpus; brute-force check on real docs") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a b c d"), // trigrams: "a b c" (shared), "b c d" (unique)
+      (2L, "a b c x"), // trigrams: "a b c" (shared), "b c x" (unique)
+      (3L, "z z")) // <3 words → no trigrams, excluded
+      .toDF("doc_id", "text")
+    val got = Corpus.ngramNovelty(tiny, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((2L, 1L, 0.5)) && got(2L) == ((2L, 1L, 0.5)))
+
+    // brute force over the real corpus: per-doc distinct trigram sets
+    def tri(text: String): Set[String] =
+      text.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sets = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tri(r.getString(1))).filter(_._2.nonEmpty).toMap
+    val dfc = sets.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val real = Corpus.ngramNovelty(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(real.keySet == sets.keySet)
+    real.foreach { case (id, (nGrams, nNovel)) =>
+      assert(nGrams == sets(id).size)
+      assert(nNovel == sets(id).count(g => dfc(g) == 1))
+    }
+  }
+
   test("unigramScore: hand-computed tiny corpus; corpus-scan check on real docs") {
     import spark.implicits._
     // vocab: a→3 b→1 c→1, total 5

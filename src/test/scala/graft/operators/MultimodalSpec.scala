@@ -114,7 +114,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(stats.length == docs.count())
     stats.foreach { r =>
       val id = r.getLong(0)
-      val (w, h, n) = ((id % 12 + 6).toInt, (id % 8 + 6).toInt, (id % 3 + 2).toInt)
+      val (w, h, n) = ((id % 8 + 5).toInt, (id % 6 + 5).toInt, (id % 3 + 2).toInt)
       val px = for { f <- 0 until n; y <- 0 until h; x <- 0 until w }
         yield Multimodal.patternPixelFrame(id, x, y, f)
       assert(r.getInt(1) == n && r.getInt(2) == w && r.getInt(3) == h)
