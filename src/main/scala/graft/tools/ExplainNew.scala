@@ -1,0 +1,23 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off plan audit for the round-7 additions (not part of the library
+  * surface; run via `runMain graft.tools.ExplainNew`). */
+object ExplainNew {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.LightFusion.session()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    for (name <- Seq("q77_unigram_score", "q79_kmv_distinct", "q82_ngram_novelty")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      println(s"==== $name ====")
+      val plan = df.queryExecution.executedPlan.toString
+      println(plan.linesIterator.filter(l =>
+        l.contains("Exchange") || l.contains("HashAggregate") ||
+          l.contains("ObjectHashAggregate") || l.contains("Broadcast") ||
+          l.contains("SortMergeJoin") || l.contains("WholeStageCodegen"))
+        .mkString("\n"))
+    }
+    spark.stop()
+  }
+}
