@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Piecewise timing for ngramNovelty's stages (diagnostic main). */
+object ProfileNovelty {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.LightFusion.session()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ws = graft.operators.TextAnalysis.words(col("text"))
+    def time(tag: String)(f: => Long): Unit = {
+      (1 to 3).foreach { _ =>
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$tag%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  (rows=$n)")
+      }
+    }
+    time("scan+count") { docs.count() }
+    time("shingle-size map") {
+      docs.where(size(ws) >= 3)
+        .select(size(graft.operators.Dedup.shingles(ws)).as("n")).agg(sum("n")).collect()
+      1L
+    }
+    time("explode grams") {
+      docs.where(size(ws) >= 3)
+        .select(explode(graft.operators.Dedup.shingles(ws)).as("g")).count()
+    }
+    time("groupBy gram count+min") {
+      docs.where(size(ws) >= 3)
+        .select(col("doc_id"), explode(graft.operators.Dedup.shingles(ws)).as("g"))
+        .groupBy("g").agg(count(lit(1)), min("doc_id")).count()
+    }
+    spark.stop()
+  }
+}

@@ -94,4 +94,43 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       if (r.getBoolean(2)) assert(j1 == 1.0)
     }
   }
+
+  test("kmv sketch: merge is commutative/associative/idempotent on random splits") {
+    val sk = new graft.functions.KmvSketch(8)
+    val hashGen = Gen.chooseNum(0L, graft.functions.RollingHash.Mask)
+    val caseGen = Gen.zip(
+      Gen.listOf(hashGen), Gen.listOf(hashGen), Gen.listOf(hashGen))
+    forAllN(caseGen, n = 60) { case (a, b, c) =>
+      def st(xs: Seq[Long]) = xs.foldLeft(sk.zero)((s, v) => sk.reduce(s, v))
+      val (sa, sb, sc) = (st(a), st(b), st(c))
+      // commutative + equal to the sequential fold over the concatenation
+      assert(sk.merge(sa, sb).toSeq == sk.merge(sb, sa).toSeq)
+      assert(sk.merge(sa, sb).toSeq == st(a ++ b).toSeq)
+      // associative
+      assert(sk.merge(sk.merge(sa, sb), sc).toSeq ==
+        sk.merge(sa, sk.merge(sb, sc)).toSeq)
+      // idempotent (duplicate partitions collapse)
+      assert(sk.merge(sa, sa).toSeq == sa.toSeq)
+      // state is the k smallest distinct values, always sorted
+      assert(sa.toSeq == a.distinct.sorted.take(8))
+    }
+  }
+
+  test("int8 quantization: codes bounded and reconstruction within half a step") {
+    import spark.implicits._
+    val vecGen = Gen.containerOfN[Array, Float](16,
+      Gen.chooseNum(-100f, 100f))
+    forAllN(Gen.listOfN(8, vecGen), n = 10) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      graft.operators.Quantize.int8(df, "vec_id", "embedding")
+        .collect().foreach { r =>
+          val scale = r.getAs[Double]("scale")
+          val q = r.getSeq[Int](r.fieldIndex("q"))
+          assert(q.forall(x => x >= -127 && x <= 127))
+          if (scale > 0)
+            assert(r.getAs[Double]("max_abs_err") <= scale / 254 * (1 + 1e-12))
+        }
+    }
+  }
 }
