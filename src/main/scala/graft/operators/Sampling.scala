@@ -64,4 +64,57 @@ object Sampling {
       idCol: String,
       rateBp: Column): DataFrame =
     docs.where(sampleKey(col(stratumCol), col(idCol)) % 10000 < rateBp)
+
+  /** Tempered mixture sampling (the data-mixing step of an LLM pipeline,
+    * DoReMi/The Pile style): draw a `total`-doc sample whose per-source
+    * allocation is proportional to `cnt^(1/2)` — square-root tempering
+    * up-weights small sources relative to proportional sampling —
+    * apportioned by the largest-remainder method and selected per source
+    * by the same hash-ranked deterministic reservoir as
+    * [[stratifiedQuota]].
+    *
+    * All allocation arithmetic is INTEGER: weights are
+    * `floor(sqrt(cnt))` longs (IEEE sqrt is correctly rounded — the one
+    * power cross-engine-safe, unlike ln/pow), bases are
+    * `(weight·total) div W`, remainders `(weight·total) mod W`, and the
+    * `total − Σbase` leftover goes to the largest remainders (source-name
+    * tie-break). No double ever sums across rows, so the apportionment
+    * is exact and partition-order-free. An allocation is capped at the
+    * source's count (tempering can ask a tiny source for more docs than
+    * it has; the result is then short of `total` — redistribute by
+    * re-running on the uncapped sources if exactness matters).
+    *
+    * Scale: counts are one vocabulary-of-sources-sized aggregate; the
+    * allocation table is nSources rows (the single-partition rank window
+    * over it is deliberate); selection joins the broadcast allocation
+    * onto the corpus and ranks within source — the [[stratifiedQuota]]
+    * shape, with the same hot-stratum pre-filter escape hatch. */
+  def temperedMixture(
+      docs: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      total: Long): DataFrame = {
+    val counts = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("weight", floor(sqrt(col("cnt"))).cast("long"))
+    val w = counts.agg(sum(col("weight")).as("w_total"))
+    val based = counts.crossJoin(broadcast(w))
+      .withColumn("base", expr(s"(weight * ${total}L) div w_total"))
+      .withColumn("rem", expr(s"(weight * ${total}L) % w_total"))
+    val leftover = based.agg((lit(total) - sum(col("base"))).as("leftover"))
+    val alloc = based.crossJoin(broadcast(leftover))
+      .withColumn("rrk",
+        row_number().over(Window.orderBy(desc("rem"), col(stratumCol))))
+      .withColumn("alloc",
+        least(col("base") +
+          when(col("rrk") <= col("leftover"), 1L).otherwise(0L), col("cnt")))
+      .select(col(stratumCol), col("alloc"))
+    val rk = Window.partitionBy(col(stratumCol))
+      .orderBy(sampleKey(col(stratumCol), col(idCol)), col(idCol))
+    docs
+      .join(broadcast(alloc), Seq(stratumCol))
+      .withColumn("rk", row_number().over(rk))
+      .where(col("rk") <= col("alloc"))
+      .select(col(stratumCol), col(idCol), col("rk"), col("alloc"))
+  }
 }

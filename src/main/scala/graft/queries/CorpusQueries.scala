@@ -238,6 +238,38 @@ object CorpusQueries {
       |FROM per_doc p LEFT JOIN novel n USING (doc_id)
       |ORDER BY p.doc_id""".stripMargin
 
+  /** Tempered mixture sample ([[Sampling.temperedMixture]]): 200 docs
+    * apportioned ∝ sqrt(source count) by integer largest remainder,
+    * hash-ranked head per source. */
+  def q83TemperedMixture(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperedMixture(docs(s, dir), "source", "doc_id", total = 200L)
+      .presentSorted("source", "doc_id")
+
+  def q83Sql: String =
+    s"""WITH c AS (SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY source),
+       |w AS (SELECT source, cnt, CAST(floor(sqrt(cnt)) AS BIGINT) AS weight FROM c),
+       |t AS (SELECT sum(weight)::BIGINT AS w_total FROM w),
+       |a AS (SELECT source, cnt, weight,
+       |        (weight * 200) // w_total AS base,
+       |        (weight * 200) % w_total AS rem
+       |      FROM w, t),
+       |l AS (SELECT (200 - sum(base))::BIGINT AS leftover FROM a),
+       |r AS (SELECT a.*, row_number() OVER (ORDER BY rem DESC, source) AS rrk FROM a),
+       |al AS (SELECT source,
+       |         least(base + CASE WHEN rrk <= (SELECT leftover FROM l)
+       |                           THEN 1 ELSE 0 END, cnt) AS alloc
+       |       FROM r),
+       |h AS (SELECT source, doc_id,
+       |        ${foldSql("source || '|' || CAST(doc_id AS VARCHAR)")} AS hk
+       |      FROM documents),
+       |k AS (SELECT source, doc_id,
+       |        row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+       |      FROM h)
+       |SELECT k.source, k.doc_id, k.rk, al.alloc
+       |FROM k JOIN al USING (source)
+       |WHERE k.rk <= al.alloc
+       |ORDER BY k.source, k.doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
@@ -248,5 +280,6 @@ object CorpusQueries {
     ("q49_packing", q49Packing _, q49Sql),
     ("q77_unigram_score", q77UnigramScore _, q77Sql),
     ("q79_kmv_distinct", q79KmvDistinct _, q79Sql),
-    ("q82_ngram_novelty", q82NgramNovelty _, q82Sql))
+    ("q82_ngram_novelty", q82NgramNovelty _, q82Sql),
+    ("q83_tempered_mixture", q83TemperedMixture _, q83Sql))
 }

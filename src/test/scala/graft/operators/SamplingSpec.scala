@@ -60,4 +60,32 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(Sampling.stratifiedRate(docs, "source", "doc_id", lit(0)).count() == 0L)
     assert(Sampling.stratifiedRate(docs, "source", "doc_id", lit(10000)).count() == n)
   }
+
+  test("temperedMixture: integer apportionment invariants and tempering direction") {
+    val total = 120L
+    val out = Sampling.temperedMixture(docs, "source", "doc_id", total)
+    val rows = out.collect()
+    val counts = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSrc = rows.groupBy(_.getString(0)).map { case (s, rs) =>
+      s -> (rs.length.toLong, rs.head.getLong(3))
+    }
+    // each source delivers exactly its allocation (allocs ≤ cnt here)
+    perSrc.foreach { case (s, (got, alloc)) =>
+      assert(got == alloc && alloc <= counts(s))
+    }
+    // largest-remainder apportionment sums exactly to total when no cap binds
+    assert(perSrc.values.map(_._2).sum == total)
+    // sqrt tempering: smallest source gets at least its proportional
+    // share, largest gets at most its proportional share
+    val n = counts.values.sum.toDouble
+    val smallest = counts.minBy(_._2)._1
+    val largest = counts.maxBy(_._2)._1
+    assert(perSrc(smallest)._2.toDouble / total >= counts(smallest) / n - 1e-9)
+    assert(perSrc(largest)._2.toDouble / total <= counts(largest) / n + 1e-9)
+    // deterministic under repartitioning (integer math, hash ranks)
+    val again = Sampling.temperedMixture(docs.repartition(13), "source", "doc_id", total)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == rows.map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
 }
