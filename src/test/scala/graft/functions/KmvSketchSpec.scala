@@ -44,6 +44,39 @@ class KmvSketchSpec extends AnyFunSuite with SparkTestBase {
     assert(sk.merge(sk.zero, state).toSeq == state.toSeq)
   }
 
+  test("streaming aggregate: sketch over micro-batches equals the batch sketch") {
+    // bounded mergeable state is exactly what makes KMV stream-safe:
+    // the update-mode agg buffer per group is ≤k longs forever
+    val agg = udaf(new KmvSketch(k), Encoders.LONG)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val sdf = input.toDF().toDF("source", "h")
+    val q = sdf.groupBy("source").agg(agg(col("h")).as("sk"))
+      .select(col("source"), col("sk._1"), col("sk._2"), col("sk._3"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    val data = (1 to 200).map(i =>
+      (s"s${i % 3}", (i.toLong * 0x9E3779B97F4A7C15L) >>> 16))
+    try {
+      val (b1, b2) = data.splitAt(80)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream")
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getInt(2), r.getDouble(3))))
+        .toMap
+      val batch = data.toDF("source", "h")
+        .groupBy("source").agg(agg(col("h")).as("sk"))
+        .select(col("source"), col("sk._1"), col("sk._2"), col("sk._3"))
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getInt(2), r.getDouble(3))))
+        .toMap
+      assert(streamed == batch, "stream-accumulated sketch must equal batch sketch")
+    } finally q.stop()
+  }
+
   test("as udaf: repartition-invariant and equal to the rank-query replay") {
     val agg = udaf(new KmvSketch(k), Encoders.LONG)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
