@@ -10,7 +10,14 @@ import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
   * blocks in graft.operators — runnable at any scale factor:
   *
   *   documents
+  *     → PII redaction                      (TextAnalysis.redactPii —
+  *                                           identity on this synthetic
+  *                                           corpus, but the stage runs
+  *                                           for real: all downstream
+  *                                           text is the redacted column)
   *     → quality + length filter            (TextAnalysis.textStats)
+  *     → LM-likelihood filter               (Corpus.unigramScore — the
+  *                                           perplexity-style gate)
   *     → language filter                    (TextAnalysis.langId)
   *     → contamination blocklist            (Dedup.contaminationHits vs
   *                                           a broadcast probe set)
@@ -37,11 +44,25 @@ import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 object CurationPipelineExample {
 
   def run(spark: SparkSession, dir: String, outDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+
+    // 0. PII redaction — every later stage sees only the redacted text
+    // (no-op on the synthetic corpus, which carries no PII, but the
+    // rewrite genuinely flows through the whole plan)
+    val docs = raw
+      .join(TextAnalysis.redactPii(raw, "doc_id", "text")
+        .select("doc_id", "clean_text"), "doc_id")
+      .drop("text").withColumnRenamed("clean_text", "text")
 
     // 1. quality + length gate
     val quality = TextAnalysis.textStats(docs, "doc_id", "text")
       .where(col("quality") >= 0.45 && col("n_words") >= 10)
+      .select("doc_id")
+
+    // 1b. corpus-likelihood gate (the KenLM-perplexity-style filter):
+    // docs whose tokens are atypically rare for this corpus drop out
+    val likely = graft.operators.Corpus.unigramScore(docs, "doc_id", "text")
+      .where(col("score") >= 0.031)
       .select("doc_id")
 
     // 2. language gate (keep docs whose predicted language is en/de/fr/es)
@@ -83,7 +104,8 @@ object CurationPipelineExample {
       .select(col("b_id").as("doc_id")).distinct()
 
     val kept = docs
-      .join(quality, "doc_id").join(lang, "doc_id").join(exactKept, "doc_id")
+      .join(quality, "doc_id").join(likely, "doc_id")
+      .join(lang, "doc_id").join(exactKept, "doc_id")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(spanDropped, Seq("doc_id"), "left_anti")
       .join(merged, Seq("doc_id"), "left_anti")
