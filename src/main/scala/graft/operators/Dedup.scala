@@ -636,4 +636,32 @@ object Dedup {
         digested.dropDuplicates("digest")
     }
   }
+
+  /** Quality-aware survivor selection: per near-dup component (the
+    * [[connectedComponents]] output), keep the member with the HIGHEST
+    * score (ties → lowest id) instead of the arbitrary min-id canonical —
+    * what a real curation pipeline wants when duplicates differ in
+    * quality (truncated vs full copies, clean vs boilerplate-wrapped).
+    *
+    * `scores` is any (id, scoreCol) table — `TextAnalysis.textStats`'s
+    * quality, a model score (q69), or the unigram LM score (q77).
+    *
+    * Scale: `components` is pair-derived (LSH-filtered, tiny relative to
+    * the corpus), so the score join broadcasts and the per-component
+    * rank window sees component-sized groups — bounded by near-dup
+    * cluster size, not corpus size. */
+  def qualitySurvivors(
+      components: DataFrame,
+      scores: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canonical_id").orderBy(desc(scoreCol), col(idCol))
+    components
+      .join(scores.select(col(idCol), col(scoreCol)), idCol)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("canonical_id"), col(idCol).as("survivor_id"),
+        col(scoreCol))
+  }
 }

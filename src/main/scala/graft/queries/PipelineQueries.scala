@@ -488,6 +488,52 @@ object PipelineQueries {
   def q70KnnIvfPersisted(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopKPersisted(s, dir, numQueries = 10, k = 5)
 
+  /** Quality-aware near-dup survivors ([[Dedup.qualitySurvivors]]): per
+    * LSH component keep the max-quality member (tie → lowest id), the
+    * curation-grade alternative to q35's min-id canonical. */
+  def q84QualitySurvivors(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.8))
+    val q = graft.operators.TextAnalysis.textStats(d, "doc_id", "text")
+      .select("doc_id", "quality")
+    Dedup.qualitySurvivors(cc, q, "doc_id", "quality")
+      .presentSorted("canonical_id")
+  }
+
+  /** q35's recursive-CTE reachability composed with q50's exact quality
+    * replay; rank window mirrors (quality DESC, doc_id) bit-for-bit. */
+  def q84Sql: String = {
+    val stops = graft.operators.TextAnalysis.langs.head._2
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a_doc, b_doc FROM (
+       |    ${q31Sql.linesIterator.filterNot(_.startsWith("ORDER BY")).mkString("\n    ")}
+       |  ) z),
+       |edges AS (SELECT a_doc AS u, b_doc AS v FROM pairs
+       |          UNION SELECT b_doc, a_doc FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |comp AS (SELECT u AS doc_id, MIN(v) AS canonical_id FROM reach GROUP BY u),
+       |qual AS (
+       |  SELECT doc_id,
+       |    0.4 * (len(list_distinct(ws))::DOUBLE / len(ws))
+       |      + 0.3 * least(len(ws)::DOUBLE / 100, 1.0)
+       |      + 0.2 * (len(list_filter(ws, w -> list_contains([$stops], w)))::DOUBLE / len(ws))
+       |      + 0.1 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE / len(text))
+       |      AS quality
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents) b)
+       |SELECT canonical_id, survivor_id, quality FROM (
+       |  SELECT c.canonical_id, c.doc_id AS survivor_id, q.quality,
+       |    row_number() OVER (PARTITION BY c.canonical_id
+       |                       ORDER BY q.quality DESC, c.doc_id) AS rn
+       |  FROM comp c JOIN qual q USING (doc_id)) ranked
+       |WHERE rn = 1
+       |ORDER BY canonical_id""".stripMargin
+  }
+
   /** Symmetric int8 embedding quantization ([[graft.operators.Quantize]]):
     * codes, per-vector scale, and max reconstruction error — the 4×
     * shrink a 100 TB vector store takes before ANN. */
@@ -536,5 +582,6 @@ object PipelineQueries {
     ("q41_knn_lsh", q41KnnLsh _, q41Sql),
     ("q42_knn_ivf", q42KnnIvf _, q42Sql),
     ("q70_knn_ivf_persisted", q70KnnIvfPersisted _, q42Sql),
-    ("q80_int8_quantize", q80Int8Quantize _, q80Sql))
+    ("q80_int8_quantize", q80Int8Quantize _, q80Sql),
+    ("q84_quality_survivors", q84QualitySurvivors _, q84Sql))
 }

@@ -373,4 +373,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       assert(batch == Set("aa", "bb", "cc"))
     } finally q.stop()
   }
+
+  test("qualitySurvivors: max-score member per component, ties to lowest id") {
+    import spark.implicits._
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "canonical_id")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (7L, 0.5), (8L, 0.5))
+      .toDF("doc_id", "q")
+    val got = Dedup.qualitySurvivors(comp, scores, "doc_id", "q")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // component 1: 2 and 3 tie at 0.9 → lowest id 2; component 7: tie → 7
+    assert(got == Map(1L -> ((2L, 0.9)), 7L -> ((7L, 0.5))))
+
+    // on the real corpus: one survivor per component, and its score is
+    // the component max
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8))
+    val q = TextAnalysis.textStats(docs, "doc_id", "text").select("doc_id", "quality")
+    val surv = Dedup.qualitySurvivors(cc, q, "doc_id", "quality").collect()
+    val byComp = cc.join(q, "doc_id")
+      .collect().groupBy(_.getAs[Long]("canonical_id"))
+    assert(surv.length == byComp.size)
+    surv.foreach { r =>
+      val members = byComp(r.getLong(0))
+      assert(r.getDouble(2) == members.map(_.getAs[Double]("quality")).max)
+      assert(members.exists(_.getAs[Long]("doc_id") == r.getLong(1)))
+    }
+  }
 }
