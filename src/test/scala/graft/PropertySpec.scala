@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -113,6 +114,37 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       assert(sk.merge(sa, sa).toSeq == sa.toSeq)
       // state is the k smallest distinct values, always sorted
       assert(sa.toSeq == a.distinct.sorted.take(8))
+    }
+  }
+
+  test("redactPii is idempotent and never leaves a matchable span behind") {
+    import spark.implicits._
+    val word = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.const("a.b+c@sub.example.org"),
+      Gen.const("10.0.255.3"),
+      Gen.const("555-123-4567"),
+      Gen.const("x@y.io"),
+      Gen.const("1.2.3"),
+      Gen.const("55-123-4567"))
+    val textGen = Gen.listOfN(12, word).map(_.mkString(" "))
+    forAllN(Gen.listOfN(6, textGen), n = 8) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = graft.operators.TextAnalysis.redactPii(df, "doc_id", "text")
+        .withColumnRenamed("clean_text", "text")
+      val twice = graft.operators.TextAnalysis.redactPii(once, "doc_id", "text")
+      val joined = once.select(col("doc_id"), col("text").as("a"))
+        .join(twice.select(col("doc_id"), col("clean_text").as("b"),
+          col("n_email"), col("n_ipv4"), col("n_phone")), "doc_id")
+        .collect()
+      joined.foreach { r =>
+        assert(r.getAs[String]("a") == r.getAs[String]("b"),
+          "second redaction must be a no-op")
+        assert(r.getAs[Int]("n_email") == 0 && r.getAs[Int]("n_ipv4") == 0 &&
+          r.getAs[Int]("n_phone") == 0,
+          "redacted text must contain no matchable PII spans")
+      }
     }
   }
 
