@@ -8,7 +8,8 @@ object ExplainNew {
   def main(args: Array[String]): Unit = {
     val spark = graft.LightFusion.session()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    for (name <- Seq("q77_unigram_score", "q79_kmv_distinct", "q82_ngram_novelty")) {
+    for (name <- Seq("q77_unigram_score", "q79_kmv_distinct", "q82_ngram_novelty",
+        "q83_tempered_mixture", "q84_quality_survivors")) {
       val df = graft.SparkEntry.queries(name)(spark, dir)
       println(s"==== $name ====")
       val plan = df.queryExecution.executedPlan.toString
