@@ -66,7 +66,19 @@ object ScaleStudy {
       ("q45 stratifiedQuota", d => Sampling.stratifiedQuota(d, "source", "doc_id", 10)),
       ("q46 sourceOverlap", d => Corpus.sourceVocabOverlap(d, "source", "text")),
       ("q48 chunk", d => TextAnalysis.chunk(d, "doc_id", "text", 40, 8)),
-      ("q49 packOffsets", d => TextAnalysis.packOffsets(d, "doc_id", "text", "source", 128)))
+      ("q49 packOffsets", d => TextAnalysis.packOffsets(d, "doc_id", "text", "source", 128)),
+      ("q76 redactPii (scan)", d => TextAnalysis.redactPii(d, "doc_id", "text")),
+      ("q77 unigramScore", d => Corpus.unigramScore(d, "doc_id", "text")),
+      ("q79 kmvDistinct", { d =>
+        graft.LightFusion.ensureRegistered(d.sparkSession)
+        val kmv = org.apache.spark.sql.functions.udaf(
+          new graft.functions.KmvSketch(16), org.apache.spark.sql.Encoders.LONG)
+        d.select(col("source"), explode(TextAnalysis.words(col("text"))).as("token"))
+          .select(col("source"), expr("rolling_hash(token)").as("h"))
+          .groupBy("source").agg(kmv(col("h")).as("sk"))
+      }),
+      ("q82 ngramNovelty", d => Corpus.ngramNovelty(d, "doc_id", "text")),
+      ("q83 temperedMixture", d => Sampling.temperedMixture(d, "source", "doc_id", 200L)))
 
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
     def time(df: => DataFrame): (Double, Long) = {
