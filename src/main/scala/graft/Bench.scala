@@ -79,6 +79,18 @@ object Bench {
     // driver's parser reads the last line; Spark's shutdown chatter goes
     // to stderr, but ordering the stop first removes any race)
     spark.stop()
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
+    // The driver's stdout tail buffer truncated the 84-query line mid-map
+    // in round 7 (BENCH_r07 "parsed": null). Defend three ways: persist the
+    // full record to a local file, print it one line early, and make the
+    // FINAL line a compact constant-size summary that can't overflow any
+    // tail buffer no matter how many queries the suite grows to.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
+    println(fullJson)
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir","detail":"bench_out.json"}""")
   }
 }

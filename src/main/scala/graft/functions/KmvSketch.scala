@@ -32,6 +32,10 @@ import org.apache.spark.sql.expressions.Aggregator
 class KmvSketch(k: Int)
     extends Aggregator[java.lang.Long, Array[Long], (Long, Int, Double)] {
   require(k >= 2, "kmv sketch needs k >= 2")
+  // (k−1)·2⁴⁸ must stay inside Long: at k = 2¹⁵+1 the numerator reaches
+  // 2⁶³ and silently wraps negative. k = 32768 already gives ~0.55% SE —
+  // far past any practical sketch size.
+  require(k <= (1 << 15), "kmv sketch needs k <= 32768")
 
   override def zero: Array[Long] = Array.empty[Long]
 

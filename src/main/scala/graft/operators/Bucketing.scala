@@ -27,19 +27,36 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Bucketing {
 
-  private val built = new ConcurrentHashMap[(String, Int), (String, String)]
+  // keyed by the SESSION OBJECT too (identity equality): catalog tables
+  // registered in one SparkSession are invisible to another session in the
+  // same JVM, so a (dir, buckets)-only cache would hand session B table
+  // names that resolve only in session A's catalog.
+  private val built =
+    new ConcurrentHashMap[(SparkSession, String, Int), (String, String)]
+
+  /** Collision-free identifier tag from the full dir string (not a 32-bit
+    * hashCode, which could silently alias two distinct corpora). */
+  private[operators] def dirTag(dir: String): String = {
+    val sane = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    // keep names readable but bounded: tail of the sanitized path (the
+    // discriminating part) + full-string SHA-1 prefix for uniqueness
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(dir.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+    s"${sane.takeRight(24)}_$sha"
+  }
 
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
   private def one: Column = lit(1).cast(DecimalType(4, 2))
   private def discPrice: Column =
     dec(col("l_extendedprice")) * (one - dec(col("l_discount")).cast(DecimalType(4, 2)))
 
-  /** Write lineitem/orders bucketed + sorted by orderkey (once per JVM per
-    * dir); returns the two table names. External tables under a fresh temp
-    * dir, names keyed by the dir hash so scale factors never collide. */
+  /** Write lineitem/orders bucketed + sorted by orderkey (once per session
+    * per dir); returns the two table names. External tables under a fresh
+    * temp dir, names derived from the full sanitized dir string (plus a
+    * session tag, so two sessions sharing a warehouse never collide). */
   def ensureBucketed(s: SparkSession, dir: String, buckets: Int = 8): (String, String) =
-    built.computeIfAbsent((dir, buckets), _ => {
-      val tag = f"${(dir, buckets).hashCode & 0x7fffffff}%08x"
+    built.computeIfAbsent((s, dir, buckets), _ => {
+      val tag = s"${dirTag(dir)}_b${buckets}_s${System.identityHashCode(s).toHexString}"
       val (liT, ordT) = (s"li_bkt_$tag", s"ord_bkt_$tag")
       val wh = java.nio.file.Files.createTempDirectory("graft_bkt").toString
       s.read.parquet(s"$dir/lineitem.parquet")

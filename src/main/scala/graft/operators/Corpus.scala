@@ -176,19 +176,42 @@ object Corpus {
     * with map-side partial agg — occurrences never cross the wire); the
     * counts then travel as ONE broadcast row holding a token→count map,
     * and scoring is a shuffle-free per-row array fold over the corpus
-    * scan. A 100 TB corpus with an unbounded vocabulary would cap the map
-    * to the top-K tokens (OOV contributes 0 via the coalesce below) to
-    * bound the broadcast — at which point score semantics degrade
-    * gracefully to "mass in the top-K". */
-  def unigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * scan. On a 100 TB corpus with an unbounded vocabulary, pass
+    * `topK = Some(k)` to cap the map to the k highest-count tokens
+    * (count desc, token asc — deterministic) before the single-row
+    * collect, bounding both the one-reducer aggregation input and the
+    * broadcast; OOV tokens contribute 0 via the coalesce below, so score
+    * semantics degrade gracefully to "mass in the top-K". `total` stays
+    * the FULL corpus token count either way (the denominator is a
+    * corpus statistic, not a map property). Default None preserves
+    * exact oracle parity (q77). */
+  def unigramScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Option[Int] = None): DataFrame = {
     val ws = TextAnalysis.words(col(textCol))
     val vocab = docs
       .select(explode(ws).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("cnt"))
-    val stats = vocab.agg(
-      map_from_entries(collect_list(struct(col("token"), col("cnt")))).as("vocab_map"),
-      sum(col("cnt")).as("total"))
+    val stats = topK match {
+      case Some(kk) =>
+        require(kk > 0, "unigramScore topK must be positive")
+        val v = vocab.cache()
+        // map over the top-K vocab, total over the FULL vocab: 1×1 cross
+        // join of two one-row relations, then broadcast to the scoring scan
+        v.withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(desc("cnt"), col("token"))))
+          .where(col("r") <= kk)
+          .agg(map_from_entries(collect_list(struct(col("token"), col("cnt"))))
+            .as("vocab_map"))
+          .crossJoin(v.agg(sum(col("cnt")).as("total")))
+      case None => vocab.agg(
+        map_from_entries(collect_list(struct(col("token"), col("cnt")))).as("vocab_map"),
+        sum(col("cnt")).as("total"))
+    }
     docs
       .crossJoin(broadcast(stats))
       .select(

@@ -202,7 +202,7 @@ object Multimodal {
     * decoded raster, or None when the payload is not a decodable image
     * (ImageIO returns null — the fallback a mixed-media corpus needs). */
   private[operators] def decodeImage(
-      payload: Array[Byte]): Option[(Int, Int, Long, Int, Int)] = {
+      payload: Array[Byte]): Option[(Int, Int, Long, Int, Int)] = try {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     if (img == null) None
     else {
@@ -226,6 +226,12 @@ object Multimodal {
       }
       Some((w, h, sum, mn, mx))
     }
+  } catch {
+    // corrupt-but-recognized payloads make ImageIO.read throw (IIOException,
+    // or runtime exceptions from a confused plugin) — one bad row must yield
+    // a null stats row, not kill the stage
+    case _: java.io.IOException => None
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** Synthesize a real-PNG media table from a document table: one
@@ -360,7 +366,10 @@ object Multimodal {
         Some((n, sum, mn, mx))
       }
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      // UnsupportedAudioFileException for non-WAV; a truncated RIFF header
+      // can also throw EOFException/IOException mid-parse
+      case _: java.io.IOException => None
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Synthesize a real-WAV media table from a document table: one
@@ -488,7 +497,10 @@ object Multimodal {
         } finally reader.dispose()
       }
     } catch {
+      // the JDK GIF reader is known to throw RuntimeExceptions (e.g.
+      // ArrayIndexOutOfBoundsException) on malformed input, not just IOException
       case _: java.io.IOException => None
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Synthesize a real animated-GIF media table: one

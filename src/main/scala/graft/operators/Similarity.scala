@@ -199,7 +199,11 @@ object Similarity {
     LightFusion.ensureRegistered(s)
     val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
     val cent = ivfCentroids.computeIfAbsent((dir, nlist, trainSample), _ => {
-      val sample = e.select("v").limit(trainSample)
+      // orderBy before limit: a bare limit() takes whatever rows the first
+      // file splits yield, so the trained centroids would depend on scan
+      // order once the corpus outgrows the sample — TakeOrdered makes the
+      // sample (and the quantizer) a pure function of the data
+      val sample = e.orderBy("vec_id").limit(trainSample).select("v")
         .collect().map(_.getSeq[Double](0).toArray)
       lloydFit(sample, nlist, iters = 5)
     })
@@ -315,24 +319,67 @@ object Similarity {
     * write; the only driver step is the bounded nlist-row seed fetch. */
   def buildIvfIndex(s: SparkSession, dir: String, nlist: Int = 16): String =
     ivfIndexes.computeIfAbsent((dir, nlist), _ => {
-      val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
-      val seeds = e.orderBy(desc("vec_id")).limit(nlist).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
-      val kernel = new graft.functions.CentroidKernel(seeds.map(_._2))
-      val assigned = e.select(col("vec_id"), col("v"),
-        SparkShims.column(graft.functions.NearestCentroid(
-          SparkShims.expression(col("v")), kernel)).as("cell"))
-      import s.implicits._
-      val centroids = seeds.toSeq.zipWithIndex
-        .map { case ((_, c), i) => (i, c.toSeq) }
-        .toDF("cell", "centroid")
+      // path derived from the FULL sanitized dir string (not a 32-bit
+      // hashCode, which could alias two corpora and silently merge their
+      // indexes) — stable across JVMs, so a warm tmpdir is reusable
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
-        f"${(dir, nlist).hashCode & 0x7fffffff}%08x"
-      assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$base/vectors")
-      centroids.coalesce(1).write.mode("overwrite").parquet(s"$base/centroids")
+        s"${Bucketing.dirTag(dir)}_n$nlist"
+      buildIvfIndexAt(s,
+        withDoubles(s.read.parquet(s"$dir/embeddings.parquet")), base, nlist)
       base
     })
+
+  /** Explicit-lifecycle index build: write the IVF index for `emb`
+    * (`vec_id`, `v: array<double>`) at the caller-provided `path` —
+    * vectors parquet-partitioned by cell, centroid table beside them.
+    * Unlike [[buildIvfIndex]] there is no per-JVM cache and no derived
+    * temp location: the caller owns the path, re-ingest overwrites it,
+    * and [[appendToIvfIndex]] grows it in place. Quantizer seeds are the
+    * `nlist` highest-vec_id rows OF `emb` (sorted ascending, first-min
+    * tie → lowest cell), identical to [[ivfTopKSeeded]]'s contract. */
+  def buildIvfIndexAt(
+      s: SparkSession,
+      emb: DataFrame,
+      path: String,
+      nlist: Int = 16): Unit = {
+    val e = emb.select(col("vec_id"), col("v"))
+    val seeds = e.orderBy(desc("vec_id")).limit(nlist).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    import s.implicits._
+    val centroids = seeds.toSeq.zipWithIndex
+      .map { case ((_, c), i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+    // centroids FIRST: appendToIvfIndex's contract is "assign with the
+    // stored centroids", so the quantizer must be durable before any
+    // vector partition exists
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assignWithStored(s, e, path)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** Incremental ingest: assign `emb`'s vectors with the SAME stored
+    * centroids (no re-train — the cell geometry of the existing
+    * partitions must stay valid) and append them to the cell partitions.
+    * At 100 TB this is the daily-ingest path: one shuffle-free broadcast-
+    * kernel map + a partitioned append touching only the cells the new
+    * batch lands in; probes and old partitions are untouched. */
+  def appendToIvfIndex(s: SparkSession, emb: DataFrame, path: String): Unit =
+    assignWithStored(s, emb.select(col("vec_id"), col("v")), path)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+
+  /** Cell assignment against the centroids persisted at `path` — the one
+    * shared step of build and append, which is what makes append ≡
+    * rebuild-with-same-seeds provable (SimilaritySpec). */
+  private def assignWithStored(s: SparkSession, e: DataFrame, path: String): DataFrame = {
+    val stored = s.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val kernel = new graft.functions.CentroidKernel(stored)
+    e.select(col("vec_id"), col("v"),
+      SparkShims.column(graft.functions.NearestCentroid(
+        SparkShims.expression(col("v")), kernel)).as("cell"))
+  }
 
   /** ANN over the PERSISTED index: probe selection against the stored
     * centroid table, then candidate generation as a partition-pruned read
@@ -354,10 +401,25 @@ object Similarity {
       nprobe: Int = 4): DataFrame = {
     LightFusion.ensureRegistered(s)
     val idx = buildIvfIndex(s, dir, nlist)
-    val centroids = s.read.parquet(s"$idx/centroids")
     val q = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
       .where(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    ivfProbePersisted(s, idx, q, k, nprobe)
+  }
+
+  /** Probe an explicit on-disk IVF index (built by [[buildIvfIndexAt]] /
+    * grown by [[appendToIvfIndex]]) with a query set (`q_id`, `qv`):
+    * probe selection against the stored centroid table, candidates as a
+    * partition-pruned read of only the probed cells' files, exact cosine
+    * re-rank. The path-owning half of [[ivfTopKPersisted]]. */
+  def ivfProbePersisted(
+      s: SparkSession,
+      idx: String,
+      q: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 4): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val centroids = s.read.parquet(s"$idx/centroids")
     val probes = q.crossJoin(broadcast(centroids))
       .select(col("q_id"), col("qv"), col("cell"),
         LightFusion.cosineSimilarity(col("qv"), col("centroid").cast("array<double>"))

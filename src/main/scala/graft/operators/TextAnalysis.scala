@@ -260,32 +260,72 @@ object TextAnalysis {
   /** PII patterns shared by the Spark operator and the DuckDB oracle.
     * Restricted to the Java-regex ∩ RE2 common subset (char classes,
     * bounded repeats, `\b` ASCII word boundaries — no lookaround, no
-    * backreferences) so both engines match identical spans. */
+    * backreferences) so both engines match identical spans. Seq order is
+    * the redaction stage order (see [[redactPii]]). The `cc` class is
+    * special: its regex only gates CANDIDATES — a 4-4-4-4 digit group is
+    * redacted (and counted) only when it passes the Luhn checksum. */
   val piiPatterns: Seq[(String, String, String)] = Seq(
     // (name, pattern, replacement token)
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
-    ("phone", "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"))
+    ("phone", "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    ("cc", "\\b[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}\\b", "<CC>"),
+    ("apikey",
+      "\\b(sk|pk|rk)_(live|test)_[A-Za-z0-9]{16,64}\\b|\\bAKIA[0-9A-Z]{16}\\b",
+      "<APIKEY>"))
 
-  /** PII redaction: replace emails / IPv4 addresses / dashed phone numbers
-    * with typed tokens and count each class (counts are taken on the raw
-    * text, before any replacement, so classes don't mask each other).
-    * Replacement order is emails → IPs → phones; the patterns are mutually
-    * exclusive on raw text (an email span can't also match the digit-only
-    * IP/phone shapes), so the order only matters for the tokens inserted
-    * by earlier passes — which contain no digits and re-match nothing.
+  /** Luhn checksum over a dashed 16-digit candidate (`dddd-dddd-dddd-dddd`):
+    * from the LEFT of a 16-digit number, odd positions are doubled (9
+    * subtracted when the double exceeds 9) and the total must be ≡ 0
+    * mod 10. Pure integer HOF arithmetic — the DuckDB oracle replays the
+    * identical fold, so verification is engine-exact. */
+  def luhnValid(cand: Column): Column = {
+    val ds = translate(cand, "-", "")
+    (aggregate(sequence(lit(1), lit(16)), lit(0), (acc, i) => {
+      val d = ds.substr(i, lit(1)).cast("int")
+      acc + when(i % 2 === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    }) % 10) === 0
+  }
+
+  /** PII redaction: replace emails / IPv4s / dashed phones / SSN shapes /
+    * Luhn-verified credit cards / API-key shapes with typed tokens, one
+    * class per stage in [[piiPatterns]] order. Each class is COUNTED on
+    * the text as it stands after the earlier classes were replaced, so
+    * `n_<class>` is exactly the number of `<CLASS>` tokens the stage
+    * inserted — counts and clean_text can never disagree (a span consumed
+    * by an earlier class is neither counted nor replaced twice).
+    *
+    * The `cc` stage extracts regex candidates, keeps only those passing
+    * [[luhnValid]], and literal-replaces the survivors — a digit group
+    * that merely LOOKS like a card number survives redaction uncounted.
     *
     * Scale: a pure per-row map over native codegen'd `regexp_replace` /
-    * `regexp_count` — no shuffle, no UDF; at 100 TB this is one scan
-    * stage that pipelines into whatever consumes the clean text. */
+    * `regexp_count` / HOF folds — no shuffle, no UDF; at 100 TB this is
+    * one scan stage that pipelines into whatever consumes the clean text. */
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val raw = col(textCol)
-    val counts = piiPatterns.map { case (name, pat, _) =>
-      regexp_count(raw, lit(pat)).as(s"n_$name")
+    val n = piiPatterns.size
+    var df = docs.select(col(idCol), col(textCol).as("t_0"))
+    piiPatterns.zipWithIndex.foreach { case ((name, pat, tok), i) =>
+      val t = col(s"t_$i")
+      df =
+        if (name == "cc") {
+          // candidates → Luhn filter → literal replace of the survivors
+          // (the filtered list is projected to an attribute once: HOF
+          // lambdas get no common-subexpression elimination)
+          df.withColumn("cc_ok",
+              filter(regexp_extract_all(t, lit(pat), lit(0)), luhnValid _))
+            .withColumn(s"n_$name", size(col("cc_ok")))
+            .withColumn(s"t_${i + 1}",
+              aggregate(col("cc_ok"), t, (acc, c) => replace(acc, c, lit(tok))))
+            .drop("cc_ok")
+        } else {
+          df.withColumn(s"n_$name", regexp_count(t, lit(pat)))
+            .withColumn(s"t_${i + 1}", regexp_replace(t, pat, tok))
+        }
     }
-    val clean = piiPatterns.foldLeft(raw) { case (c, (_, pat, tok)) =>
-      regexp_replace(c, pat, tok)
-    }
-    docs.select(col(idCol) +: clean.as("clean_text") +: counts: _*)
+    df.select(col(idCol) +: col(s"t_$n").as("clean_text") +:
+      piiPatterns.map { case (nm, _, _) => col(s"n_$nm") }: _*)
   }
 }

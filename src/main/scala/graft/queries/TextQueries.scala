@@ -210,7 +210,10 @@ object TextQueries {
     * documents carry no PII, so the query plants one email, one IPv4 and
     * one dashed phone (plus a second phone on a 1-in-5 stripe, and none at
     * all on the doc_id%3==0 stripe) from doc_id/source arithmetic both
-    * engines replay exactly, then runs [[TextAnalysis.redactPii]]. */
+    * engines replay exactly — and, on further stripes, an SSN shape, a
+    * Luhn-VALID card, a Luhn-INVALID card (which must survive redaction
+    * uncounted: the regex alone is not enough to redact), and both API-key
+    * shapes — then runs [[TextAnalysis.redactPii]]. */
   def q76RedactPii(s: SparkSession, dir: String): DataFrame = {
     val str = (c: Column) => c.cast("string")
     val dirty = docs(s, dir).withColumn("t",
@@ -223,14 +226,38 @@ object TextQueries {
           str(expr("(doc_id div 11) % 256")),
           lit(" call 555-"), lpad(str(expr("doc_id % 1000")), 3, "0"),
           lit("-"), lpad(str(expr("doc_id % 10000")), 4, "0"),
-          when(expr("doc_id % 5 = 1"), lit(" alt 555-000-0001")).otherwise(lit("")))))
+          when(expr("doc_id % 5 = 1"), lit(" alt 555-000-0001")).otherwise(lit("")),
+          when(expr("doc_id % 4 = 1"),
+            concat(lit(" ssn 123-45-"), lpad(str(expr("doc_id % 10000")), 4, "0")))
+            .otherwise(lit("")),
+          when(expr("doc_id % 2 = 0"),
+            concat(lit(" card "), element_at(
+              array(lit("4111-1111-1111-1111"), lit("5500-0000-0000-0004")),
+              expr("doc_id % 3").cast("int"))))
+            .otherwise(lit("")),
+          when(expr("doc_id % 7 = 2"), lit(" notcard 4111-1111-1111-1112"))
+            .otherwise(lit("")),
+          when(expr("doc_id % 6 = 5"),
+            concat(lit(" key sk_live_"), lpad(str(col("doc_id")), 20, "a")))
+            .otherwise(lit("")),
+          when(expr("doc_id % 6 = 2"),
+            concat(lit(" aws AKIA"), lpad(str(expr("doc_id % 10000")), 16, "0")))
+            .otherwise(lit("")))))
     TextAnalysis.redactPii(dirty, "doc_id", "t").presentSorted("doc_id")
   }
 
   def q76Sql: String = {
     // DuckDB single-quoted strings keep backslashes literal, so the Scala
-    // pattern strings interpolate verbatim.
-    val Seq(em, ip, ph) = TextAnalysis.piiPatterns.map(_._2)
+    // pattern strings interpolate verbatim. The staged CTEs mirror
+    // redactPii exactly: class i counts on the text with classes 0..i-1
+    // already replaced, and the cc stage Luhn-filters its candidates with
+    // the same integer fold before a literal replace.
+    val Seq(em, ip, ph, ssn, cc, ak) = TextAnalysis.piiPatterns.map(_._2)
+    val digit = "CAST(substr(replace(c, '-', ''), i, 1) AS INT)"
+    val luhn = s"""list_sum(list_transform(range(1, 17), i ->
+       |      CASE WHEN i % 2 = 1
+       |        THEN CASE WHEN 2 * $digit > 9 THEN 2 * $digit - 9 ELSE 2 * $digit END
+       |        ELSE $digit END)) % 10 = 0""".stripMargin
     s"""WITH dirty AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 3 = 0 THEN text
@@ -242,17 +269,36 @@ object TextQueries {
        |           || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
        |           || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
        |           || CASE WHEN doc_id % 5 = 1 THEN ' alt 555-000-0001' ELSE '' END
+       |           || CASE WHEN doc_id % 4 = 1 THEN ' ssn 123-45-'
+       |                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |           || CASE WHEN doc_id % 2 = 0 THEN ' card ' || list_extract(
+       |                ['4111-1111-1111-1111', '5500-0000-0000-0004'], doc_id % 3)
+       |              ELSE '' END
+       |           || CASE WHEN doc_id % 7 = 2 THEN ' notcard 4111-1111-1111-1112' ELSE '' END
+       |           || CASE WHEN doc_id % 6 = 5 THEN ' key sk_live_'
+       |                || lpad(CAST(doc_id AS VARCHAR), 20, 'a') ELSE '' END
+       |           || CASE WHEN doc_id % 6 = 2 THEN ' aws AKIA'
+       |                || lpad(CAST(doc_id % 10000 AS VARCHAR), 16, '0') ELSE '' END
        |    END AS t
-       |  FROM documents)
-       |SELECT doc_id,
-       |  regexp_replace(regexp_replace(regexp_replace(t,
-       |    '$em', '<EMAIL>', 'g'),
-       |    '$ip', '<IP>', 'g'),
-       |    '$ph', '<PHONE>', 'g') AS clean_text,
-       |  len(regexp_extract_all(t, '$em')) AS n_email,
-       |  len(regexp_extract_all(t, '$ip')) AS n_ipv4,
-       |  len(regexp_extract_all(t, '$ph')) AS n_phone
-       |FROM dirty ORDER BY doc_id""".stripMargin
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, len(regexp_extract_all(t, '$em')) AS n_email,
+       |         regexp_replace(t, '$em', '<EMAIL>', 'g') AS t1 FROM dirty),
+       |s2 AS (SELECT *, len(regexp_extract_all(t1, '$ip')) AS n_ipv4,
+       |         regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM s1),
+       |s3 AS (SELECT *, len(regexp_extract_all(t2, '$ph')) AS n_phone,
+       |         regexp_replace(t2, '$ph', '<PHONE>', 'g') AS t3 FROM s2),
+       |s4 AS (SELECT *, len(regexp_extract_all(t3, '$ssn')) AS n_ssn,
+       |         regexp_replace(t3, '$ssn', '<SSN>', 'g') AS t4 FROM s3),
+       |s5 AS (SELECT *, list_filter(regexp_extract_all(t4, '$cc'), c ->
+       |         $luhn) AS ccs FROM s4),
+       |s6 AS (SELECT *, len(ccs) AS n_cc,
+       |         list_reduce(list_prepend(t4, ccs),
+       |           (acc, c) -> replace(acc, c, '<CC>')) AS t5 FROM s5),
+       |s7 AS (SELECT *, len(regexp_extract_all(t5, '$ak')) AS n_apikey,
+       |         regexp_replace(t5, '$ak', '<APIKEY>', 'g') AS t6 FROM s6)
+       |SELECT doc_id, t6 AS clean_text,
+       |  n_email, n_ipv4, n_phone, n_ssn, n_cc, n_apikey
+       |FROM s7 ORDER BY doc_id""".stripMargin
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
