@@ -1,0 +1,106 @@
+package graft.ml
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Deterministic byte-pair-encoding tokenizer over a committed merges
+  * fixture — the subword token counter a training-data pipeline budgets
+  * with (whitespace words under-count fused forms, over-count rare words;
+  * corpora are bought and sharded in TOKENIZER tokens).
+  *
+  * Same broadcast-fixture pattern as [[LgbmModel]]: the merges file is a
+  * committed resource, parsed once, shipped to executors as one broadcast
+  * object; encoding is pure JVM arithmetic with no library dependency.
+  *
+  * The encode loop is intentionally the simplest deterministic BPE form —
+  * repeatedly merge the LEFTMOST occurrence of the LOWEST-rank adjacent
+  * pair — because the DuckDB oracle (q85) replays exactly that loop as a
+  * recursive CTE over the same merges table. (For ranks produced by
+  * standard BPE training this yields the same result as the classic
+  * "merge all occurrences of the best pair" formulation: a pair containing
+  * a merged symbol always ranks after the merge that created it. The two
+  * engines share THIS loop, so parity never rests on that argument.)
+  *
+  * Words are `[a-z0-9]+` runs of the lowercased text; everything else is
+  * a separator and contributes no tokens.
+  */
+final class Bpe(val merges: IndexedSeq[(String, String)]) extends Serializable {
+  require(merges.nonEmpty, "bpe needs at least one merge")
+
+  @transient private lazy val ranks: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      // first occurrence wins, matching the SQL map built from rank order
+      m.putIfAbsent(a + " " + b, i)
+    }
+    m
+  }
+
+  /** Encode one word (assumed to already match `[a-z0-9]+`). */
+  def encodeWord(w: String): Seq[String] = {
+    if (w.isEmpty) return Nil
+    val syms = new ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) { syms += w.substring(i, i + 1); i += 1 }
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue
+      var bi = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.getOrDefault(syms(j) + " " + syms(j + 1), Int.MaxValue)
+        if (r < best) { best = r; bi = j } // strict < keeps the LEFTMOST min
+        j += 1
+      }
+      if (bi < 0) done = true
+      else {
+        syms(bi) = syms(bi) + syms(bi + 1)
+        syms.remove(bi + 1)
+      }
+    }
+    syms.toSeq
+  }
+
+  /** Tokenize a document: `[a-z0-9]+` words of the lowercased text, each
+    * BPE-encoded, concatenated in order. Null-safe (null → no tokens). */
+  def encode(text: String): Seq[String] =
+    Bpe.words(text).flatMap(encodeWord)
+
+  def countTokens(text: String): Int = {
+    var n = 0
+    Bpe.words(text).foreach(w => n += encodeWord(w).length)
+    n
+  }
+}
+
+object Bpe {
+  private val WordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+
+  /** `[a-z0-9]+` runs of the lowercased text — identical to the oracle's
+    * `regexp_extract_all(lower(text), '[a-z0-9]+')`. */
+  def words(text: String): Seq[String] = {
+    if (text == null) return Nil
+    val m = WordRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+    val out = new ArrayBuffer[String]
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
+  /** Parse "left right" merge lines (rank = line order). */
+  def fromLines(lines: Iterator[String]): Bpe = {
+    val ms = lines.map(_.trim).filter(_.nonEmpty).map { l =>
+      val sp = l.split(" ", 2)
+      require(sp.length == 2, s"bad merge line: '$l'")
+      (sp(0), sp(1))
+    }.toIndexedSeq
+    new Bpe(ms)
+  }
+
+  /** The committed fixture at `/bpe/merges.txt` (classic BPE trained on
+    * the synthetic corpus; the encoder is fixture-agnostic). */
+  lazy val default: Bpe = {
+    val in = getClass.getResourceAsStream("/bpe/merges.txt")
+    require(in != null, "missing resource /bpe/merges.txt")
+    try fromLines(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+}

@@ -220,7 +220,10 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       groupCol: String,
-      budget: Int): DataFrame = {
+      budget: Int,
+      // token budget unit: whitespace words by default; pass
+      // `bpeCount(spark, bpe)` to pack in real subword tokens
+      tokenCount: Column => Column = c => size(words(c))): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(idCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -230,9 +233,120 @@ object TextAnalysis {
     // columns are preserved — callers project what they need.
     docs
       .where(col(textCol).isNotNull)
-      .withColumn("n_tokens", size(words(col(textCol))))
+      .withColumn("n_tokens", tokenCount(col(textCol)))
       .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("bin", floor(col("start_offset") / budget))
+  }
+
+  /** BPE token count as a Column function (broadcast fixture + row UDF) —
+    * the `tokenCount` plug for [[packOffsets]] and any budget expression. */
+  def bpeCount(s: org.apache.spark.sql.SparkSession,
+      bpe: graft.ml.Bpe): Column => Column = {
+    val bc = s.sparkContext.broadcast(bpe)
+    val f = udf((t: String) => bc.value.countTokens(t))
+    c => f(c)
+  }
+
+  /** Per-document BPE subword token statistics over the committed merges
+    * fixture ([[graft.ml.Bpe]]): word count, total BPE token count, and
+    * the first `prefixLen` tokens joined with spaces (a strong equality
+    * gate — any merge-order or boundary slip changes the prefix string,
+    * not just a count). The fixture is ONE broadcast object; encoding is
+    * a pure map stage (no shuffle), so at 100 TB this pipelines into the
+    * scan exactly like the LightGBM scorer does.
+    *
+    * A row UDF-style map rather than codegen: BPE's inner merge loop is
+    * data-dependent iteration no Catalyst expression expresses — same
+    * trade the reference makes for model scoring. */
+  def bpeTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bpe: graft.ml.Bpe,
+      prefixLen: Int = 20): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(bpe)
+    val in = docs.select(col(idCol), col(textCol))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_words",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_bpe_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("token_prefix",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { it =>
+      val b = bc.value
+      it.map { r =>
+        val id = r.getLong(0)
+        val words = graft.ml.Bpe.words(if (r.isNullAt(1)) null else r.getString(1))
+        var nTok = 0L
+        val prefix = new scala.collection.mutable.ArrayBuffer[String](prefixLen)
+        words.foreach { w =>
+          val toks = b.encodeWord(w)
+          nTok += toks.length
+          var i = 0
+          while (i < toks.length && prefix.length < prefixLen) {
+            prefix += toks(i); i += 1
+          }
+        }
+        org.apache.spark.sql.Row(id, words.length, nTok, prefix.mkString(" "))
+      }
+    }(enc)
+  }
+
+  /** BPE-budget chunking: split each document into chunks of consecutive
+    * `[a-z0-9]+` words where each chunk carries at most `budgetTokens`
+    * BPE tokens (greedy fill; a single word over budget still gets its
+    * own chunk — no word is ever split across chunks). The BPE sibling
+    * of [[chunk]]: context windows are budgeted in TOKENIZER tokens, and
+    * whitespace words under-count exactly the fused forms BPE splits.
+    * Emits (id, chunk_idx, n_words, n_tokens, chunk). Pure per-row map
+    * (the fan-out is bounded by doc_tokens/budget) — shuffle-free. */
+  def chunkBpe(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bpe: graft.ml.Bpe,
+      budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val bc = docs.sparkSession.sparkContext.broadcast(bpe)
+    val in = docs.select(col(idCol), col(textCol))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("chunk_idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_words",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("chunk",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { it =>
+      val b = bc.value
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val words = graft.ml.Bpe.words(if (r.isNullAt(1)) null else r.getString(1))
+        val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+        var idx = 0
+        var cw = new scala.collection.mutable.ArrayBuffer[String]
+        var ct = 0
+        def flush(): Unit = if (cw.nonEmpty) {
+          out += org.apache.spark.sql.Row(id, idx, cw.length, ct, cw.mkString(" "))
+          idx += 1; cw = new scala.collection.mutable.ArrayBuffer[String]; ct = 0
+        }
+        words.foreach { w =>
+          val t = b.encodeWord(w).length
+          if (ct > 0 && ct + t > budgetTokens) flush()
+          cw += w; ct += t
+        }
+        flush()
+        out
+      }
+    }(enc)
   }
 
   /** Per-source top-k tokens by occurrence (tie-break token asc): the

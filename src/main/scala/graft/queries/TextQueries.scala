@@ -301,6 +301,63 @@ object TextQueries {
        |FROM s7 ORDER BY doc_id""".stripMargin
   }
 
+  /** BPE subword tokenization over the committed merges fixture: per doc,
+    * word count, total BPE token count, and the first-20-token prefix
+    * string. The oracle replays the ENTIRE tokenizer — fixture as a
+    * literal merge table, encode loop as a recursive CTE merging the
+    * leftmost lowest-rank pair per step — so any boundary, rank-order or
+    * merge slip fails the hash, not just aggregate counts. */
+  def q85BpeTokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokens(docs(s, dir), "doc_id", "text", graft.ml.Bpe.default)
+      .presentSorted("doc_id")
+
+  def q85Sql: String = {
+    val vals = graft.ml.Bpe.default.merges.zipWithIndex
+      .map { case ((a, b), i) => s"('$a', '$b', $i)" }.mkString(", ")
+    // rank lookup: pairs as "l r" keys in one MAP, missing pair → INT_MAX
+    val rk = (i: String) => "coalesce(list_extract(map_extract(m, " +
+      s"list_extract(syms, $i) || ' ' || list_extract(syms, $i + 1)), 1), 2147483647)"
+    s"""WITH RECURSIVE
+       |merges(l, r, rnk) AS (VALUES $vals),
+       |mm AS (SELECT map(list(l || ' ' || r), list(rnk)) AS m FROM merges),
+       |ws AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ww
+       |       FROM documents),
+       |words AS (SELECT doc_id, unnest(ww) AS w, unnest(range(1, len(ww) + 1)) AS wi
+       |          FROM ws),
+       |bpe(doc_id, wi, syms) AS (
+       |  SELECT doc_id, wi, list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, wi,
+       |    list_concat(list_concat(
+       |      list_slice(syms, 1, bi - 1),
+       |      [list_extract(syms, bi) || list_extract(syms, bi + 1)]),
+       |      list_slice(syms, bi + 2, len(syms)))
+       |  FROM (
+       |    SELECT doc_id, wi, syms, list_position(rks, list_min(rks)) AS bi
+       |    FROM (
+       |      SELECT doc_id, wi, syms,
+       |        list_transform(range(1, len(syms)), i -> ${rk("i")}) AS rks
+       |      FROM bpe, mm) a
+       |    WHERE len(rks) > 0 AND list_min(rks) < 2147483647) b
+       |),
+       |fin AS (
+       |  SELECT doc_id, wi, syms FROM bpe, mm
+       |  WHERE len(syms) <= 1 OR list_min(
+       |    list_transform(range(1, len(syms)), i -> ${rk("i")})) = 2147483647
+       |),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_words, CAST(sum(len(syms)) AS BIGINT) AS n_bpe,
+       |    flatten(list(syms ORDER BY wi)) AS toks
+       |  FROM fin GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_words, 0) AS n_words,
+       |  coalesce(n_bpe, 0) AS n_bpe_tokens,
+       |  coalesce(array_to_string(list_slice(toks, 1, 20), ' '), '') AS token_prefix
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q50_text_stats", q50TextStats _, q50Sql),
     ("q51_lang_id", q51LangId _, q51Sql),
@@ -311,5 +368,6 @@ object TextQueries {
     ("q56_quality_signals", q56QualitySignals _, q56Sql),
     ("q57_top_tokens", q57TopTokens _, q57Sql),
     ("q59_tf_embed", q59TfEmbed _, q59Sql),
-    ("q76_redact_pii", q76RedactPii _, q76Sql))
+    ("q76_redact_pii", q76RedactPii _, q76Sql),
+    ("q85_bpe_tokens", q85BpeTokens _, q85Sql))
 }

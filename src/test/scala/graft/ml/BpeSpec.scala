@@ -1,0 +1,109 @@
+package graft.ml
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.TextAnalysis
+
+class BpeSpec extends AnyFunSuite with SparkTestBase {
+
+  private val tiny = new Bpe(IndexedSeq(
+    ("a", "b"), ("ab", "c"), ("d", "e"), ("ab", "ab")))
+
+  test("encodeWord merges leftmost lowest-rank pair first") {
+    // "ababc": (a,b) rank 0 merges leftmost first → ab a b c → ab ab c
+    // → (ab,ab) rank 3 vs (ab,c) rank 1: rank 1 wins → ab abc
+    assert(tiny.encodeWord("ababc") == Seq("ab", "abc"))
+    // "abab": two (a,b) merges then (ab,ab)
+    assert(tiny.encodeWord("abab") == Seq("abab"))
+    // untouched symbols stay single chars
+    assert(tiny.encodeWord("xdey") == Seq("x", "de", "y"))
+    assert(tiny.encodeWord("z") == Seq("z"))
+    assert(tiny.encodeWord("") == Nil)
+  }
+
+  test("encode lowercases, splits on non-[a-z0-9], null-safe") {
+    assert(tiny.encode("AB-ab de!") == Seq("ab", "ab", "de"))
+    assert(tiny.encode(null) == Nil)
+    assert(tiny.countTokens("ababc xy") == 4)
+  }
+
+  test("default fixture loads and round-trips ranks deterministically") {
+    val b = Bpe.default
+    assert(b.merges.nonEmpty)
+    // first trained merge on this corpus fixture
+    assert(b.merges.head == ("e", "r"))
+    // idempotent re-encode: encoding a word twice gives the same tokens
+    val w = "partner"
+    assert(b.encodeWord(w) == b.encodeWord(w))
+  }
+
+  test("bpeTokens operator matches the local encoder; shuffle-free") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the power runner reorder"),
+      (2L, "Start LUNAR pArtner 42x"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "!!!"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokens(df, "doc_id", "text", Bpe.default)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    Seq(1L -> "the power runner reorder", 2L -> "Start LUNAR pArtner 42x",
+      3L -> null, 4L -> "!!!").foreach { case (id, t) =>
+      val words = Bpe.words(t)
+      val toks = words.flatMap(Bpe.default.encodeWord)
+      assert(got(id) == ((words.length, toks.length.toLong,
+        toks.take(20).mkString(" "))), s"doc $id")
+    }
+    val plan = TextAnalysis.bpeTokens(df, "doc_id", "text", Bpe.default)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("chunkBpe: budget respected, word order preserved, oversize word kept whole") {
+    import spark.implicits._
+    val text = "the power runner reorder start lunar partner"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkBpe(df, "doc_id", "text", Bpe.default, budgetTokens = 5)
+      .orderBy("chunk_idx").collect()
+    // every chunk except possibly single-word ones fits the budget
+    chunks.foreach { c =>
+      assert(c.getAs[Int]("n_tokens") <= 5 || c.getAs[Int]("n_words") == 1)
+      assert(c.getAs[Int]("n_tokens") ==
+        Bpe.default.countTokens(c.getAs[String]("chunk")))
+    }
+    // concatenating chunks reproduces the word sequence
+    assert(chunks.map(_.getAs[String]("chunk")).mkString(" ") ==
+      Bpe.words(text).mkString(" "))
+    // greedy fill: adding the next chunk's first word would burst the budget
+    chunks.sliding(2).foreach {
+      case Array(a, b) =>
+        val nextFirst = b.getAs[String]("chunk").split(" ").head
+        assert(a.getAs[Int]("n_tokens") +
+          Bpe.default.encodeWord(nextFirst).length > 5)
+      case _ => ()
+    }
+  }
+
+  test("packOffsets in BPE-token mode: bins budgeted by subword tokens") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "g1", "the power runner"),
+      (2L, "g1", "reorder start lunar"),
+      (3L, "g1", "partner partner partner"))
+      .toDF("doc_id", "grp", "text")
+    val packed = TextAnalysis.packOffsets(df, "doc_id", "text", "grp", 8,
+      TextAnalysis.bpeCount(spark, Bpe.default))
+      .select("doc_id", "n_tokens", "start_offset", "bin")
+      .orderBy("doc_id").collect()
+    val counts = Seq("the power runner", "reorder start lunar",
+      "partner partner partner").map(Bpe.default.countTokens)
+    val offsets = counts.scanLeft(0)(_ + _)
+    packed.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Int]("n_tokens") == counts(i))
+      assert(r.getAs[Long]("start_offset") == offsets(i).toLong)
+      assert(r.getAs[Long]("bin") == offsets(i) / 8)
+    }
+  }
+}
