@@ -89,6 +89,61 @@ object TextAnalysis {
         scores.map { case (l, c) => c.as(s"s_$l") }: _*)
   }
 
+  /** Char-trigram frequency profiles per language, from the committed
+    * fixture at `/langid/trigrams.tsv` (top-64 trigrams with integer
+    * counts, trained offline on per-language sample text; tab-separated
+    * because trigrams contain spaces). Seq order = [[langs]] order =
+    * deterministic tie-break order. */
+  lazy val trigramProfiles: Seq[(String, Seq[(String, Long)])] = {
+    val in = getClass.getResourceAsStream("/langid/trigrams.tsv")
+    require(in != null, "missing resource /langid/trigrams.tsv")
+    val rows =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().map { l =>
+        val Array(lang, g, c) = l.split("\t", 3)
+        (lang, g, c.toLong)
+      }.toVector
+      finally in.close()
+    // group preserving first-appearance language order
+    rows.map(_._1).distinct.map { lang =>
+      lang -> rows.collect { case (`lang`, g, c) => (g, c) }
+    }
+  }
+
+  /** Trigram-profile language ID — the fastText-style upgrade of the
+    * stopword heuristic [[langId]]: text is normalized to `[a-z ]` runs,
+    * every char trigram looked up in each language's profile, and the
+    * language with the highest total profile mass wins (first-max in
+    * [[langs]] order — same deterministic tie-break as [[pickLang]]).
+    *
+    * Exact integer sums over a FIXTURE — no training pass, no corpus
+    * statistics — so the whole operator is one shuffle-free codegen'd
+    * scan with the profiles as literal maps, and the DuckDB oracle (q86)
+    * replays every lookup bit-for-bit. At 100 TB this is the same plan:
+    * a map stage whose only state is ~64·nLangs literal map entries. */
+  def langIdTrigram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z]+", " ")
+    // trigram array projected to an attribute ONCE (no CSE inside HOF
+    // lambdas); sequence() guarded — Spark generates DESCENDING sequences
+    // when stop < start, so short texts need the explicit empty branch
+    val tris = when(length(col("nm")) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(col("nm")) - 2),
+        i => col("nm").substr(i, lit(3))))
+    val scoreCols = trigramProfiles.map { case (lang, entries) =>
+      val m = map(entries.flatMap { case (g, c) => Seq(lit(g), lit(c)) }: _*)
+      lang -> aggregate(col("tris"), lit(0L),
+        (acc, g) => acc + coalesce(element_at(m, g), lit(0L)))
+    }
+    val scored = docs
+      .select(col(idCol), norm.as("nm"))
+      .select(col(idCol), tris.as("tris"))
+      .select(col(idCol) +: scoreCols.map { case (l, c) => c.as(s"s_$l") }: _*)
+    scored.select(
+      col(idCol) +:
+        pickLang(trigramProfiles.map { case (l, _) => l -> col(s"s_$l") })
+          .as("pred_lang") +:
+        trigramProfiles.map { case (l, _) => col(s"s_$l") }: _*)
+  }
+
   /** Token counting: whitespace tokens, BPE-ish regex tokens, chars. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

@@ -358,6 +358,45 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Trigram-profile language ID (the fastText-style upgrade of q51):
+    * profile fixture as literal maps, exact integer trigram-mass scores,
+    * first-max tie-break — every lookup replayed by the oracle. */
+  def q86LangidTrigram(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langIdTrigram(docs(s, dir), "doc_id", "text").presentSorted("doc_id")
+
+  def q86Sql: String = {
+    val profs = TextAnalysis.trigramProfiles
+    val scoreDefs = profs.map { case (lang, entries) =>
+      val ks = entries.map { case (g, _) => s"'$g'" }.mkString(", ")
+      val vs = entries.map { case (_, c) => c.toString }.mkString(", ")
+      s"""CAST(coalesce(list_sum(list_transform(tris, g ->
+         |    coalesce(list_extract(map_extract(map([$ks], [$vs]), g), 1), 0))), 0)
+         |    AS BIGINT) AS s_$lang""".stripMargin
+    }.mkString(",\n  ")
+    val names = profs.map(_._1)
+    val cases = names.zipWithIndex.dropRight(1).map { case (l, i) =>
+      val conds = names.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_replace(lower(text), '[^a-z]+', ' ', 'g') AS nm
+       |  FROM documents),
+       |tri AS (
+       |  SELECT doc_id, CASE WHEN len(nm) < 3 THEN CAST([] AS VARCHAR[])
+       |    ELSE list_transform(range(1, len(nm) - 1), i -> substr(nm, i, 3)) END AS tris
+       |  FROM base),
+       |scored AS (
+       |  SELECT doc_id,
+       |  $scoreDefs
+       |  FROM tri)
+       |SELECT doc_id,
+       |  CASE $cases
+       |    ELSE '${names.last}' END AS pred_lang,
+       |  ${names.map(l => s"s_$l").mkString(", ")}
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q50_text_stats", q50TextStats _, q50Sql),
     ("q51_lang_id", q51LangId _, q51Sql),
@@ -369,5 +408,6 @@ object TextQueries {
     ("q57_top_tokens", q57TopTokens _, q57Sql),
     ("q59_tf_embed", q59TfEmbed _, q59Sql),
     ("q76_redact_pii", q76RedactPii _, q76Sql),
-    ("q85_bpe_tokens", q85BpeTokens _, q85Sql))
+    ("q85_bpe_tokens", q85BpeTokens _, q85Sql),
+    ("q86_langid_trigram", q86LangidTrigram _, q86Sql))
 }

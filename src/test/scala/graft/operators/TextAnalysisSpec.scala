@@ -234,6 +234,36 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"))
   }
 
+  test("langIdTrigram: planted multilingual fixture classified correctly") {
+    import scala.jdk.CollectionConverters._
+    // held-out sentences (not in the profile training samples)
+    val fixtures = Seq(
+      (1L, "the people of the world want peace and the children want to play", "en"),
+      (2L, "die kinder spielen und der hund ist nicht schnell aber die menschen sind froh", "de"),
+      (3L, "los ninos juegan en la ciudad y el perro corre para la casa", "es"),
+      (4L, "les enfants jouent dans la ville et le chien court vers la maison", "fr"),
+      (5L, "wo men de hai zi zai gong yuan wan shua ta men hen gao xing", "zh"),
+      (6L, "", "en")) // empty text: all-zero scores fall through to en
+    val rows = fixtures.map { case (id, t, _) =>
+      org.apache.spark.sql.Row(id, t)
+    }.asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(rows, schema)
+    val got = TextAnalysis.langIdTrigram(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("pred_lang")).toMap
+    fixtures.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"doc $id")
+    }
+    // shuffle-free single scan, like the stopword variant
+    val plan = TextAnalysis.langIdTrigram(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("redactPii: SSN / Luhn-verified credit card / API keys") {
     val r = TextAnalysis.redactPii(oneDoc(
       "ssn 123-45-6789 card 4111-1111-1111-1111 alt 5500-0000-0000-0004 " +
