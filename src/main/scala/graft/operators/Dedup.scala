@@ -88,24 +88,27 @@ object Dedup {
     * @param maxBucket drop LSH buckets larger than this (skew guard; a
     *                  bucket of b docs costs b² candidate pairs).
     */
+  /** Sorted distinct 64-bit shingle-hash sets per doc: shingles hashed
+    * ONCE (banding min-hashes the values — order-free — and the verify
+    * merge compares 8-byte longs instead of ~25-char UTF8 trigrams).
+    * array_distinct AFTER hashing keeps the merge kernel's set
+    * precondition even if two distinct shingles collide in 64 bits
+    * (~|shingles|²/2⁶⁵): a collision then degrades Jaccard by one
+    * element instead of double-counting — near-free on the already-built
+    * array, and the driver gate pins equality with the string-form
+    * oracle regardless. Pure map — batch- and stream-safe. */
+  private def hashedShingled(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    shingled(docs, idCol, textCol)
+      .select(col(idCol),
+        array_sort(array_distinct(transform(col("sg"), s => xxhash64(s)))).as("sg"))
+
   def minhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
       maxBucket: Int = 1000): DataFrame = {
-    // hash shingles ONCE to sorted 64-bit sets: banding min-hashes the
-    // values (order-free), and the verify merge compares 8-byte longs
-    // instead of ~25-char UTF8 trigrams per probe. array_distinct AFTER
-    // hashing keeps the merge kernel's set precondition even if two
-    // distinct shingles collide in 64 bits (~|shingles|²/2⁶⁵): a
-    // collision then degrades Jaccard by one element instead of
-    // double-counting — near-free on the already-built array, and the
-    // driver gate pins equality with the string-form oracle regardless.
-    val sh = shingled(docs, idCol, textCol)
-      .select(col(idCol),
-        array_sort(array_distinct(transform(col("sg"), s => xxhash64(s)))).as("sg"))
-      .cache()
+    val sh = hashedShingled(docs, idCol, textCol).cache()
     val banded = sh
       .select(col(idCol),
         posexplode(bandKeys(col("sg"))).as(Seq("band", "key")))
@@ -635,6 +638,106 @@ object Dedup {
       case None =>
         digested.dropDuplicates("digest")
     }
+  }
+
+  /** Streaming MinHash near-dup CANDIDATE generation: the incremental
+    * form of [[minhashPairs]]'s banding. Band keys are the grouping
+    * state — each (band, key) bucket keeps the sorted ids it has seen
+    * (`flatMapGroupsWithState`), and a new document emits one candidate
+    * pair per prior member of any shared bucket, plus the pairs among
+    * same-batch arrivals. Pairs are (a_doc < b_doc), deduplicated across
+    * bands/batches downstream with a stateful `dropDuplicates`.
+    *
+    * State per bucket is ids only (8 bytes/member — never shingles), so
+    * total state is bounded by Bands × corpus ids, sharded by the band
+    * key shuffle. `maxBucket` is the same skew guard as the batch
+    * operator with one necessarily-different semantic: a stream cannot
+    * know a bucket's FINAL size, so a bucket that grows past the cap
+    * stops emitting from then on (already-emitted pairs stand), whereas
+    * batch drops the whole bucket. Identical output whenever no bucket
+    * exceeds the cap — which DedupSpec pins and the q87 gate enforces at
+    * every tested scale.
+    *
+    * Works identically on a batch DataFrame (Spark runs the same state
+    * fold per group), so one code path serves backfill and live ingest. */
+  def minhashCandidatesStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxBucket: Int = 1000): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val banded = hashedShingled(docs, idCol, textCol)
+      .select(col(idCol).as("id"), posexplode(bandKeys(col("sg"))).as(Seq("band", "key")))
+      .select(col("band"), col("key"), col("id"))
+      .as[(Int, Long, Long)]
+    banded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          val old = state.getOption.getOrElse(Array.empty[Long])
+          if (old.length > maxBucket) Iterator.empty
+          else {
+            val oldSet = old.toSet
+            val fresh = rows.map(_._3).toArray.distinct.sorted
+              .filterNot(oldSet.contains)
+            if (fresh.isEmpty) Iterator.empty
+            else {
+              val all = old ++ fresh
+              state.update(all)
+              if (all.length > maxBucket) Iterator.empty
+              else {
+                val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+                // fresh × old
+                var i = 0
+                while (i < fresh.length) {
+                  var j = 0
+                  while (j < old.length) {
+                    val (a, b) = (fresh(i), old(j))
+                    out += (if (a < b) (a, b) else (b, a))
+                    j += 1
+                  }
+                  // fresh × fresh (i < j)
+                  var k = i + 1
+                  while (k < fresh.length) {
+                    out += ((fresh(i), fresh(k)))
+                    k += 1
+                  }
+                  i += 1
+                }
+                out.iterator
+              }
+            }
+          }
+      }
+      .toDF("a_doc", "b_doc")
+  }
+
+  /** Streaming MinHash near-dup, end to end: banding candidates from the
+    * stream (state = bucket membership), cross-band/batch dedup
+    * (stateful `dropDuplicates` on the pair), then exact-Jaccard verify
+    * against the STATIC document store's shingle sets (a stream-static
+    * join — the store is a lookup table, its sets never enter streaming
+    * state). Append-mode-safe throughout; output must equal batch
+    * [[minhashPairs]] over the same corpus (q87 shares q31's oracle). */
+  def minhashPairsStream(
+      streamDocs: DataFrame,
+      staticDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val cands = minhashCandidatesStream(streamDocs, idCol, textCol, maxBucket)
+      .dropDuplicates("a_doc", "b_doc")
+    val sh = hashedShingled(staticDocs, idCol, textCol)
+    val sa = sh.select(col(idCol).as("a_doc"), col("sg").as("sg_a"))
+    val sb = sh.select(col(idCol).as("b_doc"), col("sg").as("sg_b"))
+    cands.join(sa, "a_doc").join(sb, "b_doc")
+      .select(col("a_doc"), col("b_doc"),
+        jaccardSorted(col("sg_a"), col("sg_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** Quality-aware survivor selection: per near-dup component (the

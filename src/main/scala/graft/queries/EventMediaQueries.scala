@@ -334,6 +334,31 @@ object EventMediaQueries {
     s.table(name).presentSorted("doc_id")
   }
 
+  /** Streaming MinHash near-dup run END-TO-END as a real Structured
+    * Streaming query: `readStream` over the documents parquet → band-key
+    * bucket state (`flatMapGroupsWithState`) emitting candidate pairs →
+    * stateful cross-band `dropDuplicates` → exact-Jaccard verify via a
+    * stream-static join against the corpus shingle sets → memory sink,
+    * `Trigger.AvailableNow`. The result must hash-match q31's exact
+    * trigram-Jaccard oracle — stream ≡ batch, gated, not asserted.
+    * Cross-micro-batch candidate parity is pinned separately in
+    * DedupSpec's three-batch MemoryStream test. */
+  def q87StreamNeardup(s: SparkSession, dir: String): DataFrame = {
+    val static = s.read.parquet(s"$dir/documents.parquet")
+    val schema = static.schema
+    val stream = s.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/documents.parquet*")
+    val name = s"q87_stream_neardup_${streamSeq.incrementAndGet()}"
+    val q = graft.operators.Dedup
+      .minhashPairsStream(stream, static, "doc_id", "text", threshold = 0.8)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).presentSorted("a_doc", "b_doc")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q58_attribution", q58Attribution _, q58Sql),
     ("q67_salted_join", q67SaltedJoin _, q67Sql),
@@ -348,5 +373,6 @@ object EventMediaQueries {
     ("q81_video_roundtrip", q81VideoRoundtrip _, q81Sql),
     ("q74_stream_dedup", q74StreamDedup _, q74Sql),
     ("q75_stream_contamination", q75StreamContamination _,
-      PipelineQueries.q38Sql))
+      PipelineQueries.q38Sql),
+    ("q87_stream_neardup", q87StreamNeardup _, PipelineQueries.q31Sql))
 }

@@ -374,6 +374,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup: stream ≡ batch pairs across 3 micro-batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 40-word docs: one changed word keeps trigram-Jaccard ≈ 0.86 (≥ 0.8),
+    // so clusters {1,2,3,6,8} (base + one-word variants) and {5,9} pair up
+    // while 4/7 (disjoint vocab) stay singletons. Near-dups are spread
+    // ACROSS batches on purpose — pairs must form against bucket state.
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    def variant(k: Int) = (1 to 40).map(i => if (i == 20) s"x$k" else s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    def otherVariant(k: Int) = (1 to 40).map(i => if (i == 10) s"y$k" else s"z$i").mkString(" ")
+    val all = Seq(
+      1L -> base, 2L -> base, 3L -> variant(1), 4L -> (1 to 40).map(i => s"u$i").mkString(" "),
+      5L -> other, 6L -> variant(2), 7L -> (1 to 40).map(i => s"v$i").mkString(" "),
+      8L -> base, 9L -> otherVariant(1))
+    val static = all.toDF("doc_id", "text")
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("doc_id", "text")
+    val q = Dedup.minhashPairsStream(sdf, static, "doc_id", "text", threshold = 0.8)
+      .writeStream.format("memory").queryName("neardup_stream_out")
+      .outputMode("append").start()
+    try {
+      all.grouped(3).foreach { batch =>
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val stream = spark.table("neardup_stream_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = Dedup.minhashPairs(static, "doc_id", "text", threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(stream == batch, "stream pair set must equal batch")
+      assert(stream.exists { case (a, b, _) => a == 1L && b == 8L },
+        "cross-batch pair (1,8) must form against held bucket state")
+      // no duplicate pair rows despite 16 bands × 3 batches
+      val rows = spark.table("neardup_stream_out").collect()
+      assert(rows.length == stream.size)
+    } finally q.stop()
+  }
+
   test("qualitySurvivors: max-score member per component, ties to lowest id") {
     import spark.implicits._
     val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
