@@ -122,6 +122,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(ivf.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("IVF lifecycle: build + append with stored centroids ≡ one-shot rebuild") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // split so the nlist highest-id seed rows all live in part A — then
+    // build(A) and build(A ∪ B) train the IDENTICAL quantizer and the
+    // append path is provably equivalent to a full rebuild
+    val partA = e.where(col("vec_id") >= 50)
+    val partB = e.where(col("vec_id") < 50)
+    val grown = java.nio.file.Files.createTempDirectory("graft_ivf_grown").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_ivf_rebuilt").toString
+    Similarity.buildIvfIndexAt(spark, partA, grown)
+    Similarity.appendToIvfIndex(spark, partB, grown)
+    Similarity.buildIvfIndexAt(spark, e, rebuilt)
+    // centroids durable and identical
+    val cg = spark.read.parquet(s"$grown/centroids").orderBy("cell")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val cr = spark.read.parquet(s"$rebuilt/centroids").orderBy("cell")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    assert(cg.toSeq == cr.toSeq)
+    // identical cell membership (the appended rows joined the same cells
+    // a rebuild would put them in)
+    def cells(p: String) = spark.read.parquet(s"$p/vectors")
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(cells(grown) == cells(rebuilt))
+    // identical query results through the persisted-probe path
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def probe(p: String) = Similarity.ivfProbePersisted(spark, p, q, k = 5)
+      .collect().map(_.toString).toSeq
+    assert(probe(grown) == probe(rebuilt))
+    assert(probe(grown).nonEmpty)
+  }
+
   test("q39 pipeline: banded near-dup over tf embeddings equals exact (hash-gate pin)") {
     // the driver-oracled q39 entry relies on banded==exact at t=0.99 with
     // 16 tables; pin it on the same corpus family the driver uses
