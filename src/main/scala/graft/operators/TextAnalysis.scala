@@ -426,6 +426,36 @@ object TextAnalysis {
       .select(col(sourceCol), col("rank"), col("token"), col("cnt"))
   }
 
+  /** Canonical text normalization: lowercase, non-alphanumeric runs to a
+    * single space, trimmed — the cheap canonical form a curation pipeline
+    * dedups on (case/punctuation/whitespace variants of the same text are
+    * the most common "different bytes, same document" class). Pure
+    * codegen'd regexp chain, engine-exact. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Normalization-aware dedup audit: per document, the digest of the
+    * normalized form plus its duplicate-group sizes under raw-exact vs
+    * normalized matching. `norm_caught` flags docs the normalized digest
+    * groups together that raw-exact dedup would miss.
+    *
+    * Scale: one map projects the two 128-bit digests (text never
+    * shuffles), then two digest-keyed window counts — the same shuffle
+    * unit as exact dedup, twice. */
+  def normalizedDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val we = org.apache.spark.sql.expressions.Window.partitionBy("exact_digest")
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("norm_digest")
+    docs
+      .select(col(idCol),
+        md5(col(textCol).cast("binary")).as("exact_digest"),
+        md5(normalizeText(col(textCol)).cast("binary")).as("norm_digest"))
+      .withColumn("n_exact_dups", count(lit(1)).over(we))
+      .withColumn("n_norm_dups", count(lit(1)).over(wn))
+      .select(col(idCol), col("norm_digest"),
+        col("n_exact_dups"), col("n_norm_dups"),
+        (col("n_norm_dups") > col("n_exact_dups")).as("norm_caught"))
+  }
+
   /** PII patterns shared by the Spark operator and the DuckDB oracle.
     * Restricted to the Java-regex ∩ RE2 common subset (char classes,
     * bounded repeats, `\b` ASCII word boundaries — no lookaround, no
