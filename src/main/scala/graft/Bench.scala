@@ -63,6 +63,13 @@ object Bench {
       // that reuse a cached relation and adds LRU-eviction noise to the
       // ones that don't. Drop everything between queries.
       spark.catalog.clearCache()
+      // and let the collector drain the previous query's garbage OUTSIDE
+      // the next query's timed window: r8 recorded q82 at 4.4 s in-suite
+      // vs 1.5 s isolated (TimeQuery median-of-5) purely because it runs
+      // right after the three codec queries' allocation storms. An
+      // explicit GC between queries costs ~wall-idle time and makes each
+      // median attributable to the query it labels.
+      System.gc()
       // any failed rep fails the query (a flaky query is a broken query)
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2))
     }

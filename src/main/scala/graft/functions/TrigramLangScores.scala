@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass kernel scoring ALL language trigram profiles over a
+  * `[a-z ]`-normalized string. Replaces the per-language
+  * `aggregate(tris, …, element_at(literal_map, g))` formulation, whose
+  * interpreted lambdas made q86 the suite's slowest query (~4.5 s at
+  * sf0.1 — the same "~4× in interpreted lambdas" penalty [[QualityKernel]]
+  * already measured and fixed for the Gopher quality signals).
+  *
+  * Semantics pinned to the DuckDB oracle (q86): for every char trigram
+  * `substr(nm, i, 3)`, `score_lang += profile_lang.getOrElse(gram, 0)` —
+  * replayed here as one scan over the UTF-8 bytes with the profiles
+  * pre-compiled into a dense radix-27 table (`[a-z ]` → 0..26, so a
+  * trigram is an index < 27³ = 19683). Each table slot holds the
+  * per-language count vector, null for the (vast majority of) trigrams
+  * in no profile — one array-null check per window instead of nLangs
+  * hash probes.
+  *
+  * Input precondition: the normalized string is pure ASCII `[a-z ]`
+  * (bytes == chars), which `regexp_replace(lower(text), "[^a-z]+", " ")`
+  * guarantees. Defensively, a non-ASCII input falls back to a
+  * character-exact HashMap path with identical substr semantics, so the
+  * expression is oracle-correct on ANY input, just fastest on the
+  * normalized one.
+  */
+final class TrigramScoreKernel(profiles: Seq[Seq[(String, Long)]])
+    extends Serializable {
+
+  val nLangs: Int = profiles.length
+
+  // dense radix-27 table, rebuilt lazily per deserialized instance (the
+  // serialized payload stays the ~64·nLangs profile entries, not the
+  // 19683-slot table)
+  @transient private lazy val table: Array[Array[Long]] = {
+    val t = new Array[Array[Long]](27 * 27 * 27)
+    for ((entries, li) <- profiles.zipWithIndex; (g, c) <- entries) {
+      val idx = radixIndex(g)
+      require(idx >= 0, s"profile trigram '$g' outside [a-z ] alphabet")
+      if (t(idx) == null) t(idx) = new Array[Long](nLangs)
+      t(idx)(li) += c
+    }
+    t
+  }
+
+  // character-exact fallback for non-ASCII input (oracle substr is
+  // char-based; the byte loop assumes bytes == chars)
+  @transient private lazy val byString: java.util.HashMap[String, Array[Long]] = {
+    val m = new java.util.HashMap[String, Array[Long]]()
+    for ((entries, li) <- profiles.zipWithIndex; (g, c) <- entries) {
+      var v = m.get(g)
+      if (v == null) { v = new Array[Long](nLangs); m.put(g, v) }
+      v(li) += c
+    }
+    m
+  }
+
+  private def radixIndex(g: String): Int =
+    if (g.length != 3) -1
+    else {
+      val a = code(g.charAt(0)); val b = code(g.charAt(1)); val c = code(g.charAt(2))
+      if (a < 0 || b < 0 || c < 0) -1 else (a * 27 + b) * 27 + c
+    }
+
+  private def code(ch: Char): Int =
+    if (ch == ' ') 0
+    else if (ch >= 'a' && ch <= 'z') ch - 'a' + 1
+    else -1
+
+  def compute(text: UTF8String): GenericArrayData = {
+    val scores = new Array[Long](nLangs)
+    val n = text.numBytes()
+    if (n == text.numChars()) {
+      // ASCII fast path: rolling radix-27 window over the bytes
+      val t = table
+      var i = 0
+      // window codes; w* = -1 marks an out-of-alphabet char in that slot
+      var w0 = 0; var w1 = 0
+      var valid = 0 // consecutive in-alphabet chars ending at i-1
+      while (i < n) {
+        val b = text.getByte(i)
+        val c =
+          if (b == ' ') 0
+          else if (b >= 'a' && b <= 'z') b - 'a' + 1
+          else -1
+        if (c < 0) valid = 0
+        else {
+          if (valid >= 2) {
+            val row = t((w0 * 27 + w1) * 27 + c)
+            if (row != null) {
+              var j = 0
+              while (j < nLangs) { scores(j) += row(j); j += 1 }
+            }
+          }
+          w0 = w1; w1 = c
+          if (valid < 2) valid += 1
+        }
+        i += 1
+      }
+    } else {
+      val s = text.toString
+      val m = byString
+      var i = 0
+      while (i + 3 <= s.length) {
+        val row = m.get(s.substring(i, i + 3))
+        if (row != null) {
+          var j = 0
+          while (j < nLangs) { scores(j) += row(j); j += 1 }
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(scores)
+  }
+}
+
+/** `trigram_lang_scores(string) -> array<bigint>` — all language profile
+  * scores in one codegen pass; element i = profile i's trigram mass
+  * (profile order = constructor order).
+  */
+case class TrigramLangScores(
+    child: Expression,
+    profiles: Seq[(String, Seq[(String, Long)])]) extends UnaryExpression {
+
+  @transient private lazy val kernel = new TrigramScoreKernel(profiles.map(_._2))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"trigram_lang_scores requires string, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  protected override def nullSafeEval(input: Any): Any =
+    kernel.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernelRef = ctx.addReferenceObj("trigramScoreKernel", kernel,
+      classOf[TrigramScoreKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernelRef.compute($c);")
+  }
+
+  override def prettyName: String = "trigram_lang_scores"
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramLangScores =
+    copy(child = newChild)
+}

@@ -134,7 +134,18 @@ object Corpus {
     * gram stream shuffles ONCE (groupBy gram, partial agg map-side), the
     * unique-gram stream collapses to doc-sized counts, and the final
     * left join is doc×doc — no gram-keyed join back to the corpus, which
-    * at 100 TB would double the largest shuffle in the pipeline. */
+    * at 100 TB would double the largest shuffle in the pipeline.
+    *
+    * The gram shuffle key is the 48-bit `rolling_hash` of the trigram,
+    * not the ~25-byte string — 3× narrower exchange rows, long-vs-string
+    * grouping comparisons, and the DuckDB oracle replays the identical
+    * fold so the gate stays hash-exact. Two distinct grams colliding in
+    * 48 bits (birthday ~2²⁴ distinct grams) deterministically merge in
+    * BOTH engines — df sums, so a collision can only demote a gram from
+    * novel to non-novel, never invent novelty. At trillion-gram corpus
+    * scale swap the key to `xxhash64` (engine-only, 64-bit) and accept a
+    * rows-only gate; the denominator `n_grams` stays the exact
+    * string-distinct count either way. */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // project the word array to an ATTRIBUTE before shingling: the
     // shingle lambda's element_at calls would otherwise re-run split()
@@ -149,7 +160,8 @@ object Corpus {
       .select(col(idCol), size(Dedup.shingles(col("ws"))).cast("long").as("n_grams"))
     val novel = based
       .select(col(idCol), explode(Dedup.shingles(col("ws"))).as("g"))
-      .groupBy("g")
+      .select(col(idCol), graft.LightFusion.rollingHash(col("g")).as("gh"))
+      .groupBy("gh")
       .agg(count(lit(1)).as("df"), min(col(idCol)).as(idCol))
       .where(col("df") === 1)
       .groupBy(idCol)

@@ -117,26 +117,29 @@ object TextAnalysis {
     *
     * Exact integer sums over a FIXTURE — no training pass, no corpus
     * statistics — so the whole operator is one shuffle-free codegen'd
-    * scan with the profiles as literal maps, and the DuckDB oracle (q86)
-    * replays every lookup bit-for-bit. At 100 TB this is the same plan:
-    * a map stage whose only state is ~64·nLangs literal map entries. */
+    * scan whose only state is ~64·nLangs profile entries, pre-compiled
+    * into the [[graft.functions.TrigramLangScores]] radix table. The
+    * DuckDB oracle (q86) replays every lookup bit-for-bit (the original
+    * per-language `aggregate`/`element_at` literal-map formulation —
+    * same values, but its interpreted HOF lambdas scored ~5 langs × every
+    * trigram per doc, making q86 the suite's slowest query). At 100 TB
+    * this is the same plan: one codegen map stage.
+    *
+    * Null text normalizes to '' (scores all 0 → first language wins),
+    * matching the oracle's `coalesce(list_sum(NULL), 0)` — without the
+    * coalesce, null would propagate through every score and the
+    * first-max CASE would fall through to the LAST language. */
   def langIdTrigram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val norm = regexp_replace(lower(col(textCol)), "[^a-z]+", " ")
-    // trigram array projected to an attribute ONCE (no CSE inside HOF
-    // lambdas); sequence() guarded — Spark generates DESCENDING sequences
-    // when stop < start, so short texts need the explicit empty branch
-    val tris = when(length(col("nm")) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(col("nm")) - 2),
-        i => col("nm").substr(i, lit(3))))
-    val scoreCols = trigramProfiles.map { case (lang, entries) =>
-      val m = map(entries.flatMap { case (g, c) => Seq(lit(g), lit(c)) }: _*)
-      lang -> aggregate(col("tris"), lit(0L),
-        (acc, g) => acc + coalesce(element_at(m, g), lit(0L)))
-    }
+    val norm = regexp_replace(lower(coalesce(col(textCol), lit(""))), "[^a-z]+", " ")
+    val scoresArr = org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.TrigramLangScores(
+        org.apache.spark.sql.graft.SparkShims.expression(col("nm")),
+        trigramProfiles))
     val scored = docs
       .select(col(idCol), norm.as("nm"))
-      .select(col(idCol), tris.as("tris"))
-      .select(col(idCol) +: scoreCols.map { case (l, c) => c.as(s"s_$l") }: _*)
+      .select(col(idCol), scoresArr.as("sc"))
+      .select(col(idCol) +: trigramProfiles.zipWithIndex.map { case ((l, _), i) =>
+        element_at(col("sc"), i + 1).as(s"s_$l") }: _*)
     scored.select(
       col(idCol) +:
         pickLang(trigramProfiles.map { case (l, _) => l -> col(s"s_$l") })

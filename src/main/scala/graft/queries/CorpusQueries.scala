@@ -220,17 +220,18 @@ object CorpusQueries {
     Corpus.ngramNovelty(docs(s, dir), "doc_id", "text").presentSorted("doc_id")
 
   def q82Sql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT doc_id,
       |    unnest(list_distinct(
       |      [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
       |       for i in range(1, len(ws) - 1)])) AS g
       |  FROM w WHERE len(ws) >= 3),
+      |shh AS (SELECT doc_id, ${foldSql("g")} AS gh FROM sh),
       |per_doc AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
       |novel AS (
       |  SELECT doc_id, count(*) AS n_novel FROM (
-      |    SELECT g, min(doc_id) AS doc_id
-      |    FROM sh GROUP BY g HAVING count(*) = 1) u
+      |    SELECT gh, min(doc_id) AS doc_id
+      |    FROM shh GROUP BY gh HAVING count(*) = 1) u
       |  GROUP BY doc_id)
       |SELECT p.doc_id, p.n_grams,
       |  COALESCE(n.n_novel, 0) AS n_novel,

@@ -138,6 +138,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"corpus count must broadcast, not shuffle-join:\n$s")
   }
 
+  test("q86 trigram lang-id: one codegen scan, kernel expression, no shuffle") {
+    val df = operators.TextAnalysis.langIdTrigram(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    val s = planOf(df) // operator itself (no presentSorted) is shuffle-free
+    assert(!s.contains("Exchange"), s"lang-id must not shuffle:\n$s")
+    assert(s.contains("trigram_lang_scores"),
+      s"expected the TrigramLangScores kernel in the plan:\n$s")
+    assert(!s.contains("ScalaUDF"), s"must stay in native expressions:\n$s")
+    // the scoring projection must sit inside a WholeStageCodegen stage
+    val line = s.linesIterator.find(l =>
+      l.contains("trigram_lang_scores") && l.contains("Project"))
+    assert(line.exists(_.contains("*(")),
+      s"trigram scoring must be inside a codegen stage:\n$s")
+  }
+
   test("query names are unique across suites (toMap would silently drop dups)") {
     val names = Seq(
       queries.RelationalQueries.all, queries.AdvancedQueries.all,

@@ -264,6 +264,68 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"))
   }
 
+  test("langIdTrigram kernel equals the literal-map HOF formulation; null -> en") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val texts = Seq(
+      (1L, "the people want the peace of the world"),
+      (2L, "los ninos juegan y el perro corre"),
+      (3L, null),                         // null text: coalesced, scores 0
+      (4L, ""),                           // empty
+      (5L, "ab"),                         // shorter than a trigram
+      (6L, "café déjà the of and"), // pre-norm accents (regexp strips)
+      (7L, "the  and\tthe of")) // multi-space/tab collapse to single spaces
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(
+      texts.map { case (id, t) => org.apache.spark.sql.Row(id, t) }.asJava, schema)
+    // reference: the replaced aggregate/element_at literal-map formulation
+    val norm = regexp_replace(lower(coalesce(col("text"), lit(""))), "[^a-z]+", " ")
+    val tris = when(length(col("nm")) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(col("nm")) - 2),
+        i => col("nm").substr(i, lit(3))))
+    val want = df.select(col("doc_id"), norm.as("nm"))
+      .select(col("doc_id"), tris.as("tris"))
+      .select(col("doc_id") +: TextAnalysis.trigramProfiles.map { case (l, entries) =>
+        val m = map(entries.flatMap { case (g, c) => Seq(lit(g), lit(c)) }: _*)
+        aggregate(col("tris"), lit(0L),
+          (acc, g) => acc + coalesce(element_at(m, g), lit(0L))).as(s"s_$l")
+      }: _*).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val got = TextAnalysis.langIdTrigram(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        TextAnalysis.trigramProfiles.map { case (l, _) => r.getAs[Long](s"s_$l") })
+      .toMap
+    texts.foreach { case (id, _) =>
+      assert(got(id) == want(id), s"doc $id: got ${got(id)} want ${want(id)}")
+    }
+    // null text must predict the FIRST language (oracle coalesce parity),
+    // not fall through to the last
+    val pred = TextAnalysis.langIdTrigram(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("pred_lang")).toMap
+    assert(pred(3L) == "en", s"null text must coalesce to all-zero -> en, got ${pred(3L)}")
+    // non-ASCII INPUT to the kernel itself (bytes != chars) takes the
+    // char-exact fallback: same result as the map formulation on a string
+    // containing profile trigrams around a multibyte char
+    val k = new graft.functions.TrigramScoreKernel(
+      TextAnalysis.trigramProfiles.map(_._2))
+    val ascii = org.apache.spark.unsafe.types.UTF8String.fromString("the and")
+    val nonAscii = org.apache.spark.unsafe.types.UTF8String.fromString("theé and")
+    val fast = k.compute(ascii).toLongArray()
+    // "the" and "and" still present as substrings in the non-ascii form;
+    // windows crossing the multibyte char differ, but both paths must agree
+    // with a hand map-lookup replay
+    def replay(s: String): Seq[Long] =
+      TextAnalysis.trigramProfiles.map { case (_, entries) =>
+        val m = entries.groupBy(_._1).map { case (g, es) => g -> es.map(_._2).sum }
+        (0 to s.length - 3).map(i => m.getOrElse(s.substring(i, i + 3), 0L)).sum
+      }
+    assert(fast.toSeq == replay("the and"))
+    assert(k.compute(nonAscii).toLongArray().toSeq == replay("theé and"))
+  }
+
   test("redactPii: SSN / Luhn-verified credit card / API keys") {
     val r = TextAnalysis.redactPii(oneDoc(
       "ssn 123-45-6789 card 4111-1111-1111-1111 alt 5500-0000-0000-0004 " +
