@@ -35,29 +35,72 @@ final class Bpe(val merges: IndexedSeq[(String, String)]) extends Serializable {
     m
   }
 
-  /** Encode one word (assumed to already match `[a-z0-9]+`). */
+  /** Encode one word (assumed to already match `[a-z0-9]+`).
+    *
+    * Heap + doubly-linked-list merge: each step still merges the LEFTMOST
+    * occurrence of the LOWEST-rank adjacent pair (the loop the oracle
+    * replays — see class doc), but candidates live in a priority queue
+    * ordered by (rank, left symbol's start offset) with lazy
+    * invalidation, so a merge costs O(log len) instead of a full rescan.
+    * Total: O(len log len) for ANY vocab size — the original
+    * rescan-per-merge loop was fine for the 89-merge fixture but
+    * quadratic-ish against a production 50k-merge vocabulary.
+    *
+    * Staleness check: every node carries a version bumped when its
+    * content changes (it absorbed a neighbor) or it dies; a popped
+    * candidate applies only if both nodes are alive, still adjacent, and
+    * both versions match. Each merge pushes ≤2 fresh candidates, so the
+    * queue holds O(len) entries total. The (rank, start-offset) order is
+    * exactly the rescan loop's "strict < keeps the LEFTMOST min": a
+    * node's start offset is fixed at creation (a merged node keeps its
+    * left constituent's start), so offsets strictly increase
+    * left-to-right across live nodes.
+    */
   def encodeWord(w: String): Seq[String] = {
-    if (w.isEmpty) return Nil
-    val syms = new ArrayBuffer[String](w.length)
-    var i = 0
-    while (i < w.length) { syms += w.substring(i, i + 1); i += 1 }
-    var done = false
-    while (!done && syms.length > 1) {
-      var best = Int.MaxValue
-      var bi = -1
-      var j = 0
-      while (j < syms.length - 1) {
-        val r = ranks.getOrDefault(syms(j) + " " + syms(j + 1), Int.MaxValue)
-        if (r < best) { best = r; bi = j } // strict < keeps the LEFTMOST min
-        j += 1
-      }
-      if (bi < 0) done = true
-      else {
-        syms(bi) = syms(bi) + syms(bi + 1)
-        syms.remove(bi + 1)
+    val n = w.length
+    if (n == 0) return Nil
+    if (n == 1) return w :: Nil
+    // node i starts as w(i); merging extends symEnd and reuses the left id
+    val nxt = Array.tabulate(n)(i => i + 1) // n = end sentinel
+    val prv = Array.tabulate(n)(i => i - 1)
+    val symEnd = Array.tabulate(n)(i => i + 1) // symbol i = w.substring(i', symEnd(i)) — start index IS the node id
+    val alive = Array.fill(n)(true)
+    val ver = new Array[Int](n)
+    def sym(i: Int): String = w.substring(i, symEnd(i))
+    // candidate = {rank, leftId, rightId, leftVer, rightVer}; leftId is
+    // also the start offset, giving the leftmost tiebreak for free
+    val pq = new java.util.PriorityQueue[Array[Int]](n,
+      (a: Array[Int], b: Array[Int]) =>
+        if (a(0) != b(0)) Integer.compare(a(0), b(0)) else Integer.compare(a(1), b(1)))
+    def push(l: Int): Unit = {
+      val r = nxt(l)
+      if (r < n) {
+        // getOrDefault, NOT get: a Scala-side `get` on HashMap[String, Int]
+        // unboxes a missing key's null to 0 — which is the BEST rank
+        val rk = ranks.getOrDefault(sym(l) + " " + sym(r), -1)
+        if (rk >= 0) pq.add(Array(rk, l, r, ver(l), ver(r)))
       }
     }
-    syms.toSeq
+    var i = 0
+    while (i < n - 1) { push(i); i += 1 }
+    while (!pq.isEmpty) {
+      val c = pq.poll()
+      val l = c(1); val r = c(2)
+      if (alive(l) && alive(r) && nxt(l) == r && ver(l) == c(3) && ver(r) == c(4)) {
+        symEnd(l) = symEnd(r)
+        alive(r) = false
+        val rn = nxt(r)
+        nxt(l) = rn
+        if (rn < n) prv(rn) = l
+        ver(l) += 1
+        if (prv(l) >= 0) push(prv(l))
+        push(l)
+      }
+    }
+    val out = new ArrayBuffer[String]
+    var p = 0
+    while (p < n) { out += sym(p); p = nxt(p) }
+    out.toSeq
   }
 
   /** Tokenize a document: `[a-z0-9]+` words of the lowercased text, each
@@ -93,6 +136,18 @@ object Bpe {
       (sp(0), sp(1))
     }.toIndexedSeq
     new Bpe(ms)
+  }
+
+  /** Load a production vocabulary from a `merges.txt`-style file on the
+    * driver's filesystem ("left right" per line, rank = line order —
+    * the format GPT-2/RoBERTa/HuggingFace tokenizers publish, minus the
+    * `#version` header line, which is skipped if present). The returned
+    * [[Bpe]] broadcasts exactly like the fixture default; encode cost is
+    * O(len log len) regardless of vocab size. */
+  def fromFile(path: String): Bpe = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try fromLines(src.getLines().filterNot(_.startsWith("#")))
+    finally src.close()
   }
 
   /** The committed fixture at `/bpe/merges.txt` (classic BPE trained on

@@ -38,6 +38,83 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(b.encodeWord(w) == b.encodeWord(w))
   }
 
+  /** The original rescan-per-merge loop, kept verbatim as the reference
+    * semantics the heap encoder must reproduce (and the loop the q85
+    * oracle replays as a recursive CTE). */
+  private def naiveEncode(b: Bpe, w: String): Seq[String] = {
+    if (w.isEmpty) return Nil
+    val rankOf = b.merges.zipWithIndex
+      .groupBy { case ((a, bb), _) => a + " " + bb }
+      .map { case (k, es) => k -> es.map(_._2).min }
+    val syms = scala.collection.mutable.ArrayBuffer(w.map(_.toString): _*)
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue
+      var bi = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = rankOf.getOrElse(syms(j) + " " + syms(j + 1), Int.MaxValue)
+        if (r < best) { best = r; bi = j }
+        j += 1
+      }
+      if (bi < 0) done = true
+      else { syms(bi) = syms(bi) + syms(bi + 1); syms.remove(bi + 1) }
+    }
+    syms.toSeq
+  }
+
+  test("heap encoder == rescan reference on random words (fixture vocab)") {
+    val rnd = new scala.util.Random(42)
+    val b = Bpe.default
+    (1 to 300).foreach { _ =>
+      val len = 1 + rnd.nextInt(24)
+      val w = (1 to len).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+      assert(b.encodeWord(w) == naiveEncode(b, w), s"word '$w'")
+    }
+  }
+
+  test("heap encoder == rescan reference on a generated 12k-merge vocab") {
+    // grow a vocabulary the way BPE training does: repeatedly merge pairs
+    // of existing symbols, so deep merge chains exist and the encoder's
+    // rank ordering actually gets exercised (uniformly random pairs of
+    // letters would almost never chain)
+    val rnd = new scala.util.Random(7)
+    val alphabet = ('a' to 'j').map(_.toString)
+    val symbols = scala.collection.mutable.ArrayBuffer(alphabet: _*)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val seen = scala.collection.mutable.HashSet.empty[(String, String)]
+    while (merges.length < 12000) {
+      val a = symbols(rnd.nextInt(symbols.length))
+      val b = symbols(rnd.nextInt(symbols.length))
+      if (a.length + b.length <= 12 && seen.add((a, b))) {
+        merges += ((a, b))
+        symbols += (a + b)
+      }
+    }
+    val big = new Bpe(merges.toIndexedSeq)
+    (1 to 120).foreach { _ =>
+      val len = 1 + rnd.nextInt(30)
+      val w = (1 to len).map(_ => ('a' + rnd.nextInt(10)).toChar).mkString
+      assert(big.encodeWord(w) == naiveEncode(big, w), s"word '$w'")
+    }
+    // a long word through the big vocab stays fast (the rescan loop was
+    // the quadratic-ish path this guards)
+    val long = (1 to 2000).map(_ => ('a' + rnd.nextInt(10)).toChar).mkString
+    val t0 = System.nanoTime()
+    big.encodeWord(long)
+    assert((System.nanoTime() - t0) / 1e9 < 2.0, "long-word encode too slow")
+  }
+
+  test("fromFile loads merges.txt format, skipping a #version header") {
+    val f = java.io.File.createTempFile("merges", ".txt")
+    f.deleteOnExit()
+    val pw = new java.io.PrintWriter(f, "UTF-8")
+    try pw.write("#version: 0.2\na b\nab c\nd e\nab ab\n") finally pw.close()
+    val loaded = Bpe.fromFile(f.getAbsolutePath)
+    assert(loaded.merges == tiny.merges)
+    assert(loaded.encodeWord("ababc") == tiny.encodeWord("ababc"))
+  }
+
   test("bpeTokens operator matches the local encoder; shuffle-free") {
     import spark.implicits._
     val df = Seq(
