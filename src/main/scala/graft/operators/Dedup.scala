@@ -660,6 +660,41 @@ object Dedup {
     *
     * Works identically on a batch DataFrame (Spark runs the same state
     * fold per group), so one code path serves backfill and live ingest. */
+  /** Shared pair-emission fold for the band-bucket state: fresh members ×
+    * held members plus fresh × fresh, respecting the grow-past-cap stop. */
+  private def bucketEmit(
+      old: Array[Long],
+      freshIds: Array[Long],
+      maxBucket: Int,
+      update: Array[Long] => Unit): Iterator[(Long, Long)] = {
+    if (old.length > maxBucket) return Iterator.empty
+    val oldSet = old.toSet
+    val fresh = freshIds.distinct.sorted.filterNot(oldSet.contains)
+    if (fresh.isEmpty) return Iterator.empty
+    val all = old ++ fresh
+    update(all)
+    if (all.length > maxBucket) return Iterator.empty
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    // fresh × old
+    var i = 0
+    while (i < fresh.length) {
+      var j = 0
+      while (j < old.length) {
+        val (a, b) = (fresh(i), old(j))
+        out += (if (a < b) (a, b) else (b, a))
+        j += 1
+      }
+      // fresh × fresh (i < j)
+      var k = i + 1
+      while (k < fresh.length) {
+        out += ((fresh(i), fresh(k)))
+        k += 1
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
   def minhashCandidatesStream(
       docs: DataFrame,
       idCol: String,
@@ -677,42 +712,86 @@ object Dedup {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
         case (_, rows, state) =>
-          val old = state.getOption.getOrElse(Array.empty[Long])
-          if (old.length > maxBucket) Iterator.empty
-          else {
-            val oldSet = old.toSet
-            val fresh = rows.map(_._3).toArray.distinct.sorted
-              .filterNot(oldSet.contains)
-            if (fresh.isEmpty) Iterator.empty
-            else {
-              val all = old ++ fresh
-              state.update(all)
-              if (all.length > maxBucket) Iterator.empty
-              else {
-                val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-                // fresh × old
-                var i = 0
-                while (i < fresh.length) {
-                  var j = 0
-                  while (j < old.length) {
-                    val (a, b) = (fresh(i), old(j))
-                    out += (if (a < b) (a, b) else (b, a))
-                    j += 1
-                  }
-                  // fresh × fresh (i < j)
-                  var k = i + 1
-                  while (k < fresh.length) {
-                    out += ((fresh(i), fresh(k)))
-                    k += 1
-                  }
-                  i += 1
-                }
-                out.iterator
-              }
-            }
-          }
+          bucketEmit(state.getOption.getOrElse(Array.empty[Long]),
+            rows.map(_._3).toArray, maxBucket, state.update)
       }
       .toDF("a_doc", "b_doc")
+  }
+
+  /** Bounded-state form of [[minhashCandidatesStream]] — the
+    * [[exactDedupStream]] watermark pattern applied to the band-bucket
+    * state. `docs` must carry an event-time column `tsCol`; a bucket
+    * whose last arrival is older than the watermark minus `stateTtl`
+    * is evicted (event-time timeout), so total state is bounded by the
+    * documents arriving within one TTL horizon instead of all history.
+    *
+    * Semantic trade, stated loudly: eviction forgets old bucket members,
+    * so a document arriving more than `stateTtl` after a near-duplicate
+    * does NOT pair with it (already-emitted pairs stand). Output equals
+    * the unbounded form whenever every near-dup pair arrives within the
+    * horizon — DedupSpec pins exactly that, plus the eviction itself.
+    *
+    * Eviction is enforced in TWO places because they cover different
+    * cases: the event-time timeout removes state for buckets that stop
+    * receiving data (memory reclaim — a group with no batch data is the
+    * only kind the timeout callback sees), while an in-function staleness
+    * check against `state.getCurrentWatermarkMs` drops expired members
+    * when a bucket DOES receive new data (Spark invokes such a group
+    * with its held state even if its timeout already passed, so without
+    * this check a late arrival would pair across the horizon).
+    *
+    * Candidates carry `ts` (the emitting batch's max event time for the
+    * bucket) so a downstream `withWatermark(ts) →
+    * dropDuplicatesWithinWatermark(a_doc, b_doc)` bounds the pair-dedup
+    * state the same way ([[minhashPairsStream]]'s watermarked path). */
+  def minhashCandidatesStreamTtl(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      delay: String,
+      stateTtl: java.time.Duration,
+      maxBucket: Int = 1000): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ttlMs = stateTtl.toMillis
+    val w = docs.withWatermark(tsCol, delay)
+    // same hashed-shingle form as [[hashedShingled]], with ts carried
+    val withSg = w
+      .select(col(idCol).as("id"), col(tsCol).as("ts"), words(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("id"), col("ts"),
+        array_sort(array_distinct(transform(shingles(col("ws")), sh => xxhash64(sh))))
+          .as("sg"))
+    val banded = withSg
+      .select(col("id"), col("ts"), posexplode(bandKeys(col("sg"))).as(Seq("band", "key")))
+      .select(col("band"), col("key"), col("id"), col("ts"))
+      .as[(Int, Long, Long, java.sql.Timestamp)]
+    banded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[(Long, Array[Long]), (Long, Long, java.sql.Timestamp)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toArray
+            val maxTs = rs.map(_._4.getTime).max
+            // remove state for buckets that go quiet past the TTL
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            val (lastTs, held) = state.getOption.getOrElse((Long.MinValue, Array.empty[Long]))
+            // in-function staleness: a bucket invoked WITH data skips the
+            // timeout callback, so expired members must be dropped here
+            val old =
+              if (lastTs + ttlMs < state.getCurrentWatermarkMs()) Array.empty[Long]
+              else held
+            val ts = new java.sql.Timestamp(maxTs)
+            bucketEmit(old, rs.map(_._3), maxBucket,
+              all => state.update((maxTs, all)))
+              .map { case (a, b) => (a, b, ts) }
+          }
+      }
+      .toDF("a_doc", "b_doc", "ts")
   }
 
   /** Streaming MinHash near-dup, end to end: banding candidates from the
@@ -731,6 +810,73 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val cands = minhashCandidatesStream(streamDocs, idCol, textCol, maxBucket)
       .dropDuplicates("a_doc", "b_doc")
+    val sh = hashedShingled(staticDocs, idCol, textCol)
+    val sa = sh.select(col(idCol).as("a_doc"), col("sg").as("sg_a"))
+    val sb = sh.select(col(idCol).as("b_doc"), col("sg").as("sg_b"))
+    cands.join(sa, "a_doc").join(sb, "b_doc")
+      .select(col("a_doc"), col("b_doc"),
+        jaccardSorted(col("sg_a"), col("sg_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Stream-FRESH MinHash near-dup: both members' shingle signatures come
+    * from the stream itself via stream-stream inner joins, so a pair
+    * whose members BOTH arrived on the stream verifies immediately — the
+    * [[minhashPairsStream]] gap where same-stream pairs could not verify
+    * until the static store was refreshed.
+    *
+    * State: band buckets (ids), the pair-dedup set, and the two join
+    * buffers holding each doc's hashed shingle set once per side. All
+    * sharded by their respective keys; for a long-lived stream bound them
+    * with the TTL/watermark variants ([[minhashCandidatesStreamTtl]]'s
+    * pattern) — an unbounded backfill run equals batch [[minhashPairs]]
+    * exactly, which DedupSpec pins. */
+  def minhashPairsStreamSelfVerify(
+      streamDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val cands = minhashCandidatesStream(streamDocs, idCol, textCol, maxBucket)
+      .dropDuplicates("a_doc", "b_doc")
+    val sigs = hashedShingled(streamDocs, idCol, textCol)
+    val sa = sigs.select(col(idCol).as("a_doc"), col("sg").as("sg_a"))
+    val sb = sigs.select(col(idCol).as("b_doc"), col("sg").as("sg_b"))
+    cands.join(sa, "a_doc").join(sb, "b_doc")
+      .select(col("a_doc"), col("b_doc"),
+        jaccardSorted(col("sg_a"), col("sg_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Watermark-bounded end-to-end streaming near-dup: TTL'd band-bucket
+    * state ([[minhashCandidatesStreamTtl]]) + watermarked pair dedup
+    * (`dropDuplicatesWithinWatermark`) + verify against the static
+    * store. Every stateful stage's memory is bounded by the arrival
+    * horizon; output equals [[minhashPairsStream]] whenever each
+    * near-dup pair arrives within `stateTtl` of each other and a pair's
+    * band collisions repeat only within the dedup horizon. */
+  def minhashPairsStreamTtl(
+      streamDocs: DataFrame,
+      staticDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      delay: String,
+      stateTtl: java.time.Duration,
+      threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    // Spark conservatively rejects ANY stateful operator downstream of
+    // flatMapGroupsWithState (it cannot prove what event times we emit).
+    // Here it IS safe: the emitted `ts` is the event time of a row that
+    // passed this batch's watermark filter, so ts >= watermark, and the
+    // downstream dedup uses the same delay — no emitted row is ever late
+    // to it. Opt out of the blanket check for this session, loudly.
+    streamDocs.sparkSession.conf
+      .set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val cands = minhashCandidatesStreamTtl(
+      streamDocs, idCol, textCol, tsCol, delay, stateTtl, maxBucket)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("a_doc", "b_doc")
     val sh = hashedShingled(staticDocs, idCol, textCol)
     val sa = sh.select(col(idCol).as("a_doc"), col("sg").as("sg_a"))
     val sb = sh.select(col(idCol).as("b_doc"), col("sg").as("sg_b"))

@@ -414,6 +414,115 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("self-verifying stream: same-stream pairs verify without a static store") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    def variant(k: Int) = (1 to 40).map(i => if (i == 20) s"x$k" else s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val all = Seq(
+      1L -> base, 2L -> variant(1), 3L -> other,
+      4L -> base, 5L -> variant(2), 6L -> (1 to 40).map(i => s"u$i").mkString(" "))
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("doc_id", "text")
+    // NO staticDocs anywhere: both members of every pair arrive mid-stream
+    val q = Dedup.minhashPairsStreamSelfVerify(sdf, "doc_id", "text", threshold = 0.8)
+      .writeStream.format("memory").queryName("neardup_self_out")
+      .outputMode("append").start()
+    try {
+      all.grouped(2).foreach { batch =>
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val stream = spark.table("neardup_self_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = Dedup.minhashPairs(all.toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(stream == batch, s"self-verified stream must equal batch: $stream vs $batch")
+      // the cross-batch pair (1,4) proves BOTH members arrived on the
+      // stream after start and still verified (no store refresh)
+      assert(stream.exists { case (a, b, _) => a == 1L && b == 4L },
+        "cross-batch same-stream pair must verify")
+      assert(spark.table("neardup_self_out").count() == stream.size,
+        "no duplicate pair rows")
+    } finally q.stop()
+  }
+
+  test("TTL'd bucket state: pairs within horizon match batch; stale state evicted") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    def variant(k: Int) = (1 to 40).map(i => if (i == 20) s"x$k" else s"w$i").mkString(" ")
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // 1,2 arrive at 10:00/10:01 (pair within TTL). An unrelated doc at
+    // 10:20 advances the watermark past the 5-minute TTL (the watermark
+    // only moves at batch boundaries, so eviction needs an intervening
+    // batch). 3 arrives at 10:30 into the same band buckets as 1,2 —
+    // the in-function staleness check must have dropped them, so
+    // (1,3)/(2,3) never form even though the texts near-dup.
+    val b1 = Seq((1L, base, ts(0)), (2L, variant(1), ts(1)))
+    val bAdvance = Seq((9L, (1 to 40).map(i => s"q$i").mkString(" "), ts(20)))
+    val b2 = Seq((3L, variant(2), ts(30)))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val sdf = input.toDF().toDF("doc_id", "text", "event_ts")
+    val q = Dedup.minhashCandidatesStreamTtl(
+      sdf, "doc_id", "text", "event_ts", delay = "0 seconds",
+      stateTtl = java.time.Duration.ofMinutes(5))
+      .writeStream.format("memory").queryName("ttl_cands_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(bAdvance: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val pairs = spark.table("ttl_cands_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), "within-horizon pair must form")
+      assert(!pairs.exists { case (a, b) => b == 3L || a == 3L },
+        s"doc 3 must NOT pair across the expired horizon: $pairs")
+    } finally q.stop()
+  }
+
+  test("watermarked end-to-end stream equals batch within the horizon") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    def variant(k: Int) = (1 to 40).map(i => if (i == 20) s"x$k" else s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val all = Seq(
+      (1L, base, ts(0)), (2L, base, ts(1)), (3L, variant(1), ts(2)),
+      (4L, other, ts(3)), (5L, variant(2), ts(4)))
+    val static = all.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val sdf = input.toDF().toDF("doc_id", "text", "event_ts")
+    val q = Dedup.minhashPairsStreamTtl(
+      sdf, static, "doc_id", "text", "event_ts", delay = "10 minutes",
+      stateTtl = java.time.Duration.ofHours(1), threshold = 0.8)
+      .writeStream.format("memory").queryName("ttl_pairs_out")
+      .outputMode("append").start()
+    try {
+      all.grouped(2).foreach { batch =>
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val stream = spark.table("ttl_pairs_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = Dedup.minhashPairs(static, "doc_id", "text", threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(stream == batch,
+        s"all pairs inside the horizon: stream must equal batch: $stream vs $batch")
+      assert(spark.table("ttl_pairs_out").count() == stream.size,
+        "pair dedup within watermark must hold")
+    } finally q.stop()
+  }
+
   test("qualitySurvivors: max-score member per component, ties to lowest id") {
     import spark.implicits._
     val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
