@@ -346,14 +346,52 @@ object Similarity {
     val seeds = e.orderBy(desc("vec_id")).limit(nlist).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    writeIvfIndexAt(s, e, path, seeds.map(_._2))
+  }
+
+  /** Persist a TRAINED (Lloyd) quantizer index: same on-disk layout and
+    * lifecycle as [[buildIvfIndexAt]] (append via [[appendToIvfIndex]],
+    * probe via [[ivfProbePersisted]]), but the centroids are k-means-fit
+    * on the bounded deterministic sample [[ivfTopK]] trains on — so the
+    * better quantizer also gets the partition-pruned on-disk path, and a
+    * serving restart re-reads the STORED centroids instead of retraining
+    * (the in-memory variant's per-JVM cache could reshuffle cell geometry
+    * across restarts; the stored table cannot). Cell labels are the
+    * centroid indexes 0..nlist-1, exactly [[ivfTopK]]'s, so probe
+    * results are bit-identical to the in-memory trained variant
+    * (SimilaritySpec pins it). */
+  def buildTrainedIvfIndexAt(
+      s: SparkSession,
+      emb: DataFrame,
+      path: String,
+      nlist: Int = 16,
+      trainSample: Int = 4096,
+      iters: Int = 5): Unit = {
+    val e = emb.select(col("vec_id"), col("v"))
+    // orderBy before limit: the sample (and the quantizer) must be a pure
+    // function of the data, not of scan order — same rule as ivfTopK
+    val sample = e.orderBy("vec_id").limit(trainSample).select("v")
+      .collect().map(_.getSeq[Double](0).toArray)
+    writeIvfIndexAt(s, e, path, lloydFit(sample, nlist, iters))
+  }
+
+  /** Shared index writer: persist `centroids` (cell = index order), then
+    * assign+partition the vectors with the STORED table — the one code
+    * path both builders and [[appendToIvfIndex]] share, which is what
+    * makes append ≡ rebuild and persisted ≡ in-memory provable. */
+  private def writeIvfIndexAt(
+      s: SparkSession,
+      e: DataFrame,
+      path: String,
+      centroids: Array[Array[Double]]): Unit = {
     import s.implicits._
-    val centroids = seeds.toSeq.zipWithIndex
-      .map { case ((_, c), i) => (i, c.toSeq) }
+    val cdf = centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
     // centroids FIRST: appendToIvfIndex's contract is "assign with the
     // stored centroids", so the quantizer must be durable before any
     // vector partition exists
-    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cdf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     assignWithStored(s, e, path)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
   }

@@ -156,6 +156,44 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(probe(grown).nonEmpty)
   }
 
+  test("trained-quantizer persisted index ≡ in-memory trained IVF; append keeps geometry") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_trained").toString
+    Similarity.buildTrainedIvfIndexAt(spark, e, path)
+    // the persisted probe must be bit-identical to the in-memory trained
+    // variant (same Lloyd sample, same probe/rerank machinery)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val persisted = Similarity.ivfProbePersisted(spark, path, q, k = 5)
+      .collect().map(_.toString).toSeq
+    val inMem = Similarity.ivfTopK(spark, sfDir, numQueries = 10, k = 5)
+      .collect().map(_.toString).toSeq
+    assert(persisted == inMem, "trained-persisted must equal trained-in-memory")
+    assert(persisted.nonEmpty)
+    // a restart-equivalent rebuild-from-stored-centroids (append with no
+    // retrain) lands new rows in the same cells the trained quantizer
+    // would assign — geometry survives without the per-JVM cache
+    val path2 = java.nio.file.Files.createTempDirectory("graft_ivf_trained2").toString
+    Similarity.buildTrainedIvfIndexAt(spark, e.where(col("vec_id") < 400), path2)
+    Similarity.appendToIvfIndex(spark, e.where(col("vec_id") >= 400), path2)
+    val all = spark.read.parquet(s"$path2/vectors").count()
+    assert(all == e.count(), "append must cover the remaining rows")
+    // appended rows were assigned with the STORED centroids: re-assigning
+    // the full corpus against them reproduces the on-disk cell map
+    val stored = spark.read.parquet(s"$path2/centroids").orderBy("cell")
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    val kernel = new graft.functions.CentroidKernel(stored)
+    val expect = e.select(col("vec_id"),
+      org.apache.spark.sql.graft.SparkShims.column(graft.functions.NearestCentroid(
+        org.apache.spark.sql.graft.SparkShims.expression(col("v")), kernel)).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val onDisk = spark.read.parquet(s"$path2/vectors")
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(onDisk == expect)
+  }
+
   test("q39 pipeline: banded near-dup over tf embeddings equals exact (hash-gate pin)") {
     // the driver-oracled q39 entry relies on banded==exact at t=0.99 with
     // 16 tables; pin it on the same corpus family the driver uses
