@@ -27,12 +27,18 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Bucketing {
 
-  // keyed by the SESSION OBJECT too (identity equality): catalog tables
-  // registered in one SparkSession are invisible to another session in the
-  // same JVM, so a (dir, buckets)-only cache would hand session B table
-  // names that resolve only in session A's catalog.
-  private val built =
-    new ConcurrentHashMap[(SparkSession, String, Int), (String, String)]
+  // Keyed by session so two sessions never hand each other table names:
+  // saveAsTable registers in the SparkContext-shared external catalog, so
+  // the real per-session hazard is two sessions racing to CREATE the same
+  // name, not cross-session invisibility. WEAK session keys let a stopped
+  // session's entry be collected (a strong-keyed map would pin every
+  // session ever seen); the name tag below comes from a monotone counter,
+  // so no two builds — even across racing sessions — can collide in the
+  // shared catalog the way an identityHashCode tag (rarely) could.
+  private val built = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      ConcurrentHashMap[(String, Int), (String, String)]]())
+  private val buildSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Collision-free identifier tag from the full dir string (not a 32-bit
     * hashCode, which could silently alias two distinct corpora). */
@@ -54,9 +60,17 @@ object Bucketing {
     * per dir); returns the two table names. External tables under a fresh
     * temp dir, names derived from the full sanitized dir string (plus a
     * session tag, so two sessions sharing a warehouse never collide). */
-  def ensureBucketed(s: SparkSession, dir: String, buckets: Int = 8): (String, String) =
-    built.computeIfAbsent((s, dir, buckets), _ => {
-      val tag = s"${dirTag(dir)}_b${buckets}_s${System.identityHashCode(s).toHexString}"
+  def ensureBucketed(s: SparkSession, dir: String, buckets: Int = 8): (String, String) = {
+    val perSession = built.synchronized {
+      var m = built.get(s)
+      if (m == null) {
+        m = new ConcurrentHashMap[(String, Int), (String, String)]
+        built.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, buckets), _ => {
+      val tag = s"${dirTag(dir)}_b${buckets}_i${buildSeq.incrementAndGet()}"
       val (liT, ordT) = (s"li_bkt_$tag", s"ord_bkt_$tag")
       val wh = java.nio.file.Files.createTempDirectory("graft_bkt").toString
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -67,6 +81,7 @@ object Bucketing {
         .option("path", s"$wh/$ordT").saveAsTable(ordT)
       (liT, ordT)
     })
+  }
 
   /** Revenue by order priority over the bucketed copies: the fact-fact
     * join runs on the scans' own bucket partitioning (no exchange below

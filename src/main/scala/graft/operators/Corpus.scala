@@ -211,15 +211,23 @@ object Corpus {
       case Some(kk) =>
         require(kk > 0, "unigramScore topK must be positive")
         val v = vocab.cache()
-        // map over the top-K vocab, total over the FULL vocab: 1×1 cross
-        // join of two one-row relations, then broadcast to the scoring scan
-        v.withColumn("r", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(desc("cnt"), col("token"))))
-          .where(col("r") <= kk)
-          .agg(map_from_entries(collect_list(struct(col("token"), col("cnt"))))
-            .as("vocab_map"))
-          .crossJoin(v.agg(sum(col("cnt")).as("total")))
+        try {
+          // map over the top-K vocab, total over the FULL vocab: 1×1 cross
+          // join of two one-row relations. Materialize that single row NOW
+          // (≤ kk map entries — bounded by construction) and hand the scan
+          // a local relation, so the vocab cache can be dropped immediately
+          // instead of pinning a cached relation per invocation for the
+          // rest of the session.
+          val statsDf = v.withColumn("r", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(desc("cnt"), col("token"))))
+            .where(col("r") <= kk)
+            .agg(map_from_entries(collect_list(struct(col("token"), col("cnt"))))
+              .as("vocab_map"))
+            .crossJoin(v.agg(sum(col("cnt")).as("total")))
+          docs.sparkSession.createDataFrame(
+            java.util.Arrays.asList(statsDf.collect(): _*), statsDf.schema)
+        } finally v.unpersist()
       case None => vocab.agg(
         map_from_entries(collect_list(struct(col("token"), col("cnt")))).as("vocab_map"),
         sum(col("cnt")).as("total"))

@@ -500,8 +500,12 @@ object TextAnalysis {
     * by an earlier class is neither counted nor replaced twice).
     *
     * The `cc` stage extracts regex candidates, keeps only those passing
-    * [[luhnValid]], and literal-replaces the survivors — a digit group
-    * that merely LOOKS like a card number survives redaction uncounted.
+    * [[luhnValid]], and replaces the survivors via a `\b`-anchored
+    * regexp (candidates are digits and dashes, so the dynamic pattern
+    * needs no quoting) — anchored like the extraction itself, so a
+    * digit run embedded in a longer word (`x4111-…`) is neither counted
+    * NOR replaced, and a group that merely LOOKS like a card number
+    * survives redaction uncounted.
     *
     * Scale: a pure per-row map over native codegen'd `regexp_replace` /
     * `regexp_count` / HOF folds — no shuffle, no UDF; at 100 TB this is
@@ -520,7 +524,8 @@ object TextAnalysis {
               filter(regexp_extract_all(t, lit(pat), lit(0)), luhnValid _))
             .withColumn(s"n_$name", size(col("cc_ok")))
             .withColumn(s"t_${i + 1}",
-              aggregate(col("cc_ok"), t, (acc, c) => replace(acc, c, lit(tok))))
+              aggregate(col("cc_ok"), t, (acc, c) =>
+                regexp_replace(acc, concat(lit("\\b"), c, lit("\\b")), lit(tok))))
             .drop("cc_ok")
         } else {
           df.withColumn(s"n_$name", regexp_count(t, lit(pat)))

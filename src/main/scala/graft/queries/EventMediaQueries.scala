@@ -359,6 +359,23 @@ object EventMediaQueries {
     s.table(name).presentSorted("a_doc", "b_doc")
   }
 
+  /** Bounded-window range join ([[RangeJoin.pairsWithin]]): same-user
+    * event pairs within 5 minutes of each other, planned as the
+    * 3-bucket-probe equi-join. The oracle is the NAIVE BETWEEN-predicate
+    * join, so the bucketing acceleration is provably invisible. */
+  def q90RangePairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RangeJoin.pairsWithin(
+      eventsTs(s, dir), "user_id", "event_id", "ts", windowUs = 300000000L)
+      .presentSorted("user_id", "a_id", "b_id")
+
+  def q90Sql: String =
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+      |ORDER BY a.user_id, a_id, b_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q58_attribution", q58Attribution _, q58Sql),
     ("q67_salted_join", q67SaltedJoin _, q67Sql),
@@ -374,5 +391,6 @@ object EventMediaQueries {
     ("q74_stream_dedup", q74StreamDedup _, q74Sql),
     ("q75_stream_contamination", q75StreamContamination _,
       PipelineQueries.q38Sql),
-    ("q87_stream_neardup", q87StreamNeardup _, PipelineQueries.q31Sql))
+    ("q87_stream_neardup", q87StreamNeardup _, PipelineQueries.q31Sql),
+    ("q90_range_pairs", q90RangePairs _, q90Sql))
 }

@@ -251,7 +251,7 @@ object TextQueries {
     // pattern strings interpolate verbatim. The staged CTEs mirror
     // redactPii exactly: class i counts on the text with classes 0..i-1
     // already replaced, and the cc stage Luhn-filters its candidates with
-    // the same integer fold before a literal replace.
+    // the same integer fold before the \b-anchored survivor replace.
     val Seq(em, ip, ph, ssn, cc, ak) = TextAnalysis.piiPatterns.map(_._2)
     val digit = "CAST(substr(replace(c, '-', ''), i, 1) AS INT)"
     val luhn = s"""list_sum(list_transform(range(1, 17), i ->
@@ -293,7 +293,8 @@ object TextQueries {
        |         $luhn) AS ccs FROM s4),
        |s6 AS (SELECT *, len(ccs) AS n_cc,
        |         list_reduce(list_prepend(t4, ccs),
-       |           (acc, c) -> replace(acc, c, '<CC>')) AS t5 FROM s5),
+       |           (acc, c) -> regexp_replace(acc, '\\b' || c || '\\b', '<CC>', 'g'))
+       |           AS t5 FROM s5),
        |s7 AS (SELECT *, len(regexp_extract_all(t5, '$ak')) AS n_apikey,
        |         regexp_replace(t5, '$ak', '<APIKEY>', 'g') AS t6 FROM s6)
        |SELECT doc_id, t6 AS clean_text,

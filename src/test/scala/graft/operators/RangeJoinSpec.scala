@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
+
+  /** The naive BETWEEN-predicate join the q90 oracle replays — the
+    * semantics `pairsWithin`'s bucket probe must reproduce exactly. */
+  private def naive(df: org.apache.spark.sql.DataFrame, windowUs: Long) = {
+    val s = df.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"))
+    val a = s.select(col("user_id"), col("event_id").as("a_id"), col("us").as("a_us"))
+    val b = s.select(col("user_id"), col("event_id").as("b_id"), col("us").as("b_us"))
+    a.join(b, Seq("user_id"))
+      .where(col("a_id") < col("b_id") &&
+        abs(col("a_us") - col("b_us")) <= windowUs)
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (col("b_us") - col("a_us")).as("delta_us"))
+  }
+
+  test("bucket-probe range join equals the naive predicate join (incl. edges)") {
+    import spark.implicits._
+    val base = 1700000000000000L // µs epoch
+    val w = 1000000L // 1 s window
+    // planted geometry: exact boundary (inclusive), boundary+1 (out),
+    // same-bucket pair, adjacent-bucket pair, cross-user non-pair,
+    // b-before-a order, duplicate timestamps
+    val rows = Seq(
+      (1L, 10L, base),
+      (1L, 11L, base + w),         // exactly at the window edge -> IN
+      (1L, 12L, base + w + 1),     // one past the edge vs 10 -> OUT (in vs 11)
+      (1L, 13L, base + 250000L),   // same bucket as 10
+      (2L, 20L, base),             // other user, same times
+      (2L, 21L, base + 2 * w),     // out of window for 20
+      (3L, 30L, base + 999999L),
+      (3L, 31L, base + 1999999L),  // adjacent bucket, delta = w exactly
+      (4L, 40L, base),
+      (4L, 41L, base))             // duplicate ts, delta 0
+      .toDF("user_id", "event_id", "us")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"))
+    val got = RangeJoin.pairsWithin(rows, "user_id", "event_id", "ts", w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = naive(rows, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"bucket probe diverged: got $got want $want")
+    assert(want.contains((1L, 10L, 11L, w)), "inclusive edge pair expected")
+    assert(!want.exists { case (u, a, b, _) => u == 1L && a == 10L && b == 12L },
+      "past-edge pair must be excluded")
+    assert(want.contains((4L, 40L, 41L, 0L)), "duplicate-ts pair expected")
+    // no duplicate rows from the 3-bucket replication
+    val gotRows = RangeJoin.pairsWithin(rows, "user_id", "event_id", "ts", w).collect()
+    assert(gotRows.length == got.size)
+  }
+
+  test("range join equals naive on the events corpus; plans as equi-join not NLJ") {
+    val events = graft.queries.RelationalQueries.events(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val w = 300000000L
+    val fast = RangeJoin.pairsWithin(events, "user_id", "event_id", "ts", w)
+    val got = fast.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = naive(events, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the accelerated plan must be a hash/sort-merge equi-join — a naive
+    // BETWEEN predicate would fall back to BroadcastNestedLoopJoin
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+}

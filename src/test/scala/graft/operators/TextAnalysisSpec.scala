@@ -342,6 +342,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
         "key <APIKEY> aws <APIKEY> other <APIKEY>")
   }
 
+  test("redactPii: embedded card-shaped run is neither counted nor replaced") {
+    // 'x4111-…' fails the \b-anchored extraction, so the anchored replace
+    // must leave it alone too — counts and clean_text agree (the literal
+    // replace() this replaced WOULD have substituted inside the run when
+    // the same digits also appeared as a standalone Luhn-valid card)
+    val r = TextAnalysis.redactPii(
+      oneDoc("card 4111-1111-1111-1111 and x4111-1111-1111-1111 tail"),
+      "doc_id", "text").head
+    assert(r.getAs[Int]("n_cc") == 1)
+    assert(r.getAs[String]("clean_text") ==
+      "card <CC> and x4111-1111-1111-1111 tail")
+  }
+
   test("redactPii: classes count on the post-earlier-stage text (no double count)") {
     // the phone-shaped local part is consumed by the EMAIL span, so with
     // staged counting n_phone must be 0 — counts always agree with the
