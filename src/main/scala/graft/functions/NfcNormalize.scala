@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `nfc_normalize(string)` — Unicode NFC normalization via
+  * `java.text.Normalizer`, the precondition that makes unicode-aware
+  * tokenization honest: the same accented word can arrive composed
+  * (`é` U+00E9) or decomposed (`e` + U+0301) from real web crawls, and
+  * without canonical composition those two spellings hash, shingle, and
+  * count as DIFFERENT tokens in every downstream operator.
+  *
+  * Oracle-replayable: DuckDB's `nfc_normalize` implements the same
+  * Unicode normalization form, so q88 replays every token bit-for-bit.
+  * Already-NFC input (the overwhelming case for real text) round-trips
+  * unchanged, and `Normalizer.isNormalized`'s quick check keeps that
+  * common path allocation-free.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"nfc_normalize requires string, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StringType
+
+  protected override def nullSafeEval(input: Any): Any =
+    NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcNormalize.normalize($c);")
+
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}

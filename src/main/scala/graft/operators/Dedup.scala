@@ -75,9 +75,16 @@ object Dedup {
         NumPerm, Bands, PermSeed))
 
   /** doc_id + distinct trigram shingles (ASC-sorted for the merge kernel)
-    * for every doc with ≥3 words. */
-  def shingled(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = words(col(textCol))
+    * for every doc with ≥3 words. `tokenize` defaults to the single-space
+    * split every oracle replays; pass [[TextAnalysis.wordsUnicode]] for
+    * honest shingling over NBSP/CJK/accented web text (q88 gates that
+    * tokenizer; the shingle pipeline is tokenizer-agnostic). */
+  def shingled(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenize: Column => Column = words): DataFrame = {
+    val w = tokenize(col(textCol))
     docs.select(col(idCol), w.as("ws"))
       .where(size(col("ws")) >= 3)
       .select(col(idCol), array_sort(shingles(col("ws"))).as("sg"))

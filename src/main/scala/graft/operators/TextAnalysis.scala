@@ -27,6 +27,37 @@ object TextAnalysis {
 
   def words(c: Column): Column = split(c, " ")
 
+  /** Unicode-aware tokenization — the honest-web-corpus variant of
+    * [[words]], whose single-space split silently degrades on real crawls
+    * (NBSP-joined words never split; CJK text becomes one giant "word";
+    * composed vs decomposed accents tokenize differently):
+    *
+    *  1. NFC-normalize ([[graft.functions.NfcNormalize]] — composed and
+    *     decomposed accent spellings unify),
+    *  2. lowercase,
+    *  3. space out CJK ideographs/kana so each codepoint is its own token
+    *     (the standard curation-pipeline treatment — CCNet/Gopher count
+    *     CJK per character),
+    *  4. split on the whitespace family: ASCII `\s` plus NBSP, figure
+    *     space, and narrow NBSP,
+    *  5. drop empty tokens (leading/trailing separators).
+    *
+    * Every step is a native codegen regex/HOF with an exact DuckDB
+    * replay (`nfc_normalize`, `regexp_replace`, `regexp_split_to_array`),
+    * so q88 gates the whole pipeline bit-for-bit. Opt-in: thread it as
+    * the `tokenize` parameter of [[textStats]] / [[Dedup.shingled]] —
+    * the single-space default stays, because every existing oracle
+    * replays `string_split(text, ' ')`. */
+  def wordsUnicode(c: Column): Column = {
+    val nfc = org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.graft.SparkShims.expression(c)))
+    val spaced = regexp_replace(lower(nfc),
+      "([\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}])", " $1 ")
+    filter(split(spaced, "[\\s\\x{00A0}\\x{2007}\\x{202F}]+"),
+      w => length(w) > 0)
+  }
+
   /** Occurrence count of `stop` words in the word array (not distinct). */
   def stopCount(ws: Column, stop: Seq[String]): Column = {
     val stopArr = array(stop.map(lit): _*)
@@ -54,8 +85,12 @@ object TextAnalysis {
     *           0.2·stop_ratio + 0.1·(1 − punct_ratio), all ratios exact
     * int/int doubles, weights applied in fixed order.
     */
-  def textStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = words(col(textCol))
+  def textStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenize: Column => Column = words): DataFrame = {
+    val ws = tokenize(col(textCol))
     val nWords = size(ws)
     val nDistinct = size(array_distinct(ws))
     val punct = regexp_count(col(textCol), lit("[^A-Za-z0-9 ]"))

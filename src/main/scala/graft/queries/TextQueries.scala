@@ -398,6 +398,49 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Planted unicode hazards appended to every doc (deterministic, both
+    * engines build the identical dirty text): NBSP joins, an uppercase
+    * composed accent, a DECOMPOSED accent pair (e+U+0301, a+U+0300), a
+    * narrow-NBSP separator, and four CJK ideographs. */
+  private[queries] val q88Suffix: String =
+    " Café déjà 你好世界"
+
+  /** Unicode tokenization ([[TextAnalysis.wordsUnicode]]) vs the legacy
+    * single-space split, over text salted with [[q88Suffix]]: NFC unifies
+    * the accent spellings, NBSP/narrow-NBSP split, CJK tokenizes per
+    * character — while `n_legacy` shows the degraded count the plain
+    * split produces on the same text. Every step (nfc_normalize, CJK
+    * spacing, whitespace-family split) replays in DuckDB bit-for-bit. */
+  def q88UnicodeTokens(s: SparkSession, dir: String): DataFrame = {
+    val dirty = docs(s, dir).select(col("doc_id"),
+      concat(coalesce(col("text"), lit("")), lit(q88Suffix)).as("t"))
+    val toks = TextAnalysis.wordsUnicode(col("t"))
+    dirty
+      .select(col("doc_id"), col("t"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_uni"),
+        size(split(col("t"), " ")).as("n_legacy"),
+        array_join(
+          slice(col("toks"), greatest(size(col("toks")) - 5, lit(1)), lit(6)), "|")
+          .as("tail_tokens"))
+      .presentSorted("doc_id")
+  }
+
+  def q88Sql: String =
+    raw"""WITH dirty AS (
+         |  SELECT doc_id, coalesce(text, '') || '$q88Suffix' AS t FROM documents),
+         |tok AS (
+         |  SELECT doc_id, t,
+         |    list_filter(regexp_split_to_array(
+         |      regexp_replace(lower(nfc_normalize(t)),
+         |        '([\x{4e00}-\x{9fff}\x{3040}-\x{30ff}])', ' \1 ', 'g'),
+         |      '[\s\x{00a0}\x{2007}\x{202f}]+'), w -> w <> '') AS toks
+         |  FROM dirty)
+         |SELECT doc_id, len(toks) AS n_uni, len(string_split(t, ' ')) AS n_legacy,
+         |  array_to_string(list_slice(toks, greatest(len(toks) - 5, 1), len(toks)), '|')
+         |    AS tail_tokens
+         |FROM tok ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q50_text_stats", q50TextStats _, q50Sql),
     ("q51_lang_id", q51LangId _, q51Sql),
@@ -410,5 +453,6 @@ object TextQueries {
     ("q59_tf_embed", q59TfEmbed _, q59Sql),
     ("q76_redact_pii", q76RedactPii _, q76Sql),
     ("q85_bpe_tokens", q85BpeTokens _, q85Sql),
-    ("q86_langid_trigram", q86LangidTrigram _, q86Sql))
+    ("q86_langid_trigram", q86LangidTrigram _, q86Sql),
+    ("q88_unicode_tokens", q88UnicodeTokens _, q88Sql))
 }

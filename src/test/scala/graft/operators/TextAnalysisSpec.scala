@@ -342,6 +342,47 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
         "key <APIKEY> aws <APIKEY> other <APIKEY>")
   }
 
+  test("wordsUnicode: NBSP/decomposed-accent/CJK tokenize sanely; legacy degrades") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // "web café" joined by NBSP, decomposed déjà, narrow-NBSP + 2 CJK
+    val text = "web Café déjà 你好"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val uni = df.select(TextAnalysis.wordsUnicode(col("text")).as("ws"))
+      .head.getSeq[String](0)
+    assert(uni == Seq("web", "café", "déjà", "你", "好"),
+      s"got $uni")
+    // the legacy single-space split sees ONE giant NBSP-joined token and
+    // keeps the decomposed accents distinct from composed spellings
+    val legacy = df.select(TextAnalysis.words(col("text")).as("ws"))
+      .head.getSeq[String](0)
+    assert(legacy.length == 2, s"legacy split must miss NBSP: $legacy")
+    // composed and decomposed spellings of the same word unify under NFC
+    val composed = Seq((1L, "déjà")).toDF("doc_id", "text")
+      .select(TextAnalysis.wordsUnicode(col("text"))).head.getSeq[String](0)
+    val decomposed = Seq((1L, "déjà")).toDF("doc_id", "text")
+      .select(TextAnalysis.wordsUnicode(col("text"))).head.getSeq[String](0)
+    assert(composed == decomposed)
+    // nfc_normalize: codegen equals interpreted, identity on ASCII
+    val k = graft.functions.NfcNormalize
+    assert(k.normalize(org.apache.spark.unsafe.types.UTF8String
+      .fromString("déj")).toString == "déj")
+    assert(k.normalize(org.apache.spark.unsafe.types.UTF8String
+      .fromString("plain")).toString == "plain")
+    // tokenizer threads through shingling: unicode shingles differ from
+    // the degraded legacy ones on the same text (opt-in, not default)
+    val docs2 = Seq((1L, text + " tail words here")).toDF("doc_id", "text")
+    val sgUni = Dedup.shingled(docs2, "doc_id", "text", TextAnalysis.wordsUnicode)
+      .head.getSeq[String](1)
+    val sgLegacy = Dedup.shingled(docs2, "doc_id", "text")
+      .head.getSeq[String](1)
+    assert(sgUni.nonEmpty && sgLegacy.nonEmpty && sgUni != sgLegacy)
+    // textStats accepts the tokenizer: n_words reflects unicode tokens
+    val st = TextAnalysis.textStats(df, "doc_id", "text", TextAnalysis.wordsUnicode)
+      .select("n_words").head.getInt(0)
+    assert(st == 5)
+  }
+
   test("redactPii: embedded card-shaped run is neither counted nor replaced") {
     // 'x4111-…' fails the \b-anchored extraction, so the anchored replace
     // must leave it alone too — counts and clean_text agree (the literal
