@@ -349,13 +349,26 @@ object EventMediaQueries {
     val stream = s.readStream.schema(schema).option("basePath", dir)
       .parquet(s"$dir/documents.parquet*")
     val name = s"q87_stream_neardup_${streamSeq.incrementAndGet()}"
-    val q = graft.operators.Dedup
-      .minhashPairsStream(stream, static, "doc_id", "text", threshold = 0.8)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Streaming state partitioning is fixed at QUERY start from the
+    // session's shuffle partitions; 32 means 32 state-store instances
+    // opened+committed per stateful operator per micro-batch, which for
+    // this ids-only state (KBs, not GBs) is pure constant overhead —
+    // the dominant term of the query's bench cost. 8 keeps the demo's
+    // state sharded (the operator itself scales the partition count with
+    // the cluster; a real deployment sizes it to state volume) at a
+    // quarter of the store bookkeeping. Restored after the run so batch
+    // queries keep the session default.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = graft.operators.Dedup
+        .minhashPairsStream(stream, static, "doc_id", "text", threshold = 0.8)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name).presentSorted("a_doc", "b_doc")
   }
 
