@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus provenance operators: URL canonicalization and
+  * canonical-URL deduplication — the FIRST dedup pass of every web
+  * curation pipeline (CCNet, C4, RefinedWeb all dedup by URL before any
+  * content pass: it is free — no text ever shuffles — and removes the
+  * bulk of recrawl duplicates).
+  *
+  * Everything is native codegen `regexp_extract` / `regexp_replace` in
+  * the Java-regex ∩ RE2 subset (no lookaround, no backrefs in patterns),
+  * so the DuckDB oracle (q91) replays canonicalization bit-for-bit and
+  * the whole pass is one shuffle-free scan stage.
+  */
+object Web {
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  // path + query, fragment excluded
+  private val PathQueryRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+  private val TrackingRe = "(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*"
+
+  /** Canonical form of an absolute http(s) URL for dedup keying:
+    *
+    *  - scheme and host lowercased (path/query case is significant),
+    *  - leading `www.` stripped from the host,
+    *  - default ports stripped (`:80` for http, `:443` for https),
+    *  - fragment stripped,
+    *  - tracking parameters removed (`utm_*`, `fbclid`, `gclid`, `ref`)
+    *    with separator tidy-up (`?&`→`?`, `&&`→`&`, dangling `?`/`&`),
+    *  - trailing slashes stripped from the path (`…/a/` ≡ `…/a`; a
+    *    bare-host `/` drops too — the canon is a KEY, not a fetchable
+    *    URL).
+    *
+    * Best-effort: a value that does not start with `scheme://` (relative
+    * URL, garbage, null) passes through unchanged — canonicalization
+    * must never invent collisions on non-URL input. Query-parameter
+    * ORDER is preserved (sorting params can merge semantically distinct
+    * URLs; recrawls of the same page keep their order stable, which is
+    * the duplicate class this targets). */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, SchemeRe, 1))
+    val host0 = lower(regexp_extract(u, HostRe, 1))
+    val host1 = regexp_replace(host0, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host1, ":443$", ""))
+      .otherwise(host1)
+    val pq0 = regexp_extract(u, PathQueryRe, 1)
+    val pq1 = regexp_replace(pq0, TrackingRe, "")
+    // tidy separators left by removed params: ?&&x → ?x, trailing ?/&
+    val pq2 = regexp_replace(pq1, "\\?&+", "?")
+    val pq3 = regexp_replace(pq2, "&&+", "&")
+    val pq4 = regexp_replace(pq3, "[?&]+$", "")
+    // strip path-final slashes: immediately before '?' when a query
+    // remains, else at the end. The query-present branch must NOT also
+    // strip a trailing '/' (it would be inside a parameter VALUE there,
+    // e.g. `?next=/home/`).
+    val pq5 = regexp_replace(pq4, "/+\\?", "?")
+    val pq = when(pq5.contains("?"), pq5).otherwise(regexp_replace(pq5, "/+$", ""))
+    when(scheme === "", u)
+      .otherwise(concat(scheme, lit("://"), host, pq))
+  }
+
+  /** Canonical-URL dedup summary: one row per canonical URL with the
+    * duplicate count and the deterministic min-id survivor. One
+    * canonical-key shuffle of (canon, id) pairs — text and payloads
+    * never move, which is why URL dedup is the cheapest pass in the
+    * pipeline and runs FIRST at 100 TB. */
+  def canonicalDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs
+      .select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("survivor_id"))
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.SparkExt._
 import org.apache.spark.sql.functions._
 
@@ -564,6 +564,106 @@ object PipelineQueries {
       |FROM q
       |ORDER BY vec_id""".stripMargin
 
+  /** Deterministic planted URLs (both engines build the identical value
+    * from doc_id): five recrawl variants per group `k = doc_id div 5` —
+    * tracking params + fragment + default port + WWW + trailing slash
+    * (m0) vs the clean form (m1) canonicalize together; the http variant
+    * (m2) stays distinct (scheme is significant); m3 exercises
+    * trailing-slash-only; m4 is a non-URL passthrough. */
+  private def plantedUrl: Column = {
+    val k = expr("doc_id div 5").cast("string")
+    when(col("doc_id") % 5 === 0,
+      concat(lit("https://WWW.Example.com:443/p/"), k,
+        lit("/?utm_source=x&id="), k, lit("#frag")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("https://example.com/p/"), k, lit("?id="), k))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("http://Example.com:80/p/"), k,
+          lit("/?id="), k, lit("&utm_campaign=y")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("https://blog.example.com/post/"), k, lit("/")))
+      .otherwise(concat(lit("not a url "), col("doc_id").cast("string")))
+  }
+
+  /** Canonical-URL dedup ([[graft.operators.Web.canonicalDedup]]): the
+    * free first dedup pass of a web pipeline, over planted recrawl
+    * variants. Oracle replays the full canonicalization regex chain. */
+  def q91UrlDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Web.canonicalDedup(
+      docs(s, dir).select(col("doc_id"), plantedUrl.as("url")),
+      "doc_id", "url")
+      .presentSorted("canon_url")
+
+  def q91Sql: String = {
+    val kk = "CAST(doc_id // 5 AS VARCHAR)"
+    // replay of Web.canonicalizeUrl, step for step
+    val scheme = "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val host0 = "regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '')"
+    val host = s"""CASE WHEN $scheme = 'http' THEN regexp_replace($host0, ':80$$', '')
+                  |       WHEN $scheme = 'https' THEN regexp_replace($host0, ':443$$', '')
+                  |       ELSE $host0 END""".stripMargin
+    val pq = "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), " +
+      "'(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&#]*', '', 'g'), " +
+      "'\\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', ''), '/+\\?', '?', 'g')"
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 5
+       |      WHEN 0 THEN 'https://WWW.Example.com:443/p/' || $kk || '/?utm_source=x&id=' || $kk || '#frag'
+       |      WHEN 1 THEN 'https://example.com/p/' || $kk || '?id=' || $kk
+       |      WHEN 2 THEN 'http://Example.com:80/p/' || $kk || '/?id=' || $kk || '&utm_campaign=y'
+       |      WHEN 3 THEN 'https://blog.example.com/post/' || $kk || '/'
+       |      ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END AS url
+       |  FROM documents),
+       |pq AS (SELECT doc_id, url, $pq AS pqv FROM u),
+       |c AS (SELECT doc_id,
+       |    CASE WHEN $scheme = '' THEN url
+       |         ELSE $scheme || '://' || ($host) ||
+       |           CASE WHEN contains(pqv, '?') THEN pqv
+       |                ELSE regexp_replace(pqv, '/+$$', '') END
+       |    END AS canon_url
+       |  FROM pq)
+       |SELECT canon_url, count(*) AS n_docs, min(doc_id) AS survivor_id
+       |FROM c GROUP BY canon_url
+       |ORDER BY canon_url""".stripMargin
+  }
+
+  /** Near-dup source-attribution matrix: which sources duplicate which —
+    * the cross-source audit a curation team runs before deciding crawl
+    * precedence. Composes the oracled q31 pair machinery with a
+    * pair-sized source join (pairs are LSH-filtered and tiny relative to
+    * the corpus, so the join broadcasts the PAIRS, never the corpus). */
+  def q92NeardupSources(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.8)
+    val pa = d.select(col("doc_id").as("a_doc"), col("source").as("sa"))
+    val pb = d.select(col("doc_id").as("b_doc"), col("source").as("sb"))
+    pairs.join(pa, "a_doc").join(pb, "b_doc")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .presentSorted("src_a", "src_b")
+  }
+
+  def q92Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) sg
+      |       FROM w WHERE len(ws) >= 3),
+      |p AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+      |  len(list_intersect(a.sg,b.sg))::DOUBLE / (len(a.sg)+len(b.sg)-len(list_intersect(a.sg,b.sg))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE jaccard >= 0.8),
+      |s AS (SELECT least(da.source, db.source) AS src_a,
+      |             greatest(da.source, db.source) AS src_b
+      |      FROM p
+      |      JOIN documents da ON da.doc_id = p.a_doc
+      |      JOIN documents db ON db.doc_id = p.b_doc)
+      |SELECT src_a, src_b, count(*) AS n_pairs
+      |FROM s GROUP BY src_a, src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q30_dedup_exact", q30DedupExact _, q30Sql),
     ("q31_dedup_minhash_lsh", q31DedupMinhash _, q31Sql),
@@ -583,5 +683,7 @@ object PipelineQueries {
     ("q42_knn_ivf", q42KnnIvf _, q42Sql),
     ("q70_knn_ivf_persisted", q70KnnIvfPersisted _, q42Sql),
     ("q80_int8_quantize", q80Int8Quantize _, q80Sql),
-    ("q84_quality_survivors", q84QualitySurvivors _, q84Sql))
+    ("q84_quality_survivors", q84QualitySurvivors _, q84Sql),
+    ("q91_url_dedup", q91UrlDedup _, q91Sql),
+    ("q92_neardup_sources", q92NeardupSources _, q92Sql))
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class WebSpec extends AnyFunSuite with SparkTestBase {
+
+  private def canon(u: String): String = {
+    import spark.implicits._
+    Seq(Option(u)).toDF("u")
+      .select(Web.canonicalizeUrl(col("u"))).head.getString(0)
+  }
+
+  test("canonicalizeUrl: recrawl variants collapse, distinct resources do not") {
+    // tracking + fragment + WWW + default port + path-final slash all strip
+    assert(canon("https://WWW.Example.com:443/p/7/?utm_source=x&id=7#frag") ==
+      "https://example.com/p/7?id=7")
+    assert(canon("https://example.com/p/7?id=7") == "https://example.com/p/7?id=7")
+    // scheme is significant: http variant stays distinct
+    assert(canon("http://Example.com:80/p/7/?id=7&utm_campaign=y") ==
+      "http://example.com/p/7?id=7")
+    // trailing slash only
+    assert(canon("https://blog.example.com/post/9/") ==
+      "https://blog.example.com/post/9")
+    // tracking-only query leaves no dangling '?'
+    assert(canon("https://a.io/x?utm_source=s&utm_medium=m") == "https://a.io/x")
+    // mid-query tracking param tidies separators
+    assert(canon("https://a.io/x?a=1&utm_source=s&b=2") == "https://a.io/x?a=1&b=2")
+    // non-default port kept; path case significant
+    assert(canon("https://a.io:8443/Path") == "https://a.io:8443/Path")
+    // bare host: trailing slash drops (canon is a key, not a fetchable URL)
+    assert(canon("https://www.a.io/") == "https://a.io")
+    // trailing slash inside a query VALUE survives
+    assert(canon("https://a.io/r?next=/home/") == "https://a.io/r?next=/home/")
+  }
+
+  test("canonicalizeUrl: non-URL and null pass through unchanged") {
+    assert(canon("not a url 17") == "not a url 17")
+    assert(canon("/relative/path?x=1") == "/relative/path?x=1")
+    import spark.implicits._
+    val r = Seq(Option.empty[String]).toDF("u")
+      .select(Web.canonicalizeUrl(col("u"))).head
+    assert(r.isNullAt(0))
+  }
+
+  test("canonicalDedup: survivors and counts; one key shuffle, no text movement") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://www.a.io/p/1/?utm_source=x"),
+      (2L, "https://a.io/p/1"),
+      (3L, "https://a.io/p/2"),
+      (4L, "junk"))
+      .toDF("doc_id", "url")
+    val got = Web.canonicalDedup(df, "doc_id", "url")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "https://a.io/p/1" -> ((2L, 1L)),
+      "https://a.io/p/2" -> ((1L, 3L)),
+      "junk" -> ((1L, 4L))))
+    // exactly one exchange (the canonical-key groupBy) with map-side
+    // partial aggregation; the raw url column never crosses the wire
+    val plan = Web.canonicalDedup(df, "doc_id", "url")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1, plan)
+    assert(plan.split("HashAggregate").length - 1 >= 2,
+      s"expected partial+final aggregation:\n$plan")
+    val exchangeLine = plan.linesIterator.find(_.contains("Exchange hashpartitioning"))
+    assert(exchangeLine.exists(l =>
+      l.contains("canon_url") && !l.replace("canon_url", "").contains("url#")),
+      s"exchange must carry the canonical key, not the raw url:\n$plan")
+  }
+}
