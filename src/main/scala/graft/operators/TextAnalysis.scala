@@ -331,6 +331,61 @@ object TextAnalysis {
       .withColumn("bin", floor(col("start_offset") / budget))
   }
 
+  /** Pack per-group token streams into FIXED-length training sequences —
+    * the step that actually materializes training shards, where
+    * [[packOffsets]] only assigns whole documents to bins by start
+    * offset. Here every token gets a group-global index (docs ordered by
+    * id, prefix-sum offsets) and `seq_id = idx div budget`, so documents
+    * SPILL across sequence boundaries exactly like a real packer: every
+    * sequence except a group's tail holds exactly `budget` tokens.
+    *
+    * Output is one compact row per (group, seq_id): token count,
+    * contributing-doc count, head/tail token, and the 48-bit rolling
+    * fingerprint of the space-joined sequence — a bit-exact equality
+    * handle on the FULL packed content without shipping giant token
+    * arrays through the gate.
+    *
+    * Scale shape: the explode is corpus-token-sized — the honest cost of
+    * materializing shards — but each row is (group, seq, idx, token) and
+    * the groupBy reduces to budget-bounded groups (collect_list ≤ budget
+    * entries, sorted in-row); the window prefix-sum is per-group like
+    * [[packOffsets]], whose per-group-parallelism note applies. Plug a
+    * different tokenizer (BPE ids, unicode words) via `tokensOf`. */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      budget: Int,
+      tokensOf: Column => Column = words): DataFrame = {
+    require(budget > 0, "packSequences budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val exploded = docs
+      .where(col(textCol).isNotNull)
+      .select(col(groupCol), col(idCol), tokensOf(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("start", sum(col("n")).over(w).cast("long") - col("n"))
+      .select(col(groupCol), col(idCol), col("start"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col(groupCol), col(idCol),
+        (col("start") + col("pos")).as("gidx"), col("tok"))
+      .withColumn("seq_id", expr(s"gidx div $budget"))
+    exploded
+      .groupBy(col(groupCol), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col(idCol)).as("n_docs"),
+        array_sort(collect_list(struct(col("gidx"), col("tok")))).as("ordered"))
+      .select(col(groupCol), col("seq_id"), col("n_tokens"), col("n_docs"),
+        element_at(col("ordered"), 1).getField("tok").as("head_token"),
+        element_at(col("ordered"), -1).getField("tok").as("tail_token"),
+        graft.LightFusion.rollingHash(
+          concat_ws(" ", transform(col("ordered"), x => x.getField("tok"))))
+          .as("seq_fp"))
+  }
+
   /** BPE token count as a Column function (broadcast fixture + row UDF) —
     * the `tokenCount` plug for [[packOffsets]] and any budget expression. */
   def bpeCount(s: org.apache.spark.sql.SparkSession,

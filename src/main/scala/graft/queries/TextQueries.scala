@@ -441,6 +441,39 @@ object TextQueries {
          |    AS tail_tokens
          |FROM tok ORDER BY doc_id""".stripMargin
 
+  /** Fixed-length sequence packing ([[TextAnalysis.packSequences]]): the
+    * training-shard materializer — tokens get group-global indexes, docs
+    * SPILL across `seq_id = idx div 128` boundaries, and every sequence's
+    * full content is pinned by its rolling fingerprint (the oracle
+    * replays indexing, spillover, and the 48-bit fold per sequence). */
+  def q93PackSequences(s: SparkSession, dir: String): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    TextAnalysis.packSequences(docs(s, dir), "doc_id", "text", "source", budget = 128)
+      .presentSorted("source", "seq_id")
+  }
+
+  def q93Sql: String =
+    """WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |o AS (SELECT source, doc_id, toks,
+      |        CAST(SUM(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
+      |          ROWS UNBOUNDED PRECEDING) - len(toks) AS BIGINT) AS start
+      |      FROM t),
+      |e AS (SELECT source, doc_id, start + ui - 1 AS gidx, tok
+      |      FROM (SELECT source, doc_id, start, unnest(toks) AS tok,
+      |              unnest(range(1, len(toks) + 1)) AS ui FROM o) x),
+      |g AS (SELECT source, gidx // 128 AS seq_id, count(*) AS n_tokens,
+      |        count(DISTINCT doc_id) AS n_docs,
+      |        list(tok ORDER BY gidx) AS ordered
+      |      FROM e GROUP BY source, gidx // 128)
+      |SELECT source, seq_id, n_tokens, n_docs,
+      |  ordered[1] AS head_token, ordered[len(ordered)] AS tail_token,
+      |  list_reduce(
+      |    list_prepend(0::BIGINT,
+      |      [ascii(c)::BIGINT for c in string_split(array_to_string(ordered, ' '), '')]),
+      |    (acc, c) -> (acc * 31 + c) % 281474976710656) AS seq_fp
+      |FROM g ORDER BY source, seq_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q50_text_stats", q50TextStats _, q50Sql),
     ("q51_lang_id", q51LangId _, q51Sql),
@@ -454,5 +487,6 @@ object TextQueries {
     ("q76_redact_pii", q76RedactPii _, q76Sql),
     ("q85_bpe_tokens", q85BpeTokens _, q85Sql),
     ("q86_langid_trigram", q86LangidTrigram _, q86Sql),
-    ("q88_unicode_tokens", q88UnicodeTokens _, q88Sql))
+    ("q88_unicode_tokens", q88UnicodeTokens _, q88Sql),
+    ("q93_pack_sequences", q93PackSequences _, q93Sql))
 }

@@ -209,6 +209,45 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(again == first)
   }
 
+  test("packSequences: exact budget boundaries, doc spillover, full reconstruction") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.LightFusion.ensureRegistered(spark)
+    // group g1: 3+4+5 = 12 tokens at budget 5 -> seqs of 5,5,2; doc B
+    // (tokens 3..6) spans seqs 0 and 1
+    val df = Seq(
+      (1L, "g1", "a1 a2 a3"),
+      (2L, "g1", "b1 b2 b3 b4"),
+      (3L, "g1", "c1 c2 c3 c4 c5"),
+      (4L, "g2", "d1 d2"),
+      (5L, "g2", null.asInstanceOf[String]))
+      .toDF("doc_id", "grp", "text")
+    val rows = TextAnalysis.packSequences(df, "doc_id", "text", "grp", budget = 5)
+      .orderBy("grp", "seq_id").collect()
+    val byKey = rows.map(r => (r.getString(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    // g1 seq 0: a1..a3 b1 b2 (docs 1,2); seq 1: b3 b4 c1 c2 c3 (docs 2,3);
+    // seq 2 tail: c4 c5 (doc 3). g2: one short tail seq; null text ignored.
+    assert(byKey(("g1", 0L)) == ((5L, 2L, "a1", "b2")))
+    assert(byKey(("g1", 1L)) == ((5L, 2L, "b3", "c3")))
+    assert(byKey(("g1", 2L)) == ((2L, 1L, "c4", "c5")))
+    assert(byKey(("g2", 0L)) == ((2L, 1L, "d1", "d2")))
+    assert(rows.length == 4)
+    // every non-tail sequence holds exactly budget tokens, and the
+    // fingerprints replay the packed content exactly
+    def fold(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 281474976710656L)
+    val fps = rows.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(6)).toMap
+    assert(fps(("g1", 0L)) == fold("a1 a2 a3 b1 b2"))
+    assert(fps(("g1", 1L)) == fold("b3 b4 c1 c2 c3"))
+    assert(fps(("g1", 2L)) == fold("c4 c5"))
+    // tokenizer plug: unicode tokens pack the NBSP-joined pair as two
+    val u = Seq((1L, "g", "x y z")).toDF("doc_id", "grp", "text")
+    val got = TextAnalysis.packSequences(u, "doc_id", "text", "grp", 2,
+      TextAnalysis.wordsUnicode).collect()
+    assert(got.length == 2 && got.map(_.getLong(2)).sum == 3)
+  }
+
   test("redactPii: emails/IPs/phones replaced and counted; clean text untouched") {
     val dirty = oneDoc(
       "mail a.b+c@sub.example.org or x@y.io from 10.0.255.3 call 555-123-4567 " +
