@@ -638,7 +638,11 @@ object PipelineQueries {
     val pairs = Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.8)
     val pa = d.select(col("doc_id").as("a_doc"), col("source").as("sa"))
     val pb = d.select(col("doc_id").as("b_doc"), col("source").as("sb"))
-    pairs.join(pa, "a_doc").join(pb, "b_doc")
+    // the pair relation is explicitly the BROADCAST side of both source
+    // joins: the corpus streams through two scan-side hash joins and
+    // never shuffles for the attribution
+    val withA = pa.join(broadcast(pairs), "a_doc")
+    pb.join(broadcast(withA), "b_doc")
       .select(least(col("sa"), col("sb")).as("src_a"),
         greatest(col("sa"), col("sb")).as("src_b"))
       .groupBy("src_a", "src_b")
