@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass kernel for the Gopher repetition signals ("fraction of
+  * characters in the most common n-gram", Rae et al. 2021 §A1.1) for
+  * n = 1, 2, 3.
+  *
+  * Semantics pinned for oracle parity (q94):
+  *  - words = `split(text, " ")` — single-space delimiter, empty tokens
+  *    kept, matching [[QualityKernel]] and every other text operator;
+  *  - an n-gram is n adjacent words joined by a single space;
+  *  - the "top" n-gram is the most frequent one, ties broken by the
+  *    lexicographically SMALLEST gram string (Java/UTF8 binary order ==
+  *    DuckDB's default collation on ASCII corpora) — a total order, so
+  *    the result is deterministic on both engines;
+  *  - gram/char lengths count code points;
+  *  - fewer than n words → count 0, gram '' (the oracle coalesces its
+  *    empty join to the same).
+  *
+  * One scan and three small hash maps per row; the map is bounded by the
+  * document's own length, so the operator is a shuffle-free map stage
+  * that scales linearly — the same kernel shape whose codegen form cut
+  * q86 16× vs interpreted HOF lambdas.
+  */
+final class RepetitionKernel extends Serializable {
+
+  /** Best (count, gram) under (cnt DESC, gram ASC); deterministic
+    * regardless of HashMap iteration order. */
+  private def best(freq: java.util.HashMap[String, Int]): (Int, String) = {
+    var bestCnt = 0
+    var bestGram = ""
+    val it = freq.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue
+      if (c > bestCnt || (c == bestCnt && bestCnt > 0 && e.getKey.compareTo(bestGram) < 0)) {
+        bestCnt = c
+        bestGram = e.getKey
+      }
+    }
+    (bestCnt, bestGram)
+  }
+
+  /** Returns (nWords, top1Cnt, top1, top2Cnt, top2, top3Cnt, top3). */
+  def compute(text: UTF8String): (Int, Int, String, Int, String, Int, String) = {
+    val s = text.toString
+    val words = new scala.collection.mutable.ArrayBuffer[String]()
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') { words += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    words += s.substring(start)
+
+    val f1 = new java.util.HashMap[String, Int]()
+    val f2 = new java.util.HashMap[String, Int]()
+    val f3 = new java.util.HashMap[String, Int]()
+    var w = 0
+    while (w < words.length) {
+      f1.merge(words(w), 1, (a, b) => a + b)
+      if (w + 1 < words.length)
+        f2.merge(words(w) + " " + words(w + 1), 1, (a, b) => a + b)
+      if (w + 2 < words.length)
+        f3.merge(words(w) + " " + words(w + 1) + " " + words(w + 2), 1,
+          (a, b) => a + b)
+      w += 1
+    }
+    val (c1, g1) = best(f1)
+    val (c2, g2) = best(f2)
+    val (c3, g3) = best(f3)
+    (words.length, c1, g1, c2, g2, c3, g3)
+  }
+
+  def computeRow(text: UTF8String): InternalRow = {
+    val r = compute(text)
+    new GenericInternalRow(Array[Any](
+      r._1, r._2, UTF8String.fromString(r._3),
+      r._4, UTF8String.fromString(r._5),
+      r._6, UTF8String.fromString(r._7)))
+  }
+}
+
+/** `repetition_stats(string) -> struct` — the most frequent word
+  * 1/2/3-gram per document with counts, one codegen pass per row. The
+  * char-coverage fractions (Gopher's thresholds) are plain arithmetic on
+  * top of this struct in the query layer. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  @transient private lazy val kernel = new RepetitionKernel
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"repetition_stats requires string, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("top1_cnt", IntegerType, nullable = false),
+    StructField("top1_gram", StringType, nullable = false),
+    StructField("top2_cnt", IntegerType, nullable = false),
+    StructField("top2_gram", StringType, nullable = false),
+    StructField("top3_cnt", IntegerType, nullable = false),
+    StructField("top3_gram", StringType, nullable = false)))
+
+  protected override def nullSafeEval(input: Any): Any =
+    kernel.computeRow(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernelRef = ctx.addReferenceObj("repetitionKernel", kernel,
+      classOf[RepetitionKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernelRef.computeRow($c);")
+  }
+
+  override def prettyName: String = "repetition_stats"
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}

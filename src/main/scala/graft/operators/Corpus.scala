@@ -244,4 +244,72 @@ object Corpus {
         (col("hits").cast("double") / (col("n_words").cast("long") * col("total")))
           .as("score"))
   }
+
+  /** Token-budget corpus selection: rank documents by a priority score
+    * and keep the best prefix whose cumulative token count stays within
+    * `budget` — "fill a 10B-token training budget with the highest-
+    * quality docs", the final gate of every curation pipeline.
+    *
+    * The naive formulation is `sum(tok) OVER (ORDER BY priority DESC)`,
+    * a GLOBAL ordered window — one task sees every row, the classic
+    * non-scalable plan. This operator computes the same total order as a
+    * distributed prefix sum instead:
+    *
+    *  1. range-repartition + sort by (priority DESC, id ASC) — a total
+    *     order, since ids are unique;
+    *  2. one bounded job collects the P per-partition token sums
+    *     (P rows on the driver, never data);
+    *  3. each partition streams once more, adding its broadcast
+    *     exclusive-prefix offset to a running local sum.
+    *
+    * The projection is materialized once (`localCheckpoint`) so the
+    * offsets job and the final pass see identical range boundaries, and
+    * because it carries only (id, tok, priority) — the text never moves.
+    * Result is row-identical to the window plan (CorpusSpec pins it).
+    *
+    * A kept row satisfies `cum_tok <= budget` where `cum_tok` includes
+    * its own tokens. */
+  def budgetSelect(
+      df: DataFrame,
+      idCol: String,
+      tokCol: String,
+      priorityCol: String,
+      budget: Long,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val staged = df
+      .select(col(idCol), col(tokCol).cast("long").as(tokCol), col(priorityCol))
+      .repartitionByRange(p, col(priorityCol).desc, col(idCol))
+      .sortWithinPartitions(col(priorityCol).desc, col(idCol))
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint()
+    // P rows: the only thing that ever reaches the driver
+    val totals = staged.groupBy("__pid").agg(sum(col(tokCol)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](p + 1)
+    var i = 0
+    while (i < p) {
+      offsets(i + 1) = offsets(i) + totals.getOrElse(i, 0L)
+      i += 1
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = staged.schema
+    val tokIdx = schema.fieldIndex(tokCol)
+    val pidIdx = schema.fieldIndex("__pid")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        "cum_tok", org.apache.spark.sql.types.LongType, nullable = false))
+    val withCum = staged.mapPartitions { it =>
+      var cum = Long.MinValue // initialized from the first row's pid
+      it.map { row =>
+        if (cum == Long.MinValue) cum = bc.value(row.getInt(pidIdx))
+        cum += row.getLong(tokIdx)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ cum)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    withCum.where(col("cum_tok") <= budget).drop("__pid")
+  }
 }

@@ -227,6 +227,45 @@ object TextAnalysis {
         meanWordLen >= 3.0 && meanWordLen <= 10.0).as("gopher_keep"))
   }
 
+  /** Gopher repetition signals proper (Rae et al. 2021 §A1.1): the
+    * fraction of characters covered by the MOST COMMON word n-gram, for
+    * n = 1, 2, 3, with the published 2-gram (0.20) / 3-gram (0.18)
+    * thresholds as the `repetitive` flag. Complements [[qualitySignals]]
+    * (which measures distinct-bigram dup mass): a doc that repeats one
+    * slogan a hundred times trips THIS filter while keeping a high
+    * distinct ratio elsewhere.
+    *
+    * One codegen kernel pass per row ([[graft.functions.RepetitionStats]]
+    * — three doc-bounded hash maps, no HOF lambdas), so the whole pass
+    * is a shuffle-free map stage that scales linearly at 100 TB.
+    * Coverage is `cnt · len(gram) / len(text)`; ties on count break to
+    * the lexicographically smallest gram (total order, oracle-exact).
+    * Null/empty text → all fractions 0. */
+  def gopherRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stats = org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.RepetitionStats(
+        org.apache.spark.sql.graft.SparkShims.expression(col("txt"))))
+    val d = docs.select(col(idCol), coalesce(col(textCol), lit("")).as("txt"))
+      .select(col(idCol), length(col("txt")).as("n_chars"), stats.as("rs"))
+    def frac(cnt: Column, gram: Column): Column =
+      when(col("n_chars") === 0, lit(0.0))
+        .otherwise(cnt.cast("double") * length(gram) / col("n_chars"))
+    val f2 = frac(col("rs.top2_cnt"), col("rs.top2_gram"))
+    val f3 = frac(col("rs.top3_cnt"), col("rs.top3_gram"))
+    d.select(
+      col(idCol),
+      col("rs.top1_gram").as("top1_gram"),
+      col("rs.top1_cnt").as("top1_cnt"),
+      frac(col("rs.top1_cnt"), col("rs.top1_gram")).as("top1_frac"),
+      col("rs.top2_gram").as("top2_gram"),
+      col("rs.top2_cnt").as("top2_cnt"),
+      f2.as("top2_frac"),
+      col("rs.top3_gram").as("top3_gram"),
+      col("rs.top3_cnt").as("top3_cnt"),
+      f3.as("top3_frac"),
+      (f2 > 0.20 || f3 > 0.18).as("repetitive"))
+  }
+
   /** Hashing-trick term-frequency embedding: bucket = 48-bit rolling
     * word hash mod `dim`, value = bucket count — the classic feature
     * hashing (Weinberger et al. 2009) that turns raw text into a fixed

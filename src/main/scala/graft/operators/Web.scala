@@ -63,6 +63,16 @@ object Web {
       .otherwise(concat(scheme, lit("://"), host, pq))
   }
 
+  /** Registrable-host key for per-domain policies (caps, crawl
+    * precedence, robots grouping): lowercased host, `www.` and port
+    * stripped. Non-URL input (no `scheme://host`) keys to `''` — callers
+    * group the junk bucket explicitly rather than inventing domains.
+    * Pure codegen regex chain, oracle-replayable. */
+  def domainOf(u: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(regexp_extract(u, HostRe, 1)), "^www\\.", ""),
+      ":[0-9]+$", "")
+
   /** Canonical-URL dedup summary: one row per canonical URL with the
     * duplicate count and the deterministic min-id survivor. One
     * canonical-key shuffle of (canon, id) pairs — text and payloads

@@ -271,6 +271,37 @@ object CorpusQueries {
        |WHERE k.rk <= al.alloc
        |ORDER BY k.source, k.doc_id""".stripMargin
 
+  /** Token-budget corpus selection ([[Corpus.budgetSelect]]): keep the
+    * highest-priority docs until a 15k-token budget fills. Priority is
+    * the type-token ratio (distinct/total words — int/int division,
+    * oracle-exact), ties broken by doc_id; the oracle replays the
+    * equivalent GLOBAL ordered window that the operator replaces with a
+    * distributed prefix sum. */
+  def q95TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ws = split(coalesce(col("text"), lit("")), " ")
+    val base = docs(s, dir).select(
+      col("doc_id"),
+      size(ws).cast("long").as("n_tok"),
+      (size(array_distinct(ws)).cast("double") / size(ws)).as("priority"))
+    Corpus.budgetSelect(base, "doc_id", "n_tok", "priority", budget = 15000L)
+      .presentSorted("doc_id")
+  }
+
+  def q95Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    len(string_split(coalesce(text, ''), ' '))::BIGINT AS n_tok,
+      |    CAST(len(list_distinct(string_split(coalesce(text, ''), ' '))) AS DOUBLE)
+      |      / len(string_split(coalesce(text, ''), ' ')) AS priority
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tok, priority,
+      |    sum(n_tok) OVER (ORDER BY priority DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tok
+      |  FROM t)
+      |SELECT doc_id, n_tok, priority, cum_tok
+      |FROM c WHERE cum_tok <= 15000
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
@@ -282,5 +313,6 @@ object CorpusQueries {
     ("q77_unigram_score", q77UnigramScore _, q77Sql),
     ("q79_kmv_distinct", q79KmvDistinct _, q79Sql),
     ("q82_ngram_novelty", q82NgramNovelty _, q82Sql),
-    ("q83_tempered_mixture", q83TemperedMixture _, q83Sql))
+    ("q83_tempered_mixture", q83TemperedMixture _, q83Sql),
+    ("q95_token_budget", q95TokenBudget _, q95Sql))
 }

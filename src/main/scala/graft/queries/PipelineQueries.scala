@@ -668,6 +668,48 @@ object PipelineQueries {
       |FROM s GROUP BY src_a, src_b
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** Per-domain document cap (the C4/RefinedWeb anti-domination rule:
+    * no single site may flood the corpus): keep the `cap` best docs per
+    * registrable domain by quality, via the distributive
+    * [[graft.operators.TopK.perKey]] — each partition reduces to ≤ cap
+    * rows per domain BEFORE the shuffle, so a skewed mega-domain ships
+    * `cap·P` rows instead of its whole crawl. Domains come from
+    * [[graft.operators.Web.domainOf]] over planted recrawl URLs
+    * (www + default port exercised); priority is the type-token ratio
+    * with doc_id ties. Oracle replays the window-only plan — which is
+    * exactly what perKey must equal. */
+  def q96DomainCap(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://WWW.d"), (col("doc_id") % 17).cast("string"),
+      lit(".example.com:443/page/"), col("doc_id").cast("string"))
+    val ws = split(coalesce(col("text"), lit("")), " ")
+    val base = docs(s, dir).select(
+      col("doc_id"),
+      graft.operators.Web.domainOf(url).as("domain"),
+      (size(array_distinct(ws)).cast("double") / size(ws)).as("priority"))
+    graft.operators.TopK.perKey(base, Seq("domain"), "priority", "doc_id", k = 10)
+      .presentSorted("domain", "rank")
+  }
+
+  def q96Sql: String =
+    """WITH u AS (SELECT doc_id, text,
+      |    'https://WWW.d' || CAST(doc_id % 17 AS VARCHAR) ||
+      |      '.example.com:443/page/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents),
+      |t AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      |      '^www\.', ''), ':[0-9]+$', '') AS domain,
+      |    CAST(len(list_distinct(string_split(coalesce(text, ''), ' '))) AS DOUBLE)
+      |      / len(string_split(coalesce(text, ''), ' ')) AS priority
+      |  FROM u),
+      |r AS (SELECT doc_id, domain, priority,
+      |    row_number() OVER (PARTITION BY domain
+      |      ORDER BY priority DESC, doc_id) AS rank
+      |  FROM t)
+      |SELECT doc_id, domain, priority, rank
+      |FROM r WHERE rank <= 10
+      |ORDER BY domain, rank""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q30_dedup_exact", q30DedupExact _, q30Sql),
     ("q31_dedup_minhash_lsh", q31DedupMinhash _, q31Sql),
@@ -689,5 +731,6 @@ object PipelineQueries {
     ("q80_int8_quantize", q80Int8Quantize _, q80Sql),
     ("q84_quality_survivors", q84QualitySurvivors _, q84Sql),
     ("q91_url_dedup", q91UrlDedup _, q91Sql),
-    ("q92_neardup_sources", q92NeardupSources _, q92Sql))
+    ("q92_neardup_sources", q92NeardupSources _, q92Sql),
+    ("q96_domain_cap", q96DomainCap _, q96Sql))
 }

@@ -474,6 +474,45 @@ object TextQueries {
       |    (acc, c) -> (acc * 31 + c) % 281474976710656) AS seq_fp
       |FROM g ORDER BY source, seq_id""".stripMargin
 
+  /** Gopher repetition filter ([[TextAnalysis.gopherRepetition]]): the
+    * published "fraction of characters in the most common n-gram"
+    * signals (n = 1..3) with the paper's 2-gram/3-gram thresholds. The
+    * oracle independently recomputes every top gram via unnest + group
+    * + row_number (count DESC, gram ASC — the kernel's exact tie-break)
+    * and replays the coverage arithmetic. */
+  def q94GopherRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRepetition(docs(s, dir), "doc_id", "text")
+      .presentSorted("doc_id")
+
+  def q94Sql: String = {
+    def top(n: Int, grams: String, guard: String) =
+      s"""c$n AS (SELECT doc_id, g, count(*) AS c
+         |       FROM (SELECT doc_id, unnest($grams) AS g FROM w $guard) x
+         |       GROUP BY doc_id, g),
+         |b$n AS (SELECT doc_id, g, c FROM (
+         |         SELECT doc_id, g, c,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+         |         FROM c$n) r WHERE rn = 1)""".stripMargin
+    val f1 = "CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(b1.c * len(b1.g) AS DOUBLE) / len(t) END"
+    val f2 = "CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(coalesce(b2.c, 0) * len(coalesce(b2.g, '')) AS DOUBLE) / len(t) END"
+    val f3 = "CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(coalesce(b3.c, 0) * len(coalesce(b3.g, '')) AS DOUBLE) / len(t) END"
+    s"""WITH w AS (SELECT doc_id, coalesce(text, '') AS t,
+       |             string_split(coalesce(text, ''), ' ') AS ws FROM documents),
+       |${top(1, "ws", "")},
+       |${top(2, "[ws[i]||' '||ws[i+1] for i in range(1, len(ws))]", "WHERE len(ws) >= 2")},
+       |${top(3, "[ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]", "WHERE len(ws) >= 3")}
+       |SELECT w.doc_id,
+       |  b1.g AS top1_gram, b1.c AS top1_cnt, $f1 AS top1_frac,
+       |  coalesce(b2.g, '') AS top2_gram, coalesce(b2.c, 0) AS top2_cnt, $f2 AS top2_frac,
+       |  coalesce(b3.g, '') AS top3_gram, coalesce(b3.c, 0) AS top3_cnt, $f3 AS top3_frac,
+       |  ($f2 > 0.20 OR $f3 > 0.18) AS repetitive
+       |FROM w
+       |JOIN b1 ON b1.doc_id = w.doc_id
+       |LEFT JOIN b2 ON b2.doc_id = w.doc_id
+       |LEFT JOIN b3 ON b3.doc_id = w.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q50_text_stats", q50TextStats _, q50Sql),
     ("q51_lang_id", q51LangId _, q51Sql),
@@ -488,5 +527,6 @@ object TextQueries {
     ("q85_bpe_tokens", q85BpeTokens _, q85Sql),
     ("q86_langid_trigram", q86LangidTrigram _, q86Sql),
     ("q88_unicode_tokens", q88UnicodeTokens _, q88Sql),
-    ("q93_pack_sequences", q93PackSequences _, q93Sql))
+    ("q93_pack_sequences", q93PackSequences _, q93Sql),
+    ("q94_gopher_repetition", q94GopherRepetition _, q94Sql))
 }

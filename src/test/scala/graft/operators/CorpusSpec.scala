@@ -132,4 +132,25 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
     assert(vals.toMap == again)
   }
+
+  test("budgetSelect equals the global ordered-window plan at every budget/partitioning") {
+    val ws = split(coalesce(col("text"), lit("")), " ")
+    val base = docs.select(col("doc_id"),
+      size(ws).cast("long").as("n_tok"),
+      (size(array_distinct(ws)).cast("double") / size(ws)).as("priority"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    // 10M keeps ALL rows -> pins the full prefix-sum total order, not just a head
+    for (budget <- Seq(0L, 3000L, 15000L, 10000000L); p <- Seq(1, 5)) {
+      val want = base.withColumn("cum_tok", sum("n_tok").over(w))
+        .where(col("cum_tok") <= budget).orderBy("doc_id").collect().map(key)
+      val got = Corpus.budgetSelect(base, "doc_id", "n_tok", "priority", budget, p)
+        .orderBy("doc_id").collect().map(key)
+      assert(got.toSeq == want.toSeq, s"budget=$budget partitions=$p")
+    }
+  }
 }

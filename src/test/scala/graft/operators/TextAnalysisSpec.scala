@@ -445,4 +445,41 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Int]("n_phone") == 0)
     assert(r.getAs[String]("clean_text") == "reach <EMAIL> today")
   }
+
+  test("gopherRepetition: top n-grams, lexicographic tie-break, empty and null text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a b"),
+      (2L, "b a b a"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]),
+      (5L, "x y x y x y x y x y")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetition(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+    val r1 = got(0) // "a a a b" (7 chars)
+    assert(r1.getAs[String]("top1_gram") == "a" && r1.getAs[Int]("top1_cnt") == 3)
+    assert(r1.getAs[String]("top2_gram") == "a a" && r1.getAs[Int]("top2_cnt") == 2)
+    // trigram tie "a a a" vs "a a b" -> lexicographically smallest
+    assert(r1.getAs[String]("top3_gram") == "a a a" && r1.getAs[Int]("top3_cnt") == 1)
+    assert(math.abs(r1.getAs[Double]("top2_frac") - 2.0 * 3 / 7) < 1e-15)
+    assert(r1.getAs[Boolean]("repetitive"))
+
+    val r2 = got(1) // "b a b a": unigram tie a/b -> "a"; "b a" beats "a b"
+    assert(r2.getAs[String]("top1_gram") == "a" && r2.getAs[Int]("top1_cnt") == 2)
+    assert(r2.getAs[String]("top2_gram") == "b a" && r2.getAs[Int]("top2_cnt") == 2)
+    assert(r2.getAs[String]("top3_gram") == "a b a" && r2.getAs[Int]("top3_cnt") == 1)
+
+    for (r <- Seq(got(2), got(3))) { // empty and null normalize identically
+      assert(r.getAs[String]("top1_gram") == "" && r.getAs[Int]("top1_cnt") == 1)
+      assert(r.getAs[Int]("top2_cnt") == 0 && r.getAs[String]("top2_gram") == "")
+      assert(r.getAs[Double]("top1_frac") == 0.0 && !r.getAs[Boolean]("repetitive"))
+    }
+
+    val r5 = got(4) // slogan doc: 5 * len("x y") / 19 chars > 0.2
+    assert(r5.getAs[String]("top2_gram") == "x y" && r5.getAs[Int]("top2_cnt") == 5)
+    assert(math.abs(r5.getAs[Double]("top2_frac") - 5.0 * 3 / 19) < 1e-15)
+    assert(r5.getAs[Boolean]("repetitive"))
+  }
 }

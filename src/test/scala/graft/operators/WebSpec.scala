@@ -71,4 +71,17 @@ class WebSpec extends AnyFunSuite with SparkTestBase {
       l.contains("canon_url") && !l.replace("canon_url", "").contains("url#")),
       s"exchange must carry the canonical key, not the raw url:\n$plan")
   }
+
+  test("domainOf: lowercase host, www and port stripped; non-URL keys to ''") {
+    import spark.implicits._
+    val got = Seq(
+      "https://WWW.Example.com:8080/x?y=1",
+      "http://example.com:80/",
+      "https://blog.example.com/post/7",
+      "not a url at all",
+      "ftp://Files.example.ORG:21/pub"
+    ).toDF("u").select(Web.domainOf(col("u")).as("d")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq(
+      "example.com", "example.com", "blog.example.com", "", "files.example.org"))
+  }
 }
