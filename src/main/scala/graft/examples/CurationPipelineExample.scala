@@ -16,6 +16,9 @@ import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
   *                                           for real: all downstream
   *                                           text is the redacted column)
   *     → quality + length filter            (TextAnalysis.textStats)
+  *     → repetition filter                  (TextAnalysis.gopherRepetition
+  *                                           — top-n-gram char coverage,
+  *                                           the Gopher thresholds)
   *     → LM-likelihood filter               (Corpus.unigramScore — the
   *                                           perplexity-style gate)
   *     → language filter                    (TextAnalysis.langId)
@@ -30,6 +33,10 @@ import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
   *                                           Similarity near-dup pairs)
   *     → per-source balance sampling        (Sampling.stratifiedQuota —
   *                                           deterministic, RNG-free)
+  *     → token-budget selection             (Corpus.budgetSelect — fill
+  *                                           the training budget with the
+  *                                           best docs, distributed
+  *                                           prefix sum, no global window)
   *     → stable train/val/test assignment   (content-hash buckets)
   *     → training-window chunking + packing (TextAnalysis.chunk +
   *                                           packOffsets per split)
@@ -57,6 +64,12 @@ object CurationPipelineExample {
     // 1. quality + length gate
     val quality = TextAnalysis.textStats(docs, "doc_id", "text")
       .where(col("quality") >= 0.45 && col("n_words") >= 10)
+      .select("doc_id")
+
+    // 1a. repetition gate: drop docs where one 2-/3-gram covers more
+    // than the Gopher char-coverage thresholds (slogan/boilerplate spam)
+    val unrepetitive = TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+      .where(!col("repetitive"))
       .select("doc_id")
 
     // 1b. corpus-likelihood gate (the KenLM-perplexity-style filter):
@@ -104,7 +117,8 @@ object CurationPipelineExample {
       .select(col("b_id").as("doc_id")).distinct()
 
     val kept = docs
-      .join(quality, "doc_id").join(likely, "doc_id")
+      .join(quality, "doc_id").join(unrepetitive, "doc_id")
+      .join(likely, "doc_id")
       .join(lang, "doc_id").join(exactKept, "doc_id")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(spanDropped, Seq("doc_id"), "left_anti")
@@ -118,9 +132,22 @@ object CurationPipelineExample {
     val balanced = Sampling.stratifiedQuota(kept, "source", "doc_id", k = 400)
       .drop("rk")
 
+    // 8b. token-budget selection: fill the training budget with the
+    // highest-quality surviving docs — a distributed prefix sum over
+    // (quality DESC, doc_id), never a global ordered window. The budget
+    // here keeps ~most of the small demo corpus; at 100 TB the same call
+    // fills a 10B-token budget from a petabyte of candidates.
+    val prio = TextAnalysis.textStats(balanced, "doc_id", "text")
+      .select(col("doc_id"), col("n_words").cast("long").as("n_tok"),
+        col("quality").as("priority"))
+    val budgeted = graft.operators.Corpus
+      .budgetSelect(prio, "doc_id", "n_tok", "priority", budget = 12000L)
+      .select("doc_id")
+    val selected = balanced.join(budgeted, "doc_id")
+
     // 9. stable split + 10. chunk into training windows and assign each
     // doc its fixed-budget sequence bin within (split, source)
-    val split = balanced.withColumn("split",
+    val split = selected.withColumn("split",
       when((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100) < 80, "train")
         .when((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)

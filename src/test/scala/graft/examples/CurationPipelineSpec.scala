@@ -62,6 +62,18 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
       .count()
     assert(binCheck == 0, "every chunk's start offset lands inside its bin")
 
+    // repetition gate held: no kept doc trips the Gopher thresholds
+    val repKept = graft.operators.TextAnalysis
+      .gopherRepetition(keptText, "doc_id", "text")
+      .where(col("repetitive")).count()
+    assert(repKept == 0, "repetitive docs must not survive the pipeline")
+
+    // token budget held: kept docs' whitespace tokens fit 12k
+    val keptTokens = keptText
+      .select(sum(size(split(col("text"), " "))).as("t")).head.getLong(0)
+    assert(keptTokens > 0 && keptTokens <= 12000,
+      s"kept corpus must fit the 12k token budget, got $keptTokens")
+
     // split assignment is a pure function of doc_id (stable)
     val again = CurationPipelineExample.run(spark, sfDir,
       Files.createTempDirectory("graft_curated_test2").toString)
