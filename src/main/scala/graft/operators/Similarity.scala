@@ -295,6 +295,32 @@ object Similarity {
       .presentSorted("q_id", "rank")
   }
 
+  /** Nearest-seed cluster assignment over the embedding corpus: the
+    * semantic partitioning step of cluster-aware curation (SemDeDup /
+    * cluster-balanced selection — group the corpus by embedding
+    * neighborhood, then dedup or sample WITHIN each neighborhood).
+    * Cells are [[ivfTopKSeeded]]'s deterministic quantizer — the
+    * `nClusters` highest-id rows as centroids, squared-Euclidean argmin,
+    * first-min tie to the lowest cell id — so the whole assignment is
+    * replayable as SQL (q97) and consistent with the IVF family.
+    *
+    * Scale shape: bounded driver seed fetch (`nClusters` rows), then ONE
+    * shuffle-free broadcast-kernel codegen map over the scan. Returns
+    * (vec_id, v, cell). */
+  def clusterAssign(s: SparkSession, dir: String, nClusters: Int = 8): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
+    val seeds = e.orderBy(desc("vec_id")).limit(nClusters).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val kernel = new graft.functions.CentroidKernel(seeds.map(_._2))
+    val cellIds = seeds.map(_._1)
+    val cellIdx = SparkShims.column(graft.functions.NearestCentroid(
+      SparkShims.expression(col("v")), kernel))
+    e.select(col("vec_id"), col("v"),
+      element_at(array(cellIds.map(lit): _*), cellIdx + 1).as("cell"))
+  }
+
   /** Built persisted-IVF index base paths, keyed by (corpus dir, nlist):
     * the build is an ingest-time job, probes reuse it for the JVM's
     * lifetime. */

@@ -710,6 +710,51 @@ object PipelineQueries {
       |FROM r WHERE rank <= 10
       |ORDER BY domain, rank""".stripMargin
 
+  /** Cluster-balanced sampling (SemDeDup-style): partition the embedding
+    * corpus by nearest seed centroid ([[Similarity.clusterAssign]] — one
+    * broadcast-kernel map, no shuffle), then draw a deterministic
+    * hash-quota of 20 per cluster ([[graft.operators.Sampling
+    * .stratifiedQuota]]) — diversity-preserving selection: every
+    * embedding neighborhood contributes equally instead of letting the
+    * dense center of the corpus dominate. Oracle replays assignment
+    * (unrolled squared-Euclidean, argmin with lowest-cell ties) and the
+    * 48-bit rolling-hash quota rank. */
+  def q97ClusterSample(s: SparkSession, dir: String): DataFrame = {
+    val assigned = Similarity.clusterAssign(s, dir, nClusters = 8)
+      .select(col("cell"), col("vec_id"))
+    graft.operators.Sampling.stratifiedQuota(assigned, "cell", "vec_id", k = 20)
+      .presentSorted("cell", "vec_id")
+  }
+
+  def q97Sql: String = {
+    def eudist(a: String, b: String): String =
+      (1 to 64).map(i =>
+        s"($a[$i]::DOUBLE - $b[$i]::DOUBLE) * ($a[$i]::DOUBLE - $b[$i]::DOUBLE)")
+        .mkString(" + ")
+    val hk =
+      """list_reduce(
+        |    list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in
+        |      string_split(CAST(cell AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR), '')]),
+        |    (acc, c) -> (acc * 31 + c) % 281474976710656)""".stripMargin
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS cell, embedding AS ce FROM embeddings ORDER BY vec_id DESC LIMIT 8),
+       |d AS (
+       |  SELECT e.vec_id, s.cell, (${eudist("e.embedding", "s.ce")}) AS dist
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+       |    FROM d) z WHERE rn = 1),
+       |h AS (SELECT cell, vec_id, $hk AS hkey FROM assign)
+       |SELECT cell, vec_id, rk FROM (
+       |  SELECT cell, vec_id,
+       |    row_number() OVER (PARTITION BY cell ORDER BY hkey, vec_id) AS rk
+       |  FROM h) x
+       |WHERE rk <= 20
+       |ORDER BY cell, vec_id""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q30_dedup_exact", q30DedupExact _, q30Sql),
     ("q31_dedup_minhash_lsh", q31DedupMinhash _, q31Sql),
@@ -732,5 +777,6 @@ object PipelineQueries {
     ("q84_quality_survivors", q84QualitySurvivors _, q84Sql),
     ("q91_url_dedup", q91UrlDedup _, q91Sql),
     ("q92_neardup_sources", q92NeardupSources _, q92Sql),
-    ("q96_domain_cap", q96DomainCap _, q96Sql))
+    ("q96_domain_cap", q96DomainCap _, q96Sql),
+    ("q97_cluster_sample", q97ClusterSample _, q97Sql))
 }

@@ -280,4 +280,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(r.getString(0).contains("cell=0") || r.getString(0).contains("cell=1"))
     }
   }
+
+  test("clusterAssign: every vector lands on its true nearest seed, ties to lowest cell") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val seeds = emb.toSeq.sortBy(-_._1).take(8).sortBy(_._1)
+    val got = Similarity.clusterAssign(spark, sfDir, nClusters = 8)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == emb.size)
+    emb.foreach { case (id, v) =>
+      val best = seeds.map { case (cid, c) =>
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+        (d, cid)
+      }.minBy(identity) // (dist, cell) lexicographic == first-min lowest cell
+      assert(got(id) == best._2, s"vec $id")
+    }
+  }
 }
