@@ -78,7 +78,25 @@ object ScaleStudy {
           .groupBy("source").agg(kmv(col("h")).as("sk"))
       }),
       ("q82 ngramNovelty", d => Corpus.ngramNovelty(d, "doc_id", "text")),
-      ("q83 temperedMixture", d => Sampling.temperedMixture(d, "source", "doc_id", 200L)))
+      ("q83 temperedMixture", d => Sampling.temperedMixture(d, "source", "doc_id", 200L)),
+      ("q94 gopherRepetition (scan)",
+        d => TextAnalysis.gopherRepetition(d, "doc_id", "text")),
+      ("q95 budgetSelect (prefix)", { d =>
+        val ws = split(coalesce(col("text"), lit("")), " ")
+        Corpus.budgetSelect(
+          d.select(col("doc_id"), size(ws).cast("long").as("n_tok"),
+            (size(array_distinct(ws)).cast("double") / size(ws)).as("priority")),
+          "doc_id", "n_tok", "priority", budget = Long.MaxValue / 2)
+      }),
+      ("q96 domainCap (topk)", { d =>
+        val url = concat(lit("https://d"), (col("doc_id") % 97).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"))
+        val ws = split(coalesce(col("text"), lit("")), " ")
+        graft.operators.TopK.perKey(
+          d.select(col("doc_id"), graft.operators.Web.domainOf(url).as("domain"),
+            (size(array_distinct(ws)).cast("double") / size(ws)).as("priority")),
+          Seq("domain"), "priority", "doc_id", k = 10)
+      }))
 
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
     def time(df: => DataFrame): (Double, Long) = {

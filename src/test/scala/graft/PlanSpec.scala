@@ -153,6 +153,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"trigram scoring must be inside a codegen stage:\n$s")
   }
 
+  test("q94 gopher repetition: one codegen scan, kernel expression, no shuffle") {
+    val df = operators.TextAnalysis.gopherRepetition(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    val s = planOf(df) // operator itself (no presentSorted) is shuffle-free
+    assert(!s.contains("Exchange"), s"repetition filter must not shuffle:\n$s")
+    assert(s.contains("repetition_stats"),
+      s"expected the RepetitionStats kernel in the plan:\n$s")
+    assert(!s.contains("ScalaUDF"), s"must stay in native expressions:\n$s")
+    val line = s.linesIterator.find(l =>
+      l.contains("repetition_stats") && l.contains("Project"))
+    assert(line.exists(_.contains("*(")),
+      s"repetition kernel must be inside a codegen stage:\n$s")
+  }
+
   test("query names are unique across suites (toMap would silently drop dups)") {
     val names = Seq(
       queries.RelationalQueries.all, queries.AdvancedQueries.all,
