@@ -321,6 +321,35 @@ object Similarity {
       element_at(array(cellIds.map(lit): _*), cellIdx + 1).as("cell"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found
+    * WITHIN embedding clusters only — [[clusterAssign]] partitions the
+    * corpus into nearest-seed cells, then exact cosine runs per cell.
+    * The cell equi-join is the whole trick: candidate generation is
+    * Σ|cell|² instead of N², and near-duplicates land in the same cell
+    * with high probability because they are near the same centroid (the
+    * documented trade — a pair straddling a cell boundary is missed,
+    * which is what the paper accepts for its 100× cost cut).
+    *
+    * Scale shape: assignment is a shuffle-free broadcast-kernel map; the
+    * pair join shuffles (cell, id, vector) once on the cell key; task
+    * cost is bounded by max cell size — at 100 TB pick `nClusters` so
+    * cells hold ~10-50k vectors (the paper's regime), and split hot
+    * cells by recursing the quantizer. Deterministic and SQL-replayable
+    * (q98): same quantizer as q42/q97, unrolled-sum cosine. */
+  def semDedupPairs(
+      s: SparkSession,
+      dir: String,
+      nClusters: Int = 8,
+      threshold: Double = 0.35): DataFrame = {
+    val assigned = clusterAssign(s, dir, nClusters)
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("v").as("av"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("v").as("bv"))
+    a.join(b, "cell").where(col("a_id") < col("b_id"))
+      .select(col("cell"), col("a_id"), col("b_id"),
+        LightFusion.cosineSimilarity(col("av"), col("bv")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Built persisted-IVF index base paths, keyed by (corpus dir, nlist):
     * the build is an ingest-time job, probes reuse it for the JVM's
     * lifetime. */

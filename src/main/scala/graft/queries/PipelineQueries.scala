@@ -755,6 +755,44 @@ object PipelineQueries {
        |ORDER BY cell, vec_id""".stripMargin
   }
 
+  /** SemDeDup ([[Similarity.semDedupPairs]]): semantic near-dup pairs
+    * found within embedding clusters only — the cell equi-join cuts
+    * candidate generation from N² to Σ|cell|², missing only pairs that
+    * straddle a cell boundary (the paper's accepted trade). Same seeded
+    * quantizer as q42/q97; oracle replays assignment + per-cell
+    * unrolled-sum cosine, so the boundary-miss set is identical in both
+    * engines and the match is exact. */
+  def q98SemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupPairs(s, dir, nClusters = 8, threshold = 0.35)
+      .presentSorted("cell", "a_id", "b_id")
+
+  def q98Sql: String = {
+    def eudist(a: String, b: String): String =
+      (1 to 64).map(i =>
+        s"($a[$i]::DOUBLE - $b[$i]::DOUBLE) * ($a[$i]::DOUBLE - $b[$i]::DOUBLE)")
+        .mkString(" + ")
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS cell, embedding AS ce FROM embeddings ORDER BY vec_id DESC LIMIT 8),
+       |d AS (
+       |  SELECT e.vec_id, s.cell, (${eudist("e.embedding", "s.ce")}) AS dist
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+       |    FROM d) z WHERE rn = 1),
+       |v AS (SELECT a.vec_id, a.embedding, s.cell,
+       |        (${dotSql("a.embedding", "a.embedding")}) AS nrm
+       |      FROM embeddings a JOIN assign s ON s.vec_id = a.vec_id),
+       |p AS (
+       |  SELECT x.cell, x.vec_id AS a_id, y.vec_id AS b_id,
+       |    (${dotSql("x.embedding", "y.embedding")}) / (sqrt(x.nrm) * sqrt(y.nrm)) AS cos
+       |  FROM v x JOIN v y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+       |SELECT cell, a_id, b_id, cos FROM p
+       |WHERE cos >= 0.35
+       |ORDER BY cell, a_id, b_id""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q30_dedup_exact", q30DedupExact _, q30Sql),
     ("q31_dedup_minhash_lsh", q31DedupMinhash _, q31Sql),
@@ -778,5 +816,6 @@ object PipelineQueries {
     ("q91_url_dedup", q91UrlDedup _, q91Sql),
     ("q92_neardup_sources", q92NeardupSources _, q92Sql),
     ("q96_domain_cap", q96DomainCap _, q96Sql),
-    ("q97_cluster_sample", q97ClusterSample _, q97Sql))
+    ("q97_cluster_sample", q97ClusterSample _, q97Sql),
+    ("q98_semdedup", q98SemDedup _, q98Sql))
 }

@@ -299,4 +299,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(got(id) == best._2, s"vec $id")
     }
   }
+
+  test("semDedupPairs == all-pairs cosine restricted to shared cells") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cellOf = Similarity.clusterAssign(spark, sfDir, nClusters = 8)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = emb.keys.toArray.sorted
+    val want = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if cellOf(a) == cellOf(b) && cos(emb(a), emb(b)) >= 0.35
+    } yield (a, b)).toSet
+    val got = Similarity.semDedupPairs(spark, sfDir, nClusters = 8, threshold = 0.35)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "calibration: the fixture must contain same-cell near-dups")
+    assert(got == want)
+  }
 }
