@@ -69,4 +69,17 @@ class TextStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(s2 == Sampling.stratifiedRate(batchDf, "source", "doc_id", lit(2500))
       .collect().map(_.toSeq).toSet)
   }
+
+  test("gopherRepetition and redactPii: stream == batch (new gates ride micro-batches)") {
+    val batchDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "source")
+    val s1 = streamed("gr_out",
+      d => TextAnalysis.gopherRepetition(d, "doc_id", "text"))
+    assert(s1 == TextAnalysis.gopherRepetition(batchDf, "doc_id", "text")
+      .collect().map(_.toSeq).toSet)
+    val s2 = streamed("rp_out",
+      d => TextAnalysis.redactPii(d, "doc_id", "text"))
+    assert(s2 == TextAnalysis.redactPii(batchDf, "doc_id", "text")
+      .collect().map(_.toSeq).toSet)
+  }
 }
