@@ -295,13 +295,22 @@ object EventMediaQueries {
     val stream = s.readStream.schema(schema).option("basePath", dir)
       .parquet(s"$dir/documents.parquet*")
     val name = s"q74_stream_dedup_${streamSeq.incrementAndGet()}"
-    val q = graft.operators.Dedup.exactDedupStream(stream, "text")
-      .select(col("digest"), length(col("text")).as("n_chars"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // same state-partition scoping as q87: the dedup state is digests
+    // only (KBs), so 32 state-store open/commit cycles per micro-batch
+    // is pure constant overhead — 8 shards keep the demo distributed at
+    // a quarter of the bookkeeping (restored after; a deployment sizes
+    // state partitions to state volume)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = graft.operators.Dedup.exactDedupStream(stream, "text")
+        .select(col("digest"), length(col("text")).as("n_chars"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name).presentSorted("digest")
   }
 
