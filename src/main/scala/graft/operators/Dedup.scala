@@ -139,6 +139,71 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Persist the ingest-time MinHash signature index for a corpus — the
+    * dedup analogue of the persisted IVF index: build once at ingest,
+    * then every new crawl batch dedups against the STORE without ever
+    * re-reading (or re-shingling) the corpus. Two parquet tables under
+    * `path`: `bands/` (band, key, doc_id) — the LSH bucket index the
+    * candidate join probes — and `shingles/` (doc_id, sg) — hashed
+    * shingle sets fetched by id for exact verify. Corpus text is NOT
+    * stored: at 100 TB the index is a few % of corpus bytes. */
+  def buildMinhashStoreAt(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): Unit = {
+    val sh = hashedShingled(docs, idCol, textCol).cache()
+    try {
+      sh.select(col(idCol).as("doc_id"),
+          posexplode(bandKeys(col("sg"))).as(Seq("band", "key")))
+        .write.mode("overwrite").parquet(s"$path/bands")
+      sh.select(col(idCol).as("doc_id"), col("sg"))
+        .write.mode("overwrite").parquet(s"$path/shingles")
+    } finally sh.unpersist()
+  }
+
+  /** Incremental near-dup detection: candidate pairs between a NEW batch
+    * and a persisted signature store ([[buildMinhashStoreAt]]), exact-
+    * Jaccard verified — the daily-crawl workflow (dedup the delta against
+    * yesterday's corpus, never reprocess the corpus itself).
+    *
+    * Scale shape: the new batch shingles+bands as a map stage; the
+    * candidate join probes the stored band buckets on (band, key) —
+    * stored buckets above `maxBucket` are dropped first (the same skew
+    * guard and semantics as [[minhashPairs]]); the verify join fetches
+    * shingle sets by id for candidates only. Cost scales with the DELTA,
+    * not the corpus. Recall argument is [[minhashPairs]]'s: J ≥ 0.8
+    * cross-pairs band-collide with probability ≈ 1. */
+  def minhashPairsAgainstStore(
+      s: SparkSession,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    val nsh = hashedShingled(newDocs, idCol, textCol).cache()
+    val nBand = nsh.select(col(idCol).as("new_id"),
+      posexplode(bandKeys(col("sg"))).as(Seq("band", "key")))
+    val stored = s.read.parquet(s"$path/bands")
+      .select(col("band"), col("key"), col("doc_id").as("store_id"))
+    val okBuckets = stored.groupBy("band", "key")
+      .agg(count(lit(1)).as("n")).where(col("n") <= maxBucket)
+      .select("band", "key")
+    val cands = nBand
+      .join(stored.join(okBuckets, Seq("band", "key"), "left_semi"),
+        Seq("band", "key"))
+      .select("new_id", "store_id").distinct()
+    val ssh = s.read.parquet(s"$path/shingles")
+      .select(col("doc_id").as("store_id"), col("sg").as("sg_s"))
+    cands
+      .join(nsh.select(col(idCol).as("new_id"), col("sg").as("sg_n")), "new_id")
+      .join(ssh, "store_id")
+      .select(col("new_id"), col("store_id"),
+        jaccardSorted(col("sg_n"), col("sg_s")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Exact word-set Jaccard pairs inside blocking predicates — the
     * brute-force baseline the DuckDB oracle replays verbatim.
     *

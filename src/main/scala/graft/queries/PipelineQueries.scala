@@ -793,6 +793,45 @@ object PipelineQueries {
        |ORDER BY cell, a_id, b_id""".stripMargin
   }
 
+  /** Built minhash-store base paths per corpus dir: the store build is
+    * an ingest-time job; delta batches reuse it for the JVM's lifetime
+    * (mirrors the persisted-IVF lifecycle). */
+  private val minhashStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental near-dup dedup against a persisted signature store
+    * ([[Dedup.buildMinhashStoreAt]] / [[Dedup.minhashPairsAgainstStore]]):
+    * the corpus slice `doc_id % 3 != 0` is indexed once at "ingest"; the
+    * delta batch (`doc_id % 3 == 0`) then finds its near-dup pairs
+    * against the STORE without re-reading the corpus — the daily-crawl
+    * workflow. Oracle is the exact cross-slice trigram Jaccard (q31's
+    * argument: banding recalls J ≥ 0.8 pairs with probability ≈ 1). */
+  def q99DeltaDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val store = minhashStores.computeIfAbsent(dir, _ => {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_mhstore_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.buildMinhashStoreAt(
+        d.where(col("doc_id") % 3 =!= 0), "doc_id", "text", p)
+      p
+    })
+    Dedup.minhashPairsAgainstStore(s,
+        d.where(col("doc_id") % 3 === 0), "doc_id", "text", store,
+        threshold = 0.8)
+      .presentSorted("new_id", "store_id")
+  }
+
+  def q99Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) sg
+      |       FROM w WHERE len(ws) >= 3)
+      |SELECT n.doc_id AS new_id, st.doc_id AS store_id,
+      |  len(list_intersect(n.sg,st.sg))::DOUBLE / (len(n.sg)+len(st.sg)-len(list_intersect(n.sg,st.sg))) AS jaccard
+      |FROM sh n JOIN sh st ON n.doc_id % 3 = 0 AND st.doc_id % 3 <> 0
+      |WHERE jaccard >= 0.8
+      |ORDER BY new_id, store_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q30_dedup_exact", q30DedupExact _, q30Sql),
     ("q31_dedup_minhash_lsh", q31DedupMinhash _, q31Sql),
@@ -817,5 +856,6 @@ object PipelineQueries {
     ("q92_neardup_sources", q92NeardupSources _, q92Sql),
     ("q96_domain_cap", q96DomainCap _, q96Sql),
     ("q97_cluster_sample", q97ClusterSample _, q97Sql),
-    ("q98_semdedup", q98SemDedup _, q98Sql))
+    ("q98_semdedup", q98SemDedup _, q98Sql),
+    ("q99_delta_dedup", q99DeltaDedup _, q99Sql))
 }

@@ -550,4 +550,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       assert(members.exists(_.getAs[Long]("doc_id") == r.getLong(1)))
     }
   }
+
+  test("minhashPairsAgainstStore == full-corpus pairs restricted to cross-slice") {
+    val full = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // reorient every cross-slice pair as (new = %3==0, store = %3!=0)
+    val want = full.flatMap { case (a, b, j) =>
+      if (a % 3 == 0 && b % 3 != 0) Some((a, b, j))
+      else if (b % 3 == 0 && a % 3 != 0) Some((b, a, j))
+      else None
+    }.toSet
+    assert(want.nonEmpty, "fixture must contain cross-slice near-dups")
+    val path = java.nio.file.Files.createTempDirectory("graft_mhstore_test").toString
+    Dedup.buildMinhashStoreAt(
+      docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text", path)
+    val got = Dedup.minhashPairsAgainstStore(spark,
+        docs.where(col("doc_id") % 3 === 0), "doc_id", "text", path,
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
 }
