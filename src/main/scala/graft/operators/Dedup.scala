@@ -162,6 +162,28 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /** Append a new batch's signatures to an existing store — the second
+    * half of the daily cycle: dedup the delta against the store
+    * ([[minhashPairsAgainstStore]]), keep the survivors, then append
+    * their signatures so TOMORROW's delta dedups against today's too.
+    * Banding is deterministic (fixed permutation seed), so append ≡
+    * rebuild-over-union (DedupSpec pins it). Append-mode parquet writes
+    * only — the existing index bytes are never rewritten. */
+  def appendToMinhashStore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): Unit = {
+    val sh = hashedShingled(docs, idCol, textCol).cache()
+    try {
+      sh.select(col(idCol).as("doc_id"),
+          posexplode(bandKeys(col("sg"))).as(Seq("band", "key")))
+        .write.mode("append").parquet(s"$path/bands")
+      sh.select(col(idCol).as("doc_id"), col("sg"))
+        .write.mode("append").parquet(s"$path/shingles")
+    } finally sh.unpersist()
+  }
+
   /** Incremental near-dup detection: candidate pairs between a NEW batch
     * and a persisted signature store ([[buildMinhashStoreAt]]), exact-
     * Jaccard verified — the daily-crawl workflow (dedup the delta against

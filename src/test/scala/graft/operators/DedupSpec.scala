@@ -570,4 +570,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == want)
   }
+
+  test("minhash store: build + append == rebuild over the union") {
+    val slice = (m: Int) => docs.where(col("doc_id") % 3 === m)
+    val p1 = java.nio.file.Files.createTempDirectory("graft_mhstore_a").toString
+    Dedup.buildMinhashStoreAt(slice(1), "doc_id", "text", p1)
+    Dedup.appendToMinhashStore(slice(2), "doc_id", "text", p1)
+    val p2 = java.nio.file.Files.createTempDirectory("graft_mhstore_b").toString
+    Dedup.buildMinhashStoreAt(docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text", p2)
+    def pairs(path: String) = Dedup.minhashPairsAgainstStore(spark,
+        slice(0), "doc_id", "text", path, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = pairs(p1)
+    assert(a.nonEmpty && a == pairs(p2))
+  }
 }
