@@ -312,4 +312,31 @@ object Corpus {
     }(org.apache.spark.sql.Encoders.row(outSchema))
     withCum.where(col("cum_tok") <= budget).drop("__pid")
   }
+
+  /** Column profile (the ANALYZE-style data-quality audit a pipeline
+    * runs on every new source before trusting it): one row per column
+    * with row/null/distinct counts and min/max. All statistics come from
+    * ONE aggregation pass over the scan (distinct counts expand the scan
+    * |cols|× map-side — the exact-count trade; swap in
+    * `approx_count_distinct` at extreme cardinality), then a constant
+    * `stack` pivots the single result row to long form — no second scan,
+    * no shuffle beyond the scalar aggregate. min/max compare in the
+    * column's NATIVE type and cast to string only for display, so
+    * numeric columns profile numerically. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { c => Seq(
+      count(col(c)).as(s"__${c}_nonnull"),
+      countDistinct(col(c)).as(s"__${c}_distinct"),
+      min(col(c)).cast("string").as(s"__${c}_min"),
+      max(col(c)).cast("string").as(s"__${c}_max")) }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', __total - `__${c}_nonnull`, `__${c}_distinct`, `__${c}_min`, `__${c}_max`"
+    }.mkString(", ")
+    row.selectExpr(
+      s"stack(${cols.length}, $stackArgs) AS (col_name, n_null, n_distinct, min_val, max_val)",
+      "__total AS n_rows")
+      .select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+  }
 }

@@ -302,6 +302,29 @@ object CorpusQueries {
       |FROM c WHERE cum_tok <= 15000
       |ORDER BY doc_id""".stripMargin
 
+  /** Column profile ([[Corpus.profileColumns]]) over `documents`: the
+    * ANALYZE-style audit — per-column null/distinct/min/max from one
+    * aggregation pass. Oracle recomputes every statistic independently
+    * per column and unions to the same long form. */
+  def q100Profile(s: SparkSession, dir: String): DataFrame =
+    Corpus.profileColumns(docs(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .presentSorted("col_name")
+
+  def q100Sql: String = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val branches = cols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+         |  (count(*) - count($c))::BIGINT AS n_null,
+         |  count(DISTINCT $c)::BIGINT AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_val,
+         |  CAST(max($c) AS VARCHAR) AS max_val
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$branches
+       |ORDER BY col_name""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
@@ -314,5 +337,6 @@ object CorpusQueries {
     ("q79_kmv_distinct", q79KmvDistinct _, q79Sql),
     ("q82_ngram_novelty", q82NgramNovelty _, q82Sql),
     ("q83_tempered_mixture", q83TemperedMixture _, q83Sql),
-    ("q95_token_budget", q95TokenBudget _, q95Sql))
+    ("q95_token_budget", q95TokenBudget _, q95Sql),
+    ("q100_profile", q100Profile _, q100Sql))
 }

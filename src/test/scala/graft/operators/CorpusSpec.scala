@@ -153,4 +153,17 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       assert(got.toSeq == want.toSeq, s"budget=$budget partitions=$p")
     }
   }
+
+  test("profileColumns: nulls, distincts, min/max compare in native type") {
+    import spark.implicits._
+    val df = Seq((1L, Option("b")), (2L, None), (10L, Option("a")))
+      .toDF("id", "s")
+    val got = Corpus.profileColumns(df, Seq("id", "s")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    // numeric max is 10 — a string comparison would have said "2"
+    assert(got("id") == ((3L, 0L, 3L, "1", "10")))
+    assert(got("s") == ((3L, 1L, 2L, "a", "b")))
+  }
 }
