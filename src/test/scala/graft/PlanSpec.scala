@@ -167,6 +167,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"repetition kernel must be inside a codegen stage:\n$s")
   }
 
+  test("budgetSelect plans as a range repartition, never a global window") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ws = split(coalesce(col("text"), lit("")), " ")
+    val base = docs.select(col("doc_id"),
+      size(ws).cast("long").as("n_tok"),
+      (size(array_distinct(ws)).cast("double") / size(ws)).as("priority"))
+    val out = operators.Corpus.budgetSelect(base, "doc_id", "n_tok", "priority", 15000L)
+    val s = out.queryExecution.executedPlan.toString
+    // the whole point: the cumulative sum must NOT be a Window over
+    // SinglePartition (the classic non-scalable plan)
+    assert(!s.contains("Window"), s"no window operator expected:\n$s")
+    // and the checkpointed lineage upstream was range-partitioned; the
+    // post-checkpoint plan is a scan + filter, nothing global
+    assert(!s.contains("Exchange SinglePartition"),
+      s"nothing may funnel through one partition:\n$s")
+  }
+
   test("query names are unique across suites (toMap would silently drop dups)") {
     val names = Seq(
       queries.RelationalQueries.all, queries.AdvancedQueries.all,

@@ -173,4 +173,27 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
         }
     }
   }
+
+  test("RepetitionKernel == naive groupBy reference on random word sequences") {
+    val kernel = new graft.functions.RepetitionKernel
+    val wordGen = Gen.oneOf("a", "b", "ab", "ba", "x", "")
+    val docGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    forAllN(docGen, n = 200) { text =>
+      val words = text.split(" ", -1).toSeq
+      def naive(n: Int): (Int, String) = {
+        val grams = words.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+        if (grams.isEmpty) (0, "")
+        else {
+          val counts = grams.groupBy(identity).view.mapValues(_.size)
+          val best = counts.toSeq.minBy { case (g, c) => (-c, g) }
+          (best._2, best._1)
+        }
+      }
+      val r = kernel.compute(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      assert(r._1 == words.length)
+      assert((r._2, r._3) == naive(1), s"1-gram on '$text'")
+      assert((r._4, r._5) == naive(2), s"2-gram on '$text'")
+      assert((r._6, r._7) == naive(3), s"3-gram on '$text'")
+    }
+  }
 }
