@@ -268,7 +268,13 @@ object Corpus {
     * Result is row-identical to the window plan (CorpusSpec pins it).
     *
     * A kept row satisfies `cum_tok <= budget` where `cum_tok` includes
-    * its own tokens. */
+    * its own tokens.
+    *
+    * Contract: `tokCol` and `priorityCol` must be non-null (coalesce
+    * upstream) — a null token count would NPE the running sum, and null
+    * priorities order differently across engines (Spark DESC puts nulls
+    * last, DuckDB DESC puts them first), which would silently break the
+    * oracle's total order. */
   def budgetSelect(
       df: DataFrame,
       idCol: String,
