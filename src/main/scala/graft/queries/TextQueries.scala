@@ -474,6 +474,47 @@ object TextQueries {
       |    (acc, c) -> (acc * 31 + c) % 281474976710656) AS seq_fp
       |FROM g ORDER BY source, seq_id""".stripMargin
 
+  /** Unicode-aware text stats: q50's statistics computed over the q88
+    * hazard corpus (NBSP / decomposed accents / CJK appended) with the
+    * unicode tokenizer threaded through `textStats(tokenize = )` — the
+    * honest word counts where the legacy single-space split degrades
+    * (CJK glues into one "word", NBSP-joined tokens never split). The
+    * oracle replays nfc_normalize + CJK spacing + whitespace-family
+    * split, then q50's exact arithmetic on those tokens. */
+  def q89UnicodeStats(s: SparkSession, dir: String): DataFrame = {
+    val dirty = docs(s, dir).select(col("doc_id"),
+      concat(coalesce(col("text"), lit("")), lit(q88Suffix)).as("text"))
+    TextAnalysis.textStats(dirty, "doc_id", "text",
+        tokenize = TextAnalysis.wordsUnicode)
+      .presentSorted("doc_id")
+  }
+
+  def q89Sql: String =
+    raw"""WITH dirty AS (
+         |  SELECT doc_id, coalesce(text, '') || '$q88Suffix' AS text FROM documents),
+         |tok AS (
+         |  SELECT doc_id, text,
+         |    list_filter(regexp_split_to_array(
+         |      regexp_replace(lower(nfc_normalize(text)),
+         |        '([\x{4e00}-\x{9fff}\x{3040}-\x{30ff}])', ' \1 ', 'g'),
+         |      '[\s\x{00a0}\x{2007}\x{202f}]+'), w -> w <> '') AS ws
+         |  FROM dirty)
+         |SELECT doc_id,
+         |  len(text) AS n_chars_actual,
+         |  len(ws) AS n_words,
+         |  len(list_distinct(ws)) AS n_distinct_words,
+         |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS punct_cnt,
+         |  len(regexp_extract_all(text, '[0-9]')) AS digit_cnt,
+         |  len(list_filter(ws, w -> list_contains([$stopsEn], w))) AS stop_cnt,
+         |  CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) AS avg_word_len,
+         |  0.4 * (len(list_distinct(ws))::DOUBLE / len(ws))
+         |    + 0.3 * least(len(ws)::DOUBLE / 100, 1.0)
+         |    + 0.2 * (len(list_filter(ws, w -> list_contains([$stopsEn], w)))::DOUBLE / len(ws))
+         |    + 0.1 * (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE / len(text))
+         |    AS quality
+         |FROM tok
+         |ORDER BY doc_id""".stripMargin
+
   /** Gopher repetition filter ([[TextAnalysis.gopherRepetition]]): the
     * published "fraction of characters in the most common n-gram"
     * signals (n = 1..3) with the paper's 2-gram/3-gram thresholds. The
@@ -527,6 +568,7 @@ object TextQueries {
     ("q85_bpe_tokens", q85BpeTokens _, q85Sql),
     ("q86_langid_trigram", q86LangidTrigram _, q86Sql),
     ("q88_unicode_tokens", q88UnicodeTokens _, q88Sql),
+    ("q89_unicode_stats", q89UnicodeStats _, q89Sql),
     ("q93_pack_sequences", q93PackSequences _, q93Sql),
     ("q94_gopher_repetition", q94GopherRepetition _, q94Sql))
 }
