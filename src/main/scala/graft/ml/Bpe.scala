@@ -128,6 +128,61 @@ object Bpe {
     out.toSeq
   }
 
+  /** Learn `numMerges` BPE merges from a word histogram (classic
+    * Sennrich training on the word-frequency dict): each round counts
+    * every adjacent symbol pair across the vocabulary — overlapping
+    * positions included, weighted by word count — picks the pair with
+    * the highest total (ties broken by `(left, right)` ascending, so
+    * the winner is engine-independent), and rewrites every word with a
+    * single greedy left-to-right pass. The greedy pass equals
+    * "repeatedly merge the leftmost occurrence" because a merge of
+    * `(l, r)` can never create a NEW `(l, r)` occurrence (`l + r` is
+    * strictly longer than either side), which is what lets the DuckDB
+    * oracle (q101) replay each round as one leftmost-occurrence
+    * recursive CTE.
+    *
+    * Stops early (returns fewer rows) if the vocabulary runs out of
+    * adjacent pairs. Returns `(left, right, pairCount)` in rank order;
+    * feed `new Bpe(result.map(m => (m._1, m._2)))` to encode with the
+    * learned vocabulary.
+    */
+  def trainMerges(
+      vocab: Seq[(String, Long)],
+      numMerges: Int): Seq[(String, String, Long)] = {
+    var words: Seq[(Array[String], Long)] =
+      vocab.map { case (w, c) => (w.split("").filter(_.nonEmpty), c) }
+    val out = new ArrayBuffer[(String, String, Long)]
+    var continue = numMerges > 0
+    while (continue) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts.update(k, counts.getOrElse(k, 0L) + c)
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val ((l, r), total) = counts.minBy { case ((a, b), t) => (-t, a, b) }
+        out += ((l, r, total))
+        words = words.map { case (syms, c) => (mergeGreedy(syms, l, r), c) }
+        continue = out.size < numMerges
+      }
+    }
+    out.toSeq
+  }
+
+  /** One greedy left-to-right merge pass: fold the symbols, replacing
+    * `…, l, r, …` with `…, l+r, …` whenever the running tail matches —
+    * so `aaa` under `(a, a)` becomes `[aa, a]`, never `[a, aa]`. */
+  private def mergeGreedy(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new ArrayBuffer[String](syms.length)
+    for (s <- syms) {
+      if (out.nonEmpty && out(out.length - 1) == l && s == r)
+        out(out.length - 1) = l + r
+      else out += s
+    }
+    out.toArray
+  }
+
   /** Parse "left right" merge lines (rank = line order). */
   def fromLines(lines: Iterator[String]): Bpe = {
     val ms = lines.map(_.trim).filter(_.nonEmpty).map { l =>

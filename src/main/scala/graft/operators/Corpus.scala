@@ -345,4 +345,47 @@ object Corpus {
       "__total AS n_rows")
       .select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
   }
+
+  /** Distributed BPE vocabulary training ([[graft.ml.Bpe.trainMerges]]
+    * does the per-round arithmetic): build the corpus word histogram —
+    * ONE explode+groupBy shuffle with map-side combine, reduce side
+    * vocabulary-sized — cap it to the `topV` most frequent words
+    * (`TakeOrderedAndProject`: each partition ships only its own top V,
+    * the driver holds V rows, never the vocabulary), then learn
+    * `numMerges` merges on the driver. Training on the capped
+    * word-frequency dict is the standard formulation (Sennrich et al.,
+    * arXiv:1508.07909 §3.2): the corpus influences training ONLY through
+    * the histogram, so the scale-out story is entirely the first shuffle
+    * — at 100 TB the cap is what keeps the driver state `O(topV)`
+    * regardless of corpus vocabulary.
+    *
+    * Words are the same `[a-z0-9]+` runs of the lowercased text that
+    * [[graft.ml.Bpe.words]] / q85 tokenize, so the learned merges plug
+    * straight into the encoder. Cap ties break by `(count DESC, word
+    * ASC)`; pair ties by `(left, right)` ASC — both engine-independent.
+    *
+    * Output: one row per learned merge, `(merge_rank, lhs, rhs, merged,
+    * pair_count)` — `pair_count` is the pair's corpus-weighted adjacency
+    * count at selection time, the training curve a tokenizer build
+    * audits (a sharp drop = vocabulary saturating).
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: String,
+      topV: Int,
+      numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = docs
+      .select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(topV)
+      .as[(String, Long)].collect().toSeq
+    val merges = graft.ml.Bpe.trainMerges(hist, numMerges)
+    merges.zipWithIndex.map { case ((l, r, total), i) =>
+      (i, l, r, l + r, total)
+    }.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
 }

@@ -515,6 +515,68 @@ object TextQueries {
          |FROM tok
          |ORDER BY doc_id""".stripMargin
 
+  /** Distributed BPE vocabulary training ([[Corpus.bpeTrain]] →
+    * [[graft.ml.Bpe.trainMerges]]): learn 16 merges from the corpus's
+    * top-128-word histogram. The oracle replays the ENTIRE training
+    * loop — histogram, cap, then per round an adjacency-pair count, the
+    * `(total DESC, l, r)` argmax, and a leftmost-occurrence recursive
+    * rewrite (equal to the Scala side's greedy pass because a merge
+    * never creates a new occurrence of its own pair) — as 16 unrolled
+    * CTE rounds, the same full-replay standard q85 sets for encoding. */
+  def q101BpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.bpeTrain(docs(s, dir), "text", topV = 128, numMerges = 16)
+      .presentSorted("merge_rank")
+
+  private val q101V = 128
+  private val q101M = 16
+
+  def q101Sql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH RECURSIVE
+       |hist AS MATERIALIZED (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |        FROM documents)
+       |  GROUP BY w ORDER BY cnt DESC, word LIMIT $q101V),
+       |vocab0(word, cnt, syms) AS (
+       |  SELECT word, cnt,
+       |    list_transform(range(1, len(word) + 1), i -> substr(word, i, 1))
+       |  FROM hist)""".stripMargin
+    for (t <- 1 to q101M) {
+      val prev = s"vocab${t - 1}"
+      sb ++= s""",
+         |pairs$t AS MATERIALIZED (
+         |  SELECT list_extract(syms, i) AS l, list_extract(syms, i + 1) AS r,
+         |    CAST(sum(cnt) AS BIGINT) AS total
+         |  FROM $prev, unnest(range(1, len(syms))) u(i) GROUP BY 1, 2),
+         |best$t AS MATERIALIZED (SELECT l, r, total FROM pairs$t ORDER BY total DESC, l, r LIMIT 1)""".stripMargin
+      if (t < q101M) sb ++= s""",
+         |app$t(word, cnt, syms) AS (
+         |  SELECT word, cnt, syms FROM $prev
+         |  UNION ALL
+         |  SELECT word, cnt,
+         |    list_concat(list_concat(list_slice(syms, 1, bi - 1),
+         |      [list_extract(syms, bi) || list_extract(syms, bi + 1)]),
+         |      list_slice(syms, bi + 2, len(syms)))
+         |  FROM (
+         |    SELECT word, cnt, syms,
+         |      list_filter(range(1, len(syms)),
+         |        i -> list_extract(syms, i) = b.l AND list_extract(syms, i + 1) = b.r)[1] AS bi
+         |    FROM app$t, best$t b) x
+         |  WHERE bi IS NOT NULL),
+         |vocab$t AS MATERIALIZED (
+         |  SELECT word, cnt, syms FROM app$t
+         |  WHERE NOT EXISTS (SELECT 1 FROM best$t b
+         |    WHERE len(list_filter(range(1, len(syms)),
+         |      i -> list_extract(syms, i) = b.l AND list_extract(syms, i + 1) = b.r)) > 0))""".stripMargin
+    }
+    sb ++= "\n" + (1 to q101M).map(t =>
+      s"SELECT ${t - 1} AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, " +
+        s"total AS pair_count FROM best$t")
+      .mkString("", "\nUNION ALL ", "\nORDER BY merge_rank")
+    sb.toString
+  }
+
   /** Gopher repetition filter ([[TextAnalysis.gopherRepetition]]): the
     * published "fraction of characters in the most common n-gram"
     * signals (n = 1..3) with the paper's 2-gram/3-gram thresholds. The
@@ -570,5 +632,6 @@ object TextQueries {
     ("q88_unicode_tokens", q88UnicodeTokens _, q88Sql),
     ("q89_unicode_stats", q89UnicodeStats _, q89Sql),
     ("q93_pack_sequences", q93PackSequences _, q93Sql),
-    ("q94_gopher_repetition", q94GopherRepetition _, q94Sql))
+    ("q94_gopher_repetition", q94GopherRepetition _, q94Sql),
+    ("q101_bpe_train", q101BpeTrain _, q101Sql))
 }

@@ -183,4 +183,48 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getAs[Long]("bin") == offsets(i) / 8)
     }
   }
+
+  test("trainMerges: hand-computed rounds, overlap greed, tie-break, early stop") {
+    // abab×3 + aab×2 + b×5: (a,b) = 2·3 + 1·2 = 8 beats (b,a)=3, (a,a)=2;
+    // after the merge the vocab is [ab ab]×3, [a ab]×2, [b]×5 so round 2
+    // picks (ab, ab) = 3 over (a, ab) = 2.
+    val m = Bpe.trainMerges(Seq(("abab", 3L), ("aab", 2L), ("b", 5L)), 2)
+    assert(m == Seq(("a", "b", 8L), ("ab", "ab", 3L)))
+    // overlap counting + greedy pass: "aaaa" has THREE (a,a) positions
+    // but the rewrite pairs left-to-right → [aa, aa], then (aa,aa)=1
+    assert(Bpe.trainMerges(Seq(("aaaa", 1L)), 2) ==
+      Seq(("a", "a", 3L), ("aa", "aa", 1L)))
+    // count tie between (a,b) and (c,d): lexicographic (l, r) wins
+    assert(Bpe.trainMerges(Seq(("ab", 1L), ("cd", 1L)), 1) ==
+      Seq(("a", "b", 1L)))
+    // vocabulary runs dry → fewer merges than asked
+    assert(Bpe.trainMerges(Seq(("ab", 1L)), 5) == Seq(("a", "b", 1L)))
+    assert(Bpe.trainMerges(Seq(("a", 7L), ("b", 7L)), 3) == Nil)
+  }
+
+  test("trainMerges output drives the encoder") {
+    val learned = Bpe.trainMerges(Seq(("abab", 3L), ("aab", 2L), ("b", 5L)), 2)
+    val bpe = new Bpe(learned.map(t => (t._1, t._2)).toIndexedSeq)
+    assert(bpe.encodeWord("abab") == Seq("abab"))
+    assert(bpe.encodeWord("aab") == Seq("a", "ab"))
+    assert(bpe.countTokens("abab aab") < "abab aab".replace(" ", "").length)
+  }
+
+  test("bpeTrain: distributed histogram matches driver-side training") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "abab abab aab"), (2L, "ABAB! b b"), (3L, "b b b aab"))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.Corpus.bpeTrain(df, "text", topV = 10, numMerges = 2)
+      .collect()
+    // histogram: abab×3 (lowercased, punctuation stripped), aab×2, b×5
+    assert(rows.map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("lhs"),
+      r.getAs[String]("rhs"), r.getAs[String]("merged"),
+      r.getAs[Long]("pair_count"))).toSeq ==
+      Seq((0, "a", "b", "ab", 8L), (1, "ab", "ab", "abab", 3L)))
+    // the topV cap is part of the contract: capping to 1 word keeps only
+    // b (count 5), which has no pairs → no merges
+    assert(graft.operators.Corpus.bpeTrain(df, "text", topV = 1, numMerges = 2)
+      .count() == 0L)
+  }
 }
