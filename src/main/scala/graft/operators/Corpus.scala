@@ -346,6 +346,78 @@ object Corpus {
       .select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
   }
 
+  /** Inverted index with bounded posting lists: one row per token with
+    * its document frequency and the first `maxPostings` doc ids in
+    * ascending order — the search/debug artifact a curation pipeline
+    * builds to answer "which documents contain this token" without
+    * re-scanning the corpus.
+    *
+    * Scale shape: ONE shuffle. The per-doc `array_distinct` dedups
+    * before the explode; both window functions (the df count and the
+    * posting-cap row_number) and the final groupBy all key on `token`,
+    * so Catalyst plans a single Exchange and the cap runs inside it.
+    * The aggregation buffer holds at most `maxPostings` ids per token —
+    * a stopword's millions of postings never materialize anywhere
+    * (contrast `collect_list`-then-slice, whose buffer is df-sized).
+    * Postings ship as a space-joined string so the result stays in the
+    * driver's hashable column types.
+    */
+  def invertedIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPostings: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextAnalysis.words(col(textCol)))).as("token"))
+    val byTok = Window.partitionBy("token")
+    tok
+      .select(col("token"), col("doc_id"),
+        row_number().over(byTok.orderBy("doc_id")).as("rk"),
+        count(lit(1)).over(byTok).as("df"))
+      .where(col("rk") <= maxPostings)
+      .groupBy("token", "df")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(sort_array(collect_list(col("doc_id"))), " ").as("postings"))
+      .select("token", "df", "n_kept", "postings")
+  }
+
+  /** Per-document top-`k` keywords by the exact-rational tf·idf score
+    * `tf · n_docs / df` (the log-free weight [[docFrequency]] documents
+    * — monotone in classic tf·idf, bit-reproducible across engines).
+    * Ties break by token ascending, so the extraction is deterministic.
+    *
+    * Scale shape: three key-local shuffles, each over data no larger
+    * than the term-frequency table — (doc, token) aggregation, a
+    * token-keyed join against the vocabulary-sized df table (partial
+    * aggregation makes the df build map-combined), and a doc-keyed
+    * window for the top-k. Nothing driver-side; the corpus count
+    * crosses as one broadcast row. At 100 TB the join is the shuffle
+    * that matters and both sides are already token-partitioned from
+    * their aggregations.
+    */
+  def topKeywords(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.words(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfs, "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df")).as("w"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("w").desc, col("token").asc)))
+      .where(col("rk") <= k)
+      .select("doc_id", "rk", "token", "tf", "df", "w")
+  }
+
   /** Distributed BPE vocabulary training ([[graft.ml.Bpe.trainMerges]]
     * does the per-round arithmetic): build the corpus word histogram —
     * ONE explode+groupBy shuffle with map-side combine, reduce side

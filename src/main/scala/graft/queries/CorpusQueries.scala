@@ -325,6 +325,52 @@ object CorpusQueries {
        |ORDER BY col_name""".stripMargin
   }
 
+  /** Inverted index ([[Corpus.invertedIndex]]): token → df + the first
+    * 16 doc ids. The window cap and df count share one token shuffle. */
+  def q102InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    Corpus.invertedIndex(docs(s, dir), "doc_id", "text", maxPostings = 16)
+      .presentSorted("token")
+
+  def q102Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT token, doc_id,
+      |    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY token) AS df
+      |  FROM tok)
+      |SELECT token, df, CAST(count(*) AS BIGINT) AS n_kept,
+      |  array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings
+      |FROM ranked WHERE rk <= 16
+      |GROUP BY token, df
+      |ORDER BY token""".stripMargin
+
+  /** Keyword extraction ([[Corpus.topKeywords]]): per-doc top-5 tokens
+    * by the exact-rational `tf · n_docs / df`, token-ascending ties. */
+  def q103TopKeywords(s: SparkSession, dir: String): DataFrame =
+    Corpus.topKeywords(docs(s, dir), "doc_id", "text", k = 5)
+      .presentSorted("doc_id", "rk")
+
+  def q103Sql: String =
+    """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  GROUP BY doc_id, token),
+      |dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+      |scored AS (
+      |  SELECT doc_id, t.token AS token, tf, df,
+      |    CAST(tf * n_docs AS DOUBLE) / df AS w
+      |  FROM tf t JOIN dfs d USING (token), n)
+      |SELECT doc_id, rk, token, tf, df, w FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY w DESC, token) AS rk
+      |  FROM scored) x
+      |WHERE rk <= 5
+      |ORDER BY doc_id, rk""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
@@ -338,5 +384,7 @@ object CorpusQueries {
     ("q82_ngram_novelty", q82NgramNovelty _, q82Sql),
     ("q83_tempered_mixture", q83TemperedMixture _, q83Sql),
     ("q95_token_budget", q95TokenBudget _, q95Sql),
-    ("q100_profile", q100Profile _, q100Sql))
+    ("q100_profile", q100Profile _, q100Sql),
+    ("q102_inverted_index", q102InvertedIndex _, q102Sql),
+    ("q103_top_keywords", q103TopKeywords _, q103Sql))
 }

@@ -154,6 +154,56 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("invertedIndex: postings are the first-k sorted ids, df uncapped, one shuffle") {
+    val idx = Corpus.invertedIndex(docs, "doc_id", "text", maxPostings = 4)
+    val got = idx.collect()
+      .map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("n_kept"), r.getAs[String]("postings"))))
+      .toMap
+    // brute force from the raw corpus
+    val brute = docs.select(col("doc_id"), col("text")).collect()
+      .flatMap(r => Option(r.getAs[String]("text")).toSeq
+        .flatMap(_.split(" ").distinct.map(_ -> r.getAs[Long]("doc_id"))))
+      .groupBy(_._1).map { case (tok, xs) =>
+        val ids = xs.map(_._2).sorted
+        tok -> ((ids.length.toLong, math.min(ids.length, 4).toLong,
+          ids.take(4).mkString(" ")))
+      }
+    assert(got == brute)
+    // plan: the df window, cap, and final aggregation share ONE exchange
+    // count exchanges in the FINAL plan only (AQE's toString repeats the
+    // initial plan below it)
+    val full = idx.queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"inverted index must shuffle exactly once:\n$plan")
+  }
+
+  test("topKeywords: per-doc top-k by exact-rational tf-idf, token-asc ties") {
+    val k = 3
+    val rows = Corpus.topKeywords(docs, "doc_id", "text", k).collect()
+    assert(rows.groupBy(_.getAs[Long]("doc_id")).values.forall(_.length <= k))
+    // brute force one document end-to-end
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("text")).map(_.split(" ").toSeq).getOrElse(Nil))
+    val nDocs = all.length.toLong
+    val dfMap = all.flatMap(_._2.distinct).groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    val (someDoc, ws) = all.find(_._2.nonEmpty).get
+    val expect = ws.groupBy(identity).map { case (t, xs) =>
+      (t, xs.length.toLong, dfMap(t),
+        (xs.length.toLong * nDocs).toDouble / dfMap(t))
+    }.toSeq.sortBy { case (t, _, _, w) => (-w, t) }.take(k)
+    val gotDoc = rows.filter(_.getAs[Long]("doc_id") == someDoc).sortBy(_.getAs[Int]("rk"))
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("tf"),
+        r.getAs[Long]("df"), r.getAs[Double]("w"))).toSeq
+    assert(gotDoc == expect)
+  }
+
   test("profileColumns: nulls, distincts, min/max compare in native type") {
     import spark.implicits._
     val df = Seq((1L, Option("b")), (2L, None), (10L, Option("a")))
