@@ -117,4 +117,44 @@ object Sampling {
       .where(col("rk") <= col("alloc"))
       .select(col(stratumCol), col(idCol), col("rk"), col("alloc"))
   }
+
+  /** Leakage-safe train/val/test split: hash the document's near-dup
+    * COMPONENT, not the document, so every member of a duplicate
+    * cluster lands in the same split — hashing doc ids would leak
+    * near-identical text from train into eval, which is the failure
+    * mode dedup-aware splitting exists to prevent (same reason
+    * contamination checks gram-match, not id-match).
+    *
+    * `components` is [[Dedup.connectedComponents]] output
+    * `(doc_id, canonical_id)` over the near-dup pair list; documents
+    * absent from it are singleton clusters and group as themselves.
+    * The split is the 48-bit rolling hash of the group id mod 100
+    * against integer percent cut-points — a pure function of the
+    * group, so it is reproducible run-to-run, survives repartitioning,
+    * and re-splitting after new data arrives moves no existing group
+    * between splits.
+    *
+    * Scale shape: one join. The component table is pair-derived (LSH
+    * output), orders of magnitude smaller than the corpus, and AQE
+    * broadcasts it when it fits; everything after the join is map-only.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      components: DataFrame,
+      trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"bad split percentages: train=$trainPct val=$valPct")
+    val comp = components.select(col("doc_id").as(idCol), col("canonical_id"))
+    docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("canonical_id"), col(idCol)).as("group_id"))
+      .withColumn("bucket",
+        (LightFusion.rollingHash(col("group_id").cast("string")) % 100).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
 }

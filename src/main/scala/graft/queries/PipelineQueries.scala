@@ -857,5 +857,48 @@ object PipelineQueries {
     ("q96_domain_cap", q96DomainCap _, q96Sql),
     ("q97_cluster_sample", q97ClusterSample _, q97Sql),
     ("q98_semdedup", q98SemDedup _, q98Sql),
-    ("q99_delta_dedup", q99DeltaDedup _, q99Sql))
+    ("q99_delta_dedup", q99DeltaDedup _, q99Sql),
+    ("q104_leakage_split", q104LeakageSplit _, q104Sql))
+
+  /** Leakage-safe split ([[graft.operators.Sampling.leakageSafeSplit]]):
+    * 80/10/10 train/val/test assignment hashed on the q31→q35 near-dup
+    * component, so duplicate clusters never straddle a split boundary.
+    * Oracle composes q84's reachability CTE with the q52 rolling-hash
+    * fold of the group id. */
+  def q104LeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.8))
+    graft.operators.Sampling.leakageSafeSplit(d, "doc_id", cc)
+      .presentSorted("doc_id")
+  }
+
+  def q104Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a_doc, b_doc FROM (
+       |    ${q31Sql.linesIterator.filterNot(_.startsWith("ORDER BY")).mkString("\n    ")}
+       |  ) z),
+       |edges AS (SELECT a_doc AS u, b_doc AS v FROM pairs
+       |          UNION SELECT b_doc, a_doc FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |comp AS (SELECT u AS doc_id, MIN(v) AS canonical_id FROM reach GROUP BY u),
+       |grp AS (
+       |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |h AS (
+       |  SELECT doc_id, group_id,
+       |    CAST(list_reduce(
+       |      list_prepend(0::BIGINT,
+       |        [ascii(ch)::BIGINT for ch in string_split(CAST(group_id AS VARCHAR), '')]),
+       |      (acc, ch) -> (acc * 31 + ch) % 281474976710656) % 100 AS INTEGER) AS bucket
+       |  FROM grp)
+       |SELECT doc_id, group_id, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM h
+       |ORDER BY doc_id""".stripMargin
 }

@@ -88,4 +88,43 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(again == rows.map(r => (r.getString(0), r.getLong(1))).toSet)
   }
+
+  test("leakageSafeSplit: components never straddle splits, singletons covered") {
+    import spark.implicits._
+    val d = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // components: {1,2,5} (canon 1) and {3,4} (canon 3); 6,7 singletons
+    val comp = Seq((1L, 1L), (2L, 1L), (5L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "canonical_id")
+    val got = Sampling.leakageSafeSplit(d, "doc_id", comp)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("group_id"), r.getAs[Int]("bucket"), r.getAs[String]("split"))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // same component → same group, bucket, split
+    assert(Set(got(1L), got(2L), got(5L)).size == 1 && got(1L)._1 == 1L)
+    assert(got(3L) == got(4L) && got(3L)._1 == 3L)
+    // singletons group as themselves
+    assert(got(6L)._1 == 6L && got(7L)._1 == 7L)
+    // bucket is the 48-bit fold of the group id string mod 100
+    def fold(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 281474976710656L)
+    got.foreach { case (_, (g, b, sp)) =>
+      assert(b == (fold(g.toString) % 100).toInt)
+      assert(sp == (if (b < 80) "train" else if (b < 90) "val" else "test"))
+    }
+  }
+
+  test("leakageSafeSplit: real near-dup components agree across repartitionings") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+    val cc = Dedup.connectedComponents(pairs)
+    val a = Sampling.leakageSafeSplit(docs, "doc_id", cc)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toMap
+    val b = Sampling.leakageSafeSplit(docs.repartition(11), "doc_id", cc)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toMap
+    assert(a == b && a.size == docs.count())
+    // every near-dup pair agrees on its split
+    pairs.collect().foreach { r =>
+      assert(a(r.getAs[Long]("a_doc")) == a(r.getAs[Long]("b_doc")))
+    }
+  }
 }
