@@ -418,6 +418,42 @@ object Corpus {
       .select("doc_id", "rk", "token", "tf", "df", "w")
   }
 
+  /** Exact discrete quantiles per key: for each percentile `pct` the
+    * value at 1-based rank `max(1, ceil(pct·n/100))` of the key's sorted
+    * values — the length/quality distribution audit a pipeline runs per
+    * source before setting filter thresholds. Discrete (a real data
+    * value, no interpolation) keeps it engine-exact: `pct·n` is integer,
+    * the one division by 100.0 is correctly rounded, and the selected
+    * VALUE is deterministic even though row order within ties is not
+    * (every row in a tie run carries the same value).
+    *
+    * Scale shape: one key shuffle; each key's values sort inside its
+    * window partition. A single dominant key serializes its own sort —
+    * at that point switch to `approx_percentile` (t-digest, one
+    * map-combined pass) and keep this operator for the exact audits;
+    * the percentile table itself crosses as a broadcast of |pcts| rows.
+    */
+  def quantilesDiscrete(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in 1..100: $pcts")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byKey = Window.partitionBy(keyCol)
+    val ranked = df.select(col(keyCol), col(valCol).as("value"))
+      .withColumn("rk", row_number().over(byKey.orderBy("value")))
+      .withColumn("n", count(lit(1)).over(byKey))
+    val ps = pcts.map(Tuple1(_)).toDF("pct")
+    ranked.join(broadcast(ps),
+      col("rk") === greatest(lit(1L),
+        ceil(col("pct") * col("n") / lit(100.0))))
+      .select(col(keyCol), col("pct"), col("n"), col("value"))
+  }
+
   /** Distributed BPE vocabulary training ([[graft.ml.Bpe.trainMerges]]
     * does the per-round arithmetic): build the corpus word histogram —
     * ONE explode+groupBy shuffle with map-side combine, reduce side

@@ -371,6 +371,25 @@ object CorpusQueries {
       |WHERE rk <= 5
       |ORDER BY doc_id, rk""".stripMargin
 
+  /** Per-source length quantiles ([[Corpus.quantilesDiscrete]]): the
+    * p25/p50/p75/p95 of `n_chars` per source — discrete rank selection,
+    * so both engines pick the identical data value. */
+  def q105Quantiles(s: SparkSession, dir: String): DataFrame =
+    Corpus.quantilesDiscrete(docs(s, dir), "source", "n_chars",
+        pcts = Seq(25, 50, 75, 95))
+      .presentSorted("source", "pct")
+
+  def q105Sql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars AS value,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT source, pct, n, value
+      |FROM r, (VALUES (25), (50), (75), (95)) p(pct)
+      |WHERE rk = greatest(1, CAST(ceil(pct * n / 100.0) AS BIGINT))
+      |ORDER BY source, pct""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
@@ -386,5 +405,6 @@ object CorpusQueries {
     ("q95_token_budget", q95TokenBudget _, q95Sql),
     ("q100_profile", q100Profile _, q100Sql),
     ("q102_inverted_index", q102InvertedIndex _, q102Sql),
-    ("q103_top_keywords", q103TopKeywords _, q103Sql))
+    ("q103_top_keywords", q103TopKeywords _, q103Sql),
+    ("q105_quantiles", q105Quantiles _, q105Sql))
 }

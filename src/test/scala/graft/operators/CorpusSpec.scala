@@ -204,6 +204,28 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(gotDoc == expect)
   }
 
+  test("quantilesDiscrete: rank-selected values match a driver-side sort") {
+    import spark.implicits._
+    val pcts = Seq(25, 50, 75, 95, 100)
+    val got = Corpus.quantilesDiscrete(docs, "source", "n_chars", pcts)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("pct")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("value")))).toMap
+    val bySrc = docs.select("source", "n_chars").collect()
+      .groupBy(_.getString(0)).map { case (s, rs) =>
+        s -> rs.map(_.getLong(1)).sorted.toIndexedSeq }
+    val expect = (for ((s, vs) <- bySrc; p <- pcts) yield {
+      val rk = math.max(1L, math.ceil(p * vs.length / 100.0).toLong)
+      (s, p) -> ((vs.length.toLong, vs((rk - 1).toInt)))
+    }).toMap
+    assert(got == expect)
+    // ties: duplicated values still yield a deterministic selected value
+    val dup = Seq(("a", 5L), ("a", 5L), ("a", 5L), ("a", 9L)).toDF("k", "v")
+    val m = Corpus.quantilesDiscrete(dup, "k", "v", Seq(50, 100)).collect()
+      .map(r => r.getAs[Int]("pct") -> r.getAs[Long]("value")).toMap
+    assert(m == Map(50 -> 5L, 100 -> 9L))
+  }
+
   test("profileColumns: nulls, distincts, min/max compare in native type") {
     import spark.implicits._
     val df = Seq((1L, Option("b")), (2L, None), (10L, Option("a")))
