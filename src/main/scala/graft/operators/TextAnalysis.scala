@@ -664,4 +664,64 @@ object TextAnalysis {
     df.select(col(idCol) +: col(s"t_$n").as("clean_text") +:
       piiPatterns.map { case (nm, _, _) => col(s"n_$nm") }: _*)
   }
+
+  /** CCNet-style line-level boilerplate removal: drop every line that
+    * occurs at least `minDf` times across the corpus (navigation bars,
+    * cookie banners, "subscribe" footers — the text that survives
+    * document-level dedup because each HOST page is unique). The
+    * frequency rule makes it complementary to the pair-based span
+    * suppression ([[Dedup.suppressSharedSpans]]): that one needs two
+    * documents sharing a span, this one needs one line shared by many.
+    *
+    * Exact, collision-proof, and corpus-scale in three passes:
+    *  1. hash-only df — the full corpus ships 8-byte rolling hashes
+    *     into one groupBy, never line text;
+    *  2. exact string df for CANDIDATE-hash lines only (a non-candidate
+    *     hash bounds its lines' exact df below `minDf`, so the
+    *     prefilter is a pure superset — same bloom-then-verify shape as
+    *     contamination's q66); the surviving frequent set is
+    *     boilerplate-sized and is REQUIRED driver-small;
+    *  3. a map-only rewrite: each document filters its own split array
+    *     against the broadcast frequent set — reassembly needs no
+    *     shuffle because lines never leave their row.
+    *
+    * Trailing empty lines are preserved by the split (limit -1) and
+    * empty lines are ordinary lines — if blank lines are frequent they
+    * are boilerplate by the same rule.
+    */
+  def dropBoilerplateLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long,
+      sep: String = "\n"): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2: $minDf")
+    val esc = java.util.regex.Pattern.quote(sep)
+    val linesArr = split(coalesce(col(textCol), lit("")), esc, -1)
+    val lines = docs.select(explode(linesArr).as("line"))
+    val candHash = lines
+      .groupBy(graft.LightFusion.rollingHash(col("line")).as("h"))
+      .agg(count(lit(1)).as("hdf"))
+      .where(col("hdf") >= minDf)
+      .select("h")
+    val freq = lines
+      .join(broadcast(candHash),
+        graft.LightFusion.rollingHash(col("line")) === col("h"))
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select("line")
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(freq.size <= 1000000,
+      s"frequent-line set has ${freq.size} entries — not boilerplate; " +
+        "raise minDf (the set must broadcast)")
+    val freqLit = typedLit(freq)
+    docs
+      .select(col(idCol), linesArr.as("ls"))
+      .select(col(idCol), size(col("ls")).as("n_lines"),
+        filter(col("ls"), x => !array_contains(freqLit, x)).as("kept"))
+      .select(col(idCol),
+        array_join(col("kept"), sep).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - size(col("kept"))).as("n_dropped"))
+  }
 }

@@ -515,6 +515,59 @@ object TextQueries {
          |FROM tok
          |ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style boilerplate-line removal
+    * ([[TextAnalysis.dropBoilerplateLines]]) over a corpus with planted
+    * line structure: each document's words re-wrapped 8 per line, plus a
+    * shared "subscribe" footer on even ids (corpus-frequent → dropped)
+    * and a unique footer on odd ids (df=1 → kept). The oracle recomputes
+    * the exact line df directly — the operator's hash prefilter is a
+    * pure superset, so the engines agree on the frequent set exactly. */
+  def q106DropBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(coalesce(col("text"), lit("")), " ", -1)
+    val cnt = expr("(size(ls) + 7) div 8")
+    val lined = docs(s, dir)
+      .select(col("doc_id"), ws.as("ls"))
+      .select(col("doc_id"),
+        concat(
+          array_join(
+            transform(sequence(lit(0), cnt - 1),
+              i => array_join(slice(col("ls"), i * 8 + 1, lit(8)), " ")),
+            "\n"),
+          lit("\n"),
+          when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter today"))
+            .otherwise(concat(lit("document footer "), col("doc_id").cast("string"))))
+          .as("text"))
+    TextAnalysis.dropBoilerplateLines(lined, "doc_id", "text", minDf = 50)
+      .presentSorted("doc_id")
+  }
+
+  def q106Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ls FROM documents),
+      |lined AS (
+      |  SELECT doc_id,
+      |    array_to_string(
+      |      [array_to_string(list_slice(ls, i*8 + 1, i*8 + 8), ' ')
+      |       FOR i IN range(0, (len(ls) + 7) // 8)], chr(10))
+      |    || chr(10) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today'
+      |         ELSE 'document footer ' || CAST(doc_id AS VARCHAR) END AS text
+      |  FROM w),
+      |l AS (SELECT unnest(string_split(text, chr(10))) AS line FROM lined),
+      |freq AS (
+      |  SELECT coalesce(list(line ORDER BY line), CAST([] AS VARCHAR[])) AS fl
+      |  FROM (SELECT line FROM l GROUP BY line HAVING count(*) >= 50) f),
+      |out AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, chr(10))) AS n_lines,
+      |    list_filter(string_split(text, chr(10)),
+      |      x -> NOT list_contains(fl, x)) AS kept
+      |  FROM lined, freq)
+      |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+      |  n_lines, n_lines - len(kept) AS n_dropped
+      |FROM out
+      |ORDER BY doc_id""".stripMargin
+
   /** Distributed BPE vocabulary training ([[Corpus.bpeTrain]] →
     * [[graft.ml.Bpe.trainMerges]]): learn 16 merges from the corpus's
     * top-128-word histogram. The oracle replays the ENTIRE training
@@ -633,5 +686,6 @@ object TextQueries {
     ("q89_unicode_stats", q89UnicodeStats _, q89Sql),
     ("q93_pack_sequences", q93PackSequences _, q93Sql),
     ("q94_gopher_repetition", q94GopherRepetition _, q94Sql),
-    ("q101_bpe_train", q101BpeTrain _, q101Sql))
+    ("q101_bpe_train", q101BpeTrain _, q101Sql),
+    ("q106_drop_boilerplate", q106DropBoilerplate _, q106Sql))
 }

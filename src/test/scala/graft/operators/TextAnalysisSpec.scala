@@ -482,4 +482,44 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(r5.getAs[Double]("top2_frac") - 5.0 * 3 / 19) < 1e-15)
     assert(r5.getAs[Boolean]("repetitive"))
   }
+
+  test("dropBoilerplateLines: df threshold, order kept, sub-threshold survives") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha one\nsubscribe now\nbody text 1"),
+      (2L, "beta two\nsubscribe now\nshared twice"),
+      (3L, "gamma three\nsubscribe now\nshared twice"),
+      (4L, "delta four\nsubscribe now\n"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dropBoilerplateLines(df, "doc_id", "text", minDf = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Int]("n_lines"),
+          r.getAs[Int]("n_dropped")))).toMap
+    // 'subscribe now' df=4 → dropped; 'shared twice' df=2 → kept; doc 4's
+    // trailing empty line (df=1 across corpus) survives the split and stays
+    assert(got(1L) == (("alpha one\nbody text 1", 3, 1)))
+    assert(got(2L) == (("beta two\nshared twice", 3, 1)))
+    assert(got(3L) == (("gamma three\nshared twice", 3, 1)))
+    assert(got(4L) == (("delta four\n", 3, 1)))
+  }
+
+  test("dropBoilerplateLines: frequent empty lines are boilerplate; null text safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a\n\nb"), (2L, "c\n\nd"), (3L, "e\n\nf"), (4L, null: String))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dropBoilerplateLines(df, "doc_id", "text", minDf = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Int]("n_dropped")))).toMap
+    // the interior empty line occurs 3 times → dropped everywhere
+    assert(got(1L) == (("a\nb", 1)))
+    // null coalesces to one empty line, which is itself frequent (df=4)
+    assert(got(4L) == (("", 1)))
+    // determinism under repartitioning
+    val again = TextAnalysis.dropBoilerplateLines(
+      df.repartition(7), "doc_id", "text", minDf = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Int]("n_dropped")))).toMap
+    assert(again == got)
+  }
 }
