@@ -692,4 +692,36 @@ object Similarity {
       .where(col("cos") >= threshold)
       .presentSorted("a_id", "b_id")
   }
+
+  /** Matryoshka truncation + L2 re-normalization: keep the first `dim`
+    * components of each embedding and rescale them to unit norm — the
+    * standard storage/ANN shrink for matryoshka-trained embedding models
+    * (Kusupati et al., arXiv:2205.13147), where prefixes are trained to
+    * be usable embeddings on their own. Emitted in LONG form
+    * `(id, j, value)` — the sparse-form posture q44 documents: a dense
+    * array column would carry the payload through every downstream
+    * shuffle and out of the driver's hashable column types.
+    *
+    * Bit-reproducible: float→double widening is exact, the prefix norm
+    * accumulates left-to-right in the fused [[graft.functions.DotProduct]]
+    * kernel (one codegen pass, same textual order the oracle unrolls),
+    * `sqrt` is IEEE-exact, and each component does ONE division by it.
+    * A zero-norm prefix yields all-zero components rather than NaN.
+    * Map-only: scan → posexplode, no shuffle, no driver state.
+    */
+  def matryoshkaNormalize(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    val pre = slice(col(vecCol).cast("array<double>"), 1, dim)
+    emb
+      .select(col(idCol).as("vec_id"), pre.as("p"),
+        LightFusion.dotProduct(pre, pre).as("nrm"))
+      .select(col("vec_id"), col("nrm"), posexplode(col("p")))
+      .select(col("vec_id"), (col("pos") + 1).as("j"),
+        when(col("nrm") === 0d, lit(0d))
+          .otherwise(col("col") / sqrt(col("nrm"))).as("value"))
+  }
 }

@@ -858,7 +858,28 @@ object PipelineQueries {
     ("q97_cluster_sample", q97ClusterSample _, q97Sql),
     ("q98_semdedup", q98SemDedup _, q98Sql),
     ("q99_delta_dedup", q99DeltaDedup _, q99Sql),
-    ("q104_leakage_split", q104LeakageSplit _, q104Sql))
+    ("q104_leakage_split", q104LeakageSplit _, q104Sql),
+    ("q107_matryoshka", q107Matryoshka _, q107Sql))
+
+  /** Matryoshka truncation + L2 re-normalization
+    * ([[Similarity.matryoshkaNormalize]]): the first 8 components of
+    * each embedding rescaled to unit norm, long form. Oracle unrolls
+    * the 8-term prefix norm in the kernel's accumulation order. */
+  def q107Matryoshka(s: SparkSession, dir: String): DataFrame =
+    Similarity.matryoshkaNormalize(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", dim = 8)
+      .presentSorted("vec_id", "j")
+
+  def q107Sql: String = {
+    val nrm8 = (1 to 8)
+      .map(i => s"embedding[$i]::DOUBLE*embedding[$i]::DOUBLE").mkString(" + ")
+    s"""WITH n AS (SELECT vec_id, embedding, ($nrm8) AS nrm FROM embeddings)
+       |SELECT vec_id, j,
+       |  CASE WHEN nrm = 0 THEN 0.0
+       |       ELSE embedding[j]::DOUBLE / sqrt(nrm) END AS value
+       |FROM n, range(1, 9) r(j)
+       |ORDER BY vec_id, j""".stripMargin
+  }
 
   /** Leakage-safe split ([[graft.operators.Sampling.leakageSafeSplit]]):
     * 80/10/10 train/val/test assignment hashed on the q31→q35 near-dup

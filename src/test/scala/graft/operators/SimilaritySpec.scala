@@ -323,4 +323,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(want.nonEmpty, "calibration: the fixture must contain same-cell near-dups")
     assert(got == want)
   }
+
+  test("matryoshkaNormalize: unit prefixes, direction kept, zero-norm safe, no shuffle") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = 8
+    val out = Similarity.matryoshkaNormalize(emb, "vec_id", "embedding", dim)
+    val byVec = out.collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Int]("j")).map(_.getAs[Double]("value")).toSeq }
+    val raw = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Seq[Float]]("embedding").take(dim).map(_.toDouble)).toMap
+    assert(byVec.keySet == raw.keySet)
+    byVec.foreach { case (id, vs) =>
+      assert(vs.length == dim)
+      val n2 = vs.map(x => x * x).sum
+      if (raw(id).exists(_ != 0.0)) {
+        assert(math.abs(n2 - 1.0) < 1e-12, s"vec $id norm² $n2")
+        // rescaling preserves direction: cosine with the raw prefix is 1
+        val cos = vs.zip(raw(id)).map { case (a, b) => a * b }.sum /
+          math.sqrt(raw(id).map(x => x * x).sum)
+        assert(math.abs(cos - 1.0) < 1e-12, s"vec $id not parallel to its prefix")
+      } else assert(vs.forall(_ == 0.0))
+    }
+    // zero-norm prefix: all-zero output, no NaN
+    val z = Seq((99L, Array.fill(dim)(0f))).toDF("vec_id", "embedding")
+    val zv = Similarity.matryoshkaNormalize(z, "vec_id", "embedding", dim)
+      .collect().map(_.getAs[Double]("value"))
+    assert(zv.length == dim && zv.forall(_ == 0.0))
+    // map-only plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"matryoshka must not shuffle:\n$plan")
+  }
 }
