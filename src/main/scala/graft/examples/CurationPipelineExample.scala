@@ -37,7 +37,11 @@ import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
   *                                           the training budget with the
   *                                           best docs, distributed
   *                                           prefix sum, no global window)
-  *     → stable train/val/test assignment   (content-hash buckets)
+  *     → leakage-safe train/val/test split  (Sampling.leakageSafeSplit —
+  *                                           hashed on the near-dup
+  *                                           component, so duplicate
+  *                                           clusters never straddle
+  *                                           train/eval)
   *     → training-window chunking + packing (TextAnalysis.chunk +
   *                                           packOffsets per split)
   *     → partitioned parquet, one dir per split
@@ -100,9 +104,11 @@ object CurationPipelineExample {
     val spanDropped = Dedup.spanPairs(docs, "doc_id", "text")
       .select(col("b_doc").as("doc_id")).distinct()
 
-    // 6. near-dup collapse: survivors of J>=0.8 components
+    // 6. near-dup collapse: survivors of J>=0.8 components (components
+    // are reused by the split in step 9)
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
-    val merged = Dedup.connectedComponents(pairs)
+    val components = Dedup.connectedComponents(pairs)
+    val merged = components
       .where(col("doc_id") =!= col("canonical_id"))
       .select("doc_id") // non-canonical members get dropped
 
@@ -145,14 +151,17 @@ object CurationPipelineExample {
       .select("doc_id")
     val selected = balanced.join(budgeted, "doc_id")
 
-    // 9. stable split + 10. chunk into training windows and assign each
+    // 9. leakage-safe stable split: hashed on the near-dup COMPONENT
+    // (step 6's), not the doc id — survivors are one-per-component here,
+    // but keying on the component means relaxing the collapse (or
+    // keeping multiple tiers per cluster) can never leak near-identical
+    // text across train/eval, and re-splitting after appends moves no
+    // existing group + 10. chunk into training windows and assign each
     // doc its fixed-budget sequence bin within (split, source)
-    val split = selected.withColumn("split",
-      when((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100) < 80, "train")
-        .when((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100) < 90, "val")
-        .otherwise("test"))
+    val split = selected.join(
+      Sampling.leakageSafeSplit(selected, "doc_id", components)
+        .select("doc_id", "split"),
+      "doc_id")
     val chunked = TextAnalysis.chunk(split, "doc_id", "text",
         chunkTokens = 64, overlap = 8, keep = Seq("split", "source"))
       .withColumn("chunk_key",
