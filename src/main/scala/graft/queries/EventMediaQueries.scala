@@ -414,5 +414,37 @@ object EventMediaQueries {
     ("q75_stream_contamination", q75StreamContamination _,
       PipelineQueries.q38Sql),
     ("q87_stream_neardup", q87StreamNeardup _, PipelineQueries.q31Sql),
-    ("q90_range_pairs", q90RangePairs _, q90Sql))
+    ("q90_range_pairs", q90RangePairs _, q90Sql),
+    ("q108_hourly_anomaly", q108HourlyAnomaly _, q108Sql))
+
+  /** Hourly-count anomaly scores ([[EventStreams.hourlyAnomaly]]): each
+    * (hour, event_type) bucket's z-score against the type's own hourly
+    * distribution — exact integer sums, textual-order double math. */
+  def q108HourlyAnomaly(s: SparkSession, dir: String): DataFrame =
+    EventStreams.hourlyAnomaly(eventsTs(s, dir))
+      .presentSorted("window_start", "event_type")
+
+  def q108Sql: String =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |    event_type, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT window_start, event_type, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+      |    CAST(sum(cnt * cnt) OVER (PARTITION BY event_type) AS BIGINT) AS ss,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM h)
+      |SELECT window_start, event_type, cnt,
+      |  CAST(s AS DOUBLE) / n AS mean,
+      |  (CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n) / n
+      |    AS variance,
+      |  CASE WHEN (CAST(ss AS DOUBLE)
+      |             - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n) / n > 0
+      |       THEN (CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / n)
+      |            / sqrt((CAST(ss AS DOUBLE)
+      |                    - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n) / n)
+      |       ELSE 0.0 END AS z
+      |FROM st
+      |ORDER BY window_start, event_type""".stripMargin
 }

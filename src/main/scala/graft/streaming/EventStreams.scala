@@ -98,4 +98,41 @@ object EventStreams {
           next
       }
   }
+
+  /** Hourly-count anomaly scores per event type (the ingest-monitoring
+    * audit a pipeline runs to catch crawl outages and bot floods): each
+    * (hour, type) bucket's z-score against that type's own hourly-count
+    * distribution. Batch-only — the global per-type statistics need the
+    * full history (a streaming variant would maintain them as state).
+    *
+    * Engine-exact by construction: counts are integers, so `Σc` and
+    * `Σc²` are exact long sums; mean and population variance are spelled
+    * as the same textual double expressions the oracle uses
+    * (`S/n`, `(SS − S·S/n)/n`), and z does one subtraction, one
+    * division, one IEEE-exact sqrt. Zero variance → z = 0.
+    *
+    * Scale shape: the hourly aggregation is the only corpus-sized
+    * shuffle (map-side combined); the per-type statistics window runs
+    * over hours×types rows — negligible at any corpus size.
+    */
+  def hourlyAnomaly(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
+    val byType = Window.partitionBy("event_type")
+    val withSums = hourly
+      .withColumn("s", sum(col("cnt")).over(byType))
+      .withColumn("ss", sum(col("cnt") * col("cnt")).over(byType))
+      .withColumn("n", count(lit(1)).over(byType))
+    val mean = col("s").cast("double") / col("n")
+    val vr = (col("ss").cast("double") -
+      (col("s").cast("double") * col("s").cast("double")) / col("n")) / col("n")
+    withSums.select(
+      col("window_start"), col("event_type"), col("cnt"),
+      mean.as("mean"), vr.as("variance"),
+      when(vr > 0, (col("cnt").cast("double") - mean) / sqrt(vr))
+        .otherwise(lit(0.0)).as("z"))
+  }
 }

@@ -112,4 +112,24 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       assert(batch == Set((1L, 2L), (1L, 7L)))
     } finally q.stop()
   }
+
+  test("hourlyAnomaly: hand-computed z-scores, zero variance safe") {
+    import spark.implicits._
+    // type A: hourly counts 1, 2, 3 → mean 2, pop var (14 - 12)/3 = 2/3
+    // type B: two hours of exactly 2 events → var 0 → z = 0
+    val rows =
+      Seq(ts(0)) ++ Seq(ts(60), ts(61)) ++ Seq(ts(120), ts(121), ts(122))
+    val a = rows.map(t => (t, "A"))
+    val b = Seq((ts(0), "B"), (ts(1), "B"), (ts(60), "B"), (ts(61), "B"))
+    val df = (a ++ b).toDF("ts", "event_type")
+    val got = EventStreams.hourlyAnomaly(df).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("cnt")) ->
+        ((r.getAs[Double]("mean"), r.getAs[Double]("variance"),
+          r.getAs[Double]("z")))).toMap
+    val varA = (14.0 - 6.0 * 6.0 / 3) / 3
+    assert(got(("A", 1L)) == ((2.0, varA, (1.0 - 2.0) / math.sqrt(varA))))
+    assert(got(("A", 2L)) == ((2.0, varA, 0.0)))
+    assert(got(("A", 3L)) == ((2.0, varA, (3.0 - 2.0) / math.sqrt(varA))))
+    assert(got(("B", 2L)) == ((2.0, 0.0, 0.0)))
+  }
 }
