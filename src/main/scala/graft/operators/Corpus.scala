@@ -346,6 +346,55 @@ object Corpus {
       .select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
   }
 
+  /** Bigram language-model score: each document's mean add-one-smoothed
+    * bigram probability under the corpus's own bigram counts —
+    * `p(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V)` with `c(w₁·)` the prefix
+    * count and `V` the distinct-word vocabulary — the step up from
+    * [[unigramScore]]'s bag-of-words signal (word-salad text has
+    * plausible unigrams but improbable transitions, which is what a
+    * KenLM-style filter actually keys on).
+    *
+    * Engine-exact without logs: every pᵢ is one exact-integer-ratio
+    * double division, and the MEAN folds the pᵢ in DOCUMENT POSITION
+    * order (`array_sort` on (pos, p) then a left fold), so the
+    * double-sum accumulation order is identical in both engines — the
+    * ordered-fold trick that makes even floating means replayable.
+    *
+    * Scale shape: bigram and prefix counts are two map-combined
+    * aggregations whose reduce sides are vocabulary²- and
+    * vocabulary-sized; the per-position probability join keys on the
+    * bigram (both sides pre-partitioned by it); the per-doc fold
+    * re-groups by id. Docs with fewer than two words score 0.
+    */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = TextAnalysis.words(col(textCol))
+    val bg = docs
+      .select(col(idCol).as("__id"), ws.as("ws"))
+      .select(col("__id"), col("ws"),
+        posexplode(slice(col("ws"), lit(1), size(col("ws")) - 1)))
+      .select(col("__id"), (col("pos") + 1).as("pos"), col("col").as("w1"),
+        element_at(col("ws"), col("pos") + 2).as("w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val v = docs.select(explode(ws).as("t")).agg(countDistinct("t").as("v"))
+    val p = bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("__id"), col("pos"),
+        ((col("cb") + 1).cast("double") / (col("cu") + col("v"))).as("p"))
+    val folded = p.groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("p")))).as("pp"))
+      .select(col("__id"),
+        transform(col("pp"), x => x.getField("p")).as("ps"))
+      .select(col("__id"), size(col("ps")).as("n_bigrams"),
+        (aggregate(col("ps"), lit(0.0), (acc, x) => acc + x) /
+          size(col("ps"))).as("score"))
+    docs.select(col(idCol))
+      .join(folded.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
   /** Inverted index with bounded posting lists: one row per token with
     * its document frequency and the first `maxPostings` doc ids in
     * ascending order — the search/debug artifact a curation pipeline

@@ -390,6 +390,37 @@ object CorpusQueries {
       |WHERE rk = greatest(1, CAST(ceil(pct * n / 100.0) AS BIGINT))
       |ORDER BY source, pct""".stripMargin
 
+  /** Bigram LM score ([[Corpus.bigramScore]]): mean add-one-smoothed
+    * transition probability, folded in document-position order so the
+    * double mean replays exactly. */
+  def q109BigramScore(s: SparkSession, dir: String): DataFrame =
+    Corpus.bigramScore(docs(s, dir), "doc_id", "text")
+      .presentSorted("doc_id")
+
+  def q109Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (
+      |  SELECT doc_id, i AS pos, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM w, unnest(range(1, len(ws))) u(i)),
+      |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2),
+      |cu AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM bg GROUP BY w1),
+      |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+      |      FROM (SELECT unnest(ws) AS t FROM w) z),
+      |p AS (
+      |  SELECT g.doc_id, g.pos, CAST(b.cb + 1 AS DOUBLE) / (c.cu + v.v) AS p
+      |  FROM bg g JOIN cb b USING (w1, w2) JOIN cu c USING (w1), v),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    list_reduce(list_prepend(0.0, list(p ORDER BY pos)), (a, x) -> a + x)
+      |      / count(*) AS score
+      |  FROM p GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(n_bigrams, 0) AS n_bigrams,
+      |  coalesce(score, 0.0) AS score
+      |FROM documents d LEFT JOIN s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
@@ -406,5 +437,6 @@ object CorpusQueries {
     ("q100_profile", q100Profile _, q100Sql),
     ("q102_inverted_index", q102InvertedIndex _, q102Sql),
     ("q103_top_keywords", q103TopKeywords _, q103Sql),
-    ("q105_quantiles", q105Quantiles _, q105Sql))
+    ("q105_quantiles", q105Quantiles _, q105Sql),
+    ("q109_bigram_score", q109BigramScore _, q109Sql))
 }

@@ -226,6 +226,26 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(m == Map(50 -> 5L, 100 -> 9L))
   }
 
+  test("bigramScore: hand-computed smoothed transitions, short docs score 0") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "c")).toDF("doc_id", "text")
+    // V = 3 {a,b,c}; cb(a,b)=2, cb(b,a)=2; cu(a)=2, cu(b)=2
+    // p(a,b) = (2+1)/(2+3) = 0.6 = p(b,a)
+    val got = Corpus.bigramScore(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_bigrams"), r.getAs[Double]("score")))).toMap
+    assert(got(1L) == ((3, (0.6 + 0.6 + 0.6) / 3)))
+    assert(got(2L) == ((1, 0.6)))
+    assert(got(3L) == ((0, 0.0)))
+    // transition sensitivity: a doc of corpus-typical bigrams outscores a
+    // word salad built from the same vocabulary
+    val df2 = Seq((1L, "the cat sat"), (2L, "the cat sat"), (3L, "the cat sat"),
+      (4L, "sat the cat")).toDF("doc_id", "text")
+    val s2 = Corpus.bigramScore(df2, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(s2(1L) > s2(4L), s"typical ${s2(1L)} must beat salad ${s2(4L)}")
+  }
+
   test("profileColumns: nulls, distincts, min/max compare in native type") {
     import spark.implicits._
     val df = Seq((1L, Option("b")), (2L, None), (10L, Option("a")))
