@@ -360,11 +360,11 @@ object Corpus {
     * double-sum accumulation order is identical in both engines — the
     * ordered-fold trick that makes even floating means replayable.
     *
-    * Scale shape: bigram and prefix counts are two map-combined
-    * aggregations whose reduce sides are vocabulary²- and
-    * vocabulary-sized; the per-position probability join keys on the
-    * bigram (both sides pre-partitioned by it); the per-doc fold
-    * re-groups by id. Docs with fewer than two words score 0.
+    * Scale shape: ONE corpus-sized map-combined aggregation (the bigram
+    * counts); prefix counts roll up from that vocab²-sized aggregate,
+    * never re-scanning the corpus; the per-position probability join
+    * keys on the bigram (both sides pre-partitioned by it); the per-doc
+    * fold re-groups by id. Docs with fewer than two words score 0.
     */
   def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = TextAnalysis.words(col(textCol))
@@ -375,7 +375,9 @@ object Corpus {
       .select(col("__id"), (col("pos") + 1).as("pos"), col("col").as("w1"),
         element_at(col("ws"), col("pos") + 2).as("w2"))
     val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    // the prefix count is the row-sum of the bigram table — derive it
+    // from the vocab²-sized aggregate instead of re-scanning the corpus
+    val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
     val v = docs.select(explode(ws).as("t")).agg(countDistinct("t").as("v"))
     val p = bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
       .crossJoin(broadcast(v))
