@@ -346,6 +346,35 @@ object Corpus {
       .select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
   }
 
+  /** Snapshot drift audit: [[profileColumns]] over two slices of a
+    * corpus (yesterday's snapshot vs today's, crawl A vs crawl B) joined
+    * per column — the check a pipeline runs before trusting a new drop:
+    * did the null rate move, did the distinct cardinality collapse, did
+    * the value range shift. Exact: null-rate deltas are two int/int
+    * double divisions subtracted in fixed order; the range flag is
+    * string equality on the native-type min/max.
+    *
+    * Scale shape: one single-pass aggregation per slice (a snapshot
+    * comparison is irreducibly two scans of two datasets), then a
+    * |cols|-row join — nothing corpus-sized moves.
+    */
+  def profileDrift(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      profileColumns(df, cols).select(
+        col("col_name"),
+        col("n_rows").as(s"${tag}_rows"),
+        col("n_null").as(s"${tag}_null"),
+        col("n_distinct").as(s"${tag}_distinct"),
+        col("min_val").as(s"${tag}_min"),
+        col("max_val").as(s"${tag}_max"))
+    side(a, "a").join(side(b, "b"), "col_name")
+      .withColumn("null_rate_delta",
+        col("b_null").cast("double") / col("b_rows")
+          - col("a_null").cast("double") / col("a_rows"))
+      .withColumn("range_changed",
+        not(col("a_min") <=> col("b_min")) || not(col("a_max") <=> col("b_max")))
+  }
+
   /** Bigram language-model score: each document's mean add-one-smoothed
     * bigram probability under the corpus's own bigram counts —
     * `p(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V)` with `c(w₁·)` the prefix

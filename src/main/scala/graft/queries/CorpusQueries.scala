@@ -421,6 +421,38 @@ object CorpusQueries {
       |FROM documents d LEFT JOIN s USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Snapshot drift ([[Corpus.profileDrift]]): per-column profile
+    * comparison between the even-id and odd-id corpus slices (the
+    * stand-ins for two crawl snapshots). */
+  def q110ProfileDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Corpus.profileDrift(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .presentSorted("col_name")
+  }
+
+  def q110Sql: String = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def prof(tag: String, parity: Int) = cols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*)::BIGINT AS ${tag}_rows,
+         |  (count(*) - count($c))::BIGINT AS ${tag}_null,
+         |  count(DISTINCT $c)::BIGINT AS ${tag}_distinct,
+         |  CAST(min($c) AS VARCHAR) AS ${tag}_min,
+         |  CAST(max($c) AS VARCHAR) AS ${tag}_max
+         |FROM documents WHERE doc_id % 2 = $parity""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pa AS (${prof("a", 0)}),
+       |pb AS (${prof("b", 1)})
+       |SELECT pa.*, pb.b_rows, pb.b_null, pb.b_distinct, pb.b_min, pb.b_max,
+       |  CAST(b_null AS DOUBLE) / b_rows - CAST(a_null AS DOUBLE) / a_rows
+       |    AS null_rate_delta,
+       |  (a_min IS DISTINCT FROM b_min) OR (a_max IS DISTINCT FROM b_max)
+       |    AS range_changed
+       |FROM pa JOIN pb USING (col_name)
+       |ORDER BY col_name""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
@@ -438,5 +470,6 @@ object CorpusQueries {
     ("q102_inverted_index", q102InvertedIndex _, q102Sql),
     ("q103_top_keywords", q103TopKeywords _, q103Sql),
     ("q105_quantiles", q105Quantiles _, q105Sql),
-    ("q109_bigram_score", q109BigramScore _, q109Sql))
+    ("q109_bigram_score", q109BigramScore _, q109Sql),
+    ("q110_profile_drift", q110ProfileDrift _, q110Sql))
 }

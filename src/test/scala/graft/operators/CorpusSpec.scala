@@ -246,6 +246,26 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(s2(1L) > s2(4L), s"typical ${s2(1L)} must beat salad ${s2(4L)}")
   }
 
+  test("profileDrift: planted null-rate and range drift flagged") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("id", "s", "n")
+    val b = Seq((3L, null.asInstanceOf[String], 25L), (4L, "y", 20L))
+      .toDF("id", "s", "n")
+    val got = Corpus.profileDrift(a, b, Seq("s", "n")).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val sRow = got("s")
+    assert(sRow.getAs[Long]("a_null") == 0 && sRow.getAs[Long]("b_null") == 1)
+    assert(sRow.getAs[Double]("null_rate_delta") == 0.5)
+    assert(sRow.getAs[Boolean]("range_changed")) // min x→y (nulls ignored)
+    val nRow = got("n")
+    assert(nRow.getAs[Double]("null_rate_delta") == 0.0)
+    assert(nRow.getAs[Boolean]("range_changed")) // 10..20 → 20..25
+    // identical slices: no drift anywhere
+    val same = Corpus.profileDrift(a, a, Seq("s", "n")).collect()
+    assert(same.forall(r => r.getAs[Double]("null_rate_delta") == 0.0
+      && !r.getAs[Boolean]("range_changed")))
+  }
+
   test("profileColumns: nulls, distincts, min/max compare in native type") {
     import spark.implicits._
     val df = Seq((1L, Option("b")), (2L, None), (10L, Option("a")))
