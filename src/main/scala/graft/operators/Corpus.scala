@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level vocabulary statistics for training-data curation: the
@@ -344,6 +344,32 @@ object Corpus {
       s"stack(${cols.length}, $stackArgs) AS (col_name, n_null, n_distinct, min_val, max_val)",
       "__total AS n_rows")
       .select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+  }
+
+  /** Ingest constraint audit: evaluate named row-level rules (dbt-test /
+    * Deequ-style) and emit the QUARANTINE — every failing row with the
+    * sorted list of rule names it violated, joined to a string so the
+    * reasons survive any sink. Rules are arbitrary boolean Columns
+    * evaluated in one pass; a uniqueness rule is expressible as a window
+    * count (see q111). The clean/quarantine split this feeds is how an
+    * ingest keeps bad rows out of the corpus WITHOUT dropping them
+    * silently — the reasons column is the operator's point.
+    *
+    * Scale shape: map-only over the scan for row-local rules; rules that
+    * need global context (uniqueness) bring exactly the shuffle their
+    * semantics require, nothing more. Output is violation-sized.
+    */
+  def constraintAudit(
+      df: DataFrame,
+      idCol: String,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "constraintAudit needs at least one rule")
+    val reasons = rules.map { case (name, ok) =>
+      when(not(coalesce(ok, lit(false))), lit(name)) }
+    df.select(col(idCol),
+        array_join(array_sort(
+          filter(array(reasons: _*), _.isNotNull)), ",").as("violations"))
+      .where(col("violations") =!= "")
   }
 
   /** Snapshot drift audit: [[profileColumns]] over two slices of a

@@ -453,6 +453,53 @@ object CorpusQueries {
        |ORDER BY col_name""".stripMargin
   }
 
+  /** Ingest constraint audit ([[Corpus.constraintAudit]]) over a corpus
+    * with planted corruption (nulled text on id%7, off-by-one n_chars on
+    * id%11, unknown lang on id%13, duplicated ids on id%17): the
+    * quarantine rows with their sorted violation reasons. */
+  def q111ConstraintAudit(s: SparkSession, dir: String): DataFrame = {
+    val c = docs(s, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 7 === 0, lit(null: String))
+        .otherwise(col("text")).as("text"),
+      when(col("doc_id") % 13 === 0, lit("xx")).otherwise(col("lang")).as("lang"),
+      when(col("doc_id") % 11 === 0, col("n_chars") + 1)
+        .otherwise(col("n_chars")).as("n_chars"))
+    val planted = c.unionAll(c.where(col("doc_id") % 17 === 0))
+    Corpus.constraintAudit(planted, "doc_id", Seq(
+      "text_not_null" -> col("text").isNotNull,
+      "len_match" -> (col("n_chars") === length(col("text"))),
+      "lang_known" -> col("lang").isin("en", "de", "fr", "es", "zh"),
+      "id_unique" -> (count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")) === 1)))
+      .presentSorted("doc_id", "violations")
+  }
+
+  def q111Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS text,
+      |    CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang,
+      |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+      |  FROM documents),
+      |p AS (SELECT * FROM c UNION ALL SELECT * FROM c WHERE doc_id % 17 = 0),
+      |r AS (
+      |  SELECT doc_id,
+      |    list_sort(list_filter([
+      |      CASE WHEN NOT coalesce(text IS NOT NULL, false)
+      |           THEN 'text_not_null' END,
+      |      CASE WHEN NOT coalesce(n_chars = len(text), false)
+      |           THEN 'len_match' END,
+      |      CASE WHEN NOT coalesce(lang IN ('en', 'de', 'fr', 'es', 'zh'), false)
+      |           THEN 'lang_known' END,
+      |      CASE WHEN NOT coalesce(count(*) OVER (PARTITION BY doc_id) = 1, false)
+      |           THEN 'id_unique' END
+      |    ], x -> x IS NOT NULL)) AS vl
+      |  FROM p)
+      |SELECT doc_id, array_to_string(vl, ',') AS violations
+      |FROM r WHERE len(vl) > 0
+      |ORDER BY doc_id, violations""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
@@ -471,5 +518,6 @@ object CorpusQueries {
     ("q103_top_keywords", q103TopKeywords _, q103Sql),
     ("q105_quantiles", q105Quantiles _, q105Sql),
     ("q109_bigram_score", q109BigramScore _, q109Sql),
-    ("q110_profile_drift", q110ProfileDrift _, q110Sql))
+    ("q110_profile_drift", q110ProfileDrift _, q110Sql),
+    ("q111_constraint_audit", q111ConstraintAudit _, q111Sql))
 }

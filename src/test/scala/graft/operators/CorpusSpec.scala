@@ -266,6 +266,26 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       && !r.getAs[Boolean]("range_changed")))
   }
 
+  test("constraintAudit: reasons sorted and complete, clean rows absent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ok", 2),    // clean
+      (2L, null, 4),    // null text → also fails len rule (null compare)
+      (3L, "abc", 99),  // wrong length
+      (4L, "xy", 2), (4L, "xy", 2)) // duplicate id
+      .toDF("id", "t", "n")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val got = Corpus.constraintAudit(df, "id", Seq(
+      "t_not_null" -> col("t").isNotNull,
+      "len_ok" -> (col("n") === length(col("t"))),
+      "unique" -> (count(lit(1)).over(w) === 1)))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("violations")))
+    assert(got.sorted.toSeq == Seq(
+      (2L, "len_ok,t_not_null"),
+      (3L, "len_ok"),
+      (4L, "unique"), (4L, "unique")))
+  }
+
   test("profileColumns: nulls, distincts, min/max compare in native type") {
     import spark.implicits._
     val df = Seq((1L, Option("b")), (2L, None), (10L, Option("a")))
