@@ -346,6 +346,75 @@ object Corpus {
       .select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
   }
 
+  /** Sketch-based cross-source vocabulary overlap: the KMV (k minimum
+    * values) estimate of each source pair's distinct-token Jaccard,
+    * union, and intersection cardinalities — the 100 TB companion to
+    * [[sourceVocabOverlap]]'s exact set algebra (q46): exact overlap
+    * ships whole vocabularies; this ships k 8-byte hashes per source,
+    * period.
+    *
+    * Per pair: combine the two k-sketches, keep the k smallest distinct
+    * hashes of the union; `m` of them appearing in both sketches gives
+    * `Ĵ = m / |union sketch|` and `|A∪B| ≈ (k−1)·M / kth-min` (the q79
+    * estimator), so `|A∩B| ≈ Ĵ · |A∪B|` — all integer counts, explicit
+    * single divisions, and one product, identically ordered in the
+    * oracle. Deterministic: the sketch is the k smallest 48-bit rolling
+    * hashes, a pure function of the vocabulary.
+    *
+    * Scale shape: one distinct (source, token-hash) aggregation over
+    * the corpus, then [[TopK.perKey]] keeps each source's k smallest
+    * hashes with a bounded (≤ k rows per partition per source)
+    * exchange — the heap form of the window plan. Everything pairwise
+    * happens on the nSources·k-row sketch table.
+    */
+  def kmvSourceOverlap(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val M = 281474976710656L // 2^48, the rolling-hash modulus
+    val h = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextAnalysis.words(col(textCol))).as("token"))
+      .select(col("source"), graft.LightFusion.rollingHash(col("token")).as("hash"))
+      .distinct()
+    // k SMALLEST per source: perKey keeps top-k by score desc, so negate;
+    // 48-bit hashes are exact in doubles
+    val sk = TopK.perKey(
+      h.withColumn("score", -col("hash").cast("double"))
+        .withColumn("tie", col("hash")),
+      Seq("source"), "score", "tie", k)
+      .select("source", "hash")
+    val srcs = sk.select("source").distinct()
+    val pairs = srcs.select(col("source").as("a_source"))
+      .crossJoin(srcs.select(col("source").as("b_source")))
+      .where(col("a_source") < col("b_source"))
+    def side(tag: String) = pairs
+      .join(sk, col("source") === col(tag))
+      .select(col("a_source"), col("b_source"), col("hash"),
+        lit(if (tag == "a_source") 1 else 0).as("ina"),
+        lit(if (tag == "a_source") 0 else 1).as("inb"))
+    val mem = side("a_source").union(side("b_source"))
+      .groupBy("a_source", "b_source", "hash")
+      .agg(max("ina").as("ina"), max("inb").as("inb"))
+    import org.apache.spark.sql.expressions.Window
+    val top = mem
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a_source", "b_source").orderBy("hash")))
+      .where(col("rn") <= k)
+    val agg = top.groupBy("a_source", "b_source").agg(
+      count(lit(1)).as("un_cnt"),
+      count(when(col("ina") + col("inb") === 2, lit(1))).as("m"),
+      max("hash").as("kth"))
+    val j = col("m").cast("double") / col("un_cnt")
+    val u = when(col("un_cnt") < k || col("kth") === 0,
+      col("un_cnt").cast("double"))
+      .otherwise(lit((k - 1) * M).cast("double") / col("kth").cast("double"))
+    agg.select(col("a_source"), col("b_source"), col("un_cnt"), col("m"),
+      j.as("jaccard_est"), u.as("union_est"), (j * u).as("inter_est"))
+  }
+
   /** Ingest constraint audit: evaluate named row-level rules (dbt-test /
     * Deequ-style) and emit the QUARANTINE — every failing row with the
     * sorted list of rule names it violated, joined to a string so the

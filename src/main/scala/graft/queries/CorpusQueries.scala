@@ -500,6 +500,58 @@ object CorpusQueries {
       |FROM r WHERE len(vl) > 0
       |ORDER BY doc_id, violations""".stripMargin
 
+  /** KMV cross-source overlap ([[Corpus.kmvSourceOverlap]]): sketch
+    * estimates of pairwise vocabulary Jaccard/union/intersection —
+    * q46's audit at k·8 bytes per source instead of whole vocabularies. */
+  def q112KmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    graft.LightFusion.ensureRegistered(s)
+    Corpus.kmvSourceOverlap(docs(s, dir), "source", "text", k = 16)
+      .presentSorted("a_source", "b_source")
+  }
+
+  def q112Sql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |h AS (SELECT DISTINCT source, ${foldSql("w")} AS hash FROM tok),
+       |sk AS (
+       |  SELECT source, hash FROM (
+       |    SELECT source, hash,
+       |      row_number() OVER (PARTITION BY source ORDER BY hash) AS rn
+       |    FROM h) z
+       |  WHERE rn <= 16),
+       |src AS (SELECT DISTINCT source FROM sk),
+       |pr AS (SELECT a.source AS a_source, b.source AS b_source
+       |       FROM src a, src b WHERE a.source < b.source),
+       |mem AS (
+       |  SELECT p.a_source, p.b_source, s.hash,
+       |    max(CASE WHEN s.source = p.a_source THEN 1 ELSE 0 END) AS ina,
+       |    max(CASE WHEN s.source = p.b_source THEN 1 ELSE 0 END) AS inb
+       |  FROM pr p JOIN sk s ON s.source IN (p.a_source, p.b_source)
+       |  GROUP BY 1, 2, 3),
+       |top AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY a_source, b_source ORDER BY hash) AS rn
+       |    FROM mem) z
+       |  WHERE rn <= 16),
+       |agg AS (
+       |  SELECT a_source, b_source,
+       |    CAST(count(*) AS BIGINT) AS un_cnt,
+       |    CAST(count(*) FILTER (WHERE ina + inb = 2) AS BIGINT) AS m,
+       |    max(hash) AS kth
+       |  FROM top GROUP BY 1, 2)
+       |SELECT a_source, b_source, un_cnt, m,
+       |  CAST(m AS DOUBLE) / un_cnt AS jaccard_est,
+       |  CASE WHEN un_cnt < 16 OR kth = 0 THEN CAST(un_cnt AS DOUBLE)
+       |       ELSE CAST(15 * 281474976710656 AS DOUBLE) / CAST(kth AS DOUBLE)
+       |  END AS union_est,
+       |  (CAST(m AS DOUBLE) / un_cnt) *
+       |  (CASE WHEN un_cnt < 16 OR kth = 0 THEN CAST(un_cnt AS DOUBLE)
+       |        ELSE CAST(15 * 281474976710656 AS DOUBLE) / CAST(kth AS DOUBLE)
+       |   END) AS inter_est
+       |FROM agg
+       |ORDER BY a_source, b_source""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
@@ -519,5 +571,6 @@ object CorpusQueries {
     ("q105_quantiles", q105Quantiles _, q105Sql),
     ("q109_bigram_score", q109BigramScore _, q109Sql),
     ("q110_profile_drift", q110ProfileDrift _, q110Sql),
-    ("q111_constraint_audit", q111ConstraintAudit _, q111Sql))
+    ("q111_constraint_audit", q111ConstraintAudit _, q111Sql),
+    ("q112_kmv_overlap", q112KmvOverlap _, q112Sql))
 }

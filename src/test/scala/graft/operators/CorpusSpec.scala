@@ -286,6 +286,32 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       (4L, "unique"), (4L, "unique")))
   }
 
+  test("kmvSourceOverlap: exact on identical/disjoint vocabularies, bounded on real") {
+    import spark.implicits._
+    // identical vocab → sketches equal → J=1; disjoint → m=0 → J=0
+    val mk = (src: String, toks: Seq[String]) =>
+      toks.map(t => (src, t)).toDF("source", "text")
+    val df = mk("a", (1 to 40).map(i => s"tok$i"))
+      .union(mk("b", (1 to 40).map(i => s"tok$i")))
+      .union(mk("c", (1 to 40).map(i => s"other$i")))
+    val got = Corpus.kmvSourceOverlap(df, "source", "text", k = 16)
+      .collect().map(r => (r.getAs[String]("a_source"), r.getAs[String]("b_source")) ->
+        ((r.getAs[Long]("m"), r.getAs[Long]("un_cnt"),
+          r.getAs[Double]("jaccard_est")))).toMap
+    assert(got(("a", "b"))._3 == 1.0 && got(("a", "b"))._1 == 16)
+    assert(got(("a", "c"))._3 == 0.0 && got(("a", "c"))._1 == 0)
+    // real corpus: structural bounds hold for every pair
+    val real = Corpus.kmvSourceOverlap(docs, "source", "text", k = 16).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val (m, un) = (r.getAs[Long]("m"), r.getAs[Long]("un_cnt"))
+      assert(un >= 1 && un <= 16 && m >= 0 && m <= un)
+      val j = r.getAs[Double]("jaccard_est")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Double]("inter_est") <= r.getAs[Double]("union_est"))
+    }
+  }
+
   test("profileColumns: nulls, distincts, min/max compare in native type") {
     import spark.implicits._
     val df = Seq((1L, Option("b")), (2L, None), (10L, Option("a")))
