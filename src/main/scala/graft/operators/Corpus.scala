@@ -629,6 +629,35 @@ object Corpus {
       .select(col(keyCol), col("pct"), col("n"), col("value"))
   }
 
+  /** Winsorization bounds + clipping: clip a numeric column to its
+    * per-key [loPct, hiPct] percentile band ([[quantilesDiscrete]]
+    * bounds — actual data values, so no interpolation arithmetic) and
+    * flag the rows that were clipped — the outlier-taming pass a
+    * pipeline runs on reward/score/engagement columns before they feed
+    * aggregates. Clipping is pure comparison (`least`/`greatest`), so
+    * the result is engine-exact even on doubles.
+    *
+    * Scale shape: the quantile pass is one key shuffle over (key,
+    * value) pairs; the bounds table (one row per key) broadcasts into
+    * a map-only clip over the full relation.
+    */
+  def winsorize(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      loPct: Int,
+      hiPct: Int): DataFrame = {
+    require(loPct < hiPct, s"loPct $loPct must be < hiPct $hiPct")
+    val bounds = quantilesDiscrete(df, keyCol, valCol, Seq(loPct, hiPct))
+      .groupBy(keyCol).agg(
+        min(when(col("pct") === loPct, col("value"))).as("lo"),
+        max(when(col("pct") === hiPct, col("value"))).as("hi"))
+    df.join(broadcast(bounds), keyCol)
+      .withColumn("clipped",
+        least(greatest(col(valCol), col("lo")), col("hi")))
+      .withColumn("was_clipped", col(valCol) < col("lo") || col(valCol) > col("hi"))
+  }
+
   /** Distributed BPE vocabulary training ([[graft.ml.Bpe.trainMerges]]
     * does the per-round arithmetic): build the corpus word histogram —
     * ONE explode+groupBy shuffle with map-side combine, reduce side

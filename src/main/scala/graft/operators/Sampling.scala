@@ -118,6 +118,39 @@ object Sampling {
       .select(col(stratumCol), col(idCol), col("rk"), col("alloc"))
   }
 
+  /** Deterministic label-balance oversampling: replicate every row so
+    * each label's total row count equals the MAJORITY label's — the
+    * class-rebalance pass before training a quality/topic classifier on
+    * skewed curation labels. Each row of a label with `cnt` rows gets
+    * `majority div cnt` copies, and the `majority mod cnt` rows ranked
+    * first by the [[sampleKey]] hash get one extra — so per-label
+    * totals are EXACTLY the majority count, and which rows carry the
+    * extra copy is a pure function of the data (reruns, repartitions,
+    * and cluster resizes reproduce the same sample).
+    *
+    * Scale shape: label counts aggregate map-side and broadcast (one
+    * row per label); the rank is a per-label window; the replication is
+    * a map-side `explode(sequence(...))` — output rows =
+    * labels × majority, the size the training job asked for.
+    */
+  def balanceLabels(df: DataFrame, labelCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(labelCol).agg(count(lit(1)).as("cnt"))
+    val maj = counts.agg(max("cnt").as("majority"))
+    val alloc = counts.crossJoin(broadcast(maj))
+      .select(col(labelCol),
+        expr("majority div cnt").as("base"),
+        expr("majority % cnt").as("extra"))
+    val ranked = df.select(col(labelCol), col(idCol))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(labelCol)
+          .orderBy(sampleKey(col(labelCol), col(idCol)), col(idCol))))
+    ranked.join(broadcast(alloc), labelCol)
+      .withColumn("n_copies",
+        col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+      .select(col(labelCol), col(idCol),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+  }
+
   /** Leakage-safe train/val/test split: hash the document's near-dup
     * COMPONENT, not the document, so every member of a duplicate
     * cluster lands in the same split — hashing doc ids would leak

@@ -552,6 +552,35 @@ object CorpusQueries {
        |FROM agg
        |ORDER BY a_source, b_source""".stripMargin
 
+  /** Label-balance oversampling ([[Sampling.balanceLabels]]): every
+    * label replicated to exactly the majority label's count; the extra
+    * copies go to the hash-ranked first rows, so the rebalanced set is
+    * a pure function of the data. */
+  def q115BalanceLabels(s: SparkSession, dir: String): DataFrame =
+    Sampling.balanceLabels(
+        s.read.parquet(s"$dir/embeddings.parquet"), "label", "vec_id")
+      .presentSorted("label", "vec_id", "copy_idx")
+
+  def q115Sql: String =
+    s"""WITH c AS (SELECT label, CAST(count(*) AS BIGINT) AS cnt
+       |           FROM embeddings GROUP BY label),
+       |m AS (SELECT max(cnt) AS majority FROM c),
+       |a AS (SELECT label, majority // cnt AS base, majority % cnt AS extra
+       |      FROM c, m),
+       |r AS (
+       |  SELECT label, vec_id,
+       |    row_number() OVER (PARTITION BY label ORDER BY
+       |      ${foldSql("CAST(label AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR)")},
+       |      vec_id) AS rk
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT r.label, vec_id,
+       |    base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS nc
+       |  FROM r JOIN a USING (label))
+       |SELECT label, vec_id, CAST(u.i AS BIGINT) AS copy_idx
+       |FROM n, unnest(range(1, nc + 1)) u(i)
+       |ORDER BY label, vec_id, copy_idx""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
@@ -572,5 +601,6 @@ object CorpusQueries {
     ("q109_bigram_score", q109BigramScore _, q109Sql),
     ("q110_profile_drift", q110ProfileDrift _, q110Sql),
     ("q111_constraint_audit", q111ConstraintAudit _, q111Sql),
-    ("q112_kmv_overlap", q112KmvOverlap _, q112Sql))
+    ("q112_kmv_overlap", q112KmvOverlap _, q112Sql),
+    ("q115_balance_labels", q115BalanceLabels _, q115Sql))
 }

@@ -415,7 +415,90 @@ object EventMediaQueries {
       PipelineQueries.q38Sql),
     ("q87_stream_neardup", q87StreamNeardup _, PipelineQueries.q31Sql),
     ("q90_range_pairs", q90RangePairs _, q90Sql),
-    ("q108_hourly_anomaly", q108HourlyAnomaly _, q108Sql))
+    ("q108_hourly_anomaly", q108HourlyAnomaly _, q108Sql),
+    ("q113_stream_audit", q113StreamAudit _, q113Sql),
+    ("q114_winsorize", q114Winsorize _, q114Sql))
+
+  /** q111's row-local constraint rules run UNCHANGED on a stream — the
+    * audit is a stateless select+filter, so the ingest quarantine works
+    * on live data with zero state (no shuffle-partition scoping needed;
+    * there are no state stores at all). Same planted corruption as
+    * q111 minus the uniqueness rule (a global property needs state). */
+  def q113StreamAudit(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/documents.parquet*")
+    val corrupted = stream.select(
+      col("doc_id"),
+      when(col("doc_id") % 7 === 0, lit(null: String))
+        .otherwise(col("text")).as("text"),
+      when(col("doc_id") % 13 === 0, lit("xx")).otherwise(col("lang")).as("lang"),
+      when(col("doc_id") % 11 === 0, col("n_chars") + 1)
+        .otherwise(col("n_chars")).as("n_chars"))
+    val audited = graft.operators.Corpus.constraintAudit(corrupted, "doc_id", Seq(
+      "text_not_null" -> col("text").isNotNull,
+      "len_match" -> (col("n_chars") === length(col("text"))),
+      "lang_known" -> col("lang").isin("en", "de", "fr", "es", "zh")))
+    val name = s"q113_stream_audit_${streamSeq.incrementAndGet()}"
+    val q = audited.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).presentSorted("doc_id", "violations")
+  }
+
+  def q113Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS text,
+      |    CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang,
+      |    CASE WHEN doc_id % 11 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id,
+      |    list_sort(list_filter([
+      |      CASE WHEN NOT coalesce(text IS NOT NULL, false)
+      |           THEN 'text_not_null' END,
+      |      CASE WHEN NOT coalesce(n_chars = len(text), false)
+      |           THEN 'len_match' END,
+      |      CASE WHEN NOT coalesce(lang IN ('en', 'de', 'fr', 'es', 'zh'), false)
+      |           THEN 'lang_known' END
+      |    ], x -> x IS NOT NULL)) AS vl
+      |  FROM c)
+      |SELECT doc_id, array_to_string(vl, ',') AS violations
+      |FROM r WHERE len(vl) > 0
+      |ORDER BY doc_id, violations""".stripMargin
+
+  /** Winsorization ([[graft.operators.Corpus.winsorize]]): events'
+    * `value` clipped to its per-type [p5, p95] band — discrete bounds,
+    * comparison-only clip, so doubles stay engine-exact. */
+  def q114Winsorize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.winsorize(
+        RelationalQueries.events(s, dir), "event_type", "value",
+        loPct = 5, hiPct = 95)
+      .select("event_id", "event_type", "value", "lo", "hi",
+        "clipped", "was_clipped")
+      .presentSorted("event_id")
+
+  def q114Sql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type,
+      |    min(CASE WHEN pct = 5 THEN value END) AS lo,
+      |    max(CASE WHEN pct = 95 THEN value END) AS hi
+      |  FROM r, (VALUES (5), (95)) p(pct)
+      |  WHERE rk = greatest(1, CAST(ceil(pct * n / 100.0) AS BIGINT))
+      |  GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value, b.lo, b.hi,
+      |  least(greatest(e.value, b.lo), b.hi) AS clipped,
+      |  (e.value < b.lo OR e.value > b.hi) AS was_clipped
+      |FROM events e JOIN b USING (event_type)
+      |ORDER BY event_id""".stripMargin
 
   /** Hourly-count anomaly scores ([[EventStreams.hourlyAnomaly]]): each
     * (hour, event_type) bucket's z-score against the type's own hourly

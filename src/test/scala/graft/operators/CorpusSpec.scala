@@ -312,6 +312,20 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("winsorize: hand-computed p5/p95 bounds, comparison-only clip") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, "k", i.toDouble)).toDF("id", "k", "v")
+    val got = Corpus.winsorize(df, "k", "v", 5, 95).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("lo"), r.getAs[Double]("hi"),
+          r.getAs[Double]("clipped"), r.getAs[Boolean]("was_clipped")))).toMap
+    // rank ceil(5·100/100)=5 → lo=5.0; ceil(95·100/100)=95 → hi=95.0
+    assert(got(50L) == ((5.0, 95.0, 50.0, false)))
+    assert(got(1L) == ((5.0, 95.0, 5.0, true)))
+    assert(got(100L) == ((5.0, 95.0, 95.0, true)))
+    assert(got.values.count(_._4) == 9) // 1..4 below, 96..100 above
+  }
+
   test("profileColumns: nulls, distincts, min/max compare in native type") {
     import spark.implicits._
     val df = Seq((1L, Option("b")), (2L, None), (10L, Option("a")))

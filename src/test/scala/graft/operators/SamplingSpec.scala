@@ -89,6 +89,36 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(again == rows.map(r => (r.getString(0), r.getLong(1))).toSet)
   }
 
+  test("balanceLabels: per-label totals equal majority, deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("id", "lab")
+    val got = Sampling.balanceLabels(df, "lab", "id")
+    val perLabel = got.groupBy("lab").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLabel == Map("a" -> 3L, "b" -> 3L, "c" -> 3L))
+    // c's single row carries all 3 copies, indexed 1..3
+    assert(got.where(col("lab") === "c").collect()
+      .map(_.getAs[Long]("copy_idx")).sorted.toSeq == Seq(1L, 2L, 3L))
+    // b: one row gets 2 copies, the other 1 — determined by the hash rank
+    val bCopies = got.where(col("lab") === "b").groupBy("id")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("n")).toMap
+    assert(bCopies.values.toSeq.sorted == Seq(1L, 2L))
+    // repartition-invariant
+    val again = Sampling.balanceLabels(df.repartition(5), "lab", "id")
+      .collect().map(r => (r.getAs[String]("lab"), r.getAs[Long]("id"),
+        r.getAs[Long]("copy_idx"))).toSet
+    assert(again == got.collect().map(r => (r.getAs[String]("lab"),
+      r.getAs[Long]("id"), r.getAs[Long]("copy_idx"))).toSet)
+    // real embeddings: every label lands exactly on the majority count
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val balanced = Sampling.balanceLabels(emb, "label", "vec_id")
+      .groupBy("label").agg(count(lit(1)).as("n"))
+      .select("n").distinct().collect()
+    assert(balanced.length == 1)
+  }
+
   test("leakageSafeSplit: components never straddle splits, singletons covered") {
     import spark.implicits._
     val d = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
