@@ -588,4 +588,62 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Gzip member round-trip — the WARC-ingestion primitive (web crawls
+    * store one gzip member per record): compress each document's text
+    * with the REAL `java.util.zip` gzip codec, decode it back, and emit
+    * the decoded byte count plus the decoded text's 48-bit rolling
+    * fingerprint. The oracle recomputes both from the RAW text, so a
+    * framing, charset, or truncation slip anywhere in the
+    * compress→decompress path fails the hash gate. Compressed size is
+    * deliberately NOT in the output — it is deflate-implementation
+    * detail, not data.
+    *
+    * Same posture as the other codecs: payload bytes are born and die
+    * inside one `mapPartitions` stage, nothing binary shuffles, and the
+    * work batches `batchSize` rows per buffer.
+    */
+  def gzipRoundtrip(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchSize: Int = 32): DataFrame = {
+    require(batchSize > 0, "batch size not correct")
+    val src = docs.select(col(idCol), coalesce(col(textCol), lit("")).as("t"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_raw", IntegerType, nullable = false),
+      StructField("fp_decoded", LongType, nullable = false),
+      StructField("roundtrip_ok", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    src.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(0)
+          val text = row.getString(1)
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(raw); gz.close()
+          val gin = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = gin.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = gin.read(buf) }
+          gin.close()
+          val decoded = new String(out.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8)
+          var fp = 0L
+          var i = 0
+          while (i < decoded.length) {
+            fp = (fp * 31 + decoded.charAt(i)) % 281474976710656L
+            i += 1
+          }
+          Row(id, out.size(), fp, decoded == text)
+        }
+      }
+    }(enc)
+  }
 }

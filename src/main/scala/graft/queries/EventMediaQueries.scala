@@ -417,7 +417,29 @@ object EventMediaQueries {
     ("q90_range_pairs", q90RangePairs _, q90Sql),
     ("q108_hourly_anomaly", q108HourlyAnomaly _, q108Sql),
     ("q113_stream_audit", q113StreamAudit _, q113Sql),
-    ("q114_winsorize", q114Winsorize _, q114Sql))
+    ("q114_winsorize", q114Winsorize _, q114Sql),
+    ("q116_gzip_roundtrip", q116GzipRoundtrip _, q116Sql))
+
+  /** Gzip member round-trip ([[Multimodal.gzipRoundtrip]]): the WARC
+    * ingestion primitive through the REAL `java.util.zip` codec; the
+    * oracle recomputes byte count + fingerprint from the raw text, so
+    * any framing/charset slip in the codec path fails the hash gate. */
+  def q116GzipRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Multimodal.gzipRoundtrip(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        batchSize = 32)
+      .presentSorted("media_id")
+
+  def q116Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(octet_length(encode(coalesce(text, ''))) AS INTEGER) AS n_raw,
+      |  list_reduce(
+      |    list_prepend(0::BIGINT,
+      |      [ascii(c)::BIGINT for c in string_split(coalesce(text, ''), '')]),
+      |    (acc, c) -> (acc * 31 + c) % 281474976710656) AS fp_decoded,
+      |  true AS roundtrip_ok
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
 
   /** q111's row-local constraint rules run UNCHANGED on a stream — the
     * audit is a stateless select+filter, so the ingest quarantine works

@@ -139,4 +139,19 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getDouble(5) == ss.map(_.toLong).sum.toDouble / n)
     }
   }
+
+  test("gzipRoundtrip: real codec, UTF-8 multibyte, empty and null text") {
+    import spark.implicits._
+    val uni = "héllo — ünïcode"
+    val df = Seq((1L, "hello world"), (2L, ""), (3L, null: String), (4L, uni))
+      .toDF("doc_id", "text")
+    val got = Multimodal.gzipRoundtrip(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("n_raw"), r.getAs[Boolean]("roundtrip_ok")))).toMap
+    assert(got(1L) == ((11, true)))
+    assert(got(2L) == ((0, true)))
+    assert(got(3L) == ((0, true))) // null text coalesces to ''
+    assert(got(4L)._1 == uni.getBytes("UTF-8").length && got(4L)._2)
+    assert(got(4L)._1 > uni.length) // byte count, not char count
+  }
 }
