@@ -700,4 +700,129 @@ object Corpus {
       (i, l, r, l + r, total)
     }.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
   }
+
+  /** Per-key lexical-diversity audit: token count, type (distinct-token)
+    * count, hapax (once-only token) count, type/token ratio and
+    * hapax/type ratio — the standard lexical-richness signals a curation
+    * run uses to spot template farms (low TTR: the same tokens over and
+    * over) and OCR noise (high hapax ratio: endless unique garbage
+    * tokens).
+    *
+    * Scale shape: one `(key, token)` shuffle with map-side partial
+    * aggregation (reduce side is per-key VOCABULARY sized, not occurrence
+    * sized), a second key-sized aggregation on top of it, and a key-sized
+    * join for the document counts. The corpus text never reshuffles.
+    *
+    * All counts are exact integers; the two ratios are one int/int double
+    * division each, so the DuckDB oracle reproduces every value
+    * bit-for-bit. Keys whose every text is null have no tokens and drop
+    * out (inner join), matching the SQL replay.
+    */
+  def lexicalDiversity(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val perToken = docs
+      .select(col(keyCol), explode(TextAnalysis.words(col(textCol))).as("token"))
+      .groupBy(col(keyCol), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val lex = perToken
+      .groupBy(col(keyCol))
+      .agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    val nDocs = docs.groupBy(col(keyCol)).agg(count(lit(1)).as("n_docs"))
+    nDocs.join(lex, Seq(keyCol))
+      .select(col(keyCol), col("n_docs"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types")).as("hapax_ratio"))
+  }
+
+  /** Corpus-level bigram collocations ranked by lift
+    * `n_bigrams · c(ab) / (c(a) · c(b))` — the log-free PMI variant
+    * (monotone in `pmi = log lift`, and unlike it bit-reproducible across
+    * engines). High-lift pairs are multiword expressions ("los angeles");
+    * a curation pipeline uses them for tokenizer vocabulary seeding and
+    * boilerplate phrase mining.
+    *
+    * Scale shape: the bigram histogram is one shuffle with map-side
+    * combine (reduce side = bigram-vocabulary sized); the `minCount`
+    * filter runs BEFORE the two unigram equi-joins, so only the
+    * frequent-bigram tail joins against the vocabulary; the corpus total
+    * is a one-row broadcast and the final top-k is a distributive
+    * `TakeOrdered` (each partition ships k rows). Ties break on
+    * `(w1, w2)` ascending — engine-independent.
+    */
+  def collocations(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long = 5,
+      k: Int = 20): DataFrame = {
+    val ws = docs.where(col(textCol).isNotNull)
+      .select(TextAnalysis.words(col(textCol)).as("ws"))
+    val m = greatest(size(col("ws")) - 1, lit(0))
+    val bg = ws.select(explode(zip_with(
+        slice(col("ws"), lit(1), m), slice(col("ws"), lit(2), m),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cab = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val uni = ws.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val n = bg.agg(count(lit(1)).as("n_bigrams"))
+    cab.where(col("c_ab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cnt").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cnt").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("n_bigrams") * col("c_ab")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** Per-key HyperLogLog distinct-token estimate (Flajolet et al. 2007)
+    * over the 48-bit `rolling_hash`: bucket = top `p` hash bits, register
+    * = max leading-zero rank of the remaining 42 bits. Emitted as the raw
+    * harmonic-mean estimate `alpha_64 · m² / Z` WITHOUT the small-range
+    * linear-counting correction — that correction needs `ln`, which is
+    * not bit-reproducible across engines; the raw estimate is one double
+    * division over an EXACTLY-representable `Z` (every register term
+    * `2^-rho` is dyadic with `rho ≤ 43` and `m = 64`, so the sum spans
+    * `< 2^49 < 2^53` ulps and is order-independent-exact in a double —
+    * which is what lets a plain parallel `sum()` replay bit-for-bit).
+    *
+    * The companion to [[graft.functions.KmvSketch]] (q79): KMV keeps k
+    * hashes per key, HLL keeps m 6-bit registers — at 100 TB the register
+    * table crossing the cluster is `keys × 64` rows of two longs,
+    * independent of vocabulary. The `(key, bucket)` max-aggregation
+    * combines map-side, so the full shuffle volume is bounded by
+    * `tasks × keys × 64` rows.
+    */
+  def hllDistinct(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val p = 6
+    val m = 1 << p // 64 buckets
+    val restBits = 48 - p // 42
+    val mask = (1L << restBits) - 1
+    val toks = docs
+      .select(col(keyCol),
+        explode(TextAnalysis.words(col(textCol))).as("token"))
+      .select(col(keyCol), expr("rolling_hash(token)").as("h"))
+      .distinct()
+    val regs = toks
+      .select(col(keyCol),
+        shiftright(col("h"), restBits).as("bucket"),
+        col("h").bitwiseAND(lit(mask)).as("w"))
+      .select(col(keyCol), col("bucket"),
+        when(col("w") === 0, lit(restBits + 1))
+          .otherwise(lit(restBits + 1) - length(bin(col("w")))).as("rho"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+    regs
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(pow(lit(2.0), -col("rho"))).as("z_used"))
+      .select(col(keyCol), col("n_buckets"),
+        (col("z_used") + (lit(m) - col("n_buckets")).cast("double")).as("z"))
+      .select(col(keyCol), col("n_buckets"), col("z"),
+        (lit(0.709) * lit(m) * lit(m) / col("z")).as("n_distinct_est"))
+  }
 }

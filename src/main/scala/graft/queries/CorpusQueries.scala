@@ -581,6 +581,82 @@ object CorpusQueries {
        |FROM n, unnest(range(1, nc + 1)) u(i)
        |ORDER BY label, vec_id, copy_idx""".stripMargin
 
+  /** Per-source lexical-diversity audit ([[Corpus.lexicalDiversity]]):
+    * exact token/type/hapax counts with int/int ratio divisions. */
+  def q117LexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    Corpus.lexicalDiversity(docs(s, dir), "source", "text")
+      .presentSorted("source")
+
+  def q117Sql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |c AS (SELECT source, w, count(*) AS cnt FROM tok GROUP BY source, w),
+      |lex AS (SELECT source,
+      |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_types,
+      |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |  FROM c GROUP BY source),
+      |d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+      |SELECT source, n_docs, n_tokens, n_types, n_hapax,
+      |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+      |  CAST(n_hapax AS DOUBLE) / n_types AS hapax_ratio
+      |FROM d JOIN lex USING (source)
+      |ORDER BY source""".stripMargin
+
+  /** Top-k bigram collocations by exact-rational lift
+    * ([[Corpus.collocations]], minCount=5, k=20). */
+  def q118Collocations(s: SparkSession, dir: String): DataFrame =
+    Corpus.collocations(docs(s, dir), "text", minCount = 5, k = 20)
+      .presentSorted("w1", "w2")
+
+  def q118Sql: String =
+    """WITH ws AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents
+      |  WHERE text IS NOT NULL),
+      |bg AS (SELECT w[i] AS w1, w[i + 1] AS w2
+      |       FROM ws, unnest(range(1, len(w))) t(i)),
+      |cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2),
+      |uc AS (SELECT unnest(w) AS tok FROM ws),
+      |u AS (SELECT tok, count(*) AS cnt FROM uc GROUP BY tok),
+      |n AS (SELECT count(*) AS n_bigrams FROM bg),
+      |top AS (
+      |  SELECT c.w1, c.w2, c.c_ab, a.cnt AS c_a, b.cnt AS c_b,
+      |    CAST(n.n_bigrams * c.c_ab AS DOUBLE)
+      |      / CAST(a.cnt * b.cnt AS DOUBLE) AS lift
+      |  FROM cab c
+      |  JOIN u a ON c.w1 = a.tok
+      |  JOIN u b ON c.w2 = b.tok
+      |  CROSS JOIN n
+      |  WHERE c.c_ab >= 5
+      |  ORDER BY lift DESC, c.w1, c.w2 LIMIT 20)
+      |SELECT * FROM top ORDER BY w1, w2""".stripMargin
+
+  /** Per-source HyperLogLog distinct-token estimate
+    * ([[Corpus.hllDistinct]], p=6 / 64 registers over the 48-bit
+    * rolling hash) — q79's KMV companion, same replayable-hash trick,
+    * register-table state instead of k minima. */
+  def q119HllDistinct(s: SparkSession, dir: String): DataFrame =
+    Corpus.hllDistinct(docs(s, dir), "source", "text")
+      .presentSorted("source")
+
+  def q119Sql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |h AS (SELECT DISTINCT source, ${foldSql("w")} AS hv FROM tok),
+       |b AS (SELECT source, hv >> 42 AS bucket,
+       |        hv & 4398046511103 AS lw FROM h),
+       |r AS (SELECT source, bucket,
+       |    max(CASE WHEN lw = 0 THEN 43 ELSE 43 - length(bin(lw)) END) AS rho
+       |  FROM b GROUP BY source, bucket),
+       |z AS (SELECT source, count(*) AS n_buckets,
+       |    sum(2.0 ** (-rho)) AS z_used
+       |  FROM r GROUP BY source)
+       |SELECT source, n_buckets, z,
+       |  CAST(0.709 AS DOUBLE) * 64 * 64 / z AS n_distinct_est
+       |FROM (SELECT source, n_buckets,
+       |        z_used + CAST(64 - n_buckets AS DOUBLE) AS z FROM z)
+       |ORDER BY source""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
@@ -602,5 +678,8 @@ object CorpusQueries {
     ("q110_profile_drift", q110ProfileDrift _, q110Sql),
     ("q111_constraint_audit", q111ConstraintAudit _, q111Sql),
     ("q112_kmv_overlap", q112KmvOverlap _, q112Sql),
-    ("q115_balance_labels", q115BalanceLabels _, q115Sql))
+    ("q115_balance_labels", q115BalanceLabels _, q115Sql),
+    ("q117_lexical_diversity", q117LexicalDiversity _, q117Sql),
+    ("q118_collocations", q118Collocations _, q118Sql),
+    ("q119_hll_distinct", q119HllDistinct _, q119Sql))
 }

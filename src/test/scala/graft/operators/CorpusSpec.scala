@@ -338,4 +338,71 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(got("id") == ((3L, 0L, 3L, "1", "10")))
     assert(got("s") == ((3L, 1L, 2L, "a", "b")))
   }
+
+  test("lexicalDiversity: hand-computed counts, null-text key drops out") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Option("x x y")), ("a", Option("z")), ("b", Option.empty[String]))
+      .toDF("source", "text")
+    val got = Corpus.lexicalDiversity(df, "source", "text").collect()
+    assert(got.length == 1) // "b" has only null text → no tokens → inner-join drop
+    val r = got.head
+    assert(r.getAs[String]("source") == "a")
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Long]("n_types") == 3L) // x, y, z
+    assert(r.getAs[Long]("n_hapax") == 2L) // y, z
+    assert(r.getAs[Double]("ttr") == 3.0 / 4)
+    assert(r.getAs[Double]("hapax_ratio") == 2.0 / 3)
+  }
+
+  test("collocations: hand-computed lift, minCount filter, ties stable") {
+    import spark.implicits._
+    val df = Seq("a b a b a b", "c d").toDF("text")
+    // bigrams: (a,b)×3 (b,a)×2 (c,d)×1 → N=6; unigrams a:3 b:3 c:1 d:1
+    val got = Corpus.collocations(df, "text", minCount = 2, k = 10).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        ((r.getAs[Long]("c_ab"), r.getAs[Long]("c_a"), r.getAs[Long]("c_b"),
+          r.getAs[Double]("lift")))).toMap
+    assert(got.keySet == Set(("a", "b"), ("b", "a"))) // (c,d) under minCount
+    assert(got(("a", "b")) == ((3L, 3L, 3L, 18.0 / 9)))
+    assert(got(("b", "a")) == ((2L, 3L, 3L, 12.0 / 9)))
+  }
+
+  test("hllDistinct: register replay is exact, estimate tracks true distinct") {
+    graft.LightFusion.ensureRegistered(spark)
+    // driver replay of the full sketch from the same distinct hashes
+    val hashes = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .select(col("source"), expr("rolling_hash(t)").as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = hashes.groupBy(_._1).map { case (src, hs) =>
+      val regs = hs.map(_._2).groupBy(_ >> 42)
+        .map { case (b, ws) =>
+          b -> ws.map { h =>
+            val w = h & ((1L << 42) - 1)
+            if (w == 0) 43 else 43 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+          }.max
+        }
+      val zUsed = regs.values.map(r => math.pow(2.0, -r)).sum
+      val z = zUsed + (64 - regs.size)
+      src -> ((regs.size.toLong, z, 0.709 * 64 * 64 / z))
+    }
+    val got = Corpus.hllDistinct(docs, "source", "text").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_buckets"), r.getAs[Double]("z"),
+          r.getAs[Double]("n_distinct_est")))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (src, (nb, z, est)) =>
+      assert(got(src)._1 == nb, s"n_buckets $src")
+      assert(got(src)._2 == z, s"z must be order-independent-exact for $src")
+      assert(got(src)._3 == est, s"estimate $src")
+    }
+    // sanity: the estimate is within a loose 2× of the true distinct count
+    val truth = hashes.groupBy(_._1).view.mapValues(_.length).toMap
+    got.foreach { case (src, (_, _, est)) =>
+      assert(est > truth(src) / 2.0 && est < truth(src) * 2.0,
+        s"$src est $est vs true ${truth(src)}")
+    }
+  }
 }
