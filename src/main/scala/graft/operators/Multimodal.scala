@@ -646,4 +646,109 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // ------------------------------------------------------------------
+  // Perceptual (average) hash: the image near-dup primitive.
+  // ------------------------------------------------------------------
+
+  /** 64-bit average hash of a decoded grayscale image: subsample an 8×8
+    * grid at `(⌊i·w/8⌋, ⌊j·h/8⌋)` (point sampling instead of the classic
+    * box-mean resize — identical discrimination on flat regions, and
+    * exact integer arithmetic a SQL oracle replays), then set bit
+    * `j·8+i` iff that sample is above the 64-sample mean. The mean
+    * compare is `px·64 > sum` — integer cross-multiplication, no
+    * division, no rounding mode.
+    *
+    * Point sampling on a fixed 8×8 grid also makes hashes comparable
+    * ACROSS image dimensions, which is the point of a perceptual hash:
+    * a thumbnail and its original land on the same bits.
+    */
+  private[operators] def ahashOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val px = new Array[Int](64)
+    var k = 0
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        px(k) = raster.getSample(i * w / 8, j * h / 8, 0)
+        k += 1
+        i += 1
+      }
+      j += 1
+    }
+    var s = 0L
+    k = 0
+    while (k < 64) { s += px(k); k += 1 }
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (px(k) * 64L > s) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
+  /** Batched REAL decode → average hash per media row: `(media_id,
+    * ahash)`, null hash for undecodable payloads. Same shape as
+    * [[decodeImageStats]]: codec work batches executor-side, payload
+    * bytes never shuffle — only 16 bytes per image leave the stage,
+    * which is what makes corpus-scale image dedup affordable. */
+  def imageAHash(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    require(batchSize > 0, "batch size not correct")
+    val inSchema = media.schema
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val idIdx = inSchema.fieldIndex("media_id")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(idIdx)
+          val img = try {
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                row.getAs[Array[Byte]](payloadIdx))))
+          } catch {
+            case _: java.io.IOException => None
+            case scala.util.control.NonFatal(_) => None
+          }
+          img match {
+            case Some(im) => Row(id, ahashOf(im))
+            case None => Row(id, null)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate image pairs by aHash Hamming distance ≤ `maxDist`
+    * (≤3): the same 4×16-bit pigeonhole as [[Dedup.simhashPairs]] — a
+    * pair within distance 3 agrees on at least one 16-bit chunk, so the
+    * banded equi-join is provably complete and there is never a cross
+    * join. Null hashes (undecodable media) drop out. Output
+    * `(media_id_a, media_id_b, hamming)`, `a < b`, deduped after the
+    * cheap filter. */
+  def ahashPairs(hashes: DataFrame, maxDist: Int = 2): DataFrame = {
+    require(maxDist <= 3, "chunk trick with 4 chunks covers Hamming distance <= 3")
+    val chunked = hashes.where(col("ahash").isNotNull)
+      .select(col("media_id"), col("ahash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("ahash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk", "ck")))
+    val a = chunked.select(col("media_id").as("media_id_a"),
+      col("ahash").as("ha"), col("chunk"), col("ck"))
+    val b = chunked.select(col("media_id").as("media_id_b"),
+      col("ahash").as("hb"), col("chunk"), col("ck"))
+    a.join(b, Seq("chunk", "ck"))
+      .where(col("media_id_a") < col("media_id_b"))
+      .select(col("media_id_a"), col("media_id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
 }

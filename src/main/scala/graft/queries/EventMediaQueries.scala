@@ -418,7 +418,8 @@ object EventMediaQueries {
     ("q108_hourly_anomaly", q108HourlyAnomaly _, q108Sql),
     ("q113_stream_audit", q113StreamAudit _, q113Sql),
     ("q114_winsorize", q114Winsorize _, q114Sql),
-    ("q116_gzip_roundtrip", q116GzipRoundtrip _, q116Sql))
+    ("q116_gzip_roundtrip", q116GzipRoundtrip _, q116Sql),
+    ("q120_image_ahash", q120ImageAHash _, q120Sql))
 
   /** Gzip member round-trip ([[Multimodal.gzipRoundtrip]]): the WARC
     * ingestion primitive through the REAL `java.util.zip` codec; the
@@ -552,4 +553,40 @@ object EventMediaQueries {
       |       ELSE 0.0 END AS z
       |FROM st
       |ORDER BY window_start, event_type""".stripMargin
+
+  /** Image near-dup by perceptual average hash: real PNG decode →
+    * [[Multimodal.imageAHash]] 8×8 point-sample hash →
+    * [[Multimodal.ahashPairs]] banded Hamming join (≤2). The oracle
+    * replays the pattern-pixel formula (q72's generator), the grid
+    * subsample, the integer mean compare, and an all-pairs Hamming count
+    * — so the gate catches any slip in the real codec path, the sampling
+    * geometry, or the pigeonhole join's completeness. */
+  def q120ImageAHash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.ahashPairs(
+        Multimodal.imageAHash(
+          Multimodal.imageTable(s.read.parquet(s"$dir/documents.parquet")),
+          batchSize = 32),
+        maxDist = 2)
+      .presentSorted("media_id_a", "media_id_b")
+
+  def q120Sql: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    flatten(list_transform(range(8), j ->
+      |      list_transform(range(8), i ->
+      |        (doc_id * 31
+      |         + ((i * (doc_id % 24 + 8)) // 8) * 7
+      |         + ((j * (doc_id % 16 + 8)) // 8) * 13) % 256))) AS ps
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    [CASE WHEN p * 64 > s THEN 1 ELSE 0 END for p in ps] AS bits
+      |  FROM (SELECT doc_id, ps, CAST(list_sum(ps) AS BIGINT) AS s FROM px)),
+      |d AS (
+      |  SELECT a.doc_id AS media_id_a, c.doc_id AS media_id_b,
+      |    CAST(list_sum([abs(a.bits[k + 1] - c.bits[k + 1])
+      |                   for k in range(64)]) AS INTEGER) AS hamming
+      |  FROM b a JOIN b c ON a.doc_id < c.doc_id)
+      |SELECT * FROM d WHERE hamming <= 2
+      |ORDER BY media_id_a, media_id_b""".stripMargin
 }

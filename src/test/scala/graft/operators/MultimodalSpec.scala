@@ -154,4 +154,43 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L)._1 == uni.getBytes("UTF-8").length && got(4L)._2)
     assert(got(4L)._1 > uni.length) // byte count, not char count
   }
+
+  test("imageAHash: decoded-PNG hash equals formula replay; junk payload → null") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(40)
+    val got = Multimodal.imageAHash(Multimodal.imageTable(docs), batchSize = 7)
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val w = (id % 24 + 8).toInt
+      val h = (id % 16 + 8).toInt
+      val px = for (j <- 0 until 8; i <- 0 until 8)
+        yield Multimodal.patternPixel(id, i * w / 8, j * h / 8)
+      val s = px.map(_.toLong).sum
+      var expect = 0L
+      px.zipWithIndex.foreach { case (p, k) =>
+        if (p * 64L > s) expect |= (1L << k)
+      }
+      assert(got(id) == expect, s"ahash of doc $id")
+    }
+    // undecodable payload must yield a null hash, not a crash
+    val junk = Seq((999L, Array[Byte](1, 2, 3), null.asInstanceOf[String]))
+      .toDF("media_id", "payload", "ignore")
+    val nh = Multimodal.imageAHash(junk).head
+    assert(nh.isNullAt(1))
+  }
+
+  test("ahashPairs: banded join is complete vs brute-force all-pairs") {
+    val hashes = Multimodal.imageAHash(
+      Multimodal.imageTable(
+        spark.read.parquet(s"$sfDir/documents.parquet")))
+    val got = Multimodal.ahashPairs(hashes, maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val hs = hashes.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, ha) <- hs; (idb, hb) <- hs if ida < idb
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 2
+    } yield (ida, idb, d)).sorted.toSeq
+    assert(got == brute, "pigeonhole must find exactly the brute-force pairs")
+    assert(got.nonEmpty) // the pattern corpus has planted near-dups
+  }
 }
