@@ -63,8 +63,7 @@ object AdvancedQueries {
     * user-ordered stream) — the 100 TB-safe form of an as-of join: one
     * shuffle on user_id, no range-join pair explosion. */
   def q18AsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = RelationalQueries.events(s, dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = RelationalQueries.eventsTs(s, dir)
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -14,8 +14,7 @@ object EventMediaQueries {
   /** events with `ts` as a proper timestamp (micros, truncated from the
     * table's nanos — DuckDB CAST(ts AS TIMESTAMP) truncates identically). */
   private def eventsTs(s: SparkSession, dir: String): DataFrame =
-    RelationalQueries.events(s, dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    RelationalQueries.eventsTs(s, dir)
 
   def q60EventWindows(s: SparkSession, dir: String): DataFrame =
     EventStreams.windowedAgg(eventsTs(s, dir))
@@ -397,6 +396,31 @@ object EventMediaQueries {
       |  ON a.user_id = b.user_id AND a.event_id < b.event_id
       | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
       |ORDER BY a.user_id, a_id, b_id""".stripMargin
+
+  /** Event-type Markov transition matrix
+    * ([[graft.streaming.EventStreams.transitionCounts]]): per-user
+    * (ts, event_id)-ordered next-event counts + exact conditional
+    * probabilities. The oracle replays the identical lag window and the
+    * same double division. */
+  def q124EventTransitions(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.transitionCounts(eventsTs(s, dir))
+      .presentSorted("prev_type", "event_type")
+
+  def q124Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_type
+      |  FROM events),
+      |p AS (
+      |  SELECT prev_type, event_type, count(*) AS cnt
+      |  FROM s WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, event_type)
+      |SELECT prev_type, event_type, cnt,
+      |  CAST(cnt AS DOUBLE)
+      |    / CAST(sum(cnt) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+      |FROM p
+      |ORDER BY prev_type, event_type""".stripMargin
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q58_attribution", q58Attribution _, q58Sql),

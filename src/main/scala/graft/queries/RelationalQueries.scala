@@ -31,12 +31,31 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * only reads via the nanos-as-long legacy switch; `tsNanos` keeps the
-    * raw long available for time logic (micros = ts div 1000). */
+  /** The events table's `ts` encoding has varied across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) (readable only as a raw long
+    * via the nanos-as-long legacy switch) vs TIMESTAMP(MICROS) NTZ. Keep
+    * the legacy switch on so nano files still load; [[eventsTs]] is the
+    * encoding-robust entry every time-logic query should use. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, dir, "events")
+  }
+
+  /** events with `ts` normalized to session-zone TimestampType
+    * microseconds regardless of the file encoding. The session zone is
+    * UTC everywhere (LightFusion.session, SparkTestBase), so the
+    * NTZ→LTZ cast preserves the stored micros value bit-exactly and
+    * `unix_micros` downstream agrees with DuckDB's `epoch_us`. */
+  def eventsTs(s: SparkSession, dir: String): DataFrame = {
+    val df = events(s, dir)
+    val norm = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
+        timestamp_micros(expr("ts div 1000"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      case _ => col("ts")
+    }
+    df.withColumn("ts", norm)
   }
 
   /** Decimal-exact money column, sized so every product below stays

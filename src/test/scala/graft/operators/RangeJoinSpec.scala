@@ -57,8 +57,7 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("range join equals naive on the events corpus; plans as equi-join not NLJ") {
-    val events = graft.queries.RelationalQueries.events(spark, sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.queries.RelationalQueries.eventsTs(spark, sfDir)
     val w = 300000000L
     val fast = RangeJoin.pairsWithin(events, "user_id", "event_id", "ts", w)
     val got = fast.collect()
