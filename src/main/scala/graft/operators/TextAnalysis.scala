@@ -558,6 +558,52 @@ object TextAnalysis {
       .select(col(sourceCol), col("rank"), col("token"), col("cnt"))
   }
 
+  /** Codepoint classes for [[scriptProfile]], each a regex character
+    * class BODY shared verbatim between the Spark expression and the
+    * DuckDB oracle: ranges + literal unicode chars only (no \s, \p{...}
+    * or \x{...} — the escapes whose semantics differ between Java regex
+    * and RE2). `space` is the space + NBSP family (U+00A0/U+2007/U+202F);
+    * control whitespace (\t\n) deliberately falls to `other` in BOTH
+    * engines so parity never depends on engine-specific \s definitions.
+    * Order is the deterministic tie-break precedence for `main_class`. */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "ascii_alpha" -> "A-Za-z",
+    "digit" -> "0-9",
+    "space" -> "    ",
+    "latin_ext" -> "À-ɏ",
+    "cjk" -> "一-鿿぀-ヿ")
+
+  /** Per-document script/charset profile: counts of each
+    * [[scriptClasses]] codepoint class, the `other` remainder, and the
+    * dominant class (first-listed wins ties — q51's tie-break pattern).
+    * The mixed-script histogram is how a multilingual curation pipeline
+    * routes documents (CJK → per-char tokenizer, latin_ext → NFC path)
+    * and catches mojibake (high `other`).
+    *
+    * Scale: map-only — one whole-stage-codegen scan of the text column,
+    * `regexp_count` per class, no shuffle, no UDF. Counts are UTF-16
+    * code units == codepoints for BMP text (supplementary-plane chars
+    * would count 2 in `n_units`; the classes themselves are BMP-only). */
+  def scriptProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val counts = scriptClasses.map { case (n, cls) =>
+      regexp_count(t, lit(s"[$cls]")).cast("long").as(s"n_$n")
+    }
+    val named = scriptClasses.map { case (n, _) => col(s"n_$n") }
+    val base = docs.select(
+      (col(idCol) +: length(t).cast("long").as("n_units") +: counts): _*)
+    val withOther = base.withColumn("n_other",
+      col("n_units") - named.reduce(_ + _))
+    val classes = scriptClasses.map(_._1) :+ "other"
+    val pick = classes.zipWithIndex.dropRight(1).foldRight(
+      lit(classes.last): Column) { case ((c, i), rest) =>
+      val later = classes.drop(i + 1)
+      when(later.map(o => col(s"n_$c") >= col(s"n_$o")).reduce(_ && _),
+        lit(c)).otherwise(rest)
+    }
+    withOther.withColumn("main_class", pick)
+  }
+
   /** Canonical text normalization: lowercase, non-alphanumeric runs to a
     * single space, trimmed — the cheap canonical form a curation pipeline
     * dedups on (case/punctuation/whitespace variants of the same text are

@@ -443,7 +443,8 @@ object EventMediaQueries {
     ("q113_stream_audit", q113StreamAudit _, q113Sql),
     ("q114_winsorize", q114Winsorize _, q114Sql),
     ("q116_gzip_roundtrip", q116GzipRoundtrip _, q116Sql),
-    ("q120_image_ahash", q120ImageAHash _, q120Sql))
+    ("q120_image_ahash", q120ImageAHash _, q120Sql),
+    ("q124_event_transitions", q124EventTransitions _, q124Sql))
 
   /** Gzip member round-trip ([[Multimodal.gzipRoundtrip]]): the WARC
     * ingestion primitive through the REAL `java.util.zip` codec; the

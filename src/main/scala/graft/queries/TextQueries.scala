@@ -669,6 +669,47 @@ object TextQueries {
        |ORDER BY w.doc_id""".stripMargin
   }
 
+  /** Per-document script/charset profile ([[TextAnalysis.scriptProfile]])
+    * over the q88 hazard corpus (text salted with NBSP-joined accents +
+    * CJK): codepoint-class counts + dominant class. The oracle rebuilds
+    * every class count from the SAME character-class bodies
+    * ([[TextAnalysis.scriptClasses]] — ranges and literal chars only, so
+    * Java regex and RE2 agree) and replays the first-listed-wins
+    * tie-break chain. */
+  def q121ScriptProfile(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scriptProfile(
+      docs(s, dir).select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")), lit(q88Suffix)).as("t")),
+      "doc_id", "t")
+      .presentSorted("doc_id")
+
+  def q121Sql: String = {
+    val classes = TextAnalysis.scriptClasses
+    val countDefs = classes.map { case (n, cls) =>
+      s"len(regexp_extract_all(t, '[$cls]'))::BIGINT AS n_$n"
+    }.mkString(",\n  ")
+    val names = classes.map(_._1) :+ "other"
+    val sumAll = classes.map { case (n, _) => s"n_$n" }.mkString(" + ")
+    val cases = names.zipWithIndex.dropRight(1).map { case (c, i) =>
+      val conds = names.drop(i + 1).map(o => s"n_$c >= n_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$c'"
+    }.mkString("\n    ")
+    s"""WITH dirty AS (
+       |  SELECT doc_id, coalesce(text, '') || '$q88Suffix' AS t
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, len(t)::BIGINT AS n_units,
+       |  $countDefs
+       |  FROM dirty),
+       |o AS (SELECT *, n_units - ($sumAll) AS n_other FROM c)
+       |SELECT doc_id, n_units,
+       |  ${classes.map { case (n, _) => s"n_$n" }.mkString(", ")}, n_other,
+       |  CASE $cases
+       |    ELSE '${names.last}' END AS main_class
+       |FROM o
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q50_text_stats", q50TextStats _, q50Sql),
     ("q51_lang_id", q51LangId _, q51Sql),
@@ -687,5 +728,6 @@ object TextQueries {
     ("q93_pack_sequences", q93PackSequences _, q93Sql),
     ("q94_gopher_repetition", q94GopherRepetition _, q94Sql),
     ("q101_bpe_train", q101BpeTrain _, q101Sql),
-    ("q106_drop_boilerplate", q106DropBoilerplate _, q106Sql))
+    ("q106_drop_boilerplate", q106DropBoilerplate _, q106Sql),
+    ("q121_script_profile", q121ScriptProfile _, q121Sql))
 }

@@ -135,4 +135,35 @@ object EventStreams {
       when(vr > 0, (col("cnt").cast("double") - mean) / sqrt(vr))
         .otherwise(lit(0.0)).as("z"))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * counts of (prev_type → type) steps in (ts, event_id)-order, plus
+    * the conditional probability `p = cnt / out(prev_type)` as an exact
+    * int/int double division — the behavioral-sequence statistic a
+    * session-modeling or next-event-prediction pipeline trains on.
+    *
+    * The (ts, event_id) composite order makes the sequence a total
+    * order (duplicate timestamps can't flip neighbors), so the result
+    * is partition- and engine-deterministic.
+    *
+    * Scale shape: ONE corpus-sized shuffle (the per-user sort window —
+    * the unavoidable cost of sequencing); the pair aggregation is
+    * map-side combined down to |types|² rows, and the out-degree rollup
+    * derives from that aggregate (no second corpus pass — q109's
+    * prefix-count trick). */
+  def transitionCounts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(seq))
+      .where(col("prev_type").isNotNull)
+    val pairs = steps.groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val out = Window.partitionBy("prev_type")
+    pairs
+      .withColumn("out_cnt", sum(col("cnt")).over(out))
+      .select(col("prev_type"), col("event_type"), col("cnt"),
+        (col("cnt").cast("double") / col("out_cnt")).as("p"))
+  }
 }

@@ -522,4 +522,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
         ((r.getAs[String]("clean_text"), r.getAs[Int]("n_dropped")))).toMap
     assert(again == got)
   }
+
+  test("scriptProfile: hand-computed class counts, NBSP, tie-break, null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Ab1 你 é"),       // 2 ascii, 1 digit, 2 space, 1 cjk, 1 latin_ext
+      (2L, "  "),             // NBSP family → space class
+      (3L, "世界!"),            // 2 cjk + 1 other (punct)
+      (4L, null: String))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_units"), r.getAs[Long]("n_ascii_alpha"),
+          r.getAs[Long]("n_digit"), r.getAs[Long]("n_space"),
+          r.getAs[Long]("n_latin_ext"), r.getAs[Long]("n_cjk"),
+          r.getAs[Long]("n_other"), r.getAs[String]("main_class")))).toMap
+    // doc 1: ascii_alpha (2) ties space (2) → first-listed wins
+    assert(got(1L) == ((7L, 2L, 1L, 2L, 1L, 1L, 0L, "ascii_alpha")))
+    assert(got(2L) == ((2L, 0L, 0L, 2L, 0L, 0L, 0L, "space")))
+    assert(got(3L) == ((3L, 0L, 0L, 0L, 0L, 2L, 1L, "cjk")))
+    // null text → empty: all-zero counts fall through to the first class
+    assert(got(4L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L, "ascii_alpha")))
+  }
+
+  test("scriptProfile: map-only plan (no Exchange)") {
+    import spark.implicits._
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    val plan = TextAnalysis.scriptProfile(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

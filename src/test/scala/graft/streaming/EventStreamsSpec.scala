@@ -132,4 +132,39 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(("A", 3L)) == ((2.0, varA, (3.0 - 2.0) / math.sqrt(varA))))
     assert(got(("B", 2L)) == ((2.0, 0.0, 0.0)))
   }
+
+  test("transitionCounts: hand-computed matrix, duplicate-ts total order") {
+    import spark.implicits._
+    // user 1: A->B->A (ids 1,2,3); user 2: A->B (ids 4,5) with ts TIES —
+    // event_id must break them (5 after 4); user 3: single event, no step
+    val df = Seq(
+      (1L, ts(0), 1L, "A"), (1L, ts(1), 2L, "B"), (1L, ts(2), 3L, "A"),
+      (2L, ts(10), 4L, "A"), (2L, ts(10), 5L, "B"),
+      (3L, ts(20), 6L, "C"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventStreams.transitionCounts(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // steps: A->B (u1), B->A (u1), A->B (u2) → A->B cnt 2 p 1.0; B->A cnt 1 p 1.0
+    assert(got == Map(
+      ("A", "B") -> ((2L, 1.0)),
+      ("B", "A") -> ((1L, 1.0))))
+  }
+
+  test("transitionCounts: probabilities sum to 1 per source type") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts(0), 1L, "A"), (1L, ts(1), 2L, "B"), (1L, ts(2), 3L, "C"),
+      (1L, ts(3), 4L, "A"), (1L, ts(4), 5L, "C"), (2L, ts(0), 6L, "A"),
+      (2L, ts(1), 7L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val rows = EventStreams.transitionCounts(df).collect()
+    val byPrev = rows.groupBy(_.getString(0))
+    byPrev.foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+    }
+    // A out-edges: A->B, A->C, A->A → out 3
+    val a = rows.filter(_.getString(0) == "A")
+    assert(a.map(_.getLong(2)).sum == 3L)
+  }
 }
