@@ -133,6 +133,26 @@ final class CentroidKernel(val centroids: Array[Array[Double]]) extends Serializ
     }
     best
   }
+
+  /** Squared distance to the [[nearest]] centroid (same loop, same
+    * strict `<` first-min tie-break); NaN when no centroid matches the
+    * input dimension. */
+  def nearestDist(v: ArrayData): Double = {
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cc = centroids(c)
+      if (v.numElements() == cc.length) {
+        var d = 0.0
+        var i = 0
+        while (i < cc.length) { val t = v.getDouble(i) - cc(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      c += 1
+    }
+    if (best < 0) Double.NaN else bestD
+  }
 }
 
 /** `nearest_centroid(array<double>) -> int` over a fixed centroid matrix
@@ -176,6 +196,53 @@ case class NearestCentroid(child: Expression, kernel: CentroidKernel)
   override def prettyName: String = "nearest_centroid"
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** `nearest_centroid_dist(array<double>) -> double` — squared distance
+  * to the nearest centroid of the same fixed matrix (the per-subspace
+  * quantization error of a PQ encoder). Null for null input or
+  * dimension mismatch. */
+case class NearestCentroidDist(child: Expression, kernel: CentroidKernel)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroid_dist requires array<double>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val d = kernel.nearestDist(input.asInstanceOf[ArrayData])
+    if (d.isNaN) null else d
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernelRef = ctx.addReferenceObj("centroidKernel", kernel,
+      classOf[CentroidKernel].getName)
+    val childGen = child.genCode(ctx)
+    val d = ctx.freshName("dist")
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${childGen.isNull}) {
+          double $d = $kernelRef.nearestDist(${childGen.value});
+          if (!Double.isNaN($d)) { ${ev.isNull} = false; ${ev.value} = $d; }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override def prettyName: String = "nearest_centroid_dist"
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidDist =
     copy(child = newChild)
 }
 

@@ -1007,4 +1007,36 @@ object Dedup {
       .select(col("canonical_id"), col(idCol).as("survivor_id"),
         col(scoreCol))
   }
+
+  /** Per-source near-duplication audit — the dashboard number a curation
+    * team watches per crawl slice: for each source, how many documents
+    * sit in at least one near-dup pair ([[minhashPairs]] at `threshold`),
+    * and the resulting dup rate as an exact int/int double.
+    *
+    * Scale shape: the pair relation is LSH-bucketed output (orders of
+    * magnitude smaller than the corpus); the flagged-id set is pair-sized
+    * and broadcasts into a scan-side join, so the corpus itself never
+    * shuffles for the audit — the same plan discipline as q92's
+    * attribution matrix. */
+  def dupRateBySource(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = minhashPairs(docs, idCol, textCol, threshold)
+    val dupIds = pairs.select(col("a_doc").as("id"))
+      .union(pairs.select(col("b_doc").as("id")))
+      .distinct()
+      .withColumn("is_dup", lit(1L))
+    docs
+      .select(col(idCol).as("id"), col(sourceCol).as("source"))
+      .join(broadcast(dupIds), Seq("id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"))
+  }
 }

@@ -190,4 +190,38 @@ object Sampling {
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
   }
+
+  /** Deterministic weighted sampling without replacement (the
+    * hash-rank form of priority sampling, Duffield–Lund–Thorup): keep
+    * the `k` rows with the smallest `priority = key / weight`, where
+    * `key` is the 48-bit [[sampleKey]] — so a row's inclusion odds grow
+    * with its weight, yet the draw is RNG-free, partition-independent,
+    * and referentially stable (the same row keeps the same priority
+    * across runs and appends, so yesterday's sample is a subset
+    * property just like [[stratifiedRate]]'s nested rates).
+    *
+    * Rows with non-positive weight are excluded (they can never be
+    * drawn — a 0-weight row would divide to infinity).
+    *
+    * Engine-exact: key and weight are both integers held exactly in
+    * doubles (< 2⁵³), so the single division is IEEE-identical in any
+    * engine; ties (same priority) break on `idCol`.
+    *
+    * Scale shape: pure map to compute priorities, then a global k-smallest
+    * — Spark plans `orderBy().limit(k)` as TakeOrderedAndProject
+    * (per-partition bounded heaps, driver merges k·P candidate rows);
+    * no full sort, no corpus shuffle. */
+  def weightedSample(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val pr = sampleKey(lit("w"), col(idCol)).cast("double") /
+      col(weightCol).cast("double")
+    docs.where(col(weightCol) > 0)
+      .withColumn("priority", pr)
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
 }

@@ -321,6 +321,49 @@ object Similarity {
       element_at(array(cellIds.map(lit): _*), cellIdx + 1).as("cell"))
   }
 
+  /** Product quantization (Jégou et al. 2011): the billion-scale-ANN
+    * compression step — each embedding splits into `m` subvectors, each
+    * subvector quantizes to its nearest centroid in a per-subspace
+    * codebook, and the vector is stored as `m` small codes (here m=8
+    * bytes instead of 64 doubles, a 64× cut). Codebooks use the
+    * deterministic seeded convention of the IVF family ([[clusterAssign]]
+    * — the `ks` highest-id rows, code order = ascending vec_id), so the
+    * whole encoder is replayable as SQL (q123). `recon_err` is the total
+    * squared quantization error — the quality audit a pipeline tracks
+    * when deciding m/ks for a corpus.
+    *
+    * Scale shape: bounded driver seed fetch (ks rows), then ONE
+    * shuffle-free codegen map — per subspace a [[graft.functions
+    * .NearestCentroid]] + [[graft.functions.NearestCentroidDist]] pair
+    * over the same sliced input, all fused into the scan stage. At
+    * production scale the codebook would be Lloyd-trained per subspace
+    * ([[lloydFit]] on subvector samples — same persistence story as
+    * [[buildTrainedIvfIndexAt]]); the seeded variant keeps the oracle
+    * exact. */
+  def pqEncode(s: SparkSession, dir: String, m: Int = 8, ks: Int = 8): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
+    val seeds = e.orderBy(desc("vec_id")).limit(ks).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val dim = seeds.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val perSub = (0 until m).map { j =>
+      val kernel = new graft.functions.CentroidKernel(
+        seeds.map(_._2.slice(j * sub, (j + 1) * sub)))
+      val sl = slice(col("v"), j * sub + 1, sub)
+      val code = SparkShims.column(graft.functions.NearestCentroid(
+        SparkShims.expression(sl), kernel))
+      val dist = SparkShims.column(graft.functions.NearestCentroidDist(
+        SparkShims.expression(sl), kernel))
+      (code, dist)
+    }
+    e.select(col("vec_id"),
+      array(perSub.map(_._1): _*).as("codes"),
+      perSub.map(_._2).reduce(_ + _).as("recon_err"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found
     * WITHIN embedding clusters only — [[clusterAssign]] partitions the
     * corpus into nearest-seed cells, then exact cosine runs per cell.

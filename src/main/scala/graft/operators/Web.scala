@@ -83,4 +83,30 @@ object Web {
       .select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon_url"))
       .groupBy("canon_url")
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("survivor_id"))
+
+  /** Regex that captures http(s) URLs embedded in running text: scheme
+    * through the last non-delimiter character (trailing punctuation like
+    * `.` `,` `)` is prose, not URL). RE2 ∩ Java-regex subset so the
+    * oracle replays it verbatim. */
+  val UrlInTextRe = "https?://[A-Za-z0-9._~:/?#@!$&*+,;=%-]*[A-Za-z0-9_~/=-]"
+
+  /** Outlink extraction + per-domain counts — the web-graph statistic a
+    * crawl-frontier / link-spam audit needs: every http(s) URL mentioned
+    * in the text, rolled up by registrable host. Returns one row per
+    * domain with the mention count and distinct-document count.
+    *
+    * Scale shape: extraction is a map-only `regexp_extract_all` over the
+    * scan (URLs only — the text never leaves the stage); the rollup
+    * shuffles (domain, doc_id) pairs, map-side combined. A mega-domain
+    * skews its reduce key; counts are distributive so AQE's skew split
+    * handles it. */
+  def outlinks(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(regexp_extract_all(
+          coalesce(col(textCol), lit("")), lit(UrlInTextRe), lit(0))).as("url"))
+      .select(col(idCol), domainOf(col("url")).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_mentions"),
+        countDistinct(col(idCol)).as("n_docs"))
 }

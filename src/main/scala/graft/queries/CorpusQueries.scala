@@ -657,6 +657,26 @@ object CorpusQueries {
        |        z_used + CAST(64 - n_buckets AS DOUBLE) AS z FROM z)
        |ORDER BY source""".stripMargin
 
+  /** Deterministic weighted sampling without replacement
+    * ([[Sampling.weightedSample]]): the 100 docs with the smallest
+    * `sampleKey/n_chars` priority — longer docs proportionally likelier,
+    * zero RNG. The oracle replays the 48-bit fold, the single IEEE
+    * division, and the (priority, doc_id) k-smallest selection. */
+  def q122WeightedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(docs(s, dir), "doc_id", "n_chars", k = 100)
+      .select(col("doc_id"), col("n_chars"), col("priority"))
+      .presentSorted("doc_id")
+
+  def q122Sql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(${foldSql("'w|' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+       |      / CAST(n_chars AS DOUBLE) AS priority
+       |  FROM documents WHERE n_chars > 0),
+       |s AS (SELECT * FROM p ORDER BY priority, doc_id LIMIT 100)
+       |SELECT doc_id, n_chars, priority FROM s
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
@@ -681,5 +701,6 @@ object CorpusQueries {
     ("q115_balance_labels", q115BalanceLabels _, q115Sql),
     ("q117_lexical_diversity", q117LexicalDiversity _, q117Sql),
     ("q118_collocations", q118Collocations _, q118Sql),
-    ("q119_hll_distinct", q119HllDistinct _, q119Sql))
+    ("q119_hll_distinct", q119HllDistinct _, q119Sql),
+    ("q122_weighted_sample", q122WeightedSample _, q122Sql))
 }

@@ -859,7 +859,123 @@ object PipelineQueries {
     ("q98_semdedup", q98SemDedup _, q98Sql),
     ("q99_delta_dedup", q99DeltaDedup _, q99Sql),
     ("q104_leakage_split", q104LeakageSplit _, q104Sql),
-    ("q107_matryoshka", q107Matryoshka _, q107Sql))
+    ("q107_matryoshka", q107Matryoshka _, q107Sql),
+    ("q123_pq_encode", q123PqEncode _, q123Sql),
+    ("q125_outlinks", q125Outlinks _, q125Sql),
+    ("q126_dup_rate", q126DupRate _, q126Sql))
+
+  /** Per-source near-dup rate ([[Dedup.dupRateBySource]] at J≥0.8): the
+    * dedup-dashboard audit. The oracle composes q31's exact pair replay
+    * with the flagged-id rollup and the same int/int rate division. */
+  def q126DupRate(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupRateBySource(docs(s, dir), "doc_id", "text", "source",
+        threshold = 0.8)
+      .presentSorted("source")
+
+  def q126Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) sg
+      |       FROM w WHERE len(ws) >= 3),
+      |p AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+      |  len(list_intersect(a.sg,b.sg))::DOUBLE / (len(a.sg)+len(b.sg)-len(list_intersect(a.sg,b.sg))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE jaccard >= 0.8),
+      |ids AS (SELECT DISTINCT doc_id FROM (
+      |  SELECT a_doc AS doc_id FROM p UNION ALL SELECT b_doc FROM p) u),
+      |f AS (SELECT d.source, d.doc_id,
+      |        CASE WHEN i.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+      |      FROM documents d LEFT JOIN ids i USING (doc_id))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
+      |  CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+      |FROM f GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** Outlink extraction + per-domain counts ([[graft.operators.Web
+    * .outlinks]]) over text salted with two planted URLs per doc (one
+    * with WWW/default-port/tracking noise and a trailing comma, one
+    * parenthesized — the prose-boundary cases). The oracle replays the
+    * in-text URL regex and the domain normalization chain verbatim. */
+  def q125Outlinks(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id").cast("string")
+    val salted = docs(s, dir).select(col("doc_id"),
+      concat(coalesce(col("text"), lit("")),
+        lit(" See https://WWW.d"), (col("doc_id") % 17).cast("string"),
+        lit(".example.com:443/p/"), k,
+        lit("?utm_source=x, then (http://mirror"),
+        (col("doc_id") % 5).cast("string"),
+        lit(".org/a/"), k, lit(").")).as("t"))
+    graft.operators.Web.outlinks(salted, "doc_id", "t")
+      .presentSorted("domain")
+  }
+
+  def q125Sql: String = {
+    val host = "regexp_replace(regexp_replace(lower(regexp_extract(url, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', ''), " +
+      "':[0-9]+$', '')"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    coalesce(text, '') || ' See https://WWW.d' ||
+       |    CAST(doc_id % 17 AS VARCHAR) || '.example.com:443/p/' ||
+       |    CAST(doc_id AS VARCHAR) ||
+       |    '?utm_source=x, then (http://mirror' ||
+       |    CAST(doc_id % 5 AS VARCHAR) || '.org/a/' ||
+       |    CAST(doc_id AS VARCHAR) || ').' AS t
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(t,
+       |    '${graft.operators.Web.UrlInTextRe}')) AS url
+       |  FROM t),
+       |d AS (SELECT doc_id, $host AS domain FROM u)
+       |SELECT domain, count(*) AS n_mentions,
+       |  count(DISTINCT doc_id) AS n_docs
+       |FROM d GROUP BY domain
+       |ORDER BY domain""".stripMargin
+  }
+
+  /** Product quantization ([[Similarity.pqEncode]]): 64-dim embeddings
+    * → 8 per-subspace codes + total squared reconstruction error. The
+    * oracle rebuilds every per-subspace distance (unrolled, kernel
+    * accumulation order), replays the (dist ASC, code ASC) argmin, and
+    * sums the 8 subspace errors in encoder order. */
+  def q123PqEncode(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(s, dir, m = 8, ks = 8)
+      .select(col("vec_id"), col("codes").cast("array<bigint>").as("codes"),
+        col("recon_err"))
+      .presentSorted("vec_id")
+
+  def q123Sql: String = {
+    val m = 8
+    val sub = 8
+    def dist(j: Int): String = (1 to sub).map { i =>
+      val p = j * sub + i
+      s"(e.embedding[$p]::DOUBLE - s.embedding[$p]::DOUBLE) * " +
+        s"(e.embedding[$p]::DOUBLE - s.embedding[$p]::DOUBLE)"
+    }.mkString(" + ")
+    val distCols = (0 until m).map(j => s"(${dist(j)}) AS d$j").mkString(",\n  ")
+    val picks = (0 until m).map { j =>
+      s"""a$j AS (
+         |  SELECT vec_id, cidx AS c$j, d$j AS e$j FROM (
+         |    SELECT vec_id, cidx, d$j,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d$j, cidx) AS rn
+         |    FROM d) z$j WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until m).map(j => s"JOIN a$j USING (vec_id)").mkString(" ")
+    s"""WITH s AS (
+       |  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS cidx
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id DESC LIMIT 8) q),
+       |d AS (
+       |  SELECT e.vec_id, s.cidx,
+       |  $distCols
+       |  FROM embeddings e CROSS JOIN s),
+       |$picks
+       |SELECT vec_id,
+       |  [${(0 until m).map(j => s"c$j").mkString(", ")}] AS codes,
+       |  ${(0 until m).map(j => s"e$j").mkString(" + ")} AS recon_err
+       |FROM a0 $joins
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** Matryoshka truncation + L2 re-normalization
     * ([[Similarity.matryoshkaNormalize]]): the first 8 components of

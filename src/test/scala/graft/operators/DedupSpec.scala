@@ -584,4 +584,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val a = pairs(p1)
     assert(a.nonEmpty && a == pairs(p2))
   }
+
+  test("dupRateBySource: flagged members, clean source, exact rate") {
+    import spark.implicits._
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, dupText, "web"),
+      (2L, dupText, "web"),             // near-dup pair (identical) in web
+      (3L, "one unique doc here entirely", "web"),
+      (4L, dupText, "books"),           // cross-source dup with 1 and 2
+      (5L, "books only text quite different", "books"),
+      (6L, "clean source no dups at all", "wiki"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.dupRateBySource(df, "doc_id", "text", "source", 0.8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("web") == ((3L, 2L, 2.0 / 3.0)))
+    assert(got("books") == ((2L, 1L, 1.0 / 2.0)))
+    assert(got("wiki") == ((1L, 0L, 0.0)))
+  }
 }

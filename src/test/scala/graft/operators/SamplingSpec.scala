@@ -144,6 +144,35 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("weightedSample: k smallest priorities, weight direction, zero weight") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, (i % 7) + 1)).toDF("doc_id", "w")
+      .union(Seq((999L, 0L)).toDF("doc_id", "w")) // zero weight → excluded
+    val k = 20
+    val got = Sampling.weightedSample(df, "doc_id", "w", k).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.length == k)
+    assert(!got.exists(_._1 == 999L))
+    // the selected set IS the k smallest h/w priorities, computed by hand
+    def key(id: Long): Long = {
+      var h = 0L
+      s"w|$id".foreach(c => h = (h * 31 + c) % 281474976710656L)
+      h
+    }
+    val want = (1L to 200L).map(i => (i, key(i).toDouble / ((i % 7) + 1)))
+      .sortBy { case (id, p) => (p, id) }.take(k).toSet
+    assert(got.toSet == want)
+    // repartition-invariant
+    val again = Sampling.weightedSample(df.repartition(13), "doc_id", "w", k)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(again == got.toSet)
+    // doubling every weight halves every priority → same selection
+    val doubled = Sampling.weightedSample(
+      df.withColumn("w", col("w") * 2), "doc_id", "w", k)
+      .collect().map(_.getLong(0)).toSet
+    assert(doubled == got.map(_._1).toSet)
+  }
+
   test("leakageSafeSplit: real near-dup components agree across repartitionings") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
     val cc = Dedup.connectedComponents(pairs)

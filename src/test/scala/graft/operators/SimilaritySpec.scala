@@ -356,4 +356,44 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"matryoshka must not shuffle:\n$plan")
   }
+
+  test("pqEncode: codes match brute-force per-subspace argmin; error exact") {
+    val m = 8
+    val ks = 8
+    val out = Similarity.pqEncode(spark, sfDir, m, ks).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).toVector, r.getDouble(2)))).toMap
+    // brute-force reference from the raw parquet
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val seeds = all.sortBy(-_._1).take(ks).sortBy(_._1).map(_._2)
+    val dim = seeds.head.length
+    val sub = dim / m
+    def encode(v: Array[Double]): (Vector[Int], Double) = {
+      var err = 0.0
+      val codes = (0 until m).map { j =>
+        var best = -1; var bestD = Double.MaxValue
+        (0 until ks).foreach { c =>
+          var d = 0.0
+          var i = 0
+          while (i < sub) {
+            val t = v(j * sub + i) - seeds(c)(j * sub + i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        err += bestD
+        best
+      }.toVector
+      (codes, err)
+    }
+    assert(out.size == all.length)
+    all.foreach { case (id, v) =>
+      val (codes, err) = encode(v)
+      assert(out(id)._1 == codes, s"codes diverged for vec $id")
+      assert(math.abs(out(id)._2 - err) < 1e-12, s"error diverged for vec $id")
+    }
+    // every code in range, errors non-negative
+    assert(out.values.forall { case (cs, e) =>
+      cs.forall(c => c >= 0 && c < ks) && e >= 0.0 })
+  }
 }

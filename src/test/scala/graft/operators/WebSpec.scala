@@ -84,4 +84,20 @@ class WebSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == Seq(
       "example.com", "example.com", "blog.example.com", "", "files.example.org"))
   }
+
+  test("outlinks: prose boundaries, www/port strip, multi-URL, null text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "see https://WWW.A.com:443/x?id=1, and (http://b.org/y)."),
+      (2L, "dup https://a.com/z https://a.com/w here"),
+      (3L, "no links at all"),
+      (4L, null: String))
+      .toDF("doc_id", "text")
+    val got = Web.outlinks(df, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // a.com: doc1 once (trailing comma trimmed) + doc2 twice → 3 mentions, 2 docs
+    assert(got == Map(
+      "a.com" -> ((3L, 2L)),
+      "b.org" -> ((1L, 1L))))
+  }
 }
