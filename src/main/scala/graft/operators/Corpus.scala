@@ -797,32 +797,69 @@ object Corpus {
     * combines map-side, so the full shuffle volume is bounded by
     * `tasks × keys × 64` rows.
     */
-  def hllDistinct(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
-    val p = 6
-    val m = 1 << p // 64 buckets
-    val restBits = 48 - p // 42
-    val mask = (1L << restBits) - 1
-    val toks = docs
+  private val HllP = 6
+  private val HllM = 1 << HllP // 64 buckets
+  private val HllRestBits = 48 - HllP // 42
+  private val HllMask = (1L << HllRestBits) - 1
+
+  /** Per-(key, bucket) HLL registers over the 48-bit rolling word hash —
+    * the shared state of [[hllDistinct]] and [[hllUnion]]. */
+  private def hllRegisters(
+      docs: DataFrame, keyCol: String, textCol: String): DataFrame =
+    docs
       .select(col(keyCol),
         explode(TextAnalysis.words(col(textCol))).as("token"))
       .select(col(keyCol), expr("rolling_hash(token)").as("h"))
       .distinct()
-    val regs = toks
       .select(col(keyCol),
-        shiftright(col("h"), restBits).as("bucket"),
-        col("h").bitwiseAND(lit(mask)).as("w"))
+        shiftright(col("h"), HllRestBits).as("bucket"),
+        col("h").bitwiseAND(lit(HllMask)).as("w"))
       .select(col(keyCol), col("bucket"),
-        when(col("w") === 0, lit(restBits + 1))
-          .otherwise(lit(restBits + 1) - length(bin(col("w")))).as("rho"))
+        when(col("w") === 0, lit(HllRestBits + 1))
+          .otherwise(lit(HllRestBits + 1) - length(bin(col("w")))).as("rho"))
       .groupBy(col(keyCol), col("bucket"))
       .agg(max(col("rho")).as("rho"))
+
+  /** Estimate stage over a register table grouped by `groupCols`. The
+    * `Σ 2^-rho` sum is order-safe by construction: every term is a power
+    * of two in [2⁻⁴³, 2⁻¹] and there are ≤64 of them, so the whole sum
+    * fits one double mantissa window exactly — no accumulation-order
+    * hazard, unlike general float sums. */
+  private def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame =
     regs
-      .groupBy(col(keyCol))
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_buckets"),
         sum(pow(lit(2.0), -col("rho"))).as("z_used"))
-      .select(col(keyCol), col("n_buckets"),
-        (col("z_used") + (lit(m) - col("n_buckets")).cast("double")).as("z"))
-      .select(col(keyCol), col("n_buckets"), col("z"),
-        (lit(0.709) * lit(m) * lit(m) / col("z")).as("n_distinct_est"))
+      .withColumn("z",
+        col("z_used") + (lit(HllM) - col("n_buckets")).cast("double"))
+      .withColumn("n_distinct_est",
+        lit(0.709) * lit(HllM) * lit(HllM) / col("z"))
+      .drop("z_used")
+
+  def hllDistinct(docs: DataFrame, keyCol: String, textCol: String): DataFrame =
+    hllEstimate(hllRegisters(docs, keyCol, textCol), Seq(keyCol))
+      .select(col(keyCol), col("n_buckets"), col("z"), col("n_distinct_est"))
+
+  /** HLL register-table UNION — the mergeability that makes the sketch a
+    * 100 TB tool: per-slice register tables (built independently, e.g.
+    * one per ingest day or per source) combine by per-bucket MAX into
+    * the union sketch, whose estimate covers the union of the slices
+    * without touching raw data again. Returns one row: source count,
+    * occupied buckets, z, and the union distinct estimate — exactly the
+    * estimator arithmetic of [[hllDistinct]] applied to the merged
+    * registers, so the whole thing replays in SQL (q130).
+    *
+    * Scale shape: on top of the per-key register build (its cost note
+    * applies), the merge itself aggregates `keys × 64` rows to 64. */
+  def hllUnion(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val regs = hllRegisters(docs, keyCol, textCol)
+    val nKeys = docs.select(col(keyCol)).distinct()
+      .agg(count(lit(1)).as("n_sources"))
+    val merged = regs.groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
+      .withColumn("u", lit(1))
+    hllEstimate(merged, Seq("u"))
+      .crossJoin(broadcast(nKeys))
+      .select(col("n_sources"), col("n_buckets"), col("z"),
+        col("n_distinct_est"))
   }
 }

@@ -191,6 +191,57 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Streaming form of [[stratifiedQuota]] — the deterministic reservoir
+    * run as a live stream: per stratum, state holds the k smallest
+    * (sampleKey, id) pairs seen so far, and a row is EMITTED the moment
+    * it enters that running top-k (the classic admission-emission
+    * semantics — append mode cannot retract). A row in the FINAL top-k
+    * is always admitted on arrival (the running k-th threshold only
+    * tightens over time), so the final sample is exactly the k smallest
+    * keys per stratum among the emitted candidates — recompute the rank
+    * window over the candidate sink (candidates number O(k·log n) per
+    * stratum in expectation, so that post-pass is trivially small) and
+    * the stream result equals the batch quota, gated by q45's oracle.
+    *
+    * State per stratum: ≤ k (long, long) pairs — bounded regardless of
+    * stream length. */
+  def stratifiedQuotaStream(
+      docs: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val s = docs.sparkSession
+    import s.implicits._
+    val keyed = docs
+      .select(col(stratumCol).cast("string").as("stratum"),
+        col(idCol).cast("long").as("id"),
+        sampleKey(col(stratumCol), col(idCol)).as("skey"))
+      .as[(String, Long, Long)]
+    keyed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[(Long, Long)], (String, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (stratum, rows, state) =>
+          var cur = state.getOption.getOrElse(Vector.empty) // sorted asc
+          val admitted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          // deterministic intra-batch order: sort arrivals like the window
+          rows.map(r => (r._3, r._2)).toVector.sorted.foreach { cand =>
+            if (cur.length < k) {
+              cur = (cur :+ cand).sorted
+              admitted += cand
+            } else if (implicitly[Ordering[(Long, Long)]].lt(cand, cur.last)) {
+              cur = (cur.init :+ cand).sorted
+              admitted += cand
+            }
+          }
+          state.update(cur)
+          admitted.iterator.map { case (key, id) => (stratum, id, key) }
+      }
+      .toDF("stratum", "id", "skey")
+  }
+
   /** Deterministic weighted sampling without replacement (the
     * hash-rank form of priority sampling, Duffield–Lund–Thorup): keep
     * the `k` rows with the smallest `priority = key / weight`, where

@@ -364,6 +364,56 @@ object Similarity {
       perSub.map(_._2).reduce(_ + _).as("recon_err"))
   }
 
+  /** Label-centroid separation audit: per-label embedding centroids and
+    * the pairwise cosine between them — how a curation pipeline checks
+    * that its class/cluster labels actually separate in embedding space
+    * (collapsing centroids ⇒ label noise or embedding drift).
+    *
+    * The order-independence trick: float sums are NOT reproducible
+    * across partitionings, so each component is first quantized to an
+    * integer grid (`floor(x·2²⁰ + 0.5)` — q80's round-half-up), summed
+    * EXACTLY as longs (any partition order), and the centroid is the
+    * single exact division `S/(n·2²⁰)` — deterministic in any engine.
+    * Cosine then runs on centroid doubles in fixed component order.
+    * Quantization error is bounded by 2⁻²¹ per component — irrelevant
+    * for a separation audit, decisive for reproducibility.
+    *
+    * Scale shape: ONE corpus aggregation (map-side combined, |labels|
+    * rows of dim sums on the wire); the pairwise join runs on |labels|²
+    * rows. */
+  def labelCentroidSeparation(
+      embeddings: DataFrame,
+      labelCol: String,
+      embCol: String,
+      dim: Int,
+      scaleBits: Int = 20): DataFrame = {
+    val scale = 1L << scaleBits
+    val qcols = (0 until dim).map { i =>
+      floor(col(embCol).getItem(i).cast("double") * scale.toDouble + 0.5d)
+        .cast("long").as(s"q$i")
+    }
+    val sums = embeddings
+      .select(col(labelCol).as("label") +: qcols: _*)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        (0 until dim).map(i => sum(col(s"q$i")).as(s"s$i")): _*)
+    val cent = sums.select(col("label") +: col("n") +:
+      (0 until dim).map { i =>
+        (col(s"s$i").cast("double") /
+          (col("n") * scale).cast("double")).as(s"c$i")
+      }: _*)
+    val a = cent.select(col("label").as("label_a") +: col("n").as("n_a") +:
+      (0 until dim).map(i => col(s"c$i").as(s"a$i")): _*)
+    val b = cent.select(col("label").as("label_b") +: col("n").as("n_b") +:
+      (0 until dim).map(i => col(s"c$i").as(s"b$i")): _*)
+    val dot = (0 until dim).map(i => col(s"a$i") * col(s"b$i")).reduce(_ + _)
+    val na = (0 until dim).map(i => col(s"a$i") * col(s"a$i")).reduce(_ + _)
+    val nb = (0 until dim).map(i => col(s"b$i") * col(s"b$i")).reduce(_ + _)
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        (dot / (sqrt(na) * sqrt(nb))).as("cos"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found
     * WITHIN embedding clusters only — [[clusterAssign]] partitions the
     * corpus into nearest-seed cells, then exact cosine runs per cell.

@@ -677,6 +677,37 @@ object CorpusQueries {
        |SELECT doc_id, n_chars, priority FROM s
        |ORDER BY doc_id""".stripMargin
 
+  private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** q45's deterministic reservoir as a REAL stream
+    * ([[Sampling.stratifiedQuotaStream]]): readStream → per-stratum
+    * k-smallest-key state, admission-emitted candidates → memory sink →
+    * final rank window over the (tiny) candidate set. Stream ≡ batch is
+    * the gate: the oracle is q45's. */
+  def q128StreamSample(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/documents.parquet*")
+    val name = s"q128_stream_sample_${streamSeq.incrementAndGet()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = Sampling.stratifiedQuotaStream(stream, "source", "doc_id", k = 10)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy(col("skey"), col("id"))
+    s.table(name)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select(col("stratum").as("source"), col("id").as("doc_id"), col("rk"))
+      .presentSorted("source", "doc_id")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
@@ -702,5 +733,35 @@ object CorpusQueries {
     ("q117_lexical_diversity", q117LexicalDiversity _, q117Sql),
     ("q118_collocations", q118Collocations _, q118Sql),
     ("q119_hll_distinct", q119HllDistinct _, q119Sql),
-    ("q122_weighted_sample", q122WeightedSample _, q122Sql))
+    ("q122_weighted_sample", q122WeightedSample _, q122Sql),
+    ("q128_stream_sample", q128StreamSample _, q45Sql),
+    ("q130_hll_union", q130HllUnion _, q130Sql))
+
+  /** HLL register union ([[Corpus.hllUnion]]): per-source sketches merge
+    * by per-bucket max into the union estimate — the mergeability that
+    * lets per-slice sketches answer corpus-wide distinct questions
+    * without rescanning. Oracle replays registers, merge, and estimator
+    * (q119's replay + one more max aggregation). */
+  def q130HllUnion(s: SparkSession, dir: String): DataFrame =
+    Corpus.hllUnion(docs(s, dir), "source", "text")
+      .presentSorted("n_sources")
+
+  def q130Sql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |h AS (SELECT DISTINCT source, ${foldSql("w")} AS hv FROM tok),
+       |b AS (SELECT source, hv >> 42 AS bucket,
+       |        hv & 4398046511103 AS lw FROM h),
+       |r AS (SELECT source, bucket,
+       |    max(CASE WHEN lw = 0 THEN 43 ELSE 43 - length(bin(lw)) END) AS rho
+       |  FROM b GROUP BY source, bucket),
+       |m AS (SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket),
+       |zz AS (SELECT count(*) AS n_buckets,
+       |    sum(2.0 ** (-rho)) AS z_used FROM m),
+       |n AS (SELECT count(DISTINCT source) AS n_sources FROM documents)
+       |SELECT n_sources, n_buckets, z,
+       |  CAST(0.709 AS DOUBLE) * 64 * 64 / z AS n_distinct_est
+       |FROM (SELECT n_buckets,
+       |        z_used + CAST(64 - n_buckets AS DOUBLE) AS z FROM zz), n
+       |ORDER BY n_sources""".stripMargin
 }

@@ -444,7 +444,8 @@ object EventMediaQueries {
     ("q114_winsorize", q114Winsorize _, q114Sql),
     ("q116_gzip_roundtrip", q116GzipRoundtrip _, q116Sql),
     ("q120_image_ahash", q120ImageAHash _, q120Sql),
-    ("q124_event_transitions", q124EventTransitions _, q124Sql))
+    ("q124_event_transitions", q124EventTransitions _, q124Sql),
+    ("q127_stream_anomaly", q127StreamAnomaly _, q108Sql))
 
   /** Gzip member round-trip ([[Multimodal.gzipRoundtrip]]): the WARC
     * ingestion primitive through the REAL `java.util.zip` codec; the
@@ -554,6 +555,38 @@ object EventMediaQueries {
   def q108HourlyAnomaly(s: SparkSession, dir: String): DataFrame =
     EventStreams.hourlyAnomaly(eventsTs(s, dir))
       .presentSorted("window_start", "event_type")
+
+  /** q108's ingest-monitoring audit with the corpus-sized stage run as a
+    * REAL stream: `readStream` over the events parquet →
+    * [[EventStreams.hourlyCounts]] (streaming windowed aggregation,
+    * complete mode — state IS the hours×types hourly table) → memory
+    * sink → [[EventStreams.anomalyFromHourly]] over the drained sink.
+    * Stream ≡ batch is the gate: the oracle is q108's. */
+  def q127StreamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val schema = RelationalQueries.events(s, dir).schema
+    val stream = s.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/events.parquet*")
+    val norm = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      case _ => col("ts")
+    }
+    val name = s"q127_stream_anomaly_${streamSeq.incrementAndGet()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = EventStreams.hourlyCounts(stream.withColumn("ts", norm))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    EventStreams.anomalyFromHourly(s.table(name))
+      .presentSorted("window_start", "event_type")
+  }
 
   def q108Sql: String =
     """WITH h AS (

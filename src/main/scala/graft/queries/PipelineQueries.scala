@@ -862,7 +862,46 @@ object PipelineQueries {
     ("q107_matryoshka", q107Matryoshka _, q107Sql),
     ("q123_pq_encode", q123PqEncode _, q123Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
-    ("q126_dup_rate", q126DupRate _, q126Sql))
+    ("q126_dup_rate", q126DupRate _, q126Sql),
+    ("q129_centroid_sep", q129CentroidSep _, q129Sql))
+
+  /** Label-centroid separation ([[Similarity.labelCentroidSeparation]]):
+    * pairwise cosine between per-label centroids computed from EXACT
+    * integer sums of 2²⁰-quantized components (float sums are partition-
+    * order-dependent; the quantized sums are not). The oracle replays
+    * quantization, sums, the single division, and the fixed-order
+    * cosine. */
+  def q129CentroidSep(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroidSeparation(
+        s.read.parquet(s"$dir/embeddings.parquet"), "label", "embedding",
+        dim = 64)
+      .presentSorted("label_a", "label_b")
+
+  def q129Sql: String = {
+    val dim = 64
+    val qdefs = (0 until dim).map(i =>
+      s"floor(embedding[${i + 1}]::DOUBLE * 1048576 + 0.5)::BIGINT AS q$i")
+      .mkString(",\n  ")
+    val sdefs = (0 until dim).map(i => s"sum(q$i) AS s$i").mkString(", ")
+    val cdefs = (0 until dim).map(i =>
+      s"s$i::DOUBLE / CAST(n * 1048576 AS DOUBLE) AS c$i").mkString(",\n  ")
+    val dot = (0 until dim).map(i => s"x.c$i * y.c$i").mkString(" + ")
+    val na = (0 until dim).map(i => s"x.c$i * x.c$i").mkString(" + ")
+    val nb = (0 until dim).map(i => s"y.c$i * y.c$i").mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT label,
+       |  $qdefs
+       |  FROM embeddings),
+       |a AS (SELECT label, count(*) AS n, $sdefs FROM q GROUP BY label),
+       |c AS (SELECT label, n,
+       |  $cdefs
+       |  FROM a)
+       |SELECT x.label AS label_a, y.label AS label_b,
+       |  x.n AS n_a, y.n AS n_b,
+       |  ($dot) / (sqrt($na) * sqrt($nb)) AS cos
+       |FROM c x JOIN c y ON x.label < y.label
+       |ORDER BY label_a, label_b""".stripMargin
+  }
 
   /** Per-source near-dup rate ([[Dedup.dupRateBySource]] at J≥0.8): the
     * dedup-dashboard audit. The oracle composes q31's exact pair replay

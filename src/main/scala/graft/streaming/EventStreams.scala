@@ -115,12 +115,25 @@ object EventStreams {
     * shuffle (map-side combined); the per-type statistics window runs
     * over hours×types rows — negligible at any corpus size.
     */
-  def hourlyAnomaly(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hourly = events
+  /** The corpus-sized stage of [[hourlyAnomaly]], runnable unchanged on
+    * a `readStream` (it is a plain windowed aggregation): per-(hour,
+    * type) event counts. On a stream, run in `complete` output mode —
+    * the state is the hourly table itself (hours × types rows, tiny
+    * relative to the event volume it summarizes); for an unbounded
+    * deployment add a watermark and move the z-statistics to a
+    * `foreachBatch` over the sink table (the stats stage is hours-sized
+    * either way). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
+
+  /** The statistics stage of [[hourlyAnomaly]]: z-scores over an
+    * already-aggregated hourly table (from [[hourlyCounts]], batch or
+    * streaming sink). */
+  def anomalyFromHourly(hourly: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byType = Window.partitionBy("event_type")
     val withSums = hourly
       .withColumn("s", sum(col("cnt")).over(byType))
@@ -135,6 +148,9 @@ object EventStreams {
       when(vr > 0, (col("cnt").cast("double") - mean) / sqrt(vr))
         .otherwise(lit(0.0)).as("z"))
   }
+
+  def hourlyAnomaly(events: DataFrame): DataFrame =
+    anomalyFromHourly(hourlyCounts(events))
 
   /** First-order Markov transition matrix over per-user event sequences:
     * counts of (prev_type → type) steps in (ts, event_id)-order, plus

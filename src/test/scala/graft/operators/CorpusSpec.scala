@@ -405,4 +405,26 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
         s"$src est $est vs true ${truth(src)}")
     }
   }
+
+  test("hllUnion: merged registers equal the sketch of the concatenation") {
+    import spark.implicits._
+    val mk = (i: Long) => s"tok$i tok${i + 1} tok${i * 3 % 97}"
+    val df = (1L to 60L).map(i =>
+      (i, mk(i), if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("doc_id", "text", "source")
+    val union = Corpus.hllUnion(df, "source", "text").collect().head
+    // the union sketch must equal hllDistinct over the SAME corpus with
+    // one global key — register merge is exactly sketch-of-union
+    val single = Corpus.hllDistinct(
+      df.withColumn("source", lit("all")), "source", "text").collect().head
+    assert(union.getAs[Long]("n_sources") == 3L)
+    assert(union.getAs[Long]("n_buckets") == single.getAs[Long]("n_buckets"))
+    assert(union.getAs[Double]("z") == single.getAs[Double]("z"))
+    assert(union.getAs[Double]("n_distinct_est") ==
+      single.getAs[Double]("n_distinct_est"))
+    // and it dominates every per-source estimate
+    val per = Corpus.hllDistinct(df, "source", "text").collect()
+      .map(_.getAs[Double]("n_distinct_est"))
+    assert(per.forall(_ <= union.getAs[Double]("n_distinct_est") + 1e-9))
+  }
 }

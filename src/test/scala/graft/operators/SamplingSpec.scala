@@ -173,6 +173,39 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(doubled == got.map(_._1).toSet)
   }
 
+  test("stratifiedQuotaStream: candidates across batches reduce to the batch quota") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val sdf = input.toDF().toDF("source", "doc_id")
+    val k = 3
+    val q = Sampling.stratifiedQuotaStream(sdf, "source", "doc_id", k)
+      .writeStream.format("memory").queryName("quota_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L to 10L).map(i => ("a", i)) ++ Seq(("b", 1L)): _*)
+      q.processAllAvailable()
+      input.addData((11L to 30L).map(i => ("a", i)) ++ Seq(("b", 2L)): _*)
+      q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("stratum").orderBy(col("skey"), col("id"))
+      val streamed = spark.table("quota_stream_out")
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+      val batchDf = ((1L to 30L).map(i => ("a", i)) ++ Seq(("b", 1L), ("b", 2L)))
+        .toDF("source", "doc_id")
+      val batch = Sampling.stratifiedQuota(batchDf, "source", "doc_id", k)
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+          r.getAs[Int]("rk"))).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      // undersized stratum b keeps both members
+      assert(batch.count(_._1 == "b") == 2)
+    } finally q.stop()
+  }
+
   test("leakageSafeSplit: real near-dup components agree across repartitionings") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
     val cc = Dedup.connectedComponents(pairs)

@@ -357,6 +357,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), s"matryoshka must not shuffle:\n$plan")
   }
 
+  test("labelCentroidSeparation: hand geometry, partition invariance") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes + one anti-aligned with the first
+    val dim = 4
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val df = Seq(
+      (1L, v(1, 0, 0, 0), 0), (2L, v(1, 0.001, 0, 0), 0),
+      (3L, v(0, 1, 0, 0), 1), (4L, v(0, 1, 0.001, 0), 1),
+      (5L, v(-1, 0, 0, 0), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidSeparation(df, "label", "embedding", dim)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set((0, 1), (0, 2), (1, 2)))
+    assert(got((0, 1))._3 > -0.01 && got((0, 1))._3 < 0.01) // orthogonal
+    assert(got((0, 2))._3 < -0.99)                          // anti-aligned
+    assert(got((0, 1))._1 == 2L && got((0, 1))._2 == 2L)
+    // exact determinism under repartitioning (the quantized-sum point)
+    val again = Similarity.labelCentroidSeparation(
+      df.repartition(7), "label", "embedding", dim)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    got.foreach { case (k, (_, _, c)) => assert(again(k) == c) }
+  }
+
   test("pqEncode: codes match brute-force per-subspace argmin; error exact") {
     val m = 8
     val ks = 8
