@@ -797,6 +797,23 @@ object Corpus {
     * combines map-side, so the full shuffle volume is bounded by
     * `tasks × keys × 64` rows.
     */
+  /** Power-of-two histogram of a positive numeric column per key — the
+    * size-distribution audit (doc lengths, token counts, payload bytes)
+    * in buckets every engine computes identically: `bucket = bit_length`
+    * via `length(bin(v))` (so bucket b covers [2^(b−1), 2^b)), which
+    * sidesteps log2's cross-engine rounding entirely. Non-positive
+    * values land in bucket 0. One (key, bucket) aggregation, map-side
+    * combined to |keys|·64 rows. */
+  def lengthHistogram(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df
+      .select(col(keyCol),
+        when(col(valCol) <= 0, lit(0))
+          .otherwise(length(bin(col(valCol)))).as("bucket"),
+        col(valCol).as("v"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+
   private val HllP = 6
   private val HllM = 1 << HllP // 64 buckets
   private val HllRestBits = 48 - HllP // 42

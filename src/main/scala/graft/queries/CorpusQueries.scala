@@ -735,7 +735,58 @@ object CorpusQueries {
     ("q119_hll_distinct", q119HllDistinct _, q119Sql),
     ("q122_weighted_sample", q122WeightedSample _, q122Sql),
     ("q128_stream_sample", q128StreamSample _, q45Sql),
-    ("q130_hll_union", q130HllUnion _, q130Sql))
+    ("q130_hll_union", q130HllUnion _, q130Sql),
+    ("q133_length_histogram", q133LengthHistogram _, q133Sql),
+    ("q134_norm_quantiles", q134NormQuantiles _, q134Sql))
+
+  /** Power-of-two doc-length histogram per source
+    * ([[Corpus.lengthHistogram]]): bucket = bit_length(n_chars) — the
+    * log2 histogram without log2's cross-engine rounding. */
+  def q133LengthHistogram(s: SparkSession, dir: String): DataFrame =
+    Corpus.lengthHistogram(docs(s, dir), "source", "n_chars")
+      .presentSorted("source", "bucket")
+
+  def q133Sql: String =
+    """SELECT source,
+      |  CAST(CASE WHEN n_chars <= 0 THEN 0
+      |       ELSE length(bin(n_chars)) END AS INTEGER) AS bucket,
+      |  count(*) AS n, min(n_chars) AS min_v, max(n_chars) AS max_v
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY source, bucket""".stripMargin
+
+  /** Per-label embedding-norm discrete quantiles: row-local fixed-order
+    * norm (engine-exact like q34's unrolled sums) fed through
+    * [[Corpus.quantilesDiscrete]] — the embedding-health audit that
+    * catches un-normalized batches and collapsed vectors. */
+  def q134NormQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val norm = sqrt((0 until 64)
+      .map(i => col("embedding").getItem(i).cast("double") *
+        col("embedding").getItem(i).cast("double"))
+      .reduce(_ + _))
+    Corpus.quantilesDiscrete(
+        e.select(col("label"), norm.as("norm")), "label", "norm",
+        pcts = Seq(5, 25, 50, 75, 95))
+      .presentSorted("label", "pct")
+  }
+
+  def q134Sql: String = {
+    val nrm = (1 to 64)
+      .map(i => s"embedding[$i]::DOUBLE * embedding[$i]::DOUBLE")
+      .mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT label, sqrt($nrm) AS value FROM embeddings),
+       |r AS (
+       |  SELECT label, value,
+       |    row_number() OVER (PARTITION BY label ORDER BY value) AS rk,
+       |    count(*) OVER (PARTITION BY label) AS n
+       |  FROM v)
+       |SELECT label, pct, n, value
+       |FROM r, (VALUES (5), (25), (50), (75), (95)) p(pct)
+       |WHERE rk = greatest(1, CAST(ceil(pct * n / 100.0) AS BIGINT))
+       |ORDER BY label, pct""".stripMargin
+  }
 
   /** HLL register union ([[Corpus.hllUnion]]): per-source sketches merge
     * by per-bucket max into the union estimate — the mergeability that

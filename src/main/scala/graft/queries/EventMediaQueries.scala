@@ -445,7 +445,8 @@ object EventMediaQueries {
     ("q116_gzip_roundtrip", q116GzipRoundtrip _, q116Sql),
     ("q120_image_ahash", q120ImageAHash _, q120Sql),
     ("q124_event_transitions", q124EventTransitions _, q124Sql),
-    ("q127_stream_anomaly", q127StreamAnomaly _, q108Sql))
+    ("q127_stream_anomaly", q127StreamAnomaly _, q108Sql),
+    ("q132_stream_transitions", q132StreamTransitions _, q124Sql))
 
   /** Gzip member round-trip ([[Multimodal.gzipRoundtrip]]): the WARC
     * ingestion primitive through the REAL `java.util.zip` codec; the
@@ -562,7 +563,10 @@ object EventMediaQueries {
     * complete mode — state IS the hours×types hourly table) → memory
     * sink → [[EventStreams.anomalyFromHourly]] over the drained sink.
     * Stream ≡ batch is the gate: the oracle is q108's. */
-  def q127StreamAnomaly(s: SparkSession, dir: String): DataFrame = {
+  /** `readStream` over the events parquet with `ts` normalized to
+    * TimestampType — the streaming twin of
+    * [[RelationalQueries.eventsTs]], branching on the same encodings. */
+  private def eventsStreamTs(s: SparkSession, dir: String): DataFrame = {
     val schema = RelationalQueries.events(s, dir).schema
     val stream = s.readStream.schema(schema).option("basePath", dir)
       .parquet(s"$dir/events.parquet*")
@@ -573,11 +577,15 @@ object EventMediaQueries {
         col("ts").cast(org.apache.spark.sql.types.TimestampType)
       case _ => col("ts")
     }
+    stream.withColumn("ts", norm)
+  }
+
+  def q127StreamAnomaly(s: SparkSession, dir: String): DataFrame = {
     val name = s"q127_stream_anomaly_${streamSeq.incrementAndGet()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = EventStreams.hourlyCounts(stream.withColumn("ts", norm))
+      val q = EventStreams.hourlyCounts(eventsStreamTs(s, dir))
         .writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -586,6 +594,28 @@ object EventMediaQueries {
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     EventStreams.anomalyFromHourly(s.table(name))
       .presentSorted("window_start", "event_type")
+  }
+
+  /** q124's sequencing stage as a real stream
+    * ([[EventStreams.transitionStepsStream]]: last-event-per-user state,
+    * steps emitted on arrival), rollup over the drained step sink.
+    * Stream ≡ batch is the gate (q124's oracle) — the events file
+    * arrives as one in-order micro-batch, the operator's documented
+    * ordering contract. */
+  def q132StreamTransitions(s: SparkSession, dir: String): DataFrame = {
+    val name = s"q132_stream_transitions_${streamSeq.incrementAndGet()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = EventStreams.transitionStepsStream(eventsStreamTs(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    EventStreams.transitionCountsFromSteps(s.table(name))
+      .presentSorted("prev_type", "event_type")
   }
 
   def q108Sql: String =

@@ -710,6 +710,40 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Normalization-aware dedup audit ([[TextAnalysis.normalizedDedup]])
+    * over the corpus UNIONed with planted case/punctuation recrawl
+    * variants (uppercased + trailing bang, shifted ids): `norm_caught`
+    * flags exactly the rows the canonical form groups that byte-exact
+    * dedup misses. Oracle replays both digests and both window counts. */
+  def q131NormalizedDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val dirty = d.select(col("doc_id"), col("text")).union(
+      d.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(upper(col("text")), lit(" !!")).as("text")))
+    TextAnalysis.normalizedDedup(dirty, "doc_id", "text")
+      .presentSorted("doc_id")
+  }
+
+  def q131Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, upper(text) || ' !!' FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    md5(text) AS exact_digest,
+      |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+      |      AS norm_digest
+      |  FROM c),
+      |w AS (
+      |  SELECT doc_id, norm_digest,
+      |    count(*) OVER (PARTITION BY exact_digest) AS n_exact_dups,
+      |    count(*) OVER (PARTITION BY norm_digest) AS n_norm_dups
+      |  FROM h)
+      |SELECT doc_id, norm_digest, n_exact_dups, n_norm_dups,
+      |  n_norm_dups > n_exact_dups AS norm_caught
+      |FROM w ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q50_text_stats", q50TextStats _, q50Sql),
     ("q51_lang_id", q51LangId _, q51Sql),
@@ -729,5 +763,6 @@ object TextQueries {
     ("q94_gopher_repetition", q94GopherRepetition _, q94Sql),
     ("q101_bpe_train", q101BpeTrain _, q101Sql),
     ("q106_drop_boilerplate", q106DropBoilerplate _, q106Sql),
-    ("q121_script_profile", q121ScriptProfile _, q121Sql))
+    ("q121_script_profile", q121ScriptProfile _, q121Sql),
+    ("q131_normalized_dedup", q131NormalizedDedup _, q131Sql))
 }

@@ -167,6 +167,44 @@ object EventStreams {
     * map-side combined down to |types|² rows, and the out-degree rollup
     * derives from that aggregate (no second corpus pass — q109's
     * prefix-count trick). */
+  /** Streaming form of [[transitionCounts]]'s sequencing stage: per-user
+    * state holds only the LAST seen (ts_us, event_id, type) — O(users)
+    * state, 3 fields each — and every arrival emits its (prev_type,
+    * type) step; the tiny |types|² count/probability rollup runs over
+    * the step sink after the stream drains.
+    *
+    * Ordering contract, stated loudly: arrivals are sorted by
+    * (ts, event_id) WITHIN each micro-batch, so the stream equals the
+    * batch operator whenever each user's events do not interleave out of
+    * order ACROSS batches (true for replay/backfill and per-user-ordered
+    * logs; a deployment with cross-batch disorder buffers behind a
+    * watermark first — the standard trade for O(1)-per-user state). */
+  def transitionStepsStream(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          var last = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+          rows.toVector.sortBy(r => (r._2, r._3)).foreach { r =>
+            if (last != null) out += ((last._3, r._4))
+            last = (r._2, r._3, r._4)
+          }
+          if (last != null) state.update(last)
+          out.iterator
+      }
+      .toDF("prev_type", "event_type")
+  }
+
   def transitionCounts(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -174,6 +212,14 @@ object EventStreams {
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(seq))
       .where(col("prev_type").isNotNull)
+    transitionCountsFromSteps(steps)
+  }
+
+  /** The |types|²-sized rollup of [[transitionCounts]], shared with the
+    * streaming path ([[transitionStepsStream]]'s sink): step rows →
+    * counts + exact conditional probabilities. */
+  def transitionCountsFromSteps(steps: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pairs = steps.groupBy("prev_type", "event_type")
       .agg(count(lit(1)).as("cnt"))
     val out = Window.partitionBy("prev_type")

@@ -406,6 +406,23 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("lengthHistogram: bit_length buckets, edges, non-positive floor") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 7L), ("a", 8L),
+      ("b", 0L), ("b", -5L), ("b", 1024L))
+      .toDF("source", "n")
+    val got = Corpus.lengthHistogram(df, "source", "n").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("a", 1)) == ((1L, 1L, 1L)))       // [1,2)
+    assert(got(("a", 2)) == ((2L, 2L, 3L)))       // [2,4)
+    assert(got(("a", 3)) == ((2L, 4L, 7L)))       // [4,8)
+    assert(got(("a", 4)) == ((1L, 8L, 8L)))       // [8,16)
+    assert(got(("b", 0)) == ((2L, -5L, 0L)))      // non-positive floor
+    assert(got(("b", 11)) == ((1L, 1024L, 1024L)))
+  }
+
   test("hllUnion: merged registers equal the sketch of the concatenation") {
     import spark.implicits._
     val mk = (i: Long) => s"tok$i tok${i + 1} tok${i * 3 % 97}"

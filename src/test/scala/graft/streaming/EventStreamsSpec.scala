@@ -151,6 +151,31 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       ("B", "A") -> ((1L, 1.0))))
   }
 
+  test("transitionStepsStream: last-event state carries steps across batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val sdf = input.toDF().toDF("user_id", "ts", "event_id", "event_type")
+    val q = EventStreams.transitionStepsStream(sdf)
+      .writeStream.format("memory").queryName("steps_out")
+      .outputMode("append").start()
+    try {
+      // batch 1 arrives out of order WITHIN the batch (sorted internally)
+      input.addData((1L, ts(1), 2L, "B"), (1L, ts(0), 1L, "A"))
+      q.processAllAvailable()
+      // batch 2: the cross-batch step B->C must come from state
+      input.addData((1L, ts(2), 3L, "C"), (2L, ts(0), 4L, "A"))
+      q.processAllAvailable()
+      input.addData((2L, ts(1), 5L, "A"))
+      q.processAllAvailable()
+      val got = spark.table("steps_out").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(got.sorted.toSeq == Seq(("A", "A"), ("A", "B"), ("B", "C")))
+    } finally q.stop()
+  }
+
   test("transitionCounts: probabilities sum to 1 per source type") {
     import spark.implicits._
     val df = Seq(
