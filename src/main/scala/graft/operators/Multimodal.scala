@@ -735,7 +735,14 @@ object Multimodal {
     * cheap filter. */
   def ahashPairs(hashes: DataFrame, maxDist: Int = 2): DataFrame = {
     require(maxDist <= 3, "chunk trick with 4 chunks covers Hamming distance <= 3")
-    val chunked = hashes.where(col("ahash").isNotNull)
+    // cache the (id, hash) relation: it feeds BOTH join branches, and
+    // without it each branch re-runs the upstream codec chain (encode +
+    // decode per image) — measured 2× the whole query's codec cost at
+    // sf0.1. Same precedent as minhashPairs' shingle cache; the cached
+    // relation is 16 bytes/image.
+    val hs = hashes.where(col("ahash").isNotNull)
+      .select(col("media_id"), col("ahash")).cache()
+    val chunked = hs
       .select(col("media_id"), col("ahash"),
         posexplode(array((0 until 4).map(c =>
           shiftrightunsigned(col("ahash"), c * 16).bitwiseAND(lit(0xffffL))): _*))

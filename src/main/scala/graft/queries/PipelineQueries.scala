@@ -635,7 +635,10 @@ object PipelineQueries {
     * the corpus, so the join broadcasts the PAIRS, never the corpus). */
   def q92NeardupSources(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.8)
+    // cached: the pair relation feeds BOTH broadcast branches below, and
+    // without it each branch re-runs the LSH pipeline (q120's lesson —
+    // pairs are id-triples, KBs)
+    val pairs = Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.8).cache()
     val pa = d.select(col("doc_id").as("a_doc"), col("source").as("sa"))
     val pb = d.select(col("doc_id").as("b_doc"), col("source").as("sb"))
     // the pair relation is explicitly the BROADCAST side of both source

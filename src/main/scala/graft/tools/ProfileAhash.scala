@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.LightFusion
+import graft.operators.Multimodal
+
+/** Stage timing for q120: codec+hash vs the pigeonhole pair join, plus
+  * chunk-bucket skew (the quadratic hazard of banded joins). */
+object ProfileAhash {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    LightFusion.ensureRegistered(spark)
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$tag%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val hashes = Multimodal.imageAHash(Multimodal.imageTable(docs), 32).cache()
+    time("codec+hash (cold)")(hashes.count())
+    time("codec+hash (cached count)")(hashes.count())
+    val chunked = hashes.where(col("ahash").isNotNull)
+      .select(col("media_id"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("ahash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("chunk", "ck")))
+    println("top chunk buckets:")
+    chunked.groupBy("chunk", "ck").count().orderBy(desc("count")).show(12)
+    val nPairs = chunked.groupBy("chunk", "ck").count()
+      .agg(sum(col("count") * col("count"))).first().getLong(0)
+    println(s"sum |bucket|^2 = $nPairs")
+    time("ahashPairs over cached")(
+      Multimodal.ahashPairs(hashes, maxDist = 2).count())
+    spark.stop()
+  }
+}
