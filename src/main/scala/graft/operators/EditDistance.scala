@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (Levenshtein) similarity join via PassJoin-style segment
+  * blocking — the fuzzy-dedup shape for SHORT keys (titles, product
+  * names, normalized URLs) where MinHash shingles are too coarse and a
+  * naive all-pairs `levenshtein(a, b) <= k` predicate plans as a
+  * nested-loop cross join (quadratic per block, a scale-killer).
+  *
+  * Blocking theorem (PassJoin, Li et al., VLDB 2011): fix equal-length
+  * strings (we pad to `prefixLen`), partition string `b` into `k+1`
+  * contiguous segments. An optimal alignment of `a` onto `b` contains at
+  * most `k` edits, so at least one segment is untouched (pigeonhole) and
+  * therefore occurs VERBATIM in `a`, shifted by at most the net
+  * insertions/deletions before it — at most `k` positions. Hence every
+  * pair with `ED <= k` shares at least one (segmentIndex, segmentString)
+  * key when the probe side emits the substrings at the segment's
+  * position +/- k. The join is a pure equi-join; the exact `levenshtein`
+  * predicate then verifies candidates, so blocking is provably invisible
+  * in the output (the oracle is the naive predicate join).
+  *
+  * Scale shape: build side emits `k+1` keys per row, probe side at most
+  * `(k+1)*(2k+1)` (distinct-deduped), both id+short-string rows — the
+  * corpus text never shuffles. The join spreads by (lang, segment
+  * index, segment content), so only true boilerplate titles collide;
+  * `maxBucket` caps those cells the same way [[Dedup.minhashPairs]]
+  * caps LSH band buckets.
+  */
+object EditDistance {
+
+  /** Candidate-pair generation + exact verify for
+    * `levenshtein(title_a, title_b) <= maxDist` within `langCol` blocks,
+    * where `title = rpad(substring(text, 1, prefixLen))` — the padded
+    * fixed-length prefix key. Output: (a_doc, b_doc, dist), a < b.
+    *
+    * `maxBucket` guards pathological boilerplate (thousands of docs with
+    * an identical segment): cells larger than the cap are dropped with
+    * the same contract as the MinHash cap — at benchmark scale no cell
+    * approaches it, so the oracle equality also PINS that the cap never
+    * fired.
+    */
+  def fuzzyPrefixPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      prefixLen: Int = 16,
+      maxDist: Int = 2,
+      maxBucket: Int = 10000): DataFrame = {
+    require(prefixLen > maxDist && maxDist >= 1, "need prefixLen > maxDist >= 1")
+    val k = maxDist
+    val nSeg = k + 1
+    // Segment layout: lengths differ by at most 1, longer segments first
+    // (16 chars, k=2 -> lengths 6,5,5 at starts 0,6,11).
+    val base = prefixLen / nSeg
+    val rem = prefixLen % nSeg
+    val segLens = (0 until nSeg).map(i => if (i < rem) base + 1 else base)
+    val segStarts = segLens.scanLeft(0)(_ + _).dropRight(1)
+
+    val titled = docs.select(
+      col(idCol).as("id"), col(langCol).as("lang"),
+      rpad(substring(coalesce(col(textCol), lit("")), 1, prefixLen),
+        prefixLen, " ").as("title"))
+
+    // Build side: the k+1 segments, exactly at their positions.
+    val segCols: Seq[Column] = (0 until nSeg).map { i =>
+      struct(lit(i).as("seg"),
+        substring(col("title"), segStarts(i) + 1, segLens(i)).as("piece"))
+    }
+    val build = titled.select(col("id").as("b_id"), col("lang"),
+      explode(array(segCols: _*)).as("s"))
+      .select(col("b_id"), col("lang"), col("s.seg").as("seg"),
+        col("s.piece").as("piece"))
+
+    // Probe side: substrings of the same length at positions start-k..start+k
+    // (clamped), distinct per (id, seg, piece) to bound key fan-out.
+    val probeCols: Seq[Column] = (for {
+      i <- 0 until nSeg
+      p <- math.max(0, segStarts(i) - k) to
+        math.min(prefixLen - segLens(i), segStarts(i) + k)
+    } yield struct(lit(i).as("seg"),
+      substring(col("title"), p + 1, segLens(i)).as("piece")))
+    val probe = titled.select(col("id").as("a_id"), col("lang"),
+      explode(array(probeCols: _*)).as("s"))
+      .select(col("a_id"), col("lang"), col("s.seg").as("seg"),
+        col("s.piece").as("piece"))
+      .distinct()
+
+    // Skew guard on the build cell (lang, seg, piece).
+    val guarded = build
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "seg", "piece")))
+      .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+
+    val cand = guarded.join(probe, Seq("lang", "seg", "piece"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_doc"),
+        greatest(col("a_id"), col("b_id")).as("b_doc"))
+      .distinct()
+
+    val ta = titled.select(col("id").as("a_doc"), col("title").as("a_title"))
+    val tb = titled.select(col("id").as("b_doc"), col("title").as("b_title"))
+    cand.join(ta, "a_doc").join(tb, "b_doc")
+      .withColumn("dist", levenshtein(col("a_title"), col("b_title")))
+      .where(col("dist") <= k)
+      .select("a_doc", "b_doc", "dist")
+  }
+}

@@ -866,7 +866,31 @@ object PipelineQueries {
     ("q123_pq_encode", q123PqEncode _, q123Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
-    ("q129_centroid_sep", q129CentroidSep _, q129Sql))
+    ("q129_centroid_sep", q129CentroidSep _, q129Sql),
+    ("q135_fuzzy_title", q135FuzzyTitle _, q135Sql))
+
+  /** Edit-distance fuzzy dedup on padded 16-char title prefixes
+    * ([[graft.operators.EditDistance.fuzzyPrefixPairs]]): PassJoin
+    * segment blocking → equi-join → exact `levenshtein` verify. The
+    * oracle is the NAIVE within-lang predicate join, so the blocking
+    * is provably complete at this scale (a missed candidate would
+    * fail the hash gate). */
+  def q135FuzzyTitle(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EditDistance.fuzzyPrefixPairs(
+        docs(s, dir), "doc_id", "text", "lang",
+        prefixLen = 16, maxDist = 2)
+      .presentSorted("a_doc", "b_doc")
+
+  def q135Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    rpad(substr(coalesce(text, ''), 1, 16), 16, ' ') AS title
+      |  FROM documents)
+      |SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+      |  levenshtein(a.title, b.title) AS dist
+      |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.title, b.title) <= 2
+      |ORDER BY a_doc, b_doc""".stripMargin
 
   /** Label-centroid separation ([[Similarity.labelCentroidSeparation]]):
     * pairwise cosine between per-label centroids computed from EXACT

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class EditDistanceSpec extends AnyFunSuite with SparkTestBase {
+
+  private def brute(df: org.apache.spark.sql.DataFrame, prefixLen: Int,
+      k: Int): Set[(Long, Long, Int)] = {
+    val t = df.select(col("doc_id"), col("lang"),
+      rpad(substring(coalesce(col("text"), lit("")), 1, prefixLen),
+        prefixLen, " ").as("title"))
+    val a = t.select(col("doc_id").as("a_doc"), col("lang"),
+      col("title").as("a_title"))
+    val b = t.select(col("doc_id").as("b_doc"), col("lang"),
+      col("title").as("b_title"))
+    a.join(b, "lang").where(col("a_doc") < col("b_doc"))
+      .withColumn("dist", levenshtein(col("a_title"), col("b_title")))
+      .where(col("dist") <= k)
+      .select("a_doc", "b_doc", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  private def passjoin(df: org.apache.spark.sql.DataFrame, prefixLen: Int,
+      k: Int): Set[(Long, Long, Int)] =
+    EditDistance.fuzzyPrefixPairs(df, "doc_id", "text", "lang",
+        prefixLen = prefixLen, maxDist = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("fuzzyPrefixPairs == naive predicate join on adversarial edits") {
+    import spark.implicits._
+    // Hand-built cluster: base + substitution, insertion, deletion,
+    // double-edit, triple-edit (excluded at k=2), cross-lang twin
+    // (excluded by blocking), short text (pad path).
+    val rows = Seq(
+      (1L, "the quick brown fox jumps", "en"),
+      (2L, "the quick crown fox jumps", "en"),   // 1 sub
+      (3L, "the qquick brown fox jump", "en"),   // 1 ins (prefix view)
+      (4L, "the quik brown fox jumpss", "en"),   // 1 del
+      (5L, "thx quik brown fox jumpss", "en"),   // 2 edits vs 1
+      (6L, "xhx quik brown fox jumpss", "en"),   // 3 edits vs 1
+      (7L, "the quick brown fox jumps", "de"),   // same text, other lang
+      (8L, "the quick", "en"),                   // short -> padded
+      (9L, "zzzz totally different!!", "en"))
+      .toDF("doc_id", "text", "lang")
+    for (k <- 1 to 2) {
+      val expect = brute(rows, 16, k)
+      val got = passjoin(rows, 16, k)
+      assert(got == expect, s"k=$k")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("fuzzyPrefixPairs == naive on random word-soup corpus (sf-like)") {
+    import spark.implicits._
+    val words = Vector("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "line", "sort", "window")
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 300L).map { i =>
+      val n = 4 + rnd.nextInt(4)
+      val txt = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+      (i, txt, if (i % 3 == 0) "de" else "en")
+    }.toDF("doc_id", "text", "lang")
+    val expect = brute(rows, 16, 2)
+    val got = passjoin(rows, 16, 2)
+    assert(got == expect)
+    assert(expect.nonEmpty) // tiny vocab guarantees near-collisions
+  }
+
+  test("maxBucket cap drops only capped cells (loud, not silent)") {
+    import spark.implicits._
+    // 30 identical titles: every (seg, piece) cell has 30 members.
+    val rows = (1L to 30L).map(i => (i, "aaaa bbbb cccc dd", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(passjoin(rows, 16, 2).size == 30 * 29 / 2)
+    val capped = EditDistance.fuzzyPrefixPairs(rows, "doc_id", "text", "lang",
+      prefixLen = 16, maxDist = 2, maxBucket = 10).count()
+    assert(capped == 0)
+  }
+}
