@@ -770,4 +770,37 @@ object TextAnalysis {
         col("n_lines"),
         (col("n_lines") - size(col("kept"))).as("n_dropped"))
   }
+
+  /** HTML→text stripping steps, applied IN ORDER — shared verbatim by
+    * the Spark expression and the DuckDB oracle, so both engines produce
+    * identical clean text. Restricted to the Java-regex ∩ RE2 subset
+    * (inline `(?is)` flags, non-greedy spans, char classes — no
+    * lookaround/backreferences; whitespace spelled as an explicit class
+    * because `\s` differs between engines). Script/style bodies drop
+    * BEFORE generic tag removal (their content is code, and `1 < 2`
+    * inside a script would otherwise shred the tag regex); entities
+    * decode after tag removal, `&amp;` LAST so `&amp;lt;` decodes to the
+    * literal text `&lt;` and never to `<` (the standard double-decode
+    * bug); whitespace collapses at the end. */
+  val htmlStripSteps: Seq[(String, String)] = Seq(
+    "(?is)<script\\b[^>]*>.*?</script[^>]*>" -> " ",
+    "(?is)<style\\b[^>]*>.*?</style[^>]*>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "<[^>]*>" -> " ",
+    "&nbsp;" -> " ",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "&amp;" -> "&",
+    "[ \\t\\r\\n]+" -> " ")
+
+  /** Markup removal — the first transform a web-crawl curation pipeline
+    * runs (C4/CCNet both start from HTML-ish extractions). Pure
+    * codegen'd `regexp_replace` chain per [[htmlStripSteps]]: map-only,
+    * no shuffle, no UDF; the payload never leaves its scan stage. */
+  def stripHtml(c: Column): Column =
+    trim(htmlStripSteps.foldLeft(coalesce(c, lit(""))) {
+      case (acc, (pat, rep)) => regexp_replace(acc, pat, rep)
+    })
 }

@@ -764,5 +764,56 @@ object TextQueries {
     ("q101_bpe_train", q101BpeTrain _, q101Sql),
     ("q106_drop_boilerplate", q106DropBoilerplate _, q106Sql),
     ("q121_script_profile", q121ScriptProfile _, q121Sql),
-    ("q131_normalized_dedup", q131NormalizedDedup _, q131Sql))
+    ("q131_normalized_dedup", q131NormalizedDedup _, q131Sql),
+    ("q136_html_strip", q136HtmlStrip _, q136Sql))
+
+  /** Deterministic HTML wrapper planted around every doc (both engines
+    * build the identical dirty markup): head with style + script blocks
+    * (the script body contains `<`/`&&` — the chars that shred a naive
+    * tag regex), a comment carrying the doc id, an entity-salted
+    * trailer. */
+  // defs, not vals: `val all` above evaluates q136Sql during object init,
+  // before later vals would have been assigned.
+  private def htmlPre =
+    "<html><head><style>p { color: red; }</style>" +
+      "<script type=\"text/javascript\">var x = 1 < 2 && y > 0;</script>" +
+      "</head><body><!-- doc "
+  private def htmlMid1 = " --><h1>"
+  private def htmlMid2 = "</h1>\n<p class=\"lead\">"
+  private def htmlPost = " &amp; more &lt;tags&gt; &nbsp;&quot;quoted&quot;" +
+    " &#39;q&#39;</p><br/></body></html>"
+
+  /** HTML→text extraction ([[TextAnalysis.stripHtml]]) over docs wrapped
+    * in the planted markup: script/style/comment bodies drop, tags
+    * strip, entities decode (`&amp;` last), whitespace collapses. The
+    * oracle replays the identical [[TextAnalysis.htmlStripSteps]] chain,
+    * so a flag/order/greediness slip in either engine fails the hash. */
+  def q136HtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val dirty = concat(lit(htmlPre), col("doc_id").cast("string"),
+      lit(htmlMid1), substring(t, 1, 16), lit(htmlMid2), t, lit(htmlPost))
+    docs(s, dir)
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(col("doc_id"), length(col("dirty")).cast("long").as("n_raw"),
+        TextAnalysis.stripHtml(col("dirty")).as("clean_text"))
+      .withColumn("n_clean", length(col("clean_text")).cast("long"))
+      .presentSorted("doc_id")
+  }
+
+  def q136Sql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val strip = TextAnalysis.htmlStripSteps.foldLeft("dirty") {
+      case (acc, (pat, rep)) =>
+        s"regexp_replace($acc, '${esc(pat)}', '${esc(rep)}', 'g')"
+    }
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    '${esc(htmlPre)}' || CAST(doc_id AS VARCHAR) || '${esc(htmlMid1)}'
+       |      || substr(coalesce(text, ''), 1, 16) || '${esc(htmlMid2)}'
+       |      || coalesce(text, '') || '${esc(htmlPost)}' AS dirty
+       |  FROM documents)
+       |SELECT doc_id, length(dirty) AS n_raw, trim($strip) AS clean_text,
+       |  length(trim($strip)) AS n_clean
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
 }

@@ -552,4 +552,36 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  private def stripped(html: String): String = {
+    import spark.implicits._
+    Seq(Option(html)).toDF("h")
+      .select(TextAnalysis.stripHtml(org.apache.spark.sql.functions.col("h")))
+      .head.getString(0)
+  }
+
+  test("stripHtml: script/style bodies drop, entities decode, no double-decode") {
+    // script body with < and && must not shred tag removal
+    assert(stripped("<p>a</p><script>if (1 < 2 && x > 0) f();</script><p>b</p>")
+      == "a b")
+    assert(stripped("<STYLE media=\"x\">p < q { }</STYLE>ok") == "ok")
+    assert(stripped("x<!-- <p>hidden</p>\nsecond line -->y") == "x y")
+    // &amp; decodes LAST: &amp;lt; is the literal text "&lt;", never "<"
+    assert(stripped("&amp;lt;tag&amp;gt; &lt;real&gt; &quot;q&quot; &#39;a&#39;")
+      == "&lt;tag&gt; <real> \"q\" 'a'")
+    assert(stripped("a&nbsp;b\t\nc") == "a b c")
+    // attributes with > inside quotes are NOT handled (documented regex
+    // limit) but plain attributes strip fine
+    assert(stripped("<a href=\"/x?a=1&amp;b=2\" class='k'>link</a>") == "link")
+    assert(stripped(null) == "")
+  }
+
+  test("stripHtml: map-only plan (no Exchange)") {
+    import spark.implicits._
+    val df = Seq("(<p>x</p>)").toDF("h")
+    val plan = df.select(TextAnalysis.stripHtml(
+        org.apache.spark.sql.functions.col("h")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
