@@ -879,4 +879,32 @@ object Corpus {
       .select(col("n_sources"), col("n_buckets"), col("z"),
         col("n_distinct_est"))
   }
+
+  /** Per-key percentile-rank score normalization — the calibration step
+    * before mixing heterogeneous sources: a raw quality score is only
+    * comparable WITHIN a source (different crawls have different length/
+    * boilerplate distributions), so the mixer ranks each doc against its
+    * own source and blends on the rank. `pct_rank` is the exact rational
+    * `(rank−1)/(n−1)` (ties broken by `idCol`, so rank is unique and
+    * both engines agree bit-for-bit); `tile` is the standard `ntile`
+    * bucket (first `n mod nTiles` buckets one larger — identical
+    * definition in Spark and DuckDB).
+    *
+    * Scale shape: one shuffle by `keyCol`, one sort per partition — the
+    * same unit as any per-source window. A pathologically dominant
+    * source serializes its own partition; for that shape, rank via
+    * range-repartition + partition offsets (the budgetSelect plan)
+    * instead of a per-source window. */
+  def percentileNormalize(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      scoreCol: String,
+      nTiles: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(scoreCol), col(idCol))
+    df.select(col(idCol), col(keyCol), col(scoreCol))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("tile", ntile(nTiles).over(w))
+  }
 }

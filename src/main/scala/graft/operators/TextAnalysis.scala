@@ -803,4 +803,32 @@ object TextAnalysis {
     trim(htmlStripSteps.foldLeft(coalesce(c, lit(""))) {
       case (acc, (pat, rep)) => regexp_replace(acc, pat, rep)
     })
+
+  /** Term-blocklist audit — the C4-style "bad words" gate: per document,
+    * whole-word occurrence counts for each blocklist term (shipped as a
+    * plan literal — the list is policy config, small by definition) plus
+    * the total and the block flag. Counting per term rather than just
+    * flagging is what lets reviewers tune the list (which term fired,
+    * how often) without a second pass.
+    *
+    * Terms are restricted to `[a-z0-9]+` so they embed verbatim in the
+    * `\b`-anchored pattern (no escaping ambiguity between engines);
+    * matching is case-insensitive via lower(). Map-only codegen scan —
+    * no shuffle, no UDF, no broadcast (the list compiles into the
+    * expression). */
+  def blocklistAudit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
+      "blocklist terms must be non-empty lowercase [a-z0-9]+")
+    val t = lower(coalesce(col(textCol), lit("")))
+    val perTerm = terms.map(w =>
+      regexp_count(t, lit(s"\\b$w\\b")).cast("long").as(s"n_$w"))
+    val total = terms.map(w => col(s"n_$w")).reduce(_ + _)
+    docs.select((col(idCol) +: perTerm): _*)
+      .withColumn("n_blocked", total)
+      .withColumn("blocked", col("n_blocked") > 0)
+  }
 }

@@ -737,7 +737,25 @@ object CorpusQueries {
     ("q128_stream_sample", q128StreamSample _, q45Sql),
     ("q130_hll_union", q130HllUnion _, q130Sql),
     ("q133_length_histogram", q133LengthHistogram _, q133Sql),
-    ("q134_norm_quantiles", q134NormQuantiles _, q134Sql))
+    ("q134_norm_quantiles", q134NormQuantiles _, q134Sql),
+    ("q138_pct_normalize", q138PctNormalize _, q138Sql))
+
+  /** Per-source percentile-rank normalization
+    * ([[Corpus.percentileNormalize]]) of doc length — the calibration
+    * step before cross-source mixing. `(rank−1)/(n−1)` with a unique
+    * tie-break is an exact rational, so the oracle replays it
+    * bit-for-bit; ntile deciles pin the bucket arithmetic too. */
+  def q138PctNormalize(s: SparkSession, dir: String): DataFrame =
+    Corpus.percentileNormalize(docs(s, dir), "source", "doc_id", "n_chars")
+      .presentSorted("doc_id")
+
+  def q138Sql: String =
+    """SELECT doc_id, source, n_chars,
+      |  percent_rank() OVER w AS pct_rank,
+      |  ntile(10) OVER w AS tile
+      |FROM documents
+      |WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** Power-of-two doc-length histogram per source
     * ([[Corpus.lengthHistogram]]): bucket = bit_length(n_chars) — the

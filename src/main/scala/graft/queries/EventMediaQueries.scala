@@ -446,7 +446,33 @@ object EventMediaQueries {
     ("q120_image_ahash", q120ImageAHash _, q120Sql),
     ("q124_event_transitions", q124EventTransitions _, q124Sql),
     ("q127_stream_anomaly", q127StreamAnomaly _, q108Sql),
-    ("q132_stream_transitions", q132StreamTransitions _, q124Sql))
+    ("q132_stream_transitions", q132StreamTransitions _, q124Sql),
+    ("q137_decayed_engagement", q137DecayedEngagement _, q137Sql))
+
+  /** Per-user time-decayed engagement
+    * ([[graft.streaming.EventStreams.decayedEngagement]], half-life
+    * 1 day): integer 2^(50−age) weights, DECIMAL(38,0)-exact sum, one
+    * final double division — the oracle replays the identical integer
+    * pipeline, so the float-free design is what makes the hash gate
+    * possible at all. */
+  def q137DecayedEngagement(s: SparkSession, dir: String): DataFrame =
+    EventStreams.decayedEngagement(eventsTs(s, dir))
+      .presentSorted("user_id")
+
+  def q137Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |r AS (SELECT max(us) AS ref_us FROM e),
+      |w AS (
+      |  SELECT user_id,
+      |    CAST(1 AS BIGINT) << CAST(
+      |      50 - least((r.ref_us - us) // 86400000000, 50) AS INT) AS wt
+      |  FROM e, r)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(CAST(sum(wt) AS DECIMAL(38,0)) AS DOUBLE)
+      |    / 1125899906842624.0 AS decayed_score
+      |FROM w GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
 
   /** Gzip member round-trip ([[Multimodal.gzipRoundtrip]]): the WARC
     * ingestion primitive through the REAL `java.util.zip` codec; the

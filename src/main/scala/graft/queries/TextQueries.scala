@@ -765,7 +765,33 @@ object TextQueries {
     ("q106_drop_boilerplate", q106DropBoilerplate _, q106Sql),
     ("q121_script_profile", q121ScriptProfile _, q121Sql),
     ("q131_normalized_dedup", q131NormalizedDedup _, q131Sql),
-    ("q136_html_strip", q136HtmlStrip _, q136Sql))
+    ("q136_html_strip", q136HtmlStrip _, q136Sql),
+    ("q139_blocklist", q139Blocklist _, q139Sql))
+
+  /** Blocklist policy for q139: two terms that occur in the corpus
+    * vocabulary (slow, spark) and two that don't (crash, spam) — the
+    * absent terms pin the zero-count path. */
+  private def q139Terms = Seq("slow", "spark", "crash", "spam")
+
+  /** Term-blocklist audit ([[TextAnalysis.blocklistAudit]]): per-term
+    * whole-word counts + block flag, oracle-replayed with the identical
+    * `\b`-anchored patterns. */
+  def q139Blocklist(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.blocklistAudit(docs(s, dir), "doc_id", "text", q139Terms)
+      .presentSorted("doc_id")
+
+  def q139Sql: String = {
+    val perTerm = q139Terms.map(w =>
+      raw"len(regexp_extract_all(t, '\b$w\b')) AS n_$w").mkString(",\n  ")
+    val total = q139Terms.map(w => s"n_$w").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+       |c AS (SELECT doc_id,
+       |  $perTerm
+       |FROM d)
+       |SELECT doc_id, ${q139Terms.map(w => s"n_$w").mkString(", ")},
+       |  $total AS n_blocked, ($total) > 0 AS blocked
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
 
   /** Deterministic HTML wrapper planted around every doc (both engines
     * build the identical dirty markup): head with style + script blocks

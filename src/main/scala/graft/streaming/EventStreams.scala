@@ -228,4 +228,40 @@ object EventStreams {
       .select(col("prev_type"), col("event_type"), col("cnt"),
         (col("cnt").cast("double") / col("out_cnt")).as("p"))
   }
+
+  /** Per-user exponentially time-decayed engagement (half-life
+    * `halfLifeDays`): `Σ 2^(-age/halfLife)` over the user's events,
+    * anchored at the corpus max timestamp — the recency-weighted
+    * activity score a curation pipeline uses to weight fresh sources.
+    *
+    * Engine-exact by construction: floats are NEVER summed. Each event's
+    * weight is the integer `2^(50 − age_hl)` (ages clamped at 50
+    * half-lives ≡ weight 1; age in whole half-lives via integer
+    * division of microsecond longs, exact); the per-user total is a
+    * DECIMAL(38,0) sum of those integers (exact in both engines, and
+    * decimal-typed so DuckDB's HUGEINT never leaks into the schema);
+    * the score does ONE decimal→double cast and ONE division by 2^50 at
+    * the end — both IEEE-deterministic.
+    *
+    * Scale shape: broadcast 1-row anchor, then one user-keyed
+    * aggregation with map-side partial — identical cost to a plain
+    * per-user count. */
+  def decayedEngagement(events: DataFrame, halfLifeDays: Int = 1): DataFrame = {
+    require(halfLifeDays >= 1, "halfLifeDays must be >= 1")
+    val ref = events.agg(max(unix_micros(col("ts"))).as("ref_us"))
+    val hlUs = 86400000000L * halfLifeDays
+    events.select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .crossJoin(broadcast(ref))
+      .withColumn("age_hl",
+        least(expr(s"(ref_us - us) div ${hlUs}L"), lit(50L)))
+      .withColumn("wt", expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(50 - age_hl AS INT))"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("wt").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("wt_sum"))
+      .select(col("user_id"), col("n_events"),
+        (col("wt_sum").cast("double") / lit(1125899906842624.0))
+          .as("decayed_score"))
+  }
 }
