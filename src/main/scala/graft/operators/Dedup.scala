@@ -548,6 +548,30 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** The eval-side view of [[contaminationHits]]: per PROBE (eval) doc,
+    * how much of it leaks into the training corpus — `n_hits` distinct
+    * (corpus doc, shared 13-gram) collisions and `n_corpus_docs`
+    * distinct contaminated corpus documents. Same 100 TB shape as the
+    * corpus-side view: the (gram, probe doc) table is the SMALL side
+    * (eval sets are benchmark-sized by definition) and broadcasts;
+    * corpus grams stream past it and aggregate by probe doc — the
+    * corpus never shuffles. */
+  def contaminationEvalReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isProbe: Column,
+      k: Int = 13): DataFrame = {
+    val probeGrams = spanGrams(docs.where(isProbe), idCol, textCol, k)
+      .select(col(idCol).as("probe_doc"), col("g"))
+    spanGrams(docs.where(!isProbe), idCol, textCol, k)
+      .select(col(idCol).as("corpus_doc"), col("g"))
+      .join(broadcast(probeGrams), "g")
+      .groupBy("probe_doc")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct("corpus_doc").as("n_corpus_docs"))
+  }
+
   /** Span SUPPRESSION — the production form of exact substring dedup
     * (Lee et al. 2022 remove the duplicated passage, they don't just
     * count pairs): every token covered by a k-token span that appears in

@@ -867,7 +867,81 @@ object PipelineQueries {
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
-    ("q135_fuzzy_title", q135FuzzyTitle _, q135Sql))
+    ("q135_fuzzy_title", q135FuzzyTitle _, q135Sql),
+    ("q140_decontam_report", q140DecontamReport _, q140Sql))
+
+  /** The decontamination AUDIT a lab runs before training: one row per
+    * EVAL doc (the q38 probe slice, doc_id % 7 = 0) combining all three
+    * leakage signals — exact duplicate in the corpus (digest match),
+    * near-duplicate (trigram J≥0.8 partner via the LSH path), and
+    * 13-gram contamination mass ([[Dedup.contaminationEvalReport]]).
+    *
+    * Scale shape: the corpus-sized stages are exactly the underlying
+    * operators' (digest probe against a BROADCAST eval digest set, the
+    * banded minhash join, the broadcast gram probe); everything after is
+    * eval-sized joins. */
+  def q140DecontamReport(s: SparkSession, dir: String): DataFrame = {
+    graft.LightFusion.ensureRegistered(s)
+    val d = docs(s, dir)
+    val isEval = col("doc_id") % 7 === 0
+    val evalD = d.where(isEval)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+    val matched = d.where(!isEval)
+      .select(md5(col("text").cast("binary")).as("digest"))
+      .join(broadcast(evalD.select("digest").distinct()), "digest")
+      .distinct()
+      .withColumn("exact_dup", lit(true))
+    val nearIds = Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.8)
+      .where((col("a_doc") % 7 === 0) =!= (col("b_doc") % 7 === 0))
+      .select(when(col("a_doc") % 7 === 0, col("a_doc"))
+        .otherwise(col("b_doc")).as("doc_id"))
+      .distinct()
+      .withColumn("near_dup", lit(true))
+    val cont = Dedup.contaminationEvalReport(d, "doc_id", "text", isEval)
+      .withColumnRenamed("probe_doc", "doc_id")
+    evalD
+      .join(matched, Seq("digest"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"))
+      .presentSorted("doc_id")
+  }
+
+  def q140Sql: String =
+    s"""WITH ${spanGramsSql(13)},
+       |probe AS (SELECT DISTINCT doc_id AS probe_doc, g FROM e WHERE doc_id % 7 = 0),
+       |cont AS (
+       |  SELECT p.probe_doc, count(*) AS n_hits,
+       |    count(DISTINCT e.doc_id) AS n_corpus_docs
+       |  FROM e JOIN probe p ON e.g = p.g WHERE e.doc_id % 7 <> 0
+       |  GROUP BY p.probe_doc),
+       |ex AS (
+       |  SELECT DISTINCT a.doc_id FROM documents a
+       |  WHERE a.doc_id % 7 = 0 AND EXISTS (
+       |    SELECT 1 FROM documents b
+       |    WHERE b.doc_id % 7 <> 0 AND md5(b.text) = md5(a.text))),
+       |ww AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) sg
+       |       FROM ww WHERE len(ws) >= 3),
+       |nd AS (
+       |  SELECT DISTINCT CASE WHEN a.doc_id % 7 = 0 THEN a.doc_id ELSE b.doc_id END AS doc_id
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE (a.doc_id % 7 = 0) <> (b.doc_id % 7 = 0)
+       |    AND len(list_intersect(a.sg,b.sg))::DOUBLE
+       |      / (len(a.sg)+len(b.sg)-len(list_intersect(a.sg,b.sg))) >= 0.8)
+       |SELECT d.doc_id,
+       |  d.doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
+       |  d.doc_id IN (SELECT doc_id FROM nd) AS near_dup,
+       |  coalesce(c.n_hits, 0) AS n_hits,
+       |  coalesce(c.n_corpus_docs, 0) AS n_corpus_docs
+       |FROM documents d LEFT JOIN cont c ON c.probe_doc = d.doc_id
+       |WHERE d.doc_id % 7 = 0
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Edit-distance fuzzy dedup on padded 16-char title prefixes
     * ([[graft.operators.EditDistance.fuzzyPrefixPairs]]): PassJoin
