@@ -589,6 +589,175 @@ object Multimodal {
     }(enc)
   }
 
+  /** Real WAV decode returning the raw signed samples (the feature-
+    * extraction entry point, vs [[decodeWav]]'s summary stats). */
+  private[operators] def decodeWavSamples(
+      payload: Array[Byte]): Option[Array[Int]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        None
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) =
+            if (fmt.isBigEndian) (bytes(i * 2).toInt << 8) | (bytes(i * 2 + 1) & 0xff)
+            else (bytes(i * 2 + 1).toInt << 8) | (bytes(i * 2) & 0xff)
+          i += 1
+        }
+        Some(out)
+      }
+    } catch {
+      case _: java.io.IOException => None
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Audio feature extraction through the REAL codec: per fixed-size
+    * sample window, the exact integer energy (`Σ v²` — fits a long at
+    * any window size < 2⁴⁴) and peak amplitude (`max |v|`) — the
+    * windowed-feature stage of an audio curation pipeline (silence
+    * trimming, clipping detection, loudness bucketing). One output row
+    * per (clip, window); the tail window is partial. Undecodable
+    * payloads emit no rows (same contract as [[decodeImage]]: a mixed
+    * corpus routes them to quarantine upstream).
+    *
+    * Scale shape: batched map over the payload partition — the clip
+    * bytes enter and die inside one task; only (id, window, 3 ints)
+    * rows leave, so the exchange is features-sized, never media-sized. */
+  def audioFrameFeatures(
+      media: DataFrame,
+      windowSize: Int = 64,
+      batchSize: Int = 32): DataFrame = {
+    require(windowSize > 0, "window size not correct")
+    require(batchSize > 0, "batch size not correct")
+    val inSchema = media.schema
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val idIdx = inSchema.fieldIndex("media_id")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("win", IntegerType, nullable = false),
+      StructField("n_win", IntegerType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("peak", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val id = row.getLong(idIdx)
+          decodeWavSamples(row.getAs[Array[Byte]](payloadIdx)) match {
+            case Some(samples) =>
+              samples.grouped(windowSize).zipWithIndex.map { case (w, wi) =>
+                var energy = 0L
+                var peak = 0
+                var i = 0
+                while (i < w.length) {
+                  val v = w(i)
+                  energy += v.toLong * v
+                  val a = math.abs(v)
+                  if (a > peak) peak = a
+                  i += 1
+                }
+                Row(id, wi, w.length, energy, peak)
+              }
+            case None => Iterator.empty
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Real multi-frame decode keeping the per-frame pixel stack (the
+    * feature-extraction entry point, vs [[decodeGifFrames]]' summary). */
+  private[operators] def decodeGifFrameStack(
+      payload: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] =
+    try {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else {
+            var w = 0
+            var h = 0
+            val frames = Array.tabulate(n) { f =>
+              val img = reader.read(f)
+              w = img.getWidth
+              h = img.getHeight
+              val px = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xff; x += 1 }
+                y += 1
+              }
+              px
+            }
+            Some((w, h, frames))
+          }
+        } finally reader.dispose()
+      }
+    } catch {
+      case _: java.io.IOException => None
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Shot-boundary (scene-change) detection through the REAL video
+    * codec: for each consecutive frame pair, the exact integer sum of
+    * absolute per-pixel deltas; a cut is flagged when the delta exceeds
+    * `thresholdPerPixel` per pixel (`delta_sum > threshold · w·h` — all
+    * integers, engine-exact). The first frame has no predecessor, so a
+    * clip with n frames emits n−1 rows; undecodable payloads emit none.
+    *
+    * Scale shape: same as [[audioFrameFeatures]] — per-payload batched
+    * map, only (id, frame, long, bool) rows leave the stage. */
+  def sceneChanges(
+      media: DataFrame,
+      thresholdPerPixel: Int = 30,
+      batchSize: Int = 32): DataFrame = {
+    require(batchSize > 0, "batch size not correct")
+    val inSchema = media.schema
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val idIdx = inSchema.fieldIndex("media_id")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame", IntegerType, nullable = false),
+      StructField("delta_sum", LongType, nullable = false),
+      StructField("is_cut", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val id = row.getLong(idIdx)
+          decodeGifFrameStack(row.getAs[Array[Byte]](payloadIdx)) match {
+            case Some((w, h, frames)) =>
+              (1 until frames.length).iterator.map { f =>
+                val prev = frames(f - 1)
+                val cur = frames(f)
+                var d = 0L
+                var i = 0
+                while (i < cur.length) {
+                  d += math.abs(cur(i) - prev(i)); i += 1
+                }
+                Row(id, f, d, d > thresholdPerPixel.toLong * w * h)
+              }
+            case None => Iterator.empty
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Gzip member round-trip — the WARC-ingestion primitive (web crawls
     * store one gzip member per record): compress each document's text
     * with the REAL `java.util.zip` gzip codec, decode it back, and emit

@@ -447,7 +447,65 @@ object EventMediaQueries {
     ("q124_event_transitions", q124EventTransitions _, q124Sql),
     ("q127_stream_anomaly", q127StreamAnomaly _, q108Sql),
     ("q132_stream_transitions", q132StreamTransitions _, q124Sql),
-    ("q137_decayed_engagement", q137DecayedEngagement _, q137Sql))
+    ("q137_decayed_engagement", q137DecayedEngagement _, q137Sql),
+    ("q141_audio_features", q141AudioFeatures _, q141Sql),
+    ("q142_scene_changes", q142SceneChanges _, q142Sql))
+
+  /** Windowed audio features through the REAL WAV codec
+    * ([[Multimodal.audioFrameFeatures]]): per 64-sample window, exact
+    * integer energy `Σv²` and peak `max|v|`. The oracle replays the
+    * clip arithmetic sample-for-sample, so a framing/endianness slip in
+    * the decode path fails the hash — q78's round-trip guarantee
+    * extended to the feature stage. */
+  def q141AudioFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFrameFeatures(
+        Multimodal.audioTable(s.read.parquet(s"$dir/documents.parquet")),
+        windowSize = 64, batchSize = 32)
+      .presentSorted("media_id", "win")
+
+  def q141Sql: String =
+    """WITH smp AS (
+      |  SELECT doc_id, unnest(range(doc_id % 400 + 100)) AS i
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, CAST(i // 64 AS INTEGER) AS win,
+      |    (doc_id * 31 + i * 7) % 65536 - 32768 AS v
+      |  FROM smp)
+      |SELECT doc_id AS media_id, win, CAST(count(*) AS INTEGER) AS n_win,
+      |  CAST(sum(v * v) AS BIGINT) AS energy,
+      |  CAST(max(abs(v)) AS INTEGER) AS peak
+      |FROM v GROUP BY doc_id, win
+      |ORDER BY media_id, win""".stripMargin
+
+  /** Shot-boundary detection through the REAL GIF codec
+    * ([[Multimodal.sceneChanges]]): per consecutive frame pair, exact
+    * integer `Σ|Δpixel|` with an integer per-pixel threshold — the
+    * oracle recomputes every pixel of every frame pair arithmetically
+    * (q81's replay plus the frame-difference fold). */
+  def q142SceneChanges(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sceneChanges(
+        Multimodal.videoTable(s.read.parquet(s"$dir/documents.parquet")),
+        thresholdPerPixel = 30, batchSize = 32)
+      .presentSorted("media_id", "frame")
+
+  def q142Sql: String =
+    """WITH geom AS (
+      |  SELECT doc_id, doc_id % 8 + 5 AS w, doc_id % 6 + 5 AS h,
+      |    doc_id % 3 + 2 AS nf
+      |  FROM documents),
+      |f1 AS (SELECT doc_id, w, h, unnest(range(1, nf)) AS f FROM geom),
+      |f2 AS (SELECT doc_id, w, h, f, unnest(range(h)) AS y FROM f1),
+      |f3 AS (SELECT doc_id, w, h, f, y, unnest(range(w)) AS x FROM f2),
+      |d AS (
+      |  SELECT doc_id, w, h, f,
+      |    abs((doc_id*31 + x*7 + y*13 + f*17) % 256
+      |      - (doc_id*31 + x*7 + y*13 + (f-1)*17) % 256) AS ad
+      |  FROM f3)
+      |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame,
+      |  CAST(sum(ad) AS BIGINT) AS delta_sum,
+      |  CAST(sum(ad) AS BIGINT) > 30 * w * h AS is_cut
+      |FROM d GROUP BY doc_id, f, w, h
+      |ORDER BY media_id, frame""".stripMargin
 
   /** Per-user time-decayed engagement
     * ([[graft.streaming.EventStreams.decayedEngagement]], half-life

@@ -193,4 +193,43 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got == brute, "pigeonhole must find exactly the brute-force pairs")
     assert(got.nonEmpty) // the pattern corpus has planted near-dups
   }
+
+  test("audioFrameFeatures: window boundaries, tail window, junk payload") {
+    import spark.implicits._
+    // 130 samples at window 64 -> windows of 64, 64, 2
+    val media = Seq((7L, Multimodal.encodeWav(7L, 130)))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.audioFrameFeatures(media, windowSize = 64)
+      .collect().sortBy(_.getInt(1))
+    assert(rows.map(r => (r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((0, 64), (1, 64), (2, 2)))
+    val samples = (0 until 130).map(i => Multimodal.sampleVal(7L, i))
+    rows.foreach { r =>
+      val w = samples.slice(r.getInt(1) * 64, r.getInt(1) * 64 + r.getInt(2))
+      assert(r.getLong(3) == w.map(v => v.toLong * v).sum)
+      assert(r.getInt(4) == w.map(math.abs).max)
+    }
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    assert(Multimodal.audioFrameFeatures(junk).count() == 0)
+  }
+
+  test("sceneChanges: per-frame deltas match the pattern arithmetic") {
+    import spark.implicits._
+    val (id, w, h, nf) = (11L, 6, 5, 4)
+    val media = Seq((id, Multimodal.encodeGif(id, w, h, nf)))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.sceneChanges(media, thresholdPerPixel = 30)
+      .collect().sortBy(_.getInt(1))
+    assert(rows.map(_.getInt(1)).toSeq == (1 until nf).toSeq)
+    rows.foreach { r =>
+      val f = r.getInt(1)
+      val expect = (for { y <- 0 until h; x <- 0 until w } yield
+        math.abs(Multimodal.patternPixelFrame(id, x, y, f)
+          - Multimodal.patternPixelFrame(id, x, y, f - 1)).toLong).sum
+      assert(r.getLong(2) == expect, s"frame $f")
+      assert(r.getBoolean(3) == (expect > 30L * w * h))
+    }
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    assert(Multimodal.sceneChanges(junk).count() == 0)
+  }
 }
