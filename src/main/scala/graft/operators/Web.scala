@@ -109,4 +109,53 @@ object Web {
       .groupBy("domain")
       .agg(count(lit(1)).as("n_mentions"),
         countDistinct(col(idCol)).as("n_docs"))
+
+  /** Host-graph PageRank in INTEGER fixed-point — the crawl-
+    * prioritization signal (which hosts deserve recrawl budget). Float
+    * PageRank is not hash-gateable across engines (per-node sums add in
+    * partition order); this variant scales rank mass by 2⁴⁰ and does
+    * every step in exact integer arithmetic — `init = S div n`,
+    * `base = (S·15 div 100) div n`, per-edge contribution
+    * `(((p·85) div 100)·w) div outw` — in a FIXED textual order, so a
+    * SQL oracle replays every iteration bit-for-bit. Dangling-node mass
+    * is dropped (the standard no-redistribution variant; documented,
+    * replayed identically). Requires `p·w < 2⁶³/85` — satisfied for any
+    * real host graph (p ≤ 2⁴⁰, edge multiplicity up to ~10⁸).
+    *
+    * Scale shape per iteration: one (src-keyed) join of ranks to the
+    * edge list + one dst-keyed contribution aggregation — the classic
+    * two-shuffle PageRank round, both keyed so they partition across
+    * executors; the node table reuses its partitioning across rounds.
+    * The only driver value is the node COUNT (one scalar). */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val outw = e.groupBy("src").agg(sum("w").as("outw"))
+    val n = nodes.count()
+    val scale = 1L << 40
+    val init = scale / n
+    val base = (scale * 15 / 100) / n
+    var ranks = nodes.withColumn("p", lit(init))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(outw, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("(((p * 85) div 100) * w) div outw").as("c"))
+        .groupBy("node").agg(sum("c").as("cs"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("cs"), lit(0L))).as("p"))
+    }
+    ranks.select(col("node"), col("p"),
+      (col("p").cast("double") / lit(scale.toDouble)).as("rank"))
+  }
 }

@@ -868,7 +868,58 @@ object PipelineQueries {
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
     ("q135_fuzzy_title", q135FuzzyTitle _, q135Sql),
-    ("q140_decontam_report", q140DecontamReport _, q140Sql))
+    ("q140_decontam_report", q140DecontamReport _, q140Sql),
+    ("q143_pagerank", q143PageRank _, q143Sql))
+
+  /** Host-graph PageRank ([[graft.operators.Web.pageRank]], 3
+    * iterations) over the planted outlink graph: each doc's source
+    * "host" links to `d{doc_id%17}.example.com` and
+    * `mirror{doc_id%5}.org`. The integer fixed-point design is what
+    * makes a PageRank hash-gateable at all — the oracle unrolls all
+    * three iterations in the identical arithmetic order. */
+  def q143PageRank(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val edges = d.select(col("source").as("src"),
+        concat(lit("d"), (col("doc_id") % 17).cast("string"),
+          lit(".example.com")).as("dst"))
+      .union(d.select(col("source").as("src"),
+        concat(lit("mirror"), (col("doc_id") % 5).cast("string"),
+          lit(".org")).as("dst")))
+    graft.operators.Web.pageRank(edges, "src", "dst", iters = 3)
+      .presentSorted("node")
+  }
+
+  def q143Sql: String = {
+    val S = 1L << 40
+    def round(prev: String, cur: Int): String =
+      s"""c$cur AS (
+         |  SELECT e.dst AS node,
+         |    CAST(sum((((r.p * 85) // 100) * e.w) // o.outw) AS BIGINT) AS cs
+         |  FROM e JOIN ow o ON e.src = o.src JOIN $prev r ON r.node = e.src
+         |  GROUP BY e.dst),
+         |r$cur AS (
+         |  SELECT nodes.node, nn.base + coalesce(c$cur.cs, 0) AS p
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$cur ON c$cur.node = nodes.node)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT source AS src,
+       |    'd' || CAST(doc_id % 17 AS VARCHAR) || '.example.com' AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT source,
+       |    'mirror' || CAST(doc_id % 5 AS VARCHAR) || '.org'
+       |  FROM documents),
+       |e AS (SELECT src, dst, count(*) AS w FROM e0 GROUP BY src, dst),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
+       |nn AS (SELECT count(*) AS n, $S // count(*) AS init,
+       |         ($S * 15 // 100) // count(*) AS base FROM nodes),
+       |r0 AS (SELECT node, nn.init AS p FROM nodes CROSS JOIN nn),
+       |${round("r0", 1)},
+       |${round("r1", 2)},
+       |${round("r2", 3)}
+       |SELECT node, p, CAST(p AS DOUBLE) / ${S.toDouble} AS rank
+       |FROM r3 ORDER BY node""".stripMargin
+  }
 
   /** The decontamination AUDIT a lab runs before training: one row per
     * EVAL doc (the q38 probe slice, doc_id % 7 = 0) combining all three

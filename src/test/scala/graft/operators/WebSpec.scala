@@ -45,6 +45,38 @@ class WebSpec extends AnyFunSuite with SparkTestBase {
     assert(r.isNullAt(0))
   }
 
+  test("pageRank: hand-computed fixed-point ranks on a 3-node cycle + sink") {
+    import spark.implicits._
+    // a -> b, b -> a, b -> c (c dangling)
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c")).toDF("src", "dst")
+    val got = Web.pageRank(edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val S = 1L << 40
+    val init = S / 3
+    val base = (S * 15 / 100) / 3
+    def c(p: Long, w: Long, outw: Long) = (((p * 85) / 100) * w) / outw
+    // iter 1
+    val a1 = base + c(init, 1, 2) // from b (w=1, outw=2)
+    val b1 = base + c(init, 1, 1) // from a
+    val c1 = base + c(init, 1, 2) // from b
+    // iter 2
+    val a2 = base + c(b1, 1, 2)
+    val b2 = base + c(a1, 1, 1)
+    val c2 = base + c(b1, 1, 2)
+    assert(got == Map("a" -> a2, "b" -> b2, "c" -> c2))
+  }
+
+  test("pageRank: rank mass is bounded and more-linked hosts rank higher") {
+    import spark.implicits._
+    // hub h is linked by everyone; x/y/z link only to h and once to x
+    val edges = Seq(("x", "h"), ("y", "h"), ("z", "h"), ("y", "x"))
+      .toDF("src", "dst")
+    val r = Web.pageRank(edges, "src", "dst", iters = 3)
+      .collect().map(row => row.getString(0) -> row.getDouble(2)).toMap
+    assert(r("h") > r("x") && r("x") > r("z"))
+    assert(r.values.sum <= 1.0 + 1e-9) // integer truncation only loses mass
+  }
+
   test("canonicalDedup: survivors and counts; one key shuffle, no text movement") {
     import spark.implicits._
     val df = Seq(
