@@ -589,6 +589,72 @@ object Multimodal {
     }(enc)
   }
 
+  /** ViT-style patch features through the REAL image codec: decode the
+    * PNG, split into a `grid`×`grid` cell grid (integer-floor
+    * boundaries `[p·w div g, (p+1)·w div g)` — edge cells absorb the
+    * remainder), and emit each patch's exact integer pixel sum, count,
+    * and the one-division mean — the patch-embedding preprocessing
+    * stage of a vision-model pipeline, as a feature table ANN/dedup can
+    * consume. One row per (image, cell); undecodable payloads emit no
+    * rows.
+    *
+    * Scale shape: batched map over the payload partition; only
+    * (id, 2 bytes of cell index, 3 numbers) leave the stage. */
+  def patchFeatures(
+      media: DataFrame,
+      grid: Int = 4,
+      batchSize: Int = 32): DataFrame = {
+    require(grid > 0, "grid not correct")
+    require(batchSize > 0, "batch size not correct")
+    val inSchema = media.schema
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val idIdx = inSchema.fieldIndex("media_id")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("py", IntegerType, nullable = false),
+      StructField("px", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("px_sum", LongType, nullable = false),
+      StructField("px_mean", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val id = row.getLong(idIdx)
+          val img = try {
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                row.getAs[Array[Byte]](payloadIdx))))
+          } catch { case scala.util.control.NonFatal(_) => None }
+          img match {
+            case Some(im) =>
+              val w = im.getWidth
+              val h = im.getHeight
+              val raster = im.getRaster
+              for {
+                py <- (0 until grid).iterator
+                px <- (0 until grid).iterator
+                y0 = py * h / grid; y1 = (py + 1) * h / grid
+                x0 = px * w / grid; x1 = (px + 1) * w / grid
+                if y1 > y0 && x1 > x0
+              } yield {
+                var sum = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) { sum += raster.getSample(x, y, 0); x += 1 }
+                  y += 1
+                }
+                val n = (y1 - y0).toLong * (x1 - x0)
+                Row(id, py, px, n, sum, sum.toDouble / n)
+              }
+            case None => Iterator.empty
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Real WAV decode returning the raw signed samples (the feature-
     * extraction entry point, vs [[decodeWav]]'s summary stats). */
   private[operators] def decodeWavSamples(

@@ -110,6 +110,42 @@ object Web {
       .agg(count(lit(1)).as("n_mentions"),
         countDistinct(col(idCol)).as("n_docs"))
 
+  /** Robots-style URL policy: rules are (host, pathPrefix, allow)
+    * triples; a URL matches a rule when its normalized host equals the
+    * rule's host and its path starts with the rule's prefix; the MOST
+    * SPECIFIC rule wins (longest prefix, deny beating allow on ties —
+    * the robots.txt convention), and unmatched URLs default to allow.
+    *
+    * The rule list is policy config (small by definition), so it
+    * compiles into a CASE chain ordered by specificity at plan time —
+    * pure codegen map, no broadcast variable, no join, no UDF; the
+    * oracle replays the identical CASE order. */
+  def applyUrlPolicy(
+      urls: DataFrame,
+      urlCol: String,
+      rules: Seq[(String, String, Boolean)]): DataFrame = {
+    require(rules.nonEmpty, "empty policy")
+    val path = regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val ordered = orderedRules(rules)
+    val out = urls
+      .withColumn("host", domainOf(col(urlCol)))
+      .withColumn("path", path)
+    val decision = ordered.foldRight(lit(true): Column) {
+      case ((h, p, a), rest) =>
+        when(col("host") === h && startswith(col("path"), lit(p)),
+          lit(a)).otherwise(rest)
+    }
+    out.withColumn("allowed", decision)
+  }
+
+  /** Specificity order shared with the SQL replay: longest prefix
+    * first, deny before allow on equal length, then (host, prefix) for
+    * a total order. */
+  def orderedRules(
+      rules: Seq[(String, String, Boolean)]): Seq[(String, String, Boolean)] =
+    rules.sortBy { case (h, p, a) => (-p.length, a, h, p) }
+
   /** Host-graph PageRank in INTEGER fixed-point — the crawl-
     * prioritization signal (which hosts deserve recrawl budget). Float
     * PageRank is not hash-gateable across engines (per-node sums add in

@@ -449,7 +449,41 @@ object EventMediaQueries {
     ("q132_stream_transitions", q132StreamTransitions _, q124Sql),
     ("q137_decayed_engagement", q137DecayedEngagement _, q137Sql),
     ("q141_audio_features", q141AudioFeatures _, q141Sql),
-    ("q142_scene_changes", q142SceneChanges _, q142Sql))
+    ("q142_scene_changes", q142SceneChanges _, q142Sql),
+    ("q144_patch_features", q144PatchFeatures _, q144Sql))
+
+  /** ViT-style 4×4 patch features through the REAL PNG codec
+    * ([[Multimodal.patchFeatures]]): per-cell exact pixel sums + means.
+    * The oracle regenerates every pixel arithmetically and replays the
+    * integer-floor cell boundaries, so a raster/boundary slip fails the
+    * hash. */
+  def q144PatchFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.patchFeatures(
+        Multimodal.imageTable(s.read.parquet(s"$dir/documents.parquet")),
+        grid = 4, batchSize = 32)
+      .presentSorted("media_id", "py", "px")
+
+  def q144Sql: String =
+    """WITH geom AS (
+      |  SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+      |  FROM documents),
+      |p1 AS (SELECT doc_id, w, h, unnest(range(4)) AS py FROM geom),
+      |p2 AS (SELECT doc_id, w, h, py, unnest(range(4)) AS px FROM p1),
+      |xs AS (SELECT doc_id, w, h, py, px,
+      |         unnest(range((px * w) // 4, ((px + 1) * w) // 4)) AS x
+      |       FROM p2),
+      |ys AS (SELECT doc_id, py, px, x,
+      |         unnest(range((py * h) // 4, ((py + 1) * h) // 4)) AS y
+      |       FROM xs),
+      |v AS (SELECT doc_id, py, px,
+      |        (doc_id * 31 + x * 7 + y * 13) % 256 AS v
+      |      FROM ys)
+      |SELECT doc_id AS media_id, CAST(py AS INTEGER) AS py,
+      |  CAST(px AS INTEGER) AS px,
+      |  count(*) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+      |  CAST(sum(v) AS DOUBLE) / count(*) AS px_mean
+      |FROM v GROUP BY doc_id, py, px
+      |ORDER BY media_id, py, px""".stripMargin
 
   /** Windowed audio features through the REAL WAV codec
     * ([[Multimodal.audioFrameFeatures]]): per 64-sample window, exact

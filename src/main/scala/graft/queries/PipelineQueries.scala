@@ -869,7 +869,66 @@ object PipelineQueries {
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
     ("q135_fuzzy_title", q135FuzzyTitle _, q135Sql),
     ("q140_decontam_report", q140DecontamReport _, q140Sql),
-    ("q143_pagerank", q143PageRank _, q143Sql))
+    ("q143_pagerank", q143PageRank _, q143Sql),
+    ("q145_url_policy", q145UrlPolicy _, q145Sql))
+
+  /** q145's crawl policy: a whole-host deny, a path-scoped deny under a
+    * host-wide allow (longest-prefix precedence), and a deny/allow tie
+    * at equal length resolved deny-first. */
+  private def q145Rules: Seq[(String, String, Boolean)] = Seq(
+    ("d3.example.com", "/", false),
+    ("mirror1.org", "/a/", false),
+    ("mirror1.org", "/", true),
+    ("d5.example.com", "/p/", false),
+    ("d5.example.com", "/p/", true))
+
+  /** Robots-style URL policy filter ([[graft.operators.Web
+    * .applyUrlPolicy]]) over the planted per-doc URLs: most-specific
+    * rule wins, deny beats allow on ties, default allow. The oracle
+    * replays host normalization, path extraction, and the identical
+    * specificity-ordered CASE chain. */
+  def q145UrlPolicy(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id").cast("string")
+    val urls = docs(s, dir).select(col("doc_id"),
+        explode(array(
+          concat(lit("https://WWW.d"), (col("doc_id") % 17).cast("string"),
+            lit(".example.com:443/p/"), k, lit("?utm_source=x")),
+          concat(lit("http://mirror"), (col("doc_id") % 5).cast("string"),
+            lit(".org/a/"), k))).as("url"))
+    graft.operators.Web.applyUrlPolicy(urls, "url", q145Rules)
+      .presentSorted("doc_id", "url")
+  }
+
+  def q145Sql: String = {
+    val host = "regexp_replace(regexp_replace(lower(regexp_extract(url, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', ''), " +
+      "':[0-9]+$', '')"
+    val cases = graft.operators.Web.orderedRules(q145Rules).map {
+      case (h, p, a) =>
+        s"WHEN host = '$h' AND starts_with(path, '$p') THEN $a"
+    }.mkString("\n  ")
+    s"""WITH u0 AS (
+       |  SELECT doc_id,
+       |    'https://WWW.d' || CAST(doc_id % 17 AS VARCHAR) ||
+       |      '.example.com:443/p/' || CAST(doc_id AS VARCHAR) ||
+       |      '?utm_source=x' AS url
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    'http://mirror' || CAST(doc_id % 5 AS VARCHAR) || '.org/a/' ||
+       |      CAST(doc_id AS VARCHAR)
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id, url, $host AS host,
+       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+       |      AS path
+       |  FROM u0)
+       |SELECT doc_id, url, host, path,
+       |  CASE
+       |  $cases
+       |  ELSE true END AS allowed
+       |FROM u ORDER BY doc_id, url""".stripMargin
+  }
 
   /** Host-graph PageRank ([[graft.operators.Web.pageRank]], 3
     * iterations) over the planted outlink graph: each doc's source

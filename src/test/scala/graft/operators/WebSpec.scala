@@ -77,6 +77,26 @@ class WebSpec extends AnyFunSuite with SparkTestBase {
     assert(r.values.sum <= 1.0 + 1e-9) // integer truncation only loses mass
   }
 
+  test("applyUrlPolicy: longest prefix wins, deny beats allow on ties, default allow") {
+    import spark.implicits._
+    val rules = Seq(
+      ("a.com", "/", true),
+      ("a.com", "/private/", false),
+      ("b.com", "/x/", false),
+      ("b.com", "/x/", true)) // tie: deny must win
+    val urls = Seq(
+      (1L, "https://a.com/public/page"),
+      (2L, "https://a.com/private/secret"),
+      (3L, "https://WWW.a.com:443/private/y"), // normalization feeds policy
+      (4L, "https://b.com/x/1"),
+      (5L, "https://c.com/anything")) // no rule -> default allow
+      .toDF("id", "url")
+    val got = Web.applyUrlPolicy(urls, "url", rules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> true))
+  }
+
   test("canonicalDedup: survivors and counts; one key shuffle, no text movement") {
     import spark.implicits._
     val df = Seq(
