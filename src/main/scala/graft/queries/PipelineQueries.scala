@@ -870,7 +870,34 @@ object PipelineQueries {
     ("q135_fuzzy_title", q135FuzzyTitle _, q135Sql),
     ("q140_decontam_report", q140DecontamReport _, q140Sql),
     ("q143_pagerank", q143PageRank _, q143Sql),
-    ("q145_url_policy", q145UrlPolicy _, q145Sql))
+    ("q145_url_policy", q145UrlPolicy _, q145Sql),
+    ("q146_crawl_budget", q146CrawlBudget _, q146Sql))
+
+  /** Crawl-budget apportionment ([[graft.operators.Web.crawlBudget]]):
+    * 10,000 pages split across the q143 host ranks by integer
+    * largest-remainder — `Σ alloc = budget` exactly; the oracle replays
+    * PageRank AND the apportionment (base, remainder rank, +1 fill). */
+  def q146CrawlBudget(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Web.crawlBudget(
+        graft.operators.Web.pageRank(hostEdges(s, dir), "src", "dst", iters = 3),
+        budget = 10000L)
+      .presentSorted("node")
+
+  def q146Sql: String =
+    s"""WITH $pageRankCtes,
+       |tot AS (SELECT CAST(sum(p) AS BIGINT) AS t FROM r3),
+       |based AS (
+       |  SELECT node, p, (p * 10000) // t AS base, (p * 10000) % t AS rem
+       |  FROM r3 CROSS JOIN tot),
+       |sb AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM based),
+       |rr AS (
+       |  SELECT node, p, base,
+       |    row_number() OVER (ORDER BY rem DESC, node) AS rn
+       |  FROM based)
+       |SELECT node, p,
+       |  base + CASE WHEN rn <= 10000 - sb.sb THEN 1 ELSE 0 END AS alloc
+       |FROM rr CROSS JOIN sb
+       |ORDER BY node""".stripMargin
 
   /** q145's crawl policy: a whole-host deny, a path-scoped deny under a
     * host-wide allow (longest-prefix precedence), and a deny/allow tie
@@ -936,19 +963,23 @@ object PipelineQueries {
     * `mirror{doc_id%5}.org`. The integer fixed-point design is what
     * makes a PageRank hash-gateable at all — the oracle unrolls all
     * three iterations in the identical arithmetic order. */
-  def q143PageRank(s: SparkSession, dir: String): DataFrame = {
+  private def hostEdges(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val edges = d.select(col("source").as("src"),
+    d.select(col("source").as("src"),
         concat(lit("d"), (col("doc_id") % 17).cast("string"),
           lit(".example.com")).as("dst"))
       .union(d.select(col("source").as("src"),
         concat(lit("mirror"), (col("doc_id") % 5).cast("string"),
           lit(".org")).as("dst")))
-    graft.operators.Web.pageRank(edges, "src", "dst", iters = 3)
-      .presentSorted("node")
   }
 
-  def q143Sql: String = {
+  def q143PageRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Web.pageRank(hostEdges(s, dir), "src", "dst", iters = 3)
+      .presentSorted("node")
+
+  /** The WITH-body computing the 3-iteration fixed-point PageRank into
+    * CTE `r3(node, p)` — shared by q143's and q146's oracles. */
+  private def pageRankCtes: String = {
     val S = 1L << 40
     def round(prev: String, cur: Int): String =
       s"""c$cur AS (
@@ -959,7 +990,7 @@ object PipelineQueries {
          |r$cur AS (
          |  SELECT nodes.node, nn.base + coalesce(c$cur.cs, 0) AS p
          |  FROM nodes CROSS JOIN nn LEFT JOIN c$cur ON c$cur.node = nodes.node)""".stripMargin
-    s"""WITH e0 AS (
+    s"""e0 AS (
        |  SELECT source AS src,
        |    'd' || CAST(doc_id % 17 AS VARCHAR) || '.example.com' AS dst
        |  FROM documents
@@ -975,7 +1006,12 @@ object PipelineQueries {
        |r0 AS (SELECT node, nn.init AS p FROM nodes CROSS JOIN nn),
        |${round("r0", 1)},
        |${round("r1", 2)},
-       |${round("r2", 3)}
+       |${round("r2", 3)}""".stripMargin
+  }
+
+  def q143Sql: String = {
+    val S = 1L << 40
+    s"""WITH $pageRankCtes
        |SELECT node, p, CAST(p AS DOUBLE) / ${S.toDouble} AS rank
        |FROM r3 ORDER BY node""".stripMargin
   }

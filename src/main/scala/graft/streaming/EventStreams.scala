@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -227,6 +227,40 @@ object EventStreams {
       .withColumn("out_cnt", sum(col("cnt")).over(out))
       .select(col("prev_type"), col("event_type"), col("cnt"),
         (col("cnt").cast("double") / col("out_cnt")).as("p"))
+  }
+
+  /** Ordered k-step funnel: for each user, the earliest time each step
+    * completes AT OR AFTER the previous step's completion (`t_i =
+    * min us of step i with us >= t_{i-1}`) plus the reached stage —
+    * the conversion-analytics staple, and the semantics a naive
+    * "min per type" gets wrong (a purchase BEFORE the first view must
+    * not count as funnel completion).
+    *
+    * All comparisons are exact integer microseconds; the oracle replays
+    * the identical staged min-joins. Scale shape: one user-keyed
+    * aggregation per step plus a user-keyed join — all k−1 joins reuse
+    * the same key, so Catalyst plans one partitioning; funnel depth is
+    * small by definition. Stalled users carry nulls and stage counts
+    * the non-null prefix. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_type"))
+    val users = e.select("user_id").distinct()
+    var acc = e.where(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("us").as("t0"))
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      val stepMin = e.where(col("event_type") === st)
+        .join(acc.select(col("user_id"), col(s"t$i")), "user_id")
+        .where(col("us") >= col(s"t$i"))
+        .groupBy("user_id").agg(min("us").as(s"t${i + 1}"))
+      acc = acc.join(stepMin, Seq("user_id"), "left")
+    }
+    val stage = steps.indices.reverse.foldRight(lit(0): Column) {
+      case (i, rest) => when(col(s"t$i").isNotNull, lit(i + 1)).otherwise(rest)
+    }
+    users.join(acc, Seq("user_id"), "left")
+      .withColumn("stage", stage)
   }
 
   /** Per-user exponentially time-decayed engagement (half-life

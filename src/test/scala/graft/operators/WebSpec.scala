@@ -77,6 +77,19 @@ class WebSpec extends AnyFunSuite with SparkTestBase {
     assert(r.values.sum <= 1.0 + 1e-9) // integer truncation only loses mass
   }
 
+  test("crawlBudget: allocations sum EXACTLY to the budget, ordered by rank") {
+    import spark.implicits._
+    val edges = Seq(("x", "h"), ("y", "h"), ("z", "h"), ("y", "x"))
+      .toDF("src", "dst")
+    val ranks = Web.pageRank(edges, "src", "dst", iters = 3)
+    for (budget <- Seq(7L, 100L, 9999L)) {
+      val a = Web.crawlBudget(ranks, budget).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(a.values.sum == budget, s"budget $budget")
+      assert(a("h") >= a.values.max - 1) // top-ranked host gets the most
+    }
+  }
+
   test("applyUrlPolicy: longest prefix wins, deny beats allow on ties, default allow") {
     import spark.implicits._
     val rules = Seq(

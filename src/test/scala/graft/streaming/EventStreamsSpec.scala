@@ -192,4 +192,29 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     val a = rows.filter(_.getString(0) == "A")
     assert(a.map(_.getLong(2)).sum == 3L)
   }
+
+  test("funnel: steps must complete IN ORDER; stalled users carry nulls") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1 completes in order: view@0, click@2, purchase@5
+      (1L, ts(0), 1L, "view"), (1L, ts(2), 2L, "click"),
+      (1L, ts(5), 3L, "purchase"),
+      // user 2: purchase BEFORE first view — must NOT reach stage 3
+      (2L, ts(0), 4L, "purchase"), (2L, ts(1), 5L, "view"),
+      (2L, ts(2), 6L, "click"),
+      // user 3: view only
+      (3L, ts(0), 7L, "view"),
+      // user 4: click with no view — stage 0
+      (4L, ts(0), 8L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventStreams.funnel(df, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0))
+    // equal timestamps count (>= semantics): view and click at the same µs
+    val eq = Seq((9L, ts(0), 1L, "view"), (9L, ts(0), 2L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val g2 = EventStreams.funnel(eq, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(g2 == Map(9L -> 2))
+  }
 }
