@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operators a curation lake needs between crawls:
+  * merge-style upserts and slowly-changing-dimension history. Both are
+  * pure window/aggregation shapes — no storage-format dependency, so
+  * they run the same over parquet, ORC, or an external table feed.
+  */
+object Lakehouse {
+
+  /** Latest-wins upsert (the read-side of MERGE INTO): given a union of
+    * base rows and update batches, keep exactly one row per key — the
+    * highest `versionCol`, ties broken by `tieCol` (so the result is
+    * deterministic even when two feeds collide on a version).
+    *
+    * Scale shape: ONE key shuffle + per-key sort — the same unit as
+    * exact dedup; no join (the union is computed by the caller, which
+    * is what lets the base table arrive partitioned and the delta
+    * arrive small). */
+  def upsertLatest(
+      merged: DataFrame,
+      keyCol: String,
+      versionCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(versionCol).desc, col(tieCol).desc)
+    merged.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** SCD-2 validity intervals from a change stream: each (key, change)
+    * row becomes a dimension-history row valid from its own timestamp
+    * until the NEXT change for the same key (`valid_to` null = current
+    * row). Exact integer-µs interval edges; `is_current` flags the open
+    * interval. One key shuffle + per-key sort. */
+  def scd2Intervals(
+      changes: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("valid_from", unix_micros(col(tsCol)))
+      .withColumn("valid_to", lead(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(tsCol)
+  }
+}

@@ -738,7 +738,42 @@ object CorpusQueries {
     ("q130_hll_union", q130HllUnion _, q130Sql),
     ("q133_length_histogram", q133LengthHistogram _, q133Sql),
     ("q134_norm_quantiles", q134NormQuantiles _, q134Sql),
-    ("q138_pct_normalize", q138PctNormalize _, q138Sql))
+    ("q138_pct_normalize", q138PctNormalize _, q138Sql),
+    ("q148_upsert", q148Upsert _, q148Sql))
+
+  /** Latest-wins upsert ([[graft.operators.Lakehouse.upsertLatest]]):
+    * an update batch (every 10th doc rewritten at version 2) merged
+    * over the version-1 base — one key shuffle, no join. The oracle
+    * replays the union + window; digests gate that the RIGHT text
+    * version survived. */
+  def q148Upsert(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), lit(1).as("version"), col("text"))
+    val upd = docs(s, dir).where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit(2).as("version"),
+        concat(lit("UPDATED: "), reverse(col("text"))).as("text"))
+    graft.operators.Lakehouse
+      .upsertLatest(base.unionAll(upd), "doc_id", "version", "version")
+      .select(col("doc_id"), col("version"),
+        md5(col("text").cast("binary")).as("digest"),
+        length(col("text")).cast("long").as("n_chars_new"))
+      .presentSorted("doc_id")
+  }
+
+  def q148Sql: String =
+    """WITH base AS (SELECT doc_id, 1 AS version, text FROM documents),
+      |upd AS (
+      |  SELECT doc_id, 2 AS version, 'UPDATED: ' || reverse(text) AS text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |m AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+      |r AS (
+      |  SELECT doc_id, version, text,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY version DESC, version DESC) AS rn
+      |  FROM m)
+      |SELECT doc_id, version, md5(text) AS digest,
+      |  length(text) AS n_chars_new
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   /** Per-source percentile-rank normalization
     * ([[Corpus.percentileNormalize]]) of doc length — the calibration

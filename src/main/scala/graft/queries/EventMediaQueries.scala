@@ -451,7 +451,32 @@ object EventMediaQueries {
     ("q141_audio_features", q141AudioFeatures _, q141Sql),
     ("q142_scene_changes", q142SceneChanges _, q142Sql),
     ("q144_patch_features", q144PatchFeatures _, q144Sql),
-    ("q147_funnel", q147Funnel _, q147Sql))
+    ("q147_funnel", q147Funnel _, q147Sql),
+    ("q149_scd2", q149Scd2 _, q149Sql))
+
+  /** SCD-2 dimension history ([[graft.operators.Lakehouse
+    * .scd2Intervals]]) from the event change stream: exact integer-µs
+    * validity intervals, open interval flagged current. The oracle
+    * replays the identical lead window. */
+  def q149Scd2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Lakehouse.scd2Intervals(
+        eventsTs(s, dir).select(col("user_id"), col("event_id"),
+          col("event_type"), col("ts")),
+        "user_id", "ts", "event_id")
+      .presentSorted("user_id", "valid_from", "event_id")
+
+  def q149Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events)
+      |SELECT user_id, event_id, event_type,
+      |  us AS valid_from,
+      |  lead(us) OVER w AS valid_to,
+      |  lead(us) OVER w IS NULL AS is_current
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
 
   /** Ordered view→click→purchase funnel ([[EventStreams.funnel]]): each
     * step's earliest completion AT OR AFTER the previous step — the
