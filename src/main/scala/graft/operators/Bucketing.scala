@@ -42,7 +42,7 @@ object Bucketing {
 
   /** Collision-free identifier tag from the full dir string (not a 32-bit
     * hashCode, which could silently alias two distinct corpora). */
-  private[operators] def dirTag(dir: String): String = {
+  private[graft] def dirTag(dir: String): String = {
     val sane = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
     // keep names readable but bounded: tail of the sanitized path (the
     // discriminating part) + full-string SHA-1 prefix for uniqueness

@@ -32,6 +32,68 @@ object Lakehouse {
       .drop("rn")
   }
 
+  /** Streaming MERGE (the foreachBatch upsert pattern every lakehouse
+    * documents for Structured Streaming): each micro-batch of updates
+    * merges latest-wins into the accumulated table. The accumulator is
+    * localCheckpoint-materialized per batch so the plan never grows
+    * with batch count; a deployment writes a table format instead —
+    * the MERGE semantics (and the oracle) are identical.
+    *
+    * Returns the final merged table after the stream drains
+    * (AvailableNow). Cross-batch behavior (a later batch overwriting an
+    * earlier batch's version) is spec-pinned. */
+  /** The per-batch MERGE state of [[upsertStream]], exposed so specs can
+    * drive batch boundaries deterministically. */
+  final class UpsertAccumulator(
+      base: DataFrame, keyCol: String, versionCol: String, tieCol: String) {
+    private var acc = base.localCheckpoint()
+    def merge(batch: DataFrame): Unit = synchronized {
+      acc = upsertLatest(acc.unionByName(batch), keyCol, versionCol, tieCol)
+        .localCheckpoint()
+    }
+    def result: DataFrame = synchronized(acc)
+  }
+
+  def upsertStream(
+      updates: DataFrame,
+      base: DataFrame,
+      keyCol: String,
+      versionCol: String,
+      tieCol: String): DataFrame = {
+    val state = new UpsertAccumulator(base, keyCol, versionCol, tieCol)
+    val q = updates.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => state.merge(b) }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state.result
+  }
+
+  /** Small-file compaction — the table-maintenance pass that keeps scan
+    * parallelism healthy (a crawl lands thousands of KB-sized files;
+    * scans want ~128 MB units): rewrite a parquet directory into
+    * `ceil(bytes / targetBytes)` files and return the compacted path's
+    * reader. Round-robin repartition (no sort, no skew: every output
+    * file gets an even row share); content is provably identical — the
+    * q151 oracle reads the compacted output and must hash-match the
+    * original table. */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String,
+      outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
   /** SCD-2 validity intervals from a change stream: each (key, change)
     * row becomes a dimension-history row valid from its own timestamp
     * until the NEXT change for the same key (`valid_to` null = current

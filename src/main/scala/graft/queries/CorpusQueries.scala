@@ -739,7 +739,24 @@ object CorpusQueries {
     ("q133_length_histogram", q133LengthHistogram _, q133Sql),
     ("q134_norm_quantiles", q134NormQuantiles _, q134Sql),
     ("q138_pct_normalize", q138PctNormalize _, q138Sql),
-    ("q148_upsert", q148Upsert _, q148Sql))
+    ("q148_upsert", q148Upsert _, q148Sql),
+    ("q151_compact", q151Compact _, q151Sql))
+
+  /** Small-file compaction ([[graft.operators.Lakehouse.compact]]):
+    * documents rewritten into ~256 KB parquet files, read back — the
+    * oracle reads the ORIGINAL table, so the gate proves compaction is
+    * content-invisible. File-count/size behavior is spec-pinned. */
+  def q151Compact(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+      graft.operators.Bucketing.dirTag(dir)
+    graft.operators.Lakehouse.compact(
+        s, s"$dir/documents.parquet", out, targetBytes = 256L * 1024)
+      .select(col("doc_id"), col("n_chars"))
+      .presentSorted("doc_id")
+  }
+
+  def q151Sql: String =
+    "SELECT doc_id, n_chars FROM documents ORDER BY doc_id"
 
   /** Latest-wins upsert ([[graft.operators.Lakehouse.upsertLatest]]):
     * an update batch (every 10th doc rewritten at version 2) merged

@@ -452,7 +452,30 @@ object EventMediaQueries {
     ("q142_scene_changes", q142SceneChanges _, q142Sql),
     ("q144_patch_features", q144PatchFeatures _, q144Sql),
     ("q147_funnel", q147Funnel _, q147Sql),
-    ("q149_scd2", q149Scd2 _, q149Sql))
+    ("q149_scd2", q149Scd2 _, q149Sql),
+    ("q150_stream_upsert", q150StreamUpsert _, CorpusQueries.q148Sql))
+
+  /** q148's MERGE as a REAL stream ([[graft.operators.Lakehouse
+    * .upsertStream]]): the version-2 update feed arrives via
+    * `readStream`, each micro-batch merges latest-wins in foreachBatch.
+    * Stream ≡ batch is the gate (q148's oracle); cross-batch overwrite
+    * order is spec-pinned. */
+  def q150StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val base = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), lit(1).as("version"), col("text"))
+    val updates = s.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/documents.parquet*")
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit(2).as("version"),
+        concat(lit("UPDATED: "), reverse(col("text"))).as("text"))
+    graft.operators.Lakehouse
+      .upsertStream(updates, base, "doc_id", "version", "version")
+      .select(col("doc_id"), col("version"),
+        md5(col("text").cast("binary")).as("digest"),
+        length(col("text")).cast("long").as("n_chars_new"))
+      .presentSorted("doc_id")
+  }
 
   /** SCD-2 dimension history ([[graft.operators.Lakehouse
     * .scd2Intervals]]) from the event change stream: exact integer-µs

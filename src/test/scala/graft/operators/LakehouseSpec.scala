@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class LakehouseSpec extends AnyFunSuite with SparkTestBase {
+
+  test("upsertLatest: highest version wins, tie broken deterministically") {
+    import spark.implicits._
+    val m = Seq(
+      (1L, 1, "a", "old"), (1L, 2, "b", "new"),
+      (2L, 1, "c", "only"),
+      (3L, 2, "x", "tie-lo"), (3L, 2, "z", "tie-hi"))
+      .toDF("k", "version", "tie", "payload")
+    val got = Lakehouse.upsertLatest(m, "k", "version", "tie")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(1L -> "new", 2L -> "only", 3L -> "tie-hi"))
+  }
+
+  test("UpsertAccumulator: later batches overwrite earlier batches") {
+    import spark.implicits._
+    val base = Seq((1L, 1, "b1"), (2L, 1, "b2")).toDF("k", "version", "v")
+    val acc = new Lakehouse.UpsertAccumulator(base, "k", "version", "version")
+    acc.merge(Seq((1L, 2, "u1v2")).toDF("k", "version", "v"))
+    acc.merge(Seq((1L, 3, "u1v3"), (2L, 2, "u2v2")).toDF("k", "version", "v"))
+    // stale update arriving late must NOT regress the row
+    acc.merge(Seq((2L, 1, "stale")).toDF("k", "version", "v"))
+    val got = acc.result.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "u1v3", 2L -> "u2v2"))
+  }
+
+  test("upsertStream: stream merge == batch upsertLatest on the same feed") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, String)]
+    val base = Seq((1L, 1, "b1"), (2L, 1, "b2"), (3L, 1, "b3"))
+      .toDF("k", "version", "v")
+    input.addData((1L, 2, "u1"), (3L, 2, "u3"), (1L, 3, "u1b"))
+    val streamed = Lakehouse.upsertStream(
+      input.toDF().toDF("k", "version", "v"), base, "k", "version", "version")
+    val batch = Lakehouse.upsertLatest(
+      base.unionByName(Seq((1L, 2, "u1"), (3L, 2, "u3"), (1L, 3, "u1b"))
+        .toDF("k", "version", "v")), "k", "version", "version")
+    val a = streamed.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val b = batch.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(a == b)
+    assert(a.map(_._1) == Set(1L, 2L, 3L))
+  }
+
+  test("scd2Intervals: contiguous per-key history, one open interval") {
+    import spark.implicits._
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val ch = Seq(
+      (1L, ts(0), 1L, "bronze"), (1L, ts(10), 2L, "silver"),
+      (1L, ts(20), 3L, "gold"), (2L, ts(5), 4L, "bronze"))
+      .toDF("user_id", "ts", "event_id", "tier")
+    val got = Lakehouse.scd2Intervals(ch, "user_id", "ts", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+      .sortBy(t => (t._1, t._3))
+    val us = (m: Long) => (1700000000000L + m * 60000L) * 1000L
+    assert(got.toSeq == Seq(
+      (1L, "bronze", us(0), us(10), false),
+      (1L, "silver", us(10), us(20), false),
+      (1L, "gold", us(20), -1L, true),
+      (2L, "bronze", us(5), -1L, true)))
+  }
+
+  test("compact: target-sized output files, content identical") {
+    val in = s"$sfDir/documents.parquet"
+    val out = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    val back = Lakehouse.compact(spark, in, out, targetBytes = 16L * 1024)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val inBytes = new java.io.File(in).length()
+    val expect = math.max(1L, (inBytes + 16 * 1024 - 1) / (16 * 1024))
+    assert(files.length == expect, s"got ${files.length}, want $expect")
+    val a = back.orderBy("doc_id").collect().map(_.toSeq)
+    val b = spark.read.parquet(in).orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+}
