@@ -94,6 +94,45 @@ object Lakehouse {
     spark.read.parquet(outPath)
   }
 
+  /** Morton (Z-order) value of two non-negative integer keys, `bits`
+    * bits each: bit `i` of `a` lands at position `2i`, bit `i` of `b`
+    * at `2i+1` — the standard multi-dimensional clustering key. Spelled
+    * as an unrolled shift/mask sum (pure codegen integer ops) whose
+    * formula a SQL oracle replays term by term. Callers mask inputs to
+    * `bits` (the expression reads only the low `bits` bits). */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, "bits out of range")
+    (0 until bits).map { i =>
+      expr(s"shiftleft(1L, ${2 * i})") * shiftright(a, i).bitwiseAND(lit(1L)) +
+        expr(s"shiftleft(1L, ${2 * i + 1})") *
+          shiftright(b, i).bitwiseAND(lit(1L))
+    }.reduce(_ + _)
+  }
+
+  /** Z-order layout rewrite: cluster a table on the Morton value of two
+    * columns so BOTH dimensions prune at scan time (a single-column
+    * sort gives perfect pruning on one key and none on the other;
+    * Z-order gives good pruning on each — the standard lakehouse
+    * OPTIMIZE ZORDER BY). `repartitionByRange(z) + sortWithinPartitions
+    * (z)` makes every output file own a contiguous, disjoint z range,
+    * so its min/max footer covers a small rectangle of (a, b) space.
+    * Content is provably identical — q152's oracle computes the
+    * z-values directly off the original table. */
+  def zorderWrite(
+      df: DataFrame,
+      zCol: org.apache.spark.sql.Column,
+      outPath: String,
+      nFiles: Int): DataFrame = {
+    require(nFiles >= 1, "nFiles must be positive")
+    val spark = df.sparkSession
+    df.withColumn("z", zCol)
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
   /** SCD-2 validity intervals from a change stream: each (key, change)
     * row becomes a dimension-history row valid from its own timestamp
     * until the NEXT change for the same key (`valid_to` null = current

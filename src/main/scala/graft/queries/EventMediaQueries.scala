@@ -453,7 +453,42 @@ object EventMediaQueries {
     ("q144_patch_features", q144PatchFeatures _, q144Sql),
     ("q147_funnel", q147Funnel _, q147Sql),
     ("q149_scd2", q149Scd2 _, q149Sql),
-    ("q150_stream_upsert", q150StreamUpsert _, CorpusQueries.q148Sql))
+    ("q150_stream_upsert", q150StreamUpsert _, CorpusQueries.q148Sql),
+    ("q152_zorder", q152Zorder _, q152Sql))
+
+  /** Z-order layout rewrite ([[graft.operators.Lakehouse.zorderWrite]])
+    * of events clustered on (user_id, event hour): the table round-trips
+    * through the Morton-sorted parquet layout and the oracle computes
+    * every z-value directly off the ORIGINAL table — the rewrite is
+    * provably content-invisible; the two-dimensional pruning behavior
+    * is spec-pinned. */
+  def q152Zorder(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+      graft.operators.Bucketing.dirTag(dir)
+    val e = eventsTs(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("us"))
+    val a = col("user_id").bitwiseAND(lit(65535L))
+    val b = expr("us div 3600000000").bitwiseAND(lit(65535L))
+    graft.operators.Lakehouse.zorderWrite(
+        e, graft.operators.Lakehouse.zValue(a, b), out, nFiles = 8)
+      .select(col("event_id"), col("z"))
+      .presentSorted("event_id")
+  }
+
+  def q152Sql: String = {
+    val terms = (0 until 16).map { i =>
+      s"((1::BIGINT << ${2 * i}) * ((a >> $i) & 1)" +
+        s" + (1::BIGINT << ${2 * i + 1}) * ((b >> $i) & 1))"
+    }.mkString("\n  + ")
+    s"""WITH e AS (
+       |  SELECT event_id,
+       |    user_id & 65535 AS a,
+       |    ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) & 65535) AS b
+       |  FROM events)
+       |SELECT event_id,
+       |  $terms AS z
+       |FROM e ORDER BY event_id""".stripMargin
+  }
 
   /** q148's MERGE as a REAL stream ([[graft.operators.Lakehouse
     * .upsertStream]]): the version-2 update feed arrives via

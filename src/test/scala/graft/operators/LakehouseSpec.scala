@@ -70,6 +70,48 @@ class LakehouseSpec extends AnyFunSuite with SparkTestBase {
       (2L, "bronze", us(5), -1L, true)))
   }
 
+  test("zValue: interleaves bits (known Morton values), monotone in quadrants") {
+    import spark.implicits._
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L),
+      (65535L, 65535L))
+      .toDF("a", "b")
+      .select(Lakehouse.zValue(col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    // morton(5=0b101, 3=0b011): a bits at even pos -> 0b10001 (0x11);
+    // b bits at odd pos -> 0b01010 (0x0A); z = 0x1B = 27
+    assert(got == Seq(0L, 1L, 2L, 3L, 27L, (1L << 32) - 1))
+  }
+
+  test("zorderWrite: disjoint z ranges per file; BOTH dimensions localize") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 4000).map { _ =>
+      (rnd.nextLong(65536), rnd.nextLong(65536))
+    }.toDF("a", "b")
+    val out = java.nio.file.Files.createTempDirectory("graft_z").toString
+    Lakehouse.zorderWrite(rows,
+      Lakehouse.zValue(col("a"), col("b")), out, nFiles = 16)
+    // per-FILE stats (read each parquet part alone = one layout unit)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    val stats = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("z"), max("z"), min("a"), max("a"), min("b"), max("b"))
+        .head
+      (r.getLong(0), r.getLong(1), r.getLong(3) - r.getLong(2),
+        r.getLong(5) - r.getLong(4))
+    }
+    val sorted = stats.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array(x, y) => assert(x._2 <= y._1, "z ranges must be disjoint")
+      case _ =>
+    }
+    // both dimensions prune: mean per-file spread well under the global
+    // 65535 spread (a plain a-sort would leave b's spread at ~65535)
+    assert(sorted.map(_._3).sum / sorted.length < 40000)
+    assert(sorted.map(_._4).sum / sorted.length < 40000)
+  }
+
   test("compact: target-sized output files, content identical") {
     val in = s"$sfDir/documents.parquet"
     val out = java.nio.file.Files.createTempDirectory("graft_cmp").toString
