@@ -454,7 +454,40 @@ object EventMediaQueries {
     ("q147_funnel", q147Funnel _, q147Sql),
     ("q149_scd2", q149Scd2 _, q149Sql),
     ("q150_stream_upsert", q150StreamUpsert _, CorpusQueries.q148Sql),
-    ("q152_zorder", q152Zorder _, q152Sql))
+    ("q152_zorder", q152Zorder _, q152Sql),
+    ("q153_stream_funnel", q153StreamFunnel _, q147Sql))
+
+  /** q147's funnel as a REAL stream ([[EventStreams.funnelStream]]):
+    * events arrive via `readStream`, per-user state advances the greedy
+    * ordered machine, the memory sink drains every per-batch state row
+    * and the monotone max-stage row per user is the final answer.
+    * Stream ≡ batch is the gate (q147's oracle). */
+  def q153StreamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val name = s"q153_stream_funnel_${streamSeq.incrementAndGet()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = EventStreams.funnelStream(eventsStreamTs(s, dir),
+          Seq("view", "click", "purchase"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val w = Window.partitionBy("user_id").orderBy(col("stage").desc)
+    s.table(name)
+      .dropDuplicates("user_id", "stage")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"),
+        element_at(col("ts"), 1).as("view_us"),
+        element_at(col("ts"), 2).as("click_us"),
+        element_at(col("ts"), 3).as("purchase_us"),
+        col("stage"))
+      .presentSorted("user_id")
+  }
 
   /** Z-order layout rewrite ([[graft.operators.Lakehouse.zorderWrite]])
     * of events clustered on (user_id, event hour): the table round-trips

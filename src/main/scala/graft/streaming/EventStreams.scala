@@ -263,6 +263,43 @@ object EventStreams {
       .withColumn("stage", stage)
   }
 
+  /** [[funnel]] as a live stream: per-user funnel state
+    * (`flatMapGroupsWithState`) holding the completion times reached so
+    * far; each micro-batch advances the greedy in-event-time-order
+    * state machine, which computes exactly the staged-min semantics on
+    * ordered data (scanning ascending, the first qualifying step event
+    * IS the min). Emits the user's current (stage, times) each batch —
+    * the stage is monotone, so the max-stage row per user is the final
+    * answer and q153 gates stream ≡ batch against q147's oracle.
+    * Same documented assumption as [[transitionStepsStream]]: batches
+    * arrive in event-time order (within a batch the operator sorts);
+    * state is one (stage, ≤k longs) record per user. */
+  def funnelStream(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val k = steps.size
+    val typed = events
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[Long], (Long, Int, Seq[Long])](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state) =>
+          var ts = state.getOption.getOrElse(Nil)
+          rows.toVector.sortBy(r => (r._2, r._3)).foreach { r =>
+            if (ts.length < k && r._4 == steps(ts.length) &&
+              (ts.isEmpty || r._2 >= ts.last)) ts = ts :+ r._2
+          }
+          state.update(ts)
+          Iterator.single((uid, ts.length, ts))
+      }
+      .toDF("user_id", "stage", "ts")
+  }
+
   /** Per-user exponentially time-decayed engagement (half-life
     * `halfLifeDays`): `Σ 2^(-age/halfLife)` over the user's events,
     * anchored at the corpus max timestamp — the recency-weighted

@@ -217,4 +217,29 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
     assert(g2 == Map(9L -> 2))
   }
+
+  test("funnelStream: state advances across micro-batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val sdf = input.toDF().toDF("user_id", "ts", "event_id", "event_type")
+    val q = EventStreams.funnelStream(sdf, Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), 1L, "view"), (2L, ts(0), 2L, "purchase"))
+      q.processAllAvailable()
+      input.addData((1L, ts(5), 3L, "click"), (2L, ts(6), 4L, "view"))
+      q.processAllAvailable()
+      input.addData((1L, ts(9), 5L, "purchase"))
+      q.processAllAvailable()
+      val fin = spark.table("funnel_stream_out")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("stage"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // user 1 completes across three batches; user 2's pre-view purchase
+      // never counts, its later view reaches stage 1
+      assert(fin == Map(1L -> 3, 2L -> 1))
+    } finally q.stop()
+  }
 }
