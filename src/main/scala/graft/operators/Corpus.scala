@@ -880,6 +880,38 @@ object Corpus {
         col("n_distinct_est"))
   }
 
+  /** Robust per-key outlier flags via median absolute deviation — the
+    * MAD audit a pipeline prefers over z-scores on heavy-tailed columns
+    * (doc length, engagement value), since median and MAD are immune to
+    * the outliers they hunt. Two [[quantilesDiscrete]] passes, both on
+    * INTEGER-exact comparisons: `med = p50(value)` (rank-selected
+    * actual value), `mad = p50(|value − med|)`, and the flag is the
+    * pure integer comparison `|value − med| > k·mad`. Zero float
+    * arithmetic anywhere, so the whole audit hash-gates.
+    *
+    * Scale shape: two key shuffles of (key, long) pairs (the second
+    * over derived deviations) + one broadcast of the per-key (med, mad)
+    * table into a map-only flag pass. */
+  def madOutliers(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      valCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val med = quantilesDiscrete(df, keyCol, valCol, Seq(50))
+      .select(col(keyCol), col("value").as("med"))
+    val dev = df.join(broadcast(med), keyCol)
+      .select(col(keyCol), abs(col(valCol) - col("med")).as("adev"))
+    val mad = quantilesDiscrete(dev, keyCol, "adev", Seq(50))
+      .select(col(keyCol), col("value").as("mad"))
+    df.select(col(idCol), col(keyCol), col(valCol))
+      .join(broadcast(med), keyCol)
+      .join(broadcast(mad), keyCol)
+      .withColumn("is_outlier",
+        abs(col(valCol) - col("med")) > lit(k.toLong) * col("mad"))
+  }
+
   /** Per-key percentile-rank score normalization — the calibration step
     * before mixing heterogeneous sources: a raw quality score is only
     * comparable WITHIN a source (different crawls have different length/

@@ -740,7 +740,39 @@ object CorpusQueries {
     ("q134_norm_quantiles", q134NormQuantiles _, q134Sql),
     ("q138_pct_normalize", q138PctNormalize _, q138Sql),
     ("q148_upsert", q148Upsert _, q148Sql),
-    ("q151_compact", q151Compact _, q151Sql))
+    ("q151_compact", q151Compact _, q151Sql),
+    ("q154_mad_outliers", q154MadOutliers _, q154Sql))
+
+  /** Robust MAD outlier audit ([[Corpus.madOutliers]]) on doc length
+    * per source: median + median-absolute-deviation by rank-selected
+    * discrete quantiles, integer-exact flag `|x − med| > 3·mad`. The
+    * oracle replays both quantile passes and the comparison. */
+  def q154MadOutliers(s: SparkSession, dir: String): DataFrame =
+    Corpus.madOutliers(docs(s, dir), "source", "doc_id", "n_chars", k = 3)
+      .presentSorted("doc_id")
+
+  def q154Sql: String =
+    """WITH r1 AS (
+      |  SELECT source, n_chars AS value,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents),
+      |med AS (SELECT source, value AS med FROM r1
+      |        WHERE rk = greatest(1, CAST(ceil(50 * n / 100.0) AS BIGINT))),
+      |dv AS (SELECT d.source, abs(d.n_chars - m.med) AS adev
+      |       FROM documents d JOIN med m ON d.source = m.source),
+      |r2 AS (
+      |  SELECT source, adev,
+      |    row_number() OVER (PARTITION BY source ORDER BY adev) AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM dv),
+      |mad AS (SELECT source, adev AS mad FROM r2
+      |        WHERE rk = greatest(1, CAST(ceil(50 * n / 100.0) AS BIGINT)))
+      |SELECT dd.doc_id, dd.source, dd.n_chars, m.med, a.mad,
+      |  abs(dd.n_chars - m.med) > 3 * a.mad AS is_outlier
+      |FROM documents dd JOIN med m ON dd.source = m.source
+      |  JOIN mad a ON dd.source = a.source
+      |ORDER BY dd.doc_id""".stripMargin
 
   /** Small-file compaction ([[graft.operators.Lakehouse.compact]]):
     * documents rewritten into ~256 KB parquet files, read back — the
