@@ -448,6 +448,37 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Gray value of every pixel of a decoded frame, via a 256-entry
+    * palette lookup table instead of per-pixel `getRGB` (which runs a
+    * color-model conversion PER CALL — measured ~4× of the whole GIF
+    * decode cost). For indexed images `lut(sample) == getRGB & 0xff` by
+    * definition of the index model, so this is an exact-equivalent fast
+    * path; non-indexed images fall back to `getRGB`. */
+  private def grayPixels(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](w * h)
+    img.getColorModel match {
+      case icm: java.awt.image.IndexColorModel =>
+        val lut = Array.tabulate(icm.getMapSize)(i => icm.getRGB(i) & 0xff)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { out(y * w + x) = lut(raster.getSample(x, y, 0)); x += 1 }
+          y += 1
+        }
+      case _ =>
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { out(y * w + x) = img.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+    }
+    out
+  }
+
   /** Real multi-frame decode: `ImageIO`'s GIF reader demuxes every frame;
     * stats are taken from `getRGB & 0xff` (decoded GIFs come back
     * palette-INDEXED — the raster sample is a palette index, the RGB
@@ -478,17 +509,14 @@ object Multimodal {
               val img = reader.read(f)
               w = img.getWidth
               h = img.getHeight
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val v = img.getRGB(x, y) & 0xff
-                  sum += v
-                  if (v < mn) mn = v
-                  if (v > mx) mx = v
-                  x += 1
-                }
-                y += 1
+              val px = grayPixels(img)
+              var i = 0
+              while (i < px.length) {
+                val v = px(i)
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
               }
               f += 1
             }
@@ -760,14 +788,7 @@ object Multimodal {
               val img = reader.read(f)
               w = img.getWidth
               h = img.getHeight
-              val px = new Array[Int](w * h)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xff; x += 1 }
-                y += 1
-              }
-              px
+              grayPixels(img)
             }
             Some((w, h, frames))
           }
