@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation planning operators: output-shard planning, privacy
+  * audits, and preference-pair construction — the steps between "the
+  * corpus is filtered" and "the corpus ships to the trainer".
+  *
+  * Everything here is integer-exact by construction (counts, integer
+  * division, deterministic tie-breaks), so a DuckDB oracle replays each
+  * result bit-for-bit.
+  */
+object Curation {
+
+  /** Token-balanced output-shard assignment by SNAKE ordering: rank rows
+    * by (size DESC, id ASC) and deal rank r to shard `r % n` on even
+    * passes and `n-1 − r % n` on odd passes (boustrophedon), so each
+    * shard receives one row from every size stratum and shard totals
+    * equalize far faster than hash assignment for small `nShards`.
+    *
+    * The global rank is computed WITHOUT a single-partition window: the
+    * per-size-class histogram (distinct sizes — bounded, not corpus-
+    * sized) gets prefix-sum offsets on its own tiny frame, broadcasts
+    * back, and the within-class `row_number` partitions by size class —
+    * every corpus-sized stage stays parallel. This is the distributed
+    * dense-rank decomposition; the oracle replays the equivalent direct
+    * `row_number OVER (ORDER BY size DESC, id)`.
+    *
+    * Scale shape: one size-keyed window shuffle over (id, size) pairs +
+    * one broadcast of the class-offset table. A heavily repeated size
+    * value concentrates its class in one window partition; sizes in real
+    * corpora are near-unique at the tail and AQE skew-split covers the
+    * head. Returns per-row assignments (id, size, shard). */
+  def shardPlan(
+      df: DataFrame,
+      idCol: String,
+      sizeCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(idCol).as("id"), col(sizeCol).as("size"))
+    val classes = rows.groupBy("size").agg(count(lit(1)).as("cnt"))
+    val offsets = classes.withColumn("offset",
+      coalesce(
+        sum("cnt").over(Window.orderBy(col("size").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val ranked = rows
+      .join(broadcast(offsets.select("size", "offset")), Seq("size"))
+      .withColumn("r",
+        col("offset") +
+          row_number().over(
+            Window.partitionBy("size").orderBy(col("id"))) - 1)
+    ranked.select(col("id"), col("size"),
+      when(expr(s"(r div $nShards) % 2 = 0"), col("r") % nShards)
+        .otherwise(lit(nShards - 1) - col("r") % nShards)
+        .cast("long").as("shard"))
+  }
+
+  /** k-anonymity audit over quasi-identifier columns: one row per QI
+    * combination with its population and whether it meets the `k`
+    * threshold — the audit run before releasing per-document metadata
+    * (a group smaller than k re-identifies its members).
+    *
+    * One map-side-combined shuffle on the QI tuple; output is
+    * group-sized. Flag arithmetic is integer-exact. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.groupBy(qiCols: _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("anonymous", col("n_rows") >= k)
+  }
+
+  /** Preference-pair construction (the DPO/RLHF data shape): within each
+    * key group, pair the highest-scoring row (`chosen`) with the
+    * lowest-scoring row (`rejected`), deterministic tie-breaks by id
+    * (max side: id ASC wins ties; min side: id DESC wins ties, so a
+    * two-row tie still yields two distinct rows). Groups of one row are
+    * dropped (no pair to form).
+    *
+    * Scale shape: both row_number windows share one partitioning on the
+    * key, so the group shuffle happens once; the self-join of the two
+    * rank-1 row sets is key-sized (one row per group each side). */
+  def preferencePairs(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val best = part.orderBy(col(scoreCol).desc, col(idCol).asc)
+    val worst = part.orderBy(col(scoreCol).asc, col(idCol).desc)
+    val slim = df.select(
+      (keyCols.map(col) ++ Seq(col(idCol), col(scoreCol))): _*)
+    val chosen = slim
+      .withColumn("rn", row_number().over(best)).where(col("rn") === 1)
+      .select(keyCols.map(col) ++ Seq(col(idCol).as("chosen_id"),
+        col(scoreCol).as("chosen_score")): _*)
+    val rejected = slim
+      .withColumn("rn", row_number().over(worst)).where(col("rn") === 1)
+      .select(keyCols.map(col) ++ Seq(col(idCol).as("rejected_id"),
+        col(scoreCol).as("rejected_score")): _*)
+    chosen.join(rejected, keyCols)
+      .where(col("chosen_id") =!= col("rejected_id"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+  }
+
+  /** Integer-exact curriculum difficulty on whitespace words: mean word
+    * length and long-word (>7 chars) share, both in integer millis
+    * (`x·1000 div n`), summed into one difficulty score, staged by fixed
+    * thresholds. Shuffle-free single scan; the oracle replays the same
+    * integer divisions. Empty/null text scores 0 at stage 0. */
+  def curriculumStage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholds: Seq[Long] = Seq(4200L, 4800L)): DataFrame = {
+    require(thresholds == thresholds.sorted, "thresholds must ascend")
+    val ws = split(coalesce(col(textCol), lit("")), " ")
+    val nWords = size(filter(ws, w => length(w) > 0)).cast("long")
+    val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+    val nLong = size(filter(ws, w => length(w) > 7)).cast("long")
+    val diff = when(col("n_words") > 0,
+      expr("sum_len * 1000L div n_words") +
+        expr("n_long * 1000L div n_words")).otherwise(lit(0L))
+    val staged = df.select(col(idCol), nWords.as("n_words"),
+        sumLen.as("sum_len"), nLong.as("n_long"))
+      .withColumn("difficulty", diff)
+    val stage = thresholds.zipWithIndex.foldRight(
+      lit(thresholds.size): Column) { case ((t, i), rest) =>
+      when(col("difficulty") < t, lit(i)).otherwise(rest)
+    }
+    staged.select(col(idCol), col("n_words"), col("difficulty"),
+      stage.cast("long").as("stage"))
+  }
+}

@@ -53,4 +53,43 @@ object RangeJoin {
       .select(col(keyCol), col("a_id"), col("b_id"),
         (col("b_us") - col("a_us")).as("delta_us"))
   }
+
+  /** Interval-OVERLAP join (closed intervals in integer microseconds):
+    * every (left, right) pair with `max(starts) <= min(ends)` — the
+    * sessions×windows / intervals×intervals shape a naive overlap
+    * predicate plans as a nested loop.
+    *
+    * Bucketing makes it an equi-join with EXACTLY-ONCE emission and no
+    * distinct pass: both sides replicate to every `bucketUs`-wide bucket
+    * their span touches (`sequence(s div W, e div W)`), the join keys on
+    * the bucket, and a pair is kept only in the bucket containing the
+    * overlap START `greatest(l_s, r_s)` — a bucket both spans touch by
+    * construction, and unique per pair, so no duplicates ever form. The
+    * exact overlap predicate then decides the boundary cases.
+    *
+    * Scale shape: each side carries (id, start, end) × its span/W
+    * replication — choose `bucketUs` ≈ the typical interval length so
+    * replication stays O(1) per row; the join spreads by time bucket, so
+    * a burst window shards across its span instead of one reducer. The
+    * oracle stays the naive overlap-predicate join, so the acceleration
+    * is provably invisible (q155). */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    def span(df: DataFrame, p: String): DataFrame =
+      df.withColumn("bucket",
+        explode(sequence(expr(s"${p}_start_us div ${bucketUs}L"),
+          expr(s"${p}_end_us div ${bucketUs}L"))))
+    span(left, "l").join(span(right, "r"), Seq("bucket"))
+      .where(greatest(col("l_start_us"), col("r_start_us")) <=
+          least(col("l_end_us"), col("r_end_us")) &&
+        col("bucket") ===
+          expr(s"greatest(l_start_us, r_start_us) div ${bucketUs}L"))
+      .drop("bucket")
+      .withColumn("overlap_us",
+        least(col("l_end_us"), col("r_end_us")) -
+          greatest(col("l_start_us"), col("r_start_us")) + 1)
+  }
 }

@@ -831,4 +831,45 @@ object TextAnalysis {
       .withColumn("n_blocked", total)
       .withColumn("blocked", col("n_blocked") > 0)
   }
+
+  /** The classic UTF-8-decoded-as-Windows-1252 mojibake table (the
+    * ftfy top set): each LITERAL dirty sequence and its repaired form,
+    * 3-codepoint sequences first so counting/replacing order is fixed.
+    * No pattern is a substring of another and no repaired form contains
+    * a dirty prefix, so one pass per pattern in list order is exact and
+    * idempotent. */
+  val mojibakePatterns: Seq[(String, String)] = Seq(
+    "â€™" -> "’", // â€™  → ’
+    "â€œ" -> "“", // â€œ  → “
+    "â€“" -> "–", // â€“  → –
+    "â€¦" -> "…", // â€¦  → …
+    "Ã©" -> "é", // Ã© → é
+    "Ã¨" -> "è", // Ã¨ → è
+    "Ã¯" -> "ï", // Ã¯ → ï
+    "Ã±" -> "ñ", // Ã± → ñ
+    "Ã¼" -> "ü", // Ã¼ → ü
+    "Ã¶" -> "ö", // Ã¶ → ö
+    "Â°" -> "°") // Â° → °
+
+  /** Mojibake detection + repair: count each dirty sequence (all counts
+    * are taken on the ORIGINAL text — patterns cannot overlap, so
+    * upfront counts equal staged counts), then repair by literal
+    * replacement in table order. Pure map over codegen `replace`/
+    * `length` — no shuffle, no UDF; one scan stage at 100 TB, and
+    * idempotent (repairing repaired text is a no-op), so the pass can
+    * run defensively on every ingest. */
+  def repairMojibake(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val nFixes = mojibakePatterns.map { case (dirty, _) =>
+      (length(t) - length(replace(t, lit(dirty), lit("")))) / dirty.length
+    }.reduce(_ + _)
+    val clean = mojibakePatterns.foldLeft(t) { case (acc, (dirty, fixed)) =>
+      replace(acc, lit(dirty), lit(fixed))
+    }
+    docs.select(col(idCol),
+      nFixes.cast("long").as("n_fixes"),
+      length(t).as("len_dirty"),
+      length(clean).as("len_clean"),
+      clean.as("clean_text"))
+  }
 }

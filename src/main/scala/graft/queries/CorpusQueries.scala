@@ -677,6 +677,70 @@ object CorpusQueries {
        |SELECT doc_id, n_chars, priority FROM s
        |ORDER BY doc_id""".stripMargin
 
+  /** Token-balanced output sharding ([[graft.operators.Curation
+    * .shardPlan]]): snake-order assignment over the (n_chars DESC,
+    * doc_id) global rank — computed scalably as class-histogram offsets
+    * + within-class windows — dealt into 8 shards; the summary shows
+    * per-shard totals equalizing. The oracle replays the rank with a
+    * direct row_number window, so the distributed-rank decomposition is
+    * provably invisible. */
+  def q156ShardPlan(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.shardPlan(docs(s, dir), "doc_id", "n_chars", 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("size").as("sum_chars"),
+        min("size").as("min_chars"), max("size").as("max_chars"))
+      .presentSorted("shard")
+
+  def q156Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, n_chars,
+      |    row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r
+      |  FROM documents),
+      |a AS (
+      |  SELECT n_chars,
+      |    CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END AS shard
+      |  FROM r)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Preference-pair construction ([[graft.operators.Curation
+    * .preferencePairs]], the DPO data shape): within each (lang, source)
+    * group, the lexically richest doc (distinct-word count, ties by id)
+    * is `chosen` and the poorest is `rejected`; singleton groups drop.
+    * The oracle replays both rank windows and the margin. */
+  def q159DpoPairs(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      size(array_distinct(split(coalesce(col("text"), lit("")), " ")))
+        .cast("long").as("score"))
+    graft.operators.Curation
+      .preferencePairs(scored, Seq("lang", "source"), "doc_id", "score")
+      .presentSorted("lang", "source")
+  }
+
+  def q159Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, lang, source,
+      |    len(list_distinct(string_split(coalesce(text, ''), ' '))) AS score
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, source, doc_id AS chosen_id, score AS chosen_score,
+      |    row_number() OVER (PARTITION BY lang, source
+      |                       ORDER BY score DESC, doc_id ASC) AS rn
+      |  FROM s),
+      |r AS (
+      |  SELECT lang, source, doc_id AS rejected_id, score AS rejected_score,
+      |    row_number() OVER (PARTITION BY lang, source
+      |                       ORDER BY score ASC, doc_id DESC) AS rn
+      |  FROM s)
+      |SELECT c.lang, c.source, c.chosen_id, c.chosen_score,
+      |  r.rejected_id, r.rejected_score,
+      |  c.chosen_score - r.rejected_score AS margin
+      |FROM c JOIN r ON c.lang = r.lang AND c.source = r.source
+      |WHERE c.rn = 1 AND r.rn = 1 AND c.chosen_id <> r.rejected_id
+      |ORDER BY c.lang, c.source""".stripMargin
+
   private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** q45's deterministic reservoir as a REAL stream
@@ -741,7 +805,9 @@ object CorpusQueries {
     ("q138_pct_normalize", q138PctNormalize _, q138Sql),
     ("q148_upsert", q148Upsert _, q148Sql),
     ("q151_compact", q151Compact _, q151Sql),
-    ("q154_mad_outliers", q154MadOutliers _, q154Sql))
+    ("q154_mad_outliers", q154MadOutliers _, q154Sql),
+    ("q156_shard_plan", q156ShardPlan _, q156Sql),
+    ("q159_dpo_pairs", q159DpoPairs _, q159Sql))
 
   /** Robust MAD outlier audit ([[Corpus.madOutliers]]) on doc length
     * per source: median + median-absolute-deviation by rank-selected

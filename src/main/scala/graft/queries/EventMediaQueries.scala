@@ -422,6 +422,89 @@ object EventMediaQueries {
       |FROM p
       |ORDER BY prev_type, event_type""".stripMargin
 
+  /** Interval-OVERLAP join ([[graft.operators.RangeJoin.overlapJoin]]):
+    * which user sessions overlapped a high-traffic hour (hourly count
+    * > 1.2× the mean, integer-exact as `c·nh·5 > tot·6`). Sessions
+    * replicate across their hour-bucket span, busy windows live in one
+    * bucket each, and the overlap-START bucket rule makes the equi-join
+    * emit each qualifying pair exactly once — the oracle is the NAIVE
+    * overlap-predicate join over the same two interval sets, so the
+    * bucketed acceleration is provably invisible. */
+  def q155IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val sess = EventStreams.sessionize(eventsTs(s, dir))
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("l_start_us"),
+        unix_micros(col("session_end")).as("l_end_us"))
+    val hourly = eventsTs(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val tot = hourly.agg(sum("c").as("tot"), count(lit(1)).as("nh"))
+    val busy = hourly.crossJoin(broadcast(tot))
+      .where(col("c") * col("nh") * 5 > col("tot") * 6)
+      .select(unix_micros(col("hr")).as("r_start_us"),
+        (unix_micros(col("hr")) + 3599999999L).as("r_end_us"),
+        col("c").as("window_events"))
+    graft.operators.RangeJoin.overlapJoin(sess, busy, bucketUs = 3600000000L)
+      .select(col("user_id"),
+        col("l_start_us").as("session_start_us"),
+        col("l_end_us").as("session_end_us"),
+        col("r_start_us").as("window_start_us"),
+        col("window_events"), col("overlap_us"))
+      .presentSorted("user_id", "session_start_us", "window_start_us")
+  }
+
+  def q155Sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |x AS (SELECT user_id, ts,
+      |        CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |             WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+      |             ELSE 0 END AS brk
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |y AS (SELECT user_id, ts,
+      |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM x),
+      |sess AS (SELECT user_id, epoch_us(MIN(ts)) AS l_start_us,
+      |           epoch_us(MAX(ts)) AS l_end_us
+      |         FROM y GROUP BY user_id, sid),
+      |h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+      |        count(*) AS c FROM events GROUP BY 1),
+      |t AS (SELECT sum(c) AS tot, count(*) AS nh FROM h),
+      |busy AS (SELECT epoch_us(hr) AS r_start_us,
+      |           epoch_us(hr) + 3599999999 AS r_end_us, c
+      |         FROM h, t WHERE c * nh * 5 > tot * 6)
+      |SELECT s.user_id, s.l_start_us AS session_start_us,
+      |  s.l_end_us AS session_end_us, b.r_start_us AS window_start_us,
+      |  b.c AS window_events,
+      |  least(s.l_end_us, b.r_end_us) - greatest(s.l_start_us, b.r_start_us)
+      |    + 1 AS overlap_us
+      |FROM sess s JOIN busy b
+      |  ON greatest(s.l_start_us, b.r_start_us) <= least(s.l_end_us, b.r_end_us)
+      |ORDER BY user_id, session_start_us, window_start_us""".stripMargin
+
+  /** q61's session windows as a REAL stream: `readStream` → native
+    * `session_window` aggregation (state-store session merge) → memory
+    * sink in COMPLETE mode (`AvailableNow`) — complete mode needs no
+    * watermark, so the final table holds every session including those
+    * at the stream tail, and stream ≡ batch is gated by q61's
+    * gaps-and-islands oracle. A live deployment would instead use
+    * append mode + watermark (bounded state) and accept that sessions
+    * inside the watermark horizon emit late; this entry gates the
+    * state-merge path itself. */
+  def q158StreamSession(s: SparkSession, dir: String): DataFrame = {
+    val name = s"q158_stream_session_${streamSeq.incrementAndGet()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = EventStreams.sessionize(eventsStreamTs(s, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name).presentSorted("user_id", "session_start")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q58_attribution", q58Attribution _, q58Sql),
     ("q67_salted_join", q67SaltedJoin _, q67Sql),
@@ -455,7 +538,9 @@ object EventMediaQueries {
     ("q149_scd2", q149Scd2 _, q149Sql),
     ("q150_stream_upsert", q150StreamUpsert _, CorpusQueries.q148Sql),
     ("q152_zorder", q152Zorder _, q152Sql),
-    ("q153_stream_funnel", q153StreamFunnel _, q147Sql))
+    ("q153_stream_funnel", q153StreamFunnel _, q147Sql),
+    ("q155_interval_join", q155IntervalJoin _, q155Sql),
+    ("q158_stream_session", q158StreamSession _, q61Sql))
 
   /** q147's funnel as a REAL stream ([[EventStreams.funnelStream]]):
     * events arrive via `readStream`, per-user state advances the greedy

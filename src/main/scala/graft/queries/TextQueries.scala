@@ -744,6 +744,98 @@ object TextQueries {
       |  n_norm_dups > n_exact_dups AS norm_caught
       |FROM w ORDER BY doc_id""".stripMargin
 
+  /** k-anonymity audit ([[graft.operators.Curation.kAnonymity]]) over
+    * the (lang, source, log2-length-bucket) quasi-identifier: group
+    * populations + the k≥5 flag — the pre-release re-identification
+    * check. Bucket = `length(bin(n))` (floor(log2)+1), integer-exact in
+    * both engines. */
+  def q157KAnonymity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.kAnonymity(
+      docs(s, dir).withColumn("len_bucket",
+        length(bin(greatest(col("n_chars"), lit(1)))).cast("long")),
+      Seq(col("lang"), col("source"), col("len_bucket")), k = 5)
+      .presentSorted("lang", "source", "len_bucket")
+
+  def q157Sql: String =
+    """SELECT lang, source,
+      |  length(bin(greatest(n_chars, 1))) AS len_bucket,
+      |  count(*) AS n_rows, count(*) >= 5 AS anonymous
+      |FROM documents GROUP BY 1, 2, 3
+      |ORDER BY lang, source, len_bucket""".stripMargin
+
+  /** Curriculum difficulty staging ([[graft.operators.Curation
+    * .curriculumStage]]): mean word length + long-word share in integer
+    * millis, staged by fixed thresholds — the easy→hard ordering signal
+    * for curriculum sampling. The oracle replays both integer
+    * divisions and the CASE staircase. */
+  def q160Curriculum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.curriculumStage(docs(s, dir), "doc_id", "text")
+      .presentSorted("doc_id")
+
+  def q160Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    len(list_filter(ws, x -> length(x) > 0)) AS n_words,
+      |    CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT)
+      |      AS sum_len,
+      |    len(list_filter(ws, x -> length(x) > 7)) AS n_long
+      |  FROM w),
+      |d AS (
+      |  SELECT doc_id, n_words,
+      |    CASE WHEN n_words > 0
+      |      THEN (sum_len * 1000) // n_words + (n_long * 1000) // n_words
+      |      ELSE 0 END AS difficulty
+      |  FROM m)
+      |SELECT doc_id, n_words, CAST(difficulty AS BIGINT) AS difficulty,
+      |  CAST(CASE WHEN difficulty < 4200 THEN 0
+      |            WHEN difficulty < 4800 THEN 1
+      |            ELSE 2 END AS BIGINT) AS stage
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  /** Planted mojibake appended to every doc (both engines build the
+    * identical dirty text): curly quote/ellipsis/dash through the â€
+    * family, Latin-1 vowels through the Ã family, a degree sign through
+    * Â — one instance of every pattern in
+    * [[TextAnalysis.mojibakePatterns]]. */
+  private def q161Suffix: String =
+    " donâ€™t â€œcitÃ©â€¦ naÃ¯ve 25Â° â€“ maÃ±ana Ã¼ber Ã¶l Ã¨re"
+
+  /** Mojibake repair ([[TextAnalysis.repairMojibake]]) over the salted
+    * corpus: per-doc fix counts, length delta, and the repaired tail.
+    * The oracle replays the identical literal replace chain and
+    * occurrence arithmetic. */
+  def q161Mojibake(s: SparkSession, dir: String): DataFrame = {
+    val dirty = docs(s, dir).select(col("doc_id"),
+      concat(coalesce(col("text"), lit("")), lit(q161Suffix)).as("t"))
+    TextAnalysis.repairMojibake(dirty, "doc_id", "t")
+      .withColumn("tail", expr("right(clean_text, 30)"))
+      .drop("clean_text")
+      .presentSorted("doc_id")
+  }
+
+  def q161Sql: String = {
+    val counts = TextAnalysis.mojibakePatterns.map { case (d, _) =>
+      s"CAST((length(t) - length(replace(t, '$d', ''))) / ${d.length} AS BIGINT)"
+    }.mkString("\n    + ")
+    val clean = TextAnalysis.mojibakePatterns.foldLeft("t") {
+      case (acc, (d, f)) => s"replace($acc, '$d', '$f')"
+    }
+    s"""WITH d AS (
+       |  SELECT doc_id, coalesce(text, '') || '$q161Suffix' AS t
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, t,
+       |    $counts AS n_fixes,
+       |    $clean AS clean_text
+       |  FROM d)
+       |SELECT doc_id, n_fixes, length(t) AS len_dirty,
+       |  length(clean_text) AS len_clean, right(clean_text, 30) AS tail
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q50_text_stats", q50TextStats _, q50Sql),
     ("q51_lang_id", q51LangId _, q51Sql),
@@ -766,7 +858,10 @@ object TextQueries {
     ("q121_script_profile", q121ScriptProfile _, q121Sql),
     ("q131_normalized_dedup", q131NormalizedDedup _, q131Sql),
     ("q136_html_strip", q136HtmlStrip _, q136Sql),
-    ("q139_blocklist", q139Blocklist _, q139Sql))
+    ("q139_blocklist", q139Blocklist _, q139Sql),
+    ("q157_k_anonymity", q157KAnonymity _, q157Sql),
+    ("q160_curriculum", q160Curriculum _, q160Sql),
+    ("q161_mojibake", q161Mojibake _, q161Sql))
 
   /** Blocklist policy for q139: two terms that occur in the corpus
     * vocabulary (slow, spark) and two that don't (crash, spam) — the

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+
+  test("shardPlan equals the direct global-rank snake assignment") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // heavy size ties (the within-class window path) + unique tail
+    val rows = (1L to 97L).map(i => (i, if (i <= 60) i % 5 + 10 else i))
+      .toDF("id", "size")
+    val got = Curation.shardPlan(rows, "id", "size", 8)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    val direct = rows
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("size").desc, col("id"))) - 1)
+      .select(col("id"),
+        when(expr("(r div 8) % 2 = 0"), col("r") % 8)
+          .otherwise(lit(7) - col("r") % 8).cast("long").as("shard"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == direct)
+    // snake balance: shard sizes differ by at most 1 row
+    val counts = got.values.groupBy(identity).map(_._2.size)
+    assert(counts.max - counts.min <= 1)
+  }
+
+  test("shardPlan total-size balance beats worst-shard-empty hash split") {
+    import spark.implicits._
+    val rows = (1L to 64L).map(i => (i, i * i)).toDF("id", "size")
+    val perShard = Curation.shardPlan(rows, "id", "size", 4)
+      .groupBy("shard").agg(sum("size").as("tot"))
+      .as[(Long, Long)].collect().toMap
+    assert(perShard.size == 4)
+    // snake over size-sorted ranks keeps totals within ~15% of each other
+    assert(perShard.values.max.toDouble / perShard.values.min <= 1.15,
+      s"unbalanced: $perShard")
+  }
+
+  test("preferencePairs: deterministic ties, singletons dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), // all-tied group: ids decide both ends
+      ("b", 3L, 5L),                  // singleton -> dropped
+      ("c", 4L, 1L), ("c", 5L, 9L), ("c", 6L, 9L))
+      .toDF("k", "id", "score")
+    val got = Curation.preferencePairs(rows, Seq("k"), "id", "score")
+      .select("k", "chosen_id", "rejected_id", "margin")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 2L, 0L), ("c", 5L, 4L, 8L)))
+  }
+
+  test("curriculumStage integer arithmetic and empty-text floor") {
+    import spark.implicits._
+    val rows = Seq((1L, "aa bb ccccCCCC"), (2L, ""), (3L, null: String))
+      .toDF("doc_id", "text")
+    val got = Curation.curriculumStage(rows, "doc_id", "text")
+      .select("doc_id", "n_words", "difficulty", "stage")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, n, d, st) => id -> ((n, d, st)) }.toMap
+    // doc 1: words aa/bb/ccccCCCC -> n=3, sum_len=12, n_long=1
+    // difficulty = 12000 div 3 + 1000 div 3 = 4000 + 333 = 4333 -> stage 1
+    assert(got(1L) == ((3L, 4333L, 1L)))
+    assert(got(2L) == ((0L, 0L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L)))
+  }
+
+  test("kAnonymity flags sub-k groups") {
+    import spark.implicits._
+    val rows = (Seq.fill(5)(("en", "web")) ++ Seq.fill(2)(("de", "web")))
+      .toDF("lang", "source")
+    val got = Curation.kAnonymity(rows, Seq(col("lang"), col("source")), k = 5)
+      .select("lang", "n_rows", "anonymous")
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(got == Set(("en", 5L, true), ("de", 2L, false)))
+  }
+}

@@ -72,4 +72,37 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       s"range join must stay an equi-join:\n$plan")
   }
+
+  test("overlapJoin: exactly-once emission equals the naive overlap join") {
+    import spark.implicits._
+    val W = 100L
+    // geometry: touch-at-edge, containment, multi-bucket span, disjoint,
+    // identical intervals, interval spanning MANY buckets of the other side
+    val left = Seq(
+      (1L, 0L, 99L),     // exactly one bucket
+      (2L, 50L, 250L),   // spans 3 buckets
+      (3L, 400L, 400L),  // point interval
+      (4L, 0L, 1000L))   // spans 11 buckets
+      .toDF("l_id", "l_start_us", "l_end_us")
+    val right = Seq(
+      (10L, 99L, 120L),  // touches 1 at its last microsecond
+      (11L, 100L, 199L), // inside 2's span, disjoint from 1
+      (12L, 400L, 401L), // contains 3's point
+      (13L, 2000L, 2100L)) // disjoint from everything
+      .toDF("r_id", "r_start_us", "r_end_us")
+    val got = RangeJoin.overlapJoin(left, right, W)
+      .select("l_id", "r_id", "overlap_us")
+      .as[(Long, Long, Long)].collect().toList
+    val want = left.join(right,
+        greatest(col("l_start_us"), col("r_start_us")) <=
+          least(col("l_end_us"), col("r_end_us")))
+      .select(col("l_id"), col("r_id"),
+        (least(col("l_end_us"), col("r_end_us")) -
+          greatest(col("l_start_us"), col("r_start_us")) + 1).as("o"))
+      .as[(Long, Long, Long)].collect().toList
+    // set equality AND multiplicity (no duplicate emissions)
+    assert(got.sorted == want.sorted, s"got $got want $want")
+    assert(got.toSet.contains((1L, 10L, 1L)), "edge-touch pair expected")
+    assert(got.size == got.toSet.size, "duplicate emission")
+  }
 }

@@ -584,4 +584,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("repairMojibake: repairs, exact counts, idempotent, null-safe") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "donâ€™t say â€œcafÃ©â€¦ itâ€™s 25Â°"),
+      (2L, "clean ascii"),
+      (3L, null: String),
+      (4L, "Ã©Ã©Ã©")) // adjacent instances of one pattern
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repairMojibake(rows, "doc_id", "text")
+      .select("doc_id", "n_fixes", "clean_text")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((6L, "don’t say “café… it’s 25°")))
+    assert(out(2L) == ((0L, "clean ascii")))
+    assert(out(3L) == ((0L, "")))
+    assert(out(4L) == ((3L, "ééé")))
+    // idempotence: repairing repaired text is a no-op with zero counts
+    val cleaned = TextAnalysis.repairMojibake(rows, "doc_id", "text")
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val second = TextAnalysis.repairMojibake(cleaned, "doc_id", "text")
+      .select("doc_id", "n_fixes", "clean_text")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(second == out.map { case (k, (_, c)) => k -> ((0L, c)) })
+    // map-only: no shuffle in the repair scan
+    val plan = TextAnalysis.repairMojibake(rows, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
