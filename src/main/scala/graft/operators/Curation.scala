@@ -32,30 +32,71 @@ object Curation {
     * value concentrates its class in one window partition; sizes in real
     * corpora are near-unique at the tail and AQE skew-split covers the
     * head. Returns per-row assignments (id, size, shard). */
+  /** 0-based global rank of every row under the total order
+    * (`size` DESC-or-ASC, `id` ASC), WITHOUT a single-partition window:
+    * per-size-class counts (the DISTINCT-sizes histogram — bounded, not
+    * corpus-sized) get prefix-sum offsets on their own tiny frame,
+    * broadcast back, and the within-class `row_number` partitions by
+    * size — every corpus-sized stage stays parallel. Returns
+    * (id, size, r). */
+  def globalRank(
+      df: DataFrame,
+      idCol: String,
+      sizeCol: String,
+      descending: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(idCol).as("id"), col(sizeCol).as("size"))
+    val ord = if (descending) col("size").desc else col("size").asc
+    val classes = rows.groupBy("size").agg(count(lit(1)).as("cnt"))
+    val offsets = classes.withColumn("offset",
+      coalesce(
+        sum("cnt").over(Window.orderBy(ord)
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    rows
+      .join(broadcast(offsets.select("size", "offset")), Seq("size"))
+      .withColumn("r",
+        col("offset") +
+          row_number().over(
+            Window.partitionBy("size").orderBy(col("id"))) - 1)
+  }
+
   def shardPlan(
       df: DataFrame,
       idCol: String,
       sizeCol: String,
       nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    import org.apache.spark.sql.expressions.Window
-    val rows = df.select(col(idCol).as("id"), col(sizeCol).as("size"))
-    val classes = rows.groupBy("size").agg(count(lit(1)).as("cnt"))
-    val offsets = classes.withColumn("offset",
-      coalesce(
-        sum("cnt").over(Window.orderBy(col("size").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-    val ranked = rows
-      .join(broadcast(offsets.select("size", "offset")), Seq("size"))
-      .withColumn("r",
-        col("offset") +
-          row_number().over(
-            Window.partitionBy("size").orderBy(col("id"))) - 1)
+    val ranked = globalRank(df, idCol, sizeCol, descending = true)
     ranked.select(col("id"), col("size"),
       when(expr(s"(r div $nShards) % 2 = 0"), col("r") % nShards)
         .otherwise(lit(nShards - 1) - col("r") % nShards)
         .cast("long").as("shard"))
+  }
+
+  /** Batch-padding efficiency audit: length-sort the corpus (the
+    * standard dynamic-batching trick), deal consecutive ranks into
+    * batches of `batchSize`, and report each batch's padding waste
+    * (`n_seqs·max_len − Σlen` — the dead tokens a pad-to-longest
+    * collator burns). Length-sorted batching makes max_len ≈ every
+    * member's len, so waste collapses vs arrival-order batching; this
+    * audit quantifies exactly that for a token budget.
+    *
+    * Built on [[globalRank]] (no single-partition window) + one
+    * batch-keyed aggregation; output is batch-count-sized. */
+  def packEfficiency(
+      df: DataFrame,
+      idCol: String,
+      sizeCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    globalRank(df, idCol, sizeCol, descending = false)
+      .withColumn("batch_id", expr(s"r div $batchSize"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_seqs"), max("size").as("max_len"),
+        sum("size").as("sum_len"))
+      .withColumn("padded", col("n_seqs") * col("max_len"))
+      .withColumn("waste", col("padded") - col("sum_len"))
   }
 
   /** k-anonymity audit over quasi-identifier columns: one row per QI

@@ -275,4 +275,46 @@ object Sampling {
       .orderBy(col("priority"), col(idCol))
       .limit(k)
   }
+
+  /** Distribution-matched resampling: select the LARGEST subset of
+    * `pool` whose `bucketCol` histogram matches the shape of `target`
+    * (a (bucket, t_cnt) frame — e.g. the length profile of a reference
+    * corpus), all integer-exact:
+    *
+    *   m       = minᵦ (pool_b · T div t_b)   over buckets with t_b > 0
+    *   quota_b = t_b · m div T               (floor allocation)
+    *
+    * then keep each bucket's `quota_b` smallest (sampleKey, id) rows —
+    * the same deterministic hash-reservoir as [[stratifiedQuota]], so
+    * the selection is referentially stable and oracle-replayable.
+    * Pool buckets absent from the target select zero rows (the target
+    * says they should not exist); a target bucket with NO pool rows
+    * forces m = 0 — an empty result is the honest answer when the
+    * shape cannot be matched at all.
+    *
+    * Scale shape: both histograms are tiny aggregates; quotas broadcast
+    * back; the only corpus-sized stage is one bucket-partitioned rank
+    * window (hot-bucket note on [[stratifiedQuota]] applies). Output
+    * keeps all pool columns plus `bucket`-rank `rk`. */
+  def matchDistribution(
+      pool: DataFrame,
+      bucketCol: String,
+      idCol: String,
+      target: DataFrame): DataFrame = {
+    val p = pool.groupBy(col(bucketCol)).agg(count(lit(1)).as("pool_cnt"))
+    val tot = target.agg(sum("t_cnt").cast("long").as("T"))
+    val j = target.where(col("t_cnt") > 0)
+      .join(p, Seq(bucketCol), "left")
+      .na.fill(0L, Seq("pool_cnt"))
+      .crossJoin(broadcast(tot))
+    val m = j.agg(min(expr("pool_cnt * T div t_cnt")).as("m"))
+    val quotas = j.crossJoin(broadcast(m))
+      .select(col(bucketCol), expr("t_cnt * m div T").as("quota"))
+    val w = Window.partitionBy(col(bucketCol))
+      .orderBy(sampleKey(col(bucketCol).cast("string"), col(idCol)),
+        col(idCol))
+    pool.join(broadcast(quotas), Seq(bucketCol))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("quota"))
+  }
 }

@@ -741,6 +741,72 @@ object CorpusQueries {
       |WHERE c.rn = 1 AND r.rn = 1 AND c.chosen_id <> r.rejected_id
       |ORDER BY c.lang, c.source""".stripMargin
 
+  /** Distribution-matched resampling ([[Sampling.matchDistribution]]):
+    * the largest subset of the non-English pool whose log2-length
+    * histogram matches English's shape — the curation move that aligns
+    * a new corpus's length profile with a reference mix before
+    * training. Quota arithmetic is integer-exact (`m = minᵦ pool·T div
+    * t`, `quota = t·m div T`); selection is the deterministic hash
+    * reservoir, replayed by the oracle fold. */
+  def q162DistMatch(s: SparkSession, dir: String): DataFrame = {
+    val b = docs(s, dir).withColumn("bucket",
+      length(bin(greatest(col("n_chars"), lit(1)))).cast("long"))
+    val target = b.where(col("lang") === "en")
+      .groupBy("bucket").agg(count(lit(1)).as("t_cnt"))
+    Sampling.matchDistribution(
+        b.where(col("lang") =!= "en"), "bucket", "doc_id", target)
+      .select(col("doc_id"), col("lang"), col("bucket"), col("rk"))
+      .presentSorted("doc_id")
+  }
+
+  def q162Sql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    CAST(length(bin(greatest(n_chars, 1))) AS BIGINT) AS bucket
+       |  FROM documents),
+       |t AS (SELECT bucket, count(*) AS t_cnt FROM b
+       |      WHERE lang = 'en' GROUP BY bucket),
+       |p AS (SELECT bucket, count(*) AS pool_cnt FROM b
+       |      WHERE lang <> 'en' GROUP BY bucket),
+       |tt AS (SELECT CAST(sum(t_cnt) AS BIGINT) AS T FROM t),
+       |j AS (SELECT t.bucket, t.t_cnt, coalesce(p.pool_cnt, 0) AS pool_cnt
+       |      FROM t LEFT JOIN p USING (bucket) WHERE t.t_cnt > 0),
+       |m AS (SELECT min(pool_cnt * T // t_cnt) AS m FROM j, tt),
+       |q AS (SELECT bucket, t_cnt * m // T AS quota FROM j, tt, m),
+       |r AS (
+       |  SELECT doc_id, lang, bucket,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY
+       |      ${foldSql("CAST(bucket AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)")},
+       |      doc_id) AS rk
+       |  FROM b WHERE lang <> 'en')
+       |SELECT r.doc_id, r.lang, r.bucket, r.rk
+       |FROM r JOIN q USING (bucket)
+       |WHERE r.rk <= q.quota
+       |ORDER BY r.doc_id""".stripMargin
+
+  /** Batch-padding waste audit ([[graft.operators.Curation
+    * .packEfficiency]]): length-sorted dynamic batching at batch size
+    * 16 — per-batch member count, max length, and the pad-to-longest
+    * dead tokens. The oracle replays the rank with a direct
+    * row_number, so the distributed-rank decomposition is again
+    * provably invisible. */
+  def q163PackAudit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation
+      .packEfficiency(docs(s, dir), "doc_id", "n_chars", batchSize = 16)
+      .presentSorted("batch_id")
+
+  def q163Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, n_chars,
+      |    row_number() OVER (ORDER BY n_chars ASC, doc_id) - 1 AS r
+      |  FROM documents),
+      |a AS (SELECT n_chars, r // 16 AS batch_id FROM r)
+      |SELECT batch_id, count(*) AS n_seqs, max(n_chars) AS max_len,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_len,
+      |  count(*) * max(n_chars) AS padded,
+      |  count(*) * max(n_chars) - CAST(sum(n_chars) AS BIGINT) AS waste
+      |FROM a GROUP BY batch_id ORDER BY batch_id""".stripMargin
+
   private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** q45's deterministic reservoir as a REAL stream
@@ -807,7 +873,9 @@ object CorpusQueries {
     ("q151_compact", q151Compact _, q151Sql),
     ("q154_mad_outliers", q154MadOutliers _, q154Sql),
     ("q156_shard_plan", q156ShardPlan _, q156Sql),
-    ("q159_dpo_pairs", q159DpoPairs _, q159Sql))
+    ("q159_dpo_pairs", q159DpoPairs _, q159Sql),
+    ("q162_dist_match", q162DistMatch _, q162Sql),
+    ("q163_pack_audit", q163PackAudit _, q163Sql))
 
   /** Robust MAD outlier audit ([[Corpus.madOutliers]]) on doc length
     * per source: median + median-absolute-deviation by rank-selected

@@ -68,6 +68,19 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) == ((0L, 0L, 0L)))
   }
 
+  test("packEfficiency: per-batch waste arithmetic incl. partial tail") {
+    import spark.implicits._
+    // 10 rows, batch 4 -> batches of 4/4/2; sizes 1..10 ascending rank
+    val rows = (1L to 10L).map(i => (i, i)).toDF("id", "len")
+    val got = Curation.packEfficiency(rows, "id", "len", 4)
+      .select("batch_id", "n_seqs", "max_len", "sum_len", "waste")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List(
+      (0L, 4L, 4L, 10L, 6L),   // 1+2+3+4, padded 16
+      (1L, 4L, 8L, 26L, 6L),   // 5+6+7+8, padded 32
+      (2L, 2L, 10L, 19L, 1L))) // 9+10, padded 20
+  }
+
   test("kAnonymity flags sub-k groups") {
     import spark.implicits._
     val rows = (Seq.fill(5)(("en", "web")) ++ Seq.fill(2)(("de", "web")))

@@ -219,4 +219,31 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       assert(a(r.getAs[Long]("a_doc")) == a(r.getAs[Long]("b_doc")))
     }
   }
+
+  test("matchDistribution: exact quotas, shape match, strict-empty cases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // target shape 2:1 over buckets 1,2; pool has 30/5 available
+    val pool = ((1L to 30L).map(i => (i, 1L)) ++ (31L to 35L).map(i => (i, 2L)))
+      .toDF("doc_id", "bucket")
+    val target = Seq((1L, 2L), (2L, 1L)).toDF("bucket", "t_cnt")
+    val got = Sampling.matchDistribution(pool, "bucket", "doc_id", target)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    // m = min(30*3 div 2, 5*3 div 1) = 15; quotas = 2*15 div 3 = 10, 1*15 div 3 = 5
+    assert(got == Map(1L -> 10L, 2L -> 5L))
+    // determinism across repartitioning
+    val a = Sampling.matchDistribution(pool, "bucket", "doc_id", target)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.matchDistribution(pool.repartition(7), "bucket", "doc_id", target)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // a target bucket with zero pool rows -> strict empty
+    val t2 = Seq((1L, 1L), (9L, 1L)).toDF("bucket", "t_cnt")
+    assert(Sampling.matchDistribution(pool, "bucket", "doc_id", t2).count() == 0)
+    // pool-only buckets select nothing
+    val t3 = Seq((2L, 1L)).toDF("bucket", "t_cnt")
+    val only2 = Sampling.matchDistribution(pool, "bucket", "doc_id", t3)
+    assert(only2.select("bucket").as[Long].collect().toSet == Set(2L))
+  }
 }
