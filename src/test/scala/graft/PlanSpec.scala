@@ -185,6 +185,40 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"nothing may funnel through one partition:\n$s")
   }
 
+  test("runtime bloom filter prunes the fact scan behind a selective dim join") {
+    // At 100 TB the biggest scan-side win after static pushdown is the
+    // RUNTIME filter: Spark's InjectRuntimeFilter builds a bloom filter
+    // from the selective (filtered) join side and applies it inside the
+    // fact table's scan stage, skipping rows before the shuffle. The
+    // size thresholds are tuned for clusters, so pin the MECHANISM at
+    // test scale by lowering them.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> scala.util.Try(conf.get(k)).toOption }
+    try {
+      keys.foreach { case (k, v) => conf.set(k, v) }
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg") && plan.contains("might_contain"),
+        s"expected a runtime bloom filter built and probed on the fact side:\n$plan")
+      assert(joined.collect().nonEmpty)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }
+  }
+
   test("query names are unique across suites (toMap would silently drop dups)") {
     val names = Seq(
       queries.RelationalQueries.all, queries.AdvancedQueries.all,
