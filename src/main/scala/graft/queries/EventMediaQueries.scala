@@ -505,6 +505,30 @@ object EventMediaQueries {
     s.table(name).presentSorted("user_id", "session_start")
   }
 
+  /** q58's attribution join as a REAL stream-stream join: both sides of
+    * [[EventStreams.attributionJoin]] read from the same `readStream`,
+    * a 2-hour watermark + the time-range predicate bound per-user state
+    * (eviction), and the inner join emits each match as soon as both
+    * rows have arrived — so AvailableNow drains EVERY match including
+    * stream-tail purchases, and stream ≡ batch is gated by q58's
+    * oracle. This is the Spark-native CDC/attribution shape: watermark
+    * bounds state, not completeness. */
+  def q164StreamAttribution(s: SparkSession, dir: String): DataFrame = {
+    val name = s"q164_stream_attribution_${streamSeq.incrementAndGet()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = EventStreams.attributionJoin(
+          eventsStreamTs(s, dir), watermark = Some("2 hours"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name).presentSorted("click_id", "purchase_id")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q58_attribution", q58Attribution _, q58Sql),
     ("q67_salted_join", q67SaltedJoin _, q67Sql),
@@ -540,7 +564,8 @@ object EventMediaQueries {
     ("q152_zorder", q152Zorder _, q152Sql),
     ("q153_stream_funnel", q153StreamFunnel _, q147Sql),
     ("q155_interval_join", q155IntervalJoin _, q155Sql),
-    ("q158_stream_session", q158StreamSession _, q61Sql))
+    ("q158_stream_session", q158StreamSession _, q61Sql),
+    ("q164_stream_attribution", q164StreamAttribution _, q58Sql))
 
   /** q147's funnel as a REAL stream ([[EventStreams.funnelStream]]):
     * events arrive via `readStream`, per-user state advances the greedy
