@@ -880,6 +880,59 @@ object Corpus {
         col("n_distinct_est"))
   }
 
+  /** Deterministic count-min sketch over a key column: a `depth × width`
+    * integer matrix stored as (row, bucket, cnt) rows, where row `i`'s
+    * bucket for a key is `rolling_hash("cm{i}|" ++ key) % width` — the
+    * replayable 48-bit rolling hash, so a SQL oracle rebuilds the exact
+    * sketch. Point estimates ([[countMinEstimate]]) take the MIN of a
+    * key's `depth` counters; the estimate is always ≥ the true count
+    * (counters only ever over-count via collisions), with error bounded
+    * by the standard (ε=e/width, δ=e^-depth) guarantee.
+    *
+    * Scale shape: THE bounded-state frequency sketch — the corpus is
+    * scanned once, each row fans out to `depth` (row, bucket) cells, and
+    * map-side partial aggregation bounds the shuffle at depth·width rows
+    * PER PARTITION regardless of key cardinality (per-key exact counts
+    * would shuffle |keys| rows). Sketches built on slices merge by
+    * per-cell SUM — same mergeability story as the KMV/HLL registers —
+    * and the whole matrix (depth·width longs) broadcasts for probing. */
+  def countMinSketch(
+      df: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be positive")
+    df.select(explode(cmCells(col(keyCol), depth, width)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The `depth` (row, bucket) cells a key hashes to. */
+  private def cmCells(key: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map { i =>
+      struct(lit(i).as("row"),
+        (graft.LightFusion.rollingHash(
+          concat(lit(s"cm$i|"), key.cast("string"))) % width).as("bucket"))
+    }: _*)
+
+  /** Count-min point estimates for `keys` (any relation with a distinct
+    * `keyCol`): min over the key's `depth` counters, 0 for keys hashing
+    * only to untouched cells. `depth`/`width` must match the sketch's.
+    * The sketch (depth·width rows) broadcasts; keys never shuffle. */
+  def countMinEstimate(
+      sketch: DataFrame,
+      keys: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    val probes = keys.select(col(keyCol),
+        explode(cmCells(col(keyCol), depth, width)).as("rb"))
+      .select(col(keyCol), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+    probes.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_estimate"))
+  }
+
   /** Robust per-key outlier flags via median absolute deviation — the
     * MAD audit a pipeline prefers over z-scores on heavy-tailed columns
     * (doc length, engagement value), since median and MAD are immune to

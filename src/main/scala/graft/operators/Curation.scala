@@ -175,4 +175,29 @@ object Curation {
     staged.select(col(idCol), col("n_words"), col("difficulty"),
       stage.cast("long").as("stage"))
   }
+
+  /** Retrieval-training triples (the contrastive-learning data shape):
+    * each (anchor, positive) pair joins a SHARED `poolSize`-doc negative
+    * pool — the "in-batch negatives" pattern, where one small pool
+    * serves every pair — selected as the corpus-wide smallest
+    * deterministic hash keys (rolling hash over a salted id, so the pool
+    * is stable across runs and engines), with pool docs equal to either
+    * pair member excluded per triple.
+    *
+    * Scale shape: the pool is a TakeOrdered top-k (per-partition heaps,
+    * no global sort) and broadcasts; the cross join is pairs × poolSize,
+    * never corpus-sized. Emits (a_doc, b_doc, neg_doc). */
+  def trainingTriples(
+      pairs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      poolSize: Int = 8): DataFrame = {
+    require(poolSize > 0, "poolSize must be positive")
+    val pool = corpus.select(col(idCol).as("neg_doc"),
+        graft.LightFusion.rollingHash(
+          concat(lit("negpool|"), col(idCol).cast("string"))).as("hk"))
+      .orderBy(col("hk"), col("neg_doc")).limit(poolSize)
+    pairs.crossJoin(broadcast(pool.select("neg_doc")))
+      .where(col("neg_doc") =!= col("a_doc") && col("neg_doc") =!= col("b_doc"))
+  }
 }

@@ -16,7 +16,7 @@ object CorpusQueries {
 
   /** DuckDB replay of the 48-bit rolling fold over `expr` (same fold as
     * q52's fingerprint oracle). */
-  private def foldSql(expr: String): String =
+  private[queries] def foldSql(expr: String): String =
     s"""list_reduce(
        |    list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split($expr, '')]),
        |    (acc, c) -> (acc * 31 + c) % 281474976710656)""".stripMargin

@@ -529,6 +529,28 @@ object EventMediaQueries {
     s.table(name).presentSorted("click_id", "purchase_id")
   }
 
+  /** Next-event-prediction dataset ([[EventStreams.sequenceExamples]]):
+    * 3 preceding event types as context + label + recency gap, per
+    * user-ordered history. One window shuffle serves all lags. */
+  def q165SeqExamples(s: SparkSession, dir: String): DataFrame =
+    EventStreams.sequenceExamples(eventsTs(s, dir), k = 3)
+      .presentSorted("user_id", "event_id")
+
+  def q165Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |x AS (
+      |  SELECT user_id, event_id,
+      |    lag(event_type, 3) OVER w AS ctx_1,
+      |    lag(event_type, 2) OVER w AS ctx_2,
+      |    lag(event_type, 1) OVER w AS ctx_3,
+      |    event_type AS label,
+      |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id, ctx_1, ctx_2, ctx_3, label, gap_us
+      |FROM x WHERE ctx_1 IS NOT NULL
+      |ORDER BY user_id, event_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q58_attribution", q58Attribution _, q58Sql),
     ("q67_salted_join", q67SaltedJoin _, q67Sql),
@@ -565,7 +587,8 @@ object EventMediaQueries {
     ("q153_stream_funnel", q153StreamFunnel _, q147Sql),
     ("q155_interval_join", q155IntervalJoin _, q155Sql),
     ("q158_stream_session", q158StreamSession _, q61Sql),
-    ("q164_stream_attribution", q164StreamAttribution _, q58Sql))
+    ("q164_stream_attribution", q164StreamAttribution _, q58Sql),
+    ("q165_seq_examples", q165SeqExamples _, q165Sql))
 
   /** q147's funnel as a REAL stream ([[EventStreams.funnelStream]]):
     * events arrive via `readStream`, per-user state advances the greedy

@@ -835,6 +835,33 @@ object PipelineQueries {
       |WHERE jaccard >= 0.8
       |ORDER BY new_id, store_id""".stripMargin
 
+  /** Retrieval-training triples ([[Curation.trainingTriples]]): each q31
+    * near-dup pair is an (anchor, positive); negatives are a shared
+    * 8-doc pool broadcast against the pairs — see the operator doc for
+    * the scale shape. */
+  def q166TrainingTriples(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.8)
+      .select(col("a_doc"), col("b_doc"))
+    graft.operators.Curation.trainingTriples(pairs, d, "doc_id", poolSize = 8)
+      .presentSorted("a_doc", "b_doc", "neg_doc")
+  }
+
+  def q166Sql: String =
+    s"""WITH pairs AS (
+       |  SELECT a_doc, b_doc FROM (
+       |    ${q31Sql.linesIterator.filterNot(_.startsWith("ORDER BY")).mkString("\n    ")}
+       |  ) z),
+       |pool AS (
+       |  SELECT doc_id AS neg_doc FROM (
+       |    SELECT doc_id,
+       |      ${CorpusQueries.foldSql("'negpool|' || CAST(doc_id AS VARCHAR)")} AS hk
+       |    FROM documents ORDER BY hk, doc_id LIMIT 8) y)
+       |SELECT p.a_doc, p.b_doc, n.neg_doc
+       |FROM pairs p CROSS JOIN pool n
+       |WHERE n.neg_doc <> p.a_doc AND n.neg_doc <> p.b_doc
+       |ORDER BY a_doc, b_doc, neg_doc""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q30_dedup_exact", q30DedupExact _, q30Sql),
     ("q31_dedup_minhash_lsh", q31DedupMinhash _, q31Sql),
@@ -871,7 +898,8 @@ object PipelineQueries {
     ("q140_decontam_report", q140DecontamReport _, q140Sql),
     ("q143_pagerank", q143PageRank _, q143Sql),
     ("q145_url_policy", q145UrlPolicy _, q145Sql),
-    ("q146_crawl_budget", q146CrawlBudget _, q146Sql))
+    ("q146_crawl_budget", q146CrawlBudget _, q146Sql),
+    ("q166_training_triples", q166TrainingTriples _, q166Sql))
 
   /** Crawl-budget apportionment ([[graft.operators.Web.crawlBudget]]):
     * 10,000 pages split across the q143 host ranks by integer

@@ -215,6 +215,36 @@ object EventStreams {
     transitionCountsFromSteps(steps)
   }
 
+  /** Sequence-model training examples from the event log (the
+    * next-event-prediction dataset constructor): for every event with at
+    * least `k` predecessors in its user's (ts, event_id)-ordered
+    * history, emit the `k` preceding event types as context, the event's
+    * type as label, and the integer-µs gap to the immediate predecessor
+    * (the recency feature).
+    *
+    * Scale shape: one user-keyed window shuffle; all `k` lags and the
+    * gap ride the SAME window sort (one exchange, one sort, k+1 lag
+    * projections). Output is corpus-sized minus the first k events per
+    * user. Deterministic total order (ties broken by event_id), so a
+    * SQL oracle replays it exactly. */
+  def sequenceExamples(events: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val withCtx = (1 to k).foldLeft(
+      events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))) { (df, i) =>
+      df.withColumn(s"ctx_${k - i + 1}", lag(col("event_type"), i).over(seq))
+    }
+    withCtx
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(seq)))
+      .where(col("ctx_1").isNotNull) // ctx_1 = lag k: all k contexts present
+      .select(col("user_id") +: col("event_id") +:
+        (1 to k).map(i => col(s"ctx_$i")) :+
+        col("event_type").as("label") :+ col("gap_us"): _*)
+  }
+
   /** The |types|²-sized rollup of [[transitionCounts]], shared with the
     * streaming path ([[transitionStepsStream]]'s sink): step rows →
     * counts + exact conditional probabilities. */

@@ -90,4 +90,28 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long, Boolean)].collect().toSet
     assert(got == Set(("en", 5L, true), ("de", 2L, false)))
   }
+
+  test("trainingTriples: shared pool, per-triple member exclusion") {
+    import spark.implicits._
+    val corpus = (1L to 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a_doc", "b_doc")
+    val got = Curation.trainingTriples(pairs, corpus, "doc_id", poolSize = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    // the pool is the SAME 5 ids for every pair (shared negatives): the
+    // distinct neg sets per pair differ only by excluded members
+    val pool = Curation.trainingTriples(
+        Seq((100L, 101L)).toDF("a_doc", "b_doc"), corpus, "doc_id", 5)
+      .as[(Long, Long, Long)].collect().map(_._3).toSet
+    assert(pool.size == 5)
+    got.groupBy(t => (t._1, t._2)).foreach { case ((a, b), ts) =>
+      val negs = ts.map(_._3).toSet
+      assert(negs == pool -- Set(a, b))
+      assert(!negs.contains(a) && !negs.contains(b))
+    }
+    // determinism: same pool on a re-run
+    val again = Curation.trainingTriples(
+        Seq((100L, 101L)).toDF("a_doc", "b_doc"), corpus, "doc_id", 5)
+      .as[(Long, Long, Long)].collect().map(_._3).toSet
+    assert(again == pool)
+  }
 }

@@ -242,4 +242,41 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       assert(fin == Map(1L -> 3, 2L -> 1))
     } finally q.stop()
   }
+
+  test("sequenceExamples: hand-computed contexts, tie-break, gap, k floor") {
+    import spark.implicits._
+    // user 1: A,B,C,D,E (ids 1..5) → two examples (events D and E have
+    // ≥3 predecessors). user 2: 4 events, the last two at the SAME ts —
+    // event_id must order them (label Z, gap 0). user 3: 3 events — an
+    // event with only 2 predecessors is below the k floor, contributes
+    // nothing.
+    val df = Seq(
+      (1L, ts(0), 1L, "A"), (1L, ts(1), 2L, "B"), (1L, ts(3), 3L, "C"),
+      (1L, ts(6), 4L, "D"), (1L, ts(10), 5L, "E"),
+      (2L, ts(0), 6L, "W"), (2L, ts(1), 7L, "X"), (2L, ts(2), 8L, "Y"),
+      (2L, ts(2), 9L, "Z"),
+      (3L, ts(0), 10L, "P"), (3L, ts(1), 11L, "Q"), (3L, ts(2), 12L, "R"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventStreams.sequenceExamples(df, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3), r.getString(4), r.getString(5),
+          r.getLong(6)))).toMap
+    assert(got == Map(
+      (1L, 4L) -> (("A", "B", "C", "D", 3L * 60000000L)),
+      (1L, 5L) -> (("B", "C", "D", "E", 4L * 60000000L)),
+      (2L, 9L) -> (("W", "X", "Y", "Z", 0L))))
+  }
+
+  test("sequenceExamples: k=1 keeps every non-first event") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts(0), 1L, "A"), (1L, ts(5), 2L, "B"), (1L, ts(6), 3L, "C"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventStreams.sequenceExamples(df, k = 1).collect()
+      .map(r => r.getLong(1) -> ((r.getString(2), r.getString(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      2L -> (("A", "B", 5L * 60000000L)),
+      3L -> (("B", "C", 1L * 60000000L))))
+  }
 }
