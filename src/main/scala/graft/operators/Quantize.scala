@@ -37,4 +37,45 @@ object Quantize {
   /** Dequantize int8 codes back to doubles: `q_i · scale / 127`. */
   def dequantInt8(codes: Column, scale: Column): Column =
     transform(codes, q => q.cast("double") * scale / lit(127))
+
+  /** GBDT-style equi-depth feature binning (the histogram build LightGBM
+    * runs on ingest — `max_bin` buckets with roughly equal population):
+    * per feature, `nBins−1` exact discrete cut points at the
+    * `(100/nBins)·i` percentiles ([[Corpus.quantilesDiscrete]] — actual
+    * data values, rank-selected, engine-exact), then every row's bin is
+    * the COUNT OF CUTS STRICTLY BELOW its value. That formulation makes
+    * heavy ties well-defined with zero engine ambiguity: a tie run
+    * straddling a cut lands entirely in the lower bin, and duplicate cut
+    * values simply skip bins. Returns the per-(feature, bin) histogram:
+    * population and [lo, hi] value range.
+    *
+    * Input is the melted long form (feature, value) — the shape a
+    * 100-feature table explodes into for per-feature histogramming.
+    *
+    * Scale shape: one feature-keyed shuffle for the rank (the
+    * quantilesDiscrete note on dominant keys applies), a broadcast of
+    * the (features × nBins−1) cut table into a map-only bin assignment,
+    * and one map-combined (feature, bin) aggregation — bins output is
+    * features·nBins rows. */
+  def equiDepthBins(
+      melted: DataFrame,
+      featureCol: String,
+      valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && 100 % nBins == 0,
+      s"nBins must be >= 2 and divide 100: $nBins")
+    val pcts = (1 until nBins).map(_ * (100 / nBins))
+    val cuts = Corpus
+      .quantilesDiscrete(
+        melted.select(col(featureCol), col(valueCol)),
+        featureCol, valueCol, pcts)
+      .groupBy(col(featureCol))
+      .agg(sort_array(collect_list(col("value"))).as("cuts"))
+    melted.join(broadcast(cuts), Seq(featureCol))
+      .withColumn("bin",
+        size(filter(col("cuts"), c => col(valueCol) > c)).cast("long"))
+      .groupBy(col(featureCol), col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.SparkExt._
 import org.apache.spark.sql.functions._
 
-import graft.operators.Multimodal
+import graft.operators.{Corpus, Multimodal}
 import graft.streaming.EventStreams
 
 /** Batch entries for the streaming transforms (same code path as
@@ -551,6 +551,79 @@ object EventMediaQueries {
       |FROM x WHERE ctx_1 IS NOT NULL
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Count-min heavy hitters ([[graft.operators.Corpus.countMinSketch]]):
+    * the 4×256 sketch over event user_ids, probed for every observed
+    * user, top-20 by estimate — estimate ≥ exact always (collisions only
+    * over-count), and the exact column makes the bias auditable. The
+    * oracle rebuilds the identical sketch from per-user counts (sum of
+    * per-user counts per cell ≡ per-event increments). */
+  def q167HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val ev = RelationalQueries.events(s, dir)
+    val sketch = Corpus.countMinSketch(ev, "user_id", depth = 4, width = 256)
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+    Corpus.countMinEstimate(sketch, exact.select("user_id"), "user_id",
+        depth = 4, width = 256)
+      .join(exact, Seq("user_id"))
+      .select(col("user_id"), col("exact_cnt"), col("cm_estimate"),
+        (col("cm_estimate") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("cm_estimate").desc, col("user_id"))
+      .limit(20)
+      .presentSorted("user_id")
+  }
+
+  def q167Sql: String =
+    s"""WITH k AS (
+       |  SELECT user_id, CAST(user_id AS VARCHAR) AS ks,
+       |    count(*)::BIGINT AS exact_cnt
+       |  FROM events GROUP BY 1, 2),
+       |h AS (
+       |  SELECT user_id, exact_cnt, i,
+       |    ${CorpusQueries.foldSql("'cm' || CAST(i AS VARCHAR) || '|' || ks")}
+       |      % 256 AS bucket
+       |  FROM k, (SELECT unnest([0, 1, 2, 3]) AS i) t),
+       |sk AS (SELECT i, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cnt
+       |       FROM h GROUP BY 1, 2),
+       |est AS (
+       |  SELECT h.user_id, h.exact_cnt, min(sk.cnt) AS cm_estimate
+       |  FROM h JOIN sk USING (i, bucket) GROUP BY 1, 2)
+       |SELECT user_id, exact_cnt, cm_estimate,
+       |  cm_estimate - exact_cnt AS overcount
+       |FROM est ORDER BY cm_estimate DESC, user_id LIMIT 20""".stripMargin
+
+  /** q167's sketch built by a REAL stream: `readStream` over the events
+    * parquet → the same explode → (row, bucket) aggregation in COMPLETE
+    * mode — streaming state is the 4×256 matrix itself, the bounded-state
+    * contrast to per-key streaming counts — then the probe/exact audit
+    * runs batch-side over the drained sink. Stream ≡ batch is gated by
+    * q167's oracle. */
+  def q168StreamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val name = s"q168_stream_cm_${streamSeq.incrementAndGet()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val schema = RelationalQueries.events(s, dir).schema
+      val stream = s.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$dir/events.parquet*")
+      val q = Corpus.countMinSketch(stream, "user_id", depth = 4, width = 256)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val sketch = s.table(name)
+    val exact = RelationalQueries.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+    Corpus.countMinEstimate(sketch, exact.select("user_id"), "user_id",
+        depth = 4, width = 256)
+      .join(exact, Seq("user_id"))
+      .select(col("user_id"), col("exact_cnt"), col("cm_estimate"),
+        (col("cm_estimate") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("cm_estimate").desc, col("user_id"))
+      .limit(20)
+      .presentSorted("user_id")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q58_attribution", q58Attribution _, q58Sql),
     ("q67_salted_join", q67SaltedJoin _, q67Sql),
@@ -588,7 +661,9 @@ object EventMediaQueries {
     ("q155_interval_join", q155IntervalJoin _, q155Sql),
     ("q158_stream_session", q158StreamSession _, q61Sql),
     ("q164_stream_attribution", q164StreamAttribution _, q58Sql),
-    ("q165_seq_examples", q165SeqExamples _, q165Sql))
+    ("q165_seq_examples", q165SeqExamples _, q165Sql),
+    ("q167_heavy_hitters", q167HeavyHitters _, q167Sql),
+    ("q168_stream_heavy_hitters", q168StreamHeavyHitters _, q167Sql))
 
   /** q147's funnel as a REAL stream ([[EventStreams.funnelStream]]):
     * events arrive via `readStream`, per-user state advances the greedy

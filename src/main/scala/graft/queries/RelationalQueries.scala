@@ -453,6 +453,50 @@ object RelationalQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Equi-depth feature binning ([[graft.operators.Quantize
+    * .equiDepthBins]]): the LightGBM-ingest histogram build over three
+    * melted lineitem features — 10 bins each from exact rank-selected
+    * decile cuts, bin = count of cuts strictly below the value (ties land
+    * low, duplicate cuts skip bins — l_discount has only ~11 distinct
+    * values, exercising exactly that path). */
+  def q169FeatureBins(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val melted =
+      li.select(lit("discount").as("feature"), col("l_discount").as("value"))
+        .unionAll(li.select(lit("extendedprice").as("feature"),
+          col("l_extendedprice").as("value")))
+        .unionAll(li.select(lit("quantity").as("feature"),
+          col("l_quantity").as("value")))
+    graft.operators.Quantize.equiDepthBins(melted, "feature", "value", nBins = 10)
+      .presentSorted("feature", "bin")
+  }
+
+  def q169Sql: String =
+    """WITH m AS (
+      |  SELECT 'discount' AS feature, l_discount AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT 'extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT 'quantity', l_quantity FROM lineitem),
+      |r AS (
+      |  SELECT feature, value,
+      |    row_number() OVER (PARTITION BY feature ORDER BY value) AS rk,
+      |    count(*) OVER (PARTITION BY feature) AS n
+      |  FROM m),
+      |c AS (
+      |  SELECT feature, list_sort(list(value)) AS cuts
+      |  FROM r, (SELECT unnest([10,20,30,40,50,60,70,80,90]) AS pct) p
+      |  WHERE rk = greatest(1, CAST(ceil(pct * n / 100.0) AS BIGINT))
+      |  GROUP BY feature),
+      |b AS (
+      |  SELECT m.feature,
+      |    CAST(len(list_filter(c.cuts, x -> m.value > x)) AS BIGINT) AS bin,
+      |    m.value
+      |  FROM m JOIN c USING (feature))
+      |SELECT feature, bin, count(*) AS n_rows, min(value) AS lo, max(value) AS hi
+      |FROM b GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_revenue_by_nation", q02RevenueByNation _, q02Sql),
@@ -470,5 +514,6 @@ object RelationalQueries {
     ("q14_distinct_agg", q14DistinctAgg _, q14Sql),
     ("q15_above_nation_avg", q15AboveNationAvg _, q15Sql),
     ("q25_local_supplier_volume", q25LocalSupplierVolume _, q25Sql),
-    ("q73_bucketed_join", q73BucketedJoin _, q73Sql))
+    ("q73_bucketed_join", q73BucketedJoin _, q73Sql),
+    ("q169_feature_bins", q169FeatureBins _, q169Sql))
 }

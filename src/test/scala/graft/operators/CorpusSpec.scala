@@ -444,4 +444,56 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       .map(_.getAs[Double]("n_distinct_est"))
     assert(per.forall(_ <= union.getAs[Double]("n_distinct_est") + 1e-9))
   }
+
+  /** The rolling_hash fold, replicated for reference-sketch building. */
+  private def fold(s: String): Long = {
+    var h = 0L
+    s.foreach(c => h = (h * 31L + c) & ((1L << 48) - 1))
+    h
+  }
+
+  test("countMinSketch equals a hand-built reference; estimate bounds; merge") {
+    import spark.implicits._
+    val depth = 3; val width = 4 // tiny width → forced collisions
+    // skewed keys: 1 → heavy, then a tail
+    val keys = Seq.fill(10)(1L) ++ Seq.fill(5)(2L) ++ Seq(3L, 4L, 5L)
+    val df = keys.toDF("k")
+    val got = Corpus.countMinSketch(df, "k", depth, width).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ref = keys
+      .flatMap(k => (0 until depth).map(i => (i, fold(s"cm$i|$k") % width)))
+      .groupBy(identity).map { case (cell, hits) => cell -> hits.size.toLong }
+    assert(got == ref)
+    // every row of the sketch sums to the corpus size
+    (0 until depth).foreach { i =>
+      assert(got.collect { case ((r, _), c) if r == i => c }.sum == keys.size)
+    }
+    // estimates: min over the key's cells, always >= the exact count
+    val sketch = Corpus.countMinSketch(df, "k", depth, width)
+    val est = Corpus.countMinEstimate(
+        sketch, keys.distinct.toDF("k"), "k", depth, width)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"estimate for $k under-counts")
+      val refEst = (0 until depth)
+        .map(i => ref.getOrElse((i, fold(s"cm$i|$k") % width), 0L)).min
+      assert(est(k) == refEst)
+    }
+    // mergeability: slice sketches combine by per-cell sum
+    val (a, b) = keys.splitAt(7)
+    val merged = (Corpus.countMinSketch(a.toDF("k"), "k", depth, width) union
+        Corpus.countMinSketch(b.toDF("k"), "k", depth, width))
+      .groupBy("row", "bucket").agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == got)
+    // a key hashing only to untouched cells estimates 0 (left-join path)
+    val lonely = Corpus.countMinSketch(Seq(1L).toDF("k"), "k", depth, width = 257)
+    val miss = Corpus.countMinEstimate(lonely, Seq(99L).toDF("k"), "k", depth, 257)
+      .collect().head.getLong(1)
+    val missRef = (0 until depth).map { i =>
+      if (fold(s"cm$i|1") % 257 == fold(s"cm$i|99") % 257) 1L else 0L
+    }.min
+    assert(miss == missRef)
+  }
 }

@@ -49,4 +49,31 @@ class QuantizeSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("equiDepthBins: uniform values bin evenly; heavy ties land low") {
+    import spark.implicits._
+    // feature u: 1.0..100.0 unique → 10 exact deciles, 10 rows per bin.
+    // feature t: 60× value 5.0 and 40× value 9.0 → every decile cut is
+    // 5.0 or 9.0; ties land in the LOWER bin, duplicate cuts skip bins.
+    val m = ((1 to 100).map(i => ("u", i.toDouble)) ++
+      Seq.fill(60)(("t", 5.0)) ++ Seq.fill(40)(("t", 9.0)))
+      .toDF("feature", "value")
+    val got = Quantize.equiDepthBins(m, "feature", "value", nBins = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // uniform: cut p = value at rank p (10,20,…,90) = 10.0,…,90.0;
+    // bin b covers (10b, 10(b+1)] with 10 members — except bin 0 gets
+    // values ≤ 10.0 (ranks 1..10)
+    (0 to 9).foreach { b =>
+      val (n, lo, hi) = got(("u", b.toLong))
+      assert(n == 10L, s"bin $b population")
+      assert(lo == b * 10 + 1.0 && hi == (b + 1) * 10.0)
+    }
+    // ties: cuts = [5,5,5,5,5,5,9,9,9]; value 5 exceeds no cut → bin 0;
+    // value 9 exceeds the six 5-cuts → bin 6. Bins 1-5 and 7-9 absent.
+    assert(got.keySet.filter(_._1 == "t") == Set(("t", 0L), ("t", 6L)))
+    assert(got(("t", 0L)) == ((60L, 5.0, 5.0)))
+    assert(got(("t", 6L)) == ((40L, 9.0, 9.0)))
+  }
 }

@@ -19,7 +19,10 @@ if _args and Path(_args[0]).is_dir():
     SFDIR, ONLY = _args[0], _args[1:]
 else:
     SFDIR, ONLY = "/root/testdata/sf0.01", _args
-OUT = "/tmp/graft_verify"
+# Overridable so two concurrent gate runs can't clobber each other's
+# Verify outputs mid-compare (a shared dir produced a false FAIL once).
+import os
+OUT = os.environ.get("GRAFT_VERIFY_OUT", "/tmp/graft_verify")
 SKIP_VERIFY = "--skip-verify" in sys.argv
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
