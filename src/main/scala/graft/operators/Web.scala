@@ -223,4 +223,66 @@ object Web {
           when(col("rn") <= lit(budget) - col("sb"), lit(1L))
             .otherwise(lit(0L))).as("alloc"))
   }
+
+  /** Per-node triangle counts on an undirected graph — the link-spam /
+    * community-density signal (a host whose neighborhood is a dense
+    * clique is a link farm; one with many neighbors and no triangles is
+    * a hub). Returns `(node, deg, n_triangles)` for every node.
+    *
+    * The naive edge³ enumeration counts each triangle 6× and — fatally
+    * at web scale — builds every wedge through the highest-degree hubs
+    * (a 10⁶-degree host contributes 10¹² wedges). This is the standard
+    * DEGREE-ORDERED ORIENTATION: each undirected edge is directed from
+    * its lower-(deg, node) endpoint to its higher, so every node's
+    * forward-adjacency is O(√m) regardless of its true degree, every
+    * triangle is enumerated EXACTLY once (from its lowest-rank corner),
+    * and the wedge join's fan-out is Σ fwd-deg² = O(m^1.5) worst case
+    * instead of Σ deg².
+    *
+    * Scale shape: canonical-edge distinct (one shuffle), degree agg (one
+    * shuffle), then the wedge self-join keyed on the wedge CENTER and the
+    * closing semi-join keyed on the (v, w) pair — all hash-partitioned
+    * joins on keys that spread across executors; the edge list is
+    * materialized once (`localCheckpoint`) and reused by all three.
+    * Self-loops and nulls are dropped; duplicate input edges collapse. */
+  def triangleCounts(edges: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val e = edges
+      .where(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(xCol) =!= col(yCol))
+      .select(least(col(xCol), col(yCol)).as("a"),
+        greatest(col(xCol), col(yCol)).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient low-rank → high-rank, rank = (deg, node); carry the head's
+    // rank so the wedge ordering below needs no further join
+    val oriented = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+          .as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+      .localCheckpoint()
+    // wedges centered at u between forward-neighbors v1 < v2 (rank
+    // order); a closing edge between them is necessarily oriented v1→v2
+    val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+    val tris = x.join(y, "u")
+      .where(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+      .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -899,7 +899,8 @@ object PipelineQueries {
     ("q143_pagerank", q143PageRank _, q143Sql),
     ("q145_url_policy", q145UrlPolicy _, q145Sql),
     ("q146_crawl_budget", q146CrawlBudget _, q146Sql),
-    ("q166_training_triples", q166TrainingTriples _, q166Sql))
+    ("q166_training_triples", q166TrainingTriples _, q166Sql),
+    ("q170_triangles", q170Triangles _, q170Sql))
 
   /** Crawl-budget apportionment ([[graft.operators.Web.crawlBudget]]):
     * 10,000 pages split across the q143 host ranks by integer
@@ -1043,6 +1044,58 @@ object PipelineQueries {
        |SELECT node, p, CAST(p AS DOUBLE) / ${S.toDouble} AS rank
        |FROM r3 ORDER BY node""".stripMargin
   }
+
+  /** Per-node triangle counts ([[graft.operators.Web.triangleCounts]])
+    * on the co-mention host graph: each doc closes a triangle among
+    * {its source host, `d{id%17}.example.com`, `mirror{id%5}.org`}, so
+    * triangle density separates hosts that are co-cited together (link
+    * farms / mirror clusters) from pure hubs. The oracle enumerates
+    * triangles by lexicographic a<b<c self-joins — the degree-ordered
+    * orientation must find EXACTLY the same triangle set. */
+  def q170Triangles(s: SparkSession, dir: String): DataFrame = {
+    val tr = docs(s, dir).select(
+      col("source").as("s"),
+      concat(lit("d"), (col("doc_id") % 17).cast("string"),
+        lit(".example.com")).as("d1"),
+      concat(lit("mirror"), (col("doc_id") % 5).cast("string"),
+        lit(".org")).as("d2"))
+    val edges = tr.select(col("s").as("x"), col("d1").as("y"))
+      .unionAll(tr.select(col("s"), col("d2")))
+      .unionAll(tr.select(col("d1"), col("d2")))
+    graft.operators.Web.triangleCounts(edges, "x", "y")
+      .presentSorted("node")
+  }
+
+  def q170Sql: String =
+    """WITH t AS (
+      |  SELECT source AS s,
+      |    'd' || CAST(doc_id % 17 AS VARCHAR) || '.example.com' AS d1,
+      |    'mirror' || CAST(doc_id % 5 AS VARCHAR) || '.org' AS d2
+      |  FROM documents),
+      |e0 AS (
+      |  SELECT s AS x, d1 AS y FROM t
+      |  UNION ALL SELECT s, d2 FROM t
+      |  UNION ALL SELECT d1, d2 FROM t),
+      |e AS (
+      |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+      |  FROM e0 WHERE x <> y AND x IS NOT NULL AND y IS NOT NULL),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY node),
+      |tri AS (
+      |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      |  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+      |    ON e3.a = e1.a AND e3.b = e2.b),
+      |cnt AS (
+      |  SELECT node, count(*) AS nt FROM (
+      |    SELECT u AS node FROM tri
+      |    UNION ALL SELECT v FROM tri
+      |    UNION ALL SELECT w FROM tri)
+      |  GROUP BY node)
+      |SELECT d.node, d.deg, coalesce(c.nt, 0) AS n_triangles
+      |FROM deg d LEFT JOIN cnt c ON c.node = d.node
+      |ORDER BY d.node""".stripMargin
 
   /** The decontamination AUDIT a lab runs before training: one row per
     * EVAL doc (the q38 probe slice, doc_id % 7 = 0) combining all three

@@ -165,4 +165,46 @@ class WebSpec extends AnyFunSuite with SparkTestBase {
       "a.com" -> ((3L, 2L)),
       "b.org" -> ((1L, 1L))))
   }
+
+  test("triangleCounts: K4 + pendant, dup/reversed/self-loop/null edges") {
+    import spark.implicits._
+    // K4 on a..d (4 triangles, 3 per node), pendant e off d, plus noise:
+    // duplicate edge, reversed duplicate, self-loop, null endpoint
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"),
+      ("a", "b"), ("b", "a"), ("c", "c"), (null, "a"))
+      .toDF("x", "y")
+    val got = Web.triangleCounts(edges, "x", "y").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "a" -> ((3L, 3L)), "b" -> ((3L, 3L)), "c" -> ((3L, 3L)),
+      "d" -> ((4L, 3L)), "e" -> ((1L, 0L))))
+  }
+
+  test("triangleCounts matches naive enumeration on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val pairs = for {
+      i <- 0 until n; j <- (i + 1) until n
+      if rnd.nextDouble() < 0.15
+    } yield (s"n$i", s"n$j")
+    val df = pairs.toDF("x", "y")
+    val got = Web.triangleCounts(df, "x", "y").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // naive: count closed triples per node
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val naive = adj.map { case (v, ns) =>
+      val nsSeq = ns.toSeq
+      v -> nsSeq.combinations(2).count {
+        case Seq(p, q) => adj(p).contains(q)
+        case _ => false
+      }.toLong
+    }
+    assert(got.filter(_._2 > 0) == naive.filter(_._2 > 0).toMap)
+    assert(got.values.sum == 3 * (naive.values.sum / 3) &&
+      got.values.sum == naive.values.sum)
+  }
 }
