@@ -151,4 +151,55 @@ object Lakehouse {
       .withColumn("is_current", col("valid_to").isNull)
       .drop(tsCol)
   }
+
+  // --- incremental aggregate maintenance ---------------------------------
+
+  /** Per-shard MERGEABLE stats (count / sum / min / max of `valCol` per
+    * group key) — the monoid partial a lake persists per ingest batch so
+    * corpus-wide statistics never require a full rescan: each arriving
+    * shard contributes one partial table, and [[combineStatsPartials]]
+    * folds ANY set of partials into the exact direct aggregate over
+    * their union (associative + commutative, so shard boundaries,
+    * arrival order, and re-sharding are all invisible).
+    *
+    * Scale shape: one map-side-combined key shuffle PER SHARD at ingest
+    * (shard-sized, not corpus-sized); the combine is an aggregation over
+    * |keys|·|shards| partial rows — independent of corpus row count.
+    * Nulls in `valCol` count toward `n_rows` but not the sum/extrema
+    * (Spark and SQL agree); an all-null shard contributes null extrema,
+    * which min/max skip at combine time — identical to the direct agg.
+    * `sum` stays the input's integer type: at 100 TB switch callers to a
+    * decimal cast if |Σ| can cross 2⁶³ (char counts cross at ~9 EB). */
+  def statsPartials(df: DataFrame, keys: Seq[String], valCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(valCol).as("s"),
+        min(valCol).as("mn"), max(valCol).as("mx"))
+
+  /** Fold shard partials ([[statsPartials]] outputs, unioned or read
+    * from a shard-partitioned store) into the exact aggregate over the
+    * union of the shards. */
+  def combineStatsPartials(partials: DataFrame, keys: Seq[String]): DataFrame =
+    partials.groupBy(keys.map(col): _*)
+      .agg(sum("n_rows").as("n_rows"), sum("s").as("s"),
+        min("mn").as("mn"), max("mx").as("mx"))
+
+  /** Persist one shard's partial into `storePath/shard=<shardId>` —
+    * idempotent per shard (overwrite), so a re-ingested batch replaces
+    * its own partial instead of double-counting. */
+  def writeStatsShard(
+      df: DataFrame,
+      keys: Seq[String],
+      valCol: String,
+      storePath: String,
+      shardId: String): Unit =
+    statsPartials(df, keys, valCol)
+      .write.mode("overwrite").parquet(s"$storePath/shard=$shardId")
+
+  /** Combined stats over every shard currently in the store. */
+  def statsFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      keys: Seq[String]): DataFrame =
+    combineStatsPartials(
+      spark.read.parquet(storePath).drop("shard"), keys)
 }

@@ -875,7 +875,45 @@ object CorpusQueries {
     ("q156_shard_plan", q156ShardPlan _, q156Sql),
     ("q159_dpo_pairs", q159DpoPairs _, q159Sql),
     ("q162_dist_match", q162DistMatch _, q162Sql),
-    ("q163_pack_audit", q163PackAudit _, q163Sql))
+    ("q163_pack_audit", q163PackAudit _, q163Sql),
+    ("q171_incremental_stats", q171IncrementalStats _, q171Sql))
+
+  /** Incremental aggregate maintenance
+    * ([[graft.operators.Lakehouse.statsPartials]]): the corpus arrives
+    * as three "crawl batches" (`doc_id % 3`), each persisting only its
+    * shard-sized partial (count/sum/min/max of n_chars per
+    * source × lang) into the stats store; the corpus-wide profile is
+    * then folded from |keys|·3 partial rows WITHOUT rescanning any
+    * batch. The oracle is the direct aggregate over the whole table —
+    * the gate proves shard boundaries are invisible. */
+  def q171IncrementalStats(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("source", "lang")
+    val store = statsStores.computeIfAbsent(dir, _ => {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_stats_" +
+        graft.operators.Bucketing.dirTag(dir)
+      val d = docs(s, dir)
+      (0 to 2).foreach { b =>
+        graft.operators.Lakehouse.writeStatsShard(
+          d.where(col("doc_id") % 3 === b), keys, "n_chars", p, s"b$b")
+      }
+      p
+    })
+    graft.operators.Lakehouse.statsFromStore(s, store, Seq("source", "lang"))
+      .select(col("source"), col("lang"), col("n_rows"),
+        col("s").as("sum_chars"), col("mn").as("min_chars"),
+        col("mx").as("max_chars"))
+      .presentSorted("source", "lang")
+  }
+
+  private val statsStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q171Sql: String =
+    """SELECT source, lang, count(*) AS n_rows,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
 
   /** Robust MAD outlier audit ([[Corpus.madOutliers]]) on doc length
     * per source: median + median-absolute-deviation by rank-selected

@@ -125,4 +125,47 @@ class LakehouseSpec extends AnyFunSuite with SparkTestBase {
     val b = spark.read.parquet(in).orderBy("doc_id").collect().map(_.toSeq)
     assert(a.sameElements(b))
   }
+
+  test("statsPartials: any sharding combines to the direct aggregate; nulls skip extrema") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L), ("a", 5L), ("a", -2L), ("b", 7L), ("b", 7L), ("c", 0L))
+      .toDF("k", "v")
+      .unionByName(Seq(("a", null: java.lang.Long), ("d", null: java.lang.Long))
+        .toDF("k", "v"))
+    val direct = Lakehouse.statsPartials(rows, Seq("k"), "v")
+      .orderBy("k").collect().map(_.toSeq)
+    // two different shardings must fold to the identical result
+    for (mod <- Seq(2, 3)) {
+      val withId = rows.withColumn("i", monotonically_increasing_id())
+      val parts = (0 until mod).map { b =>
+        Lakehouse.statsPartials(
+          withId.where(pmod(col("i"), lit(mod)) === b).drop("i"), Seq("k"), "v")
+      }.reduce(_ unionByName _)
+      val combined = Lakehouse.combineStatsPartials(parts, Seq("k"))
+        .orderBy("k").collect().map(_.toSeq)
+      assert(combined.sameElements(direct), s"mod=$mod")
+    }
+    // null rows count but don't move sum/extrema; all-null key d stays null
+    val m = direct.map(r => r.head -> r.tail).toMap
+    assert(m("a") == Seq(4L, 4L, -2L, 5L))
+    assert(m("d") == Seq(1L, null, null, null))
+  }
+
+  test("stats store: shard overwrite is idempotent, append extends the fold") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_st").toString
+    val s1 = Seq(("x", 10L), ("y", 1L)).toDF("k", "v")
+    val s2 = Seq(("x", 30L)).toDF("k", "v")
+    Lakehouse.writeStatsShard(s1, Seq("k"), "v", store, "b0")
+    // re-ingesting the SAME shard must replace, not double-count
+    Lakehouse.writeStatsShard(s1, Seq("k"), "v", store, "b0")
+    Lakehouse.writeStatsShard(s2, Seq("k"), "v", store, "b1")
+    val got = Lakehouse.statsFromStore(spark, store, Seq("k"))
+      .orderBy("k").collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "x" -> ((2L, 40L, 10L, 30L)),
+      "y" -> ((1L, 1L, 1L, 1L))))
+  }
 }
