@@ -282,6 +282,70 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric shingle-CONTAINMENT pairs: `C(A→B) = |A∩B| / |A| ≥
+    * num/den` — the doc-in-doc signal Jaccard structurally misses (a
+    * quoted article inside a long aggregator page has tiny Jaccard but
+    * containment ≈ 1; near-dup passes keep both copies, a containment
+    * pass catches the quotation). Returns one row per DIRECTED
+    * qualifying pair: `a_doc` (contained) × `b_doc` (container).
+    *
+    * Scale design is PREFIX FILTERING (PPJoin's completeness argument):
+    * order every doc's shingles by ascending global document frequency
+    * (ties by hash — one total order), and probe only the first
+    * `|A| − t + 1` of them, `t = ceil(num·|A|/den)`. Any B with overlap
+    * ≥ t must share one of those prefix shingles (pigeonhole: missing
+    * all of them leaves at most t−1 matches), so joining the prefix
+    * against the corpus's full shingle postings is COMPLETE — and the
+    * prefix is the ~(1−τ) RAREST slice of each doc, so the candidate
+    * join runs on low-df keys (a stop-gram posting list is only ever
+    * probed by the rare doc whose prefix reaches it). Candidates are
+    * id-only; arrays join back for the O(n+m) merge verify.
+    *
+    * Shuffles: gram df agg, per-doc rank window (doc-sized partitions),
+    * the prefix⋈postings join, and the verify joins — all keyed,
+    * none quadratic. Empty-shingle docs (< 3 words) are excluded up
+    * front: a 0-size probe set would make the threshold vacuously true
+    * against every doc. */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      num: Int = 9,
+      den: Int = 10): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "threshold must be in (0,1]")
+    val sh = hashedShingled(docs, idCol, textCol)
+      .withColumn("sz", size(col("sg")))
+      .cache()
+    val grams = sh.select(col(idCol), col("sz"), explode(col("sg")).as("g"))
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df"), col("g"))
+    val prefix = grams.join(dfreq, "g")
+      .withColumn("rk", row_number().over(w))
+      // prefixLen = sz − t + 1 with t = ceil(num·sz/den), all integer
+      .where(col("rk") <=
+        expr(s"sz - ((sz * $num + ${den - 1}) div $den) + 1"))
+      .select(col(idCol).as("a"), col("g"))
+    val postings = grams.select(col(idCol).as("b"), col("g"))
+    val cand = prefix.join(postings, "g")
+      .where(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val sa = sh.select(col(idCol).as("a"), col("sg").as("a_sg"), col("sz").as("a_size"))
+    val sb = sh.select(col(idCol).as("b"), col("sg").as("b_sg"), col("sz").as("b_size"))
+    cand.join(sa, "a").join(sb, "b")
+      .select(col("a").as("a_doc"), col("b").as("b_doc"),
+        org.apache.spark.sql.graft.SparkShims.column(
+          graft.functions.SortedIntersectCount(
+            org.apache.spark.sql.graft.SparkShims.expression(col("a_sg")),
+            org.apache.spark.sql.graft.SparkShims.expression(col("b_sg"))))
+          .cast("long").as("overlap"),
+        col("a_size").cast("long").as("a_size"),
+        col("b_size").cast("long").as("b_size"))
+      .where(col("overlap") * den >= col("a_size") * num)
+      .withColumn("containment",
+        col("overlap").cast("double") / col("a_size"))
+  }
+
   /** 64-bit bit-vote SimHash as a codegen expression (same UDF-conversion
     * rationale as [[bandKeys]]). */
   def simhash(hashes: Column): Column =

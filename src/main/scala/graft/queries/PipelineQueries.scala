@@ -900,7 +900,8 @@ object PipelineQueries {
     ("q145_url_policy", q145UrlPolicy _, q145Sql),
     ("q146_crawl_budget", q146CrawlBudget _, q146Sql),
     ("q166_training_triples", q166TrainingTriples _, q166Sql),
-    ("q170_triangles", q170Triangles _, q170Sql))
+    ("q170_triangles", q170Triangles _, q170Sql),
+    ("q172_containment", q172Containment _, q172Sql))
 
   /** Crawl-budget apportionment ([[graft.operators.Web.crawlBudget]]):
     * 10,000 pages split across the q143 host ranks by integer
@@ -1096,6 +1097,36 @@ object PipelineQueries {
       |SELECT d.node, d.deg, coalesce(c.nt, 0) AS n_triangles
       |FROM deg d LEFT JOIN cnt c ON c.node = d.node
       |ORDER BY d.node""".stripMargin
+
+  /** Doc-in-doc containment pairs ([[Dedup.containmentPairs]],
+    * C(A→B) = |A∩B|/|A| ≥ 0.9 over trigram shingles): the quotation /
+    * subset-duplication signal Jaccard misses. The oracle computes the
+    * full pairwise containment (gram-join blocking is exact: a
+    * qualifying pair shares ≥1 shingle since |A| ≥ 1), so the gate
+    * proves the prefix filter drops NOTHING. */
+  def q172Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), "doc_id", "text", num = 9, den = 10)
+      .presentSorted("a_doc", "b_doc")
+
+  def q172Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) sg
+      |       FROM w WHERE len(ws) >= 3),
+      |e AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+      |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id)
+      |SELECT c.a_doc, c.b_doc,
+      |  CAST(len(list_intersect(sa.sg, sb.sg)) AS BIGINT) AS overlap,
+      |  CAST(len(sa.sg) AS BIGINT) AS a_size,
+      |  CAST(len(sb.sg) AS BIGINT) AS b_size,
+      |  CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) / len(sa.sg)
+      |    AS containment
+      |FROM cand c JOIN sh sa ON sa.doc_id = c.a_doc
+      |  JOIN sh sb ON sb.doc_id = c.b_doc
+      |WHERE 10 * len(list_intersect(sa.sg, sb.sg)) >= 9 * len(sa.sg)
+      |ORDER BY a_doc, b_doc""".stripMargin
 
   /** The decontamination AUDIT a lab runs before training: one row per
     * EVAL doc (the q38 probe slice, doc_id % 7 = 0) combining all three

@@ -603,4 +603,49 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got("books") == ((2L, 1L, 1.0 / 2.0)))
     assert(got("wiki") == ((1L, 0L, 0.0)))
   }
+
+  test("containmentPairs: quote-in-page found, asymmetry, prefix filter complete") {
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog again"
+    val page = s"aggregator intro text here $quote and trailing commentary words follow now"
+    val df = Seq(
+      (1L, quote),                      // contained in 2 (C(1→2)=1)
+      (2L, page),                       // NOT contained in 1 (|2|>|1|)
+      (3L, "completely unrelated words about something else entirely today"),
+      (4L, quote))                      // exact dup of 1: both directions
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)) && !got.contains((2L, 1L)))
+    assert(got.contains((1L, 4L)) && got.contains((4L, 1L)))
+    assert(got.contains((4L, 2L)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("containmentPairs matches brute force on a random corpus (completeness)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 60).map(i => s"w$i")
+    // overlapping random docs: draw a contiguous vocab slice so subset
+    // relations actually occur
+    val docs = (1L to 40L).map { id =>
+      val start = rnd.nextInt(40)
+      val len = 5 + rnd.nextInt(20)
+      id -> (start until (start + len)).map(i => vocab(i % 60)).mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
+    // brute force over trigram shingle sets
+    def sh(t: String): Set[String] =
+      t.split(" ").toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> sh(t) }.toMap
+    val naive = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b && sa.nonEmpty
+      ov = (sa intersect sb).size
+      if 10 * ov >= 7 * sa.size
+    } yield (a, b, ov)).toSet
+    assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
+  }
 }
