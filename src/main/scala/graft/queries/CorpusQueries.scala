@@ -876,7 +876,8 @@ object CorpusQueries {
     ("q159_dpo_pairs", q159DpoPairs _, q159Sql),
     ("q162_dist_match", q162DistMatch _, q162Sql),
     ("q163_pack_audit", q163PackAudit _, q163Sql),
-    ("q171_incremental_stats", q171IncrementalStats _, q171Sql))
+    ("q171_incremental_stats", q171IncrementalStats _, q171Sql),
+    ("q173_stream_stats", q173StreamStats _, q171Sql))
 
   /** Incremental aggregate maintenance
     * ([[graft.operators.Lakehouse.statsPartials]]): the corpus arrives
@@ -907,6 +908,41 @@ object CorpusQueries {
 
   private val statsStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q171's stats store maintained by a REAL stream: `readStream` over
+    * the corpus, each micro-batch persisting ONLY its own shard partial
+    * via `foreachBatch` ([[graft.operators.Lakehouse.writeStatsShard]],
+    * shard = batch id) — the continuous-ingest form of incremental
+    * aggregate maintenance: profile freshness costs one batch-sized
+    * shuffle per trigger, never a corpus rescan. Stream ≡ batch is the
+    * gate: the oracle is q171's direct aggregate. */
+  def q173StreamStats(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("source", "lang")
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/documents.parquet*")
+    // pid-qualified: two concurrent JVMs (verify + bench) must not share
+    // a store — shard files from another run would fold into the result
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft_ststats_" +
+      s"${ProcessHandle.current().pid()}_${streamSeq.incrementAndGet()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.operators.Lakehouse.writeStatsShard(
+            b, keys, "n_chars", store, s"b$id")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    graft.operators.Lakehouse.statsFromStore(s, store, keys)
+      .select(col("source"), col("lang"), col("n_rows"),
+        col("s").as("sum_chars"), col("mn").as("min_chars"),
+        col("mx").as("max_chars"))
+      .presentSorted("source", "lang")
+  }
 
   def q171Sql: String =
     """SELECT source, lang, count(*) AS n_rows,

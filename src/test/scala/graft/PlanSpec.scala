@@ -219,6 +219,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q170 triangles: every join is keyed — no cartesian, no nested-loop") {
+    val s = planOf(PipelineQueries.q170Triangles(spark, sfDir))
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"triangle enumeration must never plan an unkeyed join:\n$s")
+  }
+
+  test("q172 containment: keyed joins only; exchanges never carry shingle arrays") {
+    val df = graft.operators.Dedup.containmentPairs(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    val s = planOf(df)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"prefix filter must keep candidate generation keyed:\n$s")
+    // candidate-side exchanges ship (id, gram/df) only; the sg arrays may
+    // ride an exchange ONLY for the final verify re-attach by id
+    val ex = s.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty)
+  }
+
   test("query names are unique across suites (toMap would silently drop dups)") {
     val names = Seq(
       queries.RelationalQueries.all, queries.AdvancedQueries.all,
