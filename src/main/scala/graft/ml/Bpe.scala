@@ -118,6 +118,28 @@ final class Bpe(val merges: IndexedSeq[(String, String)]) extends Serializable {
 object Bpe {
   private val WordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to the Java-regex ∩
+    * RE2 subset so the oracle replays it verbatim: contraction
+    * suffixes, then space-prefixed letter / digit / symbol runs, then
+    * residual whitespace runs. Two deliberate deltas from the original
+    * GPT-2 pattern (`gpt2/encoder.py`): no `(?!\S)` lookahead (RE2 has
+    * none — trailing-space splitting is approximated by the plain
+    * `\s+` arm) and no byte-level remap (tokens stay code points).
+    * Case is PRESERVED — the GPT-2 convention — unlike [[words]]. */
+  private val PretokRe = java.util.regex.Pattern.compile(
+    "'(?:s|t|d|m|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+")
+
+  /** GPT-2-style pretokens of the raw text (leading spaces attached to
+    * the following word — the signal that lets a BPE vocab distinguish
+    * word-initial from word-internal pieces). Null → no tokens. */
+  def pretokenize(text: String): Seq[String] = {
+    if (text == null) return Nil
+    val m = PretokRe.matcher(text)
+    val out = new ArrayBuffer[String]
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
   /** `[a-z0-9]+` runs of the lowercased text — identical to the oracle's
     * `regexp_extract_all(lower(text), '[a-z0-9]+')`. */
   def words(text: String): Seq[String] = {

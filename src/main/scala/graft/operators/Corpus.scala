@@ -992,4 +992,136 @@ object Corpus {
       .withColumn("pct_rank", percent_rank().over(w))
       .withColumn("tile", ntile(nTiles).over(w))
   }
+
+  /** BM25-family ranked retrieval over the corpus for a fixed query
+    * set — the relevance scorer behind "find the docs most about X"
+    * curation pulls (topic probes, eval-set seeding, targeted audits).
+    * Okapi shape with k1 = 1.2, b = 0.75:
+    *
+    *   `score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    *
+    * with TWO determinism substitutions (the repo's engine-exactness
+    * conventions):
+    *  - idf uses the LOG-FREE odds form `(N − df + 0.5)/(df + 0.5) + 1`
+    *    — `ln` is the one operation libm implementations are allowed to
+    *    round differently (JVM `Math.log` vs DuckDB), so it is banned
+    *    from gated arithmetic; the log is per-term monotone, so
+    *    single-term rankings are unchanged while multi-term weighting
+    *    leans harder on rare terms than textbook BM25 (documented
+    *    trade);
+    *  - each term's contribution quantizes to a 2^`scaleBits` grid
+    *    (q80's round-half-up) and the per-document score is the exact
+    *    LONG sum of term contributions — order-independent, so the
+    *    aggregation needs no ordered fold in either engine. All
+    *    remaining float ops are +, ·, / — correctly rounded IEEE
+    *    everywhere.
+    *
+    * `avgdl` enters as the exact rational `dl·N / total_dl` (one
+    * division, no pre-divided average).
+    *
+    * Scale shape: query terms broadcast; the token explode is filtered
+    * by the broadcast term join BEFORE any shuffle, so only matching
+    * tokens move (df pass: one map-combined aggregate per term; tf
+    * pass: one per (query, doc, term)); corpus stats are a one-row
+    * aggregate broadcast by crossJoin. Top-N cuts per query on
+    * (score, id). */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[(Long, Seq[String])],
+      topN: Int = 10,
+      scaleBits: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val one = (1L << scaleBits).toDouble
+    val terms = queryTerms
+      .flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val d = docs.select(col(idCol),
+      size(split(coalesce(col(textCol), lit("")), " ")).cast("long").as("dl"))
+      .localCheckpoint()
+    val stats = d.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("dl")).cast("long").as("tdl"))
+    val words = docs.select(col(idCol),
+      explode(split(coalesce(col(textCol), lit("")), " ")).as("word"))
+    val tf = words
+      .join(broadcast(terms), col("word") === col("term"))
+      .groupBy(col("query_id"), col(idCol), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfc = words
+      .join(broadcast(terms.select("term").distinct()), col("word") === col("term"))
+      .select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val nD = col("n").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val tdlD = col("tdl").cast("double")
+    val idf = (nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0)
+    val dn = lit(0.25) + lit(0.75) * ((dlD * nD) / tdlD)
+    val sterm = idf * ((tfD * lit(2.2)) / (tfD + lit(1.2) * dn))
+    val qterm = floor(sterm * lit(one) + lit(0.5)).cast("long")
+    val scored = tf
+      .join(dfc, "term")
+      .join(d, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col(idCol), qterm.as("qs"))
+      .groupBy("query_id", idCol)
+      .agg(sum("qs").as("score_q"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_q").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topN)
+      .select(col("query_id"), col("rank"), col(idCol), col("score_q"))
+  }
+
+  /** Static mixture-reweighting plan (the Pile / DoReMi-style recipe
+    * step): given a target mixture over a grouping key (basis points,
+    * the [[graft.operators.Sampling]] convention) and a total token
+    * budget, compute the per-group Bernoulli sampling rate that lands
+    * each group at its target share — the table a pipeline feeds into
+    * [[graft.operators.Sampling.stratifiedRate]] to materialize the
+    * epoch.
+    *
+    * All arithmetic is INTEGER (floor division on longs):
+    *   `target_tok = budget · bp / 10000`,
+    *   `rate_bp    = min(10000, target_tok · 10000 / tokens)`,
+    *   `planned_tok = tokens · rate_bp / 10000`,
+    * so the plan is bit-identical in any engine and `planned_tok ≤
+    * target_tok` always. A group whose corpus is smaller than its
+    * target caps at rate 10000 (keep everything — the shortfall is the
+    * signal the curator reads); a group absent from `targets` gets rate
+    * 0 (dropped from the epoch).
+    *
+    * Scale shape: ONE map-side-combined aggregation over the corpus
+    * (|groups| rows out), then a broadcast join against the
+    * targets-literal relation. Nothing else moves. */
+  def mixturePlan(
+      df: DataFrame,
+      keyCol: String,
+      tokCol: Column,
+      targets: Seq[(String, Long)],
+      budget: Long): DataFrame = {
+    require(targets.nonEmpty, "mixturePlan needs a non-empty target mixture")
+    require(targets.map(_._2).sum <= 10000L,
+      "target mixture exceeds 10000 basis points")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = broadcast(targets.toDF(keyCol, "target_bp"))
+    val tok = df.groupBy(keyCol).agg(sum(tokCol).cast("long").as("tokens"))
+    tok.join(t, Seq(keyCol), "left")
+      .select(col(keyCol), col("tokens"),
+        coalesce(col("target_bp"), lit(0L)).as("target_bp"))
+      .withColumn("target_tok",
+        expr(s"CAST((${budget}L * target_bp) DIV 10000 AS BIGINT)"))
+      .withColumn("rate_bp",
+        when(col("tokens") <= 0L, lit(0L))
+          .otherwise(least(lit(10000L),
+            expr("CAST((target_tok * 10000) DIV tokens AS BIGINT)"))))
+      .withColumn("planned_tok",
+        expr("CAST((tokens * rate_bp) DIV 10000 AS BIGINT)"))
+  }
 }

@@ -364,6 +364,166 @@ object Similarity {
       perSub.map(_._2).reduce(_ + _).as("recon_err"))
   }
 
+  /** IVF-PQ search with asymmetric distance computation (Jégou et al.
+    * 2011, the billion-scale serving layout): corpus vectors live as
+    * `m` PQ codes inside IVF cells; a query probes its `nprobe` nearest
+    * cells, ranks every candidate by ADC — the sum of per-subspace
+    * distances between the QUERY subvector (kept exact, hence
+    * "asymmetric") and the candidate's quantized centroid — and only
+    * the `refine` best by ADC are re-ranked with the exact cosine. The
+    * 100 TB economics: the scan touches codes (m bytes/vector, memory-
+    * resident at billions of vectors), not raw floats; exact vectors
+    * are fetched for `refine` ids per query only.
+    *
+    * Both quantizers use the deterministic seeded convention
+    * ([[ivfTopKSeeded]] cells, [[pqEncode]] codebooks), every distance
+    * is written in the oracle's fold order (ascending component,
+    * left-associative, subspaces summed in order), and every cut ties
+    * on ids — the full pipeline is SQL-replayable bit-for-bit (q176).
+    *
+    * Scale shape: cell assignment + PQ encode are one shuffle-free
+    * codegen map; candidates travel as (q_id, n_id, codes) — m bytes of
+    * payload; ADC is a broadcast-literal codebook expression (no join);
+    * only the refine survivors re-attach full vectors by id. */
+  def ivfPqTopK(
+      s: SparkSession,
+      dir: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ks: Int = 8,
+      refine: Int = 16): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
+    // IVF cells: ivfTopKSeeded's quantizer (nlist highest ids, asc order)
+    val cellSeeds = e.orderBy(desc("vec_id")).limit(nlist).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val cellKernel = new graft.functions.CentroidKernel(cellSeeds.map(_._2))
+    val cellIds = cellSeeds.map(_._1)
+    // PQ codebook: pqEncode's convention (ks highest ids, code = asc rank)
+    val cb = e.orderBy(desc("vec_id")).limit(ks).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val dim = cb.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cellIdx = SparkShims.column(graft.functions.NearestCentroid(
+      SparkShims.expression(col("v")), cellKernel))
+    val codeCols = (0 until m).map { j =>
+      val kernel = new graft.functions.CentroidKernel(
+        cb.map(_.slice(j * sub, (j + 1) * sub)))
+      SparkShims.column(graft.functions.NearestCentroid(
+        SparkShims.expression(slice(col("v"), j * sub + 1, sub)), kernel))
+        .as(s"c$j")
+    }
+    val assigned = e.select(
+      col("vec_id") +:
+        element_at(array(cellIds.map(lit): _*), cellIdx + 1).as("cell") +:
+        codeCols: _*)
+    import s.implicits._
+    val centroids = cellSeeds.toSeq.map { case (id, c) => (id, c.toSeq) }
+      .toDF("cell", "centroid")
+    val q = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("qv"), col("cell"),
+        LightFusion.cosineSimilarity(col("qv"), col("centroid").cast("array<double>"))
+          .as("ccos"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("ccos"), col("cell"))))
+      .where(col("r") <= nprobe)
+      .select("q_id", "qv", "cell")
+    val cands = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+    // ADC: per subspace, the code selects a broadcast-literal centroid;
+    // distances fold ascending-component, subspaces sum in order (the
+    // oracle's exact association)
+    val adc = (0 until m).map { j =>
+      (0 until ks).map { c =>
+        val d = (0 until sub).map { i =>
+          val p = j * sub + i
+          val t = col("qv").getItem(p) - lit(cb(c)(p))
+          t * t
+        }.reduce(_ + _)
+        (c, d)
+      }.foldLeft(lit(null).cast("double")) { case (acc, (c, d)) =>
+        when(col(s"c$j") === c, d).otherwise(acc)
+      }
+    }.reduce(_ + _)
+    val refined = cands
+      .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), adc.as("adc"))
+      .withColumn("rr", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("adc"), col("n_id"))))
+      .where(col("rr") <= refine)
+      .select("q_id", "qv", "n_id")
+    val scored = refined
+      .join(e.select(col("vec_id").as("n_id"), col("v")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
+    TopK.perKey(scored, Seq("q_id"), "cos", "n_id", k)
+      .select("q_id", "rank", "n_id", "cos")
+      .presentSorted("q_id", "rank")
+  }
+
+  /** Sign random projection (Achlioptas 2003 / Johnson-Lindenstrauss):
+    * `y_j = (Σ_i s_ij · x_i) / √outDim` with `s_ij ∈ {+1, −1}` — the
+    * database-friendly JL variant (no Gaussians, no multiplies: the
+    * projection is `outDim` signed sums), used to shrink embeddings
+    * before an ANN index or a pairwise-distance audit while preserving
+    * distances to within `1 ± ε`.
+    *
+    * Signs are pseudo-random but ENGINE-REPLAYABLE: the base-31 rolling
+    * hash of the string `"i:j"` (the q52/q104 convention — `acc·31 +
+    * chr (mod 2⁴⁸)`) is squared after a mod-2²⁴ cut (so the square
+    * fits 63 bits in any engine) and bit 12 of the square is the sign.
+    * The squaring step matters: the raw fold of a short string is
+    * small and suffix-dominated, so any single bit of it is nearly
+    * separable in (i, j) — a checkerboard sign matrix projects every
+    * vector onto one line. Squaring avalanches the low bits (the spec
+    * pins ≥ 32 distinct sign rows). The matrix is computed once on the
+    * driver (outDim × dim literals) and folds into codegen as constant
+    * ±x terms; the summation is left-associative in ascending `i` from
+    * a 0.0 seed, which the oracle mirrors with an ordered
+    * `list_reduce` fold — bit-identical doubles in both engines.
+    *
+    * Scale shape: shuffle-free single codegen map over the scan; the
+    * long-form explode multiplies rows by `outDim` but carries only
+    * `(id, j, value)`. At 100 TB this is the cheap half of any
+    * dim-reduction story — no training pass, no state, any subset of
+    * rows projects independently. */
+  def signProject(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      outDim: Int): DataFrame = {
+    require(dim > 0 && outDim > 0, "signProject needs positive dims")
+    def rh(str: String): Long =
+      str.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 281474976710656L)
+    def signBit(i: Int, j: Int): Long = {
+      val m = rh(s"$i:$j") % 16777216L
+      ((m * m) >> 12) & 1L
+    }
+    val x = (0 until dim).map(i => col(embCol).getItem(i).cast("double"))
+    val ys = (0 until outDim).map { j =>
+      val signed = (0 until dim).map { i =>
+        if (signBit(i, j) == 0L) x(i) else -x(i)
+      }
+      val s = signed.foldLeft(lit(0.0))(_ + _)
+      (s / lit(math.sqrt(outDim.toDouble))).as(s"y$j")
+    }
+    embeddings
+      .select(col(idCol) +: ys: _*)
+      .select(col(idCol),
+        posexplode(array((0 until outDim).map(j => col(s"y$j")): _*))
+          .as(Seq("j", "value")))
+  }
+
   /** Label-centroid separation audit: per-label embedding centroids and
     * the pairwise cosine between them — how a curation pipeline checks
     * that its class/cluster labels actually separate in embedding space

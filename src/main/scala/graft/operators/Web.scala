@@ -285,4 +285,135 @@ object Web {
       .select(col("node"), col("deg"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) in INTEGER fixed point —
+    * the [[pageRank]] determinism convention: every score is a long on
+    * a 2^`scaleBits` grid, every update is exact long arithmetic
+    * (sum / floor-div), so the result is bit-identical in any engine
+    * and under any partitioning. Per half-step the raw scores are
+    * max-normalized back to the grid (`s · 2^k div max` — the integer
+    * stand-in for the L∞ norm classic HITS iterates allow), which also
+    * bounds magnitudes: a raw sum is ≤ deg·2^k, far from long range.
+    *
+    * On a crawl graph hubs ≈ link pages / seed lists and authorities ≈
+    * canonical content hosts — the pair of signals a crawl scheduler
+    * reads together with PageRank.
+    *
+    * Scale shape: per iteration TWO keyed join+aggregate passes over
+    * the edge list (by dst for authorities, by src for hubs) — the
+    * exact shuffles the math requires, hash-spread by node key; the
+    * max is a one-row aggregate broadcast back via crossJoin (never a
+    * driver round-trip); edge list and per-round scores are
+    * `localCheckpoint`-materialized so lineage stays flat. */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 2,
+      scaleBits: Int = 20): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val one = 1L << scaleBits
+    val e = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    def normalized(raw: DataFrame, c: String): DataFrame = {
+      // max-normalize to the grid; an all-zero vector stays zero
+      val mx = raw.agg(max(col(c)).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"),
+          when(col("mx") <= 0L, lit(0L))
+            .otherwise(expr(s"($c * ${one}L) div mx")).as(c))
+        .localCheckpoint()
+    }
+    var hub = nodes.withColumn("h", lit(one)).localCheckpoint()
+    var auth = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum("h").as("a"))
+      auth = normalized(
+        nodes.join(araw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("a"), lit(0L)).as("a")), "a")
+      val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum("a").as("h"))
+      hub = normalized(
+        nodes.join(hraw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("h"), lit(0L)).as("h")), "h")
+    }
+    nodes.join(hub, "node").join(auth, "node")
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"),
+        (col("h").cast("double") / lit(one.toDouble)).as("hub_score"),
+        (col("a").cast("double") / lit(one.toDouble)).as("auth_score"))
+  }
+
+  /** k-core of an undirected graph (Seidman 1983): the maximal subgraph
+    * in which every node has degree ≥ k — the standard "dense enough to
+    * trust" cut for link-graph curation (a host outside the 3-core is
+    * held up by pendant chains; inside it, by mutually-reinforcing
+    * links). Returns `(node, core_deg)` where `core_deg` is the node's
+    * degree WITHIN the core (≥ k by definition).
+    *
+    * Algorithm: synchronous peeling — drop every node of degree < k,
+    * recompute degrees on the induced subgraph, repeat to fixpoint. Each
+    * round is one degree aggregation (map-side combined) plus two
+    * hash-joins of the edge list against the survivor set — all keyed on
+    * node ids that spread across executors; the edge list is
+    * `localCheckpoint`-materialized per round so lineage stays flat (the
+    * [[triangleCounts]] / connected-components convention). Rounds are
+    * bounded by the graph's degeneracy peel depth — small for the
+    * hub-dominated web graphs this targets — and the operator FAILS
+    * LOUDLY (require) if `maxRounds` passes without convergence rather
+    * than returning a non-core answer. Convergence is checked on the
+    * surviving-edge count: peeling only ever removes edges, so an
+    * unchanged count ⇒ unchanged subgraph ⇒ fixpoint.
+    *
+    * 100 TB shape: the edge list never fans out (each round strictly
+    * shrinks it), state per round is one `(node, deg)` aggregate, and no
+    * step is driver-sized — counts are the only thing collected. Skewed
+    * hub nodes are plain hot keys in a hash aggregation (AQE territory),
+    * never a cross join. */
+  def kCore(
+      edges: DataFrame,
+      xCol: String,
+      yCol: String,
+      k: Int,
+      maxRounds: Int = 12): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var e = edges
+      .where(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(xCol) =!= col(yCol))
+      .select(least(col(xCol), col(yCol)).as("a"),
+        greatest(col(xCol), col(yCol)).as("b"))
+      .distinct()
+      .localCheckpoint()
+    var prev = e.count()
+    var rounds = 0
+    var converged = prev == 0L
+    while (!converged && rounds < maxRounds) {
+      val keep = degrees(e).where(col("deg") >= k).select(col("node"))
+      val pruned = e
+        .join(keep.select(col("node").as("a")), "a")
+        .join(keep.select(col("node").as("b")), "b")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val now = pruned.count()
+      converged = now == prev
+      prev = now
+      e = pruned
+      rounds += 1
+    }
+    require(converged,
+      s"kCore(k=$k) did not converge within $maxRounds peel rounds — " +
+        "raise maxRounds (the oracle unrolls the same bound)")
+    degrees(e).where(col("deg") >= k)
+      .select(col("node"), col("deg").as("core_deg"))
+  }
 }

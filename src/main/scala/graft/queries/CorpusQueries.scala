@@ -838,6 +838,103 @@ object CorpusQueries {
       .presentSorted("source", "doc_id")
   }
 
+  /** Static mixture-reweighting plan ([[Corpus.mixturePlan]]): the
+    * per-language Bernoulli rates that land a 20k-token epoch on a
+    * fixed target mixture (en 40% / zh 25% / es 15% / fr 12% / de 8%).
+    * Token counts are q95's whitespace convention; every derived number
+    * is long floor-division, so the oracle replays `DIV`-for-`//`
+    * exactly. Languages short of their target cap at rate 10000 —
+    * the shortfall IS the curator's signal. */
+  def q175MixturePlan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nTok = size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+    Corpus.mixturePlan(docs(s, dir), "lang", nTok,
+        targets = Seq("en" -> 4000L, "zh" -> 2500L, "es" -> 1500L,
+          "fr" -> 1200L, "de" -> 800L),
+        budget = 20000L)
+      .presentSorted("lang")
+  }
+
+  def q175Sql: String =
+    """WITH tok AS (
+      |  SELECT lang,
+      |    SUM(len(string_split(coalesce(text, ''), ' ')))::BIGINT AS tokens
+      |  FROM documents GROUP BY lang),
+      |tgt AS (
+      |  SELECT * FROM (VALUES ('en', 4000), ('zh', 2500), ('es', 1500),
+      |    ('fr', 1200), ('de', 800)) t(lang, target_bp)),
+      |j AS (
+      |  SELECT tok.lang, tok.tokens,
+      |    CAST(coalesce(tgt.target_bp, 0) AS BIGINT) AS target_bp
+      |  FROM tok LEFT JOIN tgt USING (lang)),
+      |d AS (
+      |  SELECT lang, tokens, target_bp,
+      |    (20000 * target_bp) // 10000 AS target_tok
+      |  FROM j),
+      |r AS (
+      |  SELECT lang, tokens, target_bp, target_tok,
+      |    CASE WHEN tokens <= 0 THEN 0
+      |         ELSE least(10000, (target_tok * 10000) // tokens) END AS rate_bp
+      |  FROM d)
+      |SELECT lang, tokens, target_bp, target_tok, rate_bp,
+      |  (tokens * rate_bp) // 10000 AS planned_tok
+      |FROM r
+      |ORDER BY lang""".stripMargin
+
+  /** BM25-family ranked retrieval ([[Corpus.bm25TopK]]): top-10 docs
+    * for three topic probes. Scores are the exact long sum of
+    * 2²⁰-quantized term contributions (log-free odds idf — see the
+    * operator's determinism note), so the oracle replays the float
+    * algebra term-by-term and sums integers. */
+  def q180Bm25(s: SparkSession, dir: String): DataFrame =
+    Corpus.bm25TopK(docs(s, dir), "doc_id", "text",
+        queryTerms = Seq(
+          0L -> Seq("table", "value"),
+          1L -> Seq("spark", "merge", "stream"),
+          2L -> Seq("customer", "window")),
+        topN = 10)
+      .presentSorted("query_id", "rank")
+
+  def q180Sql: String =
+    """WITH qt AS (
+      |  SELECT CAST(query_id AS BIGINT) AS query_id, term FROM (VALUES
+      |    (0, 'table'), (0, 'value'),
+      |    (1, 'spark'), (1, 'merge'), (1, 'stream'),
+      |    (2, 'customer'), (2, 'window')) t(query_id, term)),
+      |d AS (
+      |  SELECT doc_id, len(string_split(coalesce(text, ''), ' '))::BIGINT AS dl
+      |  FROM documents),
+      |stats AS (SELECT count(*)::BIGINT AS n, SUM(dl)::BIGINT AS tdl FROM d),
+      |w AS (
+      |  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+      |  FROM documents),
+      |tf AS (
+      |  SELECT q.query_id, w.doc_id, q.term, count(*)::BIGINT AS tf
+      |  FROM w JOIN qt q ON q.term = w.word GROUP BY 1, 2, 3),
+      |dfc AS (
+      |  SELECT term, count(*)::BIGINT AS df FROM (
+      |    SELECT DISTINCT w.doc_id, tt.term
+      |    FROM w JOIN (SELECT DISTINCT term FROM qt) tt ON tt.term = w.word) z
+      |  GROUP BY term),
+      |sc AS (
+      |  SELECT tf.query_id, tf.doc_id,
+      |    CAST(SUM(CAST(floor(
+      |      ((CAST(s.n AS DOUBLE) - CAST(dfc.df AS DOUBLE) + 0.5)
+      |        / (CAST(dfc.df AS DOUBLE) + 0.5) + 1.0)
+      |      * ((CAST(tf.tf AS DOUBLE) * 2.2) / (CAST(tf.tf AS DOUBLE) + 1.2 *
+      |          (0.25 + 0.75 * ((CAST(d.dl AS DOUBLE) * CAST(s.n AS DOUBLE))
+      |            / CAST(s.tdl AS DOUBLE)))))
+      |      * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_q
+      |  FROM tf JOIN dfc USING (term) JOIN d ON d.doc_id = tf.doc_id
+      |  CROSS JOIN stats s
+      |  GROUP BY 1, 2)
+      |SELECT query_id, rank, doc_id, score_q FROM (
+      |  SELECT query_id, doc_id, score_q,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
+      |  FROM sc) z
+      |WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
@@ -877,7 +974,9 @@ object CorpusQueries {
     ("q162_dist_match", q162DistMatch _, q162Sql),
     ("q163_pack_audit", q163PackAudit _, q163Sql),
     ("q171_incremental_stats", q171IncrementalStats _, q171Sql),
-    ("q173_stream_stats", q173StreamStats _, q171Sql))
+    ("q173_stream_stats", q173StreamStats _, q171Sql),
+    ("q175_mixture_plan", q175MixturePlan _, q175Sql),
+    ("q180_bm25", q180Bm25 _, q180Sql))
 
   /** Incremental aggregate maintenance
     * ([[graft.operators.Lakehouse.statsPartials]]): the corpus arrives

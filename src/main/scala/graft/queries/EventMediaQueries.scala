@@ -663,7 +663,29 @@ object EventMediaQueries {
     ("q164_stream_attribution", q164StreamAttribution _, q58Sql),
     ("q165_seq_examples", q165SeqExamples _, q165Sql),
     ("q167_heavy_hitters", q167HeavyHitters _, q167Sql),
-    ("q168_stream_heavy_hitters", q168StreamHeavyHitters _, q167Sql))
+    ("q168_stream_heavy_hitters", q168StreamHeavyHitters _, q167Sql),
+    ("q182_stream_blocklist", q182StreamBlocklist _, TextQueries.q178Sql))
+
+  /** q178's Aho-Corasick blocklist scan run as a REAL Structured
+    * Streaming query: `readStream` over the documents parquet → the
+    * stateless codegen automaton map (per-batch, no state store at
+    * all) → memory sink, `Trigger.AvailableNow`. Shares q178's oracle:
+    * stream ≡ batch is GATED, not asserted — the natural deployment of
+    * a blocklist is exactly this per-ingest-batch scan. */
+  def q182StreamBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val static = s.read.parquet(s"$dir/documents.parquet")
+    val stream = s.readStream.schema(static.schema).option("basePath", dir)
+      .parquet(s"$dir/documents.parquet*")
+    val name = s"q182_stream_blocklist_${streamSeq.incrementAndGet()}"
+    val q = graft.operators.TextAnalysis
+      .blocklistScan(stream, "doc_id", "text", TextQueries.q178Patterns)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).presentSorted("doc_id", "pattern")
+  }
 
   /** q147's funnel as a REAL stream ([[EventStreams.funnelStream]]):
     * events arrive via `readStream`, per-user state advances the greedy

@@ -901,7 +901,276 @@ object PipelineQueries {
     ("q146_crawl_budget", q146CrawlBudget _, q146Sql),
     ("q166_training_triples", q166TrainingTriples _, q166Sql),
     ("q170_triangles", q170Triangles _, q170Sql),
-    ("q172_containment", q172Containment _, q172Sql))
+    ("q172_containment", q172Containment _, q172Sql),
+    ("q176_ivfpq_adc", q176IvfPq _, q176Sql),
+    ("q177_kcore", q177KCore _, q177Sql),
+    ("q179_sign_projection", q179SignProject _, q179Sql),
+    ("q181_hits", q181Hits _, q181Sql))
+
+  /** HITS hubs & authorities ([[graft.operators.Web.hits]]) over the
+    * q143 directed source→host graph, 2 iterations of integer
+    * fixed-point updates with max-normalization per half-step. Sources
+    * only ever link OUT (hubs), hosts only receive (authorities) — the
+    * bipartite shape makes the two scores cleanly interpretable. The
+    * oracle unrolls both iterations as MATERIALIZED CTEs with the same
+    * `//`-for-`div` algebra. */
+  def q181Hits(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Web.hits(hostEdges(s, dir), "src", "dst", iters = 2)
+      .presentSorted("node")
+
+  def q181Sql: String = {
+    val one = 1L << 20
+    // each half-step written out (a-from-h sums over in-edges, h-from-a
+    // over out-edges; the alternating source/target columns defeat a
+    // clean shared template)
+    val steps = Seq(
+      s"""a1r AS (
+         |  SELECT e.dst AS node, CAST(SUM(p.h) AS BIGINT) AS a
+         |  FROM e JOIN h0 p ON p.node = e.src GROUP BY e.dst),
+         |a1f AS MATERIALIZED (
+         |  SELECT n.node, coalesce(r.a, 0)::BIGINT AS a
+         |  FROM nodes n LEFT JOIN a1r r USING (node)),
+         |a1m AS (SELECT max(a) AS mx FROM a1f),
+         |a1 AS MATERIALIZED (
+         |  SELECT node, CASE WHEN mx <= 0 THEN 0::BIGINT
+         |    ELSE (a * $one) // mx END AS a
+         |  FROM a1f CROSS JOIN a1m)""".stripMargin,
+      s"""h1r AS (
+         |  SELECT e.src AS node, CAST(SUM(p.a) AS BIGINT) AS h
+         |  FROM e JOIN a1 p ON p.node = e.dst GROUP BY e.src),
+         |h1f AS MATERIALIZED (
+         |  SELECT n.node, coalesce(r.h, 0)::BIGINT AS h
+         |  FROM nodes n LEFT JOIN h1r r USING (node)),
+         |h1m AS (SELECT max(h) AS mx FROM h1f),
+         |h1 AS MATERIALIZED (
+         |  SELECT node, CASE WHEN mx <= 0 THEN 0::BIGINT
+         |    ELSE (h * $one) // mx END AS h
+         |  FROM h1f CROSS JOIN h1m)""".stripMargin,
+      s"""a2r AS (
+         |  SELECT e.dst AS node, CAST(SUM(p.h) AS BIGINT) AS a
+         |  FROM e JOIN h1 p ON p.node = e.src GROUP BY e.dst),
+         |a2f AS MATERIALIZED (
+         |  SELECT n.node, coalesce(r.a, 0)::BIGINT AS a
+         |  FROM nodes n LEFT JOIN a2r r USING (node)),
+         |a2m AS (SELECT max(a) AS mx FROM a2f),
+         |a2 AS MATERIALIZED (
+         |  SELECT node, CASE WHEN mx <= 0 THEN 0::BIGINT
+         |    ELSE (a * $one) // mx END AS a
+         |  FROM a2f CROSS JOIN a2m)""".stripMargin,
+      s"""h2r AS (
+         |  SELECT e.src AS node, CAST(SUM(p.a) AS BIGINT) AS h
+         |  FROM e JOIN a2 p ON p.node = e.dst GROUP BY e.src),
+         |h2f AS MATERIALIZED (
+         |  SELECT n.node, coalesce(r.h, 0)::BIGINT AS h
+         |  FROM nodes n LEFT JOIN h2r r USING (node)),
+         |h2m AS (SELECT max(h) AS mx FROM h2f),
+         |h2 AS MATERIALIZED (
+         |  SELECT node, CASE WHEN mx <= 0 THEN 0::BIGINT
+         |    ELSE (h * $one) // mx END AS h
+         |  FROM h2f CROSS JOIN h2m)""".stripMargin)
+    s"""WITH t AS (
+       |  SELECT source AS s,
+       |    'd' || CAST(doc_id % 17 AS VARCHAR) || '.example.com' AS d1,
+       |    'mirror' || CAST(doc_id % 5 AS VARCHAR) || '.org' AS d2
+       |  FROM documents),
+       |raw AS (
+       |  SELECT s AS src, d1 AS dst FROM t
+       |  UNION ALL SELECT s, d2 FROM t),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM raw
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, ${one}::BIGINT AS h FROM nodes),
+       |${steps.mkString(",\n")}
+       |SELECT n.node, h2.h AS hub, a2.a AS auth,
+       |  CAST(h2.h AS DOUBLE) / $one.0 AS hub_score,
+       |  CAST(a2.a AS DOUBLE) / $one.0 AS auth_score
+       |FROM nodes n JOIN h2 USING (node) JOIN a2 USING (node)
+       |ORDER BY n.node""".stripMargin
+  }
+
+  /** IVF-PQ search with asymmetric distance ([[Similarity.ivfPqTopK]]):
+    * top-5 neighbors for 10 queries — candidates ranked by ADC over
+    * 8-byte PQ codes inside 4 probed cells, top-16 re-ranked exactly.
+    * The oracle replays BOTH quantizers (q42's cell CTEs, q123's
+    * codebook CTEs), the ADC sum in subspace order, and both cuts. */
+  def q176IvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(s, dir, numQueries = 10, k = 5, nlist = 16,
+      nprobe = 4, m = 8, ks = 8, refine = 16)
+
+  def q176Sql: String = {
+    val m = 8
+    val sub = 8
+    def eudist(a: String, b: String): String =
+      (1 to 64).map(i =>
+        s"($a[$i]::DOUBLE - $b[$i]::DOUBLE) * ($a[$i]::DOUBLE - $b[$i]::DOUBLE)")
+        .mkString(" + ")
+    def subdist(tbl: String, j: Int): String = (1 to sub).map { i =>
+      val p = j * sub + i
+      s"($tbl.embedding[$p]::DOUBLE - cb.embedding[$p]::DOUBLE) * " +
+        s"($tbl.embedding[$p]::DOUBLE - cb.embedding[$p]::DOUBLE)"
+    }.mkString(" + ")
+    val pqdCols = (0 until m).map(j => s"(${subdist("e", j)}) AS d$j")
+      .mkString(",\n  ")
+    val qdCols = (0 until m).map(j => s"(${subdist("q", j)}) AS d$j")
+      .mkString(",\n  ")
+    val picks = (0 until m).map { j =>
+      s"""a$j AS (
+         |  SELECT vec_id, cidx AS c$j FROM (
+         |    SELECT vec_id, cidx,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d$j, cidx) AS rn
+         |    FROM pqd) z$j WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until m).map(j => s"JOIN a$j USING (vec_id)").mkString(" ")
+    val qdJoins = (0 until m).map(j =>
+      s"JOIN qd q$j ON q$j.q_id = c.q_id AND q$j.cidx = t.c$j").mkString("\n  ")
+    val adcSum = (0 until m).map(j => s"q$j.d$j").mkString(" + ")
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS cell, embedding AS ce FROM embeddings ORDER BY vec_id DESC LIMIT 16),
+       |sd AS (SELECT cell, ce, (${dotSql("ce", "ce")}) AS cnrm FROM seeds),
+       |ad AS (
+       |  SELECT e.vec_id, s.cell, (${eudist("e.embedding", "s.ce")}) AS dist
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+       |    FROM ad) z WHERE rn = 1),
+       |v AS (SELECT vec_id, embedding, (${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |pc AS (
+       |  SELECT q.vec_id AS q_id, s.cell,
+       |    (${dotSql("q.embedding", "s.ce")}) / (sqrt(q.nrm) * sqrt(s.cnrm)) AS ccos
+       |  FROM v q CROSS JOIN sd s WHERE q.vec_id < 10),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ccos DESC, cell ASC) AS rn
+       |    FROM pc) z WHERE rn <= 4),
+       |cb AS (
+       |  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS cidx
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id DESC LIMIT 8) zz),
+       |pqd AS (
+       |  SELECT e.vec_id, cb.cidx,
+       |  $pqdCols
+       |  FROM embeddings e CROSS JOIN cb),
+       |$picks,
+       |codes AS (
+       |  SELECT vec_id, ${(0 until m).map(j => s"c$j").mkString(", ")}
+       |  FROM a0 $codeJoins),
+       |qd AS (
+       |  SELECT q.vec_id AS q_id, cb.cidx,
+       |  $qdCols
+       |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id AS n_id FROM assign a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.q_id),
+       |adc AS (
+       |  SELECT c.q_id, c.n_id, $adcSum AS adc
+       |  FROM cand c JOIN codes t ON t.vec_id = c.n_id
+       |  $qdJoins),
+       |ref AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, n_id) AS rn
+       |    FROM adc) z WHERE rn <= 16),
+       |sc AS (
+       |  SELECT r.q_id, r.n_id,
+       |    (${dotSql("q.embedding", "c.embedding")}) / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+       |  FROM ref r JOIN v q ON q.vec_id = r.q_id JOIN v c ON c.vec_id = r.n_id)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT q_id, n_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM sc) x
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** 3-core of the q170 host graph ([[graft.operators.Web.kCore]]):
+    * synchronous peel to fixpoint; survivors with their in-core degree.
+    * The oracle unrolls the SAME 12-round bound the operator enforces
+    * (rounds past the fixpoint are no-ops, so over-unrolling is safe;
+    * under-convergence fails LOUDLY operator-side rather than
+    * hash-mismatching). */
+  def q177KCore(s: SparkSession, dir: String): DataFrame = {
+    val tr = docs(s, dir).select(
+      col("source").as("s"),
+      concat(lit("d"), (col("doc_id") % 17).cast("string"),
+        lit(".example.com")).as("d1"),
+      concat(lit("mirror"), (col("doc_id") % 5).cast("string"),
+        lit(".org")).as("d2"))
+    val edges = tr.select(col("s").as("x"), col("d1").as("y"))
+      .unionAll(tr.select(col("s"), col("d2")))
+      .unionAll(tr.select(col("d1"), col("d2")))
+    graft.operators.Web.kCore(edges, "x", "y", k = 3, maxRounds = 12)
+      .presentSorted("node")
+  }
+
+  def q177Sql: String = {
+    val rounds = (1 to 12).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) u$r
+         |  GROUP BY node),
+         |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= 3),
+         |e$r AS MATERIALIZED (
+         |  SELECT a, b FROM e${r - 1}
+         |  WHERE a IN (SELECT node FROM k$r) AND b IN (SELECT node FROM k$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT source AS s,
+       |    'd' || CAST(doc_id % 17 AS VARCHAR) || '.example.com' AS d1,
+       |    'mirror' || CAST(doc_id % 5 AS VARCHAR) || '.org' AS d2
+       |  FROM documents),
+       |raw AS (
+       |  SELECT s AS x, d1 AS y FROM t
+       |  UNION ALL SELECT s, d2 FROM t
+       |  UNION ALL SELECT d1, d2 FROM t),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+       |  FROM raw WHERE x <> y AND x IS NOT NULL AND y IS NOT NULL),
+       |$rounds
+       |SELECT node, deg AS core_deg FROM (
+       |  SELECT node, count(*) AS deg FROM (
+       |    SELECT a AS node FROM e12 UNION ALL SELECT b FROM e12) uf
+       |  GROUP BY node) z
+       |WHERE deg >= 3
+       |ORDER BY node""".stripMargin
+  }
+
+  /** Sign random projection ([[Similarity.signProject]]): 64-dim
+    * embeddings JL-projected to 16 dims with hash-derived ±1 signs,
+    * long form. The oracle re-derives every sign from the same base-31
+    * rolling hash (mod-2²⁴ cut, squared, bit 12 of the square) and
+    * folds the signed terms in the same ascending-component order from
+    * a 0.0 seed — bit-exact doubles. */
+  def q179SignProject(s: SparkSession, dir: String): DataFrame =
+    Similarity.signProject(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", dim = 64, outDim = 16)
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("value"))
+      .presentSorted("vec_id", "j")
+
+  def q179Sql: String =
+    """WITH s AS (
+      |  SELECT i, j,
+      |    CASE WHEN (((h % 16777216) * (h % 16777216)) // 4096) % 2 = 0
+      |      THEN 1.0 ELSE -1.0 END AS sgn
+      |  FROM (
+      |    SELECT i, j, list_reduce(list_prepend(0::BIGINT,
+      |        [ascii(ch)::BIGINT for ch in
+      |          string_split(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR), '')]),
+      |        (acc, ch) -> (acc * 31 + ch) % 281474976710656) AS h
+      |    FROM range(0, 64) r1(i), range(0, 16) r2(j)) hh),
+      |t AS (
+      |  SELECT e.vec_id, s.j,
+      |    list(s.sgn * e.embedding[CAST(s.i + 1 AS INTEGER)]::DOUBLE ORDER BY s.i) AS terms
+      |  FROM embeddings e, s
+      |  GROUP BY e.vec_id, s.j)
+      |SELECT vec_id, j,
+      |  list_reduce(list_prepend(0.0, terms), (a, b) -> a + b) / sqrt(16.0) AS value
+      |FROM t
+      |ORDER BY vec_id, j""".stripMargin
 
   /** Crawl-budget apportionment ([[graft.operators.Web.crawlBudget]]):
     * 10,000 pages split across the q143 host ranks by integer

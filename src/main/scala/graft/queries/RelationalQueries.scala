@@ -497,6 +497,33 @@ object RelationalQueries {
       |FROM b GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** CUBE over (returnflag, linestatus) — q07's rollup sibling covering
+    * the full grouping-sets lattice, with `grouping_id` distinguishing
+    * a real NULL group from a subtotal row (the reason COALESCE labels
+    * alone are not enough in general). Catalyst expands CUBE into one
+    * `Expand` + single hash aggregation — one shuffle for all 2ⁿ
+    * grouping sets, which is exactly the 100 TB-right plan (n
+    * independent GROUP BYs would be n scans). */
+  def q174Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("cnt"),
+        sum(dec(col("l_quantity"))).cast("double").as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("gid"), col("cnt"), col("qty"))
+      .presentSorted("gid", "rf", "ls")
+
+  def q174Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, rf, ls""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01PricingSummary _, q01Sql),
     ("q02_revenue_by_nation", q02RevenueByNation _, q02Sql),
@@ -515,5 +542,6 @@ object RelationalQueries {
     ("q15_above_nation_avg", q15AboveNationAvg _, q15Sql),
     ("q25_local_supplier_volume", q25LocalSupplierVolume _, q25Sql),
     ("q73_bucketed_join", q73BucketedJoin _, q73Sql),
-    ("q169_feature_bins", q169FeatureBins _, q169Sql))
+    ("q169_feature_bins", q169FeatureBins _, q169Sql),
+    ("q174_cube", q174Cube _, q174Sql))
 }

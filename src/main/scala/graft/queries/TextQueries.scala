@@ -312,7 +312,14 @@ object TextQueries {
     TextAnalysis.bpeTokens(docs(s, dir), "doc_id", "text", graft.ml.Bpe.default)
       .presentSorted("doc_id")
 
-  def q85Sql: String = {
+  def q85Sql: String = bpeReplaySql(
+    "SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ww\n" +
+      "       FROM documents")
+
+  /** Full BPE replay (recursive-CTE merge loop) parameterized by the
+    * pre-tokenization CTE — shared by q85 (lowercased `[a-z0-9]+`) and
+    * q183 (GPT-2-style pretokens, case preserved). */
+  private def bpeReplaySql(wsSelect: String): String = {
     val vals = graft.ml.Bpe.default.merges.zipWithIndex
       .map { case ((a, b), i) => s"('$a', '$b', $i)" }.mkString(", ")
     // rank lookup: pairs as "l r" keys in one MAP, missing pair → INT_MAX
@@ -321,8 +328,7 @@ object TextQueries {
     s"""WITH RECURSIVE
        |merges(l, r, rnk) AS (VALUES $vals),
        |mm AS (SELECT map(list(l || ' ' || r), list(rnk)) AS m FROM merges),
-       |ws AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ww
-       |       FROM documents),
+       |ws AS ($wsSelect),
        |words AS (SELECT doc_id, unnest(ww) AS w, unnest(range(1, len(ww) + 1)) AS wi
        |          FROM ws),
        |bpe(doc_id, wi, syms) AS (
@@ -836,6 +842,37 @@ object TextQueries {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** q178's blocklist: multi-word phrases from the corpus vocabulary,
+    * including a self-overlap-capable term ("a a") that separates the
+    * Aho-Corasick all-start-positions count from `replace`-style
+    * non-overlap counting. */
+  def q178Patterns: Seq[String] = Seq(
+    "table value", "value table", "fast merge", "scan slow",
+    "a a", "spark", "window window", "stream customer")
+
+  /** Aho-Corasick blocklist scan ([[TextAnalysis.blocklistScan]]): one
+    * automaton pass counts every occurrence (all start positions,
+    * overlaps included) of all 8 terms — versus q139's per-term regexp
+    * chain, this is O(len) regardless of blocklist size. The oracle
+    * enumerates every start position with `generate_series` + `substr`
+    * — the definition itself, affordable because the oracle runs at
+    * verification scale. */
+  def q178BlocklistScan(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.blocklistScan(docs(s, dir), "doc_id", "text", q178Patterns)
+      .presentSorted("doc_id", "pattern")
+
+  def q178Sql: String = {
+    val vals = q178Patterns.map(p => s"('$p')").mkString(", ")
+    s"""WITH pats AS (SELECT * FROM (VALUES $vals) p(pattern)),
+       |t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+       |SELECT t.doc_id, p.pattern, count(*)::BIGINT AS n_hits
+       |FROM t, pats p,
+       |  unnest(range(1, len(t.text) - len(p.pattern) + 2)) AS g(i)
+       |WHERE substr(t.text, CAST(g.i AS INTEGER), len(p.pattern)) = p.pattern
+       |GROUP BY t.doc_id, p.pattern
+       |ORDER BY t.doc_id, p.pattern""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q50_text_stats", q50TextStats _, q50Sql),
     ("q51_lang_id", q51LangId _, q51Sql),
@@ -861,7 +898,24 @@ object TextQueries {
     ("q139_blocklist", q139Blocklist _, q139Sql),
     ("q157_k_anonymity", q157KAnonymity _, q157Sql),
     ("q160_curriculum", q160Curriculum _, q160Sql),
-    ("q161_mojibake", q161Mojibake _, q161Sql))
+    ("q161_mojibake", q161Mojibake _, q161Sql),
+    ("q178_blocklist_scan", q178BlocklistScan _, q178Sql),
+    ("q183_bpe_pretokenized", q183BpePretokenized _, q183Sql))
+
+  /** q85's BPE over GPT-2-STYLE PRETOKENS ([[graft.ml.Bpe.pretokenize]]):
+    * contraction suffixes split off, leading spaces attach to the
+    * following word (how a production vocab distinguishes word-initial
+    * pieces), case preserved. Same full-replay oracle as q85 with only
+    * the pre-tokenization CTE swapped — the merge loop is shared. */
+  def q183BpePretokenized(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokens(docs(s, dir), "doc_id", "text",
+        graft.ml.Bpe.default, tokenize = graft.ml.Bpe.pretokenize)
+      .presentSorted("doc_id")
+
+  def q183Sql: String = bpeReplaySql(
+    "SELECT doc_id, regexp_extract_all(text, " +
+      "'''(?:s|t|d|m|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'" +
+      ") AS ww\n       FROM documents")
 
   /** Blocklist policy for q139: two terms that occur in the corpus
     * vocabulary (slow, spark) and two that don't (crash, spam) — the

@@ -239,6 +239,37 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(ex.nonEmpty)
   }
 
+  test("q178 blocklist: one codegen automaton scan, no shuffle, no UDF") {
+    val df = operators.TextAnalysis.blocklistScan(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+      queries.TextQueries.q178Patterns)
+    val s = planOf(df) // operator itself (no presentSorted) is shuffle-free
+    assert(!s.contains("Exchange"), s"blocklist scan must not shuffle:\n$s")
+    assert(s.contains("multi_pattern_counts"),
+      s"expected the AcKernel expression in the plan:\n$s")
+    assert(!s.contains("ScalaUDF"), s"must stay in native expressions:\n$s")
+  }
+
+  test("q179 sign projection: shuffle-free codegen map, signs folded as literals") {
+    val df = operators.Similarity.signProject(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      "vec_id", "embedding", dim = 64, outDim = 16)
+    val s = planOf(df)
+    assert(!s.contains("Exchange"), s"sign projection must not shuffle:\n$s")
+    assert(!s.contains("ScalaUDF"), s"must stay in native expressions:\n$s")
+  }
+
+  test("q176 IVF-PQ: code assignment is a shuffle-free kernel map; ADC needs no join") {
+    val s = planOf(operators.Similarity.ivfPqTopK(spark, sfDir, numQueries = 5, k = 5))
+    assert(s.contains("nearest_centroid"),
+      s"expected codegen cell/code assignment:\n$s")
+    assert(!s.contains("ScalaUDF") && !s.contains("BatchEval"),
+      s"no UDF nodes expected:\n$s")
+    // the ADC expression is CASE-over-literal-codebook — if a join against a
+    // codebook relation appears, the broadcast-literal design regressed
+    assert(!s.contains("codebook"), s"codebook must fold into expressions:\n$s")
+  }
+
   test("query names are unique across suites (toMap would silently drop dups)") {
     val names = Seq(
       queries.RelationalQueries.all, queries.AdvancedQueries.all,

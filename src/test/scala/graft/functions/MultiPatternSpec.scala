@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkTestBase
+import graft.operators.TextAnalysis
+
+class MultiPatternSpec extends AnyFunSuite with SparkTestBase {
+
+  private def naiveCount(text: String, pat: String): Long =
+    (0 to text.length - pat.length)
+      .count(i => text.regionMatches(i, pat, 0, pat.length)).toLong
+
+  private def counts(patterns: Seq[String], text: String): Seq[Long] = {
+    val k = new AcKernel(patterns.toArray)
+    val a = k.counts(UTF8String.fromString(text))
+    (0 until a.numElements()).map(a.getLong)
+  }
+
+  test("all start positions counted, overlaps included") {
+    // "aa" in "aaaa" occurs at 0,1,2 — overlapping
+    assert(counts(Seq("aa"), "aaaa") == Seq(3L))
+    // suffix patterns both fire at the same end position
+    assert(counts(Seq("ab", "b"), "abab") == Seq(2L, 2L))
+    // pattern that is a prefix of another: both counted independently
+    assert(counts(Seq("ab", "abc"), "abcab") == Seq(2L, 1L))
+    // no match
+    assert(counts(Seq("zz"), "abab") == Seq(0L))
+    // non-ASCII text chars reset the automaton but never crash
+    assert(counts(Seq("ab"), "aébabéab") == Seq(2L))
+  }
+
+  test("kernel matches the naive per-pattern scan on random inputs") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc "
+    (1 to 50).foreach { _ =>
+      val text = Seq.fill(rnd.nextInt(200))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val pats = (1 to 5).map { _ =>
+        Seq.fill(1 + rnd.nextInt(4))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.distinct
+      val got = counts(pats, text)
+      val want = pats.map(naiveCount(text, _))
+      assert(got == want, s"text='$text' pats=$pats")
+    }
+  }
+
+  test("construction rejects empty and non-ASCII patterns") {
+    intercept[IllegalArgumentException](new AcKernel(Array("")))
+    intercept[IllegalArgumentException](new AcKernel(Array("ok", "naïve")))
+    intercept[IllegalArgumentException](new AcKernel(Array.empty[String]))
+  }
+
+  test("blocklistScan: long-form rows equal per-doc kernel counts; zero rows dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark table value table value"),
+      (2L, "a a a"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "nothing here"))
+      .toDF("doc_id", "text")
+    val pats = Seq("table value", "value table", "a a", "spark")
+    val got = TextAnalysis.blocklistScan(docs, "doc_id", "text", pats)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, "table value") -> 2L,
+      (1L, "value table") -> 1L,
+      (1L, "spark") -> 1L,
+      (2L, "a a") -> 2L))
+  }
+
+  test("blocklistScan rejects duplicate patterns") {
+    import spark.implicits._
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      TextAnalysis.blocklistScan(docs, "doc_id", "text", Seq("a", "a")))
+  }
+}

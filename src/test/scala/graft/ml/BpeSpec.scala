@@ -28,6 +28,24 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(tiny.countTokens("ababc xy") == 4)
   }
 
+  test("pretokenize: GPT-2-style splits — contractions, space prefixes, case kept") {
+    assert(Bpe.pretokenize("it's We'll can't") ==
+      Seq("it", "'s", " We", "'ll", " can", "'t"))
+    assert(Bpe.pretokenize("Hello, world! 42x") ==
+      Seq("Hello", ",", " world", "!", " 42", "x"))
+    // double space → one greedy residual whitespace token (the
+    // documented no-lookahead delta from GPT-2, which would yield
+    // " ", " b"); tabs/newlines too
+    assert(Bpe.pretokenize("a  b") == Seq("a", "  ", "b"))
+    assert(Bpe.pretokenize("a\n\tb") == Seq("a", "\n\t", "b"))
+    // unicode letters ride \p{L}; symbols group with their leading space
+    assert(Bpe.pretokenize("café ±2") == Seq("café", " ±", "2"))
+    assert(Bpe.pretokenize(null) == Nil)
+    // pretokens reconstruct the original text exactly (lossless split)
+    val s = "it's  a Test,\twith 3.14 and café!"
+    assert(Bpe.pretokenize(s).mkString == s)
+  }
+
   test("default fixture loads and round-trips ranks deterministically") {
     val b = Bpe.default
     assert(b.merges.nonEmpty)

@@ -496,4 +496,77 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     }.min
     assert(miss == missRef)
   }
+
+  test("mixturePlan: integer-exact rates, caps, and missing-target drop") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 100L), ("a", 300L),  // 400 tokens
+      ("b", 50L),                //  50 tokens (short of target → cap)
+      ("c", 500L))               // 500 tokens, no target → dropped
+      .toDF("src", "n")
+    val got = Corpus.mixturePlan(df, "src", col("n"),
+        targets = Seq("a" -> 5000L, "b" -> 5000L), budget = 400L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // a: target 200 of 400 → rate 5000 bp, planned 200
+    assert(got("a") == ((400L, 5000L, 200L, 5000L, 200L)))
+    // b: target 200 of 50 → rate caps at 10000, planned = all 50
+    assert(got("b") == ((50L, 5000L, 200L, 10000L, 50L)))
+    // c: no target → rate 0, planned 0
+    assert(got("c") == ((500L, 0L, 0L, 0L, 0L)))
+    // invariants on the real corpus plan: planned ≤ min(target, tokens)
+    val plan = Corpus.mixturePlan(docs,
+      "lang", size(split(coalesce(col("text"), lit("")), " ")).cast("long"),
+      targets = Seq("en" -> 4000L, "zh" -> 2500L, "es" -> 1500L,
+        "fr" -> 1200L, "de" -> 800L),
+      budget = 20000L).collect()
+    plan.foreach { r =>
+      val (tokens, targetTok, rate, planned) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(rate >= 0L && rate <= 10000L)
+      assert(planned <= targetTok || rate == 10000L)
+      assert(planned <= tokens)
+    }
+  }
+
+  test("bm25TopK: hand corpus replays the quantized term algebra") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "cat dog cat"),   // dl 3
+      (2L, "dog dog dog"),   // dl 3
+      (3L, "cat fish"),      // dl 2
+      (4L, "bird"))          // dl 1
+      .toDF("doc_id", "text")
+    val got = Corpus.bm25TopK(corpus, "doc_id", "text",
+        queryTerms = Seq(0L -> Seq("cat", "dog"), 1L -> Seq("fish")),
+        topN = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // replay: N=4, tdl=9, odds idf, k1=1.2, b=0.75, 2^20 grid
+    def term(tf: Long, df: Long, dl: Long): Long = {
+      val n = 4.0; val tdl = 9.0
+      val idf = (n - df + 0.5) / (df + 0.5) + 1.0
+      val dn = 0.25 + 0.75 * ((dl.toDouble * n) / tdl)
+      val s = idf * ((tf * 2.2) / (tf + 1.2 * dn))
+      math.floor(s * 1048576.0 + 0.5).toLong
+    }
+    // query 0: doc1 = cat(tf2,df2) + dog(tf1,df2); doc2 = dog(tf3);
+    //          doc3 = cat(tf1)
+    val d1 = term(2, 2, 3) + term(1, 2, 3)
+    val d2 = term(3, 2, 3)
+    val d3 = term(1, 2, 2)
+    val expect0 = Seq(1L -> d1, 2L -> d2, 3L -> d3)
+      .sortBy { case (id, s) => (-s, id) }
+    (1 to 3).foreach { r =>
+      assert(got((0L, r)) == ((expect0(r - 1)._1, expect0(r - 1)._2)))
+    }
+    // query 1: only doc3 contains fish (tf1, df1, dl2)
+    assert(got((1L, 1)) == ((3L, term(1, 1, 2))))
+    assert(!got.contains((1L, 2)))
+    // doc4 (no query term) appears nowhere
+    assert(got.values.forall(_._1 != 4L))
+  }
 }

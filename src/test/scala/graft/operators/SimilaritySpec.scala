@@ -421,4 +421,64 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(out.values.forall { case (cs, e) =>
       cs.forall(c => c >= 0 && c < ks) && e >= 0.0 })
   }
+
+  test("IVF-PQ exhaustive (all cells probed, no refine cut) equals brute force") {
+    val brute = Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // probing every cell and refining every candidate makes ADC a pure
+    // pre-sort: the exact re-rank must reproduce brute force exactly
+    val pq = Similarity.ivfPqTopK(spark, sfDir, numQueries = 10, k = 5,
+        nlist = 16, nprobe = 16, refine = 1000000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pq == brute)
+  }
+
+  test("IVF-PQ defaults: shape, rank contiguity, determinism") {
+    val rows = Similarity.ivfPqTopK(spark, sfDir, numQueries = 10, k = 5).collect()
+    assert(rows.length == 50)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      // cosine non-increasing in rank
+      val sorted = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+    val again = Similarity.ivfPqTopK(spark, sfDir, numQueries = 10, k = 5).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("signProject: values replay the hash-sign fold; projection is linear") {
+    val dim = 64
+    val outDim = 16
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val out = Similarity.signProject(e, "vec_id", "embedding", dim, outDim)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    def rh(str: String): Long =
+      str.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 281474976710656L)
+    def signBit(i: Int, j: Int): Long = {
+      val m = rh(s"$i:$j") % 16777216L
+      ((m * m) >> 12) & 1L
+    }
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(out.size == vecs.size * outDim)
+    vecs.foreach { case (id, v) =>
+      (0 until outDim).foreach { j =>
+        var acc = 0.0
+        (0 until dim).foreach { i =>
+          val sgn = if (signBit(i, j) == 0L) 1.0 else -1.0
+          acc += sgn * v(i)
+        }
+        val expect = acc / math.sqrt(outDim.toDouble)
+        assert(out((id, j)) == expect, s"vec $id component $j")
+      }
+    }
+    // signs must not be a separable checkerboard: the 16 sign columns
+    // of component i and component i+1 should differ for some i
+    val signRows = (0 until dim).map { i =>
+      (0 until outDim).map(j => signBit(i, j))
+    }
+    assert(signRows.distinct.size > dim / 2, "sign matrix rows collapse")
+  }
 }

@@ -207,4 +207,93 @@ class WebSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.sum == 3 * (naive.values.sum / 3) &&
       got.values.sum == naive.values.sum)
   }
+
+  test("kCore: K4 + pendant chain — chain peels away, K4 is the 3-core") {
+    import spark.implicits._
+    // K4 on a..d; chain d-e-f hangs off it (e,f peel over two rounds —
+    // exercises multi-round convergence); noise edges collapse/drop
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"), ("e", "f"),
+      ("b", "a"), ("a", "a"), (null, "c"))
+      .toDF("x", "y")
+    val got = Web.kCore(edges, "x", "y", k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // 2-core keeps K4 but still sheds the chain (f first, then e)
+    val got2 = Web.kCore(edges, "x", "y", k = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2.keySet == Set("a", "b", "c", "d"))
+    // a k no node can meet → empty core, not an error
+    assert(Web.kCore(edges, "x", "y", k = 10).count() == 0L)
+  }
+
+  test("kCore matches fixpoint peeling on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 40
+    val pairs = for {
+      i <- 0 until n; j <- (i + 1) until n
+      if rnd.nextDouble() < 0.12
+    } yield (s"n$i", s"n$j")
+    val df = pairs.toDF("x", "y")
+    val got = Web.kCore(df, "x", "y", k = 3, maxRounds = 40).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reference: in-memory peel to fixpoint
+    var es = pairs.toSet
+    var changed = true
+    while (changed) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val pruned = es.filter(e => keep(e._1) && keep(e._2))
+      changed = pruned != es
+      es = pruned
+    }
+    val naive = es.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == naive)
+  }
+
+  test("hits matches an in-memory replay of the integer fixed-point iteration") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val pairs = (for {
+      i <- 0 until 12; j <- 0 until 8
+      if rnd.nextDouble() < 0.3
+    } yield (s"s$i", s"t$j")) ++ Seq(("t0", "s1"), ("t2", "t3"))
+    val got = Web.hits(pairs.toDF("x", "y"), "x", "y", iters = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // in-memory replay of the exact long algebra
+    val e = pairs.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val one = 1L << 20
+    def norm(m: Map[String, Long]): Map[String, Long] = {
+      val mx = m.values.max
+      if (mx <= 0L) m.map { case (k, _) => k -> 0L }
+      else m.map { case (k, v) => k -> (v * one / mx) }
+    }
+    var hub = nodes.map(_ -> one).toMap
+    var auth = Map.empty[String, Long]
+    (1 to 2).foreach { _ =>
+      auth = norm(nodes.map(n =>
+        n -> e.filter(_._2 == n).map(p => hub(p._1)).sum).toMap)
+      hub = norm(nodes.map(n =>
+        n -> e.filter(_._1 == n).map(p => auth(p._2)).sum).toMap)
+    }
+    assert(got == nodes.map(n => n -> ((hub(n), auth(n)))).toMap)
+    // pure sources have auth 0; pure sinks have hub 0
+    assert(got.filter { case (k, _) => k.startsWith("s") && k != "s1" }
+      .values.forall(_._2 == 0L))
+  }
+
+  test("kCore fails loudly when maxRounds is too small to converge") {
+    import spark.implicits._
+    // a path graph's 2-core peels one vertex per end per round
+    val chain = (0 until 12).map(i => (s"c$i", s"c${i + 1}")).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Web.kCore(chain, "x", "y", k = 2, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }
