@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Content-defined chunking (the storage-dedup primitive behind LBFS /
+  * restic / borg): a chunk boundary falls after 1-based position `i`
+  * (i ≥ `w`) whenever the base-31 mod-2⁴⁸ fold of the trailing
+  * `w`-char window divides `div` — so boundaries are determined by
+  * CONTENT, not offsets, and an insertion early in a document shifts
+  * every byte but only the chunks touching the edit change digests.
+  * That offset-independence is what byte-offset (fixed-size) chunking
+  * lacks and why CDC is the dedup layer for recrawled/near-identical
+  * blobs.
+  *
+  * Emits the digest (same fold, over the chunk's characters) of every
+  * chunk, in order; the trailing residual chunk always closes at end
+  * of text, so digests partition the document. Expected chunk length
+  * is `div` chars. Empty text → empty array (no chunks).
+  *
+  * Both the boundary rule and the digests replay in SQL as
+  * `list_filter(range …)` + `list_reduce` folds over the same windows
+  * (q186) — every constant (31, 2⁴⁸, w, div) is shared.
+  */
+final class CdcKernel(val w: Int, val div: Long) extends Serializable {
+  require(w >= 1 && div >= 1, "CdcKernel needs positive window and divisor")
+  private val Mask = RollingHash.Mask
+
+  def digests(text: UTF8String): ArrayData = {
+    val s = text.toString
+    if (s.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    val n = s.length
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = w // candidate 1-based end position
+    while (i <= n) {
+      var h = 0L
+      var j = i - w
+      while (j < i) { h = (h * 31L + s.charAt(j)) & Mask; j += 1 }
+      if (h % div == 0L) ends += i
+      i += 1
+    }
+    if (ends.isEmpty || ends(ends.length - 1) != n) ends += n
+    val out = new Array[Long](ends.length)
+    var start = 0
+    var k = 0
+    while (k < ends.length) {
+      var h = 0L
+      var j = start
+      while (j < ends(k)) { h = (h * 31L + s.charAt(j)) & Mask; j += 1 }
+      out(k) = h
+      start = ends(k)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `cdc_chunk_digests(string) -> array<bigint>` — in-order content-
+  * defined chunk digests of the text under a fixed [[CdcKernel]].
+  * Null → null. */
+case class CdcChunkDigests(child: Expression, kernel: CdcKernel)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"cdc_chunk_digests requires string, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  protected override def nullSafeEval(input: Any): Any =
+    kernel.digests(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernelRef = ctx.addReferenceObj("cdcKernel", kernel,
+      classOf[CdcKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernelRef.digests($c);")
+  }
+
+  override def prettyName: String = "cdc_chunk_digests"
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkDigests =
+    copy(child = newChild)
+}

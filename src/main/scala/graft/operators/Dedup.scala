@@ -1127,4 +1127,41 @@ object Dedup {
         (col("n_dup").cast("double") / col("n_docs").cast("double"))
           .as("dup_rate"))
   }
+
+  /** Content-defined-chunking dedup audit
+    * ([[graft.functions.CdcKernel]]): chunk every document at
+    * content-determined boundaries (rolling-hash window divisibility —
+    * the LBFS/restic primitive), digest each chunk, and report per
+    * source how much of the chunk stream is REDUNDANT
+    * (`1 − distinct/total`) — the storage-layer dedup estimate that
+    * predicts what a recrawl actually costs to keep, and the
+    * sub-document complement to [[dupRateBySource]]'s whole-doc rate
+    * (shared boilerplate inflates CDC redundancy long before whole
+    * documents collide).
+    *
+    * Scale shape: chunking + digesting is ONE shuffle-free codegen
+    * scan (the kernel emits ≤ len/div digests per doc); the only
+    * shuffle is the per-source distinct-count aggregate over 8-byte
+    * digests — the text itself never moves. */
+  def cdcChunkStats(
+      docs: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      window: Int = 8,
+      divisor: Long = 64L): DataFrame = {
+    val kernel = new graft.functions.CdcKernel(window, divisor)
+    val dg = org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.CdcChunkDigests(
+        org.apache.spark.sql.graft.SparkShims.expression(
+          coalesce(col(textCol), lit(""))),
+        kernel))
+    docs
+      .select(col(sourceCol).as("source"), explode(dg).as("dg"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("dg")).as("n_distinct"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_chunks"))
+          .as("dup_ratio"))
+  }
 }

@@ -262,6 +262,80 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL resize through the codec: decode (`ImageIO.read`) →
+    * nearest-neighbor downsample by `factor` (sample at
+    * `(x·factor, y·factor)`, output ceil(w/f)×ceil(h/f)) → RE-ENCODE to
+    * actual PNG bytes → decode THAT and report its pixel statistics.
+    * The re-encode leg is the point: the stats gate proves the resized
+    * image survives a full codec round trip, not just an in-memory
+    * array op — the thumbnail-materialization step of a multimodal
+    * curation pipeline. Nearest-neighbor (not box/bilinear) keeps every
+    * output pixel a VERBATIM input pixel, which is what makes the
+    * result integer-exact and SQL-replayable (q185).
+    *
+    * Scale shape: pure batched map, payloads enter and die inside the
+    * stage (nothing binary shuffles); undecodable payloads yield null
+    * stats rows. */
+  def resizeImageStats(
+      media: DataFrame,
+      batchSize: Int = 32,
+      factor: Int = 2): DataFrame = {
+    require(batchSize > 0, "batch size not correct")
+    require(factor >= 1, "resize factor must be >= 1")
+    val inSchema = media.schema
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val idIdx = inSchema.fieldIndex("media_id")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("px_sum", LongType, nullable = true),
+      StructField("px_min", IntegerType, nullable = true),
+      StructField("px_max", IntegerType, nullable = true),
+      StructField("px_mean", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(idIdx)
+          val resized = try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](payloadIdx)))
+            if (img == null) None
+            else {
+              val w2 = (img.getWidth + factor - 1) / factor
+              val h2 = (img.getHeight + factor - 1) / factor
+              val out = new java.awt.image.BufferedImage(
+                w2, h2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val src = img.getRaster
+              val dst = out.getRaster
+              var y = 0
+              while (y < h2) {
+                var x = 0
+                while (x < w2) {
+                  dst.setSample(x, y, 0, src.getSample(x * factor, y * factor, 0))
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              decodeImage(bos.toByteArray)
+            }
+          } catch {
+            case _: java.io.IOException => None
+            case scala.util.control.NonFatal(_) => None
+          }
+          resized match {
+            case Some((w, h, sum, mn, mx)) =>
+              Row(id, w, h, sum, mn, mx, sum.toDouble / (w.toLong * h))
+            case None => Row(id, null, null, null, null, null, null)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Batched REAL decode + pixel statistics: `ImageIO.read` per payload,
     * grouped into `batchSize` buffers per partition (same vectorized
     * plumbing as [[decodeFeatures]]). Undecodable payloads yield a null

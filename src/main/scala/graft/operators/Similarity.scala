@@ -470,6 +470,60 @@ object Similarity {
       .presentSorted("q_id", "rank")
   }
 
+  /** Binary-code similarity search (Charikar 2002 sign hashes ranked by
+    * Hamming distance): every vector compresses to the 16-bit sign
+    * signature ([[signature]] — the same fixed-seed hyperplanes the LSH
+    * path banks on), candidates rank by `popcount(sig XOR qsig)`, and
+    * the `refine` best re-rank with the exact cosine. Hamming over sign
+    * bits estimates the angle (collision probability `1 − θ/π` per
+    * plane), so the coarse rank is monotone-ish in cosine — the exact
+    * re-rank restores the tail.
+    *
+    * Where [[lshTopK]] BUCKETS by band equality (sub-linear candidate
+    * generation, can miss), the Hamming scan is EXHAUSTIVE over codes:
+    * 2 bytes per vector instead of 256, XOR+popcount per comparison —
+    * the memory-resident linear-scan design binary-embedding serving
+    * uses when recall floors matter more than sub-linearity.
+    *
+    * Scale shape: the comparison scan carries (n_id, sig) only — the
+    * signature map is shuffle-free codegen, the query set broadcasts,
+    * and full vectors re-attach BY ID for the `refine` survivors alone
+    * (q176's discipline). Deterministic: ties cut on id at both ranks;
+    * SQL-replayable from the plane literals (q41's convention). */
+  def hammingTopK(
+      s: SparkSession,
+      dir: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      refine: Int = 32): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
+    val sigs = e.select(col("vec_id"), signature(col("v"), 64).as("sig"))
+    val q = sigs.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("sig").as("qsig"))
+    val ham = sigs.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("long").as("hamming"))
+    import org.apache.spark.sql.expressions.Window
+    val refined = ham
+      .withColumn("rr", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("hamming"), col("n_id"))))
+      .where(col("rr") <= refine)
+      .select("q_id", "n_id", "hamming")
+    val scored = refined
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v")), "n_id")
+      .select(col("q_id"), col("n_id"), col("hamming"),
+        LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "hamming", "cos")
+      .presentSorted("q_id", "rank")
+  }
+
   /** Sign random projection (Achlioptas 2003 / Johnson-Lindenstrauss):
     * `y_j = (Σ_i s_ij · x_i) / √outDim` with `s_ij ∈ {+1, −1}` — the
     * database-friendly JL variant (no Gaussians, no multiplies: the

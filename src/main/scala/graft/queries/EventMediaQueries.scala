@@ -210,6 +210,36 @@ object EventMediaQueries {
       |FROM px
       |ORDER BY media_id""".stripMargin
 
+  /** Nearest-neighbor 2× downsample through the REAL codec
+    * ([[Multimodal.resizeImageStats]]): decode → sample every other
+    * pixel → re-encode PNG → decode again → stats. The oracle replays
+    * the pattern formula at the even coordinates `(2x, 2y)` over the
+    * ceil-halved canvas — any resampling drift, off-by-one in the ceil
+    * geometry, or codec loss on the re-encode leg fails the hash. */
+  def q185ImageResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeImageStats(
+        Multimodal.imageTable(s.read.parquet(s"$dir/documents.parquet")),
+        batchSize = 32, factor = 2)
+      .presentSorted("media_id")
+
+  def q185Sql: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    (doc_id % 24 + 8 + 1) // 2 AS w2, (doc_id % 16 + 8 + 1) // 2 AS h2,
+      |    flatten(list_transform(range((doc_id % 16 + 8 + 1) // 2), y ->
+      |      list_transform(range((doc_id % 24 + 8 + 1) // 2), x ->
+      |        (doc_id * 31 + (2 * x) * 7 + (2 * y) * 13) % 256))) AS ps
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(w2 AS INTEGER) AS width,
+      |  CAST(h2 AS INTEGER) AS height,
+      |  CAST(list_sum(ps) AS BIGINT) AS px_sum,
+      |  CAST(list_min(ps) AS INTEGER) AS px_min,
+      |  CAST(list_max(ps) AS INTEGER) AS px_max,
+      |  CAST(list_sum(ps) AS DOUBLE) / (w2 * h2) AS px_mean
+      |FROM px
+      |ORDER BY media_id""".stripMargin
+
   /** Real RIFF/WAVE PCM encode→decode round trip through
     * `javax.sound.sampled` ([[Multimodal.audioTable]] →
     * [[Multimodal.decodeAudioStats]]), the audio sibling of q72. */
@@ -664,7 +694,8 @@ object EventMediaQueries {
     ("q165_seq_examples", q165SeqExamples _, q165Sql),
     ("q167_heavy_hitters", q167HeavyHitters _, q167Sql),
     ("q168_stream_heavy_hitters", q168StreamHeavyHitters _, q167Sql),
-    ("q182_stream_blocklist", q182StreamBlocklist _, TextQueries.q178Sql))
+    ("q182_stream_blocklist", q182StreamBlocklist _, TextQueries.q178Sql),
+    ("q185_image_resize", q185ImageResize _, q185Sql))
 
   /** q178's Aho-Corasick blocklist scan run as a REAL Structured
     * Streaming query: `readStream` over the documents parquet → the

@@ -905,7 +905,91 @@ object PipelineQueries {
     ("q176_ivfpq_adc", q176IvfPq _, q176Sql),
     ("q177_kcore", q177KCore _, q177Sql),
     ("q179_sign_projection", q179SignProject _, q179Sql),
-    ("q181_hits", q181Hits _, q181Sql))
+    ("q181_hits", q181Hits _, q181Sql),
+    ("q184_hamming_topk", q184HammingTopK _, q184Sql),
+    ("q186_cdc_chunks", q186CdcChunks _, q186Sql))
+
+  /** Content-defined-chunking dedup audit ([[Dedup.cdcChunkStats]]):
+    * per-source chunk counts, distinct digests, and the redundancy
+    * ratio. The oracle replays BOTH the boundary rule (every trailing
+    * 8-char window fold, `list_filter` over positions) and every chunk
+    * digest (`list_reduce` fold over the chunk substring) — an
+    * off-by-one in window geometry or a drifted digest fails the hash. */
+  def q186CdcChunks(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunkStats(docs(s, dir), "text", "source")
+      .presentSorted("source")
+
+  def q186Sql: String = {
+    val fold = (e: String) =>
+      s"list_reduce(list_prepend(0::BIGINT, [ascii(ch)::BIGINT for ch in " +
+        s"string_split($e, '')]), (a, c) -> (a * 31 + c) % 281474976710656)"
+    s"""WITH t AS (SELECT doc_id, source, coalesce(text, '') AS s FROM documents),
+       |b AS (
+       |  SELECT doc_id, source, s, len(s) AS n,
+       |    list_filter(range(8, len(s) + 1), i ->
+       |      ${fold("substr(s, CAST(i - 7 AS INTEGER), 8)")} % 64 = 0) AS bs
+       |  FROM t WHERE len(s) > 0),
+       |e AS (
+       |  SELECT doc_id, source, s,
+       |    CASE WHEN len(bs) > 0 AND bs[-1] = n THEN bs
+       |         ELSE list_append(bs, n) END AS ends
+       |  FROM b),
+       |c AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_transform(range(1, len(ends) + 1), j ->
+       |      ${fold("substr(s, CAST(CASE WHEN j = 1 THEN 1 ELSE ends[CAST(j - 1 AS INTEGER)] + 1 END AS INTEGER), CAST(ends[CAST(j AS INTEGER)] - CASE WHEN j = 1 THEN 0 ELSE ends[CAST(j - 1 AS INTEGER)] END AS INTEGER))")})) AS dg
+       |  FROM e)
+       |SELECT source, count(*)::BIGINT AS n_chunks,
+       |  count(DISTINCT dg)::BIGINT AS n_distinct,
+       |  1.0 - CAST(count(DISTINCT dg) AS DOUBLE) / count(*) AS dup_ratio
+       |FROM c GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
+  /** Binary-code Hamming search ([[Similarity.hammingTopK]]): exhaustive
+    * popcount scan over 16-bit sign signatures, top-32 by Hamming
+    * re-ranked exactly. The oracle rebuilds the signatures from the
+    * plane literals (q41's convention), replays XOR/popcount, and both
+    * id-tied cuts. */
+  def q184HammingTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.hammingTopK(s, dir, numQueries = 10, k = 5, refine = 32)
+
+  def q184Sql: String = {
+    val planes = Similarity.planes(64)
+    def dlit(d: Double): String =
+      String.format(java.util.Locale.ROOT, "(%.16e)", Double.box(d))
+    val sigExpr = planes.zipWithIndex.map { case (p, b) =>
+      val dot = p.zipWithIndex
+        .map { case (w, i) => s"${dlit(w)}*embedding[${i + 1}]::DOUBLE" }
+        .mkString(" + ")
+      s"(CASE WHEN ($dot) > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH s AS (
+       |  SELECT vec_id,
+       |    $sigExpr AS sig
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, sig AS qsig FROM s WHERE vec_id < 10),
+       |h AS (
+       |  SELECT q.q_id, s.vec_id AS n_id,
+       |    CAST(bit_count(xor(s.sig, q.qsig)) AS BIGINT) AS hamming
+       |  FROM s CROSS JOIN q WHERE s.vec_id <> q.q_id),
+       |ref AS (
+       |  SELECT q_id, n_id, hamming FROM (
+       |    SELECT q_id, n_id, hamming,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS rr
+       |    FROM h) z WHERE rr <= 32),
+       |v AS (SELECT vec_id, embedding, (${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |sc AS (
+       |  SELECT r.q_id, r.n_id, r.hamming,
+       |    (${dotSql("a.embedding", "c.embedding")}) / (sqrt(a.nrm) * sqrt(c.nrm)) AS cos
+       |  FROM ref r JOIN v a ON a.vec_id = r.q_id JOIN v c ON c.vec_id = r.n_id)
+       |SELECT q_id, rank, n_id, hamming, cos FROM (
+       |  SELECT q_id, n_id, hamming, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM sc) x
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   /** HITS hubs & authorities ([[graft.operators.Web.hits]]) over the
     * q143 directed source→host graph, 2 iterations of integer

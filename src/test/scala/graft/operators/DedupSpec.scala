@@ -648,4 +648,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     } yield (a, b, ov)).toSet
     assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
   }
+
+  test("CDC chunking: definition replay, prefix stability, duplicate detection") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val kernel = new graft.functions.CdcKernel(8, 64L)
+    def digests(s: String): Seq[Long] = {
+      val a = kernel.digests(UTF8String.fromString(s))
+      (0 until a.numElements()).map(a.getLong)
+    }
+    def fold(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c) & graft.functions.RollingHash.Mask)
+    // definition replay: boundaries where the trailing-8 window fold % 64 == 0
+    val rnd = new scala.util.Random(5)
+    (1 to 30).foreach { _ =>
+      val s = Seq.fill(20 + rnd.nextInt(300))(
+        ('a' + rnd.nextInt(4)).toChar).mkString
+      val bs = (8 to s.length).filter(i => fold(s.substring(i - 8, i)) % 64 == 0)
+      val ends = if (bs.nonEmpty && bs.last == s.length) bs else bs :+ s.length
+      val want = ends.foldLeft((0, Seq.empty[Long])) { case ((st, acc), e) =>
+        (e, acc :+ fold(s.substring(st, e)))
+      }._2
+      assert(digests(s) == want, s"text=$s")
+      // appending text never changes already-closed chunks
+      val s2 = s + "tail growth"
+      assert(digests(s2).startsWith(digests(s).dropRight(1)))
+    }
+    assert(digests("") == Nil)
+    // operator: a duplicated doc doubles chunks but not distinct digests
+    import spark.implicits._
+    val base = Seq.fill(40)(('a' + rnd.nextInt(4)).toChar).mkString * 4
+    val df = Seq(("s1", base), ("s1", base), ("s2", base.reverse), ("s2", null))
+      .toDF("source", "text")
+    val got = Dedup.cdcChunkStats(df, "text", "source").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val one = digests(base)
+    assert(got("s1")._1 == 2L * one.length)
+    assert(got("s1")._2 == one.distinct.length.toLong)
+    assert(got("s1")._3 ==
+      1.0 - one.distinct.length.toDouble / (2L * one.length))
+    // null text contributes nothing
+    assert(got("s2")._1 == digests(base.reverse).length.toLong)
+  }
 }

@@ -79,6 +79,33 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("resizeImageStats: 2x nearest-neighbor through the codec matches arithmetic") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(40)
+    val stats = Multimodal.resizeImageStats(
+        Multimodal.imageTable(docs), batchSize = 7, factor = 2)
+      .orderBy("media_id").collect()
+    assert(stats.length == docs.count())
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((id % 24 + 8).toInt, (id % 16 + 8).toInt)
+      val (w2, h2) = ((w + 1) / 2, (h + 1) / 2)
+      val px = for { y <- 0 until h2; x <- 0 until w2 }
+        yield Multimodal.patternPixel(id, 2 * x, 2 * y)
+      assert(r.getInt(1) == w2 && r.getInt(2) == h2)
+      assert(r.getLong(3) == px.map(_.toLong).sum)
+      assert(r.getInt(4) == px.min && r.getInt(5) == px.max)
+      assert(r.getDouble(6) == px.map(_.toLong).sum.toDouble / (w2.toLong * h2))
+    }
+    // factor=1 degenerates to the plain decode stats
+    val same = Multimodal.resizeImageStats(
+        Multimodal.imageTable(docs), batchSize = 7, factor = 1)
+      .orderBy("media_id").collect().map(_.toSeq)
+    val base = Multimodal.decodeImageStats(
+        Multimodal.imageTable(docs), batchSize = 7)
+      .orderBy("media_id").collect().map(_.toSeq)
+    assert(same.toSeq == base.toSeq)
+  }
+
   test("real WAV codec: encode→decode round trip recovers the exact samples") {
     val bytes = Multimodal.encodeWav(id = 5L, nSamples = 137)
     assert(bytes.take(4).map(_.toChar).mkString == "RIFF",

@@ -448,6 +448,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("hammingTopK exhaustive refine equals brute force; hamming bounded") {
+    val brute = Similarity.bruteForceTopK(spark, sfDir, numQueries = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // refine >= corpus size → the Hamming pre-rank is a pure pass-through
+    val ham = Similarity.hammingTopK(spark, sfDir, numQueries = 10, k = 5,
+        refine = 1000000)
+      .collect()
+    assert(ham.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet == brute)
+    // hamming distances live on the 16-bit signature
+    assert(ham.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 16L))
+    // defaults: shape + determinism
+    val d1 = Similarity.hammingTopK(spark, sfDir).collect().map(_.toSeq).toSet
+    val d2 = Similarity.hammingTopK(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(d1 == d2 && d1.size == 50)
+  }
+
   test("signProject: values replay the hash-sign fold; projection is linear") {
     val dim = 64
     val outDim = 16
