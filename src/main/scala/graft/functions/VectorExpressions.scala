@@ -324,3 +324,83 @@ case class DotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
+
+/** Broadcast PQ codebook for asymmetric-distance computation.
+  * `codebooks(j)(c)` is subspace `j`'s centroid for code `c` (length =
+  * subspace width). The fold order is pinned to the q176 oracle:
+  * within a subspace, squared diffs accumulate in ascending component
+  * order; subspaces sum in ascending `j` — both left-associative. */
+final class PqAdcKernel(val codebooks: Array[Array[Array[Double]]])
+    extends Serializable {
+
+  /** ADC between the exact query subvectors of `v` and the quantized
+    * centroids selected by `codes`. NaN when shapes mismatch or a code
+    * is out of range (mapped to null by the expression). */
+  def adc(v: ArrayData, codes: ArrayData): Double = {
+    val m = codebooks.length
+    if (codes.numElements() != m) return Double.NaN
+    var total = 0.0
+    var base = 0
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      if (c < 0 || c >= codebooks(j).length) return Double.NaN
+      val cb = codebooks(j)(c)
+      if (base + cb.length > v.numElements()) return Double.NaN
+      var d = 0.0
+      var i = 0
+      while (i < cb.length) {
+        val t = v.getDouble(base + i) - cb(i)
+        d += t * t
+        i += 1
+      }
+      total += d
+      base += cb.length
+      j += 1
+    }
+    total
+  }
+}
+
+/** `pq_adc(array<double>, array<int>) -> double` — asymmetric PQ
+  * distance against a fixed broadcast codebook. A single tight kernel
+  * call instead of an unrolled m×ks CASE expression: the unrolled form
+  * generated ~512-term methods that blow the JIT's bytecode budget and
+  * run interpreted (measured ~6× on the q176 candidate scan). Null for
+  * null inputs, shape mismatch, or out-of-range codes. */
+case class PqAdc(left: Expression, right: Expression, kernel: PqAdcKernel)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"pq_adc requires (array<double>, array<int>), got $other")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val d = kernel.adc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (d.isNaN) null else d
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernelRef = ctx.addReferenceObj("pqAdcKernel", kernel,
+      classOf[PqAdcKernel].getName)
+    val d = ctx.freshName("adc")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        double $d = $kernelRef.adc($a, $b);
+        if (Double.isNaN($d)) { ${ev.isNull} = true; } else { ${ev.value} = $d; }
+      """)
+  }
+
+  override def prettyName: String = "pq_adc"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}

@@ -32,6 +32,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream cache is FILE-backed: every
+  // decode creates and deletes a temp file — per-image filesystem
+  // traffic that serializes on the tmpdir at high codec parallelism.
+  // All payloads here are in-memory byte arrays, so the memory cache is
+  // strictly better. Object-init runs once per JVM, and executors touch
+  // this object from every codec closure, so the setting reaches them.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried beside the payload. */
   val MetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType, nullable = false),

@@ -396,17 +396,18 @@ object Similarity {
       ks: Int = 8,
       refine: Int = 16): DataFrame = {
     LightFusion.ensureRegistered(s)
+    require(ks <= nlist, "ks > nlist would need a second seed fetch")
     val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
-    // IVF cells: ivfTopKSeeded's quantizer (nlist highest ids, asc order)
+    // ONE bounded driver fetch serves both quantizers: IVF cells are the
+    // nlist highest ids (ivfTopKSeeded's convention, asc order); the PQ
+    // codebook is the ks highest ids (pqEncode's convention) — the tail
+    // of the same sorted seed array
     val cellSeeds = e.orderBy(desc("vec_id")).limit(nlist).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     val cellKernel = new graft.functions.CentroidKernel(cellSeeds.map(_._2))
     val cellIds = cellSeeds.map(_._1)
-    // PQ codebook: pqEncode's convention (ks highest ids, code = asc rank)
-    val cb = e.orderBy(desc("vec_id")).limit(ks).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).map(_._2)
+    val cb = cellSeeds.takeRight(ks).map(_._2)
     val dim = cb.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -439,21 +440,18 @@ object Similarity {
       .select("q_id", "qv", "cell")
     val cands = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
-    // ADC: per subspace, the code selects a broadcast-literal centroid;
-    // distances fold ascending-component, subspaces sum in order (the
-    // oracle's exact association)
-    val adc = (0 until m).map { j =>
-      (0 until ks).map { c =>
-        val d = (0 until sub).map { i =>
-          val p = j * sub + i
-          val t = col("qv").getItem(p) - lit(cb(c)(p))
-          t * t
-        }.reduce(_ + _)
-        (c, d)
-      }.foldLeft(lit(null).cast("double")) { case (acc, (c, d)) =>
-        when(col(s"c$j") === c, d).otherwise(acc)
-      }
-    }.reduce(_ + _)
+    // ADC: one tight kernel call against the broadcast codebook
+    // (ascending-component then ascending-subspace left-assoc fold —
+    // the oracle's exact association). The unrolled CASE alternative
+    // generates ~m·ks·sub-term methods that exceed the JIT bytecode
+    // budget and run interpreted — measured ~6× slower at sf0.1.
+    val adcKernel = new graft.functions.PqAdcKernel(
+      Array.tabulate(m)(j =>
+        Array.tabulate(ks)(c => cb(c).slice(j * sub, (j + 1) * sub))))
+    val adc = SparkShims.column(graft.functions.PqAdc(
+      SparkShims.expression(col("qv")),
+      SparkShims.expression(array((0 until m).map(j => col(s"c$j")): _*)),
+      adcKernel))
     val refined = cands
       .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), adc.as("adc"))
       .withColumn("rr", row_number().over(
