@@ -993,6 +993,71 @@ object Corpus {
       .withColumn("tile", ntile(nTiles).over(w))
   }
 
+  /** Interpolated absolute-discount bigram likelihood (Ney, Essen &
+    * Kneser 1994 — the smoothing family under Kneser-Ney): each
+    * observed bigram's probability discounts a fixed `D` of its count
+    * mass and backs off to the unigram distribution, weighted by how
+    * many distinct continuations the prefix has:
+    *
+    *   `P(w₂|w₁) = (max(c₁₂ − D, 0) + D·N₁₊(w₁)·(c(w₂)/T)) / c(w₁·)`
+    *
+    * versus [[bigramScore]]'s add-one smoothing this stops crediting
+    * singleton bigrams at face value (the junk-text tell: boilerplate
+    * scores high under add-one because its bigrams are frequent, and
+    * garbage scores high because EVERY unseen bigram gets the same +1
+    * — discounting separates them). Doc score = position-ORDERED fold
+    * mean of per-bigram probabilities (the q109 engine-exactness
+    * convention: every input to the fold is a count ratio computed in
+    * a fixed double-op order, the fold is sequential from a 0.0 seed).
+    *
+    * Scale shape: identical to [[bigramScore]] — one bigram-vocab
+    * shuffle (map-side combined), prefix totals and continuation
+    * counts derived FROM the bigram aggregate (no extra corpus pass),
+    * the one-row token total broadcast by crossJoin. */
+  def bigramScoreAD(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val ws = TextAnalysis.words(col(textCol))
+    val bg = docs
+      .select(col(idCol).as("__id"), ws.as("ws"))
+      .select(col("__id"), col("ws"),
+        posexplode(slice(col("ws"), lit(1), size(col("ws")) - 1)))
+      .select(col("__id"), (col("pos") + 1).as("pos"), col("col").as("w1"),
+        element_at(col("ws"), col("pos") + 2).as("w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // prefix totals AND distinct-continuation counts from the same
+    // vocab²-sized aggregate — no second corpus scan
+    val cu = cb.groupBy("w1")
+      .agg(sum("cb").as("cu"), count(lit(1)).as("n1p"))
+    val ug = docs.select(explode(ws).as("t")).groupBy("t")
+      .agg(count(lit(1)).as("cu2"))
+    val tt = docs.select(explode(ws).as("t")).agg(count(lit(1)).as("tt"))
+    val p = bg
+      .join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .join(ug.withColumnRenamed("t", "w2"), Seq("w2"))
+      .crossJoin(broadcast(tt))
+      .select(col("__id"), col("pos"),
+        ((greatest(col("cb").cast("double") - lit(discount), lit(0.0)) +
+          lit(discount) * col("n1p").cast("double") *
+            (col("cu2").cast("double") / col("tt").cast("double"))) /
+          col("cu").cast("double")).as("p"))
+    val folded = p.groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("p")))).as("pp"))
+      .select(col("__id"),
+        transform(col("pp"), x => x.getField("p")).as("ps"))
+      .select(col("__id"), size(col("ps")).as("n_bigrams"),
+        (aggregate(col("ps"), lit(0.0), (acc, x) => acc + x) /
+          size(col("ps"))).as("score"))
+    docs.select(col(idCol))
+      .join(folded.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
   /** BM25-family ranked retrieval over the corpus for a fixed query
     * set — the relevance scorer behind "find the docs most about X"
     * curation pulls (topic probes, eval-set seeding, targeted audits).

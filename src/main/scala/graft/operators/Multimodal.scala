@@ -765,6 +765,89 @@ object Multimodal {
     }(enc)
   }
 
+  /** Silence trimming through the REAL WAV codec: decode, drop leading
+    * and trailing runs where `|sample| < threshold` (keep from the
+    * first loud sample through the last), RE-ENCODE the kept span as
+    * an actual RIFF/WAVE payload, decode THAT, and report its stats —
+    * the clip-preparation step of an audio curation pipeline (ingest
+    * recordings are padded with room tone; models train on the loud
+    * span). PCM is lossless, so the re-encoded stats are exactly the
+    * kept span's — the gate proves the codec leg, not just the array
+    * slice. An all-quiet clip trims to zero samples (null stats row,
+    * n_kept = 0).
+    *
+    * Scale shape: batched map, payloads never shuffle; only
+    * (id, counts, stats) leave the stage. */
+  def trimSilenceStats(
+      media: DataFrame,
+      batchSize: Int = 32,
+      threshold: Int = 30000): DataFrame = {
+    require(batchSize > 0, "batch size not correct")
+    require(threshold >= 0, "threshold must be >= 0")
+    val inSchema = media.schema
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val idIdx = inSchema.fieldIndex("media_id")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("n_kept", LongType, nullable = true),
+      StructField("first_kept", LongType, nullable = true),
+      StructField("energy", LongType, nullable = true),
+      StructField("peak", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(idIdx)
+          decodeWavSamples(row.getAs[Array[Byte]](payloadIdx)) match {
+            case Some(samples) =>
+              val n = samples.length
+              var first = 0
+              while (first < n && math.abs(samples(first)) < threshold) first += 1
+              var last = n - 1
+              while (last >= first && math.abs(samples(last)) < threshold) last -= 1
+              if (first > last) Row(id, n.toLong, 0L, null, null, null)
+              else {
+                // re-encode the kept span and decode it back — the
+                // stats below come from the ROUND-TRIPPED payload
+                val kept = java.util.Arrays.copyOfRange(samples, first, last + 1)
+                val pcm = new Array[Byte](kept.length * 2)
+                var i = 0
+                while (i < kept.length) {
+                  pcm(i * 2) = (kept(i) & 0xff).toByte
+                  pcm(i * 2 + 1) = ((kept(i) >> 8) & 0xff).toByte
+                  i += 1
+                }
+                val ais = new javax.sound.sampled.AudioInputStream(
+                  new java.io.ByteArrayInputStream(pcm), WavFormat,
+                  kept.length.toLong)
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.sound.sampled.AudioSystem.write(
+                  ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+                decodeWavSamples(bos.toByteArray) match {
+                  case Some(rt) =>
+                    var energy = 0L
+                    var peak = 0
+                    var j = 0
+                    while (j < rt.length) {
+                      val v = rt(j)
+                      energy += v.toLong * v
+                      val a = math.abs(v)
+                      if (a > peak) peak = a
+                      j += 1
+                    }
+                    Row(id, n.toLong, rt.length.toLong, first.toLong,
+                      energy, peak)
+                  case None => Row(id, n.toLong, null, null, null, null)
+                }
+              }
+            case None => Row(id, null, null, null, null, null)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Real WAV decode returning the raw signed samples (the feature-
     * extraction entry point, vs [[decodeWav]]'s summary stats). */
   private[operators] def decodeWavSamples(

@@ -364,6 +364,45 @@ object Similarity {
       perSub.map(_._2).reduce(_ + _).as("recon_err"))
   }
 
+  /** Per-dimension embedding distribution audit — the statistics a
+    * whitening / normalization step consumes (and the drift monitor a
+    * serving pipeline alarms on: a dimension whose mean wanders or
+    * whose std collapses signals an encoder change upstream).
+    *
+    * Reproducibility: float sums are partition-order-dependent, so
+    * each component first quantizes to a 2^`scaleBits` integer grid
+    * (q80's round-half-up) and BOTH moments accumulate as exact longs
+    * (any order); mean and std are then fixed-order double expressions
+    * over the three exact totals — `std = √(n·Σq² − (Σq)²) / (n·2^k)`
+    * (√ is IEEE-correctly-rounded everywhere, unlike ln). Grid error
+    * is 2^-(k+1) per component — irrelevant for an audit, decisive for
+    * engine-exactness. scaleBits=10 keeps `n·Σq²` and `(Σq)²` in long
+    * range up to ~10⁸ rows per dimension; shard the aggregation (q171
+    * partials) beyond that.
+    *
+    * Scale shape: ONE map-side-combined aggregation keyed by dimension
+    * index (|dims| rows out) — the melt multiplies rows by dim but
+    * carries only (j, long). */
+  def dimStats(
+      embeddings: DataFrame,
+      embCol: String,
+      scaleBits: Int = 10): DataFrame = {
+    val scale = (1L << scaleBits).toDouble
+    val melted = embeddings
+      .select(posexplode(col(embCol).cast("array<double>")).as(Seq("j", "x")))
+      .select(col("j").cast("long").as("j"),
+        floor(col("x") * lit(scale) + lit(0.5)).cast("long").as("qv"))
+    melted.groupBy("j")
+      .agg(count(col("qv")).as("n"),
+        sum(col("qv")).as("s1"),
+        sum(col("qv") * col("qv")).as("s2"))
+      .select(col("j"), col("n"), col("s1"), col("s2"),
+        (col("s1").cast("double") / (col("n").cast("double") * lit(scale)))
+          .as("mean"),
+        (sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")) /
+          (col("n").cast("double") * lit(scale))).as("std"))
+  }
+
   /** IVF-PQ search with asymmetric distance computation (Jégou et al.
     * 2011, the billion-scale serving layout): corpus vectors live as
     * `m` PQ codes inside IVF cells; a query probes its `nprobe` nearest

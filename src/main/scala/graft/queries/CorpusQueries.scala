@@ -976,7 +976,49 @@ object CorpusQueries {
     ("q171_incremental_stats", q171IncrementalStats _, q171Sql),
     ("q173_stream_stats", q173StreamStats _, q171Sql),
     ("q175_mixture_plan", q175MixturePlan _, q175Sql),
-    ("q180_bm25", q180Bm25 _, q180Sql))
+    ("q180_bm25", q180Bm25 _, q180Sql),
+    ("q187_bigram_ad", q187BigramAD _, q187Sql))
+
+  /** Absolute-discount interpolated bigram likelihood
+    * ([[Corpus.bigramScoreAD]], D = 0.75) — q109's add-one sibling with
+    * the proper discount/backoff split. Oracle replays counts, the
+    * fixed-order probability expression, and the position-ordered
+    * fold. */
+  def q187BigramAD(s: SparkSession, dir: String): DataFrame =
+    Corpus.bigramScoreAD(docs(s, dir), "doc_id", "text")
+      .presentSorted("doc_id")
+
+  def q187Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (
+      |  SELECT doc_id, i AS pos, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM w, unnest(range(1, len(ws))) u(i)),
+      |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2),
+      |cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu,
+      |         CAST(count(*) AS BIGINT) AS n1p FROM cb GROUP BY w1),
+      |ug AS (SELECT t AS w2, CAST(count(*) AS BIGINT) AS cu2
+      |       FROM (SELECT unnest(ws) AS t FROM w) z GROUP BY t),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS tt
+      |       FROM (SELECT unnest(ws) AS t FROM w) z),
+      |p AS (
+      |  SELECT g.doc_id, g.pos,
+      |    (greatest(CAST(b.cb AS DOUBLE) - 0.75, 0.0) +
+      |      0.75 * CAST(c.n1p AS DOUBLE) *
+      |        (CAST(u2.cu2 AS DOUBLE) / CAST(tt.tt AS DOUBLE))) /
+      |      CAST(c.cu AS DOUBLE) AS p
+      |  FROM bg g JOIN cb b USING (w1, w2) JOIN cu c USING (w1)
+      |  JOIN ug u2 USING (w2), tt),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    list_reduce(list_prepend(0.0, list(p ORDER BY pos)), (a, x) -> a + x)
+      |      / count(*) AS score
+      |  FROM p GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(n_bigrams, 0) AS n_bigrams,
+      |  coalesce(score, 0.0) AS score
+      |FROM documents d LEFT JOIN s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Incremental aggregate maintenance
     * ([[graft.operators.Lakehouse.statsPartials]]): the corpus arrives

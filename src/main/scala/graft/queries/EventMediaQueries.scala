@@ -695,7 +695,51 @@ object EventMediaQueries {
     ("q167_heavy_hitters", q167HeavyHitters _, q167Sql),
     ("q168_stream_heavy_hitters", q168StreamHeavyHitters _, q167Sql),
     ("q182_stream_blocklist", q182StreamBlocklist _, TextQueries.q178Sql),
-    ("q185_image_resize", q185ImageResize _, q185Sql))
+    ("q185_image_resize", q185ImageResize _, q185Sql),
+    ("q188_audio_trim", q188AudioTrim _, q188Sql))
+
+  /** Silence trimming through the real WAV codec
+    * ([[Multimodal.trimSilenceStats]], threshold 30000): decode → drop
+    * quiet leading/trailing runs → re-encode the kept span as actual
+    * RIFF/WAVE → decode that → exact energy/peak. Oracle replays the
+    * sample formula, the trim indices, and the kept-span statistics
+    * (PCM is lossless, so round-tripped stats equal the slice's). */
+  def q188AudioTrim(s: SparkSession, dir: String): DataFrame =
+    Multimodal.trimSilenceStats(
+        Multimodal.audioTable(s.read.parquet(s"$dir/documents.parquet")),
+        batchSize = 32, threshold = 30000)
+      .presentSorted("media_id")
+
+  def q188Sql: String =
+    """WITH smp AS (
+      |  SELECT doc_id, doc_id % 400 + 100 AS n,
+      |    list_transform(range(doc_id % 400 + 100), i ->
+      |      (doc_id * 31 + i * 7) % 65536 - 32768) AS ss
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, n, ss,
+      |    list_filter(range(1, n + 1), i ->
+      |      abs(ss[CAST(i AS INTEGER)]) >= 30000) AS loud
+      |  FROM smp),
+      |t AS (
+      |  SELECT doc_id, n, ss,
+      |    CASE WHEN len(loud) = 0 THEN NULL ELSE loud[1] END AS f1,
+      |    CASE WHEN len(loud) = 0 THEN NULL ELSE loud[-1] END AS l1
+      |  FROM idx)
+      |SELECT doc_id AS media_id,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(CASE WHEN f1 IS NULL THEN 0 ELSE l1 - f1 + 1 END AS BIGINT) AS n_kept,
+      |  CAST(f1 - 1 AS BIGINT) AS first_kept,
+      |  CASE WHEN f1 IS NULL THEN NULL ELSE
+      |    CAST(list_sum(list_transform(
+      |      list_slice(ss, CAST(f1 AS INTEGER), CAST(l1 AS INTEGER)),
+      |      v -> CAST(v AS BIGINT) * v)) AS BIGINT) END AS energy,
+      |  CASE WHEN f1 IS NULL THEN NULL ELSE
+      |    CAST(list_max(list_transform(
+      |      list_slice(ss, CAST(f1 AS INTEGER), CAST(l1 AS INTEGER)),
+      |      v -> abs(v))) AS INTEGER) END AS peak
+      |FROM t
+      |ORDER BY media_id""".stripMargin
 
   /** q178's Aho-Corasick blocklist scan run as a REAL Structured
     * Streaming query: `readStream` over the documents parquet → the

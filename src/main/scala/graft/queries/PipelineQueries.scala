@@ -907,7 +907,34 @@ object PipelineQueries {
     ("q179_sign_projection", q179SignProject _, q179Sql),
     ("q181_hits", q181Hits _, q181Sql),
     ("q184_hamming_topk", q184HammingTopK _, q184Sql),
-    ("q186_cdc_chunks", q186CdcChunks _, q186Sql))
+    ("q186_cdc_chunks", q186CdcChunks _, q186Sql),
+    ("q189_dim_stats", q189DimStats _, q189Sql))
+
+  /** Per-dimension whitening statistics ([[Similarity.dimStats]]):
+    * exact quantized moments per embedding component, mean and std as
+    * fixed-order doubles over the exact totals. The oracle replays the
+    * 2¹⁰ grid, both long sums, and the √-expression. */
+  def q189DimStats(s: SparkSession, dir: String): DataFrame =
+    Similarity.dimStats(
+        s.read.parquet(s"$dir/embeddings.parquet"), "embedding")
+      .presentSorted("j")
+
+  def q189Sql: String =
+    """WITH q AS (
+      |  SELECT e.vec_id, r.j,
+      |    CAST(floor(e.embedding[CAST(r.j + 1 AS INTEGER)]::DOUBLE * 1024.0 + 0.5)
+      |      AS BIGINT) AS qv
+      |  FROM embeddings e, range(0, 64) r(j)),
+      |a AS (
+      |  SELECT j, CAST(count(qv) AS BIGINT) AS n,
+      |    CAST(sum(qv) AS BIGINT) AS s1,
+      |    CAST(sum(qv * qv) AS BIGINT) AS s2
+      |  FROM q GROUP BY j)
+      |SELECT j, n, s1, s2,
+      |  CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1024.0) AS mean,
+      |  sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * 1024.0) AS std
+      |FROM a
+      |ORDER BY j""".stripMargin
 
   /** Content-defined-chunking dedup audit ([[Dedup.cdcChunkStats]]):
     * per-source chunk counts, distinct digests, and the redundancy

@@ -531,6 +531,29 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bigramScoreAD: hand corpus replays the discount/backoff algebra") {
+    import spark.implicits._
+    // corpus: "a b a b" + "a c" → bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    // unigrams: a x3, b x2, c x1, T = 6
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = Corpus.bigramScoreAD(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val T = 6.0
+    def p(c12: Long, cu: Long, n1p: Long, cu2: Long): Double =
+      (math.max(c12 - 0.75, 0.0) + 0.75 * n1p * (cu2 / T)) / cu
+    // prefixes: a -> cu 3 (ab,ab,ac), n1p 2; b -> cu 1, n1p 1
+    val pab = p(2, 3, 2, 2) // (a,b): c12=2, unigram(b)=2
+    val pba = p(1, 1, 1, 3) // (b,a): unigram(a)=3
+    val pac = p(1, 3, 2, 1) // (a,c): unigram(c)=1
+    // doc1 positions: (a,b) (b,a) (a,b) — ordered fold then /3
+    val s1 = (0.0 + pab + pba + pab) / 3
+    val s2 = (0.0 + pac) / 1
+    assert(got(1L)._1 == 3 && got(2L)._1 == 1)
+    assert(got(1L)._2 == s1 && got(2L)._2 == s2)
+    // discounting caps: every probability in (0, 1]
+    assert(Seq(pab, pba, pac).forall(x => x > 0 && x <= 1))
+  }
+
   test("bm25TopK: hand corpus replays the quantized term algebra") {
     import spark.implicits._
     val corpus = Seq(

@@ -106,6 +106,43 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(same.toSeq == base.toSeq)
   }
 
+  test("trimSilenceStats: trim indices + round-tripped stats match arithmetic") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(40)
+    val got = Multimodal.trimSilenceStats(
+        Multimodal.audioTable(docs), batchSize = 7, threshold = 30000)
+      .orderBy("media_id").collect()
+    assert(got.length == docs.count())
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val n = (id % 400 + 100).toInt
+      val ss = Array.tabulate(n)(i => ((id * 31 + i * 7) % 65536 - 32768).toInt)
+      val first = ss.indexWhere(v => math.abs(v) >= 30000)
+      assert(r.getLong(1) == n.toLong)
+      if (first < 0) {
+        assert(r.getLong(2) == 0L && r.isNullAt(3) && r.isNullAt(4))
+      } else {
+        val last = ss.lastIndexWhere(v => math.abs(v) >= 30000)
+        val kept = ss.slice(first, last + 1)
+        assert(r.getLong(2) == kept.length.toLong)
+        assert(r.getLong(3) == first.toLong)
+        assert(r.getLong(4) == kept.map(v => v.toLong * v).sum)
+        assert(r.getInt(5) == kept.map(math.abs).max)
+      }
+    }
+    // threshold above the sample range → everything is silence
+    val quiet = Multimodal.trimSilenceStats(
+        Multimodal.audioTable(docs.limit(5)), batchSize = 7, threshold = 40000)
+      .collect()
+    assert(quiet.forall(r => r.getLong(2) == 0L && r.isNullAt(3)))
+    // threshold 0 → nothing trims, energy equals the full clip's
+    val full = Multimodal.trimSilenceStats(
+        Multimodal.audioTable(docs.limit(5)), batchSize = 7, threshold = 0)
+      .collect()
+    full.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) && r.getLong(3) == 0L)
+    }
+  }
+
   test("real WAV codec: encode→decode round trip recovers the exact samples") {
     val bytes = Multimodal.encodeWav(id = 5L, nSamples = 137)
     assert(bytes.take(4).map(_.toChar).mkString == "RIFF",

@@ -464,6 +464,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(d1 == d2 && d1.size == 50)
   }
 
+  test("dimStats: exact quantized moments replay; partitioning-invariant") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = Similarity.dimStats(e, "embedding").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val vecs = e.collect().map(_.getSeq[Float](1).map(_.toDouble))
+    assert(got.size == 64)
+    (0 until 64).foreach { j =>
+      val qs = vecs.map(v => math.floor(v(j) * 1024.0 + 0.5).toLong)
+      val (n, s1, s2) = (qs.length.toLong, qs.sum, qs.map(q => q * q).sum)
+      assert(got(j.toLong)._1 == n && got(j.toLong)._2 == s1 &&
+        got(j.toLong)._3 == s2)
+      assert(got(j.toLong)._4 == s1.toDouble / (n.toDouble * 1024.0))
+      assert(got(j.toLong)._5 ==
+        math.sqrt((n * s2 - s1 * s1).toDouble) / (n.toDouble * 1024.0))
+    }
+    // exact integer moments make the result partitioning-invariant
+    val re = Similarity.dimStats(e.repartition(13), "embedding").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    (0 until 64).foreach { j =>
+      assert(re(j.toLong) == ((got(j.toLong)._2, got(j.toLong)._3)))
+    }
+  }
+
   test("signProject: values replay the hash-sign fold; projection is linear") {
     val dim = 64
     val outDim = 16
