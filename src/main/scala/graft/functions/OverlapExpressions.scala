@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Maximal suffix↔prefix overlap between two strings, capped: the
+  * largest `L ≤ cap` with `a.suffix(L) == b.prefix(L)` — the measure a
+  * crawl-shard stitcher uses to decide whether document B continues
+  * document A. Computed in O(cap) via the KMP failure function of
+  * `b.prefix(m) + NUL + a.suffix(m)` (`m = min(cap, |a|, |b|)`): the
+  * final failure value IS the longest prefix-of-b that is a suffix of
+  * a. The NUL separator keeps borders from crossing the join for
+  * NUL-free text; a defensive clamp to `m` covers text that does
+  * contain NUL. The naive per-L substring compare the oracle replays
+  * is O(cap²) — fine for verification, wrong for a corpus scan.
+  */
+final class OverlapKernel(val cap: Int) extends Serializable {
+  require(cap >= 1, "overlap cap must be >= 1")
+
+  def overlap(a: UTF8String, b: UTF8String): Int = {
+    val as = a.toString
+    val bs = b.toString
+    val m = math.min(cap, math.min(as.length, bs.length))
+    if (m == 0) return 0
+    // NOTE: scala.StringBuilder has no (CharSequence, start, end)
+    // append overload - a 3-arg call silently auto-tuples into
+    // append(Any), embedding "(str,0,m)" literally
+    val s = new StringBuilder(2 * m + 1)
+    s.append(bs.substring(0, m)).append('\u0000')
+      .append(as.substring(as.length - m))
+    val n = s.length
+    val f = new Array[Int](n)
+    var k = 0
+    var i = 1
+    while (i < n) {
+      while (k > 0 && s.charAt(i) != s.charAt(k)) k = f(k - 1)
+      if (s.charAt(i) == s.charAt(k)) k += 1
+      f(i) = k
+      i += 1
+    }
+    math.min(f(n - 1), m)
+  }
+}
+
+/** `suffix_prefix_overlap(a, b) -> int` under a fixed [[OverlapKernel]]
+  * cap. Null for null inputs. */
+case class SuffixPrefixOverlap(left: Expression, right: Expression,
+    kernel: OverlapKernel) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"suffix_prefix_overlap requires (string, string), got $other")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    kernel.overlap(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernelRef = ctx.addReferenceObj("overlapKernel", kernel,
+      classOf[OverlapKernel].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $kernelRef.overlap($a, $b);")
+  }
+
+  override def prettyName: String = "suffix_prefix_overlap"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SuffixPrefixOverlap =
+    copy(left = newLeft, right = newRight)
+}

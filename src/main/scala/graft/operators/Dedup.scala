@@ -1128,6 +1128,68 @@ object Dedup {
           .as("dup_rate"))
   }
 
+  /** Crawl-shard stitching: pairs `(a, b)` where document `b` CONTINUES
+    * document `a` — a's suffix equals b's prefix for at least
+    * `minOverlap` chars (capped at `cap`) — the reassembly signal for
+    * content that arrived split across fetches/shards, and the
+    * boundary-dedup complement to [[spanPairs]] (shared INTERNAL spans)
+    * and [[containmentPairs]] (whole-doc subsets).
+    *
+    * Blocking is COMPLETE for overlaps in `[minOverlap, cap]` by
+    * construction: if the overlap is `L`, then b's first `minOverlap`
+    * chars appear in a starting at position `|a| − L + 1`, which lies
+    * in a's last `cap` chars — so hashing a's trailing-`cap` gram
+    * starts against b's single prefix gram (one equi-join on 64-bit
+    * hashes, id-only pairs out) cannot miss. Survivors re-attach both
+    * texts BY ID and verify with the O(cap) KMP kernel
+    * ([[graft.functions.OverlapKernel]]) — exact maximal overlap, no
+    * probabilistic step.
+    *
+    * Scale shape: gram generation is a bounded per-row explode (≤ cap
+    * starts, tail-only — never the whole document); the candidate join
+    * is hash-keyed; texts move only for verified-candidate rows. */
+  def stitchPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minOverlap: Int = 16,
+      cap: Int = 128): DataFrame = {
+    require(minOverlap >= 4 && cap >= minOverlap,
+      s"need 4 <= minOverlap <= cap, got $minOverlap/$cap")
+    graft.LightFusion.ensureRegistered(docs.sparkSession)
+    val g = minOverlap
+    val base = docs
+      .select(col(idCol).as("id"), coalesce(col(textCol), lit("")).as("t"))
+      .withColumn("n", length(col("t")))
+      .where(col("n") >= g)
+    val tails = base
+      .select(col("id").as("a_id"),
+        explode(expr(s"sequence(greatest(1, n - ${cap - 1}), n - ${g - 1})"))
+          .as("p"),
+        col("t"))
+      .select(col("a_id"),
+        expr(s"rolling_hash(substring(t, p, $g))").as("gh"))
+      .distinct()
+    val heads = base
+      .select(col("id").as("b_id"),
+        expr(s"rolling_hash(substring(t, 1, $g))").as("gh"))
+    val cand = tails.join(heads, "gh")
+      .where(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val kernel = new graft.functions.OverlapKernel(cap)
+    val ov = org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.SuffixPrefixOverlap(
+        org.apache.spark.sql.graft.SparkShims.expression(col("a_t")),
+        org.apache.spark.sql.graft.SparkShims.expression(col("b_t")),
+        kernel))
+    cand
+      .join(base.select(col("id").as("a_id"), col("t").as("a_t")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("t").as("b_t")), "b_id")
+      .select(col("a_id").as("a_doc"), col("b_id").as("b_doc"),
+        ov.as("overlap"))
+      .where(col("overlap") >= g)
+  }
+
   /** Content-defined-chunking dedup audit
     * ([[graft.functions.CdcKernel]]): chunk every document at
     * content-determined boundaries (rolling-hash window divisibility —

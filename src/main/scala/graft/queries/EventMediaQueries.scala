@@ -696,7 +696,48 @@ object EventMediaQueries {
     ("q168_stream_heavy_hitters", q168StreamHeavyHitters _, q167Sql),
     ("q182_stream_blocklist", q182StreamBlocklist _, TextQueries.q178Sql),
     ("q185_image_resize", q185ImageResize _, q185Sql),
-    ("q188_audio_trim", q188AudioTrim _, q188Sql))
+    ("q188_audio_trim", q188AudioTrim _, q188Sql),
+    ("q190_temporal_split", q190TemporalSplit _, q190Sql))
+
+  /** Temporal train/eval split audit: per-side event/user counts plus
+    * the LEAKY user count (users active on both sides of the cutoff) —
+    * the hygiene number a temporal-eval pipeline must report, because
+    * users straddling the boundary carry target leakage into the eval
+    * window. One scan + two aggregates; the one-row leak count
+    * broadcasts back. */
+  def q190TemporalSplit(s: SparkSession, dir: String): DataFrame = {
+    val base = RelationalQueries.events(s, dir)
+      .select(col("user_id"),
+        when(col("ts") < lit("2024-01-22").cast("timestamp"), "train")
+          .otherwise("test").as("side"))
+    val sides = base.groupBy("side")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    val leaky = base.groupBy("user_id")
+      .agg(countDistinct(col("side")).as("ns"))
+      .where(col("ns") === 2)
+      .agg(count(lit(1)).as("n_leaky"))
+    sides.crossJoin(broadcast(leaky))
+      .select(col("side"), col("n_events"), col("n_users"), col("n_leaky"))
+      .presentSorted("side")
+  }
+
+  def q190Sql: String =
+    """WITH b AS (
+      |  SELECT user_id,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-22' THEN 'train' ELSE 'test' END AS side
+      |  FROM events),
+      |s AS (
+      |  SELECT side, count(*)::BIGINT AS n_events,
+      |    count(DISTINCT user_id)::BIGINT AS n_users
+      |  FROM b GROUP BY side),
+      |l AS (
+      |  SELECT count(*)::BIGINT AS n_leaky FROM (
+      |    SELECT user_id FROM b GROUP BY user_id
+      |    HAVING count(DISTINCT side) = 2) z)
+      |SELECT side, n_events, n_users, n_leaky
+      |FROM s CROSS JOIN l
+      |ORDER BY side""".stripMargin
 
   /** Silence trimming through the real WAV codec
     * ([[Multimodal.trimSilenceStats]], threshold 30000): decode → drop

@@ -908,7 +908,60 @@ object PipelineQueries {
     ("q181_hits", q181Hits _, q181Sql),
     ("q184_hamming_topk", q184HammingTopK _, q184Sql),
     ("q186_cdc_chunks", q186CdcChunks _, q186Sql),
-    ("q189_dim_stats", q189DimStats _, q189Sql))
+    ("q189_dim_stats", q189DimStats _, q189Sql),
+    ("q191_stitch_pairs", q191StitchPairs _, q191Sql))
+
+  /** Crawl-shard stitching ([[Dedup.stitchPairs]]): suffix↔prefix
+    * overlaps ≥ 16 chars (cap 128) over the corpus PLUS a derived
+    * "continuation shard" per document (its last-30-char suffix glued
+    * to its reversed text under id+100000) — planted so the gate
+    * exercises real hits, found among all natural pairs too. The
+    * oracle replays the trailing-gram blocking AND computes maximal
+    * overlap the naive way (per-L substring compare) — the KMP kernel
+    * must agree exactly. */
+  def q191StitchPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+    val continuation = d.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(
+        expr("substring(t, greatest(1, length(t) - 29), 30)"),
+        reverse(col("t"))).as("t"))
+    Dedup.stitchPairs(d.unionByName(continuation), "doc_id", "t")
+      .presentSorted("a_doc", "b_doc")
+  }
+
+  def q191Sql: String = {
+    val fold = (e: String) =>
+      s"list_reduce(list_prepend(0::BIGINT, [ascii(ch)::BIGINT for ch in " +
+        s"string_split($e, '')]), (acc, cc) -> (acc * 31 + cc) % 281474976710656)"
+    s"""WITH corpus AS (
+       |  SELECT doc_id AS id, coalesce(text, '') AS t FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000,
+       |    substr(coalesce(text, ''),
+       |      CAST(greatest(1, len(coalesce(text, '')) - 29) AS INTEGER), 30)
+       |      || reverse(coalesce(text, ''))
+       |  FROM documents),
+       |c AS (SELECT id, t, len(t) AS n FROM corpus WHERE len(t) >= 16),
+       |tg AS (
+       |  SELECT DISTINCT a.id AS a_id,
+       |    ${fold("substr(a.t, CAST(u.p AS INTEGER), 16)")} AS gh
+       |  FROM c a, unnest(range(greatest(1, a.n - 127), a.n - 14)) u(p)),
+       |hd AS (SELECT id AS b_id, ${fold("substr(t, 1, 16)")} AS gh FROM c),
+       |cand AS (
+       |  SELECT DISTINCT tg.a_id, hd.b_id FROM tg JOIN hd USING (gh)
+       |  WHERE tg.a_id <> hd.b_id),
+       |ov AS (
+       |  SELECT cand.a_id, cand.b_id,
+       |    list_max(list_filter(range(16, least(a.n, b.n, 128) + 1), L ->
+       |      substr(a.t, CAST(a.n - L + 1 AS INTEGER), CAST(L AS INTEGER)) =
+       |        substr(b.t, 1, CAST(L AS INTEGER)))) AS overlap
+       |  FROM cand JOIN c a ON a.id = cand.a_id JOIN c b ON b.id = cand.b_id)
+       |SELECT a_id AS a_doc, b_id AS b_doc, CAST(overlap AS INTEGER) AS overlap
+       |FROM ov WHERE overlap >= 16
+       |ORDER BY a_doc, b_doc""".stripMargin
+  }
 
   /** Per-dimension whitening statistics ([[Similarity.dimStats]]):
     * exact quantized moments per embedding component, mean and std as

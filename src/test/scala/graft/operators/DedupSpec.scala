@@ -649,6 +649,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == naive, s"missing=${naive -- got} extra=${got -- naive}")
   }
 
+  test("stitchPairs: planted continuations found with exact maximal overlap") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val kernel = new graft.functions.OverlapKernel(128)
+    def ov(a: String, b: String): Int =
+      kernel.overlap(UTF8String.fromString(a), UTF8String.fromString(b))
+    // kernel sanity first
+    assert(ov("hello world ends here", "ends here and continues") == 9)
+    assert(ov("abcabc", "abcabc") == 6)
+    assert(ov("xyz", "abc") == 0)
+    assert(ov("", "abc") == 0)
+    // maximal, not first: suffix "aaaa" vs prefix "aaa..." picks 3
+    assert(ov("bbaaa", "aaacc") == 3)
+    val rnd = new scala.util.Random(9)
+    def txt(n: Int) =
+      Seq.fill(n)(('a' + rnd.nextInt(5)).toChar).mkString
+    val a1 = txt(80)
+    val b1 = a1.takeRight(40) + txt(60) // overlap exactly 40 (whp)
+    val c1 = txt(70)
+    val docs = Seq((1L, a1), (2L, b1), (3L, c1), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.stitchPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.contains((1L, 2L)), s"planted pair missing: $got")
+    assert(got((1L, 2L)) == ov(a1, b1))
+    assert(got((1L, 2L)) >= 40)
+  }
+
   test("CDC chunking: definition replay, prefix stability, duplicate detection") {
     import org.apache.spark.unsafe.types.UTF8String
     val kernel = new graft.functions.CdcKernel(8, 64L)
