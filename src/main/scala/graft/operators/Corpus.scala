@@ -993,6 +993,46 @@ object Corpus {
       .withColumn("tile", ntile(nTiles).over(w))
   }
 
+  /** Cross-source quantile normalization (the microarray-born
+    * "quantile normalize" transform, applied to curation scores): map
+    * each row's value to the GLOBAL value at the same relative rank
+    * within its source — after which every source has (up to grid
+    * rounding) the global score distribution, and a threshold means
+    * the same thing for every source (the calibration problem
+    * [[percentileNormalize]] only half-solves: percent ranks equalize
+    * positions but discard the shape of the global distribution).
+    *
+    * Integer-exact: 0-based ranks everywhere, target global index =
+    * `(r_s · (N−1)) div (n_s−1)` (singleton sources map to the global
+    * median index `(N−1) div 2`), normalized value = the global value
+    * AT that index under the total order (value, id).
+    *
+    * Scale shape: the global rank uses [[Curation.globalRank]]'s
+    * distributed decomposition (no single-partition window); per-source
+    * ranks partition by source; the final lookup is a hash equi-join on
+    * the target index. The only driver value is the total count. */
+  def quantileNormalize(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val g = Curation.globalRank(
+        df.select(col(idCol), col(valCol)), idCol, valCol, descending = false)
+      .select(col("r").as("g_r"), col("size").as("norm_val"))
+    val bySrc = df.select(col(idCol), col(keyCol), col(valCol))
+      .withColumn("r_s", row_number().over(
+        Window.partitionBy(keyCol).orderBy(col(valCol), col(idCol))).cast("long") - 1L)
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy(keyCol)))
+      .withColumn("t",
+        when(col("n_s") > 1L,
+          expr(s"(r_s * ${n - 1}L) div (n_s - 1)"))
+          .otherwise(lit((n - 1) / 2)))
+    bySrc.join(g, col("t") === col("g_r"))
+      .select(col(idCol), col(keyCol), col(valCol), col("norm_val"))
+  }
+
   /** Interpolated absolute-discount bigram likelihood (Ney, Essen &
     * Kneser 1994 — the smoothing family under Kneser-Ney): each
     * observed bigram's probability discounts a fixed `D` of its count

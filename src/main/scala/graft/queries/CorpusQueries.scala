@@ -977,7 +977,36 @@ object CorpusQueries {
     ("q173_stream_stats", q173StreamStats _, q171Sql),
     ("q175_mixture_plan", q175MixturePlan _, q175Sql),
     ("q180_bm25", q180Bm25 _, q180Sql),
-    ("q187_bigram_ad", q187BigramAD _, q187Sql))
+    ("q187_bigram_ad", q187BigramAD _, q187Sql),
+    ("q192_quantile_normalize", q192QuantileNormalize _, q192Sql))
+
+  /** Cross-source quantile normalization ([[Corpus.quantileNormalize]])
+    * of `n_chars`: every source's length distribution mapped onto the
+    * global one, integer-exact. Oracle replays the direct
+    * single-window formulation the distributed rank decomposes. */
+  def q192QuantileNormalize(s: SparkSession, dir: String): DataFrame =
+    Corpus.quantileNormalize(docs(s, dir), "doc_id", "source", "n_chars")
+      .presentSorted("doc_id")
+
+  def q192Sql: String =
+    """WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |g AS (
+      |  SELECT row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS g_r,
+      |    n_chars AS norm_val
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS r_s,
+      |    count(*) OVER (PARTITION BY source) AS n_s
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CASE WHEN n_s > 1 THEN (r_s * (nn.n - 1)) // (n_s - 1)
+      |         ELSE (nn.n - 1) // 2 END AS tr
+      |  FROM s CROSS JOIN nn)
+      |SELECT t.doc_id, t.source, t.n_chars, g.norm_val
+      |FROM t JOIN g ON g.g_r = t.tr
+      |ORDER BY t.doc_id""".stripMargin
 
   /** Absolute-discount interpolated bigram likelihood
     * ([[Corpus.bigramScoreAD]], D = 0.75) — q109's add-one sibling with

@@ -900,7 +900,34 @@ object TextQueries {
     ("q160_curriculum", q160Curriculum _, q160Sql),
     ("q161_mojibake", q161Mojibake _, q161Sql),
     ("q178_blocklist_scan", q178BlocklistScan _, q178Sql),
-    ("q183_bpe_pretokenized", q183BpePretokenized _, q183Sql))
+    ("q183_bpe_pretokenized", q183BpePretokenized _, q183Sql),
+    ("q193_lang_confusion", q193LangConfusion _, q193Sql))
+
+  /** Language-label confusion matrix: the `lang` column a source
+    * CLAIMS against what q86's trigram profiles PREDICT — the audit
+    * that catches mislabeled sources before a lang-filtered training
+    * mix bakes the mistake in. Composes the q86 scoring scan with one
+    * tiny (langs × langs) aggregate. */
+  def q193LangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pred = TextAnalysis.langIdTrigram(d, "doc_id", "text")
+      .select(col("doc_id"), col("pred_lang"))
+    d.select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .presentSorted("lang", "pred_lang")
+  }
+
+  def q193Sql: String =
+    s"""WITH p AS (
+       |  ${q86Sql.linesIterator.filterNot(_.startsWith("ORDER BY"))
+            .mkString("\n  ")}
+       |)
+       |SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n_docs
+       |FROM documents d JOIN p USING (doc_id)
+       |GROUP BY d.lang, p.pred_lang
+       |ORDER BY d.lang, p.pred_lang""".stripMargin
 
   /** q85's BPE over GPT-2-STYLE PRETOKENS ([[graft.ml.Bpe.pretokenize]]):
     * contraction suffixes split off, leading spaces attach to the

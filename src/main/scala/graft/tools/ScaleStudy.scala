@@ -96,7 +96,12 @@ object ScaleStudy {
           d.select(col("doc_id"), graft.operators.Web.domainOf(url).as("domain"),
             (size(array_distinct(ws)).cast("double") / size(ws)).as("priority")),
           Seq("domain"), "priority", "doc_id", k = 10)
-      }))
+      }),
+      ("q178 blocklistScan (AC)", d => TextAnalysis.blocklistScan(
+        d, "doc_id", "text", graft.queries.TextQueries.q178Patterns)),
+      ("q186 cdcChunkStats", d => Dedup.cdcChunkStats(d, "text", "source")),
+      ("q191 stitchPairs (grams)", d => Dedup.stitchPairs(d, "doc_id", "text")),
+      ("q187 bigramScoreAD", d => Corpus.bigramScoreAD(d, "doc_id", "text")))
 
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
     def time(df: => DataFrame): (Double, Long) = {

@@ -531,6 +531,37 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("quantileNormalize: hand mapping, singleton median, distribution transfer") {
+    import spark.implicits._
+    // global sorted values: 1,2,3,10,20,30 (N=6); source a ranks over
+    // {1,10,30}, source b over {2,20}, source c singleton {3}
+    val df = Seq(
+      (1L, "a", 1L), (2L, "a", 10L), (3L, "a", 30L),
+      (4L, "b", 2L), (5L, "b", 20L),
+      (6L, "c", 3L))
+      .toDF("doc_id", "source", "v")
+    val got = Corpus.quantileNormalize(df, "doc_id", "source", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // a: r_s 0,1,2 of n_s 3 → targets (r*5)//2 = 0,2,5 → values 1,3,30
+    assert(got(1L) == 1L && got(2L) == 3L && got(3L) == 30L)
+    // b: r_s 0,1 of 2 → targets 0,5 → 1,30
+    assert(got(4L) == 1L && got(5L) == 30L)
+    // c singleton → global median index (6-1)//2 = 2 → value 3
+    assert(got(6L) == 3L)
+    // real corpus: every normalized value is a real global value, and
+    // per-source min/max map to the global extremes
+    val norm = Corpus.quantileNormalize(docs, "doc_id", "source", "n_chars")
+      .collect()
+    val globalVals = docs.collect().map(_.getAs[Long]("n_chars")).sorted
+    assert(norm.forall(r => globalVals.contains(r.getLong(3))))
+    val bySrc = norm.groupBy(_.getString(1))
+    bySrc.values.filter(_.length > 1).foreach { rs =>
+      val sorted = rs.sortBy(r => (r.getLong(2), r.getLong(0)))
+      assert(sorted.head.getLong(3) == globalVals.head)
+      assert(sorted.last.getLong(3) == globalVals.last)
+    }
+  }
+
   test("bigramScoreAD: hand corpus replays the discount/backoff algebra") {
     import spark.implicits._
     // corpus: "a b a b" + "a c" → bigrams: (a,b)x2, (b,a)x1, (a,c)x1
