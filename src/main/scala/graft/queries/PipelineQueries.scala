@@ -909,7 +909,48 @@ object PipelineQueries {
     ("q184_hamming_topk", q184HammingTopK _, q184Sql),
     ("q186_cdc_chunks", q186CdcChunks _, q186Sql),
     ("q189_dim_stats", q189DimStats _, q189Sql),
-    ("q191_stitch_pairs", q191StitchPairs _, q191Sql))
+    ("q191_stitch_pairs", q191StitchPairs _, q191Sql),
+    ("q194_jaccard_calibration", q194JaccardCalibration _, q194Sql))
+
+  /** Dedup-threshold calibration: the exact word-set Jaccard histogram
+    * over all pairs of a BOUNDED deterministic sample (doc_id % 9) —
+    * the curve a curator reads before choosing q31/q32's threshold
+    * (where does the corpus's similarity mass sit? is 0.8 in a gap or
+    * on a cliff?). Bins are EXACT RATIONALS — `(10·|∩|) div |∪|`, no
+    * float anywhere — so identical sets land in bin 10 by identity,
+    * not rounding luck.
+    *
+    * Scale shape: the all-pairs comparison is INTENTIONALLY quadratic
+    * in the SAMPLE (that is what a calibration sample is for) and the
+    * sample side broadcasts — corpus cost is one filtered scan. Tune
+    * the modulus to hold the sample at a few thousand docs at any
+    * corpus size. */
+  def q194JaccardCalibration(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).where(col("doc_id") % 9 === 0)
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("ws"))
+    val a = d.select(col("doc_id").as("a_id"), col("ws").as("a_ws"))
+    val b = d.select(col("doc_id").as("b_id"), col("ws").as("b_ws"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .select(
+        size(array_intersect(col("a_ws"), col("b_ws"))).cast("long").as("i"),
+        (size(col("a_ws")) + size(col("b_ws"))).cast("long").as("ab"))
+      .select(expr("(i * 10) div (ab - i)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+      .presentSorted("bin")
+  }
+
+  def q194Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |p AS (
+      |  SELECT len(list_intersect(a.ws, b.ws))::BIGINT AS i,
+      |    (len(a.ws) + len(b.ws))::BIGINT AS ab
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT (i * 10) // (ab - i) AS bin, count(*)::BIGINT AS n_pairs
+      |FROM p GROUP BY bin
+      |ORDER BY bin""".stripMargin
 
   /** Crawl-shard stitching ([[Dedup.stitchPairs]]): suffix↔prefix
     * overlaps ≥ 16 chars (cap 128) over the corpus PLUS a derived
