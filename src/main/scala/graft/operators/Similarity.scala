@@ -386,22 +386,65 @@ object Similarity {
   def dimStats(
       embeddings: DataFrame,
       embCol: String,
+      scaleBits: Int = 10): DataFrame =
+    dimStatsFromPartials(dimStatsPartial(embeddings, embCol, scaleBits), scaleBits)
+
+  /** One shard's mergeable moment partial: `(j, n, s1, s2)` — exact
+    * longs, so partials from any sharding fold to the identical
+    * corpus-wide stats (the q171 monoid discipline applied to
+    * embedding moments). */
+  def dimStatsPartial(
+      embeddings: DataFrame,
+      embCol: String,
       scaleBits: Int = 10): DataFrame = {
     val scale = (1L << scaleBits).toDouble
-    val melted = embeddings
+    embeddings
       .select(posexplode(col(embCol).cast("array<double>")).as(Seq("j", "x")))
       .select(col("j").cast("long").as("j"),
         floor(col("x") * lit(scale) + lit(0.5)).cast("long").as("qv"))
-    melted.groupBy("j")
+      .groupBy("j")
       .agg(count(col("qv")).as("n"),
         sum(col("qv")).as("s1"),
         sum(col("qv") * col("qv")).as("s2"))
+  }
+
+  /** Fold `(j, n, s1, s2)` partials (any number of shards, any
+    * sharding) and derive mean/std exactly as [[dimStats]] — long sums
+    * commute, so shard boundaries are invisible. */
+  def dimStatsFromPartials(
+      partials: DataFrame,
+      scaleBits: Int = 10): DataFrame = {
+    val scale = (1L << scaleBits).toDouble
+    partials.groupBy("j")
+      .agg(sum(col("n")).as("n"),
+        sum(col("s1")).as("s1"),
+        sum(col("s2")).as("s2"))
       .select(col("j"), col("n"), col("s1"), col("s2"),
         (col("s1").cast("double") / (col("n").cast("double") * lit(scale)))
           .as("mean"),
         (sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")) /
           (col("n").cast("double") * lit(scale))).as("std"))
   }
+
+  /** Persist one shard's moment partial (overwrite-idempotent: a
+    * replayed ingest batch rewrites its own shard, never
+    * double-counts). */
+  def writeDimStatsShard(
+      embeddings: DataFrame,
+      embCol: String,
+      storeDir: String,
+      shard: String,
+      scaleBits: Int = 10): Unit =
+    dimStatsPartial(embeddings, embCol, scaleBits)
+      .write.mode("overwrite").parquet(s"$storeDir/$shard")
+
+  /** Corpus-wide stats from the shard store: |dims|·|shards| rows in,
+    * no embedding rescan. */
+  def dimStatsFromStore(
+      s: SparkSession,
+      storeDir: String,
+      scaleBits: Int = 10): DataFrame =
+    dimStatsFromPartials(s.read.parquet(s"$storeDir/*"), scaleBits)
 
   /** IVF-PQ search with asymmetric distance computation (Jégou et al.
     * 2011, the billion-scale serving layout): corpus vectors live as

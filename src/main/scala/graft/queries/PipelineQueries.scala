@@ -910,7 +910,60 @@ object PipelineQueries {
     ("q186_cdc_chunks", q186CdcChunks _, q186Sql),
     ("q189_dim_stats", q189DimStats _, q189Sql),
     ("q191_stitch_pairs", q191StitchPairs _, q191Sql),
-    ("q194_jaccard_calibration", q194JaccardCalibration _, q194Sql))
+    ("q194_jaccard_calibration", q194JaccardCalibration _, q194Sql),
+    ("q195_dim_stats_incremental", q195DimStatsIncremental _, q189Sql),
+    ("q196_stream_dim_stats", q196StreamDimStats _, q189Sql))
+
+  /** q189's whitening stats maintained INCREMENTALLY: the corpus lands
+    * in 3 shards, each persisting only its own (j, n, Σq, Σq²) moment
+    * partial; the corpus-wide profile folds |dims|·|shards| rows with
+    * no embedding rescan. Oracle = q189's direct computation — shard
+    * boundaries are provably invisible (exact long moments commute). */
+  def q195DimStatsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val store = dimStores.computeIfAbsent(dir, _ => {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_dimstats_" +
+        graft.operators.Bucketing.dirTag(dir)
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      (0 to 2).foreach { b =>
+        Similarity.writeDimStatsShard(
+          e.where(col("vec_id") % 3 === b), "embedding", p, s"b$b")
+      }
+      p
+    })
+    Similarity.dimStatsFromStore(s, store).presentSorted("j")
+  }
+
+  private val dimStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val dimStreamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** q195's store fed by a REAL stream: each micro-batch persists only
+    * its own moment partial via `foreachBatch` (shard = batch id) — the
+    * continuous embedding-drift monitor: profile freshness costs one
+    * batch-sized aggregate per trigger, never a corpus rescan, and a
+    * replayed batch overwrites its own shard (exactly-once stats from
+    * at-least-once delivery). Stream ≡ batch gated against q189's
+    * oracle. */
+  def q196StreamDimStats(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val stream = s.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/embeddings.parquet*")
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft_stdim_" +
+      s"${ProcessHandle.current().pid()}_${dimStreamSeq.incrementAndGet()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Similarity.writeDimStatsShard(b, "embedding", store, s"b$id")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    Similarity.dimStatsFromStore(s, store).presentSorted("j")
+  }
 
   /** Dedup-threshold calibration: the exact word-set Jaccard histogram
     * over all pairs of a BOUNDED deterministic sample (doc_id % 9) —

@@ -489,6 +489,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dimStats partials: any sharding folds to the direct stats; overwrite idempotent") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val direct = Similarity.dimStats(e, "embedding").collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    // two different shardings fold to identical rows
+    Seq(3, 7).foreach { k =>
+      val parts = (0 until k).map(b =>
+        Similarity.dimStatsPartial(
+          e.where(org.apache.spark.sql.functions.col("vec_id") % k === b),
+          "embedding"))
+        .reduce(_ unionByName _)
+      val folded = Similarity.dimStatsFromPartials(parts).collect()
+        .map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(folded == direct, s"sharding %$k diverged")
+    }
+    // store round trip + overwriting a shard twice does not double-count
+    val store = java.nio.file.Files
+      .createTempDirectory("dimstats_").toString
+    (0 until 3).foreach(b => Similarity.writeDimStatsShard(
+      e.where(org.apache.spark.sql.functions.col("vec_id") % 3 === b),
+      "embedding", store, s"b$b"))
+    Similarity.writeDimStatsShard(
+      e.where(org.apache.spark.sql.functions.col("vec_id") % 3 === 1),
+      "embedding", store, "b1") // replayed ingest
+    val fromStore = Similarity.dimStatsFromStore(spark, store).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(fromStore == direct)
+  }
+
   test("signProject: values replay the hash-sign fold; projection is linear") {
     val dim = 64
     val outDim = 16
