@@ -426,6 +426,32 @@ object Similarity {
           (col("n").cast("double") * lit(scale))).as("std"))
   }
 
+  /** Apply whitening: `(x − mean_j) / std_j` per component using
+    * [[dimStats]]'s engine-exact statistics (constant dimensions —
+    * std 0 — map to 0.0 rather than dividing by zero). Long-form
+    * output `(id, j, w)`.
+    *
+    * Scale shape: the stats aggregate is |dims| rows broadcast into a
+    * shuffle-free map over the melt — at serving time the stats come
+    * from the [[dimStatsFromStore]] fold instead and the transform is
+    * a pure scan stage. */
+  def whiten(
+      embeddings: DataFrame,
+      idCol: String,
+      embCol: String,
+      scaleBits: Int = 10): DataFrame = {
+    val stats = dimStats(embeddings, embCol, scaleBits)
+      .select(col("j"), col("mean"), col("std"))
+    val melted = embeddings
+      .select(col(idCol),
+        posexplode(col(embCol).cast("array<double>")).as(Seq("j", "x")))
+      .select(col(idCol), col("j").cast("long").as("j"), col("x"))
+    melted.join(broadcast(stats), "j")
+      .select(col(idCol), col("j"),
+        when(col("std") === 0.0, lit(0.0))
+          .otherwise((col("x") - col("mean")) / col("std")).as("w"))
+  }
+
   /** Persist one shard's moment partial (overwrite-idempotent: a
     * replayed ingest batch rewrites its own shard, never
     * double-counts). */

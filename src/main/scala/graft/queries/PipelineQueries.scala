@@ -912,7 +912,32 @@ object PipelineQueries {
     ("q191_stitch_pairs", q191StitchPairs _, q191Sql),
     ("q194_jaccard_calibration", q194JaccardCalibration _, q194Sql),
     ("q195_dim_stats_incremental", q195DimStatsIncremental _, q189Sql),
-    ("q196_stream_dim_stats", q196StreamDimStats _, q189Sql))
+    ("q196_stream_dim_stats", q196StreamDimStats _, q189Sql),
+    ("q197_whiten", q197Whiten _, q197Sql))
+
+  /** Whitening applied ([[Similarity.whiten]]): every component
+    * centered and scaled by q189's engine-exact per-dim stats, long
+    * form. The oracle wraps q189's CTEs and replays the
+    * `(x − mean)/std` expression (std-0 dims → 0.0). */
+  def q197Whiten(s: SparkSession, dir: String): DataFrame =
+    Similarity.whiten(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+      .presentSorted("vec_id", "j")
+
+  def q197Sql: String =
+    s"""WITH st AS (
+       |  ${q189Sql.linesIterator.filterNot(_.startsWith("ORDER BY"))
+            .mkString("\n  ")}
+       |),
+       |m AS (
+       |  SELECT e.vec_id, r.j,
+       |    e.embedding[CAST(r.j + 1 AS INTEGER)]::DOUBLE AS x
+       |  FROM embeddings e, range(0, 64) r(j))
+       |SELECT m.vec_id, m.j,
+       |  CASE WHEN st.std = 0 THEN 0.0
+       |       ELSE (m.x - st.mean) / st.std END AS w
+       |FROM m JOIN st USING (j)
+       |ORDER BY m.vec_id, m.j""".stripMargin
 
   /** q189's whitening stats maintained INCREMENTALLY: the corpus lands
     * in 3 shards, each persisting only its own (j, n, Σq, Σq²) moment
