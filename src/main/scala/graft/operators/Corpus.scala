@@ -993,6 +993,45 @@ object Corpus {
       .withColumn("tile", ntile(nTiles).over(w))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): merge
+    * two rankings of the same key space by summing per-list
+    * `1/(k + rank)` credit — the standard hybrid-retrieval combiner
+    * (sparse BM25 list + a second signal) precisely because it needs
+    * NO score calibration: only ranks enter. Scores here are
+    * integer-scaled (`scale div (k + rank)`, absent → 0) so the fusion
+    * is engine-exact, and the fused list cuts to `topN` on
+    * (score DESC, id).
+    *
+    * Scale shape: both inputs are already top-N-per-key (bounded);
+    * fusion is a union + two hash joins + one per-key window over
+    * ≤ 2·topN candidates per key — nothing corpus-sized. */
+  def rrfFuse(
+      a: DataFrame,
+      b: DataFrame,
+      keyCol: String,
+      idCol: String,
+      rankCol: String = "rank",
+      k: Int = 60,
+      topN: Int = 10,
+      scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(col(keyCol), col(idCol),
+        col(rankCol).cast("long").as(s"rank_$tag"))
+    val sa = side(a, "a")
+    val sb = side(b, "b")
+    val u = sa.select(keyCol, idCol).union(sb.select(keyCol, idCol)).distinct()
+    u.join(sa, Seq(keyCol, idCol), "left")
+      .join(sb, Seq(keyCol, idCol), "left")
+      .withColumn("rrf",
+        coalesce(expr(s"${scale}L div ($k + rank_a)"), lit(0L)) +
+          coalesce(expr(s"${scale}L div ($k + rank_b)"), lit(0L)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(keyCol).orderBy(desc("rrf"), col(idCol))))
+      .where(col("rank") <= topN)
+      .select(col(keyCol), col("rank"), col(idCol), col("rrf"))
+  }
+
   /** Cross-source quantile normalization (the microarray-born
     * "quantile normalize" transform, applied to curation scores): map
     * each row's value to the GLOBAL value at the same relative rank

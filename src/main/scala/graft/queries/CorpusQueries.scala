@@ -886,13 +886,14 @@ object CorpusQueries {
     * 2²⁰-quantized term contributions (log-free odds idf — see the
     * operator's determinism note), so the oracle replays the float
     * algebra term-by-term and sums integers. */
+  private def bm25Probes: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("table", "value"),
+    1L -> Seq("spark", "merge", "stream"),
+    2L -> Seq("customer", "window"))
+
   def q180Bm25(s: SparkSession, dir: String): DataFrame =
     Corpus.bm25TopK(docs(s, dir), "doc_id", "text",
-        queryTerms = Seq(
-          0L -> Seq("table", "value"),
-          1L -> Seq("spark", "merge", "stream"),
-          2L -> Seq("customer", "window")),
-        topN = 10)
+        queryTerms = bm25Probes, topN = 10)
       .presentSorted("query_id", "rank")
 
   def q180Sql: String =
@@ -978,7 +979,74 @@ object CorpusQueries {
     ("q175_mixture_plan", q175MixturePlan _, q175Sql),
     ("q180_bm25", q180Bm25 _, q180Sql),
     ("q187_bigram_ad", q187BigramAD _, q187Sql),
-    ("q192_quantile_normalize", q192QuantileNormalize _, q192Sql))
+    ("q192_quantile_normalize", q192QuantileNormalize _, q192Sql),
+    ("q198_rrf_fusion", q198RrfFusion _, q198Sql))
+
+  /** Hybrid retrieval via reciprocal-rank fusion ([[Corpus.rrfFuse]]):
+    * q180's BM25 list fused with a raw term-frequency list (no idf, no
+    * length normalization — a genuinely different ordering of the same
+    * candidate space) by integer-scaled `1/(60+rank)` credit. The
+    * oracle wraps q180's CTEs for list A, rebuilds list B from the
+    * same term probes, and replays the integer fusion + final cut. */
+  def q198RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val a = Corpus.bm25TopK(d, "doc_id", "text", bm25Probes, topN = 10)
+    val terms = {
+      import s.implicits._
+      bm25Probes.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+        .toDF("query_id", "term")
+    }
+    val words = d.select(col("doc_id"),
+      explode(split(coalesce(col("text"), lit("")), " ")).as("word"))
+    val b = words
+      .join(broadcast(terms), col("word") === col("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast("long").as("tfsum"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("tfsum"), col("doc_id"))))
+      .where(col("rank") <= 10)
+    Corpus.rrfFuse(a, b, "query_id", "doc_id")
+      .presentSorted("query_id", "rank")
+  }
+
+  def q198Sql: String =
+    s"""WITH a AS (
+       |  ${q180Sql.linesIterator.filterNot(_.startsWith("ORDER BY"))
+            .mkString("\n  ")}
+       |),
+       |qt2 AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, term FROM (VALUES
+       |    (0, 'table'), (0, 'value'),
+       |    (1, 'spark'), (1, 'merge'), (1, 'stream'),
+       |    (2, 'customer'), (2, 'window')) t(query_id, term)),
+       |w2 AS (
+       |  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+       |  FROM documents),
+       |bt AS (
+       |  SELECT q.query_id, w2.doc_id, count(*)::BIGINT AS tfsum
+       |  FROM w2 JOIN qt2 q ON q.term = w2.word GROUP BY 1, 2),
+       |b AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY tfsum DESC, doc_id) AS rank
+       |    FROM bt) z WHERE rank <= 10),
+       |u AS (
+       |  SELECT query_id, doc_id FROM a
+       |  UNION SELECT query_id, doc_id FROM b),
+       |f AS (
+       |  SELECT u.query_id, u.doc_id,
+       |    coalesce(1000000 // (60 + a.rank), 0) +
+       |      coalesce(1000000 // (60 + b.rank), 0) AS rrf
+       |  FROM u
+       |  LEFT JOIN a ON a.query_id = u.query_id AND a.doc_id = u.doc_id
+       |  LEFT JOIN b ON b.query_id = u.query_id AND b.doc_id = u.doc_id)
+       |SELECT query_id, rank, doc_id, rrf FROM (
+       |  SELECT query_id, doc_id, rrf,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM f) z
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Cross-source quantile normalization ([[Corpus.quantileNormalize]])
     * of `n_chars`: every source's length distribution mapped onto the

@@ -697,7 +697,49 @@ object EventMediaQueries {
     ("q182_stream_blocklist", q182StreamBlocklist _, TextQueries.q178Sql),
     ("q185_image_resize", q185ImageResize _, q185Sql),
     ("q188_audio_trim", q188AudioTrim _, q188Sql),
-    ("q190_temporal_split", q190TemporalSplit _, q190Sql))
+    ("q190_temporal_split", q190TemporalSplit _, q190Sql),
+    ("q199_hourly_autocorr", q199HourlyAutocorr _, q199Sql))
+
+  /** Integer autocorrelation of the hourly event-count series at lags
+    * 1..24 — the periodicity audit a crawl/ingest scheduler reads (a
+    * dot-product spike at lag 24 is the daily cycle; a flat curve
+    * means load-shaping assumptions are wrong). Everything is EXACT
+    * integer arithmetic: per-hour counts, then `Σ c(h)·c(h+lag)` and
+    * the overlapping-pair count per lag — no means, no floats, no
+    * engine drift.
+    *
+    * Scale shape: one hour-keyed aggregate (|hours| rows — bounded by
+    * the time span, not event volume), then a 24-lag broadcast fan-out
+    * and a self-equi-join on `h + lag` — all tiny. */
+  def q199HourlyAutocorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = eventsTs(s, dir)
+      .select(expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val lags = (1 to 24).map(_.toLong).toDF("lag")
+    val a = c.select(col("h").as("ha"), col("c").as("ca"))
+      .crossJoin(broadcast(lags))
+      .withColumn("hb", col("ha") + col("lag"))
+    a.join(c.select(col("h").as("hb"), col("c").as("cb")), "hb")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ca") * col("cb")).as("dot"))
+      .presentSorted("lag")
+  }
+
+  def q199Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |    // 3600 AS h
+      |  FROM events),
+      |c AS (SELECT h, count(*)::BIGINT AS c FROM e GROUP BY h),
+      |l AS (SELECT CAST(unnest(range(1, 25)) AS BIGINT) AS lag),
+      |p AS (
+      |  SELECT l.lag, a.c AS ca, b.c AS cb
+      |  FROM l CROSS JOIN c a JOIN c b ON b.h = a.h + l.lag)
+      |SELECT lag, count(*)::BIGINT AS n_pairs, CAST(sum(ca * cb) AS BIGINT) AS dot
+      |FROM p GROUP BY lag
+      |ORDER BY lag""".stripMargin
 
   /** Temporal train/eval split audit: per-side event/user counts plus
     * the LEAKY user count (users active on both sides of the cutoff) —

