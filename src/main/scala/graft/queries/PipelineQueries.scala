@@ -913,7 +913,84 @@ object PipelineQueries {
     ("q194_jaccard_calibration", q194JaccardCalibration _, q194Sql),
     ("q195_dim_stats_incremental", q195DimStatsIncremental _, q189Sql),
     ("q196_stream_dim_stats", q196StreamDimStats _, q189Sql),
-    ("q197_whiten", q197Whiten _, q197Sql))
+    ("q197_whiten", q197Whiten _, q197Sql),
+    ("q200_corpus_report", q200CorpusReport _, q200Sql))
+
+  /** Corpus health report — the "dataset card" audit a curation run
+    * publishes: one (metric, value) row per headline signal, every
+    * value an EXACT integer from operators this suite already gates
+    * individually (exact-dup via distinct text, q186's CDC redundancy,
+    * q193's language mismatches, q191's natural stitch pairs, token
+    * totals). The composition is the point: one job, one report,
+    * every number bit-reproducible. */
+  def q200CorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nTok = size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+    val basic = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTok).as("n_tokens"),
+        (count(lit(1)) - countDistinct(coalesce(col("text"), lit(""))))
+          .as("n_exact_dup_docs"))
+      .select(expr("stack(3, 'n_docs', n_docs, 'n_tokens', n_tokens, " +
+        "'n_exact_dup_docs', n_exact_dup_docs) AS (metric, value)"))
+    val cdc = Dedup.cdcChunkStats(d, "text", "source")
+      .agg(sum("n_chunks").as("c"), sum("n_distinct").as("dd"))
+      .select(expr("stack(2, 'n_cdc_chunks', c, 'n_cdc_dup', c - dd) " +
+        "AS (metric, value)"))
+    val langm = d.select(col("doc_id"), col("lang"))
+      .join(graft.operators.TextAnalysis.langIdTrigram(d, "doc_id", "text")
+        .select(col("doc_id"), col("pred_lang")), "doc_id")
+      .where(col("lang") =!= col("pred_lang"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("n_lang_mismatch").as("metric"), col("value"))
+    val stitch = Dedup.stitchPairs(d, "doc_id", "text")
+      .agg(count(lit(1)).as("value"))
+      .select(lit("n_stitch_pairs").as("metric"), col("value"))
+    basic.unionAll(cdc).unionAll(langm).unionAll(stitch)
+      .presentSorted("metric")
+  }
+
+  def q200Sql: String = {
+    val fold = (e: String) =>
+      s"list_reduce(list_prepend(0::BIGINT, [ascii(ch)::BIGINT for ch in " +
+        s"string_split($e, '')]), (acc, cc) -> (acc * 31 + cc) % 281474976710656)"
+    s"""WITH m AS (
+       |  ${graft.queries.TextQueries.q193Sql.linesIterator
+            .filterNot(_.startsWith("ORDER BY")).mkString("\n  ")}
+       |),
+       |cdc AS (
+       |  ${q186Sql.linesIterator.filterNot(_.startsWith("ORDER BY"))
+            .mkString("\n  ")}
+       |),
+       |sc0 AS (SELECT doc_id AS id, coalesce(text, '') AS t FROM documents),
+       |sc AS (SELECT id, t, len(t) AS n FROM sc0 WHERE len(t) >= 16),
+       |stg AS (
+       |  SELECT DISTINCT a.id AS a_id,
+       |    ${fold("substr(a.t, CAST(u.p AS INTEGER), 16)")} AS gh
+       |  FROM sc a, unnest(range(greatest(1, a.n - 127), a.n - 14)) u(p)),
+       |shd AS (SELECT id AS b_id, ${fold("substr(t, 1, 16)")} AS gh FROM sc),
+       |scand AS (
+       |  SELECT DISTINCT stg.a_id, shd.b_id FROM stg JOIN shd USING (gh)
+       |  WHERE stg.a_id <> shd.b_id),
+       |sov AS (
+       |  SELECT list_max(list_filter(range(16, least(a.n, b.n, 128) + 1), L ->
+       |    substr(a.t, CAST(a.n - L + 1 AS INTEGER), CAST(L AS INTEGER)) =
+       |      substr(b.t, 1, CAST(L AS INTEGER)))) AS overlap
+       |  FROM scand JOIN sc a ON a.id = scand.a_id JOIN sc b ON b.id = scand.b_id)
+       |SELECT 'n_docs' AS metric, count(*)::BIGINT AS value FROM documents
+       |UNION ALL SELECT 'n_tokens',
+       |  SUM(len(string_split(coalesce(text, ''), ' ')))::BIGINT FROM documents
+       |UNION ALL SELECT 'n_exact_dup_docs',
+       |  (count(*) - count(DISTINCT coalesce(text, '')))::BIGINT FROM documents
+       |UNION ALL SELECT 'n_cdc_chunks', CAST(sum(n_chunks) AS BIGINT) FROM cdc
+       |UNION ALL SELECT 'n_cdc_dup',
+       |  CAST(sum(n_chunks) - sum(n_distinct) AS BIGINT) FROM cdc
+       |UNION ALL SELECT 'n_lang_mismatch',
+       |  CAST(coalesce(sum(n_docs), 0) AS BIGINT) FROM m WHERE lang <> pred_lang
+       |UNION ALL SELECT 'n_stitch_pairs', count(*)::BIGINT
+       |  FROM sov WHERE overlap >= 16
+       |ORDER BY metric""".stripMargin
+  }
 
   /** Whitening applied ([[Similarity.whiten]]): every component
     * centered and scaled by q189's engine-exact per-dim stats, long
