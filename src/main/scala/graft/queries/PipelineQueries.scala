@@ -1965,12 +1965,16 @@ object PipelineQueries {
     * → 8 per-subspace codes + total squared reconstruction error. The
     * oracle rebuilds every per-subspace distance (unrolled, kernel
     * accumulation order), replays the (dist ASC, code ASC) argmin, and
-    * sums the 8 subspace errors in encoder order. */
-  def q123PqEncode(s: SparkSession, dir: String): DataFrame =
+    * sums the 8 subspace errors in encoder order. Codes present as 8
+    * scalar `code_j` columns (not `array<bigint>`): the driver's
+    * pandas comparator cannot sort array cells. */
+  def q123PqEncode(s: SparkSession, dir: String): DataFrame = {
+    val codeCols = (0 until 8).map(j =>
+      element_at(col("codes"), j + 1).cast("bigint").as(s"code_$j"))
     Similarity.pqEncode(s, dir, m = 8, ks = 8)
-      .select(col("vec_id"), col("codes").cast("array<bigint>").as("codes"),
-        col("recon_err"))
+      .select(col("vec_id") +: codeCols :+ col("recon_err"): _*)
       .presentSorted("vec_id")
+  }
 
   def q123Sql: String = {
     val m = 8
@@ -1998,7 +2002,7 @@ object PipelineQueries {
        |  FROM embeddings e CROSS JOIN s),
        |$picks
        |SELECT vec_id,
-       |  [${(0 until m).map(j => s"c$j").mkString(", ")}] AS codes,
+       |  ${(0 until m).map(j => s"CAST(c$j AS BIGINT) AS code_$j").mkString(",\n  ")},
        |  ${(0 until m).map(j => s"e$j").mkString(" + ")} AS recon_err
        |FROM a0 $joins
        |ORDER BY vec_id""".stripMargin

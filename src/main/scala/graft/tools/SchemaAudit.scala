@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+
+import graft.{LightFusion, SparkEntry}
+
+/** Output-schema audit: flags any query whose RESULT schema contains an
+  * array/map/struct column. The driver's correctness gate hashes results
+  * through pandas `sort_values`, which throws `unhashable type:
+  * 'numpy.ndarray'` on array cells (the q123 round-9 red row) — so every
+  * `queries()` entry must present scalar columns only. Analysis-only
+  * (reads `.schema`, never executes), so it runs in seconds.
+  *
+  * `runMain graft.tools.SchemaAudit [sfDir]` — exits 1 if any query is
+  * flagged.
+  */
+object SchemaAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    LightFusion.ensureRegistered(spark)
+    var bad = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val nonScalar = fn(spark, sfDir).schema.fields.filter(f =>
+          f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType])
+        if (nonScalar.nonEmpty) {
+          bad += 1
+          println(s"FLAG $name: " + nonScalar
+            .map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+        }
+      } catch {
+        case e: Exception =>
+          bad += 1
+          println(s"ERROR $name: ${e.getMessage.linesIterator.next()}")
+      }
+    }
+    println(if (bad == 0) "OK: all query outputs scalar-only"
+      else s"$bad flagged")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}
