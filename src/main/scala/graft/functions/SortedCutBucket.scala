@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `sorted_cut_bucket(cuts: array<double> ASC, value: double) -> int`:
+  * the number of cuts strictly below `value` — i.e. the value's range
+  * bucket under the cut fence — via binary search, O(log |cuts|) per row
+  * inside whole-stage codegen.
+  *
+  * This is the bucket-assignment kernel behind
+  * [[graft.operators.Corpus.quantilesDiscrete]]'s distributed
+  * rank-select: a literal CASE over (key × cuts) comparison sums
+  * explodes quadratically (20 keys × 31 cuts = 620 codegen'd terms blew
+  * q105 out of whole-stage codegen), and Spark's higher-order
+  * `aggregate` lambda is interpreted per row. A native expression probing
+  * a broadcast-joined cuts column keeps the hot path generated and flat.
+  *
+  * Ordering contract (must mirror Spark's ascending sort so bucket order
+  * IS value order): null value → bucket 0 (nulls first), NaN → bucket
+  * |cuts| (NaN sorts greatest), null/missing cuts → bucket 0 (the key
+  * had no cut table; all its rows share one bucket). Never null. Cuts
+  * must be NaN-free and ascending — callers sort driver-side.
+  */
+case class SortedCutBucket(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sorted_cut_bucket requires (array<double>, double), got " +
+            s"(${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "sorted_cut_bucket"
+
+  override def eval(input: InternalRow): Any = {
+    val cuts = left.eval(input)
+    val v = right.eval(input)
+    if (cuts == null || v == null) return 0
+    val data = cuts.asInstanceOf[ArrayData]
+    val n = data.numElements()
+    val value = v.asInstanceOf[Double]
+    if (java.lang.Double.isNaN(value)) return n
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (data.getDouble(mid) < value) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cutsGen = left.genCode(ctx)
+    val valGen = right.genCode(ctx)
+    val n = ctx.freshName("n")
+    val lo = ctx.freshName("lo")
+    val hi = ctx.freshName("hi")
+    val mid = ctx.freshName("mid")
+    val code =
+      code"""
+        ${cutsGen.code}
+        ${valGen.code}
+        int ${ev.value} = 0;
+        if (!${cutsGen.isNull} && !${valGen.isNull}) {
+          int $n = ${cutsGen.value}.numElements();
+          if (Double.isNaN(${valGen.value})) {
+            ${ev.value} = $n;
+          } else {
+            int $lo = 0;
+            int $hi = $n;
+            while ($lo < $hi) {
+              int $mid = ($lo + $hi) >>> 1;
+              if (${cutsGen.value}.getDouble($mid) < ${valGen.value}) {
+                $lo = $mid + 1;
+              } else {
+                $hi = $mid;
+              }
+            }
+            ${ev.value} = $lo;
+          }
+        }
+      """
+    ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions
+      .codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedCutBucket =
+    copy(left = newLeft, right = newRight)
+}

@@ -52,11 +52,13 @@ object Quantize {
     * Input is the melted long form (feature, value) — the shape a
     * 100-feature table explodes into for per-feature histogramming.
     *
-    * Scale shape: one feature-keyed shuffle for the rank (the
-    * quantilesDiscrete note on dominant keys applies), a broadcast of
-    * the (features × nBins−1) cut table into a map-only bin assignment,
-    * and one map-combined (feature, bin) aggregation — bins output is
-    * features·nBins rows. */
+    * Scale shape: the histogram-shuffled [[Corpus.quantilesDiscrete]]
+    * rank-select yields the cut table (features × nBins−1 values,
+    * collected), which compiles into a codegen'd literal CASE of
+    * comparison sums ([[Corpus.cutBucketExpr]]) feeding ONE map-combined
+    * (feature, bin) aggregation over the raw rows — bins output is
+    * features·nBins rows and no per-row interpreted lambda touches the
+    * data path. */
   def equiDepthBins(
       melted: DataFrame,
       featureCol: String,
@@ -65,17 +67,18 @@ object Quantize {
     require(nBins >= 2 && 100 % nBins == 0,
       s"nBins must be >= 2 and divide 100: $nBins")
     val pcts = (1 until nBins).map(_ * (100 / nBins))
-    val cuts = Corpus
-      .quantilesDiscrete(
-        melted.select(col(featureCol), col(valueCol)),
-        featureCol, valueCol, pcts)
+    val proj = melted
+      .select(col(featureCol), col(valueCol).as("value"))
+    val cutRows = Corpus.quantilesOnProj(proj, featureCol, pcts)
       .groupBy(col(featureCol))
       .agg(sort_array(collect_list(col("value"))).as("cuts"))
-    melted.join(broadcast(cuts), Seq(featureCol))
+      .collect()
+    proj
       .withColumn("bin",
-        size(filter(col("cuts"), c => col(valueCol) > c)).cast("long"))
+        Corpus.cutBucketExpr(cutRows, col(featureCol), col("value"))
+          .cast("long"))
       .groupBy(col(featureCol), col("bin"))
       .agg(count(lit(1)).as("n_rows"),
-        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
   }
 }

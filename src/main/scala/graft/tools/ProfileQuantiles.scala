@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+
+/** Stage-level timing for the distributed quantile plan: cuts job vs
+  * main job vs the equi-depth bin pass, on q169's melted lineitem shape.
+  * `runMain graft.tools.ProfileQuantiles [sfDir]` */
+object ProfileQuantiles {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def melted = li
+      .select(lit("discount").as("feature"), col("l_discount").as("value"))
+      .unionAll(li.select(lit("extendedprice").as("feature"),
+        col("l_extendedprice").as("value")))
+      .unionAll(li.select(lit("quantity").as("feature"),
+        col("l_quantity").as("value")))
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label%-22s ${(System.nanoTime() - t0) / 1e9}%7.3f s"); r
+    }
+    (1 to 3).foreach { rep =>
+      println(s"--- rep $rep")
+      time("melt count")(melted.queryExecution.toRdd.count())
+      val probs = array((1 to 31).map(i => lit(i / 32.0)): _*)
+      time("cuts approx agg") {
+        melted.where(col("value").isNotNull).groupBy(col("feature"))
+          .agg(percentile_approx(col("value"), probs, lit(2000)).as("c"))
+          .collect()
+      }
+      time("hist agg") {
+        melted.groupBy(col("feature"), col("value"))
+          .agg(count(lit(1))).queryExecution.toRdd.count()
+      }
+      time("quantilesDiscrete") {
+        Corpus.quantilesDiscrete(melted, "feature", "value",
+          Seq(10, 20, 30, 40, 50, 60, 70, 80, 90))
+          .queryExecution.toRdd.count()
+      }
+      time("equiDepthBins full") {
+        graft.operators.Quantize.equiDepthBins(melted, "feature", "value", 10)
+          .queryExecution.toRdd.count()
+      }
+    }
+    spark.stop()
+  }
+}

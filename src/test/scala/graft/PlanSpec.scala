@@ -281,4 +281,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(dups.isEmpty, s"duplicate query names: $dups")
     assert(names.length == SparkEntry.queries.size)
   }
+
+  test("quantilesDiscrete: no full-key window sort; bucket kernel codegen") {
+    // The scale hazard this pins: a Window partitioned by the KEY ALONE
+    // would pull a dominant key's entire column through one task. The
+    // distributed rank-select may only window inside (key, bucket) range
+    // groups, with the bucket assigned by the codegen'd binary-search
+    // kernel over a broadcast cuts table.
+    val df = graft.operators.Corpus.quantilesDiscrete(
+      spark.read.parquet(s"$sfDir/documents.parquet"),
+      "source", "n_chars", Seq(25, 50, 75))
+    val s = planOf(df)
+    val windowSpecs = s.linesIterator
+      .filter(l => l.contains("Window") && l.contains("windowspecdefinition"))
+      .mkString("\n")
+    // every window partition spec over the data must include the bucket
+    assert(!windowSpecs.contains("windowspecdefinition(source#") ||
+      windowSpecs.contains("__gq_b"),
+      s"window must partition by (key, bucket), not key alone:\n$windowSpecs")
+    assert(s.contains("sorted_cut_bucket") || s.contains("SortedCutBucket"),
+      s"bucket assignment should be the native kernel:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoop"),
+      s"cuts and targets must broadcast:\n$s")
+    // the only exchanges allowed on the data path are hash exchanges —
+    // a range/single-partition exchange would mean a global sort came back
+    assert(!s.contains("rangepartitioning"),
+      s"no range exchange (global sort) expected:\n$s")
+  }
 }
