@@ -877,11 +877,30 @@ object Dedup {
     out.iterator
   }
 
+  /** Streaming band-bucket candidate emission over FULL-HISTORY state:
+    * every bucket's membership is held forever, so pairs form across any
+    * arrival gap — and state grows with the corpus. That is the right
+    * tool for a bounded backfill or a batch-equivalence audit
+    * (AvailableNow over a finite input, state dies with the query) and
+    * the WRONG default for a long-lived stream, so the unbounded mode
+    * must be requested EXPLICITLY: calling this without
+    * `unbounded = true` fails fast with the pointer to
+    * [[minhashCandidatesStreamTtl]], the watermark/TTL-bounded
+    * production form. (A processing-time timeout is not an option here:
+    * registered processing-time timeouts make the micro-batch engine
+    * schedule batches forever, so neither `processAllAvailable` nor
+    * AvailableNow ever settles — measured, not speculation.) */
   def minhashCandidatesStream(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      unbounded: Boolean = false): DataFrame = {
+    require(unbounded,
+      "minhashCandidatesStream holds full-history bucket state: pass " +
+        "unbounded = true for a deliberate bounded backfill / audit run, " +
+        "or use minhashCandidatesStreamTtl (event-time TTL) for a " +
+        "long-lived stream")
     val s = docs.sparkSession
     import s.implicits._
     val banded = hashedShingled(docs, idCol, textCol)
@@ -989,8 +1008,10 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      maxBucket: Int = 1000): DataFrame = {
-    val cands = minhashCandidatesStream(streamDocs, idCol, textCol, maxBucket)
+      maxBucket: Int = 1000,
+      unbounded: Boolean = false): DataFrame = {
+    val cands = minhashCandidatesStream(streamDocs, idCol, textCol, maxBucket,
+        unbounded = unbounded)
       .dropDuplicates("a_doc", "b_doc")
     val sh = hashedShingled(staticDocs, idCol, textCol)
     val sa = sh.select(col(idCol).as("a_doc"), col("sg").as("sg_a"))
@@ -1018,8 +1039,10 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      maxBucket: Int = 1000): DataFrame = {
-    val cands = minhashCandidatesStream(streamDocs, idCol, textCol, maxBucket)
+      maxBucket: Int = 1000,
+      unbounded: Boolean = false): DataFrame = {
+    val cands = minhashCandidatesStream(streamDocs, idCol, textCol, maxBucket,
+        unbounded = unbounded)
       .dropDuplicates("a_doc", "b_doc")
     val sigs = hashedShingled(streamDocs, idCol, textCol)
     val sa = sigs.select(col(idCol).as("a_doc"), col("sg").as("sg_a"))

@@ -181,7 +181,7 @@ object Web {
     val init = scale / n
     val base = (scale * 15 / 100) / n
     var ranks = nodes.withColumn("p", lit(init))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = e.join(outw, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
@@ -190,6 +190,12 @@ object Web {
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("cs"), lit(0L))).as("p"))
+      // Deep-iteration hygiene (the connectedComponents convention): the
+      // rank lineage otherwise grows by two joins per round, so a
+      // 25-iteration run would compile a 50-join plan. Checkpoint every
+      // 5th round; values are exact integers, so cadence cannot change
+      // the result.
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("p"),
       (col("p").cast("double") / lit(scale.toDouble)).as("rank"))

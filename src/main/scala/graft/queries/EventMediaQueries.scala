@@ -399,8 +399,12 @@ object EventMediaQueries {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
+      // unbounded = true is correct HERE and only here: an AvailableNow
+      // backfill over a finite input whose state dies with the query —
+      // the long-lived form is minhashPairsStreamTtl (watermark TTL).
       val q = graft.operators.Dedup
-        .minhashPairsStream(stream, static, "doc_id", "text", threshold = 0.8)
+        .minhashPairsStream(stream, static, "doc_id", "text", threshold = 0.8,
+          unbounded = true)
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

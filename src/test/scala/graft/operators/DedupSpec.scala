@@ -393,7 +393,8 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val input =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val sdf = input.toDF().toDF("doc_id", "text")
-    val q = Dedup.minhashPairsStream(sdf, static, "doc_id", "text", threshold = 0.8)
+    val q = Dedup.minhashPairsStream(sdf, static, "doc_id", "text", threshold = 0.8,
+      unbounded = true)
       .writeStream.format("memory").queryName("neardup_stream_out")
       .outputMode("append").start()
     try {
@@ -427,7 +428,8 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val sdf = input.toDF().toDF("doc_id", "text")
     // NO staticDocs anywhere: both members of every pair arrive mid-stream
-    val q = Dedup.minhashPairsStreamSelfVerify(sdf, "doc_id", "text", threshold = 0.8)
+    val q = Dedup.minhashPairsStreamSelfVerify(sdf, "doc_id", "text", threshold = 0.8,
+      unbounded = true)
       .writeStream.format("memory").queryName("neardup_self_out")
       .outputMode("append").start()
     try {
@@ -487,6 +489,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         s"doc 3 must NOT pair across the expired horizon: $pairs")
     } finally q.stop()
   }
+
+  test("unbounded streaming state requires explicit opt-in") {
+    // The default path must not silently start a full-history-state
+    // stream: without unbounded = true the entries fail fast and point
+    // at the TTL variant. (ProcessingTimeTimeout was tried and rejected:
+    // registered processing-time timeouts make the micro-batch engine
+    // schedule batches forever, hanging processAllAvailable AND
+    // AvailableNow — so explicit opt-in is the bounded-by-default
+    // mechanism, with minhashCandidatesStreamTtl as the production form.)
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.minhashCandidatesStream(sdf, "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("minhashCandidatesStreamTtl"),
+      s"refusal must point at the TTL variant: ${e1.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsStream(sdf, docs, "doc_id", "text", threshold = 0.8)
+    }
+    assert(e2.getMessage.contains("unbounded"))
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsStreamSelfVerify(sdf, "doc_id", "text", threshold = 0.8)
+    }
+    assert(e3.getMessage.contains("unbounded"))
+  }
+
 
   test("watermarked end-to-end stream equals batch within the horizon") {
     import spark.implicits._

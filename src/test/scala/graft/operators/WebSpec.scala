@@ -66,6 +66,39 @@ class WebSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("a" -> a2, "b" -> b2, "c" -> c2))
   }
 
+  test("pageRank: deep iteration (25 rounds) stays flat-plan and converges") {
+    import spark.implicits._
+    // 25 iterations would otherwise compile a 50-join lineage; the
+    // every-5th-round checkpoint keeps the per-round plan bounded. The
+    // cadence must not change values: exact integer arithmetic, so the
+    // deep run's round-5k prefix equals an uncheckpointed short run.
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val deep = Web.pageRank(edges, "src", "dst", iters = 25)
+    val plan = deep.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.size < 400,
+      s"25-iteration plan should stay bounded, got ${plan.linesIterator.size} lines")
+    val got = deep.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the checkpoint cadence must not perturb values: exact integer
+    // replay of all 25 rounds driver-side
+    val S = 1L << 40
+    val base = (S * 15 / 100) / 3
+    def c(p: Long, w: Long, outw: Long) = (((p * 85) / 100) * w) / outw
+    def replay(iters: Int): Map[String, Long] = {
+      var (pa, pb, pc) = (S / 3, S / 3, S / 3)
+      for (_ <- 1 to iters) {
+        val (na, nb, nc) = (base + c(pb, 1, 2) + c(pc, 1, 1),
+          base + c(pa, 1, 1), base + c(pb, 1, 2))
+        pa = na; pb = nb; pc = nc
+      }
+      Map("a" -> pa, "b" -> pb, "c" -> pc)
+    }
+    assert(got == replay(25), "deep checkpointed run must replay exactly")
+    val five = Web.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(five == replay(5))
+  }
+
   test("pageRank: rank mass is bounded and more-linked hosts rank higher") {
     import spark.implicits._
     // hub h is linked by everyone; x/y/z link only to h and once to x
