@@ -29,6 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * character-exact HashMap path with identical substr semantics, so the
   * expression is oracle-correct on ANY input, just fastest on the
   * normalized one.
+  *
+  * Non-Latin profiles (the [[graft.operators.TextAnalysis.langIdUnicode]]
+  * path — Cyrillic/kana/Hangul/CJK grams, all BMP): such grams are
+  * byString-only (they cannot occur in ASCII input, so the fast path
+  * skipping them is exact); an ASCII gram outside `[a-z ]` is refused at
+  * table build because the two paths would score it differently.
   */
 final class TrigramScoreKernel(profiles: Seq[Seq[(String, Long)]])
     extends Serializable {
@@ -42,9 +48,19 @@ final class TrigramScoreKernel(profiles: Seq[Seq[(String, Long)]])
     val t = new Array[Array[Long]](27 * 27 * 27)
     for ((entries, li) <- profiles.zipWithIndex; (g, c) <- entries) {
       val idx = radixIndex(g)
-      require(idx >= 0, s"profile trigram '$g' outside [a-z ] alphabet")
-      if (t(idx) == null) t(idx) = new Array[Long](nLangs)
-      t(idx)(li) += c
+      if (idx >= 0) {
+        if (t(idx) == null) t(idx) = new Array[Long](nLangs)
+        t(idx)(li) += c
+      } else {
+        // Outside-[a-z ] grams live ONLY in the byString map, which is
+        // consistent iff they can never match ASCII input (the fast path
+        // skips them): require at least one non-ASCII char. A profile
+        // gram like "a1b" would silently score differently between the
+        // two paths — refuse it.
+        require(g.exists(_ > 127.toChar),
+          s"profile trigram '$g' is ASCII but outside [a-z ] — " +
+            "normalized input can never produce it on the fast path")
+      }
     }
     t
   }

@@ -129,20 +129,8 @@ object TextAnalysis {
     * counts, trained offline on per-language sample text; tab-separated
     * because trigrams contain spaces). Seq order = [[langs]] order =
     * deterministic tie-break order. */
-  lazy val trigramProfiles: Seq[(String, Seq[(String, Long)])] = {
-    val in = getClass.getResourceAsStream("/langid/trigrams.tsv")
-    require(in != null, "missing resource /langid/trigrams.tsv")
-    val rows =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().map { l =>
-        val Array(lang, g, c) = l.split("\t", 3)
-        (lang, g, c.toLong)
-      }.toVector
-      finally in.close()
-    // group preserving first-appearance language order
-    rows.map(_._1).distinct.map { lang =>
-      lang -> rows.collect { case (`lang`, g, c) => (g, c) }
-    }
-  }
+  lazy val trigramProfiles: Seq[(String, Seq[(String, Long)])] =
+    loadProfiles("/langid/trigrams.tsv")
 
   /** Trigram-profile language ID — the fastText-style upgrade of the
     * stopword heuristic [[langId]]: text is normalized to `[a-z ]` runs,
@@ -180,6 +168,70 @@ object TextAnalysis {
         pickLang(trigramProfiles.map { case (l, _) => l -> col(s"s_$l") })
           .as("pred_lang") +:
         trigramProfiles.map { case (l, _) => col(s"s_$l") }: _*)
+  }
+
+  /** [[trigramProfiles]] plus Cyrillic/kana/Hangul profiles
+    * (`/langid/trigrams_unicode.tsv`) for the script-aware
+    * [[langIdUnicode]] path. Separate fixture so q86's oracle (pinned to
+    * the 5-language Latin file) never shifts. */
+  lazy val trigramProfilesUnicode: Seq[(String, Seq[(String, Long)])] =
+    loadProfiles("/langid/trigrams_unicode.tsv")
+
+  private def loadProfiles(res: String): Seq[(String, Seq[(String, Long)])] = {
+    val in = getClass.getResourceAsStream(res)
+    require(in != null, s"missing resource $res")
+    val rows =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().map { l =>
+        val Array(lang, g, c) = l.split("\t", 3)
+        (lang, g, c.toLong)
+      }.toVector
+      finally in.close()
+    rows.map(_._1).distinct.map { lang =>
+      lang -> rows.collect { case (`lang`, g, c) => (g, c) }
+    }
+  }
+
+  /** Letter class for [[langIdUnicode]]'s normalization, shared VERBATIM
+    * with the DuckDB oracle — explicit codepoint ranges, not `\p{L}`
+    * (the [[scriptClasses]] rule: property escapes differ between Java
+    * regex and RE2; literal ranges cannot). ASCII letters + lowercase
+    * Cyrillic (ё included — it sits outside а-я) + hiragana/katakana +
+    * CJK ideographs + Hangul syllables. */
+  val unicodeLetterClass: String = "a-zа-яё぀-ヿ一-鿿가-힣"
+
+  /** Script-aware trigram language ID — [[langIdTrigram]] with
+    * normalization that keeps non-Latin letters (`lower` then non-letter
+    * runs to one space, letters per [[unicodeLetterClass]]) and the
+    * extended [[trigramProfilesUnicode]] fixture, so Cyrillic/Japanese/
+    * Korean text carries trigram mass instead of normalizing to
+    * emptiness and falling to the tie-break. Same kernel, same exact
+    * integer scoring, same first-max tie-break; non-Latin docs take the
+    * kernel's character-exact path (their grams cannot occur in ASCII
+    * text, so Latin docs stay on the radix fast path). Route mixed
+    * corpora with [[scriptProfile]] as the prior when a hard per-script
+    * split is wanted; this operator alone already separates disjoint
+    * scripts since cross-script trigram mass is structurally zero.
+    *
+    * Scale: identical to [[langIdTrigram]] — one shuffle-free codegen'd
+    * map stage, fixture state only. */
+  def langIdUnicode(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val profs = trigramProfilesUnicode
+    val norm = regexp_replace(lower(coalesce(col(textCol), lit(""))),
+      s"[^$unicodeLetterClass]+", " ")
+    val scoresArr = org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.TrigramLangScores(
+        org.apache.spark.sql.graft.SparkShims.expression(col("nm")),
+        profs))
+    val scored = docs
+      .select(col(idCol), norm.as("nm"))
+      .select(col(idCol), scoresArr.as("sc"))
+      .select(col(idCol) +: profs.zipWithIndex.map { case ((l, _), i) =>
+        element_at(col("sc"), i + 1).as(s"s_$l") }: _*)
+    scored.select(
+      col(idCol) +:
+        pickLang(profs.map { case (l, _) => l -> col(s"s_$l") })
+          .as("pred_lang") +:
+        profs.map { case (l, _) => col(s"s_$l") }: _*)
   }
 
   /** Token counting: whitespace tokens, BPE-ish regex tokens, chars. */

@@ -901,7 +901,8 @@ object TextQueries {
     ("q161_mojibake", q161Mojibake _, q161Sql),
     ("q178_blocklist_scan", q178BlocklistScan _, q178Sql),
     ("q183_bpe_pretokenized", q183BpePretokenized _, q183Sql),
-    ("q193_lang_confusion", q193LangConfusion _, q193Sql))
+    ("q193_lang_confusion", q193LangConfusion _, q193Sql),
+    ("q201_langid_unicode", q201LangidUnicode _, q201Sql))
 
   /** Language-label confusion matrix: the `lang` column a source
     * CLAIMS against what q86's trigram profiles PREDICT — the audit
@@ -1017,5 +1018,78 @@ object TextQueries {
        |SELECT doc_id, length(dirty) AS n_raw, trim($strip) AS clean_text,
        |  length(trim($strip)) AS n_clean
        |FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  /** Planted multilingual texts for q201 (BMP-only, lowercase — both
+    * engines' `lower()` is identity on them, and codepoints == Java
+    * chars so kernel/substr windows agree). doc_id % 4 picks the
+    * language; the Latin-only q86 path scores ru/ja/ko docs 0 everywhere
+    * and tie-breaks to 'en' — exactly the gap [[TextAnalysis
+    * .langIdUnicode]] closes. */
+  private def plantedRu =
+    "это не просто история о том как он был готов к работе и что было " +
+      "важно для него и для всей страны"
+  private def plantedJa =
+    "これはとても面白い話です私たちは毎日勉強しますそして友達と話します"
+  private def plantedKo =
+    "이것은 아주 재미있는 이야기입니다 우리는 매일 공부합니다 그리고 친구와 이야기합니다"
+  private def plantedEn =
+    "the quick brown fox jumps over the lazy dog and the history of the " +
+      "people of the land"
+
+  /** Script-aware language ID ([[TextAnalysis.langIdUnicode]]) over
+    * planted Cyrillic/Japanese/Korean/English docs: unicode-letter
+    * normalization + the extended trigram fixture give non-Latin docs
+    * real trigram mass (the Latin-only q86 normalization maps them to
+    * emptiness and falls to the tie-break). Every lookup replays in the
+    * oracle — same literal profile maps, same first-max CASE. */
+  def q201LangidUnicode(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, lit(plantedRu))
+        .when(col("doc_id") % 4 === 1, lit(plantedJa))
+        .when(col("doc_id") % 4 === 2, lit(plantedKo))
+        .otherwise(lit(plantedEn)).as("t"))
+    TextAnalysis.langIdUnicode(planted, "doc_id", "t").presentSorted("doc_id")
+  }
+
+  def q201Sql: String = {
+    val profs = TextAnalysis.trigramProfilesUnicode
+    val scoreDefs = profs.map { case (lang, entries) =>
+      val ks = entries.map { case (g, _) => s"'$g'" }.mkString(", ")
+      val vs = entries.map { case (_, c) => c.toString }.mkString(", ")
+      s"""CAST(coalesce(list_sum(list_transform(tris, g ->
+         |    coalesce(list_extract(map_extract(map([$ks], [$vs]), g), 1), 0))), 0)
+         |    AS BIGINT) AS s_$lang""".stripMargin
+    }.mkString(",\n  ")
+    val names = profs.map(_._1)
+    val cases = names.zipWithIndex.dropRight(1).map { case (l, i) =>
+      val conds = names.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n    ")
+    val cls = TextAnalysis.unicodeLetterClass
+    s"""WITH planted AS (
+       |  SELECT doc_id, CASE doc_id % 4
+       |    WHEN 0 THEN '$plantedRu'
+       |    WHEN 1 THEN '$plantedJa'
+       |    WHEN 2 THEN '$plantedKo'
+       |    ELSE '$plantedEn' END AS t
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, regexp_replace(lower(t), '[^$cls]+', ' ', 'g') AS nm
+       |  FROM planted),
+       |tri AS (
+       |  SELECT doc_id, CASE WHEN len(nm) < 3 THEN CAST([] AS VARCHAR[])
+       |    ELSE list_transform(range(1, len(nm) - 1), i -> substr(nm, i, 3)) END AS tris
+       |  FROM base),
+       |scored AS (
+       |  SELECT doc_id,
+       |  $scoreDefs
+       |  FROM tri)
+       |SELECT doc_id,
+       |  CASE $cases
+       |    ELSE '${names.last}' END AS pred_lang,
+       |  ${names.map(l => s"s_$l").mkString(", ")}
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
   }
 }

@@ -614,4 +614,39 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("langIdUnicode: non-Latin scripts predicted where Latin path tie-breaks") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "это не просто история о том как он был готов к работе и что " +
+        "было важно для всей страны"),
+      (2L, "これはとても面白い話です私たちは毎日勉強しますそして友達と話します"),
+      (3L, "이것은 아주 재미있는 이야기입니다 우리는 매일 공부합니다"),
+      (4L, "the history of the people of the land and the quick brown fox"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val uni = TextAnalysis.langIdUnicode(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(uni(1L) == "ru" && uni(2L) == "ja" && uni(3L) == "ko" &&
+      uni(4L) == "en", s"script-aware predictions wrong: $uni")
+    // null text → zero mass everywhere → deterministic first-language
+    // tie-break, same convention as langIdTrigram
+    assert(uni(5L) == TextAnalysis.trigramProfilesUnicode.head._1)
+    // the gap this closes: the Latin-only path normalizes non-Latin text
+    // to emptiness, scores 0 everywhere, and tie-breaks every such doc
+    // to the first profile language
+    val latin = TextAnalysis.langIdTrigram(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = TextAnalysis.trigramProfiles.head._1
+    assert(latin(1L) == first && latin(2L) == first && latin(3L) == first,
+      s"expected Latin path to tie-break non-Latin docs: $latin")
+    // cross-script trigram mass is structurally zero: the ru doc scores
+    // 0 for ja/ko and vice versa
+    val scores = TextAnalysis.langIdUnicode(rows, "doc_id", "text")
+      .where(col("doc_id") === 1L).head()
+    val names = TextAnalysis.trigramProfilesUnicode.map(_._1)
+    val jaIdx = names.indexOf("ja") + 2
+    val koIdx = names.indexOf("ko") + 2
+    assert(scores.getLong(jaIdx) == 0L && scores.getLong(koIdx) == 0L)
+  }
 }
