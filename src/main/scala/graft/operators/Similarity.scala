@@ -364,6 +364,175 @@ object Similarity {
       perSub.map(_._2).reduce(_ + _).as("recon_err"))
   }
 
+  /** Grid scale for the integer-exact PQ family: components quantize to
+    * `floor(x·1024 + 0.5)` (q80's round-half-up convention — exact and
+    * engine-identical for doubles), so every distance, comparison, and
+    * centroid update below is integer arithmetic. */
+  val PqGridScale: Double = 1024.0
+
+  /** TRAINED per-subspace PQ codebooks — Lloyd's k-means made
+    * integer-exact so the whole training run replays in SQL: sample
+    * components quantize to the [[PqGridScale]] grid, init is
+    * distinct-first-k subvectors in sample order ([[lloydFit]]'s rule),
+    * assignment is exact integer squared distance (first-min tie → the
+    * lowest code), and the centroid update is the per-dimension
+    * FLOOR-DIV mean (`Math.floorDiv` — the pageRank/HITS fixed-point
+    * convention; an empty cluster keeps its centroid). Float Lloyd
+    * ([[lloydFit]]) sums in sample order, which no engine-portable SQL
+    * aggregate reproduces; on the grid, sums are order-free longs and
+    * the oracle replays every round bit-for-bit.
+    *
+    * Returns `books(j)(code)(i)` — grid-unit centroids per subspace. */
+  private[graft] def pqTrainInt(
+      sample: Array[Array[Long]],
+      m: Int,
+      ks: Int,
+      iters: Int): Array[Array[Array[Long]]] = {
+    require(sample.nonEmpty, "empty PQ training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val xs = sample.map(_.slice(j * sub, (j + 1) * sub))
+      var cent = xs.map(_.toSeq).distinct.take(ks).map(_.toArray)
+      var it = 0
+      while (it < iters) {
+        val kk = cent.length
+        val sums = Array.fill(kk)(new Array[Long](sub))
+        val counts = new Array[Long](kk)
+        xs.foreach { x =>
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < kk) {
+            var d = 0L
+            var i = 0
+            while (i < sub) { val t = x(i) - cent(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          val sm = sums(best)
+          var i = 0
+          while (i < sub) { sm(i) += x(i); i += 1 }
+        }
+        cent = cent.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else Array.tabulate(sub)(i => Math.floorDiv(sums(c)(i), counts(c)))
+        }
+        it += 1
+      }
+      cent
+    }
+  }
+
+  /** Train [[pqTrainInt]] codebooks on the corpus at `dir`: the bounded
+    * deterministic sample is the `trainSample` LOWEST vec_ids (ascending
+    * — a pure function of the data, the [[buildTrainedIvfIndexAt]]
+    * rule). */
+  def pqTrainCodebooks(
+      s: SparkSession,
+      dir: String,
+      m: Int = 4,
+      ks: Int = 4,
+      trainSample: Int = 64,
+      iters: Int = 2): Array[Array[Array[Long]]] = {
+    val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
+    val sample = e.orderBy("vec_id").limit(trainSample).collect()
+      .map(_.getSeq[Double](1)
+        .map(x => math.floor(x * PqGridScale + 0.5).toLong).toArray)
+    pqTrainInt(sample, m, ks, iters)
+  }
+
+  /** Encode `emb` (`vec_id`, `v: array<double>`) against trained
+    * codebooks: quantize each vector to the grid (exact integral
+    * doubles), per subspace pick the nearest codeword with the shared
+    * [[graft.functions.CentroidKernel]] (values stay < 2^53, so the
+    * double arithmetic IS integer arithmetic — bit-exact), and sum the
+    * per-subspace squared errors into an exact BIGINT `recon_err` in
+    * grid² units. Codes present as scalar `code_j` columns (the q123
+    * pandas-hasher lesson). One shuffle-free codegen map. */
+  def pqEncodeWithBooks(
+      emb: DataFrame,
+      books: Array[Array[Array[Long]]]): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
+    // Spark floor() yields LONG; the kernel wants doubles — grid values
+    // are < 2^53, so the round-trip is exact
+    val qv = transform(col("v"),
+      x => floor(x * lit(PqGridScale) + lit(0.5)).cast("double"))
+    val perSub = (0 until m).map { j =>
+      val kernel = new graft.functions.CentroidKernel(
+        books(j).map(_.map(_.toDouble)))
+      val sl = slice(col("qv"), j * sub + 1, sub)
+      val code = SparkShims.column(graft.functions.NearestCentroid(
+        SparkShims.expression(sl), kernel))
+      val dist = SparkShims.column(graft.functions.NearestCentroidDist(
+        SparkShims.expression(sl), kernel))
+      (code.as(s"code_$j"), dist)
+    }
+    emb.select(col("vec_id"), qv.as("qv"))
+      .select(col("vec_id") +: perSub.map(_._1) :+
+        perSub.map(_._2).reduce(_ + _).cast("bigint").as("recon_err"): _*)
+  }
+
+  /** Trained-PQ encode of the corpus at `dir` — [[pqTrainCodebooks]] +
+    * [[pqEncodeWithBooks]], the trained sibling of the seeded
+    * [[pqEncode]] (q123). Oracled as q202: the SQL replays the grid
+    * quantization, the distinct-first-k init, every Lloyd round, and
+    * every encode argmin in exact integer arithmetic. */
+  def pqEncodeTrained(
+      s: SparkSession,
+      dir: String,
+      m: Int = 4,
+      ks: Int = 4,
+      trainSample: Int = 64,
+      iters: Int = 2): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val books = pqTrainCodebooks(s, dir, m, ks, trainSample, iters)
+    pqEncodeWithBooks(
+      withDoubles(s.read.parquet(s"$dir/embeddings.parquet")), books)
+  }
+
+  /** Persist trained PQ codebooks at `path` — the
+    * [[buildTrainedIvfIndexAt]] lifecycle applied to the PQ quantizer:
+    * the caller owns the path, re-train overwrites, a serving restart
+    * re-reads the STORED codebooks instead of retraining. Layout:
+    * `(subspace, code, centroid: array<bigint>)` parquet. */
+  def buildPqCodebooksAt(
+      s: SparkSession,
+      emb: DataFrame,
+      path: String,
+      m: Int = 4,
+      ks: Int = 4,
+      trainSample: Int = 64,
+      iters: Int = 2): Unit = {
+    import s.implicits._
+    val sample = emb.select(col("vec_id"), col("v"))
+      .orderBy("vec_id").limit(trainSample).collect()
+      .map(_.getSeq[Double](1)
+        .map(x => math.floor(x * PqGridScale + 0.5).toLong).toArray)
+    val books = pqTrainInt(sample, m, ks, iters)
+    books.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
+  }
+
+  /** Encode with the codebooks STORED at `path` — bit-identical to the
+    * in-memory [[pqEncodeTrained]] on the same corpus (SimilaritySpec
+    * pins it): the stored table is the same integer centroids the
+    * trainer produced, and encoding is deterministic integer argmin. */
+  def pqEncodeStored(s: SparkSession, emb: DataFrame, path: String): DataFrame = {
+    val rows = s.read.parquet(s"$path/pq_codebooks")
+      .orderBy("subspace", "code").collect()
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_.getInt(1)).map(_.getSeq[Long](2).toArray)
+      }.toArray
+    pqEncodeWithBooks(emb, books)
+  }
+
   /** Per-dimension embedding distribution audit — the statistics a
     * whitening / normalization step consumes (and the drift monitor a
     * serving pipeline alarms on: a dimension whose mean wanders or

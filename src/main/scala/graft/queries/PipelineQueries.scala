@@ -891,6 +891,7 @@ object PipelineQueries {
     ("q104_leakage_split", q104LeakageSplit _, q104Sql),
     ("q107_matryoshka", q107Matryoshka _, q107Sql),
     ("q123_pq_encode", q123PqEncode _, q123Sql),
+    ("q202_pq_trained", q202PqTrained _, q202Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2069,4 +2070,85 @@ object PipelineQueries {
        |       ELSE 'test' END AS split
        |FROM h
        |ORDER BY doc_id""".stripMargin
+
+  /** TRAINED product quantization ([[Similarity.pqEncodeTrained]]):
+    * q123's seeded codebook replaced by per-subspace Lloyd-trained
+    * codebooks, made integer-exact (grid quantization, floor-div
+    * centroid means) so the oracle replays the TRAINING too — the
+    * distinct-first-k init, both k-means rounds (assignment argmin +
+    * per-dimension floor-div mean, empty cluster keeps its centroid),
+    * and every encode argmin, all in exact BIGINT arithmetic. */
+  def q202PqTrained(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncodeTrained(s, dir, m = 4, ks = 4,
+        trainSample = 64, iters = 2)
+      .select(col("vec_id") +:
+        (0 until 4).map(j => col(s"code_$j").cast("bigint").as(s"code_$j")) :+
+        col("recon_err"): _*)
+      .presentSorted("vec_id")
+
+  def q202Sql: String = {
+    val m = 4
+    val sub = 16
+    val ks = 4
+    val n = 64
+    val iters = 2
+    val qExpr =
+      "list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1024 + 0.5) AS BIGINT))"
+    def dist(xs: String, cs: String) =
+      s"list_sum(list_transform(range(1, ${sub + 1}), k -> " +
+        s"($xs[k] - $cs[k]) * ($xs[k] - $cs[k])))"
+    val perSub = (0 until m).map { j =>
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      val rounds = (1 to iters).map { it =>
+        val prev = if (it == 1) s"i$j" else s"c${j}_${it - 1}"
+        s"""a${j}_$it AS (
+           |  SELECT rn, code, d,
+           |    row_number() OVER (PARTITION BY rn ORDER BY d, code) AS rk
+           |  FROM (
+           |    SELECT s.rn, p.code, ${dist("s.x", "p.c")} AS d
+           |    FROM x$j s CROSS JOIN $prev p) z),
+           |u${j}_$it AS (
+           |  SELECT a.code, kk.k, SUM(s.x[kk.k]) AS sm, COUNT(*) AS cnt
+           |  FROM a${j}_$it a JOIN x$j s USING (rn)
+           |  CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS k) kk
+           |  WHERE a.rk = 1
+           |  GROUP BY a.code, kk.k),
+           |c${j}_$it AS (
+           |  SELECT p.code, coalesce(nc.c2, p.c) AS c
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT code, list(fd ORDER BY k) AS c2
+           |    FROM (SELECT code, k,
+           |      (sm - (((sm % cnt) + cnt) % cnt)) // cnt AS fd
+           |      FROM u${j}_$it) w
+           |    GROUP BY code) nc USING (code))""".stripMargin
+      }.mkString(",\n")
+      s"""x$j AS (SELECT rn, list_slice(q, $lo, $hi) AS x FROM s0),
+         |i$j AS (
+         |  SELECT z.x AS c, row_number() OVER (ORDER BY z.mrn) - 1 AS code
+         |  FROM (SELECT x, min(rn) AS mrn FROM x$j GROUP BY x
+         |        ORDER BY mrn LIMIT $ks) z),
+         |$rounds,
+         |ex$j AS (SELECT vec_id, list_slice(q, $lo, $hi) AS x FROM eq),
+         |en$j AS (
+         |  SELECT vec_id, code, d,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, code) AS rk
+         |  FROM (
+         |    SELECT e.vec_id, p.code, ${dist("e.x", "p.c")} AS d
+         |    FROM ex$j e CROSS JOIN c${j}_$iters p) z),
+         |p$j AS (SELECT vec_id, CAST(code AS BIGINT) AS code_$j, d AS d$j
+         |  FROM en$j WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until m).map(j => s"JOIN p$j USING (vec_id)").mkString(" ")
+    s"""WITH s0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS rn, $qExpr AS q
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $n) t),
+       |eq AS (SELECT vec_id, $qExpr AS q FROM embeddings),
+       |$perSub
+       |SELECT vec_id,
+       |  ${(0 until m).map(j => s"code_$j").mkString(", ")},
+       |  CAST(${(0 until m).map(j => s"d$j").mkString(" + ")} AS BIGINT) AS recon_err
+       |FROM p0 $joins
+       |ORDER BY vec_id""".stripMargin
+  }
 }

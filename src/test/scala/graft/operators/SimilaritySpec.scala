@@ -551,4 +551,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
     assert(signRows.distinct.size > dim / 2, "sign matrix rows collapse")
   }
+
+  test("trained PQ: persisted codebooks encode identically to in-memory") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val inMem = Similarity.pqEncodeTrained(spark, sfDir, m = 4, ks = 4,
+        trainSample = 64, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((1 to 4).map(r.getInt), r.getLong(5))).toMap
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pq_idx").toString
+    Similarity.buildPqCodebooksAt(spark, emb, path, m = 4, ks = 4,
+      trainSample = 64, iters = 2)
+    val stored = Similarity.pqEncodeStored(spark, emb, path)
+      .collect().map(r => r.getLong(0) ->
+        ((1 to 4).map(r.getInt), r.getLong(5))).toMap
+    assert(stored == inMem,
+      "stored-codebook encode must be bit-identical to in-memory")
+    // a serving restart re-reads the SAME quantizer: re-encode from disk
+    // without retraining is still identical
+    val again = Similarity.pqEncodeStored(spark, emb, path)
+      .collect().map(r => r.getLong(0) ->
+        ((1 to 4).map(r.getInt), r.getLong(5))).toMap
+    assert(again == inMem)
+    // training moved the codebooks off the raw seeds: the trained books
+    // must reconstruct no worse IN TOTAL than the untrained init
+    // (k-means monotonicity on the same sample/grid)
+    val sample = emb.orderBy("vec_id").limit(64).collect()
+      .map(_.getSeq[Double](1)
+        .map(x => math.floor(x * Similarity.PqGridScale + 0.5).toLong).toArray)
+    val init = Similarity.pqTrainInt(sample, 4, 4, 0)
+    val trained = Similarity.pqTrainInt(sample, 4, 4, 2)
+    def totalErr(books: Array[Array[Array[Long]]]): Long =
+      Similarity.pqEncodeWithBooks(emb, books)
+        .agg(org.apache.spark.sql.functions.sum("recon_err")).head.getLong(0)
+    assert(totalErr(trained) <= totalErr(init),
+      "Lloyd rounds must not worsen total reconstruction error")
+  }
 }
