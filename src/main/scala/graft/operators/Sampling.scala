@@ -317,4 +317,59 @@ object Sampling {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("quota"))
   }
+
+  /** DSIR-shaped importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its hashed n-gram features look like a TARGET
+    * corpus (the high-quality slice you want more of) versus the raw
+    * pool, then keep the top of the ranking. Features are word unigrams
+    * + bigrams hashed into `buckets` buckets (the 48-bit rolling hash —
+    * oracle-replayable, collision structure identical in both engines).
+    *
+    * DSIR's per-bucket weight is `log p_target(b) − log p_raw(b)`; `ln`
+    * is not correctly-rounded across engines, so this uses the
+    * integer-exact linear contrast `w_b = t_b·R − r_b·T` (t/r = bucket
+    * counts, T/R = corpus totals — the cross-multiplied form of
+    * `t_b/T > r_b/R`): a bucket's weight is positive exactly when the
+    * target over-represents it, and a document's score
+    * `Σ cnt_b · w_b` is an exact BIGINT replayed cell-for-cell by the
+    * oracle. Bounds: `t_b·R ≤ (total target tokens)·(total raw tokens)`
+    * and a doc's score ≤ its feature count × that — longs hold through
+    * ~10⁹ tokens per side; shard the contrast beyond (q171's partial
+    * pattern).
+    *
+    * Scale shape: one explode+groupBy pass builds the (bucket, t, r)
+    * table — map-side combined, `buckets` rows out — which broadcasts
+    * back into a second explode+per-doc sum (one doc-keyed shuffle).
+    * The corpus never joins itself; everything else is bucket-sized.
+    *
+    * Returns (id, is_target, n_feats, score, keep) — `keep` marks raw
+    * docs with positive score (more target-like than raw-like). */
+  def importanceScores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val ws = split(coalesce(col(textCol), lit("")), " ")
+    val feats = concat(
+      ws,
+      when(size(ws) < 2, array().cast("array<string>"))
+        .otherwise(transform(slice(ws, lit(1), size(ws) - 1),
+          (w, i) => concat_ws(" ", w, element_at(ws, i + 2)))))
+    val exploded = docs
+      .select(col(idCol), isTarget.as("is_target"), explode(feats).as("ft"))
+      .withColumn("b", pmod(LightFusion.rollingHash(col("ft")), lit(buckets.toLong)))
+    val counts = exploded.groupBy("b").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("t"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).as("r"))
+    val totals = counts.agg(sum("t").as("tt"), sum("r").as("rr"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("b"), (col("t") * col("rr") - col("r") * col("tt")).as("w"))
+    exploded.join(broadcast(weights), Seq("b"))
+      .groupBy(col(idCol), col("is_target"))
+      .agg(count(lit(1)).as("n_feats"), sum("w").as("score"))
+      .withColumn("keep", !col("is_target") && col("score") > 0L)
+  }
 }

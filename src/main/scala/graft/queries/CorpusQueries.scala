@@ -937,6 +937,7 @@ object CorpusQueries {
       |ORDER BY query_id, rank""".stripMargin
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q203_importance_dsir", q203ImportanceDsir _, q203Sql),
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
     ("q45_stratified_sample", q45StratifiedSample _, q45Sql),
@@ -1363,4 +1364,44 @@ object CorpusQueries {
        |FROM (SELECT n_buckets,
        |        z_used + CAST(64 - n_buckets AS DOUBLE) AS z FROM zz), n
        |ORDER BY n_sources""".stripMargin
+
+  /** DSIR-shaped importance scoring ([[graft.operators.Sampling
+    * .importanceScores]]): src0 as the target slice, every doc scored by
+    * the integer-exact hashed-ngram contrast (unigrams + bigrams,
+    * 48-bit-fold buckets). The oracle rebuilds the feature stream, the
+    * bucket contrast table, and every per-doc sum in exact BIGINTs. */
+  def q203ImportanceDsir(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.importanceScores(
+        docs(s, dir), "doc_id", "text", col("source") === "src0",
+        buckets = 4096)
+      .presentSorted("doc_id")
+
+  def q203Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, source = 'src0' AS tgt,
+       |    string_split(coalesce(text, ''), ' ') AS ws
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, tgt, unnest(ws ||
+       |    CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+       |         ELSE [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+       |    END) AS ft
+       |  FROM w),
+       |fb AS (
+       |  SELECT doc_id, tgt, ${foldSql("ft")} % 4096 AS b FROM f),
+       |c AS (
+       |  SELECT b,
+       |    SUM(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS t,
+       |    SUM(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS r
+       |  FROM fb GROUP BY b),
+       |tot AS (SELECT SUM(t) AS tt, SUM(r) AS rr FROM c),
+       |wt AS (SELECT b, t * rr - r * tt AS w FROM c CROSS JOIN tot),
+       |sc AS (
+       |  SELECT doc_id, tgt, COUNT(*) AS n_feats, SUM(w) AS score
+       |  FROM fb JOIN wt USING (b) GROUP BY doc_id, tgt)
+       |SELECT doc_id, tgt AS is_target,
+       |  CAST(n_feats AS BIGINT) AS n_feats,
+       |  CAST(score AS BIGINT) AS score,
+       |  (NOT tgt AND score > 0) AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
 }

@@ -246,4 +246,49 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     val only2 = Sampling.matchDistribution(pool, "bucket", "doc_id", t3)
     assert(only2.select("bucket").as[Long].collect().toSet == Set(2L))
   }
+
+  test("importanceScores: exact integer contrast vs a driver-side replay") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "good clean prose about science", true),
+      (2L, "clean careful writing about science", true),
+      (3L, "spam spam buy now spam", false),
+      (4L, "careful prose about science topics", false),
+      (5L, "buy now buy now", false))
+    val df = rows.toDF("doc_id", "text", "tgt")
+    val got = Sampling
+      .importanceScores(df, "doc_id", "text", col("tgt"), buckets = 64)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    // driver replay: same fold, same buckets, same contrast
+    def fold(s: String): Long = {
+      var h = 0L
+      s.foreach(c => h = (h * 31L + c) & ((1L << 48) - 1))
+      h
+    }
+    def feats(t: String): Seq[String] = {
+      val ws = t.split(" ", -1).toSeq
+      ws ++ ws.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    }
+    val all = rows.flatMap { case (id, t, tgt) =>
+      feats(t).map(f => (id, tgt, fold(f) % 64))
+    }
+    val tC = all.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val rC = all.filterNot(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val (tt, rr) = (tC.values.sum, rC.values.sum)
+    def w(b: Long) = tC.getOrElse(b, 0L) * rr - rC.getOrElse(b, 0L) * tt
+    val want = rows.map { case (id, t, tgt) =>
+      val fs = feats(t).map(f => fold(f) % 64)
+      val score = fs.map(w).sum
+      id -> ((tgt, fs.size.toLong, score, !tgt && score > 0))
+    }.toMap
+    assert(got == want, s"got $got\nwant $want")
+    // directionality: the raw doc sharing target vocabulary must outscore
+    // the pure-spam docs
+    assert(got(4L)._3 > got(3L)._3 && got(4L)._3 > got(5L)._3)
+    assert(got(4L)._4, "target-like raw doc should be kept")
+    // target docs are never 'keep' (they are already in the target)
+    assert(!got(1L)._4 && !got(2L)._4)
+  }
 }
