@@ -364,6 +364,90 @@ object Similarity {
       perSub.map(_._2).reduce(_ + _).as("recon_err"))
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diversified top-k — the retrieval re-rank that trades relevance
+    * against redundancy: after the most-relevant hit, each next pick
+    * maximizes `λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)` over the
+    * already-selected set S (ties → lowest id). The candidate pool is
+    * the exact brute-force top-`candK` ([[bruteForceTopK]]'s plan), so
+    * the greedy stage only ever sees `candK` rows per query.
+    *
+    * Scale shape: candidate generation is the distributed ANN/brute
+    * pass; the greedy re-rank runs per query group over its ≤`candK`
+    * candidates (`flatMapGroups` — bounded data-dependent loop, the
+    * mapGroups-as-last-resort case the brief allows), so 10⁶ queries
+    * re-rank in parallel and nothing quadratic touches the corpus.
+    *
+    * Engine-exact: every pairwise cosine accumulates left-to-right like
+    * the [[graft.functions.CosineSimilarity]] kernel (the q40 oracle
+    * convention), MAX over selected is order-free, and λ = 0.5 scales
+    * exactly — so the oracle replays every greedy step. */
+  def mmrTopK(
+      s: SparkSession,
+      dir: String,
+      numQueries: Int = 3,
+      candK: Int = 20,
+      k: Int = 5,
+      lambda: Double = 0.5): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
+    val q = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
+    val cands = TopK.perKey(scored, Seq("q_id"), "cos", "n_id", candK)
+      .select("q_id", "n_id", "cos")
+      .join(e.select(col("vec_id").as("n_id"), col("v")), "n_id")
+    import s.implicits._
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    cands.select("q_id", "n_id", "cos", "v")
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val rows = it.toArray
+          .sortWith((a, b) => a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+        val vs = rows.map(_._4.toArray)
+        val chosen = Array.fill(rows.length)(false)
+        val selected = scala.collection.mutable.ArrayBuffer[Int]()
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+        if (rows.nonEmpty) {
+          chosen(0) = true; selected += 0
+          out += ((qid, 1, rows(0)._2, rows(0)._3))
+          var rank = 2
+          while (rank <= k && selected.length < rows.length) {
+            var best = -1
+            var bestScore = 0.0
+            var ci = 0
+            while (ci < rows.length) {
+              if (!chosen(ci)) {
+                var ms = Double.NegativeInfinity
+                selected.foreach(si => ms = math.max(ms, cosine(vs(ci), vs(si))))
+                val sc = lambda * rows(ci)._3 - (1 - lambda) * ms
+                if (best < 0 || sc > bestScore ||
+                  (sc == bestScore && rows(ci)._2 < rows(best)._2)) {
+                  best = ci; bestScore = sc
+                }
+              }
+              ci += 1
+            }
+            chosen(best) = true; selected += best
+            out += ((qid, rank, rows(best)._2, rows(best)._3))
+            rank += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("q_id", "rank", "n_id", "cos")
+  }
+
   /** Grid scale for the integer-exact PQ family: components quantize to
     * `floor(x·1024 + 0.5)` (q80's round-half-up convention — exact and
     * engine-identical for doubles), so every distance, comparison, and

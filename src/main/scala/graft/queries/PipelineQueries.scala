@@ -892,6 +892,7 @@ object PipelineQueries {
     ("q107_matryoshka", q107Matryoshka _, q107Sql),
     ("q123_pq_encode", q123PqEncode _, q123Sql),
     ("q202_pq_trained", q202PqTrained _, q202Sql),
+    ("q204_mmr_rerank", q204MmrRerank _, q204Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2070,6 +2071,64 @@ object PipelineQueries {
        |       ELSE 'test' END AS split
        |FROM h
        |ORDER BY doc_id""".stripMargin
+
+  /** MMR diversified retrieval ([[Similarity.mmrTopK]]): brute-force
+    * top-20 candidates per query, then 5 greedy λ=0.5 MMR picks. The
+    * oracle unrolls all five greedy steps — candidate pool, pairwise
+    * cosine table, per-step max-sim-to-selected, argmax with the
+    * (score DESC, id ASC) tie — in the q40 fixed-order float
+    * convention. */
+  def q204MmrRerank(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrTopK(s, dir, numQueries = 3, candK = 20, k = 5)
+      .presentSorted("q_id", "rank")
+
+  def q204Sql: String = {
+    val k = 5
+    val steps = (2 to k).map { t =>
+      val prevSel = s"sel${t - 1}"
+      s"""m$t AS (
+         |  SELECT c.q_id, c.n_id, c.cos, MAX(s.sim) AS ms
+         |  FROM cands c
+         |  JOIN sims s ON s.q_id = c.q_id AND s.a_id = c.n_id
+         |  JOIN $prevSel x ON x.q_id = s.q_id AND x.n_id = s.b_id
+         |  LEFT JOIN $prevSel d ON d.q_id = c.q_id AND d.n_id = c.n_id
+         |  WHERE d.n_id IS NULL
+         |  GROUP BY c.q_id, c.n_id, c.cos),
+         |s$t AS (
+         |  SELECT q_id, n_id, cos FROM (
+         |    SELECT q_id, n_id, cos,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY 0.5 * cos - 0.5 * ms DESC, n_id) AS rk
+         |    FROM m$t) z WHERE rk = 1),
+         |sel$t AS (SELECT q_id, n_id FROM sel${t - 1}
+         |  UNION ALL SELECT q_id, n_id FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    val unionOut = (1 to k)
+      .map(t => s"SELECT q_id, $t AS rank, n_id, cos FROM s$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding, (${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |        (${dotSql("q.embedding", "c.embedding")}) / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+       |      FROM v q JOIN v c ON q.vec_id < 3 AND c.vec_id <> q.vec_id),
+       |cands AS (SELECT q_id, n_id, cos FROM (
+       |    SELECT q_id, n_id, cos,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+       |    FROM p) x WHERE rk <= 20),
+       |cv AS (SELECT c.q_id, c.n_id, c.cos, v.embedding, v.nrm
+       |       FROM cands c JOIN v ON v.vec_id = c.n_id),
+       |sims AS (SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+       |        (${dotSql("a.embedding", "b.embedding")}) / (sqrt(a.nrm) * sqrt(b.nrm)) AS sim
+       |       FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+       |s1 AS (SELECT q_id, n_id, cos FROM (
+       |    SELECT q_id, n_id, cos,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+       |    FROM cands) y WHERE rk = 1),
+       |sel1 AS (SELECT q_id, n_id FROM s1),
+       |$steps
+       |SELECT q_id, rank, n_id, cos FROM (
+       |$unionOut) u
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   /** TRAINED product quantization ([[Similarity.pqEncodeTrained]]):
     * q123's seeded codebook replaced by per-subspace Lloyd-trained

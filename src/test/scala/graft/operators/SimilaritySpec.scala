@@ -552,6 +552,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(signRows.distinct.size > dim / 2, "sign matrix rows collapse")
   }
 
+  test("mmrTopK: anchored to brute top-1, pool-contained, diversity-active") {
+    val mmr = Similarity.mmrTopK(spark, sfDir, numQueries = 3, candK = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toList
+    val brute = Similarity.bruteForceTopK(spark, sfDir, numQueries = 3, k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toList
+    val byQ = mmr.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L) && byQ.values.forall(_.size == 5))
+    // per query: 5 distinct picks, all inside the candidate pool, and the
+    // FIRST pick is exactly the most relevant hit (MMR's anchor step)
+    byQ.foreach { case (q, rows) =>
+      val ids = rows.sortBy(_._2).map(_._3)
+      assert(ids.distinct.size == 5)
+      val pool = brute.filter(_._1 == q).map(_._3).toSet
+      assert(ids.forall(pool.contains), s"q$q picks must come from top-20")
+      assert(ids.head == brute.find(b => b._1 == q && b._2 == 1).get._3,
+        s"q$q first MMR pick must equal brute top-1")
+    }
+    // the diversity term must actually bite somewhere: if MMR equalled
+    // pure relevance ranking on every query, the operator degenerates
+    val pureTop5 = brute.filter(_._2 <= 5).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3) }
+    val mmrOrder = byQ.map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3) }
+    assert(mmrOrder != pureTop5,
+      "MMR should reorder at least one query vs pure relevance")
+    // deterministic: a rerun is bit-identical
+    val again = Similarity.mmrTopK(spark, sfDir, numQueries = 3, candK = 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toList
+    assert(again.toSet == mmr.toSet)
+  }
+
   test("trained PQ: persisted codebooks encode identically to in-memory") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .selectExpr("vec_id", "cast(embedding as array<double>) as v")
