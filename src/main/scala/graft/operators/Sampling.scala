@@ -318,6 +318,56 @@ object Sampling {
       .where(col("rk") <= col("quota"))
   }
 
+  /** Training-mixture plan: split a token `budget` across domains
+    * proportionally to target mixture weights — the allocation step a
+    * pretraining run does after choosing domain weights (DoReMi-style
+    * weights in, concrete per-domain token counts out). Exact largest-
+    * remainder apportionment (`Σ target = budget`, all integer — the
+    * crawlBudget machinery applied to mixtures), then each domain's
+    * allocation is capped at `maxEpochs` passes over its available
+    * tokens (the repetition ceiling from the data-constrained-scaling
+    * playbook) with the clipped remainder reported as `shortfall`, and
+    * finally expressed as whole epochs + leftover tokens — the numbers
+    * a data loader actually consumes.
+    *
+    * Scale shape: `avail`/`weights` are domain-grained (tens to
+    * thousands of rows); the one window (remainder ranking) runs over
+    * that domain table, never the corpus. The corpus-sized work — the
+    * per-domain token counts — happens upstream in one map-combined
+    * aggregate. */
+  def mixturePlan(
+      avail: DataFrame,
+      domainCol: String,
+      availCol: String,
+      weightCol: String,
+      budget: Long,
+      maxEpochs: Int): DataFrame = {
+    require(budget > 0 && maxEpochs > 0, "budget and maxEpochs must be positive")
+    val tot = avail.agg(sum(col(weightCol)).as("tw"))
+    val based = avail.crossJoin(broadcast(tot))
+      .select(col(domainCol), col(availCol), col(weightCol),
+        expr(s"($weightCol * ${budget}L) div tw").as("base"),
+        expr(s"($weightCol * ${budget}L) % tw").as("rem"))
+    val sums = based.agg(sum("base").as("sb"))
+    val w = Window.orderBy(col("rem").desc, col(domainCol))
+    based.crossJoin(broadcast(sums))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("target",
+        col("base") + when(col("rn") <= lit(budget) - col("sb"), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("cap", col(availCol) * maxEpochs)
+      .withColumn("alloc", least(col("target"), col("cap")))
+      .withColumn("shortfall", col("target") - col("alloc"))
+      .withColumn("epochs",
+        when(col(availCol) > 0, expr(s"alloc div $availCol"))
+          .otherwise(lit(0L)))
+      .withColumn("rem_tokens",
+        when(col(availCol) > 0, expr(s"alloc % $availCol"))
+          .otherwise(lit(0L)))
+      .select(domainCol, availCol, weightCol, "target", "alloc",
+        "shortfall", "epochs", "rem_tokens")
+  }
+
   /** DSIR-shaped importance scoring (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
     * document by how much its hashed n-gram features look like a TARGET

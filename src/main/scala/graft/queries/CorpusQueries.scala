@@ -938,6 +938,7 @@ object CorpusQueries {
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q203_importance_dsir", q203ImportanceDsir _, q203Sql),
+    ("q205_mixture_plan", q205MixturePlan _, q205Sql),
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
     ("q45_stratified_sample", q45StratifiedSample _, q45Sql),
@@ -1364,6 +1365,56 @@ object CorpusQueries {
        |FROM (SELECT n_buckets,
        |        z_used + CAST(64 - n_buckets AS DOUBLE) AS z FROM zz), n
        |ORDER BY n_sources""".stripMargin
+
+  /** Mixture/epoch plan ([[graft.operators.Sampling.mixturePlan]]):
+    * a 10M-token budget apportioned across sources by deterministic
+    * hash-derived weights (largest remainder — Σ target = budget
+    * exactly), capped at 3 epochs of each source's available chars,
+    * expressed as whole epochs + leftover tokens. All integer; the
+    * oracle replays the apportionment, the cap, and the div/mod. */
+  def q205MixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val avail = docs(s, dir).groupBy("source")
+      .agg(sum(col("n_chars")).cast("long").as("avail_chars"))
+      .withColumn("w",
+        lit(1L) + pmod(graft.LightFusion.rollingHash(col("source")), lit(5L)))
+    graft.operators.Sampling.mixturePlan(
+        avail, "source", "avail_chars", "w",
+        budget = 10000000L, maxEpochs = 3)
+      .presentSorted("source")
+  }
+
+  def q205Sql: String =
+    s"""WITH avail AS (
+       |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS avail_chars,
+       |    1 + (${foldSql("source")} % 5) AS w
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT SUM(w) AS tw FROM avail),
+       |based AS (
+       |  SELECT source, avail_chars, w,
+       |    (w * 10000000) // tw AS base,
+       |    (w * 10000000) % tw AS rem
+       |  FROM avail CROSS JOIN tot),
+       |sums AS (SELECT SUM(base) AS sb FROM based),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rn
+       |  FROM based CROSS JOIN sums),
+       |t AS (
+       |  SELECT source, avail_chars, w,
+       |    base + CASE WHEN rn <= 10000000 - sb THEN 1 ELSE 0 END AS target,
+       |    avail_chars * 3 AS cap
+       |  FROM ranked),
+       |a AS (
+       |  SELECT source, avail_chars, w, target,
+       |    least(target, cap) AS alloc,
+       |    target - least(target, cap) AS shortfall
+       |  FROM t)
+       |SELECT source, avail_chars, CAST(w AS BIGINT) AS w,
+       |  CAST(target AS BIGINT) AS target, CAST(alloc AS BIGINT) AS alloc,
+       |  CAST(shortfall AS BIGINT) AS shortfall,
+       |  CAST(CASE WHEN avail_chars > 0 THEN alloc // avail_chars ELSE 0 END AS BIGINT) AS epochs,
+       |  CAST(CASE WHEN avail_chars > 0 THEN alloc % avail_chars ELSE 0 END AS BIGINT) AS rem_tokens
+       |FROM a
+       |ORDER BY source""".stripMargin
 
   /** DSIR-shaped importance scoring ([[graft.operators.Sampling
     * .importanceScores]]): src0 as the target slice, every doc scored by

@@ -247,6 +247,32 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(only2.select("bucket").as[Long].collect().toSet == Set(2L))
   }
 
+  test("mixturePlan: budget conserved exactly, caps bite, epochs consistent") {
+    import spark.implicits._
+    val avail = Seq(
+      ("web", 1000L, 1L), ("code", 100L, 3L), ("books", 50L, 5L),
+      ("tiny", 2L, 5L))
+      .toDF("domain", "avail_tokens", "w")
+    val got = Sampling
+      .mixturePlan(avail, "domain", "avail_tokens", "w", budget = 1000L,
+        maxEpochs = 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // largest remainder: Σ target == budget EXACTLY
+    assert(got.values.map(_._2).sum == 1000L)
+    got.foreach { case (d, (av, target, alloc, shortfall, epochs, rem)) =>
+      assert(alloc <= av * 3, s"$d exceeds the epoch cap")
+      assert(alloc + shortfall == target)
+      assert(epochs * av + rem == alloc, s"$d epochs*avail+rem must equal alloc")
+      assert(rem >= 0 && (av == 0 || rem < av))
+    }
+    // the 2-token domain with weight 5 MUST clip (its share is ~357
+    // tokens, cap is 6) and report the shortfall
+    val tiny = got("tiny")
+    assert(tiny._3 == 6L && tiny._4 > 0L && tiny._5 == 3L && tiny._6 == 0L)
+  }
+
   test("importanceScores: exact integer contrast vs a driver-side replay") {
     import spark.implicits._
     val rows = Seq(
