@@ -893,6 +893,7 @@ object PipelineQueries {
     ("q123_pq_encode", q123PqEncode _, q123Sql),
     ("q202_pq_trained", q202PqTrained _, q202Sql),
     ("q204_mmr_rerank", q204MmrRerank _, q204Sql),
+    ("q206_ann_recall", q206AnnRecall _, q206Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2071,6 +2072,48 @@ object PipelineQueries {
        |       ELSE 'test' END AS split
        |FROM h
        |ORDER BY doc_id""".stripMargin
+
+  /** ANN recall audit: per query, recall@5 of the LSH-bucketed and
+    * seeded-IVF paths against exact brute force — the index-quality
+    * dashboard a serving pipeline watches to catch a quantizer gone
+    * stale or bands mis-sized (at 100 TB you audit a bounded query
+    * panel, not the corpus: three top-k subplans over the same scan +
+    * one tiny join). Composes the three oracled retrievals, so the SQL
+    * oracle is literally their replays joined — recall here is a ratio
+    * of small integer counts, engine-exact. */
+  def q206AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = Similarity.bruteForceTopK(s, dir, numQueries = 10, k = 5)
+      .select(col("q_id").as("bq"), col("n_id"))
+    val lsh = Similarity.lshTopK(s, dir, numQueries = 10, k = 5)
+      .select(col("q_id").as("lq"), col("n_id").as("l_id"))
+    val ivf = Similarity.ivfTopKSeeded(s, dir, numQueries = 10, k = 5)
+      .select(col("q_id").as("iq"), col("n_id").as("i_id"))
+    brute
+      .join(lsh, col("lq") === col("bq") && col("l_id") === col("n_id"), "left")
+      .join(ivf, col("iq") === col("bq") && col("i_id") === col("n_id"), "left")
+      .groupBy(col("bq").as("q_id"))
+      .agg(count(lit(1)).as("k"),
+        count(col("l_id")).as("lsh_hits"),
+        count(col("i_id")).as("ivf_hits"))
+      .select(col("q_id"), col("k"), col("lsh_hits"), col("ivf_hits"),
+        (col("lsh_hits").cast("double") / col("k")).as("lsh_recall"),
+        (col("ivf_hits").cast("double") / col("k")).as("ivf_recall"))
+      .presentSorted("q_id")
+  }
+
+  def q206Sql: String =
+    s"""WITH brute AS ($q40Sql),
+       |lsh AS ($q41Sql),
+       |ivf AS ($q42Sql)
+       |SELECT b.q_id, count(*) AS k,
+       |  count(l.n_id) AS lsh_hits, count(i.n_id) AS ivf_hits,
+       |  count(l.n_id)::DOUBLE / count(*) AS lsh_recall,
+       |  count(i.n_id)::DOUBLE / count(*) AS ivf_recall
+       |FROM brute b
+       |LEFT JOIN lsh l ON l.q_id = b.q_id AND l.n_id = b.n_id
+       |LEFT JOIN ivf i ON i.q_id = b.q_id AND i.n_id = b.n_id
+       |GROUP BY b.q_id
+       |ORDER BY b.q_id""".stripMargin
 
   /** MMR diversified retrieval ([[Similarity.mmrTopK]]): brute-force
     * top-20 candidates per query, then 5 greedy λ=0.5 MMR picks. The
