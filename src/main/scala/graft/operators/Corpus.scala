@@ -644,7 +644,37 @@ object Corpus {
   private[graft] def quantilesOnProj(
       proj: DataFrame,
       keyCol: String,
-      pcts: Seq[Int]): DataFrame = {
+      pcts: Seq[Int]): DataFrame =
+    quantilesCore(proj, keyCol, pcts, lit(1L))
+
+  /** Exact discrete quantiles from a (key, value, cnt) HISTOGRAM — the
+    * incremental/monoid entry: histograms merge by summing counts (any
+    * sharding, any order), so per-batch value histograms persisted as
+    * shards fold to corpus-wide quantiles with no raw rescan, and
+    * `quantilesFromCounts(histogramOf(df)) ≡ quantilesDiscrete(df)`
+    * EXACTLY (rank arithmetic sees the same n and the same sorted
+    * values; cuts only partition work). Input may contain duplicate
+    * (key, value) rows across shards — they re-aggregate inside. */
+  def quantilesFromCounts(
+      hist: DataFrame,
+      keyCol: String,
+      valCol: String,
+      cntCol: String,
+      pcts: Seq[Int]): DataFrame =
+    quantilesCore(
+      hist.select(col(keyCol), col(valCol).as("value"),
+        col(cntCol).cast("long").as("__gq_w")),
+      keyCol, pcts, col("__gq_w"))
+
+  /** Shared distributed rank-select core; `weight` is 1 for raw rows,
+    * the count column for histogram inputs (cuts then balance DISTINCT
+    * values rather than rows — a balance proxy only, never touching
+    * correctness). */
+  private def quantilesCore(
+      proj: DataFrame,
+      keyCol: String,
+      pcts: Seq[Int],
+      weight: Column): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"percentiles must be in 1..100: $pcts")
     import org.apache.spark.sql.expressions.Window
@@ -696,7 +726,7 @@ object Corpus {
     // (2) Per-(key, bucket) row counts: a codegen'd map-combined
     // aggregate over the raw rows, collected (|keys|·(nCuts+1) rows).
     val subRows = bucketed.groupBy(col(keyCol), col("__gq_b"))
-      .agg(count(lit(1)).as("__gq_cnt"))
+      .agg(sum(weight).as("__gq_cnt"))
       .collect()
 
     // (3) Driver-side rank → (bucket, local rank) arithmetic over the
@@ -753,7 +783,7 @@ object Corpus {
         col(keyCol) <=> col("__gq_fk") && col("__gq_b") === col("__gq_fb"),
         "left_semi")
       .groupBy(col(keyCol), col("__gq_b"), col("value"))
-      .agg(count(lit(1)).as("__gq_cnt"))
+      .agg(sum(weight).as("__gq_cnt"))
     val wval = Window.partitionBy(col(keyCol), col("__gq_b"))
       .orderBy("value")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -765,6 +795,36 @@ object Corpus {
         col("__gq_lrk") <= col("__gq_cum"))
       .select(col(keyCol), col("pct"), col("n"), col("value"))
   }
+
+  /** Persist one shard's (key, value) count histogram at
+    * `store/shard=<id>` — the dimStats shard-store discipline applied to
+    * value histograms: a shard holds only its own batch's histogram
+    * (map-side combined, distinct-values-sized), and a replayed batch
+    * OVERWRITES its own shard, so exactly-once distribution stats fall
+    * out of at-least-once delivery. */
+  def writeValueHistShard(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      store: String,
+      shard: String): Unit =
+    df.select(col(keyCol), col(valCol).as("value"))
+      .groupBy(col(keyCol), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$store/shard=$shard")
+
+  /** Corpus-wide EXACT quantiles folded from the shard store — the
+    * incremental length/score-distribution monitor: freshness costs one
+    * histogram-sized fold ([[quantilesFromCounts]]), never a raw
+    * rescan, and equals [[quantilesDiscrete]] over the union of the
+    * shards' rows bit-for-bit (counts are exact longs; merging is
+    * commutative). */
+  def quantilesFromStore(
+      s: SparkSession,
+      store: String,
+      keyCol: String,
+      pcts: Seq[Int]): DataFrame =
+    quantilesFromCounts(s.read.parquet(store), keyCol, "value", "cnt", pcts)
 
   /** Bucket = count of the row's key's cuts strictly below its value
     * (null value → 0, key without cuts → 0) — monotone in value, so

@@ -939,6 +939,7 @@ object CorpusQueries {
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q203_importance_dsir", q203ImportanceDsir _, q203Sql),
     ("q205_mixture_plan", q205MixturePlan _, q205Sql),
+    ("q207_incremental_quantiles", q207IncrementalQuantiles _, q105Sql),
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
     ("q45_stratified_sample", q45StratifiedSample _, q45Sql),
@@ -1365,6 +1366,31 @@ object CorpusQueries {
        |FROM (SELECT n_buckets,
        |        z_used + CAST(64 - n_buckets AS DOUBLE) AS z FROM zz), n
        |ORDER BY n_sources""".stripMargin
+
+  /** q105's per-source length quantiles maintained INCREMENTALLY
+    * ([[Corpus.quantilesFromStore]]): the corpus lands in 3 shards, each
+    * persisting only its own (source, n_chars) count histogram; the
+    * corpus-wide quantiles fold the histogram-sized store with no raw
+    * rescan. Oracle = q105's direct computation — shard boundaries are
+    * provably invisible (counts are exact longs, merging commutes, and
+    * the rank selection sees the same n and sorted values). */
+  def q207IncrementalQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val store = histStores.computeIfAbsent(dir, _ => {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_valhist_" +
+        graft.operators.Bucketing.dirTag(dir)
+      val d = docs(s, dir)
+      (0 to 2).foreach { b =>
+        Corpus.writeValueHistShard(
+          d.where(col("doc_id") % 3 === b), "source", "n_chars", p, s"b$b")
+      }
+      p
+    })
+    Corpus.quantilesFromStore(s, store, "source", Seq(25, 50, 75, 95))
+      .presentSorted("source", "pct")
+  }
+
+  private val histStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Mixture/epoch plan ([[graft.operators.Sampling.mixturePlan]]):
     * a 10M-token budget apportioned across sources by deterministic

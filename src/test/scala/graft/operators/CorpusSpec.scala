@@ -226,6 +226,36 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(m == Map(50 -> 5L, 100 -> 9L))
   }
 
+  test("quantilesFromCounts: histogram path equals raw path; sharding invisible") {
+    import spark.implicits._
+    val pcts = Seq(25, 50, 75, 95)
+    val direct = Corpus.quantilesDiscrete(docs, "source", "n_chars", pcts)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toSet
+    val hist = docs.groupBy(col("source"), col("n_chars").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val viaHist = Corpus
+      .quantilesFromCounts(hist, "source", "value", "cnt", pcts)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toSet
+    assert(viaHist == direct, "histogram input must be invisible")
+    // duplicate (key, value) rows across shards re-aggregate: a 3-way
+    // shard split folds to the identical answer
+    val sharded = (0 to 2).map(b =>
+      docs.where(col("doc_id") % 3 === b)
+        .groupBy(col("source"), col("n_chars").as("value"))
+        .agg(count(lit(1)).as("cnt")))
+      .reduce(_ unionAll _)
+    val viaShards = Corpus
+      .quantilesFromCounts(sharded, "source", "value", "cnt", pcts)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toSet
+    assert(viaShards == direct, "shard boundaries must be invisible")
+  }
+
   test("bigramScore: hand-computed smoothed transitions, short docs score 0") {
     import spark.implicits._
     val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "c")).toDF("doc_id", "text")
