@@ -21,7 +21,7 @@ object InferenceQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  private def ensure(s: SparkSession, fn: String, res: String): Unit =
+  private[queries] def ensure(s: SparkSession, fn: String, res: String): Unit =
     if (LightFusion.registeredModel(fn).isEmpty ||
         !org.apache.spark.sql.graft.SparkShims.functionExists(s, fn))
       LightFusion.createFunction(s, fn, "DOUBLE[]", Some("DOUBLE[]"), Some(s"'res:$res'"))

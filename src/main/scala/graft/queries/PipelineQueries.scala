@@ -894,6 +894,7 @@ object PipelineQueries {
     ("q202_pq_trained", q202PqTrained _, q202Sql),
     ("q204_mmr_rerank", q204MmrRerank _, q204Sql),
     ("q206_ann_recall", q206AnnRecall _, q206Sql),
+    ("q208_ltr_rerank", q208LtrRerank _, q208Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2114,6 +2115,61 @@ object PipelineQueries {
        |LEFT JOIN ivf i ON i.q_id = b.q_id AND i.n_id = b.n_id
        |GROUP BY b.q_id
        |ORDER BY b.q_id""".stripMargin
+
+  /** Learning-to-rank re-rank — the reference's CORE (LightGBM scoring,
+    * `/root/reference/src/udf.rs`) composed with the retrieval stack:
+    * brute-force top-20 candidates per query, each candidate re-scored
+    * as `cos + forest(embedding)` (the emb_reg stump forest — dyadic
+    * leaves, so the sum is one exact double add), top-5 by the blended
+    * score (ties → lowest id). This is the two-stage retrieve-then-
+    * rerank shape every production RAG/search pipeline runs; the model
+    * pass is a shuffle-free broadcast-forest map over the candidate
+    * set. Oracle replays the forest as CASE SQL (q20's convention) on
+    * top of the q40 candidate replay. */
+  def q208LtrRerank(s: SparkSession, dir: String): DataFrame = {
+    InferenceQueries.ensure(s, "graft_emb_reg", "/models/emb_reg.lgbm")
+    val cands = Similarity.bruteForceTopK(s, dir, numQueries = 5, k = 20)
+      .select(col("q_id"), col("n_id"), col("cos"))
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("n_id"),
+        element_at(call_udf("graft_emb_reg",
+          col("embedding").cast("array<double>")), 1).as("lgbm"))
+    import org.apache.spark.sql.expressions.Window
+    cands.join(e, "n_id")
+      .withColumn("final", col("cos") + col("lgbm"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("final"), col("n_id"))))
+      .where(col("rank") <= 5)
+      .select("q_id", "rank", "n_id", "cos", "lgbm", "final")
+      .presentSorted("q_id", "rank")
+  }
+
+  def q208Sql: String = {
+    val forest =
+      """(CASE WHEN e.embedding[1] <= 0 THEN (CASE WHEN e.embedding[2] <= 0.05 THEN 0.25 ELSE -0.125 END) ELSE 0.5 END)
+        |  + (CASE WHEN e.embedding[3] <= -0.02 THEN 0.0625 ELSE -0.0625 END)
+        |  + (CASE WHEN e.embedding[4] <= 0.1 THEN 0.03125 ELSE (CASE WHEN e.embedding[5] <= 0 THEN 0.09375 ELSE -0.046875 END) END)"""
+        .stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding, (${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |        (${dotSql("q.embedding", "c.embedding")}) / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+       |      FROM v q JOIN v c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |cands AS (SELECT q_id, n_id, cos FROM (
+       |    SELECT q_id, n_id, cos,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+       |    FROM p) x WHERE rk <= 20),
+       |scored AS (
+       |  SELECT c.q_id, c.n_id, c.cos,
+       |    $forest AS lgbm
+       |  FROM cands c JOIN embeddings e ON e.vec_id = c.n_id)
+       |SELECT q_id, rank, n_id, cos, lgbm, cos + lgbm AS final
+       |FROM (
+       |  SELECT q_id, n_id, cos, lgbm,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos + lgbm DESC, n_id) AS rank
+       |  FROM scored) z
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   /** MMR diversified retrieval ([[Similarity.mmrTopK]]): brute-force
     * top-20 candidates per query, then 5 greedy λ=0.5 MMR picks. The
