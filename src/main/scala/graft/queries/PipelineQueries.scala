@@ -895,6 +895,7 @@ object PipelineQueries {
     ("q204_mmr_rerank", q204MmrRerank _, q204Sql),
     ("q206_ann_recall", q206AnnRecall _, q206Sql),
     ("q208_ltr_rerank", q208LtrRerank _, q208Sql),
+    ("q209_hard_negatives", q209HardNegatives _, q209Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2115,6 +2116,50 @@ object PipelineQueries {
        |LEFT JOIN ivf i ON i.q_id = b.q_id AND i.n_id = b.n_id
        |GROUP BY b.q_id
        |ORDER BY b.q_id""".stripMargin
+
+  /** Hard-negative mining for contrastive embedding training: per
+    * anchor, the most-similar OTHER-label neighbors from its brute
+    * top-20 — the negatives that actually teach the encoder something
+    * (a random negative is trivially far; a near-yet-wrong one defines
+    * the decision boundary). Anchors are a bounded panel; candidate
+    * generation is the distributed top-k plan, the label filter is a
+    * broadcast lookup, and the per-anchor re-rank is window-over-≤20
+    * rows. Output also carries the anchor/negative labels so a training
+    * job can audit the pairing. */
+  def q209HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val lbl = e.select(col("vec_id"), col("label"))
+    val cands = Similarity.bruteForceTopK(s, dir, numQueries = 5, k = 20)
+      .select(col("q_id"), col("n_id"), col("cos"))
+    import org.apache.spark.sql.expressions.Window
+    cands
+      .join(broadcast(lbl.select(col("vec_id").as("q_id"),
+        col("label").as("q_label"))), "q_id")
+      .join(broadcast(lbl.select(col("vec_id").as("n_id"),
+        col("label").as("n_label"))), "n_id")
+      .where(col("n_label") =!= col("q_label"))
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
+      .where(col("neg_rank") <= 5)
+      .select("q_id", "q_label", "neg_rank", "n_id", "n_label", "cos")
+      .presentSorted("q_id", "neg_rank")
+  }
+
+  def q209Sql: String =
+    s"""WITH v AS (SELECT vec_id, label, embedding, (${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |p AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+       |        c.vec_id AS n_id, c.label AS n_label,
+       |        (${dotSql("q.embedding", "c.embedding")}) / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+       |      FROM v q JOIN v c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |cands AS (SELECT q_id, q_label, n_id, n_label, cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+       |    FROM p) x WHERE rk <= 20)
+       |SELECT q_id, q_label, neg_rank, n_id, n_label, cos FROM (
+       |  SELECT q_id, q_label, n_id, n_label, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS neg_rank
+       |  FROM cands WHERE n_label <> q_label) z
+       |WHERE neg_rank <= 5
+       |ORDER BY q_id, neg_rank""".stripMargin
 
   /** Learning-to-rank re-rank — the reference's CORE (LightGBM scoring,
     * `/root/reference/src/udf.rs`) composed with the retrieval stack:
