@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Robust-winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+  * 2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+  * the MOSS algorithm): hash every character `k`-gram with the 48-bit
+  * rolling fold (`rolling_hash` parity, so the oracle replays every
+  * hash), slide a window of `w` consecutive gram hashes, and in each
+  * window select the minimum hash — ties to the RIGHTMOST minimal
+  * position, the robustness rule that makes selections stable under
+  * local edits. Returns the DISTINCT selected (position, hash) pairs
+  * packed as `(pos << 48) | hash` longs, ascending by position (hash
+  * occupies exactly the fold's 48 bits; `pos` is the 1-based gram
+  * start, documents truncate at 32767 chars so the pack never touches
+  * the sign bit).
+  *
+  * Guarantee inherited from the paper: any substring match of length
+  * ≥ `w + k − 1` between two documents shares at least one selected
+  * fingerprint — the property that makes fingerprint-equality a
+  * complete candidate generator for long shared passages.
+  *
+  * Null text → null; text shorter than `k + w − 1` chars → empty array
+  * (no full window exists). Non-ASCII input hashes per UTF-16 unit
+  * (the `rolling_hash` BMP deviation, documented there).
+  */
+final class WinnowKernel(k: Int, w: Int) extends Serializable {
+  private val Mask = (1L << 48) - 1
+  private val MaxChars = 32767
+
+  def compute(text: UTF8String): GenericArrayData = {
+    val s = text.toString
+    val n = math.min(s.length, MaxChars)
+    if (n < k + w - 1) return new GenericArrayData(Array.emptyLongArray)
+    val nGrams = n - k + 1
+    // rolling gram hashes: h_i = fold(s[i..i+k-1]) — recomputed per gram
+    // (the fold is not invertible mod 2^48 without precomputed powers;
+    // k is small, so k multiplies per gram is the simple exact form)
+    val hs = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 31L + s.charAt(i + j)) & Mask; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[Long]()
+    var wStart = 0
+    val nWins = nGrams - w + 1
+    while (wStart < nWins) {
+      var best = wStart
+      var j = wStart + 1
+      while (j < wStart + w) {
+        if (hs(j) <= hs(best)) best = j // <= keeps the RIGHTMOST minimum
+        j += 1
+      }
+      out.add(((best + 1).toLong << 48) | hs(best))
+      wStart += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var x = 0
+    while (it.hasNext) { arr(x) = it.next(); x += 1 }
+    java.util.Arrays.sort(arr) // ascending position (pos is the high bits)
+    new GenericArrayData(arr)
+  }
+}
+
+/** `winnow_fingerprints(string) -> array<bigint>` over a fixed (k, w). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 1, s"need k >= 2, w >= 1: k=$k w=$w")
+
+  private val kernel = new WinnowKernel(k, w)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"winnow_fingerprints requires string, got ${other.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  protected override def nullSafeEval(input: Any): Any =
+    kernel.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernelRef = ctx.addReferenceObj("winnowKernel", kernel,
+      classOf[WinnowKernel].getName)
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $kernelRef.compute(${childGen.value});
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}

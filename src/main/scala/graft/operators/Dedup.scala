@@ -554,6 +554,70 @@ object Dedup {
           graft.functions.SpanGramHashes(
             org.apache.spark.sql.graft.SparkShims.expression(col("ws")), k)))).as("g"))
 
+  /** Winnowing fingerprint table (Schleimer et al. 2003 — the MOSS
+    * plagiarism-detection selection; the
+    * [[graft.functions.WinnowFingerprints]] kernel does the per-row
+    * work): per document the selected (pos, fp_hash) pairs — each
+    * window of `w` consecutive char-`k`-gram hashes contributes its
+    * minimum, ties to the rightmost. The guarantee: any shared
+    * substring of length ≥ `w + k − 1` yields a shared fingerprint, at
+    * ~2/(w+1) the density of storing every gram — the storage/recall
+    * trade [[spanPairs]]'s every-gram table doesn't make.
+    *
+    * Scale: one codegen map over the text scan + one explode; output is
+    * fingerprint-density-sized, not gram-sized. */
+  def winnowFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4): DataFrame = {
+    val fps = org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.WinnowFingerprints(
+        org.apache.spark.sql.graft.SparkShims.expression(
+          coalesce(col(textCol), lit(""))), k, w))
+    docs.select(col(idCol).as("doc_id"), explode(fps).as("p"))
+      .select(col("doc_id"),
+        shiftright(col("p"), 48).cast("int").as("pos"),
+        col("p").bitwiseAND(lit((1L << 48) - 1)).as("fp_hash"))
+  }
+
+  /** Winnowed match pairs: documents sharing at least `minShared`
+    * DISTINCT fingerprint hashes, with the shared count — [[spanPairs]]
+    * recall economics at fingerprint density. Hot hashes (boilerplate
+    * shared by > `maxDocsPerFp` docs) are dropped before pairing, the
+    * same b² guard as every bucket path here. */
+  def winnowPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDocsPerFp: Int = 64): DataFrame = {
+    val byDoc = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val buckets = byDoc.groupBy("fp_hash")
+      .agg(collect_list(col("doc_id")).as("ds"),
+        count(lit(1)).as("b"))
+      .where(col("b") <= maxDocsPerFp && col("b") >= 2)
+    buckets
+      .select(explode(sortedPairsExpr(col("ds"))).as("pr"))
+      .select(col("pr.a").as("a_doc"), col("pr.b").as("b_doc"))
+      .groupBy("a_doc", "b_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** All ordered (a<b) pairs from a doc-id list — bucket-local pair
+    * emission as a pure column expression. */
+  private def sortedPairsExpr(ds: Column): Column = {
+    val sorted = array_sort(ds)
+    flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + 2, size(sorted)), b =>
+        struct(a.as("a"), b.as("b")))))
+  }
+
   /** Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better"-style): document pairs sharing at least
     * one contiguous k-token span, with the count of distinct shared spans.

@@ -896,6 +896,8 @@ object PipelineQueries {
     ("q206_ann_recall", q206AnnRecall _, q206Sql),
     ("q208_ltr_rerank", q208LtrRerank _, q208Sql),
     ("q209_hard_negatives", q209HardNegatives _, q209Sql),
+    ("q210_winnow_fps", q210WinnowFps _, q210Sql),
+    ("q211_winnow_pairs", q211WinnowPairs _, q211Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2116,6 +2118,69 @@ object PipelineQueries {
        |LEFT JOIN ivf i ON i.q_id = b.q_id AND i.n_id = b.n_id
        |GROUP BY b.q_id
        |ORDER BY b.q_id""".stripMargin
+
+  /** Winnowing fingerprint audit ([[Dedup.winnowFingerprints]] —
+    * Schleimer et al. 2003): per document the selected-fingerprint
+    * count, the exact sum of selected positions (pins the
+    * rightmost-minimum tie rule — a leftmost-tie implementation gives a
+    * different integer), and the distinct hash count. The oracle
+    * replays every gram fold, every window minimum, and the rightmost
+    * tie-break. */
+  def q210WinnowFps(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 16, w = 8)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(col("pos")).as("pos_sum"),
+        count_distinct(col("fp_hash")).as("n_hashes"))
+      .presentSorted("doc_id")
+
+  private def winnowSelSql: String = {
+    val k = 16
+    val w = 8
+    val fold = graft.queries.CorpusQueries.foldSql(s"substr(s, i, $k)")
+    s"""t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents
+       |  WHERE len(coalesce(text, '')) >= ${k + w - 1}),
+       |g AS (SELECT doc_id,
+       |  [$fold for i in range(1, len(s) - ${k - 2})] AS hs FROM t),
+       |sel AS (SELECT doc_id, list_distinct([
+       |    ((j + $w - list_position(list_reverse(hs[j:j+${w - 1}]),
+       |        list_min(hs[j:j+${w - 1}])))::BIGINT << 48) | list_min(hs[j:j+${w - 1}])
+       |  for j in range(1, len(hs) - ${w - 2})]) AS fps
+       |  FROM g WHERE len(hs) >= $w)""".stripMargin
+  }
+
+  def q210Sql: String =
+    s"""WITH $winnowSelSql
+       |SELECT doc_id,
+       |  CAST(len(fps) AS BIGINT) AS n_fps,
+       |  CAST(list_sum(list_transform(fps, f -> f >> 48)) AS BIGINT) AS pos_sum,
+       |  CAST(len(list_distinct(list_transform(fps,
+       |    f -> f & 281474976710655))) AS BIGINT) AS n_hashes
+       |FROM sel
+       |ORDER BY doc_id""".stripMargin
+
+  /** Winnowed match pairs ([[Dedup.winnowPairs]]): docs sharing ≥ 3
+    * distinct fingerprint hashes (hot hashes > 64 docs dropped), with
+    * the shared count — MOSS-style copy detection at fingerprint
+    * density. */
+  def q211WinnowPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(docs(s, dir), "doc_id", "text", k = 16, w = 8,
+        minShared = 3, maxDocsPerFp = 64)
+      .presentSorted("a_doc", "b_doc")
+
+  def q211Sql: String =
+    s"""WITH $winnowSelSql,
+       |dh AS (SELECT DISTINCT doc_id, f & 281474976710655 AS h
+       |  FROM sel, unnest(fps) AS u(f)),
+       |sizes AS (SELECT h, count(*) AS n FROM dh GROUP BY h),
+       |ok AS (SELECT h FROM sizes WHERE n >= 2 AND n <= 64),
+       |pr AS (SELECT x.doc_id AS a_doc, y.doc_id AS b_doc
+       |  FROM dh x JOIN dh y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  JOIN ok ON ok.h = x.h)
+       |SELECT a_doc, b_doc, count(*) AS n_shared
+       |FROM pr GROUP BY a_doc, b_doc
+       |HAVING count(*) >= 3
+       |ORDER BY a_doc, b_doc""".stripMargin
 
   /** Hard-negative mining for contrastive embedding training: per
     * anchor, the most-similar OTHER-label neighbors from its brute

@@ -490,6 +490,55 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("winnowing: kernel equals driver replay; shared-substring guarantee") {
+    import spark.implicits._
+    val k = 4
+    val w = 3
+    def fold(str: String): Long = {
+      var h = 0L
+      str.foreach(c => h = (h * 31L + c) & ((1L << 48) - 1))
+      h
+    }
+    def reference(s: String): Seq[(Int, Long)] = {
+      if (s.length < k + w - 1) return Seq.empty
+      val hs = (0 to s.length - k).map(i => fold(s.substring(i, i + k)))
+      val sel = scala.collection.mutable.LinkedHashSet[(Int, Long)]()
+      for (j <- 0 to hs.length - w) {
+        var best = j
+        for (x <- j + 1 until j + w) if (hs(x) <= hs(best)) best = x
+        sel += ((best + 1, hs(best)))
+      }
+      sel.toSeq.sortBy(_._1)
+    }
+    val texts = Seq(
+      (1L, "the cat sat on the mat and the cat ran"),
+      (2L, "aaaaaaaaaa"), // all-equal hashes exercise the rightmost rule
+      (3L, "short"), // below k+w-1 → no fingerprints
+      (4L, "zzz the cat sat on the mat qqq")) // shares a long substring with 1
+    val got = Dedup
+      .winnowFingerprints(texts.toDF("doc_id", "text"), "doc_id", "text", k, w)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (id, rs) => id -> rs.map(r => (r._2, r._3)).sortBy(_._1).toSeq }
+    texts.foreach { case (id, t) =>
+      assert(got.getOrElse(id, Seq.empty) == reference(t),
+        s"doc $id fingerprints must equal the driver replay")
+    }
+    // all-ties: rightmost rule selects positions w, w+1, ..., never pos 1
+    assert(got(2L).forall(_._1 >= w))
+    // the paper's guarantee: docs 1 and 4 share a substring of length
+    // >= w+k-1 ("the cat sat on the mat" = 22 chars), so they MUST share
+    // a fingerprint hash
+    assert(got(1L).map(_._2).toSet.intersect(got(4L).map(_._2).toSet).nonEmpty,
+      "shared >= w+k-1 substring must yield a shared fingerprint")
+    // and winnowPairs surfaces the pair at minShared = 1
+    val pairs = Dedup.winnowPairs(texts.toDF("doc_id", "text"), "doc_id",
+        "text", k, w, minShared = 1, maxDocsPerFp = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
   test("unbounded streaming state requires explicit opt-in") {
     // The default path must not silently start a full-history-state
     // stream: without unbounded = true the entries fail fast and point
