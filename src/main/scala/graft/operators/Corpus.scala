@@ -628,6 +628,14 @@ object Corpus {
     * materializing the projection through block storage (measured ~3×
     * at sf0.1), and at cluster scale rescanning parquet beats caching
     * the full relation.
+    *
+    * KEY-CARDINALITY BOUND: steps (1)–(3) collect |keys|·32-sized
+    * tables to the driver — invisible to callers, so a per-document key
+    * would quietly turn the driver into the bottleneck. The core fails
+    * fast past [[QuantileMaxKeys]] distinct keys (the collect itself is
+    * capped, so the check never materializes more than the limit);
+    * per-entity quantiles at that cardinality belong in a bucketed
+    * window plan or an approximate sketch, not exact rank-select.
     */
   def quantilesDiscrete(
       df: DataFrame,
@@ -666,10 +674,16 @@ object Corpus {
         col(cntCol).cast("long").as("__gq_w")),
       keyCol, pcts, col("__gq_w"))
 
+  /** Hard ceiling on distinct keys for the exact-quantile core — the
+    * driver stages ~32 doubles + 32 longs + |pcts| target rows per key,
+    * so 100k keys ≈ 50 MB of rows: comfortably inside any driver, far
+    * above any per-source/per-language/per-bucket audit key. */
+  val QuantileMaxKeys: Int = 100000
+
   /** Shared distributed rank-select core; `weight` is 1 for raw rows,
     * the count column for histogram inputs (cuts then balance DISTINCT
     * values rather than rows — a balance proxy only, never touching
-    * correctness). */
+    * correctness). Fails fast past [[QuantileMaxKeys]] distinct keys. */
   private def quantilesCore(
       proj: DataFrame,
       keyCol: String,
@@ -692,11 +706,19 @@ object Corpus {
     val nCuts = 31
     val probs = array((1 to nCuts).map(i => lit(i.toDouble / (nCuts + 1))): _*)
     val keyType = proj.schema.fields.head.dataType
+    // limit BEFORE the collect bounds driver memory even when the guard
+    // is about to fail — the driver never holds more than the cap + 1
     val cutRows = proj.where(col("value").isNotNull)
       .groupBy(col(keyCol))
       .agg(percentile_approx(col("value").cast("double"), probs, lit(2000))
         .as("__gq_cuts"))
+      .limit(QuantileMaxKeys + 1)
       .collect()
+    require(cutRows.length <= QuantileMaxKeys,
+      s"quantiles: > $QuantileMaxKeys distinct values in '$keyCol' — the " +
+        "exact rank-select core stages |keys|-sized cut/subtotal tables " +
+        "on the driver, which a per-document key would blow up. Use a " +
+        "coarser key, or approx_percentile for per-entity distributions")
     val cutsClean = cutRows.toSeq.map { r =>
       val arr =
         if (r.isNullAt(1)) Seq.empty[Double]

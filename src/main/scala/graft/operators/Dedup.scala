@@ -564,6 +564,16 @@ object Dedup {
     * ~2/(w+1) the density of storing every gram — the storage/recall
     * trade [[spanPairs]]'s every-gram table doesn't make.
     *
+    * TRUNCATION: only the first 32767 chars of each document are
+    * fingerprinted (the packed long spends 48 bits on the hash, leaving
+    * 15 for the 1-based position — see [[graft.functions.WinnowKernel]]),
+    * so the shared-substring guarantee holds for content within that
+    * prefix only; matches living entirely past the cap are invisible.
+    * For longer documents, chunk upstream (e.g. [[cdcChunkStats]]'s
+    * content-defined chunking) and
+    * fingerprint the chunks — positions then stay chunk-relative and
+    * every byte is covered.
+    *
     * Scale: one codegen map over the text scan + one explode; output is
     * fingerprint-density-sized, not gram-sized. */
   def winnowFingerprints(
@@ -586,7 +596,9 @@ object Dedup {
     * DISTINCT fingerprint hashes, with the shared count — [[spanPairs]]
     * recall economics at fingerprint density. Hot hashes (boilerplate
     * shared by > `maxDocsPerFp` docs) are dropped before pairing, the
-    * same b² guard as every bucket path here. */
+    * same b² guard as every bucket path here. Inherits
+    * [[winnowFingerprints]]'s 32767-char truncation: pairs whose only
+    * shared passage lies past the cap in BOTH documents are missed. */
   def winnowPairs(
       docs: DataFrame,
       idCol: String,
@@ -959,7 +971,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxBucket: Int = 1000,
-      unbounded: Boolean = false): DataFrame = {
+      unbounded: Boolean): DataFrame = {
     require(unbounded,
       "minhashCandidatesStream holds full-history bucket state: pass " +
         "unbounded = true for a deliberate bounded backfill / audit run, " +
@@ -1073,7 +1085,7 @@ object Dedup {
       textCol: String,
       threshold: Double,
       maxBucket: Int = 1000,
-      unbounded: Boolean = false): DataFrame = {
+      unbounded: Boolean): DataFrame = {
     val cands = minhashCandidatesStream(streamDocs, idCol, textCol, maxBucket,
         unbounded = unbounded)
       .dropDuplicates("a_doc", "b_doc")
@@ -1104,7 +1116,7 @@ object Dedup {
       textCol: String,
       threshold: Double,
       maxBucket: Int = 1000,
-      unbounded: Boolean = false): DataFrame = {
+      unbounded: Boolean): DataFrame = {
     val cands = minhashCandidatesStream(streamDocs, idCol, textCol, maxBucket,
         unbounded = unbounded)
       .dropDuplicates("a_doc", "b_doc")

@@ -320,7 +320,7 @@ object Sampling {
 
   /** Training-mixture plan: split a token `budget` across domains
     * proportionally to target mixture weights — the allocation step a
-    * pretraining run does after choosing domain weights (DoReMi-style
+    * pretraining run does after choosing domain weights (integer
     * weights in, concrete per-domain token counts out). Exact largest-
     * remainder apportionment (`Σ target = budget`, all integer — the
     * crawlBudget machinery applied to mixtures), then each domain's
@@ -334,7 +334,17 @@ object Sampling {
     * thousands of rows); the one window (remainder ranking) runs over
     * that domain table, never the corpus. The corpus-sized work — the
     * per-domain token counts — happens upstream in one map-combined
-    * aggregate. */
+    * aggregate.
+    *
+    * `weightCol` must be an INTEGRAL column with a positive sum — the
+    * apportionment's `div`/`%` arithmetic is exact only over integers
+    * (SQL `div` rejects doubles outright). Fractional mixture weights
+    * (DoReMi outputs, probability simplices) must be rescaled to an
+    * integer grid by the caller first — e.g. `round(w · 1_000_000)` —
+    * which preserves the apportionment to 1e-6 of the budget and makes
+    * the plan engine-replayable. Both conditions fail fast here (the
+    * check is one aggregate over the domain-sized table) rather than
+    * surfacing as an AnalysisException or an all-null target column. */
   def mixturePlan(
       avail: DataFrame,
       domainCol: String,
@@ -343,6 +353,19 @@ object Sampling {
       budget: Long,
       maxEpochs: Int): DataFrame = {
     require(budget > 0 && maxEpochs > 0, "budget and maxEpochs must be positive")
+    avail.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"mixturePlan needs an integral weight column (got $weightCol: " +
+          s"${other.simpleString}): rescale fractional weights to an " +
+          "integer grid first, e.g. round(w * 1000000)")
+    }
+    val twRow = avail.agg(sum(col(weightCol)).cast("long")).head
+    require(!twRow.isNullAt(0) && twRow.getLong(0) > 0,
+      s"mixturePlan needs sum($weightCol) > 0 over a non-empty domain table")
     val tot = avail.agg(sum(col(weightCol)).as("tw"))
     val based = avail.crossJoin(broadcast(tot))
       .select(col(domainCol), col(availCol), col(weightCol),

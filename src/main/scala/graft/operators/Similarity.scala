@@ -607,14 +607,320 @@ object Similarity {
     * in-memory [[pqEncodeTrained]] on the same corpus (SimilaritySpec
     * pins it): the stored table is the same integer centroids the
     * trainer produced, and encoding is deterministic integer argmin. */
-  def pqEncodeStored(s: SparkSession, emb: DataFrame, path: String): DataFrame = {
+  def pqEncodeStored(s: SparkSession, emb: DataFrame, path: String): DataFrame =
+    pqEncodeWithBooks(emb, readStoredBooks(s, path))
+
+  /** Codebooks persisted by [[buildPqCodebooksAt]] /
+    * [[buildTrainedIvfPqIndexAt]], rebuilt as `books(j)(code)(i)` grid
+    * longs — a bounded driver fetch (m·ks rows). */
+  private def readStoredBooks(
+      s: SparkSession, path: String): Array[Array[Array[Long]]] = {
     val rows = s.read.parquet(s"$path/pq_codebooks")
       .orderBy("subspace", "code").collect()
-    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    require(rows.nonEmpty, s"no PQ codebooks at $path/pq_codebooks")
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map { case (_, rs) =>
         rs.sortBy(_.getInt(1)).map(_.getSeq[Long](2).toArray)
       }.toArray
-    pqEncodeWithBooks(emb, books)
+  }
+
+  // ──────────────────────────────────────────────────────────────────
+  // TRAINED IVF-PQ — the stored serving index (Jégou et al. 2011 with
+  // both quantizers Lloyd-TRAINED on the integer grid, so the whole
+  // lifecycle — training, assignment, encode, probe, ADC — replays in
+  // SQL bit-for-bit; the seeded sibling is [[ivfPqTopK]]/q176)
+  // ──────────────────────────────────────────────────────────────────
+
+  /** Quantize an `array<double>` column to [[PqGridScale]] grid longs —
+    * the shared entry convention of the trained family (q80's
+    * round-half-up; exact for doubles). */
+  private def gridLongs(c: Column): Column =
+    transform(c, x => floor(x * lit(PqGridScale) + lit(0.5)))
+
+  /** Exact integer squared L2 between two grid `array<bigint>` columns —
+    * a long zip/fold, every term and the sum exact (grid components are
+    * ~2¹⁰·|x|, so 64-dim sums sit far inside long range). */
+  private def gridDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Per-JVM registry of trained IVF-PQ indexes (the [[ivfIndexes]]
+    * reuse rationale: a bench/serving loop re-probes, it doesn't
+    * re-train — and across restarts the STORED tables, not JVM state,
+    * define the geometry). */
+  private val trainedIvfPqIndexes =
+    new ConcurrentHashMap[(String, Int, Int, Int, Int, Int), String]
+
+  /** Build + persist the full TRAINED serving index at `path`:
+    *
+    *  - `coarse/` — `nlist` full-dimension centroids, Lloyd-fit on the
+    *    integer grid ([[pqTrainInt]] with one subspace: same
+    *    distinct-first-k init, integer-argmin assignment, floor-div
+    *    means — the SQL-replayable training the float [[lloydFit]]
+    *    can't give), as `(cell, centroid: array<bigint>)`;
+    *  - `pq_codebooks/` — `m`×`ks` trained sub-quantizers
+    *    ([[buildPqCodebooksAt]]'s layout, same trainer, same sample);
+    *  - `vectors/` — every vector's `(vec_id, v, code_0..code_{m-1})`
+    *    parquet-PARTITIONED by its coarse cell, assigned and encoded
+    *    with the STORED tables (the [[buildIvfIndexAt]] discipline that
+    *    makes append ≡ rebuild provable).
+    *
+    * Both quantizers train on the same bounded deterministic sample —
+    * the `trainSample` LOWEST vec_ids ascending, a pure function of the
+    * data. One partitioned write; the only driver steps are the sample
+    * fetch and the two tiny centroid tables. Storing `v` beside the
+    * codes costs nothing at probe time: ADC reads prune to the code
+    * columns (column pruning), and the exact-rerank / trained-IVF paths
+    * read `v` from only the probed cells' files (partition pruning) —
+    * one index serves both search modes. */
+  def buildTrainedIvfPqIndexAt(
+      s: SparkSession,
+      emb: DataFrame,
+      path: String,
+      nlist: Int = 8,
+      m: Int = 4,
+      ks: Int = 4,
+      trainSample: Int = 64,
+      iters: Int = 2): Unit = {
+    import s.implicits._
+    val e = emb.select(col("vec_id"), col("v"))
+    val sample = e.orderBy("vec_id").limit(trainSample).collect()
+      .map(_.getSeq[Double](1)
+        .map(x => math.floor(x * PqGridScale + 0.5).toLong).toArray)
+    val coarse = pqTrainInt(sample, 1, nlist, iters)(0)
+    val books = pqTrainInt(sample, m, ks, iters)
+    // quantizers FIRST (the writeIvfIndexAt rule): append's contract is
+    // "assign+encode with the stored tables", so they must be durable
+    // before any vector partition exists
+    coarse.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    books.zipWithIndex.toSeq.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+    }.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
+    encodeWithStoredTrained(s, e, path)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** Incremental ingest into the trained index: assign + PQ-encode the
+    * new batch with the SAME stored quantizers (no re-train — stored
+    * geometry stays valid) and append to the cell partitions — the
+    * [[appendToIvfIndex]] daily-ingest path with codes. */
+  def appendToTrainedIvfPqIndex(
+      s: SparkSession, emb: DataFrame, path: String): Unit =
+    encodeWithStoredTrained(s, emb.select(col("vec_id"), col("v")), path)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+
+  /** Cell assignment + PQ encode against the tables persisted at `path`
+    * — the one shared step of build and append. Shuffle-free: both
+    * quantizers ride broadcast [[graft.functions.CentroidKernel]]s over
+    * the grid-quantized vector (grid longs held exactly in doubles, so
+    * the kernel's double argmin IS the integer argmin). */
+  private def encodeWithStoredTrained(
+      s: SparkSession, e: DataFrame, path: String): DataFrame = {
+    val coarse = s.read.parquet(s"$path/coarse").orderBy("cell").collect()
+      .map(_.getSeq[Long](1).map(_.toDouble).toArray)
+    val books = readStoredBooks(s, path)
+    val m = books.length
+    val sub = books(0)(0).length
+    val cellKernel = new graft.functions.CentroidKernel(coarse)
+    val withQ = e.select(col("vec_id"), col("v"),
+      gridLongs(col("v")).cast("array<double>").as("qv"))
+    val cell = SparkShims.column(graft.functions.NearestCentroid(
+      SparkShims.expression(col("qv")), cellKernel))
+    val codeCols = (0 until m).map { j =>
+      val kernel = new graft.functions.CentroidKernel(
+        books(j).map(_.map(_.toDouble)))
+      SparkShims.column(graft.functions.NearestCentroid(
+        SparkShims.expression(slice(col("qv"), j * sub + 1, sub)), kernel))
+        .as(s"code_$j")
+    }
+    withQ.select(col("vec_id") +: col("v") +: cell.as("cell") +: codeCols: _*)
+  }
+
+  /** Probe selection against the stored trained coarse table: per query
+    * the `nprobe` cells with the smallest exact integer grid distance
+    * (asc, tie → lowest cell). Returns the executed probe plan's rows +
+    * schema — ONE bounded collect (≤ |queries|·nprobe rows) serving both
+    * the literal partition filter and the broadcast probe relation
+    * ([[ivfProbePersisted]]'s discipline). */
+  private def trainedProbes(
+      s: SparkSession,
+      path: String,
+      q: DataFrame,
+      nprobe: Int): (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
+    val centroids = s.read.parquet(s"$path/coarse")
+    val probes = q
+      .select(col("q_id"), col("qv"), gridLongs(col("qv")).as("qg"))
+      .crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("qv"), col("qg"), col("cell"),
+        gridDist(col("qg"), col("centroid")).as("__d"))
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("__d"), col("cell"))))
+      .where(col("__r") <= nprobe)
+      .select("q_id", "qv", "qg", "cell")
+    (probes.collect(), probes.schema)
+  }
+
+  /** ANN over the stored TRAINED index, PQ-ADC ranked: probe `nprobe`
+    * trained cells (integer grid distance), scan ONLY those cells' code
+    * columns (partition-pruned read, m bytes of payload per candidate —
+    * the billion-vector serving economics of [[ivfPqTopK]], now with the
+    * quantizers you'd actually serve), rank candidates by exact-integer
+    * ADC against the stored codebooks, exact-cosine re-rank the `refine`
+    * best (full vectors read from the probed partitions only, by id).
+    * Every stage is deterministic and SQL-replayable: training is
+    * [[pqTrainInt]], distances are grid longs, every cut ties on id
+    * (q212 replays training + assignment + probes + ADC + re-rank).
+    *
+    * `q` carries `(q_id, qv: array<double>)`; `exact` is the `(n_id, v)`
+    * lookup for the re-rank (pass the corpus — only refine-survivor ids
+    * are ever fetched). */
+  def trainedIvfPqProbeStored(
+      s: SparkSession,
+      path: String,
+      q: DataFrame,
+      exact: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 3,
+      refine: Int = 16): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    import org.apache.spark.sql.expressions.Window
+    val books = readStoredBooks(s, path)
+    val m = books.length
+    val (probeRows, probeSchema) = trainedProbes(s, path, q, nprobe)
+    val cellIdx = probeSchema.fieldIndex("cell")
+    val cellSet = probeRows.map(_.getInt(cellIdx)).distinct.sorted
+    val probesDf = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeSchema)
+    val adcKernel = new graft.functions.PqAdcKernel(
+      books.map(_.map(_.map(_.toDouble))))
+    val cands = s.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(cellSet.map(Int.box): _*))
+      .select(col("vec_id") +: col("cell").cast("int").as("cell") +:
+        (0 until m).map(j => col(s"code_$j")): _*)
+      .join(broadcast(probesDf.select(col("q_id"),
+        col("qg").cast("array<double>").as("qgd"), col("cell"))), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+    val adc = SparkShims.column(graft.functions.PqAdc(
+      SparkShims.expression(col("qgd")),
+      SparkShims.expression(array((0 until m).map(j => col(s"code_$j")): _*)),
+      adcKernel))
+    val refined = cands
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        adc.cast("bigint").as("adc"))
+      .withColumn("__rr", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))))
+      .where(col("__rr") <= refine)
+      .drop("__rr")
+    val qv = probesDf.select(col("q_id"), col("qv")).dropDuplicates("q_id")
+    refined
+      .join(exact, "n_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("n_id"), col("adc"),
+        LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), col("n_id"))))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "adc", "cos")
+      .presentSorted("q_id", "rank")
+  }
+
+  /** Exact-vector ANN over the stored TRAINED index: probe `nprobe`
+    * trained cells, exact cosine over the probed partitions' full
+    * vectors (partition-pruned read), top-k. The trained sibling of
+    * [[ivfProbePersisted]] — better cell geometry than the seeded
+    * quantizer for the same probe budget, and SQL-replayable because
+    * the quantizer is [[pqTrainInt]], not float Lloyd. */
+  def trainedIvfProbeStored(
+      s: SparkSession,
+      path: String,
+      q: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 3): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val (probeRows, probeSchema) = trainedProbes(s, path, q, nprobe)
+    val cellIdx = probeSchema.fieldIndex("cell")
+    val cellSet = probeRows.map(_.getInt(cellIdx)).distinct.sorted
+    val probesDf = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeSchema)
+    val cands = s.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
+      .where(col("cell").isin(cellSet.map(Int.box): _*))
+      .join(broadcast(probesDf.select("q_id", "qv", "cell")), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+    val scored = cands.select(col("q_id"), col("vec_id").as("n_id"),
+      LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
+    TopK.perKey(scored, Seq("q_id"), "cos", "n_id", k)
+      .select("q_id", "rank", "n_id", "cos")
+      .presentSorted("q_id", "rank")
+  }
+
+  /** Build-once path for the corpus at `dir` (per-JVM registry; the
+    * stored tables define the geometry across restarts). */
+  private def trainedIvfPqIndex(
+      s: SparkSession,
+      dir: String,
+      nlist: Int,
+      m: Int,
+      ks: Int,
+      trainSample: Int,
+      iters: Int): String =
+    trainedIvfPqIndexes.computeIfAbsent(
+      (dir, nlist, m, ks, trainSample, iters), _ => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_tivfpq_" +
+          s"${Bucketing.dirTag(dir)}_n${nlist}_m${m}_k${ks}_t${trainSample}_i$iters"
+        buildTrainedIvfPqIndexAt(s,
+          withDoubles(s.read.parquet(s"$dir/embeddings.parquet")),
+          base, nlist, m, ks, trainSample, iters)
+        base
+      })
+
+  /** [[trainedIvfPqProbeStored]] for the corpus at `dir`, queries
+    * `vec_id < numQueries` — builds (or reuses) the stored index, then
+    * searches it. The oracled q212 entry. */
+  def trainedIvfPqTopK(
+      s: SparkSession,
+      dir: String,
+      numQueries: Int = 5,
+      k: Int = 5,
+      nlist: Int = 8,
+      nprobe: Int = 3,
+      m: Int = 4,
+      ks: Int = 4,
+      trainSample: Int = 64,
+      iters: Int = 2,
+      refine: Int = 16): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val idx = trainedIvfPqIndex(s, dir, nlist, m, ks, trainSample, iters)
+    val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
+    val q = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    trainedIvfPqProbeStored(s, idx,
+      q, e.select(col("vec_id").as("n_id"), col("v")), k, nprobe, refine)
+  }
+
+  /** [[trainedIvfProbeStored]] for the corpus at `dir` — the exact
+    * trained-IVF search the q213 recall dashboard audits. */
+  def trainedIvfTopK(
+      s: SparkSession,
+      dir: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      nlist: Int = 8,
+      nprobe: Int = 3,
+      m: Int = 4,
+      ks: Int = 4,
+      trainSample: Int = 64,
+      iters: Int = 2): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val idx = trainedIvfPqIndex(s, dir, nlist, m, ks, trainSample, iters)
+    val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
+    val q = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    trainedIvfProbeStored(s, idx, q, k, nprobe)
   }
 
   /** Per-dimension embedding distribution audit — the statistics a

@@ -898,6 +898,8 @@ object PipelineQueries {
     ("q209_hard_negatives", q209HardNegatives _, q209Sql),
     ("q210_winnow_fps", q210WinnowFps _, q210Sql),
     ("q211_winnow_pairs", q211WinnowPairs _, q211Sql),
+    ("q212_tivfpq_adc", q212TrainedIvfPq _, q212Sql),
+    ("q213_trained_recall", q213TrainedRecall _, q213Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2138,8 +2140,12 @@ object PipelineQueries {
     val k = 16
     val w = 8
     val fold = graft.queries.CorpusQueries.foldSql(s"substr(s, i, $k)")
-    s"""t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents
-       |  WHERE len(coalesce(text, '')) >= ${k + w - 1}),
+    // substr cap replays WinnowKernel.MaxChars: the kernel fingerprints
+    // only the first 32767 chars (pos packs into 15 bits), so the oracle
+    // must truncate identically or any 32768+-char doc hash-mismatches
+    s"""t AS (SELECT doc_id, substr(coalesce(text, ''), 1, 32767) AS s
+       |  FROM documents
+       |  WHERE len(substr(coalesce(text, ''), 1, 32767)) >= ${k + w - 1}),
        |g AS (SELECT doc_id,
        |  [$fold for i in range(1, len(s) - ${k - 2})] AS hs FROM t),
        |sel AS (SELECT doc_id, list_distinct([
@@ -2354,69 +2360,253 @@ object PipelineQueries {
         col("recon_err"): _*)
       .presentSorted("vec_id")
 
-  def q202Sql: String = {
-    val m = 4
-    val sub = 16
-    val ks = 4
-    val n = 64
-    val iters = 2
-    val qExpr =
-      "list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1024 + 0.5) AS BIGINT))"
-    def dist(xs: String, cs: String) =
-      s"list_sum(list_transform(range(1, ${sub + 1}), k -> " +
-        s"($xs[k] - $cs[k]) * ($xs[k] - $cs[k])))"
-    val perSub = (0 until m).map { j =>
+  /** Grid quantization expr — the [[graft.operators.Similarity.PqGridScale]]
+    * round-half-up every trained-quantizer replay shares. */
+  private def gridQExpr: String =
+    "list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1024 + 0.5) AS BIGINT))"
+
+  /** Exact integer squared L2 over grid lists, component fold in range
+    * order — the trained family's one distance. */
+  private def gridDistSql(xs: String, cs: String, sub: Int): String =
+    s"list_sum(list_transform(range(1, ${sub + 1}), k -> " +
+      s"($xs[k] - $cs[k]) * ($xs[k] - $cs[k])))"
+
+  /** Integer-Lloyd training + full-corpus encode replay CTEs, shared by
+    * the trained-quantizer family (q202 PQ, q212/q213 trained IVF-PQ —
+    * the coarse quantizer is just `m = 1, sub = dim`): trains `ks`
+    * centroids per width-`sub` subspace on sample CTE `$src(rn, q)`
+    * (distinct-first-k init, integer-argmin assignment with first-min →
+    * lowest code, per-dimension floor-div means, empty cluster keeps its
+    * centroid — [[graft.operators.Similarity.pqTrainInt]] exactly), then
+    * encodes CTE `$encSrc(vec_id, q)`. All CTE names carry prefix `p` so
+    * two quantizers compose in one query; exposes final codebooks
+    * `{p}c{j}_{iters}(code, c)` and per-vector codes
+    * `{p}p{j}(vec_id, code_{j}, d{j})`. */
+  private def pqTrainReplayCtes(
+      p: String,
+      src: String,
+      encSrc: String,
+      m: Int,
+      sub: Int,
+      ks: Int,
+      iters: Int): String = {
+    def dist(xs: String, cs: String) = gridDistSql(xs, cs, sub)
+    (0 until m).map { j =>
       val lo = j * sub + 1
       val hi = (j + 1) * sub
       val rounds = (1 to iters).map { it =>
-        val prev = if (it == 1) s"i$j" else s"c${j}_${it - 1}"
-        s"""a${j}_$it AS (
+        val prev = if (it == 1) s"${p}i$j" else s"${p}c${j}_${it - 1}"
+        s"""${p}a${j}_$it AS (
            |  SELECT rn, code, d,
            |    row_number() OVER (PARTITION BY rn ORDER BY d, code) AS rk
            |  FROM (
-           |    SELECT s.rn, p.code, ${dist("s.x", "p.c")} AS d
-           |    FROM x$j s CROSS JOIN $prev p) z),
-           |u${j}_$it AS (
+           |    SELECT s.rn, pp.code, ${dist("s.x", "pp.c")} AS d
+           |    FROM ${p}x$j s CROSS JOIN $prev pp) z),
+           |${p}u${j}_$it AS (
            |  SELECT a.code, kk.k, SUM(s.x[kk.k]) AS sm, COUNT(*) AS cnt
-           |  FROM a${j}_$it a JOIN x$j s USING (rn)
+           |  FROM ${p}a${j}_$it a JOIN ${p}x$j s USING (rn)
            |  CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS k) kk
            |  WHERE a.rk = 1
            |  GROUP BY a.code, kk.k),
-           |c${j}_$it AS (
-           |  SELECT p.code, coalesce(nc.c2, p.c) AS c
-           |  FROM $prev p LEFT JOIN (
+           |${p}c${j}_$it AS (
+           |  SELECT pp.code, coalesce(nc.c2, pp.c) AS c
+           |  FROM $prev pp LEFT JOIN (
            |    SELECT code, list(fd ORDER BY k) AS c2
            |    FROM (SELECT code, k,
            |      (sm - (((sm % cnt) + cnt) % cnt)) // cnt AS fd
-           |      FROM u${j}_$it) w
+           |      FROM ${p}u${j}_$it) w
            |    GROUP BY code) nc USING (code))""".stripMargin
       }.mkString(",\n")
-      s"""x$j AS (SELECT rn, list_slice(q, $lo, $hi) AS x FROM s0),
-         |i$j AS (
+      s"""${p}x$j AS (SELECT rn, list_slice(q, $lo, $hi) AS x FROM $src),
+         |${p}i$j AS (
          |  SELECT z.x AS c, row_number() OVER (ORDER BY z.mrn) - 1 AS code
-         |  FROM (SELECT x, min(rn) AS mrn FROM x$j GROUP BY x
+         |  FROM (SELECT x, min(rn) AS mrn FROM ${p}x$j GROUP BY x
          |        ORDER BY mrn LIMIT $ks) z),
          |$rounds,
-         |ex$j AS (SELECT vec_id, list_slice(q, $lo, $hi) AS x FROM eq),
-         |en$j AS (
+         |${p}ex$j AS (SELECT vec_id, list_slice(q, $lo, $hi) AS x FROM $encSrc),
+         |${p}en$j AS (
          |  SELECT vec_id, code, d,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, code) AS rk
          |  FROM (
-         |    SELECT e.vec_id, p.code, ${dist("e.x", "p.c")} AS d
-         |    FROM ex$j e CROSS JOIN c${j}_$iters p) z),
-         |p$j AS (SELECT vec_id, CAST(code AS BIGINT) AS code_$j, d AS d$j
-         |  FROM en$j WHERE rk = 1)""".stripMargin
+         |    SELECT e.vec_id, pp.code, ${dist("e.x", "pp.c")} AS d
+         |    FROM ${p}ex$j e CROSS JOIN ${p}c${j}_$iters pp) z),
+         |${p}p$j AS (SELECT vec_id, CAST(code AS BIGINT) AS code_$j, d AS d$j
+         |  FROM ${p}en$j WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
+  }
+
+  def q202Sql: String = {
+    val m = 4
+    val ctes = pqTrainReplayCtes("", "s0", "eq", m, sub = 16, ks = 4, iters = 2)
     val joins = (1 until m).map(j => s"JOIN p$j USING (vec_id)").mkString(" ")
     s"""WITH s0 AS (
-       |  SELECT row_number() OVER (ORDER BY vec_id) AS rn, $qExpr AS q
-       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $n) t),
-       |eq AS (SELECT vec_id, $qExpr AS q FROM embeddings),
-       |$perSub
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS rn, $gridQExpr AS q
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 64) t),
+       |eq AS (SELECT vec_id, $gridQExpr AS q FROM embeddings),
+       |$ctes
        |SELECT vec_id,
        |  ${(0 until m).map(j => s"code_$j").mkString(", ")},
        |  CAST(${(0 until m).map(j => s"d$j").mkString(" + ")} AS BIGINT) AS recon_err
        |FROM p0 $joins
        |ORDER BY vec_id""".stripMargin
   }
+
+  /** Sample + corpus grid CTEs every trained-index replay opens with. */
+  private def trainedBaseCtes: String =
+    s"""s0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS rn, $gridQExpr AS q
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 64) t),
+       |eq AS (SELECT vec_id, $gridQExpr AS q FROM embeddings)""".stripMargin
+
+  /** Trained coarse quantizer replay (prefix `g`, one subspace = the
+    * full 64-dim vector): training, per-vector cell assignment
+    * (`cells`), the query panel (`qq`), and probe selection (`probes` —
+    * nprobe nearest cells by exact grid distance, tie → lowest cell). */
+  private def trainedCoarseCtes(nq: Int, nlist: Int, nprobe: Int): String =
+    s"""${pqTrainReplayCtes("g", "s0", "eq", 1, 64, nlist, 2)},
+       |cells AS (SELECT vec_id, code_0 AS cell FROM gp0),
+       |qq AS (SELECT vec_id AS q_id, q FROM eq WHERE vec_id < $nq),
+       |pd AS (SELECT qq.q_id, pp.code AS cell,
+       |    ${gridDistSql("qq.q", "pp.c", 64)} AS d
+       |  FROM qq CROSS JOIN gc0_2 pp),
+       |probes AS (SELECT q_id, cell FROM (
+       |    SELECT q_id, cell,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY d, cell) AS rn
+       |    FROM pd) z WHERE rn <= $nprobe)""".stripMargin
+
+  /** Full trained IVF-PQ ADC replay as one standalone SELECT:
+    * coarse + PQ training, assignment + encode, probes, exact-integer
+    * ADC, refine cut, exact-cosine re-rank. */
+  private def trainedIvfPqReplaySql(
+      nq: Int, k: Int, nlist: Int, nprobe: Int, refine: Int): String = {
+    val m = 4
+    val sub = 16
+    val codeJoins = (1 until m).map(j => s"JOIN bp$j USING (vec_id)").mkString(" ")
+    val qdCtes = (0 until m).map { j =>
+      val lo = j * sub + 1
+      s"""qd$j AS (
+         |  SELECT qq.q_id, pp.code,
+         |    ${gridDistSql(s"list_slice(qq.q, $lo, ${lo + sub - 1})", "pp.c", sub)} AS d
+         |  FROM qq CROSS JOIN bc${j}_2 pp)""".stripMargin
+    }.mkString(",\n")
+    val qdJoins = (0 until m).map(j =>
+      s"JOIN qd$j ON qd$j.q_id = c.q_id AND qd$j.code = t.code_$j").mkString("\n  ")
+    val adcSum = (0 until m).map(j => s"qd$j.d").mkString(" + ")
+    s"""WITH $trainedBaseCtes,
+       |${trainedCoarseCtes(nq, nlist, nprobe)},
+       |${pqTrainReplayCtes("b", "s0", "eq", m, sub, 4, 2)},
+       |codes AS (SELECT vec_id, ${(0 until m).map(j => s"code_$j").mkString(", ")}
+       |  FROM bp0 $codeJoins),
+       |cand AS (SELECT pr.q_id, a.vec_id AS n_id
+       |  FROM cells a JOIN probes pr ON a.cell = pr.cell
+       |  WHERE a.vec_id <> pr.q_id),
+       |$qdCtes,
+       |adc AS (SELECT c.q_id, c.n_id, CAST($adcSum AS BIGINT) AS adc
+       |  FROM cand c JOIN codes t ON t.vec_id = c.n_id
+       |  $qdJoins),
+       |ref AS (SELECT q_id, n_id, adc FROM (
+       |    SELECT q_id, n_id, adc,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn
+       |    FROM adc) z WHERE rn <= $refine),
+       |v AS (SELECT vec_id, embedding, (${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |sc AS (SELECT r.q_id, r.n_id, r.adc,
+       |    (${dotSql("q.embedding", "c.embedding")}) / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+       |  FROM ref r JOIN v q ON q.vec_id = r.q_id JOIN v c ON c.vec_id = r.n_id)
+       |SELECT q_id, rank, n_id, adc, cos FROM (
+       |  SELECT q_id, n_id, adc, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM sc) x
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Exact trained-IVF replay (no PQ): coarse training + probes + exact
+    * cosine over the probed cells' members. */
+  private def trainedIvfReplaySql(
+      nq: Int, k: Int, nlist: Int, nprobe: Int): String =
+    s"""WITH $trainedBaseCtes,
+       |${trainedCoarseCtes(nq, nlist, nprobe)},
+       |v AS (SELECT vec_id, embedding, (${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |cand AS (SELECT pr.q_id, a.vec_id AS n_id
+       |  FROM cells a JOIN probes pr ON a.cell = pr.cell
+       |  WHERE a.vec_id <> pr.q_id),
+       |sc AS (SELECT c.q_id, c.n_id,
+       |    (${dotSql("q.embedding", "n.embedding")}) / (sqrt(q.nrm) * sqrt(n.nrm)) AS cos
+       |  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v n ON n.vec_id = c.n_id)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM sc) x
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** TRAINED IVF-PQ search from the STORED index
+    * ([[Similarity.trainedIvfPqTopK]] — the serving path: both
+    * quantizers Lloyd-trained on the integer grid, persisted, and every
+    * search stage partition-pruned + code-column-pruned). The oracle
+    * replays the ENTIRE lifecycle — coarse + PQ training (q202's
+    * integer-Lloyd replay run twice via the shared generator),
+    * assignment, encode, probe selection, exact-integer ADC, refine,
+    * exact-cosine re-rank — in BIGINT arithmetic end to end. */
+  def q212TrainedIvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.trainedIvfPqTopK(s, dir, numQueries = 5, k = 5, nlist = 8,
+      nprobe = 3, m = 4, ks = 4, trainSample = 64, iters = 2, refine = 16)
+
+  def q212Sql: String =
+    trainedIvfPqReplaySql(nq = 5, k = 5, nlist = 8, nprobe = 3, refine = 16)
+
+  /** Trained-index recall dashboard — q206 extended to the quantizers a
+    * serving deployment actually runs: per query, recall@5 vs exact
+    * brute force of (a) the seeded IVF (q42's path), (b) the TRAINED
+    * coarse quantizer with exact vectors, (c) the TRAINED IVF-PQ ADC
+    * pipeline end to end. Composes four already-oracled retrievals, so
+    * the SQL is their replays joined; recall is a ratio of small
+    * integer counts. The trained quantizer should dominate the seeded
+    * one at equal probe fractions — this is the audit that would catch
+    * a stale or degenerate codebook in production. */
+  def q213TrainedRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = Similarity.bruteForceTopK(s, dir, numQueries = 10, k = 5)
+      .select(col("q_id").as("bq"), col("n_id"))
+    val ivf = Similarity.ivfTopKSeeded(s, dir, numQueries = 10, k = 5)
+      .select(col("q_id").as("iq"), col("n_id").as("i_id"))
+    val tivf = Similarity.trainedIvfTopK(s, dir, numQueries = 10, k = 5,
+        nlist = 8, nprobe = 3)
+      .select(col("q_id").as("tq"), col("n_id").as("t_id"))
+    val tpq = Similarity.trainedIvfPqTopK(s, dir, numQueries = 10, k = 5,
+        nlist = 8, nprobe = 3, refine = 16)
+      .select(col("q_id").as("pq"), col("n_id").as("p_id"))
+    brute
+      .join(ivf, col("iq") === col("bq") && col("i_id") === col("n_id"), "left")
+      .join(tivf, col("tq") === col("bq") && col("t_id") === col("n_id"), "left")
+      .join(tpq, col("pq") === col("bq") && col("p_id") === col("n_id"), "left")
+      .groupBy(col("bq").as("q_id"))
+      .agg(count(lit(1)).as("k"),
+        count(col("i_id")).as("ivf_hits"),
+        count(col("t_id")).as("tivf_hits"),
+        count(col("p_id")).as("tpq_hits"))
+      .select(col("q_id"), col("k"), col("ivf_hits"), col("tivf_hits"),
+        col("tpq_hits"),
+        (col("ivf_hits").cast("double") / col("k")).as("ivf_recall"),
+        (col("tivf_hits").cast("double") / col("k")).as("tivf_recall"),
+        (col("tpq_hits").cast("double") / col("k")).as("tpq_recall"))
+      .presentSorted("q_id")
+  }
+
+  def q213Sql: String =
+    s"""WITH brute AS ($q40Sql),
+       |ivf AS ($q42Sql),
+       |tivf AS (${trainedIvfReplaySql(nq = 10, k = 5, nlist = 8, nprobe = 3)}),
+       |tpq AS (${trainedIvfPqReplaySql(nq = 10, k = 5, nlist = 8, nprobe = 3, refine = 16)})
+       |SELECT b.q_id, count(*) AS k,
+       |  count(i.n_id) AS ivf_hits, count(t.n_id) AS tivf_hits,
+       |  count(p.n_id) AS tpq_hits,
+       |  count(i.n_id)::DOUBLE / count(*) AS ivf_recall,
+       |  count(t.n_id)::DOUBLE / count(*) AS tivf_recall,
+       |  count(p.n_id)::DOUBLE / count(*) AS tpq_recall
+       |FROM brute b
+       |LEFT JOIN ivf i ON i.q_id = b.q_id AND i.n_id = b.n_id
+       |LEFT JOIN tivf t ON t.q_id = b.q_id AND t.n_id = b.n_id
+       |LEFT JOIN tpq p ON p.q_id = b.q_id AND p.n_id = b.n_id
+       |GROUP BY b.q_id
+       |ORDER BY b.q_id""".stripMargin
 }

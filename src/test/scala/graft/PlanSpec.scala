@@ -292,13 +292,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       spark.read.parquet(s"$sfDir/documents.parquet"),
       "source", "n_chars", Seq(25, 50, 75))
     val s = planOf(df)
-    val windowSpecs = s.linesIterator
-      .filter(l => l.contains("Window") && l.contains("windowspecdefinition"))
-      .mkString("\n")
     // every window partition spec over the data must include the bucket
-    assert(!windowSpecs.contains("windowspecdefinition(source#") ||
-      windowSpecs.contains("__gq_b"),
-      s"window must partition by (key, bucket), not key alone:\n$windowSpecs")
+    // — checked PER LINE, so one compliant window can't mask another
+    // that partitions by the key alone
+    val offending = s.linesIterator
+      .filter(l => l.contains("windowspecdefinition(source#") &&
+        !l.contains("__gq_b"))
+      .toSeq
+    assert(offending.isEmpty,
+      s"window must partition by (key, bucket), not key alone:\n" +
+        offending.mkString("\n"))
     assert(s.contains("sorted_cut_bucket") || s.contains("SortedCutBucket"),
       s"bucket assignment should be the native kernel:\n$s")
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoop"),

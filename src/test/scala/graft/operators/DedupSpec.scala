@@ -540,11 +540,12 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("unbounded streaming state requires explicit opt-in") {
-    // The default path must not silently start a full-history-state
-    // stream: without unbounded = true the entries fail fast and point
-    // at the TTL variant. (ProcessingTimeTimeout was tried and rejected:
-    // registered processing-time timeouts make the micro-batch engine
-    // schedule batches forever, hanging processAllAvailable AND
+    // `unbounded` has NO default — a caller must write it out, so the
+    // opt-in is enforced at compile time; passing false still fails fast
+    // with the pointer at the TTL variant rather than silently starting
+    // a full-history-state stream. (ProcessingTimeTimeout was tried and
+    // rejected: registered processing-time timeouts make the micro-batch
+    // engine schedule batches forever, hanging processAllAvailable AND
     // AvailableNow — so explicit opt-in is the bounded-by-default
     // mechanism, with minhashCandidatesStreamTtl as the production form.)
     import spark.implicits._
@@ -553,16 +554,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val sdf = input.toDF().toDF("doc_id", "text")
     val e1 = intercept[IllegalArgumentException] {
-      Dedup.minhashCandidatesStream(sdf, "doc_id", "text")
+      Dedup.minhashCandidatesStream(sdf, "doc_id", "text", unbounded = false)
     }
     assert(e1.getMessage.contains("minhashCandidatesStreamTtl"),
       s"refusal must point at the TTL variant: ${e1.getMessage}")
     val e2 = intercept[IllegalArgumentException] {
-      Dedup.minhashPairsStream(sdf, docs, "doc_id", "text", threshold = 0.8)
+      Dedup.minhashPairsStream(sdf, docs, "doc_id", "text", threshold = 0.8,
+        unbounded = false)
     }
     assert(e2.getMessage.contains("unbounded"))
     val e3 = intercept[IllegalArgumentException] {
-      Dedup.minhashPairsStreamSelfVerify(sdf, "doc_id", "text", threshold = 0.8)
+      Dedup.minhashPairsStreamSelfVerify(sdf, "doc_id", "text", threshold = 0.8,
+        unbounded = false)
     }
     assert(e3.getMessage.contains("unbounded"))
   }
