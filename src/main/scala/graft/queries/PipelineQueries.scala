@@ -2478,7 +2478,7 @@ object PipelineQueries {
     * coarse + PQ training, assignment + encode, probes, exact-integer
     * ADC, refine cut, exact-cosine re-rank. */
   private def trainedIvfPqReplaySql(
-      nq: Int, k: Int, nlist: Int, nprobe: Int, refine: Int): String = {
+      nq: Int, k: Int, nlist: Int, nprobe: Int, ks: Int, refine: Int): String = {
     val m = 4
     val sub = 16
     val codeJoins = (1 until m).map(j => s"JOIN bp$j USING (vec_id)").mkString(" ")
@@ -2494,7 +2494,7 @@ object PipelineQueries {
     val adcSum = (0 until m).map(j => s"qd$j.d").mkString(" + ")
     s"""WITH $trainedBaseCtes,
        |${trainedCoarseCtes(nq, nlist, nprobe)},
-       |${pqTrainReplayCtes("b", "s0", "eq", m, sub, 4, 2)},
+       |${pqTrainReplayCtes("b", "s0", "eq", m, sub, ks, 2)},
        |codes AS (SELECT vec_id, ${(0 until m).map(j => s"code_$j").mkString(", ")}
        |  FROM bp0 $codeJoins),
        |cand AS (SELECT pr.q_id, a.vec_id AS n_id
@@ -2550,10 +2550,11 @@ object PipelineQueries {
     * exact-cosine re-rank — in BIGINT arithmetic end to end. */
   def q212TrainedIvfPq(s: SparkSession, dir: String): DataFrame =
     Similarity.trainedIvfPqTopK(s, dir, numQueries = 5, k = 5, nlist = 8,
-      nprobe = 3, m = 4, ks = 4, trainSample = 64, iters = 2, refine = 16)
+      nprobe = 3, m = 4, ks = 8, trainSample = 64, iters = 2, refine = 32)
 
   def q212Sql: String =
-    trainedIvfPqReplaySql(nq = 5, k = 5, nlist = 8, nprobe = 3, refine = 16)
+    trainedIvfPqReplaySql(nq = 5, k = 5, nlist = 8, nprobe = 3, ks = 8,
+      refine = 32)
 
   /** Trained-index recall dashboard — q206 extended to the quantizers a
     * serving deployment actually runs: per query, recall@5 vs exact
@@ -2573,7 +2574,7 @@ object PipelineQueries {
         nlist = 8, nprobe = 3)
       .select(col("q_id").as("tq"), col("n_id").as("t_id"))
     val tpq = Similarity.trainedIvfPqTopK(s, dir, numQueries = 10, k = 5,
-        nlist = 8, nprobe = 3, refine = 16)
+        nlist = 8, nprobe = 3, ks = 8, refine = 32)
       .select(col("q_id").as("pq"), col("n_id").as("p_id"))
     brute
       .join(ivf, col("iq") === col("bq") && col("i_id") === col("n_id"), "left")
@@ -2596,7 +2597,7 @@ object PipelineQueries {
     s"""WITH brute AS ($q40Sql),
        |ivf AS ($q42Sql),
        |tivf AS (${trainedIvfReplaySql(nq = 10, k = 5, nlist = 8, nprobe = 3)}),
-       |tpq AS (${trainedIvfPqReplaySql(nq = 10, k = 5, nlist = 8, nprobe = 3, refine = 16)})
+       |tpq AS (${trainedIvfPqReplaySql(nq = 10, k = 5, nlist = 8, nprobe = 3, ks = 8, refine = 32)})
        |SELECT b.q_id, count(*) AS k,
        |  count(i.n_id) AS ivf_hits, count(t.n_id) AS tivf_hits,
        |  count(p.n_id) AS tpq_hits,

@@ -618,4 +618,70 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(totalErr(trained) <= totalErr(init),
       "Lloyd rounds must not worsen total reconstruction error")
   }
+
+  test("trained IVF-PQ exhaustive (all cells, full refine) equals brute force") {
+    val brute = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // probing every trained cell and refining every candidate makes the
+    // integer ADC a pure pre-sort: the exact re-rank must reproduce
+    // brute force exactly — pins assignment, encode, probe, ADC, rerank
+    val tpq = Similarity.trainedIvfPqTopK(spark, sfDir, numQueries = 5,
+        k = 5, nlist = 8, nprobe = 8, refine = 1000000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(tpq == brute)
+  }
+
+  test("trained index lifecycle: build + append ≡ one-shot rebuild; stored probes deterministic") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val q = emb.where(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .selectExpr("vec_id as q_id", "v as qv")
+    val exact = emb.selectExpr("vec_id as n_id", "v")
+    def probeSet(path: String) =
+      Similarity.trainedIvfPqProbeStored(spark, path, q, exact,
+          k = 5, nprobe = 3, refine = 32)
+        .collect().map(_.toSeq).toSet
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_tivfpq_full").toString
+    Similarity.buildTrainedIvfPqIndexAt(spark, emb, full)
+    val grown = java.nio.file.Files
+      .createTempDirectory("graft_tivfpq_grown").toString
+    // first half holds the trainSample=64 lowest vec_ids, so BOTH builds
+    // train identical quantizers — append with the stored tables must
+    // then land every late vector exactly where the one-shot build does
+    Similarity.buildTrainedIvfPqIndexAt(spark,
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 250), grown)
+    Similarity.appendToTrainedIvfPqIndex(spark,
+      emb.where(org.apache.spark.sql.functions.col("vec_id") >= 250), grown)
+    val fromFull = probeSet(full)
+    assert(probeSet(grown) == fromFull,
+      "append with stored quantizers must equal the one-shot rebuild")
+    // a serving restart re-reads the STORED geometry: re-probe identical
+    assert(probeSet(full) == fromFull)
+    // the exact trained-IVF search over the same index is also stable
+    val t1 = Similarity.trainedIvfProbeStored(spark, full, q, k = 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    val t2 = Similarity.trainedIvfProbeStored(spark, grown, q, k = 5, nprobe = 3)
+      .collect().map(_.toSeq).toSet
+    assert(t1 == t2 && t1.nonEmpty)
+  }
+
+  test("trained quantizers out-recall the seeded ones on the fixture corpus") {
+    // the q213 dashboard's reason to exist: at comparable probe
+    // fractions the Lloyd-trained cells must beat raw-seed cells
+    val rows = graft.queries.PipelineQueries
+      .q213TrainedRecall(spark, sfDir).collect()
+    val ivf = rows.map(_.getLong(2)).sum
+    val tivf = rows.map(_.getLong(3)).sum
+    val tpq = rows.map(_.getLong(4)).sum
+    assert(tivf > ivf,
+      s"trained IVF must out-recall seeded IVF: trained=$tivf seeded=$ivf")
+    // ADC ranks 12-bit codes, not vectors — it trades recall for the
+    // m-bytes-per-candidate scan, so it gets a floor, not a supremacy
+    // claim vs the exact-vector seeded search (it beats it at sf0.01,
+    // ties at sf0.001 — corpus-dependent)
+    val total = rows.map(_.getLong(1)).sum
+    assert(tpq >= (total * 2) / 5,
+      s"trained IVF-PQ ADC recall floor 0.4: tpq=$tpq of $total")
+  }
 }
