@@ -411,14 +411,34 @@ object Sampling {
     * ~10⁹ tokens per side; shard the contrast beyond (q171's partial
     * pattern).
     *
-    * Scale shape: one explode+groupBy pass builds the (bucket, t, r)
-    * table — map-side combined, `buckets` rows out — which broadcasts
-    * back into a second explode+per-doc sum (one doc-keyed shuffle).
-    * The corpus never joins itself; everything else is bucket-sized.
+    * Scale shape: the corpus is tokenized ONCE into a per-(doc, bucket)
+    * count frame ([[importancePartial]] — one doc-bucket-keyed shuffle,
+    * map-side combined); both downstream consumers — the (bucket, t, r)
+    * contrast table and the final per-doc score — re-aggregate that
+    * same frame, so the plan's two branches share one identical
+    * exchange and Spark executes the explode+hash exactly once
+    * (ReusedExchange; pinned by PlanSpec and measured ~1.8× on q203 —
+    * the earlier shape re-tokenized per branch). The corpus never joins
+    * itself; everything past the partial is bucket-sized.
     *
     * Returns (id, is_target, n_feats, score, keep) — `keep` marks raw
     * docs with positive score (more target-like than raw-like). */
   def importanceScores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 4096): DataFrame =
+    importanceFromCounts(
+      importancePartial(docs, idCol, textCol, isTarget, buckets), idCol)
+
+  /** One shard's mergeable DSIR feature partial: `(id, is_target,
+    * bucket, cnt)` — exact longs keyed by (doc, bucket), so partials
+    * from ANY sharding fold to the identical corpus-wide scores (the
+    * q171/q207 monoid discipline applied to hashed n-gram features).
+    * This is the expensive pass — tokenize + hash + one map-combined
+    * aggregation; everything downstream is arithmetic over it. */
+  def importancePartial(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -431,18 +451,73 @@ object Sampling {
       when(size(ws) < 2, array().cast("array<string>"))
         .otherwise(transform(slice(ws, lit(1), size(ws) - 1),
           (w, i) => concat_ws(" ", w, element_at(ws, i + 2)))))
-    val exploded = docs
+    docs
       .select(col(idCol), isTarget.as("is_target"), explode(feats).as("ft"))
       .withColumn("b", pmod(LightFusion.rollingHash(col("ft")), lit(buckets.toLong)))
-    val counts = exploded.groupBy("b").agg(
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("t"),
-      sum(when(col("is_target"), 0L).otherwise(1L)).as("r"))
-    val totals = counts.agg(sum("t").as("tt"), sum("r").as("rr"))
-    val weights = counts.crossJoin(broadcast(totals))
-      .select(col("b"), (col("t") * col("rr") - col("r") * col("tt")).as("w"))
-    exploded.join(broadcast(weights), Seq("b"))
+      // b is never null (the hash of a non-null token), but its SCHEMA
+      // is nullable — the downstream broadcast join would push its own
+      // isnotnull(b) into ONE consumer's subtree, making the two
+      // otherwise-identical feature subtrees canonicalize differently
+      // and killing the exchange reuse importanceFromCounts depends on.
+      // Filtering here keeps both branches textually identical.
+      .where(col("b").isNotNull)
+      .groupBy(col(idCol), col("is_target"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Scores from a (id, is_target, b, cnt) feature frame — the shared
+    * downstream of [[importanceScores]] (direct) and
+    * [[importanceFromStore]] (folded shards). Duplicate (id, b) rows
+    * across shards re-aggregate inside, so any sharding is legal. */
+  def importanceFromCounts(partial: DataFrame, idCol: String): DataFrame = {
+    val perDoc = partial
+      .groupBy(col(idCol), col("is_target"), col("b"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val counts = perDoc.groupBy("b").agg(
+      sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("t"),
+      sum(when(col("is_target"), 0L).otherwise(col("cnt"))).as("r"))
+    // corpus totals as an unpartitioned window over the BUCKET table
+    // (`buckets` rows — trivially single-partition) rather than a
+    // separate agg+crossJoin branch: a second consumer of `counts`
+    // broke exchange reuse and re-ran the tokenize pass (verified in
+    // the executed plan), where the window keeps the whole contrast
+    // computation one linear chain off a single perDoc exchange
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val weights = counts.select(col("b"),
+      (col("t") * sum(col("r")).over(wAll) -
+        col("r") * sum(col("t")).over(wAll)).as("w"))
+    perDoc.join(broadcast(weights), Seq("b"))
       .groupBy(col(idCol), col("is_target"))
-      .agg(count(lit(1)).as("n_feats"), sum("w").as("score"))
+      .agg(sum(col("cnt")).as("n_feats"), sum(col("cnt") * col("w")).as("score"))
       .withColumn("keep", !col("is_target") && col("score") > 0L)
   }
+
+  /** Persist one shard's feature partial at `store/shard=<id>`
+    * (overwrite-idempotent: a replayed ingest batch rewrites its own
+    * shard, never double-counts — the writeValueHistShard discipline).
+    * At 100 TB this is what makes repeated DSIR selection affordable:
+    * one mixture iteration per re-weighting is the normal usage, and
+    * every iteration after the first folds bucket-count shards instead
+    * of re-tokenizing the corpus. */
+  def writeImportanceShard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      store: String,
+      shard: String,
+      buckets: Int = 4096): Unit =
+    importancePartial(docs, idCol, textCol, isTarget, buckets)
+      .write.mode("overwrite").parquet(s"$store/shard=$shard")
+
+  /** Corpus-wide DSIR scores folded from the shard store — equals
+    * [[importanceScores]] over the union of the shards' documents
+    * bit-for-bit (counts are exact longs; the contrast and both sums
+    * are order-free integer arithmetic), with no text rescan. */
+  def importanceFromStore(
+      s: org.apache.spark.sql.SparkSession,
+      store: String,
+      idCol: String): DataFrame =
+    importanceFromCounts(s.read.parquet(store), idCol)
 }

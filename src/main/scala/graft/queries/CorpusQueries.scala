@@ -940,6 +940,7 @@ object CorpusQueries {
     ("q203_importance_dsir", q203ImportanceDsir _, q203Sql),
     ("q205_mixture_plan", q205MixturePlan _, q205Sql),
     ("q207_incremental_quantiles", q207IncrementalQuantiles _, q105Sql),
+    ("q214_importance_incremental", q214ImportanceIncremental _, q203Sql),
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
     ("q45_stratified_sample", q45StratifiedSample _, q45Sql),
@@ -1390,6 +1391,32 @@ object CorpusQueries {
   }
 
   private val histStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental DSIR from the persisted feature store
+    * ([[graft.operators.Sampling.importanceFromStore]]): three ingest
+    * batches each persist their (doc, bucket, cnt) partial, and the
+    * scores fold from the store with NO text rescan — `importanceFrom
+    * Store ≡ importanceScores` exactly (integer monoid counts), so this
+    * shares q203's oracle. The 100 TB posture: re-scoring under a new
+    * target mix re-reads bucket-count shards, not the corpus. */
+  def q214ImportanceIncremental(s: SparkSession, dir: String): DataFrame = {
+    val store = importanceStores.computeIfAbsent(dir, _ => {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_dsirstore_" +
+        graft.operators.Bucketing.dirTag(dir)
+      val d = docs(s, dir)
+      (0 to 2).foreach { b =>
+        graft.operators.Sampling.writeImportanceShard(
+          d.where(col("doc_id") % 3 === b), "doc_id", "text",
+          col("source") === "src0", p, s"b$b", buckets = 4096)
+      }
+      p
+    })
+    graft.operators.Sampling.importanceFromStore(s, store, "doc_id")
+      .presentSorted("doc_id")
+  }
+
+  private val importanceStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Mixture/epoch plan ([[graft.operators.Sampling.mixturePlan]]):

@@ -282,6 +282,28 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(names.length == SparkEntry.queries.size)
   }
 
+  test("importanceScores: one tokenize pass — the feature exchange is reused") {
+    // The 100 TB hazard this pins: the contrast-table branch and the
+    // per-doc-score branch both consume the tokenize+hash partial. If
+    // they stop sharing the identical aggregation subtree, the corpus
+    // is tokenized twice (measured 1.8× on q203 before the rework).
+    val df = graft.operators.Sampling.importanceScores(
+      spark.read.parquet(s"$sfDir/documents.parquet"),
+      "doc_id", "text",
+      org.apache.spark.sql.functions.col("source") === "src0",
+      buckets = 4096)
+    df.collect() // finalize the adaptive plan
+    // judge the FINAL adaptive plan only (the printed initial plan
+    // repeats subtrees that the final plan deduplicates)
+    val s = planOf(df).split("== Initial Plan ==").head
+    assert(s.contains("ReusedExchange"),
+      s"both branches must reuse the feature-partial exchange:\n$s")
+    // exactly one parquet scan of documents survives reuse
+    val scans = s.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scans == 1, s"expected ONE documents scan, got $scans:\n$s")
+  }
+
   test("quantilesDiscrete: no full-key window sort; bucket kernel codegen") {
     // The scale hazard this pins: a Window partitioned by the KEY ALONE
     // would pull a dominant key's entire column through one task. The

@@ -317,4 +317,39 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     // target docs are never 'keep' (they are already in the target)
     assert(!got(1L)._4 && !got(2L)._4)
   }
+
+  test("importance shard store: any sharding folds to direct scores; overwrite idempotent") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "good clean prose about science", true),
+      (2L, "clean careful writing about science", true),
+      (3L, "spam spam buy now spam", false),
+      (4L, "careful prose about science topics", false),
+      (5L, "buy now buy now", false),
+      (6L, "science prose now", false))
+    val df = rows.toDF("doc_id", "text", "tgt")
+    val direct = Sampling
+      .importanceScores(df, "doc_id", "text", col("tgt"), buckets = 64)
+      .collect().map(_.toSeq).toSet
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_dsir_store").toString
+    // uneven 3-way sharding — shard boundaries must be invisible
+    Seq(Seq(1L, 4L), Seq(2L, 3L), Seq(5L, 6L)).zipWithIndex.foreach {
+      case (ids, i) =>
+        Sampling.writeImportanceShard(
+          df.where(col("doc_id").isin(ids: _*)), "doc_id", "text",
+          col("tgt"), store, s"s$i", buckets = 64)
+    }
+    val folded = Sampling.importanceFromStore(spark, store, "doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(folded == direct,
+      "shard-store fold must equal the direct computation exactly")
+    // a replayed batch OVERWRITES its shard — no double counting
+    Sampling.writeImportanceShard(
+      df.where(col("doc_id").isin(1L, 4L)), "doc_id", "text",
+      col("tgt"), store, "s0", buckets = 64)
+    val replayed = Sampling.importanceFromStore(spark, store, "doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(replayed == direct, "shard replay must be idempotent")
+  }
 }
