@@ -113,6 +113,16 @@ final class Bpe(val merges: IndexedSeq[(String, String)]) extends Serializable {
     Bpe.words(text).foreach(w => n += encodeWord(w).length)
     n
   }
+
+  /** BYTE-LEVEL tokenize (the production-tokenizer pipeline — GPT-2's
+    * `encoder.py` shape): GPT-2 pretokens → UTF-8 bytes → the
+    * [[Bpe.byteUnits]] printable-unit remap → the same heap merge loop.
+    * Every byte of every script is representable (the 256 base units
+    * are the whole alphabet), so unlike [[encode]] nothing is dropped:
+    * `Bpe.unitBytes(encodeByteLevel(t).mkString)` round-trips the exact
+    * UTF-8 bytes of `t` (BpeSpec pins it). Null → no tokens. */
+  def encodeByteLevel(text: String): Seq[String] =
+    Bpe.pretokenize(text).flatMap(pt => encodeWord(Bpe.byteUnits(pt)))
 }
 
 object Bpe {
@@ -139,6 +149,71 @@ object Bpe {
     while (m.find()) out += m.group()
     out.toSeq
   }
+
+  /** GPT-2's bytes↔unicode table (`encoder.py bytes_to_unicode`): the
+    * 188 "printable" latin-1 bytes (`!`..`~`, `¡`..`¬`, `®`..`ÿ`) map to
+    * themselves; the other 68 bytes map to `U+0100 + k` in byte order —
+    * so every byte becomes exactly ONE printable BMP code point, merge
+    * tables serialize as plain text, and no unit is a space (why the
+    * "l r" merges format stays parseable). `byteToUnit(b & 0xff)` is
+    * the unit char for byte `b`. */
+  val byteToUnit: Array[Char] = {
+    val out = new Array[Char](256)
+    var next = 256
+    (0 until 256).foreach { b =>
+      if ((b >= '!' && b <= '~') || (b >= 0xa1 && b <= 0xac) ||
+        (b >= 0xae && b <= 0xff)) out(b) = b.toChar
+      else { out(b) = next.toChar; next += 1 }
+    }
+    out
+  }
+
+  private lazy val unitToByte: java.util.HashMap[Character, java.lang.Byte] = {
+    val m = new java.util.HashMap[Character, java.lang.Byte](512)
+    byteToUnit.zipWithIndex.foreach { case (u, b) => m.put(u, b.toByte) }
+    m
+  }
+
+  /** Deterministic mixed-script plants the byte-level gate (q215) and
+    * its fixture trainer share — 2-byte (Cyrillic/Greek), 3-byte (CJK)
+    * and 4-byte (emoji) UTF-8 sequences, so every arm of the
+    * code-point → byte expansion is exercised in both engines. */
+  def mixedScriptPlants: Seq[String] = Seq(
+    "Привет мир",
+    "καλημέρα κόσμε",
+    "你好世界 数据",
+    "emoji 🙂 ok")
+
+  /** UTF-8 bytes of `s`, one printable unit char per byte — the
+    * byte-level BPE alphabet. Surrogate pairs encode via the code
+    * point (getBytes), so any valid unicode round-trips. */
+  def byteUnits(s: String): String = {
+    val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Char](bs.length)
+    var i = 0
+    while (i < bs.length) { out(i) = byteToUnit(bs(i) & 0xff); i += 1 }
+    new String(out)
+  }
+
+  /** Inverse of [[byteUnits]]: unit chars back to the exact bytes.
+    * Throws on a char outside the 256-unit alphabet (a corrupt token). */
+  def unitBytes(u: String): Array[Byte] = {
+    val out = new Array[Byte](u.length)
+    var i = 0
+    while (i < u.length) {
+      val b = unitToByte.get(u.charAt(i))
+      require(b != null, f"not a byte-level unit: U+${u.charAt(i).toInt}%04X")
+      out(i) = b
+      i += 1
+    }
+    out
+  }
+
+  /** Decode byte-level tokens back to text — the exact inverse of
+    * [[Bpe.encodeByteLevel]] (UTF-8 of the original, byte-exact). */
+  def decodeByteLevel(tokens: Seq[String]): String =
+    new String(unitBytes(tokens.mkString),
+      java.nio.charset.StandardCharsets.UTF_8)
 
   /** `[a-z0-9]+` runs of the lowercased text — identical to the oracle's
     * `regexp_extract_all(lower(text), '[a-z0-9]+')`. */
@@ -232,6 +307,18 @@ object Bpe {
   lazy val default: Bpe = {
     val in = getClass.getResourceAsStream("/bpe/merges.txt")
     require(in != null, "missing resource /bpe/merges.txt")
+    try fromLines(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+
+  /** The committed BYTE-LEVEL fixture at `/bpe/byte_merges.txt` —
+    * merges over [[byteUnits]] symbols, trained by
+    * [[graft.tools]] GenByteMerges on the synthetic corpus plus its
+    * mixed-script plants (Cyrillic/Greek/CJK/emoji, so multi-byte
+    * sequences appear in the vocabulary). */
+  lazy val byteLevel: Bpe = {
+    val in = getClass.getResourceAsStream("/bpe/byte_merges.txt")
+    require(in != null, "missing resource /bpe/byte_merges.txt")
     try fromLines(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
     finally in.close()
   }

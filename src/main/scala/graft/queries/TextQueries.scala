@@ -317,11 +317,17 @@ object TextQueries {
       "       FROM documents")
 
   /** Full BPE replay (recursive-CTE merge loop) parameterized by the
-    * pre-tokenization CTE — shared by q85 (lowercased `[a-z0-9]+`) and
-    * q183 (GPT-2-style pretokens, case preserved). */
-  private def bpeReplaySql(wsSelect: String): String = {
-    val vals = graft.ml.Bpe.default.merges.zipWithIndex
-      .map { case ((a, b), i) => s"('$a', '$b', $i)" }.mkString(", ")
+    * pre-tokenization CTE and the merges fixture — shared by q85
+    * (lowercased `[a-z0-9]+`), q183 (GPT-2-style pretokens, case
+    * preserved) and q215 (byte-level units). The ws CTE must yield
+    * `(doc_id, ww: list<varchar>)` — one SYMBOL-ALPHABET word per
+    * pretoken; the merge loop is alphabet-agnostic. */
+  private def bpeReplaySql(
+      wsSelect: String,
+      bpe: graft.ml.Bpe = graft.ml.Bpe.default): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val vals = bpe.merges.zipWithIndex
+      .map { case ((a, b), i) => s"('${esc(a)}', '${esc(b)}', $i)" }.mkString(", ")
     // rank lookup: pairs as "l r" keys in one MAP, missing pair → INT_MAX
     val rk = (i: String) => "coalesce(list_extract(map_extract(m, " +
       s"list_extract(syms, $i) || ' ' || list_extract(syms, $i + 1)), 1), 2147483647)"
@@ -901,6 +907,7 @@ object TextQueries {
     ("q161_mojibake", q161Mojibake _, q161Sql),
     ("q178_blocklist_scan", q178BlocklistScan _, q178Sql),
     ("q183_bpe_pretokenized", q183BpePretokenized _, q183Sql),
+    ("q215_byte_bpe", q215ByteBpe _, q215Sql),
     ("q193_lang_confusion", q193LangConfusion _, q193Sql),
     ("q201_langid_unicode", q201LangidUnicode _, q201Sql))
 
@@ -944,6 +951,70 @@ object TextQueries {
     "SELECT doc_id, regexp_extract_all(text, " +
       "'''(?:s|t|d|m|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'" +
       ") AS ww\n       FROM documents")
+
+  /** The mixed-script plants live on [[graft.ml.Bpe.mixedScriptPlants]]
+    * so the fixture trainer (GenByteMerges) can read them without
+    * forcing this object's init, which evaluates q215Sql and therefore
+    * needs the fixture the trainer is about to write. */
+  private[graft] def mixedScriptPlants: Seq[String] =
+    graft.ml.Bpe.mixedScriptPlants
+
+  /** BYTE-LEVEL BPE (the GPT-2 `encoder.py` pipeline — the tokenizer
+    * family production LLMs actually budget in): GPT-2 pretokens →
+    * UTF-8 bytes → printable-unit remap ([[graft.ml.Bpe.byteUnits]]) →
+    * the shared merge loop over the committed byte-level fixture.
+    * Mixed-script text is planted deterministically so multi-byte
+    * sequences flow through the whole pipe. The oracle replays ALL of
+    * it: the pretok regex, the code-point → UTF-8 byte expansion
+    * (pure arithmetic per code point), the bytes→unit mapping (the
+    * GPT-2 rank arithmetic, not a shared literal table), and the
+    * recursive-CTE merge loop — so a slip in any stage, including a
+    * single mis-mapped byte, fails the hash. */
+  def q215ByteBpe(s: SparkSession, dir: String): DataFrame = {
+    val plant = element_at(
+      array(mixedScriptPlants.map(lit): _*),
+      (col("doc_id") % 4).cast("int") + 1)
+    val dirty = docs(s, dir).select(col("doc_id"),
+      concat(coalesce(col("text"), lit("")), lit(" "), plant).as("t"))
+    TextAnalysis.bpeTokens(dirty, "doc_id", "t", graft.ml.Bpe.byteLevel,
+        tokenize = t =>
+          graft.ml.Bpe.pretokenize(t).map(graft.ml.Bpe.byteUnits))
+      .presentSorted("doc_id")
+  }
+
+  def q215Sql: String = {
+    val plants = mixedScriptPlants.map(p => s"'$p'").mkString(", ")
+    val cp = "unicode(substr(pt, ci, 1))"
+    // code point -> UTF-8 bytes, pure integer arithmetic per arm
+    val bytesOf =
+      s"""CASE WHEN $cp < 128 THEN [$cp]
+         |     WHEN $cp < 2048 THEN [192 + $cp // 64, 128 + $cp % 64]
+         |     WHEN $cp < 65536 THEN [224 + $cp // 4096,
+         |       128 + ($cp // 64) % 64, 128 + $cp % 64]
+         |     ELSE [240 + $cp // 262144, 128 + ($cp // 4096) % 64,
+         |       128 + ($cp // 64) % 64, 128 + $cp % 64] END""".stripMargin
+    // GPT-2 bytes_to_unicode as arithmetic: printable bytes map to
+    // themselves; the 68 others get 256 + (their rank in byte order)
+    val unitOf =
+      """CASE WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+        |       OR (b BETWEEN 174 AND 255) THEN b
+        |     WHEN b <= 32 THEN 256 + b
+        |     WHEN b BETWEEN 127 AND 160 THEN 162 + b
+        |     ELSE 323 END""".stripMargin
+    val ws =
+      s"""SELECT doc_id, list_transform(
+         |    regexp_extract_all(t,
+         |      '''(?:s|t|d|m|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'),
+         |    pt -> array_to_string(
+         |      list_transform(
+         |        flatten(list_transform(range(1, len(pt) + 1), ci -> $bytesOf)),
+         |        b -> chr($unitOf)), '')) AS ww
+         |  FROM (SELECT doc_id,
+         |    coalesce(text, '') || ' ' ||
+         |      list_extract([$plants], CAST(doc_id % 4 AS INT) + 1) AS t
+         |    FROM documents)""".stripMargin
+    bpeReplaySql(ws, graft.ml.Bpe.byteLevel)
+  }
 
   /** Blocklist policy for q139: two terms that occur in the corpus
     * vocabulary (slow, spark) and two that don't (crash, spam) — the

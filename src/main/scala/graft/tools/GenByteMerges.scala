@@ -1,0 +1,35 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** One-shot fixture generator for `/bpe/byte_merges.txt` (the q215
+  * byte-level BPE vocabulary): builds the SAME dirty corpus q215 scores
+  * (sf0.001 documents + the mixed-script plants), pretokenizes, remaps
+  * to byte units, and trains `n` classic merges with
+  * [[graft.ml.Bpe.trainMerges]]. Deterministic — re-running against the
+  * same testdata reproduces the committed file byte-for-byte.
+  *
+  * `runMain graft.tools.GenByteMerges [sfDir] [numMerges]` */
+object GenByteMerges {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val n = args.lift(1).map(_.toInt).getOrElse(120)
+    val spark = graft.LightFusion.session("local[4]")
+    spark.sparkContext.setLogLevel("WARN")
+    val plants = graft.ml.Bpe.mixedScriptPlants
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+    val vocab = scala.collection.mutable.HashMap.empty[String, Long]
+    rows.foreach { r =>
+      val t = (if (r.isNullAt(1)) "" else r.getString(1)) +
+        " " + plants((r.getLong(0) % 4).toInt)
+      graft.ml.Bpe.pretokenize(t).map(graft.ml.Bpe.byteUnits)
+        .foreach(w => vocab.update(w, vocab.getOrElse(w, 0L) + 1))
+    }
+    val merges = graft.ml.Bpe.trainMerges(vocab.toSeq.sortBy(_._1), n)
+    val out = merges.map { case (l, r, _) => s"$l $r" }.mkString("\n") + "\n"
+    Files.writeString(Paths.get("src/main/resources/bpe/byte_merges.txt"), out)
+    println(s"wrote ${merges.size} merges to src/main/resources/bpe/byte_merges.txt")
+    spark.stop()
+  }
+}

@@ -245,4 +245,59 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.operators.Corpus.bpeTrain(df, "text", topV = 1, numMerges = 2)
       .count() == 0L)
   }
+
+  test("byte table: GPT-2 bytes_to_unicode shape; unit map is a bijection") {
+    val t = Bpe.byteToUnit
+    // printable latin-1 bytes map to themselves
+    assert(t('A') == 'A' && t('~') == '~' && t(0xa1) == 0xa1.toChar)
+    // the 68 non-printables get 256.. in byte order (Ġ = space)
+    assert(t(' ') == 'Ġ' && t(0) == 0x100.toChar && t(127) == (127 + 162).toChar
+      && t(173) == 323.toChar)
+    assert(t.distinct.length == 256, "unit map must be injective")
+    // the oracle's arithmetic form, replayed here against the table
+    (0 until 256).foreach { b =>
+      val want =
+        if ((b >= 33 && b <= 126) || (b >= 161 && b <= 172) ||
+          (b >= 174 && b <= 255)) b
+        else if (b <= 32) 256 + b
+        else if (b >= 127 && b <= 160) 162 + b
+        else 323
+      assert(t(b).toInt == want, s"byte $b")
+    }
+  }
+
+  test("byte-level encode round-trips exact bytes on every script") {
+    val bpe = Bpe.byteLevel
+    val texts = Seq(
+      "Hello, world! it's fine",
+      "Привет мир — кириллица",
+      "καλημέρα κόσμε",
+      "你好世界 数据 处理",
+      "mixed Ünïcödé and 🙂 emoji 🚀",
+      "tabs\tand\nnewlines  double  spaces",
+      "")
+    texts.foreach { t =>
+      val toks = bpe.encodeByteLevel(t)
+      assert(Bpe.decodeByteLevel(toks) == t,
+        s"round-trip failed for: $t -> $toks")
+      // every token is drawn from the 256-unit alphabet (unitBytes throws
+      // otherwise), and byte totals conserve exactly
+      val nBytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      assert(toks.map(tok => Bpe.unitBytes(tok).length).sum == nBytes)
+    }
+    // nothing is ever dropped, unlike the [a-z0-9] path
+    assert(bpe.encodeByteLevel("!!! ??? 777").nonEmpty)
+    assert(bpe.encodeByteLevel(null) == Nil)
+  }
+
+  test("byte-level merges actually fire: tokens < bytes on fixture-like text") {
+    val bpe = Bpe.byteLevel
+    val t = "the data pipeline processes documents with spark streaming"
+    val toks = bpe.encodeByteLevel(t)
+    val nBytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    assert(toks.length < nBytes,
+      s"expected compression, got ${toks.length} tokens for $nBytes bytes")
+    // deterministic across calls
+    assert(bpe.encodeByteLevel(t) == toks)
+  }
 }
