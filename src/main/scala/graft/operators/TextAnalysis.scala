@@ -234,6 +234,83 @@ object TextAnalysis {
         profs.map { case (l, _) => col(s"s_$l") }: _*)
   }
 
+  /** Letter-script classes for [[langIdRouted]]'s prior — character
+    * class BODIES shared verbatim with the oracle (explicit ranges, the
+    * [[scriptClasses]] rule). Order = tie-break precedence: a doc with
+    * zero letters routes latin, whose first candidate is `en` — the
+    * same empty-text fallback every lang-id here has. */
+  val langScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "a-z",
+    "cyrillic" -> "а-яё",
+    "cjk" -> "぀-ヿ一-鿿",
+    "hangul" -> "가-힣")
+
+  /** Candidate languages per dominant script — the routing prior. `zh`
+    * sits in the latin family because its profile is ROMANIZED (pinyin
+    * trigrams); the CJK-ideograph class routes to `ja`, whose profile
+    * carries kana + ideographs. Every language here must exist in
+    * [[trigramProfilesUnicode]]. */
+  val scriptLangs: Seq[(String, Seq[String])] = Seq(
+    "latin" -> Seq("en", "de", "es", "fr", "zh"),
+    "cyrillic" -> Seq("ru"),
+    "cjk" -> Seq("ja"),
+    "hangul" -> Seq("ko"))
+
+  /** Script-routed language ID — the mixed-corpus DEFAULT: the
+    * [[scriptProfile]] idea as a PRIOR over [[langIdUnicode]]'s scores.
+    * The dominant letter script (first-max over [[langScriptClasses]]
+    * counts of the lowercased text) picks the candidate family; the
+    * unicode trigram scores then pick within it. Pure trigram argmax
+    * (`pred_unrouted`, also emitted) can mislabel a majority-Latin doc
+    * that quotes a high-profile-density script — a short Cyrillic quote
+    * can out-mass a long low-hit Latin body — where the letter-count
+    * prior keeps it in the Latin family; the confusion audit (q193) and
+    * the corpus report (q200) ride THIS predictor.
+    *
+    * Scale: identical to [[langIdUnicode]] — one shuffle-free codegen'd
+    * map stage (the script counts are four `regexp_count` columns in
+    * the same projection), fixture state only. */
+  def langIdRouted(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val profs = trigramProfilesUnicode
+    val lowered = lower(coalesce(col(textCol), lit("")))
+    val norm = regexp_replace(lowered, s"[^$unicodeLetterClass]+", " ")
+    val cntCols = langScriptClasses.map { case (n, cls) =>
+      regexp_count(lowered, lit(s"[$cls]")).cast("long").as(s"c_$n")
+    }
+    val scoresArr = org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.TrigramLangScores(
+        org.apache.spark.sql.graft.SparkShims.expression(col("nm")),
+        profs))
+    val scored = docs
+      .select(col(idCol) +: norm.as("nm") +: cntCols: _*)
+      .select(col(idCol) +: scoresArr.as("sc") +:
+        langScriptClasses.map { case (n, _) => col(s"c_$n") }: _*)
+      .select(col(idCol) +:
+        profs.zipWithIndex.map { case ((l, _), i) =>
+          element_at(col("sc"), i + 1).as(s"s_$l") } ++:
+        langScriptClasses.map { case (n, _) => col(s"c_$n") }: _*)
+    val classes = langScriptClasses.map(_._1)
+    val mainScript = classes.zipWithIndex.dropRight(1).foldRight(
+      lit(classes.last): Column) { case ((c, i), rest) =>
+      val later = classes.drop(i + 1)
+      when(later.map(o => col(s"c_$c") >= col(s"c_$o")).reduce(_ && _),
+        lit(c)).otherwise(rest)
+    }
+    val unrouted = pickLang(profs.map { case (l, _) => l -> col(s"s_$l") })
+    val routed = scriptLangs.dropRight(1).foldRight(
+      pickLang(scriptLangs.last._2.map(l => l -> col(s"s_$l")))) {
+      case ((script, cand), rest) =>
+        when(col("main_script") === script,
+          pickLang(cand.map(l => l -> col(s"s_$l")))).otherwise(rest)
+    }
+    scored
+      .withColumn("main_script", mainScript)
+      .withColumn("pred_unrouted", unrouted)
+      .withColumn("pred_lang", routed)
+      .select(col(idCol) +: col("main_script") +: col("pred_unrouted") +:
+        col("pred_lang") +: profs.map { case (l, _) => col(s"s_$l") }: _*)
+  }
+
   /** Token counting: whitespace tokens, BPE-ish regex tokens, chars. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

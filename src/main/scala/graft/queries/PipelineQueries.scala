@@ -946,8 +946,11 @@ object PipelineQueries {
       .agg(sum("n_chunks").as("c"), sum("n_distinct").as("dd"))
       .select(expr("stack(2, 'n_cdc_chunks', c, 'n_cdc_dup', c - dd) " +
         "AS (metric, value)"))
+    // the ROUTED predictor (script prior over unicode trigram scores) —
+    // the default a mixed corpus needs; equals the Latin path on this
+    // all-Latin corpus (q193's rewire note), so the metric is stable
     val langm = d.select(col("doc_id"), col("lang"))
-      .join(graft.operators.TextAnalysis.langIdTrigram(d, "doc_id", "text")
+      .join(graft.operators.TextAnalysis.langIdRouted(d, "doc_id", "text")
         .select(col("doc_id"), col("pred_lang")), "doc_id")
       .where(col("lang") =!= col("pred_lang"))
       .agg(count(lit(1)).as("value"))

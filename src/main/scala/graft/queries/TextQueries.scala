@@ -909,16 +909,23 @@ object TextQueries {
     ("q183_bpe_pretokenized", q183BpePretokenized _, q183Sql),
     ("q215_byte_bpe", q215ByteBpe _, q215Sql),
     ("q193_lang_confusion", q193LangConfusion _, q193Sql),
-    ("q201_langid_unicode", q201LangidUnicode _, q201Sql))
+    ("q201_langid_unicode", q201LangidUnicode _, q201Sql),
+    ("q216_langid_routed", q216LangidRouted _, q216Sql))
 
   /** Language-label confusion matrix: the `lang` column a source
-    * CLAIMS against what q86's trigram profiles PREDICT — the audit
-    * that catches mislabeled sources before a lang-filtered training
-    * mix bakes the mistake in. Composes the q86 scoring scan with one
-    * tiny (langs × langs) aggregate. */
+    * CLAIMS against what the ROUTED predictor
+    * ([[TextAnalysis.langIdRouted]] — script-count prior over the
+    * unicode trigram scores, the mixed-corpus default since round 11)
+    * says — the audit that catches mislabeled sources before a
+    * lang-filtered training mix bakes the mistake in. On an all-Latin
+    * corpus the routed pick provably equals the q86 Latin path (same
+    * normalized text, identical Latin profiles, same tie order), so
+    * this rewire changes the PREDICTOR a mixed corpus would meet, not
+    * this corpus's matrix. Composes one scoring scan with one tiny
+    * (langs × langs) aggregate. */
   def q193LangConfusion(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pred = TextAnalysis.langIdTrigram(d, "doc_id", "text")
+    val pred = TextAnalysis.langIdRouted(d, "doc_id", "text")
       .select(col("doc_id"), col("pred_lang"))
     d.select(col("doc_id"), col("lang"))
       .join(pred, "doc_id")
@@ -929,13 +936,105 @@ object TextQueries {
 
   def q193Sql: String =
     s"""WITH p AS (
-       |  ${q86Sql.linesIterator.filterNot(_.startsWith("ORDER BY"))
-            .mkString("\n  ")}
+       |  ${routedLangIdSql("SELECT doc_id, text AS t FROM documents")
+            .linesIterator.mkString("\n  ")}
        |)
        |SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n_docs
        |FROM documents d JOIN p USING (doc_id)
        |GROUP BY d.lang, p.pred_lang
        |ORDER BY d.lang, p.pred_lang""".stripMargin
+
+  /** Full replay of [[TextAnalysis.langIdRouted]] over a `(doc_id, t)`
+    * source subquery — a standalone SELECT yielding (doc_id,
+    * main_script, pred_unrouted, pred_lang, s_*): script letter counts
+    * (verbatim class bodies), unicode trigram scores (literal profile
+    * maps), first-max dominant script, and the per-family pick. */
+  private def routedLangIdSql(srcSelect: String): String = {
+    val profs = TextAnalysis.trigramProfilesUnicode
+    val names = profs.map(_._1)
+    val scoreDefs = profs.map { case (lang, entries) =>
+      val ks = entries.map { case (g, _) => s"'$g'" }.mkString(", ")
+      val vs = entries.map { case (_, c) => c.toString }.mkString(", ")
+      s"""CAST(coalesce(list_sum(list_transform(tris, g ->
+         |    coalesce(list_extract(map_extract(map([$ks], [$vs]), g), 1), 0))), 0)
+         |    AS BIGINT) AS s_$lang""".stripMargin
+    }.mkString(",\n  ")
+    def pickCase(cands: Seq[String]): String =
+      if (cands.length == 1) s"'${cands.head}'"
+      else {
+        val cases = cands.zipWithIndex.dropRight(1).map { case (l, i) =>
+          val conds = cands.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$l'"
+        }.mkString(" ")
+        s"CASE $cases ELSE '${cands.last}' END"
+      }
+    val cls = TextAnalysis.unicodeLetterClass
+    val classes = TextAnalysis.langScriptClasses.map(_._1)
+    val cnts = TextAnalysis.langScriptClasses.map { case (n, c) =>
+      s"len(regexp_extract_all(lw, '[$c]'))::BIGINT AS c_$n"
+    }.mkString(",\n  ")
+    val mainCase = classes.zipWithIndex.dropRight(1).map { case (c, i) =>
+      val conds = classes.drop(i + 1).map(o => s"c_$c >= c_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$c'"
+    }.mkString(" ")
+    val routedCase = TextAnalysis.scriptLangs.dropRight(1).map {
+      case (sc, cand) => s"WHEN main_script = '$sc' THEN ${pickCase(cand)}"
+    }.mkString("\n    ")
+    s"""WITH rsrc AS ($srcSelect),
+       |rlw AS (SELECT doc_id, lower(coalesce(t, '')) AS lw FROM rsrc),
+       |rbase AS (SELECT doc_id, regexp_replace(lw, '[^$cls]+', ' ', 'g') AS nm,
+       |  $cnts
+       |  FROM rlw),
+       |rtri AS (SELECT doc_id, CASE WHEN len(nm) < 3 THEN CAST([] AS VARCHAR[])
+       |    ELSE list_transform(range(1, len(nm) - 1), i -> substr(nm, i, 3)) END AS tris,
+       |  ${classes.map(c => s"c_$c").mkString(", ")} FROM rbase),
+       |rscored AS (SELECT doc_id, ${classes.map(c => s"c_$c").mkString(", ")},
+       |  $scoreDefs
+       |  FROM rtri),
+       |rcls AS (SELECT *, CASE $mainCase ELSE '${classes.last}' END AS main_script
+       |  FROM rscored)
+       |SELECT doc_id, main_script,
+       |  ${pickCase(names)} AS pred_unrouted,
+       |  CASE
+       |    $routedCase
+       |    ELSE ${pickCase(TextAnalysis.scriptLangs.last._2)} END AS pred_lang,
+       |  ${names.map(l => s"s_$l").mkString(", ")}
+       |FROM rcls""".stripMargin
+  }
+
+  /** Script-ROUTED lang-id over a deliberately mixed corpus
+    * ([[TextAnalysis.langIdRouted]] end to end — round 11's default
+    * predictor): pure-Cyrillic/Japanese/Korean planted docs plus
+    * MIXED docs (the real English text with a short Cyrillic quote
+    * appended). The mixed rows are the point: the quote's dense ru
+    * trigram mass can out-score a low-hit Latin body (`pred_unrouted`
+    * shows whatever the raw argmax says), while the letter-count prior
+    * keeps the doc in the Latin family. The oracle replays counts,
+    * scores, the dominant-script pick, and both argmaxes. */
+  def q216LangidRouted(s: SparkSession, dir: String): DataFrame = {
+    val mixed = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 4 === 1, lit(plantedRu))
+        .when(col("doc_id") % 4 === 2, lit(plantedJa))
+        .when(col("doc_id") % 4 === 3, lit(plantedKo))
+        .otherwise(concat(coalesce(col("text"), lit("")),
+          lit(" она сказала привет и ушла"))).as("t"))
+    TextAnalysis.langIdRouted(mixed, "doc_id", "t")
+      .select("doc_id", "main_script", "pred_unrouted", "pred_lang")
+      .presentSorted("doc_id")
+  }
+
+  def q216Sql: String = {
+    val src =
+      s"""SELECT doc_id, CASE doc_id % 4
+         |    WHEN 1 THEN '$plantedRu'
+         |    WHEN 2 THEN '$plantedJa'
+         |    WHEN 3 THEN '$plantedKo'
+         |    ELSE coalesce(text, '') || ' она сказала привет и ушла' END AS t
+         |  FROM documents""".stripMargin
+    s"""SELECT doc_id, main_script, pred_unrouted, pred_lang FROM (
+       |${routedLangIdSql(src)}
+       |) ORDER BY doc_id""".stripMargin
+  }
 
   /** q85's BPE over GPT-2-STYLE PRETOKENS ([[graft.ml.Bpe.pretokenize]]):
     * contraction suffixes split off, leading spaces attach to the

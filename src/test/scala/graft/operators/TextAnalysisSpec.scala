@@ -649,4 +649,39 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     val koIdx = names.indexOf("ko") + 2
     assert(scores.getLong(jaIdx) == 0L && scores.getLong(koIdx) == 0L)
   }
+
+  test("langIdRouted: script prior overrides a minority-script trigram win") {
+    import spark.implicits._
+    val latinGibberish = Seq.fill(12)("xqzv kjwq zzkk qqpp").mkString(" ")
+    val rows = Seq(
+      // majority-Latin letters, but the Latin text has ~zero profile
+      // mass while the short Cyrillic quote has dense ru mass: the raw
+      // unicode argmax says ru, the letter-count prior keeps it Latin
+      (1L, latinGibberish + " это было важно для него"),
+      (2L, "это не просто история о том как он был готов к работе"),
+      (3L, "これはとても面白い話です私たちは毎日勉強します"),
+      (4L, "이것은 아주 재미있는 이야기입니다 우리는 매일"),
+      (5L, "the quick brown fox jumps over the lazy dog and the rest"),
+      (6L, ""),
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langIdRouted(rows, "doc_id", "text")
+      .select("doc_id", "main_script", "pred_unrouted", "pred_lang")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    // the decisive case: prior flips the raw argmax back into Latin
+    assert(got(1L)._1 == "latin", s"dominant script: ${got(1L)}")
+    assert(got(1L)._2 == "ru", s"raw argmax should pick ru: ${got(1L)}")
+    assert(Set("en", "de", "es", "fr", "zh").contains(got(1L)._3),
+      s"routed pick must stay in the Latin family: ${got(1L)}")
+    // pure scripts route to their language
+    assert(got(2L) == (("cyrillic", "ru", "ru")))
+    assert(got(3L)._1 == "cjk" && got(3L)._3 == "ja")
+    assert(got(4L)._1 == "hangul" && got(4L)._3 == "ko")
+    assert(got(5L)._1 == "latin" && got(5L)._3 == "en")
+    // zero letters: latin via tie order, en via empty-score tie
+    assert(got(6L) == (("latin", "en", "en")))
+    assert(got(7L) == (("latin", "en", "en")))
+  }
 }
