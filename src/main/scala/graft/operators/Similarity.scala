@@ -649,7 +649,32 @@ object Similarity {
     * re-train — and across restarts the STORED tables, not JVM state,
     * define the geometry). */
   private val trainedIvfPqIndexes =
-    new ConcurrentHashMap[(String, Int, Int, Int, Int, Int), String]
+    new ConcurrentHashMap[(String, Int, Int, Int, Int, Int, Boolean), String]
+
+  /** Integer-argmin cell for a grid vector (first-min tie → lowest
+    * cell) — the driver-side twin of the assignment kernel, used to
+    * form the sample's residuals before residual-PQ training. */
+  private def nearestCellLong(v: Array[Long], cents: Array[Array[Long]]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0L
+      var i = 0
+      while (i < v.length) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Literal (nlist × dim) centroid lookup column: `element_at(..,
+    * cell+1)` of an array-of-arrays literal — grid values exact in
+    * doubles, a broadcast constant in every plan that subtracts it. */
+  private def centroidLookup(coarse: Array[Array[Long]], cell: Column): Column =
+    element_at(
+      array(coarse.map(c => array(c.map(v => lit(v.toDouble)): _*)): _*),
+      cell + 1)
 
   /** Build + persist the full TRAINED serving index at `path`:
     *
@@ -681,14 +706,25 @@ object Similarity {
       m: Int = 4,
       ks: Int = 4,
       trainSample: Int = 64,
-      iters: Int = 2): Unit = {
+      iters: Int = 2,
+      residual: Boolean = false): Unit = {
     import s.implicits._
     val e = emb.select(col("vec_id"), col("v"))
     val sample = e.orderBy("vec_id").limit(trainSample).collect()
       .map(_.getSeq[Double](1)
         .map(x => math.floor(x * PqGridScale + 0.5).toLong).toArray)
     val coarse = pqTrainInt(sample, 1, nlist, iters)(0)
-    val books = pqTrainInt(sample, m, ks, iters)
+    // residual mode = the true IVFADC (Jégou et al. 2011 §III): PQ
+    // models x − c(x), whose spread is the WITHIN-cell variance — much
+    // tighter than raw vectors, so the same code budget reconstructs
+    // better. Residuals of grid longs are grid longs: exactness holds.
+    val pqSample =
+      if (!residual) sample
+      else sample.map { v =>
+        val c = coarse(nearestCellLong(v, coarse))
+        Array.tabulate(v.length)(i => v(i) - c(i))
+      }
+    val books = pqTrainInt(pqSample, m, ks, iters)
     // quantizers FIRST (the writeIvfIndexAt rule): append's contract is
     // "assign+encode with the stored tables", so they must be durable
     // before any vector partition exists
@@ -699,9 +735,17 @@ object Similarity {
       cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
     }.toDF("subspace", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
+    Seq(residual).toDF("residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     encodeWithStoredTrained(s, e, path)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
   }
+
+  /** The residual flag persisted beside the quantizers — encode and
+    * probe must agree on it, so it lives in the INDEX, not in caller
+    * arguments (a serving restart can't mis-pair them). */
+  private def readIndexResidual(s: SparkSession, path: String): Boolean =
+    s.read.parquet(s"$path/meta").head.getBoolean(0)
 
   /** Incremental ingest into the trained index: assign + PQ-encode the
     * new batch with the SAME stored quantizers (no re-train — stored
@@ -719,9 +763,11 @@ object Similarity {
     * the kernel's double argmin IS the integer argmin). */
   private def encodeWithStoredTrained(
       s: SparkSession, e: DataFrame, path: String): DataFrame = {
-    val coarse = s.read.parquet(s"$path/coarse").orderBy("cell").collect()
-      .map(_.getSeq[Long](1).map(_.toDouble).toArray)
+    val coarseL = s.read.parquet(s"$path/coarse").orderBy("cell").collect()
+      .map(_.getSeq[Long](1).toArray)
+    val coarse = coarseL.map(_.map(_.toDouble))
     val books = readStoredBooks(s, path)
+    val residual = readIndexResidual(s, path)
     val m = books.length
     val sub = books(0)(0).length
     val cellKernel = new graft.functions.CentroidKernel(coarse)
@@ -729,14 +775,23 @@ object Similarity {
       gridLongs(col("v")).cast("array<double>").as("qv"))
     val cell = SparkShims.column(graft.functions.NearestCentroid(
       SparkShims.expression(col("qv")), cellKernel))
+    val withCell = withQ.select(
+      col("vec_id"), col("v"), col("qv"), cell.as("cell"))
+    // residual index: the PQ sees x − c(x) — the centroid lookup is a
+    // broadcast literal, the subtraction exact (grid longs in doubles)
+    val encIn =
+      if (!residual) col("qv")
+      else zip_with(col("qv"), centroidLookup(coarseL, col("cell")),
+        (a, b) => a - b)
     val codeCols = (0 until m).map { j =>
       val kernel = new graft.functions.CentroidKernel(
         books(j).map(_.map(_.toDouble)))
       SparkShims.column(graft.functions.NearestCentroid(
-        SparkShims.expression(slice(col("qv"), j * sub + 1, sub)), kernel))
+        SparkShims.expression(slice(encIn, j * sub + 1, sub)), kernel))
         .as(s"code_$j")
     }
-    withQ.select(col("vec_id") +: col("v") +: cell.as("cell") +: codeCols: _*)
+    withCell.select(
+      col("vec_id") +: col("v") +: col("cell") +: codeCols: _*)
   }
 
   /** Probe selection against the stored trained coarse table: per query
@@ -789,6 +844,9 @@ object Similarity {
     LightFusion.ensureRegistered(s)
     import org.apache.spark.sql.expressions.Window
     val books = readStoredBooks(s, path)
+    val residual = readIndexResidual(s, path)
+    val coarseL = s.read.parquet(s"$path/coarse").orderBy("cell").collect()
+      .map(_.getSeq[Long](1).toArray)
     val m = books.length
     val (probeRows, probeSchema) = trainedProbes(s, path, q, nprobe)
     val cellIdx = probeSchema.fieldIndex("cell")
@@ -804,8 +862,16 @@ object Similarity {
       .join(broadcast(probesDf.select(col("q_id"),
         col("qg").cast("array<double>").as("qgd"), col("cell"))), Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
+    // residual index: ADC compares the QUERY'S residual w.r.t. the
+    // PROBED cell against the candidate's residual codewords — the
+    // IVFADC asymmetry (one subtraction per (query, cell) row, the
+    // codes never decode)
+    val adcQuery =
+      if (!residual) col("qgd")
+      else zip_with(col("qgd"), centroidLookup(coarseL, col("cell")),
+        (a, b) => a - b)
     val adc = SparkShims.column(graft.functions.PqAdc(
-      SparkShims.expression(col("qgd")),
+      SparkShims.expression(adcQuery),
       SparkShims.expression(array((0 until m).map(j => col(s"code_$j")): _*)),
       adcKernel))
     val refined = cands
@@ -867,14 +933,16 @@ object Similarity {
       m: Int,
       ks: Int,
       trainSample: Int,
-      iters: Int): String =
+      iters: Int,
+      residual: Boolean = false): String =
     trainedIvfPqIndexes.computeIfAbsent(
-      (dir, nlist, m, ks, trainSample, iters), _ => {
+      (dir, nlist, m, ks, trainSample, iters, residual), _ => {
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_tivfpq_" +
-          s"${Bucketing.dirTag(dir)}_n${nlist}_m${m}_k${ks}_t${trainSample}_i$iters"
+          s"${Bucketing.dirTag(dir)}_n${nlist}_m${m}_k${ks}_t${trainSample}" +
+          s"_i$iters${if (residual) "_res" else ""}"
         buildTrainedIvfPqIndexAt(s,
           withDoubles(s.read.parquet(s"$dir/embeddings.parquet")),
-          base, nlist, m, ks, trainSample, iters)
+          base, nlist, m, ks, trainSample, iters, residual)
         base
       })
 
@@ -892,9 +960,11 @@ object Similarity {
       ks: Int = 4,
       trainSample: Int = 64,
       iters: Int = 2,
-      refine: Int = 16): DataFrame = {
+      refine: Int = 16,
+      residual: Boolean = false): DataFrame = {
     LightFusion.ensureRegistered(s)
-    val idx = trainedIvfPqIndex(s, dir, nlist, m, ks, trainSample, iters)
+    val idx = trainedIvfPqIndex(s, dir, nlist, m, ks, trainSample, iters,
+      residual)
     val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
     val q = e.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))

@@ -900,6 +900,7 @@ object PipelineQueries {
     ("q211_winnow_pairs", q211WinnowPairs _, q211Sql),
     ("q212_tivfpq_adc", q212TrainedIvfPq _, q212Sql),
     ("q213_trained_recall", q213TrainedRecall _, q213Sql),
+    ("q217_residual_ivfpq", q217ResidualIvfPq _, q217Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2542,6 +2543,84 @@ object PipelineQueries {
        |  FROM sc) x
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
+
+  /** RESIDUAL trained IVF-PQ replay — the true IVFADC: the PQ trains
+    * on and encodes x − c(x), and ADC compares the query's PER-CELL
+    * residual against the codewords. Residuals of grid longs are grid
+    * longs, so every stage stays BIGINT-exact. */
+  private def residualIvfPqReplaySql(
+      nq: Int, k: Int, nlist: Int, nprobe: Int, ks: Int, refine: Int): String = {
+    val m = 4
+    val sub = 16
+    val codeJoins = (1 until m).map(j => s"JOIN bp$j USING (vec_id)").mkString(" ")
+    val resid = (src: String, c: String) =>
+      s"list_transform(range(1, 65), i -> $src[i] - $c[i])"
+    val qdCtes = (0 until m).map { j =>
+      val lo = j * sub + 1
+      s"""qd$j AS (
+         |  SELECT qr.q_id, qr.cell, pp.code,
+         |    ${gridDistSql(s"list_slice(qr.q, $lo, ${lo + sub - 1})", "pp.c", sub)} AS d
+         |  FROM qr CROSS JOIN bc${j}_2 pp)""".stripMargin
+    }.mkString(",\n")
+    val qdJoins = (0 until m).map(j =>
+      s"JOIN qd$j ON qd$j.q_id = c.q_id AND qd$j.cell = c.cell " +
+        s"AND qd$j.code = t.code_$j").mkString("\n  ")
+    val adcSum = (0 until m).map(j => s"qd$j.d").mkString(" + ")
+    s"""WITH $trainedBaseCtes,
+       |${trainedCoarseCtes(nq, nlist, nprobe)},
+       |rsa0 AS (SELECT s.rn, pp.code, ${gridDistSql("s.q", "pp.c", 64)} AS d
+       |  FROM s0 s CROSS JOIN gc0_2 pp),
+       |rsa AS (SELECT rn, code FROM (
+       |    SELECT rn, code, row_number() OVER (PARTITION BY rn ORDER BY d, code) AS rk
+       |    FROM rsa0) z WHERE rk = 1),
+       |rs0 AS (SELECT s.rn, ${resid("s.q", "c.c")} AS q
+       |  FROM s0 s JOIN rsa USING (rn) JOIN gc0_2 c ON c.code = rsa.code),
+       |req AS (SELECT e.vec_id, ${resid("e.q", "c.c")} AS q
+       |  FROM eq e JOIN cells a USING (vec_id) JOIN gc0_2 c ON c.code = a.cell),
+       |${pqTrainReplayCtes("b", "rs0", "req", m, sub, ks, 2)},
+       |codes AS (SELECT vec_id, ${(0 until m).map(j => s"code_$j").mkString(", ")}
+       |  FROM bp0 $codeJoins),
+       |cand AS (SELECT pr.q_id, pr.cell, a.vec_id AS n_id
+       |  FROM cells a JOIN probes pr ON a.cell = pr.cell
+       |  WHERE a.vec_id <> pr.q_id),
+       |qr AS (SELECT pr.q_id, pr.cell, ${resid("qq.q", "c.c")} AS q
+       |  FROM probes pr JOIN qq USING (q_id) JOIN gc0_2 c ON c.code = pr.cell),
+       |$qdCtes,
+       |adc AS (SELECT c.q_id, c.n_id, CAST($adcSum AS BIGINT) AS adc
+       |  FROM cand c JOIN codes t ON t.vec_id = c.n_id
+       |  $qdJoins),
+       |ref AS (SELECT q_id, n_id, adc FROM (
+       |    SELECT q_id, n_id, adc,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn
+       |    FROM adc) z WHERE rn <= $refine),
+       |v AS (SELECT vec_id, embedding, (${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |sc AS (SELECT r.q_id, r.n_id, r.adc,
+       |    (${dotSql("q.embedding", "c.embedding")}) / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+       |  FROM ref r JOIN v q ON q.vec_id = r.q_id JOIN v c ON c.vec_id = r.n_id)
+       |SELECT q_id, rank, n_id, adc, cos FROM (
+       |  SELECT q_id, n_id, adc, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM sc) x
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** RESIDUAL trained IVF-PQ from the stored index
+    * ([[Similarity.trainedIvfPqTopK]] with `residual = true` — the true
+    * IVFADC of Jégou et al. 2011 §III): the PQ models x − c(x), whose
+    * within-cell spread is far tighter than raw vectors, so the same
+    * 12-bit code budget reconstructs better and ADC ranks closer to the
+    * exact order than q212's raw-vector variant. The oracle replays the
+    * extra stages too: sample-residual formation, residual training,
+    * residual encode, and the per-(query, probed-cell) residual ADC. */
+  def q217ResidualIvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.trainedIvfPqTopK(s, dir, numQueries = 5, k = 5, nlist = 8,
+      nprobe = 3, m = 4, ks = 8, trainSample = 64, iters = 2, refine = 32,
+      residual = true)
+
+  def q217Sql: String =
+    residualIvfPqReplaySql(nq = 5, k = 5, nlist = 8, nprobe = 3, ks = 8,
+      refine = 32)
 
   /** TRAINED IVF-PQ search from the STORED index
     * ([[Similarity.trainedIvfPqTopK]] — the serving path: both

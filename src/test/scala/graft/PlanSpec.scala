@@ -287,6 +287,11 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // per-doc-score branch both consume the tokenize+hash partial. If
     // they stop sharing the identical aggregation subtree, the corpus
     // is tokenized twice (measured 1.8× on q203 before the rework).
+    // other suites cache the documents relation in the shared session;
+    // CacheManager would then substitute an InMemoryRelation here and
+    // the assertions below would judge the cache, not the cold plan.
+    // Dropping cached storage is safe — cached frames recompute.
+    spark.catalog.clearCache()
     val df = graft.operators.Sampling.importanceScores(
       spark.read.parquet(s"$sfDir/documents.parquet"),
       "doc_id", "text",

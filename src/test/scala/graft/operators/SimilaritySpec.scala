@@ -666,6 +666,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(t1 == t2 && t1.nonEmpty)
   }
 
+  test("residual IVF-PQ (true IVFADC): exhaustive equals brute force; stored flag honored") {
+    val brute = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // all cells probed + full refine: the residual ADC is a pure
+    // pre-sort, the exact re-rank must reproduce brute force — pins
+    // sample-residual training, residual encode, per-cell query
+    // residuals, and the ADC join
+    val rpq = Similarity.trainedIvfPqTopK(spark, sfDir, numQueries = 5,
+        k = 5, nlist = 8, nprobe = 8, refine = 1000000, residual = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rpq == brute)
+    // the flag is INDEX state, not caller state: building residual and
+    // probing through the generic entry must agree (meta round-trip)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_res_idx").toString
+    Similarity.buildTrainedIvfPqIndexAt(spark, emb, path, residual = true)
+    val q = emb.where(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .selectExpr("vec_id as q_id", "v as qv")
+    val a = Similarity.trainedIvfPqProbeStored(spark, path, q,
+      emb.selectExpr("vec_id as n_id", "v"), k = 5, nprobe = 3, refine = 32)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.trainedIvfPqProbeStored(spark, path, q,
+      emb.selectExpr("vec_id as n_id", "v"), k = 5, nprobe = 3, refine = 32)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty, "stored residual probe must be deterministic")
+  }
+
   test("trained quantizers out-recall the seeded ones on the fixture corpus") {
     // the q213 dashboard's reason to exist: at comparable probe
     // fractions the Lloyd-trained cells must beat raw-seed cells
