@@ -941,6 +941,7 @@ object CorpusQueries {
     ("q205_mixture_plan", q205MixturePlan _, q205Sql),
     ("q207_incremental_quantiles", q207IncrementalQuantiles _, q105Sql),
     ("q214_importance_incremental", q214ImportanceIncremental _, q203Sql),
+    ("q218_stream_importance", q218StreamImportance _, q203Sql),
     ("q43_doc_frequency", q43DocFrequency _, q43Sql),
     ("q44_idf_tf", q44IdfTf _, q44Sql),
     ("q45_stratified_sample", q45StratifiedSample _, q45Sql),
@@ -1418,6 +1419,39 @@ object CorpusQueries {
 
   private val importanceStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val impStreamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** q214's feature store fed by a REAL stream (the q196 pattern on the
+    * DSIR partials): each micro-batch persists only its own
+    * (doc, bucket, cnt) shard via `foreachBatch` (shard = batch id), so
+    * a live ingest keeps the importance-score inputs fresh at
+    * batch-sized cost, a replayed batch overwrites its own shard
+    * (exactly-once features from at-least-once delivery), and the fold
+    * equals the batch computation — stream ≡ batch gated against q203's
+    * oracle. */
+  def q218StreamImportance(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema).option("basePath", dir)
+      .parquet(s"$dir/documents.parquet*")
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft_stdsir_" +
+      s"${ProcessHandle.current().pid()}_${impStreamSeq.incrementAndGet()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.operators.Sampling.writeImportanceShard(
+            b, "doc_id", "text", col("source") === "src0", store, s"b$id",
+            buckets = 4096)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    graft.operators.Sampling.importanceFromStore(s, store, "doc_id")
+      .presentSorted("doc_id")
+  }
 
   /** Mixture/epoch plan ([[graft.operators.Sampling.mixturePlan]]):
     * a 10M-token budget apportioned across sources by deterministic

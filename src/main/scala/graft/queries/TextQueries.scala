@@ -910,7 +910,8 @@ object TextQueries {
     ("q215_byte_bpe", q215ByteBpe _, q215Sql),
     ("q193_lang_confusion", q193LangConfusion _, q193Sql),
     ("q201_langid_unicode", q201LangidUnicode _, q201Sql),
-    ("q216_langid_routed", q216LangidRouted _, q216Sql))
+    ("q216_langid_routed", q216LangidRouted _, q216Sql),
+    ("q219_token_fertility", q219TokenFertility _, q219Sql))
 
   /** Language-label confusion matrix: the `lang` column a source
     * CLAIMS against what the ROUTED predictor
@@ -1081,10 +1082,14 @@ object TextQueries {
       .presentSorted("doc_id")
   }
 
-  def q215Sql: String = {
-    val plants = mixedScriptPlants.map(p => s"'$p'").mkString(", ")
+  /** Byte-level pretokenization replay over a `(doc_id, t)` source
+    * subquery: GPT-2 pretok regex → code-point → UTF-8 bytes (pure
+    * integer arithmetic per arm) → GPT-2 bytes_to_unicode as arithmetic
+    * (printable bytes map to themselves; the 68 others get 256 + their
+    * rank in byte order). Yields the `(doc_id, ww)` select
+    * [[bpeReplaySql]] consumes. */
+  private def byteUnitsWsSql(dirtySelect: String): String = {
     val cp = "unicode(substr(pt, ci, 1))"
-    // code point -> UTF-8 bytes, pure integer arithmetic per arm
     val bytesOf =
       s"""CASE WHEN $cp < 128 THEN [$cp]
          |     WHEN $cp < 2048 THEN [192 + $cp // 64, 128 + $cp % 64]
@@ -1092,27 +1097,95 @@ object TextQueries {
          |       128 + ($cp // 64) % 64, 128 + $cp % 64]
          |     ELSE [240 + $cp // 262144, 128 + ($cp // 4096) % 64,
          |       128 + ($cp // 64) % 64, 128 + $cp % 64] END""".stripMargin
-    // GPT-2 bytes_to_unicode as arithmetic: printable bytes map to
-    // themselves; the 68 others get 256 + (their rank in byte order)
     val unitOf =
       """CASE WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
         |       OR (b BETWEEN 174 AND 255) THEN b
         |     WHEN b <= 32 THEN 256 + b
         |     WHEN b BETWEEN 127 AND 160 THEN 162 + b
         |     ELSE 323 END""".stripMargin
-    val ws =
-      s"""SELECT doc_id, list_transform(
-         |    regexp_extract_all(t,
-         |      '''(?:s|t|d|m|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'),
-         |    pt -> array_to_string(
-         |      list_transform(
-         |        flatten(list_transform(range(1, len(pt) + 1), ci -> $bytesOf)),
-         |        b -> chr($unitOf)), '')) AS ww
-         |  FROM (SELECT doc_id,
-         |    coalesce(text, '') || ' ' ||
-         |      list_extract([$plants], CAST(doc_id % 4 AS INT) + 1) AS t
-         |    FROM documents)""".stripMargin
-    bpeReplaySql(ws, graft.ml.Bpe.byteLevel)
+    s"""SELECT doc_id, list_transform(
+       |    regexp_extract_all(t,
+       |      '''(?:s|t|d|m|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'),
+       |    pt -> array_to_string(
+       |      list_transform(
+       |        flatten(list_transform(range(1, len(pt) + 1), ci -> $bytesOf)),
+       |        b -> chr($unitOf)), '')) AS ww
+       |  FROM ($dirtySelect)""".stripMargin
+  }
+
+  /** The q215 corpus: every doc's text with one mixed-script plant. */
+  private def q215DirtySql: String = {
+    val plants = mixedScriptPlants.map(p => s"'$p'").mkString(", ")
+    s"""SELECT doc_id,
+       |    coalesce(text, '') || ' ' ||
+       |      list_extract([$plants], CAST(doc_id % 4 AS INT) + 1) AS t
+       |    FROM documents""".stripMargin
+  }
+
+  def q215Sql: String =
+    bpeReplaySql(byteUnitsWsSql(q215DirtySql), graft.ml.Bpe.byteLevel)
+
+  /** Tokenizer fertility audit — the per-language tokens-per-byte table
+    * every multilingual training-budget discussion starts from: a BPE
+    * vocabulary trained mostly on one script spends MORE tokens per
+    * byte on the others (unmerged base units), so a fixed token budget
+    * buys unequal text across languages. Corpus: q216's mix (pure
+    * ru/ja/ko plants + the real English text with a Cyrillic quote,
+    * labeled `mixed`), tokenized by the byte-level fixture — nothing is
+    * dropped, so bytes are conserved and the ratio is honest. The
+    * oracle replays the whole byte-level pipe per doc, then aggregates
+    * exact integer sums; the ratio is one int/int double division. */
+  def q219TokenFertility(s: SparkSession, dir: String): DataFrame = {
+    val t = when(col("doc_id") % 4 === 1, lit(plantedRu))
+      .when(col("doc_id") % 4 === 2, lit(plantedJa))
+      .when(col("doc_id") % 4 === 3, lit(plantedKo))
+      .otherwise(concat(coalesce(col("text"), lit("")),
+        lit(" она сказала привет и ушла")))
+    val lang = when(col("doc_id") % 4 === 1, lit("ru"))
+      .when(col("doc_id") % 4 === 2, lit("ja"))
+      .when(col("doc_id") % 4 === 3, lit("ko"))
+      .otherwise(lit("mixed"))
+    val dirty = docs(s, dir).select(col("doc_id"), t.as("t"), lang.as("lang"))
+    val toks = TextAnalysis.bpeTokens(dirty, "doc_id", "t",
+      graft.ml.Bpe.byteLevel,
+      tokenize = tx => graft.ml.Bpe.pretokenize(tx).map(graft.ml.Bpe.byteUnits))
+    dirty
+      .select(col("doc_id"), col("lang"),
+        octet_length(col("t")).cast("long").as("nb"))
+      .join(toks.select(col("doc_id"), col("n_bpe_tokens")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("n_bytes"),
+        sum(col("n_bpe_tokens")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_bytes"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_bytes")).as("tok_per_byte"))
+      .presentSorted("lang")
+  }
+
+  def q219Sql: String = {
+    val dirty =
+      s"""SELECT doc_id, CASE doc_id % 4
+         |    WHEN 1 THEN '$plantedRu'
+         |    WHEN 2 THEN '$plantedJa'
+         |    WHEN 3 THEN '$plantedKo'
+         |    ELSE coalesce(text, '') || ' она сказала привет и ушла' END AS t,
+         |  CASE doc_id % 4 WHEN 1 THEN 'ru' WHEN 2 THEN 'ja' WHEN 3 THEN 'ko'
+         |    ELSE 'mixed' END AS lang
+         |  FROM documents""".stripMargin
+    val perDoc = bpeReplaySql(byteUnitsWsSql(
+        "SELECT doc_id, t FROM dirty"), graft.ml.Bpe.byteLevel)
+      .linesIterator.filterNot(_.startsWith("ORDER BY")).mkString("\n  ")
+    s"""WITH dirty AS ($dirty),
+       |pd AS (
+       |  $perDoc
+       |)
+       |SELECT d.lang, count(*)::BIGINT AS n_docs,
+       |  SUM(strlen(d.t))::BIGINT AS n_bytes,
+       |  SUM(pd.n_bpe_tokens)::BIGINT AS n_tokens,
+       |  SUM(pd.n_bpe_tokens)::DOUBLE / SUM(strlen(d.t)) AS tok_per_byte
+       |FROM dirty d JOIN pd USING (doc_id)
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
   }
 
   /** Blocklist policy for q139: two terms that occur in the corpus
