@@ -73,6 +73,34 @@ object Similarity {
       .presentSorted("q_id", "rank")
   }
 
+  /** Exact cosine top-k over the first `dim` embedding components —
+    * the matryoshka-serving variant of [[bruteForceTopK]] (cosine over
+    * a prefix equals cosine of the re-normalized prefix, so this IS
+    * search in the truncated space [[matryoshkaNormalize]] stores).
+    * Same plan shape: broadcast query panel, fused-kernel cosine over
+    * one scan (now reading `dim/fullDim` of the vector bytes — the
+    * storage/latency win being audited), distributed top-k. */
+  def prefixTopK(
+      s: SparkSession,
+      dir: String,
+      numQueries: Int = 10,
+      k: Int = 5,
+      dim: Int = 16): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), 1, dim).as("v"))
+    val q = e.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
+    TopK.perKey(scored, Seq("q_id"), "cos", "n_id", k)
+      .select("q_id", "rank", "n_id", "cos")
+      .presentSorted("q_id", "rank")
+  }
+
   /** LSH-bucketed ANN: sign-bit signature bands gate the candidate join,
     * exact cosine re-ranks. Query-side multi-probe (each band bucket plus
     * its four 1-bit-flip neighbors) trades 5× more *query* probes — cheap,

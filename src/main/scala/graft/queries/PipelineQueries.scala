@@ -901,6 +901,7 @@ object PipelineQueries {
     ("q212_tivfpq_adc", q212TrainedIvfPq _, q212Sql),
     ("q213_trained_recall", q213TrainedRecall _, q213Sql),
     ("q217_residual_ivfpq", q217ResidualIvfPq _, q217Sql),
+    ("q220_matryoshka_recall", q220MatryoshkaRecall _, q220Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2543,6 +2544,63 @@ object PipelineQueries {
        |  FROM sc) x
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
+
+  /** Matryoshka truncation recall dashboard
+    * ([[Similarity.prefixTopK]] vs full-dim brute force): recall@5 of
+    * exact search over the 16- and 32-component prefixes — the table
+    * that decides how far a matryoshka-trained embedding can be
+    * truncated before retrieval degrades (storage and scan bytes drop
+    * linearly with dim; this shows what recall that buys). Same
+    * composed-replay oracle shape as q206: three already-exact top-k
+    * replays joined, recall a ratio of small integer counts. */
+  def q220MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = Similarity.bruteForceTopK(s, dir, numQueries = 10, k = 5)
+      .select(col("q_id").as("bq"), col("n_id"))
+    val d16 = Similarity.prefixTopK(s, dir, numQueries = 10, k = 5, dim = 16)
+      .select(col("q_id").as("q16"), col("n_id").as("n16"))
+    val d32 = Similarity.prefixTopK(s, dir, numQueries = 10, k = 5, dim = 32)
+      .select(col("q_id").as("q32"), col("n_id").as("n32"))
+    brute
+      .join(d16, col("q16") === col("bq") && col("n16") === col("n_id"), "left")
+      .join(d32, col("q32") === col("bq") && col("n32") === col("n_id"), "left")
+      .groupBy(col("bq").as("q_id"))
+      .agg(count(lit(1)).as("k"),
+        count(col("n16")).as("d16_hits"),
+        count(col("n32")).as("d32_hits"))
+      .select(col("q_id"), col("k"), col("d16_hits"), col("d32_hits"),
+        (col("d16_hits").cast("double") / col("k")).as("d16_recall"),
+        (col("d32_hits").cast("double") / col("k")).as("d32_recall"))
+      .presentSorted("q_id")
+  }
+
+  /** q40's brute-force replay truncated to the first `d` components. */
+  private def prefixTopKSql(d: Int): String = {
+    def dotN(a: String, b: String): String =
+      (1 to d).map(i => s"$a[$i]::DOUBLE*$b[$i]::DOUBLE").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding, (${dotN("embedding", "embedding")}) AS nrm FROM embeddings),
+       |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |        (${dotN("q.embedding", "c.embedding")}) / (sqrt(q.nrm) * sqrt(c.nrm)) AS cos
+       |      FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM p) z
+       |WHERE rank <= 5""".stripMargin
+  }
+
+  def q220Sql: String =
+    s"""WITH brute AS ($q40Sql),
+       |d16 AS (${prefixTopKSql(16)}),
+       |d32 AS (${prefixTopKSql(32)})
+       |SELECT b.q_id, count(*) AS k,
+       |  count(s.n_id) AS d16_hits, count(t.n_id) AS d32_hits,
+       |  count(s.n_id)::DOUBLE / count(*) AS d16_recall,
+       |  count(t.n_id)::DOUBLE / count(*) AS d32_recall
+       |FROM brute b
+       |LEFT JOIN d16 s ON s.q_id = b.q_id AND s.n_id = b.n_id
+       |LEFT JOIN d32 t ON t.q_id = b.q_id AND t.n_id = b.n_id
+       |GROUP BY b.q_id
+       |ORDER BY b.q_id""".stripMargin
 
   /** RESIDUAL trained IVF-PQ replay — the true IVFADC: the PQ trains
     * on and encodes x − c(x), and ADC compares the query's PER-CELL
