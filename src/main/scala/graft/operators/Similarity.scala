@@ -784,6 +784,34 @@ object Similarity {
     encodeWithStoredTrained(s, emb.select(col("vec_id"), col("v")), path)
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
 
+  /** Index maintenance: RE-TRAIN the quantizers on the index's CURRENT
+    * contents and rebuild at `dest` — the periodic rebalance a serving
+    * index needs after drifting ingest (appends never re-train, so cell
+    * geometry ages: cells overfill, residual codebooks stop matching
+    * the data). Reads `(vec_id, v)` back from the stored partitions (v
+    * is stored beside the codes precisely so maintenance never needs
+    * the source corpus), then runs the one true build path — so a
+    * rebuild is BIT-IDENTICAL to a fresh build over the same rows
+    * (SimilaritySpec pins it), and serving can cut over by swapping
+    * paths. `dest` must differ from `path`: building in place would
+    * overwrite partitions mid-scan. */
+  def rebuildTrainedIvfPqIndexTo(
+      s: SparkSession,
+      path: String,
+      dest: String,
+      nlist: Int = 8,
+      m: Int = 4,
+      ks: Int = 4,
+      trainSample: Int = 64,
+      iters: Int = 2): Unit = {
+    require(dest != path,
+      "rebuild must target a fresh path (in-place overwrite would race the scan)")
+    buildTrainedIvfPqIndexAt(s,
+      s.read.parquet(s"$path/vectors").select(col("vec_id"), col("v")),
+      dest, nlist, m, ks, trainSample, iters,
+      residual = readIndexResidual(s, path))
+  }
+
   /** Cell assignment + PQ encode against the tables persisted at `path`
     * — the one shared step of build and append. Shuffle-free: both
     * quantizers ride broadcast [[graft.functions.CentroidKernel]]s over

@@ -911,7 +911,8 @@ object TextQueries {
     ("q193_lang_confusion", q193LangConfusion _, q193Sql),
     ("q201_langid_unicode", q201LangidUnicode _, q201Sql),
     ("q216_langid_routed", q216LangidRouted _, q216Sql),
-    ("q219_token_fertility", q219TokenFertility _, q219Sql))
+    ("q219_token_fertility", q219TokenFertility _, q219Sql),
+    ("q221_byte_budget", q221ByteBudget _, q221Sql))
 
   /** Language-label confusion matrix: the `lang` column a source
     * CLAIMS against what the ROUTED predictor
@@ -1186,6 +1187,52 @@ object TextQueries {
        |FROM dirty d JOIN pd USING (doc_id)
        |GROUP BY d.lang
        |ORDER BY d.lang""".stripMargin
+  }
+
+  /** Multilingual BYTE-budget planner — q219's fertility table put to
+    * its actual use: a token budget is spent in BYTES of storage, and
+    * the bytes a language needs per token is exactly the inverse
+    * fertility just measured. Equal token shares are apportioned by
+    * largest remainder (lang-name order breaks the remainder tie — all
+    * shares tie, so the first `B mod n` languages get the extra token)
+    * and converted to byte quotas by the exact integer cross-multiply
+    * `alloc · n_bytes div n_tokens`. Every number is an exact BIGINT;
+    * the oracle replays the fertility pipe and the arithmetic. */
+  def q221ByteBudget(s: SparkSession, dir: String): DataFrame = {
+    val budget = 100000L
+    val fert = q219TokenFertility(s, dir)
+      .select(col("lang"), col("n_bytes"), col("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("lang"))
+    fert
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(fert.agg(count(lit(1)).as("nl"))))
+      .withColumn("alloc_tokens",
+        expr(s"(${budget}L div nl) + " +
+          s"CASE WHEN rn <= (${budget}L % nl) THEN 1L ELSE 0L END"))
+      .withColumn("bytes_needed",
+        expr("(alloc_tokens * n_bytes) div n_tokens"))
+      .select("lang", "alloc_tokens", "n_bytes", "n_tokens", "bytes_needed")
+      .presentSorted("lang")
+  }
+
+  def q221Sql: String = {
+    val fert = q219Sql.linesIterator.filterNot(_.startsWith("ORDER BY"))
+      .mkString("\n  ")
+    s"""WITH f AS (
+       |  $fert
+       |),
+       |n AS (SELECT count(*) AS nl FROM f),
+       |r AS (SELECT f.*, row_number() OVER (ORDER BY lang) AS rn FROM f)
+       |SELECT lang,
+       |  CAST((100000 // nl) +
+       |    CASE WHEN rn <= (100000 % nl) THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc_tokens,
+       |  n_bytes, n_tokens,
+       |  CAST((((100000 // nl) +
+       |    CASE WHEN rn <= (100000 % nl) THEN 1 ELSE 0 END) * n_bytes)
+       |    // n_tokens AS BIGINT) AS bytes_needed
+       |FROM r CROSS JOIN n
+       |ORDER BY lang""".stripMargin
   }
 
   /** Blocklist policy for q139: two terms that occur in the corpus

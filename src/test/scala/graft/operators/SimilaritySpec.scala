@@ -666,6 +666,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(t1 == t2 && t1.nonEmpty)
   }
 
+  test("index rebuild: re-train from stored vectors ≡ fresh build on the same rows") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val q = emb.where(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .selectExpr("vec_id as q_id", "v as qv")
+    val exact = emb.selectExpr("vec_id as n_id", "v")
+    def probeSet(p: String) =
+      Similarity.trainedIvfPqProbeStored(spark, p, q, exact,
+          k = 5, nprobe = 3, refine = 32)
+        .collect().map(_.toSeq).toSet
+    // grow an index out of training date: build on half, append the rest
+    val aged = java.nio.file.Files
+      .createTempDirectory("graft_idx_aged").toString
+    Similarity.buildTrainedIvfPqIndexAt(spark,
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 250), aged)
+    Similarity.appendToTrainedIvfPqIndex(spark,
+      emb.where(org.apache.spark.sql.functions.col("vec_id") >= 250), aged)
+    // rebuild re-trains on the CURRENT contents: must equal a fresh
+    // build over the full corpus, bit for bit
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_idx_rebuilt").toString
+    Similarity.rebuildTrainedIvfPqIndexTo(spark, aged, rebuilt)
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_idx_fresh").toString
+    Similarity.buildTrainedIvfPqIndexAt(spark, emb, fresh)
+    assert(probeSet(rebuilt) == probeSet(fresh),
+      "rebuild from stored vectors must equal a fresh build")
+    // in-place rebuild is refused (would overwrite partitions mid-scan)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.rebuildTrainedIvfPqIndexTo(spark, aged, aged)
+    }
+    assert(e.getMessage.contains("fresh path"))
+  }
+
   test("residual IVF-PQ (true IVFADC): exhaustive equals brute force; stored flag honored") {
     val brute = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = 5)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
