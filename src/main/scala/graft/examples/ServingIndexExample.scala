@@ -1,0 +1,76 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.LightFusion
+import graft.operators.Similarity
+
+/** The embedding-serving lifecycle, end to end, from the building blocks
+  * in [[graft.operators.Similarity]] — the day-in-the-life of a vector
+  * index that CurationPipelineExample is for a text corpus:
+  *
+  *   day-0 bootstrap  → buildTrainedIvfPqIndexAt (residual IVFADC:
+  *                      integer-Lloyd coarse cells + residual PQ,
+  *                      persisted coarse/codebooks/meta + vectors
+  *                      partitioned by cell)
+  *   serve            → trainedIvfPqProbeStored (partition-pruned probe,
+  *                      code-column ADC scan, exact-cosine refine)
+  *   day-1 ingest     → appendToTrainedIvfPqIndex (assign+encode with the
+  *                      STORED quantizers — no retrain, old partitions
+  *                      untouched, new vectors land in their cells)
+  *   drift audit      → recall@5 of the served index vs exact brute force
+  *                      on a bounded query panel (the q213 dashboard)
+  *   maintenance      → rebuildTrainedIvfPqIndexTo (re-train on the
+  *                      index's CURRENT contents, rebuild at a fresh
+  *                      path; serving cuts over by path swap)
+  *
+  * Returns one row per lifecycle stage: `(stage, results, recall_at_5)` —
+  * `results` is the probe row count (queries × k), `recall_at_5` the
+  * panel-averaged overlap with brute force (NaN-free: stages before a
+  * recall audit report -1.0).
+  */
+object ServingIndexExample {
+
+  def run(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    LightFusion.ensureRegistered(spark)
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val day0 = emb.where(col("vec_id") < 250)
+    val day1 = emb.where(col("vec_id") >= 250)
+    val q = emb.where(col("vec_id") < 5)
+      .selectExpr("vec_id as q_id", "v as qv")
+    val exact = emb.selectExpr("vec_id as n_id", "v")
+    val brute = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = 5)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def probe(path: String): Array[(Long, Long)] =
+      Similarity.trainedIvfPqProbeStored(spark, path, q, exact,
+          k = 5, nprobe = 3, refine = 32)
+        .select(col("q_id"), col("n_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    def recall(hits: Array[(Long, Long)]): Double =
+      hits.count(brute.contains).toDouble / brute.size
+
+    val idx = s"$workDir/ann_index"
+    Similarity.buildTrainedIvfPqIndexAt(spark, day0, idx,
+      nlist = 8, m = 4, ks = 8, residual = true)
+    val served0 = probe(idx)
+
+    Similarity.appendToTrainedIvfPqIndex(spark, day1, idx)
+    val served1 = probe(idx)
+
+    val rebuilt = s"$workDir/ann_index_rebuilt"
+    Similarity.rebuildTrainedIvfPqIndexTo(spark, idx, rebuilt,
+      nlist = 8, m = 4, ks = 8)
+    val served2 = probe(rebuilt)
+
+    Seq(
+      ("1_day0_build", served0.length.toLong, -1.0),
+      ("2_day1_append", served1.length.toLong, recall(served1)),
+      ("3_rebuild_cutover", served2.length.toLong, recall(served2)))
+      .toDF("stage", "results", "recall_at_5")
+  }
+}

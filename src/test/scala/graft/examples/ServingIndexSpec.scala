@@ -1,0 +1,48 @@
+package graft.examples
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.Similarity
+
+class ServingIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  test("serving lifecycle: build → append → audit → rebuild, all stages live") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_serving_ex").toString
+    val rows = ServingIndexExample.run(spark, sfDir, work)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows.keySet ==
+      Set("1_day0_build", "2_day1_append", "3_rebuild_cutover"))
+    // every probe returns the full panel (5 queries × k 5)
+    assert(rows.values.forall(_._1 == 25L))
+    // recall audits are real fractions
+    assert(rows("2_day1_append")._2 >= 0.0 && rows("2_day1_append")._2 <= 1.0)
+    assert(rows("3_rebuild_cutover")._2 >= 0.0)
+  }
+
+  test("append makes day-1 vectors reachable: exhaustive post-append probe equals brute force") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_serving_reach").toString
+    Similarity.buildTrainedIvfPqIndexAt(spark,
+      emb.where(col("vec_id") < 250), idx, nlist = 8, residual = true)
+    Similarity.appendToTrainedIvfPqIndex(spark,
+      emb.where(col("vec_id") >= 250), idx)
+    val q = emb.where(col("vec_id") < 5)
+      .selectExpr("vec_id as q_id", "v as qv")
+    // all cells probed + full refine: if append left any day-1 vector
+    // out of its partition, a brute-force neighbor would be missing
+    val got = Similarity.trainedIvfPqProbeStored(spark, idx, q,
+        emb.selectExpr("vec_id as n_id", "v"),
+        k = 5, nprobe = 8, refine = 1000000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(spark, sfDir, numQueries = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == brute,
+      "post-append exhaustive probe must reproduce brute force exactly")
+  }
+}
