@@ -196,4 +196,28 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       assert((r._6, r._7) == naive(3), s"3-gram on '$text'")
     }
   }
+
+  test("byte-level BPE round-trips arbitrary unicode byte-exactly") {
+    // code points across every UTF-8 width, surrogate range excluded
+    // (lone surrogates aren't valid unicode; paired ones come from the
+    // supplementary range below)
+    val cpGen: Gen[Int] = Gen.frequency(
+      6 -> Gen.chooseNum(0x20, 0x7e),        // ASCII
+      2 -> Gen.chooseNum(0xa0, 0x7ff),       // 2-byte
+      2 -> Gen.chooseNum(0x800, 0xd7ff),     // 3-byte below surrogates
+      1 -> Gen.chooseNum(0x10000, 0x10fff),  // 4-byte (supplementary)
+      1 -> Gen.oneOf(0x9, 0xa, 0x0))         // controls incl. NUL
+    val textGen: Gen[String] =
+      Gen.containerOfN[Vector, Int](40, cpGen)
+        .map(_.flatMap(Character.toChars(_)).mkString)
+    val bpe = graft.ml.Bpe.byteLevel
+    forAllN(textGen) { t =>
+      val toks = bpe.encodeByteLevel(t)
+      assert(graft.ml.Bpe.decodeByteLevel(toks) == t,
+        s"round-trip failed for codepoints ${t.codePoints().toArray.toSeq}")
+      val nBytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      assert(toks.map(tok => graft.ml.Bpe.unitBytes(tok).length).sum == nBytes,
+        "byte totals must conserve")
+    }
+  }
 }
