@@ -902,6 +902,7 @@ object PipelineQueries {
     ("q213_trained_recall", q213TrainedRecall _, q213Sql),
     ("q217_residual_ivfpq", q217ResidualIvfPq _, q217Sql),
     ("q220_matryoshka_recall", q220MatryoshkaRecall _, q220Sql),
+    ("q222_stream_index_ingest", q222StreamIndexIngest _, q212Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2661,6 +2662,50 @@ object PipelineQueries {
        |  FROM sc) x
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  private val annStreamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** LIVE-INGEST serving index: bootstrap-build the trained IVF-PQ on
+    * the first half of the corpus, then STREAM the rest in —
+    * `foreachBatch` → [[Similarity.appendToTrainedIvfPqIndex]], each
+    * micro-batch assigned + encoded with the STORED quantizers and
+    * appended to its cells' partitions — and serve the q212 search off
+    * the grown index. Equality with q212's full-build oracle is the
+    * theorem being gated: the bootstrap half contains the trainSample
+    * lowest vec_ids, so both builds train identical quantizers, and
+    * append-with-stored-tables ≡ one-shot build regardless of batch
+    * count or arrival order (codes are a pure row function). This is
+    * the production shape — the index never rebuilds on ingest; only
+    * the daily batch pays encode cost. */
+  def q222StreamIndexIngest(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_stann_" +
+      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    Similarity.buildTrainedIvfPqIndexAt(s,
+      emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .where(col("vec_id") < 250),
+      idx, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    val stream = s.readStream.schema(emb.schema).option("basePath", dir)
+      .parquet(s"$dir/embeddings.parquet*")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          Similarity.appendToTrainedIvfPqIndex(s,
+            b.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+              .where(col("vec_id") >= 250), idx)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val e = emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    Similarity.trainedIvfPqProbeStored(s, idx,
+      e.where(col("vec_id") < 5).selectExpr("vec_id as q_id", "v as qv"),
+      e.selectExpr("vec_id as n_id", "v"),
+      k = 5, nprobe = 3, refine = 32)
   }
 
   /** RESIDUAL trained IVF-PQ from the stored index
