@@ -888,7 +888,12 @@ object Similarity {
     *
     * `q` carries `(q_id, qv: array<double>)`; `exact` is the `(n_id, v)`
     * lookup for the re-rank (pass the corpus — only refine-survivor ids
-    * are ever fetched). */
+    * are ever fetched). `allowed` (an `(n_id)` frame) turns this into
+    * FILTERED vector search — the RAG/ACL shape where only a predicate's
+    * survivors may be retrieved: the filter applies as a broadcast
+    * LEFT-SEMI on the candidate ids BEFORE the ADC cut, so the refine
+    * budget is spent entirely on eligible candidates (post-filtering
+    * after top-k would silently return < k under selective filters). */
   def trainedIvfPqProbeStored(
       s: SparkSession,
       path: String,
@@ -896,7 +901,8 @@ object Similarity {
       exact: DataFrame,
       k: Int = 5,
       nprobe: Int = 3,
-      refine: Int = 16): DataFrame = {
+      refine: Int = 16,
+      allowed: Option[DataFrame] = None): DataFrame = {
     LightFusion.ensureRegistered(s)
     import org.apache.spark.sql.expressions.Window
     val books = readStoredBooks(s, path)
@@ -911,10 +917,16 @@ object Similarity {
       java.util.Arrays.asList(probeRows: _*), probeSchema)
     val adcKernel = new graft.functions.PqAdcKernel(
       books.map(_.map(_.map(_.toDouble))))
-    val cands = s.read.parquet(s"$path/vectors")
+    val pruned = s.read.parquet(s"$path/vectors")
       .where(col("cell").isin(cellSet.map(Int.box): _*))
       .select(col("vec_id") +: col("cell").cast("int").as("cell") +:
         (0 until m).map(j => col(s"code_$j")): _*)
+    val gated = allowed match {
+      case Some(al) => pruned.join(
+        broadcast(al.select(col("n_id").as("vec_id"))), Seq("vec_id"), "left_semi")
+      case None => pruned
+    }
+    val cands = gated
       .join(broadcast(probesDf.select(col("q_id"),
         col("qg").cast("array<double>").as("qgd"), col("cell"))), Seq("cell"))
       .where(col("vec_id") =!= col("q_id"))
@@ -982,7 +994,7 @@ object Similarity {
 
   /** Build-once path for the corpus at `dir` (per-JVM registry; the
     * stored tables define the geometry across restarts). */
-  private def trainedIvfPqIndex(
+  private[graft] def trainedIvfPqIndex(
       s: SparkSession,
       dir: String,
       nlist: Int,

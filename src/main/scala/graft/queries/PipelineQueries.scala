@@ -903,6 +903,8 @@ object PipelineQueries {
     ("q217_residual_ivfpq", q217ResidualIvfPq _, q217Sql),
     ("q220_matryoshka_recall", q220MatryoshkaRecall _, q220Sql),
     ("q222_stream_index_ingest", q222StreamIndexIngest _, q212Sql),
+    ("q223_filtered_ann", q223FilteredAnn _, q223Sql),
+    ("q224_cell_balance", q224CellBalance _, q224Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2663,6 +2665,75 @@ object PipelineQueries {
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  /** FILTERED vector search over the stored trained index — the
+    * RAG/ACL shape: only documents passing a predicate (here: even
+    * label — stand-in for a quality/permission filter) may be
+    * retrieved. The allow-list gates candidate ids BEFORE the ADC cut
+    * (post-filtering a top-k under a ~50% filter would return ~half a
+    * result page), so the refine budget is spent on eligible
+    * candidates only. Oracle = the q212 replay with the same gate on
+    * the candidate set. */
+  def q223FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
+    val allowed = e.where(col("label") % 2 === 0)
+      .select(col("vec_id").as("n_id"))
+    Similarity.trainedIvfPqProbeStored(s, idx,
+      e.where(col("vec_id") < 5).selectExpr("vec_id as q_id", "v as qv"),
+      e.selectExpr("vec_id as n_id", "v"),
+      k = 5, nprobe = 3, refine = 32, allowed = Some(allowed))
+  }
+
+  def q223Sql: String = {
+    val base = trainedIvfPqReplaySql(nq = 5, k = 5, nlist = 8, nprobe = 3,
+      ks = 8, refine = 32)
+    // gate the candidate set exactly where the operator gates it
+    val out = base.replace(
+      "cand AS (SELECT pr.q_id, a.vec_id AS n_id\n" +
+        "  FROM cells a JOIN probes pr ON a.cell = pr.cell\n" +
+        "  WHERE a.vec_id <> pr.q_id)",
+      "cand AS (SELECT pr.q_id, a.vec_id AS n_id\n" +
+        "  FROM cells a JOIN probes pr ON a.cell = pr.cell\n" +
+        "  JOIN (SELECT vec_id FROM embeddings WHERE label % 2 = 0) al\n" +
+        "    ON al.vec_id = a.vec_id\n" +
+        "  WHERE a.vec_id <> pr.q_id)")
+    require(out != base, "q223 allow-list splice found no cand CTE to gate")
+    out
+  }
+
+  /** Cell-occupancy balance audit of the stored trained index — the
+    * "rebuild yet?" dashboard: per coarse cell its vector count and
+    * corpus share. Drifting ingest overfills some cells (appends never
+    * re-train), which degrades both probe recall (queries probe a
+    * fixed cell count) and scan balance (one partition carries the
+    * load); this is the number an operator alarms on before calling
+    * [[Similarity.rebuildTrainedIvfPqIndexTo]]. Oracle replays the
+    * coarse training + every assignment and aggregates. */
+  def q224CellBalance(s: SparkSession, dir: String): DataFrame = {
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val cells = s.read.parquet(s"$idx/vectors")
+      .select(col("cell").cast("long").as("cell"))
+    val tot = cells.agg(count(lit(1)).as("n_total"))
+    cells.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("n_total")).as("share"))
+      .presentSorted("cell")
+  }
+
+  def q224Sql: String =
+    s"""WITH $trainedBaseCtes,
+       |${pqTrainReplayCtes("g", "s0", "eq", 1, 64, 8, 2)},
+       |cells AS (SELECT vec_id, code_0 AS cell FROM gp0)
+       |SELECT cell, count(*)::BIGINT AS n_vectors,
+       |  count(*)::DOUBLE / (SELECT count(*) FROM cells) AS share
+       |FROM cells
+       |GROUP BY cell
+       |ORDER BY cell""".stripMargin
 
   private val annStreamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 

@@ -666,6 +666,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(t1 == t2 && t1.nonEmpty)
   }
 
+  test("filtered ANN: only allowed ids retrieved; allow-all equals unfiltered") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_filtered_ann").toString
+    Similarity.buildTrainedIvfPqIndexAt(spark, emb, idx, nlist = 8, ks = 8)
+    val q = emb.where(col("vec_id") < 5)
+      .selectExpr("vec_id as q_id", "v as qv")
+    val exact = emb.selectExpr("vec_id as n_id", "v")
+    val evenIds = emb.where(col("label") % 2 === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val filtered = Similarity.trainedIvfPqProbeStored(spark, idx, q, exact,
+      k = 5, nprobe = 3, refine = 32,
+      allowed = Some(emb.where(col("label") % 2 === 0)
+        .select(col("vec_id").as("n_id"))))
+      .collect()
+    assert(filtered.nonEmpty &&
+      filtered.forall(r => evenIds.contains(r.getLong(2))),
+      "every retrieved neighbor must pass the allow-list")
+    // an allow-everything list is a no-op
+    val allowAll = Similarity.trainedIvfPqProbeStored(spark, idx, q, exact,
+      k = 5, nprobe = 3, refine = 32,
+      allowed = Some(emb.select(col("vec_id").as("n_id"))))
+      .collect().map(_.toSeq).toSet
+    val unfiltered = Similarity.trainedIvfPqProbeStored(spark, idx, q, exact,
+      k = 5, nprobe = 3, refine = 32)
+      .collect().map(_.toSeq).toSet
+    assert(allowAll == unfiltered)
+  }
+
   test("index rebuild: re-train from stored vectors ≡ fresh build on the same rows") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .selectExpr("vec_id", "cast(embedding as array<double>) as v")
