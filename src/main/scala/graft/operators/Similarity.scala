@@ -1061,6 +1061,55 @@ object Similarity {
     trainedIvfProbeStored(s, idx, q, k, nprobe)
   }
 
+  /** Label-noise audit: each vector's exact integer squared distance to
+    * its OWN label's centroid, top outliers first — the mislabel
+    * detector a curation pipeline runs before trusting labels for
+    * training (a vector far from its class center is a labeling error,
+    * an outlier, or a class boundary worth human eyes). Centroids are
+    * per-dimension FLOOR-DIV means on the [[PqGridScale]] grid (the
+    * [[pqTrainInt]] convention) so both the centroid and every distance
+    * are exact BIGINTs the oracle replays cell-for-cell.
+    *
+    * Scale shape: one melt + map-combined (label, dim) aggregation
+    * (labels × dims rows out), centroids broadcast back, distances a
+    * shuffle-free map, then a distributed top-k — the corpus never
+    * self-joins. */
+  def labelOutliers(
+      emb: DataFrame,
+      idCol: String,
+      labelCol: String,
+      vecCol: String,
+      topK: Int = 20): DataFrame = {
+    val g = emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      gridLongs(col(vecCol).cast("array<double>")).as("qg"))
+    val melted = g.select(col("label"),
+      posexplode(col("qg")).as(Seq("i", "x")))
+    val cent = melted.groupBy("label", "i")
+      .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+      // SQL `div` truncates toward zero; the trainer floor-divides —
+      // replay Math.floorDiv exactly for negative sums
+      .select(col("label"), col("i"),
+        expr("(sx - (((sx % cnt) + cnt) % cnt)) div cnt").as("c"))
+      .groupBy("label")
+      .agg(org.apache.spark.sql.functions.map_from_arrays(
+        collect_list(col("i")), collect_list(col("c"))).as("cm"))
+      .select(col("label"),
+        transform(sequence(lit(0), lit(63)),
+          i => element_at(col("cm"), i)).as("centroid"))
+    val scored = g.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        gridDist(col("qg"), col("centroid")).as("dist"))
+    // global top-k via orderBy+limit (TakeOrderedAndProject — bounded
+    // per-partition heaps, no global sort); the rank window then runs
+    // over the ≤topK survivors only
+    scored.orderBy(desc("dist"), col("vec_id")).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("dist"), col("vec_id"))))
+      .select("rank", "vec_id", "label", "dist")
+      .presentSorted("rank")
+  }
+
   /** Per-dimension embedding distribution audit — the statistics a
     * whitening / normalization step consumes (and the drift monitor a
     * serving pipeline alarms on: a dimension whose mean wanders or

@@ -905,6 +905,7 @@ object PipelineQueries {
     ("q222_stream_index_ingest", q222StreamIndexIngest _, q212Sql),
     ("q223_filtered_ann", q223FilteredAnn _, q223Sql),
     ("q224_cell_balance", q224CellBalance _, q224Sql),
+    ("q225_label_outliers", q225LabelOutliers _, q225Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2664,6 +2665,35 @@ object PipelineQueries {
        |  FROM sc) x
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Label-noise audit ([[Similarity.labelOutliers]]): the 20 vectors
+    * farthest from their OWN label's centroid — centroids as per-dim
+    * floor-div means on the integer grid, distances exact BIGINTs, the
+    * oracle replaying every sum, floor-div, distance and the top-k
+    * cut. The queue a human labeler reviews first. */
+  def q225LabelOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelOutliers(
+      s.read.parquet(s"$dir/embeddings.parquet"),
+      "vec_id", "label", "embedding", topK = 20)
+
+  def q225Sql: String = {
+    val dist64 = gridDistSql("g.q", "c.centroid", 64)
+    s"""WITH g AS (SELECT vec_id, label, $gridQExpr AS q FROM embeddings),
+       |m AS (SELECT label, i.i AS i, SUM(q[i.i]) AS sx, COUNT(*) AS cnt
+       |  FROM g CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+       |  GROUP BY label, i.i),
+       |c AS (SELECT label,
+       |    list((sx - (((sx % cnt) + cnt) % cnt)) // cnt ORDER BY i) AS centroid
+       |  FROM m GROUP BY label),
+       |d AS (SELECT g.vec_id, g.label, CAST($dist64 AS BIGINT) AS dist
+       |  FROM g JOIN c ON c.label = g.label)
+       |SELECT rank, vec_id, label, dist FROM (
+       |  SELECT vec_id, label, dist,
+       |    row_number() OVER (ORDER BY dist DESC, vec_id) AS rank
+       |  FROM d) z
+       |WHERE rank <= 20
+       |ORDER BY rank""".stripMargin
   }
 
   /** FILTERED vector search over the stored trained index — the
