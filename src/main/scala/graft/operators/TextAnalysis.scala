@@ -734,6 +734,42 @@ object TextAnalysis {
     withOther.withColumn("main_class", pick)
   }
 
+  /** Cyrillic→Latin confusable map (the UTS #39 skeleton idea reduced
+    * to an explicit table shared VERBATIM with the oracle): the
+    * homoglyphs spam/spoofed text actually uses — visually identical
+    * letter pairs, both cases. Positions align 1:1 for `translate`. */
+  val confusableFrom: String = "аеорсухкіѕАЕОРСУХКІЅ"
+  val confusableTo: String = "aeopcyxkisAEOPCYXKIS"
+
+  /** Confusable skeleton: every mapped homoglyph replaced by its Latin
+    * twin — one `translate` (codegen, engine-exact for BMP 1:1 maps).
+    * Text that differs only by homoglyph substitution skeletonizes to
+    * identical bytes. */
+  def confusableSkeleton(c: Column): Column =
+    translate(c, confusableFrom, confusableTo)
+
+  /** Homoglyph-aware dedup audit — [[normalizedDedup]]'s shape with the
+    * [[confusableSkeleton]] as the canonical form: per document the
+    * skeleton digest plus duplicate-group sizes under raw-exact vs
+    * skeleton matching; `homoglyph_caught` flags docs whose duplicates
+    * only surface once lookalike substitutions are undone — the spam/
+    * dedup-evasion pattern (swap a few letters for Cyrillic twins, hash
+    * changes, content doesn't). Same scale unit as exact dedup: one
+    * digest map + two digest-keyed windows. */
+  def homoglyphDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val we = org.apache.spark.sql.expressions.Window.partitionBy("exact_digest")
+    val ws = org.apache.spark.sql.expressions.Window.partitionBy("skel_digest")
+    docs
+      .select(col(idCol),
+        md5(col(textCol).cast("binary")).as("exact_digest"),
+        md5(confusableSkeleton(col(textCol)).cast("binary")).as("skel_digest"))
+      .withColumn("n_exact_dups", count(lit(1)).over(we))
+      .withColumn("n_skel_dups", count(lit(1)).over(ws))
+      .select(col(idCol), col("skel_digest"),
+        col("n_exact_dups"), col("n_skel_dups"),
+        (col("n_skel_dups") > col("n_exact_dups")).as("homoglyph_caught"))
+  }
+
   /** Canonical text normalization: lowercase, non-alphanumeric runs to a
     * single space, trimmed — the cheap canonical form a curation pipeline
     * dedups on (case/punctuation/whitespace variants of the same text are

@@ -912,7 +912,8 @@ object TextQueries {
     ("q201_langid_unicode", q201LangidUnicode _, q201Sql),
     ("q216_langid_routed", q216LangidRouted _, q216Sql),
     ("q219_token_fertility", q219TokenFertility _, q219Sql),
-    ("q221_byte_budget", q221ByteBudget _, q221Sql))
+    ("q221_byte_budget", q221ByteBudget _, q221Sql),
+    ("q226_homoglyph_dedup", q226HomoglyphDedup _, q226Sql))
 
   /** Language-label confusion matrix: the `lang` column a source
     * CLAIMS against what the ROUTED predictor
@@ -1233,6 +1234,45 @@ object TextQueries {
        |    // n_tokens AS BIGINT) AS bytes_needed
        |FROM r CROSS JOIN n
        |ORDER BY lang""".stripMargin
+  }
+
+  /** Homoglyph-aware dedup ([[TextAnalysis.homoglyphDedup]]) over docs
+    * plus planted SPOOFED copies (every 7th doc re-enters with its
+    * Latin letters swapped for Cyrillic twins — the dedup-evasion trick
+    * this skeleton exists to catch): raw digests see two distinct
+    * documents, the confusable skeleton folds them back together. Both
+    * engines build the identical dirty corpus and replay the identical
+    * translate + md5. */
+  def q226HomoglyphDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val spoof = d.where(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        translate(col("text"), "aeopcyxk", "аеорсухк").as("text"))
+    TextAnalysis.homoglyphDedup(d.unionAll(spoof), "doc_id", "text")
+      .presentSorted("doc_id")
+  }
+
+  def q226Sql: String = {
+    val from = TextAnalysis.confusableFrom
+    val to = TextAnalysis.confusableTo
+    s"""WITH c AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, translate(text, 'aeopcyxk', 'аеорсухк')
+       |  FROM documents WHERE doc_id % 7 = 3),
+       |h AS (
+       |  SELECT doc_id,
+       |    md5(text) AS exact_digest,
+       |    md5(translate(text, '$from', '$to')) AS skel_digest
+       |  FROM c),
+       |w AS (
+       |  SELECT doc_id, skel_digest,
+       |    count(*) OVER (PARTITION BY exact_digest) AS n_exact_dups,
+       |    count(*) OVER (PARTITION BY skel_digest) AS n_skel_dups
+       |  FROM h)
+       |SELECT doc_id, skel_digest, n_exact_dups, n_skel_dups,
+       |  n_skel_dups > n_exact_dups AS homoglyph_caught
+       |FROM w ORDER BY doc_id""".stripMargin
   }
 
   /** Blocklist policy for q139: two terms that occur in the corpus
