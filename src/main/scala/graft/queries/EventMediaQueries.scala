@@ -658,7 +658,71 @@ object EventMediaQueries {
       .presentSorted("user_id")
   }
 
+  /** Item–item co-occurrence affinity (the classic "users who touched A
+    * also touched B" recommender signal, exact-integer form): per user
+    * the DISTINCT item set (the JSON `props.k`), unordered item pairs
+    * counted across users, each pair scored by the exact-rational
+    * Jaccard over user sets `(n_co·10000) div (n_a + n_b − n_co)` —
+    * integer basis points, no float.
+    *
+    * Scale shape: one (user, item) distinct, one user-keyed collect
+    * into BOUNDED arrays (`maxItemsPerUser` caps the b² pair fan-out —
+    * a crawler account touching everything would otherwise emit
+    * |items|² pairs), map-side pair explosion, one pair-keyed count.
+    * The item-totals table is |items| rows and broadcasts. Never an
+    * unbounded self-join. */
+  def q227ItemCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val maxItemsPerUser = 200
+    val ui = s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+      .distinct()
+    val totals = ui.groupBy("item").agg(count(lit(1)).as("n_users"))
+    val items = sort_array(collect_set(col("item")))
+    val pairsCol = flatten(transform(col("items"), (a, i) =>
+      transform(slice(col("items"), i + 2, size(col("items"))),
+        b => struct(a.as("a"), b.as("b")))))
+    val co = ui.groupBy("user_id").agg(items.as("items"))
+      .where(size(col("items")) <= maxItemsPerUser)
+      .select(explode(pairsCol).as("pr"))
+      .select(col("pr.a").as("a_item"), col("pr.b").as("b_item"))
+      .groupBy("a_item", "b_item").agg(count(lit(1)).as("n_co"))
+    co.join(broadcast(totals.select(col("item").as("a_item"),
+        col("n_users").as("n_a"))), "a_item")
+      .join(broadcast(totals.select(col("item").as("b_item"),
+        col("n_users").as("n_b"))), "b_item")
+      .where(col("n_co") >= 5)
+      .select(col("a_item"), col("b_item"), col("n_co"), col("n_a"), col("n_b"),
+        expr("(n_co * 10000) div (n_a + n_b - n_co)").as("jaccard_bp"))
+      .presentSorted("a_item", "b_item")
+  }
+
+  def q227Sql: String =
+    """WITH ui AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      |capped AS (
+      |  SELECT user_id FROM ui GROUP BY user_id HAVING count(*) <= 200),
+      |co AS (
+      |  SELECT a.item AS a_item, b.item AS b_item, count(*) AS n_co
+      |  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      |  JOIN capped c ON c.user_id = a.user_id
+      |  GROUP BY a.item, b.item),
+      |tot AS (SELECT item, count(*) AS n_users FROM ui GROUP BY item)
+      |SELECT co.a_item, co.b_item, co.n_co,
+      |  ta.n_users AS n_a, tb.n_users AS n_b,
+      |  (co.n_co * 10000) // (ta.n_users + tb.n_users - co.n_co) AS jaccard_bp
+      |FROM co
+      |JOIN tot ta ON ta.item = co.a_item
+      |JOIN tot tb ON tb.item = co.b_item
+      |WHERE co.n_co >= 5
+      |ORDER BY a_item, b_item""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q227_item_cooccurrence", q227ItemCooccurrence _, q227Sql),
     ("q58_attribution", q58Attribution _, q58Sql),
     ("q67_salted_join", q67SaltedJoin _, q67Sql),
     ("q60_event_windows", q60EventWindows _, q60Sql),
