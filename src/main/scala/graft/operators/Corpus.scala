@@ -582,7 +582,15 @@ object Corpus {
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.words(col(textCol))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfs = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // tf >= 1 always holds (it's a count over existing rows) — the
+    // filter exists so the df branch CONSUMES tf: without it column
+    // pruning rewrites this branch's copy of the tf aggregate to a
+    // distinct-only aggregate, the two exchange subtrees stop being
+    // identical, and the tokenize+explode scan runs once PER BRANCH
+    // (the q203 exchange-reuse lesson; PlanSpec pins the single-scan
+    // shape). With it, both consumers sit above one ReusedExchange.
+    val dfs = tf.where(col("tf") >= 1)
+      .groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfs, "token").crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         ((col("tf") * col("n_docs")).cast("double") / col("df")).as("w"))

@@ -309,6 +309,29 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(scans == 1, s"expected ONE documents scan, got $scans:\n$s")
   }
 
+  test("topKeywords: one tokenize pass — the tf exchange is reused") {
+    // same hazard class as importanceScores: tf feeds both the scored
+    // join and the df table; column pruning used to rewrite the df
+    // branch's copy of the tf aggregate to a distinct-only aggregate,
+    // de-canonicalizing the subtrees and re-running the explode scan
+    // per branch. (The broadcast n_docs count is a second FileScan but
+    // reads ReadSchema: struct<> — parquet footers only — so the pin
+    // is: one scan that actually READS the text column.)
+    spark.catalog.clearCache()
+    val df = graft.operators.Corpus.topKeywords(
+      spark.read.parquet(s"$sfDir/documents.parquet"),
+      "doc_id", "text", k = 5)
+    df.collect()
+    val s = planOf(df).split("== Initial Plan ==").head
+    assert(s.contains("ReusedExchange"),
+      s"tf must be computed once and reused:\n$s")
+    val textScans = s.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents") &&
+        l.contains("text"))
+    assert(textScans == 1,
+      s"expected ONE text-reading documents scan, got $textScans:\n$s")
+  }
+
   test("quantilesDiscrete: no full-key window sort; bucket kernel codegen") {
     // The scale hazard this pins: a Window partitioned by the KEY ALONE
     // would pull a dominant key's entire column through one task. The
