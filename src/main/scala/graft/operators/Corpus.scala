@@ -557,6 +557,97 @@ object Corpus {
       .select("token", "df", "n_kept", "postings")
   }
 
+  // ---- Positional phrase index ------------------------------------
+
+  private val phraseIndexes =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  /** Deterministic token→partition bucket for the positional index.
+    * Layout-internal only (never in results, never in the oracle), so the
+    * only requirements are determinism and foldability: with a literal
+    * token, constant folding collapses this to an integer literal and the
+    * probe's partition filter prunes at planning time. */
+  private def tokenBucket(token: Column, buckets: Int): Column =
+    pmod(xxhash64(token), lit(buckets.toLong)).cast("int")
+
+  /** Build an on-disk POSITIONAL postings index for exact phrase search:
+    * one row per token OCCURRENCE (`token`, `doc_id`, `pos` — 0-based),
+    * parquet-partitioned by a stable token bucket. [[invertedIndex]]
+    * answers "which docs contain t"; this one answers "where", which is
+    * what phrase and proximity queries need.
+    *
+    * Scale shape: the build is one posexplode + a bucket-keyed
+    * repartition+write — no aggregation, output rows = corpus token
+    * count. Writing through `repartition(bucket)` bounds the file count
+    * to ~`buckets` regardless of corpus size (a 100 TB corpus gets big
+    * partitions, not millions of small files). Probes prune to the
+    * phrase's token buckets via partition pruning and push the token
+    * equality into the parquet scan — a query touches the phrase's
+    * postings, never the corpus. */
+  def buildPhraseIndexAt(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      buckets: Int = 64): Unit = {
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "token")))
+      .withColumn("tok_bucket", tokenBucket(col("token"), buckets))
+      .repartition(col("tok_bucket"))
+      .write.mode("overwrite").partitionBy("tok_bucket").parquet(path)
+  }
+
+  /** Per-JVM cached build of the positional index for a testdata dir —
+    * the [[graft.operators.Similarity.buildIvfIndex]] convention: path
+    * derived from the full sanitized dir (no 32-bit hashCode aliasing),
+    * so a warm tmpdir is reusable across sessions. */
+  def phraseIndex(s: SparkSession, dir: String, buckets: Int = 64): String =
+    phraseIndexes.computeIfAbsent((dir, buckets), _ => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_phrase_" +
+        s"${Bucketing.dirTag(dir)}_b$buckets"
+      buildPhraseIndexAt(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", base, buckets)
+      base
+    })
+
+  /** Exact phrase search against a stored positional index: for each
+    * phrase, the documents containing its exact token sequence and the
+    * occurrence count (overlapping occurrences count — "a a" occurs
+    * twice in "a a a", matching the oracle's sliding-window replay).
+    *
+    * Plan per phrase: one pruned read per phrase token (partition filter
+    * on the token's bucket + token equality pushed to parquet), each
+    * re-keyed to `anchor = pos - i`, then m-way inner joins on
+    * (`doc_id`, `anchor`) — a row survives iff every phrase token sits at
+    * its offset. Keys are (doc, position) pairs, so even a stopword's
+    * postings spread across the full key space — no skewed join key. At
+    * 100 TB the work is proportional to the PHRASE tokens' posting lists
+    * (the pruned scans), never the corpus; the joins shuffle only those
+    * postings. */
+  def phraseSearchAt(
+      s: SparkSession,
+      path: String,
+      phrases: Seq[String],
+      buckets: Int = 64): DataFrame = {
+    require(phrases.nonEmpty, "phraseSearchAt: empty phrase set")
+    val perPhrase = phrases.map { phrase =>
+      val toks = phrase.split(' ').toSeq
+      require(toks.nonEmpty && toks.forall(_.nonEmpty),
+        s"phraseSearchAt: bad phrase '$phrase'")
+      val frames = toks.zipWithIndex.map { case (t, i) =>
+        s.read.parquet(path)
+          .where(col("tok_bucket") === tokenBucket(lit(t), buckets) &&
+            col("token") === t)
+          .select(col("doc_id"), (col("pos") - lit(i)).as("anchor"))
+      }
+      frames.reduce((a, b) => a.join(b, Seq("doc_id", "anchor")))
+        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+        .select(lit(phrase).as("phrase"), col("doc_id"), col("hits"))
+    }
+    perPhrase.reduce(_.unionAll(_))
+  }
+
   /** Per-document top-`k` keywords by the exact-rational tf·idf score
     * `tf · n_docs / df` (the log-free weight [[docFrequency]] documents
     * — monotone in classic tf·idf, bit-reproducible across engines).

@@ -936,7 +936,35 @@ object CorpusQueries {
       |WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Exact phrase search ([[Corpus.phraseSearchAt]]) over the stored
+    * positional postings index ([[Corpus.buildPhraseIndexAt]]): three
+    * literal phrases (two bigrams, one trigram), per-doc occurrence
+    * counts, overlapping occurrences counted. The oracle replays the
+    * search as a sliding-window scan of the tokenized corpus — same
+    * answer, opposite plan shape (the index probe touches only the
+    * phrase tokens' pruned partitions; the oracle re-reads every doc). */
+  def q228PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val idx = Corpus.phraseIndex(s, dir)
+    Corpus.phraseSearchAt(s, idx,
+      Seq("table hash", "order fast", "part filter scan"))
+      .presentSorted("phrase", "doc_id")
+  }
+
+  def q228Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ph(phrase) AS (VALUES ('table hash'), ('order fast'), ('part filter scan')),
+      |pt AS (SELECT phrase, string_split(phrase, ' ') AS p FROM ph),
+      |hit AS (
+      |  SELECT pt.phrase, toks.doc_id,
+      |    len(list_filter(range(1, len(t) - len(p) + 2),
+      |        i -> t[i:i+len(p)-1] = p)) AS hits
+      |  FROM toks CROSS JOIN pt)
+      |SELECT phrase, doc_id, hits FROM hit WHERE hits > 0
+      |ORDER BY phrase, doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q228_phrase_search", q228PhraseSearch _, q228Sql),
     ("q203_importance_dsir", q203ImportanceDsir _, q203Sql),
     ("q205_mixture_plan", q205MixturePlan _, q205Sql),
     ("q207_incremental_quantiles", q207IncrementalQuantiles _, q105Sql),

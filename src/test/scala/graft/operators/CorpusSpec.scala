@@ -673,4 +673,41 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     // doc4 (no query term) appears nowhere
     assert(got.values.forall(_._1 != 4L))
   }
+
+  test("phraseSearchAt: stored index matches sliding-window brute force, " +
+    "overlaps counted, probe prunes to the phrase's buckets") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a a a b c"),        // "a a" overlaps: occurs twice
+      (2L, "x a a y a a"),      // "a a" twice, non-adjacent
+      (3L, "b c d b c"),        // "b c" twice, "b c d" once
+      (4L, "zzz"))              // matches nothing
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_phrase_spec").toString
+    Corpus.buildPhraseIndexAt(corpus, "doc_id", "text", path, buckets = 8)
+    val phrases = Seq("a a", "b c", "b c d", "q")
+    val probe = Corpus.phraseSearchAt(spark, path, phrases, buckets = 8)
+    val got = probe.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force: count sliding windows over the tokenized text
+    val texts = Map(1L -> "a a a b c", 2L -> "x a a y a a",
+      3L -> "b c d b c", 4L -> "zzz")
+    val brute = (for {
+      p <- phrases; (id, t) <- texts
+      toks = t.split(' '); pt = p.split(' ')
+      hits = toks.sliding(pt.length).count(_.sameElements(pt))
+      if hits > 0
+    } yield (p, id) -> hits.toLong).toMap
+    assert(got == brute)
+    assert(got(("a a", 1L)) == 2L) // overlapping occurrences counted
+    // plan: every parquet scan of the index carries a partition filter on
+    // tok_bucket (constant-folded from the literal token) — the probe
+    // never reads buckets the phrase doesn't hash into.
+    val plan = probe.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.contains("PartitionFilters: [isnotnull(tok_bucket")),
+      s"expected tok_bucket partition filters in every scan:\n$plan")
+  }
 }
