@@ -648,6 +648,49 @@ object Corpus {
     perPhrase.reduce(_.unionAll(_))
   }
 
+  /** Proximity (NEAR/slop) search against the stored positional index:
+    * for each `(t1, t2)` term pair, the documents where the terms
+    * co-occur within `slop` token positions, with the co-occurrence
+    * count, the minimum distance, and the ORDERED count (`t1` strictly
+    * before `t2` within the slop) — the primitive under "quoted-ish"
+    * retrieval, collocation mining, and template detection.
+    *
+    * Plan per pair: two pruned postings reads (partition filter on each
+    * term's bucket + token equality pushed to parquet) joined on
+    * `doc_id`, then the distance filter and one per-doc aggregate. The
+    * per-doc join fan-out is `tf(t1) · tf(t2)` — bounded by document
+    * length, not corpus size, and only the two terms' postings are ever
+    * read or shuffled. Same 100 TB shape as [[phraseSearchAt]]: work is
+    * proportional to the QUERY terms' posting lists. */
+  def proximitySearchAt(
+      s: SparkSession,
+      path: String,
+      pairs: Seq[(String, String)],
+      slop: Int,
+      buckets: Int = 64): DataFrame = {
+    require(pairs.nonEmpty, "proximitySearchAt: empty pair set")
+    require(slop >= 1, s"proximitySearchAt: slop must be >= 1, got $slop")
+    val perPair = pairs.map { case (t1, t2) =>
+      require(t1.nonEmpty && t2.nonEmpty && t1 != t2,
+        s"proximitySearchAt: bad pair ($t1, $t2)")
+      def postings(t: String, as: String) =
+        s.read.parquet(path)
+          .where(col("tok_bucket") === tokenBucket(lit(t), buckets) &&
+            col("token") === t)
+          .select(col("doc_id"), col("pos").as(as))
+      postings(t1, "p1").join(postings(t2, "p2"), Seq("doc_id"))
+        .where(abs(col("p1") - col("p2")) <= slop)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_within"),
+          min(abs(col("p1") - col("p2"))).as("min_dist"),
+          sum(when((col("p2") - col("p1")).between(1, slop), 1L)
+            .otherwise(0L)).as("n_ordered"))
+        .select(lit(t1).as("t1"), lit(t2).as("t2"), col("doc_id"),
+          col("n_within"), col("min_dist"), col("n_ordered"))
+    }
+    perPair.reduce(_.unionAll(_))
+  }
+
   /** Per-document top-`k` keywords by the exact-rational tf·idf score
     * `tf · n_docs / df` (the log-free weight [[docFrequency]] documents
     * — monotone in classic tf·idf, bit-reproducible across engines).

@@ -660,6 +660,68 @@ object Dedup {
       .agg(count(lit(1)).as("shared_spans"))
   }
 
+  /** Longest shared token span per document pair — the EXTENT form of
+    * exact substring dedup (Lee et al. 2022 threshold on the LENGTH of
+    * the duplicated passage, not just its existence; [[spanPairs]]
+    * counts shared k-grams, this measures how long the longest
+    * contiguous run is). For each candidate pair the result carries
+    * `longest_span` (tokens, ≥ k by construction) and `n_matches`
+    * (matched gram-position pairs).
+    *
+    * Method: positional span-grams (one [[graft.functions.SpanGramHashes]]
+    * kernel pass, posexplode keeps the gram's 1-based start), grouped by
+    * gram hash with the [[spanPairs]] b² guard (buckets over
+    * `maxPerGram` occurrences — boilerplate — are dropped; buckets
+    * touching a single doc pair nothing). A shared contiguous run shows
+    * up as matched positions on one DIAGONAL (`pa − pb` constant) with
+    * consecutive `pa`, so per (pair, diagonal) the classic
+    * gaps-and-islands trick (`pa − row_number()`) splits runs and the
+    * longest run of `r` grams is a shared span of `r + k − 1` tokens.
+    *
+    * Scale shape: one gram-hash shuffle (capped buckets → never
+    * all-pairs), one pair-keyed shuffle for the diagonal windows —
+    * partitions are (pair, diagonal) groups, bounded by document
+    * length, so no single-key straggler exists at any corpus size. */
+  def spanExtents(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 13,
+      minSpan: Int = 15,
+      maxPerGram: Int = 1000): DataFrame = {
+    require(minSpan >= k, s"minSpan ($minSpan) must be >= k ($k)")
+    val posGrams = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graft.SparkShims.column(
+          graft.functions.SpanGramHashes(
+            org.apache.spark.sql.graft.SparkShims.expression(col("ws")), k)))
+        .as(Seq("i", "g")))
+      .select(col("doc_id"), (col("i") + 1).as("pos"), col("g"))
+    val buckets = posGrams
+      .groupBy("g")
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("es"))
+      .where(size(col("es")) <= maxPerGram &&
+        size(array_distinct(col("es.doc_id"))) >= 2)
+    val matched = buckets
+      .select(explode(col("es")).as("a"), col("es"))
+      .select(col("a"), explode(col("es")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_doc"), col("b.doc_id").as("b_doc"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_doc", "b_doc", "diag").orderBy("pa")
+    matched
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy("a_doc", "b_doc", "diag", "isl")
+      .agg(count(lit(1)).as("r"))
+      .groupBy("a_doc", "b_doc")
+      .agg((max(col("r")) + lit(k - 1)).as("longest_span"),
+        sum(col("r")).as("n_matches"))
+      .where(col("longest_span") >= minSpan)
+  }
+
   /** Benchmark-contamination check: for every corpus document NOT in the
     * probe set, the number of distinct k-token spans it shares with any
     * probe document (an eval benchmark, here a deterministic corpus

@@ -963,7 +963,44 @@ object CorpusQueries {
       |SELECT phrase, doc_id, hits FROM hit WHERE hits > 0
       |ORDER BY phrase, doc_id""".stripMargin
 
+  /** Proximity (NEAR) search ([[Corpus.proximitySearchAt]]) over the
+    * stored positional index: three term pairs within slop 2, per-doc
+    * co-occurrence count, min distance, and ordered-occurrence count.
+    * Oracle replays the search from the raw text (position lists + a
+    * distance cross); the index probe reads only the six terms'
+    * pruned partitions. */
+  def q229ProximitySearch(s: SparkSession, dir: String): DataFrame = {
+    val idx = Corpus.phraseIndex(s, dir)
+    Corpus.proximitySearchAt(s, idx,
+      Seq(("table", "hash"), ("stream", "vector"), ("window", "agg")),
+      slop = 2)
+      .withColumn("min_dist", col("min_dist").cast("long"))
+      .presentSorted("t1", "t2", "doc_id")
+  }
+
+  def q229Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pr(t1, t2) AS (VALUES ('table', 'hash'), ('stream', 'vector'),
+      |               ('window', 'agg')),
+      |pos AS (SELECT doc_id, t1, t2,
+      |  [i for i in range(1, len(t) + 1) if t[i] = t1] AS p1,
+      |  [i for i in range(1, len(t) + 1) if t[i] = t2] AS p2
+      |  FROM toks CROSS JOIN pr),
+      |d AS (SELECT doc_id, t1, t2,
+      |  flatten(list_transform(p1, x -> list_transform(p2, y -> x - y))) AS ds
+      |  FROM pos WHERE len(p1) > 0 AND len(p2) > 0),
+      |h AS (SELECT doc_id, t1, t2,
+      |  len(list_filter(ds, v -> abs(v) <= 2)) AS n_within,
+      |  CAST(list_min(list_transform(ds, v -> abs(v))) AS BIGINT) AS min_dist,
+      |  len(list_filter(ds, v -> -v BETWEEN 1 AND 2)) AS n_ordered
+      |  FROM d)
+      |SELECT t1, t2, doc_id, n_within, min_dist, n_ordered
+      |FROM h WHERE n_within > 0
+      |ORDER BY t1, t2, doc_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q229_proximity_search", q229ProximitySearch _, q229Sql),
     ("q228_phrase_search", q228PhraseSearch _, q228Sql),
     ("q203_importance_dsir", q203ImportanceDsir _, q203Sql),
     ("q205_mixture_plan", q205MixturePlan _, q205Sql),

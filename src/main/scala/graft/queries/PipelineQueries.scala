@@ -898,6 +898,7 @@ object PipelineQueries {
     ("q209_hard_negatives", q209HardNegatives _, q209Sql),
     ("q210_winnow_fps", q210WinnowFps _, q210Sql),
     ("q211_winnow_pairs", q211WinnowPairs _, q211Sql),
+    ("q230_span_extents", q230SpanExtents _, q230Sql),
     ("q212_tivfpq_adc", q212TrainedIvfPq _, q212Sql),
     ("q213_trained_recall", q213TrainedRecall _, q213Sql),
     ("q217_residual_ivfpq", q217ResidualIvfPq _, q217Sql),
@@ -2196,6 +2197,46 @@ object PipelineQueries {
        |FROM pr GROUP BY a_doc, b_doc
        |HAVING count(*) >= 3
        |ORDER BY a_doc, b_doc""".stripMargin
+
+  /** Longest shared token span per doc pair ([[Dedup.spanExtents]]):
+    * the extent form of exact substring dedup — Lee et al. 2022
+    * threshold on passage LENGTH, so this measures it exactly via
+    * diagonal gaps-and-islands over positional 13-gram matches. The
+    * oracle replays the positional grams, the bucket guard, and the
+    * island arithmetic relationally. */
+  def q230SpanExtents(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanExtents(docs(s, dir), "doc_id", "text",
+        k = 13, minSpan = 15, maxPerGram = 1000)
+      .presentSorted("a_doc", "b_doc")
+
+  def q230Sql: String = {
+    val k = 13
+    val fold = graft.queries.CorpusQueries.foldSql(
+      s"array_to_string(ws[i:i+${k - 1}], ' ')")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |p AS (SELECT doc_id, unnest([{'pos': i, 'g': $fold}
+       |        FOR i IN range(1, len(ws) - ${k - 2})]) AS e
+       |      FROM w WHERE len(ws) >= $k),
+       |pe AS (SELECT doc_id, e.pos AS pos, e.g AS g FROM p),
+       |keep AS (SELECT g FROM pe GROUP BY g
+       |  HAVING count(*) <= 1000 AND count(DISTINCT doc_id) >= 2),
+       |mm AS (SELECT x.doc_id AS a_doc, y.doc_id AS b_doc, x.pos AS pa,
+       |         x.pos - y.pos AS diag
+       |       FROM pe x JOIN pe y ON x.g = y.g AND x.doc_id < y.doc_id
+       |       WHERE x.g IN (SELECT g FROM keep)),
+       |isl AS (SELECT a_doc, b_doc, diag, pa,
+       |        pa - row_number() OVER (PARTITION BY a_doc, b_doc, diag
+       |                                ORDER BY pa) AS isl
+       |        FROM mm),
+       |runs AS (SELECT a_doc, b_doc, count(*) AS r
+       |         FROM isl GROUP BY a_doc, b_doc, diag, isl)
+       |SELECT a_doc, b_doc,
+       |  CAST(max(r) + ${k - 1} AS BIGINT) AS longest_span,
+       |  CAST(sum(r) AS BIGINT) AS n_matches
+       |FROM runs GROUP BY a_doc, b_doc
+       |HAVING max(r) + ${k - 1} >= 15
+       |ORDER BY a_doc, b_doc""".stripMargin
+  }
 
   /** Hard-negative mining for contrastive embedding training: per
     * anchor, the most-similar OTHER-label neighbors from its brute

@@ -710,4 +710,31 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(scans.forall(_.contains("PartitionFilters: [isnotnull(tok_bucket")),
       s"expected tok_bucket partition filters in every scan:\n$plan")
   }
+
+  test("proximitySearchAt: counts, min-dist and ordered counts match brute " +
+    "force; docs without both terms absent") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a x b y a"),     // a@0,4 b@2: |d|=2,2 within slop2; ordered a<b once
+      (2L, "b x x x a"),     // dist 4 — outside slop 2
+      (3L, "a b a b"),       // dense: pairs (0,1)(0,3)(2,1)(2,3)
+      (4L, "a only here"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_prox_spec").toString
+    Corpus.buildPhraseIndexAt(corpus, "doc_id", "text", path, buckets = 4)
+    val got = Corpus.proximitySearchAt(spark, path, Seq(("a", "b")),
+        slop = 2, buckets = 4)
+      .collect()
+      .map(r => r.getLong(2) -> ((r.getLong(3), r.getInt(4), r.getLong(5))))
+      .toMap
+    // doc1: pairs (0,2)->2, (4,2)->2 both within; ordered (b after a) only 0->2
+    assert(got(1L) == ((2L, 2, 1L)))
+    // doc2: only distance 4 — filtered out entirely
+    assert(!got.contains(2L))
+    // doc3: a@0,2 b@1,3 -> |d|: (0,1)=1 (0,3)=3 (2,1)=1 (2,3)=1 -> 3 within,
+    // min 1, ordered (p2-p1 in 1..2): (0,1),(2,3) -> 2
+    assert(got(3L) == ((3L, 1, 2L)))
+    assert(!got.contains(4L))
+  }
 }

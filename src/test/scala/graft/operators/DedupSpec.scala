@@ -318,6 +318,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.spanPairs(hot, "doc_id", "text", k = 13, maxDocsPerGram = 2).count() == 0)
   }
 
+  test("spanExtents: longest shared run measured exactly, interruptions " +
+    "split islands, repeats stay on their diagonals") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ") // 20-token passage
+    val d1 = s"a1 a2 a3 $shared z1 z2"
+    val d2 = s"b1 $shared y1 y2 y3 y4"
+    // d3 shares the passage but with token 10 edited: two runs of 9+
+    val broken = ((1 to 9).map(i => s"s$i") ++ Seq("EDIT") ++
+      (11 to 20).map(i => s"s$i")).mkString(" ")
+    val d3 = s"c1 c2 $broken"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3), (4L, "u1 u2 u3"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanExtents(df, "doc_id", "text",
+        k = 5, minSpan = 6, maxPerGram = 100)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // 1-2: full 20-token passage -> 16 matched 5-grams on one diagonal
+    assert(got((1L, 2L)) == ((20L, 16L)))
+    // 1-3 and 2-3: EDIT splits the passage into s1..s9 and s11..s20:
+    // runs of 5 and 6 grams -> longest span 10 tokens, 11 matches total
+    assert(got((1L, 3L)) == ((10L, 11L)))
+    assert(got((2L, 3L)) == ((10L, 11L)))
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // minSpan filters: raise it past the longest run and pairs vanish
+    assert(Dedup.spanExtents(df, "doc_id", "text", k = 5, minSpan = 21,
+      maxPerGram = 100).count() == 0)
+  }
+
   test("contaminationHits equals brute force and never flags probe docs") {
     val isProbe = col("doc_id") % 7 === 0
     val ws = spanStrings(docs, 13)
