@@ -589,13 +589,36 @@ object Corpus {
       idCol: String,
       textCol: String,
       path: String,
-      buckets: Int = 64): Unit = {
+      buckets: Int = 64): Unit =
+    writePhrasePostings(docs, idCol, textCol, path, buckets, "overwrite")
+
+  /** Incremental ingest into a stored positional index: append the new
+    * documents' postings into the same bucket partitioning. Postings
+    * are per-occurrence rows with no cross-document state, so append ≡
+    * rebuild EXACTLY (spec-pinned) — the property that makes the index
+    * safe to maintain from a stream's `foreachBatch` without ever
+    * re-reading the corpus. Each batch adds ≤ `buckets` files. */
+  def appendToPhraseIndexAt(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      buckets: Int = 64): Unit =
+    writePhrasePostings(docs, idCol, textCol, path, buckets, "append")
+
+  private def writePhrasePostings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      buckets: Int,
+      mode: String): Unit = {
     docs
       .select(col(idCol).as("doc_id"),
         posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "token")))
       .withColumn("tok_bucket", tokenBucket(col("token"), buckets))
       .repartition(col("tok_bucket"))
-      .write.mode("overwrite").partitionBy("tok_bucket").parquet(path)
+      .write.mode(mode).partitionBy("tok_bucket").parquet(path)
   }
 
   /** Per-JVM cached build of the positional index for a testdata dir —

@@ -999,7 +999,43 @@ object CorpusQueries {
       |FROM h WHERE n_within > 0
       |ORDER BY t1, t2, doc_id""".stripMargin
 
+  private val phraseStreamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Streaming phrase-index ingest: build the positional index over the
+    * first slice of the corpus, ingest the rest from a STREAM
+    * (`foreachBatch` → [[Corpus.appendToPhraseIndexAt]]), then run
+    * q228's exact phrase search against the live index — gated by the
+    * SAME full-corpus oracle, so the entry proves ingest loses nothing.
+    * Postings are per-occurrence rows with no cross-doc state, which is
+    * why append ≡ rebuild holds exactly (the maintenance property q222
+    * pins for the ANN index, here for the text index). */
+  def q232StreamPhraseIngest(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_stphrase_" +
+      s"${ProcessHandle.current().pid()}_${phraseStreamSeq.incrementAndGet()}"
+    Corpus.buildPhraseIndexAt(d.where(col("doc_id") < 250),
+      "doc_id", "text", idx)
+    val stream = s.readStream.schema(d.schema).option("basePath", dir)
+      .parquet(s"$dir/documents.parquet*")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          Corpus.appendToPhraseIndexAt(b.where(col("doc_id") >= 250),
+            "doc_id", "text", idx)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    Corpus.phraseSearchAt(s, idx,
+      Seq("table hash", "order fast", "part filter scan"))
+      .presentSorted("phrase", "doc_id")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q232_stream_phrase_ingest", q232StreamPhraseIngest _, q228Sql),
     ("q229_proximity_search", q229ProximitySearch _, q229Sql),
     ("q228_phrase_search", q228PhraseSearch _, q228Sql),
     ("q203_importance_dsir", q203ImportanceDsir _, q203Sql),

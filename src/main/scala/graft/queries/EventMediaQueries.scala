@@ -49,6 +49,30 @@ object EventMediaQueries {
       |FROM y GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Weekly retention cohorts ([[EventStreams.retentionCohorts]]):
+    * cohort = Monday week of first event; per (cohort, offset) the
+    * active count and retention rate. Oracle replays the distinct
+    * (user, week) grid, the min-week cohort, and the offset-0 window. */
+  def q231RetentionCohorts(s: SparkSession, dir: String): DataFrame =
+    EventStreams.retentionCohorts(eventsTs(s, dir))
+      .presentSorted("cohort_week", "week_offset")
+
+  def q231Sql: String =
+    """WITH uw AS (SELECT DISTINCT user_id,
+      |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY user_id),
+      |a AS (SELECT cohort_week,
+      |    CAST(date_diff('day', cohort_week, wk) / 7 AS INT) AS week_offset,
+      |    count(*) AS n_active
+      |  FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, n_active,
+      |  max(CASE WHEN week_offset = 0 THEN n_active END)
+      |    OVER (PARTITION BY cohort_week) AS n_cohort,
+      |  n_active::DOUBLE / max(CASE WHEN week_offset = 0 THEN n_active END)
+      |    OVER (PARTITION BY cohort_week) AS retention
+      |FROM a
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   /** Attribution interval join, batch form (same operator serves streams
     * with a watermark — EventStreamsSpec pins stream == batch). */
   def q58Attribution(s: SparkSession, dir: String): DataFrame =
@@ -727,6 +751,7 @@ object EventMediaQueries {
     ("q67_salted_join", q67SaltedJoin _, q67Sql),
     ("q60_event_windows", q60EventWindows _, q60Sql),
     ("q61_sessionize", q61Sessionize _, q61Sql),
+    ("q231_retention_cohorts", q231RetentionCohorts _, q231Sql),
     ("q62_media_meta", q62MediaMeta _, q62Sql),
     ("q63_media_features", q63MediaFeatures _, q63Sql),
     ("q64_frame_sample", q64FrameSample _, q64Sql),

@@ -293,6 +293,42 @@ object EventStreams {
       .withColumn("stage", stage)
   }
 
+  /** Weekly retention cohorts: users grouped by the Monday-truncated
+    * week of their FIRST event (the cohort), and for each (cohort,
+    * week-offset) the count of cohort members active that week plus the
+    * retention rate against the cohort size — the growth-analytics
+    * staple behind every retention triangle.
+    *
+    * Plan: ONE user-keyed shuffle — per user a map-side-combined
+    * `collect_set` of active weeks (bounded by the calendar: a year of
+    * history is ≤ 53 entries regardless of event volume), cohort =
+    * `array_min`, offsets exploded from the set — then a tiny
+    * (cohort, offset) aggregate. The closing window that attaches
+    * cohort size runs over that aggregate (weeks × offsets rows), not
+    * over events, so at 100 TB the only event-volume-proportional cost
+    * is the first scan + user shuffle. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .groupBy("user_id")
+      .agg(collect_set(col("wk")).as("wks"))
+      .select(array_min(col("wks")).as("cohort_week"),
+        explode(col("wks")).as("wk"))
+    val active = perUser
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / lit(7))
+          .cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_active")) // (user, wk) distinct via the set
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cohort_week")
+    active
+      .withColumn("n_cohort",
+        max(when(col("week_offset") === 0, col("n_active"))).over(w))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort")).as("retention"))
+  }
+
   /** [[funnel]] as a live stream: per-user funnel state
     * (`flatMapGroupsWithState`) holding the completion times reached so
     * far; each micro-batch advances the greedy in-event-time-order

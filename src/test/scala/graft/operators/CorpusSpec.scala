@@ -711,6 +711,31 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       s"expected tok_bucket partition filters in every scan:\n$plan")
   }
 
+  test("phrase index: append equals rebuild exactly (postings and search)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_phrase_full").toString
+    val inc = java.nio.file.Files
+      .createTempDirectory("graft_phrase_inc").toString
+    Corpus.buildPhraseIndexAt(corpus, "doc_id", "text", full, buckets = 4)
+    Corpus.buildPhraseIndexAt(corpus.where(col("doc_id") < 3),
+      "doc_id", "text", inc, buckets = 4)
+    Corpus.appendToPhraseIndexAt(corpus.where(col("doc_id") === 3),
+      "doc_id", "text", inc, buckets = 4)
+    def postings(p: String) = spark.read.parquet(p)
+      .select("doc_id", "pos", "token", "tok_bucket")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(postings(inc).toSeq == postings(full).toSeq)
+    def search(p: String) = Corpus.phraseSearchAt(spark, p,
+        Seq("b c", "a b c"), buckets = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_.toString).toSeq
+    assert(search(inc) == search(full))
+    assert(search(full).nonEmpty)
+  }
+
   test("proximitySearchAt: counts, min-dist and ordered counts match brute " +
     "force; docs without both terms absent") {
     import spark.implicits._

@@ -218,6 +218,32 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(g2 == Map(9L -> 2))
   }
 
+  test("retentionCohorts: cohorts by first week, offsets exact, " +
+    "retention against offset-0 size") {
+    import spark.implicits._
+    def t(d: String): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    // weeks (Monday): W1=2024-01-01, W2=01-08, W3=01-15, W4=01-22
+    val df = Seq(
+      (1L, t("2024-01-02")), (1L, t("2024-01-03")), // u1 cohort W1
+      (1L, t("2024-01-09")),                        // u1 active W2
+      (1L, t("2024-01-23")),                        // u1 active W4
+      (2L, t("2024-01-05")),                        // u2 cohort W1 only
+      (3L, t("2024-01-10")), (3L, t("2024-01-16"))) // u3 cohort W2, W3
+      .toDF("user_id", "ts")
+    val got = EventStreams.retentionCohorts(df)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> ((2L, 2L, 1.0)),
+      ("2024-01-01", 1) -> ((1L, 2L, 0.5)),
+      ("2024-01-01", 3) -> ((1L, 2L, 0.5)),
+      ("2024-01-08", 0) -> ((1L, 1L, 1.0)),
+      ("2024-01-08", 1) -> ((1L, 1L, 1.0))))
+  }
+
   test("funnelStream: state advances across micro-batches") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
