@@ -619,6 +619,56 @@ object Corpus {
       .withColumn("tok_bucket", tokenBucket(col("token"), buckets))
       .repartition(col("tok_bucket"))
       .write.mode(mode).partitionBy("tok_bucket").parquet(path)
+    // Document-length side table — the corpus statistics BM25 serving
+    // needs ((doc_id, dl); N and total_dl are one aggregate away). The
+    // underscore prefix hides it from postings reads (Spark's file
+    // listing skips `_*`), so phrase/proximity scans are unaffected.
+    // Per-doc rows with no cross-doc state, so append ≡ rebuild holds
+    // for it exactly as for the postings.
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(TextAnalysis.words(coalesce(col(textCol), lit(""))))
+          .cast("long").as("dl"))
+      .write.mode(mode).parquet(s"$path/_doclen")
+  }
+
+  /** Compact a stored positional index IN PLACE: every
+    * [[appendToPhraseIndexAt]] batch adds up to `buckets` small files,
+    * so a long-lived streaming-maintained index accretes
+    * batches×buckets files and probe latency drifts up with open/seek
+    * overhead. The rewrite lands exactly ONE file per bucket, rows
+    * sorted (token, doc_id, pos) — so parquet row-group min/max stats
+    * prune token probes WITHIN a bucket too, not just across buckets —
+    * then swaps the rewritten tree in (write-to-sibling + two renames;
+    * rename is a copy on object stores, so schedule it as the off-peak
+    * maintenance job; the swap window is not read-atomic). Contents are
+    * a pure rewrite — postings and `_doclen` rows are bit-identical
+    * (spec-pinned), and search equality against the never-compacted
+    * build is the q235 gate. `doclenFiles` sizes the `_doclen` rewrite
+    * (it holds two longs per DOCUMENT — split it once it outgrows one
+    * comfortable file). */
+  def compactPhraseIndexAt(
+      s: SparkSession,
+      path: String,
+      buckets: Int = 64,
+      doclenFiles: Int = 1): Unit = {
+    val tmp = s"$path.__compact"
+    s.read.parquet(path)
+      .repartition(buckets, col("tok_bucket"))
+      .sortWithinPartitions("tok_bucket", "token", "doc_id", "pos")
+      .write.mode("overwrite").partitionBy("tok_bucket").parquet(tmp)
+    s.read.parquet(s"$path/_doclen")
+      .repartition(doclenFiles)
+      .write.mode("overwrite").parquet(s"$tmp/_doclen")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$path.__old")
+    require(fs.rename(new org.apache.hadoop.fs.Path(path), old),
+      s"compactPhraseIndexAt: could not stage current index aside: $path")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(path)),
+      s"compactPhraseIndexAt: could not install compacted index: $path")
+    fs.delete(old, true)
   }
 
   /** Per-JVM cached build of the positional index for a testdata dir —
@@ -1621,20 +1671,11 @@ object Corpus {
       .join(broadcast(terms.select("term").distinct()), col("word") === col("term"))
       .select(col(idCol), col("term")).distinct()
       .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
-    val nD = col("n").cast("double")
-    val dfD = col("df").cast("double")
-    val tfD = col("tf").cast("double")
-    val dlD = col("dl").cast("double")
-    val tdlD = col("tdl").cast("double")
-    val idf = (nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0)
-    val dn = lit(0.25) + lit(0.75) * ((dlD * nD) / tdlD)
-    val sterm = idf * ((tfD * lit(2.2)) / (tfD + lit(1.2) * dn))
-    val qterm = floor(sterm * lit(one) + lit(0.5)).cast("long")
     val scored = tf
       .join(dfc, "term")
       .join(d, idCol)
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col(idCol), qterm.as("qs"))
+      .select(col("query_id"), col(idCol), bm25TermScore(one).as("qs"))
       .groupBy("query_id", idCol)
       .agg(sum("qs").as("score_q"))
     import org.apache.spark.sql.expressions.Window
@@ -1643,6 +1684,77 @@ object Corpus {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= topN)
       .select(col("query_id"), col("rank"), col(idCol), col("score_q"))
+  }
+
+  /** One term's quantized BM25 contribution from columns `tf`, `df`,
+    * `dl`, `n`, `tdl` — shared verbatim by [[bm25TopK]] (corpus scan)
+    * and [[bm25SearchAt]] (stored index) so the two paths are
+    * bit-identical by construction. */
+  private def bm25TermScore(one: Double): Column = {
+    val nD = col("n").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val tdlD = col("tdl").cast("double")
+    val idf = (nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0)
+    val dn = lit(0.25) + lit(0.75) * ((dlD * nD) / tdlD)
+    val sterm = idf * ((tfD * lit(2.2)) / (tfD + lit(1.2) * dn))
+    floor(sterm * lit(one) + lit(0.5)).cast("long")
+  }
+
+  /** [[bm25TopK]] served FROM the stored positional index
+    * ([[buildPhraseIndexAt]]) instead of a corpus scan — the shape a
+    * retrieval service actually runs: tf and df come from the query
+    * terms' PRUNED posting reads (partition filter on each term's
+    * bucket, token equality pushed to parquet), document lengths and
+    * the (N, total_dl) corpus stats from the index's `_doclen` side
+    * table. Identical scores to [[bm25TopK]] (same quantized term
+    * expression, spec-pinned equal), opposite cost model: the corpus
+    * text is never re-read — at 100 TB the per-query work is the
+    * terms' posting lists plus one narrow two-column doclen join,
+    * which AQE broadcasts when the matched set is small (stopword-ish
+    * probe terms degrade to a doc-keyed shuffle bounded by their
+    * postings, never by the corpus). */
+  def bm25SearchAt(
+      s: SparkSession,
+      path: String,
+      queryTerms: Seq[(Long, Seq[String])],
+      topN: Int = 10,
+      buckets: Int = 64,
+      scaleBits: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25SearchAt needs at least one query")
+    import s.implicits._
+    val one = (1L << scaleBits).toDouble
+    val qmap = queryTerms
+      .flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val postings = queryTerms.flatMap(_._2).distinct.map { t =>
+      s.read.parquet(path)
+        .where(col("tok_bucket") === tokenBucket(lit(t), buckets) &&
+          col("token") === t)
+        .select(col("doc_id"), col("token").as("term"))
+    }.reduce(_ unionAll _)
+    val tf = postings.groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    // tf rows are distinct (term, doc) pairs, so df is their count
+    val dfc = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val dl = s.read.parquet(s"$path/_doclen")
+    val stats = dl.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("dl")).cast("long").as("tdl"))
+    val scored = tf
+      .join(dfc, "term")
+      .join(broadcast(qmap), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), bm25TermScore(one).as("qs"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("qs").as("score_q"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_q").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topN)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_q"))
   }
 
   /** Static mixture-reweighting plan (the Pile / DoReMi-style recipe

@@ -1034,7 +1034,42 @@ object CorpusQueries {
       .presentSorted("phrase", "doc_id")
   }
 
+  /** BM25 served from the stored positional index
+    * ([[Corpus.bm25SearchAt]]): q180's probes and scores, but tf/df
+    * from the terms' pruned posting reads and dl/N/total_dl from the
+    * index's `_doclen` side table — the corpus text is never re-read.
+    * Gated by the SAME oracle as q180, which replays the full corpus
+    * scan: identical answers from opposite cost models is the check
+    * that the index serves exactly what the scan computes. */
+  def q233Bm25Index(s: SparkSession, dir: String): DataFrame =
+    Corpus.bm25SearchAt(s, Corpus.phraseIndex(s, dir), bm25Probes,
+        topN = 10)
+      .presentSorted("query_id", "rank")
+
+  /** Index COMPACTION as part of the maintenance lifecycle: build the
+    * index on half the corpus, append the rest (multi-file buckets),
+    * [[Corpus.compactPhraseIndexAt]] down to one sorted file per
+    * bucket, then run q228's phrase search against the compacted
+    * index — same full-corpus oracle, so the entry proves compaction
+    * is a pure rewrite (and the spec separately pins the
+    * one-file-per-bucket invariant and postings equality). */
+  def q235CompactedIndex(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_cphrase_" +
+      s"${ProcessHandle.current().pid()}_${phraseStreamSeq.incrementAndGet()}"
+    Corpus.buildPhraseIndexAt(d.where(col("doc_id") < 250),
+      "doc_id", "text", idx)
+    Corpus.appendToPhraseIndexAt(d.where(col("doc_id") >= 250),
+      "doc_id", "text", idx)
+    Corpus.compactPhraseIndexAt(s, idx)
+    Corpus.phraseSearchAt(s, idx,
+      Seq("table hash", "order fast", "part filter scan"))
+      .presentSorted("phrase", "doc_id")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q235_compacted_index", q235CompactedIndex _, q228Sql),
+    ("q233_bm25_index", q233Bm25Index _, q180Sql),
     ("q232_stream_phrase_ingest", q232StreamPhraseIngest _, q228Sql),
     ("q229_proximity_search", q229ProximitySearch _, q229Sql),
     ("q228_phrase_search", q228PhraseSearch _, q228Sql),

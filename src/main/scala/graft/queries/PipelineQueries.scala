@@ -907,6 +907,7 @@ object PipelineQueries {
     ("q223_filtered_ann", q223FilteredAnn _, q223Sql),
     ("q224_cell_balance", q224CellBalance _, q224Sql),
     ("q225_label_outliers", q225LabelOutliers _, q225Sql),
+    ("q234_nprobe_sweep", q234NprobeSweep _, q234Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2937,4 +2938,57 @@ object PipelineQueries {
        |LEFT JOIN tpq p ON p.q_id = b.q_id AND p.n_id = b.n_id
        |GROUP BY b.q_id
        |ORDER BY b.q_id""".stripMargin
+
+  // def, not val: the `all` registry evaluates q234Sql during object
+  // init, before a later-declared val would be assigned
+  private def sweepProbes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** nprobe sweep — the recall/latency frontier of the trained IVF
+    * index: recall@5 vs brute force at nprobe ∈ {1, 2, 4, 8} over
+    * nlist = 8 cells. Scan cost grows linearly in nprobe (a probe
+    * reads nprobe/nlist of the corpus); this table is how a serving
+    * deployment picks the operating point — and nprobe = nlist probes
+    * every cell, so its recall hitting 1.0 for every query is a
+    * built-in soundness check on the whole trained path. Composes
+    * five already-oracled retrievals; the sweep reuses one stored
+    * index (same nlist → same training), so the four searches differ
+    * only in probe count, exactly like production knob-turning. */
+  def q234NprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brute = Similarity.bruteForceTopK(s, dir, numQueries = 10, k = 5)
+      .select(col("q_id").as("bq"), col("n_id"))
+    val grid = broadcast(sweepProbes.toDF("nprobe")).crossJoin(brute)
+    val sweeps = sweepProbes.map { np =>
+      Similarity.trainedIvfTopK(s, dir, numQueries = 10, k = 5,
+          nlist = 8, nprobe = np)
+        .select(lit(np).as("np"), col("q_id").as("tq"),
+          col("n_id").as("t_id"))
+    }.reduce(_ unionAll _)
+    grid
+      .join(sweeps, col("np") === col("nprobe") &&
+        col("tq") === col("bq") && col("t_id") === col("n_id"), "left")
+      .groupBy(col("nprobe"), col("bq").as("q_id"))
+      .agg(count(lit(1)).as("k"), count(col("t_id")).as("hits"))
+      .select(col("nprobe"), col("q_id"), col("k"), col("hits"),
+        (col("hits").cast("double") / col("k")).as("recall"))
+      .presentSorted("nprobe", "q_id")
+  }
+
+  def q234Sql: String = {
+    val arms = sweepProbes.map { np =>
+      s"SELECT $np AS nprobe, q_id, n_id FROM (\n" +
+        trainedIvfReplaySql(nq = 10, k = 5, nlist = 8, nprobe = np) + ")"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH brute AS ($q40Sql),
+       |np(nprobe) AS (VALUES (1), (2), (4), (8)),
+       |sw AS ($arms)
+       |SELECT np.nprobe, b.q_id, count(*) AS k,
+       |  count(s.n_id) AS hits,
+       |  count(s.n_id)::DOUBLE / count(*) AS recall
+       |FROM np CROSS JOIN brute b
+       |LEFT JOIN sw s ON s.nprobe = np.nprobe AND s.q_id = b.q_id
+       |  AND s.n_id = b.n_id
+       |GROUP BY np.nprobe, b.q_id
+       |ORDER BY np.nprobe, b.q_id""".stripMargin
+  }
 }

@@ -728,12 +728,87 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id", "pos", "token", "tok_bucket")
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(postings(inc).toSeq == postings(full).toSeq)
+    def doclen(p: String) = spark.read.parquet(s"$p/_doclen")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(doclen(inc) == doclen(full))
+    assert(doclen(full) == Seq((1L, 4L), (2L, 3L), (3L, 5L)))
     def search(p: String) = Corpus.phraseSearchAt(spark, p,
         Seq("b c", "a b c"), buckets = 4)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_.toString).toSeq
     assert(search(inc) == search(full))
     assert(search(full).nonEmpty)
+  }
+
+  test("compactPhraseIndexAt: pure rewrite (postings, doclen, search), " +
+    "one file per bucket after multi-batch appends") {
+    import spark.implicits._
+    val corpus = (1L to 12L)
+      .map(i => (i, s"w$i common a b c w$i"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_phrase_cmp").toString + "/idx"
+    Corpus.buildPhraseIndexAt(corpus.where(col("doc_id") <= 4),
+      "doc_id", "text", idx, buckets = 4)
+    Corpus.appendToPhraseIndexAt(
+      corpus.where(col("doc_id") > 4 && col("doc_id") <= 8),
+      "doc_id", "text", idx, buckets = 4)
+    Corpus.appendToPhraseIndexAt(corpus.where(col("doc_id") > 8),
+      "doc_id", "text", idx, buckets = 4)
+    def postings() = spark.read.parquet(idx)
+      .select("doc_id", "pos", "token", "tok_bucket")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    def doclen() = spark.read.parquet(s"$idx/_doclen")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def search() = Corpus.phraseSearchAt(spark, idx, Seq("a b c"),
+        buckets = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_.toString).toSeq
+    val (p0, d0, s0) = (postings(), doclen(), search())
+    Corpus.compactPhraseIndexAt(spark, idx, buckets = 4)
+    assert(postings() == p0)
+    assert(doclen() == d0)
+    assert(search() == s0)
+    assert(s0.size == 12)
+    // one data file per bucket directory after compaction
+    val bucketDirs = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("tok_bucket="))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"expected 1 file in ${d.getName}, got ${files.length}")
+    }
+    assert(!new java.io.File(s"$idx.__old").exists())
+    assert(!new java.io.File(s"$idx.__compact").exists())
+  }
+
+  test("bm25SearchAt from the stored index equals bm25TopK on the corpus, " +
+    "null and empty docs included in the stats") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark table merge"),
+      (2L, "table table value table"),
+      (3L, "stream merge spark spark"),
+      (4L, "window customer value table"),
+      (5L, ""),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm25_idx").toString
+    Corpus.buildPhraseIndexAt(corpus, "doc_id", "text", idx, buckets = 4)
+    val probes = Seq(
+      0L -> Seq("table", "value"),
+      1L -> Seq("spark", "merge", "stream"),
+      2L -> Seq("absentterm"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val scan = rows(Corpus.bm25TopK(corpus, "doc_id", "text", probes))
+    val served = rows(Corpus.bm25SearchAt(spark, idx, probes, buckets = 4))
+    assert(served == scan)
+    assert(scan.nonEmpty && scan.exists(_._1 == 1L))
+    assert(!scan.exists(_._1 == 2L)) // absent term -> no rows, both paths
   }
 
   test("proximitySearchAt: counts, min-dist and ordered counts match brute " +
