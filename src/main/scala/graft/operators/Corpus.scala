@@ -1728,12 +1728,18 @@ object Corpus {
     val qmap = queryTerms
       .flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
       .toDF("query_id", "term")
-    val postings = queryTerms.flatMap(_._2).distinct.map { t =>
-      s.read.parquet(path)
-        .where(col("tok_bucket") === tokenBucket(lit(t), buckets) &&
-          col("token") === t)
-        .select(col("doc_id"), col("token").as("term"))
-    }.reduce(_ unionAll _)
+    // ONE scan for every term: the bucket OR-chain is a partition-only
+    // conjunct (constant-folded per term), so pruning still reads only
+    // the terms' buckets, and the token IN pushes to parquet — versus a
+    // per-term read+union this opens each pruned bucket once, not once
+    // per term that hashes into it.
+    val terms = queryTerms.flatMap(_._2).distinct
+    val inBuckets = terms
+      .map(t => col("tok_bucket") === tokenBucket(lit(t), buckets))
+      .reduce(_ || _)
+    val postings = s.read.parquet(path)
+      .where(inBuckets && col("token").isin(terms: _*))
+      .select(col("doc_id"), col("token").as("term"))
     val tf = postings.groupBy("term", "doc_id")
       .agg(count(lit(1)).cast("long").as("tf"))
     // tf rows are distinct (term, doc) pairs, so df is their count

@@ -783,6 +783,31 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(s"$idx.__compact").exists())
   }
 
+  test("bm25SearchAt plan: every postings scan partition-pruned on " +
+    "tok_bucket; doclen scans read only (doc_id, dl)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm25_plan").toString
+    Corpus.buildPhraseIndexAt(corpus, "doc_id", "text", idx, buckets = 8)
+    val probe = Corpus.bm25SearchAt(spark, idx,
+      Seq(0L -> Seq("a", "c")), buckets = 8)
+    val plan = probe.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    val (postings, doclen) = scans.partition(_.contains("tok_bucket"))
+    assert(postings.nonEmpty && doclen.nonEmpty)
+    // the single probe scan carries an OR-of-bucket-equalities partition
+    // filter (one disjunct per term) — non-empty and on tok_bucket
+    assert(postings.forall { sc =>
+      val pf = sc.split("PartitionFilters: \\[", 2)
+      pf.length == 2 && pf(1).takeWhile(_ != ']').contains("tok_bucket")
+    }, s"expected tok_bucket partition filters in every postings scan:\n$plan")
+    // the stats-side doclen scan prunes doc_id away entirely (count/sum
+    // need only dl) — assert every doclen scan reads dl and nothing wider
+    assert(doclen.forall(s => s.contains("dl:bigint") && !s.contains("token")),
+      s"doclen scans should read at most (doc_id, dl):\n$plan")
+  }
+
   test("bm25SearchAt from the stored index equals bm25TopK on the corpus, " +
     "null and empty docs included in the stats") {
     import spark.implicits._
