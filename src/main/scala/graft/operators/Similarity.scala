@@ -784,6 +784,38 @@ object Similarity {
     encodeWithStoredTrained(s, emb.select(col("vec_id"), col("v")), path)
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
 
+  /** Index maintenance, the CHEAP half: compact the vector partitions
+    * in place. Every [[appendToTrainedIvfPqIndex]] batch adds up to
+    * nlist small files, so a streaming-maintained index (q222's shape)
+    * accretes batches×cells files and probe latency drifts up on
+    * open/seek overhead — the object-store small-file problem. The
+    * rewrite lands ONE file per cell, rows sorted by `vec_id` (scan
+    * order never affects results — ADC/refine rank with total-order
+    * tie-breaks — but sorted ids compress and seek better), then swaps
+    * the rewritten `vectors` tree in via two renames (a copy on object
+    * stores; schedule off-peak — the swap window is not read-atomic).
+    * Quantizer tables (`coarse`, `pq_codebooks`, `meta`) are
+    * UNTOUCHED: compaction moves bytes, never geometry — the
+    * complement of [[rebuildTrainedIvfPqIndexTo]], which re-trains
+    * geometry. Pure rewrite: rows bit-identical, spec-pinned. */
+  def compactTrainedIvfPqIndexAt(s: SparkSession, path: String): Unit = {
+    val nCells = s.read.parquet(s"$path/coarse").count().toInt.max(1)
+    val tmp = s"$path/vectors.__compact"
+    s.read.parquet(s"$path/vectors")
+      .repartition(nCells, col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vec = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val old = new org.apache.hadoop.fs.Path(s"$path/vectors.__old")
+    require(fs.rename(vec, old),
+      s"compactTrainedIvfPqIndexAt: could not stage vectors aside: $path")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), vec),
+      s"compactTrainedIvfPqIndexAt: could not install compacted vectors: $path")
+    fs.delete(old, true)
+  }
+
   /** Index maintenance: RE-TRAIN the quantizers on the index's CURRENT
     * contents and rebuild at `dest` — the periodic rebalance a serving
     * index needs after drifting ingest (appends never re-train, so cell

@@ -908,6 +908,7 @@ object PipelineQueries {
     ("q224_cell_balance", q224CellBalance _, q224Sql),
     ("q225_label_outliers", q225LabelOutliers _, q225Sql),
     ("q234_nprobe_sweep", q234NprobeSweep _, q234Sql),
+    ("q236_compacted_ann", q236CompactedAnnIndex _, q212Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2848,6 +2849,33 @@ object PipelineQueries {
     Similarity.trainedIvfPqProbeStored(s, idx,
       e.where(col("vec_id") < 5).selectExpr("vec_id as q_id", "v as qv"),
       e.selectExpr("vec_id as n_id", "v"),
+      k = 5, nprobe = 3, refine = 32)
+  }
+
+  /** Vector-partition COMPACTION in the maintenance lifecycle
+    * ([[Similarity.compactTrainedIvfPqIndexAt]]): bootstrap-build the
+    * trained index on half the corpus, append the rest in two batches
+    * (multi-file cells — q222's streaming drift, batch form), compact
+    * down to one sorted file per cell, then serve q212's search off
+    * the compacted index — same full-build oracle, so the entry
+    * proves compaction moves bytes, never results (the spec
+    * separately pins row equality, the one-file-per-cell invariant,
+    * and untouched quantizer tables). */
+  def q236CompactedAnnIndex(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_cann_" +
+      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    Similarity.buildTrainedIvfPqIndexAt(s, emb.where(col("vec_id") < 250),
+      idx, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.appendToTrainedIvfPqIndex(s,
+      emb.where(col("vec_id") >= 250 && col("vec_id") % 2 === 0), idx)
+    Similarity.appendToTrainedIvfPqIndex(s,
+      emb.where(col("vec_id") >= 250 && col("vec_id") % 2 === 1), idx)
+    Similarity.compactTrainedIvfPqIndexAt(s, idx)
+    Similarity.trainedIvfPqProbeStored(s, idx,
+      emb.where(col("vec_id") < 5).selectExpr("vec_id as q_id", "v as qv"),
+      emb.selectExpr("vec_id as n_id", "v"),
       k = 5, nprobe = 3, refine = 32)
   }
 

@@ -666,6 +666,46 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(t1 == t2 && t1.nonEmpty)
   }
 
+  test("compactTrainedIvfPqIndexAt: pure rewrite (rows, probes), one file " +
+    "per cell, quantizer tables untouched") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_tivfpq_cmp").toString + "/idx"
+    Similarity.buildTrainedIvfPqIndexAt(spark,
+      emb.where(col("vec_id") < 250), idx)
+    Similarity.appendToTrainedIvfPqIndex(spark,
+      emb.where(col("vec_id") >= 250 && col("vec_id") % 2 === 0), idx)
+    Similarity.appendToTrainedIvfPqIndex(spark,
+      emb.where(col("vec_id") >= 250 && col("vec_id") % 2 === 1), idx)
+    def vectors() = spark.read.parquet(s"$idx/vectors")
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    def table(t: String) = spark.read.parquet(s"$idx/$t")
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    val q = emb.where(col("vec_id") < 5).selectExpr("vec_id as q_id", "v as qv")
+    val exact = emb.selectExpr("vec_id as n_id", "v")
+    def probes() = Similarity.trainedIvfPqProbeStored(spark, idx, q, exact,
+        k = 5, nprobe = 3, refine = 32)
+      .collect().map(_.toSeq).toSet
+    val (v0, c0, b0, p0) =
+      (vectors(), table("coarse"), table("pq_codebooks"), probes())
+    Similarity.compactTrainedIvfPqIndexAt(spark, idx)
+    assert(vectors() == v0)
+    assert(table("coarse") == c0 && table("pq_codebooks") == b0)
+    assert(probes() == p0 && p0.nonEmpty)
+    val cellDirs = new java.io.File(s"$idx/vectors").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"expected 1 file in ${d.getName}, got ${files.length}")
+    }
+    assert(!new java.io.File(s"$idx/vectors.__old").exists())
+    assert(!new java.io.File(s"$idx/vectors.__compact").exists())
+  }
+
   test("filtered ANN: only allowed ids retrieved; allow-all equals unfiltered") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
