@@ -896,8 +896,12 @@ object CorpusQueries {
         queryTerms = bm25Probes, topN = 10)
       .presentSorted("query_id", "rank")
 
-  def q180Sql: String =
-    """WITH qt AS (
+  def q180Sql: String = bm25ReplaySql(topN = 10)
+
+  /** The full BM25 replay (q180's oracle) at a parameterized cut —
+    * q237 reuses it as its 20-candidate retrieval stage. */
+  def bm25ReplaySql(topN: Int): String =
+    s"""WITH qt AS (
       |  SELECT CAST(query_id AS BIGINT) AS query_id, term FROM (VALUES
       |    (0, 'table'), (0, 'value'),
       |    (1, 'spark'), (1, 'merge'), (1, 'stream'),
@@ -933,7 +937,7 @@ object CorpusQueries {
       |  SELECT query_id, doc_id, score_q,
       |    row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
       |  FROM sc) z
-      |WHERE rank <= 10
+      |WHERE rank <= $topN
       |ORDER BY query_id, rank""".stripMargin
 
   /** Exact phrase search ([[Corpus.phraseSearchAt]]) over the stored
@@ -1067,7 +1071,78 @@ object CorpusQueries {
       .presentSorted("phrase", "doc_id")
   }
 
+  /** The full SERVING pipeline in one entry — retrieve, score, blend,
+    * cut: BM25 top-20 candidates from the stored postings index
+    * (q233's pruned-probe path), candidate documents' quality scored
+    * by the in-repo LightGBM forest (q69's `quality_gbdt.lgbm`) over
+    * textStats features computed for the ≤ |queries|·20 CANDIDATES
+    * only (candidate ids broadcast into the doc scan — the corpus is
+    * never re-scanned), final order = de-quantized BM25 (exact /2²⁰)
+    * + model quality. The oracle splices the parameterized q180
+    * replay (20-candidate cut) with q69's forest-as-CASE replay. */
+  def q237IndexedRerank(s: SparkSession, dir: String): DataFrame = {
+    InferenceQueries.ensure(s, "graft_quality", "/models/quality_gbdt.lgbm")
+    val cands = Corpus.bm25SearchAt(s, Corpus.phraseIndex(s, dir),
+        bm25Probes, topN = 20)
+      .select(col("query_id"), col("doc_id"), col("score_q"))
+    val candDocs = docs(s, dir)
+      .join(broadcast(cands.select("doc_id").distinct()), "doc_id")
+    val stats = graft.operators.TextAnalysis
+      .textStats(candDocs, "doc_id", "text")
+    val feats = array(
+      col("n_words").cast("double"),
+      col("n_distinct_words").cast("double") / col("n_words"),
+      col("stop_cnt").cast("double") / col("n_words"),
+      col("avg_word_len"))
+    val qual = stats.select(col("doc_id"),
+      element_at(call_udf("graft_quality", feats), 1).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("final"), col("doc_id"))
+    cands.join(qual, "doc_id")
+      .withColumn("final",
+        col("score_q").cast("double") / lit(1048576.0) + col("quality"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_q"),
+        col("quality"), col("final"))
+      .presentSorted("query_id", "rank")
+  }
+
+  def q237Sql: String = {
+    val stopsEn = graft.operators.TextAnalysis.langs.head._2
+      .map(word => s"'$word'").mkString(", ")
+    s"""WITH cands AS (
+       |  SELECT query_id, doc_id, score_q FROM (${bm25ReplaySql(topN = 20)})),
+       |feats AS (
+       |  SELECT doc_id,
+       |    len(ws)::DOUBLE AS f0,
+       |    len(list_distinct(ws))::DOUBLE / len(ws) AS f1,
+       |    len(list_filter(ws, w -> list_contains([$stopsEn], w)))::DOUBLE / len(ws) AS f2,
+       |    CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) AS f3
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |        WHERE doc_id IN (SELECT doc_id FROM cands)) b),
+       |q AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN f0 <= 48 THEN -0.25 ELSE 0.5 END)
+       |    + (CASE WHEN f1 <= 0.5 THEN 0.125 ELSE -0.25 END)
+       |    + (CASE WHEN f2 <= 0.0625 THEN -0.1875 ELSE 0.25 END)
+       |    + (CASE WHEN f3 <= 4.5 THEN (CASE WHEN f0 <= 24 THEN -0.3125 ELSE 0.1875 END) ELSE 0.0625 END)
+       |    AS quality
+       |  FROM feats),
+       |f AS (
+       |  SELECT c.query_id, c.doc_id, c.score_q, q.quality,
+       |    c.score_q / 1048576.0 + q.quality AS final
+       |  FROM cands c JOIN q USING (doc_id))
+       |SELECT query_id, rank, doc_id, score_q, quality, final FROM (
+       |  SELECT query_id, doc_id, score_q, quality, final,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY final DESC, doc_id) AS rank
+       |  FROM f) z
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q237_indexed_rerank", q237IndexedRerank _, q237Sql),
     ("q235_compacted_index", q235CompactedIndex _, q228Sql),
     ("q233_bm25_index", q233Bm25Index _, q180Sql),
     ("q232_stream_phrase_ingest", q232StreamPhraseIngest _, q228Sql),
