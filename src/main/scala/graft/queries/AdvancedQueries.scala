@@ -33,6 +33,33 @@ object AdvancedQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Arbitrary GROUPING SETS lattice — the asymmetric set list neither
+    * ROLLUP (q07) nor CUBE (q174) expresses — submitted as SQL TEXT the
+    * oracle runs verbatim: (flag, status), (flag, ship-year),
+    * (ship-year), (). The grouping-id column disambiguates NULL-as-ALL
+    * from a genuinely null key. Plan shape at any scale: one Expand
+    * (|sets|× the scan rows) into ONE hash aggregate + exchange —
+    * grouping sets never add shuffles, only Expand fan-out. */
+  def q238GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .createOrReplaceTempView("lineitem")
+    LightFusion.sql(s, q238Sql)
+  }
+
+  def q238Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |  COALESCE(l_linestatus, 'ALL') AS ls,
+      |  CAST(COALESCE(yr, -1) AS BIGINT) AS yr,
+      |  CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+      |    + GROUPING(yr) AS BIGINT) AS gid,
+      |  COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM (SELECT l_returnflag, l_linestatus, l_quantity,
+      |        YEAR(CAST(l_shipdate AS DATE)) AS yr FROM lineitem) t
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag, yr), (yr), ())
+      |ORDER BY gid, rf, ls, yr""".stripMargin
+
   /** Moving window frame: trailing-3-orders average spend per customer
     * (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), decimal-exact. */
   def q17MovingAvg(s: SparkSession, dir: String): DataFrame = {
@@ -196,6 +223,7 @@ object AdvancedQueries {
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q16_sql_text_exists", q16SqlText _, q16Sql),
+    ("q238_grouping_sets", q238GroupingSets _, q238Sql),
     ("q17_moving_avg", q17MovingAvg _, q17Sql),
     ("q18_asof_join", q18AsofJoin _, q18Sql),
     ("q19_percentiles", q19Percentiles _, q19Sql),
