@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Corpus
+
+/** Measures what [[Corpus.compactPhraseIndexAt]] buys: build a phrase
+  * index from a bootstrap slice, append the rest in `batches` batches
+  * (the q232 streaming shape — each append adds ≤ buckets files), then
+  * time the q228 phrase search and count data files BEFORE and AFTER
+  * compaction. `runMain graft.tools.ProfileCompaction [sfDir] [batches]`.
+  */
+object ProfileCompaction {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batches = args.lift(1).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_profile_cmp").toString + "/idx"
+    val bootstrap = n / 5
+    Corpus.buildPhraseIndexAt(docs.where(col("doc_id") < bootstrap),
+      "doc_id", "text", idx)
+    val per = (n - bootstrap) / batches + 1
+    (0 until batches).foreach { b =>
+      val lo = bootstrap + b * per
+      Corpus.appendToPhraseIndexAt(
+        docs.where(col("doc_id") >= lo && col("doc_id") < lo + per),
+        "doc_id", "text", idx)
+    }
+    def files(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(idx))
+    }
+    def timeSearch(): Double = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        Corpus.phraseSearchAt(spark, idx,
+          Seq("table hash", "order fast", "part filter scan"))
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(2)
+    }
+    println(f"[pre-compact]  files=${files()}%5d  search_median=${timeSearch()}%.3f s")
+    val t0 = System.nanoTime()
+    Corpus.compactPhraseIndexAt(spark, idx)
+    val tc = (System.nanoTime() - t0) / 1e9
+    println(f"[compact]      took=$tc%.3f s")
+    println(f"[post-compact] files=${files()}%5d  search_median=${timeSearch()}%.3f s")
+    spark.stop()
+  }
+}
