@@ -671,6 +671,37 @@ object Corpus {
     fs.delete(old, true)
   }
 
+  /** Coverage/staleness audit of a stored positional index against the
+    * corpus it should serve — the "is the index caught up?" number an
+    * ingest pipeline alarms on before queries silently miss documents:
+    * docs in the corpus but not the index (ingest lag), docs in the
+    * index but not the corpus (deletions still serving — the GDPR
+    * direction), and the coverage share. Uses the `_doclen` side table
+    * (exactly one row per ingested doc), NOT the postings — so the
+    * audit scans two narrow id columns, never token rows. ONE
+    * full-outer join on doc_id collapsed to a single row: at 100 TB
+    * this is a doc-count-sized id shuffle, independent of text and
+    * postings volume. */
+  def indexCoverageAt(
+      s: SparkSession,
+      path: String,
+      docs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val corpus = docs.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("__c", lit(1L))
+    val indexed = s.read.parquet(s"$path/_doclen")
+      .select(col("doc_id")).withColumn("__i", lit(1L))
+    corpus.join(indexed, Seq("doc_id"), "full_outer")
+      .agg(
+        sum(col("__c")).as("n_corpus"),
+        sum(col("__c") * col("__i")).as("n_in_index"),
+        sum(when(col("__i").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_orphaned"))
+      .select(col("n_corpus"), col("n_in_index"), col("n_missing"),
+        col("n_orphaned"),
+        (col("n_in_index").cast("double") / col("n_corpus")).as("coverage"))
+  }
+
   /** Per-JVM cached build of the positional index for a testdata dir —
     * the [[graft.operators.Similarity.buildIvfIndex]] convention: path
     * derived from the full sanitized dir (no 32-bit hashCode aliasing),

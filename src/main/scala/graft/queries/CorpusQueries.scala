@@ -1141,7 +1141,30 @@ object CorpusQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Index coverage audit ([[Corpus.indexCoverageAt]]): build the
+    * index on a bootstrap slice only, audit against the full corpus —
+    * the ingest-lag dashboard row. The oracle recomputes the
+    * membership split from the same cutoff. */
+  def q239IndexCoverage(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_covphrase_" +
+      s"${ProcessHandle.current().pid()}_${phraseStreamSeq.incrementAndGet()}"
+    Corpus.buildPhraseIndexAt(d.where(col("doc_id") < 350),
+      "doc_id", "text", idx)
+    Corpus.indexCoverageAt(s, idx, d)
+  }
+
+  def q239Sql: String =
+    """SELECT
+      |  (SELECT count(*) FROM documents)::BIGINT AS n_corpus,
+      |  (SELECT count(*) FROM documents WHERE doc_id < 350)::BIGINT AS n_in_index,
+      |  (SELECT count(*) FROM documents WHERE doc_id >= 350)::BIGINT AS n_missing,
+      |  0::BIGINT AS n_orphaned,
+      |  (SELECT count(*) FROM documents WHERE doc_id < 350)::DOUBLE
+      |    / (SELECT count(*) FROM documents) AS coverage""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q239_index_coverage", q239IndexCoverage _, q239Sql),
     ("q237_indexed_rerank", q237IndexedRerank _, q237Sql),
     ("q235_compacted_index", q235CompactedIndex _, q228Sql),
     ("q233_bm25_index", q233Bm25Index _, q180Sql),

@@ -783,6 +783,22 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(s"$idx.__compact").exists())
   }
 
+  test("indexCoverageAt: in-index, missing, orphaned, coverage exact " +
+    "in both directions") {
+    import spark.implicits._
+    val ingested = (1L to 4L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val corpus = (3L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_phrase_cov").toString + "/idx"
+    Corpus.buildPhraseIndexAt(ingested, "doc_id", "text", idx, buckets = 4)
+    val r = Corpus.indexCoverageAt(spark, idx, corpus).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      == ((4L, 2L, 2L, 2L)))
+    assert(row.getDouble(4) == 0.5)
+  }
+
   test("bm25SearchAt plan: every postings scan partition-pruned on " +
     "tok_bucket; doclen scans read only (doc_id, dl)") {
     import spark.implicits._
