@@ -775,6 +775,49 @@ object TextQueries {
       |FROM documents GROUP BY 1, 2, 3
       |ORDER BY lang, source, len_bucket""".stripMargin
 
+  /** ε-DP noisy per-source counts ([[graft.operators.Curation
+    * .dpCounts]] — geometric mechanism, reproducible-release mode):
+    * the privacy-release step of a dataset card. The oracle replays
+    * the keyed folds, the exact inverse-CDF threshold list (BigInt →
+    * shared literals), the magnitude count, and the sign bit. */
+  def q240DpCounts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.dpCounts(docs(s, dir), "source")
+      .presentSorted("key")
+
+  def q240Sql: String = {
+    val ts = graft.operators.Curation.geomThresholds().mkString(", ")
+    // DualRollingHash replay (q33's helpers re-derived over the seeded
+    // key string): 31/37 folds mod 2³¹−1, quadratic→linear→quadratic
+    // scrambles, packed hi·2³² + lo; low 48 bits = draw, bit 48 = sign
+    val P = "2147483647"
+    def fold(k: Int) =
+      s"""list_reduce(list_prepend(0::BIGINT,
+         |      [ascii(c)::BIGINT for c in string_split('dpfix:' || key, '')]),
+         |    (acc, c) -> (acc * $k + c) % $P)""".stripMargin
+    def quad(x: String, c: Long) = s"(($x) * ($x) + $c) % $P"
+    def lin(x: String, k: Long, c: Long) = s"(($x) * $k + $c) % $P"
+    val lo = quad(lin(quad(fold(31), 1013904223L), 1103515245L, 12345L),
+      1664525L)
+    val hi = quad(lin(quad(fold(37), 1664525L), 69069L, 362437L),
+      1013904223L)
+    s"""WITH c AS (
+       |  SELECT COALESCE(source, '∅') AS key, count(*)::BIGINT AS n_true
+       |  FROM documents GROUP BY 1),
+       |h AS (SELECT key, n_true,
+       |  ($hi) * 4294967296 + ($lo) AS packed
+       |  FROM c),
+       |m AS (SELECT key, n_true,
+       |  (packed // 281474976710656) % 2 AS sbit,
+       |  len(list_filter([$ts], t -> packed % 281474976710656 >= t))::BIGINT AS mag
+       |  FROM h),
+       |z AS (SELECT key, n_true,
+       |  CASE WHEN mag = 0 THEN 0
+       |       WHEN sbit = 0 THEN mag ELSE -mag END AS noise
+       |  FROM m)
+       |SELECT key, n_true, noise, n_true + noise AS n_released
+       |FROM z ORDER BY key""".stripMargin
+  }
+
   /** Curriculum difficulty staging ([[graft.operators.Curation
     * .curriculumStage]]): mean word length + long-word share in integer
     * millis, staged by fixed thresholds — the easy→hard ordering signal
@@ -903,6 +946,7 @@ object TextQueries {
     ("q136_html_strip", q136HtmlStrip _, q136Sql),
     ("q139_blocklist", q139Blocklist _, q139Sql),
     ("q157_k_anonymity", q157KAnonymity _, q157Sql),
+    ("q240_dp_counts", q240DpCounts _, q240Sql),
     ("q160_curriculum", q160Curriculum _, q160Sql),
     ("q161_mojibake", q161Mojibake _, q161Sql),
     ("q178_blocklist_scan", q178BlocklistScan _, q178Sql),

@@ -114,4 +114,60 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long)].collect().map(_._3).toSet
     assert(again == pool)
   }
+
+  test("geomThresholds: exact first value, strictly increasing, in-grid") {
+    val ts = Curation.geomThresholds()
+    assert(ts.length == 40)
+    // t_0 = floor(2^48 / 7): P(M = 0) = (1-r)/(1+r) = 1/7 at r = 3/4
+    assert(ts.head == (BigInt(1) << 48) / 7)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a < b })
+    assert(ts.last < (1L << 48))
+  }
+
+  test("dpCounts: noise recomputed independently from the draw; zero " +
+    "share near 1/7; released = true + noise; deterministic") {
+    import spark.implicits._
+    val n = 7000
+    val rows = (1 to n).flatMap(i => Seq.fill(i % 3 + 1)(s"key$i"))
+      .toDF("source")
+    val got = Curation.dpCounts(rows, "source").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == n)
+    // independent recomputation: the dual-hash draw re-derived in plain
+    // Scala (fold + mix via the kernel's own companions), then a direct
+    // inverse-CDF over BigInt-derived thresholds
+    val ts = Curation.geomThresholds()
+    def packedOf(key: String): Long = {
+      val s = s"dpfix:$key"
+      var lo = 0L; var hi = 0L
+      s.foreach { c =>
+        lo = (lo * 31L + c.toLong) % graft.functions.DualRollingHash.Mod
+        hi = (hi * 37L + c.toLong) % graft.functions.DualRollingHash.Mod
+      }
+      (graft.functions.DualRollingHash.mixHi(hi) << 32) |
+        graft.functions.DualRollingHash.mixLo(lo)
+    }
+    got.foreach { case (k, (nTrue, noise, released)) =>
+      val packed = packedOf(k)
+      val u = packed & ((1L << 48) - 1)
+      val s = (packed >> 48) & 1L
+      val mag = ts.count(u >= _).toLong
+      val want = if (mag == 0) 0L else if (s % 2 == 0) mag else -mag
+      assert(noise == want, s"key $k: noise $noise, recomputed $want")
+      assert(released == nTrue + noise)
+      assert(math.abs(noise) <= 40)
+    }
+    // distribution sanity on 7000 deterministic draws: P(noise=0) = 1/7
+    val zeroShare = got.values.count(_._2 == 0L).toDouble / n
+    assert(zeroShare > 0.12 && zeroShare < 0.17, s"zero share $zeroShare")
+    // signs roughly balanced among nonzero noise
+    val nz = got.values.map(_._2).filter(_ != 0L)
+    val posShare = nz.count(_ > 0L).toDouble / nz.size
+    assert(posShare > 0.45 && posShare < 0.55, s"positive share $posShare")
+    // same seed, same release
+    val again = Curation.dpCounts(rows, "source").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(again == got.map { case (k, v) => k -> v._3 })
+  }
 }
