@@ -909,6 +909,7 @@ object PipelineQueries {
     ("q225_label_outliers", q225LabelOutliers _, q225Sql),
     ("q234_nprobe_sweep", q234NprobeSweep _, q234Sql),
     ("q236_compacted_ann", q236CompactedAnnIndex _, q212Sql),
+    ("q241_residual_recall", q241ResidualRecall _, q241Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2969,6 +2970,54 @@ object PipelineQueries {
 
   // def, not val: the `all` registry evaluates q234Sql during object
   // init, before a later-declared val would be assigned
+  /** Residual-vs-raw ADC recall audit — the one retrieval path q213's
+    * dashboard doesn't cover: recall@5 vs brute force of the trained
+    * IVF-PQ with raw-vector codebooks (q212's path) NEXT TO the
+    * residual IVFADC (q217's path) at the SAME 12-bit code budget —
+    * the table that justifies (or rejects) the residual encode's extra
+    * training stage for a given corpus. Composes three already-oracled
+    * retrievals. */
+  def q241ResidualRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = Similarity.bruteForceTopK(s, dir, numQueries = 5, k = 5)
+      .select(col("q_id").as("bq"), col("n_id"))
+    val raw = Similarity.trainedIvfPqTopK(s, dir, numQueries = 5, k = 5,
+        nlist = 8, nprobe = 3, m = 4, ks = 8, trainSample = 64, iters = 2,
+        refine = 32)
+      .select(col("q_id").as("rq"), col("n_id").as("r_id"))
+    val res = Similarity.trainedIvfPqTopK(s, dir, numQueries = 5, k = 5,
+        nlist = 8, nprobe = 3, m = 4, ks = 8, trainSample = 64, iters = 2,
+        refine = 32, residual = true)
+      .select(col("q_id").as("sq"), col("n_id").as("s_id"))
+    brute
+      .join(raw, col("rq") === col("bq") && col("r_id") === col("n_id"), "left")
+      .join(res, col("sq") === col("bq") && col("s_id") === col("n_id"), "left")
+      .groupBy(col("bq").as("q_id"))
+      .agg(count(lit(1)).as("k"),
+        count(col("r_id")).as("raw_hits"),
+        count(col("s_id")).as("residual_hits"))
+      .select(col("q_id"), col("k"), col("raw_hits"), col("residual_hits"),
+        (col("raw_hits").cast("double") / col("k")).as("raw_recall"),
+        (col("residual_hits").cast("double") / col("k")).as("residual_recall"))
+      .presentSorted("q_id")
+  }
+
+  def q241Sql: String = {
+    val bruteNq5 = q40Sql.replace("vec_id < 10", "vec_id < 5")
+    require(bruteNq5 != q40Sql, "q241: brute-force nq splice failed")
+    s"""WITH brute AS ($bruteNq5),
+       |raw AS (${trainedIvfPqReplaySql(nq = 5, k = 5, nlist = 8, nprobe = 3, ks = 8, refine = 32)}),
+       |res AS (${residualIvfPqReplaySql(nq = 5, k = 5, nlist = 8, nprobe = 3, ks = 8, refine = 32)})
+       |SELECT b.q_id, count(*) AS k,
+       |  count(r.n_id) AS raw_hits, count(s.n_id) AS residual_hits,
+       |  count(r.n_id)::DOUBLE / count(*) AS raw_recall,
+       |  count(s.n_id)::DOUBLE / count(*) AS residual_recall
+       |FROM brute b
+       |LEFT JOIN raw r ON r.q_id = b.q_id AND r.n_id = b.n_id
+       |LEFT JOIN res s ON s.q_id = b.q_id AND s.n_id = b.n_id
+       |GROUP BY b.q_id
+       |ORDER BY b.q_id""".stripMargin
+  }
+
   private def sweepProbes: Seq[Int] = Seq(1, 2, 4, 8)
 
   /** nprobe sweep — the recall/latency frontier of the trained IVF
