@@ -73,6 +73,35 @@ object EventMediaQueries {
       |FROM a
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** RFM quartile segmentation ([[EventStreams.rfmSegments]]): the
+    * oracle replays the per-user metrics (decimal-exact monetary) and
+    * the three ntile(4) windows over the SAME (metric, user_id) total
+    * orders the distributed rank decomposition uses — so the
+    * no-global-sort plan is provably invisible. */
+  def q242RfmSegments(s: SparkSession, dir: String): DataFrame =
+    EventStreams.rfmSegments(eventsTs(s, dir))
+      .presentSorted("user_id")
+
+  def q242Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    date_diff('day', max(CAST(ts AS TIMESTAMP))::DATE,
+      |      (SELECT max(CAST(ts AS TIMESTAMP))::DATE FROM events))::BIGINT
+      |      AS recency_days,
+      |    count(*)::BIGINT AS frequency,
+      |    sum(CAST(value AS DECIMAL(18,4))) AS mon
+      |  FROM events GROUP BY user_id),
+      |t AS (
+      |  SELECT user_id, recency_days, frequency, mon,
+      |    ntile(4) OVER (ORDER BY recency_days, user_id)::BIGINT AS r_score,
+      |    ntile(4) OVER (ORDER BY frequency DESC, user_id)::BIGINT AS f_score,
+      |    ntile(4) OVER (ORDER BY mon DESC, user_id)::BIGINT AS m_score
+      |  FROM u)
+      |SELECT user_id, recency_days, frequency, mon::DOUBLE AS monetary,
+      |  r_score, f_score, m_score,
+      |  r_score * 100 + f_score * 10 + m_score AS rfm
+      |FROM t ORDER BY user_id""".stripMargin
+
   /** Attribution interval join, batch form (same operator serves streams
     * with a watermark — EventStreamsSpec pins stream == batch). */
   def q58Attribution(s: SparkSession, dir: String): DataFrame =
@@ -752,6 +781,7 @@ object EventMediaQueries {
     ("q60_event_windows", q60EventWindows _, q60Sql),
     ("q61_sessionize", q61Sessionize _, q61Sql),
     ("q231_retention_cohorts", q231RetentionCohorts _, q231Sql),
+    ("q242_rfm_segments", q242RfmSegments _, q242Sql),
     ("q62_media_meta", q62MediaMeta _, q62Sql),
     ("q63_media_features", q63MediaFeatures _, q63Sql),
     ("q64_frame_sample", q64FrameSample _, q64Sql),

@@ -329,6 +329,62 @@ object EventStreams {
         (col("n_active").cast("double") / col("n_cohort")).as("retention"))
   }
 
+  /** RFM user segmentation — recency / frequency / monetary quartile
+    * scores, the classic growth-analytics cut. Recency anchors on the
+    * LAST EVENT IN THE DATA (one broadcast row), not the wall clock, so
+    * the segmentation replays bit-identically; monetary sums in
+    * DECIMAL(18,4) (double sums are addition-order-dependent — the q07
+    * convention) and is presented as double.
+    *
+    * Quartiles are ntile(4) over (metric, user_id) total orders — but
+    * computed WITHOUT a single-partition window: each metric rides
+    * [[graft.operators.Curation.globalRank]]'s distributed rank
+    * decomposition (value-class histogram → broadcast prefix offsets →
+    * within-class row_number), then ntile's uneven-bucket allocation is
+    * plain arithmetic on (rank, n). R scores ascending (recent = 1), F
+    * and M descending (heavy = 1); rfm = 100·r + 10·f + m. At 100 TB
+    * the only event-volume-proportional cost is the first scan + one
+    * user-keyed shuffle; everything after is user-count-sized. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val anchor = events.agg(max(col("ts").cast("date")).as("__anchor"))
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(max(col("ts").cast("date")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,4)")).as("__mon"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        datediff(col("__anchor"), col("last_day")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("__mon"))
+    def rankOf(metric: String, descending: Boolean, as: String) =
+      graft.operators.Curation
+        .globalRank(perUser, "user_id", metric, descending)
+        .select(col("id").as("user_id"), col("r").as(as))
+    val ranked = perUser
+      .join(rankOf("recency_days", descending = false, "__rr"), "user_id")
+      .join(rankOf("frequency", descending = true, "__rf"), "user_id")
+      .join(rankOf("__mon", descending = true, "__rm"), "user_id")
+      .crossJoin(broadcast(perUser.agg(count(lit(1)).as("__n"))))
+    // ntile(k)'s allocation from a 0-based rank: the first n % k tiles
+    // carry one extra row (div-by-zero in the ELSE arm can only occur
+    // when n < k, where the THEN arm always fires)
+    def tile(r: String) = expr(
+      s"""CASE WHEN $r < (__n % 4) * ((__n div 4) + 1)
+         |  THEN $r div ((__n div 4) + 1) + 1
+         |  ELSE (__n % 4) + (($r - (__n % 4) * ((__n div 4) + 1))
+         |    div (__n div 4)) + 1 END""".stripMargin).cast("long")
+    ranked
+      .withColumn("r_score", tile("__rr"))
+      .withColumn("f_score", tile("__rf"))
+      .withColumn("m_score", tile("__rm"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("__mon").cast("double").as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("rfm"))
+  }
+
   /** [[funnel]] as a live stream: per-user funnel state
     * (`flatMapGroupsWithState`) holding the completion times reached so
     * far; each micro-batch advances the greedy in-event-time-order

@@ -244,6 +244,38 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       ("2024-01-08", 1) -> ((1L, 1L, 1.0))))
   }
 
+  test("rfmSegments: hand-computed quartiles, ntile's uneven allocation " +
+    "at n=9, decimal-exact monetary") {
+    import spark.implicits._
+    // user i: i events on day 2024-01-(10+i), each value i -> freq=i,
+    // monetary=i*i, recency=9-i days against the anchor (user 9's day)
+    val df = (1 to 9).flatMap { i =>
+      (1 to i).map { _ =>
+        (i.toLong,
+          java.sql.Timestamp.valueOf(f"2024-01-${10 + i}%02d 08:00:00"),
+          i.toDouble)
+      }
+    }.toDF("user_id", "ts", "value")
+    val got = EventStreams.rfmSegments(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(got.size == 9)
+    // every ordering ranks users 9..1, so all three scores agree:
+    // ntile(4) of 9 rows = sizes 3,2,2,2 -> users 9,8,7 -> 1; 6,5 -> 2;
+    // 4,3 -> 3; 2,1 -> 4
+    def wantScore(i: Long): Long =
+      if (i >= 7) 1L else if (i >= 5) 2L else if (i >= 3) 3L else 4L
+    (1L to 9L).foreach { i =>
+      val (rec, freq, mon, r, f, m, rfm) = got(i)
+      assert(rec == 9 - i && freq == i && mon == (i * i).toDouble)
+      assert(r == wantScore(i) && f == wantScore(i) && m == wantScore(i),
+        s"user $i scores ($r,$f,$m), want ${wantScore(i)}")
+      assert(rfm == wantScore(i) * 111)
+    }
+  }
+
   test("funnelStream: state advances across micro-batches") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
