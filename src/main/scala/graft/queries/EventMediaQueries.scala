@@ -102,6 +102,43 @@ object EventMediaQueries {
       |  r_score * 100 + f_score * 10 + m_score AS rfm
       |FROM t ORDER BY user_id""".stripMargin
 
+  /** Next-event prediction accuracy ([[EventStreams
+    * .nextEventAccuracy]]): temporal holdout of the last 7 days, the
+    * argmax-transition predictor, per-type top-1 accuracy. The oracle
+    * replays the lead windows, the cutoff date arithmetic, the
+    * tie-broken argmax, and the null-predicted cold-start misses. */
+  def q243NextEventAccuracy(s: SparkSession, dir: String): DataFrame =
+    EventStreams.nextEventAccuracy(eventsTs(s, dir))
+      .presentSorted("event_type")
+
+  def q243Sql: String =
+    """WITH p0 AS (
+      |  SELECT event_type AS cur,
+      |    lead(event_type) OVER w AS next_type,
+      |    (lead(CAST(ts AS TIMESTAMP)) OVER w)::DATE AS next_day
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      |cut AS (SELECT max(CAST(ts AS TIMESTAMP))::DATE - 7 AS c FROM events),
+      |p AS (SELECT * FROM p0, cut WHERE next_type IS NOT NULL),
+      |tr AS (SELECT cur, next_type AS nt, count(*) AS cnt
+      |  FROM p WHERE next_day < c GROUP BY cur, next_type),
+      |pred AS (SELECT cur, nt AS predicted FROM (
+      |  SELECT cur, nt,
+      |    row_number() OVER (PARTITION BY cur ORDER BY cnt DESC, nt) AS rn
+      |  FROM tr) z WHERE rn = 1),
+      |te AS (SELECT p.cur, p.next_type, pred.predicted
+      |  FROM p LEFT JOIN pred ON pred.cur = p.cur
+      |  WHERE p.next_day >= p.c)
+      |SELECT cur AS event_type, max(predicted) AS predicted,
+      |  count(*)::BIGINT AS n_test,
+      |  CAST(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hit,
+      |  CAST(sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*) AS accuracy
+      |FROM te GROUP BY cur
+      |ORDER BY event_type""".stripMargin
+
   /** Attribution interval join, batch form (same operator serves streams
     * with a watermark — EventStreamsSpec pins stream == batch). */
   def q58Attribution(s: SparkSession, dir: String): DataFrame =
@@ -782,6 +819,7 @@ object EventMediaQueries {
     ("q61_sessionize", q61Sessionize _, q61Sql),
     ("q231_retention_cohorts", q231RetentionCohorts _, q231Sql),
     ("q242_rfm_segments", q242RfmSegments _, q242Sql),
+    ("q243_next_event_accuracy", q243NextEventAccuracy _, q243Sql),
     ("q62_media_meta", q62MediaMeta _, q62Sql),
     ("q63_media_features", q63MediaFeatures _, q63Sql),
     ("q64_frame_sample", q64FrameSample _, q64Sql),

@@ -385,6 +385,51 @@ object EventStreams {
           .as("rfm"))
   }
 
+  /** Next-event prediction accuracy under a TEMPORAL train/test split —
+    * the audit that tells you whether the transition matrix
+    * ([[transitionCounts]]'s model) actually predicts: transitions
+    * whose successor lands in the last `testDays` days of the data are
+    * held out, the matrix trains on the rest, prediction per current
+    * type = argmax transition count (tie → lexicographically smallest
+    * successor, a total order), and the held-out pairs score top-1
+    * accuracy per type. Current types unseen in training predict null
+    * and score misses — the cold-start truth, not an inflated number.
+    *
+    * Scale: one user-keyed window over events (the lead pass), then
+    * everything is transition-type-sized. The cutoff anchors on the
+    * data's max timestamp (one broadcast row), so the split replays
+    * bit-identically. */
+  def nextEventAccuracy(events: DataFrame, testDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_day", lead(col("ts"), 1).over(w).cast("date"))
+      .where(col("next_type").isNotNull)
+      .crossJoin(broadcast(events.agg(
+        date_sub(max(col("ts").cast("date")), testDays).as("__cut"))))
+    val train = pairs.where(col("next_day") < col("__cut"))
+      .groupBy(col("event_type").as("cur"), col("next_type").as("nt"))
+      .agg(count(lit(1)).as("cnt"))
+    val wa = Window.partitionBy("cur")
+      .orderBy(col("cnt").desc, col("nt"))
+    val pred = train.withColumn("__rn", row_number().over(wa))
+      .where(col("__rn") === 1)
+      .select(col("cur"), col("nt").as("predicted"))
+    pairs.where(col("next_day") >= col("__cut"))
+      .join(pred, col("event_type") === col("cur"), "left")
+      .groupBy(col("event_type"))
+      .agg(max(col("predicted")).as("predicted"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("next_type") === col("predicted"), 1L).otherwise(0L))
+          .as("n_hit"))
+      .select(col("event_type"), col("predicted"), col("n_test"),
+        col("n_hit"),
+        (col("n_hit").cast("double") / col("n_test")).as("accuracy"))
+  }
+
   /** [[funnel]] as a live stream: per-user funnel state
     * (`flatMapGroupsWithState`) holding the completion times reached so
     * far; each micro-batch advances the greedy in-event-time-order

@@ -276,6 +276,31 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("nextEventAccuracy: temporal holdout, argmax prediction, " +
+    "cold-start type scores a miss with null prediction") {
+    import spark.implicits._
+    def t(d: String) = java.sql.Timestamp.valueOf(s"2024-01-$d 08:00:00")
+    // anchor event (u2, day 20) sets the cutoff at day 13; u1's history:
+    // train pairs A->B x2, B->A x1; test pairs B->A (hit), A->C (miss),
+    // C->A (C unseen in training -> null prediction, miss)
+    val df = Seq(
+      (1L, 1L, t("01"), "A"), (2L, 1L, t("02"), "B"),
+      (3L, 1L, t("03"), "A"), (4L, 1L, t("04"), "B"),
+      (5L, 1L, t("14"), "A"), (6L, 1L, t("15"), "C"),
+      (7L, 1L, t("16"), "A"),
+      (8L, 2L, t("20"), "Z"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventStreams.nextEventAccuracy(df, testDays = 7).collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getLong(3),
+          r.getDouble(4))))
+      .toMap
+    assert(got == Map(
+      "A" -> ((Some("B"), 1L, 0L, 0.0)),
+      "B" -> ((Some("A"), 1L, 1L, 1.0)),
+      "C" -> ((None, 1L, 0L, 0.0))))
+  }
+
   test("funnelStream: state advances across micro-batches") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
