@@ -361,4 +361,33 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!s.contains("rangepartitioning"),
       s"no range exchange (global sort) expected:\n$s")
   }
+
+  test("rfmSegments: no global ntile window over the user frame") {
+    // The scale hazard this pins: ntile(4) OVER (ORDER BY metric) is a
+    // single-partition window — the whole user table through one task.
+    // rfmSegments must rank via the distributed value-class
+    // decomposition: any window over USER ROWS must carry a partition
+    // column (the value class); order-only windows are allowed solely
+    // on the class histogram (distinct-value-sized, never user-sized).
+    // Partition args precede order args and carry no sort direction, so
+    // a first argument already marked ASC/DESC means an empty partition
+    // spec.
+    spark.catalog.clearCache()
+    val df = graft.streaming.EventStreams.rfmSegments(
+      graft.queries.RelationalQueries.eventsTs(spark, sfDir))
+    val s = planOf(df)
+    val offending = s.linesIterator.filter { l =>
+      val i = l.indexOf("windowspecdefinition(")
+      i >= 0 && l.contains("user_id#") && {
+        val firstArg = l.substring(i + "windowspecdefinition(".length)
+          .takeWhile(_ != ',')
+        firstArg.contains("ASC") || firstArg.contains("DESC")
+      }
+    }.toSeq
+    assert(offending.isEmpty,
+      "user-frame windows must partition by the value class:\n" +
+        offending.mkString("\n"))
+    assert(!s.contains("rangepartitioning"),
+      s"no range exchange (global sort) expected:\n$s")
+  }
 }
