@@ -1,12 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Entries run on a small thread pool (SPARK_GRAFT_VERIFY_PAR, default 6)
+  * — each on its own `spark.newSession()` so SET commands, temp views and
+  * UDF registration stay isolated while jobs share the local[cpus]
+  * scheduler. Fixture builds (stored ANN / phrase indexes) are memoized
+  * behind computeIfAbsent registries keyed off the build params, so
+  * concurrent entries block on one build instead of racing. Per-entry
+  * wall time goes to stderr and the 15 slowest print at the end — the
+  * round-11 gate ran ~15 min sequentially and timed out the driver's
+  * ledger; the pool is the fix, the timings are the watchdog. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,14 +28,31 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val t0 = System.nanoTime()
+    val failed = new AtomicInteger(0)
+    val times = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+    val pool = Executors.newFixedThreadPool(par)
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        e.printStackTrace()
-      }
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val s = spark.newSession()
+          val tq = System.nanoTime()
+          try {
+            fn(s, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            val dt = (System.nanoTime() - tq) / 1e9
+            times.add((name, dt))
+            System.err.println(f"[verify] $name ok in $dt%.2fs")
+          } catch { case e: Throwable =>
+            failed.incrementAndGet()
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            e.printStackTrace()
+          }
+        }
+      })
     }
+    pool.shutdown()
+    pool.awaitTermination(4, TimeUnit.HOURS)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -38,6 +68,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val total = (System.nanoTime() - t0) / 1e9
+    import scala.jdk.CollectionConverters._
+    val slow = times.asScala.toSeq.sortBy(-_._2).take(15)
+    slow.foreach { case (n, t) => System.err.println(f"[verify] slow: $n $t%.2fs") }
+    val nFail = failed.get()
+    val nTot = SparkEntry.queries.size
+    // stdout so the driver log records the count even when stderr is cut;
+    // an all-failed run can no longer masquerade as a complete one.
+    println(f"[verify] done: ${nTot - nFail} ok, $nFail failed of $nTot in $total%.1fs (par=$par)")
     spark.stop()
+    if (nFail > 0) System.err.println(s"[verify] FAILURES: $nFail")
   }
 }
