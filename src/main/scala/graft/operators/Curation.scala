@@ -32,20 +32,73 @@ object Curation {
     * value concentrates its class in one window partition; sizes in real
     * corpora are near-unique at the tail and AQE skew-split covers the
     * head. Returns per-row assignments (id, size, shard). */
+  /** Ceiling on distinct size values for [[globalRank]]'s value-class
+    * histogram path: past it the histogram is no longer "tiny" — its
+    * prefix-sum window funnels a |classes|-sized frame through one task
+    * and the offset broadcast is |classes|-sized — so rank switches to
+    * the range-bucketed decomposition. 100k classes ≈ a few MB
+    * broadcast, comfortably inside any executor (the
+    * [[Corpus.QuantileMaxKeys]] convention). */
+  val GlobalRankMaxClasses: Long = 100000L
+
+  /** Range-bucket count for the high-cardinality path: at 10^10 rows,
+    * 1024 buckets keep each within-bucket sort ~10M rows per task. */
+  private val GlobalRankBuckets: Int = 1024
+
   /** 0-based global rank of every row under the total order
-    * (`size` DESC-or-ASC, `id` ASC), WITHOUT a single-partition window:
-    * per-size-class counts (the DISTINCT-sizes histogram — bounded, not
-    * corpus-sized) get prefix-sum offsets on their own tiny frame,
-    * broadcast back, and the within-class `row_number` partitions by
-    * size — every corpus-sized stage stays parallel. Returns
-    * (id, size, r). */
+    * (`size` DESC-or-ASC, `id` ASC), WITHOUT a single-partition window
+    * over anything corpus-sized. Null sizes are excluded from ranking
+    * (ranks are dense over the non-null rows). Returns
+    * (size, id, offset, r).
+    *
+    * Two decompositions, routed by an approx-distinct probe on `size`:
+    *
+    *  - BOUNDED classes (≤ [[GlobalRankMaxClasses]] distinct values —
+    *    day counts, token lengths, score grids): per-size-class counts
+    *    (the DISTINCT-sizes histogram) get prefix-sum offsets on their
+    *    own tiny frame, broadcast back, and the within-class
+    *    `row_number` partitions by size.
+    *  - NEAR-UNIQUE values (per-user decimal sums, raw doubles): the
+    *    histogram IS row-sized, so rank instead range-buckets on
+    *    `percentile_approx` fences ([[graft.functions.SortedCutBucket]]
+    *    — equal values always share a bucket, so ties never straddle a
+    *    boundary), takes prefix-sum offsets over the ≤
+    *    [[GlobalRankBuckets]]-row bucket-count frame, and ranks within
+    *    each bucket by (`size` ord, `id`). Cuts are double-cast fences:
+    *    two decimals that collapse to one double just share a bucket;
+    *    ordering stays in the original type.
+    *
+    * Both paths emit identical ranks (same total order, same dense
+    * 0-base); the bucketed path trades one extra narrow scan (the cut
+    * sketch) for bounded frames everywhere. A single value holding a
+    * macroscopic fraction of all rows concentrates its class/bucket in
+    * one window partition under either path — but such a value forces
+    * distinct-count low, i.e. the histogram path, whose per-class
+    * window AQE skew-split covers. */
   def globalRank(
       df: DataFrame,
       idCol: String,
       sizeCol: String,
-      descending: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      descending: Boolean = true,
+      classesHint: Option[Long] = None): DataFrame = {
     val rows = df.select(col(idCol).as("id"), col(sizeCol).as("size"))
+      .where(col("size").isNotNull)
+    // The probe is an eager job over `df`'s lineage — callers that rank
+    // several metrics off one expensive frame should batch their own
+    // approx_count_distinct pass and pass classesHint (rfmSegments does).
+    val approxClasses = classesHint.getOrElse(
+      rows.agg(approx_count_distinct(col("size")).as("c")).first().getLong(0))
+    if (approxClasses <= GlobalRankMaxClasses)
+      globalRankByClasses(rows, descending)
+    else globalRankBucketed(rows, descending)
+  }
+
+  /** Bounded-cardinality path: value-class histogram → broadcast prefix
+    * offsets → within-class row_number. See [[globalRank]]. */
+  private[graft] def globalRankByClasses(
+      rows: DataFrame,
+      descending: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ord = if (descending) col("size").desc else col("size").asc
     val classes = rows.groupBy("size").agg(count(lit(1)).as("cnt"))
     val offsets = classes.withColumn("offset",
@@ -59,6 +112,56 @@ object Curation {
         col("offset") +
           row_number().over(
             Window.partitionBy("size").orderBy(col("id"))) - 1)
+  }
+
+  /** High-cardinality path: range-bucket on sketched cut fences →
+    * broadcast per-bucket prefix offsets → within-bucket row_number
+    * over the full (size ord, id) order. See [[globalRank]]. */
+  private[graft] def globalRankBucketed(
+      rows: DataFrame,
+      descending: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.SparkShims
+    val ord = if (descending) col("size").desc else col("size").asc
+    val nCuts = GlobalRankBuckets - 1
+    val probs = array(
+      (1 to nCuts).map(i => lit(i.toDouble / (nCuts + 1))): _*)
+    // One narrow partial-agg scan; the sketch is a fence, not a rank —
+    // any monotone cut set yields the same ranks, so approx is safe.
+    val cutRow = rows
+      .agg(percentile_approx(col("size").cast("double"), probs,
+        lit(10000)).as("c"))
+      .first()
+    val cuts =
+      if (cutRow.isNullAt(0)) Seq.empty[Double]
+      else cutRow.getSeq[Double](0)
+        .filterNot(java.lang.Double.isNaN).distinct.sorted
+    // array() of zero args types as array<null>; SortedCutBucket maps a
+    // NULL cut table to bucket 0 (single bucket), so cast a null literal
+    val cutsLit =
+      if (cuts.isEmpty) lit(null).cast("array<double>")
+      else array(cuts.map(lit): _*)
+    val bucketed = rows.withColumn("__gr_b", SparkShims.column(
+      graft.functions.SortedCutBucket(
+        SparkShims.expression(cutsLit),
+        SparkShims.expression(col("size").cast("double")))))
+    // Bucket order IS value order (SortedCutBucket contract), so the
+    // offsets frame — ≤ GlobalRankBuckets rows — prefix-sums in bucket
+    // order (reversed when descending).
+    val bord = if (descending) col("__gr_b").desc else col("__gr_b").asc
+    val offsets = bucketed.groupBy("__gr_b").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(
+          sum("cnt").over(Window.orderBy(bord)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    bucketed
+      .join(broadcast(offsets.select("__gr_b", "offset")), Seq("__gr_b"))
+      .withColumn("r",
+        col("offset") +
+          row_number().over(
+            Window.partitionBy("__gr_b").orderBy(ord, col("id"))) - 1)
+      .select("size", "id", "offset", "r")
   }
 
   def shardPlan(

@@ -357,14 +357,27 @@ object EventStreams {
         datediff(col("__anchor"), col("last_day")).cast("long")
           .as("recency_days"),
         col("frequency"), col("__mon"))
-    def rankOf(metric: String, descending: Boolean, as: String) =
+    // One batched cardinality probe for all three metrics (globalRank
+    // would otherwise probe per call, re-deriving perUser each time).
+    // Recency (days) and frequency (counts) are bounded → histogram
+    // path; monetary is a per-user DECIMAL sum, essentially unique per
+    // user → past GlobalRankMaxClasses the bucketed path engages and no
+    // user-count-sized frame crosses one task.
+    val hints = perUser.agg(
+      approx_count_distinct(col("recency_days")).as("hr"),
+      approx_count_distinct(col("frequency")).as("hf"),
+      approx_count_distinct(col("__mon")).as("hm")).first()
+    def rankOf(metric: String, descending: Boolean, as: String, hint: Long) =
       graft.operators.Curation
-        .globalRank(perUser, "user_id", metric, descending)
+        .globalRank(perUser, "user_id", metric, descending, Some(hint))
         .select(col("id").as("user_id"), col("r").as(as))
     val ranked = perUser
-      .join(rankOf("recency_days", descending = false, "__rr"), "user_id")
-      .join(rankOf("frequency", descending = true, "__rf"), "user_id")
-      .join(rankOf("__mon", descending = true, "__rm"), "user_id")
+      .join(rankOf("recency_days", descending = false, "__rr",
+        hints.getLong(0)), "user_id")
+      .join(rankOf("frequency", descending = true, "__rf",
+        hints.getLong(1)), "user_id")
+      .join(rankOf("__mon", descending = true, "__rm",
+        hints.getLong(2)), "user_id")
       .crossJoin(broadcast(perUser.agg(count(lit(1)).as("__n"))))
     // ntile(k)'s allocation from a 0-based rank: the first n % k tiles
     // carry one extra row (div-by-zero in the ELSE arm can only occur

@@ -170,4 +170,72 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(again == got.map { case (k, v) => k -> v._3 })
   }
+
+  test("globalRank: bucketed path equals histogram path and direct rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties (must colocate in one bucket), a unique tail, values
+    // that collapse under double-cast (decimal-ish), and negative sizes
+    val rows = ((1L to 80L).map(i => (i, (i % 7) * 3 - 9)) ++
+      (81L to 200L).map(i => (i, i * 13 % 191))).toDF("id", "size")
+    for (desc <- Seq(true, false)) {
+      val ord =
+        if (desc) Seq(col("size").desc, col("id").asc)
+        else Seq(col("size").asc, col("id").asc)
+      val direct = rows
+        .withColumn("r", row_number().over(Window.orderBy(ord: _*)) - 1)
+        .select("id", "r").as[(Long, Long)].collect().toMap
+      val hist = Curation.globalRank(rows, "id", "size", desc,
+        classesHint = Some(1L))
+        .select("id", "r").as[(Long, Long)].collect().toMap
+      // hint past the ceiling forces the range-bucketed decomposition
+      val buck = Curation.globalRank(rows, "id", "size", desc,
+        classesHint = Some(Curation.GlobalRankMaxClasses + 1))
+        .select("id", "r").as[(Long, Long)].collect().toMap
+      assert(hist == direct, s"histogram path desc=$desc")
+      assert(buck == direct, s"bucketed path desc=$desc")
+    }
+    // null sizes are excluded from ranking under both paths
+    val withNulls = rows.union(
+      Seq((900L, 1L)).toDF("id", "size")
+        .select(col("id"), lit(null).cast("bigint").as("size")))
+    assert(Curation.globalRank(withNulls, "id", "size").count() == 200)
+    assert(Curation.globalRank(withNulls, "id", "size",
+      classesHint = Some(Curation.GlobalRankMaxClasses + 1)).count() == 200)
+  }
+
+  test("globalRank bucketed: no order-only window over the row frame") {
+    import spark.implicits._
+    // The scale hazard: with near-unique sizes the value-class histogram
+    // is row-sized, so its prefix-sum window (order-only = single
+    // partition) funnels the corpus through one task. The bucketed path
+    // must keep order-only windows on the bucket-count frame
+    // (≤ GlobalRankBuckets rows) and partition every row-frame window
+    // by the bucket column.
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold
+    // the bucket kernel into a LocalTableScan and hide the plan shape
+    val rows = spark.range(1, 501)
+      .select(col("id"), (col("id") * 37 % 100003).as("size"))
+    val df = Curation.globalRank(rows, "id", "size",
+      classesHint = Some(Curation.GlobalRankMaxClasses + 1))
+    val s = df.queryExecution.executedPlan.toString
+    val offending = s.linesIterator.filter { l =>
+      val i = l.indexOf("windowspecdefinition(")
+      i >= 0 && {
+        val firstArg = l.substring(i + "windowspecdefinition(".length)
+          .takeWhile(_ != ',')
+        // partition args precede order args and carry no direction: a
+        // first arg marked ASC/DESC means an empty partition spec
+        (firstArg.contains("ASC") || firstArg.contains("DESC")) &&
+          l.contains("id#") // the row frame; the cnt frame has no id
+      }
+    }.toSeq
+    assert(offending.isEmpty,
+      "row-frame windows must partition by bucket:\n" +
+        offending.mkString("\n"))
+    assert(s.contains("sorted_cut_bucket") || s.contains("SortedCutBucket"),
+      s"bucket assignment should be the native kernel:\n$s")
+    assert(!s.toLowerCase.contains("rangepartitioning"),
+      s"no range exchange (global sort) expected:\n$s")
+  }
 }
