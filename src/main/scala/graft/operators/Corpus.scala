@@ -646,23 +646,55 @@ object Corpus {
     * (spec-pinned), and search equality against the never-compacted
     * build is the q235 gate. `doclenFiles` sizes the `_doclen` rewrite
     * (it holds two longs per DOCUMENT — split it once it outgrows one
-    * comfortable file). */
+    * comfortable file).
+    *
+    * `deletedIds` (one id column, any name) turns the rewrite into
+    * DELETION RECONCILIATION: the named docs' postings and `_doclen`
+    * rows are anti-joined out during the pass the maintenance job
+    * already pays, so the index stops serving them without a corpus
+    * rebuild — the repair for [[indexCoverageAt]]'s `n_orphaned`
+    * (takedowns, opt-outs). Reconcile-then-search ≡ fresh-build-on-
+    * survivors-then-search is the q244 gate. */
   def compactPhraseIndexAt(
       s: SparkSession,
       path: String,
       buckets: Int = 64,
-      doclenFiles: Int = 1): Unit = {
+      doclenFiles: Int = 1,
+      deletedIds: Option[DataFrame] = None): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmpP = new org.apache.hadoop.fs.Path(s"$path.__compact")
+    val old = new org.apache.hadoop.fs.Path(s"$path.__old")
+    // Crash-safety: a previous failed run may have stranded either
+    // sibling — a stale __compact would collide with the tmp write, a
+    // stale __old with the stage-aside rename. Both are disposable here
+    // (__old only matters while $path is MISSING; recovery from a crash
+    // between the two renames is `rename $path.__old $path`, after
+    // which this cleanup is again safe).
+    require(fs.exists(new org.apache.hadoop.fs.Path(path)),
+      s"compactPhraseIndexAt: no index at $path — if $path.__old exists," +
+        " a prior compaction crashed mid-swap; rename it back first")
+    fs.delete(tmpP, true)
+    fs.delete(old, true)
     val tmp = s"$path.__compact"
-    s.read.parquet(path)
+    def minus(df: DataFrame): DataFrame = deletedIds match {
+      // Deletion reconciliation (takedowns / opt-outs): the rewrite is
+      // already touching every bucket, so retiring deleted docs is one
+      // anti-join per table — no extra pass, and the only way short of
+      // a rebuild to stop serving a deleted doc's postings. Left
+      // unhinted: AQE broadcasts a takedown-sized frame on its own.
+      case Some(del) =>
+        df.join(del.select(col(del.columns.head).as("doc_id")),
+          Seq("doc_id"), "left_anti")
+      case None => df
+    }
+    minus(s.read.parquet(path))
       .repartition(buckets, col("tok_bucket"))
       .sortWithinPartitions("tok_bucket", "token", "doc_id", "pos")
       .write.mode("overwrite").partitionBy("tok_bucket").parquet(tmp)
-    s.read.parquet(s"$path/_doclen")
+    minus(s.read.parquet(s"$path/_doclen"))
       .repartition(doclenFiles)
       .write.mode("overwrite").parquet(s"$tmp/_doclen")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(s"$path.__old")
     require(fs.rename(new org.apache.hadoop.fs.Path(path), old),
       s"compactPhraseIndexAt: could not stage current index aside: $path")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
@@ -689,16 +721,24 @@ object Corpus {
       idCol: String = "doc_id"): DataFrame = {
     val corpus = docs.select(col(idCol).cast("long").as("doc_id"))
       .withColumn("__c", lit(1L))
+    // `_doclen` holds one row per INGEST, so a doc appended twice has
+    // two rows — raw, that row would double under the full-outer join
+    // and inflate n_corpus/n_in_index under exactly the ingest bug this
+    // audit exists to catch. Aggregate to (doc_id, copies) first and
+    // surface the double-ingest count as its own alarm column.
     val indexed = s.read.parquet(s"$path/_doclen")
-      .select(col("doc_id")).withColumn("__i", lit(1L))
+      .groupBy("doc_id").agg(count(lit(1)).as("__copies"))
+      .withColumn("__i", lit(1L))
     corpus.join(indexed, Seq("doc_id"), "full_outer")
       .agg(
         sum(col("__c")).as("n_corpus"),
         sum(col("__c") * col("__i")).as("n_in_index"),
         sum(when(col("__i").isNull, 1L).otherwise(0L)).as("n_missing"),
-        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_orphaned"))
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_orphaned"),
+        sum(when(col("__copies") > 1L, 1L).otherwise(0L))
+          .as("n_duplicated"))
       .select(col("n_corpus"), col("n_in_index"), col("n_missing"),
-        col("n_orphaned"),
+        col("n_orphaned"), col("n_duplicated"),
         (col("n_in_index").cast("double") / col("n_corpus")).as("coverage"))
   }
 

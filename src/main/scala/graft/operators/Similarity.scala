@@ -797,18 +797,49 @@ object Similarity {
     * Quantizer tables (`coarse`, `pq_codebooks`, `meta`) are
     * UNTOUCHED: compaction moves bytes, never geometry — the
     * complement of [[rebuildTrainedIvfPqIndexTo]], which re-trains
-    * geometry. Pure rewrite: rows bit-identical, spec-pinned. */
-  def compactTrainedIvfPqIndexAt(s: SparkSession, path: String): Unit = {
+    * geometry. Without `deletedIds` it is a pure rewrite: rows
+    * bit-identical, spec-pinned. With `deletedIds` (one id column, any
+    * name) it is DELETION RECONCILIATION: the named vec_ids are
+    * anti-joined out during the rewrite, so the index stops serving
+    * them without re-reading the corpus or re-training. */
+  def compactTrainedIvfPqIndexAt(
+      s: SparkSession,
+      path: String,
+      deletedIds: Option[DataFrame] = None): Unit = {
     val nCells = s.read.parquet(s"$path/coarse").count().toInt.max(1)
-    val tmp = s"$path/vectors.__compact"
-    s.read.parquet(s"$path/vectors")
-      .repartition(nCells, col("cell"))
-      .sortWithinPartitions("cell", "vec_id")
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val vec = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val tmpP = new org.apache.hadoop.fs.Path(s"$path/vectors.__compact")
     val old = new org.apache.hadoop.fs.Path(s"$path/vectors.__old")
+    // Crash-safety: clear strays from a previous failed run — a stale
+    // __compact collides with the tmp write, a stale __old with the
+    // stage-aside rename. Recovery from a crash between the two renames
+    // is `rename vectors.__old vectors`; the guard below refuses to run
+    // until then rather than compact nothing.
+    require(fs.exists(vec),
+      s"compactTrainedIvfPqIndexAt: no vectors at $path — if " +
+        s"$path/vectors.__old exists, a prior compaction crashed " +
+        "mid-swap; rename it back first")
+    fs.delete(tmpP, true)
+    fs.delete(old, true)
+    val tmp = s"$path/vectors.__compact"
+    val kept = deletedIds match {
+      // Deletion reconciliation: anti-join the retired vec_ids out
+      // during the rewrite the maintenance job already pays — codes are
+      // per-row, geometry untouched, so a reconciled index serves
+      // exactly a fresh build over the survivors (the q245 gate). Left
+      // unhinted: AQE broadcasts a takedown-sized frame on its own.
+      case Some(del) =>
+        s.read.parquet(s"$path/vectors")
+          .join(del.select(col(del.columns.head).as("vec_id")),
+            Seq("vec_id"), "left_anti")
+      case None => s.read.parquet(s"$path/vectors")
+    }
+    kept
+      .repartition(nCells, col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     require(fs.rename(vec, old),
       s"compactTrainedIvfPqIndexAt: could not stage vectors aside: $path")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), vec),

@@ -1160,10 +1160,48 @@ object CorpusQueries {
       |  (SELECT count(*) FROM documents WHERE doc_id < 350)::BIGINT AS n_in_index,
       |  (SELECT count(*) FROM documents WHERE doc_id >= 350)::BIGINT AS n_missing,
       |  0::BIGINT AS n_orphaned,
+      |  0::BIGINT AS n_duplicated,
       |  (SELECT count(*) FROM documents WHERE doc_id < 350)::DOUBLE
       |    / (SELECT count(*) FROM documents) AS coverage""".stripMargin
 
+  /** DELETION RECONCILIATION for the stored positional index
+    * ([[Corpus.compactPhraseIndexAt]] with `deletedIds` — the takedown/
+    * opt-out maintenance op): build on half the corpus, append the
+    * rest, retire every `doc_id % 5 = 2` during the compaction rewrite,
+    * require the [[Corpus.indexCoverageAt]] staleness audit reads ZERO
+    * orphans and zero missing against the surviving corpus, then serve
+    * q228's phrase search off the reconciled index. The oracle is the
+    * phrase replay over the SURVIVORS ONLY — so the gate is
+    * reconcile-then-search ≡ fresh-build-on-survivors-then-search,
+    * the q232/q236 lifecycle-equality shape for deletes. */
+  def q244ReconciledIndex(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_rphrase_" +
+      s"${ProcessHandle.current().pid()}_${phraseStreamSeq.incrementAndGet()}"
+    Corpus.buildPhraseIndexAt(d.where(col("doc_id") < 250),
+      "doc_id", "text", idx)
+    Corpus.appendToPhraseIndexAt(d.where(col("doc_id") >= 250),
+      "doc_id", "text", idx)
+    Corpus.compactPhraseIndexAt(s, idx,
+      deletedIds = Some(d.where(col("doc_id") % 5 === 2).select("doc_id")))
+    val cov = Corpus.indexCoverageAt(s, idx,
+      d.where(col("doc_id") % 5 =!= 2)).head()
+    require(cov.getLong(3) == 0L && cov.getLong(2) == 0L,
+      s"reconciliation left stale/missing docs in the index: $cov")
+    Corpus.phraseSearchAt(s, idx,
+      Seq("table hash", "order fast", "part filter scan"))
+      .presentSorted("phrase", "doc_id")
+  }
+
+  def q244Sql: String = {
+    val out = q228Sql.replace("FROM documents)",
+      "FROM documents WHERE doc_id % 5 <> 2)")
+    require(out != q228Sql, "q244: survivor splice found no toks CTE")
+    out
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q244_reconciled_index", q244ReconciledIndex _, q244Sql),
     ("q239_index_coverage", q239IndexCoverage _, q239Sql),
     ("q237_indexed_rerank", q237IndexedRerank _, q237Sql),
     ("q235_compacted_index", q235CompactedIndex _, q228Sql),

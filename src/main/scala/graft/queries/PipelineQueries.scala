@@ -910,6 +910,7 @@ object PipelineQueries {
     ("q234_nprobe_sweep", q234NprobeSweep _, q234Sql),
     ("q236_compacted_ann", q236CompactedAnnIndex _, q212Sql),
     ("q241_residual_recall", q241ResidualRecall _, q241Sql),
+    ("q245_reconciled_ann", q245ReconciledAnn _, q245Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2878,6 +2879,49 @@ object PipelineQueries {
       emb.where(col("vec_id") < 5).selectExpr("vec_id as q_id", "v as qv"),
       emb.selectExpr("vec_id as n_id", "v"),
       k = 5, nprobe = 3, refine = 32)
+  }
+
+  /** DELETION RECONCILIATION for the stored ANN index
+    * ([[Similarity.compactTrainedIvfPqIndexAt]] with `deletedIds` — the
+    * takedown/opt-out maintenance op, q244's shape for vectors): build
+    * on half the corpus, append the rest, retire every
+    * `vec_id >= 64 AND vec_id % 7 = 3` during the compaction rewrite
+    * (the training sample — the 64 lowest ids — stays, so stored
+    * geometry is unchanged and the oracle's training replay still
+    * holds), require zero retired ids remain in the vector partitions,
+    * then serve q212's search off the reconciled index. The oracle is
+    * the full ADC replay with the survivors-only candidate set — so the
+    * gate is reconcile-then-search ≡ fresh-encode-of-survivors-then-
+    * search. */
+  def q245ReconciledAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_rann_" +
+      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    Similarity.buildTrainedIvfPqIndexAt(s, emb.where(col("vec_id") < 250),
+      idx, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.appendToTrainedIvfPqIndex(s,
+      emb.where(col("vec_id") >= 250), idx)
+    val deleted = emb
+      .where(col("vec_id") >= 64 && col("vec_id") % 7 === 3)
+      .select("vec_id")
+    Similarity.compactTrainedIvfPqIndexAt(s, idx, deletedIds = Some(deleted))
+    val stale = s.read.parquet(s"$idx/vectors")
+      .join(deleted, Seq("vec_id"), "left_semi").count()
+    require(stale == 0L,
+      s"reconciliation left $stale retired vectors serving in the index")
+    Similarity.trainedIvfPqProbeStored(s, idx,
+      emb.where(col("vec_id") < 5).selectExpr("vec_id as q_id", "v as qv"),
+      emb.where(!(col("vec_id") >= 64 && col("vec_id") % 7 === 3))
+        .selectExpr("vec_id as n_id", "v"),
+      k = 5, nprobe = 3, refine = 32)
+  }
+
+  def q245Sql: String = {
+    val out = q212Sql.replace("WHERE a.vec_id <> pr.q_id",
+      "WHERE a.vec_id <> pr.q_id AND NOT (a.vec_id >= 64 AND a.vec_id % 7 = 3)")
+    require(out != q212Sql, "q245: survivor splice found no cand CTE")
+    out
   }
 
   /** RESIDUAL trained IVF-PQ from the stored index

@@ -794,9 +794,56 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     val r = Corpus.indexCoverageAt(spark, idx, corpus).collect()
     assert(r.length == 1)
     val row = r.head
-    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
-      == ((4L, 2L, 2L, 2L)))
-    assert(row.getDouble(4) == 0.5)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) == ((4L, 2L, 2L, 2L, 0L)))
+    assert(row.getDouble(5) == 0.5)
+    // double-ingest: a re-appended doc must NOT inflate the counts (the
+    // raw full-outer join would duplicate its corpus row) and must be
+    // surfaced in n_duplicated
+    Corpus.appendToPhraseIndexAt(ingested.where(col("doc_id") === 3L),
+      "doc_id", "text", idx, buckets = 4)
+    val row2 = Corpus.indexCoverageAt(spark, idx, corpus).head()
+    assert((row2.getLong(0), row2.getLong(1), row2.getLong(2),
+      row2.getLong(3), row2.getLong(4)) == ((4L, 2L, 2L, 2L, 1L)))
+    assert(row2.getDouble(5) == 0.5)
+  }
+
+  test("compactPhraseIndexAt with deletedIds: reconciled index equals a " +
+    "fresh build on the survivors; stale siblings cleared up front") {
+    import spark.implicits._
+    val corpus = (1L to 12L).map(i => (i, s"w$i common a b c w$i"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_phrase_rec").toString
+    val idx = s"$root/idx"
+    Corpus.buildPhraseIndexAt(corpus.where(col("doc_id") <= 6),
+      "doc_id", "text", idx, buckets = 4)
+    Corpus.appendToPhraseIndexAt(corpus.where(col("doc_id") > 6),
+      "doc_id", "text", idx, buckets = 4)
+    // strays from a "previous failed run" must not break the rewrite
+    new java.io.File(s"$idx.__compact").mkdirs()
+    new java.io.File(s"$idx.__old").mkdirs()
+    val deleted = Seq(2L, 7L, 12L).toDF("id")
+    Corpus.compactPhraseIndexAt(spark, idx, buckets = 4,
+      deletedIds = Some(deleted))
+    val fresh = s"$root/fresh"
+    Corpus.buildPhraseIndexAt(
+      corpus.where(!col("doc_id").isin(2L, 7L, 12L)),
+      "doc_id", "text", fresh, buckets = 4)
+    def postings(p: String) = spark.read.parquet(p)
+      .select("doc_id", "pos", "token", "tok_bucket")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    def doclen(p: String) = spark.read.parquet(s"$p/_doclen")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(postings(idx) == postings(fresh))
+    assert(doclen(idx) == doclen(fresh))
+    val got = Corpus.phraseSearchAt(spark, idx, Seq("a b c"), buckets = 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == (1L to 12L).filterNot(Set(2L, 7L, 12L)).toSeq)
+    // the audit reads clean against the surviving corpus
+    val cov = Corpus.indexCoverageAt(spark, idx,
+      corpus.where(!col("doc_id").isin(2L, 7L, 12L))).head()
+    assert(cov.getLong(2) == 0L && cov.getLong(3) == 0L)
   }
 
   test("bm25SearchAt plan: every postings scan partition-pruned on " +

@@ -706,6 +706,47 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(s"$idx/vectors.__compact").exists())
   }
 
+  test("compactTrainedIvfPqIndexAt with deletedIds: reconciled vectors " +
+    "equal a fresh encode of the survivors; stale siblings cleared") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tivfpq_rec").toString
+    val idx = s"$root/idx"
+    Similarity.buildTrainedIvfPqIndexAt(spark,
+      emb.where(col("vec_id") < 250), idx)
+    Similarity.appendToTrainedIvfPqIndex(spark,
+      emb.where(col("vec_id") >= 250), idx)
+    // strays from a "previous failed run" must not break the rewrite
+    new java.io.File(s"$idx/vectors.__compact").mkdirs()
+    new java.io.File(s"$idx/vectors.__old").mkdirs()
+    val deleted = emb.where(col("vec_id") >= 64 && col("vec_id") % 7 === 3)
+      .select("vec_id")
+    val coarse0 = spark.read.parquet(s"$idx/coarse")
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    Similarity.compactTrainedIvfPqIndexAt(spark, idx,
+      deletedIds = Some(deleted))
+    // geometry untouched; rows = survivors, codes unchanged — so the
+    // reconciled vectors table equals appending ONLY the survivors
+    val fresh = s"$root/fresh"
+    Similarity.buildTrainedIvfPqIndexAt(spark,
+      emb.where(col("vec_id") < 250 &&
+        !(col("vec_id") >= 64 && col("vec_id") % 7 === 3)), fresh)
+    Similarity.appendToTrainedIvfPqIndex(spark,
+      emb.where(col("vec_id") >= 250 && col("vec_id") % 7 =!= 3), fresh)
+    def vecs(p: String) = spark.read.parquet(s"$p/vectors")
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    // fresh build trains on the 64 lowest ids of its input — identical
+    // to idx's sample because ids < 64 are never deleted
+    assert(vecs(idx) == vecs(fresh) && vecs(idx).nonEmpty)
+    assert(spark.read.parquet(s"$idx/coarse")
+      .collect().map(_.toSeq.toString).sorted.toSeq == coarse0)
+    assert(spark.read.parquet(s"$idx/vectors")
+      .join(deleted, Seq("vec_id"), "left_semi").count() == 0L)
+  }
+
   test("filtered ANN: only allowed ids retrieved; allow-all equals unfiltered") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
