@@ -886,7 +886,7 @@ object CorpusQueries {
     * 2²⁰-quantized term contributions (log-free odds idf — see the
     * operator's determinism note), so the oracle replays the float
     * algebra term-by-term and sums integers. */
-  private def bm25Probes: Seq[(Long, Seq[String])] = Seq(
+  private[queries] def bm25Probes: Seq[(Long, Seq[String])] = Seq(
     0L -> Seq("table", "value"),
     1L -> Seq("spark", "merge", "stream"),
     2L -> Seq("customer", "window"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.SparkExt._
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Corpus, Dedup, Similarity}
 
 /** North-star training-data-pipeline queries: dedup + similarity search
   * over `documents` and `embeddings`.
@@ -911,6 +911,7 @@ object PipelineQueries {
     ("q236_compacted_ann", q236CompactedAnnIndex _, q212Sql),
     ("q241_residual_recall", q241ResidualRecall _, q241Sql),
     ("q245_reconciled_ann", q245ReconciledAnn _, q245Sql),
+    ("q246_hybrid_retrieval", q246HybridRetrieval _, q246Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2923,6 +2924,58 @@ object PipelineQueries {
     require(out != q212Sql, "q245: survivor splice found no cand CTE")
     out
   }
+
+  /** HYBRID retrieval from the two STORED serving indexes — the
+    * standard production shape: per query, the sparse list is BM25
+    * served from the positional postings index (q233's pruned-probe
+    * path) and the dense list is trained IVF-PQ ADC served from the
+    * stored ANN index (q212's path; the memoized fixture, so Verify
+    * shares one build), fused by reciprocal-rank credit
+    * ([[Corpus.rrfFuse]] — integer-scaled `1/(60+rank)`, no score
+    * calibration across the two signal types). Query ids 0..2 carry
+    * both a term probe and a dense query vector (their own embedding);
+    * the corpus text is never re-read — both retrievals touch only
+    * their indexes plus the ≤ 2·topN fused candidates. The oracle
+    * composes the two existing replays and re-runs the integer fusion. */
+  def q246HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val sparse = Corpus.bm25SearchAt(s, Corpus.phraseIndex(s, dir),
+        CorpusQueries.bm25Probes, topN = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val dense = Similarity.trainedIvfPqProbeStored(s, idx,
+        e.where(col("vec_id") < 3).selectExpr("vec_id as q_id", "v as qv"),
+        e.selectExpr("vec_id as n_id", "v"),
+        k = 10, nprobe = 3, refine = 32)
+      .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
+        col("rank"))
+    Corpus.rrfFuse(sparse, dense, "query_id", "doc_id")
+      .presentSorted("query_id", "rank")
+  }
+
+  def q246Sql: String =
+    s"""WITH sa AS (${CorpusQueries.bm25ReplaySql(topN = 10)}),
+       |sb AS (${trainedIvfPqReplaySql(nq = 3, k = 10, nlist = 8,
+                  nprobe = 3, ks = 8, refine = 32)}),
+       |a AS (SELECT query_id, doc_id, rank FROM sa),
+       |b AS (SELECT q_id AS query_id, n_id AS doc_id, rank FROM sb),
+       |u AS (SELECT query_id, doc_id FROM a
+       |  UNION SELECT query_id, doc_id FROM b),
+       |f AS (
+       |  SELECT u.query_id, u.doc_id,
+       |    coalesce(1000000 // (60 + a.rank), 0) +
+       |      coalesce(1000000 // (60 + b.rank), 0) AS rrf
+       |  FROM u
+       |  LEFT JOIN a ON a.query_id = u.query_id AND a.doc_id = u.doc_id
+       |  LEFT JOIN b ON b.query_id = u.query_id AND b.doc_id = u.doc_id)
+       |SELECT query_id, rank, doc_id, rrf FROM (
+       |  SELECT query_id, doc_id, rrf,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM f) z
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   /** RESIDUAL trained IVF-PQ from the stored index
     * ([[Similarity.trainedIvfPqTopK]] with `residual = true` — the true

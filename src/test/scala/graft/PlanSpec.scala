@@ -362,6 +362,22 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"no range exchange (global sort) expected:\n$s")
   }
 
+  test("q246 hybrid retrieval: serving plan never re-reads the corpus text") {
+    // Both retrieval legs must come from their STORED indexes — the
+    // sparse leg from the postings index (+ _doclen stats), the dense
+    // leg from the ANN index (+ embeddings for queries and exact
+    // re-rank). A FileScan over documents.parquet would mean a leg fell
+    // back to scanning the corpus, the exact cost model the indexes
+    // exist to avoid at 100 TB.
+    val df = PipelineQueries.q246HybridRetrieval(spark, sfDir)
+    val scans = planOf(df).linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty)
+    assert(!scans.exists(_.contains("documents.parquet")),
+      "hybrid serving must not scan the corpus text:\n" +
+        scans.mkString("\n"))
+  }
+
   test("rfmSegments: no global ntile window over the user frame") {
     // The scale hazard this pins: ntile(4) OVER (ORDER BY metric) is a
     // single-partition window — the whole user table through one task.
