@@ -26,5 +26,20 @@ object SparkExt {
       df.repartition(1).sortWithinPartitions(c1, cs: _*)
     def presentSorted(c1: Column, cs: Column*): DataFrame =
       df.repartition(1).sortWithinPartitions((c1 +: cs): _*)
+
+    /** [[presentSorted]] for CORPUS-PROPORTIONAL outputs (per-user /
+      * per-doc audits): `orderBy(keys).limit(n)` plans as
+      * TakeOrderedAndProject — bounded per-partition heaps merged on
+      * the driver, no range-exchange sampling rerun and no
+      * single-partition funnel — so the presentation stays scale-safe
+      * where `repartition(1)` would bottleneck. Pick `n` far above the
+      * keys' cardinality at every ORACLE scale (result unchanged, so
+      * the oracle SQL needs no LIMIT) and the cap only engages at
+      * production scale. `keys` must be a TOTAL order (include the
+      * unique id) — a tie straddling the cut would otherwise make the
+      * kept set nondeterministic. */
+    def presentTop(n: Int, c1: String, cs: String*): DataFrame =
+      df.orderBy((c1 +: cs).map(org.apache.spark.sql.functions.col): _*)
+        .limit(n)
   }
 }

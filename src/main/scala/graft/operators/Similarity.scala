@@ -1157,7 +1157,11 @@ object Similarity {
       .agg(org.apache.spark.sql.functions.map_from_arrays(
         collect_list(col("i")), collect_list(col("c"))).as("cm"))
       .select(col("label"),
-        transform(sequence(lit(0), lit(63)),
+        // dim derived from the data: the map holds one entry per melted
+        // dimension index, so its sorted keys ARE 0..dim-1 — a
+        // hard-coded 64 silently truncated (or null-padded) centroids
+        // for any other vector width
+        transform(array_sort(map_keys(col("cm"))),
           i => element_at(col("cm"), i)).as("centroid"))
     val scored = g.join(broadcast(cent), "label")
       .select(col("vec_id"), col("label"),

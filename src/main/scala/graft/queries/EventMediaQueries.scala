@@ -79,8 +79,12 @@ object EventMediaQueries {
     * orders the distributed rank decomposition uses — so the
     * no-global-sort plan is provably invisible. */
   def q242RfmSegments(s: SparkSession, dir: String): DataFrame =
+    // per-user output is corpus-proportional: presentTop's
+    // TakeOrderedAndProject keeps presentation scale-safe; the 1M cap
+    // is far above user cardinality at every oracle scale (sf0.1 has
+    // ~4k users), so the oracle replay needs no LIMIT
     EventStreams.rfmSegments(eventsTs(s, dir))
-      .presentSorted("user_id")
+      .presentTop(1000000, "user_id")
 
   def q242Sql: String =
     """WITH u AS (

@@ -747,6 +747,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .join(deleted, Seq("vec_id"), "left_semi").count() == 0L)
   }
 
+  test("labelOutliers: centroid dimension derived from the data, not 64") {
+    import spark.implicits._
+    // 2-dim vectors — the old sequence(0,63) centroid would null-pad
+    // and drop every distance. Label 0: three copies of one vector →
+    // centroid == vector, dist 0. Label 1: two mirrored vectors →
+    // centroid at the floor-div midpoint, equal positive dists.
+    val emb = Seq(
+      (1L, 0, Seq(0.5, -0.25)), (2L, 0, Seq(0.5, -0.25)),
+      (3L, 0, Seq(0.5, -0.25)),
+      (4L, 1, Seq(1.0, 1.0)), (5L, 1, Seq(-1.0, -1.0)))
+      .toDF("vec_id", "label", "v")
+    val got = Similarity.labelOutliers(emb, "vec_id", "label", "v", topK = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getLong(3)))
+    assert(got.length == 5)
+    // the two label-1 vectors are the farthest, tie broken by vec_id
+    assert(got(0)._2 == 4L && got(1)._2 == 5L)
+    assert(got(0)._4 == got(1)._4 && got(0)._4 > 0L)
+    // identical vectors sit AT their centroid
+    assert(got.drop(2).forall(_._4 == 0L))
+  }
+
   test("filtered ANN: only allowed ids retrieved; allow-all equals unfiltered") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
