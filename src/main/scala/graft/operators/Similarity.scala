@@ -1950,4 +1950,149 @@ object Similarity {
         when(col("nrm") === 0d, lit(0d))
           .otherwise(col("col") / sqrt(col("nrm"))).as("value"))
   }
+
+  // ──────────────────────────────────────────────────────────────────
+  // GRAPH ANN — navigable-small-world graph per IVF cell (the
+  // HNSW-family serving option: IVF-PQ covers the throughput/recall
+  // mid-range, a graph walk covers high-recall points where IVF needs
+  // nprobe → nlist). Partition-local graphs routed by the TRAINED
+  // coarse quantizer: each cell stores a deterministic kNN digraph of
+  // its members, and a query greedily beam-walks the graphs of its
+  // nprobe nearest cells. Everything is exact grid-integer arithmetic
+  // with id tie-breaks, so build + walk replay in SQL (q247's oracle
+  // unrolls the hops as CTEs).
+  // ──────────────────────────────────────────────────────────────────
+
+  /** Build the per-cell NSW adjacency beside a stored trained index:
+    * for each vector, its `m` nearest same-cell neighbors by exact grid
+    * L2 (ties → lowest nbr id), written partitioned by cell.
+    *
+    * Scale shape: the self-join is WITHIN-CELL all-pairs — |cell|²/nlist
+    * work, the exact-graph construction every NSW variant bootstraps
+    * from. Size cells for it (graph shards stay ~1-10M vectors: nlist
+    * grows with the corpus) or swap the candidate generator to the
+    * index's own ADC top-4m before the exact cut; the adjacency
+    * contract (m nearest, grid-exact, id ties) is what search and
+    * oracle depend on, not how candidates were found. The top-m cut is
+    * [[TopK]]'s bounded per-partition heaps, so the pair stream never
+    * collects anywhere. */
+  def buildNswGraphAt(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      m: Int = 6): Unit = {
+    val grid = s.read.parquet(s"$indexPath/vectors")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        gridLongs(col("v")).as("g"))
+    val nbrs = grid.select(col("cell"), col("vec_id").as("nbr"),
+      col("g").as("ng"))
+    val pairs = grid.join(nbrs, Seq("cell"))
+      .where(col("vec_id") =!= col("nbr"))
+      .select(col("cell"), col("vec_id"), col("nbr"),
+        gridDist(col("g"), col("ng")).as("d"))
+    // grid dists are ≲ 2.7e8 for 64 dims on the 2¹⁰ grid — exact in a
+    // double, so the negated heap score ranks identically to (d, nbr)
+    TopK.perKey(pairs.withColumn("__s", -col("d").cast("double")),
+        Seq("vec_id"), "__s", "nbr", m)
+      .select("cell", "vec_id", "nbr", "d")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(graphPath)
+  }
+
+  /** Greedy beam walk over the stored per-cell NSW graphs: route each
+    * query to its `nprobe` nearest trained cells, start at each cell's
+    * deterministic entry node (lowest vec_id), and for `hops` rounds
+    * expand the current beam's adjacency, score by exact grid L2, and
+    * keep the `beam` best per (query, cell) — the visited set's global
+    * top-k (query excluded, ties → lowest id) is the answer.
+    *
+    * Scale shape: per hop, the frontier is ≤ nq·nprobe·beam rows, its
+    * adjacency fan-out ≤ ×m, and every vector fetch is a partition-
+    * pruned read of the probed cells — per-query work is O(hops·beam·m)
+    * distance evaluations regardless of corpus size, the graph-ANN
+    * economics. All joins are broadcast-sized on the query side. */
+  def nswSearchStored(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      q: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 2,
+      hops: Int = 3,
+      beam: Int = 8): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val (probeRows, probeSchema) = trainedProbes(s, indexPath, q, nprobe)
+    val cellIdx = probeSchema.fieldIndex("cell")
+    val cellSet = probeRows.map(_.getInt(cellIdx)).distinct.sorted
+    val probesDf = broadcast(s.createDataFrame(
+        java.util.Arrays.asList(probeRows: _*), probeSchema)
+      .select(col("q_id"), col("qg"), col("cell")))
+    val grid = s.read.parquet(s"$indexPath/vectors")
+      .select(col("vec_id").as("node"), col("cell").cast("int").as("cell"),
+        gridLongs(col("v")).as("g"))
+      .where(col("cell").isin(cellSet.map(Int.box): _*))
+    val adj = s.read.parquet(graphPath)
+      .select(col("cell").cast("int").as("cell"),
+        col("vec_id").as("node"), col("nbr"))
+      .where(col("cell").isin(cellSet.map(Int.box): _*))
+    def score(nodes: DataFrame): DataFrame = nodes
+      .join(probesDf, Seq("q_id", "cell"))
+      .join(grid, Seq("cell", "node"))
+      .select(col("q_id"), col("cell"), col("node"),
+        gridDist(col("qg"), col("g")).as("d"))
+    val entries = grid.groupBy("cell").agg(min("node").as("node"))
+    var visited = score(
+      probesDf.select("q_id", "cell").join(entries, Seq("cell"))
+        .select("q_id", "cell", "node"))
+    for (_ <- 1 to hops) {
+      val frontier = TopK.perKey(
+          visited.withColumn("__s", -col("d").cast("double")),
+          Seq("q_id", "cell"), "__s", "node", beam)
+        .select("q_id", "cell", "node")
+      val expanded = frontier.join(adj, Seq("cell", "node"))
+        .select(col("q_id"), col("cell"), col("nbr").as("node"))
+        .distinct()
+      // a node lives in exactly one cell, so (q_id, node) stays unique
+      // after the fold; min(d) just collapses re-visits (d is a pure
+      // function of (q_id, node))
+      visited = visited.union(score(expanded))
+        .groupBy("q_id", "cell", "node").agg(min("d").as("d"))
+    }
+    TopK.perKey(
+        visited.where(col("node") =!= col("q_id"))
+          .withColumn("__s", -col("d").cast("double")),
+        Seq("q_id"), "__s", "node", k)
+      .select(col("q_id"), col("rank"), col("node").as("n_id"), col("d"))
+      .presentSorted("q_id", "rank")
+  }
+
+  private val nswGraphs = new ConcurrentHashMap[(String, Int), String]
+
+  /** Build-once NSW graph beside the memoized trained index for the
+    * corpus at `dir` (q212's fixture — one build serves the whole ANN
+    * family), then walk it for queries `vec_id < numQueries`. */
+  def nswTopK(
+      s: SparkSession,
+      dir: String,
+      numQueries: Int = 5,
+      k: Int = 5,
+      nprobe: Int = 2,
+      hops: Int = 3,
+      beam: Int = 8,
+      m: Int = 6): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val idx = trainedIvfPqIndex(s, dir, nlist = 8, m = 4, ks = 8,
+      trainSample = 64, iters = 2)
+    val graph = nswGraphs.computeIfAbsent((dir, m), _ => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_nsw_" +
+        s"${Bucketing.dirTag(dir)}_m$m"
+      buildNswGraphAt(s, idx, base, m)
+      base
+    })
+    val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
+    nswSearchStored(s, idx, graph,
+      e.where(col("vec_id") < numQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")),
+      k, nprobe, hops, beam)
+  }
 }

@@ -912,6 +912,8 @@ object PipelineQueries {
     ("q241_residual_recall", q241ResidualRecall _, q241Sql),
     ("q245_reconciled_ann", q245ReconciledAnn _, q245Sql),
     ("q246_hybrid_retrieval", q246HybridRetrieval _, q246Sql),
+    ("q247_graph_ann", q247GraphAnn _, q247Sql),
+    ("q248_graph_recall", q248GraphRecall _, q248Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -2976,6 +2978,96 @@ object PipelineQueries {
        |  FROM f) z
        |WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
+
+  /** GRAPH ANN ([[Similarity.nswTopK]]): navigable-small-world graph
+    * per trained IVF cell, greedily beam-walked — the HNSW-family
+    * serving option for high-recall operating points (q234's sweep
+    * shows IVF recall needs nprobe → nlist there; a graph walk gets
+    * the same recall touching O(hops·beam·m) vectors per query). The
+    * whole lifecycle is exact grid-integer arithmetic with id
+    * tie-breaks, so the oracle replays coarse training + routing, the
+    * per-cell m-NN adjacency, the entry nodes, and every hop of the
+    * beam walk as unrolled CTEs. */
+  def q247GraphAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.nswTopK(s, dir, numQueries = 5, k = 5, nprobe = 2,
+      hops = 3, beam = 8, m = 6)
+
+  def q247Sql: String = nswReplaySql(nq = 5, k = 5, nlist = 8,
+    nprobe = 2, m = 6, hops = 3, beam = 8)
+
+  private def nswReplaySql(
+      nq: Int, k: Int, nlist: Int, nprobe: Int,
+      m: Int, hops: Int, beam: Int): String = {
+    def dist(a: String, b: String) = gridDistSql(a, b, 64)
+    val hopCtes = (1 to hops).map { i =>
+      s"""f${i - 1} AS (SELECT q_id, cell, node FROM (
+         |    SELECT q_id, cell, node,
+         |      row_number() OVER (PARTITION BY q_id, cell ORDER BY d, node) AS rn
+         |    FROM v${i - 1}) z WHERE rn <= $beam),
+         |n$i AS (SELECT DISTINCT f.q_id, f.cell, a.nbr AS node
+         |  FROM f${i - 1} f JOIN adj a ON a.cell = f.cell AND a.vec_id = f.node),
+         |s$i AS (SELECT n.q_id, n.cell, n.node, ${dist("qq.q", "g.g")} AS d
+         |  FROM n$i n JOIN qq ON qq.q_id = n.q_id
+         |  JOIN cg g ON g.vec_id = n.node),
+         |v$i AS (SELECT q_id, cell, node, min(d) AS d FROM (
+         |    SELECT q_id, cell, node, d FROM v${i - 1}
+         |    UNION ALL SELECT q_id, cell, node, d FROM s$i) u
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $trainedBaseCtes,
+       |${trainedCoarseCtes(nq, nlist, nprobe)},
+       |cg AS (SELECT c.vec_id, c.cell, e.q AS g
+       |  FROM cells c JOIN eq e USING (vec_id)),
+       |adjd AS (SELECT a.cell, a.vec_id, b.vec_id AS nbr,
+       |    ${dist("a.g", "b.g")} AS d
+       |  FROM cg a JOIN cg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |adj AS (SELECT cell, vec_id, nbr FROM (
+       |    SELECT cell, vec_id, nbr,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, nbr) AS rn
+       |    FROM adjd) z WHERE rn <= $m),
+       |ent AS (SELECT cell, min(vec_id) AS node FROM cg GROUP BY cell),
+       |v0 AS (SELECT p.q_id, p.cell, e.node, ${dist("qq.q", "g.g")} AS d
+       |  FROM probes p JOIN ent e ON e.cell = p.cell
+       |  JOIN qq ON qq.q_id = p.q_id JOIN cg g ON g.vec_id = e.node),
+       |$hopCtes
+       |SELECT q_id, rank, n_id, CAST(d AS BIGINT) AS d FROM (
+       |  SELECT q_id, node AS n_id, d,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d, node) AS rank
+       |  FROM v$hops WHERE node <> q_id) x
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Graph-ANN recall audit: q247's beam walk scored against exact
+    * brute force, per query — the dashboard row that tells a serving
+    * deployment whether the graph's high-recall promise holds next to
+    * q234's IVF frontier. Composes two already-oracled retrievals. */
+  def q248GraphRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = Similarity.bruteForceTopK(s, dir, numQueries = 5, k = 5)
+      .select(col("q_id").as("bq"), col("n_id").as("bn"))
+    val g = Similarity.nswTopK(s, dir, numQueries = 5, k = 5, nprobe = 2,
+      hops = 3, beam = 8, m = 6)
+    brute.join(g, col("bq") === col("q_id") && col("bn") === col("n_id"),
+        "left")
+      .groupBy(col("bq").as("q_id"))
+      .agg(count(lit(1)).as("k"), count(col("n_id")).as("hits"))
+      .select(col("q_id"), col("k"), col("hits"),
+        (col("hits").cast("double") / col("k")).as("recall"))
+      .presentSorted("q_id")
+  }
+
+  def q248Sql: String = {
+    val bruteNq5 = q40Sql.replace("vec_id < 10", "vec_id < 5")
+    require(bruteNq5 != q40Sql, "q248: brute-force nq splice failed")
+    s"""WITH brute AS ($bruteNq5),
+       |g AS ($q247Sql)
+       |SELECT b.q_id, count(*) AS k, count(g.n_id) AS hits,
+       |  count(g.n_id)::DOUBLE / count(*) AS recall
+       |FROM brute b
+       |LEFT JOIN g ON g.q_id = b.q_id AND g.n_id = b.n_id
+       |GROUP BY b.q_id
+       |ORDER BY b.q_id""".stripMargin
+  }
 
   /** RESIDUAL trained IVF-PQ from the stored index
     * ([[Similarity.trainedIvfPqTopK]] with `residual = true` — the true
