@@ -1980,10 +1980,59 @@ object Similarity {
       s: SparkSession,
       indexPath: String,
       graphPath: String,
+      m: Int = 6): Unit =
+    writeNswAdjacency(s, indexPath, graphPath, m, None)
+
+  /** Graph MAINTENANCE: rebuild the adjacency of ONLY the named cells
+    * (dynamic partition overwrite — untouched cells' files are never
+    * rewritten). Adjacency is per-cell with no cross-cell state, so
+    * refreshing exactly the cells whose membership changed (an append
+    * batch's target cells, a takedown's home cells) restores
+    * refresh ≡ full-rebuild equality — the q249/q250 gate — at cost
+    * proportional to the touched cells, not the corpus. Call AFTER the
+    * index mutation (the rebuild reads current members). */
+  def refreshNswGraphCells(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      cells: Seq[Int],
       m: Int = 6): Unit = {
-    val grid = s.read.parquet(s"$indexPath/vectors")
+    if (cells.isEmpty) return
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try writeNswAdjacency(s, indexPath, graphPath, m, Some(cells))
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // dynamic overwrite only replaces partitions PRESENT in the written
+    // data — a refreshed cell that now has ≤1 member produces no pairs,
+    // writes nothing, and would keep its stale files (reading the graph
+    // back can't tell: the stale rows are still there). The should-have-
+    // adjacency set comes from the INDEX members instead; the check is
+    // bounded by the touched-cell count.
+    val live = s.read.parquet(s"$indexPath/vectors")
+      .where(col("cell").isin(cells.map(Int.box): _*))
+      .groupBy(col("cell").cast("int").as("__c"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+      .collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(graphPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    cells.filterNot(live.contains).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$graphPath/cell=$c"), true)
+    }
+  }
+
+  private def writeNswAdjacency(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      m: Int,
+      onlyCells: Option[Seq[Int]]): Unit = {
+    val all = s.read.parquet(s"$indexPath/vectors")
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
         gridLongs(col("v")).as("g"))
+    val grid = onlyCells match {
+      case Some(cs) => all.where(col("cell").isin(cs.map(Int.box): _*))
+      case None => all
+    }
     val nbrs = grid.select(col("cell"), col("vec_id").as("nbr"),
       col("g").as("ng"))
     val pairs = grid.join(nbrs, Seq("cell"))

@@ -914,6 +914,8 @@ object PipelineQueries {
     ("q246_hybrid_retrieval", q246HybridRetrieval _, q246Sql),
     ("q247_graph_ann", q247GraphAnn _, q247Sql),
     ("q248_graph_recall", q248GraphRecall _, q248Sql),
+    ("q249_graph_ingest", q249GraphIngest _, q247Sql),
+    ("q250_graph_survivors", q250GraphSurvivors _, q250Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3036,6 +3038,85 @@ object PipelineQueries {
        |  FROM v$hops WHERE node <> q_id) x
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Graph-ANN INGEST maintenance ([[Similarity.refreshNswGraphCells]]):
+    * bootstrap-build the trained index + per-cell NSW graph on half the
+    * corpus, append the rest to the index (stored quantizers, no
+    * re-train), then refresh the adjacency of ONLY the cells the append
+    * touched (dynamic partition overwrite — untouched cells' files
+    * never rewritten). Adjacency is per-cell with no cross-cell state,
+    * so refresh ≡ full rebuild exactly — gated by q247's full-build
+    * oracle, the q222/q236 lifecycle-equality shape for the graph. */
+  def q249GraphIngest(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_gann_" +
+      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    val graph = s"$idx/nsw"
+    Similarity.buildTrainedIvfPqIndexAt(s, emb.where(col("vec_id") < 250),
+      idx, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswGraphAt(s, idx, graph, m = 6)
+    Similarity.appendToTrainedIvfPqIndex(s,
+      emb.where(col("vec_id") >= 250), idx)
+    val touched = s.read.parquet(s"$idx/vectors")
+      .where(col("vec_id") >= 250)
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    Similarity.refreshNswGraphCells(s, idx, graph, touched, m = 6)
+    Similarity.nswSearchStored(s, idx, graph,
+      emb.where(col("vec_id") < 5)
+        .selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2, hops = 3, beam = 8)
+  }
+
+  /** Graph-ANN DELETION maintenance — the full takedown lifecycle for
+    * the graph serving path: bootstrap + graph, append, retire
+    * `vec_id >= 64 AND vec_id % 7 = 3` from the index
+    * ([[Similarity.compactTrainedIvfPqIndexAt]] with `deletedIds`),
+    * refresh the cells touched by either mutation, require ZERO
+    * adjacency rows still reference a retired id (deleted nodes'
+    * neighbors live in the same cell, so refreshing their home cells
+    * provably clears every edge), then search. Oracle = q247's replay
+    * over the survivors-only member set. */
+  def q250GraphSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_gsur_" +
+      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    val graph = s"$idx/nsw"
+    Similarity.buildTrainedIvfPqIndexAt(s, emb.where(col("vec_id") < 250),
+      idx, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswGraphAt(s, idx, graph, m = 6)
+    Similarity.appendToTrainedIvfPqIndex(s,
+      emb.where(col("vec_id") >= 250), idx)
+    val retired = col("vec_id") >= 64 && col("vec_id") % 7 === 3
+    val touched = s.read.parquet(s"$idx/vectors")
+      .where(col("vec_id") >= 250 || retired)
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val deleted = emb.where(retired).select("vec_id")
+    Similarity.compactTrainedIvfPqIndexAt(s, idx, deletedIds = Some(deleted))
+    Similarity.refreshNswGraphCells(s, idx, graph, touched, m = 6)
+    val delIds = emb.where(retired).select(col("vec_id").as("del_id"))
+    val g = s.read.parquet(graph)
+    val stale =
+      g.join(delIds, col("vec_id") === col("del_id"), "left_semi").count() +
+      g.join(delIds, col("nbr") === col("del_id"), "left_semi").count()
+    require(stale == 0L,
+      s"graph refresh left $stale adjacency rows referencing retired ids")
+    Similarity.nswSearchStored(s, idx, graph,
+      emb.where(col("vec_id") < 5)
+        .selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2, hops = 3, beam = 8)
+  }
+
+  def q250Sql: String = {
+    val out = q247Sql.replace("FROM cells c JOIN eq e USING (vec_id))",
+      "FROM cells c JOIN eq e USING (vec_id)\n" +
+        "  WHERE NOT (vec_id >= 64 AND vec_id % 7 = 3))")
+    require(out != q247Sql, "q250: survivor splice found no cg CTE")
+    out
   }
 
   /** Graph-ANN recall audit: q247's beam walk scored against exact

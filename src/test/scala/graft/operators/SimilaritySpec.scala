@@ -769,6 +769,45 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.drop(2).forall(_._4 == 0L))
   }
 
+  test("refreshNswGraphCells: touched-cell refresh equals full rebuild; " +
+    "emptied cells are cleared") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nsw_ref").toString
+    val idx = s"$root/idx"
+    Similarity.buildTrainedIvfPqIndexAt(spark,
+      emb.where(col("vec_id") < 250), idx)
+    Similarity.buildNswGraphAt(spark, idx, s"$root/g1", m = 4)
+    Similarity.appendToTrainedIvfPqIndex(spark,
+      emb.where(col("vec_id") >= 250), idx)
+    val touched = spark.read.parquet(s"$idx/vectors")
+      .where(col("vec_id") >= 250)
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    Similarity.refreshNswGraphCells(spark, idx, s"$root/g1", touched, m = 4)
+    Similarity.buildNswGraphAt(spark, idx, s"$root/g2", m = 4)
+    def adj(p: String) = spark.read.parquet(p)
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    assert(adj(s"$root/g1") == adj(s"$root/g2") && adj(s"$root/g1").nonEmpty)
+    // empty a whole cell via deletion reconciliation, refresh it, and
+    // its adjacency partition must disappear (dynamic overwrite alone
+    // would strand the old files)
+    val victim = spark.read.parquet(s"$idx/vectors")
+      .groupBy(col("cell").cast("int").as("c")).count()
+      .orderBy(col("count"), col("c")).head().getInt(0)
+    val victims = spark.read.parquet(s"$idx/vectors")
+      .where(col("cell").cast("int") === victim).select("vec_id")
+    Similarity.compactTrainedIvfPqIndexAt(spark, idx,
+      deletedIds = Some(victims))
+    Similarity.refreshNswGraphCells(spark, idx, s"$root/g1",
+      Seq(victim), m = 4)
+    assert(!new java.io.File(s"$root/g1/cell=$victim").exists())
+    assert(spark.read.parquet(s"$root/g1")
+      .where(col("cell").cast("int") === victim).count() == 0L)
+  }
+
   test("filtered ANN: only allowed ids retrieved; allow-all equals unfiltered") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
