@@ -35,10 +35,36 @@ object SparkEntry {
       }
     }.toMap
 
+  /** Oracles whose CTEs stay un-materialized: the lang-id family's cost
+    * is intrinsic trigram-lambda math over single-reference CTEs, where
+    * forcing materialization measured flat to 1.4× SLOWER (q200
+    * 47 s → 66 s); everywhere else the hint is a pure win. */
+  private val noMaterialize = Set(
+    "q86_langid_trigram", "q193_lang_confusion", "q200_corpus_report",
+    "q201_langid_unicode", "q216_langid_routed")
+
+  /** DuckDB ≥ 0.9 inlines non-recursive CTEs by default, re-evaluating a
+    * CTE once PER REFERENCE — the trained-quantizer replays nest reused
+    * CTEs several levels deep, so inlining turns them multiplicative
+    * (q217's residual replay: 209 s inlined → 1.3 s materialized at
+    * sf0.01, same rows). `AS MATERIALIZED` is a semantics-free
+    * evaluation hint; applying it at this one choke point keeps the
+    * 250 per-query generators hint-free. The pattern only rewrites
+    * `name AS (` — a CTE with a column list (`ph(phrase) AS (`), any
+    * `AS alias`, and named-window clauses (`WINDOW w AS (`, where the
+    * hint would be a syntax error) are untouched. */
+  private def materializeCtes(sql: String): String = {
+    val cte = "(?i)\\b(WINDOW\\s+)?([a-zA-Z_][a-zA-Z0-9_]*\\s+AS)\\s*\\(".r
+    cte.replaceAllIn(sql, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        if (m.group(1) != null) m.matched
+        else m.group(2) + " MATERIALIZED ("))
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     suites.collect { case (name, _, sql) if sql != null && sql.nonEmpty =>
-      name -> sql
+      name -> (if (noMaterialize(name)) sql else materializeCtes(sql))
     }.toMap
 }
