@@ -377,21 +377,38 @@ object TextQueries {
   def q86LangidTrigram(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langIdTrigram(docs(s, dir), "doc_id", "text").presentSorted("doc_id")
 
-  def q86Sql: String = {
-    val profs = TextAnalysis.trigramProfiles
-    val scoreDefs = profs.map { case (lang, entries) =>
+  /** Literal trigram-profile maps hoisted into ONE materialized 1-row
+    * CTE cross-joined into the scoring select. Inline, DuckDB rebuilds
+    * each map literal PER LAMBDA INVOCATION — q86 measured 45 s inlined
+    * vs 0.13 s hoisted at sf0.01, identical rows. Returns
+    * (cteSql, scoreDefs referencing `$tblName.m_<lang>`). */
+  private def trigramScoreParts(
+      profs: Seq[(String, Seq[(String, Long)])],
+      tblName: String): (String, String) = {
+    val cols = profs.map { case (lang, entries) =>
       val ks = entries.map { case (g, _) => s"'$g'" }.mkString(", ")
       val vs = entries.map { case (_, c) => c.toString }.mkString(", ")
+      s"map([$ks], [$vs]) AS m_$lang"
+    }.mkString(",\n    ")
+    val cte = s"$tblName AS MATERIALIZED (SELECT\n    $cols)"
+    val defs = profs.map { case (lang, _) =>
       s"""CAST(coalesce(list_sum(list_transform(tris, g ->
-         |    coalesce(list_extract(map_extract(map([$ks], [$vs]), g), 1), 0))), 0)
+         |    coalesce(list_extract(map_extract($tblName.m_$lang, g), 1), 0))), 0)
          |    AS BIGINT) AS s_$lang""".stripMargin
     }.mkString(",\n  ")
+    (cte, defs)
+  }
+
+  def q86Sql: String = {
+    val profs = TextAnalysis.trigramProfiles
+    val (ltbl, scoreDefs) = trigramScoreParts(profs, "ltbl86")
     val names = profs.map(_._1)
     val cases = names.zipWithIndex.dropRight(1).map { case (l, i) =>
       val conds = names.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN $conds THEN '$l'"
     }.mkString("\n    ")
-    s"""WITH base AS (
+    s"""WITH $ltbl,
+       |base AS (
        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z]+', ' ', 'g') AS nm
        |  FROM documents),
        |tri AS (
@@ -401,7 +418,7 @@ object TextQueries {
        |scored AS (
        |  SELECT doc_id,
        |  $scoreDefs
-       |  FROM tri)
+       |  FROM tri CROSS JOIN ltbl86)
        |SELECT doc_id,
        |  CASE $cases
        |    ELSE '${names.last}' END AS pred_lang,
@@ -999,13 +1016,7 @@ object TextQueries {
   private def routedLangIdSql(srcSelect: String): String = {
     val profs = TextAnalysis.trigramProfilesUnicode
     val names = profs.map(_._1)
-    val scoreDefs = profs.map { case (lang, entries) =>
-      val ks = entries.map { case (g, _) => s"'$g'" }.mkString(", ")
-      val vs = entries.map { case (_, c) => c.toString }.mkString(", ")
-      s"""CAST(coalesce(list_sum(list_transform(tris, g ->
-         |    coalesce(list_extract(map_extract(map([$ks], [$vs]), g), 1), 0))), 0)
-         |    AS BIGINT) AS s_$lang""".stripMargin
-    }.mkString(",\n  ")
+    val (ltbl, scoreDefs) = trigramScoreParts(profs, "rltbl")
     def pickCase(cands: Seq[String]): String =
       if (cands.length == 1) s"'${cands.head}'"
       else {
@@ -1027,7 +1038,8 @@ object TextQueries {
     val routedCase = TextAnalysis.scriptLangs.dropRight(1).map {
       case (sc, cand) => s"WHEN main_script = '$sc' THEN ${pickCase(cand)}"
     }.mkString("\n    ")
-    s"""WITH rsrc AS ($srcSelect),
+    s"""WITH $ltbl,
+       |rsrc AS ($srcSelect),
        |rlw AS (SELECT doc_id, lower(coalesce(t, '')) AS lw FROM rsrc),
        |rbase AS (SELECT doc_id, regexp_replace(lw, '[^$cls]+', ' ', 'g') AS nm,
        |  $cnts
@@ -1037,7 +1049,7 @@ object TextQueries {
        |  ${classes.map(c => s"c_$c").mkString(", ")} FROM rbase),
        |rscored AS (SELECT doc_id, ${classes.map(c => s"c_$c").mkString(", ")},
        |  $scoreDefs
-       |  FROM rtri),
+       |  FROM rtri CROSS JOIN rltbl),
        |rcls AS (SELECT *, CASE $mainCase ELSE '${classes.last}' END AS main_script
        |  FROM rscored)
        |SELECT doc_id, main_script,
@@ -1428,20 +1440,15 @@ object TextQueries {
 
   def q201Sql: String = {
     val profs = TextAnalysis.trigramProfilesUnicode
-    val scoreDefs = profs.map { case (lang, entries) =>
-      val ks = entries.map { case (g, _) => s"'$g'" }.mkString(", ")
-      val vs = entries.map { case (_, c) => c.toString }.mkString(", ")
-      s"""CAST(coalesce(list_sum(list_transform(tris, g ->
-         |    coalesce(list_extract(map_extract(map([$ks], [$vs]), g), 1), 0))), 0)
-         |    AS BIGINT) AS s_$lang""".stripMargin
-    }.mkString(",\n  ")
+    val (ltbl, scoreDefs) = trigramScoreParts(profs, "ltbl201")
     val names = profs.map(_._1)
     val cases = names.zipWithIndex.dropRight(1).map { case (l, i) =>
       val conds = names.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN $conds THEN '$l'"
     }.mkString("\n    ")
     val cls = TextAnalysis.unicodeLetterClass
-    s"""WITH planted AS (
+    s"""WITH $ltbl,
+       |planted AS (
        |  SELECT doc_id, CASE doc_id % 4
        |    WHEN 0 THEN '$plantedRu'
        |    WHEN 1 THEN '$plantedJa'
@@ -1458,7 +1465,7 @@ object TextQueries {
        |scored AS (
        |  SELECT doc_id,
        |  $scoreDefs
-       |  FROM tri)
+       |  FROM tri CROSS JOIN ltbl201)
        |SELECT doc_id,
        |  CASE $cases
        |    ELSE '${names.last}' END AS pred_lang,
