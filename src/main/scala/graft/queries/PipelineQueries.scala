@@ -916,6 +916,7 @@ object PipelineQueries {
     ("q248_graph_recall", q248GraphRecall _, q248Sql),
     ("q249_graph_ingest", q249GraphIngest _, q247Sql),
     ("q250_graph_survivors", q250GraphSurvivors _, q250Sql),
+    ("q251_stream_graph", q251StreamGraph _, q247Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3117,6 +3118,54 @@ object PipelineQueries {
         "  WHERE NOT (vec_id >= 64 AND vec_id % 7 = 3))")
     require(out != q247Sql, "q250: survivor splice found no cg CTE")
     out
+  }
+
+  /** Graph-ANN maintenance from a REAL STREAM — q222's ingest shape for
+    * the graph serving path: bootstrap index + graph, then every
+    * micro-batch appends its vectors (stored quantizers, no re-train)
+    * AND refreshes the adjacency of exactly the cells it touched
+    * ([[Similarity.refreshNswGraphCells]]) — so the graph is
+    * query-ready after every trigger, maintenance cost per batch
+    * proportional to the batch's cells, never the corpus. Serve q247's
+    * search off the live graph; same full-build oracle, so the entry
+    * proves per-batch refresh loses nothing regardless of batch count
+    * or arrival order. */
+  def q251StreamGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_stgann_" +
+      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    val graph = s"$idx/nsw"
+    Similarity.buildTrainedIvfPqIndexAt(s,
+      emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .where(col("vec_id") < 250),
+      idx, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswGraphAt(s, idx, graph, m = 6)
+    val stream = s.readStream.schema(emb.schema).option("basePath", dir)
+      .parquet(s"$dir/embeddings.parquet*")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b
+            .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+            .where(col("vec_id") >= 250)
+          Similarity.appendToTrainedIvfPqIndex(s, rows, idx)
+          val touched = s.read.parquet(s"$idx/vectors")
+            .join(rows.select("vec_id"), Seq("vec_id"), "left_semi")
+            .select(col("cell").cast("int")).distinct()
+            .collect().map(_.getInt(0)).toSeq.sorted
+          Similarity.refreshNswGraphCells(s, idx, graph, touched, m = 6)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    Similarity.nswSearchStored(s, idx, graph,
+      emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .where(col("vec_id") < 5)
+        .selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2, hops = 3, beam = 8)
   }
 
   /** Graph-ANN recall audit: q247's beam walk scored against exact
