@@ -378,6 +378,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         scans.mkString("\n"))
   }
 
+  test("nswSearchStored: every vector/adjacency scan partition-pruned " +
+    "to the probed cells") {
+    // The graph-ANN economics: per query the walk touches
+    // O(hops·beam·m) nodes, and every fetch must prune to the probed
+    // cells' partitions — a scan without a cell partition filter reads
+    // the corpus and the walk's advantage is gone at 100 TB.
+    val idx = graft.operators.Similarity
+      .trainedIvfPqIndex(spark, sfDir, nlist = 8, m = 4, ks = 8,
+        trainSample = 64, iters = 2)
+    val graph = s"$idx/nsw_planspec"
+    graft.operators.Similarity.buildNswGraphAt(spark, idx, graph, m = 6)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val df = graft.operators.Similarity.nswSearchStored(spark, idx, graph,
+      e.where(org.apache.spark.sql.functions.col("vec_id") < 3)
+        .selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2, hops = 3, beam = 8)
+    val s = formatted(df)
+    // in formatted mode the scan detail blocks carry PartitionFilters
+    val pf = s.split("\n").filter(_.contains("PartitionFilters"))
+    assert(pf.nonEmpty)
+    assert(pf.forall(_.contains("cell")),
+      s"every index/graph scan must carry a cell partition filter:\n$s")
+  }
+
   test("rfmSegments: no global ntile window over the user frame") {
     // The scale hazard this pins: ntile(4) OVER (ORDER BY metric) is a
     // single-partition window — the whole user table through one task.

@@ -808,6 +808,28 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(row2.getDouble(5) == 0.5)
   }
 
+  test("compactPhraseIndexAt: missing index mid-swap fails fast with " +
+    "the recovery hint") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_phrase_crash").toString
+    val idx = s"$root/idx"
+    Corpus.buildPhraseIndexAt(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", idx,
+      buckets = 2)
+    assert(new java.io.File(idx)
+      .renameTo(new java.io.File(s"$idx.__old")))
+    val e = intercept[IllegalArgumentException] {
+      Corpus.compactPhraseIndexAt(spark, idx, buckets = 2)
+    }
+    assert(e.getMessage.contains("rename it back"), e.getMessage)
+    assert(new java.io.File(s"$idx.__old")
+      .renameTo(new java.io.File(idx)))
+    Corpus.compactPhraseIndexAt(spark, idx, buckets = 2)
+    assert(Corpus.phraseSearchAt(spark, idx, Seq("a b"), buckets = 2)
+      .count() == 1)
+  }
+
   test("compactPhraseIndexAt with deletedIds: reconciled index equals a " +
     "fresh build on the survivors; stale siblings cleared up front") {
     import spark.implicits._

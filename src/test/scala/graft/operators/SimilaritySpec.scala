@@ -808,6 +808,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .where(col("cell").cast("int") === victim).count() == 0L)
   }
 
+  test("compactTrainedIvfPqIndexAt: missing vectors mid-swap fails fast " +
+    "with the recovery hint; refresh with no cells is a no-op") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_tivfpq_crash").toString + "/idx"
+    Similarity.buildTrainedIvfPqIndexAt(spark,
+      emb.where(col("vec_id") < 100), idx)
+    // simulate a crash between the two renames: vectors staged aside
+    val dir = new java.io.File(s"$idx/vectors")
+    assert(dir.renameTo(new java.io.File(s"$idx/vectors.__old")))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.compactTrainedIvfPqIndexAt(spark, idx)
+    }
+    assert(e.getMessage.contains("rename it back"), e.getMessage)
+    // recovery: rename back, compaction proceeds
+    assert(new java.io.File(s"$idx/vectors.__old")
+      .renameTo(new java.io.File(s"$idx/vectors")))
+    Similarity.compactTrainedIvfPqIndexAt(spark, idx)
+    // empty-cells refresh touches nothing (no graph even exists)
+    Similarity.refreshNswGraphCells(spark, idx, s"$idx/nope", Seq.empty)
+    assert(!new java.io.File(s"$idx/nope").exists())
+  }
+
   test("filtered ANN: only allowed ids retrieved; allow-all equals unfiltered") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
