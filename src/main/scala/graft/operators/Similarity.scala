@@ -2055,11 +2055,19 @@ object Similarity {
     * keep the `beam` best per (query, cell) — the visited set's global
     * top-k (query excluded, ties → lowest id) is the answer.
     *
-    * Scale shape: per hop, the frontier is ≤ nq·nprobe·beam rows, its
-    * adjacency fan-out ≤ ×m, and every vector fetch is a partition-
-    * pruned read of the probed cells — per-query work is O(hops·beam·m)
-    * distance evaluations regardless of corpus size, the graph-ANN
-    * economics. All joins are broadcast-sized on the query side. */
+    * Scale shape: the walk state is BOUNDED BY CONSTRUCTION
+    * (≤ nq·nprobe·(1 + hops·beam·m) rows — a few thousand at serving
+    * fan-outs), so it lives on the driver and each hop runs ONE flat
+    * distributed job: the frontier's candidate nodes as a broadcast
+    * literal frame, joined against the partition-pruned adjacency and
+    * vector reads of the probed cells. Keeping the state in DataFrame
+    * lineage instead doubles the plan per hop (the visited frame is
+    * referenced by both the frontier cut and the union) — the first
+    * landing measured 1187 exchanges in the 3-hop physical plan vs ~20
+    * for this shape. Per-query work is O(hops·beam·m) distance
+    * evaluations regardless of corpus size — the graph-ANN economics —
+    * and only UNSEEN nodes are ever fetched or scored. `q` must carry
+    * (`q_id`: bigint, `qv`: array<double>). */
   def nswSearchStored(
       s: SparkSession,
       indexPath: String,
@@ -2070,12 +2078,89 @@ object Similarity {
       hops: Int = 3,
       beam: Int = 8): DataFrame = {
     LightFusion.ensureRegistered(s)
+    import s.implicits._
     val (probeRows, probeSchema) = trainedProbes(s, indexPath, q, nprobe)
     val cellIdx = probeSchema.fieldIndex("cell")
+    val qIdIdx = probeSchema.fieldIndex("q_id")
     val cellSet = probeRows.map(_.getInt(cellIdx)).distinct.sorted
     val probesDf = broadcast(s.createDataFrame(
         java.util.Arrays.asList(probeRows: _*), probeSchema)
-      .select(col("q_id"), col("qg"), col("cell")))
+      .select(col("q_id").cast("long").as("q_id"), col("qg"), col("cell")))
+    val (grid, adj) = nswPrunedReads(s, indexPath, graphPath, cellSet)
+    // one bounded job: (q_id, cell, node) candidates → exact grid dists
+    def score(cands: Seq[(Long, Int, Long)]): Seq[(Long, Int, Long, Long)] =
+      if (cands.isEmpty) Seq.empty
+      else cands.toDF("q_id", "cell", "node")
+        .join(probesDf, Seq("q_id", "cell"))
+        .join(grid, Seq("cell", "node"))
+        .select(col("q_id"), col("cell"), col("node"),
+          gridDist(col("qg"), col("g")).as("d"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    // entry node per probed cell (≤ |cellSet| rows)
+    val entryOf = grid.groupBy("cell").agg(min("node").as("node"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val visited =
+      scala.collection.mutable.LinkedHashMap[(Long, Int, Long), Long]()
+    def absorb(rows: Seq[(Long, Int, Long, Long)]): Unit =
+      rows.foreach { case (qi, c, n, d) =>
+        visited.getOrElseUpdate((qi, c, n), d)
+      }
+    absorb(score(probeRows.toSeq.flatMap { r =>
+      val c = r.getInt(cellIdx)
+      entryOf.get(c).map(e =>
+        (r.get(qIdIdx).asInstanceOf[Number].longValue(), c, e))
+    }))
+    for (_ <- 1 to hops) {
+      val frontier = visited.toSeq
+        .groupBy { case ((qi, c, _), _) => (qi, c) }
+        .toSeq.flatMap { case (_, members) =>
+          members.sortBy { case ((_, _, n), d) => (d, n) }.take(beam)
+            .map { case ((qi, c, n), _) => (qi, c, n) }
+        }
+      val expanded =
+        if (frontier.isEmpty) Seq.empty[(Long, Int, Long)]
+        else frontier.toDF("q_id", "cell", "node")
+          .join(adj, Seq("cell", "node"))
+          .select(col("q_id"), col("cell"), col("nbr").as("node"))
+          .distinct()
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      absorb(score(expanded.filterNot { case (qi, c, n) =>
+        visited.contains((qi, c, n))
+      }))
+    }
+    val out = visited.toSeq
+      .collect { case ((qi, _, n), d) if n != qi => (qi, n, d) }
+      .groupBy(_._1).toSeq.flatMap { case (qi, members) =>
+        members.sortBy { case (_, n, d) => (d, n) }.take(k).zipWithIndex
+          .map { case ((_, n, d), i) => (qi, i + 1, n, d) }
+      }
+      .sortBy { case (qi, rank, _, _) => (qi, rank) }
+    s.createDataFrame(java.util.Arrays.asList(out.map { case (qi, r, n, d) =>
+        org.apache.spark.sql.Row(qi, r, n, d)
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** The walk's ONLY corpus-touching reads — vectors and adjacency of
+    * the probed cells, partition-pruned (PlanSpec pins the filters:
+    * without them every hop reads the corpus and the O(hops·beam·m)
+    * economics are gone). */
+  private[graft] def nswPrunedReads(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      cellSet: Seq[Int]): (DataFrame, DataFrame) = {
     val grid = s.read.parquet(s"$indexPath/vectors")
       .select(col("vec_id").as("node"), col("cell").cast("int").as("cell"),
         gridLongs(col("v")).as("g"))
@@ -2084,35 +2169,7 @@ object Similarity {
       .select(col("cell").cast("int").as("cell"),
         col("vec_id").as("node"), col("nbr"))
       .where(col("cell").isin(cellSet.map(Int.box): _*))
-    def score(nodes: DataFrame): DataFrame = nodes
-      .join(probesDf, Seq("q_id", "cell"))
-      .join(grid, Seq("cell", "node"))
-      .select(col("q_id"), col("cell"), col("node"),
-        gridDist(col("qg"), col("g")).as("d"))
-    val entries = grid.groupBy("cell").agg(min("node").as("node"))
-    var visited = score(
-      probesDf.select("q_id", "cell").join(entries, Seq("cell"))
-        .select("q_id", "cell", "node"))
-    for (_ <- 1 to hops) {
-      val frontier = TopK.perKey(
-          visited.withColumn("__s", -col("d").cast("double")),
-          Seq("q_id", "cell"), "__s", "node", beam)
-        .select("q_id", "cell", "node")
-      val expanded = frontier.join(adj, Seq("cell", "node"))
-        .select(col("q_id"), col("cell"), col("nbr").as("node"))
-        .distinct()
-      // a node lives in exactly one cell, so (q_id, node) stays unique
-      // after the fold; min(d) just collapses re-visits (d is a pure
-      // function of (q_id, node))
-      visited = visited.union(score(expanded))
-        .groupBy("q_id", "cell", "node").agg(min("d").as("d"))
-    }
-    TopK.perKey(
-        visited.where(col("node") =!= col("q_id"))
-          .withColumn("__s", -col("d").cast("double")),
-        Seq("q_id"), "__s", "node", k)
-      .select(col("q_id"), col("rank"), col("node").as("n_id"), col("d"))
-      .presentSorted("q_id", "rank")
+    (grid, adj)
   }
 
   private val nswGraphs = new ConcurrentHashMap[(String, Int), String]

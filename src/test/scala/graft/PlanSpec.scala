@@ -389,18 +389,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         trainSample = 64, iters = 2)
     val graph = s"$idx/nsw_planspec"
     graft.operators.Similarity.buildNswGraphAt(spark, idx, graph, m = 6)
-    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
-    val df = graft.operators.Similarity.nswSearchStored(spark, idx, graph,
-      e.where(org.apache.spark.sql.functions.col("vec_id") < 3)
-        .selectExpr("vec_id as q_id", "v as qv"),
-      k = 5, nprobe = 2, hops = 3, beam = 8)
-    val s = formatted(df)
-    // in formatted mode the scan detail blocks carry PartitionFilters
-    val pf = s.split("\n").filter(_.contains("PartitionFilters"))
-    assert(pf.nonEmpty)
-    assert(pf.forall(_.contains("cell")),
-      s"every index/graph scan must carry a cell partition filter:\n$s")
+    // the walk holds its bounded state on the driver, so the pin
+    // targets the walk's only corpus-touching reads — the pruned grid
+    // and adjacency frames every hop joins against
+    val (grid, adj) = graft.operators.Similarity
+      .nswPrunedReads(spark, idx, graph, Seq(1, 3))
+    for (df <- Seq(grid, adj)) {
+      val s = formatted(df)
+      val pf = s.split("\n").filter(_.contains("PartitionFilters"))
+      assert(pf.nonEmpty, s"expected a scan with PartitionFilters:\n$s")
+      assert(pf.forall(_.contains("cell")),
+        s"every index/graph scan must carry a cell partition filter:\n$s")
+      // the filter must not be the empty no-prune marker
+      assert(!pf.exists(_.contains("PartitionFilters: []")),
+        s"cell filter must actually reach the scan:\n$s")
+    }
   }
 
   test("rfmSegments: no global ntile window over the user frame") {
