@@ -917,6 +917,7 @@ object PipelineQueries {
     ("q249_graph_ingest", q249GraphIngest _, q247Sql),
     ("q250_graph_survivors", q250GraphSurvivors _, q250Sql),
     ("q251_stream_graph", q251StreamGraph _, q247Sql),
+    ("q252_graph_sweep", q252GraphSweep _, q252Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3166,6 +3167,65 @@ object PipelineQueries {
         .where(col("vec_id") < 5)
         .selectExpr("vec_id as q_id", "v as qv"),
       k = 5, nprobe = 2, hops = 3, beam = 8)
+  }
+
+  /** Routed-walk sweep — the graph path's recall/latency frontier, the
+    * q234 knob-turning audit for graph serving: recall@5 vs exact
+    * brute force at nprobe ∈ {1, 2, 4, 8} (walk budget fixed at
+    * hops = 3, beam = 8). The contrast with q234 is the COST MODEL at
+    * the same routing: IVF-exact scans every member of the probed
+    * cells (nprobe/nlist of the corpus), while the walk touches
+    * O(nprobe·hops·beam·m) nodes regardless of corpus size — so
+    * nprobe = nlist is a corpus read for IVF but still a constant-work
+    * walk here. The sweep also DECOMPOSES the miss sources: recall
+    * rising with nprobe is routing loss; whatever gap remains at
+    * nprobe = nlist (measured 0.88 at sf0.01) is graph loss — true
+    * neighbors unreachable from the entry node within the walk budget
+    * under the m-NN digraph (the number a deployment tunes hops/beam/m
+    * against, and exactly the diagnostic split q234 can't see).
+    * Composes five already-oracled retrievals off ONE memoized
+    * index + graph fixture. */
+  def q252GraphSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brute = Similarity.bruteForceTopK(s, dir, numQueries = 5, k = 5)
+      .select(col("q_id").as("bq"), col("n_id").as("bn"))
+    val arms = walkSweep.map { np =>
+      Similarity.nswTopK(s, dir, numQueries = 5, k = 5, nprobe = np,
+          hops = 3, beam = 8, m = 6)
+        .select(lit(np).as("anp"), col("q_id"), col("n_id"))
+    }.reduce(_ unionAll _)
+    walkSweep.toDF("nprobe").crossJoin(brute)
+      .join(arms, col("nprobe") === col("anp") &&
+        col("bq") === col("q_id") && col("bn") === col("n_id"), "left")
+      .drop("anp")
+      .groupBy(col("nprobe"), col("bq").as("q_id"))
+      .agg(count(lit(1)).as("k"), count(col("n_id")).as("hits"))
+      .select(col("nprobe"), col("q_id"), col("k"), col("hits"),
+        (col("hits").cast("double") / col("k")).as("recall"))
+      .presentSorted("nprobe", "q_id")
+  }
+
+  private def walkSweep: Seq[Int] = Seq(1, 2, 4, 8)
+
+  def q252Sql: String = {
+    val bruteNq5 = q40Sql.replace("vec_id < 10", "vec_id < 5")
+    require(bruteNq5 != q40Sql, "q252: brute-force nq splice failed")
+    val arms = walkSweep.map { np =>
+      s"SELECT $np AS nprobe, q_id, n_id FROM (\n" +
+        nswReplaySql(nq = 5, k = 5, nlist = 8, nprobe = np, m = 6,
+          hops = 3, beam = 8) + ")"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH brute AS ($bruteNq5),
+       |np(nprobe) AS (VALUES (1), (2), (4), (8)),
+       |sw AS ($arms)
+       |SELECT np.nprobe, b.q_id, count(*) AS k,
+       |  count(s.n_id) AS hits,
+       |  count(s.n_id)::DOUBLE / count(*) AS recall
+       |FROM np CROSS JOIN brute b
+       |LEFT JOIN sw s ON s.nprobe = np.nprobe AND s.q_id = b.q_id
+       |  AND s.n_id = b.n_id
+       |GROUP BY np.nprobe, b.q_id
+       |ORDER BY np.nprobe, b.q_id""".stripMargin
   }
 
   /** Graph-ANN recall audit: q247's beam walk scored against exact
