@@ -833,6 +833,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(s"$idx/nope").exists())
   }
 
+  test("NSW lifecycle is partitioning-invariant: shuffled corpus input " +
+    "yields an identical graph and identical search results") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nsw_perm").toString
+    def pipeline(src: org.apache.spark.sql.DataFrame, tag: String) = {
+      val idx = s"$root/$tag"
+      Similarity.buildTrainedIvfPqIndexAt(spark, src, idx)
+      Similarity.buildNswGraphAt(spark, idx, s"$idx/nsw", m = 6)
+      val res = Similarity.nswSearchStored(spark, idx, s"$idx/nsw",
+        emb.where(col("vec_id") < 5).selectExpr("vec_id as q_id", "v as qv"),
+        k = 5, nprobe = 2, hops = 3, beam = 8)
+        .collect().map(_.toSeq).toSeq
+      val adj = spark.read.parquet(s"$idx/nsw")
+        .collect().map(_.toSeq.toString).sorted.toSeq
+      (res, adj)
+    }
+    // trainSample selection is orderBy(vec_id).limit, assignment/encode
+    // are pure row functions, adjacency ties break on id, the walk is
+    // driver-deterministic — so an adversarial repartition+sort of the
+    // input must change NOTHING
+    val (r1, a1) = pipeline(emb, "sorted")
+    val (r2, a2) = pipeline(
+      emb.repartition(7, col("vec_id") % 3)
+        .sortWithinPartitions(col("vec_id").desc), "shuffled")
+    assert(a1 == a2 && a1.nonEmpty)
+    assert(r1 == r2 && r1.nonEmpty)
+  }
+
   test("filtered ANN: only allowed ids retrieved; allow-all equals unfiltered") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
