@@ -2076,7 +2076,8 @@ object Similarity {
       k: Int = 5,
       nprobe: Int = 2,
       hops: Int = 3,
-      beam: Int = 8): DataFrame = {
+      beam: Int = 8,
+      allowed: Option[DataFrame] = None): DataFrame = {
     LightFusion.ensureRegistered(s)
     import s.implicits._
     val (probeRows, probeSchema) = trainedProbes(s, indexPath, q, nprobe)
@@ -2131,8 +2132,24 @@ object Similarity {
         visited.contains((qi, c, n))
       }))
     }
+    // FILTERED search (the RAG/ACL shape, q223's contract on the graph
+    // path): the walk traverses ALL nodes — a filter-aware walk would
+    // disconnect the graph under selective filters (the standard
+    // filtered-HNSW trade) — and the predicate applies to the final
+    // candidates. Only the VISITED nodes' membership is ever fetched:
+    // one bounded semi-join, never a corpus-sized allow-list collect.
+    val keep: Long => Boolean = allowed match {
+      case Some(a) =>
+        val nodes = visited.keysIterator.map(_._3).toSeq.distinct
+        val ok = nodes.toDF("n")
+          .join(a.select(col(a.columns.head).cast("long").as("n")),
+            Seq("n"), "left_semi")
+          .collect().map(_.getLong(0)).toSet
+        ok.contains
+      case None => _ => true
+    }
     val out = visited.toSeq
-      .collect { case ((qi, _, n), d) if n != qi => (qi, n, d) }
+      .collect { case ((qi, _, n), d) if n != qi && keep(n) => (qi, n, d) }
       .groupBy(_._1).toSeq.flatMap { case (qi, members) =>
         members.sortBy { case (_, n, d) => (d, n) }.take(k).zipWithIndex
           .map { case ((_, n, d), i) => (qi, i + 1, n, d) }
@@ -2175,6 +2192,18 @@ object Similarity {
   private val nswGraphs = new ConcurrentHashMap[(String, Int), String]
 
   /** Build-once NSW graph beside the memoized trained index for the
+    * corpus at `dir` (one build serves every graph entry in a JVM). */
+  def nswGraph(s: SparkSession, dir: String, m: Int = 6): String =
+    nswGraphs.computeIfAbsent((dir, m), _ => {
+      val idx = trainedIvfPqIndex(s, dir, nlist = 8, m = 4, ks = 8,
+        trainSample = 64, iters = 2)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_nsw_" +
+        s"${Bucketing.dirTag(dir)}_m$m"
+      buildNswGraphAt(s, idx, base, m)
+      base
+    })
+
+  /** Build-once NSW graph beside the memoized trained index for the
     * corpus at `dir` (q212's fixture — one build serves the whole ANN
     * family), then walk it for queries `vec_id < numQueries`. */
   def nswTopK(
@@ -2189,12 +2218,7 @@ object Similarity {
     LightFusion.ensureRegistered(s)
     val idx = trainedIvfPqIndex(s, dir, nlist = 8, m = 4, ks = 8,
       trainSample = 64, iters = 2)
-    val graph = nswGraphs.computeIfAbsent((dir, m), _ => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_nsw_" +
-        s"${Bucketing.dirTag(dir)}_m$m"
-      buildNswGraphAt(s, idx, base, m)
-      base
-    })
+    val graph = nswGraph(s, dir, m)
     val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
     nswSearchStored(s, idx, graph,
       e.where(col("vec_id") < numQueries)

@@ -918,6 +918,7 @@ object PipelineQueries {
     ("q250_graph_survivors", q250GraphSurvivors _, q250Sql),
     ("q251_stream_graph", q251StreamGraph _, q247Sql),
     ("q252_graph_sweep", q252GraphSweep _, q252Sql),
+    ("q253_filtered_graph", q253FilteredGraph _, q253Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3001,7 +3002,7 @@ object PipelineQueries {
 
   private def nswReplaySql(
       nq: Int, k: Int, nlist: Int, nprobe: Int,
-      m: Int, hops: Int, beam: Int): String = {
+      m: Int, hops: Int, beam: Int, filterSql: String = ""): String = {
     def dist(a: String, b: String) = gridDistSql(a, b, 64)
     val hopCtes = (1 to hops).map { i =>
       s"""f${i - 1} AS (SELECT q_id, cell, node FROM (
@@ -3037,10 +3038,35 @@ object PipelineQueries {
        |SELECT q_id, rank, n_id, CAST(d AS BIGINT) AS d FROM (
        |  SELECT q_id, node AS n_id, d,
        |    row_number() OVER (PARTITION BY q_id ORDER BY d, node) AS rank
-       |  FROM v$hops WHERE node <> q_id) x
+       |  FROM v$hops WHERE node <> q_id$filterSql) x
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  /** Filtered graph search — q223's RAG/ACL contract on the graph
+    * path: only an allow-list's members may be retrieved (here
+    * `label = 2`), the walk traverses all nodes (a filter-aware walk
+    * disconnects the graph under selective filters — the standard
+    * filtered-HNSW trade), and the predicate gates the FINAL
+    * candidates; only the visited nodes' membership is fetched (one
+    * bounded semi-join). Oracle = q247's replay with the allow-list
+    * predicate spliced into the final cut. */
+  def q253FilteredGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = Similarity.nswGraph(s, dir, m = 6)
+    val e = emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    Similarity.nswSearchStored(s, idx, graph,
+      e.where(col("vec_id") < 5).selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2, hops = 3, beam = 8,
+      allowed = Some(emb.where(col("label") === 2).select("vec_id")))
+  }
+
+  def q253Sql: String = nswReplaySql(nq = 5, k = 5, nlist = 8,
+    nprobe = 2, m = 6, hops = 3, beam = 8,
+    filterSql =
+      "\n    AND node IN (SELECT vec_id FROM embeddings WHERE label = 2)")
 
   /** Graph-ANN INGEST maintenance ([[Similarity.refreshNswGraphCells]]):
     * bootstrap-build the trained index + per-cell NSW graph on half the
