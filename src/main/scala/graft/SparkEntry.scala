@@ -49,16 +49,77 @@ object SparkEntry {
     * (q217's residual replay: 209 s inlined → 1.3 s materialized at
     * sf0.01, same rows). `AS MATERIALIZED` is a semantics-free
     * evaluation hint; applying it at this one choke point keeps the
-    * 250 per-query generators hint-free. The pattern only rewrites
-    * `name AS (` — a CTE with a column list (`ph(phrase) AS (`), any
-    * `AS alias`, and named-window clauses (`WINDOW w AS (`, where the
-    * hint would be a syntax error) are untouched. */
-  private def materializeCtes(sql: String): String = {
-    val cte = "(?i)\\b(WINDOW\\s+)?([a-zA-Z_][a-zA-Z0-9_]*\\s+AS)\\s*\\(".r
-    cte.replaceAllIn(sql, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        if (m.group(1) != null) m.matched
-        else m.group(2) + " MATERIALIZED ("))
+    * 250 per-query generators hint-free.
+    *
+    * The rewriter is a small scanner, not a regex: it tracks quoted
+    * strings/identifiers, paren depth and a per-depth WITH-prologue
+    * state, so ONLY a bare `name AS (` that is genuinely a CTE
+    * definition (first entry after `WITH [RECURSIVE]`, or after a
+    * prologue comma, at that WITH's own depth) is rewritten. String
+    * literals containing `x AS (`, every entry of a multi-window
+    * `WINDOW w1 AS (…), w2 AS (…)` clause (where the hint is a syntax
+    * error), column-list CTEs (`ph(phrase) AS (`), and entries already
+    * carrying `[NOT] MATERIALIZED` are untouched; nested WITHs inside
+    * CTE bodies or subqueries get their own prologue and ARE rewritten
+    * (they benefit the same way). MaterializeCtesSpec pins each case. */
+  private[graft] def materializeCtes(sql: String): String = {
+    val n = sql.length
+    val sb = new StringBuilder(n + 256)
+    var i = 0
+    var depth = 0
+    // WITH-prologue parse state per paren depth:
+    //   0 none | 1 expecting CTE name | 2 bare name seen | 3 name+collist
+    //   4 `AS` of a bare-name entry (a `(` here gets MATERIALIZED)
+    //   5 `AS` of collist entry or already-qualified | 6 in/after body
+    val st = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+    while (i < n) {
+      val c = sql(i)
+      if (c == '\'' || c == '"') {
+        sb.append(c); i += 1
+        var open = true
+        while (i < n && open) {
+          sb.append(sql(i))
+          if (sql(i) == c) {
+            if (i + 1 < n && sql(i + 1) == c) { sb.append(c); i += 2 }
+            else { i += 1; open = false }
+          } else i += 1
+        }
+      } else if (c == '-' && i + 1 < n && sql(i + 1) == '-') {
+        while (i < n && sql(i) != '\n') { sb.append(sql(i)); i += 1 }
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < n && (sql(j).isLetterOrDigit || sql(j) == '_')) j += 1
+        val up = sql.substring(i, j).toUpperCase
+        st(depth) match {
+          case _ if up == "WITH" => st(depth) = 1
+          case 1 if up == "RECURSIVE" => ()
+          case 1 => st(depth) = 2
+          case 2 if up == "AS" => st(depth) = 4
+          case 3 if up == "AS" => st(depth) = 5
+          case 4 | 5 if up == "MATERIALIZED" || up == "NOT" => st(depth) = 5
+          case _ => st(depth) = 0 // not a CTE definition — prologue over
+        }
+        sb.append(sql.substring(i, j)); i = j
+      } else if (c == '(') {
+        st(depth) match {
+          case 2 => st(depth) = 3 // column list opens
+          case 4 => sb.append("MATERIALIZED "); st(depth) = 6
+          case 5 => st(depth) = 6
+          case _ => ()
+        }
+        depth += 1; st(depth) = 0
+        sb.append(c); i += 1
+      } else if (c == ')') {
+        st.remove(depth); depth -= 1
+        sb.append(c); i += 1
+      } else if (c == ',') {
+        if (st(depth) == 6) st(depth) = 1
+        sb.append(c); i += 1
+      } else {
+        sb.append(c); i += 1
+      }
+    }
+    sb.toString
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

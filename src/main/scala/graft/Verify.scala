@@ -52,7 +52,15 @@ object Verify {
       })
     }
     pool.shutdown()
-    pool.awaitTermination(4, TimeUnit.HOURS)
+    // On timeout the unfinished entries count as FAILURES — otherwise
+    // the `[verify] done:` line would report still-running entries as
+    // ok while spark.stop() kills their writes mid-flight.
+    val finished = pool.awaitTermination(4, TimeUnit.HOURS)
+    if (!finished) {
+      val unfinished = SparkEntry.queries.size - times.size - failed.get()
+      failed.addAndGet(unfinished.max(1))
+      System.err.println(s"[verify] TIMEOUT: $unfinished entries unfinished after 4h")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -78,6 +86,11 @@ object Verify {
     // an all-failed run can no longer masquerade as a complete one.
     println(f"[verify] done: ${nTot - nFail} ok, $nFail failed of $nTot in $total%.1fs (par=$par)")
     spark.stop()
-    if (nFail > 0) System.err.println(s"[verify] FAILURES: $nFail")
+    if (nFail > 0) {
+      System.err.println(s"[verify] FAILURES: $nFail")
+      // non-zero exit so CI callers that check the code (not the stdout
+      // line) can't treat an all-failed run as success
+      sys.exit(1)
+    }
   }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the exact rewrite surface of [[SparkEntry.materializeCtes]]:
+  * only bare `name AS (` entries in a genuine WITH prologue get the
+  * MATERIALIZED hint. Each case here is a hazard the old regex form
+  * could mis-rewrite (string literals, multi-window clauses) — new
+  * oracle idioms that would only fail at verify time fail here. */
+class MaterializeCtesSpec extends AnyFunSuite {
+
+  private def mz(sql: String) = SparkEntry.materializeCtes(sql)
+
+  test("bare CTE names are rewritten, first and subsequent") {
+    assert(mz("WITH a AS (SELECT 1), b AS (SELECT 2) SELECT * FROM a, b") ===
+      "WITH a AS MATERIALIZED (SELECT 1), b AS MATERIALIZED (SELECT 2) SELECT * FROM a, b")
+  }
+
+  test("WITH RECURSIVE prologue still rewrites bare entries") {
+    assert(mz("WITH RECURSIVE h AS (SELECT 1) SELECT * FROM h") ===
+      "WITH RECURSIVE h AS MATERIALIZED (SELECT 1) SELECT * FROM h")
+  }
+
+  test("column-list CTEs are untouched") {
+    val s = "WITH t(a, b) AS (SELECT 1, 2) SELECT * FROM t"
+    assert(mz(s) === s)
+  }
+
+  test("already-qualified entries are not double-hinted") {
+    val s = "WITH a AS MATERIALIZED (SELECT 1), b AS NOT MATERIALIZED (SELECT 2) SELECT * FROM a, b"
+    assert(mz(s) === s)
+  }
+
+  test("string literals containing `x AS (` are copied verbatim") {
+    val s = "WITH a AS (SELECT 'foo AS (bar' AS c) SELECT * FROM a"
+    assert(mz(s) ===
+      "WITH a AS MATERIALIZED (SELECT 'foo AS (bar' AS c) SELECT * FROM a")
+    // escaped quote inside the literal does not end the string early
+    val esc = "SELECT 'it''s x AS (y' AS c FROM t"
+    assert(mz(esc) === esc)
+  }
+
+  test("multi-window WINDOW clause entries are all untouched") {
+    val s = "SELECT sum(x) OVER w1, sum(y) OVER w2 FROM t " +
+      "WINDOW w1 AS (ORDER BY x), w2 AS (ORDER BY y)"
+    assert(mz(s) === s)
+    // and a WINDOW clause inside a rewritten CTE body
+    val inCte = "WITH a AS (SELECT sum(x) OVER w1, sum(y) OVER w2 FROM t " +
+      "WINDOW w1 AS (ORDER BY x), w2 AS (ORDER BY y)) SELECT * FROM a"
+    assert(mz(inCte) === "WITH a AS MATERIALIZED (" +
+      "SELECT sum(x) OVER w1, sum(y) OVER w2 FROM t " +
+      "WINDOW w1 AS (ORDER BY x), w2 AS (ORDER BY y)) SELECT * FROM a")
+  }
+
+  test("nested WITH inside a CTE body gets its own prologue rewrite") {
+    val s = "WITH a AS (WITH i AS (SELECT 1) SELECT * FROM i) SELECT * FROM a"
+    assert(mz(s) === "WITH a AS MATERIALIZED (WITH i AS MATERIALIZED " +
+      "(SELECT 1) SELECT * FROM i) SELECT * FROM a")
+  }
+
+  test("commas in the main query body do not reopen the prologue") {
+    val s = "WITH a AS (SELECT 1) SELECT x, y AS z FROM a ORDER BY x, y"
+    assert(mz(s) ===
+      "WITH a AS MATERIALIZED (SELECT 1) SELECT x, y AS z FROM a ORDER BY x, y")
+  }
+
+  test("every registered oracle still parses through the rewriter unchanged in shape") {
+    // smoke: rewrite output differs from input only by MATERIALIZED
+    // insertions — stripping the inserted token restores the original.
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val restored = sql.replace("AS MATERIALIZED (", "AS (")
+      val re = SparkEntry.materializeCtes(restored)
+        .replace("AS MATERIALIZED (", "AS (")
+      assert(re === restored, s"rewriter mangled $name")
+    }
+  }
+}
