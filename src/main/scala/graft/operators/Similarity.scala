@@ -1963,25 +1963,50 @@ object Similarity {
   // unrolls the hops as CTEs).
   // ──────────────────────────────────────────────────────────────────
 
+  /** Cells at or below this member count build their NSW adjacency by
+    * exact within-cell all-pairs (the form the q247 oracle replays);
+    * larger cells AUTO-ROUTE to the candidate-bounded build — ADC
+    * top-4m candidate generation from the index's own PQ codes, then
+    * the exact grid-L2 cut to m. The |cell|² · dim grid-distance wall
+    * the all-pairs form hits at real shard sizes (1-10M vectors/cell)
+    * is the one the ceiling exists to keep the build off of: above it,
+    * per-pair work drops from `dim` multiply-adds on two dim-long
+    * arrays to `m_pq` table lookups on an m_pq-byte code, and the
+    * full-width exact distance is only ever computed on 4m candidates
+    * per vector. The routing is PER CELL and count-deterministic, so
+    * [[refreshNswGraphCells]] reproduces the full build's choice
+    * cell-by-cell (refresh ≡ rebuild stays exact). */
+  val NswExactCellCeiling: Int = 4096
+
   /** Build the per-cell NSW adjacency beside a stored trained index:
     * for each vector, its `m` nearest same-cell neighbors by exact grid
     * L2 (ties → lowest nbr id), written partitioned by cell.
     *
-    * Scale shape: the self-join is WITHIN-CELL all-pairs — |cell|²/nlist
-    * work, the exact-graph construction every NSW variant bootstraps
-    * from. Size cells for it (graph shards stay ~1-10M vectors: nlist
-    * grows with the corpus) or swap the candidate generator to the
-    * index's own ADC top-4m before the exact cut; the adjacency
-    * contract (m nearest, grid-exact, id ties) is what search and
-    * oracle depend on, not how candidates were found. The top-m cut is
-    * [[TopK]]'s bounded per-partition heaps, so the pair stream never
-    * collects anywhere. */
+    * Scale shape: cells up to `exactCellCeiling` members take the
+    * WITHIN-CELL all-pairs form — |cell|² pair stream into [[TopK]]'s
+    * bounded per-partition heaps (never collected), exact by
+    * construction, and the form the q247 oracle unrolls. Cells ABOVE
+    * the ceiling auto-route to the CANDIDATE-BOUNDED form: each
+    * member's ADC top-4m same-cell candidates from the index's stored
+    * PQ codes (integer-exact ADC, ties → lowest id), then the exact
+    * grid-L2 cut to m on candidates only. The pair stream there still
+    * enumerates |cell|² (candidate generation must look at every
+    * same-cell code) but carries m_pq-byte codes instead of dim-long
+    * grid arrays and evaluates m_pq lookups instead of dim
+    * multiply-adds per pair — the build-side analogue of the ADC scan
+    * economics the serving path already has — and the dim-wide exact
+    * distance touches only 4m candidates per vector. Above the ceiling
+    * the adjacency is approximate-kNN (exact top-m OF the ADC top-4m;
+    * NswGraphSpec pins ⊇-recall of the exact adjacency on planted
+    * clusters) — the standard NSW-construction trade; the walk and the
+    * refresh/takedown equalities are adjacency-agnostic. */
   def buildNswGraphAt(
       s: SparkSession,
       indexPath: String,
       graphPath: String,
-      m: Int = 6): Unit =
-    writeNswAdjacency(s, indexPath, graphPath, m, None)
+      m: Int = 6,
+      exactCellCeiling: Int = NswExactCellCeiling): Unit =
+    writeNswAdjacency(s, indexPath, graphPath, m, None, exactCellCeiling)
 
   /** Graph MAINTENANCE: rebuild the adjacency of ONLY the named cells
     * (dynamic partition overwrite — untouched cells' files are never
@@ -1996,12 +2021,13 @@ object Similarity {
       indexPath: String,
       graphPath: String,
       cells: Seq[Int],
-      m: Int = 6): Unit = {
+      m: Int = 6,
+      exactCellCeiling: Int = NswExactCellCeiling): Unit = {
     if (cells.isEmpty) return
-    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try writeNswAdjacency(s, indexPath, graphPath, m, Some(cells))
-    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // dynamic overwrite is a PER-WRITE DataFrameWriter option (not a
+    // session-conf mutation): two refreshes sharing one session can't
+    // race each other into static mode and drop untouched partitions
+    writeNswAdjacency(s, indexPath, graphPath, m, Some(cells), exactCellCeiling)
     // dynamic overwrite only replaces partitions PRESENT in the written
     // data — a refreshed cell that now has ≤1 member produces no pairs,
     // writes nothing, and would keep its stale files (reading the graph
@@ -2025,7 +2051,10 @@ object Similarity {
       indexPath: String,
       graphPath: String,
       m: Int,
-      onlyCells: Option[Seq[Int]]): Unit = {
+      onlyCells: Option[Seq[Int]],
+      exactCellCeiling: Int): Unit = {
+    require(exactCellCeiling >= 1,
+      s"exactCellCeiling must be >= 1: $exactCellCeiling")
     val all = s.read.parquet(s"$indexPath/vectors")
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
         gridLongs(col("v")).as("g"))
@@ -2033,19 +2062,93 @@ object Similarity {
       case Some(cs) => all.where(col("cell").isin(cs.map(Int.box): _*))
       case None => all
     }
-    val nbrs = grid.select(col("cell"), col("vec_id").as("nbr"),
+    // per-cell member counts route each cell to its build form; the
+    // collect is bounded by nlist (the coarse table's row count), the
+    // house-bounded fixed cost every maintenance op here already pays
+    val bigCells = grid.groupBy("cell").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > exactCellCeiling)
+      .collect().map(_.getInt(0)).toSet
+    val exactSide =
+      if (bigCells.isEmpty) grid
+      else grid.where(!col("cell").isin(bigCells.toSeq.map(Int.box): _*))
+    val nbrs = exactSide.select(col("cell"), col("vec_id").as("nbr"),
       col("g").as("ng"))
-    val pairs = grid.join(nbrs, Seq("cell"))
+    val exactPairs = exactSide.join(nbrs, Seq("cell"))
       .where(col("vec_id") =!= col("nbr"))
       .select(col("cell"), col("vec_id"), col("nbr"),
         gridDist(col("g"), col("ng")).as("d"))
     // grid dists are ≲ 2.7e8 for 64 dims on the 2¹⁰ grid — exact in a
     // double, so the negated heap score ranks identically to (d, nbr)
-    TopK.perKey(pairs.withColumn("__s", -col("d").cast("double")),
+    val exactAdj = TopK.perKey(
+        exactPairs.withColumn("__s", -col("d").cast("double")),
         Seq("vec_id"), "__s", "nbr", m)
       .select("cell", "vec_id", "nbr", "d")
+    val adjacency =
+      if (bigCells.isEmpty) exactAdj
+      else exactAdj.unionByName(
+        candidateBoundedAdjacency(s, indexPath, bigCells, m))
+    adjacency
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(graphPath)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode",
+        if (onlyCells.isDefined) "dynamic" else "static")
+      .partitionBy("cell").parquet(graphPath)
+  }
+
+  /** The above-ceiling build leg: ADC top-4m same-cell candidates per
+    * vector from the index's stored PQ codes (the serving scan's
+    * integer-exact asymmetric distance, ties → lowest nbr id), then the
+    * exact grid-L2 top-m cut computed ONLY on those candidates. Both
+    * cuts are [[TopK]] bounded heaps; the only full-width (dim-long)
+    * arrays that ever move are the 4m candidates' join back to the
+    * grid. Residual indexes subtract the home-cell centroid from the
+    * query side exactly as the serving ADC does — same-cell members
+    * share the centroid, so candidate ranking matches what a serving
+    * scan of that cell would produce. */
+  private def candidateBoundedAdjacency(
+      s: SparkSession,
+      indexPath: String,
+      cells: Set[Int],
+      m: Int): DataFrame = {
+    val books = readStoredBooks(s, indexPath)
+    val residual = readIndexResidual(s, indexPath)
+    val coarseL = s.read.parquet(s"$indexPath/coarse").orderBy("cell").collect()
+      .map(_.getSeq[Long](1).toArray)
+    val mPq = books.length
+    val adcKernel = new graft.functions.PqAdcKernel(
+      books.map(_.map(_.map(_.toDouble))))
+    val members = s.read.parquet(s"$indexPath/vectors")
+      .where(col("cell").isin(cells.toSeq.map(Int.box): _*))
+    val queries = members.select(col("cell").cast("int").as("cell"),
+      col("vec_id"), gridLongs(col("v")).cast("array<double>").as("qgd"))
+    val codes = members.select(col("cell").cast("int").as("cell"),
+      col("vec_id").as("nbr"),
+      array((0 until mPq).map(j => col(s"code_$j")): _*).as("codes"))
+    val adcQuery =
+      if (!residual) col("qgd")
+      else zip_with(col("qgd"), centroidLookup(coarseL, col("cell")),
+        (a, b) => a - b)
+    val adc = SparkShims.column(graft.functions.PqAdc(
+      SparkShims.expression(adcQuery),
+      SparkShims.expression(col("codes")), adcKernel))
+    // ADC values are sums of squared integer-valued doubles — exact, so
+    // the negated heap score is the deterministic (adc, nbr) order
+    val candPairs = queries.join(codes, Seq("cell"))
+      .where(col("vec_id") =!= col("nbr"))
+      .select(col("cell"), col("vec_id"), col("nbr"), (-adc).as("__s"))
+    val cands = TopK.perKey(candPairs, Seq("vec_id"), "__s", "nbr", 4 * m)
+      .select("cell", "vec_id", "nbr")
+    val gridOf = members.select(col("cell").cast("int").as("cell"),
+      col("vec_id"), gridLongs(col("v")).as("g"))
+    val exactCut = cands
+      .join(gridOf, Seq("cell", "vec_id"))
+      .join(gridOf.select(col("cell"), col("vec_id").as("nbr"),
+        col("g").as("ng")), Seq("cell", "nbr"))
+      .select(col("cell"), col("vec_id"), col("nbr"),
+        gridDist(col("g"), col("ng")).as("d"))
+    TopK.perKey(exactCut.withColumn("__s", -col("d").cast("double")),
+        Seq("vec_id"), "__s", "nbr", m)
+      .select("cell", "vec_id", "nbr", "d")
   }
 
   /** Greedy beam walk over the stored per-cell NSW graphs: route each
