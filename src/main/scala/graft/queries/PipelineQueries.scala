@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.SparkExt._
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Dedup, Similarity}
+import graft.LightFusion
+import graft.operators.{Corpus, Dedup, Similarity, TopK}
 
 /** North-star training-data-pipeline queries: dedup + similarity search
   * over `documents` and `embeddings`.
@@ -919,6 +920,7 @@ object PipelineQueries {
     ("q251_stream_graph", q251StreamGraph _, q247Sql),
     ("q252_graph_sweep", q252GraphSweep _, q252Sql),
     ("q253_filtered_graph", q253FilteredGraph _, q253Sql),
+    ("q254_filtered_sweep", q254FilteredSweep _, q254Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3067,6 +3069,96 @@ object PipelineQueries {
     nprobe = 2, m = 6, hops = 3, beam = 8,
     filterSql =
       "\n    AND node IN (SELECT vec_id FROM embeddings WHERE label = 2)")
+
+  /** Filtered-graph recall sweep — q252's knob-turning audit taken to
+    * the FILTERED walk (q253's RAG/ACL shape): recall@5 vs filtered
+    * brute force at allow-list selectivities 50% / 20% / 5%
+    * (`vec_id % {2,5,20} = 0`), each at TWO walk budgets — the serving
+    * default (hops 3, beam 8) and a boosted walk (hops 5, beam 16).
+    * This measures the known filtered-HNSW failure mode the q253
+    * contract names but can't quantify: the walk traverses ALL nodes
+    * and post-filters, so a fixed budget surfaces ~selectivity·visited
+    * eligible candidates and recall decays as the filter tightens —
+    * the boosted arm shows how much budget buys it back, which is the
+    * number a deployment needs to size hops/beam for an ACL'd corpus
+    * (SCALE.md records the sizing rule). Composes already-oracled
+    * retrievals: filtered brute force is q40's replay with the
+    * modulus predicate, each walk arm is q253's replay at its budget. */
+  def q254FilteredSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = Similarity.nswGraph(s, dir, m = 6)
+    val e = emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val arms = (for {
+      sel <- filteredSweepSel
+      (hops, beam) <- filteredSweepBudgets
+    } yield Similarity.nswSearchStored(s, idx, graph, q, k = 5,
+        nprobe = 2, hops = hops, beam = beam,
+        allowed = Some(emb.where(col("vec_id") % sel === 0)
+          .select("vec_id")))
+      .select(lit(sel).as("asel"), lit(hops).as("ah"),
+        col("q_id").as("aq"), col("n_id").as("an")))
+      .reduce(_ unionAll _)
+    val brute = filteredSweepSel.map { sel =>
+      val cand = e.where(col("vec_id") % sel === 0)
+      val scored = cand
+        .join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(lit(sel).as("sel"), col("q_id").as("bq"),
+          col("vec_id").as("bn"),
+          LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
+      TopK.perKey(scored, Seq("sel", "bq"), "cos", "bn", 5)
+        .select("sel", "bq", "bn")
+    }.reduce(_ unionAll _)
+    val grid = filteredSweepBudgets.toDF("hops", "beam")
+      .crossJoin(filteredSweepSel.toDF("sel"))
+    grid.join(brute, Seq("sel"))
+      .join(arms, col("asel") === col("sel") && col("ah") === col("hops") &&
+        col("aq") === col("bq") && col("an") === col("bn"), "left")
+      .groupBy(col("sel"), col("hops"), col("beam"), col("bq").as("q_id"))
+      .agg(count(lit(1)).as("k"), count(col("an")).as("hits"))
+      .select(col("sel"), col("hops"), col("beam"), col("q_id"), col("k"),
+        col("hits"),
+        (col("hits").cast("double") / col("k")).as("recall"))
+      .presentSorted("sel", "hops", "q_id")
+  }
+
+  private def filteredSweepSel: Seq[Int] = Seq(2, 5, 20)
+  private def filteredSweepBudgets: Seq[(Int, Int)] = Seq((3, 8), (5, 16))
+
+  def q254Sql: String = {
+    val bruteNq5 = q40Sql.replace("vec_id < 10", "vec_id < 5")
+    require(bruteNq5 != q40Sql, "q254: brute-force nq splice failed")
+    val brutes = filteredSweepSel.map { sel =>
+      val f = bruteNq5.replace("c.vec_id <> q.vec_id",
+        s"c.vec_id <> q.vec_id AND c.vec_id % $sel = 0")
+      require(f != bruteNq5, "q254: brute-force filter splice failed")
+      s"SELECT $sel AS sel, q_id, n_id FROM (\n$f)"
+    }.mkString("\nUNION ALL\n")
+    val walks = (for {
+      sel <- filteredSweepSel
+      (hops, beam) <- filteredSweepBudgets
+    } yield s"SELECT $sel AS sel, $hops AS hops, $beam AS beam, q_id, n_id FROM (\n" +
+      nswReplaySql(nq = 5, k = 5, nlist = 8, nprobe = 2, m = 6,
+        hops = hops, beam = beam,
+        filterSql = s"\n    AND node % $sel = 0") + ")")
+      .mkString("\nUNION ALL\n")
+    s"""WITH fb AS ($brutes),
+       |fw AS ($walks),
+       |grid(hops, beam) AS (VALUES (3, 8), (5, 16))
+       |SELECT g.sel, g.hops, g.beam, g.q_id, count(*) AS k,
+       |  count(w.n_id) AS hits,
+       |  count(w.n_id)::DOUBLE / count(*) AS recall
+       |FROM (SELECT grid.hops, grid.beam, fb.sel, fb.q_id, fb.n_id
+       |      FROM grid CROSS JOIN fb) g
+       |LEFT JOIN fw w ON w.sel = g.sel AND w.hops = g.hops
+       |  AND w.q_id = g.q_id AND w.n_id = g.n_id
+       |GROUP BY g.sel, g.hops, g.beam, g.q_id
+       |ORDER BY g.sel, g.hops, g.q_id""".stripMargin
+  }
 
   /** Graph-ANN INGEST maintenance ([[Similarity.refreshNswGraphCells]]):
     * bootstrap-build the trained index + per-cell NSW graph on half the

@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Scaling profile for the NSW graph BUILD legs (the round-13 item):
+  * synthesizes deterministic 64-dim corpora at 5k and 50k vectors,
+  * builds the trained IVF-PQ index once per size, then times
+  *
+  *   - exact    — `buildNswGraphAt(ceiling = MaxValue)`: within-cell
+  *                all-pairs, dim-wide grid distances (the oracle form)
+  *   - candidate — `buildNswGraphAt(ceiling = 1)`: ADC top-4m from the
+  *                stored PQ codes + exact cut on candidates only
+  *
+  * and one stored-graph search (5 queries) per size — the leg whose
+  * cost must stay FLAT as the corpus grows (O(hops·beam·m) per query).
+  *
+  * Both build forms enumerate |cell|² pairs at fixed nlist (candidate
+  * generation must look at every same-cell code), so the headline is
+  * the per-pair constant — dim multiply-adds on two dim-long arrays vs
+  * m_pq lookups on an m_pq-byte code — plus the exponent row showing
+  * where each form lands between the linear exact-leg floor and the
+  * quadratic pair-stream ceiling at 10×. Results land in SCALE.md by
+  * hand.
+  *
+  * `runMain graft.tools.ProfileNswBuild [n1 n2]` (defaults 5000 50000).
+  */
+object ProfileNswBuild {
+
+  /** Deterministic unstructured 64-dim corpus — integer hash mix per
+    * (id, dim), grid-aligned so build arithmetic matches testdata's. */
+  private def synth(s: SparkSession, n: Long) = {
+    s.range(n).toDF("vec_id")
+      .select(col("vec_id"), transform(sequence(lit(0), lit(63)), d =>
+        ((pmod(col("vec_id") * lit(2654435761L) + d * lit(40503L)
+          + (col("vec_id") + d) * (col("vec_id") + lit(17L)),
+          lit(2048L)) - lit(1024L)) / lit(1024.0)).cast("double")).as("v"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.length >= 2) Seq(args(0).toLong, args(1).toLong)
+      else Seq(5000L, 50000L)
+    val spark = graft.LightFusion.session(
+      "local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nsw_scale").toString
+
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val rows = sizes.map { n =>
+      val idx = s"$root/idx_$n"
+      val emb = synth(spark, n).localCheckpoint()
+      Similarity.buildTrainedIvfPqIndexAt(spark, emb, idx,
+        nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+      val tExact = time(Similarity.buildNswGraphAt(spark, idx,
+        s"$root/g_exact_$n", m = 6, exactCellCeiling = Int.MaxValue))
+      val tCand = time(Similarity.buildNswGraphAt(spark, idx,
+        s"$root/g_cand_$n", m = 6, exactCellCeiling = 1))
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val tSearch = time(Similarity.nswSearchStored(spark, idx,
+        s"$root/g_cand_$n", q, k = 5, nprobe = 2, hops = 3, beam = 8))
+      println(f"[nsw-scale] n=$n%6d exact=$tExact%8.1fs candidate=$tCand%8.1fs search=$tSearch%6.1fs")
+      (n, tExact, tCand, tSearch)
+    }
+    val (n1, e1, c1, s1) = rows.head
+    val (n2, e2, c2, s2) = rows.last
+    println(f"[nsw-scale] exponent 10x: exact=${math.log10(e2 / e1)}%.2f " +
+      f"candidate=${math.log10(c2 / c1)}%.2f search=${math.log10(s2 / s1)}%.2f")
+    println(f"[nsw-scale] candidate speedup: ${n1}: ${e1 / c1}%.1fx  ${n2}: ${e2 / c2}%.1fx")
+    spark.stop()
+  }
+}
