@@ -1,0 +1,162 @@
+package graft.ml
+
+/** Unigram-LM (SentencePiece-family) tokenizer training and encoding —
+  * the OTHER mainstream subword family next to [[Bpe]] (Kudo 2018:
+  * start from a large seed vocabulary, iteratively segment with the
+  * current piece distribution and prune low-use pieces; encode =
+  * likelihood-maximizing segmentation).
+  *
+  * Two determinism substitutions make the whole lifecycle exact-integer
+  * and hence SQL-replayable (the repo's engine-exactness conventions —
+  * `ln` is banned from gated arithmetic because libm implementations
+  * may round it differently):
+  *
+  *  - log-probabilities use [[qlog2]], a FIXED-POINT PIECEWISE-LINEAR
+  *    log2 on the integer counts: `qlog2(c) = (L-1)·2^16 +
+  *    (c - 2^(L-1))·2^16 / 2^(L-1)` with `L = bitlength(c)` and integer
+  *    floor division — monotone in c, exact in BIGINT arithmetic, and
+  *    computable in any engine (`length(bin(c))` in DuckDB/Spark). A
+  *    piece's segmentation score is `qlog2(cnt) − qlog2(T)` (≤ 0), so
+  *    maximizing the sum is maximizing the fixed-point log-likelihood
+  *    with the piece-count penalty the true unigram objective has.
+  *  - EM is HARD EM (Viterbi counts): the E-step segments each
+  *    histogram word with the current scores, the M-step re-counts
+  *    piece usage weighted by word frequency. Soft-EM's fractional
+  *    expectations are float-order-dependent; Viterbi counts are
+  *    integers. Add-one smoothing keeps every single-character piece
+  *    alive (coverage: any word stays segmentable).
+  *
+  * The Viterbi tie-break is the RECURSIVE total order both engines
+  * replay identically: per position keep ONE state, choosing by
+  * (log-likelihood DESC, piece-count ASC, last-piece ASC) — candidates
+  * at a position come from distinct predecessor offsets, hence have
+  * distinct last-piece lengths, so the order is total and the kept
+  * state is unique. UnigramLmSpec pins Viterbi optimality against
+  * brute-force enumeration.
+  */
+object UnigramLm {
+
+  /** Fixed-point scale: 2^16 per log2 unit. */
+  val LogScale: Long = 65536L
+
+  /** Piecewise-linear fixed-point log2 of a positive count — monotone,
+    * exact-integer, engine-reproducible (see class doc). */
+  def qlog2(c: Long): Long = {
+    require(c >= 1, s"qlog2 domain: $c")
+    val len = 64 - java.lang.Long.numberOfLeadingZeros(c)
+    val p = 1L << (len - 1)
+    (len - 1) * LogScale + (c - p) * LogScale / p
+  }
+
+  /** Viterbi segmentation of `word` under piece scores `s(piece) =
+    * qlog2(cnt(piece))` and total-mass penalty `qT = qlog2(T)`: the
+    * piece sequence maximizing `Σ (s(piece_i) − qT)` under the
+    * recursive (ll DESC, n ASC, piece ASC) tie order. Requires every
+    * character of `word` to be scoreable (training guarantees it for
+    * histogram words). */
+  def viterbi(
+      word: String,
+      score: Map[String, Long],
+      qT: Long,
+      maxPiece: Int): Seq[String] = {
+    require(maxPiece >= 1, s"maxPiece must be >= 1: $maxPiece")
+    // dp(p) = best (ll, n, reversed segmentation) for word.take(p)
+    final case class St(ll: Long, n: Int, seg: List[String])
+    val dp = new Array[St](word.length + 1)
+    dp(0) = St(0L, 0, Nil)
+    var p = 1
+    while (p <= word.length) {
+      var best: St = null
+      var j = math.max(0, p - maxPiece)
+      while (j < p) {
+        if (dp(j) != null) {
+          val piece = word.substring(j, p)
+          val sc = score.get(piece)
+          if (sc.isDefined) {
+            val cand = St(dp(j).ll + sc.get - qT, dp(j).n + 1,
+              piece :: dp(j).seg)
+            val better = best == null ||
+              cand.ll > best.ll ||
+              (cand.ll == best.ll && (cand.n < best.n ||
+                (cand.n == best.n && cand.seg.head < best.seg.head)))
+            if (better) best = cand
+          }
+        }
+        j += 1
+      }
+      dp(p) = best
+      p += 1
+    }
+    require(dp(word.length) != null,
+      s"word '$word' has a character outside the vocabulary")
+    dp(word.length).seg.reverse
+  }
+
+  /** Hard-EM training over a capped word histogram.
+    *
+    * Seeding: every substring of length 1..`maxPiece` of every
+    * histogram word, occurrence-weighted (all start positions ×
+    * word count); the seed vocabulary is ALL single characters plus
+    * the top `seedMulti` multi-character substrings by
+    * (count·length DESC, piece ASC) — the SentencePiece seed score
+    * (freq × len, the likelihood-reduction proxy). Ranking by raw
+    * count instead slices alphabetically inside count-tie bands
+    * (every substring of one word shares its count), dropping whole
+    * words while keeping their prefixes.
+    *
+    * Each EM round: Viterbi-segment every histogram word with the
+    * current counts (total mass T = Σ counts), re-count piece usage
+    * weighted by word frequency, then PRUNE to the top `keep`
+    * multi-character pieces by (usage DESC, piece ASC) while keeping
+    * every single character; all kept pieces take `usage + 1`
+    * (add-one smoothing — unused characters survive at count 1).
+    *
+    * Returns the final vocabulary as (piece, count) sorted by
+    * (count DESC, piece ASC). */
+  def train(
+      hist: Seq[(String, Long)],
+      seedMulti: Int,
+      keepMulti: Seq[Int],
+      maxPiece: Int): Seq[(String, Long)] = {
+    require(hist.nonEmpty, "unigram train needs a non-empty histogram")
+    val occ = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    for {
+      (w, c) <- hist
+      l <- 1 to math.min(maxPiece, Int.MaxValue)
+      i <- 0 to w.length - l
+    } {
+      val p = w.substring(i, i + l)
+      occ.update(p, occ.getOrElse(p, 0L) + c)
+    }
+    val chars = occ.keysIterator.filter(_.length == 1).toSeq.sorted
+    var vocab: Map[String, Long] =
+      occ.iterator.filter(_._1.length == 1).toMap ++
+        occ.iterator.filter(_._1.length > 1).toSeq
+          .sortBy { case (p, c) => (-c * p.length, p) }.take(seedMulti)
+    for (keep <- keepMulti) {
+      val t = vocab.valuesIterator.sum
+      val qT = qlog2(t)
+      val score = vocab.map { case (p, c) => p -> qlog2(c) }
+      val usage = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      for ((w, c) <- hist; piece <- viterbi(w, score, qT, maxPiece))
+        usage.update(piece, usage.getOrElse(piece, 0L) + c)
+      vocab =
+        chars.map(ch => ch -> (usage.getOrElse(ch, 0L) + 1L)).toMap ++
+          usage.iterator.filter(_._1.length > 1).toSeq
+            .sortBy { case (p, c) => (-c, p) }.take(keep)
+            .map { case (p, c) => p -> (c + 1L) }
+    }
+    vocab.toSeq.sortBy { case (p, c) => (-c, p) }
+  }
+
+  /** Encode with a trained vocabulary: Viterbi under the vocabulary's
+    * own (count, total) scores — the serving-time segmentation. */
+  def encode(
+      word: String,
+      vocab: Seq[(String, Long)],
+      maxPiece: Int): Seq[String] = {
+    val t = vocab.iterator.map(_._2).sum
+    viterbi(word, vocab.map { case (p, c) => p -> qlog2(c) }.toMap,
+      qlog2(t), maxPiece)
+  }
+}

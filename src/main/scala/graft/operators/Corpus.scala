@@ -1245,6 +1245,117 @@ object Corpus {
     }.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** Unigram-LM (SentencePiece-family) tokenizer TRAINING
+    * ([[graft.ml.UnigramLm.train]] — the other mainstream subword
+    * family next to [[bpeTrain]]): substring-seeded vocabulary, hard-EM
+    * Viterbi/prune rounds, all in the fixed-point integer arithmetic
+    * the class doc details, so the DuckDB oracle replays the ENTIRE
+    * lifecycle (seeding, each round's Viterbi DP unrolled per position,
+    * usage re-count, prune) bit-for-bit.
+    *
+    * Scale shape: the q101 rule — the corpus reaches training only
+    * through ONE capped histogram shuffle (top `topV` words of length
+    * ≤ `maxWord` by (count, word)); seeding, EM and pruning run
+    * driver-side on that bounded set. At 100 TB the histogram pass is
+    * the scan; everything after is O(topV · maxWord · maxPiece) and
+    * corpus-independent.
+    *
+    * Output: final vocabulary `(piece, cnt, score_fp)` — `score_fp` is
+    * the fixed-point log-probability `qlog2(cnt) − qlog2(Σcnt)`. */
+  def unigramLmTrain(
+      docs: DataFrame,
+      textCol: String,
+      topV: Int,
+      maxWord: Int,
+      seedMulti: Int,
+      keepMulti: Seq[Int],
+      maxPiece: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = unigramHistogram(docs, textCol, topV, maxWord)
+    val vocab = graft.ml.UnigramLm.train(hist, seedMulti, keepMulti, maxPiece)
+    val t = vocab.iterator.map(_._2).sum
+    val qT = graft.ml.UnigramLm.qlog2(t)
+    vocab.map { case (p, c) =>
+      (p, c, graft.ml.UnigramLm.qlog2(c) - qT)
+    }.toDF("piece", "cnt", "score_fp")
+  }
+
+  /** Unigram-LM ENCODING over the trained vocabulary: each histogram
+    * word's Viterbi segmentation under the final piece distribution —
+    * `(word, cnt, pieces, n_pieces)` with the pieces space-joined.
+    * Same one-histogram-shuffle scale shape as [[unigramLmTrain]];
+    * serving a full corpus would broadcast the (bounded) vocabulary
+    * and segment per token in a map stage. */
+  def unigramLmEncode(
+      docs: DataFrame,
+      textCol: String,
+      topV: Int,
+      maxWord: Int,
+      seedMulti: Int,
+      keepMulti: Seq[Int],
+      maxPiece: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = unigramHistogram(docs, textCol, topV, maxWord)
+    val vocab = graft.ml.UnigramLm.train(hist, seedMulti, keepMulti, maxPiece)
+    hist.map { case (w, c) =>
+      val seg = graft.ml.UnigramLm.encode(w, vocab, maxPiece)
+      (w, c, seg.mkString(" "), seg.length.toLong)
+    }.toDF("word", "cnt", "pieces", "n_pieces")
+  }
+
+  /** Corpus-weighted fertility (pieces per word occurrence) of the
+    * trained unigram-LM tokenizer NEXT TO the committed BPE fixture on
+    * the SAME word histogram — the tokenizer-selection table (q219's
+    * fertility audit turned into a family comparison): lower fertility
+    * = fewer tokens for the same text = more content per context
+    * window. Integer counts, one double division per row. */
+  def tokenizerFertility(
+      docs: DataFrame,
+      textCol: String,
+      topV: Int,
+      maxWord: Int,
+      seedMulti: Int,
+      keepMulti: Seq[Int],
+      maxPiece: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = unigramHistogram(docs, textCol, topV, maxWord)
+    val vocab = graft.ml.UnigramLm.train(hist, seedMulti, keepMulti, maxPiece)
+    val rows = Seq(
+      ("bpe", hist.map { case (w, c) =>
+        (c, c * graft.ml.Bpe.default.encodeWord(w).length) }),
+      ("unigram", hist.map { case (w, c) =>
+        (c, c * graft.ml.UnigramLm.encode(w, vocab, maxPiece).length) }))
+      .map { case (name, perWord) =>
+        val occ = perWord.iterator.map(_._1).sum
+        val pieces = perWord.iterator.map(_._2).sum
+        (name, hist.size.toLong, occ, pieces, pieces.toDouble / occ)
+      }
+    rows.toDF("tokenizer", "n_words", "occurrences", "pieces", "fertility")
+  }
+
+  /** The shared capped histogram: top `topV` words (lowercased
+    * `[a-z0-9]+`, length ≤ `maxWord`) by (count DESC, word ASC) — the
+    * ONLY corpus-touching stage of the unigram-LM family. */
+  private def unigramHistogram(
+      docs: DataFrame,
+      textCol: String,
+      topV: Int,
+      maxWord: Int): Seq[(String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("word"))
+      .where(length(col("word")) <= maxWord)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(topV)
+      .as[(String, Long)].collect().toSeq
+  }
+
   /** Per-key lexical-diversity audit: token count, type (distinct-token)
     * count, hapax (once-only token) count, type/token ratio and
     * hapax/type ratio — the standard lexical-richness signals a curation

@@ -659,6 +659,225 @@ object TextQueries {
     sb.toString
   }
 
+  // ── Unigram-LM (SentencePiece-family) tokenizer entries ───────────
+  // Shared parameters: top-96 words (len ≤ 12), substrings ≤ 8 chars
+  // (whole short words can become single pieces — same expressive
+  // budget as the 89-merge BPE fixture q257 compares against), 512
+  // multi-char seeds (seed pool ≫ final vocab, the SentencePiece
+  // shape — a piece outside the seed pool can never be learned), two
+  // hard-EM rounds pruning to 96 then 80
+  // multi-char pieces (single chars always survive — coverage).
+  private val uniTopV = 96
+  private val uniMaxWord = 12
+  private val uniMaxPiece = 8
+  private val uniSeedMulti = 512
+  private val uniKeep = Seq(96, 80)
+
+  /** Fixed-point piecewise-linear log2 of a positive BIGINT expression
+    * — [[graft.ml.UnigramLm.qlog2]] verbatim in SQL: bit length via
+    * `length(bin(c))`, integer floor division. */
+  private def uniQlog(c: String): String =
+    s"((length(bin($c)) - 1) * 65536 + (($c - (CAST(1 AS BIGINT) << " +
+      s"(length(bin($c)) - 1))) * 65536) // (CAST(1 AS BIGINT) << " +
+      s"(length(bin($c)) - 1)))"
+
+  /** One Viterbi pass `t` over vocabulary CTE `vocabName`, the DP
+    * unrolled per position: emits `sc$t` (piece scores), `qt$t` (the
+    * total-mass penalty), `dp${t}_0..maxWord` (one kept state per
+    * (word, position) — row_number on (ll DESC, n ASC, piece ASC), the
+    * recursive total order the Scala loop applies), and `seg$t` (each
+    * word's final segmentation, picked at its own length). */
+  private def unigramViterbiCtes(t: Int, vocabName: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"""sc$t AS MATERIALIZED (
+       |  SELECT piece, ${uniQlog("cnt")} AS s FROM $vocabName),
+       |qt$t AS MATERIALIZED (SELECT ${uniQlog("tt")} AS qt FROM (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM $vocabName) z),
+       |dp${t}_0 AS MATERIALIZED (
+       |  SELECT word, cnt, CAST(0 AS BIGINT) AS ll, 0 AS n,
+       |    CAST([] AS VARCHAR[]) AS seg FROM hist)""".stripMargin
+    for (p <- 1 to uniMaxWord) {
+      val branches = (math.max(0, p - uniMaxPiece) until p).map { j =>
+        s"""SELECT d.word, d.cnt, d.ll + s.s - q.qt AS ll, d.n + 1 AS n,
+           |        list_append(d.seg, s.piece) AS seg, s.piece AS piece
+           |      FROM dp${t}_$j d JOIN sc$t s
+           |        ON s.piece = substr(d.word, ${j + 1}, ${p - j})
+           |      CROSS JOIN qt$t q
+           |      WHERE len(d.word) >= $p""".stripMargin
+      }.mkString("\n      UNION ALL\n      ")
+      sb ++= s""",
+         |dp${t}_$p AS MATERIALIZED (
+         |  SELECT word, cnt, ll, n, seg FROM (
+         |    SELECT word, cnt, ll, n, seg,
+         |      row_number() OVER (PARTITION BY word
+         |        ORDER BY ll DESC, n ASC, piece ASC) AS rn
+         |    FROM (
+         |      $branches
+         |    ) c) r WHERE rn = 1)""".stripMargin
+    }
+    val segUnion = (1 to uniMaxWord).map(p =>
+      s"SELECT word, cnt, seg FROM dp${t}_$p WHERE len(word) = $p")
+      .mkString("\n  UNION ALL\n  ")
+    sb ++= s""",
+       |seg$t AS MATERIALIZED (
+       |  $segUnion)""".stripMargin
+    sb.toString
+  }
+
+  /** The training replay through the final vocabulary: histogram cap,
+    * substring seeding (chars ∪ top-seedMulti multis), then per EM
+    * round a full Viterbi pass, usage re-count and (usage DESC, piece)
+    * prune with add-one smoothing. Returns (cteSql, finalVocabCte). */
+  private def unigramTrainCtes: (String, String) = {
+    val sb = new StringBuilder
+    sb ++= s"""hist AS MATERIALIZED (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |        FROM documents) x
+       |  WHERE len(w) <= $uniMaxWord
+       |  GROUP BY w ORDER BY cnt DESC, word LIMIT $uniTopV),
+       |subs AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+       |    SELECT substr(word, i, l) AS piece, cnt
+       |    FROM hist, unnest(range(1, len(word) + 1)) u(i),
+       |         unnest(range(1, ${uniMaxPiece + 1})) v(l)
+       |    WHERE i + l - 1 <= len(word)) x
+       |  GROUP BY piece),
+       |uchars AS MATERIALIZED (
+       |  SELECT piece, cnt FROM subs WHERE len(piece) = 1),
+       |vocab1 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM uchars
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM subs WHERE len(piece) > 1
+       |    ORDER BY cnt * len(piece) DESC, piece LIMIT $uniSeedMulti) s)""".stripMargin
+    for ((keep, idx) <- uniKeep.zipWithIndex) {
+      val t = idx + 1
+      sb ++= ",\n" + unigramViterbiCtes(t, s"vocab$t")
+      sb ++= s""",
+         |usage$t AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS used FROM (
+         |    SELECT unnest(seg) AS piece, cnt FROM seg$t) x GROUP BY piece),
+         |vocab${t + 1} AS MATERIALIZED (
+         |  SELECT c.piece, CAST(coalesce(u.used, 0) + 1 AS BIGINT) AS cnt
+         |  FROM uchars c LEFT JOIN usage$t u USING (piece)
+         |  UNION ALL
+         |  SELECT piece, CAST(used + 1 AS BIGINT) AS cnt FROM (
+         |    SELECT piece, used FROM usage$t WHERE len(piece) > 1
+         |    ORDER BY used DESC, piece LIMIT $keep) m)""".stripMargin
+    }
+    (sb.toString, s"vocab${uniKeep.length + 1}")
+  }
+
+  /** Unigram-LM tokenizer TRAINING ([[Corpus.unigramLmTrain]] →
+    * [[graft.ml.UnigramLm.train]]): substring-seeded vocabulary, two
+    * hard-EM Viterbi/prune rounds, everything in fixed-point integer
+    * arithmetic (qlog2 — `ln` is banned from gated arithmetic). The
+    * oracle replays the ENTIRE lifecycle: histogram cap, seeding, each
+    * round's per-position Viterbi DP (one kept state per (word, pos),
+    * the same recursive (ll, n, piece) total order), usage re-count,
+    * prune with add-one smoothing — the q101 full-replay standard for
+    * the other tokenizer family. */
+  def q255UnigramTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.unigramLmTrain(docs(s, dir), "text",
+      topV = uniTopV, maxWord = uniMaxWord, seedMulti = uniSeedMulti,
+      keepMulti = uniKeep, maxPiece = uniMaxPiece)
+      .presentSorted("piece")
+
+  def q255Sql: String = {
+    val (ctes, vf) = unigramTrainCtes
+    s"""WITH $ctes
+       |SELECT piece, cnt,
+       |  CAST(${uniQlog("cnt")} - (SELECT ${uniQlog("tt")} FROM (
+       |    SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM $vf) z) AS BIGINT)
+       |    AS score_fp
+       |FROM $vf
+       |ORDER BY piece""".stripMargin
+  }
+
+  /** Unigram-LM ENCODING ([[Corpus.unigramLmEncode]]): every histogram
+    * word's Viterbi segmentation under the final trained distribution.
+    * Oracle = the training replay plus ONE more unrolled Viterbi pass
+    * over the final vocabulary — any slip in piece scores, tie order
+    * or the DP itself moves a segmentation and fails the hash. */
+  def q256UnigramEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.unigramLmEncode(docs(s, dir), "text",
+      topV = uniTopV, maxWord = uniMaxWord, seedMulti = uniSeedMulti,
+      keepMulti = uniKeep, maxPiece = uniMaxPiece)
+      .presentSorted("word")
+
+  def q256Sql: String = {
+    val (ctes, vf) = unigramTrainCtes
+    val tF = uniKeep.length + 1
+    s"""WITH $ctes,
+       |${unigramViterbiCtes(tF, vf)}
+       |SELECT word, cnt, array_to_string(seg, ' ') AS pieces,
+       |  CAST(len(seg) AS BIGINT) AS n_pieces
+       |FROM seg$tF
+       |ORDER BY word""".stripMargin
+  }
+
+  /** Tokenizer-family fertility table ([[Corpus.tokenizerFertility]]):
+    * corpus-weighted pieces-per-occurrence of the trained unigram-LM
+    * next to the committed BPE fixture on the SAME histogram — the
+    * q219 fertility audit turned into a selection table. Oracle
+    * replays BOTH tokenizers end to end: the unigram training + final
+    * Viterbi pass, and q85's recursive leftmost-lowest-rank merge loop
+    * over the fixture. */
+  def q257TokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.tokenizerFertility(docs(s, dir), "text",
+      topV = uniTopV, maxWord = uniMaxWord, seedMulti = uniSeedMulti,
+      keepMulti = uniKeep, maxPiece = uniMaxPiece)
+      .presentSorted("tokenizer")
+
+  def q257Sql: String = {
+    val (ctes, vf) = unigramTrainCtes
+    val tF = uniKeep.length + 1
+    def esc(x: String) = x.replace("'", "''")
+    val vals = graft.ml.Bpe.default.merges.zipWithIndex
+      .map { case ((a, b), i) => s"('${esc(a)}', '${esc(b)}', $i)" }
+      .mkString(", ")
+    val rk = (i: String) => "coalesce(list_extract(map_extract(m, " +
+      s"list_extract(syms, $i) || ' ' || list_extract(syms, $i + 1)), 1), 2147483647)"
+    s"""WITH RECURSIVE $ctes,
+       |${unigramViterbiCtes(tF, vf)},
+       |merges(l, r, rnk) AS (VALUES $vals),
+       |mm AS (SELECT map(list(l || ' ' || r), list(rnk)) AS m FROM merges),
+       |bpe(word, cnt, syms) AS (
+       |  SELECT word, cnt,
+       |    list_transform(range(1, len(word) + 1), i -> substr(word, i, 1))
+       |  FROM hist
+       |  UNION ALL
+       |  SELECT word, cnt,
+       |    list_concat(list_concat(
+       |      list_slice(syms, 1, bi - 1),
+       |      [list_extract(syms, bi) || list_extract(syms, bi + 1)]),
+       |      list_slice(syms, bi + 2, len(syms)))
+       |  FROM (
+       |    SELECT word, cnt, syms, list_position(rks, list_min(rks)) AS bi
+       |    FROM (
+       |      SELECT word, cnt, syms,
+       |        list_transform(range(1, len(syms)), i -> ${rk("i")}) AS rks
+       |      FROM bpe, mm) a
+       |    WHERE len(rks) > 0 AND list_min(rks) < 2147483647) b),
+       |bfin AS (
+       |  SELECT word, cnt, syms FROM bpe, mm
+       |  WHERE len(syms) <= 1 OR list_min(
+       |    list_transform(range(1, len(syms)), i -> ${rk("i")})) = 2147483647),
+       |stats AS (
+       |  SELECT 'bpe' AS tokenizer, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(cnt) AS BIGINT) AS occurrences,
+       |    CAST(sum(cnt * len(syms)) AS BIGINT) AS pieces
+       |  FROM bfin
+       |  UNION ALL
+       |  SELECT 'unigram', CAST(count(*) AS BIGINT), CAST(sum(cnt) AS BIGINT),
+       |    CAST(sum(cnt * len(seg)) AS BIGINT)
+       |  FROM seg$tF)
+       |SELECT tokenizer, n_words, occurrences, pieces,
+       |  pieces::DOUBLE / occurrences AS fertility
+       |FROM stats ORDER BY tokenizer""".stripMargin
+  }
+
   /** Gopher repetition filter ([[TextAnalysis.gopherRepetition]]): the
     * published "fraction of characters in the most common n-gram"
     * signals (n = 1..3) with the paper's 2-gram/3-gram thresholds. The
@@ -974,7 +1193,10 @@ object TextQueries {
     ("q216_langid_routed", q216LangidRouted _, q216Sql),
     ("q219_token_fertility", q219TokenFertility _, q219Sql),
     ("q221_byte_budget", q221ByteBudget _, q221Sql),
-    ("q226_homoglyph_dedup", q226HomoglyphDedup _, q226Sql))
+    ("q226_homoglyph_dedup", q226HomoglyphDedup _, q226Sql),
+    ("q255_unigram_train", q255UnigramTrain _, q255Sql),
+    ("q256_unigram_encode", q256UnigramEncode _, q256Sql),
+    ("q257_tokenizer_fertility", q257TokenizerFertility _, q257Sql))
 
   /** Language-label confusion matrix: the `lang` column a source
     * CLAIMS against what the ROUTED predictor
