@@ -3093,15 +3093,26 @@ object PipelineQueries {
     val e = emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
     val q = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val arms = (for {
+    // the six walks are independent driver-orchestrated loops whose
+    // cost is per-hop JOB LATENCY, not compute — run them concurrently
+    // (Spark sessions are thread-safe for concurrent actions; the
+    // memoized fixture blocks them on one build). Sequential arms
+    // measured 10.9 s in-suite at sf0.1; concurrent ≈ the slowest arm.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val armFs = for {
       sel <- filteredSweepSel
       (hops, beam) <- filteredSweepBudgets
-    } yield Similarity.nswSearchStored(s, idx, graph, q, k = 5,
-        nprobe = 2, hops = hops, beam = beam,
-        allowed = Some(emb.where(col("vec_id") % sel === 0)
-          .select("vec_id")))
-      .select(lit(sel).as("asel"), lit(hops).as("ah"),
-        col("q_id").as("aq"), col("n_id").as("an")))
+    } yield Future {
+      Similarity.nswSearchStored(s, idx, graph, q, k = 5,
+          nprobe = 2, hops = hops, beam = beam,
+          allowed = Some(emb.where(col("vec_id") % sel === 0)
+            .select("vec_id")))
+        .select(lit(sel).as("asel"), lit(hops).as("ah"),
+          col("q_id").as("aq"), col("n_id").as("an"))
+    }
+    val arms = Await
+      .result(Future.sequence(armFs), scala.concurrent.duration.Duration.Inf)
       .reduce(_ unionAll _)
     val brute = filteredSweepSel.map { sel =>
       val cand = e.where(col("vec_id") % sel === 0)
