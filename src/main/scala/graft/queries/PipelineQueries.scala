@@ -3318,11 +3318,19 @@ object PipelineQueries {
     import s.implicits._
     val brute = Similarity.bruteForceTopK(s, dir, numQueries = 5, k = 5)
       .select(col("q_id").as("bq"), col("n_id").as("bn"))
-    val arms = walkSweep.map { np =>
-      Similarity.nswTopK(s, dir, numQueries = 5, k = 5, nprobe = np,
-          hops = 3, beam = 8, m = 6)
-        .select(lit(np).as("anp"), col("q_id"), col("n_id"))
-    }.reduce(_ unionAll _)
+    // independent driver-orchestrated walks: concurrent arms cost ~the
+    // slowest one instead of the sum (the q254 pattern; the memoized
+    // fixture blocks them on one build)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val arms = Await.result(Future.sequence(walkSweep.map { np =>
+        Future {
+          Similarity.nswTopK(s, dir, numQueries = 5, k = 5, nprobe = np,
+              hops = 3, beam = 8, m = 6)
+            .select(lit(np).as("anp"), col("q_id"), col("n_id"))
+        }
+      }), scala.concurrent.duration.Duration.Inf)
+      .reduce(_ unionAll _)
     walkSweep.toDF("nprobe").crossJoin(brute)
       .join(arms, col("nprobe") === col("anp") &&
         col("bq") === col("q_id") && col("bn") === col("n_id"), "left")
