@@ -921,6 +921,7 @@ object PipelineQueries {
     ("q252_graph_sweep", q252GraphSweep _, q252Sql),
     ("q253_filtered_graph", q253FilteredGraph _, q253Sql),
     ("q254_filtered_sweep", q254FilteredSweep _, q254Sql),
+    ("q258_filtered_route", q258FilteredRoute _, q258Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3139,6 +3140,86 @@ object PipelineQueries {
 
   private def filteredSweepSel: Seq[Int] = Seq(2, 5, 20)
   private def filteredSweepBudgets: Seq[(Int, Int)] = Seq((3, 8), (5, 16))
+
+  /** Filtered-retrieval ROUTE table — the crossover q254's sweep
+    * motivates, measured head to head at the tight 5% selectivity
+    * (`vec_id % 20 = 0`): per query, recall@5 vs filtered brute force
+    * of (a) the post-filtered graph walk at the serving budget and
+    * (b) the filter-AWARE trained IVF-PQ (q223's path — the allow-list
+    * gates candidates BEFORE the ADC cut, so the refine budget is
+    * spent entirely on eligible vectors). The deployment rule this
+    * gates: under tight filters route to the pre-filtered IVF path;
+    * the walk's fixed budget post-filters and decays (SCALE.md's
+    * round-13 sizing note). Composes three already-oracled replays. */
+  def q258FilteredRoute(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = Similarity.nswGraph(s, dir, m = 6)
+    val e = emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val allowed = e.where(col("vec_id") % 20 === 0)
+    val brute = {
+      val scored = allowed
+        .join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id").as("bq"), col("vec_id").as("bn"),
+          LightFusion.cosineSimilarity(col("qv"), col("v")).as("cos"))
+      TopK.perKey(scored, Seq("bq"), "cos", "bn", 5).select("bq", "bn")
+    }
+    val walk = Similarity.nswSearchStored(s, idx, graph, q, k = 5,
+        nprobe = 2, hops = 3, beam = 8,
+        allowed = Some(allowed.select("vec_id")))
+      .select(col("q_id").as("wq"), col("n_id").as("w_id"))
+    val ivf = Similarity.trainedIvfPqProbeStored(s, idx, q,
+        e.selectExpr("vec_id as n_id", "v"),
+        k = 5, nprobe = 3, refine = 32,
+        allowed = Some(allowed.select(col("vec_id").as("n_id"))))
+      .select(col("q_id").as("iq"), col("n_id").as("i_id"))
+    brute
+      .join(walk, col("wq") === col("bq") && col("w_id") === col("bn"), "left")
+      .join(ivf, col("iq") === col("bq") && col("i_id") === col("bn"), "left")
+      .groupBy(col("bq").as("q_id"))
+      .agg(count(lit(1)).as("k"),
+        count(col("w_id")).as("walk_hits"),
+        count(col("i_id")).as("ivf_hits"))
+      .select(col("q_id"), col("k"), col("walk_hits"), col("ivf_hits"),
+        (col("walk_hits").cast("double") / col("k")).as("walk_recall"),
+        (col("ivf_hits").cast("double") / col("k")).as("ivf_recall"))
+      .presentSorted("q_id")
+  }
+
+  def q258Sql: String = {
+    val bruteNq5 = q40Sql.replace("vec_id < 10", "vec_id < 5")
+    require(bruteNq5 != q40Sql, "q258: brute-force nq splice failed")
+    val bruteF = bruteNq5.replace("c.vec_id <> q.vec_id",
+      "c.vec_id <> q.vec_id AND c.vec_id % 20 = 0")
+    require(bruteF != bruteNq5, "q258: brute-force filter splice failed")
+    val walk = nswReplaySql(nq = 5, k = 5, nlist = 8, nprobe = 2, m = 6,
+      hops = 3, beam = 8, filterSql = "\n    AND node % 20 = 0")
+    val ivfBase = trainedIvfPqReplaySql(nq = 5, k = 5, nlist = 8,
+      nprobe = 3, ks = 8, refine = 32)
+    val ivf = ivfBase.replace(
+      "cand AS (SELECT pr.q_id, a.vec_id AS n_id\n" +
+        "  FROM cells a JOIN probes pr ON a.cell = pr.cell\n" +
+        "  WHERE a.vec_id <> pr.q_id)",
+      "cand AS (SELECT pr.q_id, a.vec_id AS n_id\n" +
+        "  FROM cells a JOIN probes pr ON a.cell = pr.cell\n" +
+        "  WHERE a.vec_id <> pr.q_id AND a.vec_id % 20 = 0)")
+    require(ivf != ivfBase, "q258: allow-list splice found no cand CTE")
+    s"""WITH brute AS ($bruteF),
+       |w AS ($walk),
+       |i AS ($ivf)
+       |SELECT b.q_id, count(*) AS k,
+       |  count(w.n_id) AS walk_hits, count(i.n_id) AS ivf_hits,
+       |  count(w.n_id)::DOUBLE / count(*) AS walk_recall,
+       |  count(i.n_id)::DOUBLE / count(*) AS ivf_recall
+       |FROM brute b
+       |LEFT JOIN w ON w.q_id = b.q_id AND w.n_id = b.n_id
+       |LEFT JOIN i ON i.q_id = b.q_id AND i.n_id = b.n_id
+       |GROUP BY b.q_id
+       |ORDER BY b.q_id""".stripMargin
+  }
 
   def q254Sql: String = {
     val bruteNq5 = q40Sql.replace("vec_id < 10", "vec_id < 5")
