@@ -48,17 +48,27 @@ object UnigramLm {
     (len - 1) * LogScale + (c - p) * LogScale / p
   }
 
+  /** Fixed-point score of an out-of-vocabulary single character when
+    * `unk = true`: a "count" of 2^-16 — strictly below qlog2(1) = 0,
+    * so a real piece always beats the fallback and no new tie class
+    * appears. */
+  val UnkScore: Long = -16L * LogScale
+
   /** Viterbi segmentation of `word` under piece scores `s(piece) =
     * qlog2(cnt(piece))` and total-mass penalty `qT = qlog2(T)`: the
     * piece sequence maximizing `Σ (s(piece_i) − qT)` under the
-    * recursive (ll DESC, n ASC, piece ASC) tie order. Requires every
-    * character of `word` to be scoreable (training guarantees it for
-    * histogram words). */
+    * recursive (ll DESC, n ASC, piece ASC) tie order. With the default
+    * `unk = false` every character of `word` must be scoreable
+    * (training guarantees it for histogram words); `unk = true` scores
+    * an uncovered single character [[UnkScore]] and keeps it as its
+    * own piece — the corpus-serving mode, where a document may carry
+    * characters the capped training histogram never saw. */
   def viterbi(
       word: String,
       score: Map[String, Long],
       qT: Long,
-      maxPiece: Int): Seq[String] = {
+      maxPiece: Int,
+      unk: Boolean = false): Seq[String] = {
     require(maxPiece >= 1, s"maxPiece must be >= 1: $maxPiece")
     // dp(p) = best (ll, n, reversed segmentation) for word.take(p)
     final case class St(ll: Long, n: Int, seg: List[String])
@@ -71,7 +81,10 @@ object UnigramLm {
       while (j < p) {
         if (dp(j) != null) {
           val piece = word.substring(j, p)
-          val sc = score.get(piece)
+          val sc = score.get(piece) match {
+            case None if unk && piece.length == 1 => Some(UnkScore)
+            case other => other
+          }
           if (sc.isDefined) {
             val cand = St(dp(j).ll + sc.get - qT, dp(j).n + 1,
               piece :: dp(j).seg)
@@ -150,13 +163,15 @@ object UnigramLm {
   }
 
   /** Encode with a trained vocabulary: Viterbi under the vocabulary's
-    * own (count, total) scores — the serving-time segmentation. */
+    * own (count, total) scores — the serving-time segmentation. `unk`
+    * as in [[viterbi]]. */
   def encode(
       word: String,
       vocab: Seq[(String, Long)],
-      maxPiece: Int): Seq[String] = {
+      maxPiece: Int,
+      unk: Boolean = false): Seq[String] = {
     val t = vocab.iterator.map(_._2).sum
     viterbi(word, vocab.map { case (p, c) => p -> qlog2(c) }.toMap,
-      qlog2(t), maxPiece)
+      qlog2(t), maxPiece, unk)
   }
 }

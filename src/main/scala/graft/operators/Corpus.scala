@@ -1336,6 +1336,71 @@ object Corpus {
     rows.toDF("tokenizer", "n_words", "occurrences", "pieces", "fertility")
   }
 
+  /** Full-corpus unigram-LM tokenization — the serving pass
+    * ([[graft.TextAnalysis bpeTokens]]'s shape for the other family):
+    * train the vocabulary once driver-side (the capped-histogram EM of
+    * [[unigramLmTrain]]), broadcast the (piece → score, qT) table, and
+    * segment EVERY document's words in one mapPartitions scan — per
+    * doc: word count, total piece count, first-`prefixLen`-piece
+    * prefix string. Characters the capped histogram never saw fall
+    * back to [[graft.ml.UnigramLm.UnkScore]] single-char pieces, so
+    * any document segments.
+    *
+    * Scale shape: one histogram shuffle for training, then a
+    * shuffle-free scan — per-row work is O(len·maxPiece) integer DP
+    * against a broadcast map, IO-bound at 100 TB like the other
+    * tokenizer scans. */
+  def unigramTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topV: Int,
+      maxWord: Int,
+      seedMulti: Int,
+      keepMulti: Seq[Int],
+      maxPiece: Int,
+      prefixLen: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    val hist = unigramHistogram(docs, textCol, topV, maxWord)
+    val vocab = graft.ml.UnigramLm.train(hist, seedMulti, keepMulti, maxPiece)
+    val t = vocab.iterator.map(_._2).sum
+    val qT = graft.ml.UnigramLm.qlog2(t)
+    val score = vocab.map { case (p, c) =>
+      p -> graft.ml.UnigramLm.qlog2(c) }.toMap
+    val bc = spark.sparkContext.broadcast((score, qT))
+    val in = docs.select(col(idCol), col(textCol))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_words",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_pieces",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("piece_prefix",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    in.mapPartitions { it =>
+      val (sc, qt) = bc.value
+      it.map { r =>
+        val id = r.getLong(0)
+        val words = graft.ml.Bpe.words(
+          if (r.isNullAt(1)) null else r.getString(1))
+        var nPieces = 0L
+        val prefix = new scala.collection.mutable.ArrayBuffer[String](prefixLen)
+        words.foreach { w =>
+          val seg = graft.ml.UnigramLm.viterbi(w, sc, qt, maxPiece, unk = true)
+          nPieces += seg.length
+          var i = 0
+          while (i < seg.length && prefix.length < prefixLen) {
+            prefix += seg(i); i += 1
+          }
+        }
+        org.apache.spark.sql.Row(id, words.length, nPieces,
+          prefix.mkString(" "))
+      }
+    }(enc)
+  }
+
   /** The shared capped histogram: top `topV` words (lowercased
     * `[a-z0-9]+`, length ≤ `maxWord`) by (count DESC, word ASC) — the
     * ONLY corpus-touching stage of the unigram-LM family. */

@@ -681,13 +681,21 @@ object TextQueries {
       s"(length(bin($c)) - 1))) * 65536) // (CAST(1 AS BIGINT) << " +
       s"(length(bin($c)) - 1)))"
 
-  /** One Viterbi pass `t` over vocabulary CTE `vocabName`, the DP
-    * unrolled per position: emits `sc$t` (piece scores), `qt$t` (the
-    * total-mass penalty), `dp${t}_0..maxWord` (one kept state per
-    * (word, position) — row_number on (ll DESC, n ASC, piece ASC), the
+  /** One Viterbi pass `t` over vocabulary CTE `vocabName` and word
+    * source `wordsCte` (rows `(word, cnt)`), the DP unrolled per
+    * position: emits `sc$t` (piece scores), `qt$t` (the total-mass
+    * penalty), `dp${t}_0..maxWord` (one kept state per (word,
+    * position) — row_number on (ll DESC, n ASC, piece ASC), the
     * recursive total order the Scala loop applies), and `seg$t` (each
-    * word's final segmentation, picked at its own length). */
-  private def unigramViterbiCtes(t: Int, vocabName: String): String = {
+    * word's final segmentation, picked at its own length). With
+    * `unk = true` the single-character branch LEFT-joins the score
+    * table and falls back to [[graft.ml.UnigramLm.UnkScore]] — the
+    * corpus-serving mode, replaying `viterbi(…, unk = true)`. */
+  private def unigramViterbiCtes(
+      t: Int,
+      vocabName: String,
+      wordsCte: String = "hist",
+      unk: Boolean = false): String = {
     val sb = new StringBuilder
     sb ++= s"""sc$t AS MATERIALIZED (
        |  SELECT piece, ${uniQlog("cnt")} AS s FROM $vocabName),
@@ -695,15 +703,26 @@ object TextQueries {
        |  SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM $vocabName) z),
        |dp${t}_0 AS MATERIALIZED (
        |  SELECT word, cnt, CAST(0 AS BIGINT) AS ll, 0 AS n,
-       |    CAST([] AS VARCHAR[]) AS seg FROM hist)""".stripMargin
+       |    CAST([] AS VARCHAR[]) AS seg FROM $wordsCte)""".stripMargin
     for (p <- 1 to uniMaxWord) {
       val branches = (math.max(0, p - uniMaxPiece) until p).map { j =>
-        s"""SELECT d.word, d.cnt, d.ll + s.s - q.qt AS ll, d.n + 1 AS n,
-           |        list_append(d.seg, s.piece) AS seg, s.piece AS piece
-           |      FROM dp${t}_$j d JOIN sc$t s
-           |        ON s.piece = substr(d.word, ${j + 1}, ${p - j})
-           |      CROSS JOIN qt$t q
-           |      WHERE len(d.word) >= $p""".stripMargin
+        if (unk && j == p - 1)
+          s"""SELECT d.word, d.cnt,
+             |        d.ll + coalesce(s.s, ${graft.ml.UnigramLm.UnkScore}) - q.qt AS ll,
+             |        d.n + 1 AS n,
+             |        list_append(d.seg, substr(d.word, $p, 1)) AS seg,
+             |        substr(d.word, $p, 1) AS piece
+             |      FROM dp${t}_$j d LEFT JOIN sc$t s
+             |        ON s.piece = substr(d.word, $p, 1)
+             |      CROSS JOIN qt$t q
+             |      WHERE len(d.word) >= $p""".stripMargin
+        else
+          s"""SELECT d.word, d.cnt, d.ll + s.s - q.qt AS ll, d.n + 1 AS n,
+             |        list_append(d.seg, s.piece) AS seg, s.piece AS piece
+             |      FROM dp${t}_$j d JOIN sc$t s
+             |        ON s.piece = substr(d.word, ${j + 1}, ${p - j})
+             |      CROSS JOIN qt$t q
+             |      WHERE len(d.word) >= $p""".stripMargin
       }.mkString("\n      UNION ALL\n      ")
       sb ++= s""",
          |dp${t}_$p AS MATERIALIZED (
@@ -829,6 +848,51 @@ object TextQueries {
       topV = uniTopV, maxWord = uniMaxWord, seedMulti = uniSeedMulti,
       keepMulti = uniKeep, maxPiece = uniMaxPiece)
       .presentSorted("tokenizer")
+
+  /** Full-corpus unigram-LM tokenization ([[Corpus.unigramTokens]] —
+    * q85's serving shape for the other tokenizer family): train once
+    * driver-side, broadcast the score table, segment every document's
+    * words in one shuffle-free scan; per doc word count, total piece
+    * count and the first-20-piece prefix. Characters outside the
+    * capped training histogram take the fixed UnkScore fallback (both
+    * engines replay the same LEFT-JOIN coalesce). The oracle replays
+    * training PLUS a Viterbi pass over every DISTINCT corpus word,
+    * then reassembles per-document totals and prefixes in word order —
+    * a boundary, score or tie slip anywhere moves a prefix string and
+    * fails the hash. */
+  def q259UnigramTokens(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.unigramTokens(docs(s, dir), "doc_id", "text",
+      topV = uniTopV, maxWord = uniMaxWord, seedMulti = uniSeedMulti,
+      keepMulti = uniKeep, maxPiece = uniMaxPiece)
+      .presentSorted("doc_id")
+
+  def q259Sql: String = {
+    val (ctes, vf) = unigramTrainCtes
+    val tF = uniKeep.length + 1
+    s"""WITH $ctes,
+       |cw AS MATERIALIZED (
+       |  SELECT DISTINCT w AS word, CAST(1 AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |        FROM documents) x),
+       |${unigramViterbiCtes(tF, vf, wordsCte = "cw", unk = true)},
+       |dwords AS (
+       |  SELECT doc_id, unnest(ww) AS word, unnest(range(1, len(ww) + 1)) AS wi
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ww
+       |        FROM documents) y),
+       |perdoc AS (
+       |  SELECT d.doc_id, d.wi, s.seg FROM dwords d JOIN seg$tF s USING (word)),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(len(seg)) AS BIGINT) AS n_pieces,
+       |    flatten(list(seg ORDER BY wi)) AS toks
+       |  FROM perdoc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_words, 0) AS n_words,
+       |  coalesce(n_pieces, 0) AS n_pieces,
+       |  coalesce(array_to_string(list_slice(toks, 1, 20), ' '), '') AS piece_prefix
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   def q257Sql: String = {
     val (ctes, vf) = unigramTrainCtes
@@ -1196,7 +1260,8 @@ object TextQueries {
     ("q226_homoglyph_dedup", q226HomoglyphDedup _, q226Sql),
     ("q255_unigram_train", q255UnigramTrain _, q255Sql),
     ("q256_unigram_encode", q256UnigramEncode _, q256Sql),
-    ("q257_tokenizer_fertility", q257TokenizerFertility _, q257Sql))
+    ("q257_tokenizer_fertility", q257TokenizerFertility _, q257Sql),
+    ("q259_unigram_tokens", q259UnigramTokens _, q259Sql))
 
   /** Language-label confusion matrix: the `lang` column a source
     * CLAIMS against what the ROUTED predictor

@@ -75,6 +75,25 @@ class UnigramLmSpec extends AnyFunSuite {
       UnigramLm.viterbi("ax", score, qT, 4))
   }
 
+  test("viterbi unk mode: uncovered chars become their own pieces at " +
+    "UnkScore; covered words segment identically to strict mode") {
+    val vocab = Map("a" -> 2L, "b" -> 2L, "ab" -> 2L)
+    val qT = UnigramLm.qlog2(vocab.values.sum)
+    val score = vocab.map { case (p, c) => p -> UnigramLm.qlog2(c) }
+    // covered input: unk mode changes nothing
+    assert(UnigramLm.viterbi("ab", score, qT, 4, unk = true) ===
+      UnigramLm.viterbi("ab", score, qT, 4))
+    // uncovered chars fall back to single-char pieces
+    assert(UnigramLm.viterbi("axb", score, qT, 4, unk = true) ===
+      Seq("a", "x", "b"))
+    // a real piece always beats the fallback: "ab" (one piece) is
+    // chosen over a|b even with unk available, and UnkScore sits
+    // strictly below any real score
+    assert(UnigramLm.UnkScore < UnigramLm.qlog2(1L) - 0)
+    assert(UnigramLm.viterbi("abx", score, qT, 4, unk = true) ===
+      Seq("ab", "x"))
+  }
+
   test("train: planted compound becomes a piece, chars always survive, " +
     "deterministic") {
     val hist = Seq(("thecat", 50L), ("thedog", 40L), ("cat", 30L),
