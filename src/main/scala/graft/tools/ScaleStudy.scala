@@ -100,6 +100,9 @@ object ScaleStudy {
       ("q178 blocklistScan (AC)", d => TextAnalysis.blocklistScan(
         d, "doc_id", "text", graft.queries.TextQueries.q178Patterns)),
       ("q186 cdcChunkStats", d => Dedup.cdcChunkStats(d, "text", "source")),
+      ("q259 unigramTokens", d => Corpus.unigramTokens(d, "doc_id", "text",
+        topV = 96, maxWord = 12, seedMulti = 512, keepMulti = Seq(96, 80),
+        maxPiece = 8)),
       ("q191 stitchPairs (grams)", d => Dedup.stitchPairs(d, "doc_id", "text")),
       ("q187 bigramScoreAD", d => Corpus.bigramScoreAD(d, "doc_id", "text")))
 

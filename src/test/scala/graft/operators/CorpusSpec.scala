@@ -947,4 +947,36 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) == ((3L, 1, 2L)))
     assert(!got.contains(4L))
   }
+
+  test("unigramTokens: null/empty docs yield (0, 0, ''); totals equal " +
+    "per-word encode sums; unknown chars segment via the unk fallback") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat sat"),
+      (2L, null.asInstanceOf[String]),
+      (3L, ""),
+      (4L, "the the the"),
+      (5L, "q7z the")) // q7z: chars absent from the top words still segment
+      .toDF("doc_id", "text")
+    val got = Corpus.unigramTokens(d, "doc_id", "text",
+        topV = 8, maxWord = 12, seedMulti = 32, keepMulti = Seq(8, 6),
+        maxPiece = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(2L) == ((0, 0L, "")) && got(3L) == ((0, 0L, "")))
+    assert(got(4L)._1 == 3)
+    // every word is covered: n_pieces >= n_words, prefix non-empty
+    assert(got(1L)._1 == 3 && got(1L)._2 >= 3L && got(1L)._3.nonEmpty)
+    // the unk word contributes pieces (its chars, at worst)
+    assert(got(5L)._1 == 2 && got(5L)._2 >= 2L)
+    // cross-check one doc against driver-side encode of its words
+    val hist = Seq("the", "cat", "sat", "q7z")
+    val vocabDf = Corpus.unigramLmTrain(d, "text", topV = 8, maxWord = 12,
+      seedMulti = 32, keepMulti = Seq(8, 6), maxPiece = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expect = Seq("the", "cat", "sat")
+      .map(w => graft.ml.UnigramLm.encode(w, vocabDf, 6, unk = true).length)
+      .sum
+    assert(got(1L)._2 == expect.toLong)
+  }
 }
