@@ -85,12 +85,15 @@ object Verify {
     // stdout so the driver log records the count even when stderr is cut;
     // an all-failed run can no longer masquerade as a complete one.
     println(f"[verify] done: ${nTot - nFail} ok, $nFail failed of $nTot in $total%.1fs (par=$par)")
+    // Machine-readable outcome BESIDE the oracle dump (not an exit
+    // code): a caller that treats nonzero exit as fatal would discard
+    // the N-1 good outputs over one failed entry — the round-11
+    // zeroed-ledger failure mode. Partial success must stay comparable;
+    // CI asserts on this file instead of the exit code.
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"),
+      s"""{"ok": ${nTot - nFail}, "failed": $nFail, "total": $nTot, """ +
+        f""""seconds": $total%.1f}""")
     spark.stop()
-    if (nFail > 0) {
-      System.err.println(s"[verify] FAILURES: $nFail")
-      // non-zero exit so CI callers that check the code (not the stdout
-      // line) can't treat an all-failed run as success
-      sys.exit(1)
-    }
+    if (nFail > 0) System.err.println(s"[verify] FAILURES: $nFail")
   }
 }

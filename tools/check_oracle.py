@@ -82,8 +82,15 @@ def main():
             ["sbt", "-batch", f"runMain graft.Verify {SFDIR} {OUT}"],
             capture_output=True, text=True, cwd="/root/repo")
         if r.returncode != 0:
+            # Even on a bad exit (JVM crash after writes, OOM killer),
+            # compare whatever Verify managed to dump — discarding N-1
+            # good outputs over one failure is the round-11 zeroed-
+            # ledger mistake. Abort only if there is nothing to compare.
             print(r.stdout[-4000:], r.stderr[-2000:])
-            sys.exit(1)
+            if not Path(f"{OUT}/oracle_sql.json").exists():
+                sys.exit(1)
+            print(f"WARN: Verify exited {r.returncode}; "
+                  "comparing the outputs it wrote anyway")
         for line in r.stdout.splitlines():
             if "[verify]" in line:
                 print(line)
