@@ -62,6 +62,25 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
     assert(adj(s"$root/exact").nonEmpty)
   }
 
+  test("RESIDUAL index: candidate-bounded adjacency equals exact on " +
+    "planted clusters (the IVFADC query-side centroid subtraction)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nsw_cand_res").toString
+    val idx = s"$root/idx"
+    // residual = true: ADC candidates must subtract the home-cell
+    // centroid from the query side exactly as the serving scan does —
+    // this is the only coverage of that branch in the build leg
+    Similarity.buildTrainedIvfPqIndexAt(spark, plantedEmb, idx,
+      nlist = 2, m = 4, ks = 8, trainSample = 64, iters = 2,
+      residual = true)
+    Similarity.buildNswGraphAt(spark, idx, s"$root/exact", m = 4,
+      exactCellCeiling = Int.MaxValue)
+    Similarity.buildNswGraphAt(spark, idx, s"$root/cand", m = 4,
+      exactCellCeiling = 1)
+    assert(adj(s"$root/exact") == adj(s"$root/cand"))
+    assert(adj(s"$root/exact").nonEmpty)
+  }
+
   test("refresh ≡ full rebuild under forced candidate routing; routing " +
     "is per-cell count-deterministic") {
     val root = java.nio.file.Files
