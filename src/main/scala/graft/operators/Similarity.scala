@@ -2008,6 +2008,71 @@ object Similarity {
       exactCellCeiling: Int = NswExactCellCeiling): Unit =
     writeNswAdjacency(s, indexPath, graphPath, m, None, exactCellCeiling)
 
+  /** NN-DESCENT refinement sweeps over a stored NSW adjacency (Dong,
+    * Moses & Li 2011): per iteration, each vector's candidate set is
+    * its current UNDIRECTED neighborhood plus every neighbor-of-
+    * neighbor (two vectors sharing a neighbor are likely neighbors —
+    * the small-world closure NN-descent exploits), scored by exact
+    * grid L2 and cut back to the m best (ties → lowest id, the house
+    * order). The adjacency can only improve: the current edges are
+    * always in the candidate set, so each vector's kept top-m
+    * dominates its previous top-m — and on an EXACT m-NN graph the
+    * sweep is a FIXED POINT (no 2-hop candidate can beat the true
+    * top-m), which is what lets q260's oracle replay refined search
+    * as q247's exact-graph walk.
+    *
+    * Scale shape: this is the sub-quadratic leg of the build story.
+    * Candidate generation is one self-join of the undirected adjacency
+    * on the CENTER vertex — ≤ (2m)² candidate pairs per vector, so an
+    * iteration is O(n·m²) rows regardless of cell size, vs the
+    * candidate-bounded init's |cell|² ADC pair stream. At mega-cell
+    * sizes the economical build is therefore: ADC top-4m init
+    * ([[buildNswGraphAt]] above the ceiling) + one or two refinement
+    * sweeps to close the recall gap (NswGraphSpec measures the gap
+    * closing on the unstructured corpus). Everything stays inside
+    * bounded per-partition TopK heaps; the rewrite localCheckpoints
+    * the new adjacency before overwriting the input path. */
+  def refineNswGraphAt(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      m: Int = 6,
+      iters: Int = 1): Unit = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val grid = s.read.parquet(s"$indexPath/vectors")
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+        gridLongs(col("v")).as("g"))
+    for (_ <- 1 to iters) {
+      val adj = s.read.parquet(graphPath)
+        .select(col("cell").cast("int").as("cell"), col("vec_id"),
+          col("nbr"))
+      val und = adj.select(col("cell"), col("vec_id").as("w"),
+          col("nbr").as("x"))
+        .unionByName(adj.select(col("cell"), col("nbr").as("w"),
+          col("vec_id").as("x")))
+        .distinct()
+      val twoHop = und.select(col("cell"), col("w"), col("x").as("u"))
+        .join(und.select(col("cell"), col("w"), col("x").as("nbr2")),
+          Seq("cell", "w"))
+        .where(col("u") =!= col("nbr2"))
+        .select(col("cell"), col("u").as("vec_id"), col("nbr2").as("nbr"))
+      val cands = twoHop.unionByName(adj).distinct()
+      val scored = cands
+        .join(grid, Seq("cell", "vec_id"))
+        .join(grid.select(col("cell"), col("vec_id").as("nbr"),
+          col("g").as("ng")), Seq("cell", "nbr"))
+        .select(col("cell"), col("vec_id"), col("nbr"),
+          gridDist(col("g"), col("ng")).as("d"))
+      val next = TopK.perKey(
+          scored.withColumn("__s", -col("d").cast("double")),
+          Seq("vec_id"), "__s", "nbr", m)
+        .select("cell", "vec_id", "nbr", "d")
+        .localCheckpoint() // break lineage off graphPath before overwrite
+      next.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(graphPath)
+    }
+  }
+
   /** Graph MAINTENANCE: rebuild the adjacency of ONLY the named cells
     * (dynamic partition overwrite — untouched cells' files are never
     * rewritten). Adjacency is per-cell with no cross-cell state, so

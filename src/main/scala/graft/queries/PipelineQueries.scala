@@ -922,6 +922,7 @@ object PipelineQueries {
     ("q253_filtered_graph", q253FilteredGraph _, q253Sql),
     ("q254_filtered_sweep", q254FilteredSweep _, q254Sql),
     ("q258_filtered_route", q258FilteredRoute _, q258Sql),
+    ("q260_graph_refine", q260GraphRefine _, q247Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3140,6 +3141,41 @@ object PipelineQueries {
 
   private def filteredSweepSel: Seq[Int] = Seq(2, 5, 20)
   private def filteredSweepBudgets: Seq[(Int, Int)] = Seq((3, 8), (5, 16))
+
+  /** NN-descent refinement ([[Similarity.refineNswGraphAt]] — the
+    * sub-quadratic leg of the graph-build story): bootstrap a fresh
+    * exact graph, run one refinement sweep, GATE in-entry that the
+    * sweep is a fixed point on an exact adjacency (edge-set equality
+    * via two distributed counts — no 2-hop candidate can beat the true
+    * top-m, the property that makes refined search replayable), then
+    * walk the refined graph. Oracle = q247's exact-graph walk replay.
+    * The recall-RECOVERY half of the story (degraded ADC init → sweeps
+    * close the gap) is NswGraphSpec's measured pin; this entry pins
+    * the serving equivalence. */
+  def q260GraphRefine(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = s"${System.getProperty("java.io.tmpdir")}/graft_grefine_" +
+      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    Similarity.buildNswGraphAt(s, idx, graph, m = 6)
+    val before = s.read.parquet(graph)
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+        col("nbr"), col("d")).localCheckpoint()
+    Similarity.refineNswGraphAt(s, idx, graph, m = 6, iters = 1)
+    val after = s.read.parquet(graph)
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+        col("nbr"), col("d"))
+    val nBefore = before.count()
+    require(after.count() == nBefore &&
+      after.exceptAll(before).count() == 0L,
+      "q260: NN-descent sweep must be a fixed point on an exact adjacency")
+    Similarity.nswSearchStored(s, idx, graph,
+      emb.where(col("vec_id") < 5)
+        .selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2, hops = 3, beam = 8)
+  }
 
   /** Filtered-retrieval ROUTE table — the crossover q254's sweep
     * motivates, measured head to head at the tight 5% selectivity

@@ -61,17 +61,20 @@ object ProfileNswBuild {
         s"$root/g_exact_$n", m = 6, exactCellCeiling = Int.MaxValue))
       val tCand = time(Similarity.buildNswGraphAt(spark, idx,
         s"$root/g_cand_$n", m = 6, exactCellCeiling = 1))
+      val tRefine = time(Similarity.refineNswGraphAt(spark, idx,
+        s"$root/g_cand_$n", m = 6, iters = 1))
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val tSearch = time(Similarity.nswSearchStored(spark, idx,
         s"$root/g_cand_$n", q, k = 5, nprobe = 2, hops = 3, beam = 8))
-      println(f"[nsw-scale] n=$n%6d exact=$tExact%8.1fs candidate=$tCand%8.1fs search=$tSearch%6.1fs")
-      (n, tExact, tCand, tSearch)
+      println(f"[nsw-scale] n=$n%6d exact=$tExact%8.1fs candidate=$tCand%8.1fs refine=$tRefine%7.1fs search=$tSearch%6.1fs")
+      (n, tExact, tCand, tRefine, tSearch)
     }
-    val (n1, e1, c1, s1) = rows.head
-    val (n2, e2, c2, s2) = rows.last
+    val (n1, e1, c1, r1, s1) = rows.head
+    val (n2, e2, c2, r2, s2) = rows.last
     println(f"[nsw-scale] exponent 10x: exact=${math.log10(e2 / e1)}%.2f " +
-      f"candidate=${math.log10(c2 / c1)}%.2f search=${math.log10(s2 / s1)}%.2f")
+      f"candidate=${math.log10(c2 / c1)}%.2f refine=${math.log10(r2 / r1)}%.2f " +
+      f"search=${math.log10(s2 / s1)}%.2f")
     println(f"[nsw-scale] candidate speedup: ${n1}: ${e1 / c1}%.1fx  ${n2}: ${e2 / c2}%.1fx")
     spark.stop()
   }

@@ -106,6 +106,45 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
     assert(adj(s"$root/g1").nonEmpty)
   }
 
+  test("NN-descent refinement: fixed point on an exact planted-cluster " +
+    "adjacency; recall recovery from a degraded ADC init on the " +
+    "unstructured corpus") {
+    // fixed point on planted clusters (exact build)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nsw_refine").toString
+    val idx = s"$root/idx"
+    Similarity.buildTrainedIvfPqIndexAt(spark, plantedEmb, idx,
+      nlist = 2, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswGraphAt(spark, idx, s"$root/g", m = 4,
+      exactCellCeiling = Int.MaxValue)
+    val before = adj(s"$root/g")
+    Similarity.refineNswGraphAt(spark, idx, s"$root/g", m = 4, iters = 2)
+    assert(adj(s"$root/g") == before && before.nonEmpty)
+
+    // recall recovery: unstructured corpus, forced-candidate init
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val idx2 = s"$root/idx2"
+    Similarity.buildTrainedIvfPqIndexAt(spark, emb, idx2,
+      nlist = 8, m = 4, ks = 16, trainSample = 128, iters = 3)
+    Similarity.buildNswGraphAt(spark, idx2, s"$root/exact", m = 6,
+      exactCellCeiling = Int.MaxValue)
+    Similarity.buildNswGraphAt(spark, idx2, s"$root/cand", m = 6,
+      exactCellCeiling = 1)
+    val e = adj(s"$root/exact").toSet
+    def recall = (e & adj(s"$root/cand").toSet).size.toDouble / e.size
+    val r0 = recall
+    Similarity.refineNswGraphAt(spark, idx2, s"$root/cand", m = 6)
+    val r1 = recall
+    Similarity.refineNswGraphAt(spark, idx2, s"$root/cand", m = 6)
+    val r2 = recall
+    info(f"edge recall: init $r0%.3f -> sweep1 $r1%.3f -> sweep2 $r2%.3f")
+    // each sweep can only improve (current edges stay candidates), and
+    // two sweeps must close most of the init's gap to exact
+    assert(r1 > r0 && r2 >= r1, f"$r0%.3f -> $r1%.3f -> $r2%.3f")
+    assert(r2 >= 0.95, f"two sweeps should near-close the gap: $r2%.3f")
+  }
+
   test("unstructured corpus: forced candidate build recalls >= 60% of " +
     "the exact edges; default ceiling keeps gate-scale builds exact") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
