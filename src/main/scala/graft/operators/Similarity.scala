@@ -2023,40 +2023,57 @@ object Similarity {
     *
     * Scale shape: this is the sub-quadratic leg of the build story.
     * Candidate generation is one self-join of the undirected adjacency
-    * on the CENTER vertex — ≤ (2m)² candidate pairs per vector, so an
-    * iteration is O(n·m²) rows regardless of cell size, vs the
-    * candidate-bounded init's |cell|² ADC pair stream. At mega-cell
-    * sizes the economical build is therefore: ADC top-4m init
-    * ([[buildNswGraphAt]] above the ceiling) + one or two refinement
-    * sweeps to close the recall gap (NswGraphSpec measures the gap
-    * closing on the unstructured corpus). Everything stays inside
-    * bounded per-partition TopK heaps; the rewrite localCheckpoints
-    * the new adjacency before overwriting the input path. */
+    * on the CENTER vertex, with the neighborhood first CAPPED to the
+    * `neighborhoodCap` grid-closest members (ties → lowest id, default
+    * 3m) — out-degree is m by
+    * construction but IN-degree is unbounded (a hub vector can be a
+    * near-neighbor of arbitrarily many others), and an uncapped hub
+    * would contribute |B(hub)|² join rows, the classic NN-descent skew
+    * cliff its sampling parameter exists for. Capped, an iteration is
+    * ≤ n·cap² candidate rows regardless of cell size or degree
+    * distribution, vs the candidate-bounded init's |cell|² ADC pair
+    * stream. At mega-cell sizes the economical build is therefore: ADC
+    * top-4m init ([[buildNswGraphAt]] above the ceiling) + one or two
+    * refinement sweeps to close the recall gap (NswGraphSpec measures
+    * the gap closing on the unstructured corpus). Everything stays
+    * inside bounded per-partition TopK heaps; the rewrite
+    * localCheckpoints the new adjacency before overwriting the input
+    * path. */
   def refineNswGraphAt(
       s: SparkSession,
       indexPath: String,
       graphPath: String,
       m: Int = 6,
-      iters: Int = 1): Unit = {
+      iters: Int = 1,
+      neighborhoodCap: Int = -1): Unit = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    val cap = if (neighborhoodCap > 0) neighborhoodCap else 3 * m
     val grid = s.read.parquet(s"$indexPath/vectors")
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
         gridLongs(col("v")).as("g"))
     for (_ <- 1 to iters) {
       val adj = s.read.parquet(graphPath)
         .select(col("cell").cast("int").as("cell"), col("vec_id"),
-          col("nbr"))
-      val und = adj.select(col("cell"), col("vec_id").as("w"),
-          col("nbr").as("x"))
+          col("nbr"), col("d"))
+      // undirected edges carry the stored exact distance (symmetric),
+      // so the per-center cap keeps the 2m closest deterministically
+      val undAll = adj.select(col("cell"), col("vec_id").as("w"),
+          col("nbr").as("x"), col("d"))
         .unionByName(adj.select(col("cell"), col("nbr").as("w"),
-          col("vec_id").as("x")))
-        .distinct()
+          col("vec_id").as("x"), col("d")))
+        .groupBy("cell", "w", "x").agg(min("d").as("d"))
+      val und = TopK.perKey(
+          undAll.withColumn("__s", -col("d").cast("double")),
+          Seq("w"), "__s", "x", cap)
+        .select("cell", "w", "x")
       val twoHop = und.select(col("cell"), col("w"), col("x").as("u"))
         .join(und.select(col("cell"), col("w"), col("x").as("nbr2")),
           Seq("cell", "w"))
         .where(col("u") =!= col("nbr2"))
         .select(col("cell"), col("u").as("vec_id"), col("nbr2").as("nbr"))
-      val cands = twoHop.unionByName(adj).distinct()
+      val cands = twoHop
+        .unionByName(adj.select(col("cell"), col("vec_id"), col("nbr")))
+        .distinct()
       val scored = cands
         .join(grid, Seq("cell", "vec_id"))
         .join(grid.select(col("cell"), col("vec_id").as("nbr"),
