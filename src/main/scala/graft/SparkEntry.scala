@@ -86,6 +86,14 @@ object SparkEntry {
         }
       } else if (c == '-' && i + 1 < n && sql(i + 1) == '-') {
         while (i < n && sql(i) != '\n') { sb.append(sql(i)); i += 1 }
+      } else if (c == '/' && i + 1 < n && sql(i + 1) == '*') {
+        // block comment: copy verbatim until */ — its text (e.g. a
+        // `name AS (`) must never advance the prologue state machine
+        sb.append("/*"); i += 2
+        while (i < n && !(sql(i) == '*' && i + 1 < n && sql(i + 1) == '/')) {
+          sb.append(sql(i)); i += 1
+        }
+        if (i < n) { sb.append("*/"); i += 2 }
       } else if (c.isLetter || c == '_') {
         var j = i
         while (j < n && (sql(j).isLetterOrDigit || sql(j) == '_')) j += 1

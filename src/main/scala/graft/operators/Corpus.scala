@@ -1344,7 +1344,12 @@ object Corpus {
     * doc: word count, total piece count, first-`prefixLen`-piece
     * prefix string. Characters the capped histogram never saw fall
     * back to [[graft.ml.UnigramLm.UnkScore]] single-char pieces, so
-    * any document segments.
+    * any document segments. The tokenizer's WORD DOMAIN is length ≤
+    * `maxWord` — identical to training's histogram filter and to the
+    * oracle's position-unrolled Viterbi DP (which physically cannot
+    * reach position maxWord+1); longer tokens are skipped on BOTH
+    * sides (not counted in `n_words`), so the domain is explicit
+    * rather than an accident of the gate corpus' max word length.
     *
     * Scale shape: one histogram shuffle for training, then a
     * shuffle-free scan — per-row work is O(len·maxPiece) integer DP
@@ -1385,6 +1390,7 @@ object Corpus {
         val id = r.getLong(0)
         val words = graft.ml.Bpe.words(
           if (r.isNullAt(1)) null else r.getString(1))
+          .filter(_.length <= maxWord)
         var nPieces = 0L
         val prefix = new scala.collection.mutable.ArrayBuffer[String](prefixLen)
         words.foreach { w =>

@@ -2055,8 +2055,9 @@ object Similarity {
       val adj = s.read.parquet(graphPath)
         .select(col("cell").cast("int").as("cell"), col("vec_id"),
           col("nbr"), col("d"))
-      // undirected edges carry the stored exact distance (symmetric),
-      // so the per-center cap keeps the 2m closest deterministically
+      // undirected edges carry the stored exact distance (symmetric), so
+      // the per-center cap keeps the `cap` (default 3m) grid-closest
+      // members deterministically
       val undAll = adj.select(col("cell"), col("vec_id").as("w"),
           col("nbr").as("x"), col("d"))
         .unionByName(adj.select(col("cell"), col("nbr").as("w"),

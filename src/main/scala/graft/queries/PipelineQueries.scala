@@ -30,6 +30,26 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Dedicated pool for concurrent sweep ARMS (q252/q254): each arm
+    * blocks on Spark actions, and on the shared global fork-join pool
+    * that blocking silently serializes arms whenever Verify's own
+    * entry pool (par=6) has several sweep entries in flight at once —
+    * the measured concurrency win (q254 10.9 → 3.9 s) degrades
+    * unpredictably under contention. A small daemon pool sized for the
+    * widest sweep (6 arms) keeps arm latency ≈ the slowest arm no
+    * matter what else the JVM is verifying. */
+  private lazy val sweepArmEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(6,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-sweep-arm-${n.incrementAndGet()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
+
   // --- dedup --------------------------------------------------------------
 
   def q30DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -3101,7 +3121,7 @@ object PipelineQueries {
     // memoized fixture blocks them on one build). Sequential arms
     // measured 10.9 s in-suite at sf0.1; concurrent ≈ the slowest arm.
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    implicit val ec: scala.concurrent.ExecutionContext = sweepArmEc
     val armFs = for {
       sel <- filteredSweepSel
       (hops, beam) <- filteredSweepBudgets
@@ -3274,9 +3294,11 @@ object PipelineQueries {
         hops = hops, beam = beam,
         filterSql = s"\n    AND node % $sel = 0") + ")")
       .mkString("\nUNION ALL\n")
+    val gridVals = filteredSweepBudgets
+      .map { case (h, b) => s"($h, $b)" }.mkString(", ")
     s"""WITH fb AS ($brutes),
        |fw AS ($walks),
-       |grid(hops, beam) AS (VALUES (3, 8), (5, 16))
+       |grid(hops, beam) AS (VALUES $gridVals)
        |SELECT g.sel, g.hops, g.beam, g.q_id, count(*) AS k,
        |  count(w.n_id) AS hits,
        |  count(w.n_id)::DOUBLE / count(*) AS recall
@@ -3439,7 +3461,7 @@ object PipelineQueries {
     // slowest one instead of the sum (the q254 pattern; the memoized
     // fixture blocks them on one build)
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    implicit val ec: scala.concurrent.ExecutionContext = sweepArmEc
     val arms = Await.result(Future.sequence(walkSweep.map { np =>
         Future {
           Similarity.nswTopK(s, dir, numQueries = 5, k = 5, nprobe = np,

@@ -855,8 +855,12 @@ object TextQueries {
     * words in one shuffle-free scan; per doc word count, total piece
     * count and the first-20-piece prefix. Characters outside the
     * capped training histogram take the fixed UnkScore fallback (both
-    * engines replay the same LEFT-JOIN coalesce). The oracle replays
-    * training PLUS a Viterbi pass over every DISTINCT corpus word,
+    * engines replay the same LEFT-JOIN coalesce); words LONGER than
+    * maxWord are outside the tokenizer's domain and skipped on both
+    * sides — the explicit boundary matching the oracle DP's unroll
+    * depth (CorpusSpec pins a 13+-char-word fixture). The oracle
+    * replays training PLUS a Viterbi pass over every DISTINCT
+    * in-domain corpus word,
     * then reassembles per-document totals and prefixes in word order —
     * a boundary, score or tie slip anywhere moves a prefix string and
     * fails the hash. */
@@ -873,12 +877,16 @@ object TextQueries {
        |cw AS MATERIALIZED (
        |  SELECT DISTINCT w AS word, CAST(1 AS BIGINT) AS cnt
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-       |        FROM documents) x),
+       |        FROM documents) x
+       |  WHERE len(w) <= $uniMaxWord),
        |${unigramViterbiCtes(tF, vf, wordsCte = "cw", unk = true)},
        |dwords AS (
-       |  SELECT doc_id, unnest(ww) AS word, unnest(range(1, len(ww) + 1)) AS wi
-       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ww
-       |        FROM documents) y),
+       |  SELECT doc_id, word, wi FROM (
+       |    SELECT doc_id, unnest(ww) AS word,
+       |      unnest(range(1, len(ww) + 1)) AS wi
+       |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ww
+       |          FROM documents) y) z
+       |  WHERE len(word) <= $uniMaxWord),
        |perdoc AS (
        |  SELECT d.doc_id, d.wi, s.seg FROM dwords d JOIN seg$tF s USING (word)),
        |agg AS (

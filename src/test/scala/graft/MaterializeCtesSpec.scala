@@ -52,6 +52,21 @@ class MaterializeCtesSpec extends AnyFunSuite {
       "WINDOW w1 AS (ORDER BY x), w2 AS (ORDER BY y)) SELECT * FROM a")
   }
 
+  test("block comments are copied verbatim — `name AS (` inside one " +
+    "never advances the prologue") {
+    // a block comment BETWEEN prologue entries containing CTE-looking
+    // text must not be rewritten, and must not derail the real entries
+    val s = "WITH a AS (SELECT 1), /* note: b AS ( is defined below */ " +
+      "b AS (SELECT 2) SELECT * FROM a, b"
+    assert(mz(s) === "WITH a AS MATERIALIZED (SELECT 1), " +
+      "/* note: b AS ( is defined below */ " +
+      "b AS MATERIALIZED (SELECT 2) SELECT * FROM a, b")
+    // unterminated block comment: everything after /* is verbatim
+    val open = "WITH a AS (SELECT 1) SELECT * FROM a /* trailing c AS ("
+    assert(mz(open) ===
+      "WITH a AS MATERIALIZED (SELECT 1) SELECT * FROM a /* trailing c AS (")
+  }
+
   test("nested WITH inside a CTE body gets its own prologue rewrite") {
     val s = "WITH a AS (WITH i AS (SELECT 1) SELECT * FROM i) SELECT * FROM a"
     assert(mz(s) === "WITH a AS MATERIALIZED (WITH i AS MATERIALIZED " +

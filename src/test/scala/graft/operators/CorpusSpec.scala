@@ -979,4 +979,26 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       .sum
     assert(got(1L)._2 == expect.toLong)
   }
+
+  test("unigramTokens: words LONGER than maxWord are outside the word " +
+    "domain — skipped from n_words/n_pieces/prefix, matching the " +
+    "oracle DP's unroll depth") {
+    import spark.implicits._
+    // "supercalifragilistic" is 20 chars > maxWord=12: must vanish on
+    // the Scala side exactly as it does from the oracle's length-capped
+    // cw/dwords CTEs (the ADVICE r13 divergence fixture)
+    val d = Seq(
+      (1L, "the supercalifragilistic cat"),
+      (2L, "supercalifragilistic"),
+      (3L, "the cat")).toDF("doc_id", "text")
+    val got = Corpus.unigramTokens(d, "doc_id", "text",
+        topV = 8, maxWord = 12, seedMulti = 32, keepMulti = Seq(8, 6),
+        maxPiece = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    // doc1 counts only the two in-domain words; doc2 is all out-of-domain
+    assert(got(1L)._1 == 2 && got(2L) == ((0, 0L, "")))
+    // doc1's segmentation equals doc3's (the long word contributes nothing)
+    assert(got(1L) == got(3L))
+  }
 }
