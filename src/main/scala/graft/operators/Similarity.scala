@@ -662,13 +662,13 @@ object Similarity {
   /** Quantize an `array<double>` column to [[PqGridScale]] grid longs —
     * the shared entry convention of the trained family (q80's
     * round-half-up; exact for doubles). */
-  private def gridLongs(c: Column): Column =
+  private[graft] def gridLongs(c: Column): Column =
     transform(c, x => floor(x * lit(PqGridScale) + lit(0.5)))
 
   /** Exact integer squared L2 between two grid `array<bigint>` columns —
     * a long zip/fold, every term and the sum exact (grid components are
     * ~2¹⁰·|x|, so 64-dim sums sit far inside long range). */
-  private def gridDist(a: Column, b: Column): Column =
+  private[graft] def gridDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
@@ -1975,38 +1975,65 @@ object Similarity {
     * full-width exact distance is only ever computed on 4m candidates
     * per vector. The routing is PER CELL and count-deterministic, so
     * [[refreshNswGraphCells]] reproduces the full build's choice
-    * cell-by-cell (refresh ≡ rebuild stays exact). */
+    * cell-by-cell (refresh ≡ rebuild stays exact). A third form takes
+    * over above [[NswRandomInitCellCeiling]] — see there. */
   val NswExactCellCeiling: Int = 4096
+
+  /** Cells ABOVE this member count skip pair enumeration entirely:
+    * the ADC-candidate form's |cell|²·m_pq lookup stream (cheap per
+    * pair but pair-BOUNDED) crosses from "expensive" to "impossible"
+    * somewhere around 10⁵ members (at 10⁶ it is 10¹² lookups per
+    * cell), so mega-cells route to the RANDOM-INIT NN-DESCENT form —
+    * deterministic hash-random grouping init + [[refineNswGraphAt]]
+    * sweeps, O(n·m²) per sweep with NO quadratic stage (Dong et al.
+    * 2011's full algorithm; the candidate form keeps the mid-range
+    * because its init starts at higher recall when PQ codes are
+    * faithful). Like the exact ceiling, routing is per-cell and
+    * count-deterministic, so refresh ≡ rebuild holds across all three
+    * forms. */
+  val NswRandomInitCellCeiling: Int = 65536
 
   /** Build the per-cell NSW adjacency beside a stored trained index:
     * for each vector, its `m` nearest same-cell neighbors by exact grid
     * L2 (ties → lowest nbr id), written partitioned by cell.
     *
-    * Scale shape: cells up to `exactCellCeiling` members take the
-    * WITHIN-CELL all-pairs form — |cell|² pair stream into [[TopK]]'s
-    * bounded per-partition heaps (never collected), exact by
-    * construction, and the form the q247 oracle unrolls. Cells ABOVE
-    * the ceiling auto-route to the CANDIDATE-BOUNDED form: each
-    * member's ADC top-4m same-cell candidates from the index's stored
-    * PQ codes (integer-exact ADC, ties → lowest id), then the exact
-    * grid-L2 cut to m on candidates only. The pair stream there still
-    * enumerates |cell|² (candidate generation must look at every
-    * same-cell code) but carries m_pq-byte codes instead of dim-long
-    * grid arrays and evaluates m_pq lookups instead of dim
+    * Scale shape — THREE per-cell-routed forms, smallest to largest:
+    * cells up to `exactCellCeiling` members take the WITHIN-CELL
+    * all-pairs form — |cell|² pair stream into [[TopK]]'s bounded
+    * per-partition heaps (never collected), exact by construction, and
+    * the form the q247 oracle unrolls. Cells above it (up to
+    * `randomInitCellCeiling`) auto-route to the CANDIDATE-BOUNDED
+    * form: each member's ADC top-4m same-cell candidates from the
+    * index's stored PQ codes (integer-exact ADC, ties → lowest id),
+    * then the exact grid-L2 cut to m on candidates only. The pair
+    * stream there still enumerates |cell|² (candidate generation must
+    * look at every same-cell code) but carries m_pq-byte codes instead
+    * of dim-long grid arrays and evaluates m_pq lookups instead of dim
     * multiply-adds per pair — the build-side analogue of the ADC scan
     * economics the serving path already has — and the dim-wide exact
-    * distance touches only 4m candidates per vector. Above the ceiling
-    * the adjacency is approximate-kNN (exact top-m OF the ADC top-4m;
-    * NswGraphSpec pins ⊇-recall of the exact adjacency on planted
-    * clusters) — the standard NSW-construction trade; the walk and the
-    * refresh/takedown equalities are adjacency-agnostic. */
+    * distance touches only 4m candidates per vector. Cells above
+    * `randomInitCellCeiling` take the RANDOM-INIT NN-DESCENT form
+    * ([[randomInitAdjacency]] + `randomInitSweeps` sweeps of
+    * [[refineNswGraphAt]] over exactly those cells): no stage touches
+    * |cell|² pairs at all — init is O(n·rounds·groupSize) hash-grouped
+    * pairs, each sweep ≤ n·(3m)² join rows — the fully sub-quadratic
+    * leg (NswGraphSpec pins ≥ 0.9 edge recall vs exact in ≤ 3 sweeps
+    * on the unstructured corpus). Above the exact ceiling the
+    * adjacency is approximate-kNN — the standard NSW-construction
+    * trade; the walk and the refresh/takedown equalities are
+    * adjacency-agnostic, and all routing is count-deterministic so
+    * [[refreshNswGraphCells]] reproduces the full build's choice
+    * cell-by-cell. */
   def buildNswGraphAt(
       s: SparkSession,
       indexPath: String,
       graphPath: String,
       m: Int = 6,
-      exactCellCeiling: Int = NswExactCellCeiling): Unit =
-    writeNswAdjacency(s, indexPath, graphPath, m, None, exactCellCeiling)
+      exactCellCeiling: Int = NswExactCellCeiling,
+      randomInitCellCeiling: Int = NswRandomInitCellCeiling,
+      randomInitSweeps: Int = 3): Unit =
+    writeNswAdjacency(s, indexPath, graphPath, m, None, exactCellCeiling,
+      randomInitCellCeiling, randomInitSweeps)
 
   /** NN-DESCENT refinement sweeps over a stored NSW adjacency (Dong,
     * Moses & Li 2011): per iteration, each vector's candidate set is
@@ -2045,16 +2072,25 @@ object Similarity {
       graphPath: String,
       m: Int = 6,
       iters: Int = 1,
-      neighborhoodCap: Int = -1): Unit = {
+      neighborhoodCap: Int = -1,
+      onlyCells: Option[Seq[Int]] = None): Unit = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val cap = if (neighborhoodCap > 0) neighborhoodCap else 3 * m
-    val grid = s.read.parquet(s"$indexPath/vectors")
+    // with `onlyCells`, sweeps touch ONLY those cells' partitions
+    // (dynamic overwrite) — the random-init build leg sweeps its
+    // mega-cells without re-reading or rewriting the exact cells
+    // (where a sweep is a no-op fixed point anyway)
+    def cellCut(df: DataFrame): DataFrame = onlyCells match {
+      case Some(cs) => df.where(col("cell").isin(cs.map(Int.box): _*))
+      case None => df
+    }
+    val grid = cellCut(s.read.parquet(s"$indexPath/vectors")
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
-        gridLongs(col("v")).as("g"))
+        gridLongs(col("v")).as("g")))
     for (_ <- 1 to iters) {
-      val adj = s.read.parquet(graphPath)
+      val adj = cellCut(s.read.parquet(graphPath)
         .select(col("cell").cast("int").as("cell"), col("vec_id"),
-          col("nbr"), col("d"))
+          col("nbr"), col("d")))
       // undirected edges carry the stored exact distance (symmetric), so
       // the per-center cap keeps the `cap` (default 3m) grid-closest
       // members deterministically
@@ -2087,7 +2123,10 @@ object Similarity {
         .select("cell", "vec_id", "nbr", "d")
         .localCheckpoint() // break lineage off graphPath before overwrite
       next.repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(graphPath)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode",
+          if (onlyCells.isDefined) "dynamic" else "static")
+        .partitionBy("cell").parquet(graphPath)
     }
   }
 
@@ -2105,12 +2144,15 @@ object Similarity {
       graphPath: String,
       cells: Seq[Int],
       m: Int = 6,
-      exactCellCeiling: Int = NswExactCellCeiling): Unit = {
+      exactCellCeiling: Int = NswExactCellCeiling,
+      randomInitCellCeiling: Int = NswRandomInitCellCeiling,
+      randomInitSweeps: Int = 3): Unit = {
     if (cells.isEmpty) return
     // dynamic overwrite is a PER-WRITE DataFrameWriter option (not a
     // session-conf mutation): two refreshes sharing one session can't
     // race each other into static mode and drop untouched partitions
-    writeNswAdjacency(s, indexPath, graphPath, m, Some(cells), exactCellCeiling)
+    writeNswAdjacency(s, indexPath, graphPath, m, Some(cells),
+      exactCellCeiling, randomInitCellCeiling, randomInitSweeps)
     // dynamic overwrite only replaces partitions PRESENT in the written
     // data — a refreshed cell that now has ≤1 member produces no pairs,
     // writes nothing, and would keep its stale files (reading the graph
@@ -2135,9 +2177,15 @@ object Similarity {
       graphPath: String,
       m: Int,
       onlyCells: Option[Seq[Int]],
-      exactCellCeiling: Int): Unit = {
+      exactCellCeiling: Int,
+      randomInitCeiling: Int,
+      randomSweeps: Int): Unit = {
     require(exactCellCeiling >= 1,
       s"exactCellCeiling must be >= 1: $exactCellCeiling")
+    // an exact-eligible cell never routes random: raising ONLY the
+    // exact ceiling (the oracle fixtures' "force everything exact")
+    // implicitly lifts the random ceiling with it
+    val randCeil = math.max(randomInitCeiling.toLong, exactCellCeiling.toLong)
     val all = s.read.parquet(s"$indexPath/vectors")
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
         gridLongs(col("v")).as("g"))
@@ -2148,12 +2196,15 @@ object Similarity {
     // per-cell member counts route each cell to its build form; the
     // collect is bounded by nlist (the coarse table's row count), the
     // house-bounded fixed cost every maintenance op here already pays
-    val bigCells = grid.groupBy("cell").agg(count(lit(1)).as("__n"))
-      .where(col("__n") > exactCellCeiling)
-      .collect().map(_.getInt(0)).toSet
+    val counts = grid.groupBy("cell").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val randomCells = counts.filter(_._2 > randCeil)
+    val candCells = counts.collect { case (c, n)
+      if n > exactCellCeiling && n <= randCeil => c }.toSet
+    val nonExact = candCells ++ randomCells.keySet
     val exactSide =
-      if (bigCells.isEmpty) grid
-      else grid.where(!col("cell").isin(bigCells.toSeq.map(Int.box): _*))
+      if (nonExact.isEmpty) grid
+      else grid.where(!col("cell").isin(nonExact.toSeq.map(Int.box): _*))
     val nbrs = exactSide.select(col("cell"), col("vec_id").as("nbr"),
       col("g").as("ng"))
     val exactPairs = exactSide.join(nbrs, Seq("cell"))
@@ -2166,16 +2217,25 @@ object Similarity {
         exactPairs.withColumn("__s", -col("d").cast("double")),
         Seq("vec_id"), "__s", "nbr", m)
       .select("cell", "vec_id", "nbr", "d")
-    val adjacency =
-      if (bigCells.isEmpty) exactAdj
-      else exactAdj.unionByName(
-        candidateBoundedAdjacency(s, indexPath, bigCells, m))
+    var adjacency = exactAdj
+    if (candCells.nonEmpty)
+      adjacency = adjacency.unionByName(
+        candidateBoundedAdjacency(s, indexPath, candCells, m))
+    if (randomCells.nonEmpty)
+      adjacency = adjacency.unionByName(
+        randomInitAdjacency(s, indexPath, randomCells, m))
     adjacency
       .repartition(col("cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode",
         if (onlyCells.isDefined) "dynamic" else "static")
       .partitionBy("cell").parquet(graphPath)
+    // NN-descent closes the random init's recall gap; sweeps touch
+    // ONLY the mega-cells' partitions (on exact/candidate cells a
+    // sweep is wasted work, and on exact cells a provable no-op)
+    if (randomCells.nonEmpty && randomSweeps > 0)
+      refineNswGraphAt(s, indexPath, graphPath, m, iters = randomSweeps,
+        onlyCells = Some(randomCells.keys.toSeq.sorted))
   }
 
   /** The above-ceiling build leg: ADC top-4m same-cell candidates per
@@ -2230,6 +2290,65 @@ object Similarity {
       .select(col("cell"), col("vec_id"), col("nbr"),
         gridDist(col("g"), col("ng")).as("d"))
     TopK.perKey(exactCut.withColumn("__s", -col("d").cast("double")),
+        Seq("vec_id"), "__s", "nbr", m)
+      .select("cell", "vec_id", "nbr", "d")
+  }
+
+  /** How many hash-random groups each member joins in the random-init
+    * build form, and the groups' expected size. 3 rounds × ~12 members
+    * gives each vector ~33 scored candidates before the top-m cut —
+    * comfortably above m=6, and the isolated-vertex probability
+    * (all three groups singleton) is ≈ e^(−3·groupSize), vanishing. */
+  private val NswRandomInitRounds = 3
+  private val NswRandomInitGroupSize = 12
+
+  /** The mega-cell build leg — NO pair enumeration at any stage (the
+    * canonical NN-descent setup of Dong, Moses & Li 2011: a cheap
+    * random-ish init, then the sweeps do the real work). Each member
+    * joins `NswRandomInitRounds` deterministic hash-random groups
+    * (Murmur3 of (vec_id, round) mod ⌈n/groupSize⌉ per-cell buckets);
+    * within-group all-pairs — expected `rounds · groupSize` per
+    * member, never |cell|² — are scored by exact grid L2 and cut to m
+    * with the house (d, nbr) order. The init's edge recall is poor by
+    * design (it is a random graph with a light local bias); the
+    * [[refineNswGraphAt]] sweeps [[writeNswAdjacency]] runs on these
+    * cells afterwards converge it (NswGraphSpec: ≥ 0.9 edge recall vs
+    * exact in ≤ 3 sweeps on the unstructured corpus). Everything is
+    * deterministic in the cell MEMBERSHIP (hash of ids, no RNG state),
+    * so refresh ≡ rebuild routing equality extends to this form. */
+  private def randomInitAdjacency(
+      s: SparkSession,
+      indexPath: String,
+      cells: Map[Int, Long],
+      m: Int): DataFrame = {
+    import s.implicits._
+    val buckets = broadcast(cells.toSeq.map { case (c, n) =>
+        (c, math.max(1L, n / NswRandomInitGroupSize))
+      }.toDF("cell", "__nb"))
+    val members = s.read.parquet(s"$indexPath/vectors")
+      .where(col("cell").isin(cells.keys.toSeq.map(Int.box): _*))
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+        gridLongs(col("v")).as("g"))
+    // fold (round, bucket) into one group id so all rounds ride one
+    // self-join; group sizes are Poisson(groupSize) — no skew cliff
+    val keyed = members.join(buckets, Seq("cell"))
+      .select(col("cell"), col("vec_id"), col("g"),
+        explode(array((0 until NswRandomInitRounds).map { j =>
+          pmod(hash(col("vec_id"), lit(j)).cast("long"), col("__nb")) +
+            lit(j.toLong) * col("__nb")
+        }: _*)).as("__grp"))
+    val pairs = keyed.select(col("cell"), col("__grp"),
+        col("vec_id"), col("g"))
+      .join(keyed.select(col("cell"), col("__grp"),
+          col("vec_id").as("nbr"), col("g").as("ng")),
+        Seq("cell", "__grp"))
+      .where(col("vec_id") =!= col("nbr"))
+      // the same pair can meet in several rounds' groups — dedupe
+      // before the heap so it occupies one slot, not rounds slots
+      .dropDuplicates("vec_id", "nbr")
+      .select(col("cell"), col("vec_id"), col("nbr"),
+        gridDist(col("g"), col("ng")).as("d"))
+    TopK.perKey(pairs.withColumn("__s", -col("d").cast("double")),
         Seq("vec_id"), "__s", "nbr", m)
       .select("cell", "vec_id", "nbr", "d")
   }

@@ -3,27 +3,30 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Similarity, TopK}
 
-/** Scaling profile for the NSW graph BUILD legs (the round-13 item):
+/** Scaling profile for the NSW graph BUILD legs (rounds 13–14):
   * synthesizes deterministic 64-dim corpora at 5k and 50k vectors,
   * builds the trained IVF-PQ index once per size, then times
   *
   *   - exact    — `buildNswGraphAt(ceiling = MaxValue)`: within-cell
   *                all-pairs, dim-wide grid distances (the oracle form)
-  *   - candidate — `buildNswGraphAt(ceiling = 1)`: ADC top-4m from the
-  *                stored PQ codes + exact cut on candidates only
+  *   - candidate — exact ceiling 1: ADC top-4m from the stored PQ
+  *                codes + exact cut on candidates only (|cell|² pair
+  *                stream at m_pq lookups per pair)
+  *   - random   — both ceilings 1: hash-random grouping init + 3
+  *                NN-descent sweeps — NO pair-enumeration stage at
+  *                all (the round-14 fully sub-quadratic form)
   *
-  * and one stored-graph search (5 queries) per size — the leg whose
-  * cost must stay FLAT as the corpus grows (O(hops·beam·m) per query).
+  * plus one refinement sweep on the candidate graph, one stored-graph
+  * search (5 queries) per size — the leg whose cost must stay FLAT as
+  * the corpus grows (O(hops·beam·m) per query) — and search RECALL@5
+  * vs brute force on both the candidate and random graphs (the
+  * round-14 ask: does a fixed (hops, beam) budget decay as cells grow).
   *
-  * Both build forms enumerate |cell|² pairs at fixed nlist (candidate
-  * generation must look at every same-cell code), so the headline is
-  * the per-pair constant — dim multiply-adds on two dim-long arrays vs
-  * m_pq lookups on an m_pq-byte code — plus the exponent row showing
-  * where each form lands between the linear exact-leg floor and the
-  * quadratic pair-stream ceiling at 10×. Results land in SCALE.md by
-  * hand.
+  * The exponent row shows where each form lands between the linear
+  * floor and the quadratic pair-stream ceiling at 10×; the random
+  * form's contract is ≤ ~1.1. Results land in SCALE.md by hand.
   *
   * `runMain graft.tools.ProfileNswBuild [n1 n2]` (defaults 5000 50000).
   */
@@ -60,22 +63,48 @@ object ProfileNswBuild {
       val tExact = time(Similarity.buildNswGraphAt(spark, idx,
         s"$root/g_exact_$n", m = 6, exactCellCeiling = Int.MaxValue))
       val tCand = time(Similarity.buildNswGraphAt(spark, idx,
-        s"$root/g_cand_$n", m = 6, exactCellCeiling = 1))
+        s"$root/g_cand_$n", m = 6, exactCellCeiling = 1,
+        randomInitCellCeiling = Int.MaxValue))
+      val tRand = time(Similarity.buildNswGraphAt(spark, idx,
+        s"$root/g_rand_$n", m = 6, exactCellCeiling = 1,
+        randomInitCellCeiling = 1))
       val tRefine = time(Similarity.refineNswGraphAt(spark, idx,
         s"$root/g_cand_$n", m = 6, iters = 1))
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val tSearch = time(Similarity.nswSearchStored(spark, idx,
         s"$root/g_cand_$n", q, k = 5, nprobe = 2, hops = 3, beam = 8))
-      println(f"[nsw-scale] n=$n%6d exact=$tExact%8.1fs candidate=$tCand%8.1fs refine=$tRefine%7.1fs search=$tSearch%6.1fs")
-      (n, tExact, tCand, tRefine, tSearch)
+      // search recall@5 vs exact brute force, candidate vs random graph
+      // (entry point = lowest vec_id per cell; a fixed budget must be
+      // watched for decay as cells grow — the round-14 profile ask)
+      val gl = Similarity.gridLongs(col("v"))
+      val brute = TopK.perKey(
+          emb.select(col("vec_id").as("bn"), gl.as("g"))
+            .crossJoin(broadcast(q.select(col("q_id").as("bq"),
+              Similarity.gridLongs(col("qv")).as("qg"))))
+            .where(col("bn") =!= col("bq"))
+            .withColumn("__s",
+              -Similarity.gridDist(col("g"), col("qg")).cast("double")),
+          Seq("bq"), "__s", "bn", 5)
+        .select("bq", "bn")
+      def recall(graphPath: String): Double = {
+        val got = Similarity.nswSearchStored(spark, idx, graphPath, q,
+            k = 5, nprobe = 2, hops = 3, beam = 8)
+          .select(col("q_id").as("bq"), col("n_id").as("bn"))
+        val hits = brute.join(got, Seq("bq", "bn"), "left_semi").count()
+        hits.toDouble / brute.count()
+      }
+      val rCand = recall(s"$root/g_cand_$n")
+      val rRand = recall(s"$root/g_rand_$n")
+      println(f"[nsw-scale] n=$n%6d exact=$tExact%8.1fs candidate=$tCand%8.1fs random=$tRand%8.1fs refine=$tRefine%7.1fs search=$tSearch%6.1fs recall@5 cand=$rCand%.2f rand=$rRand%.2f")
+      (n, tExact, tCand, tRand, tRefine, tSearch)
     }
-    val (n1, e1, c1, r1, s1) = rows.head
-    val (n2, e2, c2, r2, s2) = rows.last
+    val (n1, e1, c1, x1, r1, s1) = rows.head
+    val (n2, e2, c2, x2, r2, s2) = rows.last
     println(f"[nsw-scale] exponent 10x: exact=${math.log10(e2 / e1)}%.2f " +
-      f"candidate=${math.log10(c2 / c1)}%.2f refine=${math.log10(r2 / r1)}%.2f " +
-      f"search=${math.log10(s2 / s1)}%.2f")
-    println(f"[nsw-scale] candidate speedup: ${n1}: ${e1 / c1}%.1fx  ${n2}: ${e2 / c2}%.1fx")
+      f"candidate=${math.log10(c2 / c1)}%.2f random=${math.log10(x2 / x1)}%.2f " +
+      f"refine=${math.log10(r2 / r1)}%.2f search=${math.log10(s2 / s1)}%.2f")
+    println(f"[nsw-scale] vs exact at $n2: candidate ${e2 / c2}%.1fx random ${e2 / x2}%.1fx")
     spark.stop()
   }
 }
