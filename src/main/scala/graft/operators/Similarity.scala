@@ -2171,6 +2171,104 @@ object Similarity {
     }
   }
 
+  /** Incremental graph INSERT — the HNSW-style append path,
+    * [[refreshNswGraphCells]]'s cheap sibling: for each vector of an
+    * append batch (ALREADY appended to the index), beam-walk its HOME
+    * cell's existing adjacency to find its m nearest stored neighbors
+    * (exact grid L2, id tie-breaks — the serving walk's arithmetic),
+    * add those forward edges, mirror them as reverse edges, and prune
+    * every touched vertex back to its m best by the house (d, nbr)
+    * order.
+    *
+    * Cost shape: O(batch · hops · beam · m) distance evaluations and
+    * per-hop shuffles bounded by the batch — NOT the touched cells'
+    * member² rebuild the refresh pays, which at mega-cell sizes is the
+    * difference between ingest cost ∝ batch and ∝ cell (SCALE.md
+    * measures the gap). Unlike the serving walk (driver-held state,
+    * a few hundred rows per query), the batch's walk state stays in
+    * DataFrames with one bounded localCheckpoint per hop, so a
+    * million-vector batch never lands on the driver.
+    *
+    * The trade vs refresh: the result is NOT bit-equal to a fresh
+    * rebuild (walked neighbors are approximate), so the gate is
+    * serving RECALL against the rebuilt graph (q261, NswGraphSpec),
+    * not equality. Everything is still DETERMINISTIC — and
+    * batch-atomic: every walk runs against the PRE-batch adjacency and
+    * the edge merge happens once, so within-batch arrival order cannot
+    * matter. Two caveats, both closed by the next refresh or
+    * [[refineNswGraphAt]] sweep: vectors of the same batch never link
+    * to each other, and a batch vector landing in a cell with no
+    * existing adjacency (a brand-new or 1-member cell) gets no edges —
+    * there is no graph to walk. */
+  def insertIntoNswGraph(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      newIds: DataFrame,
+      m: Int = 6,
+      hops: Int = 3,
+      beam: Int = 8): Unit = {
+    val ids = newIds.select(col(newIds.columns.head).cast("long").as("q_id"))
+    val vecs = s.read.parquet(s"$indexPath/vectors")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        gridLongs(col("v")).as("g"))
+    val q = vecs.join(ids, col("vec_id") === col("q_id"), "left_semi")
+      .select(col("vec_id").as("q_id"), col("cell"), col("g").as("qg"))
+      .localCheckpoint()
+    // the batch's home cells — bounded by nlist, the house fixed cost
+    val cellSet = q.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (cellSet.isEmpty) return
+    val (grid, adj) = nswPrunedReads(s, indexPath, graphPath, cellSet)
+    // entry per cell = lowest vertex WITH adjacency: the vectors table
+    // already contains the batch, and a new min-id vector would be an
+    // edgeless entry that strands the walk
+    val entry = adj.groupBy("cell").agg(min("node").as("node"))
+    def scoreOf(cand: DataFrame): DataFrame =
+      cand.join(q, Seq("q_id", "cell"))
+        .join(grid, Seq("cell", "node"))
+        .select(col("q_id"), col("cell"), col("node"),
+          gridDist(col("qg"), col("g")).as("d"))
+    var visited = scoreOf(q.select(col("q_id"), col("cell"))
+        .join(entry, Seq("cell"))).localCheckpoint()
+    for (_ <- 1 to hops) {
+      val frontier = TopK.perKey(
+          visited.withColumn("__s", -col("d").cast("double")),
+          Seq("q_id"), "__s", "node", beam)
+        .select("q_id", "cell", "node")
+      val expanded = frontier.join(adj, Seq("cell", "node"))
+        .select(col("q_id"), col("cell"), col("nbr").as("node"))
+        .distinct()
+        .join(visited.select("q_id", "node"), Seq("q_id", "node"),
+          "left_anti")
+      visited = visited.unionByName(scoreOf(expanded)).localCheckpoint()
+    }
+    // adjacency never references batch ids (walks ran pre-batch), so
+    // the forward edges are new rows and the reverse edges merge into
+    // the touched vertices' prune — one TopK, one dynamic overwrite
+    val fwd = TopK.perKey(
+        visited.withColumn("__s", -col("d").cast("double")),
+        Seq("q_id"), "__s", "node", m)
+      .select(col("cell"), col("q_id").as("vec_id"),
+        col("node").as("nbr"), col("d"))
+    val rev = fwd.select(col("cell"), col("nbr").as("vec_id"),
+      col("vec_id").as("nbr"), col("d"))
+    val old = s.read.parquet(graphPath)
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+        col("nbr"), col("d"))
+      .where(col("cell").isin(cellSet.map(Int.box): _*))
+    val next = TopK.perKey(
+        old.unionByName(fwd).unionByName(rev)
+          .withColumn("__s", -col("d").cast("double")),
+        Seq("vec_id"), "__s", "nbr", m)
+      .select("cell", "vec_id", "nbr", "d")
+      .localCheckpoint() // break lineage off graphPath before overwrite
+    next.repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(graphPath)
+  }
+
   private def writeNswAdjacency(
       s: SparkSession,
       indexPath: String,

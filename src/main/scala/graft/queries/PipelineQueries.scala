@@ -943,6 +943,7 @@ object PipelineQueries {
     ("q254_filtered_sweep", q254FilteredSweep _, q254Sql),
     ("q258_filtered_route", q258FilteredRoute _, q258Sql),
     ("q260_graph_refine", q260GraphRefine _, q247Sql),
+    ("q261_graph_insert", q261GraphInsert _, q247Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3195,6 +3196,56 @@ object PipelineQueries {
       emb.where(col("vec_id") < 5)
         .selectExpr("vec_id as q_id", "v as qv"),
       k = 5, nprobe = 2, hops = 3, beam = 8)
+  }
+
+  /** Incremental graph-ANN INSERT ([[Similarity.insertIntoNswGraph]] —
+    * the HNSW-style append path, [[Similarity.refreshNswGraphCells]]'s
+    * cheap sibling): bootstrap index + graph on ~90% of the corpus
+    * (keeping `vec_id < 64` in the bootstrap so the trained quantizers
+    * replay exactly — the train sample is the lowest-64 ids), append
+    * the other ~10% to the INDEX (stored quantizers), then WALK-INSERT
+    * the batch into the graph: each new vector beam-walks its home
+    * cell's existing adjacency to its m nearest stored neighbors,
+    * forward + reverse edges merge through the house top-m prune.
+    * Per-batch cost is ∝ batch · walk, not the refresh's touched-cell
+    * rebuild (SCALE.md measures the gap at 50k). Rebuild-equality
+    * deliberately does NOT hold (walked neighbors are approximate), so
+    * the entry gates IN-ENTRY that the inserted graph serves the q248
+    * query set within 0.2 recall of the fresh rebuild (distributed
+    * counts — the q260 require pattern), then returns the
+    * fresh-rebuild walk, oracled by q247's full-build replay: the
+    * maintenance op must leave the whole serving stack intact. */
+  def q261GraphInsert(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_gins_" +
+      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    val graph = s"$idx/nsw"
+    val boot = col("vec_id") < 64 || col("vec_id") % 10 =!= 0
+    Similarity.buildTrainedIvfPqIndexAt(s, emb.where(boot), idx,
+      nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswGraphAt(s, idx, graph, m = 6)
+    Similarity.appendToTrainedIvfPqIndex(s, emb.where(!boot), idx)
+    Similarity.insertIntoNswGraph(s, idx, graph,
+      emb.where(!boot).select("vec_id"), m = 6)
+    val rebuilt = s"$idx/nsw_rebuild"
+    Similarity.buildNswGraphAt(s, idx, rebuilt, m = 6)
+    val q = emb.where(col("vec_id") < 5)
+      .selectExpr("vec_id as q_id", "v as qv")
+    val brute = Similarity.bruteForceTopK(s, dir, numQueries = 5, k = 5)
+      .select(col("q_id").as("bq"), col("n_id").as("bn"))
+    def hitsOf(g: String): Long =
+      brute.join(Similarity.nswSearchStored(s, idx, g, q, k = 5,
+          nprobe = 2, hops = 3, beam = 8)
+          .select(col("q_id").as("bq"), col("n_id").as("bn")),
+        Seq("bq", "bn"), "left_semi").count()
+    val insHits = hitsOf(graph)
+    val rebHits = hitsOf(rebuilt)
+    require(insHits >= rebHits - 5,
+      s"q261: inserted-graph recall ($insHits/25) must stay within 0.2 " +
+        s"of the fresh rebuild's ($rebHits/25)")
+    Similarity.nswSearchStored(s, idx, rebuilt, q, k = 5, nprobe = 2,
+      hops = 3, beam = 8)
   }
 
   /** Filtered-retrieval ROUTE table — the crossover q254's sweep

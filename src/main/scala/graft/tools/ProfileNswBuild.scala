@@ -97,6 +97,22 @@ object ProfileNswBuild {
       val rCand = recall(s"$root/g_cand_$n")
       val rRand = recall(s"$root/g_rand_$n")
       println(f"[nsw-scale] n=$n%6d exact=$tExact%8.1fs candidate=$tCand%8.1fs random=$tRand%8.1fs refine=$tRefine%7.1fs search=$tSearch%6.1fs recall@5 cand=$rCand%.2f rand=$rRand%.2f")
+      // incremental ingest: append a FIXED 1k batch, then time the
+      // walk insert vs the touched-cell refresh on the same
+      // post-append index — the round-14 contract is insert cost flat
+      // in cell size at fixed batch, refresh growing with it
+      val batch = synth(spark, n + 1000L)
+        .where(col("vec_id") >= n).localCheckpoint()
+      Similarity.appendToTrainedIvfPqIndex(spark, batch, idx)
+      val touched = spark.read.parquet(s"$idx/vectors")
+        .where(col("vec_id") >= n)
+        .select(col("cell").cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val tInsert = time(Similarity.insertIntoNswGraph(spark, idx,
+        s"$root/g_cand_$n", batch.select("vec_id"), m = 6))
+      val tRefresh = time(Similarity.refreshNswGraphCells(spark, idx,
+        s"$root/g_exact_$n", touched, m = 6))
+      println(f"[nsw-scale] ingest n=$n%6d batch=1000 insert=$tInsert%6.1fs refresh=$tRefresh%8.1fs (${touched.length} cells touched)")
       (n, tExact, tCand, tRand, tRefine, tSearch)
     }
     val (n1, e1, c1, x1, r1, s1) = rows.head

@@ -184,6 +184,55 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
     assert(adj(s"$root/g1").nonEmpty)
   }
 
+  test("incremental walk insert: bounded degree, cell-local edges, " +
+    "batch determinism, serving parity with the fresh rebuild") {
+    val emb = plantedEmb
+    def lifecycle(tag: String): String = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_nsw_ins_$tag").toString
+      val idx = s"$root/idx"
+      Similarity.buildTrainedIvfPqIndexAt(spark,
+        emb.where(col("vec_id") < 36), idx,
+        nlist = 2, m = 4, ks = 8, trainSample = 64, iters = 2)
+      Similarity.buildNswGraphAt(spark, idx, s"$root/g", m = 4)
+      Similarity.appendToTrainedIvfPqIndex(spark,
+        emb.where(col("vec_id") >= 36), idx)
+      Similarity.insertIntoNswGraph(spark, idx, s"$root/g",
+        emb.where(col("vec_id") >= 36).select("vec_id"), m = 4)
+      root
+    }
+    val root = lifecycle("a")
+    val a = spark.read.parquet(s"$root/g")
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+        col("nbr"), col("d"))
+    // pruned degree bound holds for OLD vertices too (reverse edges
+    // merged through the top-m cut), and every batch vector got edges
+    val deg = a.groupBy("vec_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg.values.forall(_ <= 4L), deg.filter(_._2 > 4).toString)
+    assert((36L until 48L).forall(deg.getOrElse(_, 0L) >= 1L))
+    // edges never leave the home cell
+    val vc = spark.read.parquet(s"$root/idx/vectors")
+      .select(col("vec_id").as("nbr"), col("cell").cast("int").as("vcell"))
+    assert(a.join(vc, Seq("nbr"))
+      .where(col("cell") =!= col("vcell")).count() == 0L)
+    // batch-atomic determinism: the whole lifecycle replays bit-equal
+    val root2 = lifecycle("b")
+    assert(adj(s"$root/g") == adj(s"$root2/g"))
+    // serving parity: the inserted graph's walk answers match the
+    // fresh full rebuild's on planted clusters (the recall gate q261
+    // applies with slack on the unstructured gate corpus)
+    Similarity.buildNswGraphAt(spark, root + "/idx", s"$root/g3", m = 4)
+    val qdf = emb.where(col("vec_id") < 5)
+      .selectExpr("vec_id as q_id", "v as qv")
+    def hits(g: String) = Similarity.nswSearchStored(spark,
+        s"$root/idx", g, qdf, k = 5, nprobe = 2, hops = 3, beam = 8)
+      .select("q_id", "n_id").collect().map(_.toSeq.toString).toSet
+    val overlap = (hits(s"$root/g") & hits(s"$root/g3")).size
+    info(s"inserted-vs-rebuilt serving overlap: $overlap/25")
+    assert(overlap >= 20, s"$overlap/25")
+  }
+
   test("random-init NN-descent build: >= 0.9 edge recall vs exact in " +
     "<= 3 sweeps on the unstructured corpus (the round-14 contract " +
     "for the fully sub-quadratic mega-cell form)") {
