@@ -2572,6 +2572,53 @@ object Similarity {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** Selectivity-aware FILTERED-retrieval ROUTER — q258's measured
+    * route table as an operator, so a deployment doesn't apply the
+    * rule from prose: count the allow-list (ONE bounded aggregate — a
+    * count, never a collect), and below `crossover` selectivity route
+    * to the filter-AWARE IVF path ([[trainedIvfPqProbeStored]] with
+    * `allowed` — the list gates candidates BEFORE the ADC cut, so the
+    * refine budget is spent entirely on eligible vectors); at or above
+    * it run the post-filtered graph walk ([[nswSearchStored]] —
+    * O(hops·beam·m) touched vectors per query vs IVF's nprobe/nlist of
+    * the corpus, and recall holds when most visited nodes are
+    * eligible). The default crossover 0.10 sits between q258's
+    * measured 5% point (recall@5 IVF 0.68 vs walk 0.24) and q254's 20%
+    * point (walk 0.56, competitive) at the serving budgets. The count
+    * makes the route DETERMINISTIC in the inputs, so q262's oracle
+    * replays BOTH branches and selects by the same counted
+    * selectivity. Returns `(route, q_id, rank, n_id)` — the two
+    * branches' distance scales differ (refined cosine vs grid L2), so
+    * the rank is the contract, not a score column. */
+  def routedRetrieve(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      q: DataFrame,
+      exact: DataFrame,
+      allowed: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 2,
+      hops: Int = 3,
+      beam: Int = 8,
+      ivfNprobe: Int = 3,
+      refine: Int = 32,
+      crossover: Double = 0.10): DataFrame = {
+    val total = s.read.parquet(s"$indexPath/vectors").count()
+    val ids = allowed.select(col(allowed.columns.head).as("n_id"))
+    val sel = ids.count().toDouble / total
+    if (sel < crossover)
+      trainedIvfPqProbeStored(s, indexPath, q, exact, k, ivfNprobe,
+          refine, allowed = Some(ids))
+        .select(lit("ivf").as("route"), col("q_id"), col("rank"),
+          col("n_id"))
+    else
+      nswSearchStored(s, indexPath, graphPath, q, k, nprobe, hops, beam,
+          allowed = Some(ids))
+        .select(lit("walk").as("route"), col("q_id"), col("rank"),
+          col("n_id"))
+  }
+
   /** The walk's ONLY corpus-touching reads — vectors and adjacency of
     * the probed cells, partition-pruned (PlanSpec pins the filters:
     * without them every hop reads the corpus and the O(hops·beam·m)

@@ -944,6 +944,7 @@ object PipelineQueries {
     ("q258_filtered_route", q258FilteredRoute _, q258Sql),
     ("q260_graph_refine", q260GraphRefine _, q247Sql),
     ("q261_graph_insert", q261GraphInsert _, q247Sql),
+    ("q262_routed_retrieve", q262RoutedRetrieve _, q262Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3326,6 +3327,84 @@ object PipelineQueries {
        |LEFT JOIN i ON i.q_id = b.q_id AND i.n_id = b.n_id
        |GROUP BY b.q_id
        |ORDER BY b.q_id""".stripMargin
+  }
+
+  /** The router's crossover, shared verbatim by the Spark entry and
+    * the oracle's replayed routing predicate — between q258's measured
+    * 5% point (IVF 0.68 vs walk 0.24 recall@5) and q254's 20% point
+    * (walk competitive). */
+  private def routeCrossover = 0.10 // def: q262Sql runs at object init
+
+  /** Selectivity-aware retrieval ROUTER ([[Similarity.routedRetrieve]]
+    * — q258's route table as an operator): count the allow-list (one
+    * bounded aggregate), route below `routeCrossover` selectivity to
+    * the filter-AWARE IVF (allow-list gates candidates BEFORE the ADC
+    * cut), at/above it to the post-filtered graph walk. Exercised at
+    * BOTH regimes — a 5% list (`vec_id % 20 = 0` → IVF) and a 50% list
+    * (`vec_id % 2 = 0` → walk) — and the oracle replays BOTH branches
+    * for BOTH lists, selecting rows by the SAME counted selectivity
+    * predicate the operator evaluates, so a routing slip (not just a
+    * retrieval slip) fails the hash. Arms run concurrently (the q254
+    * pattern — independent driver-orchestrated retrievals). */
+  def q262RoutedRetrieve(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = Similarity.nswGraph(s, dir, m = 6)
+    val e = emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext = sweepArmEc
+    val arms = Await.result(Future.sequence(Seq(20, 2).map { selMod =>
+        Future {
+          Similarity.routedRetrieve(s, idx, graph, q,
+              e.selectExpr("vec_id as n_id", "v"),
+              allowed = emb.where(col("vec_id") % selMod === 0)
+                .select("vec_id"),
+              k = 5, nprobe = 2, hops = 3, beam = 8, ivfNprobe = 3,
+              refine = 32, crossover = routeCrossover)
+            .select(lit(selMod).as("selmod"), col("route"), col("q_id"),
+              col("rank"), col("n_id"))
+        }
+      }), scala.concurrent.duration.Duration.Inf)
+      .reduce(_ unionAll _)
+    arms.presentSorted("selmod", "q_id", "rank")
+  }
+
+  def q262Sql: String = {
+    def selOf(selMod: Int) =
+      s"(SELECT count(*) FROM embeddings WHERE vec_id % $selMod = 0)" +
+        s"::DOUBLE / (SELECT count(*) FROM embeddings)"
+    def walkSql(selMod: Int) = nswReplaySql(nq = 5, k = 5, nlist = 8,
+      nprobe = 2, m = 6, hops = 3, beam = 8,
+      filterSql = s"\n    AND node % $selMod = 0")
+    val ivfBase = trainedIvfPqReplaySql(nq = 5, k = 5, nlist = 8,
+      nprobe = 3, ks = 8, refine = 32)
+    def ivfSql(selMod: Int) = {
+      val g = ivfBase.replace(
+        "cand AS (SELECT pr.q_id, a.vec_id AS n_id\n" +
+          "  FROM cells a JOIN probes pr ON a.cell = pr.cell\n" +
+          "  WHERE a.vec_id <> pr.q_id)",
+        "cand AS (SELECT pr.q_id, a.vec_id AS n_id\n" +
+          "  FROM cells a JOIN probes pr ON a.cell = pr.cell\n" +
+          s"  WHERE a.vec_id <> pr.q_id AND a.vec_id % $selMod = 0)")
+      require(g != ivfBase, "q262: allow-list splice found no cand CTE")
+      g
+    }
+    val arms = Seq(20, 2).map { sm =>
+      s"""SELECT $sm AS selmod, 'ivf' AS route, q_id, rank, n_id FROM (
+         |${ivfSql(sm)}) i
+         |WHERE ${selOf(sm)} < $routeCrossover
+         |UNION ALL
+         |SELECT $sm AS selmod, 'walk' AS route, q_id, rank, n_id FROM (
+         |${walkSql(sm)}) w
+         |WHERE ${selOf(sm)} >= $routeCrossover""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$arms
+       |) r
+       |ORDER BY selmod, q_id, rank""".stripMargin
   }
 
   def q254Sql: String = {

@@ -233,6 +233,33 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
     assert(overlap >= 20, s"$overlap/25")
   }
 
+  test("routedRetrieve: a 5% allow-list routes to the filter-aware IVF " +
+    "branch, a 50% list to the post-filtered walk; both return ranked " +
+    "rows for every query") {
+    val dir = sfDir
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = Similarity.trainedIvfPqIndex(spark, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = Similarity.nswGraph(spark, dir, m = 6)
+    val e = emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val q = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def routed(selMod: Int) = Similarity.routedRetrieve(spark, idx, graph,
+      q, e.selectExpr("vec_id as n_id", "v"),
+      allowed = emb.where(col("vec_id") % selMod === 0).select("vec_id"),
+      k = 5, nprobe = 2, hops = 3, beam = 8, ivfNprobe = 3, refine = 32)
+    val tight = routed(20).collect() // 5% — below the 0.10 crossover
+    val loose = routed(2).collect() // 50% — above it
+    assert(tight.nonEmpty && tight.forall(_.getString(0) == "ivf"))
+    assert(loose.nonEmpty && loose.forall(_.getString(0) == "walk"))
+    // the IVF branch is filter-AWARE: every returned id satisfies the
+    // allow-list, and each query gets a full k (eligible candidates
+    // fill the refine budget — the post-filter would underfill here)
+    assert(tight.forall(_.getLong(3) % 20 == 0))
+    assert(tight.groupBy(_.getLong(1)).values.forall(_.length == 5))
+    assert(loose.forall(_.getLong(3) % 2 == 0))
+  }
+
   test("random-init NN-descent build: >= 0.9 edge recall vs exact in " +
     "<= 3 sweeps on the unstructured corpus (the round-14 contract " +
     "for the fully sub-quadratic mega-cell form)") {
