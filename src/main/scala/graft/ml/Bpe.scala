@@ -225,6 +225,23 @@ object Bpe {
     out.toSeq
   }
 
+  /** `[\p{L}\p{N}]+` runs of the lowercased text — the UNICODE word
+    * domain (any script), identical to the oracle's
+    * `regexp_extract_all(lower(text), '[\p{L}\p{N}]+')`. The
+    * byte-fallback unigram family extracts with this, then
+    * [[byteUnits]]-escapes each word so the tokenizer's alphabet is
+    * the 256 byte units and non-Latin pieces are learnable. */
+  def unicodeWords(text: String): Seq[String] = {
+    if (text == null) return Nil
+    val m = UnicodeWordRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+    val out = new ArrayBuffer[String]
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
+  private val UnicodeWordRe =
+    java.util.regex.Pattern.compile("[\\p{L}\\p{N}]+")
+
   /** Learn `numMerges` BPE merges from a word histogram (classic
     * Sennrich training on the word-frequency dict): each round counts
     * every adjacent symbol pair across the vocabulary — overlapping

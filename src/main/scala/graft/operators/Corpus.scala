@@ -1269,10 +1269,11 @@ object Corpus {
       maxWord: Int,
       seedMulti: Int,
       keepMulti: Seq[Int],
-      maxPiece: Int): DataFrame = {
+      maxPiece: Int,
+      byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val hist = unigramHistogram(docs, textCol, topV, maxWord)
+    val hist = unigramHistogram(docs, textCol, topV, maxWord, byteLevel)
     val vocab = graft.ml.UnigramLm.train(hist, seedMulti, keepMulti, maxPiece)
     val t = vocab.iterator.map(_._2).sum
     val qT = graft.ml.UnigramLm.qlog2(t)
@@ -1364,9 +1365,10 @@ object Corpus {
       seedMulti: Int,
       keepMulti: Seq[Int],
       maxPiece: Int,
-      prefixLen: Int = 20): DataFrame = {
+      prefixLen: Int = 20,
+      byteLevel: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
-    val hist = unigramHistogram(docs, textCol, topV, maxWord)
+    val hist = unigramHistogram(docs, textCol, topV, maxWord, byteLevel)
     val vocab = graft.ml.UnigramLm.train(hist, seedMulti, keepMulti, maxPiece)
     val t = vocab.iterator.map(_._2).sum
     val qT = graft.ml.UnigramLm.qlog2(t)
@@ -1388,8 +1390,10 @@ object Corpus {
       val (sc, qt) = bc.value
       it.map { r =>
         val id = r.getLong(0)
-        val words = graft.ml.Bpe.words(
-          if (r.isNullAt(1)) null else r.getString(1))
+        val raw = if (r.isNullAt(1)) null else r.getString(1)
+        val words = (if (byteLevel)
+            graft.ml.Bpe.unicodeWords(raw).map(graft.ml.Bpe.byteUnits)
+          else graft.ml.Bpe.words(raw))
           .filter(_.length <= maxWord)
         var nPieces = 0L
         val prefix = new scala.collection.mutable.ArrayBuffer[String](prefixLen)
@@ -1414,12 +1418,23 @@ object Corpus {
       docs: DataFrame,
       textCol: String,
       topV: Int,
-      maxWord: Int): Seq[(String, Long)] = {
+      maxWord: Int,
+      byteLevel: Boolean = false): Seq[(String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(explode(
+    // byte-level: the UNICODE word domain ([\p{L}\p{N}]+), each word
+    // byte-unit-escaped so the alphabet is the 256 byte units and the
+    // length cap counts UNITS (= UTF-8 bytes) — any script's words
+    // enter the histogram and non-Latin pieces become learnable
+    val words =
+      if (byteLevel)
+        docs.select(col(textCol)).as[String]
+          .flatMap(t => graft.ml.Bpe.unicodeWords(t)
+            .map(graft.ml.Bpe.byteUnits))
+          .toDF("word")
+      else docs.select(explode(
         expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")).as("word"))
+    words
       .where(length(col("word")) <= maxWord)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc)

@@ -695,7 +695,9 @@ object TextQueries {
       t: Int,
       vocabName: String,
       wordsCte: String = "hist",
-      unk: Boolean = false): String = {
+      unk: Boolean = false,
+      maxWord: Int = uniMaxWord,
+      maxPiece: Int = uniMaxPiece): String = {
     val sb = new StringBuilder
     sb ++= s"""sc$t AS MATERIALIZED (
        |  SELECT piece, ${uniQlog("cnt")} AS s FROM $vocabName),
@@ -704,8 +706,8 @@ object TextQueries {
        |dp${t}_0 AS MATERIALIZED (
        |  SELECT word, cnt, CAST(0 AS BIGINT) AS ll, 0 AS n,
        |    CAST([] AS VARCHAR[]) AS seg FROM $wordsCte)""".stripMargin
-    for (p <- 1 to uniMaxWord) {
-      val branches = (math.max(0, p - uniMaxPiece) until p).map { j =>
+    for (p <- 1 to maxWord) {
+      val branches = (math.max(0, p - maxPiece) until p).map { j =>
         if (unk && j == p - 1)
           s"""SELECT d.word, d.cnt,
              |        d.ll + coalesce(s.s, ${graft.ml.UnigramLm.UnkScore}) - q.qt AS ll,
@@ -734,7 +736,7 @@ object TextQueries {
          |      $branches
          |    ) c) r WHERE rn = 1)""".stripMargin
     }
-    val segUnion = (1 to uniMaxWord).map(p =>
+    val segUnion = (1 to maxWord).map(p =>
       s"SELECT word, cnt, seg FROM dp${t}_$p WHERE len(word) = $p")
       .mkString("\n  UNION ALL\n  ")
     sb ++= s""",
@@ -743,23 +745,36 @@ object TextQueries {
     sb.toString
   }
 
-  /** The training replay through the final vocabulary: histogram cap,
-    * substring seeding (chars ∪ top-seedMulti multis), then per EM
-    * round a full Viterbi pass, usage re-count and (usage DESC, piece)
-    * prune with add-one smoothing. Returns (cteSql, finalVocabCte). */
-  private def unigramTrainCtes: (String, String) = {
-    val sb = new StringBuilder
-    sb ++= s"""hist AS MATERIALIZED (
+  /** The default (ASCII-domain) histogram CTE: `[a-z0-9]+` words of
+    * the documents table, length-capped, top `uniTopV`. */
+  private def uniAsciiHistSql: String =
+    s"""hist AS MATERIALIZED (
        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
        |        FROM documents) x
        |  WHERE len(w) <= $uniMaxWord
-       |  GROUP BY w ORDER BY cnt DESC, word LIMIT $uniTopV),
+       |  GROUP BY w ORDER BY cnt DESC, word LIMIT $uniTopV)""".stripMargin
+
+  /** The training replay through the final vocabulary: histogram cap,
+    * substring seeding (chars ∪ top-seedMulti multis), then per EM
+    * round a full Viterbi pass, usage re-count and (usage DESC, piece)
+    * prune with add-one smoothing. Returns (cteSql, finalVocabCte).
+    * `histSql` supplies the leading CTE(s) ending in a `hist(word,
+    * cnt)` definition — the byte-fallback family (q263) swaps in the
+    * escaped-unicode-word histogram while sharing every other stage. */
+  private def unigramTrainCtes(
+      histSql: String = uniAsciiHistSql,
+      maxWord: Int = uniMaxWord,
+      maxPiece: Int = uniMaxPiece,
+      seedMulti: Int = uniSeedMulti,
+      keep: Seq[Int] = uniKeep): (String, String) = {
+    val sb = new StringBuilder
+    sb ++= s"""$histSql,
        |subs AS MATERIALIZED (
        |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
        |    SELECT substr(word, i, l) AS piece, cnt
        |    FROM hist, unnest(range(1, len(word) + 1)) u(i),
-       |         unnest(range(1, ${uniMaxPiece + 1})) v(l)
+       |         unnest(range(1, ${maxPiece + 1})) v(l)
        |    WHERE i + l - 1 <= len(word)) x
        |  GROUP BY piece),
        |uchars AS MATERIALIZED (
@@ -769,10 +784,11 @@ object TextQueries {
        |  UNION ALL
        |  SELECT piece, cnt FROM (
        |    SELECT piece, cnt FROM subs WHERE len(piece) > 1
-       |    ORDER BY cnt * len(piece) DESC, piece LIMIT $uniSeedMulti) s)""".stripMargin
-    for ((keep, idx) <- uniKeep.zipWithIndex) {
+       |    ORDER BY cnt * len(piece) DESC, piece LIMIT $seedMulti) s)""".stripMargin
+    for ((k, idx) <- keep.zipWithIndex) {
       val t = idx + 1
-      sb ++= ",\n" + unigramViterbiCtes(t, s"vocab$t")
+      sb ++= ",\n" + unigramViterbiCtes(t, s"vocab$t",
+        maxWord = maxWord, maxPiece = maxPiece)
       sb ++= s""",
          |usage$t AS MATERIALIZED (
          |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS used FROM (
@@ -783,9 +799,9 @@ object TextQueries {
          |  UNION ALL
          |  SELECT piece, CAST(used + 1 AS BIGINT) AS cnt FROM (
          |    SELECT piece, used FROM usage$t WHERE len(piece) > 1
-         |    ORDER BY used DESC, piece LIMIT $keep) m)""".stripMargin
+         |    ORDER BY used DESC, piece LIMIT $k) m)""".stripMargin
     }
-    (sb.toString, s"vocab${uniKeep.length + 1}")
+    (sb.toString, s"vocab${keep.length + 1}")
   }
 
   /** Unigram-LM tokenizer TRAINING ([[Corpus.unigramLmTrain]] →
@@ -804,7 +820,7 @@ object TextQueries {
       .presentSorted("piece")
 
   def q255Sql: String = {
-    val (ctes, vf) = unigramTrainCtes
+    val (ctes, vf) = unigramTrainCtes()
     s"""WITH $ctes
        |SELECT piece, cnt,
        |  CAST(${uniQlog("cnt")} - (SELECT ${uniQlog("tt")} FROM (
@@ -826,7 +842,7 @@ object TextQueries {
       .presentSorted("word")
 
   def q256Sql: String = {
-    val (ctes, vf) = unigramTrainCtes
+    val (ctes, vf) = unigramTrainCtes()
     val tF = uniKeep.length + 1
     s"""WITH $ctes,
        |${unigramViterbiCtes(tF, vf)}
@@ -871,7 +887,7 @@ object TextQueries {
       .presentSorted("doc_id")
 
   def q259Sql: String = {
-    val (ctes, vf) = unigramTrainCtes
+    val (ctes, vf) = unigramTrainCtes()
     val tF = uniKeep.length + 1
     s"""WITH $ctes,
        |cw AS MATERIALIZED (
@@ -902,8 +918,115 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ── Byte-fallback unigram (q263): the UNICODE word domain ─────────
+  // [\p{L}\p{N}]+ words of ANY script, each byte-unit-escaped
+  // (Bpe.byteUnits — q215's proven arithmetic) so the tokenizer's
+  // alphabet is the 256 byte units: the capped histogram LEARNS
+  // non-ASCII pieces instead of UnkScore-ing every non-Latin char.
+  // Unit-length domain: maxWord 18 (a 6-char CJK word = 18 UTF-8
+  // bytes), maxPiece 9 (whole 3-char CJK / 4-char Cyrillic pieces).
+  private def byteUniMaxWord = 18
+  private def byteUniMaxPiece = 9
+
+  /** Deterministic multilingual plant per doc (doc_id % 3 →
+    * ru/ja/ko), appended to the real text — lowercase and BMP-only
+    * like the q201/q219 plants (both engines' `lower()` is identity),
+    * and the ja plant is SPACE-SEGMENTED so its words fit the 18-unit
+    * domain (the raw q201 ja plant is one unsegmented 100-byte run,
+    * which the domain rule would skip entirely). */
+  private def plantedJaSpaced =
+    "これは とても 面白い 話 です 私たち は 毎日 勉強 します"
+
+  private def q263DirtySql: String =
+    s"""SELECT doc_id, CASE doc_id % 3
+       |    WHEN 0 THEN '$plantedRu'
+       |    WHEN 1 THEN '$plantedJaSpaced'
+       |    ELSE '$plantedKo' END || ' ' || coalesce(text, '') AS t
+       |  FROM documents""".stripMargin
+
+  /** BYTE-FALLBACK unigram-LM tokenization ([[Corpus.unigramTokens]]
+    * with `byteLevel = true` — the round-13 verdict's "serving parity"
+    * gap): the q259 pipeline can only ever UnkScore non-Latin text
+    * because its `[a-z0-9]+` histogram never admits it; this entry
+    * widens the word domain to `[\p{L}\p{N}]+` and byte-unit-escapes
+    * every word (the q215 byte-level-BPE alphabet), so the capped
+    * histogram is dominated by the planted ru/ja/ko words and the
+    * vocabulary LEARNS multi-byte non-ASCII pieces — gated in-entry
+    * (the trained vocab must contain multi-unit pieces with non-ASCII
+    * units). The oracle replays EVERYTHING: the plant, the unicode
+    * word regex, the per-code-point UTF-8 expansion and unit remap,
+    * the histogram cap, both EM rounds' 18-position Viterbi DPs, the
+    * serving pass over every distinct escaped corpus word, and the
+    * per-document reassembly. */
+  def q263UnigramBytes(s: SparkSession, dir: String): DataFrame = {
+    val plant = when(col("doc_id") % 3 === 0, lit(plantedRu))
+      .when(col("doc_id") % 3 === 1, lit(plantedJaSpaced))
+      .otherwise(lit(plantedKo))
+    // plant PREPENDED: the non-ASCII pieces land inside the hashed
+    // 20-piece prefix, not just the totals
+    val dirty = docs(s, dir).select(col("doc_id"),
+      concat(plant, lit(" "), coalesce(col("text"), lit(""))).as("t"))
+    val vocab = graft.operators.Corpus.unigramLmTrain(dirty, "t",
+        topV = uniTopV, maxWord = byteUniMaxWord, seedMulti = uniSeedMulti,
+        keepMulti = uniKeep, maxPiece = byteUniMaxPiece, byteLevel = true)
+      .select("piece").collect().map(_.getString(0))
+    require(vocab.exists(p => p.length >= 2 && p.exists(_ >= 128)),
+      "q263: the vocabulary must LEARN multi-unit non-ASCII pieces — " +
+        "that is the point of the byte fallback")
+    graft.operators.Corpus.unigramTokens(dirty, "doc_id", "t",
+        topV = uniTopV, maxWord = byteUniMaxWord, seedMulti = uniSeedMulti,
+        keepMulti = uniKeep, maxPiece = byteUniMaxPiece, byteLevel = true)
+      .presentSorted("doc_id")
+  }
+
+  def q263Sql: String = {
+    val wordRe = "'[\\p{L}\\p{N}]+'"
+    val histSql =
+      s"""dirty AS MATERIALIZED (${q263DirtySql}),
+         |hist AS MATERIALIZED (
+         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT ${byteEscapeSql("uw")} AS w FROM (
+         |      SELECT unnest(regexp_extract_all(lower(t), $wordRe)) AS uw
+         |      FROM dirty) x0) x
+         |  WHERE len(w) <= $byteUniMaxWord
+         |  GROUP BY w ORDER BY cnt DESC, word LIMIT $uniTopV)""".stripMargin
+    val (ctes, vf) = unigramTrainCtes(histSql = histSql,
+      maxWord = byteUniMaxWord, maxPiece = byteUniMaxPiece)
+    val tF = uniKeep.length + 1
+    s"""WITH $ctes,
+       |cw AS MATERIALIZED (
+       |  SELECT DISTINCT word, CAST(1 AS BIGINT) AS cnt FROM (
+       |    SELECT ${byteEscapeSql("uw")} AS word FROM (
+       |      SELECT unnest(regexp_extract_all(lower(t), $wordRe)) AS uw
+       |      FROM dirty) x0) x
+       |  WHERE len(word) <= $byteUniMaxWord),
+       |${unigramViterbiCtes(tF, vf, wordsCte = "cw", unk = true,
+          maxWord = byteUniMaxWord, maxPiece = byteUniMaxPiece)},
+       |dwords AS (
+       |  SELECT doc_id, word, wi FROM (
+       |    SELECT doc_id, ${byteEscapeSql("uw")} AS word, wi FROM (
+       |      SELECT doc_id, unnest(ww) AS uw,
+       |        unnest(range(1, len(ww) + 1)) AS wi
+       |      FROM (SELECT doc_id, regexp_extract_all(lower(t), $wordRe) AS ww
+       |            FROM dirty) y) y1) z
+       |  WHERE len(word) <= $byteUniMaxWord),
+       |perdoc AS (
+       |  SELECT d.doc_id, d.wi, s.seg FROM dwords d JOIN seg$tF s USING (word)),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(len(seg)) AS BIGINT) AS n_pieces,
+       |    flatten(list(seg ORDER BY wi)) AS toks
+       |  FROM perdoc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_words, 0) AS n_words,
+       |  coalesce(n_pieces, 0) AS n_pieces,
+       |  coalesce(array_to_string(list_slice(toks, 1, 20), ' '), '') AS piece_prefix
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def q257Sql: String = {
-    val (ctes, vf) = unigramTrainCtes
+    val (ctes, vf) = unigramTrainCtes()
     val tF = uniKeep.length + 1
     def esc(x: String) = x.replace("'", "''")
     val vals = graft.ml.Bpe.default.merges.zipWithIndex
@@ -1269,7 +1392,8 @@ object TextQueries {
     ("q255_unigram_train", q255UnigramTrain _, q255Sql),
     ("q256_unigram_encode", q256UnigramEncode _, q256Sql),
     ("q257_tokenizer_fertility", q257TokenizerFertility _, q257Sql),
-    ("q259_unigram_tokens", q259UnigramTokens _, q259Sql))
+    ("q259_unigram_tokens", q259UnigramTokens _, q259Sql),
+    ("q263_unigram_bytes", q263UnigramBytes _, q263Sql))
 
   /** Language-label confusion matrix: the `lang` column a source
     * CLAIMS against what the ROUTED predictor
@@ -1441,30 +1565,42 @@ object TextQueries {
     * (printable bytes map to themselves; the 68 others get 256 + their
     * rank in byte order). Yields the `(doc_id, ww)` select
     * [[bpeReplaySql]] consumes. */
-  private def byteUnitsWsSql(dirtySelect: String): String = {
-    val cp = "unicode(substr(pt, ci, 1))"
-    val bytesOf =
-      s"""CASE WHEN $cp < 128 THEN [$cp]
-         |     WHEN $cp < 2048 THEN [192 + $cp // 64, 128 + $cp % 64]
-         |     WHEN $cp < 65536 THEN [224 + $cp // 4096,
-         |       128 + ($cp // 64) % 64, 128 + $cp % 64]
-         |     ELSE [240 + $cp // 262144, 128 + ($cp // 4096) % 64,
-         |       128 + ($cp // 64) % 64, 128 + $cp % 64] END""".stripMargin
-    val unitOf =
-      """CASE WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
-        |       OR (b BETWEEN 174 AND 255) THEN b
-        |     WHEN b <= 32 THEN 256 + b
-        |     WHEN b BETWEEN 127 AND 160 THEN 162 + b
-        |     ELSE 323 END""".stripMargin
+  /** Code-point → UTF-8 byte list, pure integer arithmetic (the GPT-2
+    * byte expansion both engines replay). `cp` is a code-point SQL
+    * expression. */
+  private def utf8BytesSql(cp: String): String =
+    s"""CASE WHEN $cp < 128 THEN [$cp]
+       |     WHEN $cp < 2048 THEN [192 + $cp // 64, 128 + $cp % 64]
+       |     WHEN $cp < 65536 THEN [224 + $cp // 4096,
+       |       128 + ($cp // 64) % 64, 128 + $cp % 64]
+       |     ELSE [240 + $cp // 262144, 128 + ($cp // 4096) % 64,
+       |       128 + ($cp // 64) % 64, 128 + $cp % 64] END""".stripMargin
+
+  /** GPT-2 bytes_to_unicode as arithmetic over a byte variable `b`. */
+  private def byteUnitCaseSql: String =
+    """CASE WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+      |       OR (b BETWEEN 174 AND 255) THEN b
+      |     WHEN b <= 32 THEN 256 + b
+      |     WHEN b BETWEEN 127 AND 160 THEN 162 + b
+      |     ELSE 323 END""".stripMargin
+
+  /** Byte-unit escape of a single string expression `w` — [[graft.ml
+    * .Bpe.byteUnits]] verbatim in SQL: per code point the UTF-8 byte
+    * expansion, per byte the GPT-2 printable-unit remap. */
+  private def byteEscapeSql(w: String): String = {
+    val bytesOf = utf8BytesSql(s"unicode(substr($w, ci, 1))")
+    s"""array_to_string(
+       |      list_transform(
+       |        flatten(list_transform(range(1, len($w) + 1), ci -> $bytesOf)),
+       |        b -> chr($byteUnitCaseSql)), '')""".stripMargin
+  }
+
+  private def byteUnitsWsSql(dirtySelect: String): String =
     s"""SELECT doc_id, list_transform(
        |    regexp_extract_all(t,
        |      '''(?:s|t|d|m|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'),
-       |    pt -> array_to_string(
-       |      list_transform(
-       |        flatten(list_transform(range(1, len(pt) + 1), ci -> $bytesOf)),
-       |        b -> chr($unitOf)), '')) AS ww
+       |    pt -> ${byteEscapeSql("pt")}) AS ww
        |  FROM ($dirtySelect)""".stripMargin
-  }
 
   /** The q215 corpus: every doc's text with one mixed-script plant. */
   private def q215DirtySql: String = {

@@ -1001,4 +1001,44 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     // doc1's segmentation equals doc3's (the long word contributes nothing)
     assert(got(1L) == got(3L))
   }
+
+  test("byte-level unigram: non-Latin words enter the histogram as " +
+    "byte-unit escapes, the vocabulary learns multi-byte pieces, and " +
+    "learned pieces decode back to the original text") {
+    import spark.implicits._
+    // привет = 12 UTF-8 bytes; дом = 6 — both inside maxWord 18. The
+    // ASCII-domain path ([a-z0-9]+) sees NEITHER.
+    val d = Seq(
+      (1L, "привет дом the cat"),
+      (2L, "привет привет дом"),
+      (3L, "the cat привет")).toDF("doc_id", "text")
+    val vocab = Corpus.unigramLmTrain(d, "text", topV = 16, maxWord = 18,
+        seedMulti = 64, keepMulti = Seq(16, 12), maxPiece = 9,
+        byteLevel = true)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multi = vocab.map(_._1).filter(p => p.length >= 2 &&
+      p.exists(_ >= 128))
+    assert(multi.nonEmpty, vocab.map(_._1).mkString(", "))
+    // a learned multi-unit piece decodes to real Cyrillic text
+    val decoded = multi.map(p => new String(graft.ml.Bpe.unitBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8))
+    assert(decoded.exists(t => t.forall(c => c >= 'а' && c <= 'я')),
+      decoded.mkString(", "))
+    // serving: every doc segments; the escaped prefix contains
+    // non-ASCII units (the plants are at the front of the text)
+    val got = Corpus.unigramTokens(d, "doc_id", "text", topV = 16,
+        maxWord = 18, seedMulti = 64, keepMulti = Seq(16, 12),
+        maxPiece = 9, byteLevel = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L)._1 == 4 && got(2L)._1 == 3)
+    assert(got(1L)._3.exists(_ >= 128))
+    // the ASCII-domain path on the same corpus counts only the ASCII
+    // words — the byte fallback is what admits the rest
+    val ascii = Corpus.unigramTokens(d, "doc_id", "text", topV = 16,
+        maxWord = 18, seedMulti = 64, keepMulti = Seq(16, 12),
+        maxPiece = 9)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ascii(1L) == 2 && ascii(2L) == 0)
+  }
 }
