@@ -2088,7 +2088,7 @@ object Similarity {
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
         gridLongs(col("v")).as("g")))
     for (_ <- 1 to iters) {
-      val adj = cellCut(s.read.parquet(graphPath)
+      val adj = cellCut(readNswAdjacency(s, graphPath)
         .select(col("cell").cast("int").as("cell"), col("vec_id"),
           col("nbr"), col("d")))
       // undirected edges carry the stored exact distance (symmetric), so
@@ -2253,7 +2253,7 @@ object Similarity {
         col("node").as("nbr"), col("d"))
     val rev = fwd.select(col("cell"), col("nbr").as("vec_id"),
       col("vec_id").as("nbr"), col("d"))
-    val old = s.read.parquet(graphPath)
+    val old = readNswAdjacency(s, graphPath)
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
         col("nbr"), col("d"))
       .where(col("cell").isin(cellSet.map(Int.box): _*))
@@ -2277,14 +2277,16 @@ object Similarity {
       onlyCells: Option[Seq[Int]],
       exactCellCeiling: Int,
       randomInitCeiling: Int,
-      randomSweeps: Int): Unit = {
+      randomSweeps: Int,
+      memberFilter: Option[Column] = None): Unit = {
     require(exactCellCeiling >= 1,
       s"exactCellCeiling must be >= 1: $exactCellCeiling")
     // an exact-eligible cell never routes random: raising ONLY the
     // exact ceiling (the oracle fixtures' "force everything exact")
     // implicitly lifts the random ceiling with it
     val randCeil = math.max(randomInitCeiling.toLong, exactCellCeiling.toLong)
-    val all = s.read.parquet(s"$indexPath/vectors")
+    val read0 = s.read.parquet(s"$indexPath/vectors")
+    val all = memberFilter.fold(read0)(read0.where)
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
         gridLongs(col("v")).as("g"))
     val grid = onlyCells match {
@@ -2318,10 +2320,10 @@ object Similarity {
     var adjacency = exactAdj
     if (candCells.nonEmpty)
       adjacency = adjacency.unionByName(
-        candidateBoundedAdjacency(s, indexPath, candCells, m))
+        candidateBoundedAdjacency(s, indexPath, candCells, m, memberFilter))
     if (randomCells.nonEmpty)
       adjacency = adjacency.unionByName(
-        randomInitAdjacency(s, indexPath, randomCells, m))
+        randomInitAdjacency(s, indexPath, randomCells, m, memberFilter))
     adjacency
       .repartition(col("cell"))
       .write.mode("overwrite")
@@ -2350,7 +2352,8 @@ object Similarity {
       s: SparkSession,
       indexPath: String,
       cells: Set[Int],
-      m: Int): DataFrame = {
+      m: Int,
+      memberFilter: Option[Column] = None): DataFrame = {
     val books = readStoredBooks(s, indexPath)
     val residual = readIndexResidual(s, indexPath)
     val coarseL = s.read.parquet(s"$indexPath/coarse").orderBy("cell").collect()
@@ -2358,7 +2361,8 @@ object Similarity {
     val mPq = books.length
     val adcKernel = new graft.functions.PqAdcKernel(
       books.map(_.map(_.map(_.toDouble))))
-    val members = s.read.parquet(s"$indexPath/vectors")
+    val read0 = s.read.parquet(s"$indexPath/vectors")
+    val members = memberFilter.fold(read0)(read0.where)
       .where(col("cell").isin(cells.toSeq.map(Int.box): _*))
     val queries = members.select(col("cell").cast("int").as("cell"),
       col("vec_id"), gridLongs(col("v")).cast("array<double>").as("qgd"))
@@ -2418,12 +2422,14 @@ object Similarity {
       s: SparkSession,
       indexPath: String,
       cells: Map[Int, Long],
-      m: Int): DataFrame = {
+      m: Int,
+      memberFilter: Option[Column] = None): DataFrame = {
     import s.implicits._
     val buckets = broadcast(cells.toSeq.map { case (c, n) =>
         (c, math.max(1L, n / NswRandomInitGroupSize))
       }.toDF("cell", "__nb"))
-    val members = s.read.parquet(s"$indexPath/vectors")
+    val read0 = s.read.parquet(s"$indexPath/vectors")
+    val members = memberFilter.fold(read0)(read0.where)
       .where(col("cell").isin(cells.keys.toSeq.map(Int.box): _*))
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
         gridLongs(col("v")).as("g"))
@@ -2480,7 +2486,8 @@ object Similarity {
       nprobe: Int = 2,
       hops: Int = 3,
       beam: Int = 8,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      entrySeeds: Option[Seq[(Long, Int, Long)]] = None): DataFrame = {
     LightFusion.ensureRegistered(s)
     import s.implicits._
     val (probeRows, probeSchema) = trainedProbes(s, indexPath, q, nprobe)
@@ -2502,19 +2509,23 @@ object Similarity {
         .collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
         .toSeq
-    // entry node per probed cell (≤ |cellSet| rows)
-    val entryOf = grid.groupBy("cell").agg(min("node").as("node"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     val visited =
       scala.collection.mutable.LinkedHashMap[(Long, Int, Long), Long]()
     def absorb(rows: Seq[(Long, Int, Long, Long)]): Unit =
       rows.foreach { case (qi, c, n, d) =>
         visited.getOrElseUpdate((qi, c, n), d)
       }
-    absorb(score(probeRows.toSeq.flatMap { r =>
-      val c = r.getInt(cellIdx)
-      entryOf.get(c).map(e =>
-        (r.get(qIdIdx).asInstanceOf[Number].longValue(), c, e))
+    // seed: the caller's per-(query, cell) entries (the layered
+    // descent's handoff), or the flat default — one deterministic
+    // entry node per probed cell (lowest vec_id, ≤ |cellSet| rows)
+    absorb(score(entrySeeds.getOrElse {
+      val entryOf = grid.groupBy("cell").agg(min("node").as("node"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      probeRows.toSeq.flatMap { r =>
+        val c = r.getInt(cellIdx)
+        entryOf.get(c).map(e =>
+          (r.get(qIdIdx).asInstanceOf[Number].longValue(), c, e))
+      }
     }))
     for (_ <- 1 to hops) {
       val frontier = visited.toSeq
@@ -2619,6 +2630,20 @@ object Similarity {
           col("n_id"))
   }
 
+  /** Explicit-schema adjacency read: a graph or LAYER partition can be
+    * legitimately EMPTY (a layer whose level ≥ l slice has < 2 members
+    * writes only _SUCCESS — the planted fixtures' layer 2), and
+    * schema inference fails on a file-less directory. The stored shape
+    * is fixed, so every reader states it. */
+  private[graft] def readNswAdjacency(
+      s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.read.schema(StructType(Seq(
+        StructField("vec_id", LongType), StructField("nbr", LongType),
+        StructField("d", LongType), StructField("cell", IntegerType))))
+      .parquet(path)
+  }
+
   /** The walk's ONLY corpus-touching reads — vectors and adjacency of
     * the probed cells, partition-pruned (PlanSpec pins the filters:
     * without them every hop reads the corpus and the O(hops·beam·m)
@@ -2632,7 +2657,7 @@ object Similarity {
       .select(col("vec_id").as("node"), col("cell").cast("int").as("cell"),
         gridLongs(col("v")).as("g"))
       .where(col("cell").isin(cellSet.map(Int.box): _*))
-    val adj = s.read.parquet(graphPath)
+    val adj = readNswAdjacency(s, graphPath)
       .select(col("cell").cast("int").as("cell"),
         col("vec_id").as("node"), col("nbr"))
       .where(col("cell").isin(cellSet.map(Int.box): _*))
@@ -2674,5 +2699,356 @@ object Similarity {
       e.where(col("vec_id") < numQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv")),
       k, nprobe, hops, beam)
+  }
+
+  // ──────────────────────────────────────────────────────────────────
+  // LAYERED ENTRY POINTS — the HNSW hierarchy over the per-cell NSW
+  // graphs. SCALE.md's round-14 profile measures the flat walk's
+  // recall@5 decaying 0.96 → 0.72 as cells grow 5k → 50k at a fixed
+  // (hops, beam) budget: a single min-id entry node is a random point
+  // in the cell, and the budget can't navigate a 6k-member graph from
+  // it. The standard fix (Malkov & Yashunin's HNSW): each vector gets
+  // a deterministic LEVEL with P(level ≥ l) = branch^-l; layer l keeps
+  // its own NSW adjacency over the level ≥ l members of each cell; a
+  // query descends — greedy walk at the top layer over ~n/branch^L
+  // members, the best node found seeds the next layer down — so the
+  // layer-0 beam walk starts NEAR the query instead of at the cell's
+  // min id. Levels are pure integer arithmetic on vec_id (a Lehmer
+  // step — no RNG state, no ln), so the whole descent replays in SQL
+  // (q264's oracle) and refresh ≡ rebuild extends to every layer.
+  // ──────────────────────────────────────────────────────────────────
+
+  /** Level-decay branch: layer l holds an expected 1/branch^l of the
+    * members. 8 keeps upper layers small enough that a mega-cell's
+    * layer 1 usually fits the exact/candidate build forms. */
+  val NswLayerBranch: Int = 8
+
+  /** Default top layer. Two layers over a 1M-member cell give ~15.6k
+    * layer-1 and ~2k layer-2 members — the descent reaches a
+    * near-query region in O(hopsUp · beamUp · m) scored nodes/layer. */
+  val NswMaxLayer: Int = 2
+
+  /** Deterministic layer level of a vector id: one Lehmer/MINSTD step
+    * `h = ((vec_id % 2147483647) · 48271) % 2147483647`, then the
+    * largest `l ≤ maxLayer` with `h % branch^l == 0` — P(level ≥ l) ≈
+    * branch^-l, membership NESTED by construction (branch^l | h ⇒
+    * branch^(l-1) | h for branch ≥ 2... true since branch^(l-1)
+    * divides branch^l). Integer-only and id-pure, so the q264 oracle
+    * replays it as plain BIGINT arithmetic and a vector's level never
+    * changes across appends/refreshes. The pre-mod keeps the product
+    * under 2^47 — no overflow in Spark longs or DuckDB BIGINTs at any
+    * realistic id. */
+  private[graft] def nswLevel(
+      vecId: Column,
+      maxLayer: Int = NswMaxLayer,
+      branch: Int = NswLayerBranch): Column = {
+    val h = pmod(pmod(vecId.cast("long"), lit(2147483647L)) * lit(48271L),
+      lit(2147483647L))
+    val pows = Seq.iterate(branch.toLong, maxLayer)(_ * branch)
+    (1 to maxLayer).foldLeft(lit(0)) { (acc, l) =>
+      when(h % lit(pows(l - 1)) === 0L, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Build the layer adjacencies (`layersPath/layer=l`, l = 1..
+    * maxLayer) beside a base graph: per layer, the SAME three-form
+    * routed build ([[buildNswGraphAt]]) restricted to the cell's
+    * level ≥ l members — a mega-cell's layer 1 is 1/branch of it and
+    * usually lands on the exact/candidate form, and each layer's cost
+    * shrinks geometrically, so the whole hierarchy adds < 1/(branch-1)
+    * of the base build. Routing per (layer, cell) is
+    * count-deterministic over the FILTERED members, so
+    * [[refreshNswLayersCells]] reproduces it exactly. */
+  def buildNswLayersAt(
+      s: SparkSession,
+      indexPath: String,
+      layersPath: String,
+      m: Int = 6,
+      maxLayer: Int = NswMaxLayer,
+      branch: Int = NswLayerBranch,
+      exactCellCeiling: Int = NswExactCellCeiling,
+      randomInitCellCeiling: Int = NswRandomInitCellCeiling,
+      randomInitSweeps: Int = 3): Unit = {
+    require(maxLayer >= 1, s"maxLayer must be >= 1: $maxLayer")
+    require(branch >= 2, s"branch must be >= 2: $branch")
+    for (l <- 1 to maxLayer)
+      writeNswAdjacency(s, indexPath, s"$layersPath/layer=$l", m, None,
+        exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
+        memberFilter =
+          Some(nswLevel(col("vec_id"), maxLayer, branch) >= l))
+  }
+
+  /** Layer maintenance, [[refreshNswGraphCells]] per layer: rebuild
+    * ONLY the named cells' partitions of each layer adjacency from the
+    * index's current level ≥ l members (dynamic overwrite + the same
+    * ≤ 1-member stale-partition sweep). Levels are id-pure, so a
+    * refreshed hierarchy is bit-equal to a fresh [[buildNswLayersAt]]
+    * wherever the per-cell form is exact. */
+  def refreshNswLayersCells(
+      s: SparkSession,
+      indexPath: String,
+      layersPath: String,
+      cells: Seq[Int],
+      m: Int = 6,
+      maxLayer: Int = NswMaxLayer,
+      branch: Int = NswLayerBranch,
+      exactCellCeiling: Int = NswExactCellCeiling,
+      randomInitCellCeiling: Int = NswRandomInitCellCeiling,
+      randomInitSweeps: Int = 3): Unit = {
+    if (cells.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(layersPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    for (l <- 1 to maxLayer) {
+      val p = s"$layersPath/layer=$l"
+      val f = nswLevel(col("vec_id"), maxLayer, branch) >= l
+      writeNswAdjacency(s, indexPath, p, m, Some(cells),
+        exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
+        memberFilter = Some(f))
+      // same contract as refreshNswGraphCells: a refreshed (layer,
+      // cell) that now has ≤ 1 eligible member writes no rows and
+      // must not keep stale files
+      val live = s.read.parquet(s"$indexPath/vectors").where(f)
+        .where(col("cell").isin(cells.map(Int.box): _*))
+        .groupBy(col("cell").cast("int").as("__c"))
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+        .collect().map(_.getInt(0)).toSet
+      cells.filterNot(live.contains).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$p/cell=$c"), true)
+      }
+    }
+  }
+
+  /** Incremental layer insert, [[insertIntoNswGraph]] per layer: each
+    * batch vector whose level reaches layer l walks that layer's
+    * pre-batch adjacency to its m nearest level ≥ l neighbors (the
+    * walk only ever visits layer members — the frontier expands the
+    * layer adjacency). Cost ∝ the batch's level ≥ l slice, which
+    * shrinks geometrically, so maintaining the whole hierarchy costs
+    * ~1/(branch-1) more than the base insert. */
+  def insertIntoNswLayers(
+      s: SparkSession,
+      indexPath: String,
+      layersPath: String,
+      newIds: DataFrame,
+      m: Int = 6,
+      maxLayer: Int = NswMaxLayer,
+      branch: Int = NswLayerBranch,
+      hops: Int = 3,
+      beam: Int = 8): Unit = {
+    val ids = newIds
+      .select(col(newIds.columns.head).cast("long").as("vec_id"))
+    for (l <- 1 to maxLayer)
+      insertIntoNswGraph(s, indexPath, s"$layersPath/layer=$l",
+        ids.where(nswLevel(col("vec_id"), maxLayer, branch) >= l),
+        m, hops, beam)
+  }
+
+  /** LAYERED graph search — the serving-side half of the hierarchy:
+    * route to nprobe cells as the flat walk does, but instead of
+    * seeding the layer-0 beam walk at the cell's min-id entry, DESCEND:
+    * start at the cell's top-layer entry (lowest vec_id among its
+    * highest-populated layer — the `coalesce` chain the oracle
+    * replays), greedy-walk each upper layer for `hopsUp` hops at beam
+    * `beamUp` over that layer's adjacency, and hand the best `beamUp`
+    * nodes found down a layer; the final handoff PLUS the flat min-id entry
+    * seed [[nswSearchStored]] (the dual seed: near-query start without
+    * giving up the flat walk's start diversity). Upper-layer walks on
+    * cells with no layer-l members are no-ops (the pruned layer
+    * adjacency has no rows there) — the seed just falls through,
+    * deterministically on both sides of the oracle.
+    *
+    * Scale shape: identical to the flat walk — all descent state is
+    * bounded (≤ nq·nprobe·(1 + hopsUp·beamUp·m) rows per layer, driver
+    * -held), every job is a broadcast of that state against the
+    * partition-pruned layer reads, and the extra cost per query is
+    * O(maxLayer · hopsUp · beamUp · m) distance evaluations — the
+    * price of starting the layer-0 walk near the query instead of at
+    * a fixed entry, which is what keeps recall flat as cells grow
+    * (SCALE.md's round-14 layered-vs-flat table). */
+  def nswSearchLayered(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      layersPath: String,
+      q: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 2,
+      hops: Int = 3,
+      beam: Int = 8,
+      maxLayer: Int = NswMaxLayer,
+      branch: Int = NswLayerBranch,
+      hopsUp: Int = 3,
+      beamUp: Int = 4,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    import s.implicits._
+    val (probeRows, probeSchema) = trainedProbes(s, indexPath, q, nprobe)
+    val cellIdx = probeSchema.fieldIndex("cell")
+    val qIdIdx = probeSchema.fieldIndex("q_id")
+    val cellSet = probeRows.map(_.getInt(cellIdx)).distinct.sorted
+    val probesDf = broadcast(s.createDataFrame(
+        java.util.Arrays.asList(probeRows: _*), probeSchema)
+      .select(col("q_id").cast("long").as("q_id"), col("qg"), col("cell")))
+    val (grid, _) = nswPrunedReads(s, indexPath, graphPath, cellSet)
+    def score(cands: Seq[(Long, Int, Long)]): Seq[(Long, Int, Long, Long)] =
+      if (cands.isEmpty) Seq.empty
+      else cands.toDF("q_id", "cell", "node")
+        .join(probesDf, Seq("q_id", "cell"))
+        .join(grid, Seq("cell", "node"))
+        .select(col("q_id"), col("cell"), col("node"),
+          gridDist(col("qg"), col("g")).as("d"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    // top entry per cell: lowest id of the highest layer that has any
+    // member there, falling through layer by layer to the flat min
+    val lvl = nswLevel(col("node"), maxLayer, branch)
+    val entryOf = grid.groupBy("cell").agg(
+        coalesce((maxLayer to 1 by -1).map(l =>
+          min(when(lvl >= l, col("node")))) :+ min(col("node")): _*)
+          .as("node"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    var entries: Seq[(Long, Int, Long, Long)] =
+      score(probeRows.toSeq.flatMap { r =>
+        val c = r.getInt(cellIdx)
+        entryOf.get(c).map(e =>
+          (r.get(qIdIdx).asInstanceOf[Number].longValue(), c, e))
+      })
+    for (l <- maxLayer to 1 by -1) {
+      val ladj = readNswAdjacency(s, s"$layersPath/layer=$l")
+        .select(col("cell").cast("int").as("cell"),
+          col("vec_id").as("node"), col("nbr"))
+        .where(col("cell").isin(cellSet.map(Int.box): _*))
+      val visited =
+        scala.collection.mutable.LinkedHashMap[(Long, Int, Long), Long]()
+      entries.foreach { case (qi, c, n, d) => visited((qi, c, n)) = d }
+      for (_ <- 1 to hopsUp) {
+        val frontier = visited.toSeq
+          .groupBy { case ((qi, c, _), _) => (qi, c) }
+          .toSeq.flatMap { case (_, members) =>
+            members.sortBy { case ((_, _, n), d) => (d, n) }.take(beamUp)
+              .map { case ((qi, c, n), _) => (qi, c, n) }
+          }
+        val expanded =
+          if (frontier.isEmpty) Seq.empty[(Long, Int, Long)]
+          else frontier.toDF("q_id", "cell", "node")
+            .join(ladj, Seq("cell", "node"))
+            .select(col("q_id"), col("cell"), col("nbr").as("node"))
+            .distinct()
+            .collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+        score(expanded.filterNot { case (qi, c, n) =>
+          visited.contains((qi, c, n))
+        }).foreach { case (qi, c, n, d) =>
+          visited.getOrElseUpdate((qi, c, n), d)
+        }
+      }
+      // handoff: the best `beamUp` visited nodes per (query, cell) —
+      // carrying a single node down loses every runner-up basin, and
+      // on clustered corpora (where upper layers are the only
+      // cluster-crossing edges) that halves recall at mega-cells
+      entries = visited.toSeq
+        .groupBy { case ((qi, c, _), _) => (qi, c) }
+        .toSeq.flatMap { case ((qi, c), members) =>
+          members.sortBy { case ((_, _, nn), dd) => (dd, nn) }
+            .take(beamUp)
+            .map { case ((_, _, n), d) => (qi, c, n, d) }
+        }
+    }
+    // DUAL seed: the descent handoff PLUS the flat min-id entry. The
+    // handoff concentrates the walk near the query; the flat entry
+    // keeps the start diversity the flat walk had — without it a
+    // handoff into a deceptive basin (distance-concentrated noise)
+    // can do WORSE than the flat walk at the same budget (the scratch
+    // profile measured exactly that). Duplicate (q, cell, node) seeds
+    // collapse in the visited map.
+    val flatEntryOf = grid.groupBy("cell").agg(min("node").as("node"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val flatSeeds = probeRows.toSeq.flatMap { r =>
+      val c = r.getInt(cellIdx)
+      flatEntryOf.get(c).map(e =>
+        (r.get(qIdIdx).asInstanceOf[Number].longValue(), c, e))
+    }
+    nswSearchStored(s, indexPath, graphPath, q, k, nprobe, hops, beam,
+      allowed,
+      entrySeeds = Some(
+        entries.map { case (qi, c, n, _) => (qi, c, n) } ++ flatSeeds))
+  }
+
+  /** Census-sized walk budget: the round-14 profile shows a FIXED
+    * (hops, beam) budget's recall decaying as cells grow (flat walk
+    * 0.36 → 0.00 at 10× on the clustered corpus), so a deployment must
+    * grow the budget with its cell census. The ladder: cells up to
+    * `baseCell` members use (baseHops, baseBeam); every 8× beyond adds
+    * one hop and doubles the beam (beam doubling capped at 16× —
+    * beyond that, layers or nprobe are the right lever, not brute
+    * beam width). Integer-deterministic, so an oracle can replay the
+    * selected budget from the same census. */
+  def nswAutoBudget(
+      maxCell: Long,
+      baseHops: Int = 3,
+      baseBeam: Int = 8,
+      baseCell: Long = 512): (Int, Int) = {
+    var b = baseCell
+    var extra = 0
+    while (maxCell > b && extra < 8) { b *= 8; extra += 1 }
+    (baseHops + extra, baseBeam << math.min(extra, 4))
+  }
+
+  /** [[nswSearchStored]] with the budget sized from the index's own
+    * cell census — ONE bounded aggregate (≤ nlist groups), then the
+    * walk. The serving-side application of SCALE.md's sizing rule. */
+  def nswSearchAutoBudget(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      q: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 2,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val maxCell = s.read.parquet(s"$indexPath/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(max("n")).collect()(0).getLong(0)
+    val (hops, beam) = nswAutoBudget(maxCell)
+    nswSearchStored(s, indexPath, graphPath, q, k, nprobe, hops, beam,
+      allowed)
+  }
+
+  private val nswLayerStore = new ConcurrentHashMap[(String, Int), String]
+
+  /** Build-once layer hierarchy beside the memoized base graph (one
+    * build serves every layered entry in a JVM). */
+  def nswLayers(s: SparkSession, dir: String, m: Int = 6): String =
+    nswLayerStore.computeIfAbsent((dir, m), _ => {
+      val idx = trainedIvfPqIndex(s, dir, nlist = 8, m = 4, ks = 8,
+        trainSample = 64, iters = 2)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_nswlyr_" +
+        s"${Bucketing.dirTag(dir)}_m$m"
+      buildNswLayersAt(s, idx, base, m)
+      base
+    })
+
+  /** [[nswTopK]]'s layered sibling — the q264 serving shape. */
+  def nswTopKLayered(
+      s: SparkSession,
+      dir: String,
+      numQueries: Int = 5,
+      k: Int = 5,
+      nprobe: Int = 2,
+      hops: Int = 3,
+      beam: Int = 8,
+      m: Int = 6,
+      hopsUp: Int = 3,
+      beamUp: Int = 4): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val idx = trainedIvfPqIndex(s, dir, nlist = 8, m = 4, ks = 8,
+      trainSample = 64, iters = 2)
+    val graph = nswGraph(s, dir, m)
+    val layers = nswLayers(s, dir, m)
+    val e = withDoubles(s.read.parquet(s"$dir/embeddings.parquet"))
+    nswSearchLayered(s, idx, graph, layers,
+      e.where(col("vec_id") < numQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")),
+      k, nprobe, hops, beam, hopsUp = hopsUp, beamUp = beamUp)
   }
 }

@@ -945,6 +945,9 @@ object PipelineQueries {
     ("q260_graph_refine", q260GraphRefine _, q247Sql),
     ("q261_graph_insert", q261GraphInsert _, q247Sql),
     ("q262_routed_retrieve", q262RoutedRetrieve _, q262Sql),
+    ("q264_layered_graph", q264LayeredGraph _, q264Sql),
+    ("q265_reranked_retrieval", q265RerankedRetrieval _, q265Sql),
+    ("q266_auto_budget_walk", q266AutoBudgetWalk _, q266Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3026,25 +3029,37 @@ object PipelineQueries {
   def q247Sql: String = nswReplaySql(nq = 5, k = 5, nlist = 8,
     nprobe = 2, m = 6, hops = 3, beam = 8)
 
+  /** One beam-walk hop unrolled as CTEs (`{p}f/{p}n/{p}s/{p}v`):
+    * frontier = per-(query, cell) beam best of the visited set, expand
+    * the named adjacency, score by exact grid L2 against `qq`/`cg`,
+    * union-min back into the visited set. Prefix "" + adj "adj" is
+    * q247's flat walk verbatim; the layered replay reuses the template
+    * per layer (`y2…`/`y1…` on `adj2`/`adj1`). */
+  private def nswHopCtes(
+      p: String, adjName: String, hops: Int, beam: Int): String = {
+    def dist(a: String, b: String) = gridDistSql(a, b, 64)
+    (1 to hops).map { i =>
+      s"""${p}f${i - 1} AS (SELECT q_id, cell, node FROM (
+         |    SELECT q_id, cell, node,
+         |      row_number() OVER (PARTITION BY q_id, cell ORDER BY d, node) AS rn
+         |    FROM ${p}v${i - 1}) z WHERE rn <= $beam),
+         |${p}n$i AS (SELECT DISTINCT f.q_id, f.cell, a.nbr AS node
+         |  FROM ${p}f${i - 1} f JOIN $adjName a ON a.cell = f.cell AND a.vec_id = f.node),
+         |${p}s$i AS (SELECT n.q_id, n.cell, n.node, ${dist("qq.q", "g.g")} AS d
+         |  FROM ${p}n$i n JOIN qq ON qq.q_id = n.q_id
+         |  JOIN cg g ON g.vec_id = n.node),
+         |${p}v$i AS (SELECT q_id, cell, node, min(d) AS d FROM (
+         |    SELECT q_id, cell, node, d FROM ${p}v${i - 1}
+         |    UNION ALL SELECT q_id, cell, node, d FROM ${p}s$i) u
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+  }
+
   private def nswReplaySql(
       nq: Int, k: Int, nlist: Int, nprobe: Int,
       m: Int, hops: Int, beam: Int, filterSql: String = ""): String = {
     def dist(a: String, b: String) = gridDistSql(a, b, 64)
-    val hopCtes = (1 to hops).map { i =>
-      s"""f${i - 1} AS (SELECT q_id, cell, node FROM (
-         |    SELECT q_id, cell, node,
-         |      row_number() OVER (PARTITION BY q_id, cell ORDER BY d, node) AS rn
-         |    FROM v${i - 1}) z WHERE rn <= $beam),
-         |n$i AS (SELECT DISTINCT f.q_id, f.cell, a.nbr AS node
-         |  FROM f${i - 1} f JOIN adj a ON a.cell = f.cell AND a.vec_id = f.node),
-         |s$i AS (SELECT n.q_id, n.cell, n.node, ${dist("qq.q", "g.g")} AS d
-         |  FROM n$i n JOIN qq ON qq.q_id = n.q_id
-         |  JOIN cg g ON g.vec_id = n.node),
-         |v$i AS (SELECT q_id, cell, node, min(d) AS d FROM (
-         |    SELECT q_id, cell, node, d FROM v${i - 1}
-         |    UNION ALL SELECT q_id, cell, node, d FROM s$i) u
-         |  GROUP BY 1, 2, 3)""".stripMargin
-    }.mkString(",\n")
+    val hopCtes = nswHopCtes("", "adj", hops, beam)
     s"""WITH $trainedBaseCtes,
        |${trainedCoarseCtes(nq, nlist, nprobe)},
        |cg AS (SELECT c.vec_id, c.cell, e.q AS g
@@ -3068,6 +3083,200 @@ object PipelineQueries {
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  /** The LAYERED walk's full replay ([[Similarity.nswSearchLayered]]):
+    * q247's flat replay plus (a) the Lehmer level assignment
+    * (`((vec_id % 2147483647) * 48271) % 2147483647`, level = largest
+    * l with branch^l | h — pure BIGINT arithmetic), (b) one exact
+    * per-cell adjacency per layer over its level ≥ l members, (c) the
+    * coalesce-chain top entry (lowest id of the highest populated
+    * layer), (d) each upper layer's greedy walk unrolled with the SAME
+    * hop template at (hopsUp, beamUp), handing its best beamUp
+    * (d, node) rows down as the next layer's seed, and (e) the flat
+    * layer-0 walk
+    * DUAL-seeded by the final handoff unioned with the flat min-id
+    * entry (`ent0`). */
+  private def nswLayeredReplaySql(
+      nq: Int, k: Int, nlist: Int, nprobe: Int,
+      m: Int, hops: Int, beam: Int,
+      maxLayer: Int = 2, branch: Int = 8,
+      hopsUp: Int = 3, beamUp: Int = 4): String = {
+    def dist(a: String, b: String) = gridDistSql(a, b, 64)
+    val pows = Seq.iterate(branch.toLong, maxLayer)(_ * branch)
+    val lvlCase = (maxLayer to 1 by -1)
+      .map(l => s"WHEN hh % ${pows(l - 1)} = 0 THEN $l")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val layerAdjCtes = (1 to maxLayer).map { l =>
+      s"""cgl$l AS (SELECT vec_id, cell, g FROM cgl WHERE lvl >= $l),
+         |adjd$l AS (SELECT a.cell, a.vec_id, b.vec_id AS nbr,
+         |    ${dist("a.g", "b.g")} AS d
+         |  FROM cgl$l a JOIN cgl$l b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |adj$l AS (SELECT cell, vec_id, nbr FROM (
+         |    SELECT cell, vec_id, nbr,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, nbr) AS rn
+         |    FROM adjd$l) z WHERE rn <= $m)""".stripMargin
+    }.mkString(",\n")
+    val entChain = ((maxLayer to 1 by -1)
+      .map(l => s"min(CASE WHEN lvl >= $l THEN vec_id END)") :+
+      "min(vec_id)").mkString(",\n    ")
+    def handoff(src: String): String =
+      s"""SELECT q_id, cell, node, d FROM (
+         |    SELECT q_id, cell, node, d,
+         |      row_number() OVER (PARTITION BY q_id, cell ORDER BY d, node) AS rn
+         |    FROM $src) z WHERE rn <= $beamUp""".stripMargin
+    val upperCtes = (maxLayer to 1 by -1).map { l =>
+      val seed =
+        if (l == maxLayer)
+          s"""y${l}v0 AS (SELECT p.q_id, p.cell, e.node, ${dist("qq.q", "g.g")} AS d
+             |  FROM probes p JOIN ent e ON e.cell = p.cell
+             |  JOIN qq ON qq.q_id = p.q_id JOIN cg g ON g.vec_id = e.node)""".stripMargin
+        else s"y${l}v0 AS (${handoff(s"y${l + 1}v$hopsUp")})"
+      seed + ",\n" + nswHopCtes(s"y$l", s"adj$l", hopsUp, beamUp)
+    }.mkString(",\n")
+    s"""WITH $trainedBaseCtes,
+       |${trainedCoarseCtes(nq, nlist, nprobe)},
+       |cg AS (SELECT c.vec_id, c.cell, e.q AS g
+       |  FROM cells c JOIN eq e USING (vec_id)),
+       |cgl AS (SELECT vec_id, cell, g, $lvlCase AS lvl
+       |  FROM (SELECT vec_id, cell, g,
+       |      ((vec_id % 2147483647) * 48271) % 2147483647 AS hh FROM cg) t),
+       |adjd AS (SELECT a.cell, a.vec_id, b.vec_id AS nbr,
+       |    ${dist("a.g", "b.g")} AS d
+       |  FROM cg a JOIN cg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |adj AS (SELECT cell, vec_id, nbr FROM (
+       |    SELECT cell, vec_id, nbr,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, nbr) AS rn
+       |    FROM adjd) z WHERE rn <= $m),
+       |$layerAdjCtes,
+       |ent AS (SELECT cell, coalesce(
+       |    $entChain) AS node
+       |  FROM cgl GROUP BY cell),
+       |ent0 AS (SELECT cell, min(vec_id) AS node FROM cg GROUP BY cell),
+       |$upperCtes,
+       |v0 AS (SELECT q_id, cell, node, min(d) AS d FROM (
+       |    SELECT q_id, cell, node, d FROM (${handoff(s"y1v$hopsUp")}) h
+       |    UNION ALL
+       |    SELECT p.q_id, p.cell, e.node, ${dist("qq.q", "g.g")} AS d
+       |    FROM probes p JOIN ent0 e ON e.cell = p.cell
+       |    JOIN qq ON qq.q_id = p.q_id JOIN cg g ON g.vec_id = e.node) u
+       |  GROUP BY 1, 2, 3),
+       |${nswHopCtes("", "adj", hops, beam)}
+       |SELECT q_id, rank, n_id, CAST(d AS BIGINT) AS d FROM (
+       |  SELECT q_id, node AS n_id, d,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d, node) AS rank
+       |  FROM v$hops WHERE node <> q_id) x
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** LAYERED graph ANN ([[Similarity.nswTopKLayered]] — the HNSW
+    * hierarchy over the per-cell graphs): deterministic Lehmer levels,
+    * per-layer adjacencies, greedy top-down descent seeding the
+    * layer-0 beam walk at a near-query node instead of the cell's
+    * min-id entry. SCALE.md's round-14 profile is the motivation: the
+    * flat walk's recall@5 decays 0.96 → 0.72 as cells grow 5k → 50k
+    * at a fixed budget; the descent buys back most of that for
+    * O(maxLayer·hopsUp·beamUp·m) extra scored nodes per query. The
+    * oracle replays the ENTIRE lifecycle — levels, every layer's
+    * build, the coalesce-chain entry, both upper-layer walks, and the
+    * handed-off flat walk — as unrolled CTEs. */
+  def q264LayeredGraph(s: SparkSession, dir: String): DataFrame =
+    Similarity.nswTopKLayered(s, dir, numQueries = 5, k = 5, nprobe = 2,
+      hops = 3, beam = 8, m = 6, hopsUp = 3, beamUp = 4)
+
+  def q264Sql: String = nswLayeredReplaySql(nq = 5, k = 5, nlist = 8,
+    nprobe = 2, m = 6, hops = 3, beam = 8)
+
+  /** RETRIEVE-THEN-RERANK — the production serving composition the
+    * reference's two surfaces exist for, fused: dense first-stage
+    * retrieval from the stored trained IVF-PQ index (q212's path,
+    * k=10), then a LIGHTGBM SCORER (the reference's `CREATE FUNCTION`
+    * forest, q20's `emb_reg` fixture) reranks each (query, candidate)
+    * pair on features built from the retrieval signals — cosine and
+    * first-stage rank — and the top 5 by reranker score serve. The
+    * forest's leaf values are dyadic rationals and the features are
+    * exact doubles (cos is the replayed ratio, rank/8 and rank/10 are
+    * dyadic-or-exact), so the oracle replays retrieval AND the forest
+    * (as q20's CASE re-expression with the feature expressions
+    * substituted) bit-for-bit. */
+  def q265RerankedRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    InferenceQueries.ensure(s, "graft_emb_reg", "/models/emb_reg.lgbm")
+    val dense = Similarity.trainedIvfPqProbeStored(s, idx,
+      e.where(col("vec_id") < 5).selectExpr("vec_id as q_id", "v as qv"),
+      e.selectExpr("vec_id as n_id", "v"), k = 10, nprobe = 3,
+      refine = 32)
+    // the fixture forest reads features 0..4; the model declares 64
+    // inputs (it was trained on embedding-width rows), so pad with
+    // zeros — the oracle's CASE re-expression touches only f0..f4
+    val feats = concat(array(
+        col("cos") - lit(0.5),
+        col("rank") / lit(8.0) - lit(0.5),
+        -col("cos"),
+        col("rank") / lit(10.0) - lit(0.4),
+        lit(0.25) - col("cos")),
+      array_repeat(lit(0.0), 59))
+    val scored = dense.select(col("q_id"), col("n_id"),
+      col("rank").as("pre_rank"),
+      element_at(call_udf("graft_emb_reg", feats), 1).as("rr_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("rr_score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select("q_id", "rank", "n_id", "pre_rank", "rr_score")
+      .presentSorted("q_id", "rank")
+  }
+
+  def q265Sql: String = {
+    val d = trainedIvfPqReplaySql(nq = 5, k = 10, nlist = 8, nprobe = 3,
+      ks = 8, refine = 32)
+    // emb_reg.lgbm re-expressed (q20Sql's CASE) over substituted
+    // feature expressions: f0..f4 = the rerank features
+    def forest(f: Seq[String]): String =
+      s"""(CASE WHEN (${f(0)}) <= 0 THEN (CASE WHEN (${f(1)}) <= 0.05 THEN 0.25 ELSE -0.125 END) ELSE 0.5 END)
+         |  + (CASE WHEN (${f(2)}) <= -0.02 THEN 0.0625 ELSE -0.0625 END)
+         |  + (CASE WHEN (${f(3)}) <= 0.1 THEN 0.03125 ELSE (CASE WHEN (${f(4)}) <= 0 THEN 0.09375 ELSE -0.046875 END) END)""".stripMargin
+    val score = forest(Seq("cos - 0.5", "rank / 8.0 - 0.5", "-cos",
+      "rank / 10.0 - 0.4", "0.25 - cos"))
+    s"""WITH d AS ($d),
+       |sc AS (SELECT q_id, n_id, rank AS pre_rank,
+       |  $score AS rr_score FROM d)
+       |SELECT q_id, rank, n_id, pre_rank, rr_score FROM (
+       |  SELECT q_id, n_id, pre_rank, rr_score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rr_score DESC, n_id) AS rank
+       |  FROM sc) z
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** CENSUS-SIZED walk budget — SCALE.md's round-14 decay table as an
+    * operator ([[Similarity.nswSearchAutoBudget]]): the fixed (3, 8)
+    * budget's recall decays as cells grow, so the deployment rule
+    * ("grow the budget ~logarithmically with the cell census") must be
+    * applied by code, not prose — one bounded aggregate reads the max
+    * cell size, the 8×-growth ladder picks (hops, beam), the walk
+    * runs. The oracle replays the walk at the budget the gate corpus's
+    * census selects AND splices the census predicate into the final
+    * cut — a mis-sized budget (not just a wrong walk) fails the hash,
+    * q262's routing-gate pattern. */
+  def q266AutoBudgetWalk(s: SparkSession, dir: String): DataFrame = {
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = Similarity.nswGraph(s, dir, m = 6)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    Similarity.nswSearchAutoBudget(s, idx, graph,
+      e.where(col("vec_id") < 5).selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2)
+  }
+
+  def q266Sql: String = nswReplaySql(nq = 5, k = 5, nlist = 8,
+    nprobe = 2, m = 6, hops = 3, beam = 8,
+    filterSql = "\n    AND (SELECT max(cnt) FROM (SELECT count(*)" +
+      " AS cnt FROM cells GROUP BY cell) zc) <= 512")
 
   /** Filtered graph search — q223's RAG/ACL contract on the graph
     * path: only an allow-list's members may be retrieved (here

@@ -32,14 +32,33 @@ import graft.operators.{Similarity, TopK}
   */
 object ProfileNswBuild {
 
-  /** Deterministic unstructured 64-dim corpus — integer hash mix per
-    * (id, dim), grid-aligned so build arithmetic matches testdata's. */
+  /** Deterministic CLUSTERED 64-dim corpus — n/100 Murmur3-placed
+    * cluster centers (coordinates ±0.8), members jittered ±0.1,
+    * grid-aligned so build arithmetic matches testdata's.
+    *
+    * Round-14 corrections, in order of severity: (1) the previous
+    * corpus was a polynomial mix — PERIODIC in vec_id mod 2048 (any
+    * integer polynomial is, mod 2^k), so every vector recurred every
+    * 2048 ids and "recall" partly measured finding exact duplicates;
+    * (2) queries were vec_id < 5, which are also the min-id ENTRY
+    * nodes of their cells, so the flat walk was seeded AT the query —
+    * a rigged baseline (mid-range ids now); (3) pure uniform noise is
+    * the distance-concentration regime where NO sub-linear method
+    * retrieves anything (measured: recall@5 ≈ 0.08 for every form at
+    * 50k) — it profiles build cost fine but says nothing about
+    * serving. Real embedding corpora are clustered manifolds; this
+    * one is, and it also exposes the m-NN graph's ISLAND structure
+    * (edges stay intra-cluster), which is exactly what layered entry
+    * points exist to cross. */
   private def synth(s: SparkSession, n: Long) = {
+    val nClusters = math.max(8L, n / 100)
     s.range(n).toDF("vec_id")
+      .withColumn("cl",
+        pmod(hash(col("vec_id")).cast("long"), lit(nClusters)))
       .select(col("vec_id"), transform(sequence(lit(0), lit(63)), d =>
-        ((pmod(col("vec_id") * lit(2654435761L) + d * lit(40503L)
-          + (col("vec_id") + d) * (col("vec_id") + lit(17L)),
-          lit(2048L)) - lit(1024L)) / lit(1024.0)).cast("double")).as("v"))
+        ((pmod(hash(col("cl"), d).cast("long"), lit(1638L)) - lit(819L)
+          + pmod(hash(col("vec_id"), d, lit(7)).cast("long"), lit(205L))
+          - lit(102L)) / 1024.0).cast("double")).as("v"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -70,7 +89,10 @@ object ProfileNswBuild {
         randomInitCellCeiling = 1))
       val tRefine = time(Similarity.refineNswGraphAt(spark, idx,
         s"$root/g_cand_$n", m = 6, iters = 1))
-      val q = emb.where(col("vec_id") < 5)
+      // MID-RANGE query ids (round-14 correction): ids 0..4 are also
+      // the min-id entry nodes of their cells, so the flat walk was
+      // being seeded AT the query — a rigged baseline
+      val q = emb.where(col("vec_id") >= n / 2 && col("vec_id") < n / 2 + 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val tSearch = time(Similarity.nswSearchStored(spark, idx,
         s"$root/g_cand_$n", q, k = 5, nprobe = 2, hops = 3, beam = 8))
@@ -97,6 +119,22 @@ object ProfileNswBuild {
       val rCand = recall(s"$root/g_cand_$n")
       val rRand = recall(s"$root/g_rand_$n")
       println(f"[nsw-scale] n=$n%6d exact=$tExact%8.1fs candidate=$tCand%8.1fs random=$tRand%8.1fs refine=$tRefine%7.1fs search=$tSearch%6.1fs recall@5 cand=$rCand%.2f rand=$rRand%.2f")
+      // LAYERED entry points (round 14): build the hierarchy once per
+      // index, then re-measure the same fixed serving budget with the
+      // descent-seeded walk — the flat rows above decay as cells grow
+      // (0.96 → 0.72 at 10×); this measures what the layers buy back
+      val lyr = s"$root/lyr_$n"
+      val tLayers = time(Similarity.buildNswLayersAt(spark, idx, lyr, m = 6))
+      def recallLayered(graphPath: String): Double = {
+        val got = Similarity.nswSearchLayered(spark, idx, graphPath, lyr,
+            q, k = 5, nprobe = 2, hops = 3, beam = 8)
+          .select(col("q_id").as("bq"), col("n_id").as("bn"))
+        val hits = brute.join(got, Seq("bq", "bn"), "left_semi").count()
+        hits.toDouble / brute.count()
+      }
+      val rCandL = recallLayered(s"$root/g_cand_$n")
+      val rRandL = recallLayered(s"$root/g_rand_$n")
+      println(f"[nsw-scale] layered n=$n%6d layers_build=$tLayers%6.1fs recall@5 cand=$rCandL%.2f rand=$rRandL%.2f (flat: $rCand%.2f / $rRand%.2f)")
       // incremental ingest: append a FIXED 1k batch, then time the
       // walk insert vs the touched-cell refresh on the same
       // post-append index — the round-14 contract is insert cost flat

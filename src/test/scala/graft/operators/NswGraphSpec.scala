@@ -37,7 +37,9 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
     rows.toDF("vec_id", "v")
   }
 
-  private def adj(p: String) = spark.read.parquet(p)
+  // explicit-schema read: a LAYER partition can be legitimately empty
+  // (planted fixtures have one level-2 id), and inference fails there
+  private def adj(p: String) = Similarity.readNswAdjacency(spark, p)
     .select(col("cell").cast("int"), col("vec_id"), col("nbr"), col("d"))
     .collect().map(_.toSeq.toString).sorted.toSeq
 
@@ -282,6 +284,169 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
     // corpora converge faster. The contract: the form that never
     // enumerates pairs still lands >= 0.9 here.
     assert(r >= 0.9, f"random-init edge recall $r%.3f")
+  }
+
+  test("layered entry points: Lehmer levels are nested strided samples; " +
+    "layer adjacency links only level >= l members; hierarchy build is " +
+    "deterministic and refresh ≡ rebuild") {
+    // level function: for ids < 44485 the Lehmer step is h = id·48271
+    // (no wrap), so level >= 1 ⇔ id % 8 = 0 and level = 2 ⇔ id % 64 = 0
+    // — exact strided densities 1/8 and 1/64
+    val lv = spark.range(10000).toDF("vec_id")
+      .select(Similarity.nswLevel(col("vec_id")).as("l"))
+      .groupBy("l").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(lv == Map(0 -> 8750L, 1 -> 1093L, 2 -> 157L), lv.toString)
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nsw_lyr").toString
+    val idx = s"$root/idx"
+    Similarity.buildTrainedIvfPqIndexAt(spark, plantedEmb, idx,
+      nlist = 2, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswLayersAt(spark, idx, s"$root/lyr", m = 4)
+    // every edge endpoint carries the layer's minimum level
+    for (l <- 1 to Similarity.NswMaxLayer) {
+      val a = Similarity.readNswAdjacency(spark, s"$root/lyr/layer=$l")
+      val bad = a.select(explode(array(col("vec_id"), col("nbr"))).as("id"))
+        .where(Similarity.nswLevel(col("id")) < l).count()
+      assert(bad == 0L, s"layer $l has $bad sub-level endpoints")
+    }
+    // layer 1 exists on planted clusters (ids 0,8,16,24,32,40 qualify)
+    assert(Similarity.readNswAdjacency(spark, s"$root/lyr/layer=1")
+      .count() > 0)
+    // build determinism
+    Similarity.buildNswLayersAt(spark, idx, s"$root/lyr2", m = 4)
+    assert(adj(s"$root/lyr/layer=1") == adj(s"$root/lyr2/layer=1"))
+
+    // refresh ≡ rebuild across the hierarchy
+    val idx2 = s"$root/idx2"
+    Similarity.buildTrainedIvfPqIndexAt(spark,
+      plantedEmb.where(col("vec_id") < 36), idx2,
+      nlist = 2, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswLayersAt(spark, idx2, s"$root/l1", m = 4)
+    Similarity.appendToTrainedIvfPqIndex(spark,
+      plantedEmb.where(col("vec_id") >= 36), idx2)
+    val touched = spark.read.parquet(s"$idx2/vectors")
+      .where(col("vec_id") >= 36)
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    Similarity.refreshNswLayersCells(spark, idx2, s"$root/l1", touched,
+      m = 4)
+    Similarity.buildNswLayersAt(spark, idx2, s"$root/l2", m = 4)
+    for (l <- 1 to Similarity.NswMaxLayer)
+      assert(adj(s"$root/l1/layer=$l") == adj(s"$root/l2/layer=$l"),
+        s"layer $l refresh != rebuild")
+  }
+
+  test("layered search: the descent hands the layer-0 walk a scored " +
+    "entry and the result is deterministic; insertIntoNswLayers keeps " +
+    "layer membership, degree bounds and batch determinism") {
+    val emb = plantedEmb
+    def lifecycle(tag: String): String = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_nsw_lins_$tag").toString
+      val idx = s"$root/idx"
+      Similarity.buildTrainedIvfPqIndexAt(spark,
+        emb.where(col("vec_id") < 36), idx,
+        nlist = 2, m = 4, ks = 8, trainSample = 64, iters = 2)
+      Similarity.buildNswGraphAt(spark, idx, s"$root/g", m = 4)
+      Similarity.buildNswLayersAt(spark, idx, s"$root/lyr", m = 4)
+      Similarity.appendToTrainedIvfPqIndex(spark,
+        emb.where(col("vec_id") >= 36), idx)
+      Similarity.insertIntoNswGraph(spark, idx, s"$root/g",
+        emb.where(col("vec_id") >= 36).select("vec_id"), m = 4)
+      Similarity.insertIntoNswLayers(spark, idx, s"$root/lyr",
+        emb.where(col("vec_id") >= 36).select("vec_id"), m = 4)
+      root
+    }
+    val root = lifecycle("a")
+    // the only batch id reaching layer 1 is 40 (40 % 8 = 0, 40 % 64 != 0)
+    val l1 = Similarity.readNswAdjacency(spark, s"$root/lyr/layer=1")
+    assert(l1.where(col("vec_id") === 40L).count() >= 1L,
+      "batch id 40 got no layer-1 edges")
+    assert(l1.where(col("vec_id") > 35L && col("vec_id") =!= 40L)
+      .count() == 0L, "a sub-level batch id leaked into layer 1")
+    val deg = l1.groupBy("vec_id").count().collect().map(_.getLong(1))
+    assert(deg.forall(_ <= 4L))
+    // lifecycle determinism across layers
+    val root2 = lifecycle("b")
+    for (l <- 1 to Similarity.NswMaxLayer)
+      assert(adj(s"$root/lyr/layer=$l") == adj(s"$root2/lyr/layer=$l"))
+    // layered search runs end to end and is deterministic; on planted
+    // clusters it matches the flat walk's answers (the handoff lands
+    // in the same cluster the min-id entry already reaches)
+    val qdf = emb.where(col("vec_id") < 5)
+      .selectExpr("vec_id as q_id", "v as qv")
+    def layered() = Similarity.nswSearchLayered(spark, s"$root/idx",
+        s"$root/g", s"$root/lyr", qdf, k = 5, nprobe = 2, hops = 3,
+        beam = 8)
+      .collect().map(_.toSeq.toString).toSeq
+    val a = layered()
+    assert(a.nonEmpty && a == layered())
+  }
+
+  test("nswAutoBudget ladder: (3,8) to the 512 base, +1 hop and 2x beam " +
+    "per 8x census growth, beam capped at 16x") {
+    assert(Similarity.nswAutoBudget(60L) == (3, 8))
+    assert(Similarity.nswAutoBudget(512L) == (3, 8))
+    assert(Similarity.nswAutoBudget(513L) == (4, 16))
+    assert(Similarity.nswAutoBudget(4096L) == (4, 16))
+    assert(Similarity.nswAutoBudget(6250L) == (5, 32))
+    assert(Similarity.nswAutoBudget(1000000L) == (7, 128))
+  }
+
+  test("layered search beats the flat walk on a clustered corpus at " +
+    "the same layer-0 budget (the round-14 serving contract)") {
+    // 40 clusters of ~100 members: the m-NN adjacency is intra-cluster
+    // ISLANDS, so the flat walk can never leave its entry's cluster —
+    // upper layers (~1-2 reps per cluster at layer 2) are the only
+    // cluster-crossing edges. Mid-range query ids: ids 0..4 are the
+    // min-id entry nodes, and using them seeds the flat walk AT the
+    // query (the rigged baseline the round-14 profile corrected).
+    val n = 4000L
+    val emb = spark.range(n).toDF("vec_id")
+      .withColumn("cl", pmod(hash(col("vec_id")).cast("long"), lit(40L)))
+      .select(col("vec_id"), transform(sequence(lit(0), lit(63)), d =>
+        ((pmod(hash(col("cl"), d).cast("long"), lit(1638L)) - lit(819L)
+          + pmod(hash(col("vec_id"), d, lit(7)).cast("long"), lit(205L))
+          - lit(102L)) / 1024.0).cast("double")).as("v"))
+      .localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nsw_lrec").toString
+    val idx = s"$root/idx"
+    Similarity.buildTrainedIvfPqIndexAt(spark, emb, idx,
+      nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswGraphAt(spark, idx, s"$root/g", m = 6,
+      exactCellCeiling = 1, randomInitCellCeiling = Int.MaxValue)
+    Similarity.refineNswGraphAt(spark, idx, s"$root/g", m = 6, iters = 1)
+    Similarity.buildNswLayersAt(spark, idx, s"$root/lyr", m = 6)
+    val q = emb.where(col("vec_id") >= 2000L && col("vec_id") < 2020L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val gl = Similarity.gridLongs(col("v"))
+    val brute = graft.operators.TopK.perKey(
+        emb.select(col("vec_id").as("bn"), gl.as("g"))
+          .crossJoin(broadcast(q.select(col("q_id").as("bq"),
+            Similarity.gridLongs(col("qv")).as("qg"))))
+          .where(col("bn") =!= col("bq"))
+          .withColumn("__s",
+            -Similarity.gridDist(col("g"), col("qg")).cast("double")),
+        Seq("bq"), "__s", "bn", 5)
+      .select("bq", "bn").localCheckpoint()
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("q_id").as("bq"), col("n_id").as("bn"))
+      brute.join(got, Seq("bq", "bn"), "left_semi").count().toDouble /
+        brute.count()
+    }
+    val flat = recallOf(Similarity.nswSearchStored(spark, idx,
+      s"$root/g", q, k = 5, nprobe = 2, hops = 3, beam = 8))
+    val layered = recallOf(Similarity.nswSearchLayered(spark, idx,
+      s"$root/g", s"$root/lyr", q, k = 5, nprobe = 2, hops = 3, beam = 8))
+    info(f"clustered recall@5: flat $flat%.2f layered $layered%.2f")
+    // measured 0.15 flat vs 0.31 layered (defaults hopsUp=3 beamUp=4);
+    // the pins leave slack but hold the ordering and a usable floor
+    assert(layered >= flat + 0.1,
+      f"layered $layered%.2f should beat flat $flat%.2f by >= 0.1")
+    assert(layered >= 0.25, f"layered floor: $layered%.2f")
   }
 
   test("unstructured corpus: forced candidate build recalls >= 60% of " +
