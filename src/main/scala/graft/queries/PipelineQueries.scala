@@ -948,6 +948,8 @@ object PipelineQueries {
     ("q264_layered_graph", q264LayeredGraph _, q264Sql),
     ("q265_reranked_retrieval", q265RerankedRetrieval _, q265Sql),
     ("q266_auto_budget_walk", q266AutoBudgetWalk _, q266Sql),
+    ("q267_filtered_layered", q267FilteredLayered _, q267Sql),
+    ("q268_stream_layered", q268StreamLayered _, q264Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3100,7 +3102,8 @@ object PipelineQueries {
       nq: Int, k: Int, nlist: Int, nprobe: Int,
       m: Int, hops: Int, beam: Int,
       maxLayer: Int = 2, branch: Int = 8,
-      hopsUp: Int = 3, beamUp: Int = 4): String = {
+      hopsUp: Int = 3, beamUp: Int = 4,
+      filterSql: String = ""): String = {
     def dist(a: String, b: String) = gridDistSql(a, b, 64)
     val pows = Seq.iterate(branch.toLong, maxLayer)(_ * branch)
     val lvlCase = (maxLayer to 1 by -1)
@@ -3164,7 +3167,7 @@ object PipelineQueries {
        |SELECT q_id, rank, n_id, CAST(d AS BIGINT) AS d FROM (
        |  SELECT q_id, node AS n_id, d,
        |    row_number() OVER (PARTITION BY q_id ORDER BY d, node) AS rank
-       |  FROM v$hops WHERE node <> q_id) x
+       |  FROM v$hops WHERE node <> q_id$filterSql) x
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
   }
@@ -3277,6 +3280,82 @@ object PipelineQueries {
     nprobe = 2, m = 6, hops = 3, beam = 8,
     filterSql = "\n    AND (SELECT max(cnt) FROM (SELECT count(*)" +
       " AS cnt FROM cells GROUP BY cell) zc) <= 512")
+
+  /** FILTERED layered search — q253's RAG/ACL contract on the layered
+    * path: the descent and the walk traverse all nodes (a filter-aware
+    * descent would disconnect the hierarchy under selective filters),
+    * the allow-list (`label = 2`) gates the FINAL candidates, and only
+    * visited nodes' membership is fetched (one bounded semi-join).
+    * Oracle = q264's layered replay with the predicate spliced into
+    * the final cut. */
+  def q267FilteredLayered(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = Similarity.nswGraph(s, dir, m = 6)
+    val layers = Similarity.nswLayers(s, dir, m = 6)
+    Similarity.nswSearchLayered(s, idx, graph, layers,
+      emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .where(col("vec_id") < 5)
+        .selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2, hops = 3, beam = 8,
+      allowed = Some(emb.where(col("label") === 2).select("vec_id")))
+  }
+
+  def q267Sql: String = nswLayeredReplaySql(nq = 5, k = 5, nlist = 8,
+    nprobe = 2, m = 6, hops = 3, beam = 8,
+    filterSql =
+      "\n    AND node IN (SELECT vec_id FROM embeddings WHERE label = 2)")
+
+  /** STREAMING layered-graph maintenance — q251's ingest shape
+    * extended to the hierarchy: bootstrap index + base graph + layers,
+    * every micro-batch appends its vectors and refreshes BOTH the base
+    * adjacency and each layer's ([[Similarity.refreshNswLayersCells]])
+    * for exactly the touched cells, then the LAYERED search serves off
+    * the live structures. Levels are id-pure and per-(layer, cell)
+    * routing is count-deterministic, so refresh ≡ rebuild holds layer
+    * by layer — the oracle is q264's full fresh-build layered replay,
+    * proving per-batch maintenance loses nothing. */
+  def q268StreamLayered(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_stlyr_" +
+      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    val graph = s"$idx/nsw"
+    val layers = s"$idx/nsw_layers"
+    Similarity.buildTrainedIvfPqIndexAt(s,
+      emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .where(col("vec_id") < 250),
+      idx, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswGraphAt(s, idx, graph, m = 6)
+    Similarity.buildNswLayersAt(s, idx, layers, m = 6)
+    val stream = s.readStream.schema(emb.schema).option("basePath", dir)
+      .parquet(s"$dir/embeddings.parquet*")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b
+            .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+            .where(col("vec_id") >= 250)
+          Similarity.appendToTrainedIvfPqIndex(s, rows, idx)
+          val touched = s.read.parquet(s"$idx/vectors")
+            .join(rows.select("vec_id"), Seq("vec_id"), "left_semi")
+            .select(col("cell").cast("int")).distinct()
+            .collect().map(_.getInt(0)).toSeq.sorted
+          Similarity.refreshNswGraphCells(s, idx, graph, touched, m = 6)
+          Similarity.refreshNswLayersCells(s, idx, layers, touched, m = 6)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    Similarity.nswSearchLayered(s, idx, graph, layers,
+      emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .where(col("vec_id") < 5)
+        .selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2, hops = 3, beam = 8)
+  }
 
   /** Filtered graph search — q223's RAG/ACL contract on the graph
     * path: only an allow-list's members may be retrieved (here
