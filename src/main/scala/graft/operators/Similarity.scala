@@ -2031,9 +2031,10 @@ object Similarity {
       m: Int = 6,
       exactCellCeiling: Int = NswExactCellCeiling,
       randomInitCellCeiling: Int = NswRandomInitCellCeiling,
-      randomInitSweeps: Int = 3): Unit =
+      randomInitSweeps: Int = 3,
+      longEdges: Int = 0): Unit =
     writeNswAdjacency(s, indexPath, graphPath, m, None, exactCellCeiling,
-      randomInitCellCeiling, randomInitSweeps)
+      randomInitCellCeiling, randomInitSweeps, longEdges = longEdges)
 
   /** NN-DESCENT refinement sweeps over a stored NSW adjacency (Dong,
     * Moses & Li 2011): per iteration, each vector's candidate set is
@@ -2146,13 +2147,15 @@ object Similarity {
       m: Int = 6,
       exactCellCeiling: Int = NswExactCellCeiling,
       randomInitCellCeiling: Int = NswRandomInitCellCeiling,
-      randomInitSweeps: Int = 3): Unit = {
+      randomInitSweeps: Int = 3,
+      longEdges: Int = 0): Unit = {
     if (cells.isEmpty) return
     // dynamic overwrite is a PER-WRITE DataFrameWriter option (not a
     // session-conf mutation): two refreshes sharing one session can't
     // race each other into static mode and drop untouched partitions
     writeNswAdjacency(s, indexPath, graphPath, m, Some(cells),
-      exactCellCeiling, randomInitCellCeiling, randomInitSweeps)
+      exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
+      longEdges = longEdges)
     // dynamic overwrite only replaces partitions PRESENT in the written
     // data — a refreshed cell that now has ≤1 member produces no pairs,
     // writes nothing, and would keep its stale files (reading the graph
@@ -2278,7 +2281,8 @@ object Similarity {
       exactCellCeiling: Int,
       randomInitCeiling: Int,
       randomSweeps: Int,
-      memberFilter: Option[Column] = None): Unit = {
+      memberFilter: Option[Column] = None,
+      longEdges: Int = 0): Unit = {
     require(exactCellCeiling >= 1,
       s"exactCellCeiling must be >= 1: $exactCellCeiling")
     // an exact-eligible cell never routes random: raising ONLY the
@@ -2336,6 +2340,90 @@ object Similarity {
     if (randomCells.nonEmpty && randomSweeps > 0)
       refineNswGraphAt(s, indexPath, graphPath, m, iters = randomSweeps,
         onlyCells = Some(randomCells.keys.toSeq.sorted))
+    // long edges go on LAST: the refine sweeps above cut to the m
+    // grid-nearest and would strip them (they are far by construction)
+    if (longEdges > 0)
+      addLongEdges(s, grid, graphPath, longEdges, onlyCells)
+  }
+
+  /** Lehmer multipliers for the long-edge rounds (MINSTD and its two
+    * classic variants — public constants, one per edge slot). */
+  private[graft] val NswLongEdgeMuls = Seq(48271L, 16807L, 69621L)
+
+  /** DIVERSIFICATION pass — up to `longEdges` LONG-RANGE edges per
+    * vertex, unioned onto the stored k-NN adjacency. The pure m-NN
+    * digraph is an archipelago on clustered data: with cluster sizes
+    * above m every edge is intra-cluster, so a beam walk can never
+    * leave its entry's cluster regardless of budget (the round-14
+    * clustered profile measures flat recall collapsing to 0.00 at 50k
+    * because of exactly this). Each round r hash-partitions the cell
+    * into groups of expected size `NswRandomInitGroupSize` (one Lehmer
+    * step per round — id-pure, SQL-replayable, no RNG) and adds one
+    * edge to the group's grid-nearest other member (ties → lowest id).
+    * The edge CROSSES clusters exactly when the group holds no
+    * same-cluster member — P ≈ (1 − clusterFrac)^groupSize, which is
+    * small when clusters dominate a cell but ≈ 0.84 at mega-cells
+    * where a cluster is 1/60th of its cell: bridge density grows
+    * precisely where islands strand the walk (measured: layered
+    * recall@5 at 50k 0.23 → 0.32 with 2 long edges, SCALE.md).
+    * Cost is O(n · rounds · groupSize)
+    * pair rows; Poisson group sizes, no skew cliff. Deterministic in
+    * the cell membership, so refresh ≡ rebuild extends to the long
+    * edges. Out-degree becomes ≤ m + longEdges (a long edge landing on
+    * an existing neighbor dedups away). Maintenance caveat (same
+    * family as the insert caveats): [[insertIntoNswGraph]]'s reverse-
+    * edge prune keeps the m grid-nearest and so strips long edges from
+    * vertices it touches — the periodic refresh the ingest guidance
+    * already prescribes restores them. */
+  private def addLongEdges(
+      s: SparkSession,
+      grid: DataFrame,
+      graphPath: String,
+      longEdges: Int,
+      onlyCells: Option[Seq[Int]]): Unit = {
+    import s.implicits._
+    require(longEdges <= NswLongEdgeMuls.size,
+      s"longEdges must be <= ${NswLongEdgeMuls.size}: $longEdges")
+    val nbDf = broadcast(grid.groupBy("cell").agg(count(lit(1)).as("__n"))
+      .select(col("cell"),
+        greatest(lit(1L), (col("__n") / lit(NswRandomInitGroupSize))
+          .cast("long")).as("__nb")))
+    val keyed = grid.join(nbDf, Seq("cell"))
+      .select(col("cell"), col("vec_id"), col("g"),
+        explode(array((0 until longEdges).map { r =>
+          struct(lit(r).as("r"),
+            (pmod(pmod(col("vec_id"), lit(2147483647L)) *
+              lit(NswLongEdgeMuls(r)), lit(2147483647L)) % col("__nb"))
+              .as("grp"))
+        }: _*)).as("rg"))
+      .select(col("cell"), col("vec_id"), col("g"),
+        col("rg.r").as("r"), col("rg.grp").as("grp"))
+    val pairs = keyed
+      .join(keyed.select(col("cell"), col("r"), col("grp"),
+          col("vec_id").as("nbr"), col("g").as("ng")),
+        Seq("cell", "r", "grp"))
+      .where(col("vec_id") =!= col("nbr"))
+      .select(col("cell"), col("r"), col("vec_id"), col("nbr"),
+        gridDist(col("g"), col("ng")).as("d"))
+    val long = TopK.perKey(
+        pairs.withColumn("__s", -col("d").cast("double")),
+        Seq("vec_id", "r"), "__s", "nbr", 1)
+      .select("cell", "vec_id", "nbr", "d")
+    val base = readNswAdjacency(s, graphPath)
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+        col("nbr"), col("d"))
+    val baseCut = onlyCells match {
+      case Some(cs) => base.where(col("cell").isin(cs.map(Int.box): _*))
+      case None => base
+    }
+    val next = baseCut.unionByName(long)
+      .dropDuplicates("cell", "vec_id", "nbr")
+      .localCheckpoint() // break lineage off graphPath before overwrite
+    next.repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode",
+        if (onlyCells.isDefined) "dynamic" else "static")
+      .partitionBy("cell").parquet(graphPath)
   }
 
   /** The above-ceiling build leg: ADC top-4m same-cell candidates per
@@ -2402,7 +2490,7 @@ object Similarity {
     * comfortably above m=6, and the isolated-vertex probability
     * (all three groups singleton) is ≈ e^(−3·groupSize), vanishing. */
   private val NswRandomInitRounds = 3
-  private val NswRandomInitGroupSize = 12
+  private[graft] val NswRandomInitGroupSize = 12
 
   /** The mega-cell build leg — NO pair enumeration at any stage (the
     * canonical NN-descent setup of Dong, Moses & Li 2011: a cheap

@@ -950,6 +950,7 @@ object PipelineQueries {
     ("q266_auto_budget_walk", q266AutoBudgetWalk _, q266Sql),
     ("q267_filtered_layered", q267FilteredLayered _, q267Sql),
     ("q268_stream_layered", q268StreamLayered _, q264Sql),
+    ("q269_long_edge_graph", q269LongEdgeGraph _, q269Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3306,6 +3307,86 @@ object PipelineQueries {
     nprobe = 2, m = 6, hops = 3, beam = 8,
     filterSql =
       "\n    AND node IN (SELECT vec_id FROM embeddings WHERE label = 2)")
+
+  /** The long-edge (diversified) walk's full replay
+    * ([[Similarity.buildNswGraphAt]] with `longEdges`): q247's replay
+    * with the adjacency replaced by base-top-m UNION one hash-group
+    * nearest edge per Lehmer round — the island bridges. */
+  private def nswLongEdgeReplaySql(
+      nq: Int, k: Int, nlist: Int, nprobe: Int,
+      m: Int, hops: Int, beam: Int, longEdges: Int): String = {
+    def dist(a: String, b: String) = gridDistSql(a, b, 64)
+    val mulCase = "CASE rr.r " + (0 until longEdges).map(r =>
+      s"WHEN $r THEN ${Similarity.NswLongEdgeMuls(r)}").mkString(" ") +
+      " ELSE 0 END"
+    val gs = Similarity.NswRandomInitGroupSize
+    s"""WITH $trainedBaseCtes,
+       |${trainedCoarseCtes(nq, nlist, nprobe)},
+       |cg AS (SELECT c.vec_id, c.cell, e.q AS g
+       |  FROM cells c JOIN eq e USING (vec_id)),
+       |adjd AS (SELECT a.cell, a.vec_id, b.vec_id AS nbr,
+       |    ${dist("a.g", "b.g")} AS d
+       |  FROM cg a JOIN cg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |badj AS (SELECT cell, vec_id, nbr FROM (
+       |    SELECT cell, vec_id, nbr,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, nbr) AS rn
+       |    FROM adjd) z WHERE rn <= $m),
+       |nbs AS (SELECT cell, greatest(1, count(*) // $gs) AS nb
+       |  FROM cg GROUP BY cell),
+       |lg AS (SELECT cg.cell, cg.vec_id, cg.g, rr.r,
+       |    ((cg.vec_id % 2147483647) * ($mulCase)) % 2147483647 % nbs.nb AS grp
+       |  FROM cg JOIN nbs USING (cell)
+       |  CROSS JOIN (SELECT unnest(range(0, $longEdges)) AS r) rr),
+       |lpd AS (SELECT a.cell, a.r, a.vec_id, b.vec_id AS nbr,
+       |    ${dist("a.g", "b.g")} AS d
+       |  FROM lg a JOIN lg b
+       |  ON a.cell = b.cell AND a.r = b.r AND a.grp = b.grp
+       |    AND a.vec_id <> b.vec_id),
+       |ladj AS (SELECT cell, vec_id, nbr FROM (
+       |    SELECT cell, vec_id, nbr,
+       |      row_number() OVER (PARTITION BY vec_id, r ORDER BY d, nbr) AS rn
+       |    FROM lpd) z WHERE rn = 1),
+       |adj AS (SELECT DISTINCT cell, vec_id, nbr FROM (
+       |    SELECT cell, vec_id, nbr FROM badj
+       |    UNION ALL SELECT cell, vec_id, nbr FROM ladj) u),
+       |ent AS (SELECT cell, min(vec_id) AS node FROM cg GROUP BY cell),
+       |v0 AS (SELECT p.q_id, p.cell, e.node, ${dist("qq.q", "g.g")} AS d
+       |  FROM probes p JOIN ent e ON e.cell = p.cell
+       |  JOIN qq ON qq.q_id = p.q_id JOIN cg g ON g.vec_id = e.node),
+       |${nswHopCtes("", "adj", hops, beam)}
+       |SELECT q_id, rank, n_id, CAST(d AS BIGINT) AS d FROM (
+       |  SELECT q_id, node AS n_id, d,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d, node) AS rank
+       |  FROM v$hops WHERE node <> q_id) x
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** DIVERSIFIED adjacency — long-range edges (q269,
+    * [[Similarity.buildNswGraphAt]] `longEdges = 2`): the pure m-NN
+    * digraph is an ARCHIPELAGO on clustered corpora (every edge
+    * intra-cluster once clusters outgrow m), which is the structural
+    * reason the flat walk's recall collapses at mega-cells
+    * (SCALE.md's round-14 table: 0.36 → 0.00). Each vertex gains one
+    * edge per Lehmer round to its hash-group's nearest other member —
+    * id-pure, so build, refresh ≡ rebuild, and this oracle's full
+    * replay all stay exact. The serving walk is unchanged; only the
+    * adjacency it traverses gains the bridges. */
+  def q269LongEdgeGraph(s: SparkSession, dir: String): DataFrame = {
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = s"${System.getProperty("java.io.tmpdir")}/graft_lng_" +
+      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    Similarity.buildNswGraphAt(s, idx, graph, m = 6, longEdges = 2)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    Similarity.nswSearchStored(s, idx, graph,
+      e.where(col("vec_id") < 5).selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2, hops = 3, beam = 8)
+  }
+
+  def q269Sql: String = nswLongEdgeReplaySql(nq = 5, k = 5, nlist = 8,
+    nprobe = 2, m = 6, hops = 3, beam = 8, longEdges = 2)
 
   /** STREAMING layered-graph maintenance — q251's ingest shape
     * extended to the hierarchy: bootstrap index + base graph + layers,

@@ -135,6 +135,15 @@ object ProfileNswBuild {
       val rCandL = recallLayered(s"$root/g_cand_$n")
       val rRandL = recallLayered(s"$root/g_rand_$n")
       println(f"[nsw-scale] layered n=$n%6d layers_build=$tLayers%6.1fs recall@5 cand=$rCandL%.2f rand=$rRandL%.2f (flat: $rCand%.2f / $rRand%.2f)")
+      // LONG-RANGE edges (round 14): the island bridges, measured on
+      // the same random-init base the 65536+ route produces — flat and
+      // layered walks at the same fixed budget
+      val tLong = time(Similarity.buildNswGraphAt(spark, idx,
+        s"$root/g_long_$n", m = 6, exactCellCeiling = 1,
+        randomInitCellCeiling = 1, longEdges = 2))
+      val rLongF = recall(s"$root/g_long_$n")
+      val rLongL = recallLayered(s"$root/g_long_$n")
+      println(f"[nsw-scale] long-edges n=$n%6d build=$tLong%6.1fs recall@5 flat=$rLongF%.2f layered=$rLongL%.2f (pure rand: $rRand%.2f / $rRandL%.2f)")
       // incremental ingest: append a FIXED 1k batch, then time the
       // walk insert vs the touched-cell refresh on the same
       // post-append index — the round-14 contract is insert cost flat

@@ -385,6 +385,72 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
     assert(a.nonEmpty && a == layered())
   }
 
+  test("long-edge build: out-degree <= m + longEdges with bridges " +
+    "present, refresh ≡ rebuild, and the base top-m edges all survive") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nsw_lng").toString
+    val idx = s"$root/idx"
+    // 10 clusters of ~100 in 2 cells: hash groups (~12 members) span
+    // clusters, so a group's nearest member is usually NOT in the base
+    // top-m — bridges exist. (On the 48-vector planted fixture every
+    // group-nearest already IS a base neighbor and all long edges
+    // dedup away — too small to exercise the pass.)
+    val emb1k = spark.range(1000L).toDF("vec_id")
+      .withColumn("cl", pmod(hash(col("vec_id")).cast("long"), lit(10L)))
+      .select(col("vec_id"), transform(sequence(lit(0), lit(63)), d =>
+        ((pmod(hash(col("cl"), d).cast("long"), lit(1638L)) - lit(819L)
+          + pmod(hash(col("vec_id"), d, lit(7)).cast("long"), lit(205L))
+          - lit(102L)) / 1024.0).cast("double")).as("v"))
+      .localCheckpoint()
+    Similarity.buildTrainedIvfPqIndexAt(spark, emb1k, idx,
+      nlist = 2, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswGraphAt(spark, idx, s"$root/base", m = 4)
+    Similarity.buildNswGraphAt(spark, idx, s"$root/lng", m = 4,
+      longEdges = 2)
+    val base = adj(s"$root/base").toSet
+    val lng = adj(s"$root/lng").toSet
+    // the diversification pass only ADDS edges
+    assert(base.subsetOf(lng), "a base top-m edge was dropped")
+    assert(lng.size > base.size, "no long edges were added")
+    val deg = Similarity.readNswAdjacency(spark, s"$root/lng")
+      .groupBy("vec_id").count().collect().map(_.getLong(1))
+    assert(deg.forall(_ <= 6L), s"degree cap m+2 violated: ${deg.max}")
+    // some bridges are CROSS-CLUSTER (the island fix). A long edge
+    // crosses only when its hash group contains no same-cluster
+    // member — P ≈ (1 − clusterFrac)^groupSize, ~8% here (clusters
+    // are 1/5 of a cell) but ~84% at mega-cells (1/62), i.e. the
+    // bridge density grows exactly where islands strand the walk;
+    // the 50k numbers live in SCALE.md
+    val added = Similarity.readNswAdjacency(spark, s"$root/lng")
+      .select(col("vec_id"), col("nbr"))
+      .exceptAll(Similarity.readNswAdjacency(spark, s"$root/base")
+        .select(col("vec_id"), col("nbr")))
+    val cross = added
+      .where(pmod(hash(col("vec_id")).cast("long"), lit(10L)) =!=
+        pmod(hash(col("nbr")).cast("long"), lit(10L))).count()
+    val tot = added.count()
+    info(s"long edges: $tot added, $cross cross-cluster")
+    assert(tot > 0 && cross > 0, s"$cross/$tot cross-cluster")
+    // refresh ≡ rebuild with the same longEdges
+    val idx2 = s"$root/idx2"
+    Similarity.buildTrainedIvfPqIndexAt(spark,
+      plantedEmb.where(col("vec_id") < 36), idx2,
+      nlist = 2, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswGraphAt(spark, idx2, s"$root/g1", m = 4,
+      longEdges = 2)
+    Similarity.appendToTrainedIvfPqIndex(spark,
+      plantedEmb.where(col("vec_id") >= 36), idx2)
+    val touched = spark.read.parquet(s"$idx2/vectors")
+      .where(col("vec_id") >= 36)
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    Similarity.refreshNswGraphCells(spark, idx2, s"$root/g1", touched,
+      m = 4, longEdges = 2)
+    Similarity.buildNswGraphAt(spark, idx2, s"$root/g2", m = 4,
+      longEdges = 2)
+    assert(adj(s"$root/g1") == adj(s"$root/g2"))
+  }
+
   test("nswAutoBudget ladder: (3,8) to the 512 base, +1 hop and 2x beam " +
     "per 8x census growth, beam capped at 16x") {
     assert(Similarity.nswAutoBudget(60L) == (3, 8))
