@@ -2753,6 +2753,22 @@ object Similarity {
   }
 
   private val nswGraphs = new ConcurrentHashMap[(String, Int), String]
+  private val nswLongGraphs =
+    new ConcurrentHashMap[(String, Int, Int), String]
+
+  /** Build-once LONG-EDGE graph beside the memoized trained index
+    * (one build serves q269 + the q270 serving stack in a JVM). */
+  def nswLongGraph(
+      s: SparkSession, dir: String, m: Int = 6,
+      longEdges: Int = 2): String =
+    nswLongGraphs.computeIfAbsent((dir, m, longEdges), _ => {
+      val idx = trainedIvfPqIndex(s, dir, nlist = 8, m = 4, ks = 8,
+        trainSample = 64, iters = 2)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_nswlng_" +
+        s"${Bucketing.dirTag(dir)}_m${m}_l$longEdges"
+      buildNswGraphAt(s, idx, base, m, longEdges = longEdges)
+      base
+    })
 
   /** Build-once NSW graph beside the memoized trained index for the
     * corpus at `dir` (one build serves every graph entry in a JVM). */
@@ -2951,8 +2967,12 @@ object Similarity {
     * partition-pruned layer reads, and the extra cost per query is
     * O(maxLayer · hopsUp · beamUp · m) distance evaluations — the
     * price of starting the layer-0 walk near the query instead of at
-    * a fixed entry, which is what keeps recall flat as cells grow
-    * (SCALE.md's round-14 layered-vs-flat table). */
+    * a fixed entry. On clustered corpora this is the first-order
+    * recall lever: the flat walk is stuck in its entry's m-NN island
+    * (0.00 recall@5 at 6250-member cells) while the descent holds
+    * 0.23-0.32 at the same budget (SCALE.md's canonical round-14
+    * table; recall still decays with cell size — grow the budget via
+    * [[nswAutoBudget]] or add bridges via `longEdges`). */
   def nswSearchLayered(
       s: SparkSession,
       indexPath: String,

@@ -951,6 +951,7 @@ object PipelineQueries {
     ("q267_filtered_layered", q267FilteredLayered _, q267Sql),
     ("q268_stream_layered", q268StreamLayered _, q264Sql),
     ("q269_long_edge_graph", q269LongEdgeGraph _, q269Sql),
+    ("q270_serving_stack", q270ServingStack _, q270Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3099,12 +3100,50 @@ object PipelineQueries {
     * layer-0 walk
     * DUAL-seeded by the final handoff unioned with the flat min-id
     * entry (`ent0`). */
+  /** The long-edge adjacency CTE block shared by q269's flat replay
+    * and q270's layered one: base top-m (`badj`) + one hash-group
+    * nearest edge per Lehmer round (`ladj`), unioned as `adj`.
+    * Assumes `cg(vec_id, cell, g)` is in scope. */
+  private def longEdgeAdjCtes(m: Int, longEdges: Int): String = {
+    def dist(a: String, b: String) = gridDistSql(a, b, 64)
+    val mulCase = "CASE rr.r " + (0 until longEdges).map(r =>
+      s"WHEN $r THEN ${Similarity.NswLongEdgeMuls(r)}").mkString(" ") +
+      " ELSE 0 END"
+    val gs = Similarity.NswRandomInitGroupSize
+    s"""adjd AS (SELECT a.cell, a.vec_id, b.vec_id AS nbr,
+       |    ${dist("a.g", "b.g")} AS d
+       |  FROM cg a JOIN cg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |badj AS (SELECT cell, vec_id, nbr FROM (
+       |    SELECT cell, vec_id, nbr,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, nbr) AS rn
+       |    FROM adjd) z WHERE rn <= $m),
+       |nbs AS (SELECT cell, greatest(1, count(*) // $gs) AS nb
+       |  FROM cg GROUP BY cell),
+       |lg AS (SELECT cg.cell, cg.vec_id, cg.g, rr.r,
+       |    ((cg.vec_id % 2147483647) * ($mulCase)) % 2147483647 % nbs.nb AS grp
+       |  FROM cg JOIN nbs USING (cell)
+       |  CROSS JOIN (SELECT unnest(range(0, $longEdges)) AS r) rr),
+       |lpd AS (SELECT a.cell, a.r, a.vec_id, b.vec_id AS nbr,
+       |    ${dist("a.g", "b.g")} AS d
+       |  FROM lg a JOIN lg b
+       |  ON a.cell = b.cell AND a.r = b.r AND a.grp = b.grp
+       |    AND a.vec_id <> b.vec_id),
+       |ladj AS (SELECT cell, vec_id, nbr FROM (
+       |    SELECT cell, vec_id, nbr,
+       |      row_number() OVER (PARTITION BY vec_id, r ORDER BY d, nbr) AS rn
+       |    FROM lpd) z WHERE rn = 1),
+       |adj AS (SELECT DISTINCT cell, vec_id, nbr FROM (
+       |    SELECT cell, vec_id, nbr FROM badj
+       |    UNION ALL SELECT cell, vec_id, nbr FROM ladj) u)""".stripMargin
+  }
+
   private def nswLayeredReplaySql(
       nq: Int, k: Int, nlist: Int, nprobe: Int,
       m: Int, hops: Int, beam: Int,
       maxLayer: Int = 2, branch: Int = 8,
       hopsUp: Int = 3, beamUp: Int = 4,
-      filterSql: String = ""): String = {
+      filterSql: String = "",
+      longEdges: Int = 0): String = {
     def dist(a: String, b: String) = gridDistSql(a, b, 64)
     val pows = Seq.iterate(branch.toLong, maxLayer)(_ * branch)
     val lvlCase = (maxLayer to 1 by -1)
@@ -3137,6 +3176,17 @@ object PipelineQueries {
         else s"y${l}v0 AS (${handoff(s"y${l + 1}v$hopsUp")})"
       seed + ",\n" + nswHopCtes(s"y$l", s"adj$l", hopsUp, beamUp)
     }.mkString(",\n")
+    // layer 0 traverses the pure top-m adjacency, or (longEdges > 0)
+    // the diversified base-plus-bridges union q269 replays
+    val layer0Adj =
+      if (longEdges > 0) longEdgeAdjCtes(m, longEdges)
+      else s"""adjd AS (SELECT a.cell, a.vec_id, b.vec_id AS nbr,
+         |    ${dist("a.g", "b.g")} AS d
+         |  FROM cg a JOIN cg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |adj AS (SELECT cell, vec_id, nbr FROM (
+         |    SELECT cell, vec_id, nbr,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, nbr) AS rn
+         |    FROM adjd) z WHERE rn <= $m)""".stripMargin
     s"""WITH $trainedBaseCtes,
        |${trainedCoarseCtes(nq, nlist, nprobe)},
        |cg AS (SELECT c.vec_id, c.cell, e.q AS g
@@ -3144,13 +3194,7 @@ object PipelineQueries {
        |cgl AS (SELECT vec_id, cell, g, $lvlCase AS lvl
        |  FROM (SELECT vec_id, cell, g,
        |      ((vec_id % 2147483647) * 48271) % 2147483647 AS hh FROM cg) t),
-       |adjd AS (SELECT a.cell, a.vec_id, b.vec_id AS nbr,
-       |    ${dist("a.g", "b.g")} AS d
-       |  FROM cg a JOIN cg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-       |adj AS (SELECT cell, vec_id, nbr FROM (
-       |    SELECT cell, vec_id, nbr,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, nbr) AS rn
-       |    FROM adjd) z WHERE rn <= $m),
+       |$layer0Adj,
        |$layerAdjCtes,
        |ent AS (SELECT cell, coalesce(
        |    $entChain) AS node
@@ -3316,39 +3360,11 @@ object PipelineQueries {
       nq: Int, k: Int, nlist: Int, nprobe: Int,
       m: Int, hops: Int, beam: Int, longEdges: Int): String = {
     def dist(a: String, b: String) = gridDistSql(a, b, 64)
-    val mulCase = "CASE rr.r " + (0 until longEdges).map(r =>
-      s"WHEN $r THEN ${Similarity.NswLongEdgeMuls(r)}").mkString(" ") +
-      " ELSE 0 END"
-    val gs = Similarity.NswRandomInitGroupSize
     s"""WITH $trainedBaseCtes,
        |${trainedCoarseCtes(nq, nlist, nprobe)},
        |cg AS (SELECT c.vec_id, c.cell, e.q AS g
        |  FROM cells c JOIN eq e USING (vec_id)),
-       |adjd AS (SELECT a.cell, a.vec_id, b.vec_id AS nbr,
-       |    ${dist("a.g", "b.g")} AS d
-       |  FROM cg a JOIN cg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-       |badj AS (SELECT cell, vec_id, nbr FROM (
-       |    SELECT cell, vec_id, nbr,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, nbr) AS rn
-       |    FROM adjd) z WHERE rn <= $m),
-       |nbs AS (SELECT cell, greatest(1, count(*) // $gs) AS nb
-       |  FROM cg GROUP BY cell),
-       |lg AS (SELECT cg.cell, cg.vec_id, cg.g, rr.r,
-       |    ((cg.vec_id % 2147483647) * ($mulCase)) % 2147483647 % nbs.nb AS grp
-       |  FROM cg JOIN nbs USING (cell)
-       |  CROSS JOIN (SELECT unnest(range(0, $longEdges)) AS r) rr),
-       |lpd AS (SELECT a.cell, a.r, a.vec_id, b.vec_id AS nbr,
-       |    ${dist("a.g", "b.g")} AS d
-       |  FROM lg a JOIN lg b
-       |  ON a.cell = b.cell AND a.r = b.r AND a.grp = b.grp
-       |    AND a.vec_id <> b.vec_id),
-       |ladj AS (SELECT cell, vec_id, nbr FROM (
-       |    SELECT cell, vec_id, nbr,
-       |      row_number() OVER (PARTITION BY vec_id, r ORDER BY d, nbr) AS rn
-       |    FROM lpd) z WHERE rn = 1),
-       |adj AS (SELECT DISTINCT cell, vec_id, nbr FROM (
-       |    SELECT cell, vec_id, nbr FROM badj
-       |    UNION ALL SELECT cell, vec_id, nbr FROM ladj) u),
+       |${longEdgeAdjCtes(m, longEdges)},
        |ent AS (SELECT cell, min(vec_id) AS node FROM cg GROUP BY cell),
        |v0 AS (SELECT p.q_id, p.cell, e.node, ${dist("qq.q", "g.g")} AS d
        |  FROM probes p JOIN ent e ON e.cell = p.cell
@@ -3375,9 +3391,7 @@ object PipelineQueries {
   def q269LongEdgeGraph(s: SparkSession, dir: String): DataFrame = {
     val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
       ks = 8, trainSample = 64, iters = 2)
-    val graph = s"${System.getProperty("java.io.tmpdir")}/graft_lng_" +
-      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
-    Similarity.buildNswGraphAt(s, idx, graph, m = 6, longEdges = 2)
+    val graph = Similarity.nswLongGraph(s, dir, m = 6, longEdges = 2)
     val e = s.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "cast(embedding as array<double>) as v")
     Similarity.nswSearchStored(s, idx, graph,
@@ -3386,6 +3400,29 @@ object PipelineQueries {
   }
 
   def q269Sql: String = nswLongEdgeReplaySql(nq = 5, k = 5, nlist = 8,
+    nprobe = 2, m = 6, hops = 3, beam = 8, longEdges = 2)
+
+  /** The PRODUCTION SERVING STACK — every round-14 graph improvement
+    * composed into the deployment default: diversified adjacency
+    * (long-range bridges, q269), layer hierarchy with descent-seeded
+    * dual entry (q264), one walk. This is the configuration SCALE.md's
+    * recall table recommends (layered + long edges dominates every
+    * other arm at mega-cells: 0.32 vs flat 0.00 at 50k). The oracle
+    * replays the entire composed lifecycle — levels, layer builds,
+    * the base-plus-bridges union, descent, dual-seeded walk. */
+  def q270ServingStack(s: SparkSession, dir: String): DataFrame = {
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = Similarity.nswLongGraph(s, dir, m = 6, longEdges = 2)
+    val layers = Similarity.nswLayers(s, dir, m = 6)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    Similarity.nswSearchLayered(s, idx, graph, layers,
+      e.where(col("vec_id") < 5).selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2, hops = 3, beam = 8)
+  }
+
+  def q270Sql: String = nswLayeredReplaySql(nq = 5, k = 5, nlist = 8,
     nprobe = 2, m = 6, hops = 3, beam = 8, longEdges = 2)
 
   /** STREAMING layered-graph maintenance — q251's ingest shape
