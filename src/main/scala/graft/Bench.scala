@@ -58,9 +58,43 @@ object Bench {
     } catch { case _: Throwable => () }
   }
 
+  /** Host load average (1/5/15 min) — the multi-tenant stamp. Round
+    * 14's official bench read 2× the builder's clean run purely from
+    * an external tenant (disjoint over-budget sets across reruns,
+    * judge-adjudicated); without an ambient-load record in the
+    * artifact a contended run and a real regression are
+    * indistinguishable. -1s when /proc/loadavg is unavailable. */
+  private def loadAvg(): Seq[Double] =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .split("\\s+").take(3).map(_.toDouble).toSeq
+    catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+
+  @volatile private var spinSink = 0L
+
+  /** Single-thread spin calibration: a FIXED amount of integer work
+    * (~100 ms on an idle core here), timed. Run between queries (the
+    * JVM is otherwise idle there — post-GC, pre-next-plan), it
+    * measures ambient CPU availability at that moment: an external
+    * tenant stretches the spin in the same proportion it stretches
+    * the neighboring query's tasks. The iteration count is fixed (not
+    * auto-calibrated) so the stamp is comparable across runs on the
+    * same host; the reading rule keys on each stamp's ratio to the
+    * run's MINIMUM stamp, which cancels the host's single-core speed. */
+  private def spinMs(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0L
+    var i = 0L
+    while (i < 40000000L) { x ^= i * 2862933555777941757L + 3037000493L; i += 1 }
+    spinSink = x
+    (System.nanoTime() - t0) / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadStart = loadAvg()
     var spark = buildSession(cpus)
 
     // JIT/codegen warmup on the smallest scale so measured times reflect
@@ -98,6 +132,7 @@ object Bench {
     // each restart re-warms the scans so the first query after it isn't
     // billed for footer reads.
     val rotate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROTATE", "40").toInt
+    val spins = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
       if (rotate > 0 && i > 0 && i % rotate == 0) {
@@ -108,6 +143,10 @@ object Bench {
         warm(spark, sfDir)
       }
       val ts = (1 to reps).map(_ => timeOnce(name, fn))
+      // ambient-CPU stamp taken right beside the entry it labels (the
+      // JVM is idle here) — ~100 ms each, ~27 s over the suite, the
+      // price of a self-attributing artifact
+      spins(name) = spinMs()
       // Reps share a query's internal .cache() entries (the documented
       // "warm" convention) but those entries must not leak into LATER
       // queries: cross-query cache interference both flatters queries
@@ -174,20 +213,40 @@ object Bench {
     }
     val medianRatio =
       if (ratios.isEmpty) -1.0 else ratios.map(_._2).sorted.apply(ratios.size / 2)
-    val over = ratios.collect { case (k, r, d) if r > 2.0 && d > 0.5 => (k, r) }
+    // contention attribution: an entry whose neighboring spin stamp ran
+    // ≥ 1.5× the run's minimum stamp was measured while an external
+    // tenant held the CPU — its over-budget flag is `suspect_contention`,
+    // not a regression claim (SCALE.md documents the reading rule)
+    val spinMin = if (spins.isEmpty) -1.0 else spins.values.min
+    def contended(k: String): Boolean =
+      spinMin > 0 && spins.get(k).exists(_ / spinMin >= 1.5)
+    val flagged = ratios.collect { case (k, r, d) if r > 2.0 && d > 0.5 => (k, r) }
+    val (suspect, over) = flagged.partition { case (k, _) => contended(k) }
     over.foreach { case (k, r) => System.err.println(
       f"[bench] OVER BUDGET: $k at $r%.2fx its baseline (median ratio $medianRatio%.2fx)") }
+    suspect.foreach { case (k, r) => System.err.println(
+      f"[bench] SUSPECT CONTENTION: $k at $r%.2fx its baseline, spin stamp " +
+      f"${spins(k) / spinMin}%.2fx the run minimum — likely a noisy neighbor, " +
+      "re-time isolated before attributing") }
+    def flagList(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, r) => "\"" + k + ":" + num(r) + "x\"" }
+        .mkString("[", ",", "]")
     val budgetJson =
       if (ratios.isEmpty) ""
       else s""","budget_median_ratio":${num(medianRatio)},"over_budget":""" +
-        over.map { case (k, r) => "\"" + k + ":" + num(r) + "x\"" }
-          .mkString("[", ",", "]")
+        flagList(over) + s""","suspect_contention":${flagList(suspect)}"""
     // stop BEFORE printing: the JSON must be the final stdout line (the
     // driver's parser reads the last line; Spark's shutdown chatter goes
     // to stderr, but ordering the stop first removes any race)
     spark.stop()
+    val loadEnd = loadAvg()
+    def loadArr(l: Seq[Double]): String = l.map(num).mkString("[", ",", "]")
+    val spinJson = spins.map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val loadJson = s""","load_start":${loadArr(loadStart)},"load_end":${
+        loadArr(loadEnd)},"spin_min_ms":${num(spinMin)},"spin_ms":$spinJson"""
     val fullJson =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$failedJson$budgetJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$failedJson$budgetJson$loadJson,"sf":"$sfDir"}"""
     // The driver's stdout tail buffer truncated the 84-query line mid-map
     // in round 7 (BENCH_r07 "parsed": null). Defend three ways: persist the
     // full record to a local file, print it one line early, and make the
@@ -198,6 +257,6 @@ object Bench {
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
     println(fullJson)
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir","detail":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"load_start":${loadArr(loadStart)},"load_end":${loadArr(loadEnd)},"sf":"$sfDir","detail":"bench_out.json"}""")
   }
 }

@@ -2198,11 +2198,29 @@ object Similarity {
     * not equality. Everything is still DETERMINISTIC — and
     * batch-atomic: every walk runs against the PRE-batch adjacency and
     * the edge merge happens once, so within-batch arrival order cannot
-    * matter. Two caveats, both closed by the next refresh or
-    * [[refineNswGraphAt]] sweep: vectors of the same batch never link
-    * to each other, and a batch vector landing in a cell with no
-    * existing adjacency (a brand-new or 1-member cell) gets no edges —
-    * there is no graph to walk. */
+    * matter.
+    *
+    * Two round-14 caveats are CLOSED here (round 15):
+    *
+    *   - Bridges survive. The reverse-edge prune is per EDGE CLASS: a
+    *     vertex's stored rows split into its m grid-nearest (the base
+    *     pool — by construction every long edge is farther than every
+    *     base edge, so rank identifies the class) and its long-range
+    *     slots; new forward/reverse edges compete only in the base
+    *     pool, long slots pass through untouched. Out-degree stays
+    *     ≤ m + longEdges and the island bridges no longer decay under
+    *     sustained ingest.
+    *   - Same-batch vectors link. After the merge, one TARGETED
+    *     NN-descent pass runs with centers restricted to the batch and
+    *     its direct neighbors: two batch vectors that walked to a
+    *     shared stored neighbor become 2-hop candidates of each other
+    *     (the small-world closure), scored exactly and re-cut to m.
+    *     Cost ∝ batch·(m+L)·cap² candidate rows — still flat in cell
+    *     size, unlike a full [[refineNswGraphAt]] sweep.
+    *
+    * Remaining caveat (closed by the periodic refresh): a batch vector
+    * landing in a cell with no existing adjacency (a brand-new or
+    * 1-member cell) gets no edges — there is no graph to walk. */
   def insertIntoNswGraph(
       s: SparkSession,
       indexPath: String,
@@ -2260,11 +2278,84 @@ object Similarity {
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
         col("nbr"), col("d"))
       .where(col("cell").isin(cellSet.map(Int.box): _*))
-    val next = TopK.perKey(
-        old.unionByName(fwd).unionByName(rev)
+    // per-edge-class prune: the base pool is a vertex's m grid-nearest
+    // stored rows; everything beyond rank m is a long-range slot
+    // (bridges are farther than every base edge by construction) and
+    // passes through untouched — insert no longer strips the island
+    // bridges from the vertices it touches
+    val oldBase = TopK.perKey(
+        old.withColumn("__s", -col("d").cast("double")),
+        Seq("vec_id"), "__s", "nbr", m)
+      .select("cell", "vec_id", "nbr", "d")
+    val oldLong = old.join(oldBase.select("vec_id", "nbr"),
+      Seq("vec_id", "nbr"), "left_anti")
+    val merged = TopK.perKey(
+        oldBase.unionByName(fwd).unionByName(rev)
           .withColumn("__s", -col("d").cast("double")),
         Seq("vec_id"), "__s", "nbr", m)
       .select("cell", "vec_id", "nbr", "d")
+      .unionByName(oldLong.select("cell", "vec_id", "nbr", "d"))
+      .dropDuplicates("cell", "vec_id", "nbr")
+      // referenced by four downstream branches (und, centers, re-cut,
+      // pass-through) AND rooted at graphPath — one checkpoint breaks
+      // the lineage before the overwrite and stops recompute fan-out
+      .localCheckpoint()
+    // WITHIN-BATCH linking — one targeted NN-descent pass: centers =
+    // the batch and its direct (undirected) neighbors, candidates =
+    // 2-hop pairs through those centers, so two same-batch vectors
+    // that walked to a shared stored neighbor finally see each other.
+    // Only the candidate pairs' vertices are re-cut (per edge class,
+    // as above); every other vertex's rows pass through bit-equal.
+    val und = merged.select(col("cell"), col("vec_id").as("w"),
+        col("nbr").as("x"), col("d"))
+      .unionByName(merged.select(col("cell"), col("nbr").as("w"),
+        col("vec_id").as("x"), col("d")))
+      .groupBy("cell", "w", "x").agg(min("d").as("d"))
+    // center rows: a batch vector's own neighborhood (w ∈ batch) plus
+    // every stored vertex's batch neighbors (x ∈ batch) — the latter
+    // is what closes A–sharedNeighbor–B into an A–B candidate
+    val batchIds = q.select(col("q_id").as("w"))
+    val centers = und.join(batchIds, Seq("w"), "left_semi")
+      .select("cell", "w", "x", "d")
+      .unionByName(und.join(
+        batchIds.select(col("w").as("x")), Seq("x"), "left_semi")
+        .select("cell", "w", "x", "d"))
+      .groupBy("cell", "w", "x").agg(min("d").as("d"))
+    val undC = TopK.perKey(
+        centers.withColumn("__s", -col("d").cast("double")),
+        Seq("w"), "__s", "x", 3 * m)
+      .select("cell", "w", "x")
+    val twoHop = undC.select(col("cell"), col("w"), col("x").as("u"))
+      .join(undC.select(col("cell"), col("w"), col("x").as("nbr2")),
+        Seq("cell", "w"))
+      .where(col("u") =!= col("nbr2"))
+      .select(col("cell"), col("u").as("vec_id"), col("nbr2").as("nbr"))
+      .distinct()
+    val scored = twoHop
+      .join(grid.select(col("cell"), col("node").as("vec_id"),
+        col("g")), Seq("cell", "vec_id"))
+      .join(grid.select(col("cell"), col("node").as("nbr"),
+        col("g").as("ng")), Seq("cell", "nbr"))
+      .select(col("cell"), col("vec_id"), col("nbr"),
+        gridDist(col("g"), col("ng")).as("d"))
+    val affected = scored.select("vec_id").distinct()
+    val curAff = merged.join(affected, Seq("vec_id"), "left_semi")
+    val affBase = TopK.perKey(
+        curAff.withColumn("__s", -col("d").cast("double")),
+        Seq("vec_id"), "__s", "nbr", m)
+      .select("cell", "vec_id", "nbr", "d")
+    val affLong = curAff.join(affBase.select("vec_id", "nbr"),
+      Seq("vec_id", "nbr"), "left_anti")
+    val affNext = TopK.perKey(
+        affBase.unionByName(scored)
+          .dropDuplicates("cell", "vec_id", "nbr")
+          .withColumn("__s", -col("d").cast("double")),
+        Seq("vec_id"), "__s", "nbr", m)
+      .select("cell", "vec_id", "nbr", "d")
+      .unionByName(affLong.select("cell", "vec_id", "nbr", "d"))
+      .dropDuplicates("cell", "vec_id", "nbr")
+    val next = merged.join(affected, Seq("vec_id"), "left_anti")
+      .unionByName(affNext)
       .localCheckpoint() // break lineage off graphPath before overwrite
     next.repartition(col("cell"))
       .write.mode("overwrite")
@@ -2688,7 +2779,15 @@ object Similarity {
     * replays BOTH branches and selects by the same counted
     * selectivity. Returns `(route, q_id, rank, n_id)` — the two
     * branches' distance scales differ (refined cosine vs grid L2), so
-    * the rank is the contract, not a score column. */
+    * the rank is the contract, not a score column.
+    *
+    * With `layersPath` the walk branch is the COMPOSED serving default
+    * ([[nswServe]]): layered descent + dual-seeded walk at the
+    * census-sized budget, over whatever bridges the stored stack
+    * carries — and the census shares the router's ONE aggregate (the
+    * same ≤ nlist-group job yields total AND max cell), so routing a
+    * query costs one bounded job, not two corpus passes. Without it
+    * the walk branch stays the flat fixed-budget walk (q262's shape). */
   def routedRetrieve(
       s: SparkSession,
       indexPath: String,
@@ -2702,8 +2801,17 @@ object Similarity {
       beam: Int = 8,
       ivfNprobe: Int = 3,
       refine: Int = 32,
-      crossover: Double = 0.10): DataFrame = {
-    val total = s.read.parquet(s"$indexPath/vectors").count()
+      crossover: Double = 0.10,
+      layersPath: Option[String] = None): DataFrame = {
+    // total + max-cell from ONE bounded aggregate (≤ nlist groups):
+    // the router needs the total for selectivity, the layered branch
+    // needs the max for its budget ladder
+    val census = s.read.parquet(s"$indexPath/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(sum("n").as("t"), max("n").as("mx")).collect()(0)
+    val total = if (census.isNullAt(0)) 0L else census.getLong(0)
+    val maxCell = if (census.isNullAt(1)) 0L else census.getLong(1)
+    require(total > 0, s"routedRetrieve: empty index at $indexPath")
     val ids = allowed.select(col(allowed.columns.head).as("n_id"))
     val sel = ids.count().toDouble / total
     if (sel < crossover)
@@ -2711,11 +2819,19 @@ object Similarity {
           refine, allowed = Some(ids))
         .select(lit("ivf").as("route"), col("q_id"), col("rank"),
           col("n_id"))
-    else
-      nswSearchStored(s, indexPath, graphPath, q, k, nprobe, hops, beam,
-          allowed = Some(ids))
-        .select(lit("walk").as("route"), col("q_id"), col("rank"),
-          col("n_id"))
+    else {
+      val walked = layersPath match {
+        case Some(lp) =>
+          val (h, b, hu, bu) = nswServeBudget(maxCell)
+          nswSearchLayered(s, indexPath, graphPath, lp, q, k, nprobe,
+            h, b, hopsUp = hu, beamUp = bu, allowed = Some(ids))
+        case None =>
+          nswSearchStored(s, indexPath, graphPath, q, k, nprobe, hops,
+            beam, allowed = Some(ids))
+      }
+      walked.select(lit("walk").as("route"), col("q_id"), col("rank"),
+        col("n_id"))
+    }
   }
 
   /** Explicit-schema adjacency read: a graph or LAYER partition can be
@@ -2756,6 +2872,14 @@ object Similarity {
   private val nswLongGraphs =
     new ConcurrentHashMap[(String, Int, Int), String]
 
+  /** The ConcurrentHashMap memoization above is JVM-LOCAL, so the
+    * build-once tmp paths carry the pid: without it two JVMs benching
+    * the same corpus derive the SAME path and interleave writes
+    * mid-build (each map only serializes builds within its own
+    * process). Same convention as the streaming fixtures'
+    * `graft_stlyr_<pid>_<seq>` paths. */
+  private val nswPid: Long = ProcessHandle.current().pid()
+
   /** Build-once LONG-EDGE graph beside the memoized trained index
     * (one build serves q269 + the q270 serving stack in a JVM). */
   def nswLongGraph(
@@ -2765,7 +2889,7 @@ object Similarity {
       val idx = trainedIvfPqIndex(s, dir, nlist = 8, m = 4, ks = 8,
         trainSample = 64, iters = 2)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_nswlng_" +
-        s"${Bucketing.dirTag(dir)}_m${m}_l$longEdges"
+        s"${nswPid}_${Bucketing.dirTag(dir)}_m${m}_l$longEdges"
       buildNswGraphAt(s, idx, base, m, longEdges = longEdges)
       base
     })
@@ -2777,7 +2901,7 @@ object Similarity {
       val idx = trainedIvfPqIndex(s, dir, nlist = 8, m = 4, ks = 8,
         trainSample = 64, iters = 2)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_nsw_" +
-        s"${Bucketing.dirTag(dir)}_m$m"
+        s"${nswPid}_${Bucketing.dirTag(dir)}_m$m"
       buildNswGraphAt(s, idx, base, m)
       base
     })
@@ -2862,7 +2986,18 @@ object Similarity {
     * shrinks geometrically, so the whole hierarchy adds < 1/(branch-1)
     * of the base build. Routing per (layer, cell) is
     * count-deterministic over the FILTERED members, so
-    * [[refreshNswLayersCells]] reproduces it exactly. */
+    * [[refreshNswLayersCells]] reproduces it exactly.
+    *
+    * `longEdges` > 0 adds the [[addLongEdges]] diversification pass to
+    * EVERY layer adjacency (same id-pure arithmetic over the layer's
+    * members). This matters more at the layers than at the base: on
+    * clustered corpora a mid layer is ITSELF an m-NN archipelago —
+    * layer 1 of a 6250-member cell holds ~12 reps per ~100-member
+    * cluster, still above m, so every layer-1 edge stays intra-cluster
+    * and the descent can only switch clusters at the top layer
+    * (round-15 measurement: layer bridges are the single biggest
+    * serving-recall lever at mega-cells, 0.33 → 0.63 with the census
+    * budget). */
   def buildNswLayersAt(
       s: SparkSession,
       indexPath: String,
@@ -2872,14 +3007,16 @@ object Similarity {
       branch: Int = NswLayerBranch,
       exactCellCeiling: Int = NswExactCellCeiling,
       randomInitCellCeiling: Int = NswRandomInitCellCeiling,
-      randomInitSweeps: Int = 3): Unit = {
+      randomInitSweeps: Int = 3,
+      longEdges: Int = 0): Unit = {
     require(maxLayer >= 1, s"maxLayer must be >= 1: $maxLayer")
     require(branch >= 2, s"branch must be >= 2: $branch")
     for (l <- 1 to maxLayer)
       writeNswAdjacency(s, indexPath, s"$layersPath/layer=$l", m, None,
         exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
         memberFilter =
-          Some(nswLevel(col("vec_id"), maxLayer, branch) >= l))
+          Some(nswLevel(col("vec_id"), maxLayer, branch) >= l),
+        longEdges = longEdges)
   }
 
   /** Layer maintenance, [[refreshNswGraphCells]] per layer: rebuild
@@ -2898,7 +3035,8 @@ object Similarity {
       branch: Int = NswLayerBranch,
       exactCellCeiling: Int = NswExactCellCeiling,
       randomInitCellCeiling: Int = NswRandomInitCellCeiling,
-      randomInitSweeps: Int = 3): Unit = {
+      randomInitSweeps: Int = 3,
+      longEdges: Int = 0): Unit = {
     if (cells.isEmpty) return
     val fs = new org.apache.hadoop.fs.Path(layersPath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -2907,7 +3045,7 @@ object Similarity {
       val f = nswLevel(col("vec_id"), maxLayer, branch) >= l
       writeNswAdjacency(s, indexPath, p, m, Some(cells),
         exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
-        memberFilter = Some(f))
+        memberFilter = Some(f), longEdges = longEdges)
       // same contract as refreshNswGraphCells: a refreshed (layer,
       // cell) that now has ≤ 1 eligible member writes no rows and
       // must not keep stale files
@@ -3114,27 +3252,99 @@ object Similarity {
       k: Int = 5,
       nprobe: Int = 2,
       allowed: Option[DataFrame] = None): DataFrame = {
-    val maxCell = s.read.parquet(s"$indexPath/vectors")
-      .groupBy("cell").agg(count(lit(1)).as("n"))
-      .agg(max("n")).collect()(0).getLong(0)
+    val maxCell = nswCellCensusMax(s, indexPath)
     val (hops, beam) = nswAutoBudget(maxCell)
     nswSearchStored(s, indexPath, graphPath, q, k, nprobe, hops, beam,
       allowed)
   }
 
-  private val nswLayerStore = new ConcurrentHashMap[(String, Int), String]
+  /** Largest cell's member count — ONE bounded aggregate (≤ nlist
+    * groups). An EMPTY vectors table yields a single null row from
+    * `max`; that falls back to 0 (→ the base budget) instead of an
+    * opaque NPE. Shared by every census-sized serving entry point. */
+  private[graft] def nswCellCensusMax(
+      s: SparkSession, indexPath: String): Long = {
+    val row = s.read.parquet(s"$indexPath/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(max("n")).collect()(0)
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  private val nswLayerStore =
+    new ConcurrentHashMap[(String, Int, Int), String]
 
   /** Build-once layer hierarchy beside the memoized base graph (one
-    * build serves every layered entry in a JVM). */
-  def nswLayers(s: SparkSession, dir: String, m: Int = 6): String =
-    nswLayerStore.computeIfAbsent((dir, m), _ => {
+    * build serves every layered entry in a JVM). `longEdges` > 0 adds
+    * the per-layer bridges the composed serving default traverses. */
+  def nswLayers(s: SparkSession, dir: String, m: Int = 6,
+      longEdges: Int = 0): String =
+    nswLayerStore.computeIfAbsent((dir, m, longEdges), _ => {
       val idx = trainedIvfPqIndex(s, dir, nlist = 8, m = 4, ks = 8,
         trainSample = 64, iters = 2)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_nswlyr_" +
-        s"${Bucketing.dirTag(dir)}_m$m"
-      buildNswLayersAt(s, idx, base, m)
+        s"${nswPid}_${Bucketing.dirTag(dir)}_m${m}_l$longEdges"
+      buildNswLayersAt(s, idx, base, m, longEdges = longEdges)
       base
     })
+
+  /** The COMPOSED census-sized serving budget — every walk dimension
+    * derived from the largest cell's member count by the same
+    * 8×-growth ladder as [[nswAutoBudget]]:
+    *
+    *   - (hops, beam): the flat ladder — +1 hop / 2× beam per octave
+    *     beyond `baseCell` (beam capped at 16×)
+    *   - beamUp (descent width): 2× per octave from base 4, capped at
+    *     16× — round 14 measured descent width as THE serving-recall
+    *     lever at mega-cells, but it was never census-sized
+    *   - hopsUp: +1 per TWO octaves from base 3 — upper layers shrink
+    *     by branch^l, so depth grows much slower than width
+    *
+    * Tuned on the round-15 clustered 50k profile (6250-member cells →
+    * extra = 2 → (5, 32, 4, 16)): composed with per-layer bridges the
+    * stack measures recall@5 0.86 vs 0.32 for the fixed-budget q270
+    * arm (TuneNswServe; SCALE.md round-15 table). Integer-
+    * deterministic, so the q271 oracle replays the selected budget
+    * and splices the census predicate — a mis-sized budget fails the
+    * hash, q266's pattern. */
+  def nswServeBudget(
+      maxCell: Long,
+      baseHops: Int = 3,
+      baseBeam: Int = 8,
+      baseHopsUp: Int = 3,
+      baseBeamUp: Int = 4,
+      baseCell: Long = 512): (Int, Int, Int, Int) = {
+    var b = baseCell
+    var extra = 0
+    while (maxCell > b && extra < 8) { b *= 8; extra += 1 }
+    (baseHops + extra, baseBeam << math.min(extra, 4),
+      baseHopsUp + extra / 2, baseBeamUp << math.min(extra, 4))
+  }
+
+  /** The COMPOSED SERVING DEFAULT — the round-15 deployment answer to
+    * "mega-cell recall is quantified but not won": one call that
+    * derives EVERY budget dimension from the index's own cell census
+    * ([[nswServeBudget]], one bounded aggregate) and runs the layered
+    * descent + dual-seeded walk over bridge-diversified adjacencies.
+    * The caller builds the stack once with `longEdges` on BOTH the
+    * base graph and the layers ([[buildNswGraphAt]] /
+    * [[buildNswLayersAt]]) — on clustered corpora the layers are
+    * themselves m-NN archipelagos, and layer bridges are the single
+    * biggest recall lever (0.54 → 0.86 at 50k beside the census
+    * budget; without either the fixed-budget stack sat at 0.32). */
+  def nswServe(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      layersPath: String,
+      q: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 2,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val (hops, beam, hopsUp, beamUp) =
+      nswServeBudget(nswCellCensusMax(s, indexPath))
+    nswSearchLayered(s, indexPath, graphPath, layersPath, q, k, nprobe,
+      hops, beam, hopsUp = hopsUp, beamUp = beamUp, allowed = allowed)
+  }
 
   /** [[nswTopK]]'s layered sibling — the q264 serving shape. */
   def nswTopKLayered(

@@ -50,7 +50,7 @@ object ProfileNswBuild {
     * one is, and it also exposes the m-NN graph's ISLAND structure
     * (edges stay intra-cluster), which is exactly what layered entry
     * points exist to cross. */
-  private def synth(s: SparkSession, n: Long) = {
+  private[tools] def synth(s: SparkSession, n: Long) = {
     val nClusters = math.max(8L, n / 100)
     s.range(n).toDF("vec_id")
       .withColumn("cl",

@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TopK}
+
+/** Round-15 scale validation for the composed serving default
+  * ([[Similarity.nswServe]]) ONE OCTAVE BEYOND where its ladder was
+  * fit: the 50k clustered profile (6250-member cells, census extra=2
+  * → (5, 32, 4, 16)) tuned the ladder; this runs the full q271 stack
+  * at 500k vectors (62.5k members/cell, extra=3 → (6, 64, 4, 32)) —
+  * a size where the candidate build form's |cell|² pair stream is
+  * infeasible, so the base graph and every layer take the random-init
+  * NN-descent route, exactly as a mega-cell deployment would.
+  *
+  * Measures: build time for base (random-init + bridges) and layers
+  * (bridged), one census-budgeted serve, recall@5 vs exact brute
+  * force on 20 mid-range queries. Results land in SCALE.md by hand.
+  *
+  * `runMain graft.tools.ProfileServeStack [n]` (default 500000).
+  */
+object ProfileServeStack {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 500000L
+    val spark = graft.LightFusion.session(
+      "local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_serve_scale").toString
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val emb = ProfileNswBuild.synth(spark, n).localCheckpoint()
+    val idx = s"$root/idx"
+    val (_, tIdx) = time(Similarity.buildTrainedIvfPqIndexAt(spark, emb,
+      idx, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2))
+    // force the random-init route on base AND layers — at 62.5k
+    // members the pair-enumerating forms are the wall this route
+    // exists to avoid (the default ceiling routes there on its own at
+    // >65536; forcing keeps the measurement on that leg at any n)
+    val graph = s"$root/g"
+    val layers = s"$root/lyr"
+    val (_, tBase) = time(Similarity.buildNswGraphAt(spark, idx, graph,
+      m = 6, exactCellCeiling = 1, randomInitCellCeiling = 1,
+      longEdges = 2))
+    val (_, tLyr) = time(Similarity.buildNswLayersAt(spark, idx, layers,
+      m = 6, exactCellCeiling = 1, randomInitCellCeiling = 1,
+      longEdges = 2))
+    val maxCell = spark.read.parquet(s"$idx/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .agg(max("cnt")).collect()(0).getLong(0)
+    val budget = Similarity.nswServeBudget(maxCell)
+    println(f"[serve-scale] n=$n built: idx=$tIdx%.1fs base(rand+L2)=" +
+      f"$tBase%.1fs layers(L2)=$tLyr%.1fs maxCell=$maxCell budget=$budget")
+
+    val q = emb.where(col("vec_id") >= n / 2 && col("vec_id") < n / 2 + 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val (served, tServe) = time(Similarity.nswServe(spark, idx, graph,
+        layers, q, k = 5, nprobe = 2)
+      .select(col("q_id").as("bq"), col("n_id").as("bn"))
+      .localCheckpoint())
+    val brute = TopK.perKey(
+        emb.select(col("vec_id").as("bn"),
+            Similarity.gridLongs(col("v")).as("g"))
+          .crossJoin(broadcast(q.select(col("q_id").as("bq"),
+            Similarity.gridLongs(col("qv")).as("qg"))))
+          .where(col("bn") =!= col("bq"))
+          .withColumn("__s",
+            -Similarity.gridDist(col("g"), col("qg")).cast("double")),
+        Seq("bq"), "__s", "bn", 5)
+      .select("bq", "bn").localCheckpoint()
+    val hits = brute.join(served, Seq("bq", "bn"), "left_semi").count()
+    val recall = hits.toDouble / brute.count()
+    println(f"[serve-scale] n=$n serve=$tServe%.1fs (20 queries) " +
+      f"recall@5=$recall%.2f at census budget $budget")
+    spark.stop()
+  }
+}

@@ -1,0 +1,111 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TopK}
+
+/** Round-15 tuning harness for the COMPOSED serving default
+  * (`nswServe`): the round-14 close-out leaves mega-cell serving
+  * recall at 0.32 (layers + L=2 bridges + dual seed at the fixed gate
+  * budget) with routing reachability 1.00 — the remaining 0.68 is
+  * pure walk dynamics. This sweeps the candidate levers on the
+  * clustered profile corpus at 50k (6250-member cells):
+  *
+  *   - census layer-0 budget (hops, beam) from [[Similarity.nswAutoBudget]]
+  *   - census-scaled DESCENT width (hopsUp, beamUp) — measured round
+  *     14 as THE lever, but never census-sized
+  *   - long edges IN THE LAYER adjacencies (new round-15 build param):
+  *     on clustered corpora layer 1 is itself an m-NN archipelago
+  *     (~12 reps per cluster > m), so without bridges the cluster
+  *     choice happens only at the tiny top layer
+  *   - L = 3 base bridges
+  *
+  * Prints one recall@5 row per arm; winners become the `nswServe`
+  * budget ladder, validated by the spec + SCALE.md row.
+  *
+  * `runMain graft.tools.TuneNswServe [n]` (default 50000).
+  */
+object TuneNswServe {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 50000L
+    val spark = graft.LightFusion.session(
+      "local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nsw_tune").toString
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val emb = ProfileNswBuild.synth(spark, n).localCheckpoint()
+    val idx = s"$root/idx"
+    Similarity.buildTrainedIvfPqIndexAt(spark, emb, idx,
+      nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    val q = emb.where(col("vec_id") >= n / 2 && col("vec_id") < n / 2 + 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val brute = TopK.perKey(
+        emb.select(col("vec_id").as("bn"),
+            Similarity.gridLongs(col("v")).as("g"))
+          .crossJoin(broadcast(q.select(col("q_id").as("bq"),
+            Similarity.gridLongs(col("qv")).as("qg"))))
+          .where(col("bn") =!= col("bq"))
+          .withColumn("__s",
+            -Similarity.gridDist(col("g"), col("qg")).cast("double")),
+        Seq("bq"), "__s", "bn", 5)
+      .select("bq", "bn").localCheckpoint()
+    val bruteN = brute.count()
+
+    // base graphs: random-init (the mega-cell route's form) with L base
+    // bridges; layer stacks with 0 / 2 layer bridges
+    def baseGraph(l: Int): String = {
+      val p = s"$root/g_l$l"
+      val (_, t) = time(Similarity.buildNswGraphAt(spark, idx, p, m = 6,
+        exactCellCeiling = 1, randomInitCellCeiling = 1, longEdges = l))
+      println(f"[tune] base graph L=$l built in $t%6.1fs")
+      p
+    }
+    def layerStack(l: Int): String = {
+      val p = s"$root/lyr_l$l"
+      val (_, t) = time(Similarity.buildNswLayersAt(spark, idx, p, m = 6,
+        longEdges = l))
+      println(f"[tune] layers longEdges=$l built in $t%6.1fs")
+      p
+    }
+    val g2 = baseGraph(2)
+    val lyr0 = layerStack(0)
+    val lyr2 = layerStack(2)
+
+    def arm(tag: String, graph: String, layers: String, hops: Int,
+        beam: Int, hopsUp: Int, beamUp: Int): Unit = {
+      val (got, t) = time(Similarity.nswSearchLayered(spark, idx, graph,
+          layers, q, k = 5, nprobe = 2, hops = hops, beam = beam,
+          hopsUp = hopsUp, beamUp = beamUp)
+        .select(col("q_id").as("bq"), col("n_id").as("bn"))
+        .localCheckpoint())
+      val hits = brute.join(got, Seq("bq", "bn"), "left_semi").count()
+      println(f"[tune] $tag%-34s recall@5=${hits.toDouble / bruteN}%.2f " +
+        f"walk=$t%5.1fs (hops=$hops beam=$beam hopsUp=$hopsUp beamUp=$beamUp)")
+    }
+
+    // r14 baseline: fixed budget, no layer bridges
+    arm("q270-baseline L=2 lyr0", g2, lyr0, 3, 8, 3, 4)
+    // lever 1: census layer-0 budget (6250 -> (5, 32))
+    val (ch, cb) = Similarity.nswAutoBudget(
+      spark.read.parquet(s"$idx/vectors").groupBy("cell")
+        .agg(count(lit(1)).as("n")).agg(max("n")).collect()(0).getLong(0))
+    arm(s"census base ($ch,$cb) lyr0", g2, lyr0, ch, cb, 3, 4)
+    // lever 2: census descent width, fixed layer-0
+    arm("beamUp=16 lyr0", g2, lyr0, 3, 8, 3, 16)
+    // lever 3: layer bridges
+    arm("layer bridges, fixed budget", g2, lyr2, 3, 8, 3, 4)
+    arm("layer bridges + beamUp=8", g2, lyr2, 3, 8, 3, 8)
+    arm("layer bridges + beamUp=16", g2, lyr2, 3, 8, 3, 16)
+    // composed: census base + census descent + layer bridges
+    arm(s"composed ($ch,$cb) up(3,16) lyr2", g2, lyr2, ch, cb, 3, 16)
+    arm(s"composed ($ch,$cb) up(4,16) lyr2", g2, lyr2, ch, cb, 4, 16)
+    arm(s"composed ($ch,$cb) up(4,32) lyr2", g2, lyr2, ch, cb, 4, 32)
+    spark.stop()
+  }
+}

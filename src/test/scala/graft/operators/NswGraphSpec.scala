@@ -235,6 +235,81 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
     assert(overlap >= 20, s"$overlap/25")
   }
 
+  test("insert preserves bridges and links same-batch vectors: long " +
+    "slots survive the reverse prune, out-degree <= m + L holds, and " +
+    "the bridged walk's recall is unchanged by an all-cell batch") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nsw_inslng").toString
+    val idx = s"$root/idx"
+    val emb1k = spark.range(1000L).toDF("vec_id")
+      .withColumn("cl", pmod(hash(col("vec_id")).cast("long"), lit(10L)))
+      .select(col("vec_id"), transform(sequence(lit(0), lit(63)), d =>
+        ((pmod(hash(col("cl"), d).cast("long"), lit(1638L)) - lit(819L)
+          + pmod(hash(col("vec_id"), d, lit(7)).cast("long"), lit(205L))
+          - lit(102L)) / 1024.0).cast("double")).as("v"))
+      .localCheckpoint()
+    Similarity.buildTrainedIvfPqIndexAt(spark, emb1k,
+      idx, nlist = 2, m = 4, ks = 8, trainSample = 64, iters = 2)
+    // bootstrap graph over ids < 900, WITH bridges
+    val keep = col("vec_id") < 900
+    val idxBoot = s"$root/idxb"
+    Similarity.buildTrainedIvfPqIndexAt(spark, emb1k.where(keep),
+      idxBoot, nlist = 2, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswGraphAt(spark, idxBoot, s"$root/g", m = 4,
+      longEdges = 2)
+    val pre = Similarity.readNswAdjacency(spark, s"$root/g")
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+        col("nbr"), col("d")).localCheckpoint()
+    // the pre-insert LONG class: a vertex's rows beyond its m nearest
+    val preBase = TopK.perKey(
+        pre.withColumn("__s", -col("d").cast("double")),
+        Seq("vec_id"), "__s", "nbr", 4)
+      .select("vec_id", "nbr")
+    val preLong = pre.join(preBase, Seq("vec_id", "nbr"), "left_anti")
+      .select("vec_id", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(preLong.nonEmpty, "fixture has no long edges to preserve")
+    // serving answers BEFORE the batch (the q269-shape walk)
+    val q = emb1k.where(col("vec_id") >= 400L && col("vec_id") < 410L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def walkRows(): Set[String] = Similarity.nswSearchStored(spark,
+        idxBoot, s"$root/g", q, k = 5, nprobe = 2, hops = 3, beam = 8)
+      .select("q_id", "n_id").collect().map(_.toSeq.toString).toSet
+    val before = walkRows()
+    // append a batch that touches EVERY cell, then walk-insert it
+    Similarity.appendToTrainedIvfPqIndex(spark, emb1k.where(!keep),
+      idxBoot)
+    val touched = spark.read.parquet(s"$idxBoot/vectors")
+      .where(col("vec_id") >= 900)
+      .select(col("cell").cast("int")).distinct().count()
+    assert(touched == 2L, s"batch must touch both cells: $touched")
+    Similarity.insertIntoNswGraph(spark, idxBoot, s"$root/g",
+      emb1k.where(!keep).select("vec_id"), m = 4)
+    val post = Similarity.readNswAdjacency(spark, s"$root/g")
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+        col("nbr"), col("d")).localCheckpoint()
+    val postPairs = post.select("vec_id", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pre-insert bridge survived the reverse prune
+    assert(preLong.subsetOf(postPairs),
+      s"insert stripped ${(preLong -- postPairs).size} bridges")
+    // degree cap m + L
+    val deg = post.groupBy("vec_id").count().collect().map(_.getLong(1))
+    assert(deg.forall(_ <= 6L), s"degree cap m+2 violated: ${deg.max}")
+    // same-batch vectors linked (the targeted post-merge sweep): at
+    // least one edge has BOTH endpoints in the batch
+    val batchBatch = postPairs.count { case (a, b) => a >= 900 && b >= 900 }
+    info(s"within-batch edges: $batchBatch")
+    assert(batchBatch > 0, "no within-batch edges were created")
+    // the pre-batch queries' walk answers are unchanged: stored
+    // vertices kept their base top-m (new rivals can only displace
+    // within the base pool if closer) and ALL their bridges
+    val after = walkRows()
+    info(s"walk overlap after all-cell insert: ${(before & after).size}/${before.size}")
+    assert((before & after).size >= before.size - 5,
+      "all-cell insert degraded the bridged walk")
+  }
+
   test("routedRetrieve: a 5% allow-list routes to the filter-aware IVF " +
     "branch, a 50% list to the post-filtered walk; both return ranked " +
     "rows for every query") {
@@ -513,6 +588,138 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
     assert(layered >= flat + 0.1,
       f"layered $layered%.2f should beat flat $flat%.2f by >= 0.1")
     assert(layered >= 0.25, f"layered floor: $layered%.2f")
+  }
+
+  test("nswServeBudget ladder: every dimension census-derived — flat " +
+    "ladder for (hops, beam), 2x/octave beamUp (16x cap), +1 hopsUp " +
+    "per two octaves") {
+    assert(Similarity.nswServeBudget(60L) == (3, 8, 3, 4))
+    assert(Similarity.nswServeBudget(512L) == (3, 8, 3, 4))
+    assert(Similarity.nswServeBudget(513L) == (4, 16, 3, 8))
+    assert(Similarity.nswServeBudget(4096L) == (4, 16, 3, 8))
+    // the round-15 50k profile rung (6250-member cells): the composed
+    // stack at this budget measures recall@5 0.86 vs 0.32 fixed
+    assert(Similarity.nswServeBudget(6250L) == (5, 32, 4, 16))
+    assert(Similarity.nswServeBudget(1000000L) == (7, 128, 5, 64))
+  }
+
+  test("nswServe: the composed serving default equals nswSearchLayered " +
+    "at the ladder-derived budget, and the bridged stack holds the " +
+    "layered walk's recall on a clustered corpus") {
+    // 40 clusters over 8 cells at n=6000 → ~750-member cells → one
+    // octave above the 512 base → the ladder must select (4,16,3,8);
+    // exact result equality against the explicit-budget walk pins the
+    // census → budget → descent → walk derivation end to end
+    val n = 6000L
+    val emb = spark.range(n).toDF("vec_id")
+      .withColumn("cl", pmod(hash(col("vec_id")).cast("long"), lit(40L)))
+      .select(col("vec_id"), transform(sequence(lit(0), lit(63)), d =>
+        ((pmod(hash(col("cl"), d).cast("long"), lit(1638L)) - lit(819L)
+          + pmod(hash(col("vec_id"), d, lit(7)).cast("long"), lit(205L))
+          - lit(102L)) / 1024.0).cast("double")).as("v"))
+      .localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nsw_serve").toString
+    val idx = s"$root/idx"
+    Similarity.buildTrainedIvfPqIndexAt(spark, emb, idx,
+      nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswGraphAt(spark, idx, s"$root/g", m = 6,
+      longEdges = 2)
+    Similarity.buildNswLayersAt(spark, idx, s"$root/lyr", m = 6,
+      longEdges = 2)
+    Similarity.buildNswLayersAt(spark, idx, s"$root/lyr0", m = 6)
+    val maxCell = spark.read.parquet(s"$idx/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(max("n")).collect()(0).getLong(0)
+    assert(maxCell > 512 && maxCell <= 4096, s"fixture drifted: $maxCell")
+    val q = emb.where(col("vec_id") >= 3000L && col("vec_id") < 3020L)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.toString).toSeq
+    val served = Similarity.nswServe(spark, idx, s"$root/g",
+      s"$root/lyr", q, k = 5, nprobe = 2)
+    val explicit = Similarity.nswSearchLayered(spark, idx, s"$root/g",
+      s"$root/lyr", q, k = 5, nprobe = 2, hops = 4, beam = 16,
+      hopsUp = 3, beamUp = 8)
+    assert(rows(served).nonEmpty && rows(served) == rows(explicit),
+      "nswServe must equal the layered walk at the ladder budget")
+    // recall ordering: the composed default must not lose to the
+    // fixed-budget unbridged layered walk it replaces
+    val gl = Similarity.gridLongs(col("v"))
+    val brute = graft.operators.TopK.perKey(
+        emb.select(col("vec_id").as("bn"), gl.as("g"))
+          .crossJoin(broadcast(q.select(col("q_id").as("bq"),
+            Similarity.gridLongs(col("qv")).as("qg"))))
+          .where(col("bn") =!= col("bq"))
+          .withColumn("__s",
+            -Similarity.gridDist(col("g"), col("qg")).cast("double")),
+        Seq("bq"), "__s", "bn", 5)
+      .select("bq", "bn").localCheckpoint()
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("q_id").as("bq"), col("n_id").as("bn"))
+      brute.join(got, Seq("bq", "bn"), "left_semi").count().toDouble /
+        brute.count()
+    }
+    val composed = recallOf(served)
+    val fixedLayered = recallOf(Similarity.nswSearchLayered(spark, idx,
+      s"$root/g", s"$root/lyr0", q, k = 5, nprobe = 2, hops = 3,
+      beam = 8))
+    info(f"recall@5: composed $composed%.2f fixed-layered $fixedLayered%.2f")
+    assert(composed >= fixedLayered,
+      f"composed $composed%.2f lost to fixed layered $fixedLayered%.2f")
+    assert(composed >= 0.3, f"composed floor: $composed%.2f")
+  }
+
+  test("layer bridges: buildNswLayersAt(longEdges) only adds edges per " +
+    "layer, respects the m + L degree cap, and refresh ≡ rebuild " +
+    "extends to bridged layers") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nsw_lyrlng").toString
+    val idx = s"$root/idx"
+    val emb1k = spark.range(1000L).toDF("vec_id")
+      .withColumn("cl", pmod(hash(col("vec_id")).cast("long"), lit(10L)))
+      .select(col("vec_id"), transform(sequence(lit(0), lit(63)), d =>
+        ((pmod(hash(col("cl"), d).cast("long"), lit(1638L)) - lit(819L)
+          + pmod(hash(col("vec_id"), d, lit(7)).cast("long"), lit(205L))
+          - lit(102L)) / 1024.0).cast("double")).as("v"))
+      .localCheckpoint()
+    Similarity.buildTrainedIvfPqIndexAt(spark, emb1k, idx,
+      nlist = 2, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswLayersAt(spark, idx, s"$root/lyr0", m = 4)
+    Similarity.buildNswLayersAt(spark, idx, s"$root/lyrb", m = 4,
+      longEdges = 2)
+    for (l <- 1 to Similarity.NswMaxLayer) {
+      val plain = adj(s"$root/lyr0/layer=$l").toSet
+      val bridged = adj(s"$root/lyrb/layer=$l").toSet
+      assert(plain.subsetOf(bridged), s"layer $l dropped a base edge")
+      val deg = Similarity.readNswAdjacency(spark, s"$root/lyrb/layer=$l")
+        .groupBy("vec_id").count().collect().map(_.getLong(1))
+      if (deg.nonEmpty)
+        assert(deg.forall(_ <= 6L), s"layer $l degree cap: ${deg.max}")
+    }
+    // layer 1 (~125 members per cell here) must actually gain bridges
+    assert(adj(s"$root/lyrb/layer=1").size > adj(s"$root/lyr0/layer=1").size,
+      "no layer-1 bridges were added")
+    // refresh ≡ rebuild with layer bridges
+    val idx2 = s"$root/idx2"
+    Similarity.buildTrainedIvfPqIndexAt(spark,
+      emb1k.where(col("vec_id") < 800), idx2,
+      nlist = 2, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswLayersAt(spark, idx2, s"$root/l1", m = 4,
+      longEdges = 2)
+    Similarity.appendToTrainedIvfPqIndex(spark,
+      emb1k.where(col("vec_id") >= 800), idx2)
+    val touched = spark.read.parquet(s"$idx2/vectors")
+      .where(col("vec_id") >= 800)
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    Similarity.refreshNswLayersCells(spark, idx2, s"$root/l1", touched,
+      m = 4, longEdges = 2)
+    Similarity.buildNswLayersAt(spark, idx2, s"$root/l2", m = 4,
+      longEdges = 2)
+    for (l <- 1 to Similarity.NswMaxLayer)
+      assert(adj(s"$root/l1/layer=$l") == adj(s"$root/l2/layer=$l"),
+        s"layer $l refresh != rebuild")
   }
 
   test("unstructured corpus: forced candidate build recalls >= 60% of " +
