@@ -954,6 +954,8 @@ object PipelineQueries {
     ("q270_serving_stack", q270ServingStack _, q270Sql),
     ("q271_serve_default", q271ServeDefault _, q271Sql),
     ("q272_routed_serve", q272RoutedServe _, q272Sql),
+    ("q273_takedown_serve", q273TakedownServe _, q273Sql),
+    ("q274_stream_serve", q274StreamServe _, q271Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3560,6 +3562,123 @@ object PipelineQueries {
        |$arms
        |) r
        |ORDER BY selmod, q_id, rank""".stripMargin
+  }
+
+  /** DELETION maintenance on the COMPOSED serving stack — q250's
+    * takedown lifecycle run against the q271 deployment default:
+    * bootstrap index + bridged base graph + bridged layers, append,
+    * retire `vec_id >= 64 AND vec_id % 7 = 3`
+    * ([[Similarity.compactTrainedIvfPqIndexAt]]), refresh base AND
+    * every layer (with their bridges) for the cells either mutation
+    * touched, require ZERO adjacency rows at ANY level still
+    * reference a retired id, then serve with
+    * [[Similarity.nswServe]]'s census-sized budget — the census now
+    * reads the post-takedown membership, so the budget tracks
+    * deletions too. Oracle = q271's composed replay over the
+    * survivors-only member set (one splice into the shared cg CTE —
+    * levels, layer bridges, base bridges, descent and walk all
+    * propagate the filter). */
+  def q273TakedownServe(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_tdsrv_" +
+      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    val graph = s"$idx/nsw"
+    val layers = s"$idx/nsw_layers"
+    Similarity.buildTrainedIvfPqIndexAt(s, emb.where(col("vec_id") < 250),
+      idx, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswGraphAt(s, idx, graph, m = 6, longEdges = 2)
+    Similarity.buildNswLayersAt(s, idx, layers, m = 6, longEdges = 2)
+    Similarity.appendToTrainedIvfPqIndex(s,
+      emb.where(col("vec_id") >= 250), idx)
+    val retired = col("vec_id") >= 64 && col("vec_id") % 7 === 3
+    val touched = s.read.parquet(s"$idx/vectors")
+      .where(col("vec_id") >= 250 || retired)
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    Similarity.compactTrainedIvfPqIndexAt(s, idx,
+      deletedIds = Some(emb.where(retired).select("vec_id")))
+    Similarity.refreshNswGraphCells(s, idx, graph, touched, m = 6,
+      longEdges = 2)
+    Similarity.refreshNswLayersCells(s, idx, layers, touched, m = 6,
+      longEdges = 2)
+    val delIds = emb.where(retired).select(col("vec_id").as("del_id"))
+    val levels = graph +: (1 to Similarity.NswMaxLayer)
+      .map(l => s"$layers/layer=$l")
+    levels.foreach { p =>
+      val g = Similarity.readNswAdjacency(s, p)
+      val stale =
+        g.join(delIds, col("vec_id") === col("del_id"), "left_semi")
+          .count() +
+        g.join(delIds, col("nbr") === col("del_id"), "left_semi").count()
+      require(stale == 0L,
+        s"q273: $p kept $stale adjacency rows referencing retired ids")
+    }
+    Similarity.nswServe(s, idx, graph, layers,
+      emb.where(col("vec_id") < 5)
+        .selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2)
+  }
+
+  def q273Sql: String = {
+    val out = q271Sql.replace("FROM cells c JOIN eq e USING (vec_id))",
+      "FROM cells c JOIN eq e USING (vec_id)\n" +
+        "  WHERE NOT (vec_id >= 64 AND vec_id % 7 = 3))")
+    require(out != q271Sql, "q273: survivor splice found no cg CTE")
+    out
+  }
+
+  /** STREAMING maintenance of the COMPOSED serving stack — q268's
+    * ingest shape upgraded to the q271 deployment default: every
+    * micro-batch appends, then refreshes the BRIDGED base graph and
+    * every BRIDGED layer for exactly its touched cells; after the
+    * stream drains, [[Similarity.nswServe]] serves at the live
+    * census's budget. Bridges are deterministic in cell membership,
+    * so refresh ≡ rebuild extends to them (NswGraphSpec pins both
+    * levels) and the oracle stays q271's fresh-build composed replay
+    * — per-batch maintenance of the full production stack loses
+    * nothing. */
+  def q274StreamServe(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_stsrv_" +
+      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    val graph = s"$idx/nsw"
+    val layers = s"$idx/nsw_layers"
+    Similarity.buildTrainedIvfPqIndexAt(s,
+      emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .where(col("vec_id") < 250),
+      idx, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswGraphAt(s, idx, graph, m = 6, longEdges = 2)
+    Similarity.buildNswLayersAt(s, idx, layers, m = 6, longEdges = 2)
+    val stream = s.readStream.schema(emb.schema).option("basePath", dir)
+      .parquet(s"$dir/embeddings.parquet*")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b
+            .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+            .where(col("vec_id") >= 250)
+          Similarity.appendToTrainedIvfPqIndex(s, rows, idx)
+          val touched = s.read.parquet(s"$idx/vectors")
+            .join(rows.select("vec_id"), Seq("vec_id"), "left_semi")
+            .select(col("cell").cast("int")).distinct()
+            .collect().map(_.getInt(0)).toSeq.sorted
+          Similarity.refreshNswGraphCells(s, idx, graph, touched, m = 6,
+            longEdges = 2)
+          Similarity.refreshNswLayersCells(s, idx, layers, touched,
+            m = 6, longEdges = 2)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    Similarity.nswServe(s, idx, graph, layers,
+      emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .where(col("vec_id") < 5)
+        .selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2)
   }
 
   /** STREAMING layered-graph maintenance — q251's ingest shape
