@@ -2762,6 +2762,83 @@ object Similarity {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** BULK (offline) graph-walk kNN — [[nswSearchStored]]'s exact
+    * semantics with ALL walk state in DataFrames: probe assignment,
+    * per-(query, cell) beam fronts, visited sets and the final cut
+    * live in Spark partitions with one bounded localCheckpoint per
+    * hop, never on the driver. The serving walk's driver-held beam map
+    * is right for online queries (a few hundred rows per query); this
+    * is the TRAINING-DATA MINING shape — contrastive-pair mining,
+    * semantic dedup, offline kNN-join — where queries number millions
+    * and driver state would be nq·nprobe·hops·beam·m rows. State here
+    * is the same rows DISTRIBUTED, so the operator scales with the
+    * cluster exactly like the batch insert walk it generalizes
+    * ([[insertIntoNswGraph]]'s walk, promoted to a serving surface).
+    *
+    * Arithmetic, tie-breaks, seeding (per-cell min-id entry) and the
+    * duplicate-row contract (a node reached in two probed cells ranks
+    * twice, adjacent) all match [[nswSearchStored]] — the q247 hop
+    * replay oracles BOTH (q275 runs it at 64 queries), and
+    * NswGraphSpec pins row-for-row equality between the two walks. */
+  def nswSearchBulkStored(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      q: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 2,
+      hops: Int = 3,
+      beam: Int = 8): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val centroids = s.read.parquet(s"$indexPath/coarse")
+    val probes = q
+      .select(col("q_id").cast("long").as("q_id"),
+        gridLongs(col("qv")).as("qg"))
+      .crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("qg"), col("cell"),
+        gridDist(col("qg"), col("centroid")).as("__d"))
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("__d"), col("cell"))))
+      .where(col("__r") <= nprobe)
+      .select("q_id", "qg", "cell")
+      .localCheckpoint()
+    // the probed-cell set is still collected for partition pruning —
+    // bounded by nlist (the coarse table), not by the query count
+    val cellSet = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val (grid, adj) = nswPrunedReads(s, indexPath, graphPath, cellSet)
+    val entry = grid.groupBy("cell").agg(min("node").as("node"))
+    def scoreOf(cand: DataFrame): DataFrame =
+      cand.join(probes, Seq("q_id", "cell"))
+        .join(grid, Seq("cell", "node"))
+        .select(col("q_id"), col("cell"), col("node"),
+          gridDist(col("qg"), col("g")).as("d"))
+    var visited = scoreOf(probes.select("q_id", "cell")
+      .join(entry, Seq("cell"))).localCheckpoint()
+    for (_ <- 1 to hops) {
+      val frontier = TopK.perKey(
+          visited.withColumn("__s", -col("d").cast("double")),
+          Seq("q_id", "cell"), "__s", "node", beam)
+        .select("q_id", "cell", "node")
+      val expanded = frontier.join(adj, Seq("cell", "node"))
+        .select(col("q_id"), col("cell"), col("nbr").as("node"))
+        .distinct()
+        .join(visited.select("q_id", "cell", "node"),
+          Seq("q_id", "cell", "node"), "left_anti")
+      visited = visited.unionByName(scoreOf(expanded)).localCheckpoint()
+    }
+    val cut = TopK.perKey(
+        visited.where(col("node") =!= col("q_id"))
+          .select(col("q_id"), col("node"), col("d"))
+          .withColumn("__s", -col("d").cast("double")),
+        Seq("q_id"), "__s", "node", k)
+    cut.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("d"), col("node"))))
+      .select(col("q_id"), col("rank"), col("node").as("n_id"), col("d"))
+  }
+
   /** Selectivity-aware FILTERED-retrieval ROUTER — q258's measured
     * route table as an operator, so a deployment doesn't apply the
     * rule from prose: count the allow-list (ONE bounded aggregate — a

@@ -956,6 +956,7 @@ object PipelineQueries {
     ("q272_routed_serve", q272RoutedServe _, q272Sql),
     ("q273_takedown_serve", q273TakedownServe _, q273Sql),
     ("q274_stream_serve", q274StreamServe _, q271Sql),
+    ("q275_bulk_walk", q275BulkWalk _, q275Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3563,6 +3564,31 @@ object PipelineQueries {
        |) r
        |ORDER BY selmod, q_id, rank""".stripMargin
   }
+
+  /** BULK OFFLINE kNN over the graph ([[Similarity.nswSearchBulkStored]]
+    * — the training-data-mining surface): the q247 walk with every
+    * piece of state DISTRIBUTED — probe assignment, per-(query, cell)
+    * beam fronts, visited sets, final cut — so a million-query mining
+    * job (contrastive pairs, semantic dedup, offline kNN-join) runs at
+    * cluster width instead of through a driver map. Exercised at 64
+    * queries (13× the serving entries' 5) and oracled by the SAME hop
+    * replay as q247 — identical arithmetic, tie-breaks and
+    * duplicate-row contract are the point; NswGraphSpec additionally
+    * pins row-for-row equality with [[Similarity.nswSearchStored]]. */
+  def q275BulkWalk(s: SparkSession, dir: String): DataFrame = {
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = Similarity.nswGraph(s, dir, m = 6)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    Similarity.nswSearchBulkStored(s, idx, graph,
+      e.where(col("vec_id") < 64).selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2, hops = 3, beam = 8)
+      .presentSorted("q_id", "rank")
+  }
+
+  def q275Sql: String = nswReplaySql(nq = 64, k = 5, nlist = 8,
+    nprobe = 2, m = 6, hops = 3, beam = 8)
 
   /** DELETION maintenance on the COMPOSED serving stack — q250's
     * takedown lifecycle run against the q271 deployment default:

@@ -722,6 +722,27 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
         s"layer $l refresh != rebuild")
   }
 
+  test("bulk walk == serving walk row for row: the distributed-state " +
+    "kNN (nswSearchBulkStored) reproduces nswSearchStored exactly, " +
+    "including the duplicate-node-across-cells contract") {
+    val dir = sfDir
+    val idx = Similarity.trainedIvfPqIndex(spark, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = Similarity.nswGraph(spark, dir, m = 6)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("q_id", "rank", "n_id", "d")
+        .collect().map(_.toSeq.toString).sorted.toSeq
+    val serving = rows(Similarity.nswSearchStored(spark, idx, graph, q,
+      k = 5, nprobe = 2, hops = 3, beam = 8))
+    val bulk = rows(Similarity.nswSearchBulkStored(spark, idx, graph, q,
+      k = 5, nprobe = 2, hops = 3, beam = 8))
+    assert(serving.nonEmpty && bulk == serving)
+  }
+
   test("unstructured corpus: forced candidate build recalls >= 60% of " +
     "the exact edges; default ceiling keeps gate-scale builds exact") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
