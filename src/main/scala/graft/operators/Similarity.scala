@@ -2762,6 +2762,138 @@ object Similarity {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** ADC-SCORED graph walk — the DiskANN-style memory economics for
+    * the graph path: the walk's frontier scoring reads the index's
+    * stored PQ CODES (m_pq bytes per visited node, exact-integer
+    * asymmetric distance against the trained codebooks — the same
+    * [[graft.functions.PqAdc]] kernel the IVF scan uses) instead of
+    * full dim-wide vectors, then ONE exact grid re-rank of the
+    * `refine` best ADC survivors produces the final top-k. At serving
+    * scale this is the difference between a walk whose per-hop I/O is
+    * hops·beam·m · dim·8 bytes and one at hops·beam·m · m_pq bytes —
+    * the full-width read happens refine times per query, total.
+    *
+    * Everything stays integer-exact and id-tie-broken (codes are
+    * [[pqTrainInt]] products, ADC sums integral grid squares), so
+    * build + walk + refine replay in SQL — q276's oracle composes
+    * q212's training/encode/qd CTEs with q247's hop unroll. Residual
+    * indexes subtract the probed cell's centroid from the query side,
+    * exactly as [[trainedIvfPqProbeStored]] does. Duplicate
+    * (node, cell) visits collapse before the refine cut (ADC is
+    * cell-independent for non-residual indexes; for residual ones the
+    * min over probed cells is the deterministic pick). */
+  def nswSearchAdcStored(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      q: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 2,
+      hops: Int = 3,
+      beam: Int = 8,
+      refine: Int = 32): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    import s.implicits._
+    val books = readStoredBooks(s, indexPath)
+    val residual = readIndexResidual(s, indexPath)
+    val coarseL = s.read.parquet(s"$indexPath/coarse").orderBy("cell")
+      .collect().map(_.getSeq[Long](1).toArray)
+    val mPq = books.length
+    val kernel = new graft.functions.PqAdcKernel(
+      books.map(_.map(_.map(_.toDouble))))
+    val (probeRows, probeSchema) = trainedProbes(s, indexPath, q, nprobe)
+    val cellIdx = probeSchema.fieldIndex("cell")
+    val qIdIdx = probeSchema.fieldIndex("q_id")
+    val cellSet = probeRows.map(_.getInt(cellIdx)).distinct.sorted
+    val probesDf = broadcast(s.createDataFrame(
+        java.util.Arrays.asList(probeRows: _*), probeSchema)
+      .select(col("q_id").cast("long").as("q_id"), col("qg"),
+        col("qg").cast("array<double>").as("qgd"), col("cell")))
+    val (grid, adj) = nswPrunedReads(s, indexPath, graphPath, cellSet)
+    val codes = s.read.parquet(s"$indexPath/vectors")
+      .where(col("cell").isin(cellSet.map(Int.box): _*))
+      .select(col("vec_id").as("node") +:
+        col("cell").cast("int").as("cell") +:
+        (0 until mPq).map(j => col(s"code_$j")): _*)
+    val adcQuery =
+      if (!residual) col("qgd")
+      else zip_with(col("qgd"), centroidLookup(coarseL, col("cell")),
+        (a, b) => a - b)
+    val adcCol = SparkShims.column(graft.functions.PqAdc(
+      SparkShims.expression(adcQuery),
+      SparkShims.expression(array((0 until mPq).map(j =>
+        col(s"code_$j")): _*)),
+      kernel)).cast("bigint")
+    // one bounded job per hop: candidates scored by ADC off the codes
+    def score(cands: Seq[(Long, Int, Long)]): Seq[(Long, Int, Long, Long)] =
+      if (cands.isEmpty) Seq.empty
+      else cands.toDF("q_id", "cell", "node")
+        .join(probesDf, Seq("q_id", "cell"))
+        .join(codes, Seq("cell", "node"))
+        .select(col("q_id"), col("cell"), col("node"), adcCol.as("d"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val visited =
+      scala.collection.mutable.LinkedHashMap[(Long, Int, Long), Long]()
+    def absorb(rows: Seq[(Long, Int, Long, Long)]): Unit =
+      rows.foreach { case (qi, c, n, d) =>
+        visited.getOrElseUpdate((qi, c, n), d)
+      }
+    val entryOf = grid.groupBy("cell").agg(min("node").as("node"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    absorb(score(probeRows.toSeq.flatMap { r =>
+      val c = r.getInt(cellIdx)
+      entryOf.get(c).map(e =>
+        (r.get(qIdIdx).asInstanceOf[Number].longValue(), c, e))
+    }))
+    for (_ <- 1 to hops) {
+      val frontier = visited.toSeq
+        .groupBy { case ((qi, c, _), _) => (qi, c) }
+        .toSeq.flatMap { case (_, members) =>
+          members.sortBy { case ((_, _, n), d) => (d, n) }.take(beam)
+            .map { case ((qi, c, n), _) => (qi, c, n) }
+        }
+      val expanded =
+        if (frontier.isEmpty) Seq.empty[(Long, Int, Long)]
+        else frontier.toDF("q_id", "cell", "node")
+          .join(adj, Seq("cell", "node"))
+          .select(col("q_id"), col("cell"), col("nbr").as("node"))
+          .distinct()
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      absorb(score(expanded.filterNot { case (qi, c, n) =>
+        visited.contains((qi, c, n))
+      }))
+    }
+    // dedupe (query, node) across probed cells (min ADC), cut to the
+    // refine best per query, then ONE exact grid re-rank to k — the
+    // only full-width vector reads of the whole search
+    val refCands = visited.toSeq
+      .collect { case ((qi, _, n), d) if n != qi => ((qi, n), d) }
+      .groupBy(_._1).map { case ((qi, n), ds) => (qi, n, ds.map(_._2).min) }
+      .toSeq
+      .groupBy(_._1).toSeq.flatMap { case (_, members) =>
+        members.sortBy { case (_, n, d) => (d, n) }.take(refine)
+          .map { case (qi, n, _) => (qi, n) }
+      }
+    if (refCands.isEmpty)
+      return s.emptyDataFrame
+        .select(lit(0L).as("q_id"), lit(0).as("rank"),
+          lit(0L).as("n_id"), lit(0L).as("d"))
+    refCands.toDF("q_id", "node")
+      .join(probesDf.select("q_id", "qg").dropDuplicates("q_id"),
+        Seq("q_id"))
+      .join(grid.dropDuplicates("node"), Seq("node"))
+      .select(col("q_id"), col("node"),
+        gridDist(col("qg"), col("g")).as("d"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("d"), col("node"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("node").as("n_id"), col("d"))
+  }
+
   /** BULK (offline) graph-walk kNN — [[nswSearchStored]]'s exact
     * semantics with ALL walk state in DataFrames: probe assignment,
     * per-(query, cell) beam fronts, visited sets and the final cut

@@ -957,6 +957,7 @@ object PipelineQueries {
     ("q273_takedown_serve", q273TakedownServe _, q273Sql),
     ("q274_stream_serve", q274StreamServe _, q271Sql),
     ("q275_bulk_walk", q275BulkWalk _, q275Sql),
+    ("q276_adc_walk", q276AdcWalk _, q276Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3589,6 +3590,104 @@ object PipelineQueries {
 
   def q275Sql: String = nswReplaySql(nq = 64, k = 5, nlist = 8,
     nprobe = 2, m = 6, hops = 3, beam = 8)
+
+  /** ADC-SCORED graph walk ([[Similarity.nswSearchAdcStored]] — the
+    * DiskANN-style memory shape, q276): frontier scoring reads m_pq
+    * BYTES of PQ code per visited node instead of the full dim-wide
+    * vector; one exact grid re-rank of the `refine` ADC survivors
+    * closes the search. The oracle is the whole composition — q212's
+    * PQ training/encode/per-subspace qd tables + q247's hop unroll
+    * with ADC distance + the dedupe/refine cut + the exact re-rank —
+    * so a slipped codebook, a mis-scored hop OR a wrong refine cut
+    * fails the hash. */
+  def q276AdcWalk(s: SparkSession, dir: String): DataFrame = {
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = Similarity.nswGraph(s, dir, m = 6)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    Similarity.nswSearchAdcStored(s, idx, graph,
+      e.where(col("vec_id") < 5).selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2, hops = 3, beam = 8, refine = 32)
+      .presentSorted("q_id", "rank")
+  }
+
+  def q276Sql: String = {
+    val m = 6
+    val mPq = 4
+    val sub = 16
+    val ks = 8
+    val (nq, k, nlist, nprobe, hops, beam, refine) = (5, 5, 8, 2, 3, 8, 32)
+    def dist(a: String, b: String) = gridDistSql(a, b, 64)
+    val codeJoins = (1 until mPq).map(j => s"JOIN bp$j USING (vec_id)")
+      .mkString(" ")
+    val qdCtes = (0 until mPq).map { j =>
+      val lo = j * sub + 1
+      s"""qd$j AS (
+         |  SELECT qq.q_id, pp.code,
+         |    ${gridDistSql(s"list_slice(qq.q, $lo, ${lo + sub - 1})",
+             "pp.c", sub)} AS d
+         |  FROM qq CROSS JOIN bc${j}_2 pp)""".stripMargin
+    }.mkString(",\n")
+    def qdJoins(nAlias: String) = (0 until mPq).map(j =>
+      s"JOIN qd$j ON qd$j.q_id = $nAlias.q_id AND qd$j.code = t.code_$j")
+      .mkString("\n  ")
+    val adcSum = (0 until mPq).map(j => s"qd$j.d").mkString(" + ")
+    def adcScore(src: String): String =
+      s"""SELECT n.q_id, n.cell, n.node, CAST($adcSum AS BIGINT) AS d
+         |  FROM $src n JOIN codes t ON t.vec_id = n.node
+         |  ${qdJoins("n")}""".stripMargin
+    // q247's hop template with ADC scoring in the s$i stage
+    val hopCtes = (1 to hops).map { i =>
+      s"""f${i - 1} AS (SELECT q_id, cell, node FROM (
+         |    SELECT q_id, cell, node,
+         |      row_number() OVER (PARTITION BY q_id, cell ORDER BY d, node) AS rn
+         |    FROM v${i - 1}) z WHERE rn <= $beam),
+         |n$i AS (SELECT DISTINCT f.q_id, f.cell, a.nbr AS node
+         |  FROM f${i - 1} f JOIN adj a ON a.cell = f.cell AND a.vec_id = f.node),
+         |s$i AS (${adcScore(s"n$i")}),
+         |v$i AS (SELECT q_id, cell, node, min(d) AS d FROM (
+         |    SELECT q_id, cell, node, d FROM v${i - 1}
+         |    UNION ALL SELECT q_id, cell, node, d FROM s$i) u
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $trainedBaseCtes,
+       |${trainedCoarseCtes(nq, nlist, nprobe)},
+       |${pqTrainReplayCtes("b", "s0", "eq", mPq, sub, ks, 2)},
+       |codes AS (SELECT vec_id, ${(0 until mPq).map(j => s"code_$j")
+         .mkString(", ")}
+       |  FROM bp0 $codeJoins),
+       |cg AS (SELECT c.vec_id, c.cell, e.q AS g
+       |  FROM cells c JOIN eq e USING (vec_id)),
+       |adjd AS (SELECT a.cell, a.vec_id, b.vec_id AS nbr,
+       |    ${dist("a.g", "b.g")} AS d
+       |  FROM cg a JOIN cg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |adj AS (SELECT cell, vec_id, nbr FROM (
+       |    SELECT cell, vec_id, nbr,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, nbr) AS rn
+       |    FROM adjd) z WHERE rn <= $m),
+       |ent AS (SELECT cell, min(vec_id) AS node FROM cg GROUP BY cell),
+       |$qdCtes,
+       |e0 AS (SELECT p.q_id, p.cell, e.node
+       |  FROM probes p JOIN ent e ON e.cell = p.cell),
+       |v0 AS (${adcScore("e0")}),
+       |$hopCtes,
+       |dd AS (SELECT q_id, node, min(d) AS d FROM v$hops
+       |  WHERE node <> q_id GROUP BY 1, 2),
+       |ref AS (SELECT q_id, node FROM (
+       |    SELECT q_id, node,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY d, node) AS rn
+       |    FROM dd) z WHERE rn <= $refine),
+       |sc AS (SELECT r.q_id, r.node, ${dist("qq.q", "g.g")} AS d
+       |  FROM ref r JOIN qq ON qq.q_id = r.q_id
+       |  JOIN cg g ON g.vec_id = r.node)
+       |SELECT q_id, rank, n_id, CAST(d AS BIGINT) AS d FROM (
+       |  SELECT q_id, node AS n_id, d,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d, node) AS rank
+       |  FROM sc) x
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   /** DELETION maintenance on the COMPOSED serving stack — q250's
     * takedown lifecycle run against the q271 deployment default:

@@ -743,6 +743,39 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
     assert(serving.nonEmpty && bulk == serving)
   }
 
+  test("ADC-scored walk: deterministic, k rows per query, and the " +
+    "code-scored frontier + exact re-rank tracks the exact-scored walk") {
+    val dir = sfDir
+    val idx = Similarity.trainedIvfPqIndex(spark, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = Similarity.nswGraph(spark, dir, m = 6)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def run() = Similarity.nswSearchAdcStored(spark, idx, graph, q,
+        k = 5, nprobe = 2, hops = 3, beam = 8, refine = 32)
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    val a = run()
+    assert(a.size == 50, s"expected 10 queries x 5 rows, got ${a.size}")
+    assert(a == run(), "ADC walk must be deterministic")
+    // agreement with the exact-scored walk: the ADC frontier may
+    // explore differently (codes are 4 bytes of a 512-byte vector),
+    // but the exact re-rank of 32 survivors should keep most of the
+    // exact walk's answers (measured 44/50 on the gate corpus with
+    // the deliberately coarse ks=8/64-sample fixture codebooks)
+    val exactRows = Similarity.nswSearchStored(spark, idx, graph, q,
+        k = 5, nprobe = 2, hops = 3, beam = 8)
+      .select("q_id", "n_id").collect().map(_.toSeq.toString).toSet
+    val adcRows = Similarity.nswSearchAdcStored(spark, idx, graph, q,
+        k = 5, nprobe = 2, hops = 3, beam = 8, refine = 32)
+      .select("q_id", "n_id").collect().map(_.toSeq.toString).toSet
+    val overlap = (exactRows & adcRows).size
+    info(s"ADC-vs-exact walk overlap: $overlap/${exactRows.size}")
+    assert(overlap >= exactRows.size / 2,
+      s"ADC walk diverged from the exact walk: $overlap/${exactRows.size}")
+  }
+
   test("unstructured corpus: forced candidate build recalls >= 60% of " +
     "the exact edges; default ceiling keeps gate-scale builds exact") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
