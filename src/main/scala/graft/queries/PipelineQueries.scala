@@ -958,6 +958,7 @@ object PipelineQueries {
     ("q274_stream_serve", q274StreamServe _, q271Sql),
     ("q275_bulk_walk", q275BulkWalk _, q275Sql),
     ("q276_adc_walk", q276AdcWalk _, q276Sql),
+    ("q277_filtered_serve", q277FilteredServe _, q277Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3688,6 +3689,36 @@ object PipelineQueries {
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  /** FILTERED serving on the COMPOSED default — q267's RAG/ACL
+    * contract carried onto [[Similarity.nswServe]]: the census-sized
+    * descent and walk traverse ALL nodes of the bridged stack (a
+    * filter-aware traversal disconnects the hierarchy under selective
+    * filters), the allow-list (`label = 2`) gates the FINAL cut, and
+    * only the visited nodes' membership is fetched — one bounded
+    * semi-join regardless of corpus size. Oracle = q271's composed
+    * replay with the predicate spliced into the final cut beside the
+    * census splice. */
+  def q277FilteredServe(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = Similarity.nswLongGraph(s, dir, m = 6, longEdges = 2)
+    val layers = Similarity.nswLayers(s, dir, m = 6, longEdges = 2)
+    Similarity.nswServe(s, idx, graph, layers,
+      emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .where(col("vec_id") < 5)
+        .selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2,
+      allowed = Some(emb.where(col("label") === 2).select("vec_id")))
+  }
+
+  def q277Sql: String = nswLayeredReplaySql(nq = 5, k = 5, nlist = 8,
+    nprobe = 2, m = 6, hops = 3, beam = 8, hopsUp = 3, beamUp = 4,
+    longEdges = 2, layerLongEdges = 2,
+    filterSql =
+      "\n    AND node IN (SELECT vec_id FROM embeddings WHERE label = 2)" +
+        servingCensusSplice)
 
   /** DELETION maintenance on the COMPOSED serving stack — q250's
     * takedown lifecycle run against the q271 deployment default:
