@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Focused ingest timing: build the 50k clustered index + candidate
+  * graph once, then time `insertIntoNswGraph` for a fixed 1k batch,
+  * `reps` times (fresh graph copy per rep — insert mutates), printing
+  * every sample. Exists because the full ProfileNswBuild run times
+  * ingest once at the end of a 15-minute JVM whose accumulated state
+  * (shuffle files, GC debt) swamped the number on a shared host
+  * (57.8 s in one run, 14.8 s in another, same code and data).
+  *
+  * `runMain graft.tools.TimeInsert [n reps]` (defaults 50000 3).
+  */
+object TimeInsert {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length >= 1) args(0).toLong else 50000L
+    val reps = if (args.length >= 2) args(1).toInt else 3
+    val spark = graft.LightFusion.session(
+      "local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_time_insert").toString
+    val emb = ProfileNswBuild.synth(spark, n).localCheckpoint()
+    val idx = s"$root/idx"
+    Similarity.buildTrainedIvfPqIndexAt(spark, emb, idx,
+      nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswGraphAt(spark, idx, s"$root/g0", m = 6,
+      exactCellCeiling = 1, randomInitCellCeiling = Int.MaxValue)
+    val batch = ProfileNswBuild.synth(spark, n + 1000L)
+      .where(col("vec_id") >= n).localCheckpoint()
+    Similarity.appendToTrainedIvfPqIndex(spark, batch, idx)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ts = (1 to reps).map { r =>
+      val g = s"$root/g$r"
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$root/g0"), fs,
+        new org.apache.hadoop.fs.Path(g), false,
+        spark.sparkContext.hadoopConfiguration)
+      val t0 = System.nanoTime()
+      Similarity.insertIntoNswGraph(spark, idx, g,
+        batch.select("vec_id"), m = 6)
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[time-insert] n=$n batch=1000 samples=${
+      ts.map(t => f"$t%.1f").mkString(",")} median=${
+      ts.sorted.apply(reps / 2)}%.1f")
+    spark.stop()
+  }
+}
