@@ -2461,11 +2461,12 @@ object Similarity {
     * pair rows; Poisson group sizes, no skew cliff. Deterministic in
     * the cell membership, so refresh ≡ rebuild extends to the long
     * edges. Out-degree becomes ≤ m + longEdges (a long edge landing on
-    * an existing neighbor dedups away). Maintenance caveat (same
-    * family as the insert caveats): [[insertIntoNswGraph]]'s reverse-
-    * edge prune keeps the m grid-nearest and so strips long edges from
-    * vertices it touches — the periodic refresh the ingest guidance
-    * already prescribes restores them. */
+    * an existing neighbor dedups away). Maintenance: since round 15
+    * the long slots SURVIVE ingest — [[insertIntoNswGraph]] prunes
+    * per EDGE CLASS (new edges compete only in the base pool; long
+    * slots pass through untouched; NswGraphSpec pins bridge survival
+    * after an all-cell batch), so ingest does not strip bridges and
+    * no compensating refresh is needed. */
   private def addLongEdges(
       s: SparkSession,
       grid: DataFrame,
@@ -3529,6 +3530,20 @@ object Similarity {
       baseHopsUp + extra / 2, baseBeamUp << math.min(extra, 4))
   }
 
+  /** Is `maxCell` inside the ladder's FITTED range? Beyond 4 octaves
+    * (baseCell · 8⁴ = 2,097,152 members at the default) the beam
+    * dimensions saturate at 16× and every further octave adds only a
+    * hop — the round-15 500k profile measured recall sliding below the
+    * serving bar exactly one octave past the fit (0.58 on a 268k-member
+    * cell). Past this range the ladder can only palliate: the correct
+    * lever is the QUANTIZER — [[reconcileCoarseSkew]] (split the
+    * oversized cell in place) or [[rebuildTrainedIvfPqIndexTo]] with a
+    * larger nlist. [[nswServe]] logs a pointer when a census lands out
+    * of range; the prose invariant ("nlist must scale with the
+    * corpus") is thereby a guard, not a comment. */
+  def nswServeBudgetFitted(maxCell: Long, baseCell: Long = 512): Boolean =
+    maxCell <= baseCell * 8L * 8L * 8L * 8L
+
   /** The COMPOSED SERVING DEFAULT — the round-15 deployment answer to
     * "mega-cell recall is quantified but not won": one call that
     * derives EVERY budget dimension from the index's own cell census
@@ -3549,8 +3564,14 @@ object Similarity {
       k: Int = 5,
       nprobe: Int = 2,
       allowed: Option[DataFrame] = None): DataFrame = {
-    val (hops, beam, hopsUp, beamUp) =
-      nswServeBudget(nswCellCensusMax(s, indexPath))
+    val maxCell = nswCellCensusMax(s, indexPath)
+    if (!nswServeBudgetFitted(maxCell))
+      org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
+        s"nswServe: census max cell $maxCell exceeds the budget " +
+          "ladder's fitted range (beam saturated at 16x) - recall will " +
+          "degrade; split the oversized cell (reconcileCoarseSkew) or " +
+          "re-train with a larger nlist (rebuildTrainedIvfPqIndexTo)")
+    val (hops, beam, hopsUp, beamUp) = nswServeBudget(maxCell)
     nswSearchLayered(s, indexPath, graphPath, layersPath, q, k, nprobe,
       hops, beam, hopsUp = hopsUp, beamUp = beamUp, allowed = allowed)
   }

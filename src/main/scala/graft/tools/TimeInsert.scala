@@ -23,14 +23,20 @@ object TimeInsert {
     spark.sparkContext.setLogLevel("WARN")
     val root = java.nio.file.Files
       .createTempDirectory("graft_time_insert").toString
-    val emb = ProfileNswBuild.synth(spark, n).localCheckpoint()
+    // ONE synth(n + 1000) corpus, index built from its vec_id < n
+    // slice: base and batch share cluster geometry (synth's nClusters
+    // depends on its n argument, so generating the batch from a
+    // separate synth(n + 1000) call would draw it from a different
+    // cluster mixture than the corpus it lands in — the NswGraphSpec
+    // fixtures split one corpus for the same reason)
+    val all = ProfileNswBuild.synth(spark, n + 1000L).localCheckpoint()
+    val emb = all.where(col("vec_id") < n)
     val idx = s"$root/idx"
     Similarity.buildTrainedIvfPqIndexAt(spark, emb, idx,
       nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
     Similarity.buildNswGraphAt(spark, idx, s"$root/g0", m = 6,
       exactCellCeiling = 1, randomInitCellCeiling = Int.MaxValue)
-    val batch = ProfileNswBuild.synth(spark, n + 1000L)
-      .where(col("vec_id") >= n).localCheckpoint()
+    val batch = all.where(col("vec_id") >= n).localCheckpoint()
     Similarity.appendToTrainedIvfPqIndex(spark, batch, idx)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -601,6 +601,20 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
     // stack at this budget measures recall@5 0.86 vs 0.32 fixed
     assert(Similarity.nswServeBudget(6250L) == (5, 32, 4, 16))
     assert(Similarity.nswServeBudget(1000000L) == (7, 128, 5, 64))
+    // FITTED range guard: the beams saturate at 16x after 4 octaves
+    // (512 * 8^4 = 2,097,152); past that the ladder only adds hops and
+    // a census is out of the tuned range — nswServe logs a pointer at
+    // the quantizer-side fixes (split / re-train) instead of silently
+    // serving degraded recall
+    val fitEdge = 512L * 8 * 8 * 8 * 8
+    assert(Similarity.nswServeBudgetFitted(fitEdge))
+    assert(!Similarity.nswServeBudgetFitted(fitEdge + 1))
+    // inside the fit: beam still below its 16x cap at the edge octave
+    assert(Similarity.nswServeBudget(fitEdge) == (7, 128, 5, 64))
+    // saturation: octaves past 8 change nothing — the guard, not the
+    // ladder, is the signal out there
+    assert(Similarity.nswServeBudget(Long.MaxValue) ==
+      Similarity.nswServeBudget(512L * math.pow(8, 9).toLong))
   }
 
   test("nswServe: the composed serving default equals nswSearchLayered " +
