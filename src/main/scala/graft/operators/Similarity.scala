@@ -2089,9 +2089,19 @@ object Similarity {
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
         gridLongs(col("v")).as("g")))
     for (_ <- 1 to iters) {
-      val adj = cellCut(readNswAdjacency(s, graphPath)
+      val adjAll = cellCut(readNswAdjacency(s, graphPath)
         .select(col("cell").cast("int").as("cell"), col("vec_id"),
-          col("nbr"), col("d")))
+          col("nbr"), col("d"),
+          coalesce(col("is_long"), lit(false)).as("is_long")))
+      // long-range bridges PASS THROUGH a sweep untouched (they are far
+      // by construction — a grid-nearest cut would strip them); the
+      // sweep refines only the base m-NN pool. In the build flow
+      // bridges go on after the sweeps, so this split is a no-op there;
+      // it matters for standalone refinement of a bridged graph.
+      val longRows = adjAll.where(col("is_long"))
+        .select("cell", "vec_id", "nbr", "d", "is_long")
+      val adj = adjAll.where(!col("is_long"))
+        .select("cell", "vec_id", "nbr", "d")
       // undirected edges carry the stored exact distance (symmetric), so
       // the per-center cap keeps the `cap` (default 3m) grid-closest
       // members deterministically
@@ -2122,6 +2132,12 @@ object Similarity {
           scored.withColumn("__s", -col("d").cast("double")),
           Seq("vec_id"), "__s", "nbr", m)
         .select("cell", "vec_id", "nbr", "d")
+        .withColumn("is_long", lit(false))
+        // base wins on a collision (a refined edge that duplicates a
+        // bridge slot keeps the base class — addLongEdges' dedup rule)
+        .unionByName(longRows)
+        .groupBy("cell", "vec_id", "nbr")
+        .agg(min("d").as("d"), min("is_long").as("is_long"))
         .localCheckpoint() // break lineage off graphPath before overwrite
       next.repartition(col("cell"))
         .write.mode("overwrite")
@@ -2202,21 +2218,24 @@ object Similarity {
     *
     * Two round-14 caveats are CLOSED here (round 15):
     *
-    *   - Bridges survive. The reverse-edge prune is per EDGE CLASS: a
-    *     vertex's stored rows split into its m grid-nearest (the base
-    *     pool — by construction every long edge is farther than every
-    *     base edge, so rank identifies the class) and its long-range
-    *     slots; new forward/reverse edges compete only in the base
-    *     pool, long slots pass through untouched. Out-degree stays
-    *     ≤ m + longEdges and the island bridges no longer decay under
-    *     sustained ingest.
+    *   - Bridges survive. The reverse-edge prune is per EDGE CLASS,
+    *     split by the PERSISTED `is_long` flag the build writes (round
+    *     16 — previously inferred from distance rank, which
+    *     misclassifies on candidate-bounded/random-init cells where
+    *     base edges are approximate): new forward/reverse edges
+    *     compete only in the base pool, long slots pass through
+    *     untouched. Out-degree stays ≤ m + longEdges and the island
+    *     bridges no longer decay under sustained ingest — on EVERY
+    *     build form (NswGraphSpec pins exact AND random-init routes).
     *   - Same-batch vectors link. After the merge, one TARGETED
     *     NN-descent pass runs with centers restricted to the batch and
     *     its direct neighbors: two batch vectors that walked to a
     *     shared stored neighbor become 2-hop candidates of each other
     *     (the small-world closure), scored exactly and re-cut to m.
-    *     Cost ∝ batch·(m+L)·cap² candidate rows — still flat in cell
-    *     size, unlike a full [[refineNswGraphAt]] sweep.
+    *     The undirected/center frames build from the batch-adjacent
+    *     slice of the merged adjacency (two semi-joins), so the pass
+    *     is ∝ batch·(m+L)·cap² candidate rows — flat in cell
+    *     membership, unlike a full [[refineNswGraphAt]] sweep.
     *
     * Remaining caveat (closed by the periodic refresh): a batch vector
     * landing in a cell with no existing adjacency (a brand-new or
@@ -2276,26 +2295,33 @@ object Similarity {
       col("vec_id").as("nbr"), col("d"))
     val old = readNswAdjacency(s, graphPath)
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
-        col("nbr"), col("d"))
+        col("nbr"), col("d"),
+        coalesce(col("is_long"), lit(false)).as("is_long"))
       .where(col("cell").isin(cellSet.map(Int.box): _*))
-    // per-edge-class prune: the base pool is a vertex's m grid-nearest
-    // stored rows; everything beyond rank m is a long-range slot
-    // (bridges are farther than every base edge by construction) and
-    // passes through untouched — insert no longer strips the island
-    // bridges from the vertices it touches
-    val oldBase = TopK.perKey(
-        old.withColumn("__s", -col("d").cast("double")),
-        Seq("vec_id"), "__s", "nbr", m)
+    // per-edge-class prune by the PERSISTED `is_long` flag (written by
+    // the build, round 16): new forward/reverse edges compete only in
+    // the base pool; long slots pass through untouched — insert never
+    // strips the island bridges. The flag, not distance rank, carries
+    // the class: on candidate-bounded / random-init cells (the
+    // mega-cell regime) base edges are approximate, so "bridges are
+    // farther than every base edge" fails there and a rank split would
+    // freeze near edges in protected slots while exposing true bridges
+    // to the prune.
+    val oldBase = old.where(!col("is_long"))
       .select("cell", "vec_id", "nbr", "d")
-    val oldLong = old.join(oldBase.select("vec_id", "nbr"),
-      Seq("vec_id", "nbr"), "left_anti")
+    val oldLong = old.where(col("is_long"))
+      .select("cell", "vec_id", "nbr", "d", "is_long")
     val merged = TopK.perKey(
         oldBase.unionByName(fwd).unionByName(rev)
           .withColumn("__s", -col("d").cast("double")),
         Seq("vec_id"), "__s", "nbr", m)
       .select("cell", "vec_id", "nbr", "d")
-      .unionByName(oldLong.select("cell", "vec_id", "nbr", "d"))
-      .dropDuplicates("cell", "vec_id", "nbr")
+      .withColumn("is_long", lit(false))
+      .unionByName(oldLong)
+      // base wins on a collision (the build's dedup rule): min over
+      // booleans keeps false when a new edge duplicates a bridge slot
+      .groupBy("cell", "vec_id", "nbr")
+      .agg(min("d").as("d"), min("is_long").as("is_long"))
       // referenced by four downstream branches (und, centers, re-cut,
       // pass-through) AND rooted at graphPath — one checkpoint breaks
       // the lineage before the overwrite and stops recompute fan-out
@@ -2306,9 +2332,21 @@ object Similarity {
     // that walked to a shared stored neighbor finally see each other.
     // Only the candidate pairs' vertices are re-cut (per edge class,
     // as above); every other vertex's rows pass through bit-equal.
-    val und = merged.select(col("cell"), col("vec_id").as("w"),
+    // The undirected/center frames build from the BATCH-ADJACENT slice
+    // of the merged adjacency (two bounded semi-joins), not the whole
+    // touched cells' edge set: centers only ever keep rows with a
+    // batch endpoint, and both directions of any such pair touch the
+    // batch, so the slice is exact — and the pass stays ∝ batch·(m+L),
+    // flat in cell membership (unfiltered, a 1k-vector insert into a
+    // 1M-member cell would shuffle the whole cell's adjacency twice).
+    val bSemi = q.select(col("q_id").as("__b"))
+    val touching = merged
+      .join(bSemi, col("vec_id") === col("__b"), "left_semi")
+      .unionByName(
+        merged.join(bSemi, col("nbr") === col("__b"), "left_semi"))
+    val und = touching.select(col("cell"), col("vec_id").as("w"),
         col("nbr").as("x"), col("d"))
-      .unionByName(merged.select(col("cell"), col("nbr").as("w"),
+      .unionByName(touching.select(col("cell"), col("nbr").as("w"),
         col("vec_id").as("x"), col("d")))
       .groupBy("cell", "w", "x").agg(min("d").as("d"))
     // center rows: a batch vector's own neighborhood (w ∈ batch) plus
@@ -2340,20 +2378,20 @@ object Similarity {
         gridDist(col("g"), col("ng")).as("d"))
     val affected = scored.select("vec_id").distinct()
     val curAff = merged.join(affected, Seq("vec_id"), "left_semi")
-    val affBase = TopK.perKey(
-        curAff.withColumn("__s", -col("d").cast("double")),
-        Seq("vec_id"), "__s", "nbr", m)
+    val affBase = curAff.where(!col("is_long"))
       .select("cell", "vec_id", "nbr", "d")
-    val affLong = curAff.join(affBase.select("vec_id", "nbr"),
-      Seq("vec_id", "nbr"), "left_anti")
+    val affLong = curAff.where(col("is_long"))
+      .select("cell", "vec_id", "nbr", "d", "is_long")
     val affNext = TopK.perKey(
         affBase.unionByName(scored)
           .dropDuplicates("cell", "vec_id", "nbr")
           .withColumn("__s", -col("d").cast("double")),
         Seq("vec_id"), "__s", "nbr", m)
       .select("cell", "vec_id", "nbr", "d")
-      .unionByName(affLong.select("cell", "vec_id", "nbr", "d"))
-      .dropDuplicates("cell", "vec_id", "nbr")
+      .withColumn("is_long", lit(false))
+      .unionByName(affLong)
+      .groupBy("cell", "vec_id", "nbr")
+      .agg(min("d").as("d"), min("is_long").as("is_long"))
     val next = merged.join(affected, Seq("vec_id"), "left_anti")
       .unionByName(affNext)
       .localCheckpoint() // break lineage off graphPath before overwrite
@@ -2420,6 +2458,7 @@ object Similarity {
       adjacency = adjacency.unionByName(
         randomInitAdjacency(s, indexPath, randomCells, m, memberFilter))
     adjacency
+      .withColumn("is_long", lit(false))
       .repartition(col("cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode",
@@ -2501,15 +2540,22 @@ object Similarity {
         pairs.withColumn("__s", -col("d").cast("double")),
         Seq("vec_id", "r"), "__s", "nbr", 1)
       .select("cell", "vec_id", "nbr", "d")
+      .withColumn("is_long", lit(true))
     val base = readNswAdjacency(s, graphPath)
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
-        col("nbr"), col("d"))
+        col("nbr"), col("d"),
+        coalesce(col("is_long"), lit(false)).as("is_long"))
     val baseCut = onlyCells match {
       case Some(cs) => base.where(col("cell").isin(cs.map(Int.box): _*))
       case None => base
     }
+    // a long edge landing on an existing base neighbor dedups away and
+    // the pair stays BASE-classed (min over booleans: false wins) — the
+    // persisted flag records the class the build semantics chose, so
+    // maintenance never re-infers it from distance rank
     val next = baseCut.unionByName(long)
-      .dropDuplicates("cell", "vec_id", "nbr")
+      .groupBy("cell", "vec_id", "nbr")
+      .agg(min("d").as("d"), min("is_long").as("is_long"))
       .localCheckpoint() // break lineage off graphPath before overwrite
     next.repartition(col("cell"))
       .write.mode("overwrite")
@@ -3048,13 +3094,22 @@ object Similarity {
     * legitimately EMPTY (a layer whose level ≥ l slice has < 2 members
     * writes only _SUCCESS — the planted fixtures' layer 2), and
     * schema inference fails on a file-less directory. The stored shape
-    * is fixed, so every reader states it. */
+    * is fixed, so every reader states it. `is_long` is the PERSISTED
+    * edge class ([[addLongEdges]] writes true on the bridge slots,
+    * every other writer false): maintenance ops split old rows by this
+    * flag, never by distance rank — on candidate-bounded and
+    * random-init cells base edges are approximate, so "bridges are
+    * farther than every base edge" does NOT hold there and a rank
+    * split would misclassify (freeze a near edge, expose a bridge).
+    * Files written before the flag existed read as null; flag
+    * consumers coalesce null → false. */
   private[graft] def readNswAdjacency(
       s: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.types._
     s.read.schema(StructType(Seq(
         StructField("vec_id", LongType), StructField("nbr", LongType),
-        StructField("d", LongType), StructField("cell", IntegerType))))
+        StructField("d", LongType), StructField("is_long", BooleanType),
+        StructField("cell", IntegerType))))
       .parquet(path)
   }
 

@@ -259,16 +259,24 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
       longEdges = 2)
     val pre = Similarity.readNswAdjacency(spark, s"$root/g")
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
-        col("nbr"), col("d")).localCheckpoint()
-    // the pre-insert LONG class: a vertex's rows beyond its m nearest
+        col("nbr"), col("d"), col("is_long")).localCheckpoint()
+    // the pre-insert LONG class comes from the PERSISTED flag (round
+    // 16); on these exact-built cells it must agree with the old rank
+    // inference (every bridge farther than every base edge), which
+    // pins that the build actually writes the flag on the right rows
     val preBase = TopK.perKey(
         pre.withColumn("__s", -col("d").cast("double")),
         Seq("vec_id"), "__s", "nbr", 4)
       .select("vec_id", "nbr")
-    val preLong = pre.join(preBase, Seq("vec_id", "nbr"), "left_anti")
+    val rankLong = pre.join(preBase, Seq("vec_id", "nbr"), "left_anti")
+      .select("vec_id", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val preLong = pre.where(col("is_long"))
       .select("vec_id", "nbr").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(preLong.nonEmpty, "fixture has no long edges to preserve")
+    assert(rankLong.subsetOf(preLong),
+      "flagged long set must cover the rank-inferred one on exact cells")
     // serving answers BEFORE the batch (the q269-shape walk)
     val q = emb1k.where(col("vec_id") >= 400L && col("vec_id") < 410L)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -308,6 +316,58 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
     info(s"walk overlap after all-cell insert: ${(before & after).size}/${before.size}")
     assert((before & after).size >= before.size - 5,
       "all-cell insert degraded the bridged walk")
+  }
+
+  test("insert preserves bridges on RANDOM-INIT cells: with approximate " +
+    "base edges a bridge can be closer than the m-th base edge, so only " +
+    "the persisted is_long flag classifies correctly under ingest") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nsw_insrnd").toString
+    val emb1k = spark.range(1000L).toDF("vec_id")
+      .withColumn("cl", pmod(hash(col("vec_id")).cast("long"), lit(10L)))
+      .select(col("vec_id"), transform(sequence(lit(0), lit(63)), d =>
+        ((pmod(hash(col("cl"), d).cast("long"), lit(1638L)) - lit(819L)
+          + pmod(hash(col("vec_id"), d, lit(7)).cast("long"), lit(205L))
+          - lit(102L)) / 1024.0).cast("double")).as("v"))
+      .localCheckpoint()
+    val idxBoot = s"$root/idxb"
+    Similarity.buildTrainedIvfPqIndexAt(spark,
+      emb1k.where(col("vec_id") < 900), idxBoot,
+      nlist = 2, m = 4, ks = 8, trainSample = 64, iters = 2)
+    // ceilings at 1 force EVERY cell onto the random-init NN-descent
+    // route — the mega-cell build form where base edges are
+    // approximate and the old rank split misclassified
+    Similarity.buildNswGraphAt(spark, idxBoot, s"$root/g", m = 4,
+      exactCellCeiling = 1, randomInitCellCeiling = 1,
+      randomInitSweeps = 2, longEdges = 2)
+    val pre = Similarity.readNswAdjacency(spark, s"$root/g")
+      .localCheckpoint()
+    val preLong = pre.where(col("is_long"))
+      .select("vec_id", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(preLong.nonEmpty, "fixture has no long edges to preserve")
+    // on the approximate build the rank inference MUST disagree
+    // somewhere for this test to exercise the failure mode; if the
+    // corpus ever degenerates to agreement, the exact-route test
+    // already covers that regime
+    Similarity.appendToTrainedIvfPqIndex(spark,
+      emb1k.where(col("vec_id") >= 900), idxBoot)
+    Similarity.insertIntoNswGraph(spark, idxBoot, s"$root/g",
+      emb1k.where(col("vec_id") >= 900).select("vec_id"), m = 4)
+    val post = Similarity.readNswAdjacency(spark, s"$root/g")
+      .localCheckpoint()
+    val postLong = post.where(col("is_long"))
+      .select("vec_id", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(preLong.subsetOf(postLong),
+      s"insert stripped ${(preLong -- postLong).size} random-route bridges")
+    // class stability: no base edge was silently promoted into a
+    // protected long slot by the insert (flag count can only match the
+    // pre set — inserts add base edges only)
+    assert(postLong == preLong,
+      "insert must not mint or reclassify long slots")
+    val deg = post.groupBy("vec_id").count().collect().map(_.getLong(1))
+    assert(deg.forall(_ <= 6L), s"degree cap m+2 violated: ${deg.max}")
   }
 
   test("routedRetrieve: a 5% allow-list routes to the filter-aware IVF " +
