@@ -3325,6 +3325,168 @@ object Similarity {
     }
   }
 
+  /** SKEW-AWARE COARSE MAINTENANCE — the quantizer-side answer to the
+    * mega-cell problem the serving ladder can only palliate: a
+    * trainSample-bounded k-means under-fits clustered corpora and one
+    * cell can swallow half the corpus (the round-15 500k profile
+    * measured a 268k-member cell, 54% of the index, serving recall@5
+    * 0.58 one octave past the ladder's fitted range). Appends make it
+    * worse: they never re-train. This operator DETECTS the skew from
+    * the census (one bounded ≤ nlist-group aggregate — the same
+    * aggregate every census-sized serve already pays, so the signal is
+    * free) and SPLITS the oversized cell in place:
+    *
+    *   1. detect — the largest cell's share, `maxCell · nlist >
+    *      threshold · total` (i.e. the max exceeds `threshold ×` the
+    *      balanced share). Below threshold: no-op, returns empty.
+    *   2. mini-kmeans over the ONE cell — [[pqTrainInt]] (one subspace,
+    *      `splitK` centroids, the cell's `trainSample` lowest vec_ids
+    *      ascending): the same integer-exact, SQL-replayable trainer
+    *      the index itself uses.
+    *   3. coarse update — sub-centroid 0 REPLACES the split cell's
+    *      row; sub-centroids 1.. append as new cells `nlist..` (ids
+    *      stay contiguous, which the ADC centroid-lookup layout
+    *      requires).
+    *   4. reassign — the split cell's members move to their nearest
+    *      sub-centroid (integer argmin, first-min → lowest sub index →
+    *      lowest final id); residual indexes re-encode the moved rows'
+    *      PQ codes against their new centroid (same stored codebooks —
+    *      PQ geometry is untouched). One dynamic partition overwrite;
+    *      every other cell's files never move.
+    *   5. refresh — base graph and layer adjacencies rebuilt for
+    *      exactly the touched cells (`graphPath`/`layersPath` when
+    *      given), bridges included; refresh ≡ rebuild extends across
+    *      the split (NswGraphSpec pins it).
+    *
+    * vs [[rebuildTrainedIvfPqIndexTo]]: the full re-train rewrites the
+    * whole corpus and re-encodes every code; the split touches ONE
+    * cell's rows + a tiny coarse table — at 100 TB that is the
+    * difference between a weekend job and a minutes-long maintenance
+    * step a serving deployment can run whenever the (already-computed)
+    * census trips the threshold. Returns the touched cell ids (old +
+    * new), empty when balanced. Deterministic in the index contents,
+    * so the whole detect→split→reassign→refresh→serve chain replays in
+    * SQL (q278's oracle). */
+  def reconcileCoarseSkew(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: Option[String] = None,
+      layersPath: Option[String] = None,
+      threshold: Double = 4.0,
+      splitK: Int = 4,
+      trainSample: Int = 64,
+      iters: Int = 2,
+      m: Int = 6,
+      longEdges: Int = 0,
+      exactCellCeiling: Int = NswExactCellCeiling,
+      randomInitCellCeiling: Int = NswRandomInitCellCeiling,
+      randomInitSweeps: Int = 3,
+      maxLayer: Int = NswMaxLayer,
+      branch: Int = NswLayerBranch): Seq[Int] = {
+    import s.implicits._
+    require(splitK >= 2, s"splitK must be >= 2: $splitK")
+    require(threshold >= 1.0, s"threshold must be >= 1: $threshold")
+    // the census — bounded by nlist, the house fixed cost
+    val census = s.read.parquet(s"$indexPath/vectors")
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    val total = census.map(_._2).sum
+    if (census.isEmpty || total == 0L) return Seq.empty
+    val oldCoarse = s.read.parquet(s"$indexPath/coarse").orderBy("cell")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1))
+    val nlist = oldCoarse.length
+    val (sc, mx) = census.sortBy { case (c, n) => (-n, c) }.head
+    if (mx.toDouble * nlist <= threshold * total) return Seq.empty
+    // mini-kmeans on the one cell: its trainSample lowest vec_ids
+    val members = s.read.parquet(s"$indexPath/vectors")
+      .where(col("cell") === sc)
+    val sample = members.select(col("vec_id"), col("v"))
+      .orderBy("vec_id").limit(trainSample).collect()
+      .map(_.getSeq[Double](1)
+        .map(x => math.floor(x * PqGridScale + 0.5).toLong).toArray)
+    val sub = pqTrainInt(sample, 1, splitK, iters)(0)
+    if (sub.length < 2) return Seq.empty // degenerate cell: nothing to split
+    val newIds = (1 until sub.length).map(j => nlist + j - 1)
+    // quantizers first (the build discipline): the coarse table must be
+    // durable before any vector row claims a new cell id
+    val nextCoarse = oldCoarse.map { case (c, cent) =>
+        if (c == sc) (c, sub(0).toSeq) else (c, cent)
+      }.toSeq ++ newIds.zipWithIndex.map { case (id, j) =>
+        (id, sub(j + 1).toSeq)
+      }
+    nextCoarse.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/coarse")
+    // reassign among the SUB-centroids only (the in-place split: other
+    // cells' memberships are untouched by construction, so only the
+    // split cell's partition plus the new ones ever rewrite)
+    val kernel = new graft.functions.CentroidKernel(
+      sub.map(_.map(_.toDouble)))
+    val qv = gridLongs(col("v")).cast("array<double>")
+    val subIdx = SparkShims.column(graft.functions.NearestCentroid(
+      SparkShims.expression(qv), kernel))
+    val cellOf = when(col("__sub") === 0, lit(sc))
+      .otherwise(lit(nlist - 1) + col("__sub")).cast("int")
+    val books = readStoredBooks(s, indexPath)
+    val mPq = books.length
+    val subW = books(0)(0).length
+    val withSub = members.withColumn("__sub", subIdx)
+    val reassigned =
+      if (!readIndexResidual(s, indexPath))
+        withSub.select(col("vec_id") +: col("v") +:
+          (0 until mPq).map(j => col(s"code_$j")) :+
+          cellOf.as("cell"): _*)
+      else {
+        // residual codes see x − c(x): the moved rows' codes re-encode
+        // against their new sub-centroid with the SAME stored codebooks
+        val centLookup = element_at(
+          array(sub.map(c0 =>
+            array(c0.map(v => lit(v.toDouble)): _*)): _*),
+          col("__sub") + 1)
+        val encIn = zip_with(qv, centLookup, (a, b) => a - b)
+        val codeCols = (0 until mPq).map { j =>
+          val bk = new graft.functions.CentroidKernel(
+            books(j).map(_.map(_.toDouble)))
+          SparkShims.column(graft.functions.NearestCentroid(
+            SparkShims.expression(slice(encIn, j * subW + 1, subW)), bk))
+            .as(s"code_$j")
+        }
+        withSub.select(col("vec_id") +: col("v") +: codeCols :+
+          cellOf.as("cell"): _*)
+      }
+    val ready = reassigned
+      .localCheckpoint() // break lineage off vectors before the overwrite
+    // a sub-centroid can end up with ZERO members (empty Lloyd cluster
+    // kept its init centroid); dynamic overwrite only replaces
+    // partitions PRESENT in the written data, so an empty split cell
+    // would otherwise keep its stale pre-split files
+    val liveCells = ready.groupBy("cell").agg(count(lit(1)))
+      .collect().map(_.getInt(0)).toSet
+    ready
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$indexPath/vectors")
+    val touched = (sc +: newIds).sorted
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    touched.filterNot(liveCells.contains).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$indexPath/vectors/cell=$c"), true)
+    }
+    graphPath.foreach { g =>
+      refreshNswGraphCells(s, indexPath, g, touched, m,
+        exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
+        longEdges = longEdges)
+    }
+    layersPath.foreach { lp =>
+      refreshNswLayersCells(s, indexPath, lp, touched, m, maxLayer,
+        branch, exactCellCeiling, randomInitCellCeiling,
+        randomInitSweeps, longEdges = longEdges)
+    }
+    touched
+  }
+
   /** Incremental layer insert, [[insertIntoNswGraph]] per layer: each
     * batch vector whose level reaches layer l walks that layer's
     * pre-batch adjacency to its m nearest level ≥ l neighbors (the

@@ -959,6 +959,7 @@ object PipelineQueries {
     ("q275_bulk_walk", q275BulkWalk _, q275Sql),
     ("q276_adc_walk", q276AdcWalk _, q276Sql),
     ("q277_filtered_serve", q277FilteredServe _, q277Sql),
+    ("q278_skew_split_serve", q278SkewSplitServe _, q278Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3719,6 +3720,99 @@ object PipelineQueries {
     filterSql =
       "\n    AND node IN (SELECT vec_id FROM embeddings WHERE label = 2)" +
         servingCensusSplice)
+
+  /** SKEW-AWARE COARSE MAINTENANCE, oracled end to end
+    * ([[Similarity.reconcileCoarseSkew]] — the round-16 lead): the
+    * trainSample-bounded coarse k-means under-fits and one cell
+    * swallows a corpus share no serving budget can navigate (the 500k
+    * profile's 268k-member cell, 54%); appends never re-train, so a
+    * deployment discovers it as silent recall loss. The operator
+    * DETECTS the skew from the census (the aggregate every
+    * census-sized serve already computes — the signal is free), splits
+    * the oversized cell in place (mini-kmeans over that one cell, same
+    * integer-exact trainer; sub-centroid 0 replaces the row,
+    * the rest append as new cells), reassigns ONLY that cell's
+    * members, refreshes base graph + layers (with bridges) for the
+    * touched cells, and the census-sized serve then runs at the
+    * post-split budget. The oracle replays the WHOLE chain — coarse
+    * training, census, argmax-cell detect, the in-cell mini-kmeans,
+    * reassignment, probes over the post-split coarse table, every
+    * layer/bridge build over the post-split cells, descent and
+    * dual-seeded walk — and splices BOTH the detect predicate (a
+    * mis-detect fails the hash) and the post-split census (a mis-sized
+    * budget fails it too). */
+  def q278SkewSplitServe(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_sksrv_" +
+      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    val graph = s"$idx/nsw"
+    val layers = s"$idx/nsw_layers"
+    Similarity.buildTrainedIvfPqIndexAt(s, emb, idx,
+      nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswGraphAt(s, idx, graph, m = 6, longEdges = 2)
+    Similarity.buildNswLayersAt(s, idx, layers, m = 6, longEdges = 2)
+    val touched = Similarity.reconcileCoarseSkew(s, idx,
+      graphPath = Some(graph), layersPath = Some(layers),
+      threshold = 1.5, splitK = 4, trainSample = 64, iters = 2,
+      m = 6, longEdges = 2)
+    require(touched.nonEmpty,
+      "q278: the gate census must trip the 1.5x skew threshold")
+    Similarity.nswServe(s, idx, graph, layers,
+      emb.where(col("vec_id") < 5)
+        .selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2)
+  }
+
+  def q278Sql: String = {
+    val splitK = 4
+    val base = nswLayeredReplaySql(nq = 5, k = 5, nlist = 8, nprobe = 2,
+      m = 6, hops = 3, beam = 8, hopsUp = 3, beamUp = 4,
+      longEdges = 2, layerLongEdges = 2,
+      filterSql =
+        // detect: the PRE-split census must trip the operator's 1.5x
+        // threshold (mis-detect fails the hash, q266's pattern) ...
+        "\n    AND (SELECT max(cnt) * 8 FROM csz) > 1.5 * " +
+          "(SELECT count(*) FROM cells)" +
+          // ... and the POST-split census must stay in the base rung —
+          // the budget the entry's serve derives from the split cells
+          "\n    AND (SELECT max(cnt2) FROM (SELECT count(*) AS cnt2" +
+          " FROM cg GROUP BY cell) zc) <= 512")
+    // DuckDB resolves forward CTE references, so the split block can sit
+    // beside cg while coarse2/cells2 are consumed earlier in the chain
+    val splitBlock =
+      s"""csz AS (SELECT cell, count(*) AS cnt FROM cells GROUP BY cell),
+         |scx AS (SELECT cell FROM csz ORDER BY cnt DESC, cell LIMIT 1),
+         |t0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS rn, q
+         |  FROM (SELECT e.vec_id, e.q FROM eq e JOIN cells cc USING (vec_id)
+         |        WHERE cc.cell = (SELECT cell FROM scx)
+         |        ORDER BY e.vec_id LIMIT 64) t),
+         |teq AS (SELECT e.vec_id, e.q FROM eq e JOIN cells cc USING (vec_id)
+         |  WHERE cc.cell = (SELECT cell FROM scx)),
+         |${pqTrainReplayCtes("h", "t0", "teq", 1, 64, splitK, 2)},
+         |coarse2 AS (
+         |  SELECT code, c FROM gc0_2 WHERE code <> (SELECT cell FROM scx)
+         |  UNION ALL
+         |  SELECT CASE WHEN code = 0 THEN (SELECT cell FROM scx)
+         |              ELSE 8 + code - 1 END AS code, c
+         |  FROM hc0_2),
+         |cells2 AS (SELECT c.vec_id,
+         |    CASE WHEN c.cell <> (SELECT cell FROM scx) THEN c.cell
+         |         WHEN h.code_0 = 0 THEN (SELECT cell FROM scx)
+         |         ELSE 8 + h.code_0 - 1 END AS cell
+         |  FROM cells c LEFT JOIN hp0 h USING (vec_id))""".stripMargin
+    val withSplit = base.replace(
+      "cg AS (SELECT c.vec_id, c.cell, e.q AS g\n" +
+        "  FROM cells c JOIN eq e USING (vec_id))",
+      "cg AS (SELECT c.vec_id, c.cell, e.q AS g\n" +
+        "  FROM cells2 c JOIN eq e USING (vec_id)),\n" + splitBlock)
+    require(withSplit != base, "q278: split splice found no cg CTE")
+    // probes select over the POST-split coarse table
+    val out = withSplit.replace("FROM qq CROSS JOIN gc0_2 pp",
+      "FROM qq CROSS JOIN coarse2 pp")
+    require(out != withSplit, "q278: probe splice found no pd CTE")
+    out
+  }
 
   /** DELETION maintenance on the COMPOSED serving stack — q250's
     * takedown lifecycle run against the q271 deployment default:

@@ -370,6 +370,92 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
     assert(deg.forall(_ <= 6L), s"degree cap m+2 violated: ${deg.max}")
   }
 
+  test("reconcileCoarseSkew: the census trigger is exact at its " +
+    "boundary, the split moves ONLY the oversized cell's members, and " +
+    "refresh == rebuild survives the split on graph and layers") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nsw_skew").toString
+    val emb1k = spark.range(1000L).toDF("vec_id")
+      .withColumn("cl", pmod(hash(col("vec_id")).cast("long"), lit(10L)))
+      .select(col("vec_id"), transform(sequence(lit(0), lit(63)), d =>
+        ((pmod(hash(col("cl"), d).cast("long"), lit(1638L)) - lit(819L)
+          + pmod(hash(col("vec_id"), d, lit(7)).cast("long"), lit(205L))
+          - lit(102L)) / 1024.0).cast("double")).as("v"))
+      .localCheckpoint()
+    val idx = s"$root/idx"
+    Similarity.buildTrainedIvfPqIndexAt(spark, emb1k, idx,
+      nlist = 2, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswGraphAt(spark, idx, s"$root/g", m = 4,
+      longEdges = 2)
+    Similarity.buildNswLayersAt(spark, idx, s"$root/lyr", m = 4,
+      longEdges = 2)
+    def censusOf(p: String): Map[Int, Long] =
+      spark.read.parquet(s"$p/vectors")
+        .groupBy(col("cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pre = censusOf(idx)
+    val total = pre.values.sum
+    val ratio = pre.values.max.toDouble * pre.size / total
+    assert(ratio > 1.0, s"fixture not skewed enough to test: $ratio")
+    // trigger boundary: a threshold just ABOVE the measured ratio is a
+    // no-op (nothing mutates), just BELOW it splits
+    val none = Similarity.reconcileCoarseSkew(spark, idx,
+      threshold = ratio * 1.01)
+    assert(none.isEmpty, "above-ratio threshold must be a no-op")
+    assert(censusOf(idx) == pre, "no-op must not mutate the index")
+    val preRows = spark.read.parquet(s"$idx/vectors")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sc = pre.toSeq.sortBy { case (c, n) => (-n, c) }.head._1
+    val touched = Similarity.reconcileCoarseSkew(spark, idx,
+      graphPath = Some(s"$root/g"), layersPath = Some(s"$root/lyr"),
+      threshold = math.max(1.0, ratio * 0.99), splitK = 3, m = 4,
+      longEdges = 2)
+    assert(touched.nonEmpty && touched.contains(sc),
+      s"below-ratio threshold must split the argmax cell $sc: $touched")
+    val post = censusOf(idx)
+    // membership conservation: the split cell's members land exactly in
+    // the touched cells; everything else kept its (vec_id, cell) row
+    val postRows = spark.read.parquet(s"$idx/vectors")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(postRows.size == preRows.size, "split must conserve rows")
+    val touchedSet = touched.toSet
+    preRows.foreach { case (id, c) =>
+      if (c == sc) assert(touchedSet.contains(postRows(id)),
+        s"member $id of split cell landed outside the touched set")
+      else assert(postRows(id) == c, s"untouched member $id moved")
+    }
+    assert(post.values.max < pre.values.max,
+      "the split must shrink the max cell")
+    // coarse table: contiguous ids (the ADC centroid-lookup layout)
+    val coarseIds = spark.read.parquet(s"$idx/coarse")
+      .select("cell").collect().map(_.getInt(0)).sorted
+    assert(coarseIds.toSeq == (0 until coarseIds.length),
+      s"coarse ids must stay contiguous: ${coarseIds.mkString(",")}")
+    // refresh == rebuild ACROSS the split: the refreshed graph/layers
+    // equal a fresh build over the post-split index, bridges included
+    def rowsOf(p: String): Set[String] =
+      Similarity.readNswAdjacency(spark, p)
+        .collect().map(_.toSeq.toString).toSet
+    Similarity.buildNswGraphAt(spark, idx, s"$root/g2", m = 4,
+      longEdges = 2)
+    assert(rowsOf(s"$root/g") == rowsOf(s"$root/g2"),
+      "refreshed base graph must equal a fresh post-split rebuild")
+    Similarity.buildNswLayersAt(spark, idx, s"$root/lyr2", m = 4,
+      longEdges = 2)
+    for (l <- 1 to Similarity.NswMaxLayer)
+      assert(rowsOf(s"$root/lyr/layer=$l") == rowsOf(s"$root/lyr2/layer=$l"),
+        s"refreshed layer $l must equal a fresh post-split rebuild")
+    // the composed serve runs at the post-split census budget
+    val q = emb1k.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val served = Similarity.nswServe(spark, idx, s"$root/g",
+      s"$root/lyr", q, k = 5, nprobe = 2).collect()
+    assert(served.length == 25, s"serve must return 5x5 rows: ${served.length}")
+  }
+
   test("routedRetrieve: a 5% allow-list routes to the filter-aware IVF " +
     "branch, a 50% list to the post-filtered walk; both return ranked " +
     "rows for every query") {
