@@ -2838,7 +2838,8 @@ object Similarity {
       nprobe: Int = 2,
       hops: Int = 3,
       beam: Int = 8,
-      refine: Int = 32): DataFrame = {
+      refine: Int = 32,
+      entrySeeds: Option[Seq[(Long, Int, Long)]] = None): DataFrame = {
     LightFusion.ensureRegistered(s)
     import s.implicits._
     val books = readStoredBooks(s, indexPath)
@@ -2887,12 +2888,17 @@ object Similarity {
       rows.foreach { case (qi, c, n, d) =>
         visited.getOrElseUpdate((qi, c, n), d)
       }
-    val entryOf = grid.groupBy("cell").agg(min("node").as("node"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-    absorb(score(probeRows.toSeq.flatMap { r =>
-      val c = r.getInt(cellIdx)
-      entryOf.get(c).map(e =>
-        (r.get(qIdIdx).asInstanceOf[Number].longValue(), c, e))
+    // seed: the caller's per-(query, cell) entries (the layered ADC
+    // descent's handoff) or the flat per-cell min-id default — the
+    // same dual-seed contract as [[nswSearchStored]]
+    absorb(score(entrySeeds.getOrElse {
+      val entryOf = grid.groupBy("cell").agg(min("node").as("node"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      probeRows.toSeq.flatMap { r =>
+        val c = r.getInt(cellIdx)
+        entryOf.get(c).map(e =>
+          (r.get(qIdIdx).asInstanceOf[Number].longValue(), c, e))
+      }
     }))
     for (_ <- 1 to hops) {
       val frontier = visited.toSeq
@@ -3015,6 +3021,108 @@ object Similarity {
     cut.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("q_id").orderBy(col("d"), col("node"))))
+      .select(col("q_id"), col("rank"), col("node").as("n_id"), col("d"))
+  }
+
+  /** BULK ADC walk — [[nswSearchBulkStored]]'s distributed state with
+    * [[nswSearchAdcStored]]'s memory economics: every hop's frontier
+    * scoring reads m_pq BYTES of stored PQ code per visited node (the
+    * same codegen [[graft.functions.PqAdc]] kernel), then ONE exact
+    * grid re-rank of the `refine` best ADC survivors per query. This
+    * is the mining shape's dominant-cost fix: an offline kNN-join or
+    * semantic-dedup sweep walks the graph for MILLIONS of queries, and
+    * with dim=64 grid longs the full-width frontier reads are 512
+    * bytes/node vs 4 — the exact re-rank touches only refine
+    * full-width rows per query, total. Arithmetic, tie-breaks,
+    * dedupe-across-cells and the refine cut all match the online ADC
+    * walk row for row (NswGraphSpec pins it; the q280 oracle is the
+    * q276 replay at the bulk query count). */
+  def nswSearchBulkAdcStored(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      q: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 2,
+      hops: Int = 3,
+      beam: Int = 8,
+      refine: Int = 32): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val books = readStoredBooks(s, indexPath)
+    val residual = readIndexResidual(s, indexPath)
+    val coarseL = s.read.parquet(s"$indexPath/coarse").orderBy("cell")
+      .collect().map(_.getSeq[Long](1).toArray)
+    val mPq = books.length
+    val kernel = new graft.functions.PqAdcKernel(
+      books.map(_.map(_.map(_.toDouble))))
+    val centroids = s.read.parquet(s"$indexPath/coarse")
+    val probes = q
+      .select(col("q_id").cast("long").as("q_id"),
+        gridLongs(col("qv")).as("qg"))
+      .crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("qg"), col("cell"),
+        gridDist(col("qg"), col("centroid")).as("__d"))
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("__d"), col("cell"))))
+      .where(col("__r") <= nprobe)
+      .select(col("q_id"), col("qg"),
+        col("qg").cast("array<double>").as("qgd"), col("cell"))
+      .localCheckpoint()
+    val cellSet = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val (grid, adj) = nswPrunedReads(s, indexPath, graphPath, cellSet)
+    val codes = s.read.parquet(s"$indexPath/vectors")
+      .where(col("cell").isin(cellSet.map(Int.box): _*))
+      .select(col("vec_id").as("node") +:
+        col("cell").cast("int").as("cell") +:
+        (0 until mPq).map(j => col(s"code_$j")): _*)
+    val adcQuery =
+      if (!residual) col("qgd")
+      else zip_with(col("qgd"), centroidLookup(coarseL, col("cell")),
+        (a, b) => a - b)
+    val adcCol = SparkShims.column(graft.functions.PqAdc(
+      SparkShims.expression(adcQuery),
+      SparkShims.expression(array((0 until mPq).map(j =>
+        col(s"code_$j")): _*)),
+      kernel)).cast("bigint")
+    def scoreOf(cand: DataFrame): DataFrame =
+      cand.join(probes, Seq("q_id", "cell"))
+        .join(codes, Seq("cell", "node"))
+        .select(col("q_id"), col("cell"), col("node"), adcCol.as("d"))
+    val entry = grid.groupBy("cell").agg(min("node").as("node"))
+    var visited = scoreOf(probes.select("q_id", "cell")
+      .join(entry, Seq("cell"))).localCheckpoint()
+    for (_ <- 1 to hops) {
+      val frontier = TopK.perKey(
+          visited.withColumn("__s", -col("d").cast("double")),
+          Seq("q_id", "cell"), "__s", "node", beam)
+        .select("q_id", "cell", "node")
+      val expanded = frontier.join(adj, Seq("cell", "node"))
+        .select(col("q_id"), col("cell"), col("nbr").as("node"))
+        .distinct()
+        .join(visited.select("q_id", "cell", "node"),
+          Seq("q_id", "cell", "node"), "left_anti")
+      visited = visited.unionByName(scoreOf(expanded)).localCheckpoint()
+    }
+    // dedupe (query, node) across probed cells (min ADC), cut to the
+    // refine best per query, ONE exact grid re-rank — the only
+    // full-width reads of the whole search, all stages distributed
+    val dd = visited.where(col("node") =!= col("q_id"))
+      .groupBy("q_id", "node").agg(min("d").as("d"))
+    val ref = TopK.perKey(
+        dd.withColumn("__s", -col("d").cast("double")),
+        Seq("q_id"), "__s", "node", refine)
+      .select("q_id", "node")
+    ref
+      .join(probes.select("q_id", "qg").dropDuplicates("q_id"), Seq("q_id"))
+      .join(grid.dropDuplicates("node"), Seq("node"))
+      .select(col("q_id"), col("node"),
+        gridDist(col("qg"), col("g")).as("d"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("d"), col("node"))))
+      .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("node").as("n_id"), col("d"))
   }
 
@@ -3791,6 +3899,167 @@ object Similarity {
     val (hops, beam, hopsUp, beamUp) = nswServeBudget(maxCell)
     nswSearchLayered(s, indexPath, graphPath, layersPath, q, k, nprobe,
       hops, beam, hopsUp = hopsUp, beamUp = beamUp, allowed = allowed)
+  }
+
+  /** LAYERED descent with ADC frontier scoring — [[nswSearchLayered]]
+    * composed with [[nswSearchAdcStored]]'s memory economics, so the
+    * DEPLOYMENT DEFAULT gets the DiskANN shape: every frontier
+    * evaluation in the descent AND the layer-0 walk reads m_pq bytes
+    * of stored PQ code per visited node, and full-width vectors are
+    * touched exactly `refine` times per query (the final exact grid
+    * re-rank). This matters most precisely at mega-cells, where the
+    * census budget makes the walk widest: at the (7, 128) rung every
+    * hop scores ~beam·m nodes, and 4-byte codes vs dim·8-byte grids is
+    * the difference between a frontier that lives in cache and one
+    * that saturates the scan. Same dual-seed contract as the exact
+    * layered walk: the descent handoff PLUS the flat min-id entries
+    * seed [[nswSearchAdcStored]], duplicates collapse in its visited
+    * map. Integer-exact end to end, so the q279 oracle replays the
+    * whole composition (levels, per-layer bridges, ADC descent,
+    * dual-seeded ADC walk, refine, exact re-rank). */
+  def nswSearchLayeredAdc(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      layersPath: String,
+      q: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 2,
+      hops: Int = 3,
+      beam: Int = 8,
+      maxLayer: Int = NswMaxLayer,
+      branch: Int = NswLayerBranch,
+      hopsUp: Int = 3,
+      beamUp: Int = 4,
+      refine: Int = 32): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    import s.implicits._
+    val books = readStoredBooks(s, indexPath)
+    val residual = readIndexResidual(s, indexPath)
+    val coarseL = s.read.parquet(s"$indexPath/coarse").orderBy("cell")
+      .collect().map(_.getSeq[Long](1).toArray)
+    val mPq = books.length
+    val kernel = new graft.functions.PqAdcKernel(
+      books.map(_.map(_.map(_.toDouble))))
+    val (probeRows, probeSchema) = trainedProbes(s, indexPath, q, nprobe)
+    val cellIdx = probeSchema.fieldIndex("cell")
+    val qIdIdx = probeSchema.fieldIndex("q_id")
+    val cellSet = probeRows.map(_.getInt(cellIdx)).distinct.sorted
+    val probesDf = broadcast(s.createDataFrame(
+        java.util.Arrays.asList(probeRows: _*), probeSchema)
+      .select(col("q_id").cast("long").as("q_id"),
+        col("qg").cast("array<double>").as("qgd"), col("cell")))
+    val (grid, _) = nswPrunedReads(s, indexPath, graphPath, cellSet)
+    val codes = s.read.parquet(s"$indexPath/vectors")
+      .where(col("cell").isin(cellSet.map(Int.box): _*))
+      .select(col("vec_id").as("node") +:
+        col("cell").cast("int").as("cell") +:
+        (0 until mPq).map(j => col(s"code_$j")): _*)
+    val adcQuery =
+      if (!residual) col("qgd")
+      else zip_with(col("qgd"), centroidLookup(coarseL, col("cell")),
+        (a, b) => a - b)
+    val adcCol = SparkShims.column(graft.functions.PqAdc(
+      SparkShims.expression(adcQuery),
+      SparkShims.expression(array((0 until mPq).map(j =>
+        col(s"code_$j")): _*)),
+      kernel)).cast("bigint")
+    def score(cands: Seq[(Long, Int, Long)]): Seq[(Long, Int, Long, Long)] =
+      if (cands.isEmpty) Seq.empty
+      else cands.toDF("q_id", "cell", "node")
+        .join(probesDf, Seq("q_id", "cell"))
+        .join(codes, Seq("cell", "node"))
+        .select(col("q_id"), col("cell"), col("node"), adcCol.as("d"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val lvl = nswLevel(col("node"), maxLayer, branch)
+    val entryOf = grid.groupBy("cell").agg(
+        coalesce((maxLayer to 1 by -1).map(l =>
+          min(when(lvl >= l, col("node")))) :+ min(col("node")): _*)
+          .as("node"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    var entries: Seq[(Long, Int, Long, Long)] =
+      score(probeRows.toSeq.flatMap { r =>
+        val c = r.getInt(cellIdx)
+        entryOf.get(c).map(e =>
+          (r.get(qIdIdx).asInstanceOf[Number].longValue(), c, e))
+      })
+    for (l <- maxLayer to 1 by -1) {
+      val ladj = readNswAdjacency(s, s"$layersPath/layer=$l")
+        .select(col("cell").cast("int").as("cell"),
+          col("vec_id").as("node"), col("nbr"))
+        .where(col("cell").isin(cellSet.map(Int.box): _*))
+      val visited =
+        scala.collection.mutable.LinkedHashMap[(Long, Int, Long), Long]()
+      entries.foreach { case (qi, c, n, d) => visited((qi, c, n)) = d }
+      for (_ <- 1 to hopsUp) {
+        val frontier = visited.toSeq
+          .groupBy { case ((qi, c, _), _) => (qi, c) }
+          .toSeq.flatMap { case (_, members) =>
+            members.sortBy { case ((_, _, n), d) => (d, n) }.take(beamUp)
+              .map { case ((qi, c, n), _) => (qi, c, n) }
+          }
+        val expanded =
+          if (frontier.isEmpty) Seq.empty[(Long, Int, Long)]
+          else frontier.toDF("q_id", "cell", "node")
+            .join(ladj, Seq("cell", "node"))
+            .select(col("q_id"), col("cell"), col("nbr").as("node"))
+            .distinct()
+            .collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+        score(expanded.filterNot { case (qi, c, n) =>
+          visited.contains((qi, c, n))
+        }).foreach { case (qi, c, n, d) =>
+          visited.getOrElseUpdate((qi, c, n), d)
+        }
+      }
+      entries = visited.toSeq
+        .groupBy { case ((qi, c, _), _) => (qi, c) }
+        .toSeq.flatMap { case ((qi, c), members) =>
+          members.sortBy { case ((_, _, nn), dd) => (dd, nn) }
+            .take(beamUp)
+            .map { case ((_, _, n), d) => (qi, c, n, d) }
+        }
+    }
+    val flatEntryOf = grid.groupBy("cell").agg(min("node").as("node"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val flatSeeds = probeRows.toSeq.flatMap { r =>
+      val c = r.getInt(cellIdx)
+      flatEntryOf.get(c).map(e =>
+        (r.get(qIdIdx).asInstanceOf[Number].longValue(), c, e))
+    }
+    nswSearchAdcStored(s, indexPath, graphPath, q, k, nprobe, hops, beam,
+      refine,
+      entrySeeds = Some(
+        entries.map { case (qi, c, n, _) => (qi, c, n) } ++ flatSeeds))
+  }
+
+  /** The composed serving default in the DiskANN MEMORY SHAPE —
+    * [[nswServe]]'s census-sized layered walk with
+    * [[nswSearchLayeredAdc]]'s PQ-code frontier: one bounded census
+    * aggregate sizes every budget dimension, the descent and walk read
+    * codes, one exact re-rank serves. The round-16 closure of "the two
+    * round-15 serving shapes don't compose". */
+  def nswServeAdc(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      layersPath: String,
+      q: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 2,
+      refine: Int = 32): DataFrame = {
+    val maxCell = nswCellCensusMax(s, indexPath)
+    if (!nswServeBudgetFitted(maxCell))
+      org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
+        s"nswServeAdc: census max cell $maxCell exceeds the budget " +
+          "ladder's fitted range - split the oversized cell " +
+          "(reconcileCoarseSkew) or re-train with a larger nlist")
+    val (hops, beam, hopsUp, beamUp) = nswServeBudget(maxCell)
+    nswSearchLayeredAdc(s, indexPath, graphPath, layersPath, q, k,
+      nprobe, hops, beam, hopsUp = hopsUp, beamUp = beamUp,
+      refine = refine)
   }
 
   /** [[nswTopK]]'s layered sibling — the q264 serving shape. */

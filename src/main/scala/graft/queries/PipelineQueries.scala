@@ -960,6 +960,8 @@ object PipelineQueries {
     ("q276_adc_walk", q276AdcWalk _, q276Sql),
     ("q277_filtered_serve", q277FilteredServe _, q277Sql),
     ("q278_skew_split_serve", q278SkewSplitServe _, q278Sql),
+    ("q279_adc_serve", q279AdcServe _, q279Sql),
+    ("q280_bulk_adc_walk", q280BulkAdcWalk _, q280Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -3614,12 +3616,17 @@ object PipelineQueries {
       .presentSorted("q_id", "rank")
   }
 
-  def q276Sql: String = {
-    val m = 6
+  /** Full ADC-walk replay as one standalone SELECT (q276's oracle,
+    * parameterized by query count so the BULK ADC walk — q280 —
+    * replays with the same template): PQ training/encode, per-subspace
+    * qd tables, the q247 hop unroll with ADC distance, the
+    * dedupe/refine cut and the exact grid re-rank. */
+  private def nswAdcReplaySql(
+      nq: Int, k: Int, nlist: Int, nprobe: Int,
+      m: Int, hops: Int, beam: Int, refine: Int): String = {
     val mPq = 4
     val sub = 16
     val ks = 8
-    val (nq, k, nlist, nprobe, hops, beam, refine) = (5, 5, 8, 2, 3, 8, 32)
     def dist(a: String, b: String) = gridDistSql(a, b, 64)
     val codeJoins = (1 until mPq).map(j => s"JOIN bp$j USING (vec_id)")
       .mkString(" ")
@@ -3690,6 +3697,9 @@ object PipelineQueries {
        |WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  def q276Sql: String = nswAdcReplaySql(nq = 5, k = 5, nlist = 8,
+    nprobe = 2, m = 6, hops = 3, beam = 8, refine = 32)
 
   /** FILTERED serving on the COMPOSED default — q267's RAG/ACL
     * contract carried onto [[Similarity.nswServe]]: the census-sized
@@ -3813,6 +3823,203 @@ object PipelineQueries {
     require(out != withSplit, "q278: probe splice found no pd CTE")
     out
   }
+
+  /** The COMPOSED serving default in the DiskANN memory shape — the
+    * q271 layered/bridged replay with q276's ADC scoring in EVERY walk
+    * stage: levels, per-layer bridge rounds, base bridges, the
+    * coalesce-chain entry, upper-layer descents scored by ADC,
+    * the dual-seeded layer-0 ADC walk, the dedupe/refine cut and one
+    * exact grid re-rank. */
+  private def nswLayeredAdcReplaySql(
+      nq: Int, k: Int, nlist: Int, nprobe: Int,
+      m: Int, hops: Int, beam: Int,
+      maxLayer: Int = 2, branch: Int = 8,
+      hopsUp: Int = 3, beamUp: Int = 4, refine: Int = 32,
+      longEdges: Int = 0, layerLongEdges: Int = 0,
+      filterSql: String = ""): String = {
+    val mPq = 4
+    val sub = 16
+    val ks = 8
+    def dist(a: String, b: String) = gridDistSql(a, b, 64)
+    val codeJoins = (1 until mPq).map(j => s"JOIN bp$j USING (vec_id)")
+      .mkString(" ")
+    val qdCtes = (0 until mPq).map { j =>
+      val lo = j * sub + 1
+      s"""qd$j AS (
+         |  SELECT qq.q_id, pp.code,
+         |    ${gridDistSql(s"list_slice(qq.q, $lo, ${lo + sub - 1})",
+             "pp.c", sub)} AS d
+         |  FROM qq CROSS JOIN bc${j}_2 pp)""".stripMargin
+    }.mkString(",\n")
+    def qdJoins(nAlias: String) = (0 until mPq).map(j =>
+      s"JOIN qd$j ON qd$j.q_id = $nAlias.q_id AND qd$j.code = t.code_$j")
+      .mkString("\n  ")
+    val adcSum = (0 until mPq).map(j => s"qd$j.d").mkString(" + ")
+    def adcScore(src: String): String =
+      s"""SELECT n.q_id, n.cell, n.node, CAST($adcSum AS BIGINT) AS d
+         |  FROM $src n JOIN codes t ON t.vec_id = n.node
+         |  ${qdJoins("n")}""".stripMargin
+    // the ADC hop template, per CTE prefix + adjacency (q276's shape)
+    def adcHopCtes(pfx: String, adjName: String,
+        nHops: Int, nBeam: Int): String =
+      (1 to nHops).map { i =>
+        s"""${pfx}f${i - 1} AS (SELECT q_id, cell, node FROM (
+           |    SELECT q_id, cell, node,
+           |      row_number() OVER (PARTITION BY q_id, cell ORDER BY d, node) AS rn
+           |    FROM ${pfx}v${i - 1}) z WHERE rn <= $nBeam),
+           |${pfx}n$i AS (SELECT DISTINCT f.q_id, f.cell, a.nbr AS node
+           |  FROM ${pfx}f${i - 1} f JOIN $adjName a ON a.cell = f.cell AND a.vec_id = f.node),
+           |${pfx}s$i AS (${adcScore(s"${pfx}n$i")}),
+           |${pfx}v$i AS (SELECT q_id, cell, node, min(d) AS d FROM (
+           |    SELECT q_id, cell, node, d FROM ${pfx}v${i - 1}
+           |    UNION ALL SELECT q_id, cell, node, d FROM ${pfx}s$i) u
+           |  GROUP BY 1, 2, 3)""".stripMargin
+      }.mkString(",\n")
+    val pows = Seq.iterate(branch.toLong, maxLayer)(_ * branch)
+    val lvlCase = (maxLayer to 1 by -1)
+      .map(l => s"WHEN hh % ${pows(l - 1)} = 0 THEN $l")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val layerAdjCtes = (1 to maxLayer).map { l =>
+      val members =
+        s"cgl$l AS (SELECT vec_id, cell, g FROM cgl WHERE lvl >= $l)"
+      if (layerLongEdges > 0)
+        members + ",\n" +
+          longEdgeAdjCtesFor(m, layerLongEdges, s"cgl$l", l.toString)
+      else
+        s"""$members,
+           |adjd$l AS (SELECT a.cell, a.vec_id, b.vec_id AS nbr,
+           |    ${dist("a.g", "b.g")} AS d
+           |  FROM cgl$l a JOIN cgl$l b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+           |adj$l AS (SELECT cell, vec_id, nbr FROM (
+           |    SELECT cell, vec_id, nbr,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d, nbr) AS rn
+           |    FROM adjd$l) z WHERE rn <= $m)""".stripMargin
+    }.mkString(",\n")
+    val entChain = ((maxLayer to 1 by -1)
+      .map(l => s"min(CASE WHEN lvl >= $l THEN vec_id END)") :+
+      "min(vec_id)").mkString(",\n    ")
+    def handoff(src: String): String =
+      s"""SELECT q_id, cell, node, d FROM (
+         |    SELECT q_id, cell, node, d,
+         |      row_number() OVER (PARTITION BY q_id, cell ORDER BY d, node) AS rn
+         |    FROM $src) z WHERE rn <= $beamUp""".stripMargin
+    val upperCtes = (maxLayer to 1 by -1).map { l =>
+      val seed =
+        if (l == maxLayer)
+          s"""etop AS (SELECT p.q_id, p.cell, e.node
+             |  FROM probes p JOIN ent e ON e.cell = p.cell),
+             |y${l}v0 AS (${adcScore("etop")})""".stripMargin
+        else s"y${l}v0 AS (${handoff(s"y${l + 1}v$hopsUp")})"
+      seed + ",\n" + adcHopCtes(s"y$l", s"adj$l", hopsUp, beamUp)
+    }.mkString(",\n")
+    val layer0Adj =
+      if (longEdges > 0) longEdgeAdjCtes(m, longEdges)
+      else s"""adjd AS (SELECT a.cell, a.vec_id, b.vec_id AS nbr,
+         |    ${dist("a.g", "b.g")} AS d
+         |  FROM cg a JOIN cg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |adj AS (SELECT cell, vec_id, nbr FROM (
+         |    SELECT cell, vec_id, nbr,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, nbr) AS rn
+         |    FROM adjd) z WHERE rn <= $m)""".stripMargin
+    s"""WITH $trainedBaseCtes,
+       |${trainedCoarseCtes(nq, nlist, nprobe)},
+       |${pqTrainReplayCtes("b", "s0", "eq", mPq, sub, ks, 2)},
+       |codes AS (SELECT vec_id, ${(0 until mPq).map(j => s"code_$j")
+         .mkString(", ")}
+       |  FROM bp0 $codeJoins),
+       |cg AS (SELECT c.vec_id, c.cell, e.q AS g
+       |  FROM cells c JOIN eq e USING (vec_id)),
+       |cgl AS (SELECT vec_id, cell, g, $lvlCase AS lvl
+       |  FROM (SELECT vec_id, cell, g,
+       |      (((vec_id % 2147483647) + 2147483647) % 2147483647
+       |        * 48271) % 2147483647 AS hh FROM cg) t),
+       |$layer0Adj,
+       |$layerAdjCtes,
+       |ent AS (SELECT cell, coalesce(
+       |    $entChain) AS node
+       |  FROM cgl GROUP BY cell),
+       |ent0 AS (SELECT cell, min(vec_id) AS node FROM cg GROUP BY cell),
+       |$qdCtes,
+       |$upperCtes,
+       |eflat AS (SELECT p.q_id, p.cell, e.node
+       |  FROM probes p JOIN ent0 e ON e.cell = p.cell),
+       |v0 AS (SELECT q_id, cell, node, min(d) AS d FROM (
+       |    SELECT q_id, cell, node, d FROM (${handoff(s"y1v$hopsUp")}) h
+       |    UNION ALL
+       |    ${adcScore("eflat")}) u
+       |  GROUP BY 1, 2, 3),
+       |${adcHopCtes("", "adj", hops, beam)},
+       |dd AS (SELECT q_id, node, min(d) AS d FROM v$hops
+       |  WHERE node <> q_id$filterSql GROUP BY 1, 2),
+       |ref AS (SELECT q_id, node FROM (
+       |    SELECT q_id, node,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY d, node) AS rn
+       |    FROM dd) z WHERE rn <= $refine),
+       |sc AS (SELECT r.q_id, r.node, ${dist("qq.q", "g.g")} AS d
+       |  FROM ref r JOIN qq ON qq.q_id = r.q_id
+       |  JOIN cg g ON g.vec_id = r.node)
+       |SELECT q_id, rank, n_id, CAST(d AS BIGINT) AS d FROM (
+       |  SELECT q_id, node AS n_id, d,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d, node) AS rank
+       |  FROM sc) x
+       |WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** The COMPOSED SERVING DEFAULT in the DiskANN MEMORY SHAPE
+    * ([[Similarity.nswServeAdc]] — round-16 item 2, closing "the two
+    * round-15 serving shapes don't compose"): ONE call sizes every
+    * budget dimension from the census and runs the layered descent +
+    * dual-seeded walk over the bridged stack with PQ-CODE frontier
+    * scoring — m_pq bytes per visited node in every stage, full-width
+    * vectors only at the final `refine`-row exact re-rank. At
+    * mega-cells (where the census makes the walk widest) this is the
+    * difference between a frontier that reads 4 bytes/node and one
+    * that reads dim·8. The oracle replays the entire composition at
+    * the census-selected budget with the census splice — a slipped
+    * codebook, a mis-scored descent, a wrong refine cut OR a mis-sized
+    * budget fails the hash. */
+  def q279AdcServe(s: SparkSession, dir: String): DataFrame = {
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = Similarity.nswLongGraph(s, dir, m = 6, longEdges = 2)
+    val layers = Similarity.nswLayers(s, dir, m = 6, longEdges = 2)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    Similarity.nswServeAdc(s, idx, graph, layers,
+      e.where(col("vec_id") < 5).selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2, refine = 32)
+      .presentSorted("q_id", "rank")
+  }
+
+  def q279Sql: String = nswLayeredAdcReplaySql(nq = 5, k = 5, nlist = 8,
+    nprobe = 2, m = 6, hops = 3, beam = 8, hopsUp = 3, beamUp = 4,
+    refine = 32, longEdges = 2, layerLongEdges = 2,
+    filterSql = servingCensusSplice)
+
+  /** BULK ADC walk ([[Similarity.nswSearchBulkAdcStored]] — round-16
+    * item 3): the mining-scale walk (q275's fully distributed state)
+    * with q276's memory economics — every hop reads m_pq bytes of PQ
+    * code per visited node, one exact re-rank of the refine survivors.
+    * Offline kNN-join / semantic-dedup mining walks the graph for
+    * millions of queries; this cuts its dominant per-node frontier I/O
+    * ~128× (dim·8 → 4 bytes). Exercised at 64 queries and oracled by
+    * the SAME replay as q276 at the bulk query count; NswGraphSpec
+    * pins row-for-row equality with the online ADC walk. */
+  def q280BulkAdcWalk(s: SparkSession, dir: String): DataFrame = {
+    val idx = Similarity.trainedIvfPqIndex(s, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = Similarity.nswGraph(s, dir, m = 6)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    Similarity.nswSearchBulkAdcStored(s, idx, graph,
+      e.where(col("vec_id") < 64).selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2, hops = 3, beam = 8, refine = 32)
+      .presentSorted("q_id", "rank")
+  }
+
+  def q280Sql: String = nswAdcReplaySql(nq = 64, k = 5, nlist = 8,
+    nprobe = 2, m = 6, hops = 3, beam = 8, refine = 32)
 
   /** DELETION maintenance on the COMPOSED serving stack — q250's
     * takedown lifecycle run against the q271 deployment default:

@@ -15,7 +15,15 @@ import graft.operators.{Similarity, TopK}
   *
   * Measures: build time for base (random-init + bridges) and layers
   * (bridged), one census-budgeted serve, recall@5 vs exact brute
-  * force on 20 mid-range queries. Results land in SCALE.md by hand.
+  * force on 20 mid-range queries — then (round 16) the SKEW
+  * MAINTENANCE arm: [[Similarity.reconcileCoarseSkew]] rounds until
+  * the census balances under the threshold, refreshing graph + layers
+  * for the touched cells each round, and the SAME serve re-measured at
+  * the post-split census budget. The r15 baseline measured one cell
+  * swallowing 54% of the corpus (268,807 of 500k) and recall@5 0.58 —
+  * below the 0.6 serving bar — one octave past the ladder's fit; the
+  * split attacks the cause (quantizer skew) instead of palliating with
+  * budget. Results land in SCALE.md by hand.
   *
   * `runMain graft.tools.ProfileServeStack [n]` (default 500000).
   */
@@ -58,10 +66,6 @@ object ProfileServeStack {
 
     val q = emb.where(col("vec_id") >= n / 2 && col("vec_id") < n / 2 + 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val (served, tServe) = time(Similarity.nswServe(spark, idx, graph,
-        layers, q, k = 5, nprobe = 2)
-      .select(col("q_id").as("bq"), col("n_id").as("bn"))
-      .localCheckpoint())
     val brute = TopK.perKey(
         emb.select(col("vec_id").as("bn"),
             Similarity.gridLongs(col("v")).as("g"))
@@ -72,10 +76,44 @@ object ProfileServeStack {
             -Similarity.gridDist(col("g"), col("qg")).cast("double")),
         Seq("bq"), "__s", "bn", 5)
       .select("bq", "bn").localCheckpoint()
-    val hits = brute.join(served, Seq("bq", "bn"), "left_semi").count()
-    val recall = hits.toDouble / brute.count()
-    println(f"[serve-scale] n=$n serve=$tServe%.1fs (20 queries) " +
-      f"recall@5=$recall%.2f at census budget $budget")
+    def serveRecall(tag: String): Unit = {
+      val (served, tServe) = time(Similarity.nswServe(spark, idx, graph,
+          layers, q, k = 5, nprobe = 2)
+        .select(col("q_id").as("bq"), col("n_id").as("bn"))
+        .localCheckpoint())
+      val hits = brute.join(served, Seq("bq", "bn"), "left_semi").count()
+      val recall = hits.toDouble / brute.count()
+      val mc = spark.read.parquet(s"$idx/vectors")
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .agg(max("cnt")).collect()(0).getLong(0)
+      println(f"[serve-scale] n=$n $tag serve=$tServe%.1fs (20 queries) " +
+        f"recall@5=$recall%.2f maxCell=$mc budget=${
+          Similarity.nswServeBudget(mc)}")
+    }
+    serveRecall("pre-split")
+    // SKEW MAINTENANCE: split the oversized cells until the census
+    // balances under 2x the even share (threshold 2, splitK 8 — the
+    // deployment knobs SCALE.md records), refreshing the random-init
+    // graph + layers for exactly the touched cells each round
+    var round = 0
+    var touched = Seq(0)
+    while (touched.nonEmpty && round < 6) {
+      val (t, tSplit) = time(Similarity.reconcileCoarseSkew(spark, idx,
+        graphPath = Some(graph), layersPath = Some(layers),
+        threshold = 2.0, splitK = 8, trainSample = 256, m = 6,
+        longEdges = 2, exactCellCeiling = 1, randomInitCellCeiling = 1))
+      touched = t
+      round += 1
+      if (touched.nonEmpty)
+        println(f"[serve-scale] split round $round: touched=" +
+          f"${touched.mkString(",")} in $tSplit%.1fs")
+    }
+    val census = spark.read.parquet(s"$idx/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt")).collect()
+      .map(r => s"${r.get(0)}:${r.getLong(1)}")
+    println(s"[serve-scale] post-split census: ${census.mkString(" ")}")
+    serveRecall("post-split")
     spark.stop()
   }
 }

@@ -936,6 +936,71 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
       s"ADC walk diverged from the exact walk: $overlap/${exactRows.size}")
   }
 
+  test("bulk ADC == online ADC row for row: the distributed-state " +
+    "code-scored walk (nswSearchBulkAdcStored) reproduces " +
+    "nswSearchAdcStored exactly, refine cut and re-rank included") {
+    val dir = sfDir
+    val idx = Similarity.trainedIvfPqIndex(spark, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = Similarity.nswGraph(spark, dir, m = 6)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("q_id", "rank", "n_id", "d")
+        .collect().map(_.toSeq.toString).sorted.toSeq
+    val online = rows(Similarity.nswSearchAdcStored(spark, idx, graph, q,
+      k = 5, nprobe = 2, hops = 3, beam = 8, refine = 32))
+    val bulk = rows(Similarity.nswSearchBulkAdcStored(spark, idx, graph,
+      q, k = 5, nprobe = 2, hops = 3, beam = 8, refine = 32))
+    assert(online.nonEmpty && bulk == online)
+  }
+
+  test("composed ADC serve: deterministic, k rows per query, >= 60% " +
+    "agreement with the exact composed serve (stricter than the flat " +
+    "ADC walk's 50% contract), flat ADC contract re-pinned beside it") {
+    val dir = sfDir
+    val idx = Similarity.trainedIvfPqIndex(spark, dir, nlist = 8, m = 4,
+      ks = 8, trainSample = 64, iters = 2)
+    val graph = Similarity.nswLongGraph(spark, dir, m = 6, longEdges = 2)
+    val flatGraph = Similarity.nswGraph(spark, dir, m = 6)
+    val layers = Similarity.nswLayers(spark, dir, m = 6, longEdges = 2)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("q_id", "n_id").collect().map(_.toSeq.toString).toSet
+    def runComposed() = Similarity.nswServeAdc(spark, idx, graph, layers,
+      q, k = 5, nprobe = 2, refine = 32)
+    val a = runComposed().collect().map(_.toSeq.toString).sorted.toSeq
+    assert(a.size == 50, s"expected 10 queries x 5 rows, got ${a.size}")
+    assert(a == runComposed().collect().map(_.toSeq.toString).sorted.toSeq,
+      "composed ADC serve must be deterministic")
+    val exactComposed = pairs(Similarity.nswServe(spark, idx, graph,
+      layers, q, k = 5, nprobe = 2))
+    val adcComposed = pairs(runComposed())
+    val exactFlat = pairs(Similarity.nswSearchStored(spark, idx,
+      flatGraph, q, k = 5, nprobe = 2, hops = 3, beam = 8))
+    val adcFlat = pairs(Similarity.nswSearchAdcStored(spark, idx,
+      flatGraph, q, k = 5, nprobe = 2, hops = 3, beam = 8, refine = 32))
+    val composedAgree = (exactComposed & adcComposed).size
+    val flatAgree = (exactFlat & adcFlat).size
+    info(s"composed ADC agreement: $composedAgree/${exactComposed.size} " +
+      s"vs flat $flatAgree/${exactFlat.size}")
+    // the flat ADC contract pins >= 50% agreement with exact; the
+    // composed shape must hold a STRICTER 60% floor (measured 38/50
+    // here and exact-hash parity at the sf0.01 gate via q279 — the
+    // two walks run on different graphs, so a head-to-head race
+    // against the flat pair is +-3 pairs of tiny-corpus noise, not
+    // signal)
+    assert(composedAgree * 10 >= exactComposed.size * 6,
+      s"composed ADC diverged: $composedAgree/${exactComposed.size}")
+    assert(flatAgree * 2 >= exactFlat.size,
+      s"flat ADC diverged: $flatAgree/${exactFlat.size}")
+  }
+
   test("unstructured corpus: forced candidate build recalls >= 60% of " +
     "the exact edges; default ceiling keeps gate-scale builds exact") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
