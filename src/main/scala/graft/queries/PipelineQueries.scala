@@ -2863,6 +2863,52 @@ object PipelineQueries {
 
   private val annStreamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Memoized COMPOSED-STACK bootstrap shared by the lifecycle audits
+    * (q273 takedown, q274 streaming): both build the identical
+    * bootstrap — trained index on the `vec_id < 250` slice + bridged
+    * base graph + bridged layers — before diverging into their
+    * mutations. Built once per (JVM, corpus); each entry then CLONEs
+    * the tree into its own mutable copy ([[cloneComposedBootstrap]]) —
+    * a file copy, not a rebuild, which halves the two entries' fixed
+    * cost (the round-15 bench measured the duplicated bootstrap at
+    * ~12% of the whole suite). The pid-keyed path convention matches
+    * the other memoized fixtures (two JVMs must not interleave one
+    * build). */
+  private val composedBootstraps =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def composedBootstrap(s: SparkSession, dir: String): String =
+    composedBootstraps.computeIfAbsent(dir, _ => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bootsrv_" +
+        s"${ProcessHandle.current().pid()}_" +
+        graft.operators.Bucketing.dirTag(dir)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      Similarity.buildTrainedIvfPqIndexAt(s, emb.where(col("vec_id") < 250),
+        base, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+      Similarity.buildNswGraphAt(s, base, s"$base/nsw", m = 6,
+        longEdges = 2)
+      Similarity.buildNswLayersAt(s, base, s"$base/nsw_layers", m = 6,
+        longEdges = 2)
+      base
+    })
+
+  /** A mutable copy of [[composedBootstrap]] for one entry's lifecycle
+    * mutations — index, graph and layers all live under the returned
+    * root (`<root>/nsw`, `<root>/nsw_layers`). */
+  private def cloneComposedBootstrap(s: SparkSession, dir: String): String = {
+    val src = composedBootstrap(s, dir)
+    val dst = s"${System.getProperty("java.io.tmpdir")}/graft_bootcp_" +
+      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+    require(org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(src), fs,
+        new org.apache.hadoop.fs.Path(dst), false, conf),
+      s"bootstrap clone failed: $src -> $dst")
+    dst
+  }
+
   /** LIVE-INGEST serving index: bootstrap-build the trained IVF-PQ on
     * the first half of the corpus, then STREAM the rest in —
     * `foreachBatch` → [[Similarity.appendToTrainedIvfPqIndex]], each
@@ -4038,14 +4084,11 @@ object PipelineQueries {
   def q273TakedownServe(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "cast(embedding as array<double>) as v")
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_tdsrv_" +
-      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    // clone of the memoized composed-stack bootstrap (shared with
+    // q274) — a file copy instead of the second identical ~28 s build
+    val idx = cloneComposedBootstrap(s, dir)
     val graph = s"$idx/nsw"
     val layers = s"$idx/nsw_layers"
-    Similarity.buildTrainedIvfPqIndexAt(s, emb.where(col("vec_id") < 250),
-      idx, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
-    Similarity.buildNswGraphAt(s, idx, graph, m = 6, longEdges = 2)
-    Similarity.buildNswLayersAt(s, idx, layers, m = 6, longEdges = 2)
     Similarity.appendToTrainedIvfPqIndex(s,
       emb.where(col("vec_id") >= 250), idx)
     val retired = col("vec_id") >= 64 && col("vec_id") % 7 === 3
@@ -4097,16 +4140,10 @@ object PipelineQueries {
     * nothing. */
   def q274StreamServe(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_stsrv_" +
-      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    // clone of the memoized composed-stack bootstrap (shared with q273)
+    val idx = cloneComposedBootstrap(s, dir)
     val graph = s"$idx/nsw"
     val layers = s"$idx/nsw_layers"
-    Similarity.buildTrainedIvfPqIndexAt(s,
-      emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
-        .where(col("vec_id") < 250),
-      idx, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
-    Similarity.buildNswGraphAt(s, idx, graph, m = 6, longEdges = 2)
-    Similarity.buildNswLayersAt(s, idx, layers, m = 6, longEdges = 2)
     val stream = s.readStream.schema(emb.schema).option("basePath", dir)
       .parquet(s"$dir/embeddings.parquet*")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
