@@ -71,6 +71,23 @@ object Bench {
       .split("\\s+").take(3).map(_.toDouble).toSeq
     catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
 
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line — the
+    * hypervisor-steal counter the round-15 spin stamp was blind to: a
+    * single-thread spin on an otherwise-idle JVM barely samples the
+    * steal that hits 32-wide task execution, so 13 driver flags carried
+    * cool stamps while isolated re-timing exonerated all of them.
+    * Sampling the counter BEFORE and AFTER each entry's reps measures
+    * steal DURING the entry's own window. (-1, -1) when unavailable. */
+  private def cpuTicks(): (Long, Long) =
+    try {
+      val first = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.next()
+      val f = first.trim.split("\\s+").drop(1).map(_.toLong)
+      (if (f.length > 7) f(7) else 0L, f.sum)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   @volatile private var spinSink = 0L
 
   /** Single-thread spin calibration: a FIXED amount of integer work
@@ -133,6 +150,7 @@ object Bench {
     // billed for footer reads.
     val rotate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROTATE", "40").toInt
     val spins = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val steals = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
       if (rotate > 0 && i > 0 && i % rotate == 0) {
@@ -142,7 +160,14 @@ object Bench {
         spark = buildSession(cpus)
         warm(spark, sfDir)
       }
+      // steal ticks sampled around the ENTRY WINDOW (not after it):
+      // hypervisor steal during the reps is what stretches them
+      val (st0, tt0) = cpuTicks()
       val ts = (1 to reps).map(_ => timeOnce(name, fn))
+      val (st1, tt1) = cpuTicks()
+      steals(name) =
+        if (st0 < 0 || st1 < 0 || tt1 <= tt0) -1.0
+        else 100.0 * (st1 - st0) / (tt1 - tt0)
       // ambient-CPU stamp taken right beside the entry it labels (the
       // JVM is idle here) — ~100 ms each, ~27 s over the suite, the
       // price of a self-attributing artifact
@@ -209,32 +234,49 @@ object Bench {
         Map.empty
       }
     val ratios = results.collect {
-      case (k, v) if v >= 0 && budgets.contains(k) => (k, v / budgets(k), v - budgets(k))
+      case (k, v) if v >= 0 && budgets.contains(k) => (k, v / budgets(k), v)
     }
     val medianRatio =
       if (ratios.isEmpty) -1.0 else ratios.map(_._2).sorted.apply(ratios.size / 2)
-    // contention attribution: an entry whose neighboring spin stamp ran
-    // ≥ 1.5× the run's minimum stamp was measured while an external
-    // tenant held the CPU — its over-budget flag is `suspect_contention`,
-    // not a regression claim (SCALE.md documents the reading rule)
+    // FLAG RULE (round 16): ratio-to-RUN-MEDIAN, not raw ratio-to-budget.
+    // Two same-day r15 runs agreed on the median to 0.2% (1.267/1.265 —
+    // the host band) while their raw >2× flag sets were completely
+    // DISJOINT; dividing each entry's ratio by the run median cancels
+    // the band so a flag means the ENTRY moved, not the host. The
+    // absolute guard is band-scaled for the same reason.
+    val band = if (medianRatio > 0) medianRatio else 1.0
+    val flagged = ratios.collect {
+      case (k, r, v) if r / band > 2.0 && (v - budgets(k) * band) > 0.5 =>
+        (k, r)
+    }
+    // contention attribution — TWO independent signals: the idle-JVM
+    // spin stamp (≥ 1.5× the run minimum) and entry-window /proc/stat
+    // steal (≥ 5% of ticks stolen during the reps; the spin stamp alone
+    // missed 11 of r15's 13 noise flags because a single idle thread
+    // barely samples steal that hits 32-wide execution). Suspects STAY
+    // in over_budget — the label is a reading aid, not an exemption:
+    // the rule is "isolated re-time (TimeQuery) before attributing",
+    // never "ignore" (SCALE.md documents it).
     val spinMin = if (spins.isEmpty) -1.0 else spins.values.min
     def contended(k: String): Boolean =
-      spinMin > 0 && spins.get(k).exists(_ / spinMin >= 1.5)
-    val flagged = ratios.collect { case (k, r, d) if r > 2.0 && d > 0.5 => (k, r) }
-    val (suspect, over) = flagged.partition { case (k, _) => contended(k) }
-    over.foreach { case (k, r) => System.err.println(
-      f"[bench] OVER BUDGET: $k at $r%.2fx its baseline (median ratio $medianRatio%.2fx)") }
+      (spinMin > 0 && spins.get(k).exists(_ / spinMin >= 1.5)) ||
+        steals.get(k).exists(_ >= 5.0)
+    val suspect = flagged.filter { case (k, _) => contended(k) }
+    flagged.foreach { case (k, r) => System.err.println(
+      f"[bench] OVER BUDGET: $k at $r%.2fx its baseline (run median " +
+      f"$medianRatio%.2fx, steal ${steals.getOrElse(k, -1.0)}%.1f%%)") }
     suspect.foreach { case (k, r) => System.err.println(
-      f"[bench] SUSPECT CONTENTION: $k at $r%.2fx its baseline, spin stamp " +
-      f"${spins(k) / spinMin}%.2fx the run minimum — likely a noisy neighbor, " +
-      "re-time isolated before attributing") }
+      f"[bench] ^ SUSPECT CONTENTION: $k (spin ${
+        if (spinMin > 0) spins(k) / spinMin else -1.0}%.2fx run min, steal ${
+        steals.getOrElse(k, -1.0)}%.1f%% during its reps) — re-time " +
+      "isolated (TimeQuery) before attributing") }
     def flagList(xs: Seq[(String, Double)]): String =
       xs.map { case (k, r) => "\"" + k + ":" + num(r) + "x\"" }
         .mkString("[", ",", "]")
     val budgetJson =
       if (ratios.isEmpty) ""
       else s""","budget_median_ratio":${num(medianRatio)},"over_budget":""" +
-        flagList(over) + s""","suspect_contention":${flagList(suspect)}"""
+        flagList(flagged) + s""","suspect_contention":${flagList(suspect)}"""
     // stop BEFORE printing: the JSON must be the final stdout line (the
     // driver's parser reads the last line; Spark's shutdown chatter goes
     // to stderr, but ordering the stop first removes any race)
@@ -243,8 +285,10 @@ object Bench {
     def loadArr(l: Seq[Double]): String = l.map(num).mkString("[", ",", "]")
     val spinJson = spins.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
+    val stealJson = steals.map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
     val loadJson = s""","load_start":${loadArr(loadStart)},"load_end":${
-        loadArr(loadEnd)},"spin_min_ms":${num(spinMin)},"spin_ms":$spinJson"""
+        loadArr(loadEnd)},"spin_min_ms":${num(spinMin)},"spin_ms":$spinJson,"steal_pct":$stealJson"""
     val fullJson =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$failedJson$budgetJson$loadJson,"sf":"$sfDir"}"""
     // The driver's stdout tail buffer truncated the 84-query line mid-map
