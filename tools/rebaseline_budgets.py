@@ -1,0 +1,33 @@
+#!/usr/bin/env python3
+"""Re-baseline bench_budgets.json from N full bench artifacts.
+
+Usage: python3 tools/rebaseline_budgets.py run1.json [run2.json ...]
+
+Per entry, the budget is the MEDIAN of its values across the given runs
+(entries present in only some runs use the median of those). The round-15
+verdict's finding: budgets normalized to an idealized "clean" host sat
+~25% below what ANY realistic run on this steal-prone box achieves, so
+the >2x tripwire fired on noise every round with DISJOINT flag sets
+across same-day runs. Budgets from actual full-run medians + the bench's
+ratio-vs-run-median flag rule make a flag mean code, not host.
+"""
+import json
+import statistics
+import sys
+
+runs = [json.load(open(p)) for p in sys.argv[1:]]
+assert runs, "name at least one bench artifact"
+names = sorted({k for r in runs for k in r.get("queries", {})})
+out = {}
+for n in names:
+    vals = [r["queries"][n] for r in runs
+            if n in r.get("queries", {}) and r["queries"][n] >= 0]
+    if vals:
+        out[n] = round(statistics.median(vals), 3)
+sf = runs[0].get("sf", "")
+doc = {"_sf": sf.rsplit("/", 1)[-1] if sf else "sf0.1"}
+doc.update(out)
+with open("bench_budgets.json", "w") as f:
+    json.dump(doc, f, indent=1)
+print(f"wrote bench_budgets.json: {len(out)} entries, _sf={doc['_sf']}, "
+      f"sum={sum(out.values()):.1f}s")
