@@ -3186,7 +3186,7 @@ object Similarity {
     else {
       val walked = layersPath match {
         case Some(lp) =>
-          val (h, b, hu, bu) = nswServeBudget(maxCell)
+          val (h, b, hu, bu) = servingBudgetFor(maxCell, "routedRetrieve")
           nswSearchLayered(s, indexPath, graphPath, lp, q, k, nprobe,
             h, b, hopsUp = hu, beamUp = bu, allowed = Some(ids))
         case None =>
@@ -3869,6 +3869,20 @@ object Similarity {
   def nswServeBudgetFitted(maxCell: Long, baseCell: Long = 512): Boolean =
     maxCell <= baseCell * 8L * 8L * 8L * 8L
 
+  /** The census-budgeted entry points' shared derivation: warn once
+    * per call when the census is out of the ladder's fitted range
+    * (pointing at the quantizer-side fixes), then pick the budget. */
+  private def servingBudgetFor(
+      maxCell: Long, who: String): (Int, Int, Int, Int) = {
+    if (!nswServeBudgetFitted(maxCell))
+      org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
+        s"$who: census max cell $maxCell exceeds the budget ladder's " +
+          "fitted range (beams saturated at 16x) - recall will degrade; " +
+          "split the oversized cell (reconcileCoarseSkew) or re-train " +
+          "with a larger nlist (rebuildTrainedIvfPqIndexTo)")
+    nswServeBudget(maxCell)
+  }
+
   /** The COMPOSED SERVING DEFAULT — the round-15 deployment answer to
     * "mega-cell recall is quantified but not won": one call that
     * derives EVERY budget dimension from the index's own cell census
@@ -3889,14 +3903,8 @@ object Similarity {
       k: Int = 5,
       nprobe: Int = 2,
       allowed: Option[DataFrame] = None): DataFrame = {
-    val maxCell = nswCellCensusMax(s, indexPath)
-    if (!nswServeBudgetFitted(maxCell))
-      org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
-        s"nswServe: census max cell $maxCell exceeds the budget " +
-          "ladder's fitted range (beam saturated at 16x) - recall will " +
-          "degrade; split the oversized cell (reconcileCoarseSkew) or " +
-          "re-train with a larger nlist (rebuildTrainedIvfPqIndexTo)")
-    val (hops, beam, hopsUp, beamUp) = nswServeBudget(maxCell)
+    val (hops, beam, hopsUp, beamUp) =
+      servingBudgetFor(nswCellCensusMax(s, indexPath), "nswServe")
     nswSearchLayered(s, indexPath, graphPath, layersPath, q, k, nprobe,
       hops, beam, hopsUp = hopsUp, beamUp = beamUp, allowed = allowed)
   }
@@ -4050,13 +4058,8 @@ object Similarity {
       k: Int = 5,
       nprobe: Int = 2,
       refine: Int = 32): DataFrame = {
-    val maxCell = nswCellCensusMax(s, indexPath)
-    if (!nswServeBudgetFitted(maxCell))
-      org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
-        s"nswServeAdc: census max cell $maxCell exceeds the budget " +
-          "ladder's fitted range - split the oversized cell " +
-          "(reconcileCoarseSkew) or re-train with a larger nlist")
-    val (hops, beam, hopsUp, beamUp) = nswServeBudget(maxCell)
+    val (hops, beam, hopsUp, beamUp) =
+      servingBudgetFor(nswCellCensusMax(s, indexPath), "nswServeAdc")
     nswSearchLayeredAdc(s, indexPath, graphPath, layersPath, q, k,
       nprobe, hops, beam, hopsUp = hopsUp, beamUp = beamUp,
       refine = refine)
