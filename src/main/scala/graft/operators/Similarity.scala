@@ -4043,12 +4043,33 @@ object Similarity {
         entries.map { case (qi, c, n, _) => (qi, c, n) } ++ flatSeeds))
   }
 
+  /** Census-sized REFINE budget for the ADC serving shape: 2× per
+    * octave beyond `baseCell`, capped at 8× (32 → 256 by default).
+    * Wider cells mean a wider, noisier ADC frontier — the code-scored
+    * visited set holds more near-misses — and the exact re-rank is the
+    * (cheap, refine-row) stage that buys the recall back: the 50k
+    * clustered profile measures nswServeAdc at the gate's deliberately
+    * coarse 4-byte/ks=8 codes recovering 0.33 → 0.72 recall@5 going
+    * refine 32 → 128 (= this ladder's extra=2 rung), at UNCHANGED walk
+    * cost (TuneNswServe; SCALE.md round-16 table). Integer-
+    * deterministic like every budget dimension, so oracles replay it. */
+  def nswServeAdcRefine(
+      maxCell: Long,
+      baseRefine: Int = 32,
+      baseCell: Long = 512): Int = {
+    var b = baseCell
+    var extra = 0
+    while (maxCell > b && extra < 8) { b *= 8; extra += 1 }
+    baseRefine << math.min(extra, 3)
+  }
+
   /** The composed serving default in the DiskANN MEMORY SHAPE —
     * [[nswServe]]'s census-sized layered walk with
     * [[nswSearchLayeredAdc]]'s PQ-code frontier: one bounded census
-    * aggregate sizes every budget dimension, the descent and walk read
-    * codes, one exact re-rank serves. The round-16 closure of "the two
-    * round-15 serving shapes don't compose". */
+    * aggregate sizes every budget dimension — INCLUDING the exact
+    * re-rank's `refine` cut ([[nswServeAdcRefine]]) — the descent and
+    * walk read codes, one exact re-rank serves. The round-16 closure
+    * of "the two round-15 serving shapes don't compose". */
   def nswServeAdc(
       s: SparkSession,
       indexPath: String,
@@ -4057,12 +4078,13 @@ object Similarity {
       q: DataFrame,
       k: Int = 5,
       nprobe: Int = 2,
-      refine: Int = 32): DataFrame = {
+      baseRefine: Int = 32): DataFrame = {
+    val maxCell = nswCellCensusMax(s, indexPath)
     val (hops, beam, hopsUp, beamUp) =
-      servingBudgetFor(nswCellCensusMax(s, indexPath), "nswServeAdc")
+      servingBudgetFor(maxCell, "nswServeAdc")
     nswSearchLayeredAdc(s, indexPath, graphPath, layersPath, q, k,
       nprobe, hops, beam, hopsUp = hopsUp, beamUp = beamUp,
-      refine = refine)
+      refine = nswServeAdcRefine(maxCell, baseRefine))
   }
 
   /** [[nswTopK]]'s layered sibling — the q264 serving shape. */

@@ -4034,7 +4034,7 @@ object PipelineQueries {
       .selectExpr("vec_id", "cast(embedding as array<double>) as v")
     Similarity.nswServeAdc(s, idx, graph, layers,
       e.where(col("vec_id") < 5).selectExpr("vec_id as q_id", "v as qv"),
-      k = 5, nprobe = 2, refine = 32)
+      k = 5, nprobe = 2, baseRefine = 32)
       .presentSorted("q_id", "rank")
   }
 

@@ -106,6 +106,42 @@ object TuneNswServe {
     arm(s"composed ($ch,$cb) up(3,16) lyr2", g2, lyr2, ch, cb, 3, 16)
     arm(s"composed ($ch,$cb) up(4,16) lyr2", g2, lyr2, ch, cb, 4, 16)
     arm(s"composed ($ch,$cb) up(4,32) lyr2", g2, lyr2, ch, cb, 4, 32)
+
+    // round 16: the DiskANN memory shape ON the composed default —
+    // nswServeAdc (census budget, 4-byte PQ-code frontier in descent
+    // AND walk, one exact re-rank of `refine` survivors) vs the
+    // exact-frontier nswServe on the SAME bridged stack. Measures what
+    // the ~128x per-node frontier-I/O cut costs in recall at
+    // mega-cells, and what refine buys back.
+    def servedArm(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val (got, t) = time(f
+        .select(col("q_id").as("bq"), col("n_id").as("bn"))
+        .localCheckpoint())
+      val hits = brute.join(got, Seq("bq", "bn"), "left_semi").count()
+      println(f"[tune] $tag%-34s recall@5=${hits.toDouble / bruteN}%.2f " +
+        f"walk=$t%5.1fs")
+    }
+    servedArm("nswServe (exact frontier)") {
+      Similarity.nswServe(spark, idx, g2, lyr2, q, k = 5, nprobe = 2)
+    }
+    // raw refine sweep at the census walk budget — the measurement the
+    // nswServeAdcRefine ladder was fit on
+    val (sh, sb, shu, sbu) = Similarity.nswServeBudget(
+      spark.read.parquet(s"$idx/vectors").groupBy("cell")
+        .agg(count(lit(1)).as("n")).agg(max("n")).collect()(0).getLong(0))
+    def adcArm(refine: Int): Unit =
+      servedArm(s"layeredAdc refine=$refine") {
+        Similarity.nswSearchLayeredAdc(spark, idx, g2, lyr2, q, k = 5,
+          nprobe = 2, hops = sh, beam = sb, hopsUp = shu, beamUp = sbu,
+          refine = refine)
+      }
+    adcArm(32)
+    adcArm(64)
+    adcArm(128)
+    // the census-sized default: baseRefine 32 x the octave ladder
+    servedArm("nswServeAdc (census refine)") {
+      Similarity.nswServeAdc(spark, idx, g2, lyr2, q, k = 5, nprobe = 2)
+    }
     spark.stop()
   }
 }

@@ -761,6 +761,13 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
     // ladder, is the signal out there
     assert(Similarity.nswServeBudget(Long.MaxValue) ==
       Similarity.nswServeBudget(512L * math.pow(8, 9).toLong))
+    // ADC refine ladder: 2x per octave, capped at 8x — wider cells mean
+    // a noisier code-scored frontier, and the exact re-rank is the
+    // stage that buys recall back (0.33 -> 0.72 at the 50k rung going
+    // 32 -> 128; TuneNswServe, SCALE.md round 16)
+    assert(Similarity.nswServeAdcRefine(512L) == 32)
+    assert(Similarity.nswServeAdcRefine(6250L) == 128)
+    assert(Similarity.nswServeAdcRefine(Long.MaxValue) == 256)
   }
 
   test("nswServe: the composed serving default equals nswSearchLayered " +
@@ -973,7 +980,7 @@ class NswGraphSpec extends AnyFunSuite with SparkTestBase {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.select("q_id", "n_id").collect().map(_.toSeq.toString).toSet
     def runComposed() = Similarity.nswServeAdc(spark, idx, graph, layers,
-      q, k = 5, nprobe = 2, refine = 32)
+      q, k = 5, nprobe = 2, baseRefine = 32)
     val a = runComposed().collect().map(_.toSeq.toString).sorted.toSeq
     assert(a.size == 50, s"expected 10 queries x 5 rows, got ${a.size}")
     assert(a == runComposed().collect().map(_.toSeq.toString).sorted.toSeq,
