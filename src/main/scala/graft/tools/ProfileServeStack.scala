@@ -89,6 +89,16 @@ object ProfileServeStack {
       println(f"[serve-scale] n=$n $tag serve=$tServe%.1fs (20 queries) " +
         f"recall@5=$recall%.2f maxCell=$mc budget=${
           Similarity.nswServeBudget(mc)}")
+      // the DiskANN memory shape on the same stack: 4-byte-code
+      // frontier at the census walk budget + census-sized refine
+      val (adc, tAdc) = time(Similarity.nswServeAdc(spark, idx, graph,
+          layers, q, k = 5, nprobe = 2)
+        .select(col("q_id").as("bq"), col("n_id").as("bn"))
+        .localCheckpoint())
+      val adcHits = brute.join(adc, Seq("bq", "bn"), "left_semi").count()
+      println(f"[serve-scale] n=$n $tag-adc serve=$tAdc%.1fs (20 queries) " +
+        f"recall@5=${adcHits.toDouble / brute.count()}%.2f refine=${
+          Similarity.nswServeAdcRefine(mc)}")
     }
     serveRecall("pre-split")
     // SKEW MAINTENANCE: split the oversized cells until the census
