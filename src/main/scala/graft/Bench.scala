@@ -273,9 +273,15 @@ object Bench {
     def flagList(xs: Seq[(String, Double)]): String =
       xs.map { case (k, r) => "\"" + k + ":" + num(r) + "x\"" }
         .mkString("[", ",", "]")
+    // flag_rule versions the over_budget SEMANTICS for artifact
+    // consumers: v1 = raw >2x-budget flags, suspects excluded from
+    // over_budget (disjoint lists, rounds 13-15); v2 = band-normalized
+    // ratio + 0.5 s absolute excess, suspect_contention a SUBSET
+    // marker of over_budget (round 16 on). A consumer alerting on
+    // over_budget must check this field before comparing across rounds.
     val budgetJson =
       if (ratios.isEmpty) ""
-      else s""","budget_median_ratio":${num(medianRatio)},"over_budget":""" +
+      else s""","flag_rule":2,"budget_median_ratio":${num(medianRatio)},"over_budget":""" +
         flagList(flagged) + s""","suspect_contention":${flagList(suspect)}"""
     // stop BEFORE printing: the JSON must be the final stdout line (the
     // driver's parser reads the last line; Spark's shutdown chatter goes
@@ -296,11 +302,17 @@ object Bench {
     // full record to a local file, print it one line early, and make the
     // FINAL line a compact constant-size summary that can't overflow any
     // tail buffer no matter how many queries the suite grows to.
+    // artifact path: SPARK_GRAFT_BENCH_OUT wins; otherwise a
+    // pid-stamped name, so a judge re-run and the driver's run coexist
+    // on disk instead of clobbering each other (the round-16 footnote:
+    // the judge's bench overwrote the driver's untracked run-3 copy)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"bench_out_${ProcessHandle.current().pid()}.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_out.json"),
+      java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
+    catch { case e: Throwable => System.err.println(s"[bench] $outPath write failed: ${e.getMessage}") }
     println(fullJson)
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"load_start":${loadArr(loadStart)},"load_end":${loadArr(loadEnd)},"sf":"$sfDir","detail":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"load_start":${loadArr(loadStart)},"load_end":${loadArr(loadEnd)},"sf":"$sfDir","detail":"$outPath"}""")
   }
 }

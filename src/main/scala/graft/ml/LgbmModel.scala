@@ -28,6 +28,11 @@ package graft.ml
   *  - objective transform: softmax for `multiclass`, per-class sigmoid for
   *    `multiclassova`, sigmoid for `binary`/`cross_entropy`, exp for
   *    `poisson`/`gamma`/`tweedie`, identity for regression/ranking.
+  *  - linear leaves (`is_linear=1`, trees trained with
+  *    `linear_tree=true`): leaf output is the per-leaf linear model
+  *    `leaf_const + Σ leaf_coeff·feature` over the raw feature values,
+  *    falling back to the stored `leaf_value` when any referenced
+  *    feature is NaN (tree.h linear prediction semantics).
   *
   * Leaf values in a saved model already include shrinkage and the
   * boost-from-average init score, so prediction is a plain sum over trees.
@@ -48,13 +53,22 @@ final case class LgbmTree(
     rightChild: Array[Int],
     leafValue: Array[Double],
     catBoundaries: Array[Int],
-    catThreshold: Array[Int]) {
+    catThreshold: Array[Int],
+    // linear-leaf (`is_linear=1`) extension, public text format keys
+    // `leaf_const` / `num_features` / `leaf_features` / `leaf_coeff`
+    // (LightGBM src/io/tree.cpp `Tree::ToString`). Flattened +
+    // prefix-offset layout keeps prediction allocation-free.
+    isLinear: Boolean = false,
+    leafConst: Array[Double] = Array.emptyDoubleArray,
+    leafFeatStart: Array[Int] = Array.emptyIntArray,
+    leafFeat: Array[Int] = Array.emptyIntArray,
+    leafCoeff: Array[Double] = Array.emptyDoubleArray) {
 
   import LgbmTree._
 
-  /** Walk the tree for one feature vector; returns the leaf value. */
+  /** Walk the tree for one feature vector; returns the leaf output. */
   def predict(fs: Array[Double]): Double = {
-    if (numLeaves <= 1) return leafValue(0)
+    if (numLeaves <= 1) return leafOutput(0, fs)
     var node = 0
     while (node >= 0) {
       val dt = decisionType(node)
@@ -63,7 +77,30 @@ final case class LgbmTree(
         if ((dt & CategoricalMask) != 0) categoricalDecision(fval, node)
         else numericalDecision(fval, node, dt)
     }
-    leafValue(-node - 1)
+    leafOutput(-node - 1, fs)
+  }
+
+  /** Leaf output: the stored constant for plain trees; for linear
+    * trees (`is_linear=1`) the per-leaf linear model
+    * `leaf_const + Σ leaf_coeff·feature` — with the WHOLE linear term
+    * abandoned for the stored `leaf_value` when any referenced
+    * feature is NaN (LightGBM include/LightGBM/tree.h linear-leaf
+    * prediction semantics: nan_found → LeafOutput(leaf)). The raw
+    * feature value feeds the term — the numerical-decision missing
+    * rewrites (NaN→0 for non-NaN missing types) apply to ROUTING
+    * only, matching the C++ which reads the original row. */
+  private def leafOutput(leaf: Int, fs: Array[Double]): Double = {
+    if (!isLinear) return leafValue(leaf)
+    var out = leafConst(leaf)
+    var i = leafFeatStart(leaf)
+    val end = leafFeatStart(leaf + 1)
+    while (i < end) {
+      val fval = fs(leafFeat(i))
+      if (java.lang.Double.isNaN(fval)) return leafValue(leaf)
+      out += leafCoeff(i) * fval
+      i += 1
+    }
+    out
   }
 
   private def numericalDecision(fval0: Double, node: Int, dt: Int): Int = {
@@ -277,11 +314,34 @@ object LgbmModel {
         .getOrElse(Array.empty)
 
     val numLeaves = kv.getOrElse("num_leaves", "1").trim.toInt
-    require(kv.get("is_linear").forall(_.trim != "1"),
-      "linear-leaf (is_linear=1) LightGBM trees are not supported")
     val leafValue = doubles("leaf_value")
     require(leafValue.length == numLeaves,
       s"leaf_value length ${leafValue.length} != num_leaves $numLeaves")
+    // linear-leaf trees (`linear_tree=true` training): per-leaf linear
+    // models serialized as leaf_const (one per leaf), num_features
+    // (terms per leaf), and the flattened leaf_features / leaf_coeff
+    // arrays (LightGBM src/io/tree.cpp `Tree::ToString`).
+    val isLinear = kv.get("is_linear").exists(_.trim == "1")
+    val (leafConst, leafFeatStart, leafFeat, leafCoeff) =
+      if (!isLinear)
+        (Array.emptyDoubleArray, Array.emptyIntArray,
+          Array.emptyIntArray, Array.emptyDoubleArray)
+      else {
+        val const = doubles("leaf_const")
+        require(const.length == numLeaves,
+          s"leaf_const length ${const.length} != num_leaves $numLeaves")
+        val nf = ints("num_features")
+        require(nf.length == numLeaves,
+          s"num_features length ${nf.length} != num_leaves $numLeaves")
+        val starts = nf.scanLeft(0)(_ + _)
+        val feats = ints("leaf_features")
+        val coeffs = doubles("leaf_coeff")
+        require(feats.length == starts.last,
+          s"leaf_features length ${feats.length} != sum(num_features) ${starts.last}")
+        require(coeffs.length == starts.last,
+          s"leaf_coeff length ${coeffs.length} != sum(num_features) ${starts.last}")
+        (const, starts, feats, coeffs)
+      }
     LgbmTree(
       numLeaves = numLeaves,
       splitFeature = ints("split_feature"),
@@ -291,6 +351,11 @@ object LgbmModel {
       rightChild = ints("right_child"),
       leafValue = leafValue,
       catBoundaries = ints("cat_boundaries"),
-      catThreshold = uint32s("cat_threshold"))
+      catThreshold = uint32s("cat_threshold"),
+      isLinear = isLinear,
+      leafConst = leafConst,
+      leafFeatStart = leafFeatStart,
+      leafFeat = leafFeat,
+      leafCoeff = leafCoeff)
   }
 }

@@ -802,10 +802,138 @@ object Similarity {
     * name) it is DELETION RECONCILIATION: the named vec_ids are
     * anti-joined out during the rewrite, so the index stops serving
     * them without re-reading the corpus or re-training. */
+  /** QUANTIZER-DRIFT CENSUS (round 17, the round-16 verdict's missing
+    * signal #3): per-cell reconstruction error of the STORED codes —
+    * for every row, the exact integer grid distance between its
+    * vector (minus the cell centroid on a residual index) and its PQ
+    * decode `book_j[code_j]`, summed over subspaces, aggregated per
+    * cell as `(cell, n, resid_sum)`. Appends re-use the stored
+    * codebooks forever ([[appendToTrainedIvfPqIndex]]), so a
+    * distribution-shifted stream silently degrades code quality; this
+    * is the size census's twin for the CODE side — one bounded-output
+    * aggregate (≤ nlist rows) over one scan, mergeable, integer-exact
+    * and SQL-replayable (q282's oracle replays training, encode and
+    * the census bit-for-bit). A cell whose mean residual
+    * (`resid_sum / n`) runs hot against the index mean points at the
+    * remedies: [[retrainPqCodebooksAt]] (codes only — cells and the
+    * serving graphs stay valid) or [[rebuildTrainedIvfPqIndexTo]]
+    * (full geometry re-train) when the coarse cells themselves aged. Scale: the scan is column-pruned to (v, codes, cell)
+    * and shuffles ≤ nlist rows; the per-row arithmetic is the same
+    * codegen'd integer fold the ADC path uses. */
+  def quantizationDriftCensus(
+      s: SparkSession, indexPath: String): DataFrame = {
+    val books = readStoredBooks(s, indexPath)
+    val mPq = books.length
+    val subW = books(0)(0).length
+    val vecs = s.read.parquet(s"$indexPath/vectors")
+    val qv = gridLongs(col("v"))
+    val encIn =
+      if (!readIndexResidual(s, indexPath)) qv
+      else {
+        // residual codes encode x − c(x): subtract the row's cell
+        // centroid via a literal (nlist × dim) lookup — coarse ids are
+        // contiguous by the build/split invariant
+        val cents = s.read.parquet(s"$indexPath/coarse")
+          .orderBy("cell").collect().map(_.getSeq[Long](1))
+        val lookup = element_at(
+          array(cents.map(c =>
+            array(c.map(v => lit(v)): _*)): _*),
+          col("cell").cast("int") + 1)
+        zip_with(qv, lookup, (a, b) => a - b)
+      }
+    val residCols = (0 until mPq).map { j =>
+      val bookArr = array(books(j).map(cw =>
+        array(cw.map(v => lit(v)): _*)): _*)
+      gridDist(slice(encIn, j * subW + 1, subW),
+        element_at(bookArr, col(s"code_$j").cast("int") + 1))
+    }
+    vecs.select(col("cell").cast("int").as("cell"),
+        residCols.reduce(_ + _).as("__r"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("__r").as("resid_sum"))
+  }
+
+  /** CODE-SIDE RE-TRAIN (round 17): fresh PQ codebooks — optionally at
+    * higher entropy (larger m/ks) — trained on the index's CURRENT
+    * contents and every row re-encoded at `dest`, with the coarse
+    * table, the residual flag and every row's STORED cell copied
+    * verbatim. The complement of [[rebuildTrainedIvfPqIndexTo]] along
+    * the other axis: rebuild moves GEOMETRY (cells change, so graphs
+    * and layers must rebuild); this moves only CODES — cell
+    * membership is byte-identical, so the NSW graph/layer adjacencies
+    * built beside the source index stay valid and serving cuts over
+    * by swapping the index path alone. That makes it (a) the cheap
+    * remedy [[quantizationDriftCensus]] points at when codes age
+    * against a drifted stream, and (b) the production-entropy
+    * measurement vehicle (m_pq 16 / ks 256 codes on the same cells
+    * and walks, ProfileServeStack). Cells are PRESERVED from storage,
+    * not re-derived: after a [[reconcileCoarseSkew]] split, a stored
+    * cell need not be the global argmin over the updated coarse table
+    * (moved rows chose among the split's sub-centroids only), so
+    * re-assignment here would silently move rows. One partitioned
+    * write; driver state is the sample + two tiny tables. */
+  def retrainPqCodebooksAt(
+      s: SparkSession,
+      path: String,
+      dest: String,
+      m: Int = 4,
+      ks: Int = 4,
+      trainSample: Int = 64,
+      iters: Int = 2): Unit = {
+    import s.implicits._
+    require(dest != path,
+      "retrain must target a fresh path (in-place overwrite would race the scan)")
+    val residual = readIndexResidual(s, path)
+    val rows = s.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
+    val coarse = s.read.parquet(s"$path/coarse").orderBy("cell")
+      .collect().map(_.getSeq[Long](1).toArray)
+    val sample = rows.orderBy("vec_id").limit(trainSample).collect()
+      .map { r =>
+        val v = r.getSeq[Double](1)
+          .map(x => math.floor(x * PqGridScale + 0.5).toLong).toArray
+        if (!residual) v
+        else {
+          // residual against the STORED cell's centroid (the encode
+          // contract), not a recomputed argmin
+          val c = coarse(r.getInt(2))
+          Array.tabulate(v.length)(i => v(i) - c(i))
+        }
+      }
+    val books = pqTrainInt(sample, m, ks, iters)
+    val subW = books(0)(0).length
+    // quantizers first (the build discipline), coarse + meta verbatim
+    s.read.parquet(s"$path/coarse").localCheckpoint()
+      .coalesce(1).write.mode("overwrite").parquet(s"$dest/coarse")
+    books.zipWithIndex.toSeq.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+    }.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dest/pq_codebooks")
+    Seq(residual).toDF("residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dest/meta")
+    val qv = gridLongs(col("v")).cast("array<double>")
+    val encIn =
+      if (!residual) qv
+      else zip_with(qv, centroidLookup(coarse, col("cell")),
+        (a, b) => a - b)
+    val codeCols = (0 until m).map { j =>
+      val bk = new graft.functions.CentroidKernel(
+        books(j).map(_.map(_.toDouble)))
+      SparkShims.column(graft.functions.NearestCentroid(
+        SparkShims.expression(slice(encIn, j * subW + 1, subW)), bk))
+        .as(s"code_$j")
+    }
+    rows.select(col("vec_id") +: col("v") +: codeCols :+
+        col("cell"): _*)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dest/vectors")
+  }
+
   def compactTrainedIvfPqIndexAt(
       s: SparkSession,
       path: String,
-      deletedIds: Option[DataFrame] = None): Unit = {
+      deletedIds: Option[DataFrame] = None,
+      driftWarnFactor: Double = 0.0): Unit = {
     val nCells = s.read.parquet(s"$path/coarse").count().toInt.max(1)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -845,6 +973,30 @@ object Similarity {
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), vec),
       s"compactTrainedIvfPqIndexAt: could not install compacted vectors: $path")
     fs.delete(old, true)
+    // drift check riding the maintenance job (opt-in): cells whose
+    // mean stored-code residual runs more than `driftWarnFactor` x the
+    // index mean point at the re-train remedy — the signal the
+    // append-only code path otherwise never produces
+    if (driftWarnFactor > 0.0) {
+      val census = quantizationDriftCensus(s, path).collect()
+      val totN = census.map(_.getLong(1)).sum
+      val totR = census.map(_.getLong(2)).sum
+      if (totN > 0 && totR > 0) {
+        val hot = census.filter { r =>
+          // cross-multiplied integer compare (no float means):
+          // resid_sum/n > factor * totR/totN
+          r.getLong(2).toDouble * totN > driftWarnFactor * totR * r.getLong(1)
+        }.map(r => s"cell=${r.getInt(0)} mean=${
+          r.getLong(2) / math.max(1L, r.getLong(1))}")
+        if (hot.nonEmpty)
+          org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
+            s"$path: quantizer drift — ${hot.length} cell(s) exceed " +
+              s"$driftWarnFactor x the index mean code residual " +
+              s"(index mean ${totR / totN}): ${hot.mkString("; ")} — " +
+              "re-train codes (retrainPqCodebooksAt, cells/graphs stay " +
+              "valid) or geometry (rebuildTrainedIvfPqIndexTo)")
+      }
+    }
   }
 
   /** Index maintenance: RE-TRAIN the quantizers on the index's CURRENT
@@ -2089,10 +2241,8 @@ object Similarity {
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
         gridLongs(col("v")).as("g")))
     for (_ <- 1 to iters) {
-      val adjAll = cellCut(readNswAdjacency(s, graphPath)
-        .select(col("cell").cast("int").as("cell"), col("vec_id"),
-          col("nbr"), col("d"),
-          coalesce(col("is_long"), lit(false)).as("is_long")))
+      val adjAll =
+        readNswAdjacencyClassed(s, graphPath, m, cells = onlyCells)
       // long-range bridges PASS THROUGH a sweep untouched (they are far
       // by construction — a grid-nearest cut would strip them); the
       // sweep refines only the base m-NN pool. In the build flow
@@ -2293,20 +2443,18 @@ object Similarity {
         col("node").as("nbr"), col("d"))
     val rev = fwd.select(col("cell"), col("nbr").as("vec_id"),
       col("vec_id").as("nbr"), col("d"))
-    val old = readNswAdjacency(s, graphPath)
-      .select(col("cell").cast("int").as("cell"), col("vec_id"),
-        col("nbr"), col("d"),
-        coalesce(col("is_long"), lit(false)).as("is_long"))
-      .where(col("cell").isin(cellSet.map(Int.box): _*))
+    val old = readNswAdjacencyClassed(s, graphPath, m,
+      cells = Some(cellSet))
     // per-edge-class prune by the PERSISTED `is_long` flag (written by
-    // the build, round 16): new forward/reverse edges compete only in
-    // the base pool; long slots pass through untouched — insert never
-    // strips the island bridges. The flag, not distance rank, carries
-    // the class: on candidate-bounded / random-init cells (the
-    // mega-cell regime) base edges are approximate, so "bridges are
-    // farther than every base edge" fails there and a rank split would
-    // freeze near edges in protected slots while exposing true bridges
-    // to the prune.
+    // the build, round 16; legacy pre-flag cells rank-infer with a
+    // warn — readNswAdjacencyClassed): new forward/reverse edges
+    // compete only in the base pool; long slots pass through untouched
+    // — insert never strips the island bridges. The flag, not distance
+    // rank, carries the class: on candidate-bounded / random-init
+    // cells (the mega-cell regime) base edges are approximate, so
+    // "bridges are farther than every base edge" fails there and a
+    // rank split would freeze near edges in protected slots while
+    // exposing true bridges to the prune.
     val oldBase = old.where(!col("is_long"))
       .select("cell", "vec_id", "nbr", "d")
     val oldLong = old.where(col("is_long"))
@@ -2473,7 +2621,7 @@ object Similarity {
     // long edges go on LAST: the refine sweeps above cut to the m
     // grid-nearest and would strip them (they are far by construction)
     if (longEdges > 0)
-      addLongEdges(s, grid, graphPath, longEdges, onlyCells)
+      addLongEdges(s, grid, graphPath, longEdges, onlyCells, m)
   }
 
   /** Lehmer multipliers for the long-edge rounds (MINSTD and its two
@@ -2511,7 +2659,8 @@ object Similarity {
       grid: DataFrame,
       graphPath: String,
       longEdges: Int,
-      onlyCells: Option[Seq[Int]]): Unit = {
+      onlyCells: Option[Seq[Int]],
+      m: Int): Unit = {
     import s.implicits._
     require(longEdges <= NswLongEdgeMuls.size,
       s"longEdges must be <= ${NswLongEdgeMuls.size}: $longEdges")
@@ -2541,14 +2690,8 @@ object Similarity {
         Seq("vec_id", "r"), "__s", "nbr", 1)
       .select("cell", "vec_id", "nbr", "d")
       .withColumn("is_long", lit(true))
-    val base = readNswAdjacency(s, graphPath)
-      .select(col("cell").cast("int").as("cell"), col("vec_id"),
-        col("nbr"), col("d"),
-        coalesce(col("is_long"), lit(false)).as("is_long"))
-    val baseCut = onlyCells match {
-      case Some(cs) => base.where(col("cell").isin(cs.map(Int.box): _*))
-      case None => base
-    }
+    val baseCut = readNswAdjacencyClassed(s, graphPath, m,
+      cells = onlyCells)
     // a long edge landing on an existing base neighbor dedups away and
     // the pair stays BASE-classed (min over booleans: false wins) — the
     // persisted flag records the class the build semantics chose, so
@@ -3221,6 +3364,55 @@ object Similarity {
       .parquet(path)
   }
 
+  /** Class-aware adjacency read for the MAINTENANCE ops (insert /
+    * refine / bridge-merge): rows written since the flag existed carry
+    * a concrete `is_long`; a LEGACY cell — every row's flag null,
+    * i.e. the partition was last written by a pre-flag build — gets
+    * the OLD rank inference back (per-vertex top-m by (d, nbr) = base,
+    * the rest = long; `TopK.perKey`'s exact total order), instead of
+    * the blanket null→false coalesce that silently demoted legacy
+    * bridges into the base pool where the first insert/refine pruned
+    * them. Granularity is the CELL because every writer overwrites
+    * whole cell partitions, so flag presence is uniform within one.
+    * The detection aggregate is bounded by nlist and column-pruned to
+    * the flag alone. Rank inference is only CORRECT on exact-route
+    * cells (pre-flag candidate-bounded/random-init cells are exactly
+    * where rank misclassified — that bug is unfixable post hoc, which
+    * is why the flag is persisted now); the warn tells the operator to
+    * rebuild bridged mega-cell graphs rather than trust the fallback. */
+  private[graft] def readNswAdjacencyClassed(
+      s: SparkSession, path: String, m: Int,
+      cells: Option[Seq[Int]] = None): DataFrame = {
+    val raw0 = readNswAdjacency(s, path)
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+        col("nbr"), col("d"), col("is_long"))
+    val raw = cells match {
+      case Some(cs) => raw0.where(col("cell").isin(cs.map(Int.box): _*))
+      case None => raw0
+    }
+    val legacy = raw.groupBy("cell")
+      .agg(max(col("is_long").isNotNull).as("__f"))
+      .where(!col("__f")).collect().map(_.getInt(0)).toSet
+    if (legacy.isEmpty)
+      raw.withColumn("is_long", coalesce(col("is_long"), lit(false)))
+    else {
+      org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
+        s"$path: ${legacy.size} cell(s) predate the persisted is_long " +
+          "edge class - falling back to rank inference (top-m = base) " +
+          "for those cells; rank misclassifies on candidate-bounded/" +
+          "random-init cells, so rebuild bridged mega-cell graphs " +
+          "(buildNswGraphAt) rather than relying on this fallback")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cell", "vec_id").orderBy(col("d"), col("nbr"))
+      raw.withColumn("__rk", row_number().over(w))
+        .withColumn("is_long",
+          when(col("cell").isin(legacy.toSeq.map(Int.box): _*),
+            col("__rk") > m)
+            .otherwise(coalesce(col("is_long"), lit(false))))
+        .drop("__rk")
+    }
+  }
+
   /** The walk's ONLY corpus-touching reads — vectors and adjacency of
     * the probed cells, partition-pruned (PlanSpec pins the filters:
     * without them every hop reads the corpus and the O(hops·beam·m)
@@ -3490,10 +3682,14 @@ object Similarity {
       randomInitCellCeiling: Int = NswRandomInitCellCeiling,
       randomInitSweeps: Int = 3,
       maxLayer: Int = NswMaxLayer,
-      branch: Int = NswLayerBranch): Seq[Int] = {
+      branch: Int = NswLayerBranch,
+      maxCellCap: Long = Long.MaxValue): Seq[Int] = {
     import s.implicits._
     require(splitK >= 2, s"splitK must be >= 2: $splitK")
     require(threshold >= 1.0, s"threshold must be >= 1: $threshold")
+    recoverPendingSkewSplit(s, indexPath, graphPath, layersPath, m,
+      longEdges, exactCellCeiling, randomInitCellCeiling,
+      randomInitSweeps, maxLayer, branch)
     // the census — bounded by nlist, the house fixed cost
     val census = s.read.parquet(s"$indexPath/vectors")
       .groupBy(col("cell").cast("int").as("cell"))
@@ -3505,7 +3701,13 @@ object Similarity {
       .collect().map(r => r.getInt(0) -> r.getSeq[Long](1))
     val nlist = oldCoarse.length
     val (sc, mx) = census.sortBy { case (c, n) => (-n, c) }.head
-    if (mx.toDouble * nlist <= threshold * total) return Seq.empty
+    // two independent triggers: RELATIVE skew (the head cell exceeds
+    // threshold x the balanced share) and an ABSOLUTE cap (the serving
+    // ladder's fitted range — [[nswServeBudgetFitted]] — which a
+    // balanced-but-huge census can exceed without ever tripping the
+    // share test; the auto-heal path drives this one)
+    if (mx.toDouble * nlist <= threshold * total && mx <= maxCellCap)
+      return Seq.empty
     // mini-kmeans on the one cell: its trainSample lowest vec_ids
     val members = s.read.parquet(s"$indexPath/vectors")
       .where(col("cell") === sc)
@@ -3516,6 +3718,21 @@ object Similarity {
     val sub = pqTrainInt(sample, 1, splitK, iters)(0)
     if (sub.length < 2) return Seq.empty // degenerate cell: nothing to split
     val newIds = (1 until sub.length).map(j => nlist + j - 1)
+    // CRASH DISCIPLINE: the split is two non-atomic durable writes
+    // (coarse, then vectors) — a crash between them would leave the
+    // split cell's PQ codes encoded against the OLD centroid while
+    // coarse routes by the new sub-centroids: wrong ADC distances with
+    // no detection. Stage a rollback copy of the coarse table plus a
+    // _SPLIT_PENDING marker BEFORE the first overwrite, stamp
+    // _SPLIT_VECS_DONE after the vectors commit; the next maintenance
+    // call's [[recoverPendingSkewSplit]] completes or rolls back.
+    oldCoarse.toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/coarse_prev")
+    val fs0 = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    writeMarker(fs0, s"$indexPath/$SplitPendingMarker",
+      s"sc=$sc;new=${newIds.mkString(",")}")
     // quantizers first (the build discipline): the coarse table must be
     // durable before any vector row claims a new cell id
     val nextCoarse = oldCoarse.map { case (c, cent) =>
@@ -3578,6 +3795,7 @@ object Similarity {
     val touched = (sc +: newIds).sorted
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    writeMarker(fs, s"$indexPath/$SplitVecsDoneMarker", "done")
     touched.filterNot(liveCells.contains).foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$indexPath/vectors/cell=$c"), true)
@@ -3592,7 +3810,214 @@ object Similarity {
         branch, exactCellCeiling, randomInitCellCeiling,
         randomInitSweeps, longEdges = longEdges)
     }
+    // the split is fully applied: clear the staging area
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$indexPath/$SplitVecsDoneMarker"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$indexPath/$SplitPendingMarker"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$indexPath/coarse_prev"), true)
     touched
+  }
+
+  private[graft] val SplitPendingMarker = "_SPLIT_PENDING"
+  private[graft] val SplitVecsDoneMarker = "_SPLIT_VECS_DONE"
+
+  private def writeMarker(
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      content: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(content.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Recovery for a HALF-APPLIED [[reconcileCoarseSkew]] — runs at the
+    * top of every reconcile call (one `fs.exists` when clean). A
+    * `_SPLIT_PENDING` marker without a completed stage means a crash
+    * landed between the coarse overwrite and the vectors rewrite (or
+    * during the refresh tail). Decide by evidence:
+    *
+    *   - vectors APPLIED (`_SPLIT_VECS_DONE` present, or any row
+    *     already claims a new cell id) → roll FORWARD: re-run the
+    *     idempotent tail — stale-empty-dir cleanup and the graph/layer
+    *     refresh for the touched cells — then clear the staging area.
+    *   - vectors NOT applied → roll BACK: restore the coarse table
+    *     from the staged `coarse_prev` copy, so codes and routing
+    *     agree again (the pre-split index is fully consistent).
+    *
+    * Known residual window: a crash after the vectors job commit but
+    * before the done-marker, where the split degenerately kept EVERY
+    * member in sub-centroid 0 (no row claims a new id) — evidence then
+    * reads "not applied" and the rollback restores the old centroid
+    * under re-encoded residual codes. That compound event (process
+    * death inside a millisecond window AND a fully degenerate Lloyd
+    * outcome) is accepted; a non-degenerate split recovers exactly. */
+  private[graft] def recoverPendingSkewSplit(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: Option[String],
+      layersPath: Option[String],
+      m: Int,
+      longEdges: Int,
+      exactCellCeiling: Int,
+      randomInitCellCeiling: Int,
+      randomInitSweeps: Int,
+      maxLayer: Int,
+      branch: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val pending = new org.apache.hadoop.fs.Path(
+      s"$indexPath/$SplitPendingMarker")
+    if (!fs.exists(pending)) return
+    val log = org.slf4j.LoggerFactory.getLogger("graft.Similarity")
+    val content = {
+      val in = fs.open(pending)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val parts = content.trim.split(';')
+    val sc = parts(0).stripPrefix("sc=").toInt
+    val newIds = parts(1).stripPrefix("new=").split(',')
+      .filter(_.nonEmpty).map(_.toInt).toSeq
+    val vecsDone = fs.exists(new org.apache.hadoop.fs.Path(
+      s"$indexPath/$SplitVecsDoneMarker"))
+    val applied = vecsDone || (newIds.nonEmpty &&
+      !s.read.parquet(s"$indexPath/vectors")
+        .where(col("cell").isin(newIds.map(Int.box): _*))
+        .limit(1).isEmpty)
+    if (applied) {
+      log.warn(s"$indexPath: completing a half-applied coarse split " +
+        s"(cell $sc -> ${newIds.mkString(",")}); re-running the " +
+        "idempotent cleanup + refresh tail")
+      val touched = (sc +: newIds).sorted
+      val live = s.read.parquet(s"$indexPath/vectors")
+        .where(col("cell").isin(touched.map(Int.box): _*))
+        .groupBy("cell").agg(count(lit(1)))
+        .collect().map(_.getInt(0)).toSet
+      touched.filterNot(live.contains).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$indexPath/vectors/cell=$c"), true)
+      }
+      graphPath.foreach { g =>
+        refreshNswGraphCells(s, indexPath, g, touched, m,
+          exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
+          longEdges = longEdges)
+      }
+      layersPath.foreach { lp =>
+        refreshNswLayersCells(s, indexPath, lp, touched, m, maxLayer,
+          branch, exactCellCeiling, randomInitCellCeiling,
+          randomInitSweeps, longEdges = longEdges)
+      }
+    } else {
+      log.warn(s"$indexPath: rolling back a half-applied coarse split " +
+        s"(cell $sc): coarse was overwritten but the vectors rewrite " +
+        "never committed - restoring coarse from the staged copy")
+      s.read.parquet(s"$indexPath/coarse_prev")
+        .localCheckpoint() // break lineage before overwriting the source
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexPath/coarse")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$indexPath/$SplitVecsDoneMarker"), false)
+    fs.delete(pending, false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$indexPath/coarse_prev"), true)
+  }
+
+  /** SKEW MAINTENANCE AS A POLICY, not a call (the round-16 verdict's
+    * lead): loop [[reconcileCoarseSkew]] until the census is balanced
+    * — under BOTH triggers: relative share and the absolute
+    * `maxCellCap` — or a pass cap. Reconcile splits only the HEAD
+    * cell per invocation, so two simultaneously oversized cells need
+    * two passes; this loop closes that, and gives every ingest
+    * surface a single idempotent call. Each pass pays one bounded
+    * census aggregate; when the index is balanced the whole policy
+    * costs exactly that aggregate and returns empty — cheap enough to
+    * run inside every ingest batch. Each split grows nlist by up to
+    * splitK−1, which SHRINKS the balanced share, so convergence under
+    * the relative trigger is not guaranteed a priori — `maxPasses`
+    * bounds a pathological cascade and the cap hit is logged, never
+    * silent. Returns all touched cell ids across passes. */
+  def maintainCoarseBalance(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: Option[String] = None,
+      layersPath: Option[String] = None,
+      threshold: Double = 4.0,
+      maxPasses: Int = 8,
+      splitK: Int = 4,
+      trainSample: Int = 64,
+      iters: Int = 2,
+      m: Int = 6,
+      longEdges: Int = 0,
+      exactCellCeiling: Int = NswExactCellCeiling,
+      randomInitCellCeiling: Int = NswRandomInitCellCeiling,
+      randomInitSweeps: Int = 3,
+      maxLayer: Int = NswMaxLayer,
+      branch: Int = NswLayerBranch,
+      maxCellCap: Long = Long.MaxValue): Seq[Int] = {
+    require(maxPasses >= 1, s"maxPasses must be >= 1: $maxPasses")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var pass = 0
+    var more = true
+    while (more && pass < maxPasses) {
+      val t = reconcileCoarseSkew(s, indexPath, graphPath, layersPath,
+        threshold, splitK, trainSample, iters, m, longEdges,
+        exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
+        maxLayer, branch, maxCellCap)
+      out ++= t
+      more = t.nonEmpty
+      pass += 1
+    }
+    if (more)
+      org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
+        s"$indexPath: maintainCoarseBalance hit its $maxPasses-pass " +
+          "cap with the census still tripped - re-run, or re-train " +
+          "with a larger nlist (rebuildTrainedIvfPqIndexTo)")
+    out.toSeq.distinct.sorted
+  }
+
+  /** PER-BATCH INGEST of the composed serving stack with the skew
+    * policy WIRED IN — the deployment shape the q274-style maintenance
+    * loops should use: append the batch, refresh base graph + layers
+    * for exactly the touched cells, then census-check and auto-split
+    * ([[maintainCoarseBalance]], multi-cell, loop-until-balanced). A
+    * drifting stream that piles into one coarse cell therefore
+    * re-balances MID-INGEST — detect → split → refresh inside the
+    * batch loop — instead of re-creating the 54%-mega-cell a
+    * deployment would otherwise discover as silent recall loss. The
+    * policy's cost when balanced is one bounded aggregate per batch.
+    * Returns the touched cells (append ∪ splits). */
+  def ingestNswStackBatch(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      layersPath: String,
+      rows: DataFrame,
+      m: Int = 6,
+      longEdges: Int = 2,
+      skewThreshold: Double = 4.0,
+      splitK: Int = 4,
+      trainSample: Int = 64,
+      iters: Int = 2,
+      maxPasses: Int = 8,
+      maxCellCap: Long = Long.MaxValue): Seq[Int] = {
+    appendToTrainedIvfPqIndex(s, rows, indexPath)
+    val touched = s.read.parquet(s"$indexPath/vectors")
+      .join(rows.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    refreshNswGraphCells(s, indexPath, graphPath, touched, m,
+      longEdges = longEdges)
+    refreshNswLayersCells(s, indexPath, layersPath, touched, m,
+      longEdges = longEdges)
+    val split = maintainCoarseBalance(s, indexPath, Some(graphPath),
+      Some(layersPath), threshold = skewThreshold, maxPasses = maxPasses,
+      splitK = splitK, trainSample = trainSample, iters = iters, m = m,
+      longEdges = longEdges, maxCellCap = maxCellCap)
+    (touched ++ split).distinct.sorted
   }
 
   /** Incremental layer insert, [[insertIntoNswGraph]] per layer: each
@@ -3855,32 +4280,42 @@ object Similarity {
       baseHopsUp + extra / 2, baseBeamUp << math.min(extra, 4))
   }
 
-  /** Is `maxCell` inside the ladder's FITTED range? Beyond 4 octaves
-    * (baseCell · 8⁴ = 2,097,152 members at the default) the beam
-    * dimensions saturate at 16× and every further octave adds only a
-    * hop — the round-15 500k profile measured recall sliding below the
-    * serving bar exactly one octave past the fit (0.58 on a 268k-member
-    * cell). Past this range the ladder can only palliate: the correct
-    * lever is the QUANTIZER — [[reconcileCoarseSkew]] (split the
-    * oversized cell in place) or [[rebuildTrainedIvfPqIndexTo]] with a
-    * larger nlist. [[nswServe]] logs a pointer when a census lands out
-    * of range; the prose invariant ("nlist must scale with the
-    * corpus") is thereby a guard, not a comment. */
+  /** Is `maxCell` inside the ladder's FITTED range? The boundary is
+    * the LAST octave before the beams saturate: [[nswServeBudget]]'s
+    * `beam << min(extra, 4)` hits its 16× cap at extra = 4, i.e. for
+    * any maxCell > baseCell · 8³ = 262,144 (at the default) — from
+    * there every further octave adds only a hop, and the round-15
+    * 500k profile measured recall below the serving bar at exactly
+    * the first saturated rung (0.58 on a 268,807-member cell, which
+    * sits just past 8³). Past this range the ladder can only
+    * palliate: the correct lever is the QUANTIZER —
+    * [[reconcileCoarseSkew]] (split the oversized cell in place) or
+    * [[rebuildTrainedIvfPqIndexTo]] with a larger nlist. [[nswServe]]
+    * logs a pointer when a census lands out of range; the prose
+    * invariant ("nlist must scale with the corpus") is thereby a
+    * guard, not a comment. */
+  /** The ladder's last pre-saturation rung (see
+    * [[nswServeBudgetFitted]]) — also the `maxCellCap` the auto-heal
+    * path hands [[maintainCoarseBalance]]. */
+  def nswServeFittedEdge(baseCell: Long = 512): Long =
+    baseCell * 8L * 8L * 8L
+
   def nswServeBudgetFitted(maxCell: Long, baseCell: Long = 512): Boolean =
-    maxCell <= baseCell * 8L * 8L * 8L * 8L
+    maxCell <= nswServeFittedEdge(baseCell)
 
   /** The census-budgeted entry points' shared derivation: warn once
     * per call when the census is out of the ladder's fitted range
     * (pointing at the quantizer-side fixes), then pick the budget. */
   private def servingBudgetFor(
-      maxCell: Long, who: String): (Int, Int, Int, Int) = {
-    if (!nswServeBudgetFitted(maxCell))
+      maxCell: Long, who: String,
+      baseCell: Long = 512): (Int, Int, Int, Int) = {
+    if (!nswServeBudgetFitted(maxCell, baseCell))
       org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
         s"$who: census max cell $maxCell exceeds the budget ladder's " +
           "fitted range (beams saturated at 16x) - recall will degrade; " +
           "split the oversized cell (reconcileCoarseSkew) or re-train " +
           "with a larger nlist (rebuildTrainedIvfPqIndexTo)")
-    nswServeBudget(maxCell)
+    nswServeBudget(maxCell, baseCell = baseCell)
   }
 
   /** The COMPOSED SERVING DEFAULT — the round-15 deployment answer to
@@ -3902,9 +4337,35 @@ object Similarity {
       q: DataFrame,
       k: Int = 5,
       nprobe: Int = 2,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      heal: Boolean = false,
+      healM: Int = 6,
+      healLongEdges: Int = 2,
+      baseCell: Long = 512): DataFrame = {
+    var maxCell = nswCellCensusMax(s, indexPath)
+    // guard → REMEDY, not only a log line (round 17): with `heal` on,
+    // an out-of-range census invokes the skew policy before serving —
+    // [[maintainCoarseBalance]] under the ABSOLUTE fitted-edge cap
+    // (the relative trigger is disabled: healing is purely
+    // guard-driven), then re-censuses. The serve that follows runs
+    // in-range instead of palliating with a saturated beam. Off by
+    // default: healing REWRITES index + graph partitions, which a
+    // read-only serving replica must not do — deployments that own
+    // their index opt in once. `healM`/`healLongEdges` must match the
+    // graph's build parameters (the refresh rebuilds touched cells
+    // with them).
+    if (heal && !nswServeBudgetFitted(maxCell, baseCell)) {
+      org.slf4j.LoggerFactory.getLogger("graft.Similarity").info(
+        s"nswServe: census max cell $maxCell out of fitted range - " +
+          "auto-healing (maintainCoarseBalance at the fitted-edge cap)")
+      maintainCoarseBalance(s, indexPath, Some(graphPath),
+        Some(layersPath), threshold = Double.MaxValue,
+        m = healM, longEdges = healLongEdges,
+        maxCellCap = nswServeFittedEdge(baseCell))
+      maxCell = nswCellCensusMax(s, indexPath)
+    }
     val (hops, beam, hopsUp, beamUp) =
-      servingBudgetFor(nswCellCensusMax(s, indexPath), "nswServe")
+      servingBudgetFor(maxCell, "nswServe", baseCell)
     nswSearchLayered(s, indexPath, graphPath, layersPath, q, k, nprobe,
       hops, beam, hopsUp = hopsUp, beamUp = beamUp, allowed = allowed)
   }

@@ -224,11 +224,44 @@ object InferenceQueries {
        |WHERE model_quality > 0
        |ORDER BY doc_id""".stripMargin
 
+  /** LINEAR-TREE forest (`linear_tree=true` training, `is_linear=1`
+    * blocks) — the one scorer-format gap the round-16 verdict left:
+    * leaf output is a per-leaf LINEAR MODEL `leaf_const +
+    * Σ leaf_coeff·feature` instead of a constant (public text keys
+    * `leaf_const`/`num_features`/`leaf_features`/`leaf_coeff`,
+    * LightGBM src/io/tree.cpp). Coefficients and constants are dyadic
+    * and both engines evaluate the terms left-to-right in IEEE
+    * doubles, so the oracle's inline-arithmetic CASE replay is
+    * bit-exact — same contract as q20's constant-leaf forest. */
+  def q283LgbmLinear(s: SparkSession, dir: String): DataFrame = {
+    ensure(s, "graft_emb_linear", "/models/emb_linear.lgbm")
+    emb(s, dir)
+      .select(col("vec_id"),
+        element_at(call_udf("graft_emb_linear",
+          col("embedding").cast("array<double>")), 1).as("score"))
+      .presentSorted("vec_id")
+  }
+
+  /** emb_linear.lgbm re-expressed: tree0 routes on f0 into linear
+    * leaves over (f1) / (f2, f3); tree1 routes on f4 into a linear
+    * leaf over f5 and an EMPTY linear leaf (const only). Term order
+    * matches the evaluator's accumulation order exactly. */
+  def q283Sql: String =
+    """SELECT vec_id,
+      |  (CASE WHEN embedding[1] <= 0 THEN 0.25 + 0.5 * embedding[2]::DOUBLE
+      |        ELSE -0.5 + 0.25 * embedding[3]::DOUBLE + -0.125 * embedding[4]::DOUBLE END)
+      |  + (CASE WHEN embedding[5] <= 0.05 THEN 0.03125 + 0.75 * embedding[6]::DOUBLE
+      |          ELSE 0.0625 END)
+      |  AS score
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q20_lgbm_score", q20LgbmScore _, q20Sql),
     ("q21_lgbm_class", q21LgbmClass _, q21Sql),
     ("q22_argmax_embedding", q22ArgmaxEmbedding _, q22Sql),
     ("q23_lgbm_batched", q23LgbmBatched _, q23Sql),
     ("q24_tsv_pipeline", q24TsvPipeline _, q24Sql),
-    ("q69_quality_filter", q69QualityFilter _, q69Sql))
+    ("q69_quality_filter", q69QualityFilter _, q69Sql),
+    ("q283_lgbm_linear", q283LgbmLinear _, q283Sql))
 }

@@ -962,6 +962,8 @@ object PipelineQueries {
     ("q278_skew_split_serve", q278SkewSplitServe _, q278Sql),
     ("q279_adc_serve", q279AdcServe _, q279Sql),
     ("q280_bulk_adc_walk", q280BulkAdcWalk _, q280Sql),
+    ("q281_stream_autosplit", q281StreamAutosplit _, q281Sql),
+    ("q282_drift_census", q282DriftCensus _, q282Sql),
     ("q125_outlinks", q125Outlinks _, q125Sql),
     ("q126_dup_rate", q126DupRate _, q126Sql),
     ("q129_centroid_sep", q129CentroidSep _, q129Sql),
@@ -4066,6 +4068,205 @@ object PipelineQueries {
 
   def q280Sql: String = nswAdcReplaySql(nq = 64, k = 5, nlist = 8,
     nprobe = 2, m = 6, hops = 3, beam = 8, refine = 32)
+
+  /** STREAM-CREATED SKEW, AUTO-SPLIT MID-INGEST (round 17, the
+    * round-16 verdict's lead): q274's per-batch maintenance upgraded
+    * to [[Similarity.ingestNswStackBatch]] — append, refresh touched
+    * cells, then the census-triggered skew POLICY
+    * ([[Similarity.maintainCoarseBalance]]) runs INSIDE the batch
+    * loop. The streamed rows are a drifted blob (`v·2⁻⁴ + 0.75 +
+    * (vec_id mod 4)·2⁻⁴`, all dyadic — exact in both engines) that
+    * piles whole into one coarse cell; the policy's ABSOLUTE trigger
+    * (`maxCellCap = 256`, the serve ladder's concern scaled to the
+    * fixture) detects it and splits it in place DURING ingest —
+    * detect → split → refresh with no manual step — and the serve
+    * after the drain runs at the post-split census. The blob's ids
+    * sit BELOW the bootstrap's, so the split cell's trainSample (its
+    * 64 lowest vec_ids ascending) is pure blob and the replayed
+    * mini-kmeans is deterministic in its 4 sub-modes. Oracle = q278's
+    * chain with the detect/convergence predicates at the ABSOLUTE
+    * cap: coarse training on the BOOTSTRAP slice, the eq splice
+    * carrying the drifted blob, one splitK=4 split of the argmax
+    * cell, probes over the post-split coarse table, the full bridged
+    * layered serve — a missed trigger, a second pass, or a mis-sized
+    * budget each fail the hash. */
+  def q281StreamAutosplit(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_autos_" +
+      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    val graph = s"$idx/nsw"
+    val layers = s"$idx/nsw_layers"
+    // bootstrap on the HIGH ids; the drifted blob streams in below
+    Similarity.buildTrainedIvfPqIndexAt(s,
+      emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+        .where(col("vec_id") >= 250),
+      idx, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.buildNswGraphAt(s, idx, graph, m = 6, longEdges = 2)
+    Similarity.buildNswLayersAt(s, idx, layers, m = 6, longEdges = 2)
+    val preCells = s.read.parquet(s"$idx/coarse").count()
+    def drifted(b: DataFrame): DataFrame = b
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x * lit(0.0625) + lit(0.75) +
+            (col("vec_id") % 4).cast("double") * lit(0.0625)).as("v"))
+    val stream = s.readStream.schema(emb.schema).option("basePath", dir)
+      .parquet(s"$dir/embeddings.parquet*")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          Similarity.ingestNswStackBatch(s, idx, graph, layers,
+            drifted(b.where(col("vec_id") < 250)), m = 6, longEdges = 2,
+            skewThreshold = Double.MaxValue, splitK = 4,
+            maxCellCap = 256L): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // the policy ran: at least one split happened and the census is
+    // back under the absolute cap (oracle predicates pin ONE pass)
+    require(s.read.parquet(s"$idx/coarse").count() > preCells,
+      "q281: the stream must trip the census policy at least once")
+    val post = s.read.parquet(s"$idx/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(max("n")).collect()(0).getLong(0)
+    require(post <= 256L,
+      s"q281: post-ingest census must sit under the cap: $post")
+    // serve the drifted blob's own head ids (they are the qq panel)
+    Similarity.nswServe(s, idx, graph, layers,
+      drifted(emb.where(col("vec_id") < 5))
+        .selectExpr("vec_id as q_id", "v as qv"),
+      k = 5, nprobe = 2)
+  }
+
+  def q281Sql: String = {
+    val splitK = 4
+    val base = nswLayeredReplaySql(nq = 5, k = 5, nlist = 8, nprobe = 2,
+      m = 6, hops = 3, beam = 8, hopsUp = 3, beamUp = 4,
+      longEdges = 2, layerLongEdges = 2,
+      filterSql =
+        // detect: the pre-split census must trip the ABSOLUTE cap ...
+        "\n    AND (SELECT max(cnt) FROM csz) > 256" +
+          // ... and ONE pass must land the census back under it (a
+          // needed-second-pass outcome fails the hash) — which also
+          // keeps every cell inside the base serving rung (256 < 512)
+          "\n    AND (SELECT max(cnt2) FROM (SELECT count(*) AS cnt2" +
+          " FROM cg GROUP BY cell) zc) <= 256")
+    val splitBlock =
+      s"""csz AS (SELECT cell, count(*) AS cnt FROM cells GROUP BY cell),
+         |scx AS (SELECT cell FROM csz ORDER BY cnt DESC, cell LIMIT 1),
+         |t0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS rn, q
+         |  FROM (SELECT e.vec_id, e.q FROM eq e JOIN cells cc USING (vec_id)
+         |        WHERE cc.cell = (SELECT cell FROM scx)
+         |        ORDER BY e.vec_id LIMIT 64) t),
+         |teq AS (SELECT e.vec_id, e.q FROM eq e JOIN cells cc USING (vec_id)
+         |  WHERE cc.cell = (SELECT cell FROM scx)),
+         |${pqTrainReplayCtes("h", "t0", "teq", 1, 64, splitK, 2)},
+         |coarse2 AS (
+         |  SELECT code, c FROM gc0_2 WHERE code <> (SELECT cell FROM scx)
+         |  UNION ALL
+         |  SELECT CASE WHEN code = 0 THEN (SELECT cell FROM scx)
+         |              ELSE 8 + code - 1 END AS code, c
+         |  FROM hc0_2),
+         |cells2 AS (SELECT c.vec_id,
+         |    CASE WHEN c.cell <> (SELECT cell FROM scx) THEN c.cell
+         |         WHEN h.code_0 = 0 THEN (SELECT cell FROM scx)
+         |         ELSE 8 + h.code_0 - 1 END AS cell
+         |  FROM cells c LEFT JOIN hp0 h USING (vec_id))""".stripMargin
+    val withSplit = base.replace(
+      "cg AS (SELECT c.vec_id, c.cell, e.q AS g\n" +
+        "  FROM cells c JOIN eq e USING (vec_id))",
+      "cg AS (SELECT c.vec_id, c.cell, e.q AS g\n" +
+        "  FROM cells2 c JOIN eq e USING (vec_id)),\n" + splitBlock)
+    require(withSplit != base, "q281: split splice found no cg CTE")
+    val probed = withSplit.replace("FROM qq CROSS JOIN gc0_2 pp",
+      "FROM qq CROSS JOIN coarse2 pp")
+    require(probed != withSplit, "q281: probe splice found no pd CTE")
+    // the coarse quantizer trains on the BOOTSTRAP slice's lowest 64
+    // ids (the build input is vec_id >= 250) ...
+    val s0Spliced = probed.replace(
+      "FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 64) t)",
+      "FROM (SELECT * FROM embeddings WHERE vec_id >= 250" +
+        " ORDER BY vec_id LIMIT 64) t)")
+    require(s0Spliced != probed, "q281: bootstrap splice found no s0 CTE")
+    // ... and eq carries the streamed rows' drifted blob (dyadic
+    // terms, left-to-right — bit-identical to the entry's transform)
+    val gq =
+      "list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1024 + 0.5) AS BIGINT))"
+    val gqDrift = "list_transform(embedding, x -> CAST(floor(" +
+      "(x::DOUBLE * 0.0625 + 0.75 + (vec_id % 4) * 0.0625)" +
+      " * 1024 + 0.5) AS BIGINT))"
+    val out = s0Spliced.replace(
+      s"eq AS (SELECT vec_id, $gq AS q FROM embeddings)",
+      s"eq AS (SELECT vec_id, CASE WHEN vec_id >= 250 THEN $gq" +
+        s" ELSE $gqDrift END AS q FROM embeddings)")
+    require(out != s0Spliced, "q281: drift splice found no eq CTE")
+    out
+  }
+
+  /** QUANTIZER-DRIFT CENSUS, oracled end to end (round 17, the
+    * round-16 verdict's missing signal #3 —
+    * [[Similarity.quantizationDriftCensus]]): bootstrap on the low
+    * ids, append the high ids SHIFTED by +0.25 (exact in both
+    * engines) so the stored codebooks quantize them against a stale
+    * distribution, then report per-cell `(n, resid_sum, drifted)` —
+    * the stored codes' exact integer reconstruction error, with the
+    * drift flag an integer CROSS-MULTIPLIED mean compare
+    * (`resid_sum·totN > 2·totR·n`, no float division to disagree on).
+    * The oracle replays coarse + PQ training, assignment, the
+    * append's stored-quantizer encode and the census arithmetic —
+    * the encode distance IS the reconstruction residual (codes are
+    * argmin), so `d0+..+d3` per row replays the operator exactly. */
+  def q282DriftCensus(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_drift_" +
+      s"${ProcessHandle.current().pid()}_${annStreamSeq.incrementAndGet()}"
+    Similarity.buildTrainedIvfPqIndexAt(s,
+      emb.where(col("vec_id") < 250), idx,
+      nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.appendToTrainedIvfPqIndex(s,
+      emb.where(col("vec_id") >= 250)
+        .select(col("vec_id"),
+          transform(col("v"), x => x + lit(0.25)).as("v")),
+      idx)
+    val c = Similarity.quantizationDriftCensus(s, idx)
+    val tot = c.agg(sum("n"), sum("resid_sum")).collect()(0)
+    val (totN, totR) = (tot.getLong(0), tot.getLong(1))
+    c.withColumn("drifted",
+        col("resid_sum") * lit(totN) > lit(2L) * lit(totR) * col("n"))
+      .presentSorted("cell")
+  }
+
+  def q282Sql: String = {
+    val gq =
+      "list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1024 + 0.5) AS BIGINT))"
+    val gqShift = "list_transform(embedding, x -> CAST(floor(" +
+      "(x::DOUBLE + 0.25) * 1024 + 0.5) AS BIGINT))"
+    s"""WITH s0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS rn, $gq AS q
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 64) t),
+       |eq AS (SELECT vec_id, CASE WHEN vec_id < 250 THEN $gq
+       |  ELSE $gqShift END AS q FROM embeddings),
+       |${pqTrainReplayCtes("g", "s0", "eq", 1, 64, 8, 2)},
+       |cells AS (SELECT vec_id, code_0 AS cell FROM gp0),
+       |${pqTrainReplayCtes("b", "s0", "eq", 4, 16, 8, 2)},
+       |resid AS (SELECT c.cell, b0.d0 + b1.d1 + b2.d2 + b3.d3 AS r
+       |  FROM cells c JOIN bp0 b0 USING (vec_id)
+       |  JOIN bp1 b1 USING (vec_id) JOIN bp2 b2 USING (vec_id)
+       |  JOIN bp3 b3 USING (vec_id)),
+       |census AS (SELECT CAST(cell AS INTEGER) AS cell,
+       |    count(*) AS n, CAST(sum(r) AS BIGINT) AS resid_sum
+       |  FROM resid GROUP BY cell),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+       |    CAST(sum(resid_sum) AS BIGINT) AS tr FROM census)
+       |SELECT cell, n, resid_sum,
+       |  resid_sum * tn > 2 * tr * n AS drifted
+       |FROM census CROSS JOIN tot
+       |ORDER BY cell""".stripMargin
+  }
 
   /** DELETION maintenance on the COMPOSED serving stack — q250's
     * takedown lifecycle run against the q271 deployment default:

@@ -118,22 +118,80 @@ class LgbmModelSpec extends AnyFunSuite {
       LgbmModel.parse("tree\nobjective=regression\n\nTree=0\nnum_leaves=1\nleaf_value=1\n\nend of trees\n"))
   }
 
-  test("linear trees are rejected with a clear message") {
+  test("linear trees: leaf output is leaf_const + sum(coeff*feature), " +
+    "NaN in any referenced feature falls back to leaf_value, an empty " +
+    "linear leaf is const-only") {
     val linear =
       """tree
         |num_class=1
-        |max_feature_idx=0
+        |max_feature_idx=3
         |objective=regression
+        |linear_tree=1
         |
         |Tree=0
-        |num_leaves=1
-        |leaf_value=0.75
+        |num_leaves=2
+        |split_feature=0
+        |threshold=0
+        |decision_type=2
+        |left_child=-1
+        |right_child=-2
+        |leaf_value=0.125 -0.25
         |is_linear=1
+        |leaf_const=0.25 -0.5
+        |num_features=1 2
+        |leaf_features=1 2 3
+        |leaf_coeff=0.5 0.25 -0.125
+        |
+        |Tree=1
+        |num_leaves=2
+        |split_feature=0
+        |threshold=0
+        |decision_type=2
+        |left_child=-1
+        |right_child=-2
+        |leaf_value=0.0625 -0.0625
+        |is_linear=1
+        |leaf_const=0.03125 0.0625
+        |num_features=1 0
+        |leaf_features=1
+        |leaf_coeff=0.75
         |
         |end of trees
         |""".stripMargin
-    val e = intercept[IllegalArgumentException](LgbmModel.parse(linear))
-    assert(e.getMessage.contains("is_linear"))
+    val m = LgbmModel.parse(linear)
+    // left route (f0 <= 0): t0 = 0.25 + 0.5*f1, t1 = 0.03125 + 0.75*f1
+    assert(m.predict(Array(-1.0, 0.5, 9.0, 9.0)).toSeq ==
+      Seq(0.25 + 0.5 * 0.5 + 0.03125 + 0.75 * 0.5))
+    // right route (f0 > 0): t0 = -0.5 + 0.25*f2 - 0.125*f3,
+    // t1 = const-only empty linear leaf 0.0625
+    assert(m.predict(Array(1.0, 9.0, 0.25, 0.5)).toSeq ==
+      Seq(-0.5 + 0.25 * 0.25 - 0.125 * 0.5 + 0.0625))
+    // NaN in a referenced feature: THAT leaf falls back to its stored
+    // leaf_value; the other tree's leaf still evaluates linearly.
+    // Routing on f0 <= 0 with NaN f1: decision_type=2 has missing
+    // type None, so NaN routes as 0.0 -> left on both trees; tree0's
+    // left leaf references f1=NaN -> leaf_value 0.125; tree1's left
+    // leaf also references f1 -> leaf_value 0.0625
+    assert(m.predict(Array(-1.0, Double.NaN, 1.0, 1.0)).toSeq ==
+      Seq(0.125 + 0.0625))
+    // malformed: flattened arrays must match sum(num_features)
+    val bad = linear.replace("leaf_coeff=0.5 0.25 -0.125", "leaf_coeff=0.5")
+    val e = intercept[IllegalArgumentException](LgbmModel.parse(bad))
+    assert(e.getMessage.contains("leaf_coeff"))
+  }
+
+  test("emb_linear.lgbm main-resource fixture parses and scores") {
+    val m = LgbmModel.parseResource("/models/emb_linear.lgbm")
+    assert(m.trees.length == 2 && m.trees.forall(_.isLinear))
+    assert(m.numFeatures == 64) // embedding-table arity
+    def fs(head: Double*): Array[Double] =
+      (head ++ Seq.fill(64 - head.length)(0.0)).toArray
+    // f0 <= 0, f4 <= 0.05: (0.25 + 0.5*f1) + (0.03125 + 0.75*f5)
+    assert(m.predict(fs(-0.5, 1.0, 0.0, 0.0, 0.0, 2.0)).toSeq ==
+      Seq(0.25 + 0.5 * 1.0 + 0.03125 + 0.75 * 2.0))
+    // f0 > 0, f4 > 0.05: (-0.5 + 0.25*f2 - 0.125*f3) + 0.0625
+    assert(m.predict(fs(0.5, 0.0, 2.0, 4.0, 1.0, 0.0)).toSeq ==
+      Seq(-0.5 + 0.25 * 2.0 - 0.125 * 4.0 + 0.0625))
   }
 
   test("main-resource models parse (used by SparkEntry queries)") {
