@@ -2861,7 +2861,6 @@ object Similarity {
     import s.implicits._
     val (probeRows, probeSchema) = trainedProbes(s, indexPath, q, nprobe)
     val cellIdx = probeSchema.fieldIndex("cell")
-    val qIdIdx = probeSchema.fieldIndex("q_id")
     val cellSet = probeRows.map(_.getInt(cellIdx)).distinct.sorted
     val probesDf = broadcast(s.createDataFrame(
         java.util.Arrays.asList(probeRows: _*), probeSchema)
@@ -2886,16 +2885,23 @@ object Similarity {
       }
     // seed: the caller's per-(query, cell) entries (the layered
     // descent's handoff), or the flat default — one deterministic
-    // entry node per probed cell (lowest vec_id, ≤ |cellSet| rows)
-    absorb(score(entrySeeds.getOrElse {
-      val entryOf = grid.groupBy("cell").agg(min("node").as("node"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-      probeRows.toSeq.flatMap { r =>
-        val c = r.getInt(cellIdx)
-        entryOf.get(c).map(e =>
-          (r.get(qIdIdx).asInstanceOf[Number].longValue(), c, e))
-      }
-    }))
+    // entry node per probed cell (lowest vec_id, ≤ |cellSet| rows).
+    // The default path computes the per-cell entry AND scores it in
+    // ONE plan/job (round 17: the separate entry-collect + score-
+    // collect pair was two driver round trips for one bounded result).
+    entrySeeds match {
+      case Some(seeds) => absorb(score(seeds))
+      case None =>
+        absorb(probesDf
+          .join(grid.groupBy("cell").agg(min("node").as("node")),
+            Seq("cell"))
+          .join(grid, Seq("cell", "node"))
+          .select(col("q_id"), col("cell"), col("node"),
+            gridDist(col("qg"), col("g")).as("d"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+          .toSeq)
+    }
     for (_ <- 1 to hops) {
       val frontier = visited.toSeq
         .groupBy { case ((qi, c, _), _) => (qi, c) }
@@ -2903,17 +2909,28 @@ object Similarity {
           members.sortBy { case ((_, _, n), d) => (d, n) }.take(beam)
             .map { case ((qi, c, n), _) => (qi, c, n) }
         }
-      val expanded =
-        if (frontier.isEmpty) Seq.empty[(Long, Int, Long)]
-        else frontier.toDF("q_id", "cell", "node")
+      // ONE job per hop (round 17): expand along the adjacency, drop
+      // already-visited nodes via a broadcast anti-join on the bounded
+      // visited key set, and score — fused. Replaces the expand-collect
+      // + score-collect pair (2 driver round trips/hop) and the
+      // `.distinct()` exchange (duplicate candidates score to the same
+      // deterministic d and collapse in absorb). Result-identical:
+      // same candidate set, same distances, same ties.
+      if (frontier.nonEmpty) {
+        absorb(frontier.toDF("q_id", "cell", "node")
           .join(adj, Seq("cell", "node"))
           .select(col("q_id"), col("cell"), col("nbr").as("node"))
-          .distinct()
+          .join(broadcast(visited.keysIterator.toSeq
+            .toDF("q_id", "cell", "node")),
+            Seq("q_id", "cell", "node"), "left_anti")
+          .join(probesDf, Seq("q_id", "cell"))
+          .join(grid, Seq("cell", "node"))
+          .select(col("q_id"), col("cell"), col("node"),
+            gridDist(col("qg"), col("g")).as("d"))
           .collect()
-          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
-      absorb(score(expanded.filterNot { case (qi, c, n) =>
-        visited.contains((qi, c, n))
-      }))
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+          .toSeq)
+      }
     }
     // FILTERED search (the RAG/ACL shape, q223's contract on the graph
     // path): the walk traverses ALL nodes — a filter-aware walk would
@@ -2994,7 +3011,6 @@ object Similarity {
       books.map(_.map(_.map(_.toDouble))))
     val (probeRows, probeSchema) = trainedProbes(s, indexPath, q, nprobe)
     val cellIdx = probeSchema.fieldIndex("cell")
-    val qIdIdx = probeSchema.fieldIndex("q_id")
     val cellSet = probeRows.map(_.getInt(cellIdx)).distinct.sorted
     val probesDf = broadcast(s.createDataFrame(
         java.util.Arrays.asList(probeRows: _*), probeSchema)
@@ -3033,16 +3049,20 @@ object Similarity {
       }
     // seed: the caller's per-(query, cell) entries (the layered ADC
     // descent's handoff) or the flat per-cell min-id default — the
-    // same dual-seed contract as [[nswSearchStored]]
-    absorb(score(entrySeeds.getOrElse {
-      val entryOf = grid.groupBy("cell").agg(min("node").as("node"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-      probeRows.toSeq.flatMap { r =>
-        val c = r.getInt(cellIdx)
-        entryOf.get(c).map(e =>
-          (r.get(qIdIdx).asInstanceOf[Number].longValue(), c, e))
-      }
-    }))
+    // same dual-seed contract as [[nswSearchStored]]. Default path
+    // fused to ONE job (entry agg + ADC score in one plan, round 17).
+    entrySeeds match {
+      case Some(seeds) => absorb(score(seeds))
+      case None =>
+        absorb(probesDf
+          .join(grid.groupBy("cell").agg(min("node").as("node")),
+            Seq("cell"))
+          .join(codes, Seq("cell", "node"))
+          .select(col("q_id"), col("cell"), col("node"), adcCol.as("d"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+          .toSeq)
+    }
     for (_ <- 1 to hops) {
       val frontier = visited.toSeq
         .groupBy { case ((qi, c, _), _) => (qi, c) }
@@ -3050,17 +3070,23 @@ object Similarity {
           members.sortBy { case ((_, _, n), d) => (d, n) }.take(beam)
             .map { case ((qi, c, n), _) => (qi, c, n) }
         }
-      val expanded =
-        if (frontier.isEmpty) Seq.empty[(Long, Int, Long)]
-        else frontier.toDF("q_id", "cell", "node")
+      // ONE job per hop (round 17) — expand + visited anti-join + ADC
+      // score fused, replacing the expand-collect/score-collect pair
+      // and the distinct exchange; see [[nswSearchStored]]'s hop note.
+      if (frontier.nonEmpty) {
+        absorb(frontier.toDF("q_id", "cell", "node")
           .join(adj, Seq("cell", "node"))
           .select(col("q_id"), col("cell"), col("nbr").as("node"))
-          .distinct()
+          .join(broadcast(visited.keysIterator.toSeq
+            .toDF("q_id", "cell", "node")),
+            Seq("q_id", "cell", "node"), "left_anti")
+          .join(probesDf, Seq("q_id", "cell"))
+          .join(codes, Seq("cell", "node"))
+          .select(col("q_id"), col("cell"), col("node"), adcCol.as("d"))
           .collect()
-          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
-      absorb(score(expanded.filterNot { case (qi, c, n) =>
-        visited.contains((qi, c, n))
-      }))
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+          .toSeq)
+      }
     }
     // dedupe (query, node) across probed cells (min ADC), cut to the
     // refine best per query, then ONE exact grid re-rank to k — the
@@ -3575,14 +3601,41 @@ object Similarity {
       randomInitSweeps: Int = 3,
       longEdges: Int = 0): Unit = {
     require(maxLayer >= 1, s"maxLayer must be >= 1: $maxLayer")
-    require(branch >= 2, s"branch must be >= 2: $branch")
-    for (l <- 1 to maxLayer)
+    require(branch >= 2, s"branch >= 2: $branch")
+    // layers write DISJOINT paths from the same read-only index — run
+    // them as concurrent jobs so the upper layers' (geometrically
+    // smaller) builds back-fill the scheduler instead of serializing
+    // behind layer 1 (guide §2.6; round 17)
+    inParallel((1 to maxLayer).map(l => () =>
       writeNswAdjacency(s, indexPath, s"$layersPath/layer=$l", m, None,
         exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
         memberFilter =
           Some(nswLevel(col("vec_id"), maxLayer, branch) >= l),
-        longEdges = longEdges)
+        longEdges = longEdges)))
   }
+
+  /** Run independent maintenance tasks as concurrent Spark jobs (the
+    * scheduler interleaves them; each task touches its own output
+    * path). Errors rethrow the original cause. */
+  private[graft] def inParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.lengthCompare(1) <= 0) tasks.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(tasks.size)
+      try {
+        val futs = tasks.map(t => pool.submit(
+          new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = t()
+          }))
+        futs.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
 
   /** Layer maintenance, [[refreshNswGraphCells]] per layer: rebuild
     * ONLY the named cells' partitions of each layer adjacency from the
@@ -3605,7 +3658,9 @@ object Similarity {
     if (cells.isEmpty) return
     val fs = new org.apache.hadoop.fs.Path(layersPath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    for (l <- 1 to maxLayer) {
+    // per-layer refreshes touch disjoint layer=l trees — concurrent
+    // jobs, same as [[buildNswLayersAt]] (guide §2.6; round 17)
+    inParallel((1 to maxLayer).map(l => () => {
       val p = s"$layersPath/layer=$l"
       val f = nswLevel(col("vec_id"), maxLayer, branch) >= l
       writeNswAdjacency(s, indexPath, p, m, Some(cells),
@@ -3622,7 +3677,7 @@ object Similarity {
       cells.filterNot(live.contains).foreach { c =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$p/cell=$c"), true)
       }
-    }
+    }))
   }
 
   /** SKEW-AWARE COARSE MAINTENANCE — the quantizer-side answer to the
@@ -3800,16 +3855,15 @@ object Similarity {
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$indexPath/vectors/cell=$c"), true)
     }
-    graphPath.foreach { g =>
-      refreshNswGraphCells(s, indexPath, g, touched, m,
-        exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
-        longEdges = longEdges)
-    }
-    layersPath.foreach { lp =>
-      refreshNswLayersCells(s, indexPath, lp, touched, m, maxLayer,
-        branch, exactCellCeiling, randomInitCellCeiling,
-        randomInitSweeps, longEdges = longEdges)
-    }
+    inParallel(
+      graphPath.toSeq.map(g => () =>
+        refreshNswGraphCells(s, indexPath, g, touched, m,
+          exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
+          longEdges = longEdges)) ++
+      layersPath.toSeq.map(lp => () =>
+        refreshNswLayersCells(s, indexPath, lp, touched, m, maxLayer,
+          branch, exactCellCeiling, randomInitCellCeiling,
+          randomInitSweeps, longEdges = longEdges)))
     // the split is fully applied: clear the staging area
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$indexPath/$SplitVecsDoneMarker"), false)
@@ -3939,7 +3993,23 @@ object Similarity {
     * splitK−1, which SHRINKS the balanced share, so convergence under
     * the relative trigger is not guaranteed a priori — `maxPasses`
     * bounds a pathological cascade and the cap hit is logged, never
-    * silent. Returns all touched cell ids across passes. */
+    * silent. Returns all touched cell ids across passes.
+    *
+    * REFRESH DEFERRAL (round 17): the per-split graph/layer refresh is
+    * a pure function of each cell's FINAL membership, so the loop runs
+    * its splits index-only and refreshes the touched-cell UNION once
+    * after convergence — result-identical (refresh ≡ rebuild holds on
+    * the final index either way, SkewPolicySpec pins it) and ~passes×
+    * cheaper: the round-17 q281 profile measured 5 sequential splits
+    * paying 5 full graph+2-layer refreshes (~25 s of the entry's 63 s)
+    * where one union refresh does. Crash discipline: the accumulated
+    * touched set persists in a `_BALANCE_PENDING` marker before every
+    * split, and a crashed loop's cells (plus any `_SPLIT_PENDING`
+    * marker from a crashed direct reconcile) fold into the NEXT call's
+    * refresh — same "the next maintenance call completes" posture the
+    * split markers already have. `refreshAlso` lets an ingest surface
+    * merge its own append-touched cells into the same single refresh
+    * ([[ingestNswStackBatch]]). */
   def maintainCoarseBalance(
       s: SparkSession,
       indexPath: String,
@@ -3957,27 +4027,78 @@ object Similarity {
       randomInitSweeps: Int = 3,
       maxLayer: Int = NswMaxLayer,
       branch: Int = NswLayerBranch,
-      maxCellCap: Long = Long.MaxValue): Seq[Int] = {
+      maxCellCap: Long = Long.MaxValue,
+      refreshAlso: Seq[Int] = Nil): Seq[Int] = {
     require(maxPasses >= 1, s"maxPasses must be >= 1: $maxPasses")
-    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val log = org.slf4j.LoggerFactory.getLogger("graft.Similarity")
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val balPath = new org.apache.hadoop.fs.Path(
+      s"$indexPath/$BalancePendingMarker")
+    val out = scala.collection.mutable.LinkedHashSet.empty[Int]
+    // a crashed PREVIOUS loop deferred its refresh: fold its touched
+    // set (and a crashed direct reconcile's sc+new ids) into this one
+    if (fs.exists(balPath)) {
+      val in = fs.open(balPath)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val cells = txt.trim.split(',').filter(_.nonEmpty).map(_.toInt)
+      log.warn(s"$indexPath: completing a crashed balance loop's " +
+        s"deferred refresh for cells ${cells.mkString(",")}")
+      out ++= cells
+    }
+    val splitPending = new org.apache.hadoop.fs.Path(
+      s"$indexPath/$SplitPendingMarker")
+    if (fs.exists(splitPending)) {
+      val in = fs.open(splitPending)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val parts = txt.trim.split(';')
+      out += parts(0).stripPrefix("sc=").toInt
+      out ++= parts(1).stripPrefix("new=").split(',')
+        .filter(_.nonEmpty).map(_.toInt)
+    }
     var pass = 0
     var more = true
     while (more && pass < maxPasses) {
-      val t = reconcileCoarseSkew(s, indexPath, graphPath, layersPath,
+      val t = reconcileCoarseSkew(s, indexPath, None, None,
         threshold, splitK, trainSample, iters, m, longEdges,
         exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
         maxLayer, branch, maxCellCap)
       out ++= t
       more = t.nonEmpty
+      if (more) writeMarker(fs, s"$indexPath/$BalancePendingMarker",
+        out.mkString(","))
       pass += 1
     }
     if (more)
-      org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
+      log.warn(
         s"$indexPath: maintainCoarseBalance hit its $maxPasses-pass " +
           "cap with the census still tripped - re-run, or re-train " +
           "with a larger nlist (rebuildTrainedIvfPqIndexTo)")
-    out.toSeq.distinct.sorted
+    val touched = out.toSeq.sorted
+    val refreshSet = (touched ++ refreshAlso).distinct.sorted
+    if (refreshSet.nonEmpty) {
+      // base graph and layers write disjoint trees off the same final
+      // index — concurrent jobs (guide §2.6)
+      inParallel(
+        graphPath.toSeq.map(g => () =>
+          refreshNswGraphCells(s, indexPath, g, refreshSet, m,
+            exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
+            longEdges = longEdges)) ++
+        layersPath.toSeq.map(lp => () =>
+          refreshNswLayersCells(s, indexPath, lp, refreshSet, m, maxLayer,
+            branch, exactCellCeiling, randomInitCellCeiling,
+            randomInitSweeps, longEdges = longEdges)))
+    }
+    // only a call that could refresh may clear the deferral marker —
+    // a graph-less (index-only) caller leaves it for a later one
+    if ((graphPath.nonEmpty || layersPath.nonEmpty) && fs.exists(balPath))
+      fs.delete(balPath, false)
+    touched
   }
+
+  private[graft] val BalancePendingMarker = "_BALANCE_PENDING"
 
   /** PER-BATCH INGEST of the composed serving stack with the skew
     * policy WIRED IN — the deployment shape the q274-style maintenance
@@ -4009,14 +4130,15 @@ object Similarity {
       .join(rows.select("vec_id"), Seq("vec_id"), "left_semi")
       .select(col("cell").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    refreshNswGraphCells(s, indexPath, graphPath, touched, m,
-      longEdges = longEdges)
-    refreshNswLayersCells(s, indexPath, layersPath, touched, m,
-      longEdges = longEdges)
+    // ONE refresh for append-touched ∪ split cells, after the policy
+    // converges (round 17): the graphs reflect final membership either
+    // way, and the batch no longer pays a refresh that the very next
+    // split rewrites — see [[maintainCoarseBalance]]'s deferral note.
     val split = maintainCoarseBalance(s, indexPath, Some(graphPath),
       Some(layersPath), threshold = skewThreshold, maxPasses = maxPasses,
       splitK = splitK, trainSample = trainSample, iters = iters, m = m,
-      longEdges = longEdges, maxCellCap = maxCellCap)
+      longEdges = longEdges, maxCellCap = maxCellCap,
+      refreshAlso = touched)
     (touched ++ split).distinct.sorted
   }
 
@@ -4107,13 +4229,19 @@ object Similarity {
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
         .toSeq
     // top entry per cell: lowest id of the highest layer that has any
-    // member there, falling through layer by layer to the flat min
+    // member there, falling through layer by layer to the flat min.
+    // The FLAT min-id entry (the dual seed's second half, used after
+    // the descent) rides the SAME aggregate — one job for both entry
+    // tables instead of two (round 17).
     val lvl = nswLevel(col("node"), maxLayer, branch)
-    val entryOf = grid.groupBy("cell").agg(
+    val entryRows = grid.groupBy("cell").agg(
         coalesce((maxLayer to 1 by -1).map(l =>
           min(when(lvl >= l, col("node")))) :+ min(col("node")): _*)
-          .as("node"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+          .as("node"),
+        min("node").as("flat"))
+      .collect()
+    val entryOf = entryRows.map(r => (r.getInt(0), r.getLong(1))).toMap
+    val flatEntryOf = entryRows.map(r => (r.getInt(0), r.getLong(2))).toMap
     var entries: Seq[(Long, Int, Long, Long)] =
       score(probeRows.toSeq.flatMap { r =>
         val c = r.getInt(cellIdx)
@@ -4135,18 +4263,22 @@ object Similarity {
             members.sortBy { case ((_, _, n), d) => (d, n) }.take(beamUp)
               .map { case ((qi, c, n), _) => (qi, c, n) }
           }
-        val expanded =
-          if (frontier.isEmpty) Seq.empty[(Long, Int, Long)]
-          else frontier.toDF("q_id", "cell", "node")
+        // ONE job per descent hop (round 17): expand + visited
+        // anti-join + score fused — see [[nswSearchStored]]'s hop note.
+        if (frontier.nonEmpty) {
+          frontier.toDF("q_id", "cell", "node")
             .join(ladj, Seq("cell", "node"))
             .select(col("q_id"), col("cell"), col("nbr").as("node"))
-            .distinct()
+            .join(broadcast(visited.keysIterator.toSeq
+              .toDF("q_id", "cell", "node")),
+              Seq("q_id", "cell", "node"), "left_anti")
+            .join(probesDf, Seq("q_id", "cell"))
+            .join(grid, Seq("cell", "node"))
+            .select(col("q_id"), col("cell"), col("node"),
+              gridDist(col("qg"), col("g")).as("d"))
             .collect()
-            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
-        score(expanded.filterNot { case (qi, c, n) =>
-          visited.contains((qi, c, n))
-        }).foreach { case (qi, c, n, d) =>
-          visited.getOrElseUpdate((qi, c, n), d)
+            .foreach(r => visited.getOrElseUpdate(
+              (r.getLong(0), r.getInt(1), r.getLong(2)), r.getLong(3)))
         }
       }
       // handoff: the best `beamUp` visited nodes per (query, cell) —
@@ -4168,8 +4300,6 @@ object Similarity {
     // can do WORSE than the flat walk at the same budget (the scratch
     // profile measured exactly that). Duplicate (q, cell, node) seeds
     // collapse in the visited map.
-    val flatEntryOf = grid.groupBy("cell").agg(min("node").as("node"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     val flatSeeds = probeRows.toSeq.flatMap { r =>
       val c = r.getInt(cellIdx)
       flatEntryOf.get(c).map(e =>
@@ -4443,11 +4573,16 @@ object Similarity {
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
         .toSeq
     val lvl = nswLevel(col("node"), maxLayer, branch)
-    val entryOf = grid.groupBy("cell").agg(
+    // top entry AND flat min-id entry per cell in ONE aggregate/job
+    // (round 17) — the flat entry feeds the dual seed below.
+    val entryRows = grid.groupBy("cell").agg(
         coalesce((maxLayer to 1 by -1).map(l =>
           min(when(lvl >= l, col("node")))) :+ min(col("node")): _*)
-          .as("node"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+          .as("node"),
+        min("node").as("flat"))
+      .collect()
+    val entryOf = entryRows.map(r => (r.getInt(0), r.getLong(1))).toMap
+    val flatEntryOf = entryRows.map(r => (r.getInt(0), r.getLong(2))).toMap
     var entries: Seq[(Long, Int, Long, Long)] =
       score(probeRows.toSeq.flatMap { r =>
         val c = r.getInt(cellIdx)
@@ -4469,18 +4604,21 @@ object Similarity {
             members.sortBy { case ((_, _, n), d) => (d, n) }.take(beamUp)
               .map { case ((qi, c, n), _) => (qi, c, n) }
           }
-        val expanded =
-          if (frontier.isEmpty) Seq.empty[(Long, Int, Long)]
-          else frontier.toDF("q_id", "cell", "node")
+        // ONE job per descent hop (round 17): expand + visited
+        // anti-join + ADC score fused — see [[nswSearchStored]].
+        if (frontier.nonEmpty) {
+          frontier.toDF("q_id", "cell", "node")
             .join(ladj, Seq("cell", "node"))
             .select(col("q_id"), col("cell"), col("nbr").as("node"))
-            .distinct()
+            .join(broadcast(visited.keysIterator.toSeq
+              .toDF("q_id", "cell", "node")),
+              Seq("q_id", "cell", "node"), "left_anti")
+            .join(probesDf, Seq("q_id", "cell"))
+            .join(codes, Seq("cell", "node"))
+            .select(col("q_id"), col("cell"), col("node"), adcCol.as("d"))
             .collect()
-            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
-        score(expanded.filterNot { case (qi, c, n) =>
-          visited.contains((qi, c, n))
-        }).foreach { case (qi, c, n, d) =>
-          visited.getOrElseUpdate((qi, c, n), d)
+            .foreach(r => visited.getOrElseUpdate(
+              (r.getLong(0), r.getInt(1), r.getLong(2)), r.getLong(3)))
         }
       }
       entries = visited.toSeq
@@ -4491,8 +4629,6 @@ object Similarity {
             .map { case ((_, _, n), d) => (qi, c, n, d) }
         }
     }
-    val flatEntryOf = grid.groupBy("cell").agg(min("node").as("node"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     val flatSeeds = probeRows.toSeq.flatMap { r =>
       val c = r.getInt(cellIdx)
       flatEntryOf.get(c).map(e =>

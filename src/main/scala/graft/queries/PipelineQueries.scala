@@ -2888,10 +2888,13 @@ object PipelineQueries {
         .selectExpr("vec_id", "cast(embedding as array<double>) as v")
       Similarity.buildTrainedIvfPqIndexAt(s, emb.where(col("vec_id") < 250),
         base, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
-      Similarity.buildNswGraphAt(s, base, s"$base/nsw", m = 6,
-        longEdges = 2)
-      Similarity.buildNswLayersAt(s, base, s"$base/nsw_layers", m = 6,
-        longEdges = 2)
+      // graph and layers read only the (now immutable) index and write
+      // disjoint trees — concurrent jobs (guide §2.6; round 17)
+      Similarity.inParallel(Seq(
+        () => Similarity.buildNswGraphAt(s, base, s"$base/nsw", m = 6,
+          longEdges = 2),
+        () => Similarity.buildNswLayersAt(s, base, s"$base/nsw_layers",
+          m = 6, longEdges = 2)))
       base
     })
 
@@ -3808,8 +3811,11 @@ object PipelineQueries {
     val layers = s"$idx/nsw_layers"
     Similarity.buildTrainedIvfPqIndexAt(s, emb, idx,
       nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
-    Similarity.buildNswGraphAt(s, idx, graph, m = 6, longEdges = 2)
-    Similarity.buildNswLayersAt(s, idx, layers, m = 6, longEdges = 2)
+    Similarity.inParallel(Seq(
+      () => Similarity.buildNswGraphAt(s, idx, graph, m = 6,
+        longEdges = 2),
+      () => Similarity.buildNswLayersAt(s, idx, layers, m = 6,
+        longEdges = 2)))
     val touched = Similarity.reconcileCoarseSkew(s, idx,
       graphPath = Some(graph), layersPath = Some(layers),
       threshold = 1.5, splitK = 4, trainSample = 64, iters = 2,
@@ -4101,8 +4107,11 @@ object PipelineQueries {
       emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
         .where(col("vec_id") >= 250),
       idx, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
-    Similarity.buildNswGraphAt(s, idx, graph, m = 6, longEdges = 2)
-    Similarity.buildNswLayersAt(s, idx, layers, m = 6, longEdges = 2)
+    Similarity.inParallel(Seq(
+      () => Similarity.buildNswGraphAt(s, idx, graph, m = 6,
+        longEdges = 2),
+      () => Similarity.buildNswLayersAt(s, idx, layers, m = 6,
+        longEdges = 2)))
     val preCells = s.read.parquet(s"$idx/coarse").count()
     def drifted(b: DataFrame): DataFrame = b
       .select(col("vec_id"),
@@ -4395,8 +4404,9 @@ object PipelineQueries {
       emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
         .where(col("vec_id") < 250),
       idx, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
-    Similarity.buildNswGraphAt(s, idx, graph, m = 6)
-    Similarity.buildNswLayersAt(s, idx, layers, m = 6)
+    Similarity.inParallel(Seq(
+      () => Similarity.buildNswGraphAt(s, idx, graph, m = 6),
+      () => Similarity.buildNswLayersAt(s, idx, layers, m = 6)))
     val stream = s.readStream.schema(emb.schema).option("basePath", dir)
       .parquet(s"$dir/embeddings.parquet*")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -4584,10 +4594,14 @@ object PipelineQueries {
       nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
     Similarity.buildNswGraphAt(s, idx, graph, m = 6)
     Similarity.appendToTrainedIvfPqIndex(s, emb.where(!boot), idx)
-    Similarity.insertIntoNswGraph(s, idx, graph,
-      emb.where(!boot).select("vec_id"), m = 6)
     val rebuilt = s"$idx/nsw_rebuild"
-    Similarity.buildNswGraphAt(s, idx, rebuilt, m = 6)
+    // the walk-insert mutates `graph`; the fresh rebuild reads only the
+    // (post-append, now immutable) index and writes `rebuilt` — two
+    // independent jobs, overlapped (guide §2.6; round 17)
+    Similarity.inParallel(Seq(
+      () => Similarity.insertIntoNswGraph(s, idx, graph,
+        emb.where(!boot).select("vec_id"), m = 6),
+      () => Similarity.buildNswGraphAt(s, idx, rebuilt, m = 6)))
     val q = emb.where(col("vec_id") < 5)
       .selectExpr("vec_id as q_id", "v as qv")
     val brute = Similarity.bruteForceTopK(s, dir, numQueries = 5, k = 5)
@@ -4597,8 +4611,14 @@ object PipelineQueries {
           nprobe = 2, hops = 3, beam = 8)
           .select(col("q_id").as("bq"), col("n_id").as("bn")),
         Seq("bq", "bn"), "left_semi").count()
-    val insHits = hitsOf(graph)
-    val rebHits = hitsOf(rebuilt)
+    // both gate searches read immutable graphs — concurrent (the
+    // concurrent-serve determinism spec pins walk thread safety)
+    val hits = new Array[Long](2)
+    Similarity.inParallel(Seq(
+      () => hits(0) = hitsOf(graph),
+      () => hits(1) = hitsOf(rebuilt)))
+    val insHits = hits(0)
+    val rebHits = hits(1)
     // tightened 0.2 → 0.1 in round 15: the per-edge-class prune keeps
     // bridges and the targeted post-merge sweep links same-batch
     // vectors, so the inserted graph tracks the rebuild more closely

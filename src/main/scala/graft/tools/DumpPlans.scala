@@ -1,0 +1,41 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.{LightFusion, SparkEntry}
+
+/** Plan evidence dumper for the optimization rounds:
+  * `runMain graft.tools.DumpPlans <sfDir> <outDir> <suffix> <names...>`
+  * writes `<outDir>/<name>_<suffix>.txt` with the returned DataFrame's
+  * `explain("formatted")` output for each named query (prefix match).
+  * Driver-collected serving entries return a LocalTableScan — their
+  * real work is the interior per-hop jobs — so the dump is the final
+  * plan plus a header noting the query; interior-job evidence lives in
+  * the Profile* tools and OPTIMIZATION notes. */
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val suffix = args(2)
+    val wanted = args.drop(3)
+    val spark = LightFusion.session(
+      "local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "8") + "]")
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted.isEmpty || wanted.exists(n.startsWith) }
+    qs.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"),
+          s"== $name ($sfDir) ==\n$plan")
+        System.err.println(s"[plans] $name ok")
+      } catch { case e: Throwable =>
+        System.err.println(s"[plans] $name failed: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

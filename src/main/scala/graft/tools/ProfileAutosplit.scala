@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Phase timing for the q281 shape (round 17): the baseline bench put
+  * q281_stream_autosplit at 62.9 s — 13% of the whole suite — and this
+  * breaks that into build / ingest / policy / serve phases so the
+  * optimization targets the measured phase, not a guess.
+  *
+  * `runMain graft.tools.ProfileAutosplit [sfDir]` (default sf0.1).
+  */
+object ProfileAutosplit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.LightFusion.session(
+      "local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[autosplit] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      r
+    }
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_profas_" +
+      s"${ProcessHandle.current().pid()}"
+    val graph = s"$idx/nsw"
+    val layers = s"$idx/nsw_layers"
+    t("build index") {
+      Similarity.buildTrainedIvfPqIndexAt(spark,
+        emb.selectExpr("vec_id", "cast(embedding as array<double>) as v")
+          .where(col("vec_id") >= 250),
+        idx, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    }
+    t("build graph") {
+      Similarity.buildNswGraphAt(spark, idx, graph, m = 6, longEdges = 2)
+    }
+    t("build layers") {
+      Similarity.buildNswLayersAt(spark, idx, layers, m = 6, longEdges = 2)
+    }
+    def drifted(b: org.apache.spark.sql.DataFrame) = b
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x * lit(0.0625) + lit(0.75) +
+            (col("vec_id") % 4).cast("double") * lit(0.0625)).as("v"))
+    val batch = drifted(emb.where(col("vec_id") < 250))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    t("ingest+policy (one batch)") {
+      Similarity.ingestNswStackBatch(spark, idx, graph, layers, batch,
+        m = 6, longEdges = 2, skewThreshold = Double.MaxValue,
+        splitK = 4, maxCellCap = 256L)
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+    t("post census checks") {
+      spark.read.parquet(s"$idx/coarse").count()
+      spark.read.parquet(s"$idx/vectors")
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(max("n")).collect()(0).getLong(0)
+    }
+    t("serve") {
+      Similarity.nswServe(spark, idx, graph, layers,
+        drifted(emb.where(col("vec_id") < 5))
+          .selectExpr("vec_id as q_id", "v as qv"),
+        k = 5, nprobe = 2).queryExecution.toRdd.count()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Phase timing for the trained-index + NSW graph + layers BUILDS —
+  * the fixed cost every lifecycle entry pays (round 17: the q281
+  * profile put the three builds at ~19 s of the entry's 63 s, and ~15
+  * entries × 3 bench reps re-pay them). Phases mirror
+  * [[Similarity.buildTrainedIvfPqIndexAt]] / `buildNswGraphAt` /
+  * `buildNswLayersAt` on the q281 bootstrap slice.
+  *
+  * `runMain graft.tools.ProfileBuild [sfDir]`
+  */
+object ProfileBuild {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.LightFusion.session(
+      "local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(e.jobId, System.nanoTime())
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = starts.remove(e.jobId)
+          if (t0 != 0L) {
+            jobs.incrementAndGet()
+            jobNanos.addAndGet(System.nanoTime() - t0)
+          }
+        }
+      })
+    def t[A](label: String)(f: => A): A = {
+      jobs.set(0); jobNanos.set(0L)
+      val t0 = System.nanoTime()
+      val r = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events are async; give the bus a beat
+      Thread.sleep(200)
+      println(f"[build] $label%-28s $wall%7.2fs  jobs=${jobs.get()}%3d " +
+        f"jobTime=${jobNanos.get() / 1e9}%6.2fs")
+      r
+    }
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .where(col("vec_id") >= 250)
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_profbld_" +
+      s"${ProcessHandle.current().pid()}"
+    // warm the scan so phase 1 isn't billed footer reads
+    emb.count()
+    for (round <- 1 to 2) {
+      println(s"[build] -- round $round --")
+      t("index: full build") {
+        Similarity.buildTrainedIvfPqIndexAt(spark, emb, s"$idx/r$round",
+          nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+      }
+      t("graph: full build") {
+        Similarity.buildNswGraphAt(spark, s"$idx/r$round",
+          s"$idx/r$round/nsw", m = 6, longEdges = 2)
+      }
+      t("layers: full build") {
+        Similarity.buildNswLayersAt(spark, s"$idx/r$round",
+          s"$idx/r$round/nsw_layers", m = 6, longEdges = 2)
+      }
+    }
+    spark.stop()
+  }
+}
