@@ -755,17 +755,25 @@ object Similarity {
     val books = pqTrainInt(pqSample, m, ks, iters)
     // quantizers FIRST (the writeIvfIndexAt rule): append's contract is
     // "assign+encode with the stored tables", so they must be durable
-    // before any vector partition exists
-    coarse.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
-    books.zipWithIndex.toSeq.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
-    }.toDF("subspace", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
-    Seq(residual).toDF("residual")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    encodeWithStoredTrained(s, e, path)
+    // before any vector partition exists. The three quantizer tables
+    // are independent writes to disjoint paths — concurrent jobs
+    // (guide §2.6; round 17) — and the barrier before the vectors
+    // write (inParallel joins all three) preserves the rule.
+    inParallel(Seq(
+      () => coarse.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse"),
+      () => books.zipWithIndex.toSeq.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) }
+      }.toDF("subspace", "code", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/pq_codebooks"),
+      () => Seq(residual).toDF("residual")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")))
+    // the encoder gets the just-trained tables in memory: the stored
+    // copies are durable (above) and bit-identical by construction
+    encodeWithStoredTrained(s, e, path,
+      preloaded = Some((coarse, books, residual)))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
   }
 
@@ -1033,12 +1041,19 @@ object Similarity {
     * the grid-quantized vector (grid longs held exactly in doubles, so
     * the kernel's double argmin IS the integer argmin). */
   private def encodeWithStoredTrained(
-      s: SparkSession, e: DataFrame, path: String): DataFrame = {
-    val coarseL = s.read.parquet(s"$path/coarse").orderBy("cell").collect()
-      .map(_.getSeq[Long](1).toArray)
+      s: SparkSession, e: DataFrame, path: String,
+      preloaded: Option[(Array[Array[Long]], Array[Array[Array[Long]]],
+        Boolean)] = None): DataFrame = {
+    // the build just trained these tables and holds them in memory —
+    // `preloaded` skips three bounded driver re-reads (round 17);
+    // append/probe callers still read the STORED tables (the contract)
+    val (coarseL, books, residual) = preloaded.getOrElse {
+      (s.read.parquet(s"$path/coarse").orderBy("cell").collect()
+        .map(_.getSeq[Long](1).toArray),
+        readStoredBooks(s, path),
+        readIndexResidual(s, path))
+    }
     val coarse = coarseL.map(_.map(_.toDouble))
-    val books = readStoredBooks(s, path)
-    val residual = readIndexResidual(s, path)
     val m = books.length
     val sub = books(0)(0).length
     val cellKernel = new graft.functions.CentroidKernel(coarse)
@@ -2605,23 +2620,35 @@ object Similarity {
     if (randomCells.nonEmpty)
       adjacency = adjacency.unionByName(
         randomInitAdjacency(s, indexPath, randomCells, m, memberFilter))
-    adjacency
-      .withColumn("is_long", lit(false))
-      .repartition(col("cell"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode",
-        if (onlyCells.isDefined) "dynamic" else "static")
-      .partitionBy("cell").parquet(graphPath)
-    // NN-descent closes the random init's recall gap; sweeps touch
-    // ONLY the mega-cells' partitions (on exact/candidate cells a
-    // sweep is wasted work, and on exact cells a provable no-op)
-    if (randomCells.nonEmpty && randomSweeps > 0)
-      refineNswGraphAt(s, indexPath, graphPath, m, iters = randomSweeps,
-        onlyCells = Some(randomCells.keys.toSeq.sorted))
-    // long edges go on LAST: the refine sweeps above cut to the m
-    // grid-nearest and would strip them (they are far by construction)
-    if (longEdges > 0)
-      addLongEdges(s, grid, graphPath, longEdges, onlyCells, m)
+    val flagged = adjacency.withColumn("is_long", lit(false))
+    if (randomCells.isEmpty && longEdges > 0) {
+      // no sweep will touch the fresh adjacency, so the bridge pass can
+      // run against the IN-MEMORY edge set and every cell partition
+      // writes ONCE (round 17) — the former shape wrote the base
+      // adjacency, read it back (plus a legacy-flag aggregate), and
+      // rewrote the same partitions with the bridges unioned in.
+      // Read-back ≡ in-memory here: the classed read of a just-written
+      // uniform-flag graph returns exactly the written rows.
+      addLongEdges(s, grid, graphPath, longEdges, onlyCells, m,
+        baseCutOpt = Some(flagged))
+    } else {
+      flagged
+        .repartition(col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode",
+          if (onlyCells.isDefined) "dynamic" else "static")
+        .partitionBy("cell").parquet(graphPath)
+      // NN-descent closes the random init's recall gap; sweeps touch
+      // ONLY the mega-cells' partitions (on exact/candidate cells a
+      // sweep is wasted work, and on exact cells a provable no-op)
+      if (randomCells.nonEmpty && randomSweeps > 0)
+        refineNswGraphAt(s, indexPath, graphPath, m, iters = randomSweeps,
+          onlyCells = Some(randomCells.keys.toSeq.sorted))
+      // long edges go on LAST: the refine sweeps above cut to the m
+      // grid-nearest and would strip them (they are far by construction)
+      if (longEdges > 0)
+        addLongEdges(s, grid, graphPath, longEdges, onlyCells, m)
+    }
   }
 
   /** Lehmer multipliers for the long-edge rounds (MINSTD and its two
@@ -2660,7 +2687,8 @@ object Similarity {
       graphPath: String,
       longEdges: Int,
       onlyCells: Option[Seq[Int]],
-      m: Int): Unit = {
+      m: Int,
+      baseCutOpt: Option[DataFrame] = None): Unit = {
     import s.implicits._
     require(longEdges <= NswLongEdgeMuls.size,
       s"longEdges must be <= ${NswLongEdgeMuls.size}: $longEdges")
@@ -2690,8 +2718,11 @@ object Similarity {
         Seq("vec_id", "r"), "__s", "nbr", 1)
       .select("cell", "vec_id", "nbr", "d")
       .withColumn("is_long", lit(true))
-    val baseCut = readNswAdjacencyClassed(s, graphPath, m,
-      cells = onlyCells)
+    // fresh-build path: the caller passes the just-computed edge set
+    // (one write instead of write + read-back + rewrite, round 17);
+    // standalone calls still read the stored graph back
+    val baseCut = baseCutOpt.getOrElse(
+      readNswAdjacencyClassed(s, graphPath, m, cells = onlyCells))
     // a long edge landing on an existing base neighbor dedups away and
     // the pair stays BASE-classed (min over booleans: false wins) — the
     // persisted flag records the class the build semantics chose, so

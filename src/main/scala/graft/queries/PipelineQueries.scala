@@ -4308,14 +4308,18 @@ object PipelineQueries {
       .collect().map(_.getInt(0)).toSeq.sorted
     Similarity.compactTrainedIvfPqIndexAt(s, idx,
       deletedIds = Some(emb.where(retired).select("vec_id")))
-    Similarity.refreshNswGraphCells(s, idx, graph, touched, m = 6,
-      longEdges = 2)
-    Similarity.refreshNswLayersCells(s, idx, layers, touched, m = 6,
-      longEdges = 2)
+    // disjoint output trees off the same compacted index — concurrent
+    // jobs (guide §2.6; round 17)
+    Similarity.inParallel(Seq(
+      () => Similarity.refreshNswGraphCells(s, idx, graph, touched,
+        m = 6, longEdges = 2),
+      () => Similarity.refreshNswLayersCells(s, idx, layers, touched,
+        m = 6, longEdges = 2)))
     val delIds = emb.where(retired).select(col("vec_id").as("del_id"))
     val levels = graph +: (1 to Similarity.NswMaxLayer)
       .map(l => s"$layers/layer=$l")
-    levels.foreach { p =>
+    // the per-level stale audits are independent reads — concurrent
+    Similarity.inParallel(levels.map(p => () => {
       val g = Similarity.readNswAdjacency(s, p)
       val stale =
         g.join(delIds, col("vec_id") === col("del_id"), "left_semi")
@@ -4323,7 +4327,7 @@ object PipelineQueries {
         g.join(delIds, col("nbr") === col("del_id"), "left_semi").count()
       require(stale == 0L,
         s"q273: $p kept $stale adjacency rows referencing retired ids")
-    }
+    }))
     Similarity.nswServe(s, idx, graph, layers,
       emb.where(col("vec_id") < 5)
         .selectExpr("vec_id as q_id", "v as qv"),
@@ -4369,10 +4373,13 @@ object PipelineQueries {
             .join(rows.select("vec_id"), Seq("vec_id"), "left_semi")
             .select(col("cell").cast("int")).distinct()
             .collect().map(_.getInt(0)).toSeq.sorted
-          Similarity.refreshNswGraphCells(s, idx, graph, touched, m = 6,
-            longEdges = 2)
-          Similarity.refreshNswLayersCells(s, idx, layers, touched,
-            m = 6, longEdges = 2)
+          // disjoint output trees off the same post-append index —
+          // concurrent jobs (guide §2.6; round 17)
+          Similarity.inParallel(Seq(
+            () => Similarity.refreshNswGraphCells(s, idx, graph, touched,
+              m = 6, longEdges = 2),
+            () => Similarity.refreshNswLayersCells(s, idx, layers,
+              touched, m = 6, longEdges = 2)))
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -4422,8 +4429,13 @@ object PipelineQueries {
             .join(rows.select("vec_id"), Seq("vec_id"), "left_semi")
             .select(col("cell").cast("int")).distinct()
             .collect().map(_.getInt(0)).toSeq.sorted
-          Similarity.refreshNswGraphCells(s, idx, graph, touched, m = 6)
-          Similarity.refreshNswLayersCells(s, idx, layers, touched, m = 6)
+          // disjoint output trees off the same post-append index —
+          // concurrent jobs (guide §2.6; round 17)
+          Similarity.inParallel(Seq(
+            () => Similarity.refreshNswGraphCells(s, idx, graph, touched,
+              m = 6),
+            () => Similarity.refreshNswLayersCells(s, idx, layers,
+              touched, m = 6)))
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
