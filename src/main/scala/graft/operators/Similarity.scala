@@ -792,6 +792,26 @@ object Similarity {
     encodeWithStoredTrained(s, emb.select(col("vec_id"), col("v")), path)
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
 
+  /** [[appendToTrainedIvfPqIndex]] + the batch's touched-cell set. The
+    * maintenance loops need "which cells did this batch land in" to
+    * scope their graph refreshes; they used to recompute it by reading
+    * the WHOLE vectors tree back and semi-joining the batch ids — a
+    * corpus-sized scan per micro-batch at deployment scale. The append
+    * already assigns every batch row its cell, so the touched set is a
+    * batch-sized aggregate of the same deterministic encode plan
+    * (stored-quantizer argmin — replaying it on the batch returns
+    * exactly the cells the write landed in), never a read of the index
+    * (guide §1.2: don't recompute on the big side what the small side
+    * already knows; round 17). */
+  def appendToTrainedIvfPqIndexTouched(
+      s: SparkSession, emb: DataFrame, path: String): Seq[Int] = {
+    val e = emb.select(col("vec_id"), col("v"))
+    appendToTrainedIvfPqIndex(s, e, path)
+    encodeWithStoredTrained(s, e, path)
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+  }
+
   /** Index maintenance, the CHEAP half: compact the vector partitions
     * in place. Every [[appendToTrainedIvfPqIndex]] batch adds up to
     * nlist small files, so a streaming-maintained index (q222's shape)
@@ -4156,11 +4176,9 @@ object Similarity {
       iters: Int = 2,
       maxPasses: Int = 8,
       maxCellCap: Long = Long.MaxValue): Seq[Int] = {
-    appendToTrainedIvfPqIndex(s, rows, indexPath)
-    val touched = s.read.parquet(s"$indexPath/vectors")
-      .join(rows.select("vec_id"), Seq("vec_id"), "left_semi")
-      .select(col("cell").cast("int")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+    // touched cells from the batch's own encode plan, not a full read
+    // of the vectors tree (round 17 — see appendToTrainedIvfPqIndexTouched)
+    val touched = appendToTrainedIvfPqIndexTouched(s, rows, indexPath)
     // ONE refresh for append-touched ∪ split cells, after the policy
     // converges (round 17): the graphs reflect final membership either
     // way, and the batch no longer pays a refresh that the very next

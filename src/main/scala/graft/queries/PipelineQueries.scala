@@ -4368,11 +4368,10 @@ object PipelineQueries {
           val rows = b
             .selectExpr("vec_id", "cast(embedding as array<double>) as v")
             .where(col("vec_id") >= 250)
-          Similarity.appendToTrainedIvfPqIndex(s, rows, idx)
-          val touched = s.read.parquet(s"$idx/vectors")
-            .join(rows.select("vec_id"), Seq("vec_id"), "left_semi")
-            .select(col("cell").cast("int")).distinct()
-            .collect().map(_.getInt(0)).toSeq.sorted
+          // touched cells from the batch's own encode plan, not a full
+          // vectors-tree read-back (round 17)
+          val touched =
+            Similarity.appendToTrainedIvfPqIndexTouched(s, rows, idx)
           // disjoint output trees off the same post-append index —
           // concurrent jobs (guide §2.6; round 17)
           Similarity.inParallel(Seq(
@@ -4424,11 +4423,10 @@ object PipelineQueries {
           val rows = b
             .selectExpr("vec_id", "cast(embedding as array<double>) as v")
             .where(col("vec_id") >= 250)
-          Similarity.appendToTrainedIvfPqIndex(s, rows, idx)
-          val touched = s.read.parquet(s"$idx/vectors")
-            .join(rows.select("vec_id"), Seq("vec_id"), "left_semi")
-            .select(col("cell").cast("int")).distinct()
-            .collect().map(_.getInt(0)).toSeq.sorted
+          // touched cells from the batch's own encode plan, not a full
+          // vectors-tree read-back (round 17)
+          val touched =
+            Similarity.appendToTrainedIvfPqIndexTouched(s, rows, idx)
           // disjoint output trees off the same post-append index —
           // concurrent jobs (guide §2.6; round 17)
           Similarity.inParallel(Seq(
@@ -4849,12 +4847,10 @@ object PipelineQueries {
     Similarity.buildTrainedIvfPqIndexAt(s, emb.where(col("vec_id") < 250),
       idx, nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
     Similarity.buildNswGraphAt(s, idx, graph, m = 6)
-    Similarity.appendToTrainedIvfPqIndex(s,
+    // touched cells from the batch's own encode plan, not a full
+    // vectors-tree read-back (round 17)
+    val touched = Similarity.appendToTrainedIvfPqIndexTouched(s,
       emb.where(col("vec_id") >= 250), idx)
-    val touched = s.read.parquet(s"$idx/vectors")
-      .where(col("vec_id") >= 250)
-      .select(col("cell").cast("int")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
     Similarity.refreshNswGraphCells(s, idx, graph, touched, m = 6)
     Similarity.nswSearchStored(s, idx, graph,
       emb.where(col("vec_id") < 5)
@@ -4941,11 +4937,10 @@ object PipelineQueries {
           val rows = b
             .selectExpr("vec_id", "cast(embedding as array<double>) as v")
             .where(col("vec_id") >= 250)
-          Similarity.appendToTrainedIvfPqIndex(s, rows, idx)
-          val touched = s.read.parquet(s"$idx/vectors")
-            .join(rows.select("vec_id"), Seq("vec_id"), "left_semi")
-            .select(col("cell").cast("int")).distinct()
-            .collect().map(_.getInt(0)).toSeq.sorted
+          // touched cells from the batch's own encode plan, not a full
+          // vectors-tree read-back (round 17)
+          val touched =
+            Similarity.appendToTrainedIvfPqIndexTouched(s, rows, idx)
           Similarity.refreshNswGraphCells(s, idx, graph, touched, m = 6)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
