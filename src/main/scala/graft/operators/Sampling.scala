@@ -372,9 +372,12 @@ object Sampling {
         expr(s"($weightCol * ${budget}L) div tw").as("base"),
         expr(s"($weightCol * ${budget}L) % tw").as("rem"))
     val sums = based.agg(sum("base").as("sb"))
-    val w = Window.orderBy(col("rem").desc, col(domainCol))
-    based.crossJoin(broadcast(sums))
-      .withColumn("rn", row_number().over(w))
+    // round 18: the remainder rank comes from the distributed prefix
+    // sum ([[TopK.withGlobalRowNumber]]) instead of a global
+    // single-partition window — same total order (rem DESC, domain —
+    // one row per domain), row-identical targets, no global sort.
+    TopK.withGlobalRowNumber(based.crossJoin(broadcast(sums)), "rn",
+        col("rem").desc, col(domainCol))
       .withColumn("target",
         col("base") + when(col("rn") <= lit(budget) - col("sb"), lit(1L))
           .otherwise(lit(0L)))

@@ -806,9 +806,26 @@ object Similarity {
   def appendToTrainedIvfPqIndexTouched(
       s: SparkSession, emb: DataFrame, path: String): Seq[Int] = {
     val e = emb.select(col("vec_id"), col("v"))
-    appendToTrainedIvfPqIndex(s, e, path)
-    encodeWithStoredTrained(s, e, path)
-      .select(col("cell").cast("int")).distinct()
+    // ONE encode (round 18, closing the round-17 advice): load the
+    // three stored quantizer tables once, encode the batch once
+    // (materialized by the checkpoint), and derive BOTH the
+    // partitioned append and the touched-cell set from it. The
+    // touched set equals the cells the write landed in because both
+    // read the same materialized rows. PRECONDITION (implicit in
+    // round 17, stated here): callers must not run quantizer-mutating
+    // maintenance (splits / retrain / rebuild) concurrently with this
+    // call — every current call site runs maintenance only after the
+    // helper returns. AppendTouchedSpec pins the result against the
+    // read-the-tree-back semi-join this replaced.
+    val preloaded = (
+      s.read.parquet(s"$path/coarse").orderBy("cell").collect()
+        .map(_.getSeq[Long](1).toArray),
+      readStoredBooks(s, path),
+      readIndexResidual(s, path))
+    val enc = encodeWithStoredTrained(s, e, path, Some(preloaded))
+      .localCheckpoint()
+    enc.write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+    enc.select(col("cell").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
   }
 
@@ -2433,49 +2450,43 @@ object Similarity {
       m: Int = 6,
       hops: Int = 3,
       beam: Int = 8): Unit = {
+    import s.implicits._
     val ids = newIds.select(col(newIds.columns.head).cast("long").as("q_id"))
     val vecs = s.read.parquet(s"$indexPath/vectors")
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
         gridLongs(col("v")).as("g"))
-    val q = vecs.join(ids, col("vec_id") === col("q_id"), "left_semi")
+    // the batch's (id, home cell, grid) rows — ONE bounded collect
+    // (batch-sized; unbounded mining batches belong on the bulk walk
+    // machinery) feeding the broadcast walk and the later batch-id
+    // semi-joins
+    val qRows = vecs.join(ids, col("vec_id") === col("q_id"), "left_semi")
       .select(col("vec_id").as("q_id"), col("cell"), col("g").as("qg"))
-      .localCheckpoint()
-    // the batch's home cells — bounded by nlist, the house fixed cost
-    val cellSet = q.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+      .collect()
+    val cellSet = qRows.map(_.getInt(1)).distinct.sorted.toIndexedSeq
     if (cellSet.isEmpty) return
-    val (grid, adj) = nswPrunedReads(s, indexPath, graphPath, cellSet)
-    // entry per cell = lowest vertex WITH adjacency: the vectors table
-    // already contains the batch, and a new min-id vector would be an
-    // edgeless entry that strands the walk
-    val entry = adj.groupBy("cell").agg(min("node").as("node"))
-    def scoreOf(cand: DataFrame): DataFrame =
-      cand.join(q, Seq("q_id", "cell"))
-        .join(grid, Seq("cell", "node"))
-        .select(col("q_id"), col("cell"), col("node"),
-          gridDist(col("qg"), col("g")).as("d"))
-    var visited = scoreOf(q.select(col("q_id"), col("cell"))
-        .join(entry, Seq("cell"))).localCheckpoint()
-    for (_ <- 1 to hops) {
-      val frontier = TopK.perKey(
-          visited.withColumn("__s", -col("d").cast("double")),
-          Seq("q_id"), "__s", "node", beam)
-        .select("q_id", "cell", "node")
-      val expanded = frontier.join(adj, Seq("cell", "node"))
-        .select(col("q_id"), col("cell"), col("nbr").as("node"))
-        .distinct()
-        .join(visited.select("q_id", "node"), Seq("q_id", "node"),
-          "left_anti")
-      visited = visited.unionByName(scoreOf(expanded)).localCheckpoint()
+    val byCell = qRows.toSeq.groupBy(_.getInt(1)).map { case (c, rs) =>
+      c -> rs.map(r => (r.getLong(0), r.getSeq[Long](2).toArray)).toArray
     }
+    val (grid, _) = nswPrunedReads(s, indexPath, graphPath, cellSet)
+    // ONE job (round 18): the batch's candidate walk runs executor-
+    // side per home cell ([[cellWalkVisited]]) — entry per cell is the
+    // lowest vertex WITH adjacency (the vectors table already contains
+    // the batch, and a new min-id vector would be an edgeless entry
+    // that strands the walk). Replaces the hops× localCheckpoint round
+    // trips; arithmetic and tie-breaks identical.
+    val visitedRows = cellWalkVisited(s, indexPath, graphPath, None,
+      cellSet, byCell, Map.empty, hops, beam, entryFromAdj = true)
     // adjacency never references batch ids (walks ran pre-batch), so
     // the forward edges are new rows and the reverse edges merge into
-    // the touched vertices' prune — one TopK, one dynamic overwrite
-    val fwd = TopK.perKey(
-        visited.withColumn("__s", -col("d").cast("double")),
-        Seq("q_id"), "__s", "node", m)
-      .select(col("cell"), col("q_id").as("vec_id"),
-        col("node").as("nbr"), col("d"))
+    // the touched vertices' prune. The top-m cut runs driver-side over
+    // the bounded walk output — same (d, nbr) house order as the TopK
+    // job it replaces.
+    val fwd = visitedRows.toSeq.groupBy(_._1).toSeq
+      .flatMap { case (_, ms) =>
+        ms.sortBy { case (_, _, n, d) => (d, n) }.take(m)
+      }
+      .map { case (qi, c, n, d) => (c, qi, n, d) }
+      .toDF("cell", "vec_id", "nbr", "d")
     val rev = fwd.select(col("cell"), col("nbr").as("vec_id"),
       col("vec_id").as("nbr"), col("d"))
     val old = readNswAdjacencyClassed(s, graphPath, m,
@@ -2522,7 +2533,7 @@ object Similarity {
     // batch, so the slice is exact — and the pass stays ∝ batch·(m+L),
     // flat in cell membership (unfiltered, a 1k-vector insert into a
     // 1M-member cell would shuffle the whole cell's adjacency twice).
-    val bSemi = q.select(col("q_id").as("__b"))
+    val bSemi = qRows.map(_.getLong(0)).toSeq.toDF("__b")
     val touching = merged
       .join(bSemi, col("vec_id") === col("__b"), "left_semi")
       .unionByName(
@@ -2535,7 +2546,7 @@ object Similarity {
     // center rows: a batch vector's own neighborhood (w ∈ batch) plus
     // every stored vertex's batch neighbors (x ∈ batch) — the latter
     // is what closes A–sharedNeighbor–B into an A–B candidate
-    val batchIds = q.select(col("q_id").as("w"))
+    val batchIds = qRows.map(_.getLong(0)).toSeq.toDF("w")
     val centers = und.join(batchIds, Seq("w"), "left_semi")
       .select("cell", "w", "x", "d")
       .unionByName(und.join(
@@ -2877,121 +2888,332 @@ object Similarity {
       .select("cell", "vec_id", "nbr", "d")
   }
 
-  /** Greedy beam walk over the stored per-cell NSW graphs: route each
-    * query to its `nprobe` nearest trained cells, start at each cell's
-    * deterministic entry node (lowest vec_id), and for `hops` rounds
-    * expand the current beam's adjacency, score by exact grid L2, and
-    * keep the `beam` best per (query, cell) — the visited set's global
-    * top-k (query excluded, ties → lowest id) is the answer.
+  // ──────────────────────────────────────────────────────────────────
+  // EXECUTOR-SIDE CELL WALK ENGINE (round 18)
+  //
+  // The round-17 online walks ran ONE fused Spark job PER HOP (driver
+  // beam state, broadcast anti-join on the visited set). Correct and
+  // bounded — but a serve entry then costs hops·layers jobs of pure
+  // orchestration latency, and the 8-core bench matched the 32-core
+  // bench on every serve entry (BENCH_r17_c8: ratios ≈ 1): the cost
+  // was job scheduling + planning, not compute. The walk decomposes
+  // per (query, probed cell) — frontier selection, expansion and
+  // scoring never cross cells — so the WHOLE hops loop (layered
+  // descent included) runs inside one task per probed cell, over that
+  // cell's vectors/codes + adjacency cogrouped by cell, with the
+  // bounded probe set broadcast. ONE Spark job per entry replaces
+  // O(maxLayer·hopsUp + hops); arithmetic, tie-breaks and the
+  // visited-set contract replicate the per-hop joins row for row
+  // (NswGraphSpec pins bulk ≡ online equality; the oracle pins every
+  // serve entry).
+  // ──────────────────────────────────────────────────────────────────
+
+  /** Local twin of [[nswLevel]] — same Lehmer hash, same "last
+    * matching layer wins" fold. */
+  private[graft] def nswLevelLocal(
+      id: Long, maxLayer: Int, branch: Int): Int = {
+    val h = math.floorMod(
+      math.floorMod(id, 2147483647L) * 48271L, 2147483647L)
+    var lvl = 0
+    var p = branch.toLong
+    var l = 1
+    while (l <= maxLayer) {
+      if (h % p == 0L) lvl = l
+      p *= branch
+      l += 1
+    }
+    lvl
+  }
+
+  /** Local twin of [[gridDist]]. A length mismatch mirrors the SQL
+    * path's null propagation (zip_with pads → null sum → null `d` →
+    * `getLong` 0). */
+  private[graft] def gridDistLocal(a: Array[Long], b: Array[Long]): Long = {
+    if (a.length != b.length) return 0L
+    var d = 0L
+    var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Local twin of the `PqAdc(...).cast("bigint")` scoring column:
+    * same double arithmetic as [[graft.functions.PqAdcKernel.adc]]
+    * (exact — grid integers in doubles), same NaN → null → 0 and
+    * truncate-toward-zero cast. */
+  private[graft] def adcDistLocal(
+      q: Array[Double], codes: Array[Int],
+      books: Array[Array[Array[Double]]]): Long = {
+    val m = books.length
+    if (codes.length != m) return 0L
+    var total = 0.0
+    var base = 0
+    var j = 0
+    while (j < m) {
+      val c = codes(j)
+      if (c < 0 || c >= books(j).length) return 0L
+      val cb = books(j)(c)
+      if (base + cb.length > q.length) return 0L
+      var d = 0.0
+      var i = 0
+      while (i < cb.length) { val t = q(base + i) - cb(i); d += t * t; i += 1 }
+      total += d
+      base += cb.length
+      j += 1
+    }
+    if (java.lang.Double.isNaN(total)) 0L else total.toLong
+  }
+
+  /** Top `take` nodes of a visited map by (d asc, node asc) — the
+    * house frontier/handoff order. */
+  private def topNodesByDist(
+      visited: scala.collection.mutable.LongMap[Long],
+      take: Int): Array[Long] = {
+    val arr = visited.toArray
+    scala.util.Sorting.stableSort(arr,
+      (a: (Long, Long), b: (Long, Long)) =>
+        a._2 < b._2 || (a._2 == b._2 && a._1 < b._1))
+    arr.iterator.take(take).map(_._1).toArray
+  }
+
+  /** The engine: run every (query, probed cell) walk — optional
+    * layered descent, then the flat (layer-0) beam walk — inside ONE
+    * Spark job, one task per probed cell. Returns the flat walk's
+    * visited rows `(q_id, cell, node, d)`, exactly what the round-17
+    * per-hop jobs accumulated on the driver.
     *
-    * Scale shape: the walk state is BOUNDED BY CONSTRUCTION
-    * (≤ nq·nprobe·(1 + hops·beam·m) rows — a few thousand at serving
-    * fan-outs), so it lives on the driver and each hop runs ONE flat
-    * distributed job: the frontier's candidate nodes as a broadcast
-    * literal frame, joined against the partition-pruned adjacency and
-    * vector reads of the probed cells. Keeping the state in DataFrame
-    * lineage instead doubles the plan per hop (the visited frame is
-    * referenced by both the frontier cut and the union) — the first
-    * landing measured 1187 exchanges in the 3-hop physical plan vs ~20
-    * for this shape. Per-query work is O(hops·beam·m) distance
-    * evaluations regardless of corpus size — the graph-ANN economics —
-    * and only UNSEEN nodes are ever fetched or scored. `q` must carry
-    * (`q_id`: bigint, `qv`: array<double>). */
-  def nswSearchStored(
+    *  - `queriesByCell`: the collected probe set (bounded:
+    *    nq·nprobe rows) — broadcast, grouped by probed cell. For ADC
+    *    scoring `qg` is still the grid-long query; the task derives
+    *    the double view (and the residual subtraction) locally.
+    *  - `seedsByQC`: explicit entry seeds per (q_id, cell) — the
+    *    `entrySeeds` contract. Empty → the default per-cell entry
+    *    (lowest vec_id; `entryFromAdj` switches to lowest vertex WITH
+    *    adjacency — the insert walk's rule). Ignored when `layersPath`
+    *    is set (the descent computes its own dual seed).
+    *  - `adcBooks`: Some(codebooks as doubles) → frontier scoring
+    *    reads the PQ codes (the payload column is the code array);
+    *    None → exact grid scoring (payload is the grid vector).
+    *  - memory: one task holds one cell's payload + adjacency — the
+    *    same rows the per-hop joins scanned, loaded once instead of
+    *    once per hop. Cells are bounded by the maintenance policy's
+    *    fitted edge (262k members at the default ladder), i.e. tens
+    *    of MB per task at dim 64. */
+  private[graft] def cellWalkVisited(
       s: SparkSession,
       indexPath: String,
       graphPath: String,
-      q: DataFrame,
-      k: Int = 5,
-      nprobe: Int = 2,
-      hops: Int = 3,
-      beam: Int = 8,
-      allowed: Option[DataFrame] = None,
-      entrySeeds: Option[Seq[(Long, Int, Long)]] = None): DataFrame = {
-    LightFusion.ensureRegistered(s)
-    import s.implicits._
-    val (probeRows, probeSchema) = trainedProbes(s, indexPath, q, nprobe)
-    val cellIdx = probeSchema.fieldIndex("cell")
-    val cellSet = probeRows.map(_.getInt(cellIdx)).distinct.sorted
-    val probesDf = broadcast(s.createDataFrame(
-        java.util.Arrays.asList(probeRows: _*), probeSchema)
-      .select(col("q_id").cast("long").as("q_id"), col("qg"), col("cell")))
-    val (grid, adj) = nswPrunedReads(s, indexPath, graphPath, cellSet)
-    // one bounded job: (q_id, cell, node) candidates → exact grid dists
-    def score(cands: Seq[(Long, Int, Long)]): Seq[(Long, Int, Long, Long)] =
-      if (cands.isEmpty) Seq.empty
-      else cands.toDF("q_id", "cell", "node")
-        .join(probesDf, Seq("q_id", "cell"))
-        .join(grid, Seq("cell", "node"))
-        .select(col("q_id"), col("cell"), col("node"),
-          gridDist(col("qg"), col("g")).as("d"))
-        .collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-        .toSeq
-    val visited =
-      scala.collection.mutable.LinkedHashMap[(Long, Int, Long), Long]()
-    def absorb(rows: Seq[(Long, Int, Long, Long)]): Unit =
-      rows.foreach { case (qi, c, n, d) =>
-        visited.getOrElseUpdate((qi, c, n), d)
-      }
-    // seed: the caller's per-(query, cell) entries (the layered
-    // descent's handoff), or the flat default — one deterministic
-    // entry node per probed cell (lowest vec_id, ≤ |cellSet| rows).
-    // The default path computes the per-cell entry AND scores it in
-    // ONE plan/job (round 17: the separate entry-collect + score-
-    // collect pair was two driver round trips for one bounded result).
-    entrySeeds match {
-      case Some(seeds) => absorb(score(seeds))
-      case None =>
-        absorb(probesDf
-          .join(grid.groupBy("cell").agg(min("node").as("node")),
-            Seq("cell"))
-          .join(grid, Seq("cell", "node"))
-          .select(col("q_id"), col("cell"), col("node"),
-            gridDist(col("qg"), col("g")).as("d"))
-          .collect()
-          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-          .toSeq)
+      layersPath: Option[String],
+      cellSet: Seq[Int],
+      queriesByCell: Map[Int, Array[(Long, Array[Long])]],
+      seedsByQC: Map[(Long, Int), Array[Long]],
+      hops: Int,
+      beam: Int,
+      maxLayer: Int = NswMaxLayer,
+      branch: Int = NswLayerBranch,
+      hopsUp: Int = 3,
+      beamUp: Int = 4,
+      adcBooks: Option[Array[Array[Array[Double]]]] = None,
+      residual: Boolean = false,
+      coarseD: Array[Array[Double]] = Array.empty,
+      entryFromAdj: Boolean = false): Array[(Long, Int, Long, Long)] = {
+    if (cellSet.isEmpty || queriesByCell.valuesIterator.forall(_.isEmpty))
+      return Array.empty
+    val sc = s.sparkContext
+    val bcQ = sc.broadcast(queriesByCell)
+    val bcSeeds = sc.broadcast(seedsByQC)
+    val adc = adcBooks.isDefined
+    val books = adcBooks.getOrElse(Array.empty)
+    val mPq = books.length
+    val layered = layersPath.isDefined
+    val maxL = if (layered) maxLayer else 0
+    val (hUp, bUp) = (hopsUp, beamUp)
+    val (h0, b0) = (hops, beam)
+    val (res, coarse) = (residual, coarseD)
+    val fromAdj = entryFromAdj
+    // one scan of the probed cells' vectors: node + payload (grid
+    // longs for exact scoring, the code columns for ADC)
+    val vecsDf = {
+      val base = s.read.parquet(s"$indexPath/vectors")
+        .where(col("cell").isin(cellSet.map(Int.box): _*))
+      if (adc)
+        base.select(col("cell").cast("int").as("cell"),
+          col("vec_id").as("node"),
+          array((0 until mPq).map(j =>
+            col(s"code_$j").cast("long")): _*).as("payload"))
+      else
+        base.select(col("cell").cast("int").as("cell"),
+          col("vec_id").as("node"), gridLongs(col("v")).as("payload"))
     }
-    for (_ <- 1 to hops) {
-      val frontier = visited.toSeq
-        .groupBy { case ((qi, c, _), _) => (qi, c) }
-        .toSeq.flatMap { case (_, members) =>
-          members.sortBy { case ((_, _, n), d) => (d, n) }.take(beam)
-            .map { case ((qi, c, n), _) => (qi, c, n) }
+    // base adjacency (layer 0) + the layer adjacencies, cell-pruned
+    val adjDf = {
+      val b = readNswAdjacency(s, graphPath)
+        .select(col("cell").cast("int").as("cell"),
+          col("vec_id").as("node"), col("nbr"), lit(0).as("layer"))
+        .where(col("cell").isin(cellSet.map(Int.box): _*))
+      layersPath match {
+        case None => b
+        case Some(lp) =>
+          (b +: (1 to maxLayer).map(l =>
+            readNswAdjacency(s, s"$lp/layer=$l")
+              .select(col("cell").cast("int").as("cell"),
+                col("vec_id").as("node"), col("nbr"), lit(l).as("layer"))
+              .where(col("cell").isin(cellSet.map(Int.box): _*))))
+            .reduce(_ unionByName _)
+      }
+    }
+    val vecRdd = vecsDf.rdd.map(r =>
+      (r.getInt(0), (r.getLong(1), r.getSeq[Long](2).toArray)))
+    val adjRdd = adjDf.rdd.map(r =>
+      (r.getInt(0), (r.getInt(3), r.getLong(1), r.getLong(2))))
+    val nParts = math.max(1, cellSet.size)
+    val out = vecRdd
+      .cogroup(adjRdd, new org.apache.spark.HashPartitioner(nParts))
+      .flatMap { case (cell, (vs, es)) =>
+        val queries = bcQ.value.getOrElse(cell,
+          Array.empty[(Long, Array[Long])])
+        if (queries.isEmpty) Iterator.empty
+        else {
+          import scala.collection.mutable
+          // node -> payload (grid longs, or PQ codes as ints)
+          val gridMap =
+            if (adc) null else new mutable.LongMap[Array[Long]]()
+          val codeMap =
+            if (adc) new mutable.LongMap[Array[Int]]() else null
+          var flatMin = Long.MaxValue
+          // per-layer descent entry: lowest node with level >= l
+          val minAtLevel = Array.fill(maxL + 1)(Long.MaxValue)
+          vs.foreach { case (n, p) =>
+            if (adc) codeMap(n) = p.map(_.toInt) else gridMap(n) = p
+            if (n < flatMin) flatMin = n
+            if (maxL > 0) {
+              val lvl = nswLevelLocal(n, maxL, branch)
+              var l = 1
+              while (l <= lvl) {
+                if (n < minAtLevel(l)) minAtLevel(l) = n
+                l += 1
+              }
+            }
+          }
+          val adjL = Array.fill(maxL + 1)(
+            new mutable.LongMap[mutable.ArrayBuffer[Long]]())
+          es.foreach { case (layer, n, nb) =>
+            if (layer <= maxL)
+              adjL(layer).getOrElseUpdate(n, mutable.ArrayBuffer.empty)
+                .+= (nb)
+          }
+          val scorable: Long => Boolean =
+            if (adc) codeMap.contains else gridMap.contains
+          // the coalesce chain: highest populated layer's min, else flat
+          val descentEntry: Long = {
+            var e = Long.MaxValue
+            var l = maxL
+            while (l >= 1 && e == Long.MaxValue) {
+              if (minAtLevel(l) != Long.MaxValue) e = minAtLevel(l)
+              l -= 1
+            }
+            if (e == Long.MaxValue) flatMin else e
+          }
+          val adjEntry: Long =
+            if (adjL(0).isEmpty) Long.MaxValue else adjL(0).keysIterator.min
+          queries.iterator.flatMap { case (qid, qg) =>
+            val qd: Array[Double] =
+              if (!adc) null
+              else {
+                val d0 = new Array[Double](qg.length)
+                var i = 0
+                while (i < qg.length) { d0(i) = qg(i).toDouble; i += 1 }
+                if (res && cell < coarse.length) {
+                  val c0 = coarse(cell)
+                  if (c0.length == d0.length) {
+                    var j = 0
+                    while (j < d0.length) { d0(j) -= c0(j); j += 1 }
+                  }
+                }
+                d0
+              }
+            def distOf(n: Long): Long =
+              if (adc) adcDistLocal(qd, codeMap(n), books)
+              else gridDistLocal(qg, gridMap(n))
+            def expandHops(visited: mutable.LongMap[Long], layer: Int,
+                nHops: Int, width: Int): Unit = {
+              var hop = 0
+              while (hop < nHops) {
+                if (visited.nonEmpty) {
+                  val frontier = topNodesByDist(visited, width)
+                  val cands = mutable.LongMap.empty[Unit]
+                  var i = 0
+                  while (i < frontier.length) {
+                    adjL(layer).get(frontier(i)).foreach(_.foreach { nb =>
+                      if (!visited.contains(nb)) cands(nb) = ()
+                    })
+                    i += 1
+                  }
+                  cands.foreachKey { nb =>
+                    if (scorable(nb)) visited(nb) = distOf(nb)
+                  }
+                }
+                hop += 1
+              }
+            }
+            // seeds for the flat (layer-0) walk
+            val seeds: Array[Long] =
+              if (layered) {
+                // descent: hopsUp·beamUp greedy walk per layer, handoff
+                // of the beamUp best, dual-seeded with the flat entry
+                var entries: Array[Long] =
+                  if (descentEntry != Long.MaxValue && scorable(descentEntry))
+                    Array(descentEntry)
+                  else Array.empty
+                var entriesD: Array[(Long, Long)] =
+                  entries.map(n => (n, distOf(n)))
+                var l = maxL
+                while (l >= 1) {
+                  val vis = mutable.LongMap.empty[Long]
+                  entriesD.foreach { case (n, d) => vis(n) = d }
+                  expandHops(vis, l, hUp, bUp)
+                  entriesD = topNodesByDist(vis, bUp).map(n => (n, vis(n)))
+                  l -= 1
+                }
+                val flatSeed =
+                  if (fromAdj) adjEntry else flatMin
+                (entriesD.map(_._1) ++
+                  (if (flatSeed != Long.MaxValue) Array(flatSeed)
+                   else Array.empty[Long]))
+              } else {
+                bcSeeds.value.get((qid, cell)) match {
+                  case Some(ss) => ss
+                  case None =>
+                    val e = if (fromAdj) adjEntry else flatMin
+                    if (e != Long.MaxValue) Array(e) else Array.empty[Long]
+                }
+              }
+            val visited = mutable.LongMap.empty[Long]
+            seeds.foreach { n =>
+              if (scorable(n) && !visited.contains(n)) visited(n) = distOf(n)
+            }
+            expandHops(visited, 0, h0, b0)
+            visited.iterator.map { case (n, d) => (qid, cell, n, d) }
+          }
         }
-      // ONE job per hop (round 17): expand along the adjacency, drop
-      // already-visited nodes via a broadcast anti-join on the bounded
-      // visited key set, and score — fused. Replaces the expand-collect
-      // + score-collect pair (2 driver round trips/hop) and the
-      // `.distinct()` exchange (duplicate candidates score to the same
-      // deterministic d and collapse in absorb). Result-identical:
-      // same candidate set, same distances, same ties.
-      if (frontier.nonEmpty) {
-        absorb(frontier.toDF("q_id", "cell", "node")
-          .join(adj, Seq("cell", "node"))
-          .select(col("q_id"), col("cell"), col("nbr").as("node"))
-          .join(broadcast(visited.keysIterator.toSeq
-            .toDF("q_id", "cell", "node")),
-            Seq("q_id", "cell", "node"), "left_anti")
-          .join(probesDf, Seq("q_id", "cell"))
-          .join(grid, Seq("cell", "node"))
-          .select(col("q_id"), col("cell"), col("node"),
-            gridDist(col("qg"), col("g")).as("d"))
-          .collect()
-          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-          .toSeq)
       }
-    }
-    // FILTERED search (the RAG/ACL shape, q223's contract on the graph
-    // path): the walk traverses ALL nodes — a filter-aware walk would
-    // disconnect the graph under selective filters (the standard
-    // filtered-HNSW trade) — and the predicate applies to the final
-    // candidates. Only the VISITED nodes' membership is ever fetched:
-    // one bounded semi-join, never a corpus-sized allow-list collect.
+    val res0 = out.collect()
+    bcQ.unpersist(false)
+    bcSeeds.unpersist(false)
+    res0
+  }
+
+  /** Shared result tail of the exact-scored walks: the `allowed`
+    * post-filter (one bounded semi-join over the VISITED ids only),
+    * the per-query (d, node) top-k cut, and the literal result frame. */
+  private def walkTopKDf(
+      s: SparkSession,
+      visited: Seq[(Long, Int, Long, Long)],
+      k: Int,
+      allowed: Option[DataFrame]): DataFrame = {
+    import s.implicits._
     val keep: Long => Boolean = allowed match {
       case Some(a) =>
-        val nodes = visited.keysIterator.map(_._3).toSeq.distinct
+        val nodes = visited.map(_._3).distinct
         val ok = nodes.toDF("n")
           .join(a.select(col(a.columns.head).cast("long").as("n")),
             Seq("n"), "left_semi")
@@ -2999,8 +3221,8 @@ object Similarity {
         ok.contains
       case None => _ => true
     }
-    val out = visited.toSeq
-      .collect { case ((qi, _, n), d) if n != qi && keep(n) => (qi, n, d) }
+    val out = visited
+      .collect { case (qi, _, n, d) if n != qi && keep(n) => (qi, n, d) }
       .groupBy(_._1).toSeq.flatMap { case (qi, members) =>
         members.sortBy { case (_, n, d) => (d, n) }.take(k).zipWithIndex
           .map { case ((_, n, d), i) => (qi, i + 1, n, d) }
@@ -3018,6 +3240,77 @@ object Similarity {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("d",
           org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Collected probe rows → the engine's broadcast query map. */
+  private def probesByCell(
+      probeRows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType)
+      : Map[Int, Array[(Long, Array[Long])]] = {
+    val cellIdx = schema.fieldIndex("cell")
+    val qIdIdx = schema.fieldIndex("q_id")
+    val qgIdx = schema.fieldIndex("qg")
+    probeRows.toSeq.map { r =>
+      (r.getInt(cellIdx),
+        (r.get(qIdIdx).asInstanceOf[Number].longValue(),
+          r.getSeq[Long](qgIdx).toArray))
+    }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toArray }
+  }
+
+  /** Greedy beam walk over the stored per-cell NSW graphs: route each
+    * query to its `nprobe` nearest trained cells, start at each cell's
+    * deterministic entry node (lowest vec_id), and for `hops` rounds
+    * expand the current beam's adjacency, score by exact grid L2, and
+    * keep the `beam` best per (query, cell) — the visited set's global
+    * top-k (query excluded, ties → lowest id) is the answer.
+    *
+    * Scale shape: the walk state is BOUNDED BY CONSTRUCTION
+    * (≤ nq·nprobe·(1 + hops·beam·m) rows — a few thousand at serving
+    * fan-outs). Since round 18 the whole hops loop runs EXECUTOR-SIDE
+    * in ONE Spark job ([[cellWalkVisited]]): one task per probed cell
+    * walks every query routed there over the cell-local adjacency +
+    * grid, so the entry pays one job + one bounded collect instead of
+    * one job per hop — job latency was the serve family's measured
+    * cost, not compute (8c ≈ 32c, BENCH_r17_c8). Per-query work is
+    * still O(hops·beam·m) distance evaluations regardless of corpus
+    * size — the graph-ANN economics — and only UNSEEN nodes are ever
+    * scored. `q` must carry (`q_id`: bigint, `qv`: array<double>). */
+  def nswSearchStored(
+      s: SparkSession,
+      indexPath: String,
+      graphPath: String,
+      q: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 2,
+      hops: Int = 3,
+      beam: Int = 8,
+      allowed: Option[DataFrame] = None,
+      entrySeeds: Option[Seq[(Long, Int, Long)]] = None): DataFrame = {
+    LightFusion.ensureRegistered(s)
+    val (probeRows, probeSchema) = trainedProbes(s, indexPath, q, nprobe)
+    val cellIdx = probeSchema.fieldIndex("cell")
+    val cellSet = probeRows.map(_.getInt(cellIdx)).distinct.sorted
+    // seed: the caller's per-(query, cell) entries (the layered
+    // descent's handoff), or the flat default — one deterministic
+    // entry node per probed cell (lowest vec_id), derived in-task.
+    val seeds: Map[(Long, Int), Array[Long]] = entrySeeds match {
+      case Some(ss) => ss.groupBy { case (qi, c, _) => (qi, c) }
+        .map { case (k0, xs) => k0 -> xs.map(_._3).toArray }
+      case None => Map.empty
+    }
+    // ONE job: every (query, cell) walk runs executor-side over the
+    // cogrouped cell-local grid + adjacency (round 18) — the per-hop
+    // fused jobs of round 17 collapse into the task's hops loop.
+    val visited = cellWalkVisited(s, indexPath, graphPath, None,
+      cellSet.toIndexedSeq, probesByCell(probeRows, probeSchema), seeds,
+      hops, beam)
+    // FILTERED search (the RAG/ACL shape, q223's contract on the graph
+    // path): the walk traverses ALL nodes — a filter-aware walk would
+    // disconnect the graph under selective filters (the standard
+    // filtered-HNSW trade) — and the predicate applies to the final
+    // candidates. Only the VISITED nodes' membership is ever fetched:
+    // one bounded semi-join, never a corpus-sized allow-list collect.
+    walkTopKDf(s, visited.toIndexedSeq, k, allowed)
   }
 
   /** ADC-SCORED graph walk — the DiskANN-style memory economics for
@@ -3057,93 +3350,31 @@ object Similarity {
     val residual = readIndexResidual(s, indexPath)
     val coarseL = s.read.parquet(s"$indexPath/coarse").orderBy("cell")
       .collect().map(_.getSeq[Long](1).toArray)
-    val mPq = books.length
-    val kernel = new graft.functions.PqAdcKernel(
-      books.map(_.map(_.map(_.toDouble))))
     val (probeRows, probeSchema) = trainedProbes(s, indexPath, q, nprobe)
     val cellIdx = probeSchema.fieldIndex("cell")
     val cellSet = probeRows.map(_.getInt(cellIdx)).distinct.sorted
-    val probesDf = broadcast(s.createDataFrame(
-        java.util.Arrays.asList(probeRows: _*), probeSchema)
-      .select(col("q_id").cast("long").as("q_id"), col("qg"),
-        col("qg").cast("array<double>").as("qgd"), col("cell")))
-    val (grid, adj) = nswPrunedReads(s, indexPath, graphPath, cellSet)
-    val codes = s.read.parquet(s"$indexPath/vectors")
-      .where(col("cell").isin(cellSet.map(Int.box): _*))
-      .select(col("vec_id").as("node") +:
-        col("cell").cast("int").as("cell") +:
-        (0 until mPq).map(j => col(s"code_$j")): _*)
-    val adcQuery =
-      if (!residual) col("qgd")
-      else zip_with(col("qgd"), centroidLookup(coarseL, col("cell")),
-        (a, b) => a - b)
-    val adcCol = SparkShims.column(graft.functions.PqAdc(
-      SparkShims.expression(adcQuery),
-      SparkShims.expression(array((0 until mPq).map(j =>
-        col(s"code_$j")): _*)),
-      kernel)).cast("bigint")
-    // one bounded job per hop: candidates scored by ADC off the codes
-    def score(cands: Seq[(Long, Int, Long)]): Seq[(Long, Int, Long, Long)] =
-      if (cands.isEmpty) Seq.empty
-      else cands.toDF("q_id", "cell", "node")
-        .join(probesDf, Seq("q_id", "cell"))
-        .join(codes, Seq("cell", "node"))
-        .select(col("q_id"), col("cell"), col("node"), adcCol.as("d"))
-        .collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-        .toSeq
-    val visited =
-      scala.collection.mutable.LinkedHashMap[(Long, Int, Long), Long]()
-    def absorb(rows: Seq[(Long, Int, Long, Long)]): Unit =
-      rows.foreach { case (qi, c, n, d) =>
-        visited.getOrElseUpdate((qi, c, n), d)
-      }
     // seed: the caller's per-(query, cell) entries (the layered ADC
     // descent's handoff) or the flat per-cell min-id default — the
-    // same dual-seed contract as [[nswSearchStored]]. Default path
-    // fused to ONE job (entry agg + ADC score in one plan, round 17).
-    entrySeeds match {
-      case Some(seeds) => absorb(score(seeds))
-      case None =>
-        absorb(probesDf
-          .join(grid.groupBy("cell").agg(min("node").as("node")),
-            Seq("cell"))
-          .join(codes, Seq("cell", "node"))
-          .select(col("q_id"), col("cell"), col("node"), adcCol.as("d"))
-          .collect()
-          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-          .toSeq)
+    // same dual-seed contract as [[nswSearchStored]].
+    val seeds: Map[(Long, Int), Array[Long]] = entrySeeds match {
+      case Some(ss) => ss.groupBy { case (qi, c, _) => (qi, c) }
+        .map { case (k0, xs) => k0 -> xs.map(_._3).toArray }
+      case None => Map.empty
     }
-    for (_ <- 1 to hops) {
-      val frontier = visited.toSeq
-        .groupBy { case ((qi, c, _), _) => (qi, c) }
-        .toSeq.flatMap { case (_, members) =>
-          members.sortBy { case ((_, _, n), d) => (d, n) }.take(beam)
-            .map { case ((qi, c, n), _) => (qi, c, n) }
-        }
-      // ONE job per hop (round 17) — expand + visited anti-join + ADC
-      // score fused, replacing the expand-collect/score-collect pair
-      // and the distinct exchange; see [[nswSearchStored]]'s hop note.
-      if (frontier.nonEmpty) {
-        absorb(frontier.toDF("q_id", "cell", "node")
-          .join(adj, Seq("cell", "node"))
-          .select(col("q_id"), col("cell"), col("nbr").as("node"))
-          .join(broadcast(visited.keysIterator.toSeq
-            .toDF("q_id", "cell", "node")),
-            Seq("q_id", "cell", "node"), "left_anti")
-          .join(probesDf, Seq("q_id", "cell"))
-          .join(codes, Seq("cell", "node"))
-          .select(col("q_id"), col("cell"), col("node"), adcCol.as("d"))
-          .collect()
-          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-          .toSeq)
-      }
-    }
+    // ONE job: the whole ADC-scored walk runs executor-side per cell
+    // over the cogrouped codes + adjacency (round 18); the task reads
+    // m_pq bytes of code per visited node, never the full vectors.
+    val visited = cellWalkVisited(s, indexPath, graphPath, None,
+      cellSet.toIndexedSeq, probesByCell(probeRows, probeSchema), seeds,
+      hops, beam,
+      adcBooks = Some(books.map(_.map(_.map(_.toDouble)))),
+      residual = residual,
+      coarseD = coarseL.map(_.map(_.toDouble)))
     // dedupe (query, node) across probed cells (min ADC), cut to the
     // refine best per query, then ONE exact grid re-rank to k — the
     // only full-width vector reads of the whole search
     val refCands = visited.toSeq
-      .collect { case ((qi, _, n), d) if n != qi => ((qi, n), d) }
+      .collect { case (qi, _, n, d) if n != qi => ((qi, n), d) }
       .groupBy(_._1).map { case ((qi, n), ds) => (qi, n, ds.map(_._2).min) }
       .toSeq
       .groupBy(_._1).toSeq.flatMap { case (_, members) =>
@@ -3154,9 +3385,12 @@ object Similarity {
       return s.emptyDataFrame
         .select(lit(0L).as("q_id"), lit(0).as("rank"),
           lit(0L).as("n_id"), lit(0L).as("d"))
+    val probesDf = broadcast(s.createDataFrame(
+        java.util.Arrays.asList(probeRows: _*), probeSchema)
+      .select(col("q_id").cast("long").as("q_id"), col("qg")))
+    val (grid, _) = nswPrunedReads(s, indexPath, graphPath, cellSet)
     refCands.toDF("q_id", "node")
-      .join(probesDf.select("q_id", "qg").dropDuplicates("q_id"),
-        Seq("q_id"))
+      .join(probesDf.dropDuplicates("q_id"), Seq("q_id"))
       .join(grid.dropDuplicates("node"), Seq("node"))
       .select(col("q_id"), col("node"),
         gridDist(col("qg"), col("g")).as("d"))
@@ -3790,7 +4024,6 @@ object Similarity {
       maxLayer: Int = NswMaxLayer,
       branch: Int = NswLayerBranch,
       maxCellCap: Long = Long.MaxValue): Seq[Int] = {
-    import s.implicits._
     require(splitK >= 2, s"splitK must be >= 2: $splitK")
     require(threshold >= 1.0, s"threshold must be >= 1: $threshold")
     recoverPendingSkewSplit(s, indexPath, graphPath, layersPath, m,
@@ -3800,20 +4033,61 @@ object Similarity {
     val census = s.read.parquet(s"$indexPath/vectors")
       .groupBy(col("cell").cast("int").as("cell"))
       .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
-    val total = census.map(_._2).sum
-    if (census.isEmpty || total == 0L) return Seq.empty
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val oldCoarse = s.read.parquet(s"$indexPath/coarse").orderBy("cell")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toSeq
+    val (touched, _, _) = reconcileCoarseSkewPass(s, indexPath, census,
+      oldCoarse, threshold, splitK, trainSample, iters, maxCellCap,
+      clearStaging = false)
+    if (touched.nonEmpty) {
+      inParallel(
+        graphPath.toSeq.map(g => () =>
+          refreshNswGraphCells(s, indexPath, g, touched, m,
+            exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
+            longEdges = longEdges)) ++
+        layersPath.toSeq.map(lp => () =>
+          refreshNswLayersCells(s, indexPath, lp, touched, m, maxLayer,
+            branch, exactCellCeiling, randomInitCellCeiling,
+            randomInitSweeps, longEdges = longEdges)))
+      clearSplitStaging(s, indexPath)
+    }
+    touched
+  }
+
+  /** One split pass over a SUPPLIED census + coarse state — the split
+    * semantics of [[reconcileCoarseSkew]] with the two per-pass index
+    * scans hoisted to the caller (round 18): [[maintainCoarseBalance]]
+    * reads the census and coarse table ONCE and updates them on the
+    * driver from each pass's returned sub-cell counts, so an N-pass
+    * policy run pays one full-index census instead of N (at deployment
+    * scale the census is a whole-index scan). Returns
+    * `(touched cells, post-split sub-cell counts, next coarse)` —
+    * `touched` empty means nothing tripped and state is unchanged.
+    * Graph/layer refresh stays with the caller. */
+  private def reconcileCoarseSkewPass(
+      s: SparkSession,
+      indexPath: String,
+      census: Map[Int, Long],
+      oldCoarse: Seq[(Int, Seq[Long])],
+      threshold: Double,
+      splitK: Int,
+      trainSample: Int,
+      iters: Int,
+      maxCellCap: Long,
+      clearStaging: Boolean): (Seq[Int], Map[Int, Long], Seq[(Int, Seq[Long])]) = {
+    import s.implicits._
+    val unchanged = (Seq.empty[Int], census, oldCoarse)
+    val total = census.valuesIterator.sum
+    if (census.isEmpty || total == 0L) return unchanged
     val nlist = oldCoarse.length
-    val (sc, mx) = census.sortBy { case (c, n) => (-n, c) }.head
+    val (sc, mx) = census.toSeq.sortBy { case (c, n) => (-n, c) }.head
     // two independent triggers: RELATIVE skew (the head cell exceeds
     // threshold x the balanced share) and an ABSOLUTE cap (the serving
     // ladder's fitted range — [[nswServeBudgetFitted]] — which a
     // balanced-but-huge census can exceed without ever tripping the
     // share test; the auto-heal path drives this one)
     if (mx.toDouble * nlist <= threshold * total && mx <= maxCellCap)
-      return Seq.empty
+      return unchanged
     // mini-kmeans on the one cell: its trainSample lowest vec_ids
     val members = s.read.parquet(s"$indexPath/vectors")
       .where(col("cell") === sc)
@@ -3822,7 +4096,7 @@ object Similarity {
       .map(_.getSeq[Double](1)
         .map(x => math.floor(x * PqGridScale + 0.5).toLong).toArray)
     val sub = pqTrainInt(sample, 1, splitK, iters)(0)
-    if (sub.length < 2) return Seq.empty // degenerate cell: nothing to split
+    if (sub.length < 2) return unchanged // degenerate cell: nothing to split
     val newIds = (1 until sub.length).map(j => nlist + j - 1)
     // CRASH DISCIPLINE: the split is two non-atomic durable writes
     // (coarse, then vectors) — a crash between them would leave the
@@ -3890,9 +4164,11 @@ object Similarity {
     // a sub-centroid can end up with ZERO members (empty Lloyd cluster
     // kept its init centroid); dynamic overwrite only replaces
     // partitions PRESENT in the written data, so an empty split cell
-    // would otherwise keep its stale pre-split files
-    val liveCells = ready.groupBy("cell").agg(count(lit(1)))
-      .collect().map(_.getInt(0)).toSet
+    // would otherwise keep its stale pre-split files. The same bounded
+    // aggregate now also RETURNS the sub-cell counts, so the maintain
+    // loop's census updates without re-scanning the index (round 18).
+    val subCounts = ready.groupBy("cell").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     ready
       .repartition(col("cell"))
       .write.mode("overwrite")
@@ -3902,27 +4178,27 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     writeMarker(fs, s"$indexPath/$SplitVecsDoneMarker", "done")
-    touched.filterNot(liveCells.contains).foreach { c =>
+    touched.filterNot(subCounts.contains).foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$indexPath/vectors/cell=$c"), true)
     }
-    inParallel(
-      graphPath.toSeq.map(g => () =>
-        refreshNswGraphCells(s, indexPath, g, touched, m,
-          exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
-          longEdges = longEdges)) ++
-      layersPath.toSeq.map(lp => () =>
-        refreshNswLayersCells(s, indexPath, lp, touched, m, maxLayer,
-          branch, exactCellCeiling, randomInitCellCeiling,
-          randomInitSweeps, longEdges = longEdges)))
-    // the split is fully applied: clear the staging area
+    if (clearStaging) clearSplitStaging(s, indexPath)
+    (touched, subCounts, nextCoarse)
+  }
+
+  /** The split is fully applied: clear the staging area. Runs at the
+    * end of an index-only pass, or — on the direct reconcile path —
+    * only AFTER the graph/layer refresh, so a crash mid-refresh still
+    * leaves `_SPLIT_PENDING` for [[recoverPendingSkewSplit]]. */
+  private def clearSplitStaging(s: SparkSession, indexPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$indexPath/$SplitVecsDoneMarker"), false)
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$indexPath/$SplitPendingMarker"), false)
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$indexPath/coarse_prev"), true)
-    touched
   }
 
   private[graft] val SplitPendingMarker = "_SPLIT_PENDING"
@@ -4109,17 +4385,39 @@ object Similarity {
       out ++= parts(1).stripPrefix("new=").split(',')
         .filter(_.nonEmpty).map(_.toInt)
     }
+    // A crashed previous run's half-applied split completes or rolls
+    // back ONCE, before the state reads (the per-pass recover calls of
+    // the round-17 loop were no-ops after the first — a split that
+    // this loop itself just completed leaves no marker behind).
+    recoverPendingSkewSplit(s, indexPath, None, None, m,
+      longEdges, exactCellCeiling, randomInitCellCeiling,
+      randomInitSweeps, maxLayer, branch)
+    // Census + coarse read ONCE and maintained driver-side across
+    // passes (round 18): a split only moves the head cell's members
+    // among its sub-centroids, so the returned sub-cell counts update
+    // the census exactly — the round-17 loop re-scanned the whole
+    // vectors tree and re-read the coarse table on EVERY pass, a
+    // full-index scan per pass at deployment scale.
+    var census = s.read.parquet(s"$indexPath/vectors")
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var coarse = s.read.parquet(s"$indexPath/coarse").orderBy("cell")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toSeq
     var pass = 0
     var more = true
     while (more && pass < maxPasses) {
-      val t = reconcileCoarseSkew(s, indexPath, None, None,
-        threshold, splitK, trainSample, iters, m, longEdges,
-        exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
-        maxLayer, branch, maxCellCap)
+      val (t, subCounts, nextCoarse) = reconcileCoarseSkewPass(s,
+        indexPath, census, coarse, threshold, splitK, trainSample,
+        iters, maxCellCap, clearStaging = true)
       out ++= t
       more = t.nonEmpty
-      if (more) writeMarker(fs, s"$indexPath/$BalancePendingMarker",
-        out.mkString(","))
+      if (more) {
+        writeMarker(fs, s"$indexPath/$BalancePendingMarker",
+          out.mkString(","))
+        census = (census -- t) ++ subCounts
+        coarse = nextCoarse
+      }
       pass += 1
     }
     if (more)
@@ -4258,106 +4556,23 @@ object Similarity {
       beamUp: Int = 4,
       allowed: Option[DataFrame] = None): DataFrame = {
     LightFusion.ensureRegistered(s)
-    import s.implicits._
     val (probeRows, probeSchema) = trainedProbes(s, indexPath, q, nprobe)
     val cellIdx = probeSchema.fieldIndex("cell")
-    val qIdIdx = probeSchema.fieldIndex("q_id")
     val cellSet = probeRows.map(_.getInt(cellIdx)).distinct.sorted
-    val probesDf = broadcast(s.createDataFrame(
-        java.util.Arrays.asList(probeRows: _*), probeSchema)
-      .select(col("q_id").cast("long").as("q_id"), col("qg"), col("cell")))
-    val (grid, _) = nswPrunedReads(s, indexPath, graphPath, cellSet)
-    def score(cands: Seq[(Long, Int, Long)]): Seq[(Long, Int, Long, Long)] =
-      if (cands.isEmpty) Seq.empty
-      else cands.toDF("q_id", "cell", "node")
-        .join(probesDf, Seq("q_id", "cell"))
-        .join(grid, Seq("cell", "node"))
-        .select(col("q_id"), col("cell"), col("node"),
-          gridDist(col("qg"), col("g")).as("d"))
-        .collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-        .toSeq
-    // top entry per cell: lowest id of the highest layer that has any
-    // member there, falling through layer by layer to the flat min.
-    // The FLAT min-id entry (the dual seed's second half, used after
-    // the descent) rides the SAME aggregate — one job for both entry
-    // tables instead of two (round 17).
-    val lvl = nswLevel(col("node"), maxLayer, branch)
-    val entryRows = grid.groupBy("cell").agg(
-        coalesce((maxLayer to 1 by -1).map(l =>
-          min(when(lvl >= l, col("node")))) :+ min(col("node")): _*)
-          .as("node"),
-        min("node").as("flat"))
-      .collect()
-    val entryOf = entryRows.map(r => (r.getInt(0), r.getLong(1))).toMap
-    val flatEntryOf = entryRows.map(r => (r.getInt(0), r.getLong(2))).toMap
-    var entries: Seq[(Long, Int, Long, Long)] =
-      score(probeRows.toSeq.flatMap { r =>
-        val c = r.getInt(cellIdx)
-        entryOf.get(c).map(e =>
-          (r.get(qIdIdx).asInstanceOf[Number].longValue(), c, e))
-      })
-    for (l <- maxLayer to 1 by -1) {
-      val ladj = readNswAdjacency(s, s"$layersPath/layer=$l")
-        .select(col("cell").cast("int").as("cell"),
-          col("vec_id").as("node"), col("nbr"))
-        .where(col("cell").isin(cellSet.map(Int.box): _*))
-      val visited =
-        scala.collection.mutable.LinkedHashMap[(Long, Int, Long), Long]()
-      entries.foreach { case (qi, c, n, d) => visited((qi, c, n)) = d }
-      for (_ <- 1 to hopsUp) {
-        val frontier = visited.toSeq
-          .groupBy { case ((qi, c, _), _) => (qi, c) }
-          .toSeq.flatMap { case (_, members) =>
-            members.sortBy { case ((_, _, n), d) => (d, n) }.take(beamUp)
-              .map { case ((qi, c, n), _) => (qi, c, n) }
-          }
-        // ONE job per descent hop (round 17): expand + visited
-        // anti-join + score fused — see [[nswSearchStored]]'s hop note.
-        if (frontier.nonEmpty) {
-          frontier.toDF("q_id", "cell", "node")
-            .join(ladj, Seq("cell", "node"))
-            .select(col("q_id"), col("cell"), col("nbr").as("node"))
-            .join(broadcast(visited.keysIterator.toSeq
-              .toDF("q_id", "cell", "node")),
-              Seq("q_id", "cell", "node"), "left_anti")
-            .join(probesDf, Seq("q_id", "cell"))
-            .join(grid, Seq("cell", "node"))
-            .select(col("q_id"), col("cell"), col("node"),
-              gridDist(col("qg"), col("g")).as("d"))
-            .collect()
-            .foreach(r => visited.getOrElseUpdate(
-              (r.getLong(0), r.getInt(1), r.getLong(2)), r.getLong(3)))
-        }
-      }
-      // handoff: the best `beamUp` visited nodes per (query, cell) —
-      // carrying a single node down loses every runner-up basin, and
-      // on clustered corpora (where upper layers are the only
-      // cluster-crossing edges) that halves recall at mega-cells
-      entries = visited.toSeq
-        .groupBy { case ((qi, c, _), _) => (qi, c) }
-        .toSeq.flatMap { case ((qi, c), members) =>
-          members.sortBy { case ((_, _, nn), dd) => (dd, nn) }
-            .take(beamUp)
-            .map { case ((_, _, n), d) => (qi, c, n, d) }
-        }
-    }
-    // DUAL seed: the descent handoff PLUS the flat min-id entry. The
-    // handoff concentrates the walk near the query; the flat entry
-    // keeps the start diversity the flat walk had — without it a
-    // handoff into a deceptive basin (distance-concentrated noise)
-    // can do WORSE than the flat walk at the same budget (the scratch
-    // profile measured exactly that). Duplicate (q, cell, node) seeds
-    // collapse in the visited map.
-    val flatSeeds = probeRows.toSeq.flatMap { r =>
-      val c = r.getInt(cellIdx)
-      flatEntryOf.get(c).map(e =>
-        (r.get(qIdIdx).asInstanceOf[Number].longValue(), c, e))
-    }
-    nswSearchStored(s, indexPath, graphPath, q, k, nprobe, hops, beam,
-      allowed,
-      entrySeeds = Some(
-        entries.map { case (qi, c, n, _) => (qi, c, n) } ++ flatSeeds))
+    // ONE job (round 18): descent (top entry via the coalesce chain,
+    // hopsUp·beamUp greedy walk per layer, beamUp handoff) AND the
+    // DUAL-seeded flat walk (handoff + flat min-id entry — the
+    // descent concentrates the walk near the query, the flat entry
+    // keeps the start diversity; duplicates collapse in the visited
+    // map) all run inside the per-cell task, over the cogrouped grid
+    // + base/layer adjacencies. Replaces probes + entry-aggregate +
+    // maxLayer·hopsUp + 1 + hops driver round trips.
+    val visited = cellWalkVisited(s, indexPath, graphPath,
+      Some(layersPath), cellSet.toIndexedSeq,
+      probesByCell(probeRows, probeSchema), Map.empty, hops, beam,
+      maxLayer = maxLayer, branch = branch, hopsUp = hopsUp,
+      beamUp = beamUp)
+    walkTopKDf(s, visited.toIndexedSeq, k, allowed)
   }
 
   /** Census-sized walk budget: the round-14 profile shows a FIXED
@@ -4586,107 +4801,50 @@ object Similarity {
     val residual = readIndexResidual(s, indexPath)
     val coarseL = s.read.parquet(s"$indexPath/coarse").orderBy("cell")
       .collect().map(_.getSeq[Long](1).toArray)
-    val mPq = books.length
-    val kernel = new graft.functions.PqAdcKernel(
-      books.map(_.map(_.map(_.toDouble))))
     val (probeRows, probeSchema) = trainedProbes(s, indexPath, q, nprobe)
     val cellIdx = probeSchema.fieldIndex("cell")
-    val qIdIdx = probeSchema.fieldIndex("q_id")
     val cellSet = probeRows.map(_.getInt(cellIdx)).distinct.sorted
+    // ONE job (round 18): the ADC descent AND the dual-seeded ADC
+    // flat walk run inside the per-cell task over the cogrouped codes
+    // + base/layer adjacencies — every frontier evaluation reads m_pq
+    // bytes of code, exactly as the round-17 per-hop jobs did.
+    val visited = cellWalkVisited(s, indexPath, graphPath,
+      Some(layersPath), cellSet.toIndexedSeq,
+      probesByCell(probeRows, probeSchema), Map.empty, hops, beam,
+      maxLayer = maxLayer, branch = branch, hopsUp = hopsUp,
+      beamUp = beamUp,
+      adcBooks = Some(books.map(_.map(_.map(_.toDouble)))),
+      residual = residual,
+      coarseD = coarseL.map(_.map(_.toDouble)))
+    // dedupe (query, node) across probed cells (min ADC), refine cut,
+    // ONE exact grid re-rank — identical to [[nswSearchAdcStored]]'s
+    // tail (the only full-width vector reads of the whole search)
+    val refCands = visited.toSeq
+      .collect { case (qi, _, n, d) if n != qi => ((qi, n), d) }
+      .groupBy(_._1).map { case ((qi, n), ds) => (qi, n, ds.map(_._2).min) }
+      .toSeq
+      .groupBy(_._1).toSeq.flatMap { case (_, members) =>
+        members.sortBy { case (_, n, d) => (d, n) }.take(refine)
+          .map { case (qi, n, _) => (qi, n) }
+      }
+    if (refCands.isEmpty)
+      return s.emptyDataFrame
+        .select(lit(0L).as("q_id"), lit(0).as("rank"),
+          lit(0L).as("n_id"), lit(0L).as("d"))
     val probesDf = broadcast(s.createDataFrame(
         java.util.Arrays.asList(probeRows: _*), probeSchema)
-      .select(col("q_id").cast("long").as("q_id"),
-        col("qg").cast("array<double>").as("qgd"), col("cell")))
+      .select(col("q_id").cast("long").as("q_id"), col("qg")))
     val (grid, _) = nswPrunedReads(s, indexPath, graphPath, cellSet)
-    val codes = s.read.parquet(s"$indexPath/vectors")
-      .where(col("cell").isin(cellSet.map(Int.box): _*))
-      .select(col("vec_id").as("node") +:
-        col("cell").cast("int").as("cell") +:
-        (0 until mPq).map(j => col(s"code_$j")): _*)
-    val adcQuery =
-      if (!residual) col("qgd")
-      else zip_with(col("qgd"), centroidLookup(coarseL, col("cell")),
-        (a, b) => a - b)
-    val adcCol = SparkShims.column(graft.functions.PqAdc(
-      SparkShims.expression(adcQuery),
-      SparkShims.expression(array((0 until mPq).map(j =>
-        col(s"code_$j")): _*)),
-      kernel)).cast("bigint")
-    def score(cands: Seq[(Long, Int, Long)]): Seq[(Long, Int, Long, Long)] =
-      if (cands.isEmpty) Seq.empty
-      else cands.toDF("q_id", "cell", "node")
-        .join(probesDf, Seq("q_id", "cell"))
-        .join(codes, Seq("cell", "node"))
-        .select(col("q_id"), col("cell"), col("node"), adcCol.as("d"))
-        .collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-        .toSeq
-    val lvl = nswLevel(col("node"), maxLayer, branch)
-    // top entry AND flat min-id entry per cell in ONE aggregate/job
-    // (round 17) — the flat entry feeds the dual seed below.
-    val entryRows = grid.groupBy("cell").agg(
-        coalesce((maxLayer to 1 by -1).map(l =>
-          min(when(lvl >= l, col("node")))) :+ min(col("node")): _*)
-          .as("node"),
-        min("node").as("flat"))
-      .collect()
-    val entryOf = entryRows.map(r => (r.getInt(0), r.getLong(1))).toMap
-    val flatEntryOf = entryRows.map(r => (r.getInt(0), r.getLong(2))).toMap
-    var entries: Seq[(Long, Int, Long, Long)] =
-      score(probeRows.toSeq.flatMap { r =>
-        val c = r.getInt(cellIdx)
-        entryOf.get(c).map(e =>
-          (r.get(qIdIdx).asInstanceOf[Number].longValue(), c, e))
-      })
-    for (l <- maxLayer to 1 by -1) {
-      val ladj = readNswAdjacency(s, s"$layersPath/layer=$l")
-        .select(col("cell").cast("int").as("cell"),
-          col("vec_id").as("node"), col("nbr"))
-        .where(col("cell").isin(cellSet.map(Int.box): _*))
-      val visited =
-        scala.collection.mutable.LinkedHashMap[(Long, Int, Long), Long]()
-      entries.foreach { case (qi, c, n, d) => visited((qi, c, n)) = d }
-      for (_ <- 1 to hopsUp) {
-        val frontier = visited.toSeq
-          .groupBy { case ((qi, c, _), _) => (qi, c) }
-          .toSeq.flatMap { case (_, members) =>
-            members.sortBy { case ((_, _, n), d) => (d, n) }.take(beamUp)
-              .map { case ((qi, c, n), _) => (qi, c, n) }
-          }
-        // ONE job per descent hop (round 17): expand + visited
-        // anti-join + ADC score fused — see [[nswSearchStored]].
-        if (frontier.nonEmpty) {
-          frontier.toDF("q_id", "cell", "node")
-            .join(ladj, Seq("cell", "node"))
-            .select(col("q_id"), col("cell"), col("nbr").as("node"))
-            .join(broadcast(visited.keysIterator.toSeq
-              .toDF("q_id", "cell", "node")),
-              Seq("q_id", "cell", "node"), "left_anti")
-            .join(probesDf, Seq("q_id", "cell"))
-            .join(codes, Seq("cell", "node"))
-            .select(col("q_id"), col("cell"), col("node"), adcCol.as("d"))
-            .collect()
-            .foreach(r => visited.getOrElseUpdate(
-              (r.getLong(0), r.getInt(1), r.getLong(2)), r.getLong(3)))
-        }
-      }
-      entries = visited.toSeq
-        .groupBy { case ((qi, c, _), _) => (qi, c) }
-        .toSeq.flatMap { case ((qi, c), members) =>
-          members.sortBy { case ((_, _, nn), dd) => (dd, nn) }
-            .take(beamUp)
-            .map { case ((_, _, n), d) => (qi, c, n, d) }
-        }
-    }
-    val flatSeeds = probeRows.toSeq.flatMap { r =>
-      val c = r.getInt(cellIdx)
-      flatEntryOf.get(c).map(e =>
-        (r.get(qIdIdx).asInstanceOf[Number].longValue(), c, e))
-    }
-    nswSearchAdcStored(s, indexPath, graphPath, q, k, nprobe, hops, beam,
-      refine,
-      entrySeeds = Some(
-        entries.map { case (qi, c, n, _) => (qi, c, n) } ++ flatSeeds))
+    refCands.toDF("q_id", "node")
+      .join(probesDf.dropDuplicates("q_id"), Seq("q_id"))
+      .join(grid.dropDuplicates("node"), Seq("node"))
+      .select(col("q_id"), col("node"),
+        gridDist(col("qg"), col("g")).as("d"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("d"), col("node"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("node").as("n_id"), col("d"))
   }
 
   /** Census-sized REFINE budget for the ADC serving shape: 2× per

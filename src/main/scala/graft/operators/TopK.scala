@@ -2,10 +2,10 @@ package graft.operators
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Distributive top-k per key.
   *
@@ -90,5 +90,56 @@ object TopK {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(desc(scoreCol), col(tieCol))
     pre.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Exact global `row_number()` over a TOTAL order without the
+    * single-partition global sort: range-repartition + sort within
+    * partitions by `order`, ONE bounded job collects the per-partition
+    * row counts (P rows on the driver, never data), then each
+    * partition streams once more adding its exclusive-prefix offset —
+    * [[Corpus.budgetSelect]]'s distributed prefix sum, generalized
+    * from running token sums to ranks.
+    *
+    * `order` must be a TOTAL order (include a unique tie column):
+    * range boundaries may split runs of equal keys, and equal keys
+    * would make any rank assignment arbitrary in both plans anyway.
+    * Result is row-identical to
+    * `row_number().over(Window.orderBy(order: _*))` — TopKSpec pins
+    * it — with the rank typed `bigint` (a global rank can exceed an
+    * int at the scales that motivate this plan). */
+  def withGlobalRowNumber(
+      df: DataFrame, rnCol: String, order: Column*): DataFrame = {
+    require(order.nonEmpty, "withGlobalRowNumber needs an ordering")
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    // materialized once so the counts job and the final pass see
+    // identical range boundaries (the budgetSelect discipline)
+    val staged = df
+      .repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = staged.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = if (counts.isEmpty) 0 else counts.keysIterator.max + 1
+    val offsets = new Array[Long](n + 1)
+    var i = 0
+    while (i < n) {
+      offsets(i + 1) = offsets(i) + counts.getOrElse(i, 0L)
+      i += 1
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = staged.schema
+    val pidIdx = schema.fieldIndex("__pid")
+    val outSchema = StructType(
+      schema.fields :+ StructField(rnCol, LongType, nullable = false))
+    staged.mapPartitions { it =>
+      var rn = Long.MinValue // initialized from the first row's pid
+      it.map { row =>
+        if (rn == Long.MinValue) rn = bc.value(row.getInt(pidIdx))
+        rn += 1
+        Row.fromSeq(row.toSeq :+ rn)
+      }
+    }(Encoders.row(outSchema)).drop("__pid")
   }
 }

@@ -208,22 +208,23 @@ object Web {
     * machinery applied to ranks): `base = (budget·p) div T`,
     * remainder-ranked +1s fill the shortfall, ties broken by node name.
     *
-    * Scale note: the remainder ranking is a global window; at host-
-    * graph scale (10⁸ nodes) replace it with the budgetSelect
-    * range-repartition + partition-offset prefix sum — the entry keeps
-    * the window form because the oracle replays it directly. */
+    * Scale note (closed in round 18): the remainder ranking was a
+    * GLOBAL `row_number()` window — a single-partition sort of the
+    * full node table at host-graph scale (10⁸ nodes). The rank now
+    * comes from [[TopK.withGlobalRowNumber]]'s range-repartition +
+    * partition-offset prefix sum: the same total order
+    * (rem DESC, node — node names are unique), row-identical alloc,
+    * no single-task sort anywhere in the plan. */
   def crawlBudget(ranks: DataFrame, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
-    import org.apache.spark.sql.expressions.Window
     val tot = ranks.agg(sum("p").as("t"))
     val based = ranks.crossJoin(broadcast(tot))
       .select(col("node"), col("p"),
         expr(s"(p * ${budget}L) div t").as("base"),
         expr(s"(p * ${budget}L) % t").as("rem"))
     val sums = based.agg(sum("base").as("sb"))
-    val w = Window.orderBy(col("rem").desc, col("node"))
-    based.crossJoin(broadcast(sums))
-      .withColumn("rn", row_number().over(w))
+    TopK.withGlobalRowNumber(based.crossJoin(broadcast(sums)), "rn",
+        col("rem").desc, col("node"))
       .select(col("node"), col("p"),
         (col("base") +
           when(col("rn") <= lit(budget) - col("sb"), lit(1L))

@@ -1,0 +1,92 @@
+package graft.tools
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+import graft.{LightFusion, SparkEntry}
+
+/** Per-entry Spark JOB/STAGE/SHUFFLE counters — the round-17 verdict's
+  * replacement evidence for `.explain` on driver-orchestrated entries
+  * (whose final plan is a `LocalTableScan` that shows none of the work).
+  *
+  * `runMain graft.tools.JobStats <sfDir> <outDir> q270 q271 ...`
+  *
+  * For each named entry (prefix match) the tool runs the query TWICE:
+  * run 1 pays the memoized fixture builds (index/graph/layers), run 2 is
+  * the steady-state cost — the one the bench's median-of-3 reflects.
+  * Both runs' counters are recorded to `<outDir>/<name>_jobs.txt`:
+  * jobs, stages, tasks, shuffle bytes read/written, elapsed seconds.
+  * Counter deltas between a `_before` and `_after` archive are the
+  * optimization evidence ("hops×2+2 jobs → 3").
+  */
+object JobStats {
+  private final class Counters extends SparkListener {
+    val jobs = new AtomicInteger
+    val stages = new AtomicInteger
+    val tasks = new AtomicInteger
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    override def onJobStart(j: SparkListenerJobStart): Unit =
+      jobs.incrementAndGet()
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      tasks.addAndGet(sc.stageInfo.numTasks)
+    }
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def snapshot: (Int, Int, Int, Long, Long) =
+      (jobs.get, stages.get, tasks.get, shuffleRead.get, shuffleWrite.get)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("plans/r18")
+    val wanted = args.drop(2)
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "4") + "]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    LightFusion.ensureRegistered(spark)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted.isEmpty || wanted.exists(n.startsWith) }
+    qs.foreach { case (name, fn) =>
+      val lines = (1 to 2).map { run =>
+        val c = new Counters
+        spark.sparkContext.addSparkListener(c)
+        val t0 = System.nanoTime()
+        val rows =
+          try fn(spark, sfDir).queryExecution.toRdd.count()
+          catch { case e: Throwable =>
+            System.err.println(s"[jobstats] $name failed: ${e.getMessage}")
+            -1L
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener bus is async: drain it so the snapshot is complete
+        org.apache.spark.sql.graft.SparkShims.drainListenerBus(spark)
+        spark.sparkContext.removeSparkListener(c)
+        val (j, st, tk, sr, sw) = c.snapshot
+        f"run$run: jobs=$j stages=$st tasks=$tk shuffle_read=$sr " +
+          f"shuffle_write=$sw rows=$rows sec=$sec%.3f"
+      }
+      val txt = (s"$name" +: lines).mkString("", "\n", "\n")
+      print(txt)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/${name}_jobs.txt"),
+        txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    spark.stop()
+  }
+}

@@ -42,4 +42,13 @@ object SparkShims {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.functionExists(FunctionIdentifier(name))
   }
+
+  /** Block until the listener bus has delivered every queued event —
+    * `listenerBus` is `private[spark]`, hence the shim. Used by the
+    * job/stage-counting measurement tools so a snapshot taken right
+    * after an action isn't missing events still in flight. */
+  def drainListenerBus(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sparkContext.listenerBus.waitUntilEmpty()
+  }
 }

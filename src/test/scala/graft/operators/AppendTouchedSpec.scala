@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Pins [[Similarity.appendToTrainedIvfPqIndexTouched]]'s replay-based
+  * touched set against the ground truth it replaced: reading the whole
+  * vectors tree back and semi-joining the batch ids (the round-17
+  * advice — a future encode-path change must not silently
+  * desynchronize the maintenance loops' refresh scoping). */
+class AppendTouchedSpec extends AnyFunSuite with SparkTestBase {
+
+  private def embAt(dir: String) =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+
+  test("touched set equals the read-back semi-join on the stored tree") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_appendtouched").toString
+    val idx = s"$root/idx"
+    val emb = embAt(sfDir)
+    Similarity.buildTrainedIvfPqIndexAt(spark,
+      emb.where(col("vec_id") >= 100), idx,
+      nlist = 8, m = 4, ks = 8, trainSample = 64, iters = 2)
+    val batch = emb.where(col("vec_id") < 100)
+    val touched =
+      Similarity.appendToTrainedIvfPqIndexTouched(spark, batch, idx)
+    // ground truth: the cells the batch's rows actually landed in,
+    // read back from the stored tree
+    val readBack = spark.read.parquet(s"$idx/vectors")
+      .join(batch.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    assert(touched == readBack)
+    assert(touched.nonEmpty)
+    // and the append itself landed every batch row exactly once
+    val n = spark.read.parquet(s"$idx/vectors")
+      .join(batch.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .count()
+    assert(n == batch.count())
+  }
+}

@@ -78,4 +78,28 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
       .select("q_id", "rank", "n_id").collect().map(_.toSeq).toSet
     assert(fast == ref)
   }
+
+  test("withGlobalRowNumber equals the global window row_number exactly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // deliberate score ties; id makes the order total (the contract)
+    val data = Seq.tabulate(4000) { i => (rng.nextInt(50).toLong, i.toLong) }
+    val df = data.toDF("rem", "id").repartition(8)
+
+    val fast = TopK.withGlobalRowNumber(df, "rn",
+        col("rem").desc, col("id"))
+      .select(col("rem"), col("id"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val w = Window.orderBy(col("rem").desc, col("id"))
+    val ref = df.withColumn("rn", row_number().over(w))
+      .select(col("rem"), col("id"), col("rn").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(fast == ref)
+    // and the plan carries no global-sort single-partition window
+    val plan = TopK.withGlobalRowNumber(df, "rn",
+      col("rem").desc, col("id")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
 }
