@@ -283,6 +283,35 @@ object Bench {
       if (ratios.isEmpty) ""
       else s""","flag_rule":2,"budget_median_ratio":${num(medianRatio)},"over_budget":""" +
         flagList(flagged) + s""","suspect_contention":${flagList(suspect)}"""
+    // ISOLATED RE-TIME (round 18): a flag whose entry-window contention
+    // stamps fired (over_budget ∩ suspect_contention) has burned an
+    // external adjudication in two separate rounds — the artifact now
+    // adjudicates itself. Those entries re-run AFTER the suite in a
+    // fresh re-warmed session, same median-of-reps discipline, and the
+    // JSON carries both numbers (`isolated_sec`). Additions-only: the
+    // suite timings above are computed before this block runs.
+    val isolated: Seq[(String, Double)] =
+      if (suspect.isEmpty) Seq.empty
+      else {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = buildSession(cpus)
+        warm(spark, sfDir)
+        val byName = SparkEntry.queries.toSeq.toMap
+        suspect.map { case (name, _) =>
+          val ts = (1 to reps).map(_ => timeOnce(name, byName(name)))
+          spark.catalog.clearCache()
+          System.gc()
+          val med = if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(reps / 2)
+          System.err.println(f"[bench] isolated re-time: $name $med%.3f s")
+          name -> med
+        }
+      }
+    val isolatedJson =
+      if (isolated.isEmpty) ""
+      else s""","isolated_sec":""" + isolated.map { case (k, v) =>
+        "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     // stop BEFORE printing: the JSON must be the final stdout line (the
     // driver's parser reads the last line; Spark's shutdown chatter goes
     // to stderr, but ordering the stop first removes any race)
@@ -296,7 +325,7 @@ object Bench {
     val loadJson = s""","load_start":${loadArr(loadStart)},"load_end":${
         loadArr(loadEnd)},"spin_min_ms":${num(spinMin)},"spin_ms":$spinJson,"steal_pct":$stealJson"""
     val fullJson =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$failedJson$budgetJson$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$failedJson$budgetJson$isolatedJson$loadJson,"sf":"$sfDir"}"""
     // The driver's stdout tail buffer truncated the 84-query line mid-map
     // in round 7 (BENCH_r07 "parsed": null). Defend three ways: persist the
     // full record to a local file, print it one line early, and make the
