@@ -2371,20 +2371,17 @@ object Similarity {
     // dynamic overwrite is a PER-WRITE DataFrameWriter option (not a
     // session-conf mutation): two refreshes sharing one session can't
     // race each other into static mode and drop untouched partitions
-    writeNswAdjacency(s, indexPath, graphPath, m, Some(cells),
+    val counts = writeNswAdjacency(s, indexPath, graphPath, m, Some(cells),
       exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
       longEdges = longEdges)
     // dynamic overwrite only replaces partitions PRESENT in the written
     // data — a refreshed cell that now has ≤1 member produces no pairs,
     // writes nothing, and would keep its stale files (reading the graph
     // back can't tell: the stale rows are still there). The should-have-
-    // adjacency set comes from the INDEX members instead; the check is
-    // bounded by the touched-cell count.
-    val live = s.read.parquet(s"$indexPath/vectors")
-      .where(col("cell").isin(cells.map(Int.box): _*))
-      .groupBy(col("cell").cast("int").as("__c"))
-      .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
-      .collect().map(_.getInt(0)).toSet
+    // adjacency set comes from the INDEX members — since round 18 the
+    // member counts the write's own routing aggregate computed over the
+    // same touched-cell scan, not a second read of the index.
+    val live = counts.collect { case (c, n) if n > 1 => c }.toSet
     val fs = new org.apache.hadoop.fs.Path(graphPath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     cells.filterNot(live.contains).foreach { c =>
@@ -2595,6 +2592,10 @@ object Similarity {
       .partitionBy("cell").parquet(graphPath)
   }
 
+  /** Returns the per-cell ELIGIBLE-member counts its routing aggregate
+    * already computed (grid = memberFilter ∩ onlyCells), so refresh
+    * callers derive their stale-partition check from it instead of
+    * re-scanning the index (round 18). */
   private def writeNswAdjacency(
       s: SparkSession,
       indexPath: String,
@@ -2605,7 +2606,7 @@ object Similarity {
       randomInitCeiling: Int,
       randomSweeps: Int,
       memberFilter: Option[Column] = None,
-      longEdges: Int = 0): Unit = {
+      longEdges: Int = 0): Map[Int, Long] = {
     require(exactCellCeiling >= 1,
       s"exactCellCeiling must be >= 1: $exactCellCeiling")
     // an exact-eligible cell never routes random: raising ONLY the
@@ -2680,6 +2681,7 @@ object Similarity {
       if (longEdges > 0)
         addLongEdges(s, grid, graphPath, longEdges, onlyCells, m)
     }
+    counts
   }
 
   /** Lehmer multipliers for the long-edge rounds (MINSTD and its two
@@ -3948,17 +3950,15 @@ object Similarity {
     inParallel((1 to maxLayer).map(l => () => {
       val p = s"$layersPath/layer=$l"
       val f = nswLevel(col("vec_id"), maxLayer, branch) >= l
-      writeNswAdjacency(s, indexPath, p, m, Some(cells),
+      val counts = writeNswAdjacency(s, indexPath, p, m, Some(cells),
         exactCellCeiling, randomInitCellCeiling, randomInitSweeps,
         memberFilter = Some(f), longEdges = longEdges)
       // same contract as refreshNswGraphCells: a refreshed (layer,
       // cell) that now has ≤ 1 eligible member writes no rows and
-      // must not keep stale files
-      val live = s.read.parquet(s"$indexPath/vectors").where(f)
-        .where(col("cell").isin(cells.map(Int.box): _*))
-        .groupBy(col("cell").cast("int").as("__c"))
-        .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
-        .collect().map(_.getInt(0)).toSet
+      // must not keep stale files — the eligible-member counts come
+      // from the write's own routing aggregate (round 18), not a
+      // second filtered read of the index per layer
+      val live = counts.collect { case (c, n) if n > 1 => c }.toSet
       cells.filterNot(live.contains).foreach { c =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$p/cell=$c"), true)
       }
