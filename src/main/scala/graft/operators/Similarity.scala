@@ -2289,64 +2289,140 @@ object Similarity {
       case Some(cs) => df.where(col("cell").isin(cs.map(Int.box): _*))
       case None => df
     }
+    // EXECUTOR-SIDE SWEEPS (round 18): every stage of an NN-descent
+    // iteration — the undirected cap, the two-hop closure through each
+    // center, candidate scoring, the per-vertex top-m cut and the
+    // bridge pass-through merge — is keyed by (cell, vertex) and never
+    // crosses cells, so ALL `iters` sweeps run inside one task per
+    // cell over the cogrouped grid + adjacency, iterating in memory.
+    // The round-17 shape paid, PER ITERATION: an adjacency read (with
+    // its legacy-flag aggregate), a 2× symmetrize shuffle, two TopK
+    // passes, a self-join, two grid joins, a checkpoint and a write —
+    // now one cogroup job + one write total, arithmetic and tie-breaks
+    // identical (grid distances are exact longs; the per-vertex cut
+    // and the cap order by (d, id) exactly as TopK.perKey did;
+    // NswGraphSpec's fixed-point and bridge-survival pins hold, and
+    // q260's in-entry sweep ≡ fixed-point gate re-proves it per run).
+    // Memory: one task holds one cell's grid + adjacency + bounded
+    // heaps — the fitted-edge cap bounds this like the serving walk.
     val grid = cellCut(s.read.parquet(s"$indexPath/vectors")
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
         gridLongs(col("v")).as("g")))
-    for (_ <- 1 to iters) {
-      val adjAll =
-        readNswAdjacencyClassed(s, graphPath, m, cells = onlyCells)
-      // long-range bridges PASS THROUGH a sweep untouched (they are far
-      // by construction — a grid-nearest cut would strip them); the
-      // sweep refines only the base m-NN pool. In the build flow
-      // bridges go on after the sweeps, so this split is a no-op there;
-      // it matters for standalone refinement of a bridged graph.
-      val longRows = adjAll.where(col("is_long"))
-        .select("cell", "vec_id", "nbr", "d", "is_long")
-      val adj = adjAll.where(!col("is_long"))
-        .select("cell", "vec_id", "nbr", "d")
-      // undirected edges carry the stored exact distance (symmetric), so
-      // the per-center cap keeps the `cap` (default 3m) grid-closest
-      // members deterministically
-      val undAll = adj.select(col("cell"), col("vec_id").as("w"),
-          col("nbr").as("x"), col("d"))
-        .unionByName(adj.select(col("cell"), col("nbr").as("w"),
-          col("vec_id").as("x"), col("d")))
-        .groupBy("cell", "w", "x").agg(min("d").as("d"))
-      val und = TopK.perKey(
-          undAll.withColumn("__s", -col("d").cast("double")),
-          Seq("w"), "__s", "x", cap)
-        .select("cell", "w", "x")
-      val twoHop = und.select(col("cell"), col("w"), col("x").as("u"))
-        .join(und.select(col("cell"), col("w"), col("x").as("nbr2")),
-          Seq("cell", "w"))
-        .where(col("u") =!= col("nbr2"))
-        .select(col("cell"), col("u").as("vec_id"), col("nbr2").as("nbr"))
-      val cands = twoHop
-        .unionByName(adj.select(col("cell"), col("vec_id"), col("nbr")))
-        .distinct()
-      val scored = cands
-        .join(grid, Seq("cell", "vec_id"))
-        .join(grid.select(col("cell"), col("vec_id").as("nbr"),
-          col("g").as("ng")), Seq("cell", "nbr"))
-        .select(col("cell"), col("vec_id"), col("nbr"),
-          gridDist(col("g"), col("ng")).as("d"))
-      val next = TopK.perKey(
-          scored.withColumn("__s", -col("d").cast("double")),
-          Seq("vec_id"), "__s", "nbr", m)
-        .select("cell", "vec_id", "nbr", "d")
-        .withColumn("is_long", lit(false))
-        // base wins on a collision (a refined edge that duplicates a
-        // bridge slot keeps the base class — addLongEdges' dedup rule)
-        .unionByName(longRows)
-        .groupBy("cell", "vec_id", "nbr")
-        .agg(min("d").as("d"), min("is_long").as("is_long"))
-        .localCheckpoint() // break lineage off graphPath before overwrite
-      next.repartition(col("cell"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode",
-          if (onlyCells.isDefined) "dynamic" else "static")
-        .partitionBy("cell").parquet(graphPath)
-    }
+    val adjAll = readNswAdjacencyClassed(s, graphPath, m, cells = onlyCells)
+      .select(col("cell"), col("vec_id"), col("nbr"), col("d"),
+        col("is_long"))
+    val gridRdd = grid.rdd.map(r =>
+      (r.getInt(0), (r.getLong(1), r.getSeq[Long](2).toArray)))
+    val adjRdd = adjAll.rdd.map(r =>
+      (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))))
+    val nParts = math.max(1, onlyCells.map(_.size)
+      .getOrElse(s.sparkContext.defaultParallelism))
+    val (nIters, capN, mN) = (iters, cap, m)
+    val outRows = gridRdd
+      .cogroup(adjRdd, new org.apache.spark.HashPartitioner(nParts))
+      .flatMap { case (cell, (vs, es)) =>
+        import scala.collection.mutable
+        val gmap = new mutable.LongMap[Array[Long]]()
+        vs.foreach { case (n, g) => gmap(n) = g }
+        // current state: base rows and pass-through long rows
+        var base = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var longRows = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        es.foreach { case (v, n, d, isLong) =>
+          if (isLong) longRows += ((v, n, d)) else base += ((v, n, d))
+        }
+        var sweep = 0
+        while (sweep < nIters) {
+          // undirected neighborhoods with min stored distance
+          val und = new mutable.LongMap[mutable.LongMap[Long]]()
+          def undAdd(w: Long, x: Long, d: Long): Unit = {
+            val inner = und.getOrElseUpdate(w, new mutable.LongMap[Long]())
+            val old = inner.get(x)
+            if (old.isEmpty || d < old.get) inner(x) = d
+          }
+          base.foreach { case (v, n, d) => undAdd(v, n, d); undAdd(n, v, d) }
+          // per-vertex bounded top-m accumulators by (d asc, nbr asc)
+          val heaps = new mutable.LongMap[mutable.TreeSet[(Long, Long)]]()
+          def insert(u: Long, x: Long, d: Long): Unit = {
+            val h = heaps.getOrElseUpdate(u,
+              mutable.TreeSet.empty[(Long, Long)])
+            val e = (d, x)
+            if (!h.contains(e)) {
+              h += e
+              if (h.size > mN) h -= h.last
+            }
+          }
+          // candidates: every current base edge...
+          base.foreach { case (v, n, _) =>
+            if (gmap.contains(v) && gmap.contains(n))
+              insert(v, n, gridDistLocal(gmap(v), gmap(n)))
+          }
+          // ...plus the two-hop closure through each center's capped
+          // undirected neighborhood
+          und.foreach { case (_, inner) =>
+            val members = inner.toArray
+            scala.util.Sorting.stableSort(members,
+              (a: (Long, Long), b: (Long, Long)) =>
+                a._2 < b._2 || (a._2 == b._2 && a._1 < b._1))
+            val kept = members.iterator.take(capN).map(_._1).toArray
+            var i = 0
+            while (i < kept.length) {
+              val u = kept(i)
+              if (gmap.contains(u)) {
+                val gu = gmap(u)
+                var j = 0
+                while (j < kept.length) {
+                  val x = kept(j)
+                  if (x != u && gmap.contains(x))
+                    insert(u, x, gridDistLocal(gu, gmap(x)))
+                  j += 1
+                }
+              }
+              i += 1
+            }
+          }
+          // merge: refined base top-m wins class collisions with the
+          // pass-through bridges (min d — equal by exactness — and
+          // min is_long: false wins, addLongEdges' dedup rule)
+          val nextBase = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          val baseKeys = new mutable.HashSet[(Long, Long)]()
+          heaps.foreach { case (u, h) =>
+            h.foreach { case (d, x) =>
+              nextBase += ((u, x, d))
+              baseKeys += ((u, x))
+            }
+          }
+          val nextLong = longRows.filterNot { case (v, n, _) =>
+            baseKeys.contains((v, n))
+          }
+          base = nextBase
+          longRows = nextLong
+          sweep += 1
+        }
+        base.iterator.map { case (v, n, d) => (cell, v, n, d, false) } ++
+          longRows.iterator.map { case (v, n, d) => (cell, v, n, d, true) }
+      }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("nbr",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("is_long",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val next = s.createDataFrame(
+        outRows.map { case (c, v, n, d, l) =>
+          org.apache.spark.sql.Row(c, v, n, d, l)
+        }, outSchema)
+      .localCheckpoint() // break lineage off graphPath before overwrite
+    next.repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode",
+        if (onlyCells.isDefined) "dynamic" else "static")
+      .partitionBy("cell").parquet(graphPath)
   }
 
   /** Graph MAINTENANCE: rebuild the adjacency of ONLY the named cells
@@ -4074,7 +4150,9 @@ object Similarity {
       trainSample: Int,
       iters: Int,
       maxCellCap: Long,
-      clearStaging: Boolean): (Seq[Int], Map[Int, Long], Seq[(Int, Seq[Long])]) = {
+      clearStaging: Boolean,
+      quantizers: Option[() => (Array[Array[Array[Long]]], Boolean)] = None)
+      : (Seq[Int], Map[Int, Long], Seq[(Int, Seq[Long])]) = {
     import s.implicits._
     val unchanged = (Seq.empty[Int], census, oldCoarse)
     val total = census.valuesIterator.sum
@@ -4106,11 +4184,18 @@ object Similarity {
     // _SPLIT_PENDING marker BEFORE the first overwrite, stamp
     // _SPLIT_VECS_DONE after the vectors commit; the next maintenance
     // call's [[recoverPendingSkewSplit]] completes or rolls back.
-    oldCoarse.toSeq.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$indexPath/coarse_prev")
+    // The staged copy is a FILE copy of the stored table (round 18):
+    // `oldCoarse` always equals what `$indexPath/coarse` holds on disk
+    // (the caller reads it from there, or from the previous pass's
+    // committed write), so copying bytes replaces the round-17 shape's
+    // Spark write job over ~nlist rows.
     val fs0 = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prevPath = new org.apache.hadoop.fs.Path(s"$indexPath/coarse_prev")
+    fs0.delete(prevPath, true)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs0, new org.apache.hadoop.fs.Path(s"$indexPath/coarse"),
+      fs0, prevPath, false, s.sparkContext.hadoopConfiguration)
     writeMarker(fs0, s"$indexPath/$SplitPendingMarker",
       s"sc=$sc;new=${newIds.mkString(",")}")
     // quantizers first (the build discipline): the coarse table must be
@@ -4132,12 +4217,17 @@ object Similarity {
       SparkShims.expression(qv), kernel))
     val cellOf = when(col("__sub") === 0, lit(sc))
       .otherwise(lit(nlist - 1) + col("__sub")).cast("int")
-    val books = readStoredBooks(s, indexPath)
+    // codebooks + residual flag never change across split passes —
+    // the maintain loop reads them once (lazily: only a tripped pass
+    // reaches this line) and threads them through
+    val (books, residual) = quantizers.map(_())
+      .getOrElse((readStoredBooks(s, indexPath),
+        readIndexResidual(s, indexPath)))
     val mPq = books.length
     val subW = books(0)(0).length
     val withSub = members.withColumn("__sub", subIdx)
     val reassigned =
-      if (!readIndexResidual(s, indexPath))
+      if (!residual)
         withSub.select(col("vec_id") +: col("v") +:
           (0 until mPq).map(j => col(s"code_$j")) :+
           cellOf.as("cell"): _*)
@@ -4404,12 +4494,17 @@ object Similarity {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     var coarse = s.read.parquet(s"$indexPath/coarse").orderBy("cell")
       .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toSeq
+    // codebooks are immutable across split passes — read once, lazily
+    // (a balanced census never needs them)
+    lazy val quantizers =
+      (readStoredBooks(s, indexPath), readIndexResidual(s, indexPath))
     var pass = 0
     var more = true
     while (more && pass < maxPasses) {
       val (t, subCounts, nextCoarse) = reconcileCoarseSkewPass(s,
         indexPath, census, coarse, threshold, splitK, trainSample,
-        iters, maxCellCap, clearStaging = true)
+        iters, maxCellCap, clearStaging = true,
+        quantizers = Some(() => quantizers))
       out ++= t
       more = t.nonEmpty
       if (more) {

@@ -4566,9 +4566,16 @@ object PipelineQueries {
     val after = s.read.parquet(graph)
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
         col("nbr"), col("d"))
-    val nBefore = before.count()
-    require(after.count() == nBefore &&
-      after.exceptAll(before).count() == 0L,
+    // multiset equality in ONE aggregate (round 18): signed union +
+    // group-count — zero everywhere ⟺ same rows with same
+    // multiplicities, the exact gate the three-job count/count/
+    // exceptAll form checked
+    val mismatch = before.withColumn("__s", lit(1L))
+      .unionByName(after.withColumn("__s", lit(-1L)))
+      .groupBy("cell", "vec_id", "nbr", "d")
+      .agg(sum("__s").as("__t")).where(col("__t") =!= 0L)
+      .count()
+    require(mismatch == 0L,
       "q260: NN-descent sweep must be a fixed point on an exact adjacency")
     Similarity.nswSearchStored(s, idx, graph,
       emb.where(col("vec_id") < 5)
