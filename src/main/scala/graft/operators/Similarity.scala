@@ -2703,44 +2703,32 @@ object Similarity {
     val counts = grid.groupBy("cell").agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val randomCells = counts.filter(_._2 > randCeil)
-    val candCells = counts.collect { case (c, n)
-      if n > exactCellCeiling && n <= randCeil => c }.toSet
-    val nonExact = candCells ++ randomCells.keySet
-    val exactSide =
-      if (nonExact.isEmpty) grid
-      else grid.where(!col("cell").isin(nonExact.toSeq.map(Int.box): _*))
-    val nbrs = exactSide.select(col("cell"), col("vec_id").as("nbr"),
-      col("g").as("ng"))
-    val exactPairs = exactSide.join(nbrs, Seq("cell"))
-      .where(col("vec_id") =!= col("nbr"))
-      .select(col("cell"), col("vec_id"), col("nbr"),
-        gridDist(col("g"), col("ng")).as("d"))
-    // grid dists are ≲ 2.7e8 for 64 dims on the 2¹⁰ grid — exact in a
-    // double, so the negated heap score ranks identically to (d, nbr)
-    val exactAdj = TopK.perKey(
-        exactPairs.withColumn("__s", -col("d").cast("double")),
-        Seq("vec_id"), "__s", "nbr", m)
-      .select("cell", "vec_id", "nbr", "d")
-    var adjacency = exactAdj
-    if (candCells.nonEmpty)
-      adjacency = adjacency.unionByName(
-        candidateBoundedAdjacency(s, indexPath, candCells, m, memberFilter))
-    if (randomCells.nonEmpty)
-      adjacency = adjacency.unionByName(
-        randomInitAdjacency(s, indexPath, randomCells, m, memberFilter))
-    val flagged = adjacency.withColumn("is_long", lit(false))
-    if (randomCells.isEmpty && longEdges > 0) {
-      // no sweep will touch the fresh adjacency, so the bridge pass can
-      // run against the IN-MEMORY edge set and every cell partition
-      // writes ONCE (round 17) — the former shape wrote the base
-      // adjacency, read it back (plus a legacy-flag aggregate), and
-      // rewrote the same partitions with the bridges unioned in.
-      // Read-back ≡ in-memory here: the classed read of a just-written
-      // uniform-flag graph returns exactly the written rows.
-      addLongEdges(s, grid, graphPath, longEdges, onlyCells, m,
-        baseCutOpt = Some(flagged))
+    val ecCells = counts.keysIterator
+      .filterNot(randomCells.keySet.contains).toSeq.sorted
+    // EXECUTOR-SIDE exact/candidate legs (round 18,
+    // [[localCellAdjacency]]): one grouped job computes each cell's
+    // top-m adjacency inside its own task (all-pairs, or ADC-top-4m +
+    // exact cut, routed by the same counts), and on the fresh-build
+    // path — no sweep coming — the bridge pass FUSES into the same
+    // job, so base + bridges land in ONE write with no self-join /
+    // TopK / group-by exchanges. Random-route mega-cells keep the
+    // distributed sub-quadratic init + the (executor-side, round-18)
+    // NN-descent sweeps + the stored-graph bridge pass.
+    if (randomCells.isEmpty) {
+      localCellAdjacency(s, indexPath, ecCells, counts,
+          exactCellCeiling, m, memberFilter, longEdges)
+        .repartition(col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode",
+          if (onlyCells.isDefined) "dynamic" else "static")
+        .partitionBy("cell").parquet(graphPath)
     } else {
-      flagged
+      val adjacency = localCellAdjacency(s, indexPath, ecCells, counts,
+          exactCellCeiling, m, memberFilter, longEdges = 0)
+        .select("cell", "vec_id", "nbr", "d")
+        .unionByName(
+          randomInitAdjacency(s, indexPath, randomCells, m, memberFilter))
+      adjacency.withColumn("is_long", lit(false))
         .repartition(col("cell"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode",
@@ -2749,7 +2737,7 @@ object Similarity {
       // NN-descent closes the random init's recall gap; sweeps touch
       // ONLY the mega-cells' partitions (on exact/candidate cells a
       // sweep is wasted work, and on exact cells a provable no-op)
-      if (randomCells.nonEmpty && randomSweeps > 0)
+      if (randomSweeps > 0)
         refineNswGraphAt(s, indexPath, graphPath, m, iters = randomSweeps,
           onlyCells = Some(randomCells.keys.toSeq.sorted))
       // long edges go on LAST: the refine sweeps above cut to the m
@@ -2796,8 +2784,7 @@ object Similarity {
       graphPath: String,
       longEdges: Int,
       onlyCells: Option[Seq[Int]],
-      m: Int,
-      baseCutOpt: Option[DataFrame] = None): Unit = {
+      m: Int): Unit = {
     import s.implicits._
     require(longEdges <= NswLongEdgeMuls.size,
       s"longEdges must be <= ${NswLongEdgeMuls.size}: $longEdges")
@@ -2827,11 +2814,11 @@ object Similarity {
         Seq("vec_id", "r"), "__s", "nbr", 1)
       .select("cell", "vec_id", "nbr", "d")
       .withColumn("is_long", lit(true))
-    // fresh-build path: the caller passes the just-computed edge set
-    // (one write instead of write + read-back + rewrite, round 17);
-    // standalone calls still read the stored graph back
-    val baseCut = baseCutOpt.getOrElse(
-      readNswAdjacencyClassed(s, graphPath, m, cells = onlyCells))
+    // fresh-build bridges fuse into [[localCellAdjacency]]'s grouped
+    // job since round 18; this stored-graph read-back pass remains for
+    // the random-route build (bridges go on after the sweeps) and for
+    // standalone bridge maintenance
+    val baseCut = readNswAdjacencyClassed(s, graphPath, m, cells = onlyCells)
     // a long edge landing on an existing base neighbor dedups away and
     // the pair stays BASE-classed (min over booleans: false wins) — the
     // persisted flag records the class the build semantics chose, so
@@ -2857,52 +2844,222 @@ object Similarity {
     * query side exactly as the serving ADC does — same-cell members
     * share the centroid, so candidate ranking matches what a serving
     * scan of that cell would produce. */
-  private def candidateBoundedAdjacency(
+  /** EXECUTOR-SIDE per-cell base adjacency for the EXACT and
+    * CANDIDATE-BOUNDED build routes, with the bridge pass optionally
+    * FUSED (round 18): one grouped job computes, inside each cell's
+    * task, the all-pairs (exact) or ADC-top-4m + exact-cut (candidate)
+    * top-m adjacency and — when `longEdges` > 0 — the Lehmer-grouped
+    * long edges, merged under the house collision rule (base wins,
+    * min d). Replaces the round-17 shape's self-join + two TopK
+    * shuffles (+ the bridge pass's keyed join + group-by + checkpoint):
+    * same arithmetic (exact grid longs; ADC sums of integer-valued
+    * doubles compared exactly as the heap did), same (score, nbr)
+    * tie-breaks, row-identical output (NswGraphSpec pins the routes;
+    * every graph entry's oracle replays the build).
+    *
+    * `counts` routes each cell exactly as the caller's aggregate did;
+    * cells above the random ceiling must not be passed here (the
+    * random-init leg keeps its sub-quadratic distributed form).
+    * Memory: one task holds one cell's grid (+ codes on candidate
+    * cells) + bounded heaps — ≤ the candidate ceiling (65536 rows). */
+  private def localCellAdjacency(
       s: SparkSession,
       indexPath: String,
-      cells: Set[Int],
+      cellsWanted: Seq[Int],
+      counts: Map[Int, Long],
+      exactCeiling: Int,
       m: Int,
-      memberFilter: Option[Column] = None): DataFrame = {
-    val books = readStoredBooks(s, indexPath)
-    val residual = readIndexResidual(s, indexPath)
-    val coarseL = s.read.parquet(s"$indexPath/coarse").orderBy("cell").collect()
-      .map(_.getSeq[Long](1).toArray)
+      memberFilter: Option[Column],
+      longEdges: Int): DataFrame = {
+    val needCodes = cellsWanted.exists(c =>
+      counts.getOrElse(c, 0L) > exactCeiling)
+    val (books, residual, coarseD) =
+      if (!needCodes) (Array.empty[Array[Array[Double]]], false,
+        Array.empty[Array[Double]])
+      else (readStoredBooks(s, indexPath).map(_.map(_.map(_.toDouble))),
+        readIndexResidual(s, indexPath),
+        s.read.parquet(s"$indexPath/coarse").orderBy("cell").collect()
+          .map(_.getSeq[Long](1).toArray.map(_.toDouble)))
     val mPq = books.length
-    val adcKernel = new graft.functions.PqAdcKernel(
-      books.map(_.map(_.map(_.toDouble))))
     val read0 = s.read.parquet(s"$indexPath/vectors")
     val members = memberFilter.fold(read0)(read0.where)
-      .where(col("cell").isin(cells.toSeq.map(Int.box): _*))
-    val queries = members.select(col("cell").cast("int").as("cell"),
-      col("vec_id"), gridLongs(col("v")).cast("array<double>").as("qgd"))
-    val codes = members.select(col("cell").cast("int").as("cell"),
-      col("vec_id").as("nbr"),
-      array((0 until mPq).map(j => col(s"code_$j")): _*).as("codes"))
-    val adcQuery =
-      if (!residual) col("qgd")
-      else zip_with(col("qgd"), centroidLookup(coarseL, col("cell")),
-        (a, b) => a - b)
-    val adc = SparkShims.column(graft.functions.PqAdc(
-      SparkShims.expression(adcQuery),
-      SparkShims.expression(col("codes")), adcKernel))
-    // ADC values are sums of squared integer-valued doubles — exact, so
-    // the negated heap score is the deterministic (adc, nbr) order
-    val candPairs = queries.join(codes, Seq("cell"))
-      .where(col("vec_id") =!= col("nbr"))
-      .select(col("cell"), col("vec_id"), col("nbr"), (-adc).as("__s"))
-    val cands = TopK.perKey(candPairs, Seq("vec_id"), "__s", "nbr", 4 * m)
-      .select("cell", "vec_id", "nbr")
-    val gridOf = members.select(col("cell").cast("int").as("cell"),
-      col("vec_id"), gridLongs(col("v")).as("g"))
-    val exactCut = cands
-      .join(gridOf, Seq("cell", "vec_id"))
-      .join(gridOf.select(col("cell"), col("vec_id").as("nbr"),
-        col("g").as("ng")), Seq("cell", "nbr"))
-      .select(col("cell"), col("vec_id"), col("nbr"),
-        gridDist(col("g"), col("ng")).as("d"))
-    TopK.perKey(exactCut.withColumn("__s", -col("d").cast("double")),
-        Seq("vec_id"), "__s", "nbr", m)
-      .select("cell", "vec_id", "nbr", "d")
+      .where(col("cell").isin(cellsWanted.map(Int.box): _*))
+    val payload =
+      if (needCodes)
+        members.select(col("cell").cast("int").as("cell"), col("vec_id"),
+          gridLongs(col("v")).as("g"),
+          array((0 until mPq).map(j =>
+            col(s"code_$j").cast("int")): _*).as("codes"))
+      else
+        members.select(col("cell").cast("int").as("cell"), col("vec_id"),
+          gridLongs(col("v")).as("g"),
+          array().cast("array<int>").as("codes"))
+    val rdd = payload.rdd.map(r => (r.getInt(0),
+      (r.getLong(1), r.getSeq[Long](2).toArray,
+        r.getSeq[Int](3).toArray)))
+    val nParts = math.max(1, cellsWanted.size)
+    val (mN, longN, exactCeil) = (m, longEdges, exactCeiling)
+    val routeCounts = counts
+    val (bks, res, coarse) = (books, residual, coarseD)
+    val muls = NswLongEdgeMuls.toArray
+    val grpSize = NswRandomInitGroupSize.toLong
+    val outRows = rdd
+      .groupByKey(new org.apache.spark.HashPartitioner(nParts))
+      .flatMap { case (cell, vsIt) =>
+        import scala.collection.mutable
+        val vs = vsIt.toArray
+        val n = vs.length
+        val ids = vs.map(_._1)
+        val gs = vs.map(_._2)
+        // top-`take` of candidate j-indexes for row i by (score, nbr id)
+        def topBy(i: Int, take: Int, cand: Array[Int],
+            score: Int => Double): Array[Int] = {
+          val h = mutable.TreeSet.empty[(Double, Long, Int)]
+          var j = 0
+          while (j < cand.length) {
+            val c = cand(j)
+            if (c != i) {
+              h += ((score(c), ids(c), c))
+              if (h.size > take) h -= h.last
+            }
+            j += 1
+          }
+          h.iterator.map(_._3).toArray
+        }
+        val exact = routeCounts.getOrElse(cell, n.toLong) <= exactCeil
+        val all = Array.range(0, n)
+        // base top-m per vector: exact grid all-pairs, or ADC top-4m
+        // candidates then the exact grid cut on those candidates only
+        val qd: Array[Array[Double]] =
+          if (exact) null
+          else {
+            val cent =
+              if (res && cell < coarse.length) coarse(cell) else null
+            vs.map { case (_, g, _) =>
+              val d0 = new Array[Double](g.length)
+              var i = 0
+              while (i < g.length) { d0(i) = g(i).toDouble; i += 1 }
+              if (cent != null && cent.length == d0.length) {
+                var j = 0
+                while (j < d0.length) { d0(j) -= cent(j); j += 1 }
+              }
+              d0
+            }
+          }
+        val baseEdges = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var i = 0
+        while (i < n) {
+          val cand =
+            if (exact) all
+            else topBy(i, 4 * mN, all,
+              j => {
+                // the PqAdc kernel's arithmetic, NaN → the expression's
+                // null row, which the heap never saw — candidates with
+                // unscorable codes simply don't compete (shapes always
+                // match on a stored index)
+                val a = adcDistLocalD(qd(i), vs(j)._3, bks)
+                a
+              })
+          val keep = topBy(i, mN, cand, j => {
+            val d = gridDistLocal(gs(i), gs(j))
+            d.toDouble
+          })
+          keep.foreach { j =>
+            baseEdges += ((ids(i), ids(j), gridDistLocal(gs(i), gs(j))))
+          }
+          i += 1
+        }
+        // merged output map: (v, nbr) -> (d, is_long)
+        val out = new mutable.HashMap[(Long, Long), (Long, Boolean)]()
+        baseEdges.foreach { case (v, nb, d) => out((v, nb)) = (d, false) }
+        if (longN > 0 && n > 1) {
+          val nb = math.max(1L, n.toLong / grpSize)
+          var r = 0
+          while (r < longN) {
+            val groups = new mutable.LongMap[mutable.ArrayBuffer[Int]]()
+            var k = 0
+            while (k < n) {
+              val g = math.floorMod(
+                math.floorMod(ids(k), 2147483647L) * muls(r),
+                2147483647L) % nb
+              groups.getOrElseUpdate(g, mutable.ArrayBuffer.empty) += k
+              k += 1
+            }
+            groups.foreach { case (_, mem) =>
+              if (mem.length > 1) {
+                var a = 0
+                while (a < mem.length) {
+                  val u = mem(a)
+                  // nearest OTHER group member by (d, nbr id)
+                  var bestD = Long.MaxValue
+                  var bestId = Long.MaxValue
+                  var b = 0
+                  while (b < mem.length) {
+                    val x = mem(b)
+                    if (x != u) {
+                      val d = gridDistLocal(gs(u), gs(x))
+                      if (d < bestD || (d == bestD && ids(x) < bestId)) {
+                        bestD = d; bestId = ids(x)
+                      }
+                    }
+                    b += 1
+                  }
+                  if (bestId != Long.MaxValue) {
+                    val key = (ids(u), bestId)
+                    if (!out.contains(key)) out(key) = (bestD, true)
+                  }
+                  a += 1
+                }
+              }
+            }
+            r += 1
+          }
+        }
+        out.iterator.map { case ((v, nb2), (d, isL)) =>
+          (cell, v, nb2, d, isL)
+        }
+      }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("nbr",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("is_long",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    s.createDataFrame(
+      outRows.map { case (c, v, nb2, d, l) =>
+        org.apache.spark.sql.Row(c, v, nb2, d, l)
+      }, outSchema)
+  }
+
+  /** [[adcDistLocal]] without the bigint cast — the candidate route
+    * ranks by the RAW double ADC (exact integer-valued sums), exactly
+    * as the round-17 heap scored `-adc`. */
+  private def adcDistLocalD(
+      q: Array[Double], codes: Array[Int],
+      books: Array[Array[Array[Double]]]): Double = {
+    val m = books.length
+    if (codes.length != m) return Double.NaN
+    var total = 0.0
+    var base = 0
+    var j = 0
+    while (j < m) {
+      val c = codes(j)
+      if (c < 0 || c >= books(j).length) return Double.NaN
+      val cb = books(j)(c)
+      if (base + cb.length > q.length) return Double.NaN
+      var d = 0.0
+      var i = 0
+      while (i < cb.length) { val t = q(base + i) - cb(i); d += t * t; i += 1 }
+      total += d
+      base += cb.length
+      j += 1
+    }
+    total
   }
 
   /** How many hash-random groups each member joins in the random-init
