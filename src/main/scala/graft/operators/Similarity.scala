@@ -2549,118 +2549,178 @@ object Similarity {
     // trips; arithmetic and tie-breaks identical.
     val visitedRows = cellWalkVisited(s, indexPath, graphPath, None,
       cellSet, byCell, Map.empty, hops, beam, entryFromAdj = true)
-    // adjacency never references batch ids (walks ran pre-batch), so
-    // the forward edges are new rows and the reverse edges merge into
-    // the touched vertices' prune. The top-m cut runs driver-side over
-    // the bounded walk output — same (d, nbr) house order as the TopK
-    // job it replaces.
-    val fwd = visitedRows.toSeq.groupBy(_._1).toSeq
-      .flatMap { case (_, ms) =>
-        ms.sortBy { case (_, _, n, d) => (d, n) }.take(m)
-      }
-      .map { case (qi, c, n, d) => (c, qi, n, d) }
-      .toDF("cell", "vec_id", "nbr", "d")
-    val rev = fwd.select(col("cell"), col("nbr").as("vec_id"),
-      col("vec_id").as("nbr"), col("d"))
+    // Forward edges: top-m per batch vector by the house (d, nbr)
+    // order — driver-side over the bounded walk output; reverse edges
+    // mirror them inside the merge task. Broadcast with the batch ids.
+    val fwdByCell: Map[Int, Array[(Long, Long, Long)]] =
+      visitedRows.toSeq.groupBy(_._1).toSeq
+        .flatMap { case (_, ms) =>
+          ms.sortBy { case (_, _, n, d) => (d, n) }.take(m)
+        }
+        .groupBy(_._2).map { case (c, xs) =>
+          c -> xs.map { case (qi, _, n, d) => (qi, n, d) }.toArray
+        }
+    val batchIdSet: Set[Long] = qRows.map(_.getLong(0)).toSet
+    val bcFwd = s.sparkContext.broadcast(fwdByCell)
+    val bcBatch = s.sparkContext.broadcast(batchIdSet)
+    // EXECUTOR-SIDE MERGE + WITHIN-BATCH CLOSURE (round 18): the
+    // per-edge-class prune (new forward/reverse edges compete only in
+    // the base pool, long slots pass through untouched — the persisted
+    // `is_long` flag carries the class, never distance rank) and the
+    // targeted NN-descent pass (centers = the batch and its direct
+    // undirected neighbors, candidates = 2-hop pairs through those
+    // centers, only candidate vertices re-cut, everything else passes
+    // through bit-equal) are both keyed by (cell, vertex) and never
+    // cross cells — so the whole tail runs inside one task per touched
+    // cell over the cogrouped grid + stored adjacency, replacing the
+    // round-17 chain of two TopK cuts, four semi/anti-joins, two grid
+    // joins, a group-by and two checkpoints. Same (d, nbr) orders,
+    // same collision rule (base wins, min d), row-identical output
+    // (NswGraphSpec's bridge-survival and within-batch-link pins).
     val old = readNswAdjacencyClassed(s, graphPath, m,
       cells = Some(cellSet))
-    // per-edge-class prune by the PERSISTED `is_long` flag (written by
-    // the build, round 16; legacy pre-flag cells rank-infer with a
-    // warn — readNswAdjacencyClassed): new forward/reverse edges
-    // compete only in the base pool; long slots pass through untouched
-    // — insert never strips the island bridges. The flag, not distance
-    // rank, carries the class: on candidate-bounded / random-init
-    // cells (the mega-cell regime) base edges are approximate, so
-    // "bridges are farther than every base edge" fails there and a
-    // rank split would freeze near edges in protected slots while
-    // exposing true bridges to the prune.
-    val oldBase = old.where(!col("is_long"))
-      .select("cell", "vec_id", "nbr", "d")
-    val oldLong = old.where(col("is_long"))
-      .select("cell", "vec_id", "nbr", "d", "is_long")
-    val merged = TopK.perKey(
-        oldBase.unionByName(fwd).unionByName(rev)
-          .withColumn("__s", -col("d").cast("double")),
-        Seq("vec_id"), "__s", "nbr", m)
-      .select("cell", "vec_id", "nbr", "d")
-      .withColumn("is_long", lit(false))
-      .unionByName(oldLong)
-      // base wins on a collision (the build's dedup rule): min over
-      // booleans keeps false when a new edge duplicates a bridge slot
-      .groupBy("cell", "vec_id", "nbr")
-      .agg(min("d").as("d"), min("is_long").as("is_long"))
-      // referenced by four downstream branches (und, centers, re-cut,
-      // pass-through) AND rooted at graphPath — one checkpoint breaks
-      // the lineage before the overwrite and stops recompute fan-out
-      .localCheckpoint()
-    // WITHIN-BATCH linking — one targeted NN-descent pass: centers =
-    // the batch and its direct (undirected) neighbors, candidates =
-    // 2-hop pairs through those centers, so two same-batch vectors
-    // that walked to a shared stored neighbor finally see each other.
-    // Only the candidate pairs' vertices are re-cut (per edge class,
-    // as above); every other vertex's rows pass through bit-equal.
-    // The undirected/center frames build from the BATCH-ADJACENT slice
-    // of the merged adjacency (two bounded semi-joins), not the whole
-    // touched cells' edge set: centers only ever keep rows with a
-    // batch endpoint, and both directions of any such pair touch the
-    // batch, so the slice is exact — and the pass stays ∝ batch·(m+L),
-    // flat in cell membership (unfiltered, a 1k-vector insert into a
-    // 1M-member cell would shuffle the whole cell's adjacency twice).
-    val bSemi = qRows.map(_.getLong(0)).toSeq.toDF("__b")
-    val touching = merged
-      .join(bSemi, col("vec_id") === col("__b"), "left_semi")
-      .unionByName(
-        merged.join(bSemi, col("nbr") === col("__b"), "left_semi"))
-    val und = touching.select(col("cell"), col("vec_id").as("w"),
-        col("nbr").as("x"), col("d"))
-      .unionByName(touching.select(col("cell"), col("nbr").as("w"),
-        col("vec_id").as("x"), col("d")))
-      .groupBy("cell", "w", "x").agg(min("d").as("d"))
-    // center rows: a batch vector's own neighborhood (w ∈ batch) plus
-    // every stored vertex's batch neighbors (x ∈ batch) — the latter
-    // is what closes A–sharedNeighbor–B into an A–B candidate
-    val batchIds = qRows.map(_.getLong(0)).toSeq.toDF("w")
-    val centers = und.join(batchIds, Seq("w"), "left_semi")
-      .select("cell", "w", "x", "d")
-      .unionByName(und.join(
-        batchIds.select(col("w").as("x")), Seq("x"), "left_semi")
-        .select("cell", "w", "x", "d"))
-      .groupBy("cell", "w", "x").agg(min("d").as("d"))
-    val undC = TopK.perKey(
-        centers.withColumn("__s", -col("d").cast("double")),
-        Seq("w"), "__s", "x", 3 * m)
-      .select("cell", "w", "x")
-    val twoHop = undC.select(col("cell"), col("w"), col("x").as("u"))
-      .join(undC.select(col("cell"), col("w"), col("x").as("nbr2")),
-        Seq("cell", "w"))
-      .where(col("u") =!= col("nbr2"))
-      .select(col("cell"), col("u").as("vec_id"), col("nbr2").as("nbr"))
-      .distinct()
-    val scored = twoHop
-      .join(grid.select(col("cell"), col("node").as("vec_id"),
-        col("g")), Seq("cell", "vec_id"))
-      .join(grid.select(col("cell"), col("node").as("nbr"),
-        col("g").as("ng")), Seq("cell", "nbr"))
-      .select(col("cell"), col("vec_id"), col("nbr"),
-        gridDist(col("g"), col("ng")).as("d"))
-    val affected = scored.select("vec_id").distinct()
-    val curAff = merged.join(affected, Seq("vec_id"), "left_semi")
-    val affBase = curAff.where(!col("is_long"))
-      .select("cell", "vec_id", "nbr", "d")
-    val affLong = curAff.where(col("is_long"))
-      .select("cell", "vec_id", "nbr", "d", "is_long")
-    val affNext = TopK.perKey(
-        affBase.unionByName(scored)
-          .dropDuplicates("cell", "vec_id", "nbr")
-          .withColumn("__s", -col("d").cast("double")),
-        Seq("vec_id"), "__s", "nbr", m)
-      .select("cell", "vec_id", "nbr", "d")
-      .withColumn("is_long", lit(false))
-      .unionByName(affLong)
-      .groupBy("cell", "vec_id", "nbr")
-      .agg(min("d").as("d"), min("is_long").as("is_long"))
-    val next = merged.join(affected, Seq("vec_id"), "left_anti")
-      .unionByName(affNext)
+      .select(col("cell"), col("vec_id"), col("nbr"), col("d"),
+        col("is_long"))
+    val oldRdd = old.rdd.map(r => (r.getInt(0),
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+    val gridRdd = grid.rdd.map(r =>
+      (r.getInt(1), (r.getLong(0), r.getSeq[Long](2).toArray)))
+    val mN = m
+    val outRows = gridRdd
+      .cogroup(oldRdd, new org.apache.spark.HashPartitioner(cellSet.size))
+      .flatMap { case (cell, (vs, es)) =>
+        import scala.collection.mutable
+        val gmap = new mutable.LongMap[Array[Long]]()
+        vs.foreach { case (n2, g) => gmap(n2) = g }
+        val batch = bcBatch.value
+        // base pools per vertex: stored base edges + the batch's
+        // forward edges + their mirrors
+        val basePool =
+          new mutable.LongMap[mutable.ArrayBuffer[(Long, Long)]]()
+        val longRows = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        es.foreach { case (v, n2, d, isL) =>
+          if (isL) longRows += ((v, n2, d))
+          else basePool.getOrElseUpdate(v,
+            mutable.ArrayBuffer.empty) += ((n2, d))
+        }
+        bcFwd.value.getOrElse(cell, Array.empty[(Long, Long, Long)])
+          .foreach { case (q, n2, d) =>
+            basePool.getOrElseUpdate(q,
+              mutable.ArrayBuffer.empty) += ((n2, d))
+            basePool.getOrElseUpdate(n2,
+              mutable.ArrayBuffer.empty) += ((q, d))
+          }
+        // merged base: per-vertex top-m by (d, nbr)
+        def topM(buf: mutable.ArrayBuffer[(Long, Long)])
+            : Array[(Long, Long)] = {
+          val arr = buf.toArray
+          scala.util.Sorting.stableSort(arr,
+            (a: (Long, Long), b: (Long, Long)) =>
+              a._2 < b._2 || (a._2 == b._2 && a._1 < b._1))
+          arr.take(mN)
+        }
+        val mergedBase = new mutable.LongMap[Array[(Long, Long)]]()
+        basePool.foreach { case (v, buf) => mergedBase(v) = topM(buf) }
+        def inBase(v: Long, n2: Long): Boolean =
+          mergedBase.get(v).exists(_.exists(_._1 == n2))
+        // base wins on a collision (the build's dedup rule): a long
+        // edge duplicating a merged base slot collapses into it
+        val mergedLong = longRows.filter { case (v, n2, _) =>
+          !inBase(v, n2)
+        }
+        // undirected batch-adjacent neighborhoods (every edge with a
+        // batch endpoint, both directions, min d per (w, x))
+        val und = new mutable.LongMap[mutable.LongMap[Long]]()
+        def undAdd(w: Long, x: Long, d: Long): Unit = {
+          val inner = und.getOrElseUpdate(w, new mutable.LongMap[Long]())
+          val cur = inner.get(x)
+          if (cur.isEmpty || d < cur.get) inner(x) = d
+        }
+        def touch(v: Long, n2: Long, d: Long): Unit =
+          if (batch.contains(v) || batch.contains(n2)) {
+            undAdd(v, n2, d); undAdd(n2, v, d)
+          }
+        mergedBase.foreach { case (v, edges) =>
+          edges.foreach { case (n2, d) => touch(v, n2, d) }
+        }
+        mergedLong.foreach { case (v, n2, d) => touch(v, n2, d) }
+        // 2-hop candidates through each center's 3m-capped
+        // neighborhood, scored exact; affected = vertices with at
+        // least one scorable candidate pair
+        val candByU = new mutable.LongMap[mutable.LongMap[Unit]]()
+        und.foreach { case (_, inner) =>
+          val members = inner.toArray
+          scala.util.Sorting.stableSort(members,
+            (a: (Long, Long), b: (Long, Long)) =>
+              a._2 < b._2 || (a._2 == b._2 && a._1 < b._1))
+          val kept = members.iterator.take(3 * mN).map(_._1).toArray
+          var i = 0
+          while (i < kept.length) {
+            val u = kept(i)
+            var j = 0
+            while (j < kept.length) {
+              val x = kept(j)
+              if (x != u)
+                candByU.getOrElseUpdate(u,
+                  new mutable.LongMap[Unit]())(x) = ()
+              j += 1
+            }
+            i += 1
+          }
+        }
+        val out = mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean)]
+        val affected = new mutable.LongMap[Unit]()
+        candByU.foreach { case (u, cands) =>
+          if (gmap.contains(u) &&
+              cands.keysIterator.exists(gmap.contains))
+            affected(u) = ()
+        }
+        // affected vertices: re-cut base pool ∪ scored candidates
+        // (deduped — equal d for equal pairs), long rows re-attach
+        // under the same collision rule
+        affected.foreachKey { u =>
+          val gu = gmap(u)
+          val pool = new mutable.LongMap[Long]()
+          mergedBase.getOrElse(u, Array.empty[(Long, Long)])
+            .foreach { case (n2, d) => pool(n2) = d }
+          candByU(u).foreachKey { x =>
+            if (gmap.contains(x) && !pool.contains(x))
+              pool(x) = gridDistLocal(gu, gmap(x))
+          }
+          val buf = mutable.ArrayBuffer.empty[(Long, Long)]
+          pool.foreach { case (n2, d) => buf += ((n2, d)) }
+          val kept = topM(buf)
+          val keptSet = kept.map(_._1).toSet
+          kept.foreach { case (n2, d) => out += ((u, n2, d, false)) }
+          mergedLong.foreach { case (v, n2, d) =>
+            if (v == u && !keptSet.contains(n2)) out += ((v, n2, d, true))
+          }
+        }
+        // unaffected vertices pass through bit-equal
+        mergedBase.foreach { case (v, edges) =>
+          if (!affected.contains(v))
+            edges.foreach { case (n2, d) => out += ((v, n2, d, false)) }
+        }
+        mergedLong.foreach { case (v, n2, d) =>
+          if (!affected.contains(v)) out += ((v, n2, d, true))
+        }
+        out.iterator.map { case (v, n2, d, fl) => (cell, v, n2, d, fl) }
+      }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("nbr",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("is_long",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val next = s.createDataFrame(
+        outRows.map { case (c, v, n2, d, fl) =>
+          org.apache.spark.sql.Row(c, v, n2, d, fl)
+        }, outSchema)
       .localCheckpoint() // break lineage off graphPath before overwrite
     next.repartition(col("cell"))
       .write.mode("overwrite")
