@@ -2548,7 +2548,8 @@ object Similarity {
     // that strands the walk). Replaces the hops× localCheckpoint round
     // trips; arithmetic and tie-breaks identical.
     val visitedRows = cellWalkVisited(s, indexPath, graphPath, None,
-      cellSet, byCell, Map.empty, hops, beam, entryFromAdj = true)
+      cellSet, byCell, Map.empty, hops, beam, entryFromAdj = true,
+      preCut = m)
     // Forward edges: top-m per batch vector by the house (d, nbr)
     // order — driver-side over the bounded walk output; reverse edges
     // mirror them inside the merge task. Broadcast with the batch ids.
@@ -3310,7 +3311,8 @@ object Similarity {
       adcBooks: Option[Array[Array[Array[Double]]]] = None,
       residual: Boolean = false,
       coarseD: Array[Array[Double]] = Array.empty,
-      entryFromAdj: Boolean = false): Array[(Long, Int, Long, Long)] = {
+      entryFromAdj: Boolean = false,
+      preCut: Int = 0): Array[(Long, Int, Long, Long)] = {
     if (cellSet.isEmpty || queriesByCell.valuesIterator.forall(_.isEmpty))
       return Array.empty
     val sc = s.sparkContext
@@ -3356,16 +3358,41 @@ object Similarity {
             .reduce(_ unionByName _)
       }
     }
-    val vecRdd = vecsDf.rdd.map(r =>
-      (r.getInt(0), (r.getLong(1), r.getSeq[Long](2).toArray)))
-    val adjRdd = adjDf.rdd.map(r =>
-      (r.getInt(0), (r.getInt(3), r.getLong(1), r.getLong(2))))
-    val nParts = math.max(1, cellSet.size)
+    // QUERY BUCKETS (scale-adaptive): one task per probed cell caps
+    // parallelism at the probed-cell count, which is fine for small
+    // online batches but leaves cores idle on a BULK batch over few
+    // cells. When a cell carries enough queries (≥ ~32 per task), its
+    // query set splits across `buckets` tasks — the cell's rows are
+    // replicated per bucket (explicit duplication of a bounded
+    // serving-cell payload), and each task walks only its
+    // `floorMod(q_id, buckets)` slice. Results are independent of the
+    // bucket count (every (query, cell) walk is self-contained), so
+    // this is purely a parallelism knob, derived from the session's
+    // parallelism rather than a fixed local constant.
+    val maxQ = queriesByCell.valuesIterator.map(_.length).max
+    val buckets = math.max(1, math.min(
+      s.sparkContext.defaultParallelism / math.max(1, cellSet.size),
+      (maxQ + 31) / 32))
+    val nB = buckets
+    val vecRdd = vecsDf.rdd.flatMap { r =>
+      val key = r.getInt(0).toLong * nB
+      val row = (r.getLong(1), r.getSeq[Long](2).toArray)
+      (0 until nB).iterator.map(b => (key + b, row))
+    }
+    val adjRdd = adjDf.rdd.flatMap { r =>
+      val key = r.getInt(0).toLong * nB
+      val row = (r.getInt(3), r.getLong(1), r.getLong(2))
+      (0 until nB).iterator.map(b => (key + b, row))
+    }
+    val nParts = math.max(1, cellSet.size * nB)
     val out = vecRdd
       .cogroup(adjRdd, new org.apache.spark.HashPartitioner(nParts))
-      .flatMap { case (cell, (vs, es)) =>
+      .flatMap { case (key, (vs, es)) =>
+        val cell = (key / nB).toInt
+        val bucket = key % nB
         val queries = bcQ.value.getOrElse(cell,
           Array.empty[(Long, Array[Long])])
+          .filter(qr => math.floorMod(qr._1, nB.toLong) == bucket)
         if (queries.isEmpty) Iterator.empty
         else {
           import scala.collection.mutable
@@ -3487,7 +3514,24 @@ object Similarity {
               if (scorable(n) && !visited.contains(n)) visited(n) = distOf(n)
             }
             expandHops(visited, 0, h0, b0)
-            visited.iterator.map { case (n, d) => (qid, cell, n, d) }
+            // PRE-CUT (round 18): when the caller's final per-query cut
+            // needs only the `preCut` best and applies no post-filter,
+            // the (q, cell) slice of that cut is computable HERE — the
+            // global top-k over ≤ nprobe cells equals the top-k of each
+            // cell's top-k (the query's own id excluded first, exactly
+            // as the driver tail excludes it). Keeps the driver collect
+            // ∝ nq·nprobe·k instead of the full visited set — the term
+            // that dominated 10k-query bulk batches.
+            if (preCut > 0) {
+              val arr = visited.iterator
+                .filter { case (n, _) => n != qid }.toArray
+              scala.util.Sorting.stableSort(arr,
+                (a: (Long, Long), b: (Long, Long)) =>
+                  a._2 < b._2 || (a._2 == b._2 && a._1 < b._1))
+              arr.iterator.take(preCut)
+                .map { case (n, d) => (qid, cell, n, d) }
+            } else
+              visited.iterator.map { case (n, d) => (qid, cell, n, d) }
           }
         }
       }
@@ -3596,15 +3640,17 @@ object Similarity {
     // ONE job: every (query, cell) walk runs executor-side over the
     // cogrouped cell-local grid + adjacency (round 18) — the per-hop
     // fused jobs of round 17 collapse into the task's hops loop.
-    val visited = cellWalkVisited(s, indexPath, graphPath, None,
-      cellSet.toIndexedSeq, probesByCell(probeRows, probeSchema), seeds,
-      hops, beam)
     // FILTERED search (the RAG/ACL shape, q223's contract on the graph
     // path): the walk traverses ALL nodes — a filter-aware walk would
     // disconnect the graph under selective filters (the standard
     // filtered-HNSW trade) — and the predicate applies to the final
     // candidates. Only the VISITED nodes' membership is ever fetched:
     // one bounded semi-join, never a corpus-sized allow-list collect.
+    // (With a filter the tasks must return the FULL visited sets — the
+    // pre-cut would drop rows the filter could promote into the top-k.)
+    val visited = cellWalkVisited(s, indexPath, graphPath, None,
+      cellSet.toIndexedSeq, probesByCell(probeRows, probeSchema), seeds,
+      hops, beam, preCut = if (allowed.isEmpty) k else 0)
     walkTopKDf(s, visited.toIndexedSeq, k, allowed)
   }
 
@@ -3664,7 +3710,8 @@ object Similarity {
       hops, beam,
       adcBooks = Some(books.map(_.map(_.map(_.toDouble)))),
       residual = residual,
-      coarseD = coarseL.map(_.map(_.toDouble)))
+      coarseD = coarseL.map(_.map(_.toDouble)),
+      preCut = refine)
     // dedupe (query, node) across probed cells (min ADC), cut to the
     // refine best per query, then ONE exact grid re-rank to k — the
     // only full-width vector reads of the whole search
@@ -4883,7 +4930,7 @@ object Similarity {
       Some(layersPath), cellSet.toIndexedSeq,
       probesByCell(probeRows, probeSchema), Map.empty, hops, beam,
       maxLayer = maxLayer, branch = branch, hopsUp = hopsUp,
-      beamUp = beamUp)
+      beamUp = beamUp, preCut = if (allowed.isEmpty) k else 0)
     walkTopKDf(s, visited.toIndexedSeq, k, allowed)
   }
 
@@ -5127,7 +5174,8 @@ object Similarity {
       beamUp = beamUp,
       adcBooks = Some(books.map(_.map(_.map(_.toDouble)))),
       residual = residual,
-      coarseD = coarseL.map(_.map(_.toDouble)))
+      coarseD = coarseL.map(_.map(_.toDouble)),
+      preCut = refine)
     // dedupe (query, node) across probed cells (min ADC), refine cut,
     // ONE exact grid re-rank — identical to [[nswSearchAdcStored]]'s
     // tail (the only full-width vector reads of the whole search)

@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Core-scaling probe for the round-18 executor-side serving walk:
+  * builds the memoized trained index + bridged graph + layers on the
+  * given corpus, then times a BULK online batch (`nq` queries, ids
+  * cycled over the corpus) through `nswSearchStored` and `nswServe`,
+  * median of 3. Run once with SPARK_GRAFT_CPUS=8 and once with 32:
+  * the round-17 driver-hop walks measured 8c ≈ 32c on every serve
+  * entry (orchestration-bound); the per-cell task walk should scale
+  * toward the core ratio once the batch is wide enough to fill tasks.
+  *
+  * `runMain graft.tools.ScaleWalk [nq] [corpusN]` (defaults 10000
+  * 50000 — the 50k clustered synth corpus, whose census-sized budgets
+  * give each query real walk work; the sf0.1 corpus is too small to
+  * expose anything but fixed costs).
+  */
+object ScaleWalk {
+  def main(args: Array[String]): Unit = {
+    val nq = args.headOption.map(_.toInt).getOrElse(10000)
+    val corpusN = args.lift(1).map(_.toLong).getOrElse(50000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.LightFusion.session(s"local[$cpus]")
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_scalewalk").toString
+    val emb = ProfileNswBuild.synth(spark, corpusN).localCheckpoint()
+    val n = corpusN
+    val idx = s"$root/idx"
+    val graph = s"$root/nsw"
+    val layers = s"$root/nsw_layers"
+    Similarity.buildTrainedIvfPqIndexAt(spark, emb, idx, nlist = 8,
+      m = 4, ks = 8, trainSample = 64, iters = 2)
+    Similarity.inParallel(Seq(
+      () => Similarity.buildNswGraphAt(spark, idx, graph, m = 6,
+        longEdges = 2),
+      () => Similarity.buildNswLayersAt(spark, idx, layers, m = 6,
+        longEdges = 2)))
+    // nq queries cycled over the corpus — bounded driver state is
+    // nq·nprobe probe rows, the walk engine's documented envelope
+    val q = spark.range(nq).select(col("id").as("q_id"),
+        (col("id") % n).as("vec_id"))
+      .join(emb, Seq("vec_id"))
+      .select(col("q_id"), col("v").as("qv"))
+      .localCheckpoint()
+    def time(label: String)(f: => Long): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      println(f"[scalewalk] cpus=$cpus nq=$nq $label%-12s median=${
+        ts.map(_._1).sorted.apply(1)}%7.2fs rows=${ts.head._2}")
+    }
+    time("flat walk") {
+      Similarity.nswSearchStored(spark, idx, graph, q, k = 5, nprobe = 2,
+        hops = 3, beam = 8).count()
+    }
+    time("serve") {
+      Similarity.nswServe(spark, idx, graph, layers, q, k = 5,
+        nprobe = 2).count()
+    }
+    spark.stop()
+  }
+}
